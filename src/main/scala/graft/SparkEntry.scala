@@ -1,13 +1,457 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{Similarity, Text}
+import graft.operators.{Compliance, Converters, Dedup, Retention, Sessionize}
+
+/** Driver contract: one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB
+  * oracle in `oracleSql` computing identical values with identical
+  * column names.
+  *
+  * Oracle-parity rules used throughout (see VERIFY notes):
+  *   - money/quantity aggregates go through exact DECIMAL arithmetic,
+  *     cast to DOUBLE only at the end (bit-identical in both engines);
+  *   - ratio columns are plain IEEE divisions of exact integers (never
+  *     rounded — identical inputs give identical doubles);
+  *   - every query output is deterministically ordered.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val dec18_2 = DecimalType(18, 2)
+  private val dec4_2 = DecimalType(4, 2)
+  private def decSumDouble(c: Column): Column = sum(c.cast(dec18_2)).cast("double")
+  /** l_extendedprice * (1 - l_discount) in exact decimal. */
+  private def discPrice: Column =
+    col("l_extendedprice").cast(dec18_2) * (lit(1).cast(dec4_2) - col("l_discount").cast(dec4_2))
+  private def charge: Column =
+    discPrice * (lit(1).cast(dec4_2) + col("l_tax").cast(dec4_2))
+
+  /** Flagship query on sf=0.001 (driver smoke-checks rows>0): revenue
+    * per region/nation, broadcast dims, decimal-exact money.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_join_revenue")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- aggregation (pricing summary, TPC-H Q1 shape) ----------------
+    "q_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1996-12-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSumDouble(col("l_quantity")).as("sum_qty"),
+          decSumDouble(col("l_extendedprice")).as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(charge).cast("double").as("sum_charge"),
+          (sum(col("l_quantity").cast(dec18_2)).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // --- converter chain: filter + field pick (AvroFilterConverter +
+    //     AvroFieldsPickConverter) -------------------------------------
+    "q_filter_pick" -> ((s, dir) => {
+      Converters.chain(
+        Converters.filterEquals("event_type", "click"),
+        Converters.pickFields("event_id", "user_id", "value"))(t(s, dir, "events"))
+        .orderBy(col("event_id"))
+    }),
+
+    // --- multi-way join with broadcast dims ---------------------------
+    "q_join_revenue" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(discPrice).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // --- compaction delta-dedup ("largest delta wins", §2.4/§2.6) -----
+    "q_dedup_delta" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+      // delta = full total order: (linenumber, partkey, quantity) — the
+      // synthetic data has duplicate (orderkey, linenumber) pairs, so a
+      // single delta column would leave the survivor ambiguous.
+      Dedup.keepMaxBy(li, Seq("l_orderkey"), Seq("l_linenumber", "l_partkey", "l_quantity"))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // --- exact dedup on key projection --------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      Dedup.exactKeys(t(s, dir, "lineitem"), Seq("l_orderkey", "l_partkey", "l_suppkey"))
+        .orderBy(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    }),
+
+    // --- retention: newest-k versions per dataset ---------------------
+    "q_retention_newest_k" -> ((s, dir) => {
+      Retention.newestK(t(s, dir, "orders"), Seq("o_custkey"),
+          Seq(col("o_orderdate"), col("o_orderkey")), 3)
+        .orderBy(col("o_custkey"), col("o_orderdate").desc, col("o_orderkey").desc)
+    }),
+
+    // --- compliance purge: broadcast anti-join ------------------------
+    "q_purge_antijoin" -> ((s, dir) => {
+      val purgeIds = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select(col("o_orderkey"))
+      Compliance.purge(t(s, dir, "lineitem"), purgeIds, "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), decSumDouble(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // --- incremental watermark read (QueryBasedSource semantics) ------
+    "q_incremental_watermark" -> ((s, dir) => {
+      t(s, dir, "events")
+        .filter(col("ts") > lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), decSumDouble(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- JSON-string parsing (JsonStringToJsonIntermediateConverter) --
+    "q_json_props" -> ((s, dir) => {
+      Converters.parseJson("props", StructType(Seq(StructField("k", LongType))))(
+        t(s, dir, "events"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- 1->N split (StringSplitterConverter -> explode) --------------
+    "q_wordcount" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("word"))
+    }),
+
+    // --- time-partitioned write key (TimeBasedWriterPartitioner) ------
+    "q_time_partitioned" -> ((s, dir) => {
+      Converters.withTimePartition("ts")(t(s, dir, "events"))
+        .groupBy(col("date_key"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          decSumDouble(col("value")).as("sum_value"))
+        .orderBy(col("date_key"))
+    }),
+
+    // --- fork operator: branch-tagged routing -------------------------
+    "q_fork_branches" -> ((s, dir) => {
+      Converters.forkTagged(t(s, dir, "events"), Seq(
+          "big" -> (col("value") >= 150),
+          "purchases" -> (col("event_type") === "purchase")))
+        .groupBy(col("branch"))
+        .agg(count(lit(1)).as("n"), decSumDouble(col("value")).as("sum_value"))
+        .orderBy(col("branch"))
+    }),
+
+    // --- deterministic limiter (CountBasedLimiter) --------------------
+    "q_limit_topk" -> ((s, dir) => {
+      Converters.limitBy(100, col("value").desc, col("event_id"))(t(s, dir, "events"))
+        .select(col("event_id"), col("value"))
+    }),
+
+    // --- sessionization (streaming-state analog, batch form) ----------
+    "q_sessionize" -> ((s, dir) => {
+      Sessionize.sessionize(t(s, dir, "events"), "user_id", "ts", "event_id",
+          gapMicros = 1800L * 1000 * 1000)
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // --- deterministic sampling (SamplingConverter) -------------------
+    "q_sample" -> ((s, dir) => {
+      Converters.sampleDeterministic("event_id", 10)(t(s, dir, "events"))
+        .select(col("event_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // --- text analysis: stats + quality scoring -----------------------
+    "q_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        Text.charCount(col("text")).as("n_chars_computed"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        Text.bpeishTokenCount(col("text")).as("n_bpeish"),
+        Text.punctRatio(col("text")).as("punct_ratio"),
+        Text.stopwordRatio(col("text")).as("stopword_ratio"),
+        Text.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- language-ID heuristic ----------------------------------------
+    "q_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(Text.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))
+    }),
+
+    // --- document fingerprint + exact dedup ---------------------------
+    "q_fingerprint_dedup" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(Text.fingerprint(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("fingerprint"))
+    }),
+
+    // --- exact n-gram Jaccard near-dup pairs (blocked) ----------------
+    "q_jaccard_pairs" -> ((s, dir) => {
+      Similarity.ngramJaccardPairs(t(s, dir, "documents"),
+          "doc_id", "text", "source", n = 3, threshold = 0.1)
+        .orderBy(col("block"), col("id_a"), col("id_b"))
+    }),
+
+    // --- embedding cosine similarity above threshold ------------------
+    "q_cosine_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.similarPairs(probes, e, threshold = 0.2)
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
+
+    // --- brute-force ANN top-k ----------------------------------------
+    "q_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      Similarity.bruteForceTopK(probes, e, k = 5)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
+
+    // --- MinHash + banded LSH near-dups (no SQL oracle: rows-only) ----
+    "q_minhash_neardups" -> ((s, dir) => {
+      Similarity.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.25, shingleN = 3, numHashes = 16, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- SimHash near-dup pairs (custom Catalyst expression; rows-only)
+    "q_simhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), Similarity.simhash64(col("text")).as("sh"))
+      val a = docs.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("source"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("hamming", Similarity.hamming64(col("sh_a"), col("sh_b")))
+        .filter(col("hamming") <= 12)
+        .select(col("source"), col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("source"), col("id_a"), col("id_b"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1996-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_pick" ->
+      """SELECT event_id, user_id, value FROM events
+        |WHERE event_type = 'click' ORDER BY event_id""".stripMargin,
+
+    "q_join_revenue" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q_dedup_delta" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber DESC, l_partkey DESC, l_quantity DESC) = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem
+        |ORDER BY l_orderkey, l_partkey, l_suppkey""".stripMargin,
+
+    "q_retention_newest_k" ->
+      """SELECT * FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) <= 3
+        |ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC""".stripMargin,
+
+    "q_purge_antijoin" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey AND o_orderstatus = 'F')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_incremental_watermark" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type,
+        |  SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS sum_k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_wordcount" ->
+      """SELECT word, COUNT(*) AS n FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        |) WHERE len(word) > 0 GROUP BY word ORDER BY word""".stripMargin,
+
+    "q_time_partitioned" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date_key,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_fork_branches" ->
+      """SELECT branch, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT 'big' AS branch, value FROM events WHERE value >= 150
+        |  UNION ALL
+        |  SELECT 'purchases' AS branch, value FROM events WHERE event_type = 'purchase'
+        |) GROUP BY branch ORDER BY branch""".stripMargin,
+
+    "q_limit_topk" ->
+      """SELECT event_id, value FROM events
+        |ORDER BY value DESC, event_id LIMIT 100""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM marked
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(ts) AS session_start, MAX(ts) AS session_end, COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_sample" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin,
+
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_computed,
+        |  len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish,
+        |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+        |  CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |    / CAST(greatest(len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 1) AS DOUBLE) AS stopword_ratio,
+        |  (CASE WHEN len(list_filter(string_split(text, ' '), x -> len(x) > 0)) BETWEEN 20 AND 10000 THEN 0.5 ELSE 0.0 END
+        |   + CASE WHEN (CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |       / CAST(greatest(len(list_filter(string_split(text, ' '), x -> len(x) > 0)), 1) AS DOUBLE)) > 0.0 THEN 0.3 ELSE 0.0 END)
+        |   + CASE WHEN (CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)) < 0.1 THEN 0.2 ELSE 0.0 END AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH scores AS (
+        |  SELECT
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of','to','is'))) AS s_en,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('der','und','die','das','ist'))) AS s_de,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('le','la','et','les','est'))) AS s_fr,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('el','de','que','los','es'))) AS s_es
+        |  FROM documents
+        |), pred AS (
+        |  SELECT CASE
+        |    WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |    WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |    WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+        |    WHEN s_es > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_pred
+        |  FROM scores
+        |)
+        |SELECT lang_pred, COUNT(*) AS n FROM pred
+        |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
+
+    "q_fingerprint_dedup" ->
+      """SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH sh AS (
+        |  SELECT doc_id, source AS block,
+        |    list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |      ELSE [] END) AS shingles
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |    FROM documents
+        |  )
+        |)
+        |SELECT a.block AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / CAST(greatest(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)), 1) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |    / CAST(greatest(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)), 1) AS DOUBLE) >= 0.1
+        |ORDER BY block, id_a, id_b""".stripMargin,
+
+    "q_cosine_pairs" ->
+      """SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |  list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id % 50 = 0 AND a.vec_id <> b.vec_id
+        |WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.2
+        |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_knn" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+        |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |      / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |         * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
+        |)
+        |SELECT query_id, neighbor_id, sim FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
+        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
+    // q_minhash_neardups / q_simhash_pairs: intentionally no oracle —
+    // signature hashes are engine-specific; the driver records the
+    // weaker rows-only check, and ScalaTest asserts recall against the
+    // exact-Jaccard pairs.
+  )
 }

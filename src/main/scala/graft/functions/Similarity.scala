@@ -1,0 +1,211 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity / near-duplicate machinery for training-data pipelines:
+  * cosine similarity over embedding columns, brute-force and LSH-bucketed
+  * ANN, MinHash + banded LSH, SimHash, and n-gram Jaccard.
+  *
+  * Everything is column-expression based (codegen'd); candidate
+  * generation is join-shaped so Spark distributes it. No driver-side
+  * loops, no collect().
+  */
+object Similarity {
+
+  // ---------------------------------------------------------------- cosine
+
+  /** Dot product of two float-array columns, accumulated in double in
+    * array order (deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force ANN baseline: top-k neighbors per probe vector.
+    * probes × corpus is a broadcast-able cross join when probes is small
+    * (the common "query batch vs corpus" shape); at 100 TB corpus this is
+    * the exact-scoring final stage after candidate pruning (see IVF/LSH).
+    */
+  def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int,
+      probeId: String = "vec_id", corpusId: String = "vec_id",
+      probeVec: String = "embedding", corpusVec: String = "embedding"): DataFrame = {
+    val p = probes.select(col(probeId).as("query_id"), col(probeVec).as("_qv"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
+    val scored = broadcast(p).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
+  /** All pairs (probe, corpus) with cosine >= threshold. */
+  def similarPairs(probes: DataFrame, corpus: DataFrame, threshold: Double,
+      probeId: String = "vec_id", corpusId: String = "vec_id",
+      probeVec: String = "embedding", corpusVec: String = "embedding"): DataFrame = {
+    val p = probes.select(col(probeId).as("query_id"), col(probeVec).as("_qv"))
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
+    broadcast(p).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("_qv"), col("_cv")))
+      .filter(col("sim") >= threshold)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
+  // --------------------------------------------------------------- MinHash
+
+  /** MinHash signature from a hashed-shingle-set column.
+    * h_i(S) = min over s in S of ((a_i * s + b_i) mod p), with fixed
+    * seeds so signatures are reproducible run-over-run. p = 2^31 - 1
+    * (Mersenne prime): a,b,h < p keeps a*h+b < 2^62 — no long overflow
+    * inside Catalyst's ANSI arithmetic.
+    */
+  val MinhashPrime: Long = (1L << 31) - 1
+
+  private def seededCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+    // Deterministic SplitMix64 stream — stable across runs and JVMs.
+    var x = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    (0 until numHashes).map { _ =>
+      val a = java.lang.Math.floorMod(next(), MinhashPrime - 1) + 1
+      val b = java.lang.Math.floorMod(next(), MinhashPrime)
+      (a, b)
+    }
+  }
+
+  /** Signature as array<bigint> of length numHashes; null-safe on empty
+    * shingle sets (empty docs get a sentinel max signature). Column-only
+    * form — prefer [[minhashSignatures]] (explode + hash-aggregate) for
+    * whole-table signatures: higher-order aggregates are interpreted,
+    * and this form re-evaluates the shingle set per permutation.
+    */
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column = {
+    val perms = seededCoeffs(numHashes).map { case (a, b) =>
+      aggregate(shingleHashes, lit(Long.MaxValue),
+        (acc, h) => least(acc, pmod(lit(a) * pmod(h, lit(MinhashPrime)) + lit(b), lit(MinhashPrime))))
+    }
+    array(perms: _*)
+  }
+
+  /** Whole-table MinHash signatures as (id, sig) via shingle explode +
+    * one hash aggregation with numHashes `min`s — codegen'd, map-side
+    * partial aggregation, one shuffle on the doc id. Docs with fewer
+    * than shingleN tokens produce no row (they cannot be near-dups).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int): DataFrame = {
+    val coeffs = seededCoeffs(numHashes)
+    val exploded = docs.select(col(idCol).as("id"),
+        explode(Text.shingleHashes(col(textCol), shingleN)).as("h"))
+      .withColumn("hm", pmod(col("h"), lit(MinhashPrime)))
+    val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(lit(a) * col("hm") + lit(b), lit(MinhashPrime))).as(s"_m$i")
+    }
+    exploded.groupBy(col("id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+  }
+
+  /** Banded LSH: split the signature into `bands` bands of `rowsPerBand`
+    * and hash each band. Docs sharing any band hash are candidates.
+    */
+  def lshBandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), ",")).as("bucket")))
+
+  /** Candidate pairs via LSH band buckets: explode bands, self-join on
+    * (band, bucket). Distributed end-to-end; the join key is the band
+    * bucket so only colliding docs meet. Returns (id_a < id_b) pairs.
+    */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes)
+    val banded = sigs.select(col("id"), col("sig"),
+      explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
+      .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+  }
+
+  /** Estimated Jaccard from signatures: fraction of agreeing hashes. */
+  def minhashJaccardEstimate(sigA: Column, sigB: Column): Column =
+    round(size(filter(zip_with(sigA, sigB, (x, y) => x === y), m => m))
+      .cast("double") / size(sigA).cast("double"), 6)
+
+  /** MinHash near-dup pairs: LSH candidates filtered by estimated
+    * Jaccard >= threshold.
+    */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    lshCandidatePairs(docs, idCol, textCol, shingleN, numHashes, bands)
+      .withColumn("est_jaccard", minhashJaccardEstimate(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+
+  // --------------------------------------------------------------- Jaccard
+
+  /** Exact n-gram Jaccard pairs within a blocking column — the oracle-
+    * checkable exact counterpart of MinHash. Blocking keeps the pair
+    * space tractable; at scale the blocking column is the LSH bucket.
+    *
+    * Shape: explode shingles → equi-join on (block, shingle) → count
+    * intersections per pair → join per-doc set sizes. All shuffles are
+    * equi-joins/aggregations (no quadratic array_intersect over a
+    * blown-up pair cross product), so it survives block skew and scales
+    * out. Pairs with an empty intersection never materialize — correct,
+    * since threshold > 0.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0, "threshold must be > 0 (zero-overlap pairs are never produced)")
+    val sh = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
+      explode(array_distinct(Text.shingles(col(textCol), n))).as("s"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("block"), col("id").as("id_a"), col("s"))
+    val b = sh.select(col("block"), col("id").as("id_b"), col("s"))
+    val inter = a.join(b, Seq("block", "s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("block"), col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    // sizes has one row per doc — scales with the corpus, so no
+    // broadcast hint; AQE picks broadcast when it actually fits.
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), Seq("id_b"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        greatest(col("uni"), lit(1)).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // --------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens — native Catalyst expression
+    * (see [[SimHash64]]): one pass, imperative bit voting.
+    */
+  def simhash64(text: Column): Column = SimHash64(text)
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis columns for training-data pipelines: tokenization,
+  * quality scoring, language-ID heuristic, fingerprinting, shingling.
+  *
+  * All pure `org.apache.spark.sql.functions` compositions (higher-order
+  * array functions included) — fully codegen'd, no UDFs, so they stay
+  * inside WholeStageCodegen at 100 TB.
+  */
+object Text {
+
+  /** Whitespace tokens (single-space collapse; empty tokens removed). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, or single
+    * other non-space chars — a deterministic stand-in for a real BPE
+    * tokenizer's piece count.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** Ratio of punctuation chars to total chars. Plain IEEE division of
+    * exact integer counts — deterministic, so no rounding is needed (and
+    * rounding would *add* oracle risk at half-way points).
+    */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("[.,;:!?]"), lit(0)))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val sw = stopwords.map(lit(_))
+    size(filter(tokens(text), t => t.isin(sw: _*))).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+  }
+
+  /** Mean token length — long-token soup and single-char soup both score
+    * as low-quality signals downstream.
+    */
+  def meanTokenLen(text: Column): Column =
+    (length(text) - size(tokens(text)) + lit(1)).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: length band + stopword presence +
+    * punctuation sanity. Deterministic, SQL-expressible (oracle-checked).
+    */
+  def qualityScore(text: Column): Column = {
+    val n = tokenCount(text)
+    val lengthOk = when(n.between(20, 10000), lit(0.5)).otherwise(lit(0.0))
+    val swOk = when(stopwordRatio(text) > 0.0, lit(0.3)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) < 0.1, lit(0.2)).otherwise(lit(0.0))
+    lengthOk + swOk + punctOk
+  }
+
+  /** Language-ID heuristic: count marker-stopword hits per language,
+    * pick the max (deterministic preference order on ties). N-gram-free
+    * but the same shape as real fastText-style votes; langs without
+    * votes return 'und'.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "de", "que", "los", "es"))
+
+  def langScores(text: Column): Seq[(String, Column)] =
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(tokens(text), t => t.isin(markers.map(lit(_)): _*)))
+    }
+
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+    // foldRight means earlier langs in LangMarkers win ties.
+  }
+
+  /** Document fingerprint: stable 128-bit content hash (hex). Matches
+    * DuckDB md5() byte-for-byte, so it doubles as the oracle-checkable
+    * exact-dedup key.
+    */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** 64-bit fingerprint for compact storage / sort keys. */
+  def fingerprint64(text: Column): Column = xxhash64(text)
+
+  /** Word n-gram shingles: ["a b c", "b c d", ...]. Built with
+    * sequence+transform so it stays codegen'd; empty when fewer than n
+    * tokens.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - lit(n - 1)),
+        i => array_join(slice(t, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Hashed shingle set (distinct) — input to MinHash. */
+  def shingleHashes(text: Column, n: Int): Column =
+    array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+}

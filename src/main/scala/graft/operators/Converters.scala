@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** The reference's Converter matrix (SURVEY.md §2.3; 1 record -> 0..N
+  * records, gobblin-api/.../converter/Converter.java:61-190) re-expressed
+  * as composable `DataFrame => DataFrame` stages built from Catalyst
+  * column expressions — so predicate pushdown / column pruning /
+  * whole-stage codegen apply to every stage for free.
+  *
+  * Each combinator cites its reference counterpart.
+  */
+object Converters {
+
+  type Op = DataFrame => DataFrame
+
+  /** MultiConverter (gobblin-runtime/.../MultiConverter.java): chain. */
+  def chain(ops: Op*): Op = df => ops.foldLeft(df)((d, op) => op(d))
+
+  /** AvroFilterConverter (filter/AvroFilterConverter.java:42,61-86):
+    * keep record iff (possibly nested, dot-path) field == value.
+    */
+  def filterEquals(field: String, value: Any): Op =
+    _.filter(col(field) === lit(value))
+
+  /** RowLevelPolicy-style predicate filter. */
+  def filterWhere(predicate: Column): Op = _.filter(predicate)
+
+  /** AvroFieldsPickConverter (filter/AvroFieldsPickConverter.java:49):
+    * projection of listed (possibly nested) fields.
+    */
+  def pickFields(fields: String*): Op =
+    _.select(fields.map(f => col(f).as(f.replace('.', '_'))): _*)
+
+  /** AvroFieldRetrieverConverter (avro/AvroFieldRetrieverConverter.java:43):
+    * extract a single (nested) field as the record.
+    */
+  def retrieveField(field: String, as: String): Op = _.select(col(field).as(as))
+
+  /** FlattenNestedKeyConverter (avro/FlattenNestedKeyConverter.java:57):
+    * copy nested keys to top level (a.b -> a_b).
+    */
+  def flattenNestedKeys(paths: String*): Op = df =>
+    paths.foldLeft(df)((d, p) => d.withColumn(p.replace('.', '_'), col(p)))
+
+  /** JsonStringToJsonIntermediateConverter + JsonIntermediateToAvroConverter
+    * (json/JsonStringToJsonIntermediateConverter.java:48,
+    * avro/JsonElementConversionFactory.java:66-762): parse a JSON-string
+    * column into typed columns.
+    */
+  def parseJson(column: String, schema: DataType, keepOriginal: Boolean = false): Op = df => {
+    val parsed = df.withColumn(s"__parsed_$column", from_json(col(column), schema))
+    val expanded = parsed.select(
+      (df.columns.filter(c => keepOriginal || c != column).map(col).toSeq :+
+        col(s"__parsed_$column.*")): _*)
+    expanded
+  }
+
+  /** CsvToJsonConverterV2 (csv/CsvToJsonConverterV2.java:68): apply a
+    * schema to a delimited string column by ordinal.
+    */
+  def splitDelimited(column: String, delim: String, names: Seq[String]): Op = df => {
+    val parts = split(col(column), java.util.regex.Pattern.quote(delim))
+    names.zipWithIndex.foldLeft(df) { case (d, (n, i)) =>
+      d.withColumn(n, parts.getItem(i))
+    }.drop(column)
+  }
+
+  /** StringFilterConverter (string/StringFilterConverter.java:40,70). */
+  def regexFilter(column: String, regex: String): Op =
+    _.filter(col(column).rlike(regex))
+
+  /** StringSplitterConverter (string/StringSplitterConverter.java:34,61):
+    * 1 -> N via explode.
+    */
+  def splitToRecords(column: String, delim: String, as: String): Op =
+    _.withColumn(as, explode(split(col(column), java.util.regex.Pattern.quote(delim))))
+
+  /** StringSplitterToListConverter: split into a list column. */
+  def splitToList(column: String, delim: String, as: String): Op =
+    _.withColumn(as, split(col(column), java.util.regex.Pattern.quote(delim)))
+
+  /** SamplingConverter (gobblin-core-base/.../SamplingConverter.java:36).
+    * The reference Bernoulli-samples with an RNG; at 100 TB a
+    * deterministic, re-runnable sample is strictly better, so we key the
+    * sample on a stable id column (mod sampling). `df.sample(fraction)`
+    * remains available for true random sampling.
+    */
+  def sampleDeterministic(idColumn: String, mod: Int, keep: Int = 0): Op =
+    _.filter(pmod(col(idColumn), lit(mod)) === lit(keep))
+
+  /** ForkOperator (gobblin-api/.../fork/ForkOperator.java:36; stream impl
+    * fork/Forker.java:44-101): route each record to 0..N branches. The
+    * Spark shape is cache-once + N filtered branches; callers write each
+    * branch to its sink.
+    */
+  def fork(df: DataFrame, branches: Seq[Column]): Seq[DataFrame] = {
+    val cached = if (branches.size > 1) df.persist() else df
+    branches.map(cached.filter)
+  }
+
+  /** Branch-tagged union — the query-shaped view of a fork, for testing
+    * fork semantics without multiple sinks.
+    */
+  def forkTagged(df: DataFrame, branches: Seq[(String, Column)]): DataFrame =
+    branches.map { case (tag, pred) =>
+      df.filter(pred).withColumn("branch", lit(tag))
+    }.reduce(_.unionAll(_))
+
+  /** CountBasedLimiter / LimitingExtractorDecorator
+    * (gobblin-runtime/.../CountBasedLimiter.java:27): deterministic top-k
+    * (ordered limit — an unordered limit is nondeterministic under
+    * retries at scale).
+    */
+  def limitBy(n: Int, ordering: Column*): Op = _.orderBy(ordering: _*).limit(n)
+
+  /** TimeBasedWriterPartitioner (gobblin-core/.../writer/partitioner/
+    * TimeBasedWriterPartitioner.java:59,148-207): derive the yyyy/MM/dd
+    * partition key from a timestamp column. Used with
+    * `df.write.partitionBy("date_key")` for native dynamic partitioning.
+    */
+  def withTimePartition(tsColumn: String, as: String = "date_key", fmt: String = "yyyy-MM-dd"): Op =
+    _.withColumn(as, date_format(col(tsColumn), fmt))
+}

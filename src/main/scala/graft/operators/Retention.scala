@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Retention / lifecycle policies over a "versions" DataFrame
+  * (SURVEY.md §2.6; reference gobblin-data-management/retention).
+  *
+  * The reference walks the filesystem with VersionFinders
+  * (retention/version/finder/DateTimeDatasetVersionFinder.java:37 etc.)
+  * and applies RetentionPolicy implementations
+  * (TimeBasedRetentionPolicy.java:48, NewestKRetentionPolicy.java:39,
+  * CombineRetentionPolicy.java:67) to pick deletable versions.
+  *
+  * Here a version listing is just a DataFrame (dataset key columns +
+  * a version-ordering column), and each policy marks SURVIVORS; the
+  * deletable set is the anti-join of versions against survivors.
+  * Policies compose like the reference's CombineRetentionPolicy via
+  * plain intersect/union on the survivor sets.
+  */
+object Retention {
+
+  /** NewestKRetentionPolicy: keep the newest k versions per dataset. */
+  def newestK(versions: DataFrame, datasetCols: Seq[String], versionOrder: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(datasetCols.map(col): _*).orderBy(versionOrder.map(_.desc): _*)
+    versions.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** TimeBasedRetentionPolicy: keep versions newer than the cutoff. */
+  def newerThan(versions: DataFrame, tsCol: String, cutoff: java.sql.Timestamp): DataFrame =
+    versions.filter(col(tsCol) > lit(cutoff))
+
+  /** CombineRetentionPolicy(INTERSECT): survivors kept by all policies. */
+  def keepIntersect(survivorSets: Seq[DataFrame]): DataFrame =
+    survivorSets.reduce(_.intersect(_))
+
+  /** CombineRetentionPolicy(UNION): survivors kept by any policy. */
+  def keepUnion(survivorSets: Seq[DataFrame]): DataFrame =
+    survivorSets.reduce(_.union(_)).distinct()
+
+  /** Deletable = versions - survivors (what DatasetCleaner would rm). */
+  def deletable(versions: DataFrame, survivors: DataFrame): DataFrame =
+    versions.except(survivors)
+}

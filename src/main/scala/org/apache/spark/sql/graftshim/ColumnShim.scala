@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between public `Column` and catalyst `Expression` for custom
+  * expressions. Spark 4 made this conversion `private[sql]`
+  * (columnNodeSupport.scala), so the shim lives under the
+  * org.apache.spark.sql package namespace — the same technique Spark
+  * connector libraries use.
+  */
+object ColumnShim {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+}
