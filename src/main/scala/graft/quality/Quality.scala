@@ -1,6 +1,6 @@
 package graft.quality
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Row- and task-level quality policies (SURVEY.md §2.1).
@@ -27,7 +27,14 @@ object Quality {
 
   final case class RowPolicy(name: String, passes: Column, policyType: PolicyType)
 
-  final case class CheckedFrame(passed: DataFrame, quarantined: Option[DataFrame])
+  /** @param observation non-empty iff OPTIONAL policies were given;
+    *   `observation.get` (after an action on `passed`) yields
+    *   `<policy>_failed` counts. Observation is the reliable way to
+    *   read observe() metrics — they attach to the *action's* query
+    *   execution, not the DataFrame's.
+    */
+  final case class CheckedFrame(passed: DataFrame, quarantined: Option[DataFrame],
+      observation: Option[Observation])
 
   /** Apply row policies. Returns the passing rows plus (lazily) the
     * quarantined rows for ERR_FILE policies; the caller writes the
@@ -39,18 +46,19 @@ object Quality {
     val dropping = policies.filter(_.policyType != Optional)
     val optional = policies.filter(_.policyType == Optional)
     val passPred = dropping.map(_.passes).reduceOption(_ && _).getOrElse(lit(true))
-    val observed =
-      if (optional.isEmpty) df
+    val (observed, observation) =
+      if (optional.isEmpty) (df, None)
       else {
+        val obs = Observation()
         val metrics = optional.map(p => sum(when(p.passes, 0L).otherwise(1L)).as(s"${p.name}_failed"))
-        df.observe("row_policies", metrics.head, metrics.tail: _*)
+        (df.observe(obs, metrics.head, metrics.tail: _*), Some(obs))
       }
     val passed = observed.filter(passPred)
     val errPolicies = policies.filter(_.policyType == ErrFile)
     val quarantined =
       if (errPolicies.isEmpty) None
       else Some(df.filter(errPolicies.map(p => !p.passes).reduce(_ || _)))
-    CheckedFrame(passed, quarantined)
+    CheckedFrame(passed, quarantined, observation)
   }
 
   /** Task-level policy: an assertion over the written result's metrics.

@@ -1,0 +1,86 @@
+package graft.sink
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+
+/** Staged write + atomic-rename publish (SURVEY.md §2.5/§2.7).
+  *
+  * Reference semantics: writers write to writer.staging.dir, task
+  * commit() renames into writer.output.dir, then BaseDataPublisher
+  * moves writer output into the final dir, one rename per branch/task
+  * (FsDataWriter.java:58, BaseDataPublisher.java:97,332-377).
+  *
+  * Spark's committer already gives task-level staging inside one
+  * `df.write`; what it does NOT give is *dataset-level* atomicity
+  * across multiple writes/branches — data becomes visible the moment
+  * its job finishes. Publisher restores that: every sink writes under
+  * a staging root; `publish()` renames staged outputs into the final
+  * root only after ALL branches + task-level policies pass — the
+  * COMMIT_ON_FULL_SUCCESS policy (JobCommitPolicy.java:31-54).
+  *
+  * Renames are per-directory-entry (partition dirs / files), preserving
+  * partition subpaths like TimePartitionedDataPublisher. On HDFS a
+  * rename is atomic per entry; publish is therefore atomic per
+  * partition, all-or-nothing per dataset given same-FS staging.
+  */
+final case class SinkSpec(
+    stagingDir: String,
+    outputDir: String,
+    format: String = "parquet",
+    partitionBy: Seq[String] = Nil)
+
+final class Publisher(conf: Configuration = new Configuration()) {
+
+  /** Write df into the staging dir (overwriting stale staging). */
+  def writeStaged(df: DataFrame, spec: SinkSpec): Unit = {
+    val w = df.write.mode("overwrite").format(spec.format)
+    (if (spec.partitionBy.nonEmpty) w.partitionBy(spec.partitionBy: _*) else w)
+      .save(spec.stagingDir)
+  }
+
+  /** Move every staged entry into the output dir. Partition dirs are
+    * merged one level deep (new files slot into existing partition
+    * dirs); data files move whole. Returns moved file count.
+    */
+  def publish(spec: SinkSpec): Int = {
+    val staging = new Path(spec.stagingDir)
+    val out = new Path(spec.outputDir)
+    val fs = staging.getFileSystem(conf)
+    if (!fs.exists(staging)) return 0
+    fs.mkdirs(out)
+    var moved = 0
+    fs.listStatus(staging).foreach { entry =>
+      val name = entry.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        if (entry.isDirectory) {
+          val destDir = new Path(out, name)
+          if (!fs.exists(destDir)) {
+            rename(fs, entry.getPath, destDir); moved += 1
+          } else {
+            fs.listStatus(entry.getPath).foreach { f =>
+              if (!f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith(".")) {
+                rename(fs, f.getPath, new Path(destDir, f.getPath.getName)); moved += 1
+              }
+            }
+          }
+        } else {
+          rename(fs, entry.getPath, new Path(out, name)); moved += 1
+        }
+      }
+    }
+    fs.delete(staging, true)
+    moved
+  }
+
+  /** Abort: drop staged output, leave published data untouched. */
+  def abort(spec: SinkSpec): Unit = {
+    val staging = new Path(spec.stagingDir)
+    val fs = staging.getFileSystem(conf)
+    if (fs.exists(staging)) fs.delete(staging, true)
+  }
+
+  private def rename(fs: FileSystem, src: Path, dest: Path): Unit =
+    if (!fs.rename(src, dest))
+      throw new java.io.IOException(s"publish rename failed: $src -> $dest")
+}

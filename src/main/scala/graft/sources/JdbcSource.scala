@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC ingestion with watermark-derived partitioning, and the
+  * staging-table sink protocol (SURVEY.md §2.2/§2.5).
+  *
+  * Source: re-expresses QueryBasedSource/JdbcExtractor
+  * (gobblin-core/.../QueryBasedSource.java:170, gobblin-modules/
+  * gobblin-sql/.../JdbcExtractor.java:383-402): the watermark interval
+  * list from [[Partitioner]] becomes `spark.read.jdbc(predicates)` —
+  * one Spark input partition per interval, predicate pushed into the
+  * remote query; Catalyst additionally pushes projections and filters.
+  *
+  * Sink: the reference's exactly-once JDBC protocol
+  * (gobblin-docs/sinks/Gobblin-JDBC-Writer.md:16-24,100-120):
+  * write into a staging table, then atomically
+  * `INSERT INTO final SELECT * FROM staging` in one transaction.
+  */
+object JdbcSource {
+
+  /** Incremental partitioned read: WHERE wmColumn in (low, high], split
+    * into maxIntervals partitions.
+    */
+  def readIncremental(spark: SparkSession, url: String, table: String,
+      wmColumn: String, low: Long, high: Long, maxIntervals: Int,
+      wmType: WatermarkType, props: Properties = new Properties()): DataFrame = {
+    val predicates = Partitioner.jdbcPredicates(wmColumn, low, high, maxIntervals, wmType)
+    spark.read.jdbc(url, table, predicates, props)
+  }
+
+  /** Staging-swap write: stage with Spark's JDBC writer (parallel batch
+    * inserts), then publish in ONE transaction on the driver. The swap
+    * moves only rows (INSERT..SELECT runs inside the database), so the
+    * driver never holds data.
+    */
+  def writeViaStaging(df: DataFrame, url: String, finalTable: String,
+      stagingTable: String, props: Properties = new Properties(),
+      truncateFinal: Boolean = false): Unit = {
+    df.write.mode("overwrite").jdbc(url, stagingTable, props)
+    val conn = DriverManager.getConnection(url, props)
+    try publishStaging(conn, stagingTable, finalTable, truncateFinal)
+    finally conn.close()
+  }
+
+  /** The atomic swap, separated for testability/retry. */
+  def publishStaging(conn: Connection, stagingTable: String,
+      finalTable: String, truncateFinal: Boolean): Unit = {
+    val auto = conn.getAutoCommit
+    conn.setAutoCommit(false)
+    try {
+      val st = conn.createStatement()
+      try {
+        if (truncateFinal) st.executeUpdate(s"DELETE FROM $finalTable")
+        st.executeUpdate(s"INSERT INTO $finalTable SELECT * FROM $stagingTable")
+        st.executeUpdate(s"DELETE FROM $stagingTable")
+      } finally st.close()
+      conn.commit()
+    } catch {
+      case e: Throwable => conn.rollback(); throw e
+    } finally conn.setAutoCommit(auto)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.operators.Converters.Op
+
+/** Streaming ingestion (SURVEY.md §2.8/§3.2), Structured-Streaming
+  * native. The reference's ack/watermark machinery
+  * (FineGrainedWatermarkTracker, WatermarkManager, FlushControlMessage
+  * every stream.flush.interval.secs) collapses into the checkpoint
+  * commit log + ProcessingTime trigger: each micro-batch IS the flush
+  * boundary, offsets commit after the sink write — the exact semantics
+  * KafkaStreamingExtractor implements by hand
+  * (KafkaStreamingExtractor.java:87,115-137; FlushingExtractor.java:79-151).
+  */
+object StreamingIngest {
+
+  /** File-source stream (the manual Auto-Loader's streaming mode). */
+  def readFileStream(spark: SparkSession, schema: StructType, path: String,
+      format: String = "parquet", maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.format(format).load(path)
+  }
+
+  /** Transform chain + partitioned file sink with flush-interval
+    * trigger: the Kafka->HDFS ingestion shape. Caller starts it.
+    */
+  def ingest(stream: DataFrame, ops: Seq[Op], outputDir: String,
+      checkpointDir: String, partitionBy: Seq[String],
+      flushIntervalSecs: Long = 60): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val transformed = ops.foldLeft(stream)((df, op) => op(df))
+    val w = transformed.writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(flushIntervalSecs * 1000))
+      .outputMode("append")
+    if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+  }
+
+  /** Event-time windowed aggregation with late-data watermark — the
+    * capability the reference delegates to offline compaction (§2.8),
+    * done online: counts+sums per (window, key).
+    */
+  def windowedAgg(stream: DataFrame, tsCol: String, keyCol: String,
+      windowDuration: String, slideDuration: String, lateness: String,
+      valueCol: String): DataFrame =
+    stream
+      .withWatermark(tsCol, lateness)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("n"), col("sum_value"))
+
+  /** Streaming exact dedup on a key with state TTL via watermark —
+    * the streaming face of compaction dedup: `dropDuplicates` keeps
+    * first-seen per key within the watermark horizon.
+    */
+  def streamingDedup(stream: DataFrame, tsCol: String, lateness: String,
+      keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, lateness).dropDuplicates(keys :+ tsCol)
+}

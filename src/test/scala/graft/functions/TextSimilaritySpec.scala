@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens/shingles basics") {
+    val df = Seq("a b c d", "x", "").toDF("text")
+    val out = df.select(
+      Text.tokenCount($"text").as("n"),
+      Text.shingles($"text", 2).as("sh")).collect()
+    assert(out(0).getInt(0) == 4)
+    assert(out(0).getSeq[String](1) == Seq("a b", "b c", "c d"))
+    assert(out(1).getSeq[String](1).isEmpty) // fewer tokens than n
+    assert(out(2).getInt(0) == 0)
+  }
+
+  test("fingerprint matches reference md5 hex") {
+    val got = Seq("hello").toDF("text")
+      .select(Text.fingerprint($"text")).head.getString(0)
+    assert(got == "5d41402abc4b2a76b9719d911017c592")
+  }
+
+  test("langId picks dominant marker language, und when none") {
+    val df = Seq(
+      "the cat and the dog of the house",
+      "der hund und die katze ist hier",
+      "zzz qqq www").toDF("text")
+    val out = df.select(Text.langId($"text")).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("quality score components") {
+    val good = ("w " * 25 + "the end").trim         // >20 tokens, has stopword, no punct
+    val short = "tiny doc"
+    val out = Seq(good, short).toDF("text")
+      .select(Text.qualityScore($"text")).collect().map(_.getDouble(0))
+    assert(out(0) == 1.0)
+    assert(out(1) == 0.2) // only punct-ok
+  }
+
+  test("minhash signatures: identical docs agree, est-jaccard tracks exact") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),  // dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near-dup
+      (4L, "completely different content about spark engines and data pipelines yes"))
+      .toDF("doc_id", "text")
+    val sigs = Similarity.minhashSignatures(docs, "doc_id", "text", shingleN = 3, numHashes = 32)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val est13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b }.toDouble / 32
+    val est14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b }.toDouble / 32
+    assert(est13 > est14, s"near-dup $est13 should beat unrelated $est14")
+    assert(est13 > 0.5)
+  }
+
+  test("LSH candidates contain the exact near-dup pairs (recall)") {
+    val base = "data engine spark shuffle partition join aggregate filter scan codegen " * 3
+    val docs = Seq(
+      (1L, base + "alpha"), (2L, base + "beta"),   // near-dups of each other
+      (3L, "totally unrelated words one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val cands = Similarity.lshCandidatePairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, bands = 8) // 8 bands of 2 -> high recall
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    val dups = Similarity.minhashNearDups(docs, "doc_id", "text",
+      threshold = 0.5, shingleN = 3, numHashes = 16, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups == Set((1L, 2L)))
+  }
+
+  test("simhash: identical -> 0 hamming; perturbed small; unrelated large") {
+    val df = Seq(
+      (1L, "spark data engine partition shuffle aggregate join scan filter window"),
+      (2L, "spark data engine partition shuffle aggregate join scan filter window"),
+      (3L, "spark data engine partition shuffle aggregate join scan filter windows"),
+      (4L, "entirely different vocabulary about cooking pasta tomatoes basil garlic"))
+      .toDF("id", "text")
+      .select($"id", Similarity.simhash64($"text").as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(2L)) == 0)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L)))
+  }
+
+  test("cosine: self-similarity 1, orthogonal 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 2.0f)), (3L, Array(3.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.similarPairs(df, df, threshold = -1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(math.abs(pairs((1L, 3L)) - 1.0) < 1e-12)
+    assert(math.abs(pairs((1L, 2L))) < 1e-12)
+  }
+
+  test("bruteForceTopK returns k ordered neighbors, excludes self") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val probes = e.filter($"vec_id" === 0)
+    val out = Similarity.bruteForceTopK(probes, e, k = 5).collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getLong(1) != 0L))
+    val sims = out.map(_.getDouble(2))
+    assert(sims.sameElements(sims.sorted.reverse))
+  }
+
+  test("ngram jaccard: identical docs in same block -> 1.0") {
+    val docs = Seq(
+      (1L, "b1", "one two three four five six"),
+      (2L, "b1", "one two three four five six"),
+      (3L, "b1", "unrelated totally different words here now"),
+      (4L, "b2", "one two three four five six"))  // other block, never paired
+      .toDF("doc_id", "block", "text")
+    val pairs = Similarity.ngramJaccardPairs(docs, "doc_id", "text", "block", 3, 0.5)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+}

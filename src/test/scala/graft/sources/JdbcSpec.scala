@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.sql.DriverManager
+
+import graft.SparkSpec
+
+/** JDBC source + staging-swap sink against embedded Derby — the whole
+  * staging-table publish protocol (Gobblin-JDBC-Writer.md:16-24)
+  * exercised end-to-end through spark.read/write.jdbc.
+  */
+class JdbcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = s"jdbc:derby:memory:graftdb;create=true"
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def exec(sql: String): Unit = withConn { c =>
+    val st = c.createStatement(); try st.executeUpdate(sql) finally st.close()
+  }
+
+  test("staging-swap publish is atomic and idempotent-on-retry") {
+    exec("CREATE TABLE final_t (id BIGINT, v DOUBLE)")
+    exec("CREATE TABLE staging_t (id BIGINT, v DOUBLE)")
+
+    val df = Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)).toDF("id", "v")
+    // Spark writes the staging table (mode overwrite re-creates it —
+    // Derby needs it dropped first or written fresh; use append onto
+    // the empty staging table to keep DDL ours)
+    df.write.mode("append").jdbc(url, "staging_t", new java.util.Properties())
+    withConn(c => JdbcSource.publishStaging(c, "staging_t", "final_t", truncateFinal = false))
+
+    val back = spark.read.jdbc(url, "final_t", new java.util.Properties())
+    assert(back.count() == 3)
+    // staging emptied by the swap -> re-running the swap is a no-op
+    withConn(c => JdbcSource.publishStaging(c, "staging_t", "final_t", truncateFinal = false))
+    assert(spark.read.jdbc(url, "final_t", new java.util.Properties()).count() == 3)
+  }
+
+  test("incremental read partitions by watermark predicates") {
+    exec("CREATE TABLE src_t (id BIGINT, updated BIGINT)")
+    (1L to 100L).foreach(i => exec(s"INSERT INTO src_t VALUES ($i, ${i * 10})"))
+
+    val df = JdbcSource.readIncremental(spark, url, "src_t",
+      wmColumn = "updated", low = 200, high = 1000, maxIntervals = 4,
+      wmType = WatermarkType.Simple)
+    // (200, 1000]: predicates are >= low, so row updated=200 included;
+    // reference semantics treat low as inclusive start of the range
+    assert(df.rdd.getNumPartitions == 4)
+    val ids = df.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.head == 20L && ids.last == 100L && ids.length == 81)
+  }
+}
