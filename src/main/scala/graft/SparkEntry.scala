@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Similarity, Text}
-import graft.operators.{Compliance, Converters, Dedup, Retention, Sessionize}
+import graft.operators.{Compliance, Converters, Dedup, Multimodal, Retention, Sessionize}
 
 /** Driver contract: one `queries` entry per implemented operator from
   * SURVEY.md §2 (+ the LLM-pipeline extensions), each with a DuckDB
@@ -236,6 +236,95 @@ object SparkEntry {
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
     }),
 
+    // --- regex filter (StringFilterConverter) -------------------------
+    "q_regex_filter" -> ((s, dir) => {
+      Converters.regexFilter("text", "join .* merge")(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- CSV line parse round-trip (CsvToJsonConverterV2) -------------
+    "q_csv_parse" -> ((s, dir) => {
+      val lines = t(s, dir, "events")
+        .select(concat_ws("|", col("event_id"), col("event_type"), col("user_id")).as("line"))
+      Converters.splitDelimited("line", "|", Seq("id", "etype", "uid"))(lines)
+        .select(col("id").cast("long").as("id"), col("etype"), col("uid").cast("long").as("uid"))
+        .orderBy(col("id"))
+    }),
+
+    // --- grok log-line parsing (GrokToJsonConverter) ------------------
+    "q_grok_parse" -> ((s, dir) => {
+      val logs = t(s, dir, "events").select(
+        col("event_id"),
+        concat(date_format(col("ts"), "yyyy-MM-dd"), lit(" "),
+          col("event_type"), lit(" [u"), col("user_id"), lit("]")).as("line"))
+      Converters.grokParse("line", "^(\\S+) (\\S+) \\[u(\\d+)\\]$",
+        Seq(("day", 1, "string"), ("etype", 2, "string"), ("uid", 3, "long")))(logs)
+        .groupBy(col("day"), col("etype"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("uid")).as("n_users"))
+        .orderBy(col("day"), col("etype"))
+    }),
+
+    // --- field-level crypto round-trip (crypto converters) ------------
+    "q_aes_roundtrip" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("enc", expr("aes_encrypt(cast(text as binary), '0123456789abcdef')"))
+        .withColumn("text_rt", expr("cast(aes_decrypt(enc, '0123456789abcdef') as string)"))
+        .select(col("doc_id"), col("text_rt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- rollup totals (extension beyond reference surface) -----------
+    "q_rollup_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(decSumDouble(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // --- running window aggregation -----------------------------------
+    "q_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .withColumn("running_spend",
+          sum(col("o_totalprice").cast(dec18_2)).over(w).cast("double"))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // --- count-histogram range probing (SalesforceSource planning) ----
+    "q_histogram_probe" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    }),
+
+    // --- embedding column statistics ----------------------------------
+    "q_embedding_stats" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .withColumn("nrm", Similarity.norm(col("embedding")))
+      e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("nrm")).as("min_norm"), max(col("nrm")).as("max_norm"))
+        .orderBy(col("label"))
+    }),
+
+    // --- multimodal binary decode plumbing (stub decoder) -------------
+    "q_multimodal_features" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"), lit("text").as("modality"),
+        col("text").cast("binary").as("content"))
+      Multimodal.decodeFeatures(
+          Multimodal.repartitionForBytes(media, 1 << 20), Multimodal.FakeDecoder)
+        .toDF()
+        .select(col("media_id"), col("n_bytes"), col("byte_mean"), col("head_hex"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- MinHash + banded LSH near-dups (no SQL oracle: rows-only) ----
     "q_minhash_neardups" -> ((s, dir) => {
       Similarity.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
@@ -437,6 +526,61 @@ object SparkEntry {
         |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.2
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_regex_filter" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE regexp_matches(text, 'join .* merge') ORDER BY doc_id""".stripMargin,
+
+    "q_csv_parse" ->
+      """SELECT CAST(parts[1] AS BIGINT) AS id, parts[2] AS etype, CAST(parts[3] AS BIGINT) AS uid
+        |FROM (SELECT string_split(event_id || '|' || event_type || '|' || user_id, '|') AS parts FROM events)
+        |ORDER BY id""".stripMargin,
+
+    "q_grok_parse" ->
+      """WITH parsed AS (
+        |  SELECT
+        |    regexp_extract(line, '^(\S+) (\S+) \[u(\d+)\]$', 1) AS day,
+        |    regexp_extract(line, '^(\S+) (\S+) \[u(\d+)\]$', 2) AS etype,
+        |    CAST(regexp_extract(line, '^(\S+) (\S+) \[u(\d+)\]$', 3) AS BIGINT) AS uid
+        |  FROM (SELECT strftime(ts, '%Y-%m-%d') || ' ' || event_type || ' [u' || user_id || ']' AS line FROM events)
+        |)
+        |SELECT day, etype, COUNT(*) AS n, COUNT(DISTINCT uid) AS n_users
+        |FROM parsed GROUP BY day, etype ORDER BY day, etype""".stripMargin,
+
+    "q_aes_roundtrip" ->
+      "SELECT doc_id, text AS text_rt FROM documents ORDER BY doc_id",
+
+    "q_rollup_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_histogram_probe" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_embedding_stats" ->
+      """SELECT label, COUNT(*) AS n,
+        |  MIN(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS min_norm,
+        |  MAX(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS max_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1), i -> unicode(substring(text, i, 1)))) AS DOUBLE)
+        |    / octet_length(encode(text)) AS byte_mean,
+        |  hex(encode(substring(text, 1, 4))) AS head_hex
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_knn" ->
       """WITH scored AS (

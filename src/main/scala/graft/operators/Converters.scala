@@ -116,6 +116,18 @@ object Converters {
     */
   def limitBy(n: Int, ordering: Column*): Op = _.orderBy(ordering: _*).limit(n)
 
+  /** GrokToJsonConverter (gobblin-modules/gobblin-grok/.../
+    * GrokToJsonConverter.java:86): regex log-line parsing into named
+    * typed columns. groups = (name, groupIndex, castTo).
+    */
+  def grokParse(column: String, pattern: String,
+      groups: Seq[(String, Int, String)], dropSource: Boolean = true): Op = df => {
+    val parsed = groups.foldLeft(df) { case (d, (name, idx, typ)) =>
+      d.withColumn(name, regexp_extract(col(column), pattern, idx).cast(typ))
+    }
+    if (dropSource) parsed.drop(column) else parsed
+  }
+
   /** TimeBasedWriterPartitioner (gobblin-core/.../writer/partitioner/
     * TimeBasedWriterPartitioner.java:59,148-207): derive the yyyy/MM/dd
     * partition key from a timestamp column. Used with

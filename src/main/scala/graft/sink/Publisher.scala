@@ -73,6 +73,23 @@ final class Publisher(conf: Configuration = new Configuration()) {
     moved
   }
 
+  /** All-or-nothing publish across fork branches: every staging dir
+    * must exist (i.e. every branch write succeeded) before ANY entry
+    * moves — the dataset-atomic multi-sink fork commit
+    * (stage-all-then-publish-all; SafeDatasetCommit semantics).
+    */
+  def publishAll(specs: Seq[SinkSpec]): Int = {
+    val missing = specs.filterNot { s =>
+      val p = new Path(s.stagingDir); p.getFileSystem(conf).exists(p)
+    }
+    if (missing.nonEmpty) {
+      specs.foreach(abort)
+      throw new IllegalStateException(
+        s"missing staged branches: ${missing.map(_.stagingDir).mkString(", ")}")
+    }
+    specs.map(publish).sum
+  }
+
   /** Abort: drop staged output, leave published data untouched. */
   def abort(spec: SinkSpec): Unit = {
     val staging = new Path(spec.stagingDir)
