@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
+
+/** Distributed file copy / replication — distcp-ng re-expressed
+  * (SURVEY.md §2.6; reference gobblin-data-management/copy:
+  * CopySource.java:108,161 enumerates CopyableFiles, DistcpFileSplitter
+  * splits large files by block, FileAwareInputStreamDataWriter copies
+  * with attribute preservation).
+  *
+  * Spark shape: the file list is a Dataset (driver lists metadata only,
+  * never content); the byte copying runs in `foreachPartition` on
+  * executors via the Hadoop FS API. Large files are split into ranged
+  * chunk copies (one task each) and stitched by concatenating chunks in
+  * order on commit — so one 1 TB file doesn't serialize the whole copy
+  * onto one task.
+  */
+object FsCopy {
+
+  final case class CopyableFile(src: String, dest: String, length: Long,
+      offset: Long = 0L, chunkLen: Long = -1L, chunkIdx: Int = 0, nChunks: Int = 1)
+
+  final case class CopyResult(files: Long, bytes: Long)
+
+  /** Enumerate files under srcDir (recursive), mirroring the tree under
+    * destDir; files larger than splitSize become ranged chunks.
+    */
+  def plan(spark: SparkSession, srcDir: String, destDir: String,
+      splitSize: Long = 128L * 1024 * 1024): Dataset[CopyableFile] = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rawBase = new Path(srcDir)
+    val fs = rawBase.getFileSystem(conf)
+    // qualify so relativize sees matching schemes (file:///… vs /…)
+    val base = fs.makeQualified(rawBase)
+    val out = scala.collection.mutable.ArrayBuffer[CopyableFile]()
+    val it = fs.listFiles(base, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val rel = base.toUri.relativize(f.getPath.toUri).getPath
+      require(!rel.startsWith("/"), s"failed to relativize ${f.getPath} against $base")
+      val dest = s"$destDir/$rel"
+      if (f.getLen <= splitSize) {
+        out += CopyableFile(f.getPath.toString, dest, f.getLen)
+      } else {
+        val n = math.ceil(f.getLen.toDouble / splitSize).toInt
+        (0 until n).foreach { i =>
+          val off = i.toLong * splitSize
+          out += CopyableFile(f.getPath.toString, dest, f.getLen,
+            off, math.min(splitSize, f.getLen - off), i, n)
+        }
+      }
+    }
+    // one chunk per task slot; repartition spreads hot files
+    spark.createDataset(out.toSeq).repartition(
+      math.max(1, math.min(out.size, spark.sparkContext.defaultParallelism)))
+  }
+
+  /** Execute the copy plan. Chunked files write to `dest.chunk-i` parts
+    * then concatenate in-order into dest (done by the task that copies
+    * the last missing chunk is racy — instead chunks are stitched in a
+    * deterministic second pass below).
+    */
+  def execute(plan: Dataset[CopyableFile]): CopyResult = {
+    val spark = plan.sparkSession
+    import spark.implicits._
+    val serConf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val copied = plan.mapPartitions { files =>
+      val conf = serConf.value
+      files.map { cf =>
+        val srcPath = new Path(cf.src)
+        val destPath = if (cf.nChunks == 1) new Path(cf.dest)
+          else new Path(cf.dest + f".chunk-${cf.chunkIdx}%05d")
+        val srcFs = srcPath.getFileSystem(conf)
+        val destFs = destPath.getFileSystem(conf)
+        destFs.mkdirs(destPath.getParent)
+        val in = srcFs.open(srcPath)
+        val out = destFs.create(destPath, true)
+        val toCopy = if (cf.chunkLen >= 0) cf.chunkLen else cf.length
+        try {
+          in.seek(cf.offset)
+          val buf = new Array[Byte](1 << 20)
+          var remaining = toCopy
+          while (remaining > 0) {
+            val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+            if (n < 0) throw new java.io.EOFException(s"${cf.src} at ${cf.offset}")
+            out.write(buf, 0, n); remaining -= n
+          }
+        } finally { in.close(); out.close() }
+        (1L, toCopy)
+      }
+    }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+
+    // stitch chunked files (driver-side metadata op, streams bytes
+    // through the FS client only for the concatenation)
+    val chunked = plan.filter(_.nChunks > 1).collect().groupBy(_.dest)
+    val conf = spark.sparkContext.hadoopConfiguration
+    chunked.foreach { case (dest, chunks) =>
+      val destPath = new Path(dest)
+      val fs = destPath.getFileSystem(conf)
+      val out = fs.create(destPath, true)
+      try chunks.sortBy(_.chunkIdx).foreach { cf =>
+        val part = new Path(dest + f".chunk-${cf.chunkIdx}%05d")
+        val in = fs.open(part)
+        try {
+          val buf = new Array[Byte](1 << 20)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+        fs.delete(part, false)
+      } finally out.close()
+    }
+    CopyResult(copied._1, copied._2)
+  }
+
+  /** Post-copy verification: every planned dest exists with the source
+    * length (the reference's copy verifiers).
+    */
+  def verify(plan: Dataset[CopyableFile]): Seq[String] = {
+    val spark = plan.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    plan.collect().toSeq.groupBy(_.dest).flatMap { case (dest, chunks) =>
+      val p = new Path(dest)
+      val fs = p.getFileSystem(conf)
+      val want = chunks.head.length
+      if (!fs.exists(p)) Some(s"missing: $dest")
+      else if (fs.getFileStatus(p).getLen != want)
+        Some(s"length mismatch: $dest (${fs.getFileStatus(p).getLen} != $want)")
+      else None
+    }.toSeq.sorted
+  }
+}

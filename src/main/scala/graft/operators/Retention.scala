@@ -44,4 +44,46 @@ object Retention {
   /** Deletable = versions - survivors (what DatasetCleaner would rm). */
   def deletable(versions: DataFrame, survivors: DataFrame): DataFrame =
     versions.except(survivors)
+
+  /** Version finder: FS listing → versions DataFrame (dataset = parent
+    * dir, version = leaf dir name, ts = mtime) — the
+    * DateTimeDatasetVersionFinder / GlobModTimeDatasetVersionFinder
+    * family (retention/version/finder/) collapsed into one listing.
+    * Driver-side metadata only.
+    */
+  def listVersions(spark: org.apache.spark.sql.SparkSession, baseDir: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new Path(baseDir)
+    val fs = base.getFileSystem(conf)
+    val rows = if (!fs.exists(base)) Seq.empty else
+      fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { ds =>
+        fs.listStatus(ds.getPath).toSeq.filter(_.isDirectory).map { v =>
+          (ds.getPath.getName, v.getPath.getName, v.getPath.toString,
+            new java.sql.Timestamp(v.getModificationTime))
+        }
+      }
+    import spark.implicits._
+    rows.toDF("dataset", "version", "path", "mod_time")
+  }
+
+  /** Execute deletion of selected version paths (with the reference's
+    * empty-parent cleanup, CleanableDatasetBase.java:82-119). Driver-
+    * side: version counts are small; the data deleted is not.
+    */
+  def deleteVersions(spark: org.apache.spark.sql.SparkSession, paths: Seq[String]): Int = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    var n = 0
+    paths.foreach { p =>
+      val path = new Path(p)
+      val fs = path.getFileSystem(conf)
+      if (fs.exists(path) && fs.delete(path, true)) {
+        n += 1
+        val parent = path.getParent
+        if (fs.exists(parent) && fs.listStatus(parent).isEmpty) fs.delete(parent, false)
+      }
+    }
+    n
+  }
 }

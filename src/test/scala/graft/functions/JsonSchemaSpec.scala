@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.SparkSpec
+import graft.functions.JsonSchema._
+
+class JsonSchemaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("full scalar type matrix maps per SURVEY §1.2") {
+    val rec = SRecord("r", Seq(
+      "d" -> SDate, "ts" -> STimestamp, "t" -> STime, "fx" -> SFixed,
+      "s" -> SString, "b" -> SBytes, "i" -> SInt, "l" -> SLong,
+      "f" -> SFloat, "dbl" -> SDouble, "bool" -> SBoolean, "e" -> SEnum))
+    val st = toSpark(rec).asInstanceOf[StructType]
+    assert(st("d").dataType == DateType)
+    assert(st("ts").dataType == TimestampType && st("t").dataType == TimestampType)
+    assert(st("fx").dataType == BinaryType && st("b").dataType == BinaryType)
+    assert(st("s").dataType == StringType && st("e").dataType == StringType)
+    assert(st("i").dataType == IntegerType && st("l").dataType == LongType)
+    assert(st("f").dataType == FloatType && st("dbl").dataType == DoubleType)
+    assert(st("bool").dataType == BooleanType)
+  }
+
+  test("nested array/map/record; nullable union; tagged general union") {
+    val rec = SRecord("r", Seq(
+      "arr" -> SArray(SLong),
+      "m" -> SMap(SRecord("inner", Seq("x" -> SInt))),
+      "opt" -> SUnion(Seq(SString, SNull)),
+      "either" -> SUnion(Seq(SLong, SString))))
+    val st = toSpark(rec).asInstanceOf[StructType]
+    assert(st("arr").dataType == ArrayType(LongType))
+    assert(st("m").dataType.asInstanceOf[MapType].valueType.isInstanceOf[StructType])
+    assert(st("opt").dataType == StringType && st("opt").nullable)
+    val u = st("either").dataType.asInstanceOf[StructType]
+    assert(u.fieldNames.toSeq == Seq("tag", "u0", "u1"))
+    assert(u("u0").dataType == LongType && u("u1").dataType == StringType)
+  }
+
+  test("recursive record rejected; eliminator prunes it") {
+    // node.next re-references record name "node" -> recursion
+    val recursive = SRecord("node", Seq("value" -> SLong,
+      "next" -> SRecord("node", Seq("value" -> SLong,
+        "next" -> SRecord("node", Nil)))))
+    intercept[IllegalArgumentException](toSpark(recursive))
+    val pruned = eliminateRecursion(recursive)
+    val st = toSpark(pruned).asInstanceOf[StructType] // no longer throws
+    // the recursive subtree is dropped (NullType field), value survives
+    assert(st("next").dataType == NullType)
+    assert(st("value").dataType == LongType)
+  }
+
+  test("from_json with generated schema parses typed values end-to-end") {
+    val schema = toSpark(SRecord("r", Seq(
+      "k" -> SLong, "tags" -> SArray(SString),
+      "when" -> STimestamp)))
+    val df = Seq("""{"k": 7, "tags": ["a","b"], "when": "2024-01-02 03:04:05"}""")
+      .toDF("js")
+      .select(from_json($"js", schema).as("r"))
+      .select($"r.k", $"r.tags", to_timestamp($"r.when").as("when"))
+    val row = df.head
+    assert(row.getLong(0) == 7L)
+    assert(row.getSeq[String](1) == Seq("a", "b"))
+    assert(row.getTimestamp(2) == java.sql.Timestamp.valueOf("2024-01-02 03:04:05"))
+  }
+
+  test("date-format parsing matches reference default format semantics") {
+    val df = Seq("2024-03-05 10:20:30").toDF("s")
+      .select(JsonSchema.parseTimestamp($"s").as("ts"), JsonSchema.parseDate(lit("2024-03-05")).as("d"))
+    val r = df.head
+    assert(r.getTimestamp(0) == java.sql.Timestamp.valueOf("2024-03-05 10:20:30"))
+    assert(r.getDate(1).toString == "2024-03-05")
+  }
+}
