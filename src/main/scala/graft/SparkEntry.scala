@@ -325,6 +325,22 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- ANN scale paths (rows-only; recall vs exact asserted in
+    //     AnnSpec against bruteForceTopK) ------------------------------
+    "q_ann_hyperplane_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      graft.functions.Ann.hyperplaneLsh(probes, e, k = 5)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val idx = graft.functions.Ann.fitIvf(e, k = 8)
+      idx.search(probes, e, k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
+
     // --- MinHash + banded LSH near-dups (no SQL oracle: rows-only) ----
     "q_minhash_neardups" -> ((s, dir) => {
       Similarity.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",

@@ -56,6 +56,28 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(keyCol), col("n"), col("sum_value"))
 
+  /** Custom keyed state — the `KeyValueGroupedDataset.mapGroupsWithState`
+    * face of the engine (running per-key aggregates that outlive any
+    * window). Emits (key, runningCount, runningSum) per key per batch.
+    */
+  def runningTotals(stream: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(keyCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update((n, s))
+          (key, n, s)
+      }
+      .toDF(keyCol, "running_count", "running_sum")
+  }
+
   /** Streaming exact dedup on a key with state TTL via watermark —
     * the streaming face of compaction dedup: `dropDuplicates` keeps
     * first-seen per key within the watermark horizon.

@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** ANN scale paths measured against the exact brute-force baseline on
+  * the real embeddings table: recall@5 must clear a floor.
+  */
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.load(spark, sf(), "embeddings").cache()
+  lazy val probes = emb.filter($"vec_id" % 100 === 0)
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exact = topkSet(Similarity.bruteForceTopK(probes, emb, k = 5))
+
+  test("hyperplane LSH recall@5 >= 0.5 with 4 planes x 8 tables") {
+    // neighbors here sit at cos ~0.4-0.5 => per-bit p ~0.63;
+    // expected recall 1-(1-0.63^4)^8 ~ 0.75
+    val lsh = topkSet(Ann.hyperplaneLsh(probes, emb, k = 5,
+      nPlanes = 4, nTables = 8))
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("IVF with nProbe=4 of 8 lists recall@5 >= 0.6; full probe = exact") {
+    val idx = Ann.fitIvf(emb, k = 8)
+    assert(idx.centroids.length == 8)
+    val ivf = topkSet(idx.search(probes, emb, k = 5, nProbe = 4))
+    val recall = (ivf intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+    // probing every list degenerates to exact search
+    val full = topkSet(idx.search(probes, emb, k = 5, nProbe = 8))
+    assert(full == exact)
+  }
+
+  test("signatures are deterministic across evaluations") {
+    val planes = 8
+    val sigs1 = emb.limit(50).select($"vec_id",
+      Ann.hyperplaneSignature($"embedding",
+        Array.fill(planes)(Array.fill(64)(0.5))).as("sig")).collect()
+    // constant planes: all-positive vectors -> same bucket for all rows
+    assert(sigs1.map(_.getLong(1)).distinct.length <= 2)
+  }
+}

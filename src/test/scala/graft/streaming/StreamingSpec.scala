@@ -77,6 +77,29 @@ class StreamingSpec extends SparkSpec {
     assert(joined.count() == 0, "streamed counts disagree with batch")
   }
 
+  test("stateful running totals accumulate across batches") {
+    val root = tmpDir("streamstate")
+    val in = s"$root/in"
+    stageEvents(in, firstHalf = true)
+    val schema = Tables.load(spark, sf(), "events").schema
+
+    val stream = StreamingIngest.readFileStream(spark, schema, in,
+      maxFilesPerTrigger = Some(1))
+    val totals = StreamingIngest.runningTotals(stream, "user_id", "value")
+    val q = totals.writeStream.format("memory").queryName("totals_out")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    // second batch arrives -> state carries over
+    stageEvents(in, firstHalf = false)
+    q.processAllAvailable(); q.stop()
+
+    val last = spark.table("totals_out")
+      .groupBy($"user_id").agg(max($"running_count").as("n"))
+    val expected = Tables.load(spark, sf(), "events")
+      .groupBy($"user_id").agg(count(lit(1)).as("n"))
+    assert(last.except(expected).isEmpty && expected.except(last).isEmpty)
+  }
+
   test("streaming dedup drops duplicate keys within the watermark horizon") {
     val root = tmpDir("streamdedup")
     val in = s"$root/in"
