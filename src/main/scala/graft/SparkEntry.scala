@@ -325,6 +325,21 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- near-dup cluster resolution: pairs -> connected components ->
+    //     keep best-quality survivor per cluster ----------------------
+    "q_neardup_resolve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("fingerprint", Text.fingerprint(col("text")))
+        .withColumn("q", Text.qualityScore(col("text")))
+      val a = docs.select(col("fingerprint"), col("doc_id").as("id_a"))
+      val b = docs.select(col("fingerprint"), col("doc_id").as("id_b"))
+      val pairs = a.join(b, Seq("fingerprint")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Dedup.resolveNearDups(docs, pairs, "doc_id", "q", "doc_id")
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- ANN scale paths (rows-only; recall vs exact asserted in
     //     AnnSpec against bruteForceTopK) ------------------------------
     "q_ann_hyperplane_lsh" -> ((s, dir) => {
@@ -542,6 +557,11 @@ object SparkEntry {
         |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.2
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_neardup_resolve" ->
+      """SELECT doc_id, md5(text) AS fingerprint FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id DESC) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_regex_filter" ->
       """SELECT doc_id, n_chars FROM documents

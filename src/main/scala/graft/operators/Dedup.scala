@@ -44,4 +44,60 @@ object Dedup {
       .agg(max_by(all, ord).as("_survivor"))
       .select(col("_survivor.*"))
   }
+
+  /** Near-dup cluster assignment from a pair list (id_a, id_b) —
+    * connected components by iterative min-label propagation, all in
+    * DataFrame ops (no driver-side union-find, no GraphX dependency).
+    * Converges in O(log(diameter)) rounds; near-dup clusters are
+    * shallow so maxIter=5 covers practical data. Returns (id, rep)
+    * for every id that appears in a pair; rep = min id of the cluster.
+    */
+  def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 5): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .localCheckpoint(true) // reused every iteration
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("rep", col("id"))
+    var i = 0
+    var converged = false
+    while (i < maxIter && !converged) {
+      // each node adopts min(own rep, neighbors' reps)…
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("rep", "nrep"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nrep")).as("mrep"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("rep"), coalesce(col("mrep"), col("rep"))).as("rep"))
+      // …then pointer-jumps to its rep's rep (path compression) —
+      // together the reached distance doubles per round (log diameter)
+      val jumped = stepped
+        .join(stepped.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
+        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
+      // localCheckpoint truncates lineage — without it the iterated
+      // join nests plans exponentially and analysis OOMs
+      val next = jumped.localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
+        .filter(col("rep") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** LLM-pipeline near-dup resolution: within each cluster keep the
+    * record with the best (max) score; records in no cluster survive
+    * as-is. `pairs` comes from MinHash/SimHash/Jaccard candidates.
+    */
+  def resolveNearDups(docs: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String, tieBreak: String): DataFrame = {
+    val clusters = clusterPairs(pairs)
+    val tagged = docs.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("_cluster", coalesce(col("rep"), col(idCol)))
+    keepMaxBy(tagged, Seq("_cluster"), Seq(scoreCol, tieBreak))
+      .drop("_cluster", "rep")
+  }
 }

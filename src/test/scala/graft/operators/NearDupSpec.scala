@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("clusterPairs finds connected components incl. chains") {
+    // chain 1-2-3-4 (diameter 3) + pair 10-11 + isolated nothing
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L))
+    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+  }
+
+  test("resolveNearDups keeps best-scored doc per cluster, singletons survive") {
+    val docs = Seq(
+      (1L, "a", 0.5), (2L, "a", 0.9), (3L, "a", 0.7),   // cluster {1,2,3} -> keep 2
+      (4L, "b", 0.1),                                   // singleton -> survives
+      (5L, "c", 0.3), (6L, "c", 0.3))                   // tie -> max id = 6
+      .toDF("doc_id", "text", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.resolveNearDups(docs, pairs, "doc_id", "q", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(2L, 4L, 6L))
+  }
+
+  test("clusterPairs converges under maxIter on a long chain") {
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val clusters = Dedup.clusterPairs(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // min-label propagation halves distance per round -> 40-chain needs ~6
+    assert(clusters.values.toSet == Set(1L))
+  }
+}
