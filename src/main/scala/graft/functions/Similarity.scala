@@ -181,11 +181,21 @@ object Similarity {
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
       explode(array_distinct(Text.shingles(col(textCol), n))).as("s"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("block"), col("id").as("id_a"), col("s"))
-    val b = sh.select(col("block"), col("id").as("id_b"), col("s"))
-    val inter = a.join(b, Seq("block", "s"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy(col("block"), col("id_a"), col("id_b"))
+    // Pair generation WITHOUT a self-join: aggregate the (sorted) doc
+    // list per (block, shingle), emit its ordered pairs, count per
+    // pair. One scan of the shingle table and two hash-agg shuffles —
+    // vs. two scans + a join shuffle for the classic self-join shape.
+    // (Ultra-hot shingles still cost O(list^2) pairs — that blowup is
+    // inherent to exact Jaccard; cap with a doc-freq filter upstream
+    // if a corpus needs it.)
+    val pairExpr = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - 1, lit(0))),
+        y => struct(x.as("id_a"), y.as("id_b")))))
+    val inter = sh.groupBy(col("block"), col("s"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("block"), explode(pairExpr).as("p"))
+      .groupBy(col("block"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("inter"))
     // sizes has one row per doc — scales with the corpus, so no
     // broadcast hint; AQE picks broadcast when it actually fits.
