@@ -216,7 +216,7 @@ object SparkEntry {
     // --- exact n-gram Jaccard near-dup pairs (blocked) ----------------
     "q_jaccard_pairs" -> ((s, dir) => {
       Similarity.ngramJaccardPairs(t(s, dir, "documents"),
-          "doc_id", "text", "source", n = 3, threshold = 0.1)
+          "doc_id", "text", "source", n = 3, threshold = 0.02)
         .orderBy(col("block"), col("id_a"), col("id_b"))
     }),
 
@@ -544,7 +544,7 @@ object SparkEntry {
         |    / CAST(greatest(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)), 1) AS DOUBLE) AS jaccard
         |FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |    / CAST(greatest(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)), 1) AS DOUBLE) >= 0.1
+        |    / CAST(greatest(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)), 1) AS DOUBLE) >= 0.02
         |ORDER BY block, id_a, id_b""".stripMargin,
 
     "q_cosine_pairs" ->
