@@ -39,6 +39,33 @@ final class Publisher(conf: Configuration = new Configuration()) {
       .save(spec.stagingDir)
   }
 
+  /** Idempotent re-publish: REPLACE each staged partition dir in the
+    * output (dynamic-partition-overwrite semantics) instead of merging
+    * files into it. A retried run that re-processes the same watermark
+    * range then converges to the same output — the exactly-once option
+    * (CommitSequencePublisher, gobblin-core/.../publisher/
+    * CommitSequencePublisher.java) without a commit-sequence store.
+    */
+  def publishOverwritePartitions(spec: SinkSpec): Int = {
+    val staging = new Path(spec.stagingDir)
+    val out = new Path(spec.outputDir)
+    val fs = staging.getFileSystem(conf)
+    if (!fs.exists(staging)) return 0
+    fs.mkdirs(out)
+    var moved = 0
+    fs.listStatus(staging).foreach { entry =>
+      val name = entry.getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) {
+        val dest = new Path(out, name)
+        if (fs.exists(dest)) fs.delete(dest, true)
+        rename(fs, entry.getPath, dest)
+        moved += 1
+      }
+    }
+    fs.delete(staging, true)
+    moved
+  }
+
   /** Move every staged entry into the output dir. Partition dirs are
     * merged one level deep (new files slot into existing partition
     * dirs); data files move whole. Returns moved file count.
