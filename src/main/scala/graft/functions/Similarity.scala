@@ -135,16 +135,24 @@ object Similarity {
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // signatures are reused three times (banding + two lookups) —
+    // localCheckpoint computes them once and keeps the plan bounded
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes)
-    val banded = sigs.select(col("id"), col("sig"),
+      .localCheckpoint(true)
+    // candidate generation stays NARROW: only (id, band, bucket) is
+    // shuffled/deduped; the 16-wide signatures join back afterwards,
+    // once per distinct pair instead of once per band collision.
+    val banded = sigs.select(col("id"),
       explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
-      .select(col("id"), col("sig"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
-    val a = banded.select(col("id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bucket"))
-    val b = banded.select(col("id").as("id_b"), col("sig").as("sig_b"), col("band"), col("bucket"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+    val a = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col("id").as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
   }
 
   /** Estimated Jaccard from signatures: fraction of agreeing hashes. */
