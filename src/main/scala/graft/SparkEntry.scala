@@ -325,6 +325,17 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // --- as-of join: latest order at event time (composition path) ---
+    "q_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts"))
+      val o = t(s, dir, "orders")
+      graft.operators.AsOfJoin.asOfLeft(e, o,
+          leftKey = "user_id", rightKey = "o_custkey",
+          leftTs = "ts", rightTs = "o_orderdate",
+          payload = Map("last_order_date" -> col("o_orderdate")))
+        .orderBy(col("event_id"))
+    }),
+
     // --- near-dup cluster resolution: pairs -> connected components ->
     //     keep best-quality survivor per cluster ----------------------
     "q_neardup_resolve" -> ((s, dir) => {
@@ -557,6 +568,12 @@ object SparkEntry {
         |    / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |       * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) >= 0.2
         |ORDER BY query_id, neighbor_id""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, e.ts, o.o_orderdate AS last_order_date
+        |FROM events e ASOF LEFT JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
 
     "q_neardup_resolve" ->
       """SELECT doc_id, md5(text) AS fingerprint FROM documents
