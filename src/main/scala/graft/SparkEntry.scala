@@ -336,6 +336,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // --- interval/range join via bin compositing ----------------------
+    "q_range_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          // o_orderdate is TIMESTAMP_NTZ; cast is exact under the UTC session
+          unix_micros(col("o_orderdate").cast("timestamp")).as("od"))
+      val week = 7L * 24 * 3600 * 1000000
+      val points = o.select(col("o_orderkey").as("p_orderkey"), col("o_custkey").as("k"), col("od").as("p"))
+      val ranges = o.select(col("o_orderkey").as("r_orderkey"), col("o_custkey").as("k2"),
+        col("od").as("s"), (col("od") + week).as("e"))
+      graft.operators.RangeJoin.intervalJoin(points, ranges, "k", "k2", "p", "s", "e", week)
+        .filter(col("p_orderkey") =!= col("r_orderkey"))
+        .select(col("p_orderkey"), col("r_orderkey"))
+        .orderBy(col("p_orderkey"), col("r_orderkey"))
+    }),
+
     // --- near-dup cluster resolution: pairs -> connected components ->
     //     keep best-quality survivor per cluster ----------------------
     "q_neardup_resolve" -> ((s, dir) => {
@@ -574,6 +590,14 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN orders o
         |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_range_join" ->
+      """SELECT a.o_orderkey AS p_orderkey, b.o_orderkey AS r_orderkey
+        |FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+        |  AND a.o_orderdate >= b.o_orderdate
+        |  AND a.o_orderdate < b.o_orderdate + INTERVAL 7 DAY
+        |  AND a.o_orderkey <> b.o_orderkey
+        |ORDER BY p_orderkey, r_orderkey""".stripMargin,
 
     "q_neardup_resolve" ->
       """SELECT doc_id, md5(text) AS fingerprint FROM documents
