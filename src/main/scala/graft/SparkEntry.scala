@@ -118,9 +118,15 @@ object SparkEntry {
     }),
 
     // --- incremental watermark read (QueryBasedSource semantics) ------
+    // The watermark predicate is pushed on the source's NATIVE column
+    // (raw nanos long) — filtering the reconstructed timestamp column
+    // would sit above a projection and never reach the parquet scan.
+    // ts_us > wm_us  <=>  ts_ns >= (wm_us + 1) * 1000  (exact).
     "q_incremental_watermark" -> ((s, dir) => {
-      t(s, dir, "events")
-        .filter(col("ts") > lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")))
+      val wmMicros = java.time.LocalDateTime.parse("2024-01-15T00:00:00")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000
+      s.read.parquet(s"$dir/events.parquet")
+        .filter(col("ts") >= lit((wmMicros + 1) * 1000))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), decSumDouble(col("value")).as("sum_value"))
         .orderBy(col("event_type"))
@@ -182,6 +188,13 @@ object SparkEntry {
       Converters.sampleDeterministic("event_id", 10)(t(s, dir, "events"))
         .select(col("event_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))
+    }),
+
+    // --- per-group deterministic sampling -----------------------------
+    "q_group_sample" -> ((s, dir) => {
+      Converters.sampleKPerGroup(Seq("source"), "doc_id", k = 3)(t(s, dir, "documents"))
+        .select(col("source"), col("doc_id"), col("lang"))
+        .orderBy(col("source"), col("doc_id"))
     }),
 
     // --- text analysis: stats + quality scoring -----------------------
@@ -515,6 +528,12 @@ object SparkEntry {
     "q_sample" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin,
+
+    "q_group_sample" ->
+      """SELECT source, doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5('graft' || '|' || doc_id), doc_id) <= 3
+        |ORDER BY source, doc_id""".stripMargin,
 
     "q_text_stats" ->
       """SELECT doc_id,

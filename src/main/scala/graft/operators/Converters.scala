@@ -91,6 +91,21 @@ object Converters {
   def sampleDeterministic(idColumn: String, mod: Int, keep: Int = 0): Op =
     _.filter(pmod(col(idColumn), lit(mod)) === lit(keep))
 
+  /** Per-group deterministic pseudo-random sample: keep k rows per
+    * group, selected by ranking on a cryptographic hash of the id (+
+    * seed). Reproducible run-over-run AND engine-portable (md5), unlike
+    * rand()-based reservoir sampling — the property that matters when a
+    * 100 TB sample job is retried or audited.
+    */
+  def sampleKPerGroup(groupCols: Seq[String], idCol: String, k: Int, seed: String = "graft"): Op = df => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(md5(concat_ws("|", lit(seed), col(idCol))), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** ForkOperator (gobblin-api/.../fork/ForkOperator.java:36; stream impl
     * fork/Forker.java:44-101): route each record to 0..N branches. The
     * Spark shape is cache-once + N filtered branches; callers write each
