@@ -218,6 +218,17 @@ object SparkEntry {
         .orderBy(col("lang_pred"))
     }),
 
+    // --- rolling-hash fingerprints + content-defined chunking (custom
+    //     codegen expressions; rows-only — hash not SQL-reproducible) --
+    "q_rolling_fingerprint" -> ((s, dir) => {
+      import graft.functions.RollingHash
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        RollingHash.rollingHash64(col("text")).as("doc_hash"),
+        size(RollingHash.contentChunkHashes(col("text"), 16, 5)).as("n_chunks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- document fingerprint + exact dedup ---------------------------
     "q_fingerprint_dedup" -> ((s, dir) => {
       t(s, dir, "documents")

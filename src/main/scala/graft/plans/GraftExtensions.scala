@@ -1,0 +1,45 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{ContentChunkHashes, RollingHash64, SimHash64}
+
+/** SparkSessionExtensions registration: exposes graft's native
+  * Catalyst expressions to SQL. Enable with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`
+  * or `.withExtensions(new GraftExtensions)`:
+  *
+  * {{{
+  * SELECT simhash64(text), rolling_hash64(text),
+  *        content_chunk_hashes(text, 16, 6) FROM documents
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, name: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_hash64"),
+      new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
+      (args: Seq[Expression]) => RollingHash64(args.head)))
+    ext.injectFunction((
+      FunctionIdentifier("content_chunk_hashes"),
+      new ExpressionInfo(classOf[ContentChunkHashes].getName, "content_chunk_hashes"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => ContentChunkHashes(c, 16, 6)
+        case Seq(c, w, m) => ContentChunkHashes(c, intLit(w, "window"), intLit(m, "maskBits"))
+        case _ => throw new IllegalArgumentException(
+          "content_chunk_hashes(text[, window, maskBits])")
+      }))
+  }
+}
