@@ -56,6 +56,33 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(keyCol), col("n"), col("sum_value"))
 
+  /** foreachBatch ingestion with the full batch-side commit machinery:
+    * each micro-batch is schema-conformed (additive evolution handled,
+    * incompatible change stops the query with the new schema recorded),
+    * transformed, staged, and published atomically with partition
+    * overwrite — so a replayed micro-batch (failure between sink write
+    * and checkpoint commit) converges instead of duplicating. This is
+    * the exactly-once file-sink pattern the reference approximates with
+    * flush-ack watermarks (§2.8).
+    */
+  def ingestForeachBatch(stream: DataFrame,
+      targetSchema: org.apache.spark.sql.types.StructType,
+      store: graft.state.FsStateStore, streamName: String,
+      ops: Seq[Op], stagingDir: String, outputDir: String,
+      partitionBy: Seq[String]): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val conformed = SchemaEvolution.conform(batch, targetSchema, store, streamName)
+        val transformed = ops.foldLeft(conformed)((df, op) => op(df))
+        val publisher = new graft.sink.Publisher(
+          batch.sparkSession.sparkContext.hadoopConfiguration)
+        val spec = graft.sink.SinkSpec(s"$stagingDir/batch-$batchId", outputDir,
+          partitionBy = partitionBy)
+        publisher.writeStaged(transformed, spec)
+        publisher.publishOverwritePartitions(spec)
+        ()
+    }
+
   /** Custom keyed state — the `KeyValueGroupedDataset.mapGroupsWithState`
     * face of the engine (running per-key aggregates that outlive any
     * window). Emits (key, runningCount, runningSum) per key per batch.

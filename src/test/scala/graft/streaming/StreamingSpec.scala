@@ -77,6 +77,29 @@ class StreamingSpec extends SparkSpec {
     assert(joined.count() == 0, "streamed counts disagree with batch")
   }
 
+  test("foreachBatch ingest: conform + atomic partition publish per micro-batch") {
+    val root = tmpDir("streamfeb")
+    val in = s"$root/in"
+    stageEvents(in, firstHalf = true)
+    val schema = Tables.load(spark, sf(), "events").schema
+    val store = new graft.state.FsStateStore(s"$root/state")
+    // target schema without props (simulates a narrower sink contract)
+    val target = org.apache.spark.sql.types.StructType(schema.fields.filter(_.name != "props"))
+
+    val stream = StreamingIngest.readFileStream(spark, schema, in)
+    val q = StreamingIngest.ingestForeachBatch(stream, target, store, "events_s",
+        ops = Seq(Converters.withTimePartition("ts")),
+        stagingDir = s"$root/staging", outputDir = s"$root/out",
+        partitionBy = Seq("date_key"))
+      .option("checkpointLocation", s"$root/ckpt").start()
+    q.processAllAvailable(); q.stop()
+
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == 500)
+    assert(!out.columns.contains("props")) // conformed to target
+    assert(out.columns.contains("date_key"))
+  }
+
   test("stateful running totals accumulate across batches") {
     val root = tmpDir("streamstate")
     val in = s"$root/in"
