@@ -17,23 +17,25 @@ import graft.functions.{ContentChunkHashes, RollingHash64, SimHash64}
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
 
   private def intLit(e: Expression, name: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(s"$name must be an int literal, got $other")
   }
 
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (args: Seq[Expression]) => SimHash64(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("rolling_hash64"),
+      (args: Seq[Expression]) => SimHash64(args.head)),
+    (FunctionIdentifier("rolling_hash64"),
       new ExpressionInfo(classOf[RollingHash64].getName, "rolling_hash64"),
-      (args: Seq[Expression]) => RollingHash64(args.head)))
-    ext.injectFunction((
-      FunctionIdentifier("content_chunk_hashes"),
+      (args: Seq[Expression]) => RollingHash64(args.head)),
+    (FunctionIdentifier("content_chunk_hashes"),
       new ExpressionInfo(classOf[ContentChunkHashes].getName, "content_chunk_hashes"),
       (args: Seq[Expression]) => args match {
         case Seq(c) => ContentChunkHashes(c, 16, 6)
@@ -41,5 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case _ => throw new IllegalArgumentException(
           "content_chunk_hashes(text[, window, maskBits])")
       }))
+
+  /** Register into an already-built session (tests, notebooks). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val registry = org.apache.spark.sql.graftshim.ColumnShim.functionRegistry(spark)
+    functions.foreach { case (id, info, builder) =>
+      registry.registerFunction(id, info, builder)
+    }
   }
 }

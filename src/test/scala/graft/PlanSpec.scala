@@ -8,8 +8,12 @@ package graft
   */
 class PlanSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // other suites cache tables in the shared session; a cached
+    // relation would replace the parquet scan and hide pushdown
+    spark.catalog.clearCache()
     SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+  }
 
   test("pricing summary: shipdate filter + projection pushed to scan") {
     val p = plan("q_pricing_summary")

@@ -1,26 +1,14 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import org.scalatest.funsuite.AnyFunSuite
 
-import graft.Tables
+import graft.SparkSpec
 
-/** Rolling-hash fingerprints + SQL registration via GraftExtensions
-  * (own session builder, so not extending SparkSpec).
+/** Rolling-hash fingerprints + SQL registration (shared session —
+  * GraftExtensions.register targets an already-built session, the same
+  * injectFunction tuples the spark.sql.extensions path uses).
   */
-class RollingHashSpec extends AnyFunSuite {
-
-  lazy val spark: SparkSession = {
-    val b = SparkSession.builder()
-      .master("local[4]")
-      .appName("RollingHashSpec")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    Tables.sessionConfigs.foreach { case (k, v) => b.config(k, v) }
-    b.getOrCreate()
-  }
+class RollingHashSpec extends SparkSpec {
   import spark.implicits._
 
   test("rolling hash: deterministic, order-sensitive, content-sensitive") {
@@ -47,6 +35,7 @@ class RollingHashSpec extends AnyFunSuite {
   }
 
   test("SQL registration via GraftExtensions") {
+    graft.plans.GraftExtensions.register(spark)
     val row = spark.sql(
       "SELECT simhash64('a b c'), rolling_hash64('abc'), size(content_chunk_hashes('abcdef', 4, 2))"
     ).head
