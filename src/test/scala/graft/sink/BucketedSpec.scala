@@ -11,6 +11,13 @@ import graft.{SparkSpec, Tables}
   */
 class BucketedSpec extends SparkSpec {
 
+  // unique per-JVM-run names: the in-memory catalog forgets tables on
+  // restart but their warehouse dirs persist, and saveAsTable refuses
+  // to reuse an existing managed location
+  private val run = java.lang.Long.toHexString(System.nanoTime())
+  private val liTable = s"li_b_$run"
+  private val oTable = s"o_b_$run"
+
   private def withNoBroadcast[A](f: => A): A = {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
@@ -21,12 +28,12 @@ class BucketedSpec extends SparkSpec {
   test("join of two bucketed tables plans without exchanges") {
     val li = Tables.load(spark, sf(), "lineitem")
     val o = Tables.load(spark, sf(), "orders")
-    Bucketed.writeBucketed(li.select("l_orderkey", "l_quantity"), "li_b", "l_orderkey", 4)
-    Bucketed.writeBucketed(o.select("o_orderkey", "o_totalprice"), "o_b", "o_orderkey", 4)
+    Bucketed.writeBucketed(li.select("l_orderkey", "l_quantity"), liTable, "l_orderkey", 4)
+    Bucketed.writeBucketed(o.select("o_orderkey", "o_totalprice"), oTable, "o_orderkey", 4)
 
     withNoBroadcast {
-      val joined = Bucketed.readBucketed(spark, "li_b")
-        .join(Bucketed.readBucketed(spark, "o_b"),
+      val joined = Bucketed.readBucketed(spark, liTable)
+        .join(Bucketed.readBucketed(spark, oTable),
           col("l_orderkey") === col("o_orderkey"))
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
@@ -37,7 +44,7 @@ class BucketedSpec extends SparkSpec {
   }
 
   test("aggregation on the bucket key needs no exchange") {
-    val agg = spark.table("li_b").groupBy("l_orderkey").count()
+    val agg = spark.table(liTable).groupBy("l_orderkey").count()
     assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 }
