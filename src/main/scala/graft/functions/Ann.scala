@@ -46,11 +46,9 @@ object Ann {
     * codegen'd expression sum over zip_with — no UDF.
     */
   def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    val v = vec.cast("array<double>")
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val dot = aggregate(
-        zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(VectorExprs.dotProduct(v, lit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
   }
@@ -95,10 +93,7 @@ object Ann {
 
     private def centroidSim(vec: Column): Seq[(Int, Column)] =
       centroids.toSeq.map { case (cid, ctr) =>
-        val c = lit(ctr)
-        val dot = aggregate(zip_with(vec, c, (x, w) => x.cast("double") * w),
-          lit(0.0), (acc, v) => acc + v)
-        cid -> dot
+        cid -> VectorExprs.dotProduct(vec.cast("array<double>"), lit(ctr))
       }
 
     /** Nearest centroid id (by dot product — centroids are from

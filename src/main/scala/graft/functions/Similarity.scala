@@ -16,16 +16,16 @@ object Similarity {
 
   // ---------------------------------------------------------------- cosine
 
-  /** Dot product of two float-array columns, accumulated in double in
-    * array order (deterministic).
+  /** Dot product of two same-typed array columns, accumulated in double
+    * in array order (deterministic). Native expression — the
+    * aggregate(zip_with(...)) composition gives identical values but
+    * evaluates interpreted with per-element boxing.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = VectorExprs.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = VectorExprs.cosineSim(a, b)
 
   /** Brute-force ANN baseline: top-k neighbors per probe vector.
     * probes × corpus is a broadcast-able cross join when probes is small
