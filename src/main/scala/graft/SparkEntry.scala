@@ -407,6 +407,19 @@ object SparkEntry {
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
     }),
 
+    // --- embedding-cosine near-dup resolution: LSH candidates ->
+    //     threshold -> cluster -> keep min-id survivor (rows-only; the
+    //     LSH recall/cluster logic is spec-verified) -------------------
+    "q_embed_neardup_resolve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val pairs = graft.functions.Ann.lshSimilarPairs(e, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Dedup.resolveNearDups(
+          e.withColumn("neg_id", -col("vec_id")), pairs, "vec_id", "neg_id", "neg_id")
+        .select(col("vec_id"), col("label"))
+        .orderBy(col("vec_id"))
+    }),
+
     // --- MinHash + banded LSH near-dups (no SQL oracle: rows-only) ----
     "q_minhash_neardups" -> ((s, dir) => {
       Similarity.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",

@@ -109,8 +109,10 @@ object Similarity {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int): DataFrame = {
     val coeffs = seededCoeffs(numHashes)
+    // native one-pass shingle hashing (duplicate shingle hashes are
+    // harmless under min-aggregation, so no distinct step)
     val exploded = docs.select(col(idCol).as("id"),
-        explode(Text.shingleHashes(col(textCol), shingleN)).as("h"))
+        explode(ShingleHashes(col(textCol), shingleN)).as("h"))
       .withColumn("hm", pmod(col("h"), lit(MinhashPrime)))
     val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("hm") + lit(b), lit(MinhashPrime))).as(s"_m$i")

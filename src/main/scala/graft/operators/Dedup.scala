@@ -53,7 +53,7 @@ object Dedup {
     * for every id that appears in a pair; rep = min id of the cluster.
     */
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 5): DataFrame = {
+      maxIter: Int = 5, earlyStop: Boolean = true): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
@@ -79,10 +79,15 @@ object Dedup {
       // localCheckpoint truncates lineage — without it the iterated
       // join nests plans exponentially and analysis OOMs
       val next = jumped.localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
-        .filter(col("rep") =!= col("old")).limit(1).count()
+      if (earlyStop) {
+        // convergence probe costs one extra job per round — skip it
+        // (earlyStop=false) when a fixed round count is known to cover
+        // the cluster diameter (2^maxIter hops)
+        val changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
+          .filter(col("rep") =!= col("old")).limit(1).count()
+        converged = changed == 0
+      }
       labels = next
-      converged = changed == 0
       i += 1
     }
     labels
@@ -94,7 +99,9 @@ object Dedup {
     */
   def resolveNearDups(docs: DataFrame, pairs: DataFrame, idCol: String,
       scoreCol: String, tieBreak: String): DataFrame = {
-    val clusters = clusterPairs(pairs)
+    // fixed 4 rounds (2^4 = 16-hop diameter, far beyond near-dup
+    // clusters) without per-round convergence probes
+    val clusters = clusterPairs(pairs, maxIter = 4, earlyStop = false)
     val tagged = docs.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("_cluster", coalesce(col("rep"), col(idCol)))
     keepMaxBy(tagged, Seq("_cluster"), Seq(scoreCol, tieBreak))
