@@ -51,6 +51,70 @@ object ShingleHashOps {
   }
 }
 
+/** String word-n-gram shingles in one pass — exact semantics of the
+  * composed `transform(sequence…, slice+array_join)` version (non-empty
+  * space-separated tokens, shingle = n tokens joined by one space), so
+  * Jaccard oracles comparing shingle STRINGS are unaffected; this is
+  * just the allocation-lean evaluation (token spans copied once per
+  * shingle, no per-step array slices).
+  */
+object StringShingleOps {
+  def shingles(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val starts = new scala.collection.mutable.ArrayBuffer[Int]()
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && bytes(i) == ' ') i += 1
+      val st = i
+      while (i < len && bytes(i) != ' ') i += 1
+      if (i > st) { starts += st; ends += i }
+    }
+    val nTok = starts.length
+    if (nTok < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nTok - n + 1)
+    var w = 0
+    while (w <= nTok - n) {
+      var size = n - 1
+      var k = 0
+      while (k < n) { size += ends(w + k) - starts(w + k); k += 1 }
+      val buf = new Array[Byte](size)
+      var pos = 0
+      k = 0
+      while (k < n) {
+        val l = ends(w + k) - starts(w + k)
+        System.arraycopy(bytes, starts(w + k), buf, pos, l)
+        pos += l
+        if (k < n - 1) { buf(pos) = ' '; pos += 1 }
+        k += 1
+      }
+      out(w) = UTF8String.fromBytes(buf)
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class StringShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "string_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    StringShingleOps.shingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StringShingleOps.shingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): StringShingles =
+    copy(child = newChild)
+}
+
+object StringShingles {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  def apply(c: Column, n: Int): Column =
+    ColumnShim.toColumn(StringShingles(ColumnShim.toExpression(c), n))
+}
+
 case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

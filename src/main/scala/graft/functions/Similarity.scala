@@ -189,7 +189,7 @@ object Similarity {
       blockCol: String, n: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0, "threshold must be > 0 (zero-overlap pairs are never produced)")
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
-      explode(array_distinct(Text.shingles(col(textCol), n))).as("s"))
+      explode(array_distinct(StringShingles(col(textCol), n))).as("s"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     // Pair generation WITHOUT a self-join: aggregate the (sorted) doc
     // list per (block, shingle), emit its ordered pairs, count per
