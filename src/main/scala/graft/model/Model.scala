@@ -18,6 +18,25 @@ object TableType {
   case object SnapshotOnly extends TableType
   case object SnapshotAppend extends TableType
   case object AppendOnly extends TableType
+
+  /** Spark write-mode equivalent of the reference's table types. */
+  def writeMode(t: TableType): String = t match {
+    case SnapshotOnly => "overwrite"
+    case SnapshotAppend | AppendOnly => "append"
+  }
+}
+
+/** Job-level commit policies (gobblin-core-base/.../JobCommitPolicy
+  * .java:31-54). FULL publishes only if every branch staged
+  * successfully (Publisher.publishAll); PARTIAL publishes whatever
+  * staged (Publisher.publishPartial); SUCCESSFUL_TASKS maps to
+  * per-dataset jobs, each committing independently.
+  */
+sealed trait CommitPolicy
+object CommitPolicy {
+  case object CommitOnFullSuccess extends CommitPolicy
+  case object CommitOnPartialSuccess extends CommitPolicy
+  case object CommitSuccessfulTasks extends CommitPolicy
 }
 
 sealed trait ExtractType

@@ -117,6 +117,17 @@ final class Publisher(conf: Configuration = new Configuration()) {
     specs.map(publish).sum
   }
 
+  /** COMMIT_ON_PARTIAL_SUCCESS: publish every branch that staged,
+    * report the ones that did not (caller re-runs just those).
+    */
+  def publishPartial(specs: Seq[SinkSpec]): (Seq[SinkSpec], Seq[SinkSpec]) = {
+    val (staged, missing) = specs.partition { s =>
+      val p = new Path(s.stagingDir); p.getFileSystem(conf).exists(p)
+    }
+    staged.foreach(publish)
+    (staged, missing)
+  }
+
   /** Abort: drop staged output, leave published data untouched. */
   def abort(spec: SinkSpec): Unit = {
     val staging = new Path(spec.stagingDir)

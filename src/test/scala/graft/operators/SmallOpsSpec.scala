@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.functions.Text
+import graft.model.{CommitPolicy, TableType}
+import graft.sink.{Publisher, SinkSpec}
+
+/** Small operators not covered by the bigger suites. */
+class SmallOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("retrieveField extracts a nested field as the record") {
+    val df = Seq((1L, ("x", 2.5))).toDF("id", "s")
+      .select($"id", $"s".cast("struct<a:string,b:double>"))
+    val out = Converters.retrieveField("s.b", "b")(df)
+    assert(out.columns.toSeq == Seq("b") && out.head.getDouble(0) == 2.5)
+  }
+
+  test("splitToList keeps the list in one record") {
+    val out = Converters.splitToList("csv", ",", "items")(Seq("a,b,c").toDF("csv"))
+    assert(out.head.getSeq[String](1) == Seq("a", "b", "c"))
+  }
+
+  test("sampleKPerGroup: exactly k per group, deterministic across runs") {
+    val docs = Tables.load(spark, sf(), "documents")
+    val s1 = Converters.sampleKPerGroup(Seq("source"), "doc_id", 2)(docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val s2 = Converters.sampleKPerGroup(Seq("source"), "doc_id", 2)(docs.repartition(9))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2))
+    val perGroup = Converters.sampleKPerGroup(Seq("source"), "doc_id", 2)(docs)
+      .groupBy("source").count().agg(max("count")).head.getLong(0)
+    assert(perGroup == 2)
+    // a different seed selects a different sample
+    val s3 = Converters.sampleKPerGroup(Seq("source"), "doc_id", 2, seed = "other")(docs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(!s1.sameElements(s3))
+  }
+
+  test("text helpers: meanTokenLen, fingerprint64, bpeish count") {
+    val r = Seq("ab cd!").toDF("t").select(
+      Text.meanTokenLen($"t"), Text.fingerprint64($"t"), Text.bpeishTokenCount($"t")).head
+    assert(r.getDouble(0) == 2.5)  // (6 chars - 2 tokens + 1) / 2
+    assert(r.getLong(1) != 0L)
+    assert(r.getInt(2) == 3)       // "ab", "cd", "!"
+  }
+
+  test("table types map to write modes; commit policies exist") {
+    assert(TableType.writeMode(TableType.SnapshotOnly) == "overwrite")
+    assert(TableType.writeMode(TableType.AppendOnly) == "append")
+    assert(CommitPolicy.CommitOnFullSuccess != CommitPolicy.CommitOnPartialSuccess)
+  }
+
+  test("publishPartial publishes staged branches, reports missing ones") {
+    val root = tmpDir("partial")
+    val pub = new Publisher(spark.sparkContext.hadoopConfiguration)
+    val a = SinkSpec(s"$root/st/a", s"$root/out/a")
+    val b = SinkSpec(s"$root/st/b", s"$root/out/b")
+    pub.writeStaged(Seq((1, "x")).toDF("id", "v"), a)
+    val (published, missing) = pub.publishPartial(Seq(a, b))
+    assert(published == Seq(a) && missing == Seq(b))
+    assert(spark.read.parquet(s"$root/out/a").count() == 1)
+  }
+}
