@@ -190,6 +190,15 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // --- deterministic train/val/test split ---------------------------
+    "q_train_split" -> ((s, dir) => {
+      graft.operators.Splits.split(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_doc"))
+        .orderBy(col("split"))
+    }),
+
     // --- per-group deterministic sampling -----------------------------
     "q_group_sample" -> ((s, dir) => {
       Converters.sampleKPerGroup(Seq("source"), "doc_id", k = 3)(t(s, dir, "documents"))
@@ -552,6 +561,17 @@ object SparkEntry {
     "q_sample" ->
       """SELECT event_id, event_type, value FROM events
         |WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin,
+
+    "q_train_split" ->
+      """WITH assigned AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substring(md5('graft' || '|' || doc_id), 1, 4) < 'cccd' THEN 'train'
+        |         WHEN substring(md5('graft' || '|' || doc_id), 1, 4) < 'e666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents
+        |)
+        |SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_doc
+        |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
 
     "q_group_sample" ->
       """SELECT source, doc_id, lang FROM documents
