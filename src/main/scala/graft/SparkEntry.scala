@@ -429,6 +429,16 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // --- multimodal frame sampling (counts oracle-checked) ------------
+    "q_frame_sample" -> ((s, dir) => {
+      val media = t(s, dir, "documents").select(
+        col("doc_id").as("media_id"), col("text").cast("binary").as("content"))
+      Multimodal.sampleFrames(media, frameBytes = 64, everyN = 3)
+        .toDF()
+        .select(col("media_id"), col("n_frames"), col("n_sampled"), col("sampled_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- MinHash + banded LSH near-dups (no SQL oracle: rows-only) ----
     "q_minhash_neardups" -> ((s, dir) => {
       Similarity.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
@@ -713,6 +723,21 @@ object SparkEntry {
         |  MIN(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS min_norm,
         |  MAX(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))) AS max_norm
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, octet_length(encode(text)) AS len FROM documents
+        |), f AS (
+        |  SELECT media_id, len,
+        |    (len + 63) // 64 AS n_frames,
+        |    ((len + 63) // 64 + 2) // 3 AS n_sampled,
+        |    CASE WHEN len % 64 = 0 THEN 64 ELSE len % 64 END AS last_len
+        |  FROM m
+        |)
+        |SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(n_sampled AS BIGINT) AS n_sampled,
+        |  CAST(n_sampled * 64 - CASE WHEN (n_frames - 1) % 3 = 0 THEN 64 - last_len ELSE 0 END AS BIGINT) AS sampled_bytes
+        |FROM f ORDER BY media_id""".stripMargin,
 
     "q_multimodal_features" ->
       """SELECT doc_id AS media_id,

@@ -71,6 +71,36 @@ object Multimodal {
       }
   }
 
+  final case class FrameSample(
+      media_id: Long, n_frames: Long, n_sampled: Long,
+      sampled_bytes: Long, frames: Array[Array[Byte]])
+
+  /** Frame-sampling plumbing: split the binary payload into fixed-size
+    * frames (a real video decoder yields decoded frames here — the
+    * framing/striding/batching code is what this exercises), keep
+    * every `everyN`-th frame starting at frame 0. Streams rows per
+    * partition; frames for one record stay together (a decode batch).
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int): Dataset[FrameSample] = {
+    require(frameBytes > 0 && everyN > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, content) =>
+          val bytes = if (content == null) Array.emptyByteArray else content
+          val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+          val sampled = (0 until nFrames by everyN).map { f =>
+            java.util.Arrays.copyOfRange(bytes, f * frameBytes,
+              math.min((f + 1) * frameBytes, bytes.length))
+          }.toArray
+          FrameSample(id, nFrames.toLong, sampled.length.toLong,
+            sampled.map(_.length.toLong).sum, sampled)
+        }
+      }
+  }
+
   /** Size partitions for decode: target bytes per partition so decoded
     * batches fit executor memory (decoded media is 10-100x the stored
     * bytes). Uses a cheap aggregate of stored sizes, never collect().
