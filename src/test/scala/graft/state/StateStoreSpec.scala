@@ -42,4 +42,24 @@ class StateStoreSpec extends AnyFunSuite {
     s.put("jobs", "empty", Map.empty)
     assert(s.get("jobs", "empty").contains(Map.empty[String, String]))
   }
+
+  test("codec fuzz: 200 random unicode maps round-trip (seeded)") {
+    val rnd = new scala.util.Random(1234)
+    val s = newStore()
+    def randString(): String =
+      (0 until rnd.nextInt(30)).map { _ =>
+        rnd.nextInt(5) match {
+          case 0 => rnd.nextPrintableChar()
+          case 1 => "\\\"\n\r\t".charAt(rnd.nextInt(5))
+          case 2 => (rnd.nextInt(0x1f) + 1).toChar      // control chars
+          case 3 => (0x80 + rnd.nextInt(0x7f0)).toChar  // BMP unicode
+          case _ => 'x'
+        }
+      }.mkString
+    (1 to 200).foreach { i =>
+      val m = (0 until rnd.nextInt(6)).map(_ => randString() -> randString()).toMap
+      s.put("fuzz", s"k$i", m)
+      assert(s.get("fuzz", s"k$i").contains(m), s"round-trip failed for $m")
+    }
+  }
 }
