@@ -66,6 +66,30 @@ class JsonSchemaSpec extends SparkSpec {
     assert(row.getTimestamp(2) == java.sql.Timestamp.valueOf("2024-01-02 03:04:05"))
   }
 
+  test("property: eliminateRecursion makes ANY random schema tree convertible (300 seeds)") {
+    val rnd = new scala.util.Random(99)
+    val scalars = Vector(SDate, STimestamp, STime, SFixed, SString, SBytes,
+      SInt, SLong, SFloat, SDouble, SBoolean, SNull, SEnum)
+    // biased generator that reuses record names => recursion is common
+    def gen(depth: Int): SType =
+      if (depth >= 4) scalars(rnd.nextInt(scalars.size))
+      else rnd.nextInt(10) match {
+        case 0 | 1 | 2 => scalars(rnd.nextInt(scalars.size))
+        case 3 => SArray(gen(depth + 1))
+        case 4 => SMap(gen(depth + 1))
+        case 5 | 6 | 7 =>
+          SRecord(s"r${rnd.nextInt(3)}",
+            (0 until 1 + rnd.nextInt(3)).map(i => s"f$i" -> gen(depth + 1)))
+        case _ => SUnion((0 until 1 + rnd.nextInt(3)).map(_ => gen(depth + 1)) :+ SNull)
+      }
+    (1 to 300).foreach { _ =>
+      val t = SRecord("root", Seq("payload" -> gen(0)))
+      val pruned = eliminateRecursion(t)
+      val st = toSpark(pruned) // must never throw
+      assert(st.isInstanceOf[StructType])
+    }
+  }
+
   test("date-format parsing matches reference default format semantics") {
     val df = Seq("2024-03-05 10:20:30").toDF("s")
       .select(JsonSchema.parseTimestamp($"s").as("ts"), JsonSchema.parseDate(lit("2024-03-05")).as("d"))
