@@ -519,9 +519,12 @@ object SparkEntry {
         |FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // DuckDB SUM(BIGINT) widens to HUGEINT/INT128 — cast the aggregate
+    // back to BIGINT so the driver's dtype-sensitive hash matches the
+    // Spark LongType sum (values were already identical).
     "q_json_props" ->
       """SELECT event_type,
-        |  SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 

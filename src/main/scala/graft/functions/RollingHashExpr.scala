@@ -24,12 +24,19 @@ object RollingHashOps {
   final val Base = 257L
   final val Mod = (1L << 61) - 1
 
-  @inline private def mulmod(a: Long, b: Long): Long = {
-    // a, b < 2^61; split b to keep products under 2^63
-    val hi = b >>> 31
-    val lo = b & 0x7FFFFFFFL
-    val p1 = ((a * hi) % Mod) * (1L << 31) % Mod
-    (p1 + a * lo % Mod) % Mod
+  /** Multiplication mod 2^61-1 via the full 128-bit product
+    * (Math.multiplyHigh) and the Mersenne fold: with M = 2^61-1,
+    * 2^64 ≡ 8 (mod M), so hi*2^64 + lo ≡ (hi << 3) + (lo & M) + (lo >>> 61).
+    * For a, b < 2^61 the product is < 2^122, so hi < 2^58 and every
+    * intermediate stays below 2^63 — no signed overflow anywhere.
+    * (Package-visible so the spec can cross-check against BigInteger.)
+    */
+  @inline private[functions] def mulmod(a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    var r = (hi << 3) + (lo & Mod) + (lo >>> 61)
+    r = (r & Mod) + (r >>> 61)
+    if (r >= Mod) r - Mod else r
   }
 
   def hash(s: UTF8String): Long = {

@@ -57,8 +57,21 @@ final class Publisher(conf: Configuration = new Configuration()) {
       val name = entry.getPath.getName
       if (!name.startsWith("_") && !name.startsWith(".")) {
         val dest = new Path(out, name)
-        if (fs.exists(dest)) fs.delete(dest, true)
-        rename(fs, entry.getPath, dest)
+        // Crash-safe replace: park the old partition aside first, so a
+        // failure between the two renames can never lose the previous
+        // data (delete-then-rename would). The tombstone is dot-named,
+        // so readers listing the output never pick it up.
+        val tomb = new Path(out, s".${name}.replaced")
+        if (fs.exists(tomb)) fs.delete(tomb, true)
+        val existed = fs.exists(dest)
+        if (existed) rename(fs, dest, tomb)
+        try rename(fs, entry.getPath, dest)
+        catch {
+          case e: java.io.IOException =>
+            if (existed) fs.rename(tomb, dest) // restore previous data
+            throw e
+        }
+        if (existed) fs.delete(tomb, true)
         moved += 1
       }
     }

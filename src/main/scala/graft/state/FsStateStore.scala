@@ -3,7 +3,7 @@ package graft.state
 import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
 /** Filesystem-backed state store: one JSON file per (store, table) key,
   * written via temp-file + rename so readers never observe a partial
@@ -34,9 +34,13 @@ final class FsStateStore(root: String, conf: Configuration = new Configuration()
     val out = f.create(tmp, true)
     try out.write(Json.render(state).getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    if (f.exists(dest)) f.delete(dest, false)
-    if (!f.rename(tmp, dest))
-      throw new java.io.IOException(s"rename $tmp -> $dest failed")
+    // Single-step atomic replace: FileContext rename with OVERWRITE.
+    // delete-then-rename would leave a window where a reader sees the
+    // state missing and a crash loses the previous state entirely.
+    val fc =
+      if (dest.toUri.getScheme == null) FileContext.getFileContext(conf)
+      else FileContext.getFileContext(dest.toUri, conf)
+    fc.rename(tmp, dest, Options.Rename.OVERWRITE)
   }
 
   def get(store: String, key: String): Option[Map[String, String]] = {

@@ -53,10 +53,23 @@ object SchemaEvolution {
         }
       }
     }
+    // incompatible: a non-nullable target column absent from the batch
+    // means an upstream column DROP — null-filling it would be silent
+    // data loss; stop the query per the documented restart protocol.
+    val droppedNonNull = target.fields.filter(tf => !byName.contains(tf.name) && !tf.nullable)
+    if (droppedNonNull.nonEmpty) {
+      recordSchema(store, stream, observed)
+      throw new SchemaChangedException(observed,
+        s"non-nullable column(s) dropped upstream: ${droppedNonNull.map(_.name).mkString(", ")}; " +
+          "restart with recorded schema")
+    }
     val extra = observed.fields.filterNot(f => target.fieldNames.contains(f.name))
     if (extra.nonEmpty) {
-      // additive: widen the recorded schema for the next restart
-      recordSchema(store, stream, StructType(target.fields ++ extra))
+      // additive: widen the recorded schema for the next restart. New
+      // columns are recorded NULLABLE — batches predating the widening
+      // legitimately lack them (only a column present as non-nullable
+      // in the target and then dropped is data loss, handled above).
+      recordSchema(store, stream, StructType(target.fields ++ extra.map(_.copy(nullable = true))))
     }
     // conform: target columns in order, null-fill what the batch lacks
     batch.select(target.fields.map { tf =>

@@ -34,6 +34,59 @@ class RollingHashSpec extends SparkSpec {
     assert(rows(0).size > 3) // actually chunked, not one blob
   }
 
+  test("mulmod is exact multiplication mod 2^61-1 (vs BigInteger)") {
+    import java.math.BigInteger
+    val M = BigInteger.valueOf(RollingHashOps.Mod)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5000) {
+      val a = math.abs(rnd.nextLong()) % RollingHashOps.Mod
+      val b = math.abs(rnd.nextLong()) % RollingHashOps.Mod
+      val want = BigInteger.valueOf(a).multiply(BigInteger.valueOf(b)).mod(M).longValueExact()
+      assert(RollingHashOps.mulmod(a, b) == want, s"mulmod($a, $b)")
+    }
+    // boundary operands
+    for (a <- Seq(0L, 1L, RollingHashOps.Mod - 1); b <- Seq(0L, 1L, RollingHashOps.Mod - 1)) {
+      val want = BigInteger.valueOf(a).multiply(BigInteger.valueOf(b)).mod(M).longValueExact()
+      assert(RollingHashOps.mulmod(a, b) == want, s"mulmod($a, $b)")
+    }
+  }
+
+  test("chunk boundaries match a naive BigInteger reference (rolled window == fresh window)") {
+    import java.math.BigInteger
+    val M = BigInteger.valueOf(RollingHashOps.Mod)
+    val B = BigInteger.valueOf(RollingHashOps.Base)
+    def poly(bytes: Array[Byte], from: Int, until: Int): Long = {
+      var h = BigInteger.ZERO
+      for (i <- from until until) h = h.multiply(B).add(BigInteger.valueOf((bytes(i) & 0xff) + 1L)).mod(M)
+      h.longValueExact()
+    }
+    // naive reimplementation of the content-defined chunking: window
+    // hash at i computed FRESH from the last w bytes each time
+    def naiveChunks(s: String, w: Int, maskBits: Int): Seq[Long] = {
+      val bytes = s.getBytes("UTF-8")
+      val mask = (1L << maskBits) - 1
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      var start = 0
+      for (i <- bytes.indices) {
+        if (i >= w - 1 && (poly(bytes, i - w + 1, i + 1) & mask) == mask) {
+          out += poly(bytes, start, i + 1)
+          start = i + 1
+        }
+      }
+      if (start < bytes.length) out += poly(bytes, start, bytes.length)
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 30) {
+      val len = 50 + rnd.nextInt(500)
+      val s = (1 to len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val got = Seq(s).toDF("t")
+        .select(RollingHash.contentChunkHashes($"t", 16, 4).as("c"))
+        .head.getSeq[Long](0)
+      assert(got == naiveChunks(s, 16, 4), s"trial $trial")
+    }
+  }
+
   test("SQL registration via GraftExtensions") {
     graft.plans.GraftExtensions.register(spark)
     val row = spark.sql(

@@ -50,6 +50,16 @@ for name in sorted(set(list(oracle) + [d for d in os.listdir(out_dir)
     got_c, want_c = canon(got), canon(want)
     if list(got_c.columns) != list(want_c.columns):
         print(f"FAIL {name}: columns {list(got_c.columns)} vs {list(want_c.columns)}"); fails += 1; continue
+    # The driver's hash is dtype-class-sensitive (e.g. DuckDB
+    # SUM(BIGINT) -> HUGEINT -> float64 vs Spark int64 fails even with
+    # equal values), but width-insensitive (int32==int64, ns==us
+    # timestamps hashed equal in r01). Compare pandas dtype KIND.
+    dbad = [(c, str(got_c[c].dtype), str(want_c[c].dtype))
+            for c in got_c.columns
+            if got_c[c].dtype.kind != want_c[c].dtype.kind
+            and {got_c[c].dtype.kind, want_c[c].dtype.kind} != {"i", "u"}]
+    if dbad:
+        print(f"FAIL {name}: dtype kinds differ {dbad}"); fails += 1; continue
     if len(got_c) != len(want_c):
         print(f"FAIL {name}: rows {len(got_c)} vs {len(want_c)}"); fails += 1; continue
     bad = 0
