@@ -1,0 +1,208 @@
+package graft
+
+import graft.functions.{Ann, Similarity}
+
+/** DuckDB-dialect SQL builders for the oracle side of the hash-based
+  * queries (the driver's correctness gate). Each builder mirrors —
+  * arithmetic-op for arithmetic-op — the corresponding Catalyst
+  * expression, so both engines produce bit-identical values:
+  *
+  *  - FNV-1a 64 (FnvExprs.scala) is a two-ops-per-byte fold DuckDB can
+  *    replay with HUGEINT mod-2^64 arithmetic.
+  *  - The Rabin-Karp polynomial hash (RollingHashExpr.scala) is a
+  *    mod-(2^61-1) fold, same story.
+  *  - Hyperplane LSH sign bits and cosine scores reduce to
+  *    list_dot_product over DOUBLE[], which accumulates in array order
+  *    exactly like VectorOps (bitwise-equal doubles, proven by the
+  *    q_cosine_pairs gate in round 1).
+  *
+  * Seeds, coefficients and hyperplanes are interpolated as literals
+  * from the SAME Scala values the query side uses — no second source
+  * of truth. Oracles run at sf<=0.01 row counts; they favor legibility
+  * over scale (the Spark side owns the 100 TB plan).
+  */
+object OracleSql {
+  private val U64 = "CAST('18446744073709551616' AS HUGEINT)"
+  private val S63 = "CAST('9223372036854775808' AS HUGEINT)"
+  private val FnvInit = "CAST('14695981039346656037' AS HUGEINT)"
+  private val FnvPrime = "CAST('1099511628211' AS HUGEINT)"
+  private val Mersenne61 = "CAST('2305843009213693951' AS HUGEINT)"
+
+  /** FNV-1a 64 of an ASCII string expression, as unsigned HUGEINT.
+    * (documents.text is ASCII, so unicode(char) == the UTF-8 byte.)
+    */
+  private def fnvU(s: String): String =
+    s"""list_reduce(list_prepend($FnvInit,
+       |      list_transform(range(1, len($s)+1), ch_i -> CAST(unicode(substring($s, ch_i, 1)) AS HUGEINT))),
+       |      (fh, fc) -> (xor(fh, fc) * $FnvPrime) % $U64)""".stripMargin
+
+  /** Same, reinterpreted as the signed 64-bit value a Spark LongType
+    * carries: (u + 2^63) mod 2^64 - 2^63.
+    */
+  private def fnvS(s: String): String =
+    s"CAST((${fnvU(s)} + $S63) % $U64 - $S63 AS BIGINT)"
+
+  /** Oracle for q_simhash_pairs: FNV-1a SimHash (token bit-voting)
+    * rebuilt per doc, then the NAIVE within-block self-join — the
+    * pigeonhole banding on the Spark side is result-identical, so the
+    * oracle checks the banded plan against the brute-force definition.
+    */
+  def simhashPairs(maxHamming: Int): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), th AS (
+       |  SELECT doc_id, source, list_transform(toks, t -> ${fnvS("t")}) AS hs
+       |  FROM toks
+       |), sh AS (
+       |  SELECT doc_id, source,
+       |    CAST(list_sum(list_transform(range(63), sb ->
+       |      CASE WHEN 2 * len(list_filter(hs, vh -> ((vh >> sb) & 1) = 1)) - len(hs) > 0
+       |           THEN (CAST(1 AS BIGINT) << sb) ELSE CAST(0 AS BIGINT) END))
+       |    + CASE WHEN 2 * len(list_filter(hs, vh -> ((vh >> 63) & 1) = 1)) - len(hs) > 0
+       |           THEN CAST('-9223372036854775808' AS BIGINT) ELSE 0 END AS BIGINT) AS sh
+       |  FROM th
+       |)
+       |SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+       |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= $maxHamming
+       |ORDER BY source, id_a, id_b""".stripMargin
+
+  /** Oracle for q_minhash_neardups: FNV shingle hashes -> the same 16
+    * (a*h+b) mod 2^31-1 permutations (coefficients interpolated from
+    * Similarity.seededCoeffs) -> banded candidates -> agreement
+    * fraction. est_jaccard = k/16 is a dyadic rational, so the Spark
+    * side's round(..., 6) is the identity and raw division matches.
+    */
+  def minhashNearDups(threshold: Double, numHashes: Int, bands: Int): String = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val p = Similarity.MinhashPrime
+    val mins = Similarity.seededCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hms, hm_v -> ($a * ((hm_v % $p + $p) % $p) + $b) % $p)) AS s$i"
+    }.mkString(",\n    ")
+    val sigArr = (0 until numHashes).map(i => s"s$i").mkString("[", ", ", "]")
+    val bandCond = (0 until bands).map { t =>
+      s"a.sig[${t * rows + 1}:${t * rows + rows}] = b.sig[${t * rows + 1}:${t * rows + rows}]"
+    }.mkString(" OR ")
+    val est = s"CAST(len(list_filter(range($numHashes), eq_i -> a.sig[eq_i+1] = b.sig[eq_i+1])) AS DOUBLE) / $numHashes.0"
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks FROM documents
+       |), hms AS (
+       |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+       |    sh_i -> ${fnvS("array_to_string(toks[sh_i:sh_i+2], ' ')")}) AS hms
+       |  FROM toks WHERE len(toks) >= 3
+       |), mins AS (
+       |  SELECT doc_id, $mins FROM hms
+       |), sig AS (
+       |  SELECT doc_id, $sigArr AS sig FROM mins
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $est AS est_jaccard
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandCond)
+       |WHERE $est >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Oracle for q_rolling_fingerprint. doc_hash replays the whole-text
+    * polynomial fold; the boundary positions replay the rolling WINDOW
+    * hash by hashing each 16-byte window directly (winHash after byte i
+    * == polyhash(bytes[i-15..i]) — the add/remove recurrence is just an
+    * O(1) way to compute that), and n_chunks = boundaries + a trailing
+    * chunk when its hash is nonzero, exactly RollingHashOps.chunkHashes.
+    */
+  def rollingFingerprint(window: Int, maskBits: Int): String = {
+    val mask = (1L << maskBits) - 1
+    val poly = s"(h, c) -> (h * 257 + c) % $Mersenne61"
+    s"""WITH codes AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(text)+1), ch_i -> CAST(unicode(substring(text, ch_i, 1)) + 1 AS HUGEINT)) AS cs
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id, cs,
+       |    CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), cs), $poly) AS BIGINT) AS doc_hash,
+       |    list_filter(range(${window - 1}, len(cs)), w_i ->
+       |      list_reduce(cs[w_i - ${window - 2} : w_i + 1], $poly) % ${mask + 1} = $mask) AS bounds
+       |  FROM codes
+       |)
+       |SELECT doc_id, doc_hash,
+       |  CAST(len(bounds) + CASE WHEN list_reduce(
+       |      list_prepend(CAST(0 AS HUGEINT), cs[CASE WHEN len(bounds) > 0 THEN bounds[-1] + 2 ELSE 1 END : len(cs)]),
+       |      $poly) <> 0 THEN 1 ELSE 0 END AS INT) AS n_chunks
+       |FROM base
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-table LSH bucket expressions over column `e` (DOUBLE[]): bit i
+    * of table t = sign(e . plane_i), planes interpolated from
+    * Ann.hyperplanes with the exact seeds hyperplaneLsh uses. Scala's
+    * shortest-roundtrip Double.toString parses back to the same double
+    * in DuckDB, and list_dot_product accumulates in array order like
+    * VectorOps.dot — identical sign bits.
+    */
+  private def bucketExprs(nPlanes: Int, nTables: Int, dim: Int): Seq[String] =
+    (0 until nTables).map { t =>
+      val planes = Ann.hyperplanes(dim, nPlanes, seed = 0x5EED + t * 7919L)
+      planes.zipWithIndex.map { case (pl, i) =>
+        val lit = pl.mkString("[", ", ", "]")
+        s"(CASE WHEN list_dot_product(e, $lit) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", s") AS b$t")
+    }
+
+  private val CosineAB =
+    """list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"""
+
+  /** Oracle for q_ann_hyperplane_lsh: same 8 signature tables, bucket
+    * equality as candidate generation, exact cosine top-k.
+    */
+  def annHyperplaneLsh(k: Int, probeMod: Int, nPlanes: Int = 4, nTables: Int = 8,
+      dim: Int = 64): String = {
+    val buckets = bucketExprs(nPlanes, nTables, dim).mkString(",\n    ")
+    val share = (0 until nTables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    $buckets
+       |  FROM embeddings
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id, $CosineAB AS sim
+       |  FROM sig a JOIN sig b ON a.vec_id % $probeMod = 0 AND a.vec_id <> b.vec_id
+       |    AND ($share)
+       |)
+       |SELECT query_id, neighbor_id, sim FROM cand
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
+  }
+
+  /** Oracle for q_embed_neardup_resolve: LSH candidates -> cosine >=
+    * threshold edges -> TRUE connected components via a recursive CTE
+    * (transitive closure; the oracle-side graphs are tiny) -> survivor
+    * = min vec_id per component, singletons survive as-is. Also an
+    * independent check that Dedup.clusterPairs' 4 pointer-jumping
+    * rounds reach the full components on this data.
+    */
+  def embedNeardupResolve(threshold: Double, nPlanes: Int = 4, nTables: Int = 8,
+      dim: Int = 64): String = {
+    val buckets = bucketExprs(nPlanes, nTables, dim).mkString(",\n    ")
+    val share = (0 until nTables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    s"""WITH RECURSIVE sig AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    $buckets
+       |  FROM embeddings
+       |), edges AS (
+       |  SELECT DISTINCT a.vec_id AS ea, b.vec_id AS eb
+       |  FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ($share)
+       |  WHERE $CosineAB >= $threshold
+       |), sym AS (
+       |  SELECT ea AS va, eb AS vb FROM edges UNION SELECT eb, ea FROM edges
+       |), reach(va, vb) AS (
+       |  SELECT va, vb FROM sym
+       |  UNION
+       |  SELECT r.va, s.vb FROM reach r JOIN sym s ON r.vb = s.va
+       |), rep AS (
+       |  SELECT va AS id, min(vb) AS mn FROM reach GROUP BY va
+       |)
+       |SELECT e.vec_id, e.label FROM embeddings e LEFT JOIN rep r ON r.id = e.vec_id
+       |WHERE r.id IS NULL OR r.mn >= e.vec_id
+       |ORDER BY vec_id""".stripMargin
+  }
+}

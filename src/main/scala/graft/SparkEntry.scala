@@ -439,24 +439,21 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // --- MinHash + banded LSH near-dups (no SQL oracle: rows-only) ----
+    // --- MinHash + banded LSH near-dups (FNV shingle hash — the DuckDB
+    //     oracle replays signature generation end-to-end) --------------
     "q_minhash_neardups" -> ((s, dir) => {
       Similarity.minhashNearDups(t(s, dir, "documents"), "doc_id", "text",
-          threshold = 0.25, shingleN = 3, numHashes = 16, bands = 4)
+          threshold = 0.25, shingleN = 3, numHashes = 16, bands = 4, fnv = true)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // --- SimHash near-dup pairs (custom Catalyst expression; rows-only)
+    // --- SimHash near-dup pairs: pigeonhole-banded equi-join (scale
+    //     path), FNV token hash (oracle replays it); the oracle is the
+    //     naive self-join, so the gate proves band-join == brute force -
     "q_simhash_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), Similarity.simhash64(col("text")).as("sh"))
-      val a = docs.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val b = docs.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      a.join(b, Seq("source"))
-        .filter(col("id_a") < col("id_b"))
-        .withColumn("hamming", Similarity.hamming64(col("sh_a"), col("sh_b")))
-        .filter(col("hamming") <= 12)
-        .select(col("source"), col("id_a"), col("id_b"), col("hamming"))
+      Similarity.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          blockCol = "source", maxHamming = 12)
+        .withColumnRenamed("block", "source")
         .orderBy(col("source"), col("id_a"), col("id_b"))
     })
   )
@@ -760,10 +757,18 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, sim FROM scored
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= 5
-        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
-    // q_minhash_neardups / q_simhash_pairs: intentionally no oracle —
-    // signature hashes are engine-specific; the driver records the
-    // weaker rows-only check, and ScalaTest asserts recall against the
-    // exact-Jaccard pairs.
+        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin,
+
+    // Hash-heavy queries: the DuckDB SQL replays the exact FNV /
+    // polynomial / sign-bit arithmetic (builders in OracleSql.scala).
+    "q_simhash_pairs" -> OracleSql.simhashPairs(maxHamming = 12),
+    "q_minhash_neardups" -> OracleSql.minhashNearDups(threshold = 0.25, numHashes = 16, bands = 4),
+    "q_rolling_fingerprint" -> OracleSql.rollingFingerprint(window = 16, maskBits = 5),
+    "q_ann_hyperplane_lsh" -> OracleSql.annHyperplaneLsh(k = 5, probeMod = 100),
+    "q_embed_neardup_resolve" -> OracleSql.embedNeardupResolve(threshold = 0.5)
+    // q_ann_ivf: intentionally no oracle — the k-means fit reduces
+    // floats in partition order (non-deterministic summation), so no
+    // cross-engine bit-exact oracle exists; AnnSpec asserts recall
+    // against bruteForceTopK instead.
   )
 }

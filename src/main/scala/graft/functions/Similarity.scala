@@ -27,17 +27,31 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = VectorExprs.cosineSim(a, b)
 
+  /** Probes are a query *batch* in the common case — broadcast them.
+    * But the hint must be gated: an unconditional broadcast of a probe
+    * set that is a fixed FRACTION of the corpus OOMs at 100× scale.
+    * The gate costs one bounded job (`limit(bound+1).count()` scans
+    * until bound+1 rows, never the full set); above the bound the
+    * cross join runs un-hinted (AQE/planner decides) — still the
+    * inherent O(n·m) exact work, just without a driver-sized copy.
+    * Probe sets large enough to trip this belong on the ANN paths
+    * (hyperplaneLsh / IvfIndex), which exist precisely for that.
+    */
+  private[graft] val MaxBroadcastProbes = 10000L
+
+  private def gatedBroadcast(p: DataFrame): DataFrame =
+    if (p.limit((MaxBroadcastProbes + 1).toInt).count() <= MaxBroadcastProbes) broadcast(p) else p
+
   /** Brute-force ANN baseline: top-k neighbors per probe vector.
-    * probes × corpus is a broadcast-able cross join when probes is small
-    * (the common "query batch vs corpus" shape); at 100 TB corpus this is
-    * the exact-scoring final stage after candidate pruning (see IVF/LSH).
+    * At 100 TB corpus this is the exact-scoring final stage after
+    * candidate pruning (see IVF/LSH).
     */
   def bruteForceTopK(probes: DataFrame, corpus: DataFrame, k: Int,
       probeId: String = "vec_id", corpusId: String = "vec_id",
       probeVec: String = "embedding", corpusVec: String = "embedding"): DataFrame = {
     val p = probes.select(col(probeId).as("query_id"), col(probeVec).as("_qv"))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
-    val scored = broadcast(p).crossJoin(c)
+    val scored = gatedBroadcast(p).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("_qv"), col("_cv")))
     val w = Window.partitionBy(col("query_id"))
@@ -53,7 +67,7 @@ object Similarity {
       probeVec: String = "embedding", corpusVec: String = "embedding"): DataFrame = {
     val p = probes.select(col(probeId).as("query_id"), col(probeVec).as("_qv"))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("_cv"))
-    broadcast(p).crossJoin(c)
+    gatedBroadcast(p).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("_qv"), col("_cv")))
       .filter(col("sim") >= threshold)
@@ -70,7 +84,7 @@ object Similarity {
     */
   val MinhashPrime: Long = (1L << 31) - 1
 
-  private def seededCoeffs(numHashes: Int): Seq[(Long, Long)] = {
+  private[graft] def seededCoeffs(numHashes: Int): Seq[(Long, Long)] = {
     // Deterministic SplitMix64 stream — stable across runs and JVMs.
     var x = 0x9E3779B97F4A7C15L
     def next(): Long = {
@@ -107,12 +121,17 @@ object Similarity {
     * than shingleN tokens produce no row (they cannot be near-dups).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int): DataFrame = {
+      shingleN: Int, numHashes: Int, fnv: Boolean = false): DataFrame = {
     val coeffs = seededCoeffs(numHashes)
     // native one-pass shingle hashing (duplicate shingle hashes are
-    // harmless under min-aggregation, so no distinct step)
+    // harmless under min-aggregation, so no distinct step). fnv=true
+    // switches the shingle hash to FNV-1a over the shingle string —
+    // reproducible by the DuckDB oracle (see FnvExprs.scala).
+    val shingleHashExpr =
+      if (fnv) FnvShingleHashes(col(textCol), shingleN)
+      else ShingleHashes(col(textCol), shingleN)
     val exploded = docs.select(col(idCol).as("id"),
-        explode(ShingleHashes(col(textCol), shingleN)).as("h"))
+        explode(shingleHashExpr).as("h"))
       .withColumn("hm", pmod(col("h"), lit(MinhashPrime)))
     val mins = coeffs.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * col("hm") + lit(b), lit(MinhashPrime))).as(s"_m$i")
@@ -122,24 +141,30 @@ object Similarity {
       .select(col("id"), array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
   }
 
-  /** Banded LSH: split the signature into `bands` bands of `rowsPerBand`
-    * and hash each band. Docs sharing any band hash are candidates.
+  /** Banded LSH: split the signature into `bands` bands of `rowsPerBand`.
+    * Docs sharing any band are candidates. The bucket key is the band's
+    * values joined as a string — collision-FREE, so "same bucket" is
+    * exactly "same band slice" (an xxhash64 bucket would admit false
+    * candidates no SQL oracle could reproduce). ~10 bytes/hash on the
+    * wire vs 8 for a hashed bucket — immaterial next to the shuffle
+    * the candidate join already pays.
     */
   def lshBandHashes(signature: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.as("band"),
-        xxhash64(array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), ",")).as("bucket")))
+        array_join(slice(signature, b * rowsPerBand + 1, lit(rowsPerBand)), ",").as("bucket")))
 
   /** Candidate pairs via LSH band buckets: explode bands, self-join on
     * (band, bucket). Distributed end-to-end; the join key is the band
     * bucket so only colliding docs meet. Returns (id_a < id_b) pairs.
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+      shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      fnv: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     // signatures are reused three times (banding + two lookups) —
     // localCheckpoint computes them once and keeps the plan bounded
-    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes)
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes, fnv)
       .localCheckpoint(true)
     // candidate generation stays NARROW: only (id, band, bucket) is
     // shuffled/deduped; the 16-wide signatures join back afterwards,
@@ -166,8 +191,9 @@ object Similarity {
     * Jaccard >= threshold.
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4): DataFrame =
-    lshCandidatePairs(docs, idCol, textCol, shingleN, numHashes, bands)
+      threshold: Double, shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      fnv: Boolean = false): DataFrame =
+    lshCandidatePairs(docs, idCol, textCol, shingleN, numHashes, bands, fnv)
       .withColumn("est_jaccard", minhashJaccardEstimate(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
@@ -226,6 +252,51 @@ object Similarity {
     */
   def simhash64(text: Column): Column = SimHash64(text)
 
+  /** SimHash with FNV-1a token hashing — identical voting semantics,
+    * oracle-reproducible hash (see FnvExprs.scala).
+    */
+  def simhashFnv64(text: Column): Column = SimHashFnv64(text)
+
   /** Hamming distance between two 64-bit simhashes. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** All pairs within a block with hamming(simhash) <= maxHamming —
+    * EXACTLY the result of the naive block self-join, without the
+    * quadratic pair blowup. Pigeonhole banding: the 64 bits split into
+    * maxHamming+1 contiguous bands; any pair within hamming maxHamming
+    * has fewer differing bits than bands, so >= 1 band matches exactly
+    * → candidates come from an equi-join on (block, band, bits) and
+    * only candidates pay the hamming check. At 100× data this is the
+    * difference between a keyed shuffle and an O(n²)-per-block join.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCol: String, maxHamming: Int, fnv: Boolean = true): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    val nBands = maxHamming + 1
+    val shExpr = if (fnv) simhashFnv64(col(textCol)) else simhash64(col(textCol))
+    val sh = docs.select(col(blockCol).as("block"), col(idCol).as("id"), shExpr.as("sh"))
+      .localCheckpoint(true) // banding + two pair-side lookups reuse it
+    // cumulative bit offsets partition [0, 64) into nBands spans
+    val bounds = (0 to nBands).map(i => i * 64 / nBands)
+    val bandCols = (0 until nBands).map { i =>
+      val lo = bounds(i)
+      val width = bounds(i + 1) - lo
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      struct(lit(i).as("band"), (shiftrightunsigned(col("sh"), lo).bitwiseAND(lit(mask))).as("bits"))
+    }
+    val banded = sh.select(col("block"), col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("block"), col("id"), col("bb.band").as("band"), col("bb.bits").as("bits"))
+    val cand = banded.select(col("block"), col("id").as("id_a"), col("band"), col("bits"))
+      .join(banded.select(col("block"), col("id").as("id_b"), col("band"), col("bits")),
+        Seq("block", "band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("block"), col("id_a"), col("id_b"))
+      .distinct()
+    cand
+      .join(sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a")), Seq("block", "id_a"))
+      .join(sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b")), Seq("block", "id_b"))
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("block"), col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -108,6 +108,65 @@ class TextSimilaritySpec extends SparkSpec {
     assert(sims.sameElements(sims.sorted.reverse))
   }
 
+  test("fnv expressions match the reference FNV-1a 64 vectors") {
+    // vectors from the public FNV reference implementation
+    val got = Seq("abc", "", "hello").toDF("s")
+      .select(Fnv64($"s")).collect().map(_.getLong(0))
+    assert(got(0) == 0xe71fa2190541574bL)
+    assert(got(1) == 0xcbf29ce484222325L) // offset basis for empty input
+    assert(got(2) == 0xa430d84680aabd0bL)
+  }
+
+  test("fnv shingle hashes == fnv64 of the space-joined shingle strings") {
+    val df = Seq("the  quick brown fox jumps", "a b", "").toDF("text")
+    val viaShingles = df.select(FnvShingleHashes($"text", 3).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val viaStrings = df.select(
+      transform(Text.shingles($"text", 3), s => Fnv64(s)).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    viaShingles.zip(viaStrings).foreach { case (a, b) => assert(a == b) }
+    assert(viaShingles(1).isEmpty && viaShingles(2).isEmpty)
+  }
+
+  test("banded simhashPairs == naive block self-join (pigeonhole exactness)") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val banded = Similarity.simhashPairs(docs, "doc_id", "text", "source", maxHamming = 12)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val sh = docs.select($"source", $"doc_id", Similarity.simhashFnv64($"text").as("sh"))
+    val naive = sh.as("a").join(sh.as("b"),
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.source", $"a.doc_id", $"b.doc_id",
+        Similarity.hamming64($"a.sh", $"b.sh").as("hamming"))
+      .filter($"hamming" <= 12)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(banded == naive)
+    assert(banded.nonEmpty) // the fixture must actually exercise the path
+  }
+
+  test("simhashPairs candidate generation is an equi-join, not a cross blowup") {
+    val docs = graft.Tables.load(spark, sf(), "documents")
+    val plan = Similarity.simhashPairs(docs, "doc_id", "text", "source", maxHamming = 12)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "banded pairs must not cross join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "banded pairs must not BNLJ")
+  }
+
+  test("brute-force broadcast hint is gated on probe count") {
+    val e = graft.Tables.load(spark, sf(), "embeddings")
+    val few = e.limit(10)
+    val hinted = Similarity.bruteForceTopK(few, e, k = 3)
+      .queryExecution.analyzed.toString
+    assert(hinted.contains("ResolvedHint"), "small probe set should carry the broadcast hint")
+    // a probe side that is a fixed fraction of the corpus (here: all of
+    // it, conceptually 100 TB) must NOT be pinned to a broadcast
+    val bound = Similarity.MaxBroadcastProbes
+    val manyIds = spark.range(bound + 5).select($"id".as("vec_id"),
+      array((0 until 4).map(i => lit(i.toFloat)): _*).as("embedding"))
+    val unhinted = Similarity.bruteForceTopK(manyIds, manyIds, k = 3)
+      .queryExecution.analyzed.toString
+    assert(!unhinted.contains("ResolvedHint"), "large probe set must leave the join to the planner")
+  }
+
   test("ngram jaccard: identical docs in same block -> 1.0") {
     val docs = Seq(
       (1L, "b1", "one two three four five six"),
