@@ -45,28 +45,46 @@ object Compaction {
 
   /** Dedup + merge + publish. deltaCols empty = keep-any exact dedup;
     * non-empty = largest-delta-wins. Output file count is sized from
-    * the input bytes so compaction actually merges small files.
+    * the input bytes (relation FILE stats — metadata, no scan) so
+    * compaction actually merges small files.
+    *
+    * Single-pass discipline: input and output row counts ride the
+    * staged write as Observations, and the pre-dedup repartition is ON
+    * THE KEYS so the dedup aggregation reuses it — one scan of the
+    * input, one shuffle, no post-write recount. The threshold verifier
+    * therefore gates the PUBLISH, not the run: a vetoed run costs a
+    * discarded staging dir (cheap, atomic), where a pre-flight count
+    * would cost every run a full extra scan — at 100 TB the wrong
+    * trade by far.
     */
   def compact(spark: SparkSession, input: String, spec: SinkSpec,
       keys: Seq[String], deltaCols: Seq[String],
       targetFileBytes: Long = 256L * 1024 * 1024,
       minRowsThreshold: Long = 0): Either[String, CompactionStats] = {
     val df = spark.read.format(spec.format).load(input)
-    val inputRows = df.count()
+    val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = math.max(1,
+      (inputBytes / BigInt(targetFileBytes)).toInt min 10000)
+    val inObs = org.apache.spark.sql.Observation()
+    val outObs = org.apache.spark.sql.Observation()
+    // hash-repartition on the dedup keys: the aggregation's required
+    // distribution is already satisfied, so no second exchange, and the
+    // output lands in exactly nFiles files
+    val keyed = df.observe(inObs, count(lit(1)).as("rows"))
+      .repartition(nFiles, keys.map(col): _*)
+    val deduped =
+      if (deltaCols.isEmpty) Dedup.exact(keyed, keys)
+      else Dedup.keepMaxBy(keyed, keys, deltaCols)
+    val sized = deduped.observe(outObs, count(lit(1)).as("rows"))
+    val publisher = new Publisher(spark.sparkContext.hadoopConfiguration)
+    publisher.writeStaged(sized, spec)
+    val inputRows = inObs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)
+    val outputRows = outObs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)
     thresholdVerifier(minRowsThreshold)(inputRows) match {
-      case Left(reason) => Left(reason)
+      case Left(reason) =>
+        publisher.abort(spec)
+        Left(reason)
       case Right(()) =>
-        val inputBytes = spark.read.format(spec.format).load(input)
-          .queryExecution.optimizedPlan.stats.sizeInBytes
-        val nFiles = math.max(1,
-          (inputBytes / BigInt(targetFileBytes)).toInt min 10000)
-        val deduped =
-          if (deltaCols.isEmpty) Dedup.exact(df, keys)
-          else Dedup.keepMaxBy(df, keys, deltaCols)
-        val sized = deduped.repartition(nFiles)
-        val publisher = new Publisher(spark.sparkContext.hadoopConfiguration)
-        publisher.writeStaged(sized, spec)
-        val outputRows = spark.read.format(spec.format).load(spec.stagingDir).count()
         publisher.publish(spec)
         Right(CompactionStats(inputRows, outputRows, nFiles))
     }

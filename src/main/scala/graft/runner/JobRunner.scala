@@ -61,11 +61,15 @@ object JobRunner {
     val transformed = ops.foldLeft(ranged)((df, op) => op(df))
     val checked = Quality.checkRows(transformed, rowPolicies)
 
-    // quarantine side-output first (it reads the pre-filter frame)
+    // quarantine side-output first (it reads the pre-filter frame);
+    // the count rides the quarantine write via observe() — one pass,
+    // same discipline as the main write below
     val quarantined = checked.quarantined match {
       case Some(q) if quarantineDir.isDefined =>
-        q.write.mode("append").parquet(quarantineDir.get)
-        q.count() // small by construction (failed rows)
+        val qObs = org.apache.spark.sql.Observation()
+        q.observe(qObs, count(lit(1)).as("rows"))
+          .write.mode("append").parquet(quarantineDir.get)
+        qObs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)
       case Some(q) => q.count()
       case None => 0L
     }

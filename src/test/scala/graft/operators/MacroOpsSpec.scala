@@ -23,13 +23,22 @@ class MacroOpsSpec extends SparkSpec {
     assert(chunks.count(_.src.endsWith("small.bin")) == 1)
     assert(chunks.count(_.src.endsWith("big.bin")) == 3) // 5000/2048 -> 3 chunks
 
-    val res = FsCopy.execute(plan)
+    // known source mtime -> must survive the copy (attr preservation)
+    val srcMtime = 1700000000000L
+    new java.io.File(s"$src/sub/big.bin").setLastModified(srcMtime)
+    val plan2 = FsCopy.plan(spark, src, dest, splitSize = 2048)
+
+    val res = FsCopy.execute(plan2)
     assert(res.bytes == 6000)
-    assert(FsCopy.verify(plan).isEmpty)
+    assert(FsCopy.verify(plan2).isEmpty)
     // byte-identical content incl. stitched chunks
     assert(java.util.Arrays.equals(
       Files.readAllBytes(Paths.get(src, "sub", "big.bin")),
       Files.readAllBytes(Paths.get(dest, "sub", "big.bin"))))
+    assert(new java.io.File(s"$dest/sub/big.bin").lastModified() == srcMtime,
+      "stitched file must preserve the source modification time")
+    // no stray chunk parts after the distributed stitch
+    assert(!new java.io.File(s"$dest/sub").list().exists(_.contains(".chunk-")))
   }
 
   test("compaction: dedup + merge + publish with threshold verifier") {
@@ -40,19 +49,41 @@ class MacroOpsSpec extends SparkSpec {
     ev.union(ev).repartition(16).write.parquet(input)
 
     val spec = SinkSpec(s"$root/staging", s"$root/out")
-    val res = Compaction.compact(spark, input, spec,
-      keys = Seq("event_id"), deltaCols = Seq("ts", "event_id"))
+    // single-pass check: counts ride the staged write as Observations,
+    // so compact() reads the input bytes exactly once (job/stage counts
+    // are an AQE artifact; bytes read is the honest scan metric)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null) bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val res = try {
+      val r = Compaction.compact(spark, input, spec,
+        keys = Seq("event_id"), deltaCols = Seq("ts", "event_id"))
+      // listener events post asynchronously — wait until the sum settles
+      var last = -1L
+      var spins = 0
+      while (bytesRead.get() != last && spins < 20) {
+        last = bytesRead.get(); Thread.sleep(100); spins += 1
+      }
+      r
+    } finally spark.sparkContext.removeSparkListener(listener)
     assert(res.isRight)
     val stats = res.toOption.get
     assert(stats.inputRows == 2000 && stats.outputRows == 1000)
+    val onDisk = new java.io.File(input).listFiles().map(_.length()).sum
+    assert(bytesRead.get() < (onDisk * 1.5).toLong,
+      s"compact must scan the input once: read ${bytesRead.get()} of $onDisk on-disk bytes")
     assert(spark.read.parquet(s"$root/out").count() == 1000)
     assert(stats.outputFiles < 16) // small files merged
 
-    // threshold verifier vetoes
+    // threshold verifier vetoes the publish; staging is discarded
     val vetoed = Compaction.compact(spark, input, SinkSpec(s"$root/st2", s"$root/out2"),
       keys = Seq("event_id"), deltaCols = Nil, minRowsThreshold = 1000000)
     assert(vetoed.isLeft)
     assert(!new java.io.File(s"$root/out2").exists())
+    assert(!new java.io.File(s"$root/st2").exists())
   }
 
   test("compaction verifiers and recompaction condition") {
