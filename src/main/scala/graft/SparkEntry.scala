@@ -141,6 +141,34 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // --- Avro container files (AvroFiles on avro-core): parquet ->
+    //     .avro part files -> read back -> aggregate; the oracle runs
+    //     the same aggregate on the parquet, so the gate proves the
+    //     roundtrip is value-exact incl. timestamps ---------------------
+    "q_avro_roundtrip" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_avro").toString + "/events"
+      val src = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+      graft.sources.AvroFiles.write(src, tmp)
+      graft.sources.AvroFiles.read(s, tmp)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), decSumDouble(col("value")).as("sum_value"),
+          max(col("ts")).as("max_ts"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- schema handed to the engine as TEXT (the reference's schema
+    //     file form; JsonSchemaText parses the descriptor grammar) -----
+    "q_schema_text_json" -> ((s, dir) => {
+      val schema = graft.functions.JsonSchemaText.toStruct(
+        """[{"columnName": "k", "dataType": {"type": "long"}, "isNullable": true}]""")
+      Converters.parseJson("props", schema)(t(s, dir, "events"))
+        .groupBy(col("event_type"))
+        .agg(max(col("k")).as("max_k"), min(col("k")).as("min_k"),
+          count(col("k")).as("n_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- 1->N split (StringSplitterConverter -> explode) --------------
     "q_wordcount" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -291,8 +319,11 @@ object SparkEntry {
         col("event_id"),
         concat(date_format(col("ts"), "yyyy-MM-dd"), lit(" "),
           col("event_type"), lit(" [u"), col("user_id"), lit("]")).as("line"))
-      Converters.grokParse("line", "^(\\S+) (\\S+) \\[u(\\d+)\\]$",
-        Seq(("day", 1, "string"), ("etype", 2, "string"), ("uid", 3, "long")))(logs)
+      // the %{PATTERN:field:type} form exercises the Grok library end
+      // to end; the oracle's plain-regex extraction is value-identical
+      // (INT, not NONNEGINT: the latter's \b cannot match between the
+      // literal 'u' and a digit — both are word characters)
+      Converters.grok("line", "^%{NOTSPACE:day} %{NOTSPACE:etype} \\[u%{INT:uid:long}\\]$")(logs)
         .groupBy(col("day"), col("etype"))
         .agg(count(lit(1)).as("n"), countDistinct(col("uid")).as("n_users"))
         .orderBy(col("day"), col("etype"))
@@ -523,6 +554,19 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(SUM(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_avro_roundtrip" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  MAX(ts) AS max_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_schema_text_json" ->
+      """SELECT event_type,
+        |  CAST(MAX(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k,
+        |  CAST(MIN(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS BIGINT) AS min_k,
+        |  COUNT(CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT)) AS n_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_wordcount" ->

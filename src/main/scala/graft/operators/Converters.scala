@@ -138,9 +138,23 @@ object Converters {
   def grokParse(column: String, pattern: String,
       groups: Seq[(String, Int, String)], dropSource: Boolean = true): Op = df => {
     val parsed = groups.foldLeft(df) { case (d, (name, idx, typ)) =>
-      d.withColumn(name, regexp_extract(col(column), pattern, idx).cast(typ))
+      // non-matching lines extract '' -> null fields (ANSI-safe), the
+      // converter's "unparseable record" signal
+      val raw = regexp_extract(col(column), pattern, idx)
+      d.withColumn(name, nullif(raw, lit("")).cast(typ))
     }
     if (dropSource) parsed.drop(column) else parsed
+  }
+
+  /** Grok expression form — `%{IP:client} %{WORD:method}`-style pattern
+    * references expanded against the pattern library (ref
+    * GrokToJsonConverter.java:121), then parsed with [[grokParse]].
+    */
+  def grok(column: String, expr: String,
+      patterns: Map[String, String] = graft.functions.Grok.BasePatterns,
+      dropSource: Boolean = true): Op = {
+    val compiled = graft.functions.Grok.compile(expr, patterns)
+    grokParse(column, compiled.regex, compiled.groups, dropSource)
   }
 
   /** TimeBasedWriterPartitioner (gobblin-core/.../writer/partitioner/

@@ -32,6 +32,19 @@ object JdbcSource {
     spark.read.jdbc(url, table, predicates, props)
   }
 
+  /** Skew-aware incremental read: partitions planned from a probed
+    * count histogram instead of uniform watermark intervals, so a
+    * bursty source (the Salesforce problem) still yields ~targetRows
+    * per partition. Probe the histogram with a cheap GROUP BY count
+    * query, then hand it here.
+    */
+  def readIncrementalByHistogram(spark: SparkSession, url: String, table: String,
+      wmColumn: String, buckets: Seq[Partitioner.HistBucket], targetRows: Long,
+      wmType: WatermarkType, props: Properties = new Properties()): DataFrame = {
+    val predicates = Partitioner.jdbcPredicatesFromHistogram(wmColumn, buckets, targetRows, wmType)
+    spark.read.jdbc(url, table, predicates, props)
+  }
+
   /** Staging-swap write: stage with Spark's JDBC writer (parallel batch
     * inserts), then publish in ONE transaction on the driver. The swap
     * moves only rows (INSERT..SELECT runs inside the database), so the

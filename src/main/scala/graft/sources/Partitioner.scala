@@ -108,4 +108,55 @@ object Partitioner {
       predicate(column, lo, hi, t, isLast = i == iv.size - 1)
     }.toArray
   }
+
+  /** One probe-histogram bucket: `count` rows with watermark in [lo, hi). */
+  final case class HistBucket(lo: Long, hi: Long, count: Long)
+
+  /** Skew-aware range planning from a count histogram — the one source-
+    * planning algorithm Spark does not subsume. Uniform intervals give
+    * one partition 100× the rows when the source is skewed; the
+    * reference probes a coarse histogram and packs buckets into
+    * balanced ranges instead (gobblin-salesforce/.../SalesforceSource
+    * .java:272-298: getHistogram → generateWorkUnits with
+    * min.target.partition.size).
+    *
+    * Greedy pack of SORTED buckets: extend the current range while its
+    * row total stays within targetRows; a single bucket larger than
+    * targetRows becomes its own range (the histogram's granularity is
+    * the split floor — probe finer if that hurts). Ranges are made
+    * CONTIGUOUS (each ends where the next begins), so rows falling in
+    * histogram gaps are never lost.
+    */
+  def splitByHistogram(buckets: Seq[HistBucket], targetRows: Long): Seq[(Long, Long)] = {
+    require(targetRows > 0, "targetRows must be positive")
+    val sorted = buckets.sortBy(_.lo)
+    sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+      require(a.hi <= b.lo, s"overlapping histogram buckets: $a, $b")
+    }
+    if (sorted.isEmpty) return Seq.empty
+    val starts = scala.collection.mutable.ArrayBuffer(sorted.head.lo)
+    var acc = 0L
+    var hasBuckets = false // guards on membership, not rows: a zero-count
+    sorted.foreach { b =>  // bucket must not absorb an oversized neighbor
+      if (hasBuckets && acc + b.count > targetRows) {
+        starts += b.lo
+        acc = 0L
+      }
+      acc += b.count
+      hasBuckets = true
+    }
+    val bounds = starts.toSeq :+ sorted.last.hi
+    bounds.sliding(2).map { case Seq(lo, hi) => (lo, hi) }.toSeq
+  }
+
+  /** Histogram-balanced predicate list for `spark.read.jdbc` — the
+    * skew-aware alternative to [[jdbcPredicates]].
+    */
+  def jdbcPredicatesFromHistogram(column: String, buckets: Seq[HistBucket],
+      targetRows: Long, t: WatermarkType): Array[String] = {
+    val iv = splitByHistogram(buckets, targetRows)
+    iv.zipWithIndex.map { case ((lo, hi), i) =>
+      predicate(column, lo, hi, t, isLast = i == iv.size - 1)
+    }.toArray
+  }
 }

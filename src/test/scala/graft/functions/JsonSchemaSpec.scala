@@ -90,6 +90,64 @@ class JsonSchemaSpec extends SparkSpec {
     }
   }
 
+  test("schema TEXT parses the full descriptor grammar") {
+    val text =
+      """[
+        |  {"columnName": "id", "dataType": {"type": "long"}},
+        |  {"columnName": "name", "dataType": {"type": "string"}, "isNullable": true},
+        |  {"columnName": "tags", "dataType": {"type": "array", "items": "string"}},
+        |  {"columnName": "scores", "dataType": {"type": "map", "values": {"type": "double"}}},
+        |  {"columnName": "addr", "dataType": {"type": "record", "name": "addr", "values": [
+        |    {"columnName": "city", "dataType": {"type": "string"}},
+        |    {"columnName": "zip", "dataType": {"type": "int"}}
+        |  ]}},
+        |  {"columnName": "status", "dataType": {"type": "enum", "symbols": ["A", "B"]}},
+        |  {"columnName": "opt", "dataType": {"type": ["string", "null"]}},
+        |  {"columnName": "either", "dataType": {"type": ["long", "string"]}}
+        |]""".stripMargin
+    val st = JsonSchemaText.toStruct(text)
+    assert(st("id").dataType == LongType && !st("id").nullable)
+    assert(st("name").dataType == StringType && st("name").nullable)
+    assert(st("tags").dataType == ArrayType(StringType))
+    assert(st("scores").dataType == MapType(StringType, DoubleType))
+    val addr = st("addr").dataType.asInstanceOf[StructType]
+    assert(addr("city").dataType == StringType && addr("zip").dataType == IntegerType)
+    assert(st("status").dataType == StringType) // ENUM -> string
+    assert(st("opt").dataType == StringType && st("opt").nullable)
+    val u = st("either").dataType.asInstanceOf[StructType]
+    assert(u.fieldNames.toSeq == Seq("tag", "u0", "u1"))
+  }
+
+  test("schema TEXT: recursive record is eliminated, not fatal") {
+    val text =
+      """[{"columnName": "n", "dataType": {"type": "record", "name": "node", "values": [
+        |  {"columnName": "value", "dataType": {"type": "long"}},
+        |  {"columnName": "next", "dataType": {"type": "record", "name": "node", "values": [
+        |    {"columnName": "value", "dataType": {"type": "long"}}
+        |  ]}}
+        |]}}]""".stripMargin
+    val st = JsonSchemaText.toStruct(text) // must not throw
+    val n = st("n").dataType.asInstanceOf[StructType]
+    assert(n("value").dataType == LongType)
+    assert(n("next").dataType == NullType) // recursive subtree pruned
+  }
+
+  test("schema TEXT: malformed documents fail with a clear message") {
+    intercept[IllegalArgumentException](JsonSchemaText.parseFields("""{"not": "an array"}"""))
+    intercept[IllegalArgumentException](JsonSchemaText.parseFields("""[{"dataType": {"type": "long"}}]"""))
+    intercept[IllegalArgumentException](JsonSchemaText.parseFields("""[{"columnName": "x"}]"""))
+    intercept[IllegalArgumentException](JsonSchemaText.parseFields("""[{"columnName": "x", "dataType": {"type": "wat"}}]"""))
+  }
+
+  test("schema TEXT drives from_json end-to-end") {
+    val st = JsonSchemaText.toStruct(
+      """[{"columnName": "k", "dataType": {"type": "long"}},
+        |  {"columnName": "tags", "dataType": {"type": "array", "items": "string"}}]""".stripMargin)
+    val row = Seq("""{"k": 9, "tags": ["x"]}""").toDF("js")
+      .select(from_json($"js", st).as("r")).select($"r.k", $"r.tags").head
+    assert(row.getLong(0) == 9L && row.getSeq[String](1) == Seq("x"))
+  }
+
   test("date-format parsing matches reference default format semantics") {
     val df = Seq("2024-03-05 10:20:30").toDF("s")
       .select(JsonSchema.parseTimestamp($"s").as("ts"), JsonSchema.parseDate(lit("2024-03-05")).as("d"))

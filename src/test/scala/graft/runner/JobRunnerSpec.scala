@@ -84,6 +84,39 @@ class JobRunnerSpec extends SparkSpec {
     assert(!new java.io.File(staging).exists()) // staging aborted
   }
 
+  test("catalog registration: published partitions are queryable by table name") {
+    val (store, staging, out, _) = newEnv()
+    val ops = Seq(
+      Converters.withTimePartition("ts"),
+      Converters.pickFields("event_id", "event_type", "value", "wm", "date_key"))
+    val spec = graft.sink.SinkSpec(staging, out, partitionBy = Seq("date_key"))
+    val cat = new graft.sink.CatalogPublisher(spark)
+    val table = "events_registered"
+    try {
+      // first publish registers the table
+      val r1 = JobRunner.run(spark, store, job, readEvents, "wm", ops,
+        rowPolicies = Nil, taskPolicies = Nil, sink = (staging, out, Seq("date_key")))
+      assert(r1.published)
+      cat.register(spec, table)
+      assert(spark.catalog.tableExists(table))
+      assert(spark.table(table).count() == 1000)
+      val parts1 = spark.sql(s"SHOW PARTITIONS $table").count()
+      assert(parts1 > 1, "time-partitioned publish must register multiple partitions")
+
+      // a later publish adds a NEW partition; re-register must pick it
+      // up idempotently (no error, partition count grows)
+      val extra = Seq((9999L, "synthetic", 1.0, Long.MaxValue, "2099-01-01"))
+        .toDF("event_id", "event_type", "value", "wm", "date_key")
+      val pub = new graft.sink.Publisher(spark.sparkContext.hadoopConfiguration)
+      pub.writeStaged(extra, spec)
+      cat.publishAndRegister(pub, spec, table)
+      assert(spark.table(table).count() == 1001)
+      assert(spark.sql(s"SHOW PARTITIONS $table").count() == parts1 + 1)
+      // partition pruning by name works through the catalog
+      assert(spark.table(table).filter($"date_key" === "2099-01-01").count() == 1)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("quarantine side-output receives failing rows") {
     val (store, staging, out, quarantine) = newEnv()
     val r = JobRunner.run(spark, store, job, readEvents, "wm",

@@ -40,6 +40,30 @@ class JdbcSpec extends SparkSpec {
     assert(spark.read.jdbc(url, "final_t", new java.util.Properties()).count() == 3)
   }
 
+  test("histogram-planned read balances a skewed source") {
+    exec("CREATE TABLE skew_t (id BIGINT, updated BIGINT)")
+    // 10 rows spread over [0, 1000), then a 200-row burst in [500, 510)
+    (0 until 10).foreach(i => exec(s"INSERT INTO skew_t VALUES ($i, ${i * 100})"))
+    (0 until 200).foreach(i => exec(s"INSERT INTO skew_t VALUES (${100 + i}, ${500 + i % 10})"))
+
+    // probe the histogram the way a planner would: coarse bucket counts
+    val probe = spark.read.jdbc(url, "skew_t", new java.util.Properties())
+      .groupBy((org.apache.spark.sql.functions.col("updated") / 100).cast("long").as("b"))
+      .count().collect()
+      .map(r => Partitioner.HistBucket(r.getLong(0) * 100, (r.getLong(0) + 1) * 100, r.getLong(1)))
+      .sortBy(_.lo).toSeq
+
+    val df = JdbcSource.readIncrementalByHistogram(spark, url, "skew_t",
+      wmColumn = "updated", buckets = probe, targetRows = 50,
+      wmType = WatermarkType.Simple)
+    assert(df.count() == 210)
+    // the burst bucket is isolated into its own partition; quiet spans pack
+    val perPartition = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(perPartition.max >= 200, "burst rows concentrate in the probed hot range")
+    assert(perPartition.count(_ > 50) == 1,
+      s"only the histogram-floor partition may exceed target: ${perPartition.mkString(",")}")
+  }
+
   test("incremental read partitions by watermark predicates") {
     exec("CREATE TABLE src_t (id BIGINT, updated BIGINT)")
     (1L to 100L).foreach(i => exec(s"INSERT INTO src_t VALUES ($i, ${i * 10})"))
