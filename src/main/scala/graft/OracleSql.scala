@@ -173,6 +173,42 @@ object OracleSql {
        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
   }
 
+  /** Oracle for q_ann_ivf: replays Ann.sampledIvf + IvfIndex.search —
+    * centroids are the nCentroids vectors with smallest md5("ivf|"+id)
+    * (cid in ascending vec_id), corpus rows assign to their argmax-dot
+    * centroid, probes fan out to their nProbe best lists, exact cosine
+    * top-k within the probed lists. Argmax/top-n tie-breaks are
+    * (dot DESC, cid ASC) on both engines; dot products accumulate in
+    * array order (bit-equal doubles, same as the LSH oracles).
+    */
+  def annIvf(k: Int, nProbe: Int, nCentroids: Int, probeMod: Int): String =
+    s"""WITH seeds AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  ORDER BY md5('ivf' || '|' || vec_id), vec_id LIMIT $nCentroids
+       |), cents AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e FROM seeds
+       |), scored AS (
+       |  SELECT v.vec_id, c.cid,
+       |    list_dot_product(CAST(v.embedding AS DOUBLE[]), c.e) AS dot
+       |  FROM embeddings v CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vec_id, cid FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) = 1
+       |), plists AS (
+       |  SELECT vec_id, cid FROM scored WHERE vec_id % $probeMod = 0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) <= $nProbe
+       |), vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), cand AS (
+       |  SELECT p.vec_id AS query_id, v.vec_id AS neighbor_id, $CosineAB AS sim
+       |  FROM plists p JOIN assign v ON p.cid = v.cid AND p.vec_id <> v.vec_id
+       |  JOIN vecs a ON a.vec_id = p.vec_id
+       |  JOIN vecs b ON b.vec_id = v.vec_id
+       |)
+       |SELECT query_id, neighbor_id, sim FROM cand
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
+
   /** Oracle for q_embed_neardup_resolve: LSH candidates -> cosine >=
     * threshold edges -> TRUE connected components via a recursive CTE
     * (transitive closure; the oracle-side graphs are tiny) -> survivor

@@ -442,7 +442,11 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
-      val idx = graft.functions.Ann.fitIvf(e, k = 8)
+      // sampled (md5-deterministic) coarse quantizer so the DuckDB
+      // oracle can replay it bit-for-bit; the KMeans-fitted variant
+      // (Ann.fitIvf) shares the identical search plan and keeps its
+      // recall gate in AnnSpec.
+      val idx = graft.functions.Ann.sampledIvf(e, k = 8)
       idx.search(probes, e, k = 5, nProbe = 4)
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
     }),
@@ -809,10 +813,7 @@ object SparkEntry {
     "q_minhash_neardups" -> OracleSql.minhashNearDups(threshold = 0.25, numHashes = 16, bands = 4),
     "q_rolling_fingerprint" -> OracleSql.rollingFingerprint(window = 16, maskBits = 5),
     "q_ann_hyperplane_lsh" -> OracleSql.annHyperplaneLsh(k = 5, probeMod = 100),
-    "q_embed_neardup_resolve" -> OracleSql.embedNeardupResolve(threshold = 0.5)
-    // q_ann_ivf: intentionally no oracle — the k-means fit reduces
-    // floats in partition order (non-deterministic summation), so no
-    // cross-engine bit-exact oracle exists; AnnSpec asserts recall
-    // against bruteForceTopK instead.
+    "q_embed_neardup_resolve" -> OracleSql.embedNeardupResolve(threshold = 0.5),
+    "q_ann_ivf" -> OracleSql.annIvf(k = 5, nProbe = 4, nCentroids = 8, probeMod = 100)
   )
 }
