@@ -173,6 +173,24 @@ object OracleSql {
        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
   }
 
+  /** Oracle for q_rotating_aes: the decrypt(encrypt(x)) frame is the
+    * identity on text, and the rotated key choice replays
+    * RotatingAes.pickKeyId — FNV-1a of "aesrot|doc_id", positive mod
+    * the key count, indexed into the ascending key ids. (AES itself
+    * has no DuckDB primitive; the gate checks the roundtrip identity
+    * and the exact key schedule, while RotatingAesSpec checks the wire
+    * bytes against an independent JCE decrypt.)
+    */
+  def rotatingAes(keyIds: Seq[Int]): String = {
+    val n = keyIds.size
+    val arr = keyIds.sorted.mkString("[", ", ", "]")
+    val saltedId = "('aesrot' || '|' || doc_id)"
+    s"""SELECT doc_id,
+       |  CAST($arr[CAST(((${fnvS(saltedId)} % $n) + $n) % $n AS INT) + 1] AS INT) AS key_id,
+       |  text AS decrypted
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle for q_ann_ivf: replays Ann.sampledIvf + IvfIndex.search —
     * centroids are the nCentroids vectors with smallest md5("ivf|"+id)
     * (cid in ascending vec_id), corpus rows assign to their argmax-dot

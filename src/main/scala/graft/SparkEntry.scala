@@ -24,6 +24,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Fixed 3-key store for q_rotating_aes (ids chosen non-contiguous
+    * to prove the id->key mapping, not just an index).
+    */
+  private val AesStore = graft.functions.RotatingAes.CredentialStore(Map(
+    1 -> Array.tabulate(16)(_.toByte),
+    7 -> Array.tabulate(16)(i => (255 - i).toByte),
+    23 -> "0123456789abcdef".getBytes("UTF-8")))
+
   private val dec18_2 = DecimalType(18, 2)
   private val dec4_2 = DecimalType(4, 2)
   private def decSumDouble(c: Column): Column = sum(c.cast(dec18_2)).cast("double")
@@ -335,6 +343,21 @@ object SparkEntry {
         .withColumn("enc", expr("aes_encrypt(cast(text as binary), '0123456789abcdef')"))
         .withColumn("text_rt", expr("cast(aes_decrypt(enc, '0123456789abcdef') as string)"))
         .select(col("doc_id"), col("text_rt"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- key-rotating AES with a credential store (ref
+    //     RotatingAESCodec + JsonCredentialStore): encrypt each doc
+    //     under a deterministically rotated key in the reference wire
+    //     format, read the keyId back from the header, decrypt ---------
+    "q_rotating_aes" -> ((s, dir) => {
+      import graft.functions.RotatingAes
+      val docs = t(s, dir, "documents")
+      val kid = RotatingAes.pickKeyId(AesStore, col("doc_id"))
+      docs.withColumn("enc", RotatingAes.encrypt(col("text"), kid, AesStore))
+        .select(col("doc_id"),
+          RotatingAes.keyId(col("enc")).as("key_id"),
+          RotatingAes.decrypt(col("enc"), AesStore).cast("string").as("decrypted"))
         .orderBy(col("doc_id"))
     }),
 
@@ -747,6 +770,8 @@ object SparkEntry {
 
     "q_aes_roundtrip" ->
       "SELECT doc_id, text AS text_rt FROM documents ORDER BY doc_id",
+
+    "q_rotating_aes" -> OracleSql.rotatingAes(keyIds = Seq(1, 7, 23)),
 
     "q_rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus,
