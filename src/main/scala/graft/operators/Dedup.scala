@@ -69,25 +69,28 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("rep", "nrep"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nrep")).as("mrep"))
-      val stepped = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("rep"), coalesce(col("mrep"), col("rep"))).as("rep"))
+      val stepped = labels.select(col("id"), col("rep").as("_old"))
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("_old"),
+          least(col("_old"), coalesce(col("mrep"), col("_old"))).as("rep"))
       // …then pointer-jumps to its rep's rep (path compression) —
       // together the reached distance doubles per round (log diameter)
       val jumped = stepped
         .join(stepped.select(col("id").as("rep"), col("rep").as("rep2")), Seq("rep"), "left")
-        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"))
+        .select(col("id"), coalesce(col("rep2"), col("rep")).as("rep"), col("_old"))
       // localCheckpoint truncates lineage — without it the iterated
-      // join nests plans exponentially and analysis OOMs
-      val next = jumped.localCheckpoint(true)
+      // join nests plans exponentially and analysis OOMs. The changed
+      // flag rides INSIDE the checkpointed row, so the convergence
+      // probe is a scan of already-materialized partitions — no join
+      // against the previous labels, no second pass over the plan.
+      val next = jumped
+        .withColumn("_chg", col("rep") =!= col("_old"))
+        .select(col("id"), col("rep"), col("_chg"))
+        .localCheckpoint(true)
       if (earlyStop) {
-        // convergence probe costs one extra job per round — skip it
-        // (earlyStop=false) when a fixed round count is known to cover
-        // the cluster diameter (2^maxIter hops)
-        val changed = next.join(labels.withColumnRenamed("rep", "old"), Seq("id"))
-          .filter(col("rep") =!= col("old")).limit(1).count()
-        converged = changed == 0
+        converged = next.filter(col("_chg")).limit(1).isEmpty
       }
-      labels = next
+      labels = next.select(col("id"), col("rep"))
       i += 1
     }
     labels
@@ -99,9 +102,9 @@ object Dedup {
     */
   def resolveNearDups(docs: DataFrame, pairs: DataFrame, idCol: String,
       scoreCol: String, tieBreak: String): DataFrame = {
-    // fixed 4 rounds (2^4 = 16-hop diameter, far beyond near-dup
-    // clusters) without per-round convergence probes
-    val clusters = clusterPairs(pairs, maxIter = 4, earlyStop = false)
+    // early-stop as soon as a round changes nothing (the probe rides
+    // the checkpoint, so it's ~free); 4 rounds = 16-hop diameter cap
+    val clusters = clusterPairs(pairs, maxIter = 4, earlyStop = true)
     val tagged = docs.join(clusters.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("_cluster", coalesce(col("rep"), col(idCol)))
     keepMaxBy(tagged, Seq("_cluster"), Seq(scoreCol, tieBreak))
