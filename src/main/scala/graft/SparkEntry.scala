@@ -213,6 +213,37 @@ object SparkEntry {
     }),
 
     // --- sessionization (streaming-state analog, batch form) ----------
+    // --- streaming end-to-end (§2.8): a REAL Structured Streaming
+    //     query over the events table — file stream -> watermark ->
+    //     1h tumbling window agg -> append-mode parquet sink, run to
+    //     completion with Trigger.AvailableNow. Append mode emits
+    //     exactly the windows the final watermark (max event time,
+    //     0s delay, ms precision) has closed; the oracle replays that
+    //     cutoff in integer arithmetic. sum rides on floor(value*1000)
+    //     longs: order-independent, bit-exact cross-engine ------------
+    "q_stream_window_counts" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      val src = s"$dir/events.parquet"
+      val rawSchema = s.read.parquet(src).schema // ts as nanos long
+      // the file-stream source wants a DIRECTORY to watch
+      val inDir = java.nio.file.Files.createTempDirectory("q_stream_in")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+        inDir.resolve("events.parquet"))
+      val stream = StreamingIngest.readFileStream(s, rawSchema, inDir.toString)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val agg = stream
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_v_milli"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_v_milli"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_wc").toString
+      StreamingIngest.runAvailableNow(agg, s"$tmp/data", s"$tmp/ck")
+      s.read.parquet(s"$tmp/data")
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       Sessionize.sessionize(t(s, dir, "events"), "user_id", "ts", "event_id",
           gapMicros = 1800L * 1000 * 1000)
@@ -620,6 +651,23 @@ object SparkEntry {
     "q_limit_topk" ->
       """SELECT event_id, value FROM events
         |ORDER BY value DESC, event_id LIMIT 100""".stripMargin,
+
+    "q_stream_window_counts" ->
+      // the final watermark is max event time (ms precision, 0s
+      // delay); append mode emitted exactly the windows whose end <=
+      // that watermark. time_bucket is epoch-aligned like Spark's
+      // window(); the sum is over exact longs.
+      """WITH mx AS (
+        |  SELECT epoch_us(max(ts)) // 1000 AS max_ms FROM events
+        |), agg AS (
+        |  SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+        |    event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT window_start, event_type, n, sum_v_milli FROM agg, mx
+        |WHERE epoch_ms(CAST(window_start AS TIMESTAMP) + INTERVAL 1 HOUR) <= max_ms
+        |ORDER BY window_start, event_type""".stripMargin,
 
     "q_sessionize" ->
       """WITH marked AS (

@@ -42,6 +42,24 @@ object StreamingIngest {
     if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
   }
 
+  /** Run an append-mode streaming plan over a static source to
+    * completion (Trigger.AvailableNow + parquet sink): all available
+    * data is processed, the final no-data micro-batch advances the
+    * watermark and flushes closed windows, then the query stops. This
+    * makes streaming semantics batch-replayable — the driver's
+    * correctness gate can diff the sink against a batch oracle.
+    */
+  def runAvailableNow(out: DataFrame, outputDir: String, checkpointDir: String): Unit = {
+    val q = out.writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Event-time windowed aggregation with late-data watermark — the
     * capability the reference delegates to offline compaction (§2.8),
     * done online: counts+sums per (window, key).
