@@ -244,6 +244,29 @@ object SparkEntry {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // --- streaming stateful dedup across micro-batches: the SAME
+    //     events file staged twice, maxFilesPerTrigger=1 so the copies
+    //     arrive in separate micro-batches, dropDuplicates state (TTL
+    //     via watermark) suppresses the replay — output is each event
+    //     exactly once. The streaming face of compaction dedup -------
+    "q_stream_dedup" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      val src = s"$dir/events.parquet"
+      val rawSchema = s.read.parquet(src).schema
+      val inDir = java.nio.file.Files.createTempDirectory("q_stream_dd")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src), inDir.resolve("a.parquet"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src), inDir.resolve("b.parquet"))
+      val stream = StreamingIngest
+        .readFileStream(s, rawSchema, inDir.toString, maxFilesPerTrigger = Some(1))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val dd = StreamingIngest.streamingDedup(stream, "ts", "1 hour", Seq("event_id"))
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * 1000).cast("long").as("v_milli"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_dd_out").toString
+      StreamingIngest.runAvailableNow(dd, s"$tmp/data", s"$tmp/ck")
+      s.read.parquet(s"$tmp/data").orderBy(col("event_id"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       Sessionize.sessionize(t(s, dir, "events"), "user_id", "ts", "event_id",
           gapMicros = 1800L * 1000 * 1000)
@@ -668,6 +691,13 @@ object SparkEntry {
         |SELECT window_start, event_type, n, sum_v_milli FROM agg, mx
         |WHERE epoch_ms(CAST(window_start AS TIMESTAMP) + INTERVAL 1 HOUR) <= max_ms
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_dedup" ->
+      // doubled input, exactly-once output: the oracle is one row per
+      // event (the input had no duplicate event_ids to begin with)
+      """SELECT event_id, event_type,
+        |  CAST(floor(value * 1000) AS BIGINT) AS v_milli
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_sessionize" ->
       """WITH marked AS (
