@@ -415,6 +415,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // --- skew-safe two-phase aggregation: event_type is a hot key
+    //     (6 values over the whole table); the salted partial spreads
+    //     each over 16 reducers, the final agg merges. Result must be
+    //     IDENTICAL to the plain group-by (the oracle) ----------------
+    "q_skew_agg" -> ((s, dir) => {
+      graft.operators.Skew.saltedAgg(
+          t(s, dir, "events"), keyCols = Seq("event_type"),
+          saltFrom = Seq("event_id"), buckets = 16,
+          partialAggs = Seq(count(lit(1)).as("_n"),
+            sum(floor(col("value") * 1000).cast("long")).as("_sv"),
+            min(col("event_id")).as("_mn")),
+          finalAggs = Seq(sum(col("_n")).as("n"),
+            sum(col("_sv")).as("sum_v_milli"),
+            min(col("_mn")).as("min_event_id")))
+        .orderBy(col("event_type"))
+    }),
+
     // --- rollup totals (extension beyond reference surface) -----------
     "q_rollup_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -850,6 +867,14 @@ object SparkEntry {
       "SELECT doc_id, text AS text_rt FROM documents ORDER BY doc_id",
 
     "q_rotating_aes" -> OracleSql.rotatingAes(keyIds = Seq(1, 7, 23)),
+
+    "q_skew_agg" ->
+      // the salted two-phase agg must equal the plain group-by
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli,
+        |  MIN(event_id) AS min_event_id
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_rollup_pricing" ->
       """SELECT l_returnflag, l_linestatus,

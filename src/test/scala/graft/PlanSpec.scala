@@ -47,4 +47,32 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_dedup_delta")
     assert(p.contains("partial_max_by") || p.contains("partial_"))
   }
+
+  test("simhash pairs: banded equi-join, no cartesian/BNLJ pair blowup") {
+    val p = plan("q_simhash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("hyperplane LSH: one signature pass per side (no per-table scans)") {
+    val p = plan("q_ann_hyperplane_lsh")
+    // one Generate (explode of the 8-table signature array) per side;
+    // the round-1 shape materialized the corpus once PER TABLE
+    assert("\\bGenerate\\b".r.findAllIn(p).size <= 2, s"expected <=2 Generates:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("ann ivf: candidate generation is a bucket equi-join, windows rank-limited") {
+    val p = plan("q_ann_ivf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("WindowGroupLimit")) // top-k pushed before full sort
+  }
+
+  test("rotating aes: pure column projection — one scan, no extra exchange") {
+    val p = plan("q_rotating_aes")
+    // encrypt/decrypt stay column expressions: a single parquet scan
+    // feeding projections, and the only exchange is the final sort
+    assert(!p.contains("MapPartitions") && !p.contains("BatchEvalPython"))
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert("\\bExchange\\b".r.findAllIn(p).size <= 1)
+  }
 }
