@@ -173,6 +173,28 @@ object OracleSql {
        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
   }
 
+  /** Oracle for q_sql_surface: replays fnv64() and simhash_fnv64() —
+    * the two SQL-registered native expressions with exact DuckDB
+    * arithmetic — for every document. Proves the
+    * SparkSessionExtensions registration path end-to-end, not just the
+    * Column API.
+    */
+  def sqlSurface: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+       |  FROM documents
+       |), th AS (
+       |  SELECT doc_id, text, list_transform(toks, t -> ${fnvS("t")}) AS hs
+       |  FROM toks
+       |)
+       |SELECT doc_id, ${fnvS("text")} AS text_fnv,
+       |  CAST(list_sum(list_transform(range(63), sb ->
+       |    CASE WHEN 2 * len(list_filter(hs, vh -> ((vh >> sb) & 1) = 1)) - len(hs) > 0
+       |         THEN (CAST(1 AS BIGINT) << sb) ELSE CAST(0 AS BIGINT) END))
+       |  + CASE WHEN 2 * len(list_filter(hs, vh -> ((vh >> 63) & 1) = 1)) - len(hs) > 0
+       |         THEN CAST('-9223372036854775808' AS BIGINT) ELSE 0 END AS BIGINT) AS text_simhash
+       |FROM th ORDER BY doc_id""".stripMargin
+
   /** Oracle for q_rotating_aes: the decrypt(encrypt(x)) frame is the
     * identity on text, and the rotated key choice replays
     * RotatingAes.pickKeyId — FNV-1a of "aesrot|doc_id", positive mod

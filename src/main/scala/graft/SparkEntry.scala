@@ -432,6 +432,17 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // --- SQL surface: the SparkSessionExtensions-registered native
+    //     expressions driven through spark.sql (a reference user's
+    //     SQL-first entry point), not the Column API -------------------
+    "q_sql_surface" -> ((s, dir) => {
+      graft.plans.GraftExtensions.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql("""SELECT doc_id, fnv64(text) AS text_fnv,
+              |  simhash_fnv64(text) AS text_simhash
+              |FROM graft_documents ORDER BY doc_id""".stripMargin)
+    }),
+
     // --- rollup totals (extension beyond reference surface) -----------
     "q_rollup_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -867,6 +878,8 @@ object SparkEntry {
       "SELECT doc_id, text AS text_rt FROM documents ORDER BY doc_id",
 
     "q_rotating_aes" -> OracleSql.rotatingAes(keyIds = Seq(1, 7, 23)),
+
+    "q_sql_surface" -> OracleSql.sqlSurface,
 
     "q_skew_agg" ->
       // the salted two-phase agg must equal the plain group-by

@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ContentChunkHashes, RollingHash64, SimHash64}
+import graft.functions.{ContentChunkHashes, CosineSimilarity, DotProduct,
+  Fnv64, FnvShingleHashes, RollingHash64, ShingleHashes, SimHash64,
+  SimHashFnv64, StringShingles}
 
 /** SparkSessionExtensions registration: exposes graft's native
   * Catalyst expressions to SQL. Enable with
@@ -42,7 +44,28 @@ object GraftExtensions {
         case Seq(c, w, m) => ContentChunkHashes(c, intLit(w, "window"), intLit(m, "maskBits"))
         case _ => throw new IllegalArgumentException(
           "content_chunk_hashes(text[, window, maskBits])")
-      }))
+      }),
+    (FunctionIdentifier("fnv64"),
+      new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),
+      (args: Seq[Expression]) => Fnv64(args.head)),
+    (FunctionIdentifier("simhash_fnv64"),
+      new ExpressionInfo(classOf[SimHashFnv64].getName, "simhash_fnv64"),
+      (args: Seq[Expression]) => SimHashFnv64(args.head)),
+    (FunctionIdentifier("fnv_shingle_hashes"),
+      new ExpressionInfo(classOf[FnvShingleHashes].getName, "fnv_shingle_hashes"),
+      (args: Seq[Expression]) => FnvShingleHashes(args.head, intLit(args(1), "n"))),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => ShingleHashes(args.head, intLit(args(1), "n"))),
+    (FunctionIdentifier("string_shingles"),
+      new ExpressionInfo(classOf[StringShingles].getName, "string_shingles"),
+      (args: Seq[Expression]) => StringShingles(args.head, intLit(args(1), "n"))),
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
+      (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))),
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args.head, args(1))))
 
   /** Register into an already-built session (tests, notebooks). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
