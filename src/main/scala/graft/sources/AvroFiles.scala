@@ -236,19 +236,47 @@ object AvroFiles {
     * schema is the registry-resolved schema text.
     */
   def decodeDatums(spark: SparkSession, payloads: DataFrame, bytesCol: String,
-      writerSchemaJson: String): DataFrame = {
-    val sparkSchema = sparkType(new Schema.Parser().parse(writerSchemaJson))
-      .asInstanceOf[StructType]
-    val idx = payloads.schema.fieldIndex(bytesCol)
-    val rows = payloads.rdd.mapPartitions { it =>
-      val schema = new Schema.Parser().parse(writerSchemaJson)
-      val reader = new GenericDatumReader[GenericRecord](schema)
-      var decoder: org.apache.avro.io.BinaryDecoder = null
-      it.map { row =>
-        decoder = DecoderFactory.get().binaryDecoder(row.getAs[Array[Byte]](idx), decoder)
-        toRowValue(reader.read(null, decoder), schema).asInstanceOf[Row]
-      }
-    }
-    spark.createDataFrame(rows, sparkSchema)
+      writerSchemaJson: String): DataFrame =
+    payloads
+      .select(AvroDatumDecode(org.apache.spark.sql.functions.col(bytesCol),
+        writerSchemaJson).as("_r"))
+      .select("_r.*")
+}
+
+/** Binary Avro datum -> Spark struct as a Catalyst expression — the
+  * `from_avro` equivalent for this connector-less classpath, same
+  * design as spark-avro's AvroDataToCatalyst (an eval-mode
+  * UnaryExpression with CodegenFallback: datum decoding is inherently
+  * object work; the surrounding projection stays codegen'd). Reader
+  * and converter are per-task lazies; the BinaryDecoder is reused
+  * across rows.
+  */
+case class AvroDatumDecode(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    schemaJson: String)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val reader = new GenericDatumReader[GenericRecord](avroSchema)
+  @transient private lazy val toCatalyst =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(dataType)
+  @transient private var decoder: org.apache.avro.io.BinaryDecoder = _
+
+  override def dataType: DataType = AvroFiles.sparkType(new Schema.Parser().parse(schemaJson))
+  override def prettyName: String = "avro_datum_decode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    decoder = DecoderFactory.get().binaryDecoder(input.asInstanceOf[Array[Byte]], decoder)
+    toCatalyst(AvroFiles.toRowValue(reader.read(null, decoder), avroSchema))
   }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): AvroDatumDecode =
+    copy(child = newChild)
+}
+
+object AvroDatumDecode {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  def apply(bytes: org.apache.spark.sql.Column, schemaJson: String): org.apache.spark.sql.Column =
+    ColumnShim.toColumn(AvroDatumDecode(ColumnShim.toExpression(bytes), schemaJson))
 }

@@ -13,9 +13,10 @@ import org.apache.spark.sql.types.DataType
   * The registry here is an in-process map (schemaId -> StructType);
   * a remote registry client plugs in by materializing the same map on
   * the driver (schema sets are tiny and change rarely — the reference
-  * caches them per-task the same way). Payloads are JSON in this
-  * container (no avro datasource jar); with spark-avro present,
-  * `from_json` swaps for `from_avro` unchanged.
+  * caches them per-task the same way). JSON payloads decode via
+  * `from_json` ([[decode]]); binary Avro datums via
+  * [[decodeAvro]] / [[graft.sources.AvroDatumDecode]] (the from_avro
+  * equivalent built on avro-core — no connector jar needed).
   *
   * Everything is column-expression (codegen'd): header parsing is
   * substring/conv arithmetic, per-schema decode is a when() chain over
@@ -47,6 +48,22 @@ object Envelope {
       d.withColumn(s"decoded_$id",
         when(col("schema_id") === id,
           from_json(payload(env).cast("string"), schema)))
+    }
+  }
+
+  /** Avro-payload variant of [[decode]]: the registry maps schemaId ->
+    * writer schema JSON, each payload decodes through
+    * [[graft.sources.AvroDatumDecode]] (the from_avro equivalent on
+    * this classpath). Same null-for-unknown-id contract.
+    */
+  def decodeAvro(df: DataFrame, envelopeCol: String,
+      registry: Map[Int, String]): DataFrame = {
+    val env = col(envelopeCol)
+    val withId = df.withColumn("schema_id", schemaId(env))
+    registry.foldLeft(withId) { case (d, (id, schemaJson)) =>
+      d.withColumn(s"decoded_$id",
+        when(col("schema_id") === id,
+          graft.sources.AvroDatumDecode(payload(env), schemaJson)))
     }
   }
 
