@@ -67,6 +67,26 @@ class RotatingAesSpec extends SparkSpec {
     assert(rt == "interop")
   }
 
+  test("property: arbitrary binary payloads roundtrip (200 seeded cases)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4242)
+    val payloads = (0 until 200).map { i =>
+      val len = rng.nextInt(300) // includes 0-length
+      val b = new Array[Byte](len); rng.nextBytes(b)
+      (i.toLong, b)
+    } :+ (200L, Array.tabulate(256)(_.toByte)) // every byte value once
+    val df = payloads.toDF("id", "payload")
+    val out = df
+      .withColumn("enc", encrypt(col("payload"), pickKeyId(store, col("id")), store))
+      .select(col("id"), col("payload"), decrypt(col("enc"), store).as("rt"))
+      .collect()
+    out.foreach { r =>
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("rt"), r.getAs[Array[Byte]]("payload")),
+        s"roundtrip mismatch for id ${r.getLong(0)}")
+    }
+  }
+
   test("rejects malformed stores") {
     intercept[IllegalArgumentException](
       CredentialStore(Map(1 -> Array.fill(8)(0.toByte)))) // wrong key length
