@@ -48,7 +48,7 @@ object RotatingAes {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val tree = mapper.readTree(Files.readAllBytes(Paths.get(path)))
       require(tree.isObject, s"credential store $path is not a JSON object")
-      val keys = tree.fields().asScala.map { e =>
+      val keys = tree.properties().asScala.map { e =>
         e.getKey.toInt -> hexDecode(e.getValue.asText())
       }.toMap
       CredentialStore(keys)
@@ -75,7 +75,7 @@ object RotatingAes {
     */
   def pickKeyId(store: CredentialStore, rowId: Column): Column = {
     val idx = pmod(Fnv64(concat_ws("|", lit("aesrot"), rowId)), lit(store.ids.length))
-    val arr = array(store.ids.map(lit(_)): _*)
+    val arr = array(store.ids.toIndexedSeq.map(lit(_)): _*)
     element_at(arr, (idx + 1).cast("int"))
   }
 

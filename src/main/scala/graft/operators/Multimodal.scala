@@ -107,7 +107,7 @@ object Multimodal {
     */
   def repartitionForBytes(media: DataFrame, targetBytesPerPartition: Long): DataFrame = {
     val totalBytes = media.agg(sum(coalesce(length(col("content")), lit(0))))
-      .head.getAs[Any](0) match {
+      .head().getAs[Any](0) match {
         case null => 0L
         case l: Long => l
         case d: java.math.BigDecimal => d.longValue
