@@ -36,10 +36,11 @@ import graft.state.FsStateStore
   * }}}
   *
   * Op vocabulary (ordered via `ops=`): filter, pick, timePartition,
-  * regexFilter, sample, dropColumns, sqlExpr. Predicates/expressions
-  * are Spark SQL fragments (`expr(...)`) — the full column-function
-  * surface without naming JVM classes, replacing the reference's
-  * `converter.classes` FQCN lists.
+  * regexFilter, sample, dropColumns, sqlExpr, grok (pattern-library
+  * parse), encrypt/decrypt (rotating-AES over a JSON keystore).
+  * Predicates/expressions are Spark SQL fragments (`expr(...)`) — the
+  * full column-function surface without naming JVM classes, replacing
+  * the reference's `converter.classes` FQCN lists.
   */
 object JobConfig {
 
@@ -70,6 +71,22 @@ object JobConfig {
         df.drop(req(p, "op.dropColumns.fields").split(",").map(_.trim).toIndexedSeq: _*)
       case "sqlExpr" => (df: DataFrame) =>
         df.selectExpr(req(p, "op.sqlExpr.exprs").split(";").map(_.trim).toIndexedSeq: _*)
+      case "grok" => Converters.grok(
+        req(p, "op.grok.column"), req(p, "op.grok.pattern"),
+        dropSource = opt(p, "op.grok.keepSource").isEmpty)
+      case "encrypt" => (df: DataFrame) => {
+        import graft.functions.RotatingAes
+        val store = RotatingAes.CredentialStore.fromJsonFile(req(p, "op.encrypt.keystore"))
+        val c = req(p, "op.encrypt.column")
+        df.withColumn(c,
+          RotatingAes.encrypt(col(c), RotatingAes.pickKeyId(store, col(req(p, "op.encrypt.idColumn"))), store))
+      }
+      case "decrypt" => (df: DataFrame) => {
+        import graft.functions.RotatingAes
+        val store = RotatingAes.CredentialStore.fromJsonFile(req(p, "op.decrypt.keystore"))
+        val c = req(p, "op.decrypt.column")
+        df.withColumn(c, RotatingAes.decrypt(col(c), store).cast("string"))
+      }
       case other => throw new IllegalArgumentException(s"unknown op: $other")
     }
 

@@ -43,6 +43,41 @@ class JobConfigSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/out").count() == r1.rowsWritten)
   }
 
+  test("declarative encrypt/decrypt ops roundtrip through a JSON keystore") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ks = java.nio.file.Files.createTempFile("ks", ".json")
+    java.nio.file.Files.writeString(ks,
+      """{"3": "000102030405060708090a0b0c0d0e0f", "8": "ffeeddccbbaa99887766554433221100"}""")
+    val conf =
+      s"""ops=encrypt,decrypt
+         |op.encrypt.keystore=$ks
+         |op.encrypt.column=secret
+         |op.encrypt.idColumn=id
+         |op.decrypt.keystore=$ks
+         |op.decrypt.column=secret
+         |""".stripMargin
+    val ops = JobConfig.buildOps(JobConfig.parse(conf))
+    val df = spark.range(20).select(col("id"), concat(lit("v"), col("id")).as("secret"))
+    val out = ops.foldLeft(df)((d, op) => op(d)).collect()
+    out.foreach(r => assert(r.getString(1) == s"v${r.getLong(0)}"))
+  }
+
+  test("declarative grok op parses with the pattern dictionary") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val conf =
+      s"""ops=grok
+         |op.grok.column=line
+         |op.grok.pattern=^%{IP:client} %{WORD:method} %{INT:code:int}$$
+         |""".stripMargin
+    val ops = JobConfig.buildOps(JobConfig.parse(conf))
+    val df = Seq("10.0.0.1 GET 200", "bad line").toDF("line")
+    val out = ops.head(df).orderBy(col("code").asc_nulls_last).collect()
+    assert(out(0).getAs[String]("client") == "10.0.0.1" && out(0).getAs[Int]("code") == 200)
+    assert(out(1).isNullAt(out(1).fieldIndex("code"))) // unparseable -> nulls
+  }
+
   test("unknown op and missing keys fail loudly") {
     val bad = JobConfig.parse("job.name=x\nops=teleport\n")
     intercept[IllegalArgumentException](JobConfig.buildOps(bad))
