@@ -43,6 +43,34 @@ object Compaction {
   def shouldRecompact(lateRows: Long, compactedRows: Long, maxRatio: Double): Boolean =
     compactedRows > 0 && lateRows.toDouble / compactedRows > maxRatio
 
+  /** Recompaction trigger: time since last compaction
+    * (RecompactionConditionBasedOnDuration).
+    */
+  def shouldRecompactAfter(lastCompactedMs: Long, nowMs: Long, maxAgeMs: Long): Boolean =
+    nowMs - lastCompactedMs > maxAgeMs
+
+  /** Recompaction trigger: accumulated late files
+    * (RecompactionConditionBasedOnFileCount).
+    */
+  def shouldRecompactFiles(lateFileCount: Long, maxFiles: Long): Boolean =
+    lateFileCount > maxFiles
+
+  /** Dedup key selection from an Avro schema, the reference's
+    * DedupKeyOption ladder (MRCompactorAvroKeyDedupJobRunner.java:
+    * 83-181): fields whose doc matches `(?i).*primarykey` are the key;
+    * a record with no such doc falls back to ALL top-level fields.
+    */
+  def keysFromAvroSchema(schemaJson: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+    require(schema.getType == org.apache.avro.Schema.Type.RECORD,
+      s"key selection needs a record schema, got ${schema.getType}")
+    val pk = "(?i).*primarykey".r
+    val marked = schema.getFields.asScala.toSeq.filter(f =>
+      Option(f.doc()).exists(d => pk.matches(d)))
+    (if (marked.nonEmpty) marked else schema.getFields.asScala.toSeq).map(_.name())
+  }
+
   /** Dedup + merge + publish. deltaCols empty = keep-any exact dedup;
     * non-empty = largest-delta-wins. Output file count is sized from
     * the input bytes (relation FILE stats — metadata, no scan) so
@@ -60,7 +88,8 @@ object Compaction {
   def compact(spark: SparkSession, input: String, spec: SinkSpec,
       keys: Seq[String], deltaCols: Seq[String],
       targetFileBytes: Long = 256L * 1024 * 1024,
-      minRowsThreshold: Long = 0): Either[String, CompactionStats] = {
+      minRowsThreshold: Long = 0,
+      registerAs: Option[String] = None): Either[String, CompactionStats] = {
     val df = spark.read.format(spec.format).load(input)
     val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1,
@@ -86,6 +115,10 @@ object Compaction {
         Left(reason)
       case Right(()) =>
         publisher.publish(spec)
+        // post-action: catalog registration (the reference's
+        // CompactionHiveRegistrationAction)
+        registerAs.foreach(table =>
+          new graft.sink.CatalogPublisher(spark).register(spec, table))
         Right(CompactionStats(inputRows, outputRows, nFiles))
     }
   }

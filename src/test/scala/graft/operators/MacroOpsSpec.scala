@@ -98,6 +98,37 @@ class MacroOpsSpec extends SparkSpec {
     assert(Compaction.timeRangeVerifier(
       java.sql.Timestamp.valueOf("2024-01-15 00:00:00"),
       java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))(ev, "ts").isLeft)
+    // duration / file-count recompaction conditions
+    assert(Compaction.shouldRecompactAfter(lastCompactedMs = 0, nowMs = 7200000, maxAgeMs = 3600000))
+    assert(!Compaction.shouldRecompactAfter(lastCompactedMs = 0, nowMs = 1000, maxAgeMs = 3600000))
+    assert(Compaction.shouldRecompactFiles(lateFileCount = 101, maxFiles = 100))
+    assert(!Compaction.shouldRecompactFiles(lateFileCount = 5, maxFiles = 100))
+  }
+
+  test("compaction key selection from avro doc-primarykey; registration post-action") {
+    // DedupKeyOption ladder: doc-marked fields win, else all fields
+    val marked =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"id","type":"long","doc":"the PrimaryKey"},
+        |{"name":"scn","type":"long","doc":"delta"},
+        |{"name":"payload","type":"string"}]}""".stripMargin
+    assert(Compaction.keysFromAvroSchema(marked) == Seq("id"))
+    val unmarked =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"a","type":"long"},{"name":"b","type":"string"}]}""".stripMargin
+    assert(Compaction.keysFromAvroSchema(unmarked) == Seq("a", "b"))
+
+    // registerAs exposes the compacted output through the catalog
+    import spark.implicits._
+    val root = tmpDir("compactreg")
+    Seq((1L, 1L, "x"), (1L, 2L, "y"), (2L, 1L, "z")).toDF("id", "scn", "payload")
+      .write.parquet(s"$root/in")
+    val spec = graft.sink.SinkSpec(s"$root/staging", s"$root/out")
+    val r = Compaction.compact(spark, s"$root/in", spec,
+      keys = Seq("id"), deltaCols = Seq("scn"), registerAs = Some("compacted_t"))
+    assert(r.isRight)
+    val rows = spark.table("compacted_t").orderBy($"id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (2L, 1L)))
   }
 
   test("retention: listVersions + policy + deleteVersions with empty-parent cleanup") {
