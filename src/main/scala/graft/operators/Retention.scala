@@ -67,18 +67,43 @@ object Retention {
     rows.toDF("dataset", "version", "path", "mod_time")
   }
 
+  /** DateTimeDatasetVersionFinder semantics
+    * (retention/version/finder/DateTimeDatasetVersionFinder.java:37):
+    * the version TIMESTAMP comes from the directory NAME, not mtime —
+    * parse it with the dataset's layout pattern (e.g. `yyyy-MM-dd-HH`).
+    * Unparseable names get a null `version_time` (callers decide:
+    * protect or treat as deletable).
+    */
+  def withPathTime(versions: DataFrame, format: String): DataFrame =
+    versions.withColumn("version_time",
+      org.apache.spark.sql.functions.try_to_timestamp( // ANSI-safe null
+        org.apache.spark.sql.functions.col("version"),
+        org.apache.spark.sql.functions.lit(format)))
+
   /** Execute deletion of selected version paths (with the reference's
     * empty-parent cleanup, CleanableDatasetBase.java:82-119). Driver-
     * side: version counts are small; the data deleted is not.
+    * `trashDir` mirrors the reference's Trash option: versions move
+    * (rename — O(1) on HDFS-likes) under trash keeping their
+    * dataset/version layout instead of being destroyed.
     */
-  def deleteVersions(spark: org.apache.spark.sql.SparkSession, paths: Seq[String]): Int = {
+  def deleteVersions(spark: org.apache.spark.sql.SparkSession, paths: Seq[String],
+      trashDir: Option[String] = None): Int = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     var n = 0
     paths.foreach { p =>
       val path = new Path(p)
       val fs = path.getFileSystem(conf)
-      if (fs.exists(path) && fs.delete(path, true)) {
+      val removed = trashDir match {
+        case Some(trash) if fs.exists(path) =>
+          val dest = new Path(trash, s"${path.getParent.getName}/${path.getName}")
+          fs.mkdirs(dest.getParent)
+          fs.rename(path, dest)
+        case None if fs.exists(path) => fs.delete(path, true)
+        case _ => false
+      }
+      if (removed) {
         n += 1
         val parent = path.getParent
         if (fs.exists(parent) && fs.listStatus(parent).isEmpty) fs.delete(parent, false)

@@ -131,6 +131,24 @@ class MacroOpsSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("retention: path-date version times and trash-instead-of-delete") {
+    val root = tmpDir("retention_trash")
+    Seq("logs/2024-01-01-00", "logs/2024-01-02-12", "logs/not-a-date")
+      .foreach(d => Files.createDirectories(Paths.get(root, d)))
+    val versions = Retention.withPathTime(
+      Retention.listVersions(spark, root), "yyyy-MM-dd-HH")
+    val byName = versions.collect().map(r =>
+      r.getAs[String]("version") -> Option(r.getAs[java.sql.Timestamp]("version_time"))).toMap
+    assert(byName("2024-01-02-12").contains(java.sql.Timestamp.valueOf("2024-01-02 12:00:00")))
+    assert(byName("not-a-date").isEmpty) // unparseable -> null, never a wrong date
+    val victim = versions.filter($"version" === "2024-01-01-00")
+      .select("path").head.getString(0)
+    val trash = s"$root/.trash"
+    assert(Retention.deleteVersions(spark, Seq(victim), trashDir = Some(trash)) == 1)
+    assert(!Files.exists(Paths.get(root, "logs/2024-01-01-00")))
+    assert(Files.exists(Paths.get(trash, "logs/2024-01-01-00"))) // recoverable
+  }
+
   test("retention: listVersions + policy + deleteVersions with empty-parent cleanup") {
     val root = tmpDir("retention")
     Seq("ds1/v=2024-01-01", "ds1/v=2024-01-02", "ds1/v=2024-01-03", "ds2/v=2024-01-01")
