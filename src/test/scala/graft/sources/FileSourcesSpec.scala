@@ -73,19 +73,4 @@ class FileSourcesSpec extends AnyFunSuite {
     assert(planLatest.startingOffsets(("t", 2)) == 400L)
   }
 
-  test("tsv and gzip tsv scan to identical rows (fixture A5 parity)") {
-    import java.nio.file.{Files, Paths}
-    val dir = tmpDir("gz")
-    val tsv = "A\t1\nB\t2\nC\t3\n"
-    Files.write(Paths.get(dir, "simple.tsv"), tsv.getBytes("UTF-8"))
-    val gzOut = new java.util.zip.GZIPOutputStream(
-      Files.newOutputStream(Paths.get(dir, "simple.tsv.gz")))
-    gzOut.write(tsv.getBytes("UTF-8")); gzOut.close()
-    def readRows(f: String) = spark.read
-      .option("delimiter", "\t").csv(s"$dir/$f")
-      .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1).toSeq
-    val plain = readRows("simple.tsv")
-    assert(plain == Seq(("A", "1"), ("B", "2"), ("C", "3")))
-    assert(readRows("simple.tsv.gz") == plain) // codec transparent on scan
-  }
 }
