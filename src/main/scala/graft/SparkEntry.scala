@@ -267,6 +267,41 @@ object SparkEntry {
       s.read.parquet(s"$tmp/data").orderBy(col("event_id"))
     }),
 
+    // --- streaming custom keyed state (mapGroupsWithState): the same
+    //     events file twice in separate micro-batches; each key's
+    //     FINAL emission must carry the running count across batches
+    //     (= exactly 2x the per-user row count). foreachBatch appends
+    //     each batch's emissions with its batch id; the last emission
+    //     per key is the state proof ------------------------------------
+    "q_stream_running_totals" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      val src = s"$dir/events.parquet"
+      val rawSchema = s.read.parquet(src).schema
+      val inDir = java.nio.file.Files.createTempDirectory("q_stream_rt")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src), inDir.resolve("a.parquet"))
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src), inDir.resolve("b.parquet"))
+      val stream = StreamingIngest
+        .readFileStream(s, rawSchema, inDir.toString, maxFilesPerTrigger = Some(1))
+      val totals = StreamingIngest.runningTotals(stream, "user_id", "value")
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_rt_out").toString
+      val q = totals.writeStream
+        .outputMode("update")
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.withColumn("_batch", lit(id))
+            .write.mode("append").parquet(s"$tmp/data")
+        }
+        .option("checkpointLocation", s"$tmp/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("_batch").desc)
+      s.read.parquet(s"$tmp/data")
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("user_id"), col("running_count"))
+        .orderBy(col("user_id"))
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       Sessionize.sessionize(t(s, dir, "events"), "user_id", "ts", "event_id",
           gapMicros = 1800L * 1000 * 1000)
@@ -719,6 +754,11 @@ object SparkEntry {
         |SELECT window_start, event_type, n, sum_v_milli FROM agg, mx
         |WHERE epoch_ms(CAST(window_start AS TIMESTAMP) + INTERVAL 1 HOUR) <= max_ms
         |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_stream_running_totals" ->
+      // doubled input in two batches; final per-key state = 2x count
+      """SELECT user_id, COUNT(*) * 2 AS running_count
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_stream_dedup" ->
       // doubled input, exactly-once output: the oracle is one row per
