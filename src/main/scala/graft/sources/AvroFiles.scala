@@ -280,3 +280,47 @@ object AvroDatumDecode {
   def apply(bytes: org.apache.spark.sql.Column, schemaJson: String): org.apache.spark.sql.Column =
     ColumnShim.toColumn(AvroDatumDecode(ColumnShim.toExpression(bytes), schemaJson))
 }
+
+/** Spark struct -> binary Avro datum — the `to_avro` /
+  * AvroToBytesConverter direction (gobblin-core/.../converter/avro/
+  * AvroToBytesConverter.java), same CodegenFallback design as
+  * [[AvroDatumDecode]]. The writer schema is derived from the child's
+  * struct type unless an explicit schema JSON is given.
+  */
+case class AvroDatumEncode(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    schemaJsonOpt: Option[String])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private def schemaJson: String = schemaJsonOpt.getOrElse(
+    AvroFiles.avroSchema(child.dataType.asInstanceOf[StructType]).toString)
+
+  @transient private lazy val avroSchema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val writer = new GenericDatumWriter[GenericRecord](avroSchema)
+  @transient private lazy val toScala =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.createToScalaConverter(child.dataType)
+  @transient private var encoder: org.apache.avro.io.BinaryEncoder = _
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "avro_datum_encode"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val row = toScala(input)
+    val datum = AvroFiles.toAvroValue(row, avroSchema).asInstanceOf[GenericRecord]
+    val bos = new java.io.ByteArrayOutputStream()
+    encoder = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, encoder)
+    writer.write(datum, encoder)
+    encoder.flush()
+    bos.toByteArray
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): AvroDatumEncode =
+    copy(child = newChild)
+}
+
+object AvroDatumEncode {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  def apply(struct: org.apache.spark.sql.Column, schemaJson: Option[String] = None): org.apache.spark.sql.Column =
+    ColumnShim.toColumn(AvroDatumEncode(ColumnShim.toExpression(struct), schemaJson))
+}

@@ -85,4 +85,31 @@ class AvroSpec extends SparkSpec {
     assert(decoded.orderBy($"k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "alpha"), (2L, "beta")))
   }
+
+  test("datum ENCODE (to_avro direction): expression output decodes with plain avro-core") {
+    import org.apache.avro.generic.GenericDatumReader
+    import org.apache.avro.io.DecoderFactory
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("k", "name")
+    val structCol = org.apache.spark.sql.functions.struct($"k", $"name")
+    val enc = df.select($"k", AvroDatumEncode(structCol).as("payload"))
+    // binary avro needs the exact WRITER schema — derive it the same
+    // way the expression does (from the struct's runtime type)
+    val writerType = df.select(structCol.as("s")).schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val schema = AvroFiles.avroSchema(writerType)
+    // independent decode with avro-core, not our own decoder
+    val reader = new GenericDatumReader[GenericRecord](schema)
+    val rows = enc.orderBy($"k").collect().map { r =>
+      val dec = DecoderFactory.get().binaryDecoder(r.getAs[Array[Byte]]("payload"), null)
+      val rec = reader.read(null, dec)
+      (rec.get("k").asInstanceOf[Long], rec.get("name").toString)
+    }.toSeq
+    assert(rows == Seq((1L, "alpha"), (2L, "beta")))
+    // and through our own decode expression: exact roundtrip
+    val rt = enc.select($"k".as("orig_k"),
+        AvroDatumDecode($"payload", schema.toString).as("r"))
+      .select($"orig_k", $"r.k", $"r.name").orderBy($"orig_k").collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSeq
+    assert(rt == Seq((1L, "alpha"), (2L, "beta")))
+  }
 }
