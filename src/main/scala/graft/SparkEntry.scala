@@ -223,6 +223,7 @@ object SparkEntry {
     //     longs: order-independent, bit-exact cross-engine ------------
     "q_stream_window_counts" -> ((s, dir) => {
       import graft.streaming.StreamingIngest
+      StreamingIngest.withStatePartitions(s, 8) {
       val src = s"$dir/events.parquet"
       val rawSchema = s.read.parquet(src).schema // ts as nanos long
       // the file-stream source wants a DIRECTORY to watch
@@ -242,6 +243,7 @@ object SparkEntry {
       StreamingIngest.runAvailableNow(agg, s"$tmp/data", s"$tmp/ck")
       s.read.parquet(s"$tmp/data")
         .orderBy(col("window_start"), col("event_type"))
+      }
     }),
 
     // --- streaming stateful dedup across micro-batches: the SAME
@@ -251,6 +253,7 @@ object SparkEntry {
     //     exactly once. The streaming face of compaction dedup -------
     "q_stream_dedup" -> ((s, dir) => {
       import graft.streaming.StreamingIngest
+      StreamingIngest.withStatePartitions(s, 8) {
       val src = s"$dir/events.parquet"
       val rawSchema = s.read.parquet(src).schema
       val inDir = java.nio.file.Files.createTempDirectory("q_stream_dd")
@@ -265,6 +268,7 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("q_stream_dd_out").toString
       StreamingIngest.runAvailableNow(dd, s"$tmp/data", s"$tmp/ck")
       s.read.parquet(s"$tmp/data").orderBy(col("event_id"))
+      }
     }),
 
     // --- streaming custom keyed state (mapGroupsWithState): the same
@@ -275,6 +279,7 @@ object SparkEntry {
     //     per key is the state proof ------------------------------------
     "q_stream_running_totals" -> ((s, dir) => {
       import graft.streaming.StreamingIngest
+      StreamingIngest.withStatePartitions(s, 8) {
       val src = s"$dir/events.parquet"
       val rawSchema = s.read.parquet(src).schema
       val inDir = java.nio.file.Files.createTempDirectory("q_stream_rt")
@@ -300,6 +305,7 @@ object SparkEntry {
         .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
         .select(col("user_id"), col("running_count"))
         .orderBy(col("user_id"))
+      }
     }),
 
     "q_sessionize" -> ((s, dir) => {

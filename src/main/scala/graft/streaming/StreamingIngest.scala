@@ -42,6 +42,23 @@ object StreamingIngest {
     if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
   }
 
+  /** Stateful streaming wants its OWN shuffle-partition sizing: every
+    * partition of a stateful exchange is a state-store instance with
+    * per-micro-batch open/commit cost, so the right count tracks the
+    * KEY SPACE, not the session's batch-join parallelism (measured
+    * here: 32 -> 8 partitions cut a small windowed-agg stream's wall
+    * clock ~40%; at real scale the same knob goes the other way).
+    * Runs `body` with spark.sql.shuffle.partitions=n — the value is
+    * captured into the stream's checkpoint at first start — then
+    * restores the session setting.
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Run an append-mode streaming plan over a static source to
     * completion (Trigger.AvailableNow + parquet sink): all available
     * data is processed, the final no-data micro-batch advances the
