@@ -417,6 +417,29 @@ object SparkEntry {
     }),
 
     // --- grok log-line parsing (GrokToJsonConverter) ------------------
+    // --- envelope + binary Avro datums end-to-end: events encoded to
+    //     datums (AvroDatumEncode), framed in the Confluent wire
+    //     format, schema id parsed back, payloads decoded against the
+    //     registry (AvroDatumDecode) — the identity must survive the
+    //     full encode->frame->parse->decode path ----------------------
+    "q_envelope_avro" -> ((s, dir) => {
+      import graft.sources.AvroDatumEncode
+      import graft.streaming.Envelope
+      val ev = t(s, dir, "events")
+      val payloadType = StructType(Seq(
+        StructField("event_id", LongType, nullable = false),
+        StructField("event_type", StringType, nullable = false)))
+      val schemaJson = graft.sources.AvroFiles.avroSchema(payloadType).toString
+      val framed = ev.select(Envelope.encode(42,
+        AvroDatumEncode(
+          struct(col("event_id"), col("event_type")), Some(schemaJson))).as("envelope"))
+      Envelope.decodeAvro(framed, "envelope", Map(42 -> schemaJson))
+        .select(col("schema_id"),
+          col("decoded_42.event_id").as("event_id"),
+          col("decoded_42.event_type").as("event_type"))
+        .orderBy(col("event_id"))
+    }),
+
     "q_grok_parse" -> ((s, dir) => {
       val logs = t(s, dir, "events").select(
         col("event_id"),
@@ -908,6 +931,11 @@ object SparkEntry {
       """SELECT CAST(parts[1] AS BIGINT) AS id, parts[2] AS etype, CAST(parts[3] AS BIGINT) AS uid
         |FROM (SELECT string_split(event_id || '|' || event_type || '|' || user_id, '|') AS parts FROM events)
         |ORDER BY id""".stripMargin,
+
+    "q_envelope_avro" ->
+      // encode->frame->parse->decode is the identity on the payload
+      """SELECT CAST(42 AS INT) AS schema_id, event_id, event_type
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_grok_parse" ->
       """WITH parsed AS (
