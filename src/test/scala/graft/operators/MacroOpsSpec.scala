@@ -86,6 +86,42 @@ class MacroOpsSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/st2").exists())
   }
 
+  test("compaction late-data lifecycle: compact, late arrivals, recompact merges") {
+    import spark.implicits._
+    val root = tmpDir("late")
+    val ev = Tables.load(spark, sf(), "events")
+      .select($"event_id", $"ts", $"event_type", $"value")
+
+    // initial compaction of the on-time data
+    ev.write.parquet(s"$root/input")
+    val first = Compaction.compact(spark, s"$root/input",
+      SinkSpec(s"$root/st1", s"$root/out"), keys = Seq("event_id"), deltaCols = Seq("ts", "event_id"))
+    assert(first.isRight)
+    val compacted = first.toOption.get.outputRows
+
+    // late records land in late/ — half of them replays (duplicates),
+    // half is genuinely new (shifted ids)
+    val late = ev.limit(200)
+    late.union(late.withColumn("event_id", $"event_id" + 1000000))
+      .write.parquet(s"$root/late")
+    val lateFiles = new java.io.File(s"$root/late").listFiles().count(_.getName.endsWith(".parquet"))
+    val lateRows = spark.read.parquet(s"$root/late").count()
+
+    // ratio condition decides (RecompactionConditionBasedOnRatio)
+    assert(Compaction.shouldRecompact(lateRows, compacted, maxRatio = 0.03))
+    assert(Compaction.shouldRecompactFiles(lateFiles, maxFiles = 0))
+
+    // recompact over compacted + late: duplicates collapse, new survive
+    spark.read.parquet(s"$root/out").union(spark.read.parquet(s"$root/late"))
+      .write.parquet(s"$root/input2")
+    val second = Compaction.compact(spark, s"$root/input2",
+      SinkSpec(s"$root/st2", s"$root/out2"), keys = Seq("event_id"), deltaCols = Seq("ts", "event_id"))
+    assert(second.isRight)
+    assert(second.toOption.get.outputRows == compacted + 200) // only the new ids add rows
+    assert(spark.read.parquet(s"$root/out2")
+      .groupBy($"event_id").count().filter($"count" > 1).isEmpty)
+  }
+
   test("compaction verifiers and recompaction condition") {
     assert(Compaction.auditCountVerifier(1000, 0.99)(995).isRight)
     assert(Compaction.auditCountVerifier(1000, 0.99)(980).isLeft)
