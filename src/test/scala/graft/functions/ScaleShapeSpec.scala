@@ -64,6 +64,40 @@ class ScaleShapeSpec extends SparkSpec {
     assert(c >= n / 100 - 5, s"planted near-dups not even candidates: $c")
   }
 
+  test("embedding LSH at 20k vectors: scale params keep candidates sub-quadratic") {
+    import spark.implicits._
+    val nv = 20000
+    // deterministic 16-dim vectors; every 100th is a tiny perturbation
+    // of its predecessor (cosine ~0.999 — a near-dup clone)
+    val vecs = (0L until nv.toLong).map { id =>
+      val base = if (id % 100 == 1) id - 1 else id
+      val rng = new scala.util.Random(base * 0x9E3779B97F4A7C15L + 7)
+      val v = Array.fill(16)(rng.nextGaussian().toFloat)
+      if (id % 100 == 1) { v(0) = v(0) + 0.05f }
+      (id, v)
+    }.toDF("vec_id", "embedding").repartition(8).localCheckpoint(true)
+    // nPlanes sized UP for corpus size (the SCALING.md knob): 12 bits
+    // -> expected bucket occupancy nv/4096 ~ 5, so candidates stay
+    // linear-ish; clones still collide in >=1 of 6 tables
+    val pairs = Ann.lshSimilarPairs(vecs, threshold = 0.99,
+      nPlanes = 12, nTables = 6, dim = 16)
+    val found = pairs.filter($"id_b" === $"id_a" + 1).count()
+    assert(found >= (nv / 100) * 8 / 10, s"clone recall too low: $found")
+    // candidate VOLUME: rebuild the same signatures and count what the
+    // (table, bucket) equi-join admits — sum over buckets of c*(c-1)/2,
+    // the work the exact-rescoring stage actually pays
+    val candVolume = (0 until 6).map { t =>
+      val planes = Ann.hyperplanes(16, 12, seed = 0x5EED + t * 7919L)
+      vecs.select(Ann.hyperplaneSignature($"embedding", planes).as("b"))
+        .groupBy($"b").count()
+        .agg(org.apache.spark.sql.functions.sum($"count" * ($"count" - 1)))
+        .head.getLong(0)
+    }.sum / 2
+    val quadraticV = nv.toLong * (nv - 1) / 2
+    assert(candVolume < quadraticV / 100,
+      s"candidate volume $candVolume not sub-quadratic (n^2/2 = $quadraticV)")
+  }
+
   test("planted near-dups survive end-to-end minhash dedup at 20k docs") {
     val nd = Similarity.minhashNearDups(docs, "id", "text",
       shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
