@@ -53,19 +53,49 @@ object Ann {
     bits.reduce(_ + _)
   }
 
+  /** The probe-side bucket set for MULTI-PROBE LSH (Lv et al., VLDB
+    * 2007): the base signature plus the buckets reached by flipping —
+    * one at a time — the `nFlip` bits whose hyperplane margin |v·p| is
+    * smallest. A near-neighbor that lands one bucket over almost
+    * always differs in a low-margin bit, so probing those buckets buys
+    * the recall of extra tables WITHOUT growing the corpus-side index:
+    * candidates grow ≤ (1+nFlip)x on the probe side only.
+    */
+  def multiProbeBuckets(vec: Column, planes: Array[Array[Double]], nFlip: Int): Column = {
+    val v = vec.cast("array<double>")
+    val dots = planes.toSeq.map(p => VectorExprs.dotProduct(v, lit(p)))
+    val base = dots.zipWithIndex.map { case (d, i) =>
+      when(d >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    // plane indices ordered by |margin| ascending; flip the nFlip smallest
+    val ranked = array(dots.zipWithIndex.map { case (d, i) =>
+      struct(abs(d).as("m"), lit(i).as("i"))
+    }: _*)
+    val flipIdx = slice(array_sort(ranked), 1, math.min(nFlip, planes.length)).getField("i")
+    // 2^i as exact double->long (i < 52 always holds for sign bitsets)
+    concat(array(base),
+      transform(flipIdx, i => base.bitwiseXOR(pow(lit(2.0), i).cast("long"))))
+  }
+
   /** LSH-bucketed ANN: same-signature vectors are candidates; exact
     * cosine rescoring; top-k per probe. Multi-table (nTables) repeats
-    * with independent planes to recover recall lost to bucket splits.
+    * with independent planes to recover recall lost to bucket splits;
+    * `nProbeBits` > 0 additionally multi-probes the lowest-margin
+    * neighboring buckets on the probe side (see [[multiProbeBuckets]]).
     *
     * Parameter math: per-bit agreement for neighbors at angle θ is
     * 1-θ/π; recall ≈ 1-(1-p^nPlanes)^nTables. Moderate-similarity
     * neighbors (cos ~0.5, p ~0.63) need FEW planes and MANY tables —
     * e.g. 4 planes x 8 tables ≈ 0.75 recall; 12 planes x 4 tables is
-    * ~4%. Tune nPlanes to the similarity profile of the corpus.
+    * ~4%. Tune nPlanes to the similarity profile of the corpus; at
+    * 100 TB prefer more planes (smaller buckets) + multi-probe over
+    * more tables (corpus-side signature cost is per table, probe-side
+    * bucket fan-out is nearly free).
     */
   def hyperplaneLsh(probes: DataFrame, corpus: DataFrame, k: Int,
       nPlanes: Int = 4, nTables: Int = 8, dim: Int = 64,
-      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      id: String = "vec_id", vec: String = "embedding",
+      nProbeBits: Int = 0): DataFrame = {
     val tables = (0 until nTables).map(t => hyperplanes(dim, nPlanes, seed = 0x5EED + t * 7919L))
     // ALL tables' signatures in one projection — a single pass over
     // each side (vs one scan+materialization per table), then a narrow
@@ -82,8 +112,17 @@ object Ann {
     val corpusVecs = corpus.select(col(id).as("neighbor_id"), col(vec).as("_cv"))
       .localCheckpoint(true)
     val corpusBanded = banded(corpusVecs, "neighbor_id", "_cv")
-    val probeBanded = banded(
-      probes.select(col(id).as("query_id"), col(vec).as("_qv")), "query_id", "_qv")
+    val probeSide = probes.select(col(id).as("query_id"), col(vec).as("_qv"))
+    val probeBanded =
+      if (nProbeBits <= 0) banded(probeSide, "query_id", "_qv")
+      else {
+        // multi-probe: each table contributes (1 + nProbeBits) buckets
+        val sigStruct = array(tables.zipWithIndex.map { case (planes, t) =>
+          struct(lit(t).as("t"), multiProbeBuckets(col("_qv"), planes, nProbeBits).as("bs"))
+        }: _*)
+        probeSide.select(col("query_id"), explode(sigStruct).as("tb"))
+          .select(col("query_id"), col("tb.t").as("t"), explode(col("tb.bs")).as("b"))
+      }
     val cand = probeBanded.join(corpusBanded, Seq("t", "b"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"))

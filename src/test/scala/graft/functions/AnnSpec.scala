@@ -28,6 +28,36 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("multi-probe LSH beats single-probe at HALF the tables") {
+    // the 100 TB configuration: fewer corpus-side tables, probe-side
+    // bucket fan-out instead. 4 tables single-probe vs 4 tables +
+    // 2 flipped low-margin bits — same index cost, higher recall.
+    def recallOf(nProbeBits: Int): Double = {
+      val got = topkSet(Ann.hyperplaneLsh(probes, emb, k = 5,
+        nPlanes = 4, nTables = 4, nProbeBits = nProbeBits))
+      (got intersect exact).size.toDouble / exact.size
+    }
+    val single = recallOf(0)
+    val multi = recallOf(2)
+    assert(multi >= single, s"multi-probe $multi < single $single")
+    assert(multi >= 0.5, s"multi-probe recall floor: $multi")
+  }
+
+  test("multiProbeBuckets: base first, then single-bit flips of lowest margins") {
+    val planes = Ann.hyperplanes(dim = 64, nPlanes = 4, seed = 0x5EED)
+    val row = emb.limit(1).select(
+      Ann.multiProbeBuckets($"embedding", planes, nFlip = 2).as("bs"),
+      Ann.hyperplaneSignature($"embedding", planes).as("base")).head
+    val bs = row.getSeq[Long](0)
+    val base = row.getLong(1)
+    assert(bs.length == 3 && bs.head == base)
+    bs.tail.foreach { b =>
+      val diff = b ^ base
+      assert(java.lang.Long.bitCount(diff) == 1 && diff < 16, s"flip $diff not a single low bit")
+    }
+    assert(bs.tail.distinct.size == 2) // two DIFFERENT planes flipped
+  }
+
   test("IVF with nProbe=4 of 8 lists recall@5 >= 0.6; full probe = exact") {
     val idx = Ann.fitIvf(emb, k = 8)
     assert(idx.centroids.length == 8)
