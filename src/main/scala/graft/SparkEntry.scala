@@ -377,10 +377,14 @@ object SparkEntry {
         .orderBy(col("fingerprint"))
     }),
 
-    // --- exact n-gram Jaccard near-dup pairs (blocked) ----------------
+    // --- exact n-gram Jaccard near-dup pairs (blocked, hot-shingle
+    //     cap). maxDocFreq=2 deliberately BITES at sf0.01 (max shingle
+    //     doc-freq there is 3) so the oracle — which replays the same
+    //     stopword-shingle cut in SQL — proves the capped semantics,
+    //     not just the uncapped happy path -----------------------------
     "q_jaccard_pairs" -> ((s, dir) => {
       Similarity.ngramJaccardPairs(t(s, dir, "documents"),
-          "doc_id", "text", "source", n = 3, threshold = 0.02)
+          "doc_id", "text", "source", n = 3, threshold = 0.02, maxDocFreq = 2)
         .orderBy(col("block"), col("id_a"), col("id_b"))
     }),
 
@@ -591,10 +595,10 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .withColumn("fingerprint", Text.fingerprint(col("text")))
         .withColumn("q", Text.qualityScore(col("text")))
-      val a = docs.select(col("fingerprint"), col("doc_id").as("id_a"))
-      val b = docs.select(col("fingerprint"), col("doc_id").as("id_b"))
-      val pairs = a.join(b, Seq("fingerprint")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"))
+      // LINEAR pair construction (Dedup.starPairs): m-1 star edges per
+      // fingerprint group instead of the self-join's m(m-1)/2 complete
+      // graph — identical components, diameter 2 (one propagation round)
+      val pairs = graft.operators.Dedup.starPairs(docs, "fingerprint", "doc_id")
       graft.operators.Dedup.resolveNearDups(docs, pairs, "doc_id", "q", "doc_id")
         .select(col("doc_id"), col("fingerprint"))
         .orderBy(col("doc_id"))
@@ -873,24 +877,36 @@ object SparkEntry {
       """SELECT md5(text) AS fingerprint, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // capped-set Jaccard: shingles with block doc-freq > 2 are removed
+    // from the sets (intersection AND union) — replays ngramJaccardPairs
+    // maxDocFreq=2 exactly, via the naive exploded self-join
     "q_jaccard_pairs" ->
-      """WITH sh AS (
+      """WITH docsh AS (
         |  SELECT doc_id, source AS block,
-        |    list_distinct(CASE WHEN len(toks) >= 3
+        |    unnest(list_distinct(CASE WHEN len(toks) >= 3
         |      THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
-        |      ELSE [] END) AS shingles
+        |      ELSE [] END)) AS s
         |  FROM (
         |    SELECT doc_id, source,
         |      list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
         |    FROM documents
         |  )
+        |), kept AS (
+        |  SELECT * FROM docsh
+        |  QUALIFY COUNT(*) OVER (PARTITION BY block, s) <= 2
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM kept a JOIN kept b ON a.block = b.block AND a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3
         |)
-        |SELECT a.block AS block, a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |    / CAST(greatest(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)), 1) AS DOUBLE) AS jaccard
-        |FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-        |    / CAST(greatest(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)), 1) AS DOUBLE) >= 0.02
+        |SELECT i.block AS block, i.id_a, i.id_b,
+        |  CAST(i.inter AS DOUBLE) / CAST(greatest(sa.n_sh + sb.n_sh - i.inter, 1) AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sizes sa ON i.id_a = sa.doc_id
+        |JOIN sizes sb ON i.id_b = sb.doc_id
+        |WHERE CAST(i.inter AS DOUBLE) / CAST(greatest(sa.n_sh + sb.n_sh - i.inter, 1) AS DOUBLE) >= 0.02
         |ORDER BY block, id_a, id_b""".stripMargin,
 
     "q_cosine_pairs" ->

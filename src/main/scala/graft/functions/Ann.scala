@@ -109,8 +109,11 @@ object Ann {
       df.select(col(idCol), explode(sigStruct).as("tb"))
         .select(col(idCol), col("tb.t").as("t"), col("tb.b").as("b"))
     }
+    // lazy persist: computed once inside the first job (no separate
+    // blocking job like an eager checkpoint), lineage kept so lost
+    // blocks recompute instead of failing the job on a real cluster
     val corpusVecs = corpus.select(col(id).as("neighbor_id"), col(vec).as("_cv"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusBanded = banded(corpusVecs, "neighbor_id", "_cv")
     val probeSide = probes.select(col(id).as("query_id"), col(vec).as("_qv"))
     val probeBanded =
@@ -148,7 +151,8 @@ object Ann {
       nPlanes: Int = 4, nTables: Int = 8, dim: Int = 64,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val tables = (0 until nTables).map(t => hyperplanes(dim, nPlanes, seed = 0x5EED + t * 7919L))
-    val vecs = corpus.select(col(id).as("id"), col(vec).as("_v")).localCheckpoint(true)
+    val vecs = corpus.select(col(id).as("id"), col(vec).as("_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // lazy; 3 uses, lineage kept
     val sigStruct = array(tables.zipWithIndex.map { case (planes, t) =>
       struct(lit(t).as("t"), hyperplaneSignature(col("_v"), planes).as("b"))
     }: _*)

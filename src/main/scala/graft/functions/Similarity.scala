@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity / near-duplicate machinery for training-data pipelines:
   * cosine similarity over embedding columns, brute-force and LSH-bucketed
@@ -30,17 +31,29 @@ object Similarity {
   /** Probes are a query *batch* in the common case — broadcast them.
     * But the hint must be gated: an unconditional broadcast of a probe
     * set that is a fixed FRACTION of the corpus OOMs at 100× scale.
-    * The gate costs one bounded job (`limit(bound+1).count()` scans
-    * until bound+1 rows, never the full set); above the bound the
-    * cross join runs un-hinted (AQE/planner decides) — still the
-    * inherent O(n·m) exact work, just without a driver-sized copy.
-    * Probe sets large enough to trip this belong on the ANN paths
-    * (hyperplaneLsh / IvfIndex), which exist precisely for that.
+    *
+    * Fast path: when the optimizer's size estimate is already small
+    * the hint is safe with NO extra job. Plan-stat estimates here are
+    * scan-stat based (file bytes scaled by projected columns; filters
+    * don't shrink them without CBO), so a small estimate implies a
+    * small actual set. Only when the estimate is large does the gate
+    * pay one bounded job (`limit(bound+1).count()` stops at bound+1
+    * rows, never scanning the full set); above the bound the cross
+    * join runs un-hinted (AQE/planner decides) — still the inherent
+    * O(n·m) exact work, just without a driver-sized copy. Probe sets
+    * that large belong on the ANN paths (hyperplaneLsh / IvfIndex).
     */
   private[graft] val MaxBroadcastProbes = 10000L
+  private[graft] val MaxBroadcastProbeBytes = 32L * 1024 * 1024
 
-  private def gatedBroadcast(p: DataFrame): DataFrame =
-    if (p.limit((MaxBroadcastProbes + 1).toInt).count() <= MaxBroadcastProbes) broadcast(p) else p
+  private def gatedBroadcast(p: DataFrame): DataFrame = {
+    val stats = p.queryExecution.optimizedPlan.stats
+    val statSmall = stats.rowCount.map(_.longValue <= MaxBroadcastProbes)
+      .getOrElse(stats.sizeInBytes <= MaxBroadcastProbeBytes)
+    if (statSmall) broadcast(p)
+    else if (p.limit((MaxBroadcastProbes + 1).toInt).count() <= MaxBroadcastProbes) broadcast(p)
+    else p
+  }
 
   /** Brute-force ANN baseline: top-k neighbors per probe vector.
     * At 100 TB corpus this is the exact-scoring final stage after
@@ -163,9 +176,13 @@ object Similarity {
       fnv: Boolean = false): DataFrame = {
     val rowsPerBand = numHashes / bands
     // signatures are reused three times (banding + two lookups) —
-    // localCheckpoint computes them once and keeps the plan bounded
+    // lazy persist computes them once within the first job WITHOUT the
+    // separate blocking job an eager localCheckpoint pays, and (unlike
+    // a checkpoint's truncated lineage) an evicted or lost block is
+    // recomputed from lineage — the fault-tolerant choice on a real
+    // cluster, where executor loss under a checkpoint is job failure
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes, fnv)
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // candidate generation stays NARROW: only (id, band, bucket) is
     // shuffled/deduped; the 16-wide signatures join back afterwards,
     // once per distinct pair instead of once per band collision.
@@ -210,25 +227,59 @@ object Similarity {
     * blown-up pair cross product), so it survives block skew and scales
     * out. Pairs with an empty intersection never materialize — correct,
     * since threshold > 0.
+    *
+    * `maxDocFreq` caps shingle "document frequency" within a block:
+    * shingles appearing in more than maxDocFreq docs are removed from
+    * the shingle SETS (both intersection and union) — the standard
+    * stopword-shingle cut. Without a cap, one stopword-ish shingle in a
+    * block puts the whole block's doc ids into ONE aggregation row and
+    * one task pays O(df²) pairs for it — AQE skew-split cannot divide a
+    * single group, so at 100 TB this is an executor OOM. The cap is
+    * enforced with a count-only aggregation BEFORE any id list is
+    * collected, so a hot shingle never materializes anywhere.
+    * `droppedShingles` (optional) rides the same job and reports how
+    * many (block, shingle) groups the cap removed. Caveat: when the
+    * whole query result is EMPTY, AQE's empty-relation propagation can
+    * prune the metrics node with the rest of the plan and the
+    * observation stays unset — treat "no metrics" as "no output", not
+    * as "nothing dropped".
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCol: String, n: Int, threshold: Double): DataFrame = {
+      blockCol: String, n: Int, threshold: Double,
+      maxDocFreq: Int = Int.MaxValue,
+      droppedShingles: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(threshold > 0.0, "threshold must be > 0 (zero-overlap pairs are never produced)")
+    require(maxDocFreq > 1, "maxDocFreq must be > 1 (pairs need df >= 2)")
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("block"),
       explode(array_distinct(StringShingles(col(textCol), n))).as("s"))
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    // Pair generation WITHOUT a self-join: aggregate the (sorted) doc
-    // list per (block, shingle), emit its ordered pairs, count per
-    // pair. One scan of the shingle table and two hash-agg shuffles —
-    // vs. two scans + a join shuffle for the classic self-join shape.
-    // (Ultra-hot shingles still cost O(list^2) pairs — that blowup is
-    // inherent to exact Jaccard; cap with a doc-freq filter upstream
-    // if a corpus needs it.)
+    // ONE aggregation builds the per-(block, shingle) doc list; with a
+    // cap, [[CollectListCapped]] bounds the buffer INSIDE the aggregate
+    // (a hot group costs O(cap) memory, ever), and size > cap marks the
+    // group as overflowed → dropped from both intersections and sizes.
+    val collectIds =
+      if (maxDocFreq == Int.MaxValue) sort_array(collect_list(col("id")))
+      else sort_array(CollectListCapped(col("id"), maxDocFreq))
+    val grouped = sh.groupBy(col("block"), col("s")).agg(collectIds.as("ids"))
+    val kept = grouped.filter(size(col("ids")) <= maxDocFreq)
+    // per-doc set sizes AFTER the cap (capped-set semantics: hot
+    // shingles leave the union too, like a stopword cut)
+    val sizes = kept.select(explode(col("ids")).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // Pair generation WITHOUT a self-join: emit each kept list's
+    // ordered pairs, count per pair. One scan of the shingle table and
+    // two hash-agg shuffles — vs. two scans + a join shuffle for the
+    // classic self-join shape. Lists are <= maxDocFreq long, so the
+    // per-row pair expansion is bounded by cap².
     val pairExpr = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - 1, lit(0))),
         y => struct(x.as("id_a"), y.as("id_b")))))
-    val inter = sh.groupBy(col("block"), col("s"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
+    // the dropped-shingle count rides the pair branch only (a second
+    // CollectMetrics copy on the sizes branch could double-count)
+    val forPairs = droppedShingles.map(o => grouped.observe(o,
+        sum(when(size(col("ids")) > maxDocFreq, 1L).otherwise(0L)).as("dropped_shingles"),
+        count(lit(1)).as("total_shingles"))).getOrElse(grouped)
+      .filter(size(col("ids")) <= maxDocFreq)
+    val inter = forPairs
       .filter(size(col("ids")) > 1)
       .select(col("block"), explode(pairExpr).as("p"))
       .groupBy(col("block"), col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
@@ -275,7 +326,7 @@ object Similarity {
     val nBands = maxHamming + 1
     val shExpr = if (fnv) simhashFnv64(col(textCol)) else simhash64(col(textCol))
     val sh = docs.select(col(blockCol).as("block"), col(idCol).as("id"), shExpr.as("sh"))
-      .localCheckpoint(true) // banding + two pair-side lookups reuse it
+      .persist(StorageLevel.MEMORY_AND_DISK) // banding + two pair-side lookups reuse it (lazy; lineage kept)
     // cumulative bit offsets partition [0, 64) into nBands spans
     val bounds = (0 to nBands).map(i => i * 64 / nBands)
     val bandCols = (0 until nBands).map { i =>

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Compaction-style deduplication (SURVEY.md §2.4/§2.6).
@@ -43,6 +44,23 @@ object Dedup {
     df.groupBy(keys.map(col): _*)
       .agg(max_by(all, ord).as("_survivor"))
       .select(col("_survivor.*"))
+  }
+
+  /** LINEAR pair construction for exact-dup groups: connected
+    * components only need a CONNECTED graph per group, not a complete
+    * one — the self-join shape emits m(m-1)/2 pairs for a key
+    * duplicated m times (a doc duplicated 10^6 times = 5*10^11 pairs),
+    * where a star rooted at the group minimum emits m-1 edges AND has
+    * diameter 2, so [[clusterPairs]] converges in one round (a lag
+    * CHAIN would also be linear but its diameter is m — O(log m)
+    * propagation rounds). One window shuffle on the group key.
+    */
+  def starPairs(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(idCol))
+      .withColumn("id_a", min(col(idCol)).over(w))
+      .filter(col(idCol) =!= col("id_a"))
+      .select(col("id_a"), col(idCol).as("id_b"))
   }
 
   /** Near-dup cluster assignment from a pair list (id_a, id_b) —

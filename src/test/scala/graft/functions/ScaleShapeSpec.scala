@@ -98,6 +98,81 @@ class ScaleShapeSpec extends SparkSpec {
       s"candidate volume $candVolume not sub-quadratic (n^2/2 = $quadraticV)")
   }
 
+  test("jaccard hot-shingle cap: planted ultra-hot shingle is dropped, candidates bounded") {
+    import spark.implicits._
+    // every doc carries the SAME hot trigram ("hot hot hot") plus its
+    // own unique filler (every 10th doc clones its predecessor, so the
+    // result is non-empty and the metrics node survives AQE's
+    // empty-relation pruning); without the cap the hot shingle alone
+    // yields n(n-1)/2 ≈ 2*10^8 intersection pairs in ONE agg group
+    val hotDocs = (0L until n.toLong).map { id =>
+      val base = if (id % 10 == 1) id - 1 else id
+      val rng = new scala.util.Random(base * 0x9E3779B97F4A7C15L + 99)
+      val filler = Array.fill(10)(s"w${rng.nextInt(1 << 30)}")
+      (id, s"hot hot hot ${filler.mkString(" ")}")
+    }.toDF("id", "text").withColumn("block", lit("all")).repartition(8)
+    val obs = org.apache.spark.sql.Observation()
+    val pairs = Similarity.ngramJaccardPairs(hotDocs, "id", "text", "block",
+      n = 3, threshold = 0.01, maxDocFreq = 64, droppedShingles = Some(obs))
+    val c = pairs.count()
+    // the hot shingle ("hot hot hot" + boundary shingles) is cut, so
+    // only the planted clone pairs remain: candidate volume collapses
+    assert(c < quadratic / 1000, s"hot shingle not capped: $c pairs")
+    assert(c >= n / 10 - 10, s"planted clone pairs lost: $c")
+    val m = obs.get
+    assert(m("dropped_shingles").asInstanceOf[Long] >= 1L,
+      s"dropped-shingle count not observed: $m")
+  }
+
+  test("capped jaccard equals brute force with hot shingles removed (small corpus)") {
+    import spark.implicits._
+    // 60 docs over a tiny vocabulary => real overlaps and real hot
+    // shingles; cap=8 bites. Reference: per-doc shingle sets minus
+    // shingles with doc-freq > 8, exact pairwise Jaccard in Scala.
+    val vocab = Array("a", "b", "c", "d", "e")
+    val docs60 = (0L until 60L).map { id =>
+      val rng = new scala.util.Random(id * 31 + 7)
+      (id, Array.fill(12)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs60.toDF("id", "text").withColumn("block", lit("all"))
+    val got = Similarity.ngramJaccardPairs(df, "id", "text", "block",
+        n = 3, threshold = 0.05, maxDocFreq = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    // brute force in Scala
+    def shingles(t: String): Set[String] =
+      t.split(" ").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = docs60.map { case (id, t) => id -> shingles(t) }.toMap
+    val freq = sets.values.toSeq.flatten.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    val keptSets = sets.map { case (id, s) => id -> s.filter(freq(_) <= 8) }
+    val want = (for {
+      a <- 0L until 60L; b <- (a + 1) until 60L
+      inter = (keptSets(a) & keptSets(b)).size
+      if inter > 0
+      j = inter.toDouble / math.max(keptSets(a).size + keptSets(b).size - inter, 1)
+      if j >= 0.05
+    } yield (a, b) -> j).toMap
+    assert(got.keySet == want.keySet,
+      s"pair sets differ: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+    want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-12, s"$k: ${got(k)} != $j") }
+  }
+
+  test("star pair construction: 10k-dup group yields linear edges and one survivor") {
+    import spark.implicits._
+    // one fingerprint duplicated 10k times + 100 singletons
+    val rows = (0L until 10000L).map(i => (i, "dup")) ++
+      (10000L until 10100L).map(i => (i, s"u$i"))
+    val df = rows.toDF("doc_id", "fingerprint")
+    val pairs = graft.operators.Dedup.starPairs(df, "fingerprint", "doc_id")
+    assert(pairs.count() == 9999L, "star edges must be m-1, not m(m-1)/2")
+    // diameter-2 star: resolution converges inside the default rounds
+    val resolved = graft.operators.Dedup.resolveNearDups(
+      df.withColumn("score", col("doc_id")), pairs, "doc_id", "score", "doc_id")
+    assert(resolved.count() == 101L, "one survivor for the dup group + 100 singletons")
+    assert(resolved.filter(col("fingerprint") === "dup").head.getLong(0) == 9999L,
+      "survivor must be the max-score member")
+  }
+
   test("planted near-dups survive end-to-end minhash dedup at 20k docs") {
     val nd = Similarity.minhashNearDups(docs, "id", "text",
       shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)

@@ -157,11 +157,15 @@ class TextSimilaritySpec extends SparkSpec {
     val hinted = Similarity.bruteForceTopK(few, e, k = 3)
       .queryExecution.analyzed.toString
     assert(hinted.contains("ResolvedHint"), "small probe set should carry the broadcast hint")
-    // a probe side that is a fixed fraction of the corpus (here: all of
-    // it, conceptually 100 TB) must NOT be pinned to a broadcast
-    val bound = Similarity.MaxBroadcastProbes
-    val manyIds = spark.range(bound + 5).select($"id".as("vec_id"),
+    // a probe side that is a fixed fraction of the corpus (here: 20M
+    // rows whose plan-stat estimate is far past the byte bound, the
+    // 100 TB stand-in) must NOT be pinned to a broadcast: the stats
+    // fast path rejects it and the bounded probe-count job (which
+    // stops at bound+1 rows) confirms
+    val manyIds = spark.range(20L * 1000 * 1000).select($"id".as("vec_id"),
       array((0 until 4).map(i => lit(i.toFloat)): _*).as("embedding"))
+    assert(manyIds.queryExecution.optimizedPlan.stats.sizeInBytes >
+      Similarity.MaxBroadcastProbeBytes, "test premise: estimate must exceed the byte bound")
     val unhinted = Similarity.bruteForceTopK(manyIds, manyIds, k = 3)
       .queryExecution.analyzed.toString
     assert(!unhinted.contains("ResolvedHint"), "large probe set must leave the join to the planner")
