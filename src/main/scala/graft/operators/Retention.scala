@@ -33,6 +33,12 @@ object Retention {
   def newerThan(versions: DataFrame, tsCol: String, cutoff: java.sql.Timestamp): DataFrame =
     versions.filter(col(tsCol) > lit(cutoff))
 
+  /** Column-cutoff overload (e.g. a TIMESTAMP_NTZ literal — a
+    * java.sql.Timestamp literal would force a session-TZ cast).
+    */
+  def newerThan(versions: DataFrame, tsCol: String, cutoff: Column): DataFrame =
+    versions.filter(col(tsCol) > cutoff)
+
   /** CombineRetentionPolicy(INTERSECT): survivors kept by all policies. */
   def keepIntersect(survivorSets: Seq[DataFrame]): DataFrame =
     survivorSets.reduce(_.intersect(_))
