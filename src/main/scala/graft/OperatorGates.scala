@@ -3,10 +3,12 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.DecimalType
+
 import graft.operators.{AsyncEnrich, Compaction, FsCopy, Retention}
 import graft.quality.Quality
 import graft.sink.{CatalogPublisher, Publisher, SinkSpec}
-import graft.sources.{JdbcSource, WatermarkType}
+import graft.sources.{DatasetFinder, JdbcSource, WatermarkType}
 
 /** Driver-gated queries that execute the REAL operator machinery
   * (quality checker, compaction publish, distcp copy+stitch, JDBC
@@ -149,6 +151,37 @@ object OperatorGates {
         .orderBy(col("event_type"))
     }),
 
+    // --- multi-dataset finder + time-aware selection + replication
+    //     (ref CopyableGlobDatasetFinder + TimeAwareRecursiveCopyable
+    //     Dataset.java:43-80): orders laid out as dataset-per-status /
+    //     version-per-month; glob discovery, version window [1996,
+    //     1997), layout-preserving FsCopy of just those versions, read
+    //     back the REPLICA; oracle filters the source table -----------
+    "q_dataset_finder" -> ((s, dir) => {
+      val tmp = tmpDir("graft_dsf")
+      // dataset-per-status / version-per-year layout; repartition on
+      // the partition cols => one file per version dir
+      t(s, dir, "orders")
+        .withColumn("year_key", expr("substr(cast(o_orderdate as string), 1, 4)"))
+        .repartition(col("o_orderstatus"), col("year_key"))
+        .write.partitionBy("o_orderstatus", "year_key").parquet(s"$tmp/root")
+      val datasets = DatasetFinder.findDatasets(s, s"$tmp/root/o_orderstatus=*")
+      val selected = DatasetFinder.inWindow(
+          DatasetFinder.versions(s, datasets), "'year_key='yyyy",
+          lit("1996-01-01 00:00:00").cast("timestamp"),
+          lit("1998-01-01 00:00:00").cast("timestamp"))
+        .select(col("dataset"), col("version"), col("path"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      val plan = DatasetFinder.planCopies(s, selected, s"$tmp/dest", splitSize = 256L * 1024)
+      FsCopy.execute(plan)
+      s.read.parquet(s"$tmp/dest")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("year_key")).as("n_years"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // --- REST paged extractor end-to-end (ref RestApiExtractor.java:
     //     232-238 cursor paging, :172 max-watermark probe): probe the
     //     high watermark, fan (0, high] into 8 page chains (one task
@@ -168,6 +201,31 @@ object OperatorGates {
           low = 0, high = high, maxIntervals = 8, schema = schema,
           pageSize = 100, maxRetries = 3)
         .orderBy(col("id"))
+    }),
+
+    // --- cross-database table replication (ref HiveCopyEntityHelper):
+    //     register a partitioned table in one database, copy data +
+    //     definition + partitions into another, read the REPLICA by
+    //     name ----------------------------------------------------------
+    "q_table_copy" -> ((s, dir) => {
+      val tmp = tmpDir("graft_tc")
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_src")
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_dst")
+      s.sql("DROP TABLE IF EXISTS graft_src.gate_ev")
+      s.sql("DROP TABLE IF EXISTS graft_dst.gate_ev_copy")
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+        .write.partitionBy("event_type").parquet(s"$tmp/src")
+      new CatalogPublisher(s).register(
+        SinkSpec(s"$tmp/stg", s"$tmp/src", partitionBy = Seq("event_type")),
+        "graft_src.gate_ev")
+      graft.sink.TableCopy.copyTable(s, "graft_src.gate_ev",
+        "graft_dst.gate_ev_copy", s"$tmp/dst")
+      s.table("graft_dst.gate_ev_copy")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(vMilli).as("sum_v_milli"),
+          max(col("user_id")).as("max_user"))
+        .orderBy(col("event_type"))
     }),
 
     // --- async lookup-join enrichment (ref AsyncHttpJoinConverter):
@@ -240,6 +298,21 @@ object OperatorGates {
     // the deterministic feed replayed: ids (0, 5000], v = (id*K) % 1000
     "q_rest_paged" ->
       """SELECT range AS id, (range * 2654435761) % 1000 AS v
-        |FROM range(1, 5001) ORDER BY id""".stripMargin
+        |FROM range(1, 5001) ORDER BY id""".stripMargin,
+
+    "q_table_copy" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli,
+        |  MAX(user_id) AS max_user
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_dataset_finder" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  COUNT(DISTINCT strftime(o_orderdate, '%Y')) AS n_years,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

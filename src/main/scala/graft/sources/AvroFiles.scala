@@ -172,20 +172,26 @@ object AvroFiles {
   // -------------------------------------------------------- read/write ---
 
   /** Read a directory (or single file) of Avro container files. The
-    * schema comes from the first file's header (driver-side, bytes of
-    * one header only); record decoding runs on executors, one task per
-    * file batch.
+    * READER schema comes from the NEWEST file's header (by mtime;
+    * driver-side, bytes of one header only) — a directory whose latest
+    * writes added a field keeps that field, where first-file selection
+    * silently dropped it. Older files resolve against it through
+    * Avro's standard schema resolution (each DataFileStream hands its
+    * own writer schema to the reader), so added fields need defaults —
+    * the usual Avro evolution contract. Record decoding runs on
+    * executors, one task per file batch.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val files = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p)))
+    val statuses = (if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toSeq else Seq(fs.getFileStatus(p)))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".avro"))
-      .map(_.getPath.toString).sorted
-    require(files.nonEmpty, s"no .avro files under $path")
+    require(statuses.nonEmpty, s"no .avro files under $path")
+    val files = statuses.map(_.getPath.toString).sorted
+    val newest = statuses.maxBy(s => (s.getModificationTime, s.getPath.toString)).getPath
     val schemaJson = {
-      val in = fs.open(new Path(files.head))
+      val in = fs.open(newest)
       try new DataFileStream(in, new GenericDatumReader[GenericRecord]()).getSchema.toString
       finally in.close()
     }

@@ -21,4 +21,14 @@ object ColumnShim {
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
+
+  /** Catalog metadata for a (possibly db-qualified) table — location,
+    * schema, partition columns; the session catalog is private[sql].
+    */
+  def tableMetadata(spark: org.apache.spark.sql.SparkSession, table: String)
+      : org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val id = cs.sessionState.sqlParser.parseTableIdentifier(table)
+    cs.sessionState.catalog.getTableMetadata(id)
+  }
 }

@@ -46,6 +46,44 @@ class AvroSpec extends SparkSpec {
     assert(rec.fieldNames.toSeq == Seq("_1", "_2"))
   }
 
+  test("reader schema comes from the NEWEST file: added field survives, old rows get its default") {
+    val dir = tmpDir("avro_evolve") + "/data"
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+
+    def writeRaw(name: String, schemaJson: String, rows: Seq[GenericRecord], mtime: Long): Unit = {
+      val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      val p = new org.apache.hadoop.fs.Path(dir, name)
+      val out = fs.create(p, true)
+      val w = new org.apache.avro.file.DataFileWriter(
+        new GenericDatumWriter[GenericRecord](schema)).create(schema, out)
+      try rows.foreach(w.append) finally w.close()
+      fs.setTimes(p, mtime, -1L) // explicit mtimes — no clock races
+    }
+    val oldSchema =
+      """{"type":"record","name":"r","fields":[{"name":"a","type":"long"}]}"""
+    val newSchema =
+      """{"type":"record","name":"r","fields":[
+        |{"name":"a","type":"long"},
+        |{"name":"b","type":"string","default":"fallback"}]}""".stripMargin
+    def rec(schemaJson: String, vals: (String, Any)*): GenericRecord = {
+      val s = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      val r = new org.apache.avro.generic.GenericData.Record(s)
+      vals.foreach { case (k, v) => r.put(k, v) }
+      r
+    }
+    writeRaw("part-0.avro", oldSchema, Seq(rec(oldSchema, "a" -> 1L)), mtime = 1000000L)
+    writeRaw("part-1.avro", newSchema,
+      Seq(rec(newSchema, "a" -> 2L, "b" -> new org.apache.avro.util.Utf8("fresh"))),
+      mtime = 2000000L)
+
+    val back = AvroFiles.read(spark, dir).orderBy($"a")
+    assert(back.schema.fieldNames.toSeq == Seq("a", "b"),
+      "added field from the newest file must be in the read schema")
+    val got = back.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "fallback"), (2L, "fresh")))
+  }
+
   test("schema translation is a faithful two-way matrix") {
     val st = StructType(Seq(
       StructField("b", BooleanType, nullable = false),
