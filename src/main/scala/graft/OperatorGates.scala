@@ -242,6 +242,169 @@ object OperatorGates {
     })
   )
 
+  // ------------------------------------------------------------------
+  // second gate wave: job lifecycle, snapshot diff, client sink,
+  // object-store delete, nested converters
+  // ------------------------------------------------------------------
+
+  def queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- the FULL batch job lifecycle (ref AbstractJobLauncher +
+    //     SafeDatasetCommit): run 1 is vetoed by a mandatory task
+    //     policy (abort, no watermark), run 2 publishes and commits the
+    //     watermark, run 3 re-plans from it and publishes ZERO new rows
+    //     — the final output proves abort/publish/incremental all
+    //     behaved (a leaked run-1 publish or a re-published run-3 would
+    //     double the counts) -------------------------------------------
+    "q_jobrunner_lifecycle" -> ((s, dir) => {
+      import graft.model.JobSpec
+      import graft.runner.JobRunner
+      import graft.state.FsStateStore
+      val tmp = tmpDir("graft_jr")
+      val store = new FsStateStore(s"$tmp/state")
+      val job = JobSpec("gate_lifecycle")
+      val read: SparkSession => DataFrame = sess =>
+        Tables.load(sess, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+      def run(taskPolicies: Seq[Quality.TaskPolicy]) = JobRunner.run(
+        s, store, job, read, watermarkCol = "event_id",
+        ops = Seq.empty,
+        rowPolicies = Seq(Quality.RowPolicy("vcap", col("value") <= 190, Quality.ErrFile)),
+        taskPolicies = taskPolicies,
+        sink = (s"$tmp/staging", s"$tmp/out", Nil),
+        quarantineDir = Some(s"$tmp/quarantine"))
+      val r1 = run(Seq(Quality.TaskPolicy("impossible", mandatory = true, _ => false)))
+      require(!r1.published, "run 1 must be vetoed")
+      require(JobRunner.lowWatermark(store, job).isEmpty, "vetoed run must not commit a watermark")
+      val r2 = run(Seq(Quality.TaskPolicy("rows_present", mandatory = true,
+        m => m("rows").asInstanceOf[Long] > 0)))
+      require(r2.published, "run 2 must publish")
+      val r3 = run(Nil)
+      require(r3.published && r3.rowsWritten == 0,
+        s"run 3 must be an empty incremental, got $r3")
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(vMilli).as("sum_v_milli"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- snapshot-diff file source (ref FileBasedSource.java:88): land
+    //     the even half, snapshot, land the odd half; the second plan
+    //     must select ONLY the new files — reading them yields exactly
+    //     the odd half --------------------------------------------------
+    "q_snapshot_diff" -> ((s, dir) => {
+      import graft.sources.FileDiffSource
+      import graft.state.FsStateStore
+      val tmp = tmpDir("graft_fdiff")
+      val store = new FsStateStore(s"$tmp/state")
+      val conf = s.sparkContext.hadoopConfiguration
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"), col("value"))
+      ev.filter(pmod(col("event_id"), lit(2)) === 0)
+        .repartition(2).write.mode("append").parquet(s"$tmp/in")
+      val p1 = FileDiffSource.plan(s"$tmp/in", FileDiffSource.loadSnapshot(store, "gate"), conf)
+      FileDiffSource.saveSnapshot(store, "gate", p1.snapshot)
+      ev.filter(pmod(col("event_id"), lit(2)) === 1)
+        .repartition(2).write.mode("append").parquet(s"$tmp/in")
+      val p2 = FileDiffSource.plan(s"$tmp/in", FileDiffSource.loadSnapshot(store, "gate"), conf)
+      require(p2.newFiles.nonEmpty && p2.newFiles.size < p2.snapshot.size,
+        s"diff must select only the second landing: ${p2.newFiles.size} of ${p2.snapshot.size}")
+      s.read.parquet(p2.newFiles: _*)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(vMilli).as("sum_v_milli"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- external-service sink (ref AsyncWriterManager/RetryWriter/
+    //     ThrottleWriter): batched upsert writes with a planted
+    //     transient failure (retried) and a rate limiter; the store is
+    //     keyed, so at-least-once delivery + idempotent upserts =
+    //     exactly-once contents, which the oracle checks ---------------
+    "q_client_sink_retry" -> ((s, dir) => {
+      import graft.sink.ClientSink
+      val runId = java.util.UUID.randomUUID.toString
+      val df = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), vMilli.as("v_milli"))
+      val stats = ClientSink.write(df, new GateStores.UpsertWriter(runId),
+        batchSize = 500, maxRetries = 3, backoffMs = 1, ratePerSecond = Some(1e6))
+      require(stats.retries >= 1, s"the planted transient failure must be retried: $stats")
+      require(stats.rows == df.count(), s"all rows delivered: $stats")
+      import s.implicits._
+      GateStores.upsertContents(runId).toSeq
+        .map { case (id, (et, v)) => (id, et, v) }
+        .toDF("event_id", "event_type", "v_milli")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v_milli")).as("sum_v_milli"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- record-driven object-store deletion (ref
+    //     ObjectStoreDeleteConverter.java:47): preload one object per
+    //     document (executor-side), delete the short-doc set in
+    //     batches, list the survivors ------------------------------------
+    "q_obj_store_delete" -> ((s, dir) => {
+      import graft.operators.ObjectStoreDelete
+      val runId = java.util.UUID.randomUUID.toString
+      val docs = t(s, dir, "documents")
+      docs.select(col("doc_id")).foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach(r => GateStores.putObject(runId, "obj-" + r.getLong(0)))
+      }
+      val deletes = docs.filter(col("n_chars") < 300)
+        .select(concat(lit("obj-"), col("doc_id")).as("key"))
+      val stats = ObjectStoreDelete.delete(deletes, "key",
+        new GateStores.MapDeleteClient(runId), batchSize = 100)
+      require(stats.requested == stats.deleted, s"all requested keys existed: $stats")
+      import s.implicits._
+      GateStores.objectKeys(runId)
+        .map(_.stripPrefix("obj-").toLong).toSeq.toDF("doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- nested-field converter chain (ref FlattenNestedKeyConverter
+    //     .java:57 + StringSplitterToListConverter): build a nested
+    //     payload, flatten a.b.c -> a_b_c, split a csv column to a list
+    //     — the oracle recomputes every derived column -----------------
+    "q_converter_nested" -> ((s, dir) => {
+      import graft.operators.Converters
+      val nested = t(s, dir, "events").select(col("event_id"),
+        struct(struct(col("user_id").as("uid")).as("inner"),
+          col("event_type").as("etype")).as("payload"),
+        concat_ws(",", col("event_type"), col("event_id"), col("user_id")).as("csvline"))
+      Converters.chain(
+          Converters.flattenNestedKeys("payload.inner.uid", "payload.etype"),
+          Converters.splitToList("csvline", ",", "parts"))(nested)
+        .select(col("event_id"), col("payload_inner_uid"), col("payload_etype"),
+          size(col("parts")).as("n_parts"), element_at(col("parts"), 1).as("first_part"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  def oracleSql2: Map[String, String] = Map(
+    "q_jobrunner_lifecycle" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli
+        |FROM events WHERE value <= 190
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli
+        |FROM events WHERE event_id % 2 = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_client_sink_retry" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_obj_store_delete" ->
+      """SELECT doc_id FROM documents WHERE NOT (n_chars < 300)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_converter_nested" ->
+      """SELECT event_id, user_id AS payload_inner_uid, event_type AS payload_etype,
+        |  CAST(3 AS INT) AS n_parts, event_type AS first_part
+        |FROM events ORDER BY event_id""".stripMargin
+  )
+
   def oracleSql: Map[String, String] = Map(
     "q_quality_policies" ->
       """SELECT event_type, COUNT(*) AS n,
@@ -315,4 +478,51 @@ object OperatorGates {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
+}
+
+/** Per-JVM fake external stores for the sink/delete gates. local[*]
+  * executors share the driver JVM, so the driver reads back what
+  * executor tasks wrote — a deliberately test-shaped transport (same
+  * honest-fake pattern as RestSource.DeterministicFeed and
+  * Multimodal.FakeDecoder); production clients implement the same
+  * BatchWriter/DeleteClient traits over a real service.
+  */
+private[graft] object GateStores {
+  import java.util.concurrent.ConcurrentHashMap
+  import scala.jdk.CollectionConverters._
+
+  private val upserts =
+    new ConcurrentHashMap[String, ConcurrentHashMap[Long, (String, Long)]]()
+  private val objects = new ConcurrentHashMap[String, java.util.Set[String]]()
+  private val failedOnce = ConcurrentHashMap.newKeySet[String]()
+
+  /** Keyed upsert sink: at-least-once delivery + idempotent puts =
+    * exactly-once contents. The FIRST batch of each run throws once
+    * before writing anything, so the retry path must re-deliver it.
+    */
+  final class UpsertWriter(runId: String) extends graft.sink.ClientSink.BatchWriter {
+    def writeBatch(rows: Seq[org.apache.spark.sql.Row]): Unit = {
+      if (failedOnce.add(runId)) throw new java.io.IOException("transient sink failure")
+      val m = upserts.computeIfAbsent(runId,
+        _ => new ConcurrentHashMap[Long, (String, Long)]())
+      rows.foreach(r => m.put(r.getLong(0), (r.getString(1), r.getLong(2))))
+    }
+  }
+
+  def upsertContents(runId: String): Map[Long, (String, Long)] =
+    Option(upserts.get(runId)).map(_.asScala.toMap).getOrElse(Map.empty)
+
+  def putObject(runId: String, key: String): Unit =
+    objects.computeIfAbsent(runId, _ => ConcurrentHashMap.newKeySet[String]()).add(key)
+
+  def objectKeys(runId: String): Seq[String] =
+    Option(objects.get(runId)).map(_.asScala.toSeq.sorted).getOrElse(Seq.empty)
+
+  final class MapDeleteClient(runId: String)
+    extends graft.operators.ObjectStoreDelete.DeleteClient {
+    def deleteBatch(keys: Seq[String]): Seq[String] = {
+      val set = objects.get(runId)
+      keys.filter(k => set != null && set.remove(k))
+    }
+  }
 }

@@ -47,7 +47,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_join_revenue")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = OperatorGates.queries ++ Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    OperatorGates.queries ++ OperatorGates.queries2 ++ Map(
 
     // --- aggregation (pricing summary, TPC-H Q1 shape) ----------------
     "q_pricing_summary" -> ((s, dir) => {
@@ -666,7 +667,8 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = OperatorGates.oracleSql ++ Map(
+  def oracleSql: Map[String, String] =
+    OperatorGates.oracleSql ++ OperatorGates.oracleSql2 ++ Map(
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
