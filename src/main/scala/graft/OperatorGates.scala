@@ -358,6 +358,62 @@ object OperatorGates {
         .orderBy(col("doc_id"))
     }),
 
+    // --- date-partitioned source planning (ref PartitionedFileSource
+    //     Base.java:202 + DatePartitionedNestedRetriever): land events
+    //     under date_key partitions, plan strictly-after-watermark with
+    //     a 5-partition-per-run cap, read ONLY the selected partitions
+    //     — the oracle replays watermark + cap with a sorted LIMIT ----
+    "q_partitioned_source" -> ((s, dir) => {
+      import graft.sources.PartitionedFileSource
+      val tmp = tmpDir("graft_pfs")
+      graft.operators.Converters.withTimePartition("ts")(t(s, dir, "events"))
+        .select(col("event_id"), col("event_type"), col("value"), col("date_key"))
+        .repartition(col("date_key"))
+        .write.partitionBy("date_key").parquet(s"$tmp/in")
+      val plan = PartitionedFileSource.plan(s"$tmp/in", lowWatermark = Some("2024-01-10"),
+        maxPartitionsPerRun = 5, conf = s.sparkContext.hadoopConfiguration)
+      require(plan.paths.size == 5 && plan.highWatermark.exists(_ > "2024-01-10"),
+        s"watermark/cap planning broke: $plan")
+      s.read.parquet(plan.paths: _*)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(vMilli).as("sum_v_milli"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- JSON-intermediate type matrix THROUGH the text schema parser
+    //     (ref JsonElementConversionFactory.java:66-762 +
+    //     JsonIntermediateToAvroConverter): long/int/double/boolean/
+    //     string/array/nested-record, serialized to JSON and parsed
+    //     back via the schema DOCUMENT; every column recomputed by the
+    //     oracle ------------------------------------------------------
+    "q_json_type_matrix" -> ((s, dir) => {
+      import graft.operators.Converters
+      val payload = t(s, dir, "events").select(to_json(struct(
+        col("event_id").as("id"),
+        col("user_id").cast("int").as("ui"),
+        floor(col("value") * 1000).cast("long").as("vm"),
+        (pmod(col("event_id"), lit(2)) === 0).as("flag"),
+        col("event_type").as("st"),
+        array(col("user_id"), col("event_id")).as("arr"),
+        struct(col("user_id").as("nested_u")).as("rec"))).as("payload"))
+      val schema = graft.functions.JsonSchemaText.toStruct(
+        """[
+          |{"columnName":"id","dataType":{"type":"long"}},
+          |{"columnName":"ui","dataType":{"type":"int"}},
+          |{"columnName":"vm","dataType":{"type":"long"}},
+          |{"columnName":"flag","dataType":{"type":"boolean"}},
+          |{"columnName":"st","dataType":{"type":"string"}},
+          |{"columnName":"arr","dataType":{"type":"array","items":"long"}},
+          |{"columnName":"rec","dataType":{"type":"record","name":"rec",
+          |  "values":[{"columnName":"nested_u","dataType":{"type":"long"}}]}}
+          |]""".stripMargin)
+      Converters.parseJson("payload", schema)(payload)
+        .select(col("id"), col("ui"), col("vm"), col("flag"), col("st"),
+          element_at(col("arr"), 1).as("arr_head"), size(col("arr")).as("arr_len"),
+          col("rec.nested_u").as("nested_u"))
+        .orderBy(col("id"))
+    }),
+
     // --- nested-field converter chain (ref FlattenNestedKeyConverter
     //     .java:57 + StringSplitterToListConverter): build a nested
     //     payload, flatten a.b.c -> a_b_c, split a csv column to a list
@@ -402,7 +458,27 @@ object OperatorGates {
     "q_converter_nested" ->
       """SELECT event_id, user_id AS payload_inner_uid, event_type AS payload_etype,
         |  CAST(3 AS INT) AS n_parts, event_type AS first_part
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // watermark '2024-01-10' then the 5 SMALLEST later date keys
+    "q_partitioned_source" ->
+      """WITH dk AS (
+        |  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date_key FROM events
+        |  WHERE strftime(ts, '%Y-%m-%d') > '2024-01-10'
+        |  ORDER BY date_key LIMIT 5
+        |)
+        |SELECT e.event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli
+        |FROM events e JOIN dk ON strftime(e.ts, '%Y-%m-%d') = dk.date_key
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_json_type_matrix" ->
+      """SELECT event_id AS id, CAST(user_id AS INT) AS ui,
+        |  CAST(floor(value * 1000) AS BIGINT) AS vm,
+        |  event_id % 2 = 0 AS flag, event_type AS st,
+        |  user_id AS arr_head, CAST(2 AS INT) AS arr_len,
+        |  user_id AS nested_u
+        |FROM events ORDER BY id""".stripMargin
   )
 
   def oracleSql: Map[String, String] = Map(
