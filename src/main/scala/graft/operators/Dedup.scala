@@ -75,7 +75,9 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
-      .localCheckpoint(true) // reused every iteration
+      // reused every iteration; static input, so a LAZY persist (not an
+      // eager checkpoint job) suffices — lineage stays recoverable
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("rep", col("id"))

@@ -4,8 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{ContentChunkHashes, CosineSimilarity, DotProduct,
-  Fnv64, FnvShingleHashes, RollingHash64, ShingleHashes, SimHash64,
+import graft.functions.{CollectListCapped, ContentChunkHashes, CosineSimilarity,
+  DotProduct, Fnv64, FnvShingleHashes, RollingHash64, ShingleHashes, SimHash64,
   SimHashFnv64, StringShingles}
 
 /** SparkSessionExtensions registration: exposes graft's native
@@ -60,6 +60,9 @@ object GraftExtensions {
     (FunctionIdentifier("string_shingles"),
       new ExpressionInfo(classOf[StringShingles].getName, "string_shingles"),
       (args: Seq[Expression]) => StringShingles(args.head, intLit(args(1), "n"))),
+    (FunctionIdentifier("collect_list_capped"),
+      new ExpressionInfo(classOf[CollectListCapped].getName, "collect_list_capped"),
+      (args: Seq[Expression]) => CollectListCapped(args.head, intLit(args(1), "cap"))),
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))),

@@ -7,6 +7,19 @@ import graft.SparkSpec
 class TextSimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("collect_list_capped: SQL-registered, buffers capped at cap+1, complete below cap") {
+    graft.plans.GraftExtensions.register(spark)
+    (1 to 100).map(i => (i % 2, i)).toDF("k", "v").createOrReplaceTempView("clc_t")
+    val rows = spark.sql(
+      """SELECT k, size(collect_list_capped(v, 5)) AS capped,
+        |       size(collect_list_capped(v, 200)) AS full
+        |FROM clc_t GROUP BY k ORDER BY k""".stripMargin).collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == 6, "overflowing group truncates to cap+1 (overflow observable)")
+      assert(r.getInt(2) == 50, "groups below the cap keep the complete list")
+    }
+  }
+
   test("tokens/shingles basics") {
     val df = Seq("a b c d", "x", "").toDF("text")
     val out = df.select(
