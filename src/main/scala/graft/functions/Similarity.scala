@@ -326,7 +326,6 @@ object Similarity {
     val nBands = maxHamming + 1
     val shExpr = if (fnv) simhashFnv64(col(textCol)) else simhash64(col(textCol))
     val sh = docs.select(col(blockCol).as("block"), col(idCol).as("id"), shExpr.as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK) // banding + two pair-side lookups reuse it (lazy; lineage kept)
     // cumulative bit offsets partition [0, 64) into nBands spans
     val bounds = (0 to nBands).map(i => i * 64 / nBands)
     val bandCols = (0 until nBands).map { i =>
@@ -335,19 +334,25 @@ object Similarity {
       val mask = if (width == 64) -1L else (1L << width) - 1
       struct(lit(i).as("band"), (shiftrightunsigned(col("sh"), lo).bitwiseAND(lit(mask))).as("bits"))
     }
-    val banded = sh.select(col("block"), col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("block"), col("id"), col("bb.band").as("band"), col("bb.bits").as("bits"))
-    val cand = banded.select(col("block"), col("id").as("id_a"), col("band"), col("bits"))
-      .join(banded.select(col("block"), col("id").as("id_b"), col("band"), col("bits")),
-        Seq("block", "band", "bits"))
+    // The 8-byte simhash RIDES the band join (unlike the 128-byte
+    // minhash signatures or 256-byte embeddings, where candidates stay
+    // narrow and values join back): widening each banded row by one
+    // long deletes BOTH pair-side lookup joins, and the hamming check
+    // runs per collision (bit_count — trivial CPU) so distinct() only
+    // processes pairs already within the radius. Both join inputs share
+    // one subplan; exchange reuse computes/shuffles it once.
+    val banded = sh.select(col("block"), col("id"), col("sh"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("block"), col("id"), col("sh"),
+        col("bb.band").as("band"), col("bb.bits").as("bits"))
+    banded.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a"),
+        col("band"), col("bits"))
+      .join(banded.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b"),
+        col("band"), col("bits")), Seq("block", "band", "bits"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("block"), col("id_a"), col("id_b"))
-      .distinct()
-    cand
-      .join(sh.select(col("block"), col("id").as("id_a"), col("sh").as("sh_a")), Seq("block", "id_a"))
-      .join(sh.select(col("block"), col("id").as("id_b"), col("sh").as("sh_b")), Seq("block", "id_b"))
       .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("block"), col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
   }
 }
