@@ -414,6 +414,30 @@ object OperatorGates {
         .orderBy(col("id"))
     }),
 
+    // --- the DECLARATIVE job surface (ref EmbeddedGobblin / .pull job
+    //     files): a compaction job defined entirely as a properties
+    //     text runs through JobConfig.runAny; output = the published
+    //     compacted table, oracle = the dedup SQL — proves a reference
+    //     user's config-file workflow end-to-end ----------------------
+    "q_job_config_compact" -> ((s, dir) => {
+      import graft.runner.JobConfig
+      val tmp = tmpDir("graft_jobcfg")
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+        .repartition(8).write.parquet(s"$tmp/in")
+      val props = JobConfig.parse(
+        s"""job.type=compact
+           |source.path=$tmp/in
+           |compact.keys=l_orderkey
+           |compact.delta=l_linenumber,l_partkey,l_quantity
+           |sink.staging=$tmp/staging
+           |sink.output=$tmp/out
+           |""".stripMargin)
+      val r = JobConfig.runAny(s, props)
+      require(r("published") == "true", s"declarative compaction failed: $r")
+      s.read.parquet(s"$tmp/out").orderBy(col("l_orderkey"))
+    }),
+
     // --- nested-field converter chain (ref FlattenNestedKeyConverter
     //     .java:57 + StringSplitterToListConverter): build a nested
     //     payload, flatten a.b.c -> a_b_c, split a csv column to a list
@@ -471,6 +495,12 @@ object OperatorGates {
         |  CAST(SUM(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli
         |FROM events e JOIN dk ON strftime(e.ts, '%Y-%m-%d') = dk.date_key
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    "q_job_config_compact" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+        |QUALIFY row_number() OVER (PARTITION BY l_orderkey
+        |  ORDER BY l_linenumber DESC, l_partkey DESC, l_quantity DESC) = 1
+        |ORDER BY l_orderkey""".stripMargin,
 
     "q_json_type_matrix" ->
       """SELECT event_id AS id, CAST(user_id AS INT) AS ui,

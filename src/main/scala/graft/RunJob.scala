@@ -20,9 +20,8 @@ object RunJob {
     spark.sparkContext.setLogLevel("WARN")
     val props = JobConfig.parse(
       java.nio.file.Files.readString(java.nio.file.Paths.get(args.head)))
-    val result = JobConfig.run(spark, props)
-    println(s"rows=${result.rowsWritten} published=${result.published} " +
-      s"watermark=${result.highWatermark.getOrElse("-")} quarantined=${result.quarantined}")
+    val result = JobConfig.runAny(spark, props)
+    println(result.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
     spark.stop()
   }
 }

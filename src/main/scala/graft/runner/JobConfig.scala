@@ -112,6 +112,89 @@ object JobConfig {
         m => m("rows").asInstanceOf[Long] >= min.toLong)
     }.toSeq
 
+  /** Dispatch on `job.type` — the reference's job templates as one
+    * properties file each (ingest is the default; compaction jobs,
+    * distcp/replication jobs and retention jobs are the other config-
+    * driven job families a reference user runs). Returns a flat
+    * string summary so every job type reports uniformly (and can land
+    * in the state store unchanged).
+    */
+  def runAny(spark: SparkSession, p: Properties): Map[String, String] =
+    opt(p, "job.type").getOrElse("ingest") match {
+      case "ingest" =>
+        val r = run(spark, p)
+        Map("rowsWritten" -> r.rowsWritten.toString,
+          "published" -> r.published.toString,
+          "quarantined" -> r.quarantined.toString,
+          "highWatermark" -> r.highWatermark.map(_.toString).getOrElse(""))
+
+      case "compact" =>
+        import graft.sink.SinkSpec
+        val spec = SinkSpec(req(p, "sink.staging"), req(p, "sink.output"))
+        val keys = req(p, "compact.keys").split(",").map(_.trim).toSeq
+        val delta = opt(p, "compact.delta")
+          .map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)
+        graft.operators.Compaction.compact(spark, req(p, "source.path"), spec,
+          keys, delta,
+          minRowsThreshold = opt(p, "compact.min.rows").map(_.toLong).getOrElse(0L),
+          registerAs = opt(p, "compact.registerAs")) match {
+          case Right(st) => Map("published" -> "true",
+            "inputRows" -> st.inputRows.toString, "outputRows" -> st.outputRows.toString)
+          case Left(reason) => Map("published" -> "false", "reason" -> reason)
+        }
+
+      case "copy" =>
+        import graft.operators.FsCopy
+        import graft.sources.DatasetFinder
+        val splitSize = opt(p, "copy.splitSize").map(_.toLong).getOrElse(128L * 1024 * 1024)
+        val plan = opt(p, "source.glob") match {
+          case Some(glob) =>
+            // multi-dataset replication: glob discovery + optional
+            // date-pattern window over version dirs
+            val vers = DatasetFinder.versions(spark, DatasetFinder.findDatasets(spark, glob))
+            val sel = (opt(p, "copy.datePattern"), opt(p, "copy.window.from"), opt(p, "copy.window.to")) match {
+              case (Some(pat), Some(from), Some(to)) =>
+                DatasetFinder.inWindow(vers, pat,
+                  lit(from).cast("timestamp"), lit(to).cast("timestamp"))
+              case _ => vers
+            }
+            val selected = sel.select(col("dataset"), col("version"), col("path"))
+              .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+            DatasetFinder.planCopies(spark, selected, req(p, "copy.dest"), splitSize)
+          case None =>
+            FsCopy.plan(spark, req(p, "source.path"), req(p, "copy.dest"), splitSize)
+        }
+        val res = FsCopy.execute(plan)
+        val errs = FsCopy.verify(plan)
+        if (errs.nonEmpty)
+          throw new IllegalStateException(s"copy verification failed: ${errs.mkString("; ")}")
+        Map("files" -> res.files.toString, "bytes" -> res.bytes.toString)
+
+      case "retention" =>
+        import graft.operators.Retention
+        val versions = Retention.listVersions(spark, req(p, "source.path"))
+        val dated = opt(p, "retention.datePattern")
+          .map(Retention.withPathTime(versions, _)).getOrElse(versions)
+        val survivorSets = Seq(
+          opt(p, "retention.newest.k").map(k => Retention.newestK(dated,
+            Seq("dataset"), Seq(col("version")), k.toInt)),
+          opt(p, "retention.minVersionTime").map(t => Retention.newerThan(dated,
+            if (opt(p, "retention.datePattern").isDefined) "version_time" else "mod_time",
+            lit(t).cast("timestamp")))).flatten
+        require(survivorSets.nonEmpty, "retention job needs at least one policy")
+        val survivors = opt(p, "retention.combine").getOrElse("intersect") match {
+          case "intersect" => Retention.keepIntersect(survivorSets)
+          case "union" => Retention.keepUnion(survivorSets)
+          case other => throw new IllegalArgumentException(s"unknown combine: $other")
+        }
+        val paths = Retention.deletable(dated, survivors)
+          .select(col("path")).collect().map(_.getString(0)).toSeq
+        val n = Retention.deleteVersions(spark, paths, trashDir = opt(p, "retention.trash"))
+        Map("deletedVersions" -> n.toString)
+
+      case other => throw new IllegalArgumentException(s"unknown job.type: $other")
+    }
+
   /** Run a properties-defined job end-to-end via [[JobRunner]]. */
   def run(spark: SparkSession, p: Properties): JobRunner.RunResult = {
     val job = JobSpec(req(p, "job.name"))

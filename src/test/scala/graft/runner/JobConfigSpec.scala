@@ -83,4 +83,71 @@ class JobConfigSpec extends SparkSpec {
     intercept[IllegalArgumentException](JobConfig.buildOps(bad))
     intercept[IllegalArgumentException](JobConfig.run(spark, JobConfig.parse("job.name=x")))
   }
+
+  test("job.type=compact runs the declarative compaction template") {
+    val root = tmpDir("jobc")
+    graft.Tables.load(spark, sf(), "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .repartition(4).write.parquet(s"$root/in")
+    val conf =
+      s"""job.type=compact
+         |source.path=$root/in
+         |compact.keys=l_orderkey
+         |compact.delta=l_linenumber,l_partkey,l_quantity
+         |sink.staging=$root/staging
+         |sink.output=$root/out
+         |""".stripMargin
+    val r = JobConfig.runAny(spark, JobConfig.parse(conf))
+    assert(r("published") == "true")
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == r("outputRows").toLong)
+    assert(out.select("l_orderkey").distinct().count() == out.count(), "one survivor per key")
+  }
+
+  test("job.type=copy replicates a dataset tree (glob + window) declaratively") {
+    val root = tmpDir("jobcp")
+    Seq("ds1/2024-01-01", "ds1/2024-03-01", "ds2/2024-01-15").foreach { rel =>
+      val dir = java.nio.file.Paths.get(root, "src", rel)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("f.txt"), rel)
+    }
+    val conf =
+      s"""job.type=copy
+         |source.glob=$root/src/ds*
+         |copy.datePattern=yyyy-MM-dd
+         |copy.window.from=2024-01-01 00:00:00
+         |copy.window.to=2024-02-01 00:00:00
+         |copy.dest=$root/dest
+         |""".stripMargin
+    val r = JobConfig.runAny(spark, JobConfig.parse(conf))
+    assert(r("files") == "2") // 2024-03-01 outside the window
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "dest", "ds1", "2024-01-01", "f.txt")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "dest", "ds1", "2024-03-01")))
+  }
+
+  test("job.type=retention deletes versions outside newest-k INTERSECT time window") {
+    val root = tmpDir("jobr")
+    Seq("dsA/2024-01-01", "dsA/2024-01-02", "dsA/2024-01-03", "dsA/2024-01-04").foreach { rel =>
+      val dir = java.nio.file.Paths.get(root, "versions", rel)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("data"), rel)
+    }
+    val conf =
+      s"""job.type=retention
+         |source.path=$root/versions
+         |retention.datePattern=yyyy-MM-dd
+         |retention.newest.k=3
+         |retention.minVersionTime=2024-01-02 00:00:00
+         |retention.combine=intersect
+         |retention.trash=$root/trash
+         |""".stripMargin
+    val r = JobConfig.runAny(spark, JobConfig.parse(conf))
+    // newest-3 = {02,03,04}; newer-than = {03,04}; survivors = {03,04}
+    assert(r("deletedVersions") == "2")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "versions", "dsA", "2024-01-01")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "versions", "dsA", "2024-01-02")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "versions", "dsA", "2024-01-03")))
+    // trash (not destroy): deleted versions moved under the trash root
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "trash", "dsA", "2024-01-01", "data")))
+  }
 }
