@@ -414,6 +414,29 @@ object OperatorGates {
         .orderBy(col("id"))
     }),
 
+    // --- Kafka batch-offset planning (ref KafkaSource.java:419-447):
+    //     topic ranges derived from the events table (one topic per
+    //     event_type), committed offsets mid-range for c* topics,
+    //     out-of-range for 'purchase' (resets to earliest), absent for
+    //     the rest; the oracle replays the offset-selection logic -----
+    "q_kafka_offset_plan" -> ((s, dir) => {
+      import graft.sources.KafkaOffsets
+      val ranges = t(s, dir, "events").groupBy(col("event_type"))
+        .agg(min(col("event_id")).as("earliest"), max(col("event_id")).as("latest"))
+        .collect().map(r => KafkaOffsets.PartitionRange(r.getString(0), 0, r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_.topic) // driver metadata: one row per topic
+      val prev: Map[(String, Int), Long] = ranges.collect {
+        case pr if pr.topic == "purchase" => (pr.topic, 0) -> -5L // fell out of range
+        case pr if pr.topic.startsWith("c") => (pr.topic, 0) -> (pr.earliest + 100)
+      }.toMap
+      val plan = KafkaOffsets.plan(prev, ranges, KafkaOffsets.ResetToEarliest)
+      import s.implicits._
+      ranges.map { pr =>
+        (pr.topic, 0, plan.startingOffsets((pr.topic, 0)), plan.endingOffsets((pr.topic, 0)))
+      }.toDF("topic", "partition", "start_offset", "end_offset")
+        .orderBy(col("topic"))
+    }),
+
     // --- the DECLARATIVE job surface (ref EmbeddedGobblin / .pull job
     //     files): a compaction job defined entirely as a properties
     //     text runs through JobConfig.runAny; output = the published
@@ -495,6 +518,15 @@ object OperatorGates {
         |  CAST(SUM(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli
         |FROM events e JOIN dk ON strftime(e.ts, '%Y-%m-%d') = dk.date_key
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // committed c*-topic offsets resume mid-range; the out-of-range
+    // 'purchase' offset and absent topics reset to earliest
+    "q_kafka_offset_plan" ->
+      """SELECT event_type AS topic, CAST(0 AS INT) AS partition,
+        |  CASE WHEN event_type LIKE 'c%' AND event_type <> 'purchase'
+        |       THEN MIN(event_id) + 100 ELSE MIN(event_id) END AS start_offset,
+        |  MAX(event_id) AS end_offset
+        |FROM events GROUP BY event_type ORDER BY topic""".stripMargin,
 
     "q_job_config_compact" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
