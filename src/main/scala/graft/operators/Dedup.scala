@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,14 +70,29 @@ object Dedup {
     * shallow so maxIter=5 covers practical data. Returns (id, rep)
     * for every id that appears in a pair; rep = min id of the cluster.
     */
+  /** Edge counts at or below this take the driver union-find fast
+    * path: near-dup graphs are usually METADATA-scale (pairs above a
+    * high similarity threshold), and the iterative path pays ~10 Spark
+    * jobs of fixed overhead regardless of size. The gate is a bounded
+    * count (`limit(n+1)` — never scans a huge edge list), mirroring
+    * the broadcast gate in Similarity; big graphs take the distributed
+    * label-propagation path unchanged.
+    */
+  private[graft] val LocalSolveMaxEdges = 100000L
+
   def clusterPairs(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 5, earlyStop: Boolean = true): DataFrame = {
+      maxIter: Int = 5, earlyStop: Boolean = true,
+      localSolveThreshold: Long = LocalSolveMaxEdges): DataFrame = {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       // reused every iteration; static input, so a LAZY persist (not an
       // eager checkpoint job) suffices — lineage stays recoverable
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    if (localSolveThreshold > 0 &&
+        edges.limit((localSolveThreshold + 1).toInt).count() <= localSolveThreshold)
+      return localClusters(edges)
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("rep", col("id"))
@@ -114,6 +129,37 @@ object Dedup {
       i += 1
     }
     labels
+  }
+
+  /** Driver union-find over a bounded edge list (exact same contract
+    * as the iterative path: rep = MIN id of the component, compared
+    * via natural ordering). Path-halving find + min-rooted union.
+    */
+  private def localClusters(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val rows = edges.collect()
+    val parent = new java.util.HashMap[Any, Any]()
+    @annotation.tailrec
+    def find(x: Any): Any = {
+      val p = parent.get(x)
+      if (p == x) x
+      else { parent.put(x, parent.get(p)); find(parent.get(x)) }
+    }
+    def lt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    rows.foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    import scala.jdk.CollectionConverters._
+    val labels = parent.keySet.asScala.toSeq.map(id => Row(id, find(id)))
+    val idType = edges.schema.head.dataType
+    spark.createDataFrame(spark.sparkContext.parallelize(labels, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("rep", idType))))
   }
 
   /** LLM-pipeline near-dup resolution: within each cluster keep the

@@ -7,13 +7,17 @@ import graft.SparkSpec
 class NearDupSpec extends SparkSpec {
   import spark.implicits._
 
-  test("clusterPairs finds connected components incl. chains") {
-    // chain 1-2-3-4 (diameter 3) + pair 10-11 + isolated nothing
+  test("clusterPairs finds connected components incl. chains (both solver paths)") {
+    // chain 1-2-3-4 (diameter 3) + pair 10-11 + isolated nothing;
+    // threshold 0 forces the distributed label-propagation path, the
+    // default takes the driver union-find fast path — same contract
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
-    val clusters = Dedup.clusterPairs(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L))
-    assert(clusters(10L) == 10L && clusters(11L) == 10L)
+    for (threshold <- Seq(Dedup.LocalSolveMaxEdges, 0L)) {
+      val clusters = Dedup.clusterPairs(pairs, localSolveThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L, 4L).forall(clusters(_) == 1L), s"threshold=$threshold")
+      assert(clusters(10L) == 10L && clusters(11L) == 10L, s"threshold=$threshold")
+    }
   }
 
   test("resolveNearDups keeps best-scored doc per cluster, singletons survive") {
@@ -28,11 +32,24 @@ class NearDupSpec extends SparkSpec {
     assert(out.toSeq == Seq(2L, 4L, 6L))
   }
 
-  test("clusterPairs converges under maxIter on a long chain") {
+  test("clusterPairs converges under maxIter on a long chain (distributed path)") {
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val clusters = Dedup.clusterPairs(chain, maxIter = 10)
+    val clusters = Dedup.clusterPairs(chain, maxIter = 10, localSolveThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // min-label propagation halves distance per round -> 40-chain needs ~6
     assert(clusters.values.toSet == Set(1L))
+  }
+
+  test("local and distributed solvers agree on a random 3k-edge graph") {
+    val rng = new scala.util.Random(42)
+    val edges = Seq.fill(3000)((rng.nextInt(2000).toLong, rng.nextInt(2000).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+      .localCheckpoint(true) // freeze the random data for both runs
+    val local = Dedup.clusterPairs(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.clusterPairs(edges, maxIter = 15, localSolveThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
   }
 }
