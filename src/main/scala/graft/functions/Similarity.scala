@@ -46,7 +46,7 @@ object Similarity {
   private[graft] val MaxBroadcastProbes = 10000L
   private[graft] val MaxBroadcastProbeBytes = 32L * 1024 * 1024
 
-  private def gatedBroadcast(p: DataFrame): DataFrame = {
+  private[graft] def gatedBroadcast(p: DataFrame): DataFrame = {
     val stats = p.queryExecution.optimizedPlan.stats
     val statSmall = stats.rowCount.map(_.longValue <= MaxBroadcastProbes)
       .getOrElse(stats.sizeInBytes <= MaxBroadcastProbeBytes)

@@ -112,4 +112,49 @@ object Text {
   /** Hashed shingle set (distinct) — input to MinHash. */
   def shingleHashes(text: Column, n: Int): Column =
     array_distinct(transform(shingles(text, n), s => xxhash64(s)))
+
+  // --- PII scrubbing -------------------------------------------------
+
+  /** Conservative, engine-portable patterns (no lookarounds, no
+    * backreferences — valid in both java.util.regex and RE2-family
+    * engines, so a SQL oracle can replay the scrub verbatim). Order
+    * matters: emails first (their local part may contain digits), then
+    * IPs (dotted digits), then bare phone fragments.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** Redact emails / IPv4s / phone-shaped digit runs — the compliance
+    * scrub a training-data pipeline runs before anything ships to a
+    * tokenizer. Pure regexp_replace chain: codegen'd, one pass per
+    * pattern over the already-in-cache string.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  // --- repetition signals (Gopher/Dolma-style quality filters) -------
+
+  /** Fraction of word n-grams that are duplicates of an earlier one —
+    * the standard "excess repetition" document-quality signal. Exact
+    * integer counts; the ratio is one IEEE division (engine-portable).
+    * 0.0 for documents shorter than n tokens.
+    */
+  def dupNgramRatio(text: Column, n: Int): Column = {
+    val g = shingles(text, n)
+    when(size(g) <= 0, lit(0.0))
+      .otherwise((size(g) - size(array_distinct(g))).cast("double") / size(g).cast("double"))
+  }
+
+  /** (n_grams, n_unique) as separate exact counts, for thresholding
+    * without re-deriving the ratio.
+    */
+  def ngramCounts(text: Column, n: Int): (Column, Column) = {
+    val g = shingles(text, n)
+    (size(g), size(array_distinct(g)))
+  }
 }

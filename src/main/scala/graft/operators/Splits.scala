@@ -37,4 +37,44 @@ object Splits {
   def split(df: DataFrame, idCol: String, fractions: Seq[(String, Double)],
       seed: String = "graft", as: String = "split"): DataFrame =
     df.withColumn(as, assign(col(idCol), fractions, seed))
+
+  /** 4-hex-digit cut strings carving [0, 65536) into `shards` equal
+    * ranges — shared by the Spark expression and the SQL oracle replay.
+    */
+  def shardCuts(shards: Int): Seq[String] = {
+    require(shards > 1, "need at least 2 shards")
+    (1 until shards).map(i => f"${(i.toLong * 65536 / shards).toInt}%04x")
+  }
+
+  /** Deterministic shard id in [0, shards): the count of cut strings
+    * at or below the record's 4-hex-digit md5 prefix. Same
+    * hex-string-compare trick as [[assign]] — no hex→int conversion,
+    * so any engine with md5 + string compare replays it exactly.
+    */
+  def shardOf(idCol: Column, shards: Int, seed: String = "graft"): Column = {
+    val prefix = substring(md5(concat_ws("|", lit(seed), idCol)), 1, 4)
+    shardCuts(shards).foldLeft(lit(0)) { (acc, cut) =>
+      acc + when(prefix >= lit(cut), 1).otherwise(0)
+    }
+  }
+
+  /** Sharded deterministic shuffle for training-data export: assign
+    * each record a shard and a stable pseudo-random position within
+    * it. Hash-ordering inside hash-assigned shards is the standard way
+    * to break source locality (a model must not see a source's docs
+    * back-to-back) while staying reproducible run-over-run and
+    * engine-portable (no rand(), no partition-order dependence).
+    *
+    * Scale shape: one shuffle (the per-shard window sort). Shard count
+    * = output file count — size it to the target shard bytes, not the
+    * cluster's core count.
+    */
+  def shardAndShuffle(df: DataFrame, idCol: String, shards: Int,
+      seed: String = "graft"): DataFrame = {
+    val h = md5(concat_ws("|", lit(seed), col(idCol)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(h, col(idCol))
+    df.withColumn("shard", shardOf(col(idCol), shards, seed))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

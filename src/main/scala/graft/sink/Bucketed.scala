@@ -15,13 +15,25 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketed {
 
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
-      mode: SaveMode = SaveMode.Overwrite): Unit =
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val spark = df.sparkSession
+    if (mode == SaveMode.Overwrite) {
+      // An earlier SESSION may have left the managed location on disk
+      // with no entry in this session's catalog; saveAsTable then
+      // refuses with LOCATION_ALREADY_EXISTS. Drop both halves.
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.write
       .mode(mode)
       .bucketBy(buckets, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+  }
 
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)

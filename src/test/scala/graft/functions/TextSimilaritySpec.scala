@@ -20,6 +20,30 @@ class TextSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("scrubPii: redacts emails, IPv4s, phone fragments; leaves clean text alone") {
+    val cases = Seq(
+      ("write to alice.smith+x@sub.example.org today", "write to <EMAIL> today"),
+      ("server at 192.168.0.1 responded", "server at <IP> responded"),
+      ("call 555-0142 now", "call <PHONE> now"),
+      ("a@b.co and 10.0.0.7 and 555-1234", "<EMAIL> and <IP> and <PHONE>"),
+      ("no pii here, just words and 42", "no pii here, just words and 42"),
+      ("version 1.2.3 stays", "version 1.2.3 stays"))
+    val out = cases.map(_._1).toDF("text")
+      .select(Text.scrubPii(col("text"))).collect().map(_.getString(0))
+    out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got == want) }
+  }
+
+  test("dupNgramRatio: exact counts on known repetition") {
+    val df = Seq(
+      ("a b a b a b", 0.6),       // bigrams: ab ba ab ba ab -> 5 grams, 2 unique
+      ("a b c d", 0.0),           // all unique
+      ("x", 0.0),                 // shorter than n
+      ("w w w w", 2.0 / 3.0))     // ww ww ww -> 3 grams, 1 unique
+      .toDF("text", "want")
+    df.select(Text.dupNgramRatio(col("text"), 2).as("got"), col("want"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12, r.toString))
+  }
+
   test("tokens/shingles basics") {
     val df = Seq("a b c d", "x", "").toDF("text")
     val out = df.select(

@@ -34,4 +34,36 @@ class SplitsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Splits.assign(lit(1L), Seq("a" -> 0.9, "b" -> 0.3)))
   }
+
+  test("shardAndShuffle: dense positions per shard, deterministic, roughly uniform") {
+    val df = (1L to 8000L).toDF("id")
+    val out = Splits.shardAndShuffle(df, "id", 8).cache()
+    try {
+      val perShard = out.groupBy("shard")
+        .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+          countDistinct("pos").as("npos"))
+        .collect()
+      assert(perShard.length == 8, "all 8 shards populated")
+      perShard.foreach { r =>
+        assert(r.getLong(2) == 1L && r.getLong(3) == r.getLong(1) && r.getLong(4) == r.getLong(1),
+          s"positions must be dense 1..n within shard: $r")
+        assert(math.abs(r.getLong(1) - 1000L) < 250, s"shard imbalance: $r")
+      }
+      // deterministic under physical reshuffling
+      val again = Splits.shardAndShuffle(df.repartition(17), "id", 8)
+      assert(out.except(again).isEmpty && again.except(out).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("shardAndShuffle breaks id-order locality") {
+    // consecutive ids must not land at consecutive positions of one shard
+    val out = Splits.shardAndShuffle((1L to 2000L).toDF("id"), "id", 4)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val adjacentSameShardInOrder = (1L until 2000L).count { i =>
+      val (s1, p1) = out(i); val (s2, p2) = out(i + 1)
+      s1 == s2 && p2 == p1 + 1
+    }
+    assert(adjacentSameShardInOrder < 20,
+      s"$adjacentSameShardInOrder adjacent id pairs kept adjacent positions — not shuffled")
+  }
 }
