@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.{Quantize, Text}
+import graft.functions.{Ann, Quantize, Text}
 import graft.operators.{Skew, Splits}
 import graft.sink.{Bucketed, CommitSequence, Publisher, SinkSpec}
 import graft.sources.{Partitioner, WatermarkType}
@@ -184,6 +184,17 @@ object OperatorGates3 {
         .orderBy(col("query_id"), col("qdot").desc, col("neighbor_id"))
     }),
 
+    // --- three-stage quantized ANN (Ann.hyperplaneLshQuantized): LSH
+    //     bucket candidates -> int8 integer-dot prefilter -> exact
+    //     float re-rank; float vectors touched only by survivors. The
+    //     oracle replays all three stages exactly ---------------------
+    "q_ann_lsh_quantized" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      Ann.hyperplaneLshQuantized(probes, e, k = 5, prefilter = 20)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
+
     // --- PII scrubbing (Text.scrubPii): emails, IPv4s, phone-shaped
     //     digit runs redacted in one regexp_replace chain. PII is
     //     planted deterministically from table columns so the patterns
@@ -279,6 +290,9 @@ object OperatorGates3 {
         |FROM qq a JOIN qq b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id
         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) <= 5
         |ORDER BY query_id, qdot DESC, neighbor_id""".stripMargin,
+
+    "q_ann_lsh_quantized" ->
+      OracleSql.annHyperplaneLshQuantized(k = 5, prefilter = 20, probeMod = 100),
 
     "q_pii_scrub" ->
       s"""WITH r AS (SELECT doc_id,

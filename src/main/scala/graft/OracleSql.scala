@@ -173,6 +173,40 @@ object OracleSql {
        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
   }
 
+  /** Oracle for q_ann_lsh_quantized: replays the three-stage pipeline
+    * exactly — the same 8 signature tables for candidates, the int8
+    * quantization arithmetic (scale = 127/maxAbs, floor(x*s+0.5)) and
+    * exact BIGINT dot for the prefilter, exact cosine for the final
+    * re-rank; both window stages tie-break on neighbor_id.
+    */
+  def annHyperplaneLshQuantized(k: Int, prefilter: Int, probeMod: Int,
+      nPlanes: Int = 4, nTables: Int = 8, dim: Int = 64): String = {
+    val buckets = bucketExprs(nPlanes, nTables, dim).mkString(",\n    ")
+    val share = (0 until nTables).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    s"""WITH sig AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    $buckets,
+       |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+       |  FROM embeddings
+       |), sq AS (
+       |  SELECT vec_id, e, ${(0 until nTables).map(t => s"b$t").mkString(", ")},
+       |    list_transform(e, x -> CAST(floor(x * (CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END) + 0.5) AS BIGINT)) AS qv
+       |  FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(list_sum(list_transform(range(1, CAST(len(a.qv) AS BIGINT) + 1), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS qdot,
+       |    $CosineAB AS sim
+       |  FROM sq a JOIN sq b ON a.vec_id % $probeMod = 0 AND a.vec_id <> b.vec_id
+       |    AND ($share)
+       |), pruned AS (
+       |  SELECT query_id, neighbor_id, sim FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) <= $prefilter
+       |)
+       |SELECT query_id, neighbor_id, sim FROM pruned
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
+  }
+
   /** Oracle for q_sql_surface: replays fnv64() and simhash_fnv64() —
     * the two SQL-registered native expressions with exact DuckDB
     * arithmetic — for every document. Proves the

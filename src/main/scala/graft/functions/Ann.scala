@@ -140,6 +140,62 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"), col("sim"))
   }
 
+  /** The full 100 TB ANN pipeline: LSH bucket candidate generation →
+    * int8-quantized integer-dot prefilter (top-`prefilter` per probe)
+    * → exact float re-rank (top-`k`). The middle stage is the
+    * bandwidth lever: candidates are scored on 1-byte-per-dim
+    * quantized vectors ([[Quantize]]), and the 4-bytes-per-dim float
+    * vectors are fetched ONLY for the `prefilter` survivors — at scale
+    * that's the difference between streaming the quantized index from
+    * page cache and re-reading the float corpus per query batch.
+    *
+    * Every stage is deterministic (tie-breaks on neighbor_id), so the
+    * three-stage composition is replayed exactly by the DuckDB oracle
+    * (OracleSql.annHyperplaneLshQuantized).
+    */
+  def hyperplaneLshQuantized(probes: DataFrame, corpus: DataFrame, k: Int, prefilter: Int,
+      nPlanes: Int = 4, nTables: Int = 8, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(prefilter >= k, s"prefilter $prefilter must be >= k $k")
+    val tables = (0 until nTables).map(t => hyperplanes(dim, nPlanes, seed = 0x5EED + t * 7919L))
+    def banded(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      val sigStruct = array(tables.zipWithIndex.map { case (planes, t) =>
+        struct(lit(t).as("t"), hyperplaneSignature(col(vecCol), planes).as("b"))
+      }: _*)
+      df.select(col(idCol), explode(sigStruct).as("tb"))
+        .select(col(idCol), col("tb.t").as("t"), col("tb.b").as("b"))
+    }
+    val corpusVecs = Quantize.withQuantized(
+        corpus.select(col(id).as("neighbor_id"), col(vec).as("_cv")), "_cv", "_qc")
+      .select(col("neighbor_id"), col("_cv"), col("_qc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probeVecs = Quantize.withQuantized(
+        probes.select(col(id).as("query_id"), col(vec).as("_qv")), "_qv", "_qp")
+      .select(col("query_id"), col("_qv"), col("_qp"))
+    val cand = banded(probeVecs, "query_id", "_qv")
+      .join(banded(corpusVecs, "neighbor_id", "_cv"), Seq("t", "b"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"))
+      .distinct()
+    // stage 2: integer scoring on the quantized columns ONLY
+    val scored = cand
+      .join(probeVecs.select(col("query_id"), col("_qp")), Seq("query_id"))
+      .join(corpusVecs.select(col("neighbor_id"), col("_qc")), Seq("neighbor_id"))
+      .withColumn("_qdot", Quantize.intDot(col("_qp"), col("_qc")))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("_qdot").desc, col("neighbor_id"))
+    val pruned = scored.withColumn("_qrn", row_number().over(wq))
+      .filter(col("_qrn") <= prefilter)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 3: float vectors fetched only for survivors
+    val reranked = pruned
+      .join(probeVecs.select(col("query_id"), col("_qv")), Seq("query_id"))
+      .join(corpusVecs.select(col("neighbor_id"), col("_cv")), Seq("neighbor_id"))
+      .withColumn("sim", Similarity.cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    reranked.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
   /** Self-join LSH near-dup pairs over one corpus: ALL tables'
     * signatures computed in a single projection (one pass over the
     * vectors), candidates generated by a narrow (id, table, bucket)

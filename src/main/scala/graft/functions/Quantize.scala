@@ -42,9 +42,12 @@ object Quantize {
   def quantize(vec: Column, scale: Column): Column =
     transform(vec, x => floor(x.cast("double") * scale + lit(0.5)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def intDot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact integer dot product of two quantized vectors. Native
+    * codegen'd expression; `aggregate(zip_with(_*_))` computes the
+    * same values but interpreted with per-element boxing (asserted
+    * equal in QuantizeSpec).
+    */
+  def intDot(a: Column, b: Column): Column = VectorExprs.longDot(a, b)
 
   /** Reconstructed (approximate) cosine from the int dot and the two
     * scales + norms of the quantized vectors — exact ints until the

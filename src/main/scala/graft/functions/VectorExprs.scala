@@ -43,6 +43,18 @@ object VectorOps {
     ab / (math.sqrt(aa) * math.sqrt(bb))
   }
 
+  /** Exact integer dot product over array<long> (int8-quantized
+    * vectors ride in long arrays) — no FP rounding anywhere.
+    */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(b.numElements() == n, s"dim mismatch: $n vs ${b.numElements()}")
+    var ab = 0L
+    var i = 0
+    while (i < n) { ab += a.getLong(i) * b.getLong(i); i += 1 }
+    ab
+  }
+
   def dot(a: ArrayData, b: ArrayData, floats: Boolean): Double = {
     val n = a.numElements()
     require(b.numElements() == n, s"dim mismatch: $n vs ${b.numElements()}")
@@ -89,10 +101,23 @@ case class DotProduct(left: Expression, right: Expression) extends VectorBinaryE
     copy(left = l, right = r)
 }
 
+case class LongDotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "long_dot_product"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dotLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LongDotProduct =
+    copy(left = l, right = r)
+}
+
 object VectorExprs {
   import org.apache.spark.sql.graftshim.ColumnShim
   def cosineSim(a: Column, b: Column): Column =
     ColumnShim.toColumn(CosineSimilarity(ColumnShim.toExpression(a), ColumnShim.toExpression(b)))
   def dotProduct(a: Column, b: Column): Column =
     ColumnShim.toColumn(DotProduct(ColumnShim.toExpression(a), ColumnShim.toExpression(b)))
+  def longDot(a: Column, b: Column): Column =
+    ColumnShim.toColumn(LongDotProduct(ColumnShim.toExpression(a), ColumnShim.toExpression(b)))
 }

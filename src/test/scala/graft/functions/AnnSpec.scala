@@ -28,6 +28,18 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("quantized prefilter pipeline: wide prefilter == plain LSH; narrow still clears floor") {
+    val plain = topkSet(Ann.hyperplaneLsh(probes, emb, k = 5))
+    // a prefilter wider than any bucket's candidate count must not
+    // change the result at all — the int8 stage only reorders
+    val wide = topkSet(Ann.hyperplaneLshQuantized(probes, emb, k = 5, prefilter = 10000))
+    assert(wide == plain, "wide prefilter must be a no-op vs plain LSH")
+    // a tight prefilter trades recall for bandwidth but must stay sane
+    val tight = topkSet(Ann.hyperplaneLshQuantized(probes, emb, k = 5, prefilter = 10))
+    val recall = (tight intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"tight-prefilter recall $recall")
+  }
+
   test("multi-probe LSH beats single-probe at HALF the tables") {
     // the 100 TB configuration: fewer corpus-side tables, probe-side
     // bucket fan-out instead. 4 tables single-probe vs 4 tables +

@@ -42,6 +42,17 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.8, s"quantized dot recall too low: $recall")
   }
 
+  test("native long dot == aggregate(zip_with) fold on random vectors") {
+    val df = vecs(100, 24).toDF("vec_id", "embedding")
+    val q = Quantize.withQuantized(df, "embedding").select(col("vec_id"), col("q"))
+    val mismatches = q.as("a").crossJoin(q.as("b"))
+      .select(Quantize.intDot(col("a.q"), col("b.q")).as("native"),
+        aggregate(zip_with(col("a.q"), col("b.q"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
   test("intDot is exact and symmetric") {
     val df = Seq((1L, Array(1.0f, -0.5f, 0.25f)), (2L, Array(0.5f, 0.5f, -1.0f)))
       .toDF("vec_id", "embedding")
