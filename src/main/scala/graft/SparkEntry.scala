@@ -48,7 +48,8 @@ object SparkEntry {
     queries("q_join_revenue")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    OperatorGates.queries ++ OperatorGates.queries2 ++ OperatorGates3.queries3 ++ Map(
+    OperatorGates.queries ++ OperatorGates.queries2 ++ OperatorGates3.queries3 ++
+      OperatorGates4.queries4 ++ Map(
 
     // --- aggregation (pricing summary, TPC-H Q1 shape) ----------------
     "q_pricing_summary" -> ((s, dir) => {
@@ -668,7 +669,8 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] =
-    OperatorGates.oracleSql ++ OperatorGates.oracleSql2 ++ OperatorGates3.oracleSql3 ++ Map(
+    OperatorGates.oracleSql ++ OperatorGates.oracleSql2 ++ OperatorGates3.oracleSql3 ++
+      OperatorGates4.oracleSql4 ++ Map(
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

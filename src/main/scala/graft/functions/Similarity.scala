@@ -296,6 +296,48 @@ object Similarity {
       .select(col("block"), col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // -------------------------------------------------------- decontamination
+
+  /** Benchmark decontamination: per-document n-gram overlap against a
+    * benchmark/eval set (the GPT-3-style contamination check a training
+    * pipeline runs before anything ships to a trainer). For each corpus
+    * document: the fraction of its DISTINCT word n-grams that appear
+    * anywhere in the benchmark set, and a flag at `threshold`.
+    *
+    * Shape: both sides explode to distinct shingle strings; the corpus
+    * side left-joins the (deduped) benchmark shingle set and aggregates
+    * hit counts per doc — one equi-join + one hash aggregation. The
+    * benchmark side is eval data and therefore SMALL by nature, so the
+    * join is broadcast through the same stats-gated hint the cosine
+    * paths use (a benchmark that outgrows the gate degrades to a
+    * shuffled equi-join instead of OOMing the executors). Documents
+    * with fewer than n tokens have an empty shingle set — they rejoin
+    * the output with ratio 0 via the final left join on ids (which also
+    * keeps output cardinality == corpus cardinality, a property the
+    * oracle checks).
+    */
+  def benchmarkOverlap(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int, threshold: Double): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(array_distinct(StringShingles(col(textCol), n))).as("s"))
+      .distinct()
+    val docSh = corpus.select(col(idCol).as("id"),
+      explode(array_distinct(StringShingles(col(textCol), n))).as("s"))
+    val counts = docSh
+      .join(gatedBroadcast(benchSh.withColumn("_hit", lit(1))), Seq("s"), "left_outer")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("_hit"), lit(0))).as("n_overlap"))
+    corpus.select(col(idCol).as("id"))
+      .join(counts, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+      .withColumn("overlap_ratio", col("n_overlap").cast("double") /
+        greatest(col("n_shingles"), lit(1)).cast("double"))
+      .withColumn("contaminated", col("overlap_ratio") >= threshold)
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens — native Catalyst expression

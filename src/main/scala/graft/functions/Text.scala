@@ -157,4 +157,23 @@ object Text {
     val g = shingles(text, n)
     (size(g), size(array_distinct(g)))
   }
+
+  // --- context-window chunking ---------------------------------------
+
+  /** Overlapping fixed-size token chunks with a stride — the standard
+    * document→training-context split (chunk k covers tokens
+    * [k*stride, k*stride+chunkSize)). The last chunk may be shorter;
+    * chunk count = ceil(max(nTok - chunkSize, 0) / stride) + 1, so
+    * every token is covered and a short document still yields exactly
+    * one chunk. Pure sequence/slice composition — codegen'd, and the
+    * exact-integer ceil keeps it engine-portable for the oracle.
+    */
+  def chunkTokens(text: Column, chunkSize: Int, stride: Int): Column = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
+    val t = tokens(text)
+    val nChunks = floor((greatest(size(t) - chunkSize, lit(0)) + lit(stride - 1))
+      .cast("double") / lit(stride)).cast("int") + lit(1)
+    transform(sequence(lit(0), nChunks - 1),
+      k => array_join(slice(t, k * stride + 1, lit(chunkSize)), " "))
+  }
 }

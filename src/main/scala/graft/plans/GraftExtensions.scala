@@ -5,8 +5,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions.{CollectListCapped, ContentChunkHashes, CosineSimilarity,
-  DotProduct, Fnv64, FnvShingleHashes, RollingHash64, ShingleHashes, SimHash64,
-  SimHashFnv64, StringShingles}
+  DotProduct, Fnv64, FnvShingleHashes, NormalizeNfc, RollingHash64, ShingleHashes,
+  SimHash64, SimHashFnv64, StringShingles, StripAccents}
 
 /** SparkSessionExtensions registration: exposes graft's native
   * Catalyst expressions to SQL. Enable with
@@ -63,6 +63,12 @@ object GraftExtensions {
     (FunctionIdentifier("collect_list_capped"),
       new ExpressionInfo(classOf[CollectListCapped].getName, "collect_list_capped"),
       (args: Seq[Expression]) => CollectListCapped(args.head, intLit(args(1), "cap"))),
+    (FunctionIdentifier("normalize_nfc"),
+      new ExpressionInfo(classOf[NormalizeNfc].getName, "normalize_nfc"),
+      (args: Seq[Expression]) => NormalizeNfc(args.head)),
+    (FunctionIdentifier("strip_accents"),
+      new ExpressionInfo(classOf[StripAccents].getName, "strip_accents"),
+      (args: Seq[Expression]) => StripAccents(args.head)),
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (args: Seq[Expression]) => CosineSimilarity(args.head, args(1))),

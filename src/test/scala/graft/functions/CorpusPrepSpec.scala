@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Packing
+
+class CorpusPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkTokens: coverage, stride overlap, short-doc and exact-fit edges") {
+    val cases = Seq(
+      // 10 tokens, chunk 4, stride 3 -> ceil(6/3)+1 = 3 chunks
+      ("t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", 4, 3,
+        Seq("t0 t1 t2 t3", "t3 t4 t5 t6", "t6 t7 t8 t9")),
+      // exact fit: 4 tokens, chunk 4 -> one chunk
+      ("a b c d", 4, 3, Seq("a b c d")),
+      // shorter than a chunk -> one (short) chunk
+      ("a b", 4, 3, Seq("a b")),
+      // trailing partial chunk
+      ("a b c d e", 4, 3, Seq("a b c d", "d e")),
+      // empty text -> one empty chunk (documents always yield >=1 chunk)
+      ("", 4, 3, Seq("")))
+    cases.foreach { case (text, c, s, want) =>
+      val got = Seq(text).toDF("text")
+        .select(Text.chunkTokens(col("text"), c, s).as("ch"))
+        .head().getSeq[String](0)
+      assert(got == want, s"text='$text' chunk=$c stride=$s: $got")
+    }
+  }
+
+  test("chunkTokens: every token position is covered at stride < chunk") {
+    val text = (0 until 97).map(i => s"w$i").mkString(" ")
+    val chunks = Seq(text).toDF("text")
+      .select(Text.chunkTokens(col("text"), 16, 10).as("ch"))
+      .head().getSeq[String](0)
+    val covered = chunks.flatMap(_.split(" ")).toSet
+    assert(covered == (0 until 97).map(i => s"w$i").toSet)
+    // consecutive chunks overlap by chunk - stride = 6 tokens
+    chunks.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a.split(" ").takeRight(6).sameElements(b.split(" ").take(6)))
+      case _ =>
+    }
+  }
+
+  test("benchmarkOverlap: exact hit counts, short docs surface with ratio 0") {
+    val corpus = Seq(
+      (1L, "a b c d e"),     // shingles: abc bcd cde
+      (2L, "x y z w"),       // xyz yzw — no overlap
+      (3L, "a b c x y z"),   // abc bcx cxy xyz — 2 of 4 hit
+      (4L, "a b"))           // too short to shingle
+      .toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d q"), (101L, "x y z q")).toDF("doc_id", "text")
+    val out = Similarity.benchmarkOverlap(corpus, bench, "doc_id", "text", n = 3, threshold = 0.5)
+      .orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(byId(1L) == ((3L, 2L, 2.0 / 3.0, true)))   // abc bcd hit, cde missed
+    assert(byId(2L) == ((2L, 1L, 0.5, true)))          // xyz hit, yzw missed
+    assert(byId(3L) == ((4L, 2L, 0.5, true)))
+    assert(byId(4L) == ((0L, 0L, 0.0, false)))         // short doc kept, ratio 0
+    assert(out.length == 4, "output cardinality == corpus cardinality")
+  }
+
+  test("packGreedy: greedy fills, budget overflow opens a new sequence, oversized doc isolated") {
+    val docs = Seq(
+      (0L, 1L, 40), (0L, 2L, 50), (0L, 3L, 20),  // 110 > 100 -> doc 3 starts seq 1
+      (0L, 4L, 150),                             // oversized -> its own seq 2
+      (0L, 5L, 10),                              // seq 3 (150+10 > 100)
+      (1L, 6L, 100), (1L, 7L, 1))                // shard reset: seq 0, then seq 1
+      .toDF("shard", "doc_id", "n_tok")
+    val got = Packing.packGreedy(docs, "shard", "doc_id", "n_tok", budget = 100)
+      .orderBy("shard", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 0L), (0L, 2L, 0L), (0L, 3L, 1L), (0L, 4L, 2L), (0L, 5L, 3L),
+      (1L, 6L, 0L), (1L, 7L, 1L)))
+  }
+
+  test("packGreedy: assignment is independent of input order and partitioning") {
+    val base = (1L to 200L).map(i => (i % 7, i, (i * 13 % 90 + 10).toInt))
+    val a = Packing.packGreedy(base.toDF("shard", "doc_id", "n_tok"),
+      "shard", "doc_id", "n_tok", budget = 128).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted
+    val b = Packing.packGreedy(
+      scala.util.Random.shuffle(base).toDF("shard", "doc_id", "n_tok").repartition(13),
+      "shard", "doc_id", "n_tok", budget = 128).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("packGreedy: no sequence except oversized singletons exceeds the budget") {
+    val docs = (1L to 500L).map(i => (i % 11, i, (i * 37 % 300 + 1).toInt))
+      .toDF("shard", "doc_id", "n_tok")
+    val packed = Packing.packGreedy(docs, "shard", "doc_id", "n_tok", budget = 256)
+    val bad = Packing.packStats(packed, budget = 256)
+      .filter(col("seq_tokens") > 256 && col("n_docs") > 1)
+    assert(bad.count() == 0)
+  }
+
+  test("normalize: NFC composes, stripAccents removes diacritics, both codegen==interpreted") {
+    val decomposedCafe = "café"          // e + combining acute
+    val cases = Seq(
+      (decomposedCafe, "café", "cafe"),
+      ("café", "café", "cafe"),
+      ("über schön", "über schön", "uber schon"),
+      ("naïve El Niño", "naïve El Niño", "naive El Nino"),
+      ("plain ascii 42", "plain ascii 42", "plain ascii 42"),
+      ("", "", ""))
+    val df = cases.map(_._1).toDF("s")
+    val out = df.select(NormalizeNfc(col("s")).as("nfc"),
+      StripAccents(col("s")).as("stripped")).collect()
+    out.zip(cases).foreach { case (r, (in, nfc, strip)) =>
+      assert(r.getString(0) == nfc, s"nfc($in)")
+      assert(r.getString(1) == strip, s"strip($in)")
+    }
+    // interpreted path (eval without codegen) agrees
+    import org.apache.spark.unsafe.types.UTF8String
+    cases.foreach { case (in, nfc, strip) =>
+      assert(NormalizeOps.nfc(UTF8String.fromString(in)).toString == nfc)
+      assert(NormalizeOps.stripAccents(UTF8String.fromString(in)).toString == strip)
+    }
+  }
+
+  test("normalize: NFC(x) and NFC(NFD(x)) hash to the same fingerprint") {
+    val df = Seq("café déjà-vu", "café déjà-vu").toDF("s")
+    val fps = df.select(Text.fingerprint(NormalizeNfc(col("s")))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+}
