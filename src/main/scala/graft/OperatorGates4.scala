@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{NormalizeNfc, Similarity, StripAccents, Text}
-import graft.operators.Packing
+import graft.operators.{Converters, Packing}
 
 /** Round-3 wave 4: the training-data corpus-preparation operators —
   * benchmark decontamination, greedy sequence packing, sliding-window
@@ -77,6 +77,52 @@ object OperatorGates4 {
         .withColumn("roundtrip", col("restored") === col("text"))
         .select(col("doc_id"), col("planted"), col("restored"), col("roundtrip"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- duplicate-shingle saturation (Similarity.
+    //     duplicateShingleSaturation): the Dolma/CCNet boilerplate
+    //     signal — fraction of a doc's distinct 3-grams with corpus
+    //     doc-freq > 2. Count-only doc-freq agg (hot shingle = one
+    //     counter); the oracle replays it with a window count ---------
+    "q_dup_saturation" -> ((s, dir) => {
+      Similarity.duplicateShingleSaturation(t(s, dir, "documents"),
+          "doc_id", "text", n = 3, maxDocFreq = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- URL extraction + domain blocklist (Text.extractUrls/domains/
+    //     hasBlockedDomain): the C4/RefinedWeb source filter. URLs are
+    //     planted deterministically from table columns so extraction
+    //     actually fires; patterns are RE2-safe so DuckDB replays them
+    //     verbatim --------------------------------------------------
+    "q_url_blocklist" -> ((s, dir) => {
+      val raw = concat(
+        substring(col("text"), 1, 30), lit(" see https://"), col("source"), lit("."),
+        col("lang"), lit(".example.com/p/"), col("doc_id").cast("string"),
+        lit(" and http://ads.tracker"), pmod(col("doc_id"), lit(3)).cast("string"),
+        lit(".net/x?id="), col("doc_id").cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          size(Text.extractUrls(col("raw"))).as("n_urls"),
+          array_join(array_sort(Text.domains(col("raw"))), ",").as("domain_list"),
+          Text.hasBlockedDomain(col("raw"),
+            Seq("ads.tracker0.net", "ads.tracker2.net")).as("blocked"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- stratified per-group fraction sampling (Converters.
+    //     sampleFractionPerGroup): rebalance the corpus by language —
+    //     en halved, de quartered, everything else at 10%. md5-prefix
+    //     thresholds, so membership is stable under growth and the
+    //     oracle replays the exact compare --------------------------
+    "q_stratified_sample" -> ((s, dir) => {
+      Converters.sampleFractionPerGroup("lang", "doc_id",
+          Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 0.1)(
+          t(s, dir, "documents"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -147,6 +193,58 @@ object OperatorGates4 {
         |SELECT doc_id, planted,
         |  strip_accents(nfc_normalize(planted)) AS restored,
         |  strip_accents(nfc_normalize(planted)) = text AS roundtrip
-        |FROM p ORDER BY doc_id""".stripMargin
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_dup_saturation" ->
+      """WITH docsh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |    THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |    ELSE [] END)) AS s
+        |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |        FROM documents)
+        |), freq AS (
+        |  SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS dfc FROM docsh
+        |), agg AS (
+        |  SELECT doc_id, count(*) AS n_shingles,
+        |    CAST(sum(CASE WHEN dfc > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_shingles
+        |  FROM freq GROUP BY doc_id
+        |)
+        |SELECT doc.doc_id,
+        |  coalesce(a.n_shingles, 0) AS n_shingles,
+        |  coalesce(a.n_dup_shingles, 0) AS n_dup_shingles,
+        |  CAST(coalesce(a.n_dup_shingles, 0) AS DOUBLE) /
+        |    CAST(greatest(coalesce(a.n_shingles, 0), 1) AS DOUBLE) AS dup_saturation
+        |FROM documents doc LEFT JOIN agg a ON doc.doc_id = a.doc_id
+        |ORDER BY doc.doc_id""".stripMargin,
+
+    "q_url_blocklist" -> {
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    substring(text, 1, 30) || ' see https://' || source || '.' || lang ||
+         |    '.example.com/p/' || CAST(doc_id AS VARCHAR) || ' and http://ads.tracker' ||
+         |    CAST(doc_id % 3 AS VARCHAR) || '.net/x?id=' || CAST(doc_id AS VARCHAR) AS raw
+         |  FROM documents
+         |), u AS (
+         |  SELECT doc_id,
+         |    list_sort(list_distinct(list_transform(
+         |      regexp_extract_all(raw, '${Text.UrlRe}', 0),
+         |      x -> lower(regexp_extract(x, 'https?://([A-Za-z0-9.-]+)', 1))))) AS doms,
+         |    CAST(len(regexp_extract_all(raw, '${Text.UrlRe}', 0)) AS INT) AS n_urls
+         |  FROM r
+         |)
+         |SELECT doc_id, n_urls, array_to_string(doms, ',') AS domain_list,
+         |  len(list_filter(doms, d -> d IN ('ads.tracker0.net', 'ads.tracker2.net'))) > 0 AS blocked
+         |FROM u ORDER BY doc_id""".stripMargin
+    },
+
+    "q_stratified_sample" -> {
+      import graft.operators.Converters.fractionCut
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substring(md5('graft' || '|' || CAST(doc_id AS VARCHAR)), 1, 4) <
+         |  CASE WHEN lang = 'de' THEN '${fractionCut(0.25)}'
+         |       WHEN lang = 'en' THEN '${fractionCut(0.5)}'
+         |       ELSE '${fractionCut(0.1)}' END
+         |ORDER BY doc_id""".stripMargin
+    }
   )
 }

@@ -338,6 +338,40 @@ object Similarity {
       .withColumn("contaminated", col("overlap_ratio") >= threshold)
   }
 
+  /** Duplicate-shingle saturation: for each document, the fraction of
+    * its DISTINCT word n-grams whose corpus-wide document frequency
+    * exceeds `maxDocFreq` — the Dolma/CCNet-style "how much of this
+    * document is boilerplate that exists elsewhere" signal, used to
+    * drop template-heavy docs that exact/near dedup both miss (no
+    * single source doc matches, but every phrase is common).
+    *
+    * Shape: one shingle explode, a count-ONLY doc-freq aggregation
+    * (map-side partial; a hot shingle is one counter, never a list),
+    * a keyed join back, and a per-doc aggregation. The join's skew on
+    * stopword-ish shingles is ordinary join-key skew — AQE's skew
+    * split handles it (unlike a hot aggregation GROUP, which is why
+    * ngramJaccardPairs needs its in-aggregate cap and this does not).
+    * Docs too short to shingle surface with saturation 0.
+    */
+  def duplicateShingleSaturation(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Int): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val sh = docs.select(col(idCol).as("id"),
+      explode(array_distinct(StringShingles(col(textCol), n))).as("s"))
+    val docFreq = sh.groupBy(col("s")).agg(count(lit(1)).as("_df"))
+    val perDoc = sh.join(docFreq, Seq("s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("_df") > maxDocFreq, 1L).otherwise(0L)).as("n_dup_shingles"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_dup_shingles"), lit(0L)).as("n_dup_shingles"))
+      .withColumn("dup_saturation", col("n_dup_shingles").cast("double") /
+        greatest(col("n_shingles"), lit(1)).cast("double"))
+  }
+
   // --------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over whitespace tokens — native Catalyst expression

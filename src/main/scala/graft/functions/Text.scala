@@ -158,6 +158,41 @@ object Text {
     (size(g), size(array_distinct(g)))
   }
 
+  // --- URL / domain filtering (C4/RefinedWeb-style) ------------------
+
+  /** Conservative URL pattern — no lookarounds/backreferences, so it is
+    * valid verbatim in java.util.regex AND RE2-family engines (same
+    * portability contract as the PII patterns above, which is what
+    * lets a SQL oracle replay the extraction).
+    */
+  val UrlRe = "https?://[A-Za-z0-9.-]+(/[^ ]*)?"
+  private val DomainRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** All URLs in a document, in order of appearance. */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** Lower-cased host of one URL string ("" for non-URLs). */
+  def urlDomain(url: Column): Column =
+    lower(regexp_extract(url, DomainRe, 1))
+
+  /** Distinct lower-cased domains mentioned in a document — the join
+    * key for blocklist filtering. Codegen'd array composition.
+    */
+  def domains(text: Column): Column =
+    array_distinct(transform(extractUrls(text), u => urlDomain(u)))
+
+  /** True when the document mentions any blocklisted domain. For a
+    * literal blocklist (config-sized) this is a pure projection; a
+    * TABLE-sized blocklist should instead explode [[domains]] and
+    * anti-join, which scales with the corpus.
+    */
+  def hasBlockedDomain(text: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val set = blocklist.map(d => lit(d.toLowerCase))
+    exists(domains(text), d => d.isin(set: _*))
+  }
+
   // --- context-window chunking ---------------------------------------
 
   /** Overlapping fixed-size token chunks with a stride — the standard

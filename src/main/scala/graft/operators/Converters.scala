@@ -106,6 +106,37 @@ object Converters {
       .drop("_rk")
   }
 
+  /** Stratified per-group FRACTION sampling: each group keeps its own
+    * deterministic share of rows — the corpus-rebalance pass (downsample
+    * the over-represented language/source, keep the rare one whole).
+    * Same md5-threshold machinery as [[graft.operators.Splits]]: a row
+    * is kept iff its 4-hex-digit id-hash prefix falls under the group's
+    * cut, so membership is stable under dataset growth and replayable
+    * by a SQL oracle. Groups absent from `fractions` keep
+    * `defaultFraction` (1.0 = pass through). Pure filter projection —
+    * no shuffle, no rand().
+    */
+  /** 4-hex-digit keep-threshold for a fraction; 1.0 maps to "g", which
+    * sorts after every hex prefix ('g' > 'f' in ASCII and SQL alike) —
+    * keep-all must not round down to 65535/65536. Shared by the filter
+    * and the SQL oracle replay (no second source of truth).
+    */
+  private[graft] def fractionCut(f: Double): String = {
+    require(f >= 0.0 && f <= 1.0, s"fraction $f outside [0,1]")
+    if (f >= 1.0) "g" else f"${math.round(f * 65536).min(65535)}%04x"
+  }
+
+  def sampleFractionPerGroup(groupCol: String, idCol: String,
+      fractions: Map[String, Double], defaultFraction: Double = 1.0,
+      seed: String = "graft"): Op = df => {
+    val prefix = substring(md5(concat_ws("|", lit(seed), col(idCol))), 1, 4)
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldRight(lit(fractionCut(defaultFraction)): Column) {
+        case ((g, f), acc) => when(col(groupCol) === g, lit(fractionCut(f))).otherwise(acc)
+      }
+    df.filter(prefix < threshold)
+  }
+
   /** ForkOperator (gobblin-api/.../fork/ForkOperator.java:36; stream impl
     * fork/Forker.java:44-101): route each record to 0..N branches. The
     * Spark shape is cache-once + N filtered branches; callers write each

@@ -121,6 +121,55 @@ class CorpusPrepSpec extends SparkSpec {
     }
   }
 
+  test("duplicateShingleSaturation: exact doc-freq arithmetic, short docs at 0") {
+    val docs = Seq(
+      (1L, "a b c d"),    // abc bcd
+      (2L, "a b c e"),    // abc bce
+      (3L, "a b c f"),    // abc bcf  -> abc has df 3 > 2
+      (4L, "x y"))        // no shingles
+      .toDF("doc_id", "text")
+    val out = Similarity.duplicateShingleSaturation(docs, "doc_id", "text", n = 3, maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))
+    assert(out(2L) == ((2L, 1L, 0.5)))
+    assert(out(3L) == ((2L, 1L, 0.5)))
+    assert(out(4L) == ((0L, 0L, 0.0)))
+  }
+
+  test("url extraction, domains, blocklist") {
+    val df = Seq(
+      "visit https://Sub.Example.COM/path?q=1 or http://other.net",
+      "no urls at all",
+      "bare http://blocked.org and https://blocked.org/twice")
+      .toDF("text")
+    val out = df.select(
+      size(Text.extractUrls(col("text"))).as("n"),
+      array_join(array_sort(Text.domains(col("text"))), ",").as("d"),
+      Text.hasBlockedDomain(col("text"), Seq("Blocked.ORG")).as("b")).collect()
+    assert(out(0).getInt(0) == 2 && out(0).getString(1) == "other.net,sub.example.com" && !out(0).getBoolean(2))
+    assert(out(1).getInt(0) == 0 && out(1).getString(1) == "" && !out(1).getBoolean(2))
+    assert(out(2).getInt(0) == 2 && out(2).getString(1) == "blocked.org" && out(2).getBoolean(2))
+  }
+
+  test("sampleFractionPerGroup: per-group rates near target, membership stable under growth") {
+    import graft.operators.Converters
+    val base = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "rare"))
+      .toDF("doc_id", "lang")
+    val sampled = Converters.sampleFractionPerGroup("lang", "doc_id",
+      Map("en" -> 0.25), defaultFraction = 1.0)(base)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("rare") == 2000L, "fraction 1.0 keeps every row")
+    assert(math.abs(byLang("en") - 500L) < 120, s"en kept ${byLang("en")} of 2000 at 0.25")
+    // growth stability: membership of the first half is unchanged when
+    // the second half of the corpus arrives
+    val firstHalf = Converters.sampleFractionPerGroup("lang", "doc_id",
+      Map("en" -> 0.25), defaultFraction = 1.0)(base.filter(col("doc_id") <= 2000))
+      .collect().map(_.getLong(0)).toSet
+    val fromFull = sampled.filter(col("doc_id") <= 2000).collect().map(_.getLong(0)).toSet
+    assert(firstHalf == fromFull)
+  }
+
   test("normalize: NFC(x) and NFC(NFD(x)) hash to the same fingerprint") {
     val df = Seq("café déjà-vu", "café déjà-vu").toDF("s")
     val fps = df.select(Text.fingerprint(NormalizeNfc(col("s")))).collect().map(_.getString(0))
