@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{NormalizeNfc, Similarity, StripAccents, Text}
+import graft.functions.{NormalizeNfc, Similarity, StripAccents, TermStats, Text}
 import graft.operators.{Converters, Packing}
 
 /** Round-3 wave 4: the training-data corpus-preparation operators —
@@ -110,6 +110,31 @@ object OperatorGates4 {
           Text.hasBlockedDomain(col("raw"),
             Seq("ads.tracker0.net", "ads.tracker2.net")).as("blocked"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- packed-sequence materialization (Packing.
+    //     materializeSequences): the rows a tokenizer consumes — member
+    //     docs concatenated in doc_id order. The per-group collect is
+    //     bounded by the token budget BY CONSTRUCTION; the oracle
+    //     replays pack assignment (recursive CTE) + ordered string_agg -
+    "q_pack_texts" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+          Text.tokenCount(col("text")).as("n_tok"))
+      val packed = Packing.packGreedy(docs, "shard", "doc_id", "n_tok", budget = 256)
+      Packing.materializeSequences(packed, t(s, dir, "documents"),
+          "doc_id", "text", " <|doc|> ")
+        .orderBy(col("shard"), col("seq_id"))
+    }),
+
+    // --- TF-IDF-ish top terms (TermStats.topTerms): per-doc salience
+    //     = tf * N / df (log dropped — monotone in df, so top-k is
+    //     identical and the arithmetic stays exact-rational / IEEE
+    //     portable instead of depending on two libm ln()s) ------------
+    "q_top_terms" -> ((s, dir) => {
+      TermStats.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("weight").desc, col("term"))
     }),
 
     // --- stratified per-group fraction sampling (Converters.
@@ -236,6 +261,43 @@ object OperatorGates4 {
          |  len(list_filter(doms, d -> d IN ('ads.tracker0.net', 'ads.tracker2.net'))) > 0 AS blocked
          |FROM u ORDER BY doc_id""".stripMargin
     },
+
+    "q_pack_texts" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id % 8 AS shard, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS INT) AS n_tok,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), rec(shard, doc_id, n_tok, rn, seq_id, fill) AS (
+        |  SELECT shard, doc_id, n_tok, rn, CAST(0 AS BIGINT), CAST(n_tok AS BIGINT)
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.doc_id, d.n_tok, d.rn,
+        |    CASE WHEN r.fill + d.n_tok <= 256 THEN r.seq_id ELSE r.seq_id + 1 END,
+        |    CASE WHEN r.fill + d.n_tok <= 256 THEN r.fill + d.n_tok ELSE CAST(d.n_tok AS BIGINT) END
+        |  FROM rec r JOIN docs d ON d.shard = r.shard AND d.rn = r.rn + 1
+        |)
+        |SELECT r.shard, r.seq_id, count(*) AS n_docs,
+        |  CAST(sum(r.n_tok) AS BIGINT) AS seq_tokens,
+        |  string_agg(d.text, ' <|doc|> ' ORDER BY r.doc_id) AS seq_text
+        |FROM rec r JOIN documents d ON r.doc_id = d.doc_id
+        |GROUP BY r.shard, r.seq_id
+        |ORDER BY shard, seq_id""".stripMargin,
+
+    "q_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        |), dfq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY term
+        |), n AS (SELECT count(*) AS nn FROM documents)
+        |SELECT doc_id, term, tf, df,
+        |  CAST(tf * nn AS DOUBLE) / CAST(df AS DOUBLE) AS weight
+        |FROM tf JOIN dfq USING (term) CROSS JOIN n
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) <= 3
+        |ORDER BY doc_id, weight DESC, term""".stripMargin,
 
     "q_stratified_sample" -> {
       import graft.operators.Converters.fractionCut

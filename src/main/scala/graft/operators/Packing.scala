@@ -80,4 +80,29 @@ object Packing {
     packed.groupBy(col("shard"), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"))
       .withColumn("fill_ratio", col("seq_tokens").cast("double") / budget.toDouble)
+
+  /** Materialize the packed sequences as text: one row per (shard,
+    * seq_id) with member documents concatenated in doc_id order,
+    * `separator` between them — the row a tokenizer actually consumes.
+    *
+    * One join (assignment → text) and one hash aggregation. The
+    * per-group `collect_list` here is SAFE at scale, unlike a hot
+    * shingle list: group payload is bounded by the token budget BY
+    * CONSTRUCTION (a sequence never exceeds `budget` tokens except a
+    * single oversized document, which forms a singleton group), so no
+    * cap machinery is needed. Ordering inside the group is imposed by
+    * `sort_array` over (doc_id, text) structs — deterministic
+    * regardless of aggregation arrival order.
+    */
+  def materializeSequences(packed: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String, separator: String): DataFrame = {
+    val joined = packed.join(
+      docs.select(col(idCol).as("doc_id"), col(textCol).as("_text")), Seq("doc_id"))
+    joined.groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("seq_tokens"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("doc_id"), col("_text")))),
+            s => s.getField("_text")),
+          separator).as("seq_text"))
+  }
 }

@@ -67,6 +67,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit")) // top-k pushed before full sort
   }
 
+  test("decontaminate: benchmark shingle set joins via broadcast, no shuffle join") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"benchmark join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("chunk tokens: one scan, pure projection + explode, sort is the only exchange") {
+    val p = plan("q_chunk_tokens")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert("\\bExchange\\b".r.findAllIn(p).size <= 1) // only the final orderBy
+    assert(!p.contains("MapPartitions"))
+  }
+
+  test("stratified sample: md5-prefix filter is shuffle-free") {
+    val p = plan("q_stratified_sample")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert("\\bExchange\\b".r.findAllIn(p).size <= 1) // only the final orderBy
+  }
+
+  test("dup saturation: keyed joins only, partial aggregation before exchange") {
+    val p = plan("q_dup_saturation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "doc-freq aggregation lost its map-side partial")
+  }
+
   test("rotating aes: pure column projection — one scan, no extra exchange") {
     val p = plan("q_rotating_aes")
     // encrypt/decrypt stay column expressions: a single parquet scan

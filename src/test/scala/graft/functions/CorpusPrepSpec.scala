@@ -170,6 +170,39 @@ class CorpusPrepSpec extends SparkSpec {
     assert(firstHalf == fromFull)
   }
 
+  test("materializeSequences: members concatenated in doc_id order, payload bounded by budget") {
+    val docs = Seq(
+      (1L, "one one"), (2L, "two"), (3L, "three three three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val counted = docs.select(col("doc_id"), lit(0L).as("shard"),
+      Text.tokenCount(col("text")).as("n_tok"))
+    val packed = Packing.packGreedy(counted, "shard", "doc_id", "n_tok", budget = 3)
+    val seqs = Packing.materializeSequences(packed, docs, "doc_id", "text", " | ")
+      .orderBy("seq_id").collect()
+    // budget 3: [1,2] (2+1), [3] (3), [4]
+    assert(seqs.map(_.getString(4)).toSeq ==
+      Seq("one one | two", "three three three", "four"))
+    assert(seqs.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((2L, 3L), (1L, 3L), (1L, 1L)))
+  }
+
+  test("topTerms: exact weights and deterministic tie-break on a toy corpus") {
+    val docs = Seq(
+      (1L, "apple apple banana"),
+      (2L, "banana cherry"),
+      (3L, "cherry date date"))
+      .toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 2, date 1
+    val out = TermStats.topTerms(docs, "doc_id", "text", k = 2)
+      .orderBy(col("id"), col("weight").desc, col("term"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (1L, "apple", 6.0),   // tf 2 * 3 / 1
+      (1L, "banana", 1.5),  // tf 1 * 3 / 2
+      (2L, "banana", 1.5), (2L, "cherry", 1.5),  // tie -> term asc
+      (3L, "date", 6.0), (3L, "cherry", 1.5)))
+  }
+
   test("normalize: NFC(x) and NFC(NFD(x)) hash to the same fingerprint") {
     val df = Seq("café déjà-vu", "café déjà-vu").toDF("s")
     val fps = df.select(Text.fingerprint(NormalizeNfc(col("s")))).collect().map(_.getString(0))
