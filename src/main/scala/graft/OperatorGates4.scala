@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{NormalizeNfc, Similarity, StripAccents, TermStats, Text}
-import graft.operators.{Converters, Packing}
+import graft.operators.{Converters, Dedup, Packing}
 
 /** Round-3 wave 4: the training-data corpus-preparation operators —
   * benchmark decontamination, greedy sequence packing, sliding-window
@@ -135,6 +135,21 @@ object OperatorGates4 {
       TermStats.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
         .withColumnRenamed("id", "doc_id")
         .orderBy(col("doc_id"), col("weight").desc, col("term"))
+    }),
+
+    // --- line-level dedup (Dedup.dropDuplicateLines): CCNet-style
+    //     boilerplate removal — lines occurring > 15 times corpus-wide
+    //     dropped, documents reassembled in order. Lines are planted as
+    //     2-token chunks (word-soup vocab ≈ 900 distinct bigrams over
+    //     ~12k lines — the cap splits the corpus ~50/50, exercising
+    //     both the drop and ordered-reassembly paths); cardinality
+    //     preserved -------------------------------------------------
+    "q_line_dedup" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        array_join(Text.chunkTokens(col("text"), 2, 2), "\n").as("text"))
+      Dedup.dropDuplicateLines(planted, "doc_id", "text", maxOccurrences = 15)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
     }),
 
     // --- stratified per-group fraction sampling (Converters.
@@ -298,6 +313,32 @@ object OperatorGates4 {
         |FROM tf JOIN dfq USING (term) CROSS JOIN n
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) <= 3
         |ORDER BY doc_id, weight DESC, term""".stripMargin,
+
+    "q_line_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id, CAST(ch.k AS INT) AS pos,
+        |    array_to_string(t[ch.k * 2 + 1 : ch.k * 2 + 2], ' ') AS line
+        |  FROM toks, LATERAL (
+        |    SELECT unnest(range(0, (greatest(len(t) - 2, 0) + 1) // 2 + 1)) AS k) ch
+        |), freq AS (
+        |  SELECT doc_id, pos, line, count(*) OVER (PARTITION BY line) AS lf FROM lines
+        |), reb AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(line, chr(10) ORDER BY pos) AS cleaned_text
+        |  FROM freq WHERE lf <= 15 GROUP BY doc_id
+        |), tot AS (
+        |  SELECT doc_id,
+        |    CAST((greatest(len(t) - 2, 0) + 1) // 2 + 1 AS BIGINT) AS n_lines
+        |  FROM toks
+        |)
+        |SELECT tot.doc_id, tot.n_lines,
+        |  coalesce(reb.n_kept, 0) AS n_kept,
+        |  coalesce(reb.cleaned_text, '') AS cleaned_text
+        |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
 
     "q_stratified_sample" -> {
       import graft.operators.Converters.fractionCut

@@ -162,6 +162,44 @@ object Dedup {
         org.apache.spark.sql.types.StructField("rep", idType))))
   }
 
+  /** CCNet-style line-level dedup: drop every line whose corpus-wide
+    * occurrence count exceeds `maxOccurrences` (boilerplate headers,
+    * nav bars, license blocks), then reassemble each document from its
+    * surviving lines in original order. The standard pre-tokenizer
+    * cleanup that document-level dedup cannot express — no two docs
+    * match, but the same cookie banner is in half the corpus.
+    *
+    * Shape: posexplode lines → count-ONLY line-frequency aggregation
+    * (a boilerplate line is one counter, never a list) → keyed join
+    * back (hot-line skew is ordinary join-key skew — AQE splits it) →
+    * per-document reassembly. The reassembly `collect_list` is
+    * per-document, bounded by the document's own line count — the same
+    * bounded-by-construction argument as sequence materialization.
+    * Documents whose every line was boilerplate survive with empty
+    * text (output cardinality == input cardinality).
+    */
+  def dropDuplicateLines(docs: DataFrame, idCol: String, textCol: String,
+      maxOccurrences: Int): DataFrame = {
+    require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
+    val lines = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val freq = lines.groupBy(col("line")).agg(count(lit(1)).as("_lf"))
+    val kept = lines.join(freq, Seq("line"))
+      .filter(col("_lf") <= maxOccurrences)
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("cleaned_text"))
+    docs.select(col(idCol).as("id"),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left_outer")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** LLM-pipeline near-dup resolution: within each cluster keep the
     * record with the best (max) score; records in no cluster survive
     * as-is. `pairs` comes from MinHash/SimHash/Jaccard candidates.

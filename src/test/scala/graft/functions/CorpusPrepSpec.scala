@@ -203,6 +203,24 @@ class CorpusPrepSpec extends SparkSpec {
       (3L, "date", 6.0), (3L, "cherry", 1.5)))
   }
 
+  test("dropDuplicateLines: boilerplate lines drop, order preserved, empty docs survive") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "keep me\nBOILER\nand me"),
+      (2L, "BOILER\nunique two"),
+      (3L, "BOILER"),              // everything boilerplate -> empty
+      (4L, "solo line"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateLines(docs, "doc_id", "text", maxOccurrences = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, "keep me\nand me"),
+      (2L, 2L, 1L, "unique two"),
+      (3L, 1L, 0L, ""),
+      (4L, 1L, 1L, "solo line")))
+  }
+
   test("normalize: NFC(x) and NFC(NFD(x)) hash to the same fingerprint") {
     val df = Seq("café déjà-vu", "café déjà-vu").toDF("s")
     val fps = df.select(Text.fingerprint(NormalizeNfc(col("s")))).collect().map(_.getString(0))
