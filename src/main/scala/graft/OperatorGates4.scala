@@ -152,6 +152,46 @@ object OperatorGates4 {
         .orderBy(col("doc_id"))
     }),
 
+    // --- corpus health report (per-language distribution stats): the
+    //     dataset card a corpus release ships with. Percentiles are
+    //     Spark's exact `percentile` (sort + linear interpolation —
+    //     same formula as DuckDB quantile_cont); variance is EXACT
+    //     integer arithmetic (n*Σx² - (Σx)²) / n² cast to double at
+    //     the end — never an accumulation-order-dependent float agg --
+    "q_corpus_report" -> ((s, dir) => {
+      val n = Text.tokenCount(col("text")).cast("long")
+      val agg = t(s, dir, "documents")
+        .select(col("lang"), n.as("n"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n")).as("min_tok"), max(col("n")).as("max_tok"),
+          percentile(col("n"), lit(0.5)).as("median_tok"),
+          percentile(col("n"), lit(0.9)).as("p90_tok"),
+          sum(col("n")).as("_s"), sum(col("n") * col("n")).as("_ss"))
+      agg.select(col("lang"), col("n_docs"), col("min_tok"), col("max_tok"),
+          col("median_tok"), col("p90_tok"),
+          (col("_s").cast("double") / col("n_docs")).as("mean_tok"),
+          ((col("n_docs") * col("_ss") - col("_s") * col("_s")).cast("double") /
+            (col("n_docs").cast("double") * col("n_docs"))).as("var_tok"))
+        .orderBy(col("lang"))
+    }),
+
+    // --- pivot (relational-adjacent, beyond the reference): per-source
+    //     event-type matrix — count + exact-decimal value sum per cell.
+    //     Spark `pivot` with explicit values (no extra distinct scan);
+    //     the oracle is the portable FILTER-aggregation spelling ------
+    "q_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      t(s, dir, "events")
+        .select(pmod(col("user_id"), lit(10)).as("user_bucket"),
+          col("event_type"), col("value"))
+        .groupBy(col("user_bucket"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_milli"))
+        .orderBy(col("user_bucket"))
+    }),
+
     // --- stratified per-group fraction sampling (Converters.
     //     sampleFractionPerGroup): rebalance the corpus by language —
     //     en halved, de quartered, everything else at 10%. md5-prefix
@@ -339,6 +379,30 @@ object OperatorGates4 {
         |  coalesce(reb.cleaned_text, '') AS cleaned_text
         |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+
+    "q_corpus_report" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents
+        |)
+        |SELECT lang, count(*) AS n_docs, min(n) AS min_tok, max(n) AS max_tok,
+        |  quantile_cont(n, 0.5) AS median_tok, quantile_cont(n, 0.9) AS p90_tok,
+        |  CAST(sum(n) AS DOUBLE) / count(*) AS mean_tok,
+        |  CAST(count(*) * sum(n * n) - sum(n) * sum(n) AS DOUBLE) /
+        |    (CAST(count(*) AS DOUBLE) * count(*)) AS var_tok
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_pivot" -> {
+      val cells = Seq("click", "error", "purchase", "signup", "view").map { t =>
+        s"""  count(*) FILTER (event_type = '$t') AS ${t}_n,
+           |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) FILTER (event_type = '$t') AS BIGINT) AS ${t}_v_milli"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""SELECT user_id % 10 AS user_bucket,
+         |$cells
+         |FROM events GROUP BY user_id % 10 ORDER BY user_bucket""".stripMargin
+    },
 
     "q_stratified_sample" -> {
       import graft.operators.Converters.fractionCut

@@ -6,6 +6,7 @@ import java.util.Properties
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.{NormalizeNfc, StripAccents, Text}
 import graft.model.JobSpec
 import graft.operators.Converters
 import graft.operators.Converters.Op
@@ -37,7 +38,10 @@ import graft.state.FsStateStore
   *
   * Op vocabulary (ordered via `ops=`): filter, pick, timePartition,
   * regexFilter, sample, dropColumns, sqlExpr, grok (pattern-library
-  * parse), encrypt/decrypt (rotating-AES over a JSON keystore).
+  * parse), encrypt/decrypt (rotating-AES over a JSON keystore),
+  * scrubPii (email/IP/phone redaction), normalize (NFC, optional
+  * accent strip), stratifiedSample (per-group keep fractions, e.g.
+  * `op.stratifiedSample.fractions=en:0.5,de:0.25`).
   * Predicates/expressions are Spark SQL fragments (`expr(...)`) — the
   * full column-function surface without naming JVM classes, replacing
   * the reference's `converter.classes` FQCN lists.
@@ -86,6 +90,27 @@ object JobConfig {
         val store = RotatingAes.CredentialStore.fromJsonFile(req(p, "op.decrypt.keystore"))
         val c = req(p, "op.decrypt.column")
         df.withColumn(c, RotatingAes.decrypt(col(c), store).cast("string"))
+      }
+      case "scrubPii" => (df: DataFrame) => {
+        val c = req(p, "op.scrubPii.column")
+        df.withColumn(c, Text.scrubPii(col(c)))
+      }
+      case "normalize" => (df: DataFrame) => {
+        val c = req(p, "op.normalize.column")
+        val nfc = NormalizeNfc(col(c))
+        df.withColumn(c,
+          if (opt(p, "op.normalize.stripAccents").exists(_.toBoolean)) StripAccents(nfc)
+          else nfc)
+      }
+      case "stratifiedSample" => {
+        val fractions = req(p, "op.stratifiedSample.fractions").split(",").map { kv =>
+          val Array(g, f) = kv.trim.split(":")
+          g -> f.toDouble
+        }.toMap
+        Converters.sampleFractionPerGroup(
+          req(p, "op.stratifiedSample.groupColumn"),
+          req(p, "op.stratifiedSample.idColumn"), fractions,
+          opt(p, "op.stratifiedSample.defaultFraction").map(_.toDouble).getOrElse(1.0))
       }
       case other => throw new IllegalArgumentException(s"unknown op: $other")
     }

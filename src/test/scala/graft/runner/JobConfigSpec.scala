@@ -78,6 +78,33 @@ class JobConfigSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("code"))) // unparseable -> nulls
   }
 
+  test("declarative scrubPii + normalize + stratifiedSample ops") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // normalize BEFORE scrubPii: an accented local-part ("café@…")
+    // defeats the ASCII email pattern until the accent is stripped
+    val conf =
+      """ops=normalize,scrubPii,stratifiedSample
+        |op.scrubPii.column=text
+        |op.normalize.column=text
+        |op.normalize.stripAccents=true
+        |op.stratifiedSample.groupColumn=lang
+        |op.stratifiedSample.idColumn=id
+        |op.stratifiedSample.fractions=en:0.0
+        |op.stratifiedSample.defaultFraction=1.0
+        |""".stripMargin
+    val ops = JobConfig.buildOps(JobConfig.parse(conf))
+    val df = Seq(
+      (1L, "fr", "mail café@x.org ok"),
+      (2L, "en", "dropped entirely"),
+      (3L, "fr", "naïve 10.0.0.7 text"))
+      .toDF("id", "lang", "text")
+    val out = ops.foldLeft(df)((d, op) => op(d)).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L), "en rows sampled out")
+    assert(out(0).getString(2) == "mail <EMAIL> ok")
+    assert(out(1).getString(2) == "naive <IP> text")
+  }
+
   test("unknown op and missing keys fail loudly") {
     val bad = JobConfig.parse("job.name=x\nops=teleport\n")
     intercept[IllegalArgumentException](JobConfig.buildOps(bad))
