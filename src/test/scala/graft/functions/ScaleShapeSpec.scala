@@ -173,6 +173,21 @@ class ScaleShapeSpec extends SparkSpec {
       "survivor must be the max-score member")
   }
 
+  test("benchmarkOverlap gate: config-sized benchmark broadcasts, 20k-doc benchmark does not") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // the ANALYZED plan keeps ResolvedHint; the optimizer folds it
+    // into the join (or drops it when there is no join to consume it)
+    def hinted(df: DataFrame): Boolean =
+      df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.nonEmpty
+    // small probe (stats fast path) -> broadcast hint survives to the
+    // optimized plan; 20k-row probe -> the gate must refuse the hint
+    // (the degrade path: shuffled equi-join instead of an executor OOM)
+    val small = Similarity.gatedBroadcast(docs.limit(100))
+    val large = Similarity.gatedBroadcast(docs)
+    assert(hinted(small), "config-sized side should carry the broadcast hint")
+    assert(!hinted(large), "20k-row side must NOT be broadcast-hinted")
+  }
+
   test("planted near-dups survive end-to-end minhash dedup at 20k docs") {
     val nd = Similarity.minhashNearDups(docs, "id", "text",
       shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
