@@ -137,6 +137,19 @@ object OperatorGates4 {
         .orderBy(col("doc_id"), col("weight").desc, col("term"))
     }),
 
+    // --- product-quantized ANN (Ann.sampledPq + PqIndex.search): the
+    //     corpus compressed to 8 one-byte codes (32x vs float32), ADC
+    //     scan on codes only, float vectors fetched for the re-rank
+    //     survivors. Deterministic sampled codebooks -> the oracle
+    //     replays encode + ADC + re-rank bit-for-bit -----------------
+    "q_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val idx = graft.functions.Ann.sampledPq(e, nSub = 8, nCents = 16)
+      idx.search(probes, e, k = 5, prefilter = 20)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
+
     // --- line-level dedup (Dedup.dropDuplicateLines): CCNet-style
     //     boilerplate removal — lines occurring > 15 times corpus-wide
     //     dropped, documents reassembled in order. Lines are planted as
@@ -353,6 +366,9 @@ object OperatorGates4 {
         |FROM tf JOIN dfq USING (term) CROSS JOIN n
         |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY weight DESC, term) <= 3
         |ORDER BY doc_id, weight DESC, term""".stripMargin,
+
+    "q_ann_pq" ->
+      OracleSql.annPq(k = 5, prefilter = 20, probeMod = 100),
 
     "q_line_dedup" ->
       """WITH toks AS (

@@ -283,6 +283,65 @@ object OracleSql {
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
 
+  /** Oracle for q_ann_pq: replays Ann.sampledPq + PqIndex.search
+    * end-to-end — per-subspace codebooks sampled by md5('pq|j|'+id)
+    * (code ids ascending by vector id), L2 encoding via the SAME
+    * augmented-dot formulation (x ++ [1]) · (c ++ [−‖c‖²/2]) so the
+    * argmax compares bit-identical doubles, ADC scores rebuilt as an
+    * ordered per-subspace dot list summed with an explicit left-assoc
+    * addition chain (= PqOps.adcScore's accumulation order), then the
+    * prefilter and exact-cosine re-rank windows with (score DESC,
+    * neighbor_id) tie-breaks.
+    */
+  def annPq(k: Int, prefilter: Int, probeMod: Int, nSub: Int = 8,
+      nCents: Int = 16, dim: Int = 64): String = {
+    val subDim = dim / nSub
+    val cbUnion = (0 until nSub).map { j =>
+      val lo = j * subDim + 1
+      val hi = j * subDim + subDim
+      s"""  SELECT $j AS j, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, c
+         |  FROM (SELECT vec_id, e[$lo:$hi] AS c FROM e
+         |        ORDER BY md5('pq|$j|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCents) s$j"""
+        .stripMargin
+    }.mkString("\n  UNION ALL\n")
+    val chain = (1 to nSub).map(i => s"ds[$i]").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), cb0 AS (
+       |$cbUnion
+       |), cb AS (
+       |  SELECT j, cid, c, -0.5 * list_dot_product(c, c) AS bias FROM cb0
+       |), enc AS (
+       |  SELECT v.vec_id, cb.j, cb.cid,
+       |    list_dot_product(v.e[cb.j * $subDim + 1 : cb.j * $subDim + $subDim] || [CAST(1.0 AS DOUBLE)],
+       |      cb.c || [cb.bias]) AS bd
+       |  FROM e v CROSS JOIN cb
+       |), codes AS (
+       |  SELECT vec_id, j, cid FROM enc
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY bd DESC, cid) = 1
+       |), sc AS (
+       |  SELECT p.vec_id AS query_id, cd.vec_id AS neighbor_id, cd.j,
+       |    list_dot_product(p.e[cd.j * $subDim + 1 : cd.j * $subDim + $subDim], cb.c) AS d
+       |  FROM e p
+       |  JOIN codes cd ON p.vec_id % $probeMod = 0 AND p.vec_id <> cd.vec_id
+       |  JOIN cb ON cb.j = cd.j AND cb.cid = cd.cid
+       |), adc AS (
+       |  SELECT query_id, neighbor_id, list(d ORDER BY j) AS ds
+       |  FROM sc GROUP BY query_id, neighbor_id
+       |), scored AS (
+       |  SELECT query_id, neighbor_id, $chain AS adc_score FROM adc
+       |), pruned AS (
+       |  SELECT query_id, neighbor_id FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) <= $prefilter
+       |)
+       |SELECT pr.query_id, pr.neighbor_id, $CosineAB AS sim
+       |FROM pruned pr
+       |JOIN e a ON a.vec_id = pr.query_id
+       |JOIN e b ON b.vec_id = pr.neighbor_id
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
+  }
+
   /** Oracle for q_embed_neardup_resolve: LSH candidates -> cosine >=
     * threshold edges -> TRUE connected components via a recursive CTE
     * (transitive closure; the oracle-side graphs are tiny) -> survivor

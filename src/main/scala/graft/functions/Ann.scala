@@ -289,6 +289,93 @@ object Ann {
     IvfIndex(cents)
   }
 
+  /** Product quantization: the corpus compressed to one byte-sized
+    * code per subspace (dim 64 → 8 codes ≈ 32× smaller than float32),
+    * scored asymmetrically (full-precision query × encoded corpus, see
+    * [[PqAdcScore]]) — at 100 TB this is the memory-bandwidth lever
+    * that keeps the candidate scan in page cache while float vectors
+    * are fetched only for the re-rank survivors.
+    *
+    * Encoding = nearest codebook centroid per subspace by L2, done
+    * with the SAME native [[CentroidTopK]] argmax-dot expression via
+    * the augmentation trick: argmin ‖x−c‖² = argmax(x·c − ‖c‖²/2) =
+    * argmax over (x ++ [1]) · (c ++ [−‖c‖²/2]). Bias terms are
+    * computed once in Scala and live inside the augmented tables, so
+    * encode is one expression per subspace, no per-row norm math.
+    */
+  final case class PqIndex(codebooks: Array[Array[Array[Double]]]) {
+    val nSub: Int = codebooks.length
+    val subDim: Int = codebooks.head.head.length
+
+    private val augTables: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(c => c :+ (-0.5 * c.map(x => x * x).sum)))
+
+    /** array<int> of nSub codes for one vector. */
+    def encodeColumn(vec: Column): Column = {
+      val v = vec.cast("array<double>")
+      array((0 until nSub).map { j =>
+        val sub = concat(slice(v, j * subDim + 1, subDim), array(lit(1.0d)))
+        element_at(CentroidTopK(sub, augTables(j), 1), 1)
+      }: _*)
+    }
+
+    /** Approximate dot(query, corpus) from the corpus vector's codes. */
+    def adcScore(queryVec: Column, codes: Column): Column =
+      PqAdcScore(queryVec.cast("array<double>"), codes, codebooks)
+
+    /** ADC scan → top-`prefilter` per probe → exact cosine re-rank →
+      * top-k. The scan touches ONLY (id, codes) — float vectors join
+      * in for prefilter survivors. Probes ride the same stats-gated
+      * broadcast as the brute-force path.
+      */
+    def search(probes: DataFrame, corpus: DataFrame, k: Int, prefilter: Int,
+        id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+      require(prefilter >= k, s"prefilter $prefilter must be >= k $k")
+      val enc = corpus.select(col(id).as("neighbor_id"), col(vec).as("_cv"),
+          encodeColumn(col(vec)).as("_codes"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val p = probes.select(col(id).as("query_id"), col(vec).as("_qv"))
+      val scored = Similarity.gatedBroadcast(p)
+        .crossJoin(enc.select(col("neighbor_id"), col("_codes")))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .withColumn("adc_score", adcScore(col("_qv"), col("_codes")))
+      val wq = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_score").desc, col("neighbor_id"))
+      val pruned = scored.withColumn("_qrn", row_number().over(wq))
+        .filter(col("_qrn") <= prefilter)
+        .select(col("query_id"), col("_qv"), col("neighbor_id"))
+      val reranked = pruned
+        .join(enc.select(col("neighbor_id"), col("_cv")), Seq("neighbor_id"))
+        .withColumn("sim", Similarity.cosine(col("_qv"), col("_cv")))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      reranked.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+        .select(col("query_id"), col("neighbor_id"), col("sim"))
+    }
+  }
+
+  /** Deterministic PQ codebooks, same construction as [[sampledIvf]]:
+    * per subspace j, the nCents corpus SUBvectors with smallest
+    * md5("pq|j|" + id) (code ids in ascending vector id). Each
+    * subspace salts its own sample — independent codebooks without a
+    * Lloyd fit, bit-reproducible by the SQL oracle. A k-means-fitted
+    * variant would drop in exactly like fitIvf vs sampledIvf.
+    */
+  def sampledPq(corpus: DataFrame, nSub: Int, nCents: Int, dim: Int = 64,
+      id: String = "vec_id", vec: String = "embedding"): PqIndex = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val subDim = dim / nSub
+    val codebooks = (0 until nSub).map { j =>
+      val seeds = corpus.select(col(id).cast("long").as("_id"),
+          slice(col(vec).cast("array<double>"), j * subDim + 1, subDim).as("_c"))
+        .orderBy(md5(concat_ws("|", lit("pq"), lit(j), col("_id"))), col("_id"))
+        .limit(nCents)
+        .collect()
+      seeds.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2).toArray
+    }.toArray
+    PqIndex(codebooks)
+  }
+
   /** Fit the coarse quantizer with spark.ml KMeans (distributed; the
     * only driver-side artifact is k centroid vectors).
     */

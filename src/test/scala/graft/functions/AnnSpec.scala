@@ -81,6 +81,30 @@ class AnnSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("PQ ADC: wide prefilter equals exact top-k; tight prefilter clears the recall floor") {
+    val idx = Ann.sampledPq(emb, nSub = 8, nCents = 16)
+    // prefilter >= corpus: the ADC stage only ORDERS candidates — the
+    // exact re-rank then sees everything, so the result must equal the
+    // brute-force top-k exactly
+    val wide = topkSet(idx.search(probes, emb, k = 5, prefilter = 1000000))
+    assert(wide == exact, "full-prefilter PQ must equal brute force after re-rank")
+    // tight prefilter: approximation quality of the 8-byte codes
+    val tight = topkSet(idx.search(probes, emb, k = 5, prefilter = 20))
+    val recall = (tight intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"PQ recall@5 with prefilter=20: $recall")
+  }
+
+  test("PQ encoding: codes are deterministic and within centroid range") {
+    val idx = Ann.sampledPq(emb, nSub = 8, nCents = 16)
+    val codes = emb.select(idx.encodeColumn(col("embedding")).as("c")).collect()
+    val again = emb.select(idx.encodeColumn(col("embedding")).as("c")).collect()
+    codes.zip(again).foreach { case (a, b) =>
+      assert(a.getSeq[Int](0) == b.getSeq[Int](0))
+    }
+    codes.foreach(r => r.getSeq[Int](0).foreach(c => assert(c >= 0 && c < 16)))
+    assert(codes.head.getSeq[Int](0).length == 8)
+  }
+
   test("signatures are deterministic across evaluations") {
     val planes = 8
     val sigs1 = emb.limit(50).select($"vec_id",
