@@ -150,6 +150,19 @@ object OperatorGates4 {
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
     }),
 
+    // --- IVF-PQ composition (Ann.ivfPqSearch): coarse lists bound
+    //     WHICH codes are scanned, PQ bounds the BYTES per code — the
+    //     full FAISS-IVFPQ shape, deterministic end-to-end ------------
+    "q_ann_ivf_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val ivf = graft.functions.Ann.sampledIvf(e, k = 8)
+      val pq = graft.functions.Ann.sampledPq(e, nSub = 8, nCents = 16)
+      graft.functions.Ann.ivfPqSearch(ivf, pq, probes, e,
+          k = 5, nProbe = 4, prefilter = 20)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
+
     // --- line-level dedup (Dedup.dropDuplicateLines): CCNet-style
     //     boilerplate removal — lines occurring > 15 times corpus-wide
     //     dropped, documents reassembled in order. Lines are planted as
@@ -369,6 +382,9 @@ object OperatorGates4 {
 
     "q_ann_pq" ->
       OracleSql.annPq(k = 5, prefilter = 20, probeMod = 100),
+
+    "q_ann_ivf_pq" ->
+      OracleSql.annIvfPq(k = 5, nProbe = 4, prefilter = 20, probeMod = 100),
 
     "q_line_dedup" ->
       """WITH toks AS (

@@ -293,9 +293,12 @@ object OracleSql {
     * prefilter and exact-cosine re-rank windows with (score DESC,
     * neighbor_id) tie-breaks.
     */
-  def annPq(k: Int, prefilter: Int, probeMod: Int, nSub: Int = 8,
-      nCents: Int = 16, dim: Int = 64): String = {
-    val subDim = dim / nSub
+  /** The PQ codebook/encode CTE block shared by annPq and annIvfPq:
+    * cb0 (sampled per-subspace codebooks), cb (+ L2 bias), enc
+    * (augmented-dot scores), codes (argmax -> one code per subspace).
+    * Expects a CTE `e(vec_id, e DOUBLE[])` in scope.
+    */
+  private def pqCodebookCtes(nSub: Int, nCents: Int, subDim: Int): String = {
     val cbUnion = (0 until nSub).map { j =>
       val lo = j * subDim + 1
       val hi = j * subDim + subDim
@@ -304,10 +307,7 @@ object OracleSql {
          |        ORDER BY md5('pq|$j|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCents) s$j"""
         .stripMargin
     }.mkString("\n  UNION ALL\n")
-    val chain = (1 to nSub).map(i => s"ds[$i]").mkString(" + ")
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-       |), cb0 AS (
+    s"""cb0 AS (
        |$cbUnion
        |), cb AS (
        |  SELECT j, cid, c, -0.5 * list_dot_product(c, c) AS bias FROM cb0
@@ -319,12 +319,73 @@ object OracleSql {
        |), codes AS (
        |  SELECT vec_id, j, cid FROM enc
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY bd DESC, cid) = 1
-       |), sc AS (
+       |)""".stripMargin
+  }
+
+  def annPq(k: Int, prefilter: Int, probeMod: Int, nSub: Int = 8,
+      nCents: Int = 16, dim: Int = 64): String = {
+    val subDim = dim / nSub
+    val chain = (1 to nSub).map(i => s"ds[$i]").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), ${pqCodebookCtes(nSub, nCents, subDim)}, sc AS (
        |  SELECT p.vec_id AS query_id, cd.vec_id AS neighbor_id, cd.j,
        |    list_dot_product(p.e[cd.j * $subDim + 1 : cd.j * $subDim + $subDim], cb.c) AS d
        |  FROM e p
        |  JOIN codes cd ON p.vec_id % $probeMod = 0 AND p.vec_id <> cd.vec_id
        |  JOIN cb ON cb.j = cd.j AND cb.cid = cd.cid
+       |), adc AS (
+       |  SELECT query_id, neighbor_id, list(d ORDER BY j) AS ds
+       |  FROM sc GROUP BY query_id, neighbor_id
+       |), scored AS (
+       |  SELECT query_id, neighbor_id, $chain AS adc_score FROM adc
+       |), pruned AS (
+       |  SELECT query_id, neighbor_id FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) <= $prefilter
+       |)
+       |SELECT pr.query_id, pr.neighbor_id, $CosineAB AS sim
+       |FROM pruned pr
+       |JOIN e a ON a.vec_id = pr.query_id
+       |JOIN e b ON b.vec_id = pr.neighbor_id
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
+  }
+
+  /** Oracle for q_ann_ivf_pq: the IVFPQ composition — sampledIvf
+    * coarse lists (annIvf's seeds/assign/probe-lists arithmetic) bound
+    * the candidates, PQ codes (pqCodebookCtes) bound the scan bytes,
+    * ordered ADC chain + exact-cosine re-rank as in annPq. A corpus
+    * vector lives in exactly one list, so a probe meets it at most
+    * once — no DISTINCT needed anywhere.
+    */
+  def annIvfPq(k: Int, nProbe: Int, prefilter: Int, probeMod: Int,
+      nCentroids: Int = 8, nSub: Int = 8, nCents: Int = 16, dim: Int = 64): String = {
+    val subDim = dim / nSub
+    val chain = (1 to nSub).map(i => s"ds[$i]").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), seeds AS (
+       |  SELECT vec_id, e FROM e
+       |  ORDER BY md5('ivf' || '|' || vec_id), vec_id LIMIT $nCentroids
+       |), cents AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS lid, e AS ce FROM seeds
+       |), ivfs AS (
+       |  SELECT v.vec_id, c.lid, list_dot_product(v.e, c.ce) AS dot
+       |  FROM e v CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vec_id, lid FROM ivfs
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, lid) = 1
+       |), plists AS (
+       |  SELECT vec_id, lid FROM ivfs WHERE vec_id % $probeMod = 0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, lid) <= $nProbe
+       |), ${pqCodebookCtes(nSub, nCents, subDim)}, sc AS (
+       |  SELECT pl.vec_id AS query_id, a.vec_id AS neighbor_id, cd.j,
+       |    list_dot_product(pe.e[cd.j * $subDim + 1 : cd.j * $subDim + $subDim], cb.c) AS d
+       |  FROM plists pl
+       |  JOIN assign a ON a.lid = pl.lid AND a.vec_id <> pl.vec_id
+       |  JOIN codes cd ON cd.vec_id = a.vec_id
+       |  JOIN cb ON cb.j = cd.j AND cb.cid = cd.cid
+       |  JOIN e pe ON pe.vec_id = pl.vec_id
        |), adc AS (
        |  SELECT query_id, neighbor_id, list(d ORDER BY j) AS ds
        |  FROM sc GROUP BY query_id, neighbor_id

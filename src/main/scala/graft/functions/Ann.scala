@@ -353,6 +353,41 @@ object Ann {
     }
   }
 
+  /** IVF-PQ (the FAISS IVFPQ composition): the coarse quantizer bounds
+    * WHICH codes are scanned, PQ bounds the BYTES per scanned code —
+    * together the 100 TB shape where neither a full code scan nor
+    * per-query float I/O exists. Corpus rows carry (list_id, codes);
+    * probes fan out to their nProbe best lists; ADC scores only within
+    * probed lists; float vectors join in for the re-rank survivors.
+    * Fully deterministic given sampled quantizers — oracle-replayable.
+    */
+  def ivfPqSearch(ivf: IvfIndex, pq: PqIndex, probes: DataFrame, corpus: DataFrame,
+      k: Int, nProbe: Int, prefilter: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(prefilter >= k, s"prefilter $prefilter must be >= k $k")
+    val enc = corpus.select(col(id).as("neighbor_id"), col(vec).as("_cv"),
+        ivf.assignColumn(col(vec)).as("list_id"),
+        pq.encodeColumn(col(vec)).as("_codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = probes.select(col(id).as("query_id"), col(vec).as("_qv"),
+      explode(ivf.probeColumn(col(vec), nProbe)).as("list_id"))
+    val scored = p.join(enc.select(col("neighbor_id"), col("list_id"), col("_codes")),
+        Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_score", pq.adcScore(col("_qv"), col("_codes")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    val pruned = scored.withColumn("_qrn", row_number().over(wq))
+      .filter(col("_qrn") <= prefilter)
+      .select(col("query_id"), col("_qv"), col("neighbor_id"))
+    val reranked = pruned
+      .join(enc.select(col("neighbor_id"), col("_cv")), Seq("neighbor_id"))
+      .withColumn("sim", Similarity.cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    reranked.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
   /** Deterministic PQ codebooks, same construction as [[sampledIvf]]:
     * per subspace j, the nCents corpus SUBvectors with smallest
     * md5("pq|j|" + id) (code ids in ascending vector id). Each

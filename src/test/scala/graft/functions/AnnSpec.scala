@@ -105,6 +105,23 @@ class AnnSpec extends SparkSpec {
     assert(codes.head.getSeq[Int](0).length == 8)
   }
 
+  test("IVF-PQ: full probe + full prefilter equals brute force; bounded params clear the floor") {
+    val ivf = Ann.sampledIvf(emb, k = 8)
+    val pq = Ann.sampledPq(emb, nSub = 8, nCents = 16)
+    // probing every list with an unbounded prefilter leaves only the
+    // exact re-rank — must equal the brute-force top-k
+    val full = topkSet(Ann.ivfPqSearch(ivf, pq, probes, emb,
+      k = 5, nProbe = 8, prefilter = 1000000))
+    assert(full == exact, "full-probe full-prefilter IVF-PQ must equal brute force")
+    // the composition compounds BOTH approximations (list pruning x
+    // code quantization) — recall multiplies, so the prefilter wants
+    // ~10x k where PQ-alone got away with 4x
+    val bounded = topkSet(Ann.ivfPqSearch(ivf, pq, probes, emb,
+      k = 5, nProbe = 4, prefilter = 50))
+    val recall = (bounded intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF-PQ recall@5 (nProbe=4, prefilter=50): $recall")
+  }
+
   test("signatures are deterministic across evaluations") {
     val planes = 8
     val sigs1 = emb.limit(50).select($"vec_id",
