@@ -411,6 +411,28 @@ object Ann {
     PqIndex(codebooks)
   }
 
+  /** Fit PQ codebooks with spark.ml KMeans, one fit per subspace
+    * (distributed; the driver-side artifact is nSub × nCents subDim
+    * vectors ≈ KBs). Better quantization error than [[sampledPq]] but
+    * not bit-reproducible cross-engine (KMeans reduces floats in
+    * partition order) — same trade as fitIvf vs sampledIvf, so the
+    * driver gate rides the sampled variant and this keeps its recall
+    * floor in AnnSpec.
+    */
+  def fitPq(corpus: DataFrame, nSub: Int, nCents: Int, dim: Int = 64,
+      vec: String = "embedding", seed: Long = 42L, maxIter: Int = 5): PqIndex = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val subDim = dim / nSub
+    val codebooks = (0 until nSub).map { j =>
+      val features = corpus.select(array_to_vector(
+        slice(col(vec).cast("array<double>"), j * subDim + 1, subDim)).as("features"))
+      val model = new KMeans().setK(nCents).setSeed(seed + j).setMaxIter(maxIter)
+        .fit(features)
+      model.clusterCenters.map((v: Vector) => v.toArray)
+    }.toArray
+    PqIndex(codebooks)
+  }
+
   /** Fit the coarse quantizer with spark.ml KMeans (distributed; the
     * only driver-side artifact is k centroid vectors).
     */

@@ -94,6 +94,20 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"PQ recall@5 with prefilter=20: $recall")
   }
 
+  test("fitted PQ codebooks beat or match sampled at the same prefilter") {
+    val sampled = Ann.sampledPq(emb, nSub = 8, nCents = 16)
+    val fitted = Ann.fitPq(emb, nSub = 8, nCents = 16)
+    def recallOf(idx: Ann.PqIndex): Double = {
+      val got = topkSet(idx.search(probes, emb, k = 5, prefilter = 20))
+      (got intersect exact).size.toDouble / exact.size
+    }
+    val (rs, rf) = (recallOf(sampled), recallOf(fitted))
+    // Lloyd-fitted codebooks have lower quantization error; allow a
+    // small tolerance since recall@tiny-probe-count is noisy
+    assert(rf >= rs - 0.12, s"fitted $rf vs sampled $rs")
+    assert(rf >= 0.4, s"fitted PQ recall floor: $rf")
+  }
+
   test("PQ encoding: codes are deterministic and within centroid range") {
     val idx = Ann.sampledPq(emb, nSub = 8, nCents = 16)
     val codes = emb.select(idx.encodeColumn(col("embedding")).as("c")).collect()
