@@ -93,6 +93,15 @@ class PlanSpec extends SparkSpec {
       "doc-freq aggregation lost its map-side partial")
   }
 
+  test("pq ann: gated broadcast code scan, prefilter pushed as WindowGroupLimit") {
+    val p = plan("q_ann_pq")
+    // the ADC scan is a DELIBERATE broadcast nested-loop (probe-count
+    // gated); the prefilter/top-k windows must rank-limit before sort
+    assert(p.contains("BroadcastNestedLoopJoin"), "gated probe broadcast missing")
+    assert(p.contains("WindowGroupLimit"), "prefilter window not rank-limited")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("rotating aes: pure column projection — one scan, no extra exchange") {
     val p = plan("q_rotating_aes")
     // encrypt/decrypt stay column expressions: a single parquet scan
