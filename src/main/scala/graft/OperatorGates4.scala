@@ -163,6 +163,19 @@ object OperatorGates4 {
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
     }),
 
+    // --- IVF + residual PQ (Ann.ivfResidualPqSearch): codes quantize
+    //     x - c_list (a tighter cloud than x), approx dot = exact
+    //     list-centroid term + quantized residual correction ----------
+    "q_ann_ivf_rpq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val ivf = graft.functions.Ann.sampledIvf(e, k = 8)
+      val rpq = graft.functions.Ann.sampledResidualPq(ivf, e, nSub = 8, nCents = 16)
+      graft.functions.Ann.ivfResidualPqSearch(ivf, rpq, probes, e,
+          k = 5, nProbe = 4, prefilter = 20)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
+
     // --- line-level dedup (Dedup.dropDuplicateLines): CCNet-style
     //     boilerplate removal — lines occurring > 15 times corpus-wide
     //     dropped, documents reassembled in order. Lines are planted as
@@ -385,6 +398,9 @@ object OperatorGates4 {
 
     "q_ann_ivf_pq" ->
       OracleSql.annIvfPq(k = 5, nProbe = 4, prefilter = 20, probeMod = 100),
+
+    "q_ann_ivf_rpq" ->
+      OracleSql.annIvfResidualPq(k = 5, nProbe = 4, prefilter = 20, probeMod = 100),
 
     "q_line_dedup" ->
       """WITH toks AS (

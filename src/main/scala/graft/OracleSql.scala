@@ -298,13 +298,14 @@ object OracleSql {
     * (augmented-dot scores), codes (argmax -> one code per subspace).
     * Expects a CTE `e(vec_id, e DOUBLE[])` in scope.
     */
-  private def pqCodebookCtes(nSub: Int, nCents: Int, subDim: Int): String = {
+  private def pqCodebookCtes(nSub: Int, nCents: Int, subDim: Int,
+      src: String = "e", salt: String = "pq"): String = {
     val cbUnion = (0 until nSub).map { j =>
       val lo = j * subDim + 1
       val hi = j * subDim + subDim
       s"""  SELECT $j AS j, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, c
-         |  FROM (SELECT vec_id, e[$lo:$hi] AS c FROM e
-         |        ORDER BY md5('pq|$j|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCents) s$j"""
+         |  FROM (SELECT vec_id, e[$lo:$hi] AS c FROM $src
+         |        ORDER BY md5('$salt|$j|' || CAST(vec_id AS VARCHAR)), vec_id LIMIT $nCents) s$j"""
         .stripMargin
     }.mkString("\n  UNION ALL\n")
     s"""cb0 AS (
@@ -315,7 +316,7 @@ object OracleSql {
        |  SELECT v.vec_id, cb.j, cb.cid,
        |    list_dot_product(v.e[cb.j * $subDim + 1 : cb.j * $subDim + $subDim] || [CAST(1.0 AS DOUBLE)],
        |      cb.c || [cb.bias]) AS bd
-       |  FROM e v CROSS JOIN cb
+       |  FROM $src v CROSS JOIN cb
        |), codes AS (
        |  SELECT vec_id, j, cid FROM enc
        |  QUALIFY row_number() OVER (PARTITION BY vec_id, j ORDER BY bd DESC, cid) = 1
@@ -391,6 +392,70 @@ object OracleSql {
        |  FROM sc GROUP BY query_id, neighbor_id
        |), scored AS (
        |  SELECT query_id, neighbor_id, $chain AS adc_score FROM adc
+       |), pruned AS (
+       |  SELECT query_id, neighbor_id FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) <= $prefilter
+       |)
+       |SELECT pr.query_id, pr.neighbor_id, $CosineAB AS sim
+       |FROM pruned pr
+       |JOIN e a ON a.vec_id = pr.query_id
+       |JOIN e b ON b.vec_id = pr.neighbor_id
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
+  }
+
+  /** Oracle for q_ann_ivf_rpq: IVF + RESIDUAL PQ — residual r = x −
+    * c_list (exact element-wise subtraction), codebooks sampled from
+    * residuals (salt 'pqr'), approx dot = qc_dot + (ordered residual
+    * ADC chain) with explicit parentheses so the addition order equals
+    * the Spark side's `qc + PqOps.adcScore(...)`.
+    */
+  def annIvfResidualPq(k: Int, nProbe: Int, prefilter: Int, probeMod: Int,
+      nCentroids: Int = 8, nSub: Int = 8, nCents: Int = 16, dim: Int = 64): String = {
+    val subDim = dim / nSub
+    val chain = (1 to nSub).map(i => s"ds[$i]").mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), seeds AS (
+       |  SELECT vec_id, e FROM e
+       |  ORDER BY md5('ivf' || '|' || vec_id), vec_id LIMIT $nCentroids
+       |), cents AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS lid, e AS ce,
+       |    -0.5 * list_dot_product(e, e) AS bias
+       |  FROM seeds
+       |), ivfs AS (
+       |  -- L2 coarse assignment via the augmented dot (argmin L2 =
+       |  -- argmax of (x ++ [1]) . (c ++ [-|c|^2/2])), matching
+       |  -- IvfIndex.assignL2Column bit-for-bit
+       |  SELECT v.vec_id, c.lid,
+       |    list_dot_product(v.e || [CAST(1.0 AS DOUBLE)], c.ce || [c.bias]) AS bd
+       |  FROM e v CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vec_id, lid FROM ivfs
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY bd DESC, lid) = 1
+       |), plists AS (
+       |  SELECT vec_id, lid FROM ivfs WHERE vec_id % $probeMod = 0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY bd DESC, lid) <= $nProbe
+       |), r AS (
+       |  SELECT v.vec_id, list_transform(range(1, $dim + 1), ri -> v.e[ri] - c.ce[ri]) AS e
+       |  FROM e v JOIN assign a ON a.vec_id = v.vec_id JOIN cents c ON c.lid = a.lid
+       |), ${pqCodebookCtes(nSub, nCents, subDim, src = "r", salt = "pqr")}, sc AS (
+       |  SELECT pl.vec_id AS query_id, a.vec_id AS neighbor_id, pl.lid, cd.j,
+       |    list_dot_product(pe.e[cd.j * $subDim + 1 : cd.j * $subDim + $subDim], cb.c) AS d
+       |  FROM plists pl
+       |  JOIN assign a ON a.lid = pl.lid AND a.vec_id <> pl.vec_id
+       |  JOIN codes cd ON cd.vec_id = a.vec_id
+       |  JOIN cb ON cb.j = cd.j AND cb.cid = cd.cid
+       |  JOIN e pe ON pe.vec_id = pl.vec_id
+       |), qc AS (
+       |  SELECT pl.vec_id AS query_id, pl.lid, list_dot_product(pe.e, c.ce) AS qc_dot
+       |  FROM plists pl JOIN e pe ON pe.vec_id = pl.vec_id JOIN cents c ON c.lid = pl.lid
+       |), adc AS (
+       |  SELECT query_id, neighbor_id, lid, list(d ORDER BY j) AS ds
+       |  FROM sc GROUP BY query_id, neighbor_id, lid
+       |), scored AS (
+       |  SELECT a.query_id, a.neighbor_id, q.qc_dot + ($chain) AS adc_score
+       |  FROM adc a JOIN qc q ON q.query_id = a.query_id AND q.lid = a.lid
        |), pruned AS (
        |  SELECT query_id, neighbor_id FROM scored
        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY adc_score DESC, neighbor_id) <= $prefilter

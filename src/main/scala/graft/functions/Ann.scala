@@ -253,6 +253,27 @@ object Ann {
     def probeColumn(vec: Column, nProbe: Int): Column =
       CentroidTopK(vec, table, nProbe)
 
+    // L2 variants via the augmentation trick (argmin ‖x−c‖² = argmax
+    // over (x ++ [1]) · (c ++ [−‖c‖²/2])). Residual PQ requires L2
+    // assignment to make residuals small: max-dot assignment favors
+    // large-norm centroids and leaves x − c_list unbounded. (On a
+    // unit-normalized corpus the two assignments coincide; the
+    // residual advantage then appears only when lists are MANY enough
+    // that intra-list dot is high — see the AnnSpec measurement.)
+    private val augTable: Array[Array[Double]] =
+      table.map(c => c :+ (-0.5 * c.map(x => x * x).sum))
+
+    private def augmented(vec: Column): Column =
+      concat(vec.cast("array<double>"), array(lit(1.0d)))
+
+    /** L2-nearest centroid id. */
+    def assignL2Column(vec: Column): Column =
+      element_at(CentroidTopK(augmented(vec), augTable, 1), 1)
+
+    /** The nProbe L2-nearest centroid ids. */
+    def probeL2Column(vec: Column, nProbe: Int): Column =
+      CentroidTopK(augmented(vec), augTable, nProbe)
+
     def search(probes: DataFrame, corpus: DataFrame, k: Int, nProbe: Int,
         id: String = "vec_id", vec: String = "embedding"): DataFrame = {
       val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("_cv"),
@@ -375,6 +396,84 @@ object Ann {
         Seq("list_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc_score", pq.adcScore(col("_qv"), col("_codes")))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_score").desc, col("neighbor_id"))
+    val pruned = scored.withColumn("_qrn", row_number().over(wq))
+      .filter(col("_qrn") <= prefilter)
+      .select(col("query_id"), col("_qv"), col("neighbor_id"))
+    val reranked = pruned
+      .join(enc.select(col("neighbor_id"), col("_cv")), Seq("neighbor_id"))
+      .withColumn("sim", Similarity.cosine(col("_qv"), col("_cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    reranked.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"))
+  }
+
+  /** The list centroid as an array column selected by a 0-based list
+    * id — the lookup residual encoding needs. The centroid table rides
+    * as a nested literal (k × dim doubles — KBs, like hyperplanes).
+    */
+  private def centroidAt(ivf: IvfIndex, listId: Column): Column = {
+    val table = ivf.centroids.sortBy(_._1).map(_._2.toSeq).toSeq
+    element_at(typedlit(table), listId + 1)
+  }
+
+  /** Element-wise residual x − c_list(x) under L2 assignment (the
+    * assignment that actually makes residuals small — see
+    * [[IvfIndex.assignL2Column]]). Pure zip_with subtraction — exact
+    * per-element doubles, no accumulation, so the SQL replay is
+    * trivially bit-identical.
+    */
+  def residualColumn(ivf: IvfIndex, vec: Column): Column = {
+    val v = vec.cast("array<double>")
+    zip_with(v, centroidAt(ivf, ivf.assignL2Column(vec)), (x, c) => x - c)
+  }
+
+  /** Residual PQ codebooks: [[sampledPq]] run over the RESIDUAL
+    * vectors (salt "pqr" so the sample is independent of the plain-PQ
+    * one). Residuals are centered near zero, so the same byte budget
+    * quantizes a much tighter cloud — the standard recall lever on top
+    * of IVF-PQ.
+    */
+  def sampledResidualPq(ivf: IvfIndex, corpus: DataFrame, nSub: Int, nCents: Int,
+      dim: Int = 64, id: String = "vec_id", vec: String = "embedding"): PqIndex = {
+    require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
+    val subDim = dim / nSub
+    val resid = corpus.select(col(id).cast("long").as("_id"),
+      residualColumn(ivf, col(vec)).as("_r"))
+    val codebooks = (0 until nSub).map { j =>
+      val seeds = resid.select(col("_id"), slice(col("_r"), j * subDim + 1, subDim).as("_c"))
+        .orderBy(md5(concat_ws("|", lit("pqr"), lit(j), col("_id"))), col("_id"))
+        .limit(nCents)
+        .collect()
+      seeds.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1).map(_._2).toArray
+    }.toArray
+    PqIndex(codebooks)
+  }
+
+  /** IVF + residual-PQ search: approx dot(q, x) = dot(q, c_list) +
+    * ADC(q, codes(x − c_list)) — the first term is exact per (probe,
+    * list) and shared by every candidate in the list, the second is
+    * the quantized residual correction. Same probe/scan/re-rank shape
+    * as [[ivfPqSearch]]; deterministic end-to-end.
+    */
+  def ivfResidualPqSearch(ivf: IvfIndex, rpq: PqIndex, probes: DataFrame,
+      corpus: DataFrame, k: Int, nProbe: Int, prefilter: Int,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(prefilter >= k, s"prefilter $prefilter must be >= k $k")
+    val enc = corpus.select(col(id).as("neighbor_id"), col(vec).as("_cv"),
+        ivf.assignL2Column(col(vec)).as("list_id"),
+        rpq.encodeColumn(residualColumn(ivf, col(vec))).as("_codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = probes.select(col(id).as("query_id"), col(vec).as("_qv"),
+        explode(ivf.probeL2Column(col(vec), nProbe)).as("list_id"))
+      .withColumn("_qc_dot", VectorExprs.dotProduct(
+        col("_qv").cast("array<double>"), centroidAt(ivf, col("list_id"))))
+    val scored = p.join(enc.select(col("neighbor_id"), col("list_id"), col("_codes")),
+        Seq("list_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_score", col("_qc_dot") + rpq.adcScore(col("_qv"), col("_codes")))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_score").desc, col("neighbor_id"))
     val pruned = scored.withColumn("_qrn", row_number().over(wq))
