@@ -310,6 +310,36 @@ object SparkEntry {
       }
     }),
 
+    // --- streaming sessionization (native session_window + watermark):
+    //     gap-merged per-user sessions; append mode emits exactly the
+    //     sessions CLOSED by the final watermark (end <= max event
+    //     time). Event times are ms-truncated on BOTH engines so the
+    //     watermark cutoff has no sub-ms edge --------------------------
+    "q_stream_sessions" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      StreamingIngest.withStatePartitions(s, 8) {
+      val src = s"$dir/events.parquet"
+      val rawSchema = s.read.parquet(src).schema
+      val inDir = java.nio.file.Files.createTempDirectory("q_stream_sess")
+      java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+        inDir.resolve("events.parquet"))
+      val stream = StreamingIngest.readFileStream(s, rawSchema, inDir.toString)
+        .withColumn("ts", expr("timestamp_millis(ts div 1000000)"))
+      val agg = stream
+        .withWatermark("ts", "0 seconds")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("v_milli"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n"), col("v_milli"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_sess_out").toString
+      StreamingIngest.runAvailableNow(agg, s"$tmp/data", s"$tmp/ck")
+      s.read.parquet(s"$tmp/data")
+        .orderBy(col("user_id"), col("session_start"))
+      }
+    }),
+
     "q_sessionize" -> ((s, dir) => {
       Sessionize.sessionize(t(s, dir, "events"), "user_id", "ts", "event_id",
           gapMicros = 1800L * 1000 * 1000)
@@ -796,6 +826,39 @@ object SparkEntry {
       // doubled input in two batches; final per-key state = 2x count
       """SELECT user_id, COUNT(*) * 2 AS running_count
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_sessions" ->
+      // gap sessionization replay: new session when the gap to the
+      // previous event is >= 30 min (session_window's [t, t+gap)
+      // overlap-merge boundary); end = last event + gap; append mode
+      // emitted exactly the sessions with end <= the final watermark
+      // (max ms-truncated event time, 0s delay)
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 1000 AS ms,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm
+        |  FROM events
+        |), mx AS (
+        |  SELECT max(ms) AS max_ms FROM ev
+        |), brk AS (
+        |  SELECT user_id, ms, vm,
+        |    CASE WHEN lag(ms) OVER w IS NULL
+        |           OR ms - lag(ms) OVER w >= 1800000 THEN 1 ELSE 0 END AS b
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms)
+        |), sess AS (
+        |  SELECT user_id, ms, vm,
+        |    SUM(b) OVER (PARTITION BY user_id ORDER BY ms
+        |                 ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM brk
+        |), agg AS (
+        |  SELECT user_id, sid, min(ms) AS start_ms, max(ms) + 1800000 AS end_ms,
+        |    COUNT(*) AS n, CAST(SUM(vm) AS BIGINT) AS v_milli
+        |  FROM sess GROUP BY user_id, sid
+        |)
+        |SELECT epoch_ms(start_ms) AS session_start, epoch_ms(end_ms) AS session_end,
+        |  user_id, n, v_milli
+        |FROM agg, mx WHERE end_ms <= max_ms
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q_stream_dedup" ->
       // doubled input, exactly-once output: the oracle is one row per
