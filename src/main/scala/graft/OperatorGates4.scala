@@ -231,6 +231,43 @@ object OperatorGates4 {
         .orderBy(col("user_bucket"))
     }),
 
+    // --- FLAGSHIP corpus pipeline: the full pre-tokenizer chain in one
+    //     oracle-checked run — quality gate -> exact dedup (min-id
+    //     survivor) -> benchmark decontamination -> per-language
+    //     stratified rebalance -> greedy sequence packing. Every stage
+    //     is the REAL operator; the oracle replays the whole chain,
+    //     including the final greedy fold over exactly the surviving
+    //     docs ------------------------------------------------------
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val benchmark = docs.filter(pmod(col("doc_id"), lit(19)) === 0)
+      // 1. quality floor
+      val quality = docs.filter(Text.qualityScore(col("text")) >= 0.7)
+      // 2. exact dedup, deterministic min-id survivor
+      val deduped = graft.operators.Dedup.keepMaxBy(
+        quality.withColumn("_fp", Text.fingerprint(col("text")))
+          .withColumn("_negid", -col("doc_id")),
+        keys = Seq("_fp"), delta = Seq("_negid"))
+        .drop("_fp", "_negid")
+      // 3. drop benchmark members + contaminated docs
+      val corpus = deduped.filter(pmod(col("doc_id"), lit(19)) =!= 0)
+      val clean = corpus.join(
+        Similarity.benchmarkOverlap(corpus, benchmark, "doc_id", "text",
+            n = 3, threshold = 0.15)
+          .filter(!col("contaminated"))
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_semi")
+      // 4. rebalance languages
+      val balanced = Converters.sampleFractionPerGroup("lang", "doc_id",
+        Map("en" -> 0.5, "de" -> 0.25), defaultFraction = 1.0)(clean)
+      // 5. pack into training sequences
+      val counted = balanced.select(col("doc_id"),
+        pmod(col("doc_id"), lit(8)).as("shard"),
+        Text.tokenCount(col("text")).as("n_tok"))
+      Packing.packGreedy(counted, "shard", "doc_id", "n_tok", budget = 256)
+        .orderBy(col("shard"), col("doc_id"))
+    }),
+
     // --- stratified per-group fraction sampling (Converters.
     //     sampleFractionPerGroup): rebalance the corpus by language —
     //     en halved, de quartered, everything else at 10%. md5-prefix
@@ -427,6 +464,66 @@ object OperatorGates4 {
         |  coalesce(reb.cleaned_text, '') AS cleaned_text
         |FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+
+    "q_corpus_pipeline" -> {
+      import graft.operators.Converters.fractionCut
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, text,
+        |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id, lang, text, tk FROM toks
+        |  WHERE (CASE WHEN len(tk) BETWEEN 20 AND 10000 THEN 0.5 ELSE 0.0 END
+        |    + CASE WHEN (CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE)
+        |        / CAST(greatest(len(tk), 1) AS DOUBLE)) > 0.0 THEN 0.3 ELSE 0.0 END)
+        |    + CASE WHEN (CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+        |        / CAST(greatest(length(text), 1) AS DOUBLE)) < 0.1 THEN 0.2 ELSE 0.0 END >= 0.7
+        |), dd AS (
+        |  SELECT doc_id, lang, tk FROM q
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+        |), benchsh AS (
+        |  SELECT DISTINCT unnest(list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+        |    ELSE [] END)) AS s
+        |  FROM toks WHERE doc_id % 19 = 0
+        |), docsh AS (
+        |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= 3
+        |    THEN list_transform(range(1, len(tk) - 1), i -> array_to_string(tk[i:i+2], ' '))
+        |    ELSE [] END)) AS s
+        |  FROM dd WHERE doc_id % 19 <> 0
+        |), hits AS (
+        |  SELECT d.doc_id, count(*) AS n_sh,
+        |    sum(CASE WHEN b.s IS NULL THEN 0 ELSE 1 END) AS n_ov
+        |  FROM docsh d LEFT JOIN benchsh b ON d.s = b.s GROUP BY d.doc_id
+        |), clean AS (
+        |  SELECT dd.doc_id, dd.lang, dd.tk FROM dd
+        |  LEFT JOIN hits h ON h.doc_id = dd.doc_id
+        |  WHERE dd.doc_id % 19 <> 0
+        |    AND CAST(coalesce(h.n_ov, 0) AS DOUBLE)
+        |      / CAST(greatest(coalesce(h.n_sh, 0), 1) AS DOUBLE) < 0.15
+        |), bal AS (
+        |  SELECT doc_id, tk FROM clean
+        |  WHERE substring(md5('graft' || '|' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |""".stripMargin +
+      s"""    CASE WHEN lang = 'de' THEN '${fractionCut(0.25)}'
+         |         WHEN lang = 'en' THEN '${fractionCut(0.5)}' ELSE 'g' END
+         |""".stripMargin +
+      """), pdocs AS (
+        |  SELECT doc_id % 8 AS shard, doc_id, CAST(len(tk) AS INT) AS n_tok,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM bal
+        |), rec(shard, doc_id, n_tok, rn, seq_id, fill) AS (
+        |  SELECT shard, doc_id, n_tok, rn, CAST(0 AS BIGINT), CAST(n_tok AS BIGINT)
+        |  FROM pdocs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.doc_id, d.n_tok, d.rn,
+        |    CASE WHEN r.fill + d.n_tok <= 256 THEN r.seq_id ELSE r.seq_id + 1 END,
+        |    CASE WHEN r.fill + d.n_tok <= 256 THEN r.fill + d.n_tok ELSE CAST(d.n_tok AS BIGINT) END
+        |  FROM rec r JOIN pdocs d ON d.shard = r.shard AND d.rn = r.rn + 1
+        |)
+        |SELECT shard, doc_id, n_tok, seq_id FROM rec
+        |ORDER BY shard, doc_id""".stripMargin
+    },
 
     "q_corpus_report" ->
       """WITH t AS (
