@@ -268,6 +268,27 @@ object OperatorGates4 {
         .orderBy(col("shard"), col("doc_id"))
     }),
 
+    // --- REAL audio decode (Multimodal.WavCodec): valid RIFF/WAVE
+    //     PCM16 containers are synthesized per row from table
+    //     parameters, then the actual chunk-walking parser extracts
+    //     rate/bits/samples and computes mean |amplitude| from the LE
+    //     sample bytes. The oracle replays the expected features from
+    //     the SAME parameters — a header misread or endianness slip
+    //     mismatches immediately ------------------------------------
+    "q_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, n) =>
+          val rate = 8000 + (id % 3).toInt * 4000
+          val samples = Array.tabulate(n.toInt)(i =>
+            (((id * 31 + i * 17) % 65536) - 32768).toShort)
+          (id, Multimodal.WavCodec.synthesize(rate, samples))
+        }).toDF("media_id", "content")
+      Multimodal.decodeWav(media).toDF().orderBy(col("media_id"))
+    }),
+
     // --- stratified per-group fraction sampling (Converters.
     //     sampleFractionPerGroup): rebalance the corpus by language —
     //     en halved, de quartered, everything else at 10%. md5-prefix
@@ -524,6 +545,18 @@ object OperatorGates4 {
         |SELECT shard, doc_id, n_tok, seq_id FROM rec
         |ORDER BY shard, doc_id""".stripMargin
     },
+
+    "q_wav_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS n_channels,
+        |  CAST(16 AS INT) AS bits,
+        |  CAST(n_chars AS BIGINT) AS n_samples,
+        |  CAST(n_chars AS BIGINT) * 1000000 // (8000 + (doc_id % 3) * 4000) AS duration_us,
+        |  CAST(list_sum(list_transform(range(0, n_chars),
+        |    i -> abs((doc_id * 31 + i * 17) % 65536 - 32768))) AS DOUBLE)
+        |    / CAST(n_chars AS DOUBLE) AS mean_abs_amp
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_corpus_report" ->
       """WITH t AS (

@@ -101,6 +101,97 @@ object Multimodal {
       }
   }
 
+  // --- a REAL decoder: RIFF/WAVE PCM ---------------------------------
+  // Audio needs no external codec for the PCM case — the container is
+  // a chunk walk and the samples are little-endian shorts. This is the
+  // concrete instance of the Decoder seam; image/video remain honest
+  // fakes (their codecs are not in this container).
+
+  final case class WavFeatures(
+      media_id: Long, sample_rate: Int, n_channels: Int, bits: Int,
+      n_samples: Long, duration_us: Long, mean_abs_amp: Double)
+
+  object WavCodec {
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Parse a PCM WAV: chunk walk (any chunk order, unknown chunks
+      * skipped, word-aligned sizes), fmt + data extraction, per-sample
+      * mean |amplitude| over little-endian 16-bit mono/stereo PCM.
+      */
+    def parse(id: Long, bytes: Array[Byte]): WavFeatures = {
+      require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+        s"media $id: not a RIFF/WAVE container")
+      var off = 12
+      var rate = -1; var channels = -1; var bits = -1; var blockAlign = -1
+      var dataOff = -1; var dataLen = -1L
+      while (off + 8 <= bytes.length) {
+        val ct = tag(bytes, off)
+        val cl = u32(bytes, off + 4)
+        if (ct == "fmt ") {
+          require(u16(bytes, off + 8) == 1, s"media $id: not PCM (fmt != 1)")
+          channels = u16(bytes, off + 10)
+          rate = u32(bytes, off + 12).toInt
+          blockAlign = u16(bytes, off + 20)
+          bits = u16(bytes, off + 22)
+        } else if (ct == "data") {
+          dataOff = off + 8
+          dataLen = math.min(cl, (bytes.length - dataOff).toLong)
+        }
+        off += 8 + cl.toInt + (cl.toInt & 1) // chunks are word-aligned
+      }
+      require(rate > 0 && dataOff >= 0, s"media $id: missing fmt/data chunk")
+      require(bits == 16, s"media $id: only 16-bit PCM supported, got $bits")
+      val nSamples = dataLen / blockAlign
+      var sum = 0L
+      var i = 0
+      val frames = nSamples.toInt * channels
+      while (i < frames) {
+        val s = (u16(bytes, dataOff + i * 2) << 16) >> 16 // sign-extend LE i16
+        sum += math.abs(s).toLong
+        i += 1
+      }
+      WavFeatures(id, rate, channels, bits, nSamples,
+        nSamples * 1000000L / rate,
+        if (frames == 0) 0.0 else sum.toDouble / frames)
+    }
+
+    /** Synthesize a canonical 44-byte-header mono PCM16 WAV — the test/
+      * gate fixture generator (and the documented shape [[parse]]
+      * understands). Sample values come from the caller.
+      */
+    def synthesize(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataSize = samples.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      samples.foreach(buf.putShort)
+      buf.array()
+    }
+  }
+
+  /** (media_id, content) rows → parsed WAV features, streamed per
+    * partition like [[decodeFeatures]].
+    */
+  def decodeWav(media: DataFrame): Dataset[WavFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) => WavCodec.parse(id, c) })
+  }
+
   /** Size partitions for decode: target bytes per partition so decoded
     * batches fit executor memory (decoded media is 10-100x the stored
     * bytes). Uses a cheap aggregate of stored sizes, never collect().

@@ -221,6 +221,27 @@ class CorpusPrepSpec extends SparkSpec {
       (4L, 1L, 1L, "solo line")))
   }
 
+  test("WavCodec: synthesize/parse roundtrip, chunk-order robustness, malformed rejection") {
+    import graft.operators.Multimodal.WavCodec
+    val samples = Array.tabulate(100)(i => ((i * 37) % 65536 - 32768).toShort)
+    val wav = WavCodec.synthesize(16000, samples)
+    val f = WavCodec.parse(7L, wav)
+    assert(f.sample_rate == 16000 && f.n_channels == 1 && f.bits == 16)
+    assert(f.n_samples == 100 && f.duration_us == 100L * 1000000 / 16000)
+    assert(f.mean_abs_amp == samples.map(s => math.abs(s.toInt).toLong).sum.toDouble / 100)
+    // an unknown chunk BEFORE fmt/data must be skipped (real WAVs carry
+    // LIST/INFO chunks); splice one in after the RIFF/WAVE preamble
+    val junk = "LIST".getBytes("US-ASCII") ++ Array[Byte](6, 0, 0, 0) ++
+      Array[Byte](1, 2, 3, 4, 5, 6)
+    val spliced = wav.take(12) ++ junk ++ wav.drop(12)
+    // RIFF size field is now stale, but chunk walking doesn't use it
+    assert(WavCodec.parse(8L, spliced) == f.copy(media_id = 8L))
+    intercept[IllegalArgumentException](WavCodec.parse(9L, "not a wav at all....".getBytes ++ new Array[Byte](40)))
+    // non-PCM format code rejected
+    val nonPcm = wav.clone(); nonPcm(20) = 3 // fmt audioFormat -> 3 (float)
+    intercept[IllegalArgumentException](WavCodec.parse(10L, nonPcm))
+  }
+
   test("normalize: NFC(x) and NFC(NFD(x)) hash to the same fingerprint") {
     val df = Seq("café déjà-vu", "café déjà-vu").toDF("s")
     val fps = df.select(Text.fingerprint(NormalizeNfc(col("s")))).collect().map(_.getString(0))
