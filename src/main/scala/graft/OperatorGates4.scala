@@ -289,6 +289,23 @@ object OperatorGates4 {
       Multimodal.decodeWav(media).toDF().orderBy(col("media_id"))
     }),
 
+    // --- REAL image decode (Multimodal.BmpCodec): uncompressed 24-bpp
+    //     BMPs synthesized per row (width varies with doc_id so the
+    //     4-byte row stride padding actually varies), parsed by the
+    //     real header/stride walker; oracle replays mean intensity
+    //     from the linear channel formula -----------------------------
+    "q_bmp_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 5).toInt
+          val h = 4 + (id % 3).toInt
+          (id, Multimodal.BmpCodec.synthesize(w, h, i => ((id * 7 + i) % 256).toInt))
+        }).toDF("media_id", "content")
+      Multimodal.decodeBmp(media).toDF().orderBy(col("media_id"))
+    }),
+
     // --- stratified per-group fraction sampling (Converters.
     //     sampleFractionPerGroup): rebalance the corpus by language —
     //     en halved, de quartered, everything else at 10%. md5-prefix
@@ -556,6 +573,17 @@ object OperatorGates4 {
         |  CAST(list_sum(list_transform(range(0, n_chars),
         |    i -> abs((doc_id * 31 + i * 17) % 65536 - 32768))) AS DOUBLE)
         |    / CAST(n_chars AS DOUBLE) AS mean_abs_amp
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_bmp_decode" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + doc_id % 5 AS INT) AS width,
+        |  CAST(4 + doc_id % 3 AS INT) AS height,
+        |  CAST(24 AS INT) AS bpp,
+        |  (8 + doc_id % 5) * (4 + doc_id % 3) AS n_pixels,
+        |  CAST(list_sum(list_transform(range(0, (8 + doc_id % 5) * (4 + doc_id % 3) * 3),
+        |    i -> (doc_id * 7 + i) % 256)) AS DOUBLE)
+        |    / CAST((8 + doc_id % 5) * (4 + doc_id % 3) * 3 AS DOUBLE) AS mean_intensity
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_corpus_report" ->

@@ -192,6 +192,83 @@ object Multimodal {
       .mapPartitions(_.map { case (id, c) => WavCodec.parse(id, c) })
   }
 
+  // --- and a REAL image decoder: uncompressed 24-bpp BMP -------------
+
+  final case class BmpFeatures(
+      media_id: Long, width: Int, height: Int, bpp: Int,
+      n_pixels: Long, mean_intensity: Double)
+
+  object BmpCodec {
+
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    /** Parse an uncompressed BI_RGB 24-bpp BMP: BITMAPFILEHEADER +
+      * BITMAPINFOHEADER, bottom-up pixel rows padded to 4-byte stride;
+      * mean intensity over all channel bytes (padding excluded).
+      */
+    def parse(id: Long, bytes: Array[Byte]): BmpFeatures = {
+      require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
+        s"media $id: not a BMP")
+      val dataOff = u32(bytes, 10).toInt
+      val width = u32(bytes, 18).toInt
+      val height = u32(bytes, 22).toInt
+      val bpp = u16(bytes, 28)
+      require(bpp == 24 && u32(bytes, 30) == 0,
+        s"media $id: only uncompressed 24-bpp BMP supported")
+      val stride = ((width * 3 + 3) / 4) * 4
+      var sum = 0L
+      var y = 0
+      while (y < height) {
+        val rowOff = dataOff + y * stride
+        var i = 0
+        while (i < width * 3) { sum += (bytes(rowOff + i) & 0xff); i += 1 }
+        y += 1
+      }
+      val nChan = width.toLong * height * 3
+      BmpFeatures(id, width, height, bpp, width.toLong * height,
+        if (nChan == 0) 0.0 else sum.toDouble / nChan)
+    }
+
+    /** Synthesize an uncompressed 24-bpp BMP. `channelAt(i)` supplies
+      * the byte for linear channel index i, linearized bottom-up in
+      * file order (row y=0 is the BOTTOM row, channel fastest) — the
+      * same order [[parse]] sums, so oracles replay means directly.
+      */
+    def synthesize(width: Int, height: Int, channelAt: Int => Int): Array[Byte] = {
+      val stride = ((width * 3 + 3) / 4) * 4
+      val dataSize = stride * height
+      val buf = java.nio.ByteBuffer.allocate(54 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+        .putShort(0).putShort(0).putInt(54)
+        .putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+        .putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = 0
+      var i = 0
+      while (y < height) {
+        var x = 0
+        while (x < width * 3) { buf.put((channelAt(i) & 0xff).toByte); x += 1; i += 1 }
+        var p = width * 3
+        while (p < stride) { buf.put(0.toByte); p += 1 }
+        y += 1
+      }
+      buf.array()
+    }
+  }
+
+  /** (media_id, content) rows → parsed BMP features. */
+  def decodeBmp(media: DataFrame): Dataset[BmpFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) => BmpCodec.parse(id, c) })
+  }
+
   /** Size partitions for decode: target bytes per partition so decoded
     * batches fit executor memory (decoded media is 10-100x the stored
     * bytes). Uses a cheap aggregate of stored sizes, never collect().

@@ -242,6 +242,18 @@ class CorpusPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException](WavCodec.parse(10L, nonPcm))
   }
 
+  test("BmpCodec: roundtrip with stride padding, malformed rejection") {
+    import graft.operators.Multimodal.BmpCodec
+    // width 3 -> row bytes 9, stride 12: padding must be excluded
+    val f = BmpCodec.parse(1L, BmpCodec.synthesize(3, 2, i => i % 256))
+    assert(f.width == 3 && f.height == 2 && f.bpp == 24 && f.n_pixels == 6)
+    assert(f.mean_intensity == (0 until 18).sum.toDouble / 18)
+    intercept[IllegalArgumentException](BmpCodec.parse(2L, new Array[Byte](60)))
+    val nonRgb = BmpCodec.synthesize(3, 2, _ => 0)
+    nonRgb(28) = 8 // bpp -> 8
+    intercept[IllegalArgumentException](BmpCodec.parse(3L, nonRgb))
+  }
+
   test("normalize: NFC(x) and NFC(NFD(x)) hash to the same fingerprint") {
     val df = Seq("café déjà-vu", "café déjà-vu").toDF("s")
     val fps = df.select(Text.fingerprint(NormalizeNfc(col("s")))).collect().map(_.getString(0))
