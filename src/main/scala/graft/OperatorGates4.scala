@@ -306,6 +306,31 @@ object OperatorGates4 {
       Multimodal.decodeBmp(media).toDF().orderBy(col("media_id"))
     }),
 
+    // --- mixed-modality dispatch (Multimodal.decodeAuto): a single
+    //     binary column carrying WAVs (even ids) and BMPs (odd ids);
+    //     magic-byte sniffing routes each payload to its REAL codec.
+    //     The oracle replays both feature formulas CASE'd on parity --
+    "q_media_dispatch" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, n) =>
+          val bytes =
+            if (id % 2 == 0) {
+              val rate = 8000 + (id % 3).toInt * 4000
+              Multimodal.WavCodec.synthesize(rate, Array.tabulate(n.toInt)(i =>
+                (((id * 31 + i * 17) % 65536) - 32768).toShort))
+            } else {
+              val w = 8 + (id % 5).toInt
+              val h = 4 + (id % 3).toInt
+              Multimodal.BmpCodec.synthesize(w, h, i => ((id * 7 + i) % 256).toInt)
+            }
+          (id, bytes)
+        }).toDF("media_id", "content")
+      Multimodal.decodeAuto(media).toDF().orderBy(col("media_id"))
+    }),
+
     // --- stratified per-group fraction sampling (Converters.
     //     sampleFractionPerGroup): rebalance the corpus by language —
     //     en halved, de quartered, everything else at 10%. md5-prefix
@@ -584,6 +609,22 @@ object OperatorGates4 {
         |  CAST(list_sum(list_transform(range(0, (8 + doc_id % 5) * (4 + doc_id % 3) * 3),
         |    i -> (doc_id * 7 + i) % 256)) AS DOUBLE)
         |    / CAST((8 + doc_id % 5) * (4 + doc_id % 3) * 3 AS DOUBLE) AS mean_intensity
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_media_dispatch" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'image/bmp' END AS modality,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS BIGINT)
+        |       ELSE (8 + doc_id % 5) * (4 + doc_id % 3) END AS n_units,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    CAST(list_sum(list_transform(range(0, n_chars),
+        |      i -> abs((doc_id * 31 + i * 17) % 65536 - 32768))) AS DOUBLE)
+        |      / CAST(n_chars AS DOUBLE)
+        |  ELSE
+        |    CAST(list_sum(list_transform(range(0, (8 + doc_id % 5) * (4 + doc_id % 3) * 3),
+        |      i -> (doc_id * 7 + i) % 256)) AS DOUBLE)
+        |      / CAST((8 + doc_id % 5) * (4 + doc_id % 3) * 3 AS DOUBLE)
+        |  END AS mean_val
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_corpus_report" ->

@@ -269,6 +269,45 @@ object Multimodal {
       .mapPartitions(_.map { case (id, c) => BmpCodec.parse(id, c) })
   }
 
+  /** Magic-byte modality sniff — what a mixed media column dispatches
+    * on BEFORE any schema metadata is trusted.
+    */
+  def sniffModality(bytes: Array[Byte]): String =
+    if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A') "audio/wav"
+    else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "image/bmp"
+    else "unknown"
+
+  final case class MediaAuto(
+      media_id: Long, modality: String, n_units: Long, mean_val: Double)
+
+  /** Mixed-modality decode: sniff each payload, route to the matching
+    * REAL codec (WAV samples / BMP pixels), fall back to byte stats for
+    * unknowns — the one-pass ingest shape for a heterogeneous media
+    * column. n_units = samples | pixels | bytes; mean_val =
+    * mean |amplitude| | mean intensity | mean byte.
+    */
+  def decodeAuto(media: DataFrame): Dataset[MediaAuto] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) =>
+        val bytes = if (c == null) Array.emptyByteArray else c
+        sniffModality(bytes) match {
+          case m @ "audio/wav" =>
+            val f = WavCodec.parse(id, bytes)
+            MediaAuto(id, m, f.n_samples, f.mean_abs_amp)
+          case m @ "image/bmp" =>
+            val f = BmpCodec.parse(id, bytes)
+            MediaAuto(id, m, f.n_pixels, f.mean_intensity)
+          case m =>
+            val f = FakeDecoder.features(id, m, bytes)
+            MediaAuto(id, m, f.n_bytes, f.byte_mean)
+        }
+      })
+  }
+
   /** Size partitions for decode: target bytes per partition so decoded
     * batches fit executor memory (decoded media is 10-100x the stored
     * bytes). Uses a cheap aggregate of stored sizes, never collect().
