@@ -331,6 +331,24 @@ object OperatorGates4 {
       Multimodal.decodeAuto(media).toDF().orderBy(col("media_id"))
     }),
 
+    // --- REAL video-container probe (Multimodal.Mp4Codec): minimal
+    //     ISO BMFF files synthesized per row (ftyp + moov/mvhd/trak),
+    //     probed by the big-endian box walker; only codec FRAME decode
+    //     remains a fake (no decoder in container) -------------------
+    "q_mp4_probe" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, n) =>
+          (id, Multimodal.Mp4Codec.synthesize(
+            timescale = 600 + (id % 4).toInt * 300,
+            duration = (n * 100).toInt,
+            nTracks = 1 + (id % 3).toInt))
+        }).toDF("media_id", "content")
+      Multimodal.probeMp4(media).toDF().orderBy(col("media_id"))
+    }),
+
     // --- stratified per-group fraction sampling (Converters.
     //     sampleFractionPerGroup): rebalance the corpus by language —
     //     en halved, de quartered, everything else at 10%. md5-prefix
@@ -625,6 +643,14 @@ object OperatorGates4 {
         |      i -> (doc_id * 7 + i) % 256)) AS DOUBLE)
         |      / CAST((8 + doc_id % 5) * (4 + doc_id % 3) * 3 AS DOUBLE)
         |  END AS mean_val
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_mp4_probe" ->
+      """SELECT doc_id AS media_id, 'isom' AS brand,
+        |  CAST(600 + (doc_id % 4) * 300 AS BIGINT) AS timescale,
+        |  CAST(n_chars * 100 AS BIGINT) AS duration_units,
+        |  (n_chars * 100) * 1000 // (600 + (doc_id % 4) * 300) AS duration_ms,
+        |  CAST(1 + doc_id % 3 AS INT) AS n_tracks
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_corpus_report" ->

@@ -269,6 +269,94 @@ object Multimodal {
       .mapPartitions(_.map { case (id, c) => BmpCodec.parse(id, c) })
   }
 
+  // --- and REAL video-container probing: ISO BMFF (MP4) box walk -----
+  // Codec frames stay an honest fake (no decoder in this container),
+  // but the CONTAINER metadata — what a pipeline probes before
+  // deciding to decode at all — is a pure big-endian box tree.
+
+  final case class Mp4Features(
+      media_id: Long, brand: String, timescale: Long, duration_units: Long,
+      duration_ms: Long, n_tracks: Int)
+
+  object Mp4Codec {
+
+    private def u32(b: Array[Byte], o: Int): Long = // big-endian (ISO BMFF)
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def tag(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Probe an MP4: top-level box walk for ftyp/moov, moov child walk
+      * for mvhd (version-0: 32-bit timescale/duration) and trak count.
+      */
+    def parse(id: Long, bytes: Array[Byte]): Mp4Features = {
+      require(bytes.length >= 16 && tag(bytes, 4) == "ftyp",
+        s"media $id: not an ISO BMFF container (no ftyp)")
+      val brand = tag(bytes, 8)
+      var off = 0
+      var timescale = -1L; var duration = -1L; var tracks = 0
+      while (off + 8 <= bytes.length) {
+        val size = u32(bytes, off)
+        val bt = tag(bytes, off + 4)
+        require(size >= 8, s"media $id: corrupt box size at $off")
+        if (bt == "moov") {
+          var c = off + 8
+          val end = math.min(off + size, bytes.length.toLong).toInt
+          while (c + 8 <= end) {
+            val cs = u32(bytes, c)
+            val ct = tag(bytes, c + 4)
+            require(cs >= 8, s"media $id: corrupt moov child at $c")
+            if (ct == "mvhd") {
+              require(bytes(c + 8) == 0, s"media $id: only mvhd version 0 supported")
+              timescale = u32(bytes, c + 20)
+              duration = u32(bytes, c + 24)
+            } else if (ct == "trak") tracks += 1
+            c += cs.toInt
+          }
+        }
+        off += size.toInt
+      }
+      require(timescale > 0, s"media $id: missing moov/mvhd")
+      Mp4Features(id, brand, timescale, duration,
+        duration * 1000L / timescale, tracks)
+    }
+
+    /** Synthesize a minimal structurally-valid MP4: ftyp(isom) +
+      * moov(mvhd v0 + `nTracks` empty trak boxes).
+      */
+    def synthesize(timescale: Int, duration: Int, nTracks: Int): Array[Byte] = {
+      val mvhd = java.nio.ByteBuffer.allocate(108)
+      mvhd.putInt(108).put("mvhd".getBytes("US-ASCII"))
+        .putInt(0)            // version 0 + flags
+        .putInt(0).putInt(0)  // creation/modification time
+        .putInt(timescale).putInt(duration)
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0)
+        .putInt(0).putInt(0)  // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(mvhd.putInt) // identity matrix
+      (1 to 6).foreach(_ => mvhd.putInt(0)) // pre_defined
+      mvhd.putInt(nTracks + 1) // next_track_ID
+      val traks = Array.fill(nTracks)(
+        java.nio.ByteBuffer.allocate(8).putInt(8).put("trak".getBytes("US-ASCII")).array())
+      val moovSize = 8 + 108 + nTracks * 8
+      val moovHdr = java.nio.ByteBuffer.allocate(8).putInt(moovSize)
+        .put("moov".getBytes("US-ASCII")).array()
+      val ftyp = java.nio.ByteBuffer.allocate(16).putInt(16)
+        .put("ftyp".getBytes("US-ASCII")).put("isom".getBytes("US-ASCII"))
+        .putInt(0).array()
+      ftyp ++ moovHdr ++ mvhd.array() ++ traks.flatten
+    }
+  }
+
+  /** (media_id, content) rows → probed MP4 container features. */
+  def probeMp4(media: DataFrame): Dataset[Mp4Features] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) => Mp4Codec.parse(id, c) })
+  }
+
   /** Magic-byte modality sniff — what a mixed media column dispatches
     * on BEFORE any schema metadata is trusted.
     */
@@ -276,7 +364,11 @@ object Multimodal {
     if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A') "audio/wav"
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "image/bmp"
+    else if (bytes.length >= 12 && tag4(bytes, 4) == "ftyp") "video/mp4"
     else "unknown"
+
+  private def tag4(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
   final case class MediaAuto(
       media_id: Long, modality: String, n_units: Long, mean_val: Double)

@@ -254,6 +254,20 @@ class CorpusPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException](BmpCodec.parse(3L, nonRgb))
   }
 
+  test("Mp4Codec: probe roundtrip, sniff dispatch, malformed rejection") {
+    import graft.operators.Multimodal
+    import Multimodal.Mp4Codec
+    val mp4 = Mp4Codec.synthesize(timescale = 900, duration = 45000, nTracks = 2)
+    val f = Mp4Codec.parse(5L, mp4)
+    assert(f.brand == "isom" && f.timescale == 900 && f.duration_units == 45000)
+    assert(f.duration_ms == 45000L * 1000 / 900 && f.n_tracks == 2)
+    assert(Multimodal.sniffModality(mp4) == "video/mp4")
+    intercept[IllegalArgumentException](Mp4Codec.parse(6L, new Array[Byte](32)))
+    // mvhd version 1 (64-bit fields) is explicitly unsupported
+    val v1 = mp4.clone(); v1(16 + 8 + 8) = 1
+    intercept[IllegalArgumentException](Mp4Codec.parse(7L, v1))
+  }
+
   test("normalize: NFC(x) and NFC(NFD(x)) hash to the same fingerprint") {
     val df = Seq("café déjà-vu", "café déjà-vu").toDF("s")
     val fps = df.select(Text.fingerprint(NormalizeNfc(col("s")))).collect().map(_.getString(0))
