@@ -221,13 +221,19 @@ object OperatorGates4 {
     //     the oracle is the portable FILTER-aggregation spelling ------
     "q_pivot" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
-      t(s, dir, "events")
+      val pivoted = t(s, dir, "events")
         .select(pmod(col("user_id"), lit(10)).as("user_bucket"),
           col("event_type"), col("value"))
         .groupBy(col("user_bucket"))
         .pivot("event_type", types)
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 1000).cast("long")).as("v_milli"))
+      // pivot count yields NULL for an empty (bucket, type) cell; the
+      // oracle's count(*) FILTER yields 0 — align by construction, not
+      // by corpus density (sum stays NULL-on-empty on both sides)
+      pivoted.select(col("user_bucket") +:
+          types.map(tp => coalesce(col(s"${tp}_n"), lit(0L)).as(s"${tp}_n")) ++:
+          types.map(tp => col(s"${tp}_v_milli")): _*)
         .orderBy(col("user_bucket"))
     }),
 

@@ -134,6 +134,10 @@ object Multimodal {
       while (off + 8 <= bytes.length) {
         val ct = tag(bytes, off)
         val cl = u32(bytes, off + 4)
+        // a 32-bit size must fit in the remaining buffer, else the walk
+        // would advance by <= 0 (cl.toInt wraps negative) and never end
+        require(cl <= (bytes.length - off - 8).toLong,
+          s"media $id: chunk '$ct' size $cl overruns buffer at offset $off")
         if (ct == "fmt ") {
           require(u16(bytes, off + 8) == 1, s"media $id: not PCM (fmt != 1)")
           channels = u16(bytes, off + 10)
@@ -142,12 +146,14 @@ object Multimodal {
           bits = u16(bytes, off + 22)
         } else if (ct == "data") {
           dataOff = off + 8
-          dataLen = math.min(cl, (bytes.length - dataOff).toLong)
+          dataLen = cl
         }
-        off += 8 + cl.toInt + (cl.toInt & 1) // chunks are word-aligned
+        off += 8 + cl.toInt + (cl.toInt & 1) // word-aligned; always >= 8 forward
       }
       require(rate > 0 && dataOff >= 0, s"media $id: missing fmt/data chunk")
       require(bits == 16, s"media $id: only 16-bit PCM supported, got $bits")
+      require(channels > 0 && blockAlign == channels * 2, // PCM16: blockAlign = channels * bits/8
+        s"media $id: blockAlign $blockAlign inconsistent with $channels ch x 16-bit")
       val nSamples = dataLen / blockAlign
       var sum = 0L
       var i = 0
@@ -215,11 +221,17 @@ object Multimodal {
         s"media $id: not a BMP")
       val dataOff = u32(bytes, 10).toInt
       val width = u32(bytes, 18).toInt
-      val height = u32(bytes, 22).toInt
+      val rawHeight = u32(bytes, 22).toInt
+      // negative height = top-down row order; intensity stats are
+      // row-order independent, so only the magnitude matters here
+      val height = math.abs(rawHeight)
       val bpp = u16(bytes, 28)
       require(bpp == 24 && u32(bytes, 30) == 0,
         s"media $id: only uncompressed 24-bpp BMP supported")
+      require(width > 0 && height > 0, s"media $id: bad BMP dims ${width}x$rawHeight")
       val stride = ((width * 3 + 3) / 4) * 4
+      require(dataOff >= 54 && dataOff.toLong + height.toLong * stride <= bytes.length,
+        s"media $id: BMP pixel data (${height}x$stride at $dataOff) overruns ${bytes.length} bytes")
       var sum = 0L
       var y = 0
       while (y < height) {
@@ -298,14 +310,18 @@ object Multimodal {
       while (off + 8 <= bytes.length) {
         val size = u32(bytes, off)
         val bt = tag(bytes, off + 4)
-        require(size >= 8, s"media $id: corrupt box size at $off")
+        // size must be >= 8 (forward progress) and fit the buffer
+        // (else size.toInt can wrap negative and loop forever)
+        require(size >= 8 && size <= (bytes.length - off).toLong,
+          s"media $id: corrupt box '$bt' size $size at $off")
         if (bt == "moov") {
           var c = off + 8
-          val end = math.min(off + size, bytes.length.toLong).toInt
+          val end = (off + size).toInt
           while (c + 8 <= end) {
             val cs = u32(bytes, c)
             val ct = tag(bytes, c + 4)
-            require(cs >= 8, s"media $id: corrupt moov child at $c")
+            require(cs >= 8 && cs <= (end - c).toLong,
+              s"media $id: corrupt moov child '$ct' size $cs at $c")
             if (ct == "mvhd") {
               require(bytes(c + 8) == 0, s"media $id: only mvhd version 0 supported")
               timescale = u32(bytes, c + 20)

@@ -104,8 +104,16 @@ object JobConfig {
       }
       case "stratifiedSample" => {
         val fractions = req(p, "op.stratifiedSample.fractions").split(",").map { kv =>
-          val Array(g, f) = kv.trim.split(":")
-          g -> f.toDouble
+          kv.trim.split(":") match {
+            case Array(g, f) =>
+              val frac = try f.toDouble catch {
+                case _: NumberFormatException => throw new IllegalArgumentException(
+                  s"op.stratifiedSample.fractions: non-numeric fraction in entry '${kv.trim}'")
+              }
+              g -> frac
+            case _ => throw new IllegalArgumentException(
+              s"op.stratifiedSample.fractions: entry '${kv.trim}' is not group:fraction")
+          }
         }.toMap
         Converters.sampleFractionPerGroup(
           req(p, "op.stratifiedSample.groupColumn"),

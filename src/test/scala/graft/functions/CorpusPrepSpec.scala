@@ -268,6 +268,48 @@ class CorpusPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException](Mp4Codec.parse(7L, v1))
   }
 
+  test("codecs: adversarial size fields terminate with errors, never hang") {
+    import graft.operators.Multimodal.{WavCodec, BmpCodec, Mp4Codec}
+    val wav = WavCodec.synthesize(16000, Array.tabulate(50)(_.toShort))
+
+    // WAV chunk size 0xFFFFFFF8: previously cl.toInt wrapped negative and
+    // the walk advanced by 0 forever — must now reject as overrun
+    val hugeChunk = wav.clone()
+    hugeChunk(16) = 0xF8.toByte; hugeChunk(17) = 0xFF.toByte
+    hugeChunk(18) = 0xFF.toByte; hugeChunk(19) = 0xFF.toByte // fmt size
+    intercept[IllegalArgumentException](WavCodec.parse(1L, hugeChunk))
+
+    // zero blockAlign: previously divide-by-zero
+    val zeroAlign = wav.clone(); zeroAlign(32) = 0; zeroAlign(33) = 0
+    intercept[IllegalArgumentException](WavCodec.parse(2L, zeroAlign))
+
+    // top-down BMP (negative height): real files use this; stats must match
+    // the bottom-up image since intensity is row-order independent
+    val bmp = BmpCodec.synthesize(3, 2, i => i % 256)
+    val topDown = bmp.clone()
+    val negH = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(-2).array()
+    System.arraycopy(negH, 0, topDown, 22, 4)
+    val f = BmpCodec.parse(3L, topDown)
+    assert(f.height == 2 && f.n_pixels == 6 && f.mean_intensity == (0 until 18).sum.toDouble / 18)
+
+    // BMP whose declared pixel data overruns the buffer: clean error,
+    // not ArrayIndexOutOfBounds
+    val overrun = bmp.clone()
+    val bigH = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(1000000).array()
+    System.arraycopy(bigH, 0, overrun, 22, 4)
+    intercept[IllegalArgumentException](BmpCodec.parse(4L, overrun))
+
+    // MP4 box size larger than buffer: previously size.toInt could wrap
+    // negative and loop forever — must reject
+    val mp4 = Mp4Codec.synthesize(900, 9000, 1)
+    val hugeBox = mp4.clone()
+    hugeBox(16) = 0xFF.toByte; hugeBox(17) = 0xFF.toByte
+    hugeBox(18) = 0xFF.toByte; hugeBox(19) = 0xF0.toByte // moov size
+    intercept[IllegalArgumentException](Mp4Codec.parse(5L, hugeBox))
+  }
+
   test("normalize: NFC(x) and NFC(NFD(x)) hash to the same fingerprint") {
     val df = Seq("café déjà-vu", "café déjà-vu").toDF("s")
     val fps = df.select(Text.fingerprint(NormalizeNfc(col("s")))).collect().map(_.getString(0))

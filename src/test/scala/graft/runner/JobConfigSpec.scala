@@ -105,6 +105,16 @@ class JobConfigSpec extends SparkSpec {
     assert(out(1).getString(2) == "naive <IP> text")
   }
 
+  test("malformed stratifiedSample fractions fail with a naming error, not MatchError") {
+    def conf(fractions: String) = JobConfig.parse(
+      s"ops=stratifiedSample\nop.stratifiedSample.groupColumn=g\n" +
+        s"op.stratifiedSample.idColumn=id\nop.stratifiedSample.fractions=$fractions\n")
+    val noColon = intercept[IllegalArgumentException](JobConfig.buildOps(conf("en0.5")))
+    assert(noColon.getMessage.contains("op.stratifiedSample.fractions"))
+    val nonNum = intercept[IllegalArgumentException](JobConfig.buildOps(conf("en:lots")))
+    assert(nonNum.getMessage.contains("non-numeric"))
+  }
+
   test("unknown op and missing keys fail loudly") {
     val bad = JobConfig.parse("job.name=x\nops=teleport\n")
     intercept[IllegalArgumentException](JobConfig.buildOps(bad))
