@@ -100,6 +100,31 @@ object JsonSchema {
     case other => other
   }
 
+  /** Parse-ready schema: eliminate recursion, then REMOVE the pruned
+    * (now-SNull) fields entirely — matching the reference converter,
+    * which drops the recursive field from the output schema
+    * (AvroRecursionEliminatingConverter.java:42). Removal (not a
+    * NullType placeholder) matters for JSON parsing: a NullType field
+    * in a `from_json` schema desyncs Jackson's token stream on a
+    * non-null payload, leaking nested values into sibling fields.
+    */
+  def toParseStruct(t: SType): StructType = {
+    def dropNull(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.flatMap(f => dropNull(f.dataType) match {
+        case NullType => None
+        case d => Some(f.copy(dataType = d))
+      }))
+      case ArrayType(et, n) => ArrayType(dropNull(et), n)
+      case MapType(k, v, n) => MapType(k, dropNull(v), n)
+      case other => other
+    }
+    dropNull(toSpark(eliminateRecursion(t))) match {
+      case st: StructType => st
+      case other =>
+        throw new IllegalArgumentException(s"top-level schema must be a record, got $other")
+    }
+  }
+
   /** Timestamp/date parsing with the reference's configured-format
     * semantics (JsonElementConversionFactory.java:107 —
     * CONVERTER_AVRO_DATE_FORMAT, default "yyyy-MM-dd HH:mm:ss", UTC).

@@ -52,6 +52,18 @@ class JsonSchemaSpec extends SparkSpec {
     assert(st("value").dataType == LongType)
   }
 
+  test("toParseStruct drops the recursive field; from_json skips the subtree cleanly") {
+    val recursive = SRecord("node", Seq("value" -> SLong,
+      "next" -> SRecord("node", Seq("value" -> SLong, "next" -> SNull))))
+    val st = toParseStruct(recursive)
+    assert(!st.fieldNames.contains("next") && st("value").dataType == LongType)
+    // the payload DOES carry the recursive subtree; a NullType
+    // placeholder would desync Jackson and leak next.value into value
+    val row = Seq("""{"value": 5, "next": {"value": 6, "next": null}}""")
+      .toDF("js").select(from_json($"js", st).as("r")).select($"r.value").head
+    assert(row.getLong(0) == 5L)
+  }
+
   test("from_json with generated schema parses typed values end-to-end") {
     val schema = toSpark(SRecord("r", Seq(
       "k" -> SLong, "tags" -> SArray(SString),
