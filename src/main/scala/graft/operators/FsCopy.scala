@@ -143,19 +143,31 @@ object FsCopy {
   }
 
   /** Post-copy verification: every planned dest exists with the source
-    * length (the reference's copy verifiers).
+    * length (the reference's copy verifiers). The FS stats run on
+    * EXECUTORS — a 100 TB replication plan has millions of entries, and
+    * a driver-side loop would serialize the job tail on per-file RPC
+    * latency. One stat per destination (chunk rows dedup first); the
+    * driver collects only the failure strings.
     */
   def verify(plan: Dataset[CopyableFile]): Seq[String] = {
     val spark = plan.sparkSession
-    val conf = spark.sparkContext.hadoopConfiguration
-    plan.collect().toSeq.groupBy(_.dest).flatMap { case (dest, chunks) =>
-      val p = new Path(dest)
-      val fs = p.getFileSystem(conf)
-      val want = chunks.head.length
-      if (!fs.exists(p)) Some(s"missing: $dest")
-      else if (fs.getFileStatus(p).getLen != want)
-        Some(s"length mismatch: $dest (${fs.getFileStatus(p).getLen} != $want)")
-      else None
-    }.toSeq.sorted
+    import spark.implicits._
+    val serConf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    plan.map(cf => (cf.dest, cf.length)).distinct()
+      .mapPartitions { it =>
+        val conf = serConf.value
+        it.flatMap { case (dest, want) =>
+          val p = new Path(dest)
+          val fs = p.getFileSystem(conf)
+          val st = try Some(fs.getFileStatus(p))
+            catch { case _: java.io.FileNotFoundException => None }
+          st match {
+            case None => Some(s"missing: $dest")
+            case Some(s) if s.getLen != want =>
+              Some(s"length mismatch: $dest (${s.getLen} != $want)")
+            case _ => None
+          }
+        }
+      }.collect().toSeq.sorted
   }
 }

@@ -41,6 +41,25 @@ class MacroOpsSpec extends SparkSpec {
     assert(!new java.io.File(s"$dest/sub").list().exists(_.contains(".chunk-")))
   }
 
+  test("fs copy verify: planted missing file and length mismatch surface as failures") {
+    val root = tmpDir("fscopy_verify")
+    val src = s"$root/src"; val dest = s"$root/dest"
+    Files.createDirectories(Paths.get(src))
+    (1 to 4).foreach(i =>
+      Files.write(Paths.get(src, s"f$i.bin"), Array.fill[Byte](100 * i)(i.toByte)))
+    val plan = FsCopy.plan(spark, src, dest, splitSize = 150) // f2..f4 chunked
+    FsCopy.execute(plan)
+    assert(FsCopy.verify(plan).isEmpty)
+    // plant: delete one dest, truncate another
+    Files.delete(Paths.get(dest, "f1.bin"))
+    Files.write(Paths.get(dest, "f3.bin"), Array.fill[Byte](7)(0))
+    val failures = FsCopy.verify(plan)
+    assert(failures.size == 2, s"got $failures")
+    assert(failures.exists(f => f.startsWith("missing:") && f.contains("f1.bin")))
+    assert(failures.exists(f => f.startsWith("length mismatch:") && f.contains("f3.bin")
+      && f.contains("(7 != 300)")))
+  }
+
   test("compaction: dedup + merge + publish with threshold verifier") {
     val root = tmpDir("compaction")
     val input = s"$root/input"
