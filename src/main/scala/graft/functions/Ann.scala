@@ -24,6 +24,8 @@ object Ann {
     * runs/JVMs (same requirement as MinHash seeds).
     */
   private[graft] def hyperplanes(dim: Int, nPlanes: Int, seed: Long): Array[Array[Double]] = {
+    // sign bits pack into one Long: 64th+ plane would silently wrap
+    require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1, 63], got $nPlanes")
     var x = seed
     def next(): Long = {
       x += 0x9E3779B97F4A7C15L
@@ -46,6 +48,8 @@ object Ann {
     * codegen'd expression sum over zip_with — no UDF.
     */
   def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.length >= 1 && planes.length <= 63,
+      s"sign bits pack into one Long: need 1..63 planes, got ${planes.length}")
     val v = vec.cast("array<double>")
     val bits = planes.zipWithIndex.map { case (p, i) =>
       when(VectorExprs.dotProduct(v, lit(p)) >= 0, lit(1L << i)).otherwise(lit(0L))
@@ -62,6 +66,9 @@ object Ann {
     * candidates grow ≤ (1+nFlip)x on the probe side only.
     */
   def multiProbeBuckets(vec: Column, planes: Array[Array[Double]], nFlip: Int): Column = {
+    require(planes.length >= 1 && planes.length <= 63,
+      s"sign bits pack into one Long: need 1..63 planes, got ${planes.length}")
+    // (the 2^i exact-double trick below also needs i < 52 — implied)
     val v = vec.cast("array<double>")
     val dots = planes.toSeq.map(p => VectorExprs.dotProduct(v, lit(p)))
     val base = dots.zipWithIndex.map { case (d, i) =>

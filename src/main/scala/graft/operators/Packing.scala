@@ -40,6 +40,22 @@ object Packing {
     * `tokensCol` (integral token count — e.g. `Text.tokenCount`).
     * Output: (shard, doc_id, n_tok, seq_id).
     */
+  /** Shard-count sizing for [[packGreedy]]: a shard is both the
+    * packing parallelism unit and the greedy fold's sequential extent,
+    * so its size must track the CORPUS, not the cluster — 32 shards
+    * over a 100 TB corpus means 32 stragglers folding billions of docs
+    * each. ceil(nDocs / targetDocsPerShard) keeps every shard's fold a
+    * bounded linear pass regardless of total scale (the same sizing
+    * discipline as `withStatePartitions`).
+    */
+  def shardsFor(nDocs: Long, targetDocsPerShard: Long): Int = {
+    require(nDocs >= 0 && targetDocsPerShard > 0,
+      s"need nDocs >= 0 and targetDocsPerShard > 0, got $nDocs / $targetDocsPerShard")
+    math.max(1L,
+      math.min(Int.MaxValue.toLong,
+        (nDocs + targetDocsPerShard - 1) / targetDocsPerShard)).toInt
+  }
+
   def packGreedy(docs: DataFrame, shardCol: String, idCol: String,
       tokensCol: String, budget: Int): DataFrame = {
     require(budget > 0, "budget must be > 0")

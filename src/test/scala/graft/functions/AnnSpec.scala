@@ -55,6 +55,14 @@ class AnnSpec extends SparkSpec {
     assert(multi >= 0.5, s"multi-probe recall floor: $multi")
   }
 
+  test("hyperplane family rejects nPlanes > 63 instead of silently wrapping sign bits") {
+    intercept[IllegalArgumentException](Ann.hyperplanes(dim = 8, nPlanes = 64, seed = 1L))
+    val tooMany = Array.fill(64)(Array.fill(8)(1.0))
+    intercept[IllegalArgumentException](Ann.hyperplaneSignature($"embedding", tooMany))
+    intercept[IllegalArgumentException](Ann.multiProbeBuckets($"embedding", tooMany, nFlip = 1))
+    assert(Ann.hyperplanes(dim = 8, nPlanes = 63, seed = 1L).length == 63)
+  }
+
   test("multiProbeBuckets: base first, then single-bit flips of lowest margins") {
     val planes = Ann.hyperplanes(dim = 64, nPlanes = 4, seed = 0x5EED)
     val row = emb.limit(1).select(

@@ -88,6 +88,28 @@ class CorpusPrepSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("shardsFor: corpus-tracking shard counts; derived sharding stays partition-invariant") {
+    import graft.operators.Packing.shardsFor
+    assert(shardsFor(0L, 1000L) == 1 && shardsFor(999L, 1000L) == 1)
+    assert(shardsFor(1000L, 1000L) == 1 && shardsFor(1001L, 1000L) == 2)
+    assert(shardsFor(10_000_000_000L, 100_000L) == 100_000) // 10B docs -> 100k bounded folds
+    intercept[IllegalArgumentException](shardsFor(10L, 0L))
+    // packing with a shardsFor-derived shard column: same assignment
+    // whatever the physical partitioning, every shard bounded near target
+    val n = 600L
+    val nShards = shardsFor(n, targetDocsPerShard = 50L) // 12
+    val docs = (1L to n).map(i => (i % nShards, i, (i * 13 % 90 + 10).toInt))
+    val a = Packing.packGreedy(docs.toDF("shard", "doc_id", "n_tok"),
+      "shard", "doc_id", "n_tok", budget = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted
+    val b = Packing.packGreedy(
+      scala.util.Random.shuffle(docs).toDF("shard", "doc_id", "n_tok").repartition(17),
+      "shard", "doc_id", "n_tok", budget = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted
+    assert(a.sameElements(b))
+    assert(a.groupBy(_._1).values.map(_.length).max <= 50)
+  }
+
   test("packGreedy: no sequence except oversized singletons exceeds the budget") {
     val docs = (1L to 500L).map(i => (i % 11, i, (i * 37 % 300 + 1).toInt))
       .toDF("shard", "doc_id", "n_tok")
