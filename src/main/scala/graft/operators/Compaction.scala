@@ -39,6 +39,29 @@ object Compaction {
     if (expected <= 0 || actual.toDouble / expected >= completeness) Right(())
     else Left(f"completeness ${actual.toDouble / expected}%.4f < $completeness%.4f")
 
+  /** Pluggable audit-count source — the reference's
+    * KafkaAuditCountHttpClient seam behind CompactionAuditCountVerifier
+    * (gobblin-compaction/.../verify/CompactionAuditCountVerifier.java):
+    * the externally audited record count for a dataset/window. None =
+    * the audit store has no row, which a mandatory verifier treats as
+    * "cannot verify" and vetoes (same contract as the reference's
+    * failed audit fetch).
+    */
+  trait AuditCountProvider extends Serializable {
+    def expectedCount(dataset: String): Option[Long]
+  }
+
+  final case class AuditCheck(provider: AuditCountProvider, dataset: String,
+      completeness: Double = 0.99)
+
+  private def verifyAudit(check: AuditCheck, inputRows: Long): Either[String, Unit] =
+    check.provider.expectedCount(check.dataset) match {
+      case None => Left(s"audit store has no count for '${check.dataset}'")
+      case Some(expected) =>
+        auditCountVerifier(expected, check.completeness)(inputRows)
+          .left.map(r => s"audit '${check.dataset}' (expected $expected): $r")
+    }
+
   /** Recompaction trigger: late-records ratio (RecompactionConditionBasedOnRatio). */
   def shouldRecompact(lateRows: Long, compactedRows: Long, maxRatio: Double): Boolean =
     compactedRows > 0 && lateRows.toDouble / compactedRows > maxRatio
@@ -89,7 +112,8 @@ object Compaction {
       keys: Seq[String], deltaCols: Seq[String],
       targetFileBytes: Long = 256L * 1024 * 1024,
       minRowsThreshold: Long = 0,
-      registerAs: Option[String] = None): Either[String, CompactionStats] = {
+      registerAs: Option[String] = None,
+      audit: Option[AuditCheck] = None): Either[String, CompactionStats] = {
     val df = spark.read.format(spec.format).load(input)
     val inputBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = math.max(1,
@@ -109,7 +133,11 @@ object Compaction {
     publisher.writeStaged(sized, spec)
     val inputRows = inObs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)
     val outputRows = outObs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)
-    thresholdVerifier(minRowsThreshold)(inputRows) match {
+    val verdict = for {
+      _ <- thresholdVerifier(minRowsThreshold)(inputRows)
+      _ <- audit.fold[Either[String, Unit]](Right(()))(verifyAudit(_, inputRows))
+    } yield ()
+    verdict match {
       case Left(reason) =>
         publisher.abort(spec)
         Left(reason)

@@ -105,6 +105,37 @@ class MacroOpsSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/st2").exists())
   }
 
+  test("compaction audit-count verifier: disagreeing or absent audit counts veto the publish") {
+    val root = tmpDir("audit")
+    val input = s"$root/input"
+    Tables.load(spark, sf(), "events").limit(800).write.parquet(input)
+    // 800 input rows; the fake audit store plays the reference's
+    // KafkaAuditCountHttpClient
+    val store = new Compaction.AuditCountProvider {
+      def expectedCount(dataset: String): Option[Long] = dataset match {
+        case "events_hour" => Some(810L)  // 800/810 = 0.9877 completeness
+        case _ => None
+      }
+    }
+    // 0.98 completeness satisfied -> publish
+    val ok = Compaction.compact(spark, input, SinkSpec(s"$root/st1", s"$root/out1"),
+      keys = Seq("event_id"), deltaCols = Nil,
+      audit = Some(Compaction.AuditCheck(store, "events_hour", completeness = 0.98)))
+    assert(ok.isRight && new java.io.File(s"$root/out1").exists())
+    // 0.999 completeness NOT met -> veto, staging discarded
+    val veto = Compaction.compact(spark, input, SinkSpec(s"$root/st2", s"$root/out2"),
+      keys = Seq("event_id"), deltaCols = Nil,
+      audit = Some(Compaction.AuditCheck(store, "events_hour", completeness = 0.999)))
+    assert(veto.isLeft && veto.swap.toOption.get.contains("completeness"))
+    assert(!new java.io.File(s"$root/out2").exists() && !new java.io.File(s"$root/st2").exists())
+    // audit store has no row for the dataset -> cannot verify -> veto
+    val noRow = Compaction.compact(spark, input, SinkSpec(s"$root/st3", s"$root/out3"),
+      keys = Seq("event_id"), deltaCols = Nil,
+      audit = Some(Compaction.AuditCheck(store, "unknown_topic")))
+    assert(noRow.isLeft && noRow.swap.toOption.get.contains("no count"))
+    assert(!new java.io.File(s"$root/out3").exists())
+  }
+
   test("compaction late-data lifecycle: compact, late arrivals, recompact merges") {
     import spark.implicits._
     val root = tmpDir("late")
