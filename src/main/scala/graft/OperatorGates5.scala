@@ -125,6 +125,60 @@ object OperatorGates5 {
       } finally s.listenerManager.unregister(listener)
     }),
 
+    // --- GaaS flow compiler (ref MultiHopFlowCompiler.java:78,
+    //     BFSPathFinder.java:70, Orchestrator.java:82): a 2-hop flow
+    //     (landing -> warehouse ingest -> compacted mart) compiled by
+    //     descriptor-typed BFS — a 1-hop decoy edge demands avro and
+    //     must lose to the compatible 2-hop path — then executed
+    //     hop-by-hop with per-hop completion records; a second execute
+    //     skips every hop (resume contract). Result = the mart --------
+    "q_flow_compile" -> ((s, dir) => {
+      import graft.runner.FlowCompiler
+      import graft.runner.FlowCompiler._
+      import graft.state.FsStateStore
+      val tmp = tmpDir("graft_flow")
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.parquet(s"$tmp/landing")
+      val parquetD = DatasetDescriptor(format = "parquet")
+      val tableD = DatasetDescriptor(format = "table")
+      val edges = Seq(
+        FlowEdge("direct", "landing", "mart",
+          DatasetDescriptor(format = "avro"), tableD, Map.empty),
+        FlowEdge("ingest", "landing", "warehouse", parquetD, parquetD, Map(
+          "job.type" -> "ingest",
+          "source.path" -> "${flow.landing}",
+          "source.watermark.expr" -> "event_id",
+          "ops" -> "filter",
+          "op.filter.predicate" -> "value <= 180",
+          "state.dir" -> "${flow.work}/state",
+          "sink.staging" -> "${flow.work}/wh_staging",
+          "sink.output" -> "${flow.work}/wh")),
+        FlowEdge("compact", "warehouse", "mart", parquetD, tableD, Map(
+          "job.type" -> "compact",
+          "source.path" -> "${flow.work}/wh",
+          "compact.keys" -> "event_id",
+          "sink.staging" -> "${flow.work}/mart_staging",
+          "sink.output" -> "${flow.work}/mart")))
+      val flow = FlowSpec("gate_flow", "landing", "mart",
+        input = parquetD, output = tableD,
+        config = Map("landing" -> s"$tmp/landing", "work" -> tmp))
+      val compiled = FlowCompiler.compile(edges, flow)
+        .fold(e => sys.error(e), identity)
+      require(compiled.hops.map(_.id) == Seq("ingest", "compact"),
+        s"BFS must pick the compatible 2-hop path, got ${compiled.hops.map(_.id)}")
+      val store = new FsStateStore(s"$tmp/flowstate")
+      val r1 = FlowCompiler.execute(s, store, compiled)
+      require(r1.map(_.action) == Seq("ran", "ran"), s"first run executes: $r1")
+      val r2 = FlowCompiler.execute(s, store, compiled)
+      require(r2.map(_.action) == Seq("skipped", "skipped"), s"rerun resumes: $r2")
+      s.read.parquet(s"$tmp/mart")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_v_milli"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- HLL sketch (approx_count_distinct — Spark's HyperLogLog++):
     //     per-group estimate checked against the exact distinct count
     //     at 3x the requested rsd. The estimate is deterministic for
@@ -164,6 +218,12 @@ object OperatorGates5 {
         |UNION ALL SELECT 'quarantined', count(*) FROM events WHERE value > 150
         |UNION ALL SELECT 'rows_written', count(*) FROM events WHERE value <= 150
         |ORDER BY metric""".stripMargin,
+
+    "q_flow_compile" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli
+        |FROM events WHERE value <= 180
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS est_in_bound

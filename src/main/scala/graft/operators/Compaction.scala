@@ -142,7 +142,9 @@ object Compaction {
         publisher.abort(spec)
         Left(reason)
       case Right(()) =>
-        publisher.publish(spec)
+        // snapshot swap, not merge: the compacted output REPLACES any
+        // previous snapshot, so a replayed compaction converges
+        publisher.publishSnapshot(spec)
         // post-action: catalog registration (the reference's
         // CompactionHiveRegistrationAction)
         registerAs.foreach(table =>

@@ -79,6 +79,34 @@ final class Publisher(conf: Configuration = new Configuration()) {
     moved
   }
 
+  /** Snapshot publish: the staged dir REPLACES the output dir whole —
+    * SnapshotOnly table semantics (a compacted snapshot supersedes the
+    * previous one; the reference's compactor swaps directories rather
+    * than merging). Crash-safe like [[publishOverwritePartitions]]:
+    * the previous output parks as a dot-tombstone before the swap and
+    * is restored if the swap rename fails. Replaying the publish
+    * converges to the same output — never merges, never duplicates.
+    */
+  def publishSnapshot(spec: SinkSpec): Int = {
+    val staging = new Path(spec.stagingDir)
+    val out = new Path(spec.outputDir)
+    val fs = staging.getFileSystem(conf)
+    if (!fs.exists(staging)) return 0
+    if (out.getParent != null) fs.mkdirs(out.getParent)
+    val tomb = new Path(out.getParent, s".${out.getName}.replaced")
+    if (fs.exists(tomb)) fs.delete(tomb, true)
+    val existed = fs.exists(out)
+    if (existed) rename(fs, out, tomb)
+    try rename(fs, staging, out)
+    catch {
+      case e: java.io.IOException =>
+        if (existed) fs.rename(tomb, out) // restore previous snapshot
+        throw e
+    }
+    if (existed) fs.delete(tomb, true)
+    1
+  }
+
   /** Move every staged entry into the output dir. Partition dirs are
     * merged one level deep (new files slot into existing partition
     * dirs); data files move whole. Returns moved file count.

@@ -1,0 +1,159 @@
+package graft.runner
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.runner.FlowCompiler._
+import graft.state.FsStateStore
+
+/** Flow compiler: descriptor-typed BFS path finding, template
+  * resolution, and a real 2-hop flow (landing tree → warehouse →
+  * catalog-registered mart) executed hop-by-hop with crash-resume.
+  */
+class FlowCompilerSpec extends SparkSpec {
+
+  private val anyD = DatasetDescriptor()
+
+  private def edge(id: String, from: String, to: String,
+      in: DatasetDescriptor = anyD, out: DatasetDescriptor = anyD,
+      template: Map[String, String] = Map.empty) =
+    FlowEdge(id, from, to, in, out, template)
+
+  test("BFS picks the shortest COMPATIBLE path, not the shortest path") {
+    val csv = DatasetDescriptor(format = "csv")
+    val parquet = DatasetDescriptor(format = "parquet")
+    val avro = DatasetDescriptor(format = "avro")
+    val edges = Seq(
+      edge("direct_avro", "landing", "mart", in = avro), // 1 hop but wrong format
+      edge("convert", "landing", "warehouse", in = csv, out = parquet),
+      edge("promote", "warehouse", "mart", in = parquet))
+    val flow = FlowSpec("f", "landing", "mart", input = csv, output = parquet)
+    val path = findPath(edges, flow)
+    assert(path.map(_.map(_.id)) == Right(Seq("convert", "promote")))
+    // with avro input the 1-hop edge wins (its wildcard output passes
+    // avro through, and the flow's output descriptor must accept that)
+    val avroFlow = FlowSpec("f2", "landing", "mart", input = avro, output = avro)
+    assert(findPath(edges, avroFlow).map(_.map(_.id)) == Right(Seq("direct_avro")))
+    // no compatible path at all
+    val jsonFlow = FlowSpec("f3", "landing", "mart",
+      input = DatasetDescriptor(format = "json"))
+    assert(findPath(edges, jsonFlow).isLeft)
+  }
+
+  test("wildcard output descriptors thread the incoming descriptor through") {
+    val parquet = DatasetDescriptor(format = "parquet")
+    // replicate preserves format (output 'any'); the dest requires parquet
+    val edges = Seq(
+      edge("replicate", "a", "b"),
+      edge("load", "b", "c", in = parquet, out = parquet))
+    val ok = FlowSpec("f", "a", "c", input = parquet, output = parquet)
+    assert(findPath(edges, ok).map(_.map(_.id)) == Right(Seq("replicate", "load")))
+    // a csv flow cannot take the same path: replicate forwards csv,
+    // which 'load' refuses
+    val bad = FlowSpec("f", "a", "c", input = DatasetDescriptor(format = "csv"))
+    assert(findPath(edges, bad).isLeft)
+  }
+
+  test("cyclic graphs terminate (edge, descriptor) — no infinite revisit") {
+    val edges = Seq(
+      edge("ab", "a", "b"), edge("ba", "b", "a"), edge("bb", "b", "b"))
+    val flow = FlowSpec("f", "a", "zzz") // unreachable dest
+    assert(findPath(edges, flow).isLeft) // must return, not hang
+  }
+
+  test("compile resolves ${flow.*} placeholders; missing keys fail loudly") {
+    val edges = Seq(edge("hop", "a", "b",
+      template = Map("job.type" -> "ingest", "source.path" -> "${flow.in}/data",
+        "sink.output" -> "${flow.work}/out")))
+    val flow = FlowSpec("myflow", "a", "b",
+      config = Map("in" -> "/landing", "work" -> "/tmp/w"))
+    val compiled = compile(edges, flow).toOption.get
+    val p = compiled.jobs.head
+    assert(p.getProperty("source.path") == "/landing/data")
+    assert(p.getProperty("sink.output") == "/tmp/w/out")
+    assert(p.getProperty("job.name") == "myflow_h0_hop")
+    val missing = FlowSpec("myflow", "a", "b", config = Map("in" -> "/landing"))
+    val err = intercept[IllegalArgumentException](compile(edges, missing))
+    assert(err.getMessage.contains("work"))
+  }
+
+  test("2-hop flow end-to-end: land -> warehouse ingest -> compacted mart + resume semantics") {
+    val root = tmpDir("flow")
+    val spark0 = spark
+    import spark0.implicits._
+    // landing tree: events subset as plain parquet
+    val ev = Tables.load(spark, sf(), "events")
+      .select($"event_id", $"event_type", $"value")
+    ev.write.parquet(s"$root/landing")
+    val nAll = ev.count()
+    val nKept = ev.filter($"value" <= 180).count()
+    assert(nKept > 0 && nKept < nAll)
+
+    val parquet = DatasetDescriptor(format = "parquet")
+    val table = DatasetDescriptor(format = "table")
+    val edges = Seq(
+      // decoy: direct landing->mart but only for avro
+      edge("direct", "landing", "mart", in = DatasetDescriptor(format = "avro")),
+      edge("ingest", "landing", "warehouse", in = parquet, out = parquet,
+        template = Map(
+          "job.type" -> "ingest",
+          "source.path" -> "${flow.landing}",
+          "source.watermark.expr" -> "event_id",
+          "ops" -> "filter",
+          "op.filter.predicate" -> "value <= 180",
+          "state.dir" -> "${flow.work}/state",
+          "sink.staging" -> "${flow.work}/wh_staging",
+          "sink.output" -> "${flow.work}/wh")),
+      edge("compact", "warehouse", "mart", in = parquet, out = table,
+        template = Map(
+          "job.type" -> "compact",
+          "source.path" -> "${flow.work}/wh",
+          "compact.keys" -> "event_id",
+          "sink.staging" -> "${flow.work}/mart_staging",
+          "sink.output" -> "${flow.work}/mart")))
+    val flow = FlowSpec("evflow", "landing", "mart",
+      input = parquet, output = table,
+      config = Map("landing" -> s"$root/landing", "work" -> root))
+
+    val compiled = compile(edges, flow).toOption.get
+    assert(compiled.hops.map(_.id) == Seq("ingest", "compact"))
+
+    val store = new FsStateStore(s"$root/flowstate")
+    val r1 = FlowCompiler.execute(spark, store, compiled)
+    assert(r1.map(_.action) == Seq("ran", "ran"))
+    assert(spark.read.parquet(s"$root/mart").count() == nKept)
+
+    // re-execute: both hops recorded done -> skipped, no double publish
+    val r2 = FlowCompiler.execute(spark, store, compiled)
+    assert(r2.map(_.action) == Seq("skipped", "skipped"))
+    assert(spark.read.parquet(s"$root/mart").count() == nKept)
+
+    // crash between hops: drop hop2's record; rerun resumes at hop 2
+    store.delete("flows/evflow", r1(1).hop)
+    val r3 = FlowCompiler.execute(spark, store, compiled)
+    assert(r3.map(_.action) == Seq("skipped", "ran"))
+    assert(spark.read.parquet(s"$root/mart").count() == nKept,
+      "hop-2 replay must keep the mart consistent (compaction dedups on event_id)")
+
+    // reset clears the sequence: next execution runs hop 1 again, and
+    // the ingest job's own watermark makes it an empty incremental
+    FlowCompiler.reset(store, "evflow")
+    val r4 = FlowCompiler.execute(spark, store, compiled)
+    assert(r4.map(_.action) == Seq("ran", "ran"))
+    assert(r4.head.summary("rowsWritten") == "0", "second ingest is an empty incremental")
+    assert(spark.read.parquet(s"$root/mart").count() == nKept)
+  }
+
+  test("a failing hop is recorded and aborts the flow") {
+    val root = tmpDir("flowfail")
+    val edges = Seq(edge("boom", "a", "b",
+      template = Map("job.type" -> "teleport")))
+    val flow = FlowSpec("failflow", "a", "b")
+    val compiled = compile(edges, flow).toOption.get
+    val store = new FsStateStore(s"$root/state")
+    val err = intercept[IllegalStateException](FlowCompiler.execute(spark, store, compiled))
+    assert(err.getMessage.contains("failflow") && err.getMessage.contains("boom"))
+    val rec = store.get("flows/failflow", "failflow_h0_boom")
+    assert(rec.exists(_.get("status").contains("failed")))
+  }
+}
