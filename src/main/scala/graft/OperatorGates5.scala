@@ -179,6 +179,74 @@ object OperatorGates5 {
         .orderBy(col("event_type"))
     }),
 
+    // --- Gopher-style repetition quality signals: mean word length,
+    //     duplicate-trigram ratio, symbol-to-word ratio, and the
+    //     top-bigram character-coverage fraction (TermStats
+    //     .topNgramPerDoc — explode + (doc, gram) hash agg + per-doc
+    //     window, never a per-row quadratic scan). Symbols are planted
+    //     on doc_id % 7 so the signal actually fires ------------------
+    "q_repetition_signals" -> ((s, dir) => {
+      import graft.functions.{TermStats, Text}
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0, lit(" ## fin ... fin ##"))
+            .otherwise(lit(""))).as("text2"))
+      val base = docs.select(col("doc_id"),
+        Text.meanTokenLen(col("text2")).as("mean_word_len"),
+        Text.dupNgramRatio(col("text2"), 3).as("dup_tri_ratio"),
+        Text.symbolWordRatio(col("text2")).as("sym_ratio"))
+      val top = TermStats.topNgramPerDoc(docs, "doc_id", "text2", 2)
+        .withColumnRenamed("id", "doc_id")
+      base.join(top, Seq("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // --- SemDeDup (Abbas et al. 2023): semantic dedup over embeddings
+    //     — deterministic sampled coarse quantizer, per-cluster
+    //     pairwise cosine, min-id survivor. The pairwise test never
+    //     leaves a cluster (candidate join keyed on cluster id), which
+    //     is the paper's own scale trick. Oracle replays quantizer,
+    //     assignment, and the drop rule exactly ------------------------
+    "q_semantic_dedup" -> ((s, dir) => {
+      import graft.functions.Ann
+      val emb = t(s, dir, "embeddings")
+      val index = Ann.sampledIvf(emb, k = 16)
+      Ann.semanticDedup(emb, index, threshold = 0.9)
+        .orderBy(col("vec_id"))
+    }),
+
+    // --- stream-stream event-time interval join (5th streaming gate):
+    //     clicks joined to same-user purchases within the following
+    //     hour, both sides watermarked so join state is bounded; inner
+    //     matches emit as they arrive, so the AvailableNow run's output
+    //     equals the batch join the oracle computes (µs arithmetic on
+    //     both engines) ------------------------------------------------
+    "q_stream_join" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      StreamingIngest.withStatePartitions(s, 8) {
+        val src = s"$dir/events.parquet"
+        val rawSchema = s.read.parquet(src).schema
+        val inDir = java.nio.file.Files.createTempDirectory("q_stream_sj")
+        java.nio.file.Files.copy(java.nio.file.Paths.get(src),
+          inDir.resolve("events.parquet"))
+        def stream = StreamingIngest.readFileStream(s, rawSchema, inDir.toString)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val clicks = stream.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("click_id"),
+            col("ts").as("click_ts"))
+        val purchases = stream.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("user_id_r"), col("event_id").as("purchase_id"),
+            col("ts").as("purchase_ts"),
+            floor(col("value") * 1000).cast("long").as("v_milli"))
+        val joined = StreamingIngest.intervalJoin(clicks, purchases, "user_id",
+            "click_ts", "purchase_ts", within = "1 hour")
+          .select(col("user_id"), col("click_id"), col("purchase_id"), col("v_milli"))
+        val tmp = java.nio.file.Files.createTempDirectory("q_stream_sj_out").toString
+        StreamingIngest.runAvailableNow(joined, s"$tmp/data", s"$tmp/ck")
+        s.read.parquet(s"$tmp/data")
+          .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+      }
+    }),
+
     // --- HLL sketch (approx_count_distinct — Spark's HyperLogLog++):
     //     per-group estimate checked against the exact distinct count
     //     at 3x the requested rsd. The estimate is deterministic for
@@ -218,6 +286,57 @@ object OperatorGates5 {
         |UNION ALL SELECT 'quarantined', count(*) FROM events WHERE value > 150
         |UNION ALL SELECT 'rows_written', count(*) FROM events WHERE value <= 150
         |ORDER BY metric""".stripMargin,
+
+    "q_repetition_signals" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0 THEN ' ## fin ... fin ##' ELSE '' END AS text
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> len(x) > 0) AS t
+        |  FROM d
+        |), base AS (
+        |  SELECT doc_id,
+        |    CAST(len(text) - len(t) + 1 AS DOUBLE) / greatest(len(t), 1) AS mean_word_len,
+        |    CASE WHEN len(t) >= 3 THEN
+        |      CAST(len(t) - 2 - len(list_distinct(list_transform(range(1, len(t) - 1),
+        |        i -> array_to_string(t[i:i+2], ' ')))) AS DOUBLE) / (len(t) - 2)
+        |      ELSE 0.0 END AS dup_tri_ratio,
+        |    CASE WHEN len(t) <= 0 THEN 0.0 ELSE
+        |      CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) / len(t)
+        |      END AS sym_ratio
+        |  FROM tok
+        |), big AS (
+        |  SELECT doc_id, len(text) AS chars,
+        |    unnest(CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+        |      ELSE [] END) AS gram
+        |  FROM tok
+        |), cnt AS (
+        |  SELECT doc_id, chars, gram, count(*) AS n_occ FROM big GROUP BY ALL
+        |), top AS (
+        |  SELECT doc_id, gram AS top_gram, n_occ,
+        |    CASE WHEN chars > 0 THEN CAST(n_occ * len(gram) AS DOUBLE) / chars
+        |         ELSE 0.0 END AS char_frac
+        |  FROM cnt
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n_occ DESC, gram) = 1
+        |)
+        |SELECT b.doc_id, b.mean_word_len, b.dup_tri_ratio, b.sym_ratio,
+        |  coalesce(top_gram, '') AS top_gram, coalesce(n_occ, 0) AS n_occ,
+        |  coalesce(char_frac, 0.0) AS char_frac
+        |FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_semantic_dedup" -> OracleSql.semanticDedup(nCentroids = 16, threshold = 0.9),
+
+    "q_stream_join" ->
+      """SELECT c.user_id AS user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  CAST(floor(p.value * 1000) AS BIGINT) AS v_milli
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND p.user_id = c.user_id
+        |  AND epoch_us(p.ts) >= epoch_us(c.ts)
+        |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+        |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
 
     "q_flow_compile" ->
       """SELECT event_type, count(*) AS n,

@@ -283,6 +283,38 @@ object OracleSql {
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
 
+  /** Oracle for q_semantic_dedup: replays Ann.sampledIvf +
+    * Ann.semanticDedup — same sampled quantizer and argmax-dot
+    * assignment as [[annIvf]], then the SemDeDup drop rule: a vector
+    * is dropped iff a smaller-id cluster-mate has cosine >= threshold
+    * (bit-equal doubles on both engines, same accumulation order).
+    */
+  def semanticDedup(nCentroids: Int, threshold: Double): String =
+    s"""WITH seeds AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  ORDER BY md5('ivf' || '|' || vec_id), vec_id LIMIT $nCentroids
+       |), cents AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e FROM seeds
+       |), scored AS (
+       |  SELECT v.vec_id, c.cid,
+       |    list_dot_product(CAST(v.embedding AS DOUBLE[]), c.e) AS dot
+       |  FROM embeddings v CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vec_id, cid FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) = 1
+       |), vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), dropped AS (
+       |  SELECT DISTINCT x.vec_id
+       |  FROM assign x JOIN assign y ON x.cid = y.cid AND y.vec_id < x.vec_id
+       |  JOIN vecs a ON a.vec_id = x.vec_id
+       |  JOIN vecs b ON b.vec_id = y.vec_id
+       |  WHERE $CosineAB >= $threshold
+       |)
+       |SELECT x.vec_id, x.cid AS cluster, d.vec_id IS NULL AS kept
+       |FROM assign x LEFT JOIN dropped d ON d.vec_id = x.vec_id
+       |ORDER BY x.vec_id""".stripMargin
+
   /** Oracle for q_ann_pq: replays Ann.sampledPq + PqIndex.search
     * end-to-end — per-subspace codebooks sampled by md5('pq|j|'+id)
     * (code ids ascending by vector id), L2 encoding via the SAME

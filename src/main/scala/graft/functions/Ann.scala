@@ -296,6 +296,35 @@ object Ann {
     }
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-level
+    * semantic deduplication — assign every vector to its coarse
+    * cluster, then within each cluster drop any vector that has a
+    * SMALLER-ID cluster-mate with cosine >= threshold (deterministic
+    * survivor = the min id, the paper's "keep one per dup set" with a
+    * stable choice). The clustering is what makes this 100 TB-safe:
+    * the pairwise test is an equi-join on cluster id, so each
+    * inverted list's pair block is bounded by its list size
+    * (corpus/k expected) and no cross-corpus O(m²) ever forms — the
+    * exact SemDeDup trade (cross-cluster dups are missed; tighten
+    * with more clusters, not more pairs). Returns (id, cluster, kept)
+    * for every input vector.
+    */
+  def semanticDedup(corpus: DataFrame, index: IvfIndex, threshold: Double,
+      id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val assigned = corpus.select(col(id).cast("long").as("_id"),
+      col(vec).cast("array<double>").as("_e"),
+      index.assignColumn(col(vec)).as("cluster"))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cluster") === col("b.cluster") && col("b._id") < col("a._id") &&
+          Similarity.cosine(col("a._e"), col("b._e")) >= threshold)
+      .select(col("a._id").as("_id")).distinct()
+      .withColumn("_dropped", lit(true))
+    assigned.join(dropped, Seq("_id"), "left")
+      .select(col("_id").as(id), col("cluster"),
+        not(coalesce(col("_dropped"), lit(false))).as("kept"))
+  }
+
   /** Deterministic coarse quantizer: the k corpus vectors with the
     * smallest md5("ivf|" + id) become the centroids — IVF-flat with a
     * uniform sampled init (the FAISS-style alternative to a Lloyd fit).

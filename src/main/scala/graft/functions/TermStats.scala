@@ -45,4 +45,40 @@ object TermStats {
       .filter(col("_rn") <= k)
       .drop("_rn")
   }
+
+  /** Per-document most-frequent word n-gram and the fraction of the
+    * document's characters its occurrences cover (occurrence count ×
+    * n-gram length / doc length; overlaps uncounted — the standard
+    * approximation) — the Gopher-style "fraction of characters in the
+    * most common n-gram" repetition signal. Ties break to the
+    * lexicographically smallest gram. Docs too short for any n-gram
+    * surface with ('', 0, 0.0).
+    *
+    * Shape: explode + one (doc, gram) hash aggregation + a per-doc
+    * window — O(total n-grams) work keyed on the doc, never a per-row
+    * quadratic scan; at 100 TB the (doc, gram) aggregation map-side
+    * combines because grams repeat WITHIN docs (that repetition is the
+    * signal itself).
+    */
+  def topNgramPerDoc(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      Text.charCount(col(textCol)).as("_chars"),
+      Text.shingles(col(textCol), n).as("_grams"))
+    val counts = base
+      .select(col("id"), col("_chars"), explode(col("_grams")).as("gram"))
+      .groupBy(col("id"), col("_chars"), col("gram"))
+      .agg(count(lit(1)).as("n_occ"))
+    val w = Window.partitionBy(col("id")).orderBy(col("n_occ").desc, col("gram"))
+    val top = counts.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col("id"), col("gram").as("top_gram"), col("n_occ"),
+        when(col("_chars") > 0,
+          (col("n_occ") * length(col("gram"))).cast("double") / col("_chars").cast("double"))
+          .otherwise(lit(0.0)).as("char_frac"))
+    docs.select(col(idCol).as("id")).join(top, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("top_gram"), lit("")).as("top_gram"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+        coalesce(col("char_frac"), lit(0.0)).as("char_frac"))
+  }
 }

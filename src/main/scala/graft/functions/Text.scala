@@ -158,6 +158,20 @@ object Text {
     (size(g), size(array_distinct(g)))
   }
 
+  /** Symbol marker pattern shared with SQL oracles: hash marks and
+    * ellipses, the Gopher symbol set. RE2-safe (no lookarounds).
+    */
+  val SymbolRe = "#|\\.\\.\\."
+
+  /** Symbol-to-word ratio (Gopher): occurrences of boilerplate symbol
+    * markers per word. High values flag nav bars, code gutters, and
+    * truncated scrapes. Exact counts, one IEEE division.
+    */
+  def symbolWordRatio(text: Column): Column =
+    when(size(tokens(text)) <= 0, lit(0.0))
+      .otherwise(regexp_count(text, lit(SymbolRe)).cast("double") /
+        size(tokens(text)).cast("double"))
+
   // --- URL / domain filtering (C4/RefinedWeb-style) ------------------
 
   /** Conservative URL pattern — no lookarounds/backreferences, so it is

@@ -147,4 +147,26 @@ object StreamingIngest {
   def streamingDedup(stream: DataFrame, tsCol: String, lateness: String,
       keys: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, lateness).dropDuplicates(keys :+ tsCol)
+
+  /** Stream-stream event-time interval join: left rows match right
+    * rows with the same key whose timestamp falls in
+    * [left.ts, left.ts + within]. Both sides carry watermarks, so the
+    * join STATE is bounded — Spark evicts a buffered row once the
+    * other side's watermark passes its join-condition horizon; without
+    * the time bound a stream-stream join would buffer both streams
+    * forever. Inner matches emit as soon as both rows arrive
+    * (append mode), so the complete run's output equals the batch
+    * join — which is exactly what the oracle replays.
+    *
+    * Column names on each side must be pre-disambiguated by the
+    * caller (`lTs`/`rTs` etc. name columns, not expressions).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lTs: String, rTs: String, within: String,
+      lateness: String = "0 seconds"): DataFrame = {
+    val l = left.withWatermark(lTs, lateness)
+    val r = right.withWatermark(rTs, lateness)
+    l.join(r,
+      expr(s"""$key = ${key}_r AND $rTs >= $lTs AND $rTs <= $lTs + interval $within"""))
+  }
 }

@@ -290,6 +290,47 @@ class CorpusPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException](Mp4Codec.parse(7L, v1))
   }
 
+  test("topNgramPerDoc: known top bigram, deterministic tie, short docs surface empty") {
+    val docs = Seq(
+      (1L, "a b a b a b c"),       // top bigram "a b" x3, 13 chars
+      (2L, "x y"),                  // single bigram
+      (3L, "solo"),                 // too short for a bigram
+      (4L, "t t t t")               // "t t" x3 (non-overlap counted per position: 3)
+    ).toDF("doc_id", "text")
+    val out = TermStats.topNgramPerDoc(docs, "doc_id", "text", 2)
+      .orderBy("id").collect()
+    assert(out(0).getString(1) == "a b" && out(0).getLong(2) == 3L)
+    assert(out(0).getDouble(3) == 3.0 * 3 / 13)
+    assert(out(1).getString(1) == "x y" && out(1).getLong(2) == 1L)
+    assert(out(2).getString(1) == "" && out(2).getLong(2) == 0L && out(2).getDouble(3) == 0.0)
+    assert(out(3).getString(1) == "t t" && out(3).getLong(2) == 3L)
+  }
+
+  test("symbolWordRatio counts hash marks and ellipses per word") {
+    val df = Seq("plain words only", "x ## y ... z", "").toDF("s")
+    val r = df.select(Text.symbolWordRatio(col("s"))).collect().map(_.getDouble(0))
+    assert(r(0) == 0.0)
+    assert(r(1) == 3.0 / 5.0) // '#','#','...' over 5 words
+    assert(r(2) == 0.0)
+  }
+
+  test("semanticDedup: planted duplicates drop to the min-id survivor; clusters bound pairs") {
+    import graft.functions.Ann
+    val base = (0 until 20).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d + 1).toFloat))
+    }
+    // plant exact duplicates of vectors 3 and 7 at higher ids
+    val dups = Seq((103L, base(3)._2.clone()), (107L, base(7)._2.clone()),
+      (203L, base(3)._2.clone()))
+    val emb = (base ++ dups).toDF("vec_id", "embedding")
+    val index = Ann.sampledIvf(emb, k = 4)
+    val out = Ann.semanticDedup(emb, index, threshold = 0.999999)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).toMap
+    assert(out(3L) && out(7L), "min-id originals survive")
+    assert(!out(103L) && !out(107L) && !out(203L), "planted duplicates drop")
+    assert(out.count(!_._2) == 3, "nothing else drops at a ~1.0 threshold")
+  }
+
   test("codecs: adversarial size fields terminate with errors, never hang") {
     import graft.operators.Multimodal.{WavCodec, BmpCodec, Mp4Codec}
     val wav = WavCodec.synthesize(16000, Array.tabulate(50)(_.toShort))
