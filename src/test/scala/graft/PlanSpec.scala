@@ -102,6 +102,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("semantic dedup: pair generation is a cluster-keyed equi-join, never cartesian") {
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"SemDeDup pairs must join on cluster id:\n$p")
+  }
+
+  test("repetition signals: (doc, gram) aggregation keeps its map-side partial") {
+    val p = plan("q_repetition_signals")
+    assert(p.contains("partial_count") || p.contains("partial_"),
+      "top-ngram count lost its map-side combine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("rotating aes: pure column projection — one scan, no extra exchange") {
     val p = plan("q_rotating_aes")
     // encrypt/decrypt stay column expressions: a single parquet scan
