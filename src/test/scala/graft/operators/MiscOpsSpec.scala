@@ -49,6 +49,26 @@ class MiscOpsSpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("metrics report to file: JSON lines, atomic replace, failure flags survive") {
+    val listener = GraftListener.install(spark)
+    try {
+      graft.Tables.load(spark, sf(), "nation").count()
+      var tries = 0
+      while (listener.snapshot.isEmpty && tries < 50) { Thread.sleep(100); tries += 1 }
+      val dir = tmpDir("metrics")
+      val path = s"$dir/metrics.jsonl"
+      val conf = spark.sparkContext.hadoopConfiguration
+      GraftListener.reportJsonLines(listener.snapshot, path, conf)
+      // report twice: second report replaces, never appends or tears
+      GraftListener.reportJsonLines(listener.snapshot, path, conf)
+      val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+      assert(lines.size == listener.snapshot.size)
+      assert(lines.get(0).startsWith("{\"action\":"))
+      assert(lines.get(0).contains("\"failed\":false"))
+      assert(!new java.io.File(dir).list().exists(_.endsWith(".tmp")))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("throttle: token bucket enforces the configured rate") {
     val t = Throttle.perSecond(100, burst = 1) // 10ms per permit after burst
     val t0 = System.nanoTime()

@@ -7,6 +7,21 @@ import graft.SparkSpec
 class NearDupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("incrementalExact: ledger rows drop, batch dedups to min id, additions = kept fps") {
+    val batch = Seq(
+      (1L, "aaa"), (2L, "bbb"), (3L, "aaa"),   // in-batch dup of fp(aaa)
+      (4L, "ccc"), (5L, "seen"), (6L, "seen")  // 'seen' already in the ledger
+    ).toDF("id", "fp")
+    val ledger = Seq("seen", "zzz").toDF("fp")
+    val (kept, additions) = Dedup.incrementalExact(batch, ledger, "fp", "id")
+    assert(kept.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 4L),
+      "ledger hits drop entirely; in-batch dup keeps min id")
+    assert(additions.as[String].collect().sorted.toSeq == Seq("aaa", "bbb", "ccc"))
+    // next batch against the grown ledger: everything already seen drops
+    val (kept2, _) = Dedup.incrementalExact(batch, ledger.union(additions), "fp", "id")
+    assert(kept2.count() == 0)
+  }
+
   test("clusterPairs finds connected components incl. chains (both solver paths)") {
     // chain 1-2-3-4 (diameter 3) + pair 10-11 + isolated nothing;
     // threshold 0 forces the distributed label-propagation path, the
