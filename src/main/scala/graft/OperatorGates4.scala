@@ -56,8 +56,11 @@ object OperatorGates4 {
     //     integer chunk-count ceil and list slices ---------------------
     "q_chunk_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
+        // tokens materialized as a column: the chunk lambda then
+        // captures a cheap array attribute, not the tokenizer tree
+        .select(col("doc_id"), Text.tokens(col("text")).as("_toks"))
         .select(col("doc_id"),
-          posexplode(Text.chunkTokens(col("text"), chunkSize = 32, stride = 24))
+          posexplode(Text.chunkTokensOfTokens(col("_toks"), chunkSize = 32, stride = 24))
             .as(Seq("chunk_id", "chunk_text")))
         .select(col("doc_id"), col("chunk_id"),
           size(Text.tokens(col("chunk_text"))).as("n_chunk_tokens"), col("chunk_text"))

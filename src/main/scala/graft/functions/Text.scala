@@ -229,9 +229,19 @@ object Text {
     * one chunk. Pure sequence/slice composition — codegen'd, and the
     * exact-integer ceil keeps it engine-portable for the oracle.
     */
-  def chunkTokens(text: Column, chunkSize: Int, stride: Int): Column = {
+  def chunkTokens(text: Column, chunkSize: Int, stride: Int): Column =
+    chunkTokensOfTokens(tokens(text), chunkSize, stride)
+
+  /** Chunking over a token array column. Chunks overlap, so (unlike
+    * [[shinglesOfTokens]]) the slice must live inside the transform
+    * lambda — per-element capture of an ATTRIBUTE is a cheap array
+    * reference, but capture of an expression tree re-evaluates it per
+    * chunk. Long-document corpora (many chunks/doc) should therefore
+    * materialize the token array as a column first and call this
+    * variant; [[chunkTokens]] stays for short-doc convenience.
+    */
+  def chunkTokensOfTokens(t: Column, chunkSize: Int, stride: Int): Column = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be > 0")
-    val t = tokens(text)
     val nChunks = floor((greatest(size(t) - chunkSize, lit(0)) + lit(stride - 1))
       .cast("double") / lit(stride)).cast("int") + lit(1)
     transform(sequence(lit(0), nChunks - 1),
