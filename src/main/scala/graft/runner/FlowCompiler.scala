@@ -127,6 +127,96 @@ object FlowCompiler {
       CompiledFlow(flow, path, jobs)
     }
 
+  /** One node of a compiled multicast DAG: its resolved job, and the
+    * job names it must wait for (its path predecessor).
+    */
+  final case class DagNode(jobName: String, edge: FlowEdge, props: Properties,
+      dependsOn: Seq[String])
+
+  final case class CompiledDag(flow: FlowSpec, nodes: Seq[DagNode])
+
+  /** Multicast compilation — the reference's Dag-of-JobSpecs shape
+    * (flow/MultiHopFlowCompiler.java compiles to a Dag, not a chain;
+    * orchestration/DagManager.java walks it): one flow fanning out to
+    * several destinations. Each destination gets its shortest
+    * compatible path; hops shared as a common path PREFIX compile to
+    * ONE job (same job identity — deterministic hop naming makes the
+    * dedup structural), so the landing→warehouse ingest of a
+    * warehouse→{mart, archive} fan-out runs once. Nodes come back in
+    * dependency (topological) order.
+    */
+  def compileMulticast(edges: Seq[FlowEdge], flow: FlowSpec,
+      dests: Seq[(String, DatasetDescriptor)]): Either[String, CompiledDag] = {
+    require(dests.nonEmpty, "multicast needs at least one destination")
+    val paths = dests.map { case (node, out) =>
+      findPath(edges, flow.copy(destNode = node, output = out))
+    }
+    paths.collectFirst { case Left(e) => e } match {
+      case Some(err) => Left(err)
+      case None =>
+        val seen = scala.collection.mutable.LinkedHashMap[String, DagNode]()
+        paths.map(_.toOption.get).foreach { path =>
+          path.zipWithIndex.foldLeft(Option.empty[String]) { case (prev, (e, i)) =>
+            val name = s"${flow.name}_h${i}_${e.id}"
+            seen.get(name) match {
+              case Some(existing) => // same (edge, depth) = same job; merge deps
+                seen += name -> existing.copy(
+                  dependsOn = (existing.dependsOn ++ prev).distinct)
+              case None =>
+                val p = new Properties()
+                e.template.foreach { case (k, v) => p.setProperty(k, resolve(v, flow)) }
+                if (p.getProperty("job.name") == null) p.setProperty("job.name", name)
+                seen += name -> DagNode(name, e, p, prev.toSeq)
+            }
+            Some(name)
+          }
+        }
+        // re-topsort: insertion order can place a merged-in dependency
+        // after its dependent. Acyclic by construction (a dep is always
+        // one hop shallower), so the DFS terminates.
+        val byName = seen.values.map(n => n.jobName -> n).toMap
+        val ordered = scala.collection.mutable.LinkedHashSet[String]()
+        def visit(n: DagNode): Unit = if (!ordered.contains(n.jobName)) {
+          n.dependsOn.foreach(d => visit(byName(d)))
+          ordered += n.jobName
+        }
+        seen.values.foreach(visit)
+        Right(CompiledDag(flow, ordered.toSeq.map(byName)))
+    }
+  }
+
+  /** Execute a multicast DAG: nodes run in dependency order with the
+    * same per-hop completion records as [[execute]]; a node whose
+    * dependency failed this run is skipped as "blocked" (recorded, so
+    * a resume retries it after the dependency is fixed).
+    */
+  def executeDag(spark: SparkSession, store: FsStateStore,
+      dag: CompiledDag): Seq[HopResult] = {
+    val dir = s"flows/${dag.flow.name}"
+    val failed = scala.collection.mutable.Set[String]()
+    dag.nodes.map { node =>
+      val key = node.jobName
+      if (node.dependsOn.exists(failed.contains)) {
+        failed += key // propagate: dependents must not run either
+        HopResult(key, "blocked", Map("blocked_on" -> node.dependsOn.mkString(",")))
+      } else store.get(dir, key) match {
+        case Some(st) if st.get("status").contains("done") =>
+          HopResult(key, "skipped", st - "status")
+        case _ =>
+          try {
+            val summary = JobConfig.runAny(spark, node.props)
+            store.put(dir, key, summary + ("status" -> "done"))
+            HopResult(key, "ran", summary)
+          } catch {
+            case e: Exception =>
+              failed += key
+              store.put(dir, key, Map("status" -> "failed", "error" -> e.getMessage))
+              HopResult(key, "failed", Map("error" -> e.getMessage))
+          }
+      }
+    }
+  }
+
   final case class HopResult(hop: String, action: String, summary: Map[String, String])
 
   /** Orchestrate a compiled flow: hops run IN ORDER through

@@ -144,6 +144,60 @@ class FlowCompilerSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/mart").count() == nKept)
   }
 
+  test("multicast DAG: shared ingest prefix runs once, branches fan out, blocked propagates") {
+    val root = tmpDir("flowdag")
+    val spark0 = spark
+    import spark0.implicits._
+    val ev = Tables.load(spark, sf(), "events")
+      .select($"event_id", $"event_type", $"value")
+    ev.write.parquet(s"$root/landing")
+    val parquet = DatasetDescriptor(format = "parquet")
+    val edges = Seq(
+      edge("ingest", "landing", "warehouse", in = parquet, out = parquet,
+        template = Map(
+          "job.type" -> "ingest",
+          "source.path" -> "${flow.landing}",
+          "source.watermark.expr" -> "event_id",
+          "state.dir" -> "${flow.work}/state",
+          "sink.staging" -> "${flow.work}/wh_staging",
+          "sink.output" -> "${flow.work}/wh")),
+      edge("compact", "warehouse", "mart", in = parquet, out = parquet,
+        template = Map(
+          "job.type" -> "compact",
+          "source.path" -> "${flow.work}/wh",
+          "compact.keys" -> "event_id",
+          "sink.staging" -> "${flow.work}/mart_staging",
+          "sink.output" -> "${flow.work}/mart")),
+      edge("archive", "warehouse", "vault", in = parquet, out = parquet,
+        template = Map(
+          "job.type" -> "copy",
+          "source.path" -> "${flow.work}/wh",
+          "copy.dest" -> "${flow.work}/vault")))
+    val flow = FlowSpec("fanout", "landing", "unused", input = parquet,
+      config = Map("landing" -> s"$root/landing", "work" -> root))
+    val dag = compileMulticast(edges, flow,
+      Seq("mart" -> parquet, "vault" -> parquet)).toOption.get
+    assert(dag.nodes.map(_.edge.id) == Seq("ingest", "compact", "archive"))
+    assert(dag.nodes.head.dependsOn.isEmpty)
+    assert(dag.nodes.tail.forall(_.dependsOn == Seq("fanout_h0_ingest")),
+      "both branches depend on the single shared ingest")
+
+    val store = new FsStateStore(s"$root/flowstate")
+    val r1 = executeDag(spark, store, dag)
+    assert(r1.map(_.action) == Seq("ran", "ran", "ran"))
+    val n = spark.read.parquet(s"$root/mart").count()
+    assert(n == ev.count() && spark.read.parquet(s"$root/vault").count() == n)
+    assert(executeDag(spark, store, dag).map(_.action) == Seq("skipped", "skipped", "skipped"))
+
+    // a failing shared hop blocks BOTH dependents
+    val badEdges = edges.map(e => if (e.id == "ingest")
+      e.copy(template = e.template + ("job.type" -> "teleport")) else e)
+    val badDag = compileMulticast(badEdges,
+      flow.copy(name = "fanout2"), Seq("mart" -> parquet, "vault" -> parquet)).toOption.get
+    val r2 = executeDag(spark, new FsStateStore(s"$root/flowstate2"), badDag)
+    assert(r2.map(_.action) == Seq("failed", "blocked", "blocked"))
+  }
+
   test("a failing hop is recorded and aborts the flow") {
     val root = tmpDir("flowfail")
     val edges = Seq(edge("boom", "a", "b",
