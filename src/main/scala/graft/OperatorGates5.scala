@@ -200,6 +200,20 @@ object OperatorGates5 {
       base.join(top, Seq("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // --- edit-distance confirmation (Similarity.editDistanceConfirm):
+    //     exact Levenshtein over ONLY the Jaccard candidate pairs —
+    //     the affordable-because-candidates-are-few second stage of
+    //     near-dup detection. Both engines ship levenshtein natively -
+    "q_editdist_confirm" -> ((s, dir) => {
+      import graft.functions.Similarity
+      val docs = t(s, dir, "documents")
+      val pairs = Similarity.ngramJaccardPairs(docs,
+          "doc_id", "text", "source", n = 3, threshold = 0.02, maxDocFreq = 2)
+        .select(col("id_a"), col("id_b"))
+      Similarity.editDistanceConfirm(pairs, docs, "doc_id", "text", maxRel = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // --- incremental ledger dedup (Dedup.incrementalExact): a new
     //     batch dedups against the corpus's fingerprint LEDGER (one
     //     narrow hash column — never a corpus rescan) then min-id
@@ -342,6 +356,43 @@ object OperatorGates5 {
         |  coalesce(top_gram, '') AS top_gram, coalesce(n_occ, 0) AS n_occ,
         |  coalesce(char_frac, 0.0) AS char_frac
         |FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_editdist_confirm" ->
+      """WITH docsh AS (
+        |  SELECT doc_id, source AS block,
+        |    unnest(list_distinct(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1), i -> array_to_string(toks[i:i+2], ' '))
+        |      ELSE [] END)) AS s
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks
+        |    FROM documents
+        |  )
+        |), kept AS (
+        |  SELECT * FROM docsh
+        |  QUALIFY COUNT(*) OVER (PARTITION BY block, s) <= 2
+        |), sizes AS (
+        |  SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY doc_id
+        |), inter AS (
+        |  SELECT a.block, a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM kept a JOIN kept b ON a.block = b.block AND a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3
+        |), pairs AS (
+        |  SELECT i.id_a, i.id_b FROM inter i
+        |  JOIN sizes sa ON i.id_a = sa.doc_id
+        |  JOIN sizes sb ON i.id_b = sb.doc_id
+        |  WHERE CAST(i.inter AS DOUBLE) / CAST(greatest(sa.n_sh + sb.n_sh - i.inter, 1) AS DOUBLE) >= 0.02
+        |)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(levenshtein(da.text, db.text) AS INT) AS edit_dist,
+        |  CAST(levenshtein(da.text, db.text) AS DOUBLE)
+        |    / greatest(len(da.text), len(db.text), 1) AS rel_dist,
+        |  CAST(levenshtein(da.text, db.text) AS DOUBLE)
+        |    / greatest(len(da.text), len(db.text), 1) <= 0.4 AS confirmed
+        |FROM pairs p
+        |JOIN documents da ON da.doc_id = p.id_a
+        |JOIN documents db ON db.doc_id = p.id_b
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_incremental_dedup" ->
       """WITH fp AS (SELECT doc_id, lang, md5(text) AS f FROM documents),

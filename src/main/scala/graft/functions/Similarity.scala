@@ -244,6 +244,30 @@ object Similarity {
     * observation stays unset — treat "no metrics" as "no output", not
     * as "nothing dropped".
     */
+  /** Edit-distance CONFIRMATION of candidate near-dup pairs — the
+    * exact second stage after any set-similarity candidate generator
+    * (Jaccard / MinHash / SimHash): Levenshtein over ONLY the
+    * candidate pairs, never a corpus cross-product (exact edit
+    * distance is O(len²) per pair — affordable precisely because
+    * candidates are few). `rel_dist` = distance / max(len) in [0,1];
+    * `confirmed` = rel_dist <= maxRel. Join shape: two hash joins on
+    * the id (broadcast when the pair set is small — AQE decides).
+    */
+  def editDistanceConfirm(pairs: DataFrame, docs: DataFrame, idCol: String,
+      textCol: String, maxRel: Double): DataFrame = {
+    require(maxRel >= 0.0 && maxRel <= 1.0, s"maxRel must be in [0,1], got $maxRel")
+    val texts = docs.select(col(idCol).as("_jid"), col(textCol).as("_t"))
+    val joined = pairs
+      .join(texts.withColumnRenamed("_jid", "id_a").withColumnRenamed("_t", "_ta"), Seq("id_a"))
+      .join(texts.withColumnRenamed("_jid", "id_b").withColumnRenamed("_t", "_tb"), Seq("id_b"))
+    joined.select(col("id_a"), col("id_b"),
+        levenshtein(col("_ta"), col("_tb")).as("edit_dist"),
+        (levenshtein(col("_ta"), col("_tb")).cast("double") /
+          greatest(length(col("_ta")), length(col("_tb")), lit(1)).cast("double"))
+          .as("rel_dist"))
+      .withColumn("confirmed", col("rel_dist") <= maxRel)
+  }
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, n: Int, threshold: Double,
       maxDocFreq: Int = Int.MaxValue,
