@@ -198,6 +198,52 @@ class FlowCompilerSpec extends SparkSpec {
     assert(r2.map(_.action) == Seq("failed", "blocked", "blocked"))
   }
 
+  test("property: BFS path is valid, compatible, and hop-minimal (200 random graphs)") {
+    val formats = Seq("parquet", "csv", "avro", "any")
+    val rnd = new scala.util.Random(0xF10C)
+    def randDesc() = DatasetDescriptor(format = formats(rnd.nextInt(formats.length)))
+    (1 to 200).foreach { trial =>
+      val nNodes = 3 + rnd.nextInt(4)
+      val nodes = (0 until nNodes).map(i => s"n$i")
+      val edges = (0 until (3 + rnd.nextInt(8))).map { j =>
+        edge(s"e$j", nodes(rnd.nextInt(nNodes)), nodes(rnd.nextInt(nNodes)),
+          in = randDesc(), out = randDesc())
+      }
+      val flow = FlowSpec(s"t$trial", nodes.head, nodes.last,
+        input = DatasetDescriptor(format = formats(rnd.nextInt(3))), // concrete input
+        output = randDesc())
+
+      // independent checker: enumerate ALL edge paths up to length 5
+      // (exponential enumeration — the cap keeps worst case ~8^5/trial)
+      def walk(node: String, desc: DatasetDescriptor, depth: Int): Option[Int] =
+        if (node == flow.destNode && flow.output.contains(desc) && depth > 0) Some(depth)
+        else if (depth >= 5) None
+        else edges.filter(e => e.from == node && e.input.contains(desc))
+          .flatMap(e => walk(e.to, e.output.resolveAgainst(desc), depth + 1))
+          .minOption
+      val brute = walk(flow.sourceNode, flow.input, 0)
+
+      findPath(edges, flow) match {
+        case Right(path) =>
+          // replay the path: every hop must be compatible in sequence
+          val endDesc = path.foldLeft((flow.sourceNode, flow.input)) {
+            case ((node, desc), e) =>
+              assert(e.from == node && e.input.contains(desc),
+                s"trial $trial: hop ${e.id} incompatible")
+              (e.to, e.output.resolveAgainst(desc))
+          }
+          assert(endDesc._1 == flow.destNode && flow.output.contains(endDesc._2))
+          if (path.length <= 5)
+            assert(brute.contains(path.length),
+              s"trial $trial: BFS found ${path.length} hops, brute-force says $brute")
+          else assert(brute.isEmpty,
+            s"trial $trial: brute found $brute but BFS needed ${path.length}")
+        case Left(_) =>
+          assert(brute.isEmpty, s"trial $trial: BFS said no-path but brute found $brute")
+      }
+    }
+  }
+
   test("a failing hop is recorded and aborts the flow") {
     val root = tmpDir("flowfail")
     val edges = Seq(edge("boom", "a", "b",
