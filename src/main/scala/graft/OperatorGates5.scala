@@ -200,6 +200,18 @@ object OperatorGates5 {
       base.join(top, Seq("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // --- corpus-mix rebalance (Converters.rebalanceToTargetMix): the
+    //     DoReMi-style static reweighting — every language downsampled
+    //     to a uniform target mix, fractions DERIVED FROM THE DATA
+    //     (one aggregate) and applied through the md5-threshold filter.
+    //     The oracle recomputes shares, fractions, AND the 4-hex
+    //     threshold (printf %04x of round(f*65536)) in SQL -----------
+    "q_domain_rebalance" -> ((s, dir) => {
+      Converters.rebalanceToTargetMix(t(s, dir, "documents"), "lang", "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- edit-distance confirmation (Similarity.editDistanceConfirm):
     //     exact Levenshtein over ONLY the Jaccard candidate pairs —
     //     the affordable-because-candidates-are-few second stage of
@@ -356,6 +368,27 @@ object OperatorGates5 {
         |  coalesce(top_gram, '') AS top_gram, coalesce(n_occ, 0) AS n_occ,
         |  coalesce(char_frac, 0.0) AS char_frac
         |FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_domain_rebalance" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS DOUBLE) AS total, count(*) AS k FROM c
+        |), f AS (
+        |  SELECT lang,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      (CAST(1.0 AS DOUBLE) / k) / (CAST(n AS DOUBLE) / total)) AS frac
+        |  FROM c, tot
+        |), cuts AS (
+        |  SELECT lang, CASE WHEN frac >= 1.0 THEN 'g'
+        |    ELSE printf('%04x', CAST(least(round(frac * 65536), 65535) AS BIGINT))
+        |    END AS cut
+        |  FROM f
+        |)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN cuts ON d.lang = cuts.lang
+        |WHERE substring(md5('graft' || '|' || CAST(d.doc_id AS VARCHAR)), 1, 4) < cuts.cut
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_editdist_confirm" ->
       """WITH docsh AS (

@@ -137,6 +137,30 @@ object Converters {
     df.filter(prefix < threshold)
   }
 
+  /** Rebalance to a TARGET group mix (DoReMi-style static reweighting,
+    * downsample-only): group g keeps min(1, target_g / current_g) of
+    * its rows, where current shares come from ONE aggregate (collected
+    * driver-side — O(groups), the mix table is configuration-sized)
+    * and the keep-filter is the same deterministic md5-threshold
+    * machinery as [[sampleFractionPerGroup]] — growth-stable
+    * membership, SQL-replayable, no rand(). Empty `targetShares` means
+    * a uniform target (1/k per group); groups absent from a non-empty
+    * map keep everything.
+    */
+  def rebalanceToTargetMix(df: DataFrame, groupCol: String, idCol: String,
+      targetShares: Map[String, Double] = Map.empty,
+      seed: String = "graft"): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+    val total = counts.map(_._2).sum.toDouble
+    val uniform = 1.0 / counts.length
+    val fractions = counts.map { case (g, n) =>
+      val target = if (targetShares.isEmpty) uniform else targetShares.getOrElse(g, 1.0)
+      g -> math.min(1.0, target / (n / total))
+    }.toMap
+    sampleFractionPerGroup(groupCol, idCol, fractions, defaultFraction = 1.0, seed)(df)
+  }
+
   /** ForkOperator (gobblin-api/.../fork/ForkOperator.java:36; stream impl
     * fork/Forker.java:44-101): route each record to 0..N branches. The
     * Spark shape is cache-once + N filtered branches; callers write each
