@@ -200,6 +200,18 @@ object OperatorGates5 {
       base.join(top, Seq("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // --- whole-schema flatten (Converters.flattenAll — the reference's
+    //     AvroFlattener): a doubly-nested payload built from events
+    //     columns flattens to dotted-path columns in one projection --
+    "q_flatten_all" -> ((s, dir) => {
+      val nested = t(s, dir, "events").select(col("event_id"),
+        struct(col("user_id").as("uid"),
+          struct(col("event_type").as("etype"),
+            floor(col("value") * 1000).cast("long").as("v_milli")).as("inner"))
+          .as("payload"))
+      Converters.flattenAll()(nested).orderBy(col("event_id"))
+    }),
+
     // --- corpus-mix rebalance (Converters.rebalanceToTargetMix): the
     //     DoReMi-style static reweighting — every language downsampled
     //     to a uniform target mix, fractions DERIVED FROM THE DATA
@@ -368,6 +380,11 @@ object OperatorGates5 {
         |  coalesce(top_gram, '') AS top_gram, coalesce(n_occ, 0) AS n_occ,
         |  coalesce(char_frac, 0.0) AS char_frac
         |FROM base b LEFT JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q_flatten_all" ->
+      """SELECT event_id, user_id AS payload_uid, event_type AS payload_inner_etype,
+        |  CAST(floor(value * 1000) AS BIGINT) AS payload_inner_v_milli
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_domain_rebalance" ->
       """WITH c AS (

@@ -39,6 +39,30 @@ object Converters {
     */
   def retrieveField(field: String, as: String): Op = _.select(col(field).as(as))
 
+  /** Whole-schema flatten — the reference's AvroFlattener
+    * (gobblin-utility/.../AvroFlattener.java): every nested STRUCT
+    * leaf lifts to a top-level column named by its path joined with
+    * `sep`; arrays and maps ride along un-flattened (the reference
+    * lifts record/option nesting, not collections). Pure projection —
+    * codegen'd, column-pruned at the scan.
+    */
+  def flattenAll(sep: String = "_"): Op = df => {
+    def leaves(schema: StructType, prefix: Seq[String]): Seq[Seq[String]] =
+      schema.fields.toSeq.flatMap { f =>
+        f.dataType match {
+          case st: StructType => leaves(st, prefix :+ f.name)
+          case _ => Seq(prefix :+ f.name)
+        }
+      }
+    val paths = leaves(df.schema, Nil)
+    val names = paths.map(_.mkString(sep))
+    require(names.distinct.size == names.size,
+      s"flatten produces colliding names: ${names.diff(names.distinct).distinct.mkString(", ")}")
+    df.select(paths.zip(names).map { case (path, name) =>
+      col(path.map(n => s"`$n`").mkString(".")).as(name)
+    }: _*)
+  }
+
   /** FlattenNestedKeyConverter (avro/FlattenNestedKeyConverter.java:57):
     * copy nested keys to top level (a.b -> a_b).
     */

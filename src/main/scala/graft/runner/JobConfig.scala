@@ -225,6 +225,30 @@ object JobConfig {
         val n = Retention.deleteVersions(spark, paths, trashDir = opt(p, "retention.trash"))
         Map("deletedVersions" -> n.toString)
 
+      case "stream" =>
+        // config-driven streaming ingest: file-stream source (schema
+        // inferred from the existing files), converter-chain ops, a
+        // partitioned parquet sink with checkpoint, run to completion
+        // of the available data (AvailableNow) — the streaming-mode
+        // pipeline spec as one properties file
+        import graft.streaming.StreamingIngest
+        val srcPath = req(p, "source.path")
+        val schema = spark.read
+          .format(opt(p, "source.format").getOrElse("parquet")).load(srcPath).schema
+        val statePartitions = opt(p, "stream.statePartitions").map(_.toInt)
+        def run(): Map[String, String] = {
+          val stream = StreamingIngest.readFileStream(spark, schema, srcPath,
+            format = opt(p, "source.format").getOrElse("parquet"),
+            maxFilesPerTrigger = opt(p, "stream.maxFilesPerTrigger").map(_.toInt))
+          val transformed = buildOps(p).foldLeft(stream)((df, op) => op(df))
+          StreamingIngest.runAvailableNow(transformed,
+            req(p, "sink.output"), req(p, "stream.checkpoint"))
+          val rows = spark.read.parquet(req(p, "sink.output")).count()
+          Map("published" -> "true", "rowsWritten" -> rows.toString)
+        }
+        statePartitions.fold(run())(n =>
+          StreamingIngest.withStatePartitions(spark, n)(run()))
+
       case other => throw new IllegalArgumentException(s"unknown job.type: $other")
     }
 

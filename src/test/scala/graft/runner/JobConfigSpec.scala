@@ -105,6 +105,30 @@ class JobConfigSpec extends SparkSpec {
     assert(out(1).getString(2) == "naive <IP> text")
   }
 
+  test("stream job type: config-driven streaming ingest runs to completion") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir("streamjob")
+    graft.Tables.load(spark, sf(), "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.parquet(s"$root/in")
+    val n = spark.read.parquet(s"$root/in").filter(col("value") <= 100).count()
+    val conf = JobConfig.parse(
+      s"""job.type=stream
+         |source.path=$root/in
+         |ops=filter
+         |op.filter.predicate=value <= 100
+         |sink.output=$root/out
+         |stream.checkpoint=$root/ck
+         |stream.statePartitions=4
+         |stream.maxFilesPerTrigger=1
+         |""".stripMargin)
+    val r = JobConfig.runAny(spark, conf)
+    assert(r("published") == "true" && r("rowsWritten") == n.toString)
+    // rerun: checkpoint remembers processed files -> no duplicates
+    val r2 = JobConfig.runAny(spark, conf)
+    assert(r2("rowsWritten") == n.toString, "checkpoint must make the rerun a no-op")
+  }
+
   test("malformed stratifiedSample fractions fail with a naming error, not MatchError") {
     def conf(fractions: String) = JobConfig.parse(
       s"ops=stratifiedSample\nop.stratifiedSample.groupColumn=g\n" +
