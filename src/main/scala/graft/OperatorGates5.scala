@@ -302,6 +302,47 @@ object OperatorGates5 {
       }
     }),
 
+    // --- Bloom-filter join pruning (functions.Bloom — Spark's own
+    //     runtime-filter expressions surfaced): filter built over the
+    //     purchase users, big side semi-filtered before any shuffle.
+    //     No-false-negative is checked row-exactly (every exact match
+    //     passes the bloom); the FPR flag bounds the surplus ----------
+    "q_bloom_prefilter" -> ((s, dir) => {
+      import graft.functions.Bloom
+      val ev = t(s, dir, "events")
+      val bits = Bloom.buildBloom(ev.filter(col("event_type") === "purchase"),
+        xxhash64(col("user_id")), expectedItems = 20000L, numBits = 160000L)
+      val tagged = ev
+        .withColumn("_bloom_pass", Bloom.mightContain(bits, xxhash64(col("user_id"))))
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct().withColumn("_exact", lit(true)),
+          Seq("user_id"), "left")
+      tagged.groupBy(col("event_type"))
+        .agg(count(when(col("_exact"), 1)).as("n_exact"),
+          (count(when(col("_exact") && !col("_bloom_pass"), 1)) === 0).as("no_false_neg"),
+          (count(when(col("_bloom_pass") && col("_exact").isNull, 1)) <=
+            count(lit(1)) * 0.05).as("fpr_ok"))
+        .orderBy(col("event_type"))
+    }),
+
+    // --- approximate quantiles (percentile_approx — KLL-style rank
+    //     sketch): per-language approximate median of token counts
+    //     checked against the exact interpolated median at a 10%
+    //     value bound; the oracle replays the exact side and the
+    //     bound verdict (same pattern as q_approx_distinct) -----------
+    "q_approx_quantile" -> ((s, dir) => {
+      import graft.functions.Text
+      t(s, dir, "documents")
+        .select(col("lang"), Text.tokenCount(col("text")).cast("long").as("n"))
+        .groupBy(col("lang"))
+        .agg(percentile(col("n"), lit(0.5)).as("exact_med"),
+          percentile_approx(col("n"), lit(0.5), lit(10000)).as("_approx"))
+        .select(col("lang"), col("exact_med"),
+          (abs(col("_approx") - col("exact_med")) <= col("exact_med") * 0.1)
+            .as("approx_in_bound"))
+        .orderBy(col("lang"))
+    }),
+
     // --- HLL sketch (approx_count_distinct — Spark's HyperLogLog++):
     //     per-group estimate checked against the exact distinct count
     //     at 3x the requested rsd. The estimate is deterministic for
@@ -469,6 +510,19 @@ object OperatorGates5 {
         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli
         |FROM events WHERE value <= 180
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_bloom_prefilter" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT event_type,
+        |  count(*) FILTER (user_id IN (SELECT user_id FROM p)) AS n_exact,
+        |  true AS no_false_neg, true AS fpr_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_approx_quantile" ->
+      """SELECT lang,
+        |  quantile_cont(CAST(len(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS BIGINT), 0.5) AS exact_med,
+        |  true AS approx_in_bound
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_approx_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_exact, true AS est_in_bound
