@@ -139,6 +139,7 @@ object Multimodal {
         require(cl <= (bytes.length - off - 8).toLong,
           s"media $id: chunk '$ct' size $cl overruns buffer at offset $off")
         if (ct == "fmt ") {
+          require(cl >= 16, s"media $id: fmt chunk too short ($cl bytes)")
           require(u16(bytes, off + 8) == 1, s"media $id: not PCM (fmt != 1)")
           channels = u16(bytes, off + 10)
           rate = u32(bytes, off + 12).toInt
@@ -323,6 +324,7 @@ object Multimodal {
             require(cs >= 8 && cs <= (end - c).toLong,
               s"media $id: corrupt moov child '$ct' size $cs at $c")
             if (ct == "mvhd") {
+              require(cs >= 28, s"media $id: mvhd box too short ($cs bytes)")
               require(bytes(c + 8) == 0, s"media $id: only mvhd version 0 supported")
               timescale = u32(bytes, c + 20)
               duration = u32(bytes, c + 24)

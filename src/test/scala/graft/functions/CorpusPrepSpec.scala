@@ -373,6 +373,44 @@ class CorpusPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException](Mp4Codec.parse(5L, hugeBox))
   }
 
+  test("codec fuzz: 500 random byte blobs per codec — error or parse, never hang") {
+    import graft.operators.Multimodal.{WavCodec, BmpCodec, Mp4Codec}
+    val rnd = new scala.util.Random(0xC0DEC)
+    (1 to 500).foreach { i =>
+      val len = rnd.nextInt(4096)
+      val bytes = new Array[Byte](len)
+      rnd.nextBytes(bytes)
+      // seed some with valid magic so the walkers actually engage
+      if (i % 3 == 0 && len >= 12) {
+        System.arraycopy("RIFF".getBytes, 0, bytes, 0, 4)
+        System.arraycopy("WAVE".getBytes, 0, bytes, 8, 4)
+      } else if (i % 3 == 1 && len >= 2) {
+        bytes(0) = 'B'; bytes(1) = 'M'
+      } else if (len >= 8) {
+        System.arraycopy("ftyp".getBytes, 0, bytes, 4, 4)
+      }
+      def attempt(f: => Any): Unit =
+        try { f; () } catch {
+          case _: IllegalArgumentException => () // the contract
+          case e: Throwable => fail(s"seed $i: unexpected ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      attempt(WavCodec.parse(i.toLong, bytes))
+      attempt(BmpCodec.parse(i.toLong, bytes))
+      attempt(Mp4Codec.parse(i.toLong, bytes))
+    }
+
+    // crafted: short fmt chunk / short mvhd ending AT the buffer edge
+    // previously read past their chunk into (or beyond) the buffer
+    val shortFmt = "RIFF".getBytes ++ Array[Byte](20, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ Array[Byte](4, 0, 0, 0) ++ Array[Byte](1, 0, 1, 0)
+    intercept[IllegalArgumentException](WavCodec.parse(1L, shortFmt))
+    val shortMvhd = java.nio.ByteBuffer.allocate(32)
+      .putInt(16).put("ftyp".getBytes).put("isom".getBytes).putInt(0)
+      .putInt(16).put("moov".getBytes)
+      .putInt(8).put("mvhd".getBytes).array()
+    intercept[IllegalArgumentException](Mp4Codec.parse(2L, shortMvhd))
+  }
+
   test("normalize: NFC(x) and NFC(NFD(x)) hash to the same fingerprint") {
     val df = Seq("café déjà-vu", "café déjà-vu").toDF("s")
     val fps = df.select(Text.fingerprint(NormalizeNfc(col("s")))).collect().map(_.getString(0))
