@@ -302,6 +302,23 @@ object OperatorGates5 {
       }
     }),
 
+    // --- embedding FLAGSHIP pipeline: semantic dedup -> IVF-PQ index
+    //     build over the SURVIVORS -> top-k retrieval, every stage the
+    //     real operator and the whole chain replayed by ONE oracle
+    //     (quantizer, assignments, drop rule, codebooks, ADC chain,
+    //     re-rank — all derived from the deduped corpus) --------------
+    "q_embedding_pipeline" -> ((s, dir) => {
+      import graft.functions.Ann
+      val emb = t(s, dir, "embeddings")
+      val sem = Ann.semanticDedup(emb, Ann.sampledIvf(emb, k = 16), threshold = 0.9)
+      val survivors = sem.filter(col("kept")).select(col("vec_id")).join(emb, Seq("vec_id"))
+      val ivf = Ann.sampledIvf(survivors, k = 8)
+      val pq = Ann.sampledPq(survivors, nSub = 8, nCents = 16)
+      val probes = survivors.filter(pmod(col("vec_id"), lit(50)) === 0)
+      Ann.ivfPqSearch(ivf, pq, probes, survivors, k = 5, nProbe = 4, prefilter = 20)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
+
     // --- Bloom-filter join pruning (functions.Bloom — Spark's own
     //     runtime-filter expressions surfaced): filter built over the
     //     purchase users, big side semi-filtered before any shuffle.
@@ -510,6 +527,10 @@ object OperatorGates5 {
         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli
         |FROM events WHERE value <= 180
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_embedding_pipeline" -> OracleSql.embeddingPipeline(
+      semClusters = 16, semThreshold = 0.9,
+      k = 5, nProbe = 4, prefilter = 20, probeMod = 50),
 
     "q_bloom_prefilter" ->
       """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')

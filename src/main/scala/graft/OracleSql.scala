@@ -392,12 +392,20 @@ object OracleSql {
     * once — no DISTINCT needed anywhere.
     */
   def annIvfPq(k: Int, nProbe: Int, prefilter: Int, probeMod: Int,
-      nCentroids: Int = 8, nSub: Int = 8, nCents: Int = 16, dim: Int = 64): String = {
-    val subDim = dim / nSub
-    val chain = (1 to nSub).map(i => s"ds[$i]").mkString(" + ")
+      nCentroids: Int = 8, nSub: Int = 8, nCents: Int = 16, dim: Int = 64): String =
     s"""WITH e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
-       |), seeds AS (
+       |), ${ivfPqBody(k, nProbe, prefilter, probeMod, nCentroids, nSub, nCents, dim)}""".stripMargin
+
+  /** The IVFPQ CTE body (seeds ... final SELECT), parameterized over a
+    * CTE `e(vec_id, e DOUBLE[])` already in scope — reused by
+    * [[annIvfPq]] and the corpus-level [[embeddingPipeline]].
+    */
+  private def ivfPqBody(k: Int, nProbe: Int, prefilter: Int, probeMod: Int,
+      nCentroids: Int, nSub: Int, nCents: Int, dim: Int): String = {
+    val subDim = dim / nSub
+    val chain = (1 to nSub).map(i => s"ds[$i]").mkString(" + ")
+    s"""seeds AS (
        |  SELECT vec_id, e FROM e
        |  ORDER BY md5('ivf' || '|' || vec_id), vec_id LIMIT $nCentroids
        |), cents AS (
@@ -435,6 +443,40 @@ object OracleSql {
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
   }
+
+  /** Oracle for q_embedding_pipeline — the embedding FLAGSHIP: the
+    * semantic-dedup CTEs ([[semanticDedup]]'s quantizer/assignment/
+    * drop rule at 16 clusters) produce the survivor corpus as CTE
+    * `e`, and the full IVFPQ retrieval ([[ivfPqBody]]) runs OVER THE
+    * SURVIVORS — index seeds, codebooks, lists, ADC chain and re-rank
+    * all derive from the deduped corpus, exactly like the Spark side.
+    */
+  def embeddingPipeline(semClusters: Int, semThreshold: Double,
+      k: Int, nProbe: Int, prefilter: Int, probeMod: Int,
+      nCentroids: Int = 8, nSub: Int = 8, nCents: Int = 16, dim: Int = 64): String =
+    s"""WITH all_e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), sseeds AS (
+       |  SELECT vec_id, e FROM all_e
+       |  ORDER BY md5('ivf' || '|' || vec_id), vec_id LIMIT $semClusters
+       |), scents AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e FROM sseeds
+       |), sscored AS (
+       |  SELECT v.vec_id, c.cid, list_dot_product(v.e, c.e) AS dot
+       |  FROM all_e v CROSS JOIN scents c
+       |), sassign AS (
+       |  SELECT vec_id, cid FROM sscored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) = 1
+       |), sdropped AS (
+       |  SELECT DISTINCT x.vec_id
+       |  FROM sassign x JOIN sassign y ON x.cid = y.cid AND y.vec_id < x.vec_id
+       |  JOIN all_e a ON a.vec_id = x.vec_id
+       |  JOIN all_e b ON b.vec_id = y.vec_id
+       |  WHERE $CosineAB >= $semThreshold
+       |), e AS (
+       |  SELECT s.vec_id, s.e FROM all_e s
+       |  LEFT JOIN sdropped d ON d.vec_id = s.vec_id WHERE d.vec_id IS NULL
+       |), ${ivfPqBody(k, nProbe, prefilter, probeMod, nCentroids, nSub, nCents, dim)}""".stripMargin
 
   /** Oracle for q_ann_ivf_rpq: IVF + RESIDUAL PQ — residual r = x −
     * c_list (exact element-wise subtraction), codebooks sampled from
