@@ -311,18 +311,34 @@ object Ann {
     */
   def semanticDedup(corpus: DataFrame, index: IvfIndex, threshold: Double,
       id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    // < 1 strictly: at exactly 1.0 the pre-collapse's "identical =
+    // duplicate" shortcut could diverge from the IEEE cosine of an
+    // identical pair by an ulp; for exact-only dedup use Dedup.exact
+    require(threshold < 1.0, s"cosine threshold must be < 1, got $threshold")
     val assigned = corpus.select(col(id).cast("long").as("_id"),
       col(vec).cast("array<double>").as("_e"),
       index.assignColumn(col(vec)).as("cluster"))
-    val dropped = assigned.as("a")
-      .join(assigned.as("b"),
+    // exact-duplicate PRE-COLLAPSE: byte-identical vectors share one
+    // representative (the group min id — identical vectors always share
+    // a cluster, the assignment is deterministic in the values). A
+    // non-representative is a duplicate BY DEFINITION (its rep is a
+    // smaller-id mate at cosine ~1 >= any threshold <= 1), so the
+    // pairwise stage runs over DISTINCT vectors only — the pathological
+    // all-identical cluster costs one hash aggregation (O(m)), not an
+    // O(m^2) pair block. One extra agg + join, both on the vector hash.
+    val reps = assigned.groupBy(col("_e")).agg(min(col("_id")).as("_rep"))
+    val withRep = assigned.join(reps, Seq("_e"))
+    val repRows = withRep.filter(col("_id") === col("_rep"))
+    val dropped = repRows.as("a")
+      .join(repRows.as("b"),
         col("a.cluster") === col("b.cluster") && col("b._id") < col("a._id") &&
           Similarity.cosine(col("a._e"), col("b._e")) >= threshold)
       .select(col("a._id").as("_id")).distinct()
       .withColumn("_dropped", lit(true))
-    assigned.join(dropped, Seq("_id"), "left")
+    withRep.join(dropped.withColumnRenamed("_id", "_rep"), Seq("_rep"), "left")
       .select(col("_id").as(id), col("cluster"),
-        not(coalesce(col("_dropped"), lit(false))).as("kept"))
+        (col("_id") === col("_rep") && // non-reps always drop
+          not(coalesce(col("_dropped"), lit(false)))).as("kept"))
   }
 
   /** Deterministic coarse quantizer: the k corpus vectors with the

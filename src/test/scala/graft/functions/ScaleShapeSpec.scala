@@ -188,6 +188,25 @@ class ScaleShapeSpec extends SparkSpec {
     assert(!hinted(large), "20k-row side must NOT be broadcast-hinted")
   }
 
+  test("semanticDedup: 20k-copy mega-cluster collapses via pre-collapse, not an O(m^2) pair block") {
+    import spark.implicits._
+    // 19k identical vectors (the pathological cluster) + 1k distinct
+    val hot = (0 until 19000).map(i => (i.toLong + 1000, Array.tabulate(8)(d => math.sin(d + 1).toFloat)))
+    val distinct = (0 until 1000).map(i => (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d + 1).toFloat)))
+    val emb = (distinct ++ hot).toDF("vec_id", "embedding")
+    val index = Ann.sampledIvf(emb, k = 4)
+    val t0 = System.nanoTime()
+    val out = Ann.semanticDedup(emb, index, threshold = 0.95)
+    val keptHot = out.filter(col("vec_id") >= 1000 && col("kept")).count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // min-id copy survives unless a smaller-id distinct mate is >= 0.95
+    assert(keptHot <= 1, s"at most the min-id copy survives, got $keptHot")
+    assert(out.count() == 20000)
+    // the old pair join would stream ~180M pairs here; pre-collapse
+    // keeps it to one aggregation — seconds, not minutes
+    assert(secs < 60, f"mega-cluster took $secs%.1f s — pair block not collapsed?")
+  }
+
   test("planted near-dups survive end-to-end minhash dedup at 20k docs") {
     val nd = Similarity.minhashNearDups(docs, "id", "text",
       shingleN = 3, numHashes = 16, bands = 4, threshold = 0.5)
