@@ -33,9 +33,13 @@ object Bloom {
     * aggregate job, no shuffle of the big side.
     */
   def buildBloom(df: org.apache.spark.sql.DataFrame, keyHash: Column,
-      expectedItems: Long, numBits: Long): Array[Byte] =
-    df.agg(bloomAgg(keyHash, expectedItems, numBits).as("bf"))
+      expectedItems: Long, numBits: Long): Array[Byte] = {
+    val bits = df.agg(bloomAgg(keyHash, expectedItems, numBits).as("bf"))
       .head().getAs[Array[Byte]](0)
+    require(bits != null,
+      "bloom built over an empty key set — a null filter would silently drop every row")
+    bits
+  }
 
   /** Membership test against built filter bits. `might_contain`
     * requires a CONSTANT filter (Spark enforces it), which is exactly
