@@ -125,6 +125,60 @@ object OperatorGates5 {
       } finally s.listenerManager.unregister(listener)
     }),
 
+    // --- multicast flow DAG (ref Dag-of-JobSpecs compilation +
+    //     DagManager): one landing ingest fans out to a compacted mart
+    //     AND a replicated vault; the shared ingest hop compiles to
+    //     ONE job both branches depend on, and a re-execute skips all
+    //     three. Result = both branch outputs, branch-tagged ----------
+    "q_flow_multicast" -> ((s, dir) => {
+      import graft.runner.FlowCompiler
+      import graft.runner.FlowCompiler._
+      import graft.state.FsStateStore
+      val tmp = tmpDir("graft_fanout")
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.parquet(s"$tmp/landing")
+      val parquetD = DatasetDescriptor(format = "parquet")
+      val edges = Seq(
+        FlowEdge("ingest", "landing", "warehouse", parquetD, parquetD, Map(
+          "job.type" -> "ingest",
+          "source.path" -> "${flow.landing}",
+          "source.watermark.expr" -> "event_id",
+          "state.dir" -> "${flow.work}/state",
+          "sink.staging" -> "${flow.work}/wh_staging",
+          "sink.output" -> "${flow.work}/wh")),
+        FlowEdge("compact", "warehouse", "mart", parquetD, parquetD, Map(
+          "job.type" -> "compact",
+          "source.path" -> "${flow.work}/wh",
+          "compact.keys" -> "event_id",
+          "sink.staging" -> "${flow.work}/mart_staging",
+          "sink.output" -> "${flow.work}/mart")),
+        FlowEdge("archive", "warehouse", "vault", parquetD, parquetD, Map(
+          "job.type" -> "copy",
+          "source.path" -> "${flow.work}/wh",
+          "copy.dest" -> "${flow.work}/vault")))
+      val flow = FlowSpec("gate_fanout", "landing", "unused", input = parquetD,
+        config = Map("landing" -> s"$tmp/landing", "work" -> tmp))
+      val dag = FlowCompiler.compileMulticast(edges, flow,
+          Seq("mart" -> parquetD, "vault" -> parquetD))
+        .fold(e => sys.error(e), identity)
+      require(dag.nodes.map(_.edge.id) == Seq("ingest", "compact", "archive") &&
+        dag.nodes.count(_.edge.id == "ingest") == 1,
+        s"shared prefix must compile to ONE ingest: ${dag.nodes.map(_.jobName)}")
+      val store = new FsStateStore(s"$tmp/flowstate")
+      val r1 = FlowCompiler.executeDag(s, store, dag)
+      require(r1.map(_.action) == Seq("ran", "ran", "ran"), s"first run executes: $r1")
+      val r2 = FlowCompiler.executeDag(s, store, dag)
+      require(r2.map(_.action).forall(_ == "skipped"), s"rerun resumes: $r2")
+      val mart = s.read.parquet(s"$tmp/mart").withColumn("branch", lit("mart"))
+      val vault = s.read.parquet(s"$tmp/vault").withColumn("branch", lit("vault"))
+      mart.unionByName(vault)
+        .groupBy(col("branch"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_v_milli"))
+        .orderBy(col("branch"), col("event_type"))
+    }),
+
     // --- GaaS flow compiler (ref MultiHopFlowCompiler.java:78,
     //     BFSPathFinder.java:70, Orchestrator.java:82): a 2-hop flow
     //     (landing -> warehouse ingest -> compacted mart) compiled by
@@ -521,6 +575,12 @@ object OperatorGates5 {
         |  AND epoch_us(p.ts) >= epoch_us(c.ts)
         |  AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
         |ORDER BY c.user_id, click_id, purchase_id""".stripMargin,
+
+    "q_flow_multicast" ->
+      """SELECT b.branch, e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli
+        |FROM events e CROSS JOIN (SELECT unnest(['mart', 'vault']) AS branch) b
+        |GROUP BY b.branch, e.event_type ORDER BY b.branch, e.event_type""".stripMargin,
 
     "q_flow_compile" ->
       """SELECT event_type, count(*) AS n,
