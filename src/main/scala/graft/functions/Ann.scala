@@ -550,15 +550,29 @@ object Ann {
       id: String = "vec_id", vec: String = "embedding"): PqIndex = {
     require(dim % nSub == 0, s"dim $dim must divide into $nSub subspaces")
     val subDim = dim / nSub
-    val codebooks = (0 until nSub).map { j =>
-      val seeds = corpus.select(col(id).cast("long").as("_id"),
-          slice(col(vec).cast("array<double>"), j * subDim + 1, subDim).as("_c"))
-        .orderBy(md5(concat_ws("|", lit("pq"), lit(j), col("_id"))), col("_id"))
-        .limit(nCents)
-        .collect()
-      seeds.map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-        .sortBy(_._1).map(_._2).toArray
-    }.toArray
+    // all nSub codebooks in ONE job: explode the subspace index, rank
+    // per subspace by the salted hash inside a window, collect the
+    // nSub x nCents winners together — selection order (md5 then id,
+    // per j) is identical to the per-subspace orderBy/limit this
+    // replaces, so the codebooks (and every oracle) are unchanged;
+    // what changes is paying one scan instead of nSub scans per fit
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("_j"))
+      .orderBy(md5(concat_ws("|", lit("pq"), col("_j"), col("_id"))), col("_id"))
+    val seeds = corpus
+      .select(col(id).cast("long").as("_id"), col(vec).cast("array<double>").as("_e"))
+      .select(col("_id"), col("_e"), explode(array((0 until nSub).map(lit): _*)).as("_j"))
+      .select(col("_id"), col("_j"),
+        slice(col("_e"), col("_j") * subDim + 1, lit(subDim)).as("_c"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= nCents)
+      .collect()
+    val codebooks = Array.tabulate(nSub) { j =>
+      seeds.filter(_.getAs[Int]("_j") == j)
+        .map(r => (r.getAs[Long]("_id"), r.getSeq[Double](2).toArray))
+        .sortBy(_._1).map(_._2)
+    }
+    codebooks.foreach(cb => require(cb.length == nCents,
+      s"corpus smaller than nCents=$nCents codebook sample"))
     PqIndex(codebooks)
   }
 
