@@ -1,0 +1,201 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 wave 6: the config-management subsystem (dataset config
+  * store with import/inheritance resolution — the reference's
+  * `gobblin-config-management` module) and the n-gram LM quality
+  * scorer for the training-data pipeline. Query side runs the real
+  * machinery; the oracle replays the resolution/arithmetic
+  * independently in DuckDB.
+  */
+object OperatorGates6 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  def queries6: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- config store resolve (ref gobblin-config-management:
+    //     ConfigStoreBackedValueInspector.java:111-141 precedence,
+    //     SimpleHadoopFilesystemConfigStore.java:87-128 FS layout):
+    //     deploy TWO store versions to a temp FS tree — a stale decoy
+    //     and the real one — open the CURRENT version, and batch-
+    //     resolve one dataset node per nation. Per-nation import sets
+    //     exercise every precedence rule: own > first import (and its
+    //     whole ancestor chain) > second import > parent > root. The
+    //     oracle restates the expected winner of every (path, key)
+    //     from the nation table alone ------------------------------
+    "q_config_resolve" -> ((s, dir) => {
+      import graft.runner.ConfigStore
+      import graft.runner.ConfigStore.Node
+      val tmp = tmpDir("graft_cfgstore")
+      // nation is a fixed-size dimension (25 rows at every SF):
+      // bounded driver metadata, same class as seeds/offsets elsewhere
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+        .collect().map(r => (r.get(0).toString.toLong, r.getString(1)))
+        .sortBy(_._1)
+      val stale = Map(
+        "/" -> Node(Vector("retention.days" -> "1", "owner" -> "stale")))
+      val shared = Map(
+        "/" -> Node(Vector("retention.days" -> "365", "owner" -> "root-team")),
+        "/datasets" -> Node(Vector("owner" -> "data-team")),
+        "/tags" -> Node(),
+        "/tags/hot" -> Node(Vector(
+          "retention.days" -> "30", "priority" -> "high")),
+        "/tags/cold" -> Node(Vector(
+          "retention.days" -> "3650", "tier" -> "archive")))
+      val dsNodes = nations.map { case (k, name) =>
+        val imports = (k % 3) match {
+          case 0 => Vector("/tags/hot")
+          case 1 => Vector("/tags/cold", "/tags/hot")
+          case _ => Vector.empty[String]
+        }
+        s"/datasets/${name.toLowerCase}" ->
+          Node(Vector("nation.key" -> k.toString), imports)
+      }.toMap
+      ConfigStore.deployFs(tmp, "v0.9", stale)
+      ConfigStore.deployFs(tmp, "v1.0", shared ++ dsNodes)
+      val cs = ConfigStore.openFs(tmp) // must pick v1.0, not the decoy
+      cs.resolveAll(s, dsNodes.keys.toSeq.sorted)
+        .orderBy(col("path"), col("key"))
+    }),
+
+    // --- dataset lineage events (ref gobblin-metrics-base
+    //     LineageInfo.java:86-311): a REAL forked pipeline — events
+    //     split into two branches, each staged+published through the
+    //     Publisher with its row count observed on the write — records
+    //     source + per-branch destinations in the state store; the
+    //     lineage events load back as a DataFrame. The oracle recomputes
+    //     each branch's row count from the events table -------------
+    "q_lineage" -> ((s, dir) => {
+      import graft.metrics.Lineage
+      import graft.metrics.Lineage.Descriptor
+      import graft.sink.{Publisher, SinkSpec}
+      import graft.state.FsStateStore
+      val tmp = tmpDir("graft_lineage")
+      val store = new FsStateStore(s"$tmp/state")
+      val publisher = new Publisher(s.sparkContext.hadoopConfiguration)
+      val events = t(s, dir, "events")
+      Lineage.setSource(store, "lineage_job", "events",
+        Descriptor("file", "events"))
+      Seq(
+        ("purchase", col("event_type") === "purchase"),
+        ("other", col("event_type") =!= "purchase")
+      ).zipWithIndex.foreach { case ((name, pred), i) =>
+        val obs = org.apache.spark.sql.Observation()
+        val spec = SinkSpec(s"$tmp/stg_$name", s"$tmp/out_$name")
+        publisher.writeStaged(
+          events.filter(pred).observe(obs, count(lit(1)).as("rows")), spec)
+        publisher.publish(spec)
+        Lineage.putDestination(store, "lineage_job", i,
+          Descriptor("file", s"events_$name"),
+          obs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L))
+      }
+      Lineage.load(s, store, Seq("lineage_job")).orderBy(col("branch"))
+    }),
+
+    // --- n-gram LM quality scoring (CCNet-style filter): bigram LM
+    //     trained on the lang='en' slice, every document scored by
+    //     token OOV, bigram hit rate, and the conditional-probability
+    //     floor. The oracle refits the LM and rescores from scratch --
+    "q_lm_quality" -> ((s, dir) => {
+      import graft.functions.NgramLm
+      val docs = t(s, dir, "documents")
+      val lm = NgramLm.train(docs.filter(col("lang") === "en"), "text")
+      NgramLm.score(docs, "doc_id", "text", lm)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracleSql6: Map[String, String] = Map(
+
+    "q_config_resolve" ->
+      """WITH d AS (
+        |  SELECT '/datasets/' || lower(n_name) AS path,
+        |         n_nationkey % 3 AS m, n_nationkey AS k
+        |  FROM nation)
+        |SELECT path, key, value, origin FROM (
+        |  SELECT path, 'nation.key' AS key, CAST(k AS VARCHAR) AS value,
+        |         path AS origin FROM d
+        |  UNION ALL
+        |  -- an import's RESOLUTION includes its own ancestor chain
+        |  -- (ref recursion: imports before parent, shared visited
+        |  -- set) — so for importing nodes root's owner lands before
+        |  -- the parent /datasets ever gets a turn
+        |  SELECT path, 'owner',
+        |    CASE WHEN m IN (0, 1) THEN 'root-team' ELSE 'data-team' END,
+        |    CASE WHEN m IN (0, 1) THEN '/' ELSE '/datasets' END FROM d
+        |  UNION ALL
+        |  SELECT path, 'retention.days',
+        |    CASE m WHEN 0 THEN '30' WHEN 1 THEN '3650' ELSE '365' END,
+        |    CASE m WHEN 0 THEN '/tags/hot' WHEN 1 THEN '/tags/cold'
+        |           ELSE '/' END FROM d
+        |  UNION ALL
+        |  SELECT path, 'priority', 'high', '/tags/hot' FROM d WHERE m IN (0, 1)
+        |  UNION ALL
+        |  SELECT path, 'tier', 'archive', '/tags/cold' FROM d WHERE m = 1
+        |) ORDER BY path, key""".stripMargin,
+
+    "q_lineage" ->
+      """SELECT * FROM (
+        |  SELECT 'lineage_job' AS job, 'events' AS dataset, 0 AS branch,
+        |    'file:events' AS src, 'file:events_purchase' AS dst,
+        |    count(*) FILTER (event_type = 'purchase') AS n_rows
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'lineage_job', 'events', 1, 'file:events',
+        |    'file:events_other',
+        |    count(*) FILTER (event_type <> 'purchase')
+        |  FROM events
+        |) ORDER BY branch""".stripMargin,
+
+    "q_lm_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(coalesce(text, ''), ' '), x -> len(x) > 0) AS l
+        |  FROM documents),
+        |tr AS (SELECT l FROM toks WHERE lang = 'en'),
+        |uni AS (
+        |  SELECT w, count(*) AS cu
+        |  FROM (SELECT unnest(l) AS w FROM tr) GROUP BY w),
+        |bi AS (
+        |  SELECT bg, count(*) AS cb FROM (
+        |    SELECT unnest(list_transform(range(1, len(l)),
+        |      i -> l[i] || ' ' || l[i + 1])) AS bg FROM tr) GROUP BY bg),
+        |prob AS (
+        |  SELECT b.bg, CAST(b.cb AS DOUBLE) / u.cu AS p
+        |  FROM bi b JOIN uni u ON string_split(b.bg, ' ')[1] = u.w),
+        |tk AS (SELECT doc_id, unnest(l) AS w FROM toks),
+        |oov AS (
+        |  SELECT t.doc_id, count(*) AS n_tokens,
+        |         count(*) FILTER (u.w IS NULL) AS n_oov
+        |  FROM tk t LEFT JOIN uni u ON t.w = u.w GROUP BY t.doc_id),
+        |dbg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(l)),
+        |    i -> l[i] || ' ' || l[i + 1])) AS bg FROM toks),
+        |hits AS (
+        |  SELECT g.doc_id, count(*) AS n_bigrams, count(p.p) AS n_hits,
+        |         min(p.p) AS min_prob
+        |  FROM dbg g LEFT JOIN prob p ON g.bg = p.bg GROUP BY g.doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(o.n_tokens, 0) AS n_tokens,
+        |  coalesce(o.n_oov, 0) AS n_oov,
+        |  coalesce(h.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(h.n_hits, 0) AS n_hits,
+        |  CASE WHEN coalesce(h.n_bigrams, 0) > 0
+        |       THEN CAST(coalesce(h.n_hits, 0) AS DOUBLE) / h.n_bigrams
+        |  END AS hit_ratio,
+        |  h.min_prob AS min_prob
+        |FROM documents d
+        |LEFT JOIN oov o ON d.doc_id = o.doc_id
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+  )
+}
