@@ -104,6 +104,22 @@ object OperatorGates6 {
     //     trained on the lang='en' slice, every document scored by
     //     token OOV, bigram hit rate, and the conditional-probability
     //     floor. The oracle refits the LM and rescores from scratch --
+    // --- BPE merge induction (tokenizer training): the first six
+    //     merges learned over the en word dictionary — pair counting
+    //     is a weighted hash agg over the vocab-sized dict, the merge
+    //     fold is the left-greedy aggregate HOF, the argmax is O(1)
+    //     driver metadata. The oracle replays all six layers ---------
+    "q_bpe_merges" -> ((s, dir) => {
+      import graft.functions.Bpe
+      import s.implicits._
+      val dict = Bpe.wordDict(
+        t(s, dir, "documents").filter(col("lang") === "en"), "text")
+      Bpe.learnMerges(dict, 6)
+        .map(m => (m.step, m.pair, m.count))
+        .toDF("step", "pair", "cnt")
+        .orderBy(col("step"))
+    }),
+
     "q_lm_quality" -> ((s, dir) => {
       import graft.functions.NgramLm
       val docs = t(s, dir, "documents")
@@ -142,6 +158,8 @@ object OperatorGates6 {
         |  UNION ALL
         |  SELECT path, 'tier', 'archive', '/tags/cold' FROM d WHERE m = 1
         |) ORDER BY path, key""".stripMargin,
+
+    "q_bpe_merges" -> OracleSql.bpeMerges(6),
 
     "q_lineage" ->
       """SELECT * FROM (

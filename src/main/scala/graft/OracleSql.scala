@@ -574,4 +574,45 @@ object OracleSql {
        |WHERE r.id IS NULL OR r.mn >= e.vec_id
        |ORDER BY vec_id""".stripMargin
   }
+
+  /** BPE merge induction replay (graft.functions.Bpe): k chained CTE
+    * layers, each recomputing the weighted pair counts over the
+    * current word-dictionary segmentation, taking the (count DESC,
+    * pair ASC) argmax, and applying the merge with the same
+    * left-greedy fold the Spark `aggregate` HOF uses.
+    */
+  def bpeMerges(k: Int): String = {
+    val base =
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(coalesce(text, ''), ' '),
+        |                     x -> len(x) > 0) AS l
+        |  FROM documents WHERE lang = 'en'),
+        |words AS (
+        |  SELECT w, count(*) AS n
+        |  FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w),
+        |w0 AS (SELECT n, list_append(string_split(w, ''), '</w>') AS syms
+        |       FROM words)""".stripMargin
+    val layers = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, CAST(sum(n) AS BIGINT) AS c FROM (
+         |    SELECT n, unnest(list_transform(range(1, len(syms)),
+         |      j -> syms[j] || ' ' || syms[j + 1])) AS pair
+         |    FROM w${i - 1}) GROUP BY pair),
+         |t$i AS (
+         |  SELECT pair, c, string_split(pair, ' ')[1] AS a,
+         |         string_split(pair, ' ')[2] AS b
+         |  FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         |w$i AS (
+         |  SELECT n, list_reduce(list_transform(syms, x -> [x]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.a
+         |                      AND x[1] = t.b
+         |                THEN list_concat(acc[1:len(acc) - 1], [t.a || t.b])
+         |                ELSE list_concat(acc, x) END) AS syms
+         |  FROM w${i - 1}, t$i t)""".stripMargin
+    }
+    val sel = (1 to k)
+      .map(i => s"SELECT $i AS step, pair, c AS cnt FROM t$i")
+      .mkString("\nUNION ALL\n")
+    base + ",\n" + layers.mkString(",\n") + "\n" + sel + "\nORDER BY step"
+  }
 }
