@@ -104,6 +104,34 @@ object OperatorGates6 {
     //     trained on the lang='en' slice, every document scored by
     //     token OOV, bigram hit rate, and the conditional-probability
     //     floor. The oracle refits the LM and rescores from scratch --
+    // --- value audit (ref gobblin-audit: ValueAuditGenerator,
+    //     row-selection + column-projection policies, FsAuditSink):
+    //     snapshot the same deterministic row sample at two pipeline
+    //     phases — the second with planted corruptions (bumped
+    //     values, case-mangled types, dropped records) — and diff the
+    //     snapshots. The oracle replays sample, corruption, and diff -
+    "q_value_audit" -> ((s, dir) => {
+      import graft.quality.ValueAudit
+      val tmp = tmpDir("graft_audit")
+      val events = t(s, dir, "events").select(col("event_id"),
+        col("event_type"),
+        floor(col("value") * 1000).cast("long").as("v_milli"))
+      val policy = ValueAudit.rowSample(col("event_id"), 0.25)
+      val cols = Seq("event_id", "event_type", "v_milli")
+      ValueAudit.snapshot(events, tmp, "events", "extract", policy, cols)
+      val corrupted = events
+        .withColumn("v_milli",
+          when(pmod(col("event_id"), lit(97)) === 0, col("v_milli") + 1)
+            .otherwise(col("v_milli")))
+        .withColumn("event_type",
+          when(pmod(col("event_id"), lit(101)) === 0, upper(col("event_type")))
+            .otherwise(col("event_type")))
+        .filter(pmod(col("event_id"), lit(499)) =!= 0)
+      ValueAudit.snapshot(corrupted, tmp, "events", "convert", policy, cols)
+      ValueAudit.compare(s, tmp, "events", "extract", "convert", "event_id")
+        .orderBy(col("column"))
+    }),
+
     // --- BPE merge induction (tokenizer training): the first six
     //     merges learned over the en word dictionary — pair counting
     //     is a weighted hash agg over the vocab-sized dict, the merge
@@ -160,6 +188,40 @@ object OperatorGates6 {
         |) ORDER BY path, key""".stripMargin,
 
     "q_bpe_merges" -> OracleSql.bpeMerges(6),
+
+    "q_value_audit" ->
+      """WITH src AS (
+        |  SELECT event_id, event_type,
+        |         CAST(floor(value * 1000) AS BIGINT) AS v_milli
+        |  FROM events
+        |  WHERE substr(md5('audit|' || CAST(event_id AS VARCHAR)), 1, 4)
+        |        < '4000'),
+        |conv AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 101 = 0 THEN upper(event_type)
+        |         ELSE event_type END AS event_type,
+        |    CASE WHEN event_id % 97 = 0 THEN v_milli + 1
+        |         ELSE v_milli END AS v_milli
+        |  FROM src WHERE event_id % 499 <> 0),
+        |j AS (
+        |  SELECT s.event_id AS ida, c.event_id AS idb,
+        |         s.event_type AS a_et, c.event_type AS b_et,
+        |         s.v_milli AS a_v, c.v_milli AS b_v
+        |  FROM src s FULL OUTER JOIN conv c ON s.event_id = c.event_id),
+        |agg AS (SELECT
+        |  count(*) FILTER (ida IS NOT NULL AND idb IS NOT NULL) AS n_common,
+        |  count(*) FILTER (ida IS NOT NULL AND idb IS NOT NULL
+        |                   AND a_et IS DISTINCT FROM b_et) AS mm_et,
+        |  count(*) FILTER (ida IS NOT NULL AND idb IS NOT NULL
+        |                   AND a_v IS DISTINCT FROM b_v) AS mm_v,
+        |  count(*) FILTER (idb IS NULL) AS only_a,
+        |  count(*) FILTER (ida IS NULL) AS only_b
+        |  FROM j)
+        |SELECT 'event_type' AS "column", n_common, mm_et AS n_mismatch,
+        |       only_a AS n_only_a, only_b AS n_only_b FROM agg
+        |UNION ALL
+        |SELECT 'v_milli', n_common, mm_v, only_a, only_b FROM agg
+        |ORDER BY "column"""".stripMargin,
 
     "q_lineage" ->
       """SELECT * FROM (
