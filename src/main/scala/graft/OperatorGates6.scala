@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Converters
+
 /** Round-4 wave 6: the config-management subsystem (dataset config
   * store with import/inheritance resolution — the reference's
   * `gobblin-config-management` module) and the n-gram LM quality
@@ -100,10 +102,60 @@ object OperatorGates6 {
       Lineage.load(s, store, Seq("lineage_job")).orderBy(col("branch"))
     }),
 
-    // --- n-gram LM quality scoring (CCNet-style filter): bigram LM
-    //     trained on the lang='en' slice, every document scored by
-    //     token OOV, bigram hit rate, and the conditional-probability
-    //     floor. The oracle refits the LM and rescores from scratch --
+    // --- temperature mixture weights (UniMax/T5 α=0.5): per-language
+    //     sampling weights and epochs from one corpus aggregation;
+    //     sqrt + order-pinned running-sum normalization keep every
+    //     double bit-reproducible in DuckDB ------------------------
+    "q_mix_temperature" -> ((s, dir) =>
+      Converters.mixtureTemperature(t(s, dir, "documents"), "lang")
+        .orderBy(col("domain"))),
+
+    // --- config-driven retention: the reference's PRIMARY use of the
+    //     config store — per-dataset retention.days resolved through
+    //     tag imports, then broadcast-joined onto the fact table to
+    //     select deletable records. Config is metadata; the data path
+    //     sees one broadcast hash join -----------------------------
+    "q_config_retention" -> ((s, dir) => {
+      import graft.runner.ConfigStore
+      import graft.runner.ConfigStore.Node
+      val tmp = tmpDir("graft_cfgret")
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+        .collect().map(r => (r.get(0).toString.toLong, r.getString(1)))
+        .sortBy(_._1)
+      val shared = Map(
+        "/" -> Node(Vector("retention.days" -> "14")),
+        "/datasets" -> Node(),
+        "/tags" -> Node(),
+        "/tags/hot" -> Node(Vector("retention.days" -> "2")),
+        "/tags/cold" -> Node(Vector("retention.days" -> "365")))
+      val ds = nations.map { case (k, name) =>
+        val imp = (k % 3) match {
+          case 0 => Vector("/tags/hot")
+          case 1 => Vector("/tags/cold")
+          case _ => Vector.empty[String]
+        }
+        s"/datasets/${name.toLowerCase}" -> Node(Vector.empty, imp)
+      }.toMap
+      ConfigStore.deployFs(tmp, "v1", shared ++ ds)
+      val cfg = ConfigStore.openFs(tmp).resolveAll(s, ds.keys.toSeq.sorted)
+        .filter(col("key") === "retention.days")
+        .select(regexp_extract(col("path"), "/datasets/(.*)", 1).as("dataset"),
+          col("value").cast("long").as("days"))
+      val events = t(s, dir, "events")
+      val nationDim = t(s, dir, "nation")
+        .select(col("n_nationkey"), lower(col("n_name")).as("dataset"))
+      val tagged = events.join(broadcast(nationDim),
+        pmod(col("user_id"), lit(nations.length)) === col("n_nationkey"))
+      val maxUs = events.agg(max(unix_micros(col("ts"))).as("max_us"))
+      tagged.crossJoin(broadcast(maxUs))
+        .join(broadcast(cfg), Seq("dataset"))
+        .filter(unix_micros(col("ts")) <
+          col("max_us") - col("days") * lit(86400000000L))
+        .groupBy(col("dataset")).agg(count(lit(1)).as("n_deletable"))
+        .orderBy(col("dataset"))
+    }),
+
     // --- value audit (ref gobblin-audit: ValueAuditGenerator,
     //     row-selection + column-projection policies, FsAuditSink):
     //     snapshot the same deterministic row sample at two pipeline
@@ -148,6 +200,10 @@ object OperatorGates6 {
         .orderBy(col("step"))
     }),
 
+    // --- n-gram LM quality scoring (CCNet-style filter): bigram LM
+    //     trained on the lang='en' slice, every document scored by
+    //     token OOV, bigram hit rate, and the conditional-probability
+    //     floor. The oracle refits the LM and rescores from scratch --
     "q_lm_quality" -> ((s, dir) => {
       import graft.functions.NgramLm
       val docs = t(s, dir, "documents")
@@ -188,6 +244,40 @@ object OperatorGates6 {
         |) ORDER BY path, key""".stripMargin,
 
     "q_bpe_merges" -> OracleSql.bpeMerges(6),
+
+    "q_mix_temperature" ->
+      """WITH c AS (
+        |  SELECT lang AS domain, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT domain, n,
+        |    CAST(n AS DOUBLE) / (SELECT sum(n) FROM c) AS share,
+        |    (SELECT sum(n) FROM c) AS total
+        |  FROM c),
+        |r AS (
+        |  SELECT domain, n, share, total, sqrt(share) AS sw,
+        |    sum(sqrt(share)) OVER (ORDER BY domain
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM w)
+        |SELECT domain, n, share,
+        |  sw / (SELECT max(cum) FROM r) AS weight,
+        |  sw / (SELECT max(cum) FROM r) * CAST(total AS DOUBLE) / n AS epochs
+        |FROM r ORDER BY domain""".stripMargin,
+
+    "q_config_retention" ->
+      """WITH cfg AS (
+        |  SELECT lower(n_name) AS dataset, n_nationkey AS k,
+        |    CASE n_nationkey % 3 WHEN 0 THEN 2 WHEN 1 THEN 365
+        |         ELSE 14 END AS days
+        |  FROM nation),
+        |mx AS (SELECT max(epoch_us(ts)) AS max_us FROM events),
+        |tagged AS (
+        |  SELECT c.dataset, c.days, epoch_us(e.ts) AS us
+        |  FROM events e JOIN cfg c
+        |    ON e.user_id % (SELECT count(*) FROM nation) = c.k)
+        |SELECT dataset, count(*) AS n_deletable
+        |FROM tagged, mx
+        |WHERE us < max_us - days * 86400000000
+        |GROUP BY dataset ORDER BY dataset""".stripMargin,
 
     "q_value_audit" ->
       """WITH src AS (

@@ -185,6 +185,38 @@ object Converters {
     sampleFractionPerGroup(groupCol, idCol, fractions, defaultFraction = 1.0, seed)(df)
   }
 
+  /** UniMax/T5-style temperature mixture weights: per-domain sampling
+    * weight share^α / Σ share^α and the implied epochs over each
+    * domain at that weight. α is fixed at 0.5 so the power is `sqrt`
+    * — correctly-rounded IEEE and therefore bit-reproducible across
+    * engines (`pow(x, 0.5)` is not). The denominator folds the
+    * per-domain terms in DOMAIN ORDER through a running-sum window
+    * (sum of doubles is order-dependent; pinning the order makes any
+    * engine produce the identical fold). One corpus aggregation, then
+    * windows over #domains rows — the single-partition window is fine
+    * because its input IS the domain list, never the corpus.
+    */
+  def mixtureTemperature(df: DataFrame, domainCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n"))
+    val full = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val runTo = Window.orderBy(col("domain")).rowsBetween(
+      Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("total", sum(col("n")).over(full)) // exact longs: order-free
+      .withColumn("share", col("n").cast("double") / col("total"))
+      .withColumn("sw", sqrt(col("share")))
+      .withColumn("cum", sum(col("sw")).over(runTo))
+      // sw > 0, so the running sum is monotone: max == the final fold
+      .withColumn("denom", max(col("cum")).over(full))
+      .select(col("domain"), col("n"), col("share"),
+        (col("sw") / col("denom")).as("weight"),
+        (col("sw") / col("denom") * col("total").cast("double") / col("n"))
+          .as("epochs"))
+  }
+
   /** ForkOperator (gobblin-api/.../fork/ForkOperator.java:36; stream impl
     * fork/Forker.java:44-101): route each record to 0..N branches. The
     * Spark shape is cache-once + N filtered branches; callers write each

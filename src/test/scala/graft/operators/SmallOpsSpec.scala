@@ -11,6 +11,22 @@ import graft.sink.{Publisher, SinkSpec}
 class SmallOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mixtureTemperature: weights normalize, α=0.5 flattens the mix") {
+    val df = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).toDF("domain")
+    val out = Converters.mixtureTemperature(df, "domain")
+      .orderBy("domain").collect()
+    val byDom = out.map(r => r.getString(0) ->
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (nB, shB, wB, epB) = byDom("big")
+    val (nS, shS, wS, epS) = byDom("small")
+    assert(nB == 90 && nS == 10 && shB == 0.9 && shS == 0.1)
+    assert(math.abs(wB + wS - 1.0) < 1e-12) // weights normalize
+    // sqrt temperature: 0.75 vs 0.25 — flatter than 0.9/0.1
+    assert(math.abs(wB - 0.75) < 1e-12 && math.abs(wS - 0.25) < 1e-12)
+    assert(math.abs(epB - 0.75 * 100 / 90) < 1e-12) // big downsampled
+    assert(math.abs(epS - 2.5) < 1e-12) // small repeated 2.5 epochs
+  }
+
   test("retrieveField extracts a nested field as the record") {
     val df = Seq((1L, ("x", 2.5))).toDF("id", "s")
       .select($"id", $"s".cast("struct<a:string,b:double>"))
