@@ -20,6 +20,11 @@ object OperatorGates6 {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** 16 out-of-vocabulary tokens planted on every 7th document by the
+    * governed-pipeline gate (single source of truth for both engines).
+    */
+  val Garble: String = Seq.fill(8)("zzq qzz").mkString(" ", " ", "")
+
   def queries6: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- config store resolve (ref gobblin-config-management:
@@ -200,6 +205,61 @@ object OperatorGates6 {
         .orderBy(col("step"))
     }),
 
+    // --- wave-6 flagship: GOVERNED corpus pipeline — per-language
+    //     quality floors come from the CONFIG STORE (strict tag
+    //     imported by en/de, root default for the rest), documents are
+    //     scored by the bigram LM, filtered against their language's
+    //     resolved floor, and the survivors rebalanced to a uniform
+    //     mix. Each stage is the real operator; one oracle replays
+    //     resolution, LM arithmetic, filter, and sampling ------------
+    "q_governed_pipeline" -> ((s, dir) => {
+      import graft.functions.NgramLm
+      import graft.runner.ConfigStore
+      import graft.runner.ConfigStore.Node
+      val tmp = tmpDir("graft_gov")
+      val docs = t(s, dir, "documents")
+      val langs = docs.select(col("lang")).distinct()
+        .collect().map(_.getString(0)).sorted // language registry: bounded
+      val nodes = Map(
+        "/" -> Node(Vector("lm.min_hit_ratio" -> "0.05")),
+        "/tags" -> Node(),
+        "/tags/strict" -> Node(Vector("lm.min_hit_ratio" -> "0.9")),
+        "/corpora" -> Node()) ++ langs.map { l =>
+        val imp = if (l == "en" || l == "de") Vector("/tags/strict")
+                  else Vector.empty[String]
+        s"/corpora/$l" -> Node(Vector.empty, imp)
+      }.toMap
+      ConfigStore.deployFs(tmp, "v1", nodes)
+      val thr = ConfigStore.openFs(tmp)
+        .resolveAll(s, langs.map(l => s"/corpora/$l").toSeq)
+        .filter(col("key") === "lm.min_hit_ratio")
+        .select(regexp_extract(col("path"), "/corpora/(.*)", 1).as("lang"),
+          col("value").cast("double").as("thr"))
+      // plant garble on every 7th doc: the LM trains on CLEAN en text
+      // (CCNet's clean reference corpus), so planted docs score a low
+      // hit ratio and the strict floor actually BITES on en/de
+      val docsScored = docs.withColumn("text2",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(OperatorGates6.Garble)))
+          .otherwise(col("text")))
+      val lm = NgramLm.train(docs.filter(col("lang") === "en"), "text")
+      val scored = NgramLm.score(docsScored, "doc_id", "text2", lm)
+        .withColumnRenamed("id", "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val passed = scored.join(broadcast(thr), Seq("lang"))
+        .filter(col("hit_ratio") >= col("thr"))
+        .select(col("doc_id"), col("lang"))
+        .persist() // rebalance derives fractions from survivor counts
+      val sampled = Converters.rebalanceToTargetMix(passed, "lang", "doc_id")
+      docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+        .join(passed.groupBy(col("lang")).agg(count(lit(1)).as("np")), Seq("lang"), "left")
+        .join(sampled.groupBy(col("lang")).agg(count(lit(1)).as("ns")), Seq("lang"), "left")
+        .select(col("lang"), col("n_total"),
+          coalesce(col("np"), lit(0L)).as("n_passed"),
+          coalesce(col("ns"), lit(0L)).as("n_sampled"))
+        .orderBy(col("lang"))
+    }),
+
     // --- n-gram LM quality scoring (CCNet-style filter): bigram LM
     //     trained on the lang='en' slice, every document scored by
     //     token OOV, bigram hit rate, and the conditional-probability
@@ -244,6 +304,48 @@ object OperatorGates6 {
         |) ORDER BY path, key""".stripMargin,
 
     "q_bpe_merges" -> OracleSql.bpeMerges(6),
+
+    "q_governed_pipeline" ->
+      s"""WITH ${OracleSql.lmCtes(
+        s"text || CASE WHEN doc_id % 7 = 0 THEN '${OperatorGates6.Garble}' ELSE '' END")},
+        |sc AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CASE WHEN coalesce(h.n_bigrams, 0) > 0
+        |         THEN CAST(coalesce(h.n_hits, 0) AS DOUBLE) / h.n_bigrams
+        |    END AS hit_ratio
+        |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id),
+        |thr AS (
+        |  SELECT lang,
+        |    CASE WHEN lang IN ('en', 'de') THEN CAST('0.9' AS DOUBLE)
+        |         ELSE CAST('0.05' AS DOUBLE) END AS thr
+        |  FROM (SELECT DISTINCT lang FROM documents)),
+        |passed AS (
+        |  SELECT s.doc_id, s.lang FROM sc s JOIN thr ON s.lang = thr.lang
+        |  WHERE s.hit_ratio >= thr.thr),
+        |c AS (SELECT lang, count(*) AS n FROM passed GROUP BY lang),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total, count(*) AS k FROM c),
+        |f AS (
+        |  SELECT lang, least(CAST(1.0 AS DOUBLE),
+        |    (CAST(1.0 AS DOUBLE) / k) / (CAST(n AS DOUBLE) / total)) AS frac
+        |  FROM c, tot),
+        |cuts AS (
+        |  SELECT lang, CASE WHEN frac >= 1.0 THEN 'g'
+        |    ELSE printf('%04x',
+        |      CAST(least(round(frac * 65536), 65535) AS BIGINT)) END AS cut
+        |  FROM f),
+        |sampled AS (
+        |  SELECT p.lang, count(*) AS n FROM passed p
+        |  JOIN cuts ON p.lang = cuts.lang
+        |  WHERE substring(md5('graft' || '|' || CAST(p.doc_id AS VARCHAR)), 1, 4)
+        |        < cuts.cut
+        |  GROUP BY p.lang)
+        |SELECT b.lang, b.n_total,
+        |  coalesce(c.n, 0) AS n_passed,
+        |  coalesce(sampled.n, 0) AS n_sampled
+        |FROM (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang) b
+        |LEFT JOIN c ON b.lang = c.lang
+        |LEFT JOIN sampled ON b.lang = sampled.lang
+        |ORDER BY b.lang""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH c AS (
@@ -327,33 +429,7 @@ object OperatorGates6 {
         |) ORDER BY branch""".stripMargin,
 
     "q_lm_quality" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang,
-        |    list_filter(string_split(coalesce(text, ''), ' '), x -> len(x) > 0) AS l
-        |  FROM documents),
-        |tr AS (SELECT l FROM toks WHERE lang = 'en'),
-        |uni AS (
-        |  SELECT w, count(*) AS cu
-        |  FROM (SELECT unnest(l) AS w FROM tr) GROUP BY w),
-        |bi AS (
-        |  SELECT bg, count(*) AS cb FROM (
-        |    SELECT unnest(list_transform(range(1, len(l)),
-        |      i -> l[i] || ' ' || l[i + 1])) AS bg FROM tr) GROUP BY bg),
-        |prob AS (
-        |  SELECT b.bg, CAST(b.cb AS DOUBLE) / u.cu AS p
-        |  FROM bi b JOIN uni u ON string_split(b.bg, ' ')[1] = u.w),
-        |tk AS (SELECT doc_id, unnest(l) AS w FROM toks),
-        |oov AS (
-        |  SELECT t.doc_id, count(*) AS n_tokens,
-        |         count(*) FILTER (u.w IS NULL) AS n_oov
-        |  FROM tk t LEFT JOIN uni u ON t.w = u.w GROUP BY t.doc_id),
-        |dbg AS (
-        |  SELECT doc_id, unnest(list_transform(range(1, len(l)),
-        |    i -> l[i] || ' ' || l[i + 1])) AS bg FROM toks),
-        |hits AS (
-        |  SELECT g.doc_id, count(*) AS n_bigrams, count(p.p) AS n_hits,
-        |         min(p.p) AS min_prob
-        |  FROM dbg g LEFT JOIN prob p ON g.bg = p.bg GROUP BY g.doc_id)
+      s"""WITH ${OracleSql.lmCtes()}
         |SELECT d.doc_id,
         |  coalesce(o.n_tokens, 0) AS n_tokens,
         |  coalesce(o.n_oov, 0) AS n_oov,

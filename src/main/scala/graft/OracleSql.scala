@@ -575,6 +575,45 @@ object OracleSql {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Shared bigram-LM CTE chain (graft.functions.NgramLm): tokenize,
+    * fit on the CLEAN lang='en' slice, attach per-bigram conditional
+    * probabilities, and score every document's bigrams and tokens.
+    * `scoreText` lets the governed-pipeline flagship score a perturbed
+    * text expression while the LM itself stays fit on clean text.
+    */
+  def lmCtes(scoreText: String = "text"): String =
+    s"""toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split(coalesce($scoreText, ''), ' '),
+      |                x -> len(x) > 0) AS l
+      |  FROM documents),
+      |tr AS (
+      |  SELECT list_filter(string_split(coalesce(text, ''), ' '),
+      |                     x -> len(x) > 0) AS l
+      |  FROM documents WHERE lang = 'en'),
+      |uni AS (
+      |  SELECT w, count(*) AS cu
+      |  FROM (SELECT unnest(l) AS w FROM tr) GROUP BY w),
+      |bi AS (
+      |  SELECT bg, count(*) AS cb FROM (
+      |    SELECT unnest(list_transform(range(1, len(l)),
+      |      i -> l[i] || ' ' || l[i + 1])) AS bg FROM tr) GROUP BY bg),
+      |prob AS (
+      |  SELECT b.bg, CAST(b.cb AS DOUBLE) / u.cu AS p
+      |  FROM bi b JOIN uni u ON string_split(b.bg, ' ')[1] = u.w),
+      |tk AS (SELECT doc_id, unnest(l) AS w FROM toks),
+      |oov AS (
+      |  SELECT t.doc_id, count(*) AS n_tokens,
+      |         count(*) FILTER (u.w IS NULL) AS n_oov
+      |  FROM tk t LEFT JOIN uni u ON t.w = u.w GROUP BY t.doc_id),
+      |dbg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(l)),
+      |    i -> l[i] || ' ' || l[i + 1])) AS bg FROM toks),
+      |hits AS (
+      |  SELECT g.doc_id, count(*) AS n_bigrams, count(p.p) AS n_hits,
+      |         min(p.p) AS min_prob
+      |  FROM dbg g LEFT JOIN prob p ON g.bg = p.bg GROUP BY g.doc_id)""".stripMargin
+
   /** BPE merge induction replay (graft.functions.Bpe): k chained CTE
     * layers, each recomputing the weighted pair counts over the
     * current word-dictionary segmentation, taking the (count DESC,

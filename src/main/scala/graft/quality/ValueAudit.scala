@@ -29,10 +29,13 @@ object ValueAudit {
     */
   def rowSample(keyCol: Column, fraction: Double, seed: String = "audit"): Column = {
     require(fraction >= 0 && fraction <= 1, s"bad audit fraction $fraction")
-    val cut = f"${math.round(fraction * 65536).min(65535)}%04x"
-    // hex-string compare, the Splits trick: any engine with md5 +
-    // string ordering replays it exactly
-    substring(md5(concat_ws("|", lit(seed), keyCol)), 1, 4) < lit(cut)
+    if (fraction >= 1.0) lit(true) // a capped hex cut would drop ~1/65536
+    else {
+      val cut = f"${math.round(fraction * 65536).min(65535)}%04x"
+      // hex-string compare, the Splits trick: any engine with md5 +
+      // string ordering replays it exactly
+      substring(md5(concat_ws("|", lit(seed), keyCol)), 1, 4) < lit(cut)
+    }
   }
 
   /** Snapshot one phase: select audit rows, project audit columns,

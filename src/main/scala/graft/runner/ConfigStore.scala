@@ -85,6 +85,12 @@ object ConfigStore {
     nodes.foreach { case (rawPath, node) =>
       val p = normalize(rawPath)
       if (p == "/") require(node.imports.isEmpty, "root node may not import")
+      node.props.foreach { case (k, v) =>
+        require(!k.contains("=") && !k.contains("\n") && !v.contains("\n"),
+          s"config key/value not representable in $MainConfName: $k=$v")
+      }
+      node.imports.foreach(i => require(!i.contains("\n"),
+        s"import path not representable in $IncludesConfName: $i"))
       val dir = if (p == "/") vRoot else new Path(vRoot, p.stripPrefix("/"))
       fs.mkdirs(dir)
       if (node.props.nonEmpty)

@@ -123,4 +123,33 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1)
     assert("\\bExchange\\b".r.findAllIn(p).size <= 1)
   }
+
+  test("lm quality: LM rides hash equi-joins, no cartesian/BNLJ") {
+    val p = plan("q_lm_quality")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LM scoring must stay equi-join shaped:\n$p")
+    assert(!p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"))
+  }
+
+  test("config retention: config and dims broadcast onto the fact scan") {
+    val p = plan("q_config_retention")
+    // nation dim, max-watermark row, and the resolved-config table all
+    // broadcast — the events scan shuffles only for the final group-by
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("value audit: single-pass diff — one join, one aggregation") {
+    val p = plan("q_value_audit")
+    assert("\\bHashAggregate\\b".r.findAllIn(p).size <= 4, // partial+final x2 max
+      "per-column diff must not fan out into per-column aggregations")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("mix temperature: corpus aggregated once; windows see only domains") {
+    val p = plan("q_mix_temperature")
+    assert("Scan parquet".r.findAllIn(p).size == 1,
+      "mixture weights must read the corpus exactly once")
+  }
 }

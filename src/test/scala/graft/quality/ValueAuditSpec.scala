@@ -18,6 +18,8 @@ class ValueAuditSpec extends SparkSpec {
     val again = df.filter(ValueAudit.rowSample(col("id"), 0.25)).count()
     assert(kept == again)
     assert(df.filter(ValueAudit.rowSample(col("id"), 0.0)).count() == 0)
+    // fraction 1.0 keeps EVERY row (a capped hex cut would leak ~1/65536)
+    assert(df.filter(ValueAudit.rowSample(col("id"), 1.0)).count() == 4096)
   }
 
   test("compare counts per-column mismatches, null flips, and drops") {

@@ -83,6 +83,18 @@ class ConfigStoreSpec extends SparkSpec {
     assert(cs.importsRecursively("/d/ds") == List("/t1", "/t2", "/", "/d"))
   }
 
+  test("deploy rejects keys/values the line format cannot represent") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cfgbad").toString
+    intercept[IllegalArgumentException] {
+      ConfigStore.deployFs(tmp, "v1",
+        Map("/d" -> Node(Vector("a=b" -> "1"))))
+    }
+    intercept[IllegalArgumentException] {
+      ConfigStore.deployFs(tmp, "v1",
+        Map("/d" -> Node(Vector("k" -> "line1\nline2"))))
+    }
+  }
+
   test("FS deploy round-trips and the CURRENT version wins") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cfgstore").toString
     val v1 = Map(
