@@ -107,6 +107,58 @@ object OperatorGates6 {
       Lineage.load(s, store, Seq("lineage_job")).orderBy(col("branch"))
     }),
 
+    // --- Z-order layout keys (data skipping at 100 TB): Morton-
+    //     interleave two 16-bit dimensions with native bit columns,
+    //     bucket by key prefix, and report each bucket's span in BOTH
+    //     dimensions — the per-bucket min/max that row-group pruning
+    //     would use. Oracle replays the interleave with integer bit
+    //     ops ------------------------------------------------------
+    "q_zorder_layout" -> ((s, dir) => {
+      import graft.functions.ZOrder
+      val x = pmod(col("user_id"), lit(65536)).cast("long")
+      val y = pmod(floor(col("value") * 1000).cast("long"), lit(65536))
+      t(s, dir, "events")
+        .select(ZOrder.zkey16(x, y).as("z"), x.as("x"), y.as("y"))
+        .withColumn("zbucket", shiftright(col("z"), 22))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("zbucket"))
+    }),
+
+    // --- streaming exactly-once (6th streaming gate): foreachBatch
+    //     ingest with atomic partition overwrite, run TWICE — the
+    //     second run replays the whole stream from a fresh checkpoint
+    //     (a crash that lost the checkpoint after publish). Counts
+    //     must match a single batch pass: replay converges instead of
+    //     duplicating. Oracle = the batch aggregation over events ----
+    "q_stream_exactly_once" -> ((s, dir) => {
+      import graft.state.FsStateStore
+      import graft.streaming.StreamingIngest
+      val tmp = tmpDir("graft_feb")
+      val events = t(s, dir, "events")
+      events.write.parquet(s"$tmp/in")
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val store = new FsStateStore(s"$tmp/state")
+      def runOnce(ckpt: String): Unit = {
+        val stream = StreamingIngest.readFileStream(s, schema, s"$tmp/in")
+        val q = StreamingIngest.ingestForeachBatch(stream, schema, store,
+          "events_eo", ops = Seq(Converters.withTimePartition("ts")),
+          stagingDir = s"$tmp/staging", outputDir = s"$tmp/out",
+          partitionBy = Seq("date_key"))
+          .option("checkpointLocation", ckpt).start()
+        q.processAllAvailable(); q.stop()
+      }
+      runOnce(s"$tmp/ckpt1")
+      runOnce(s"$tmp/ckpt2") // full replay, fresh checkpoint
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_v_milli"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- temperature mixture weights (UniMax/T5 α=0.5): per-language
     //     sampling weights and epochs from one corpus aggregation;
     //     sqrt + order-pinned running-sum normalization keep every
@@ -346,6 +398,31 @@ object OperatorGates6 {
         |LEFT JOIN c ON b.lang = c.lang
         |LEFT JOIN sampled ON b.lang = sampled.lang
         |ORDER BY b.lang""".stripMargin,
+
+    "q_zorder_layout" ->
+      """WITH b0 AS (
+        |  SELECT (CAST(user_id AS BIGINT) % 65536) AS x,
+        |         (CAST(floor(value * 1000) AS BIGINT) % 65536) AS y
+        |  FROM events),
+        |s1 AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xs,
+        |                    (y | (y << 8)) & 16711935 AS ys FROM b0),
+        |s2 AS (SELECT x, y, (xs | (xs << 4)) & 252645135 AS xs,
+        |                    (ys | (ys << 4)) & 252645135 AS ys FROM s1),
+        |s3 AS (SELECT x, y, (xs | (xs << 2)) & 858993459 AS xs,
+        |                    (ys | (ys << 2)) & 858993459 AS ys FROM s2),
+        |s4 AS (SELECT x, y, (xs | (xs << 1)) & 1431655765 AS xs,
+        |                    (ys | (ys << 1)) & 1431655765 AS ys FROM s3),
+        |z AS (SELECT x, y, (xs | (ys << 1)) AS z FROM s4)
+        |SELECT (z >> 22) AS zbucket, count(*) AS n,
+        |  min(x) AS min_x, max(x) AS max_x,
+        |  min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin,
+
+    "q_stream_exactly_once" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS sum_v_milli
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH c AS (
