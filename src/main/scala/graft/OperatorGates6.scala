@@ -107,6 +107,25 @@ object OperatorGates6 {
       Lineage.load(s, store, Seq("lineage_job")).orderBy(col("branch"))
     }),
 
+    // --- inverted index build (decontamination/search substrate):
+    //     token -> (document frequency, first-k posting list). The
+    //     posting list is MinKLongs — a deterministic bounded collect,
+    //     so a stopword token costs O(k) aggregation memory instead of
+    //     O(corpus), and the oracle replays it as sorted-list-prefix -
+    "q_inverted_index" -> ((s, dir) => {
+      import graft.functions.{MinKLongs, Text}
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(Text.tokens(coalesce(col("text"), lit("")))))
+            .as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("df"), MinKLongs(col("doc_id"), 8).as("p"))
+        .filter(col("df") >= 50)
+        .select(col("token"), col("df"),
+          concat_ws(",", transform(col("p"), _.cast("string"))).as("postings"))
+        .orderBy(col("token"))
+    }),
+
     // --- Z-order layout keys (data skipping at 100 TB): Morton-
     //     interleave two 16-bit dimensions with native bit columns,
     //     bucket by key prefix, and report each bucket's span in BOTH
@@ -398,6 +417,17 @@ object OperatorGates6 {
         |LEFT JOIN c ON b.lang = c.lang
         |LEFT JOIN sampled ON b.lang = sampled.lang
         |ORDER BY b.lang""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_filter(string_split(coalesce(text, ''), ' '),
+        |                x -> len(x) > 0))) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:8], ',') AS postings
+        |FROM tok GROUP BY token HAVING count(*) >= 50
+        |ORDER BY token""".stripMargin,
 
     "q_zorder_layout" ->
       """WITH b0 AS (
