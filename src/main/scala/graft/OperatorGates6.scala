@@ -107,6 +107,32 @@ object OperatorGates6 {
       Lineage.load(s, store, Seq("lineage_job")).orderBy(col("branch"))
     }),
 
+    // --- job lock (ref gobblin-runtime FileBasedJobLock.java:40):
+    //     one run of a named job at a time — attempt 1 runs under the
+    //     lock, attempt 2 is denied while a second holder has it,
+    //     attempt 3 runs after release. n_rows is real work done
+    //     under the lock --------------------------------------------
+    "q_job_lock" -> ((s, dir) => {
+      import graft.runner.JobLock
+      import s.implicits._
+      val dir0 = tmpDir("graft_joblock")
+      val runner = new JobLock(dir0, "agg_job")
+      val other = new JobLock(dir0, "agg_job")
+      def runJob(): Long =
+        t(s, dir, "events").filter(col("event_type") === "purchase").count()
+      val r1 = runner.withLock(runJob())
+      require(other.tryAcquire(), "second holder must acquire after release")
+      val r2 = runner.withLock(runJob())
+      require(r2.isEmpty, "run must be denied while the lock is held")
+      other.release()
+      val r3 = runner.withLock(runJob())
+      Seq(
+        (1, r1.isDefined, r1.getOrElse(0L)),
+        (2, r2.isDefined, r2.getOrElse(0L)),
+        (3, r3.isDefined, r3.getOrElse(0L)))
+        .toDF("attempt", "acquired", "n_rows").orderBy(col("attempt"))
+    }),
+
     // --- inverted index build (decontamination/search substrate):
     //     token -> (document frequency, first-k posting list). The
     //     posting list is MinKLongs — a deterministic bounded collect,
@@ -417,6 +443,15 @@ object OperatorGates6 {
         |LEFT JOIN c ON b.lang = c.lang
         |LEFT JOIN sampled ON b.lang = sampled.lang
         |ORDER BY b.lang""".stripMargin,
+
+    "q_job_lock" ->
+      """WITH p AS (
+        |  SELECT count(*) AS n FROM events WHERE event_type = 'purchase')
+        |SELECT attempt, acquired, n_rows FROM (
+        |  SELECT 1 AS attempt, true AS acquired, n AS n_rows FROM p
+        |  UNION ALL SELECT 2, false, 0
+        |  UNION ALL SELECT 3, true, n FROM p
+        |) ORDER BY attempt""".stripMargin,
 
     "q_inverted_index" ->
       """WITH tok AS (
