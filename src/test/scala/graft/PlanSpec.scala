@@ -152,4 +152,20 @@ class PlanSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(p).size == 1,
       "mixture weights must read the corpus exactly once")
   }
+
+  test("zorder: pure bit-op projection + one aggregation, no join") {
+    val p = plan("q_zorder_layout")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join"))
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      "bucket spans lost their map-side partial")
+  }
+
+  test("inverted index: single scan, bounded collect keeps map-side partial") {
+    val p = plan("q_inverted_index")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(p.contains("min_k_longs"), "bounded posting aggregate missing")
+    assert(p.contains("partial_min_k_longs") || p.contains("partial_"),
+      "min-k must combine map-side (the whole point of the bound)")
+  }
 }
