@@ -357,6 +357,30 @@ object OperatorGates6 {
         .orderBy(col("lang"))
     }),
 
+    // --- BPE encode (the tokenizer's other half): merges learned on
+    //     the en dictionary applied to the WHOLE corpus dictionary,
+    //     per-language fertility (pieces per word) reported. Encoding
+    //     joins tokens to the vocab-sized encoded dict — one shuffle
+    //     over the corpus, merges never touch it --------------------
+    "q_bpe_encode" -> ((s, dir) => {
+      import graft.functions.Bpe
+      val docs = t(s, dir, "documents")
+      val merges = Bpe.learnMerges(
+        Bpe.wordDict(docs.filter(col("lang") === "en"), "text"), 6)
+      val encoded = Bpe.applyMerges(Bpe.wordDict(docs, "text"), merges)
+        .select(col("w"), size(col("syms")).as("pieces"))
+      docs.select(col("lang"),
+          explode(graft.functions.Text.tokens(coalesce(col("text"), lit(""))))
+            .as("w"))
+        .join(encoded, Seq("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"), sum(col("pieces")).as("n_pieces"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          (col("n_pieces").cast("double") / col("n_words"))
+            .as("pieces_per_word"))
+        .orderBy(col("lang"))
+    }),
+
     // --- n-gram LM quality scoring (CCNet-style filter): bigram LM
     //     trained on the lang='en' slice, every document scored by
     //     token OOV, bigram hit rate, and the conditional-probability
@@ -401,6 +425,8 @@ object OperatorGates6 {
         |) ORDER BY path, key""".stripMargin,
 
     "q_bpe_merges" -> OracleSql.bpeMerges(6),
+
+    "q_bpe_encode" -> OracleSql.bpeEncode(6),
 
     "q_governed_pipeline" ->
       s"""WITH ${OracleSql.lmCtes(

@@ -654,4 +654,63 @@ object OracleSql {
       .mkString("\nUNION ALL\n")
     base + ",\n" + layers.mkString(",\n") + "\n" + sel + "\nORDER BY step"
   }
+
+  /** BPE encode replay: learn k merges on the en dictionary (same
+    * layers as [[bpeMerges]]), apply them IN ORDER to the whole-corpus
+    * dictionary, and report per-language fertility (pieces per word).
+    */
+  def bpeEncode(k: Int): String = {
+    val base =
+      """WITH dtoks AS (
+        |  SELECT lang, list_filter(string_split(coalesce(text, ''), ' '),
+        |                           x -> len(x) > 0) AS l
+        |  FROM documents),
+        |words AS (
+        |  SELECT w, count(*) AS n
+        |  FROM (SELECT unnest(l) AS w FROM dtoks WHERE lang = 'en') GROUP BY w),
+        |w0 AS (SELECT n, list_append(string_split(w, ''), '</w>') AS syms
+        |       FROM words)""".stripMargin
+    val enLayers = (1 to k).map { i =>
+      s"""p$i AS (
+         |  SELECT pair, CAST(sum(n) AS BIGINT) AS c FROM (
+         |    SELECT n, unnest(list_transform(range(1, len(syms)),
+         |      j -> syms[j] || ' ' || syms[j + 1])) AS pair
+         |    FROM w${i - 1}) GROUP BY pair),
+         |t$i AS (
+         |  SELECT pair, c, string_split(pair, ' ')[1] AS a,
+         |         string_split(pair, ' ')[2] AS b
+         |  FROM p$i ORDER BY c DESC, pair LIMIT 1),
+         |w$i AS (
+         |  SELECT n, list_reduce(list_transform(syms, x -> [x]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.a
+         |                      AND x[1] = t.b
+         |                THEN list_concat(acc[1:len(acc) - 1], [t.a || t.b])
+         |                ELSE list_concat(acc, x) END) AS syms
+         |  FROM w${i - 1}, t$i t)""".stripMargin
+    }
+    val allBase =
+      """a0 AS (
+        |  SELECT w, list_append(string_split(w, ''), '</w>') AS syms
+        |  FROM (SELECT DISTINCT unnest(l) AS w FROM dtoks))""".stripMargin
+    val applyLayers = (1 to k).map { i =>
+      s"""a$i AS (
+         |  SELECT w, list_reduce(list_transform(syms, x -> [x]),
+         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.a
+         |                      AND x[1] = t.b
+         |                THEN list_concat(acc[1:len(acc) - 1], [t.a || t.b])
+         |                ELSE list_concat(acc, x) END) AS syms
+         |  FROM a${i - 1}, t$i t)""".stripMargin
+    }
+    val encCtes =
+      s"""enc AS (SELECT w, len(syms) AS pieces FROM a$k),
+         |toklang AS (SELECT lang, unnest(l) AS w FROM dtoks)""".stripMargin
+    val fin =
+      """SELECT lang, count(*) AS n_words,
+        |  CAST(sum(e.pieces) AS BIGINT) AS n_pieces,
+        |  CAST(sum(e.pieces) AS DOUBLE) / count(*) AS pieces_per_word
+        |FROM toklang t JOIN enc e ON t.w = e.w
+        |GROUP BY lang ORDER BY lang""".stripMargin
+    (Seq(base) ++ enLayers ++ Seq(allBase) ++ applyLayers ++ Seq(encCtes))
+      .mkString(",\n") + "\n" + fin
+  }
 }

@@ -27,13 +27,15 @@ object Bpe {
 
   private val EndMark = "</w>"
 
-  /** (syms, n): one row per distinct corpus word, chars + end-of-word
-    * marker, weighted by occurrence count.
+  /** (w, syms, n): one row per distinct corpus word — the word itself,
+    * its chars + end-of-word marker, and its occurrence count.
     */
   def wordDict(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(Text.tokens(coalesce(col(textCol), lit("")))).as("w"))
+    docs.select(explode(Text.tokens(coalesce(col(textCol), lit(""))))
+        .as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .select(concat(split(col("w"), ""), array(lit(EndMark))).as("syms"),
+      .select(col("w"),
+        concat(split(col("w"), ""), array(lit(EndMark))).as("syms"),
         col("n"))
 
   /** Left-greedy single-pair merge over a symbol array. */
@@ -42,6 +44,16 @@ object Bpe {
       when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(x))))
+
+  /** Apply an ordered merge list to a dictionary's symbol arrays —
+    * the ENCODE side of BPE: any corpus segments through the learned
+    * merges without refitting.
+    */
+  def applyMerges(dict: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(dict) { (df, m) =>
+      val Array(a, b) = m.pair.split(" ", 2)
+      df.withColumn("syms", applyMerge(col("syms"), a, b))
+    }
 
   /** Learn the first `k` merges. Returns them in order. */
   def learnMerges(dict: DataFrame, k: Int): Seq[Merge] = {

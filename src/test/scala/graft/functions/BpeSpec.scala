@@ -13,9 +13,21 @@ class BpeSpec extends SparkSpec {
     import spark.implicits._
     val docs = Seq("low low lower", "low").toDF("text")
     val dict = Bpe.wordDict(docs, "text").collect()
-      .map(r => r.getSeq[String](0).mkString("|") -> r.getLong(1)).toMap
-    assert(dict("l|o|w|</w>") == 3)
-    assert(dict("l|o|w|e|r|</w>") == 1)
+      .map(r => r.getSeq[String](1).mkString("|") -> (r.getString(0), r.getLong(2)))
+      .toMap
+    assert(dict("l|o|w|</w>") == (("low", 3L)))
+    assert(dict("l|o|w|e|r|</w>") == (("lower", 1L)))
+  }
+
+  test("applyMerges encodes through the learned merge sequence") {
+    import spark.implicits._
+    val docs = Seq("low low low", "low lower").toDF("text")
+    val dict = Bpe.wordDict(docs, "text")
+    val merges = Bpe.learnMerges(dict, 3) // l o -> lo w -> low </w>
+    val enc = Bpe.applyMerges(dict, merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(enc("low") == Seq("low</w>"))
+    assert(enc("lower") == Seq("low", "e", "r", "</w>"))
   }
 
   test("applyMerge is left-greedy and non-overlapping") {
