@@ -212,6 +212,26 @@ object OperatorGates6 {
       Converters.mixtureTemperature(t(s, dir, "documents"), "lang")
         .orderBy(col("domain"))),
 
+    // --- temperature resampling MATERIALIZED: every doc emitted
+    //     floor(epochs) times + a deterministic fractional copy —
+    //     rare languages repeat (epochs > 1), over-represented ones
+    //     thin out. The gate aggregates the EXPLODED corpus; the
+    //     oracle replays epochs, per-doc copy counts, and the same
+    //     aggregates analytically (never expanding rows) -------------
+    "q_temperature_resample" -> ((s, dir) => {
+      val out = Converters.temperatureResample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id")
+      out.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_out"),
+          sum(col("doc_id")).as("id_weighted_sum"))
+        .join(t(s, dir, "documents").groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_in")), Seq("lang"))
+        .select(col("lang"), col("n_in"), col("n_out"),
+          col("id_weighted_sum"))
+        .orderBy(col("lang"))
+    }),
+
     // --- config-driven retention: the reference's PRIMARY use of the
     //     config store — per-dataset retention.days resolved through
     //     tag imports, then broadcast-joined onto the fact table to
@@ -532,6 +552,39 @@ object OperatorGates6 {
         |  sw / (SELECT max(cum) FROM r) AS weight,
         |  sw / (SELECT max(cum) FROM r) * CAST(total AS DOUBLE) / n AS epochs
         |FROM r ORDER BY domain""".stripMargin,
+
+    "q_temperature_resample" ->
+      """WITH c AS (
+        |  SELECT lang AS domain, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (
+        |  SELECT domain, n,
+        |    CAST(n AS DOUBLE) / (SELECT sum(n) FROM c) AS share,
+        |    (SELECT sum(n) FROM c) AS total
+        |  FROM c),
+        |r AS (
+        |  SELECT domain, n, share, total, sqrt(share) AS sw,
+        |    sum(sqrt(share)) OVER (ORDER BY domain
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM w),
+        |e AS (
+        |  SELECT domain, n AS n_in,
+        |    sw / (SELECT max(cum) FROM r) * CAST(total AS DOUBLE) / n AS epochs
+        |  FROM r),
+        |d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(floor(e.epochs) AS BIGINT)
+        |      + CASE WHEN substring(md5('graft' || '|' ||
+        |                 CAST(doc_id AS VARCHAR)), 1, 4)
+        |              < printf('%04x', CAST(least(floor(
+        |                  (e.epochs - floor(e.epochs)) * 65536), 65535)
+        |                AS BIGINT))
+        |        THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents JOIN e ON lang = e.domain)
+        |SELECT d.lang, e2.n_in,
+        |  CAST(sum(d.n_copies) AS BIGINT) AS n_out,
+        |  CAST(sum(d.doc_id * d.n_copies) AS BIGINT) AS id_weighted_sum
+        |FROM d JOIN e e2 ON d.lang = e2.domain
+        |GROUP BY d.lang, e2.n_in ORDER BY d.lang""".stripMargin,
 
     "q_config_retention" ->
       """WITH cfg AS (

@@ -217,6 +217,35 @@ object Converters {
           .as("epochs"))
   }
 
+  /** Materialize the [[mixtureTemperature]] weights as an actual
+    * resampled corpus: every record is emitted `floor(epochs)` times
+    * plus one more with probability `frac(epochs)` (deterministic
+    * md5-threshold on the id, so replays and oracles see the same
+    * copies). Handles BOTH directions — an over-represented domain
+    * (epochs < 1) downsamples, a rare one (epochs > 1) repeats. The
+    * per-row copy count is a broadcast join + two codegen'd columns;
+    * the explode is the only fan-out.
+    */
+  def temperatureResample(df: DataFrame, domainCol: String, idCol: String,
+      seed: String = "graft"): DataFrame = {
+    val w = mixtureTemperature(df, domainCol)
+      .select(col("domain").as(domainCol), col("epochs"))
+    val base = floor(col("epochs")).cast("long")
+    val frac = col("epochs") - floor(col("epochs"))
+    // 4-hex cut built from the DATA-derived fraction (a column, not a
+    // constant): same %04x + string-compare trick as Splits
+    val cut = format_string("%04x",
+      least(floor(frac * 65536), lit(65535.0)).cast("int"))
+    val extra = when(
+      substring(md5(concat_ws("|", lit(seed), col(idCol))), 1, 4) < cut,
+      1L).otherwise(0L)
+    df.join(broadcast(w), Seq(domainCol))
+      .withColumn("n_copies", base + extra)
+      .filter(col("n_copies") > 0)
+      .select(df.columns.map(col) :+
+        explode(sequence(lit(1L), col("n_copies"))).as("rep"): _*)
+  }
+
   /** ForkOperator (gobblin-api/.../fork/ForkOperator.java:36; stream impl
     * fork/Forker.java:44-101): route each record to 0..N branches. The
     * Spark shape is cache-once + N filtered branches; callers write each

@@ -27,6 +27,27 @@ class SmallOpsSpec extends SparkSpec {
     assert(math.abs(epS - 2.5) < 1e-12) // small repeated 2.5 epochs
   }
 
+  test("temperatureResample repeats rare domains and thins common ones") {
+    val df = ((0 until 90).map(i => (i.toLong, "big")) ++
+      (100 until 110).map(i => (i.toLong, "small"))).toDF("id", "domain")
+    val out = Converters.temperatureResample(df, "domain", "id")
+    val counts = out.groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // epochs: big = .75*100/90 = 0.833 (thins), small = .25*100/10 = 2.5
+    assert(counts("big") < 90, s"big must thin: $counts")
+    assert(counts("small") > 10 && counts("small") <= 30,
+      s"small must repeat ~2.5x: $counts")
+    // every small id appears at least floor(2.5) = 2 times
+    val perId = out.filter($"domain" === "small").groupBy("id").count()
+      .collect().map(_.getLong(1))
+    assert(perId.forall(c => c == 2 || c == 3))
+    // deterministic: second run is identical
+    val again = Converters.temperatureResample(df, "domain", "id")
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == counts)
+  }
+
   test("retrieveField extracts a nested field as the record") {
     val df = Seq((1L, ("x", 2.5))).toDF("id", "s")
       .select($"id", $"s".cast("struct<a:string,b:double>"))
