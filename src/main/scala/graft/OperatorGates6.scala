@@ -107,6 +107,31 @@ object OperatorGates6 {
       Lineage.load(s, store, Seq("lineage_job")).orderBy(col("branch"))
     }),
 
+    // --- mergeable HLL sketches (Datasketches via Spark natives):
+    //     per-type user sketches UNION into a global estimate without
+    //     re-scanning — the property that lets 1000 executors sketch
+    //     independently. Gate checks each estimate against the exact
+    //     count within the sketch's error bound ---------------------
+    "q_sketch_union" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "events")
+      val perType = e.groupBy(col("event_type"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"),
+          count_distinct(col("user_id")).as("n_exact"))
+        .persist()
+      val typeRows = perType
+        .select(col("event_type").as("scope"), col("n_exact"),
+          (abs(hll_sketch_estimate(col("sk")) - col("n_exact"))
+            <= col("n_exact") * 0.05).as("est_in_bound"))
+      val allRow = perType
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .crossJoin(e.agg(count_distinct(col("user_id")).as("n_exact")))
+        .select(lit("__all__").as("scope"), col("n_exact"),
+          (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05)
+            .as("est_in_bound"))
+      typeRows.unionAll(allRow).orderBy(col("scope"))
+    }),
+
     // --- job lock (ref gobblin-runtime FileBasedJobLock.java:40):
     //     one run of a named job at a time — attempt 1 runs under the
     //     lock, attempt 2 is denied while a second holder has it,
@@ -489,6 +514,16 @@ object OperatorGates6 {
         |LEFT JOIN c ON b.lang = c.lang
         |LEFT JOIN sampled ON b.lang = sampled.lang
         |ORDER BY b.lang""".stripMargin,
+
+    "q_sketch_union" ->
+      """SELECT scope, n_exact, est_in_bound FROM (
+        |  SELECT event_type AS scope,
+        |         count(DISTINCT user_id) AS n_exact,
+        |         true AS est_in_bound
+        |  FROM events GROUP BY event_type
+        |  UNION ALL
+        |  SELECT '__all__', count(DISTINCT user_id), true FROM events
+        |) ORDER BY scope""".stripMargin,
 
     "q_job_lock" ->
       """WITH p AS (
