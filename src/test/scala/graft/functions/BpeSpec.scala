@@ -55,6 +55,29 @@ class BpeSpec extends SparkSpec {
     assert(merges(2).pair == "low </w>" && merges(2).count == 4)
   }
 
+  test("property: the Spark merge HOF equals a plain Scala greedy fold") {
+    import spark.implicits._
+    def refMerge(syms: Seq[String], a: String, b: String): Seq[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b)
+          acc.init :+ (a + b)
+        else acc :+ x
+      }
+    val rnd = new scala.util.Random(0xB9E)
+    val alphabet = Vector("a", "b", "c", "ab", "bc")
+    val cases = Seq.fill(300)(
+      Seq.fill(1 + rnd.nextInt(10))(alphabet(rnd.nextInt(alphabet.size))))
+    val pairs = Seq(("a", "b"), ("b", "b"), ("ab", "c"), ("c", "a"))
+    for ((a, b) <- pairs) {
+      val got = cases.toDF("syms")
+        .select(Bpe.applyMerge(col("syms"), a, b).as("m"))
+        .collect().map(_.getSeq[String](0))
+      cases.zip(got).foreach { case (in, out) =>
+        assert(out == refMerge(in, a, b), s"merge($a,$b) on $in")
+      }
+    }
+  }
+
   test("merged symbols chain across steps (merges compose)") {
     import spark.implicits._
     val docs = Seq("aaaa aaaa").toDF("text")

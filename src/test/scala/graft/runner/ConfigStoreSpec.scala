@@ -117,6 +117,49 @@ class ConfigStoreSpec extends SparkSpec {
     assert(old.resolve("/data/ds")("retention.days") == "1")
   }
 
+  test("property: resolution invariants over 300 random stores") {
+    val rnd = new scala.util.Random(0xC0F6)
+    val universe = Vector("/a", "/b", "/c", "/a/x", "/a/y", "/b/z", "/a/x/p")
+    val keys = Vector("k0", "k1", "k2", "k3")
+    for (_ <- 1 to 300) {
+      val paths = "/" +: rnd.shuffle(universe).take(2 + rnd.nextInt(5))
+      val nodes = paths.map { p =>
+        val props = keys.filter(_ => rnd.nextBoolean())
+          .map(k => k -> s"$p#$k").toVector
+        val imports =
+          if (p == "/") Vector.empty[String]
+          else rnd.shuffle(paths.filterNot(_ == p))
+            .take(rnd.nextInt(3)).toVector // cycles allowed
+        p -> Node(props, imports)
+      }.toMap
+      val cs = ConfigStore.inMemory(nodes)
+      for (p <- paths) {
+        val res = cs.resolveWithOrigin(p)
+        val byKey = res.map(r => r.key -> r).toMap
+        // own props always win, attributed to self
+        nodes(p).props.foreach { case (k, v) =>
+          assert(byKey(k).value == v && byKey(k).origin == p, s"own@$p/$k")
+        }
+        // every resolved value really exists at its claimed origin
+        res.foreach { r =>
+          assert(nodes.getOrElse(r.origin, Node()).props
+            .contains(r.key -> r.value), s"origin@$p/${r.key}")
+        }
+        // first import's own props beat everything except own
+        val ownKeys = nodes(p).props.map(_._1).toSet
+        nodes(p).imports.headOption.foreach { fi =>
+          nodes.getOrElse(ConfigStore.normalize(fi), Node()).props
+            .filterNot { case (k, _) => ownKeys(k) }
+            .foreach { case (k, v) =>
+              assert(byKey(k).value == v, s"first-import@$p/$k")
+            }
+        }
+        // deterministic
+        assert(cs.resolveWithOrigin(p) == res)
+      }
+    }
+  }
+
   test("resolveAll emits the broadcast-joinable long table") {
     val cs = store(
       "/" -> Node(Vector("r" -> "root")),
