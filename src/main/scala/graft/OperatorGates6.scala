@@ -115,10 +115,11 @@ object OperatorGates6 {
     "q_sketch_union" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "events")
+      // no persist: perType is a 5-row aggregate, recomputing beats
+      // pinning cache blocks in the shared gate session
       val perType = e.groupBy(col("event_type"))
         .agg(hll_sketch_agg(col("user_id")).as("sk"),
           count_distinct(col("user_id")).as("n_exact"))
-        .persist()
       val typeRows = perType
         .select(col("event_type").as("scope"), col("n_exact"),
           (abs(hll_sketch_estimate(col("sk")) - col("n_exact"))
@@ -388,10 +389,15 @@ object OperatorGates6 {
       val scored = NgramLm.score(docsScored, "doc_id", "text2", lm)
         .withColumnRenamed("id", "doc_id")
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      val passed = scored.join(broadcast(thr), Seq("lang"))
+      // materialize survivors to a temp tree instead of persist():
+      // rebalance collects survivor counts AND the returned plan joins
+      // the set three times — parquet re-reads are cheap and leave no
+      // cache blocks pinned in the shared gate session
+      scored.join(broadcast(thr), Seq("lang"))
         .filter(col("hit_ratio") >= col("thr"))
         .select(col("doc_id"), col("lang"))
-        .persist() // rebalance derives fractions from survivor counts
+        .write.parquet(s"$tmp/passed")
+      val passed = s.read.parquet(s"$tmp/passed")
       val sampled = Converters.rebalanceToTargetMix(passed, "lang", "doc_id")
       docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
         .join(passed.groupBy(col("lang")).agg(count(lit(1)).as("np")), Seq("lang"), "left")

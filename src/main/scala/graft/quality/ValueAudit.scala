@@ -27,16 +27,12 @@ object ValueAudit {
   /** Keep rows whose 4-hex md5 prefix of (seed|key) falls under
     * `fraction` — the same engine-portable policy Splits uses.
     */
-  def rowSample(keyCol: Column, fraction: Double, seed: String = "audit"): Column = {
-    require(fraction >= 0 && fraction <= 1, s"bad audit fraction $fraction")
-    if (fraction >= 1.0) lit(true) // a capped hex cut would drop ~1/65536
-    else {
-      val cut = f"${math.round(fraction * 65536).min(65535)}%04x"
-      // hex-string compare, the Splits trick: any engine with md5 +
-      // string ordering replays it exactly
-      substring(md5(concat_ws("|", lit(seed), keyCol)), 1, 4) < lit(cut)
-    }
-  }
+  def rowSample(keyCol: Column, fraction: Double, seed: String = "audit"): Column =
+    // the ONE cut formula (Converters.fractionCut: %04x hex compare,
+    // 'g' keep-all sentinel) — a second copy here would let the audit
+    // policy and its oracle drift from the sampling family
+    substring(md5(concat_ws("|", lit(seed), keyCol)), 1, 4) <
+      lit(graft.operators.Converters.fractionCut(fraction))
 
   /** Snapshot one phase: select audit rows, project audit columns,
     * write to the phase directory. Returns the snapshot path.

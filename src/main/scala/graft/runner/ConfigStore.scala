@@ -86,11 +86,16 @@ object ConfigStore {
       val p = normalize(rawPath)
       if (p == "/") require(node.imports.isEmpty, "root node may not import")
       node.props.foreach { case (k, v) =>
-        require(!k.contains("=") && !k.contains("\n") && !v.contains("\n"),
-          s"config key/value not representable in $MainConfName: $k=$v")
+        // the line format trims and drops '#' comments on read-back —
+        // anything that would not round-trip identically is rejected
+        require(k == k.trim && k.nonEmpty && !k.startsWith("#") &&
+          !k.contains("=") && !k.contains("\n") &&
+          v == v.trim && !v.contains("\n"),
+          s"config key/value not representable in $MainConfName: '$k'='$v'")
       }
-      node.imports.foreach(i => require(!i.contains("\n"),
-        s"import path not representable in $IncludesConfName: $i"))
+      node.imports.foreach(i => require(
+        i == i.trim && i.startsWith("/") && !i.contains("\n"),
+        s"import path not representable in $IncludesConfName: '$i'"))
       val dir = if (p == "/") vRoot else new Path(vRoot, p.stripPrefix("/"))
       fs.mkdirs(dir)
       if (node.props.nonEmpty)
@@ -134,7 +139,11 @@ object ConfigStore {
         }
       }
       val imports = readLines(fs, new Path(dir, IncludesConfName))
-        .map(_.trim).filter(_.nonEmpty).map(normalize)
+        .map(_.trim).filter(_.nonEmpty).map { raw =>
+          require(raw.startsWith("/"),
+            s"non-absolute import '$raw' in $dir/$IncludesConfName")
+          normalize(raw)
+        }
       nodes(key) = Node(props.toVector, imports.toVector)
       fs.listStatus(dir).filter(_.isDirectory).foreach { st =>
         val child =

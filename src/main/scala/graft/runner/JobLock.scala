@@ -20,22 +20,32 @@ final class JobLock(lockDir: String, jobName: String,
 
   private val lockFile = new Path(lockDir, s"$jobName.lock")
   private val fs = lockFile.getFileSystem(conf)
+  // unique per INSTANCE (pid alone would alias two locks in one JVM):
+  // release() deletes only a lock file carrying this token, so a
+  // holder that lost its lock to a stale-break cannot delete the new
+  // holder's live lock
+  private val token =
+    s"${java.lang.ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName}:${System.nanoTime()}"
+  @volatile private var held = false
 
   /** Try to acquire; returns false if another live run holds the lock.
     * A stale lock (older than `staleMs`) is broken first.
     */
   def tryAcquire(): Boolean = {
-    if (fs.exists(lockFile) &&
-        System.currentTimeMillis() - fs.getFileStatus(lockFile).getModificationTime > staleMs)
-      fs.delete(lockFile, false) // break the stale lock, then race to acquire
+    try {
+      // single getFileStatus: exists()-then-stat would throw if the
+      // holder releases in between
+      val st = fs.getFileStatus(lockFile)
+      if (System.currentTimeMillis() - st.getModificationTime > staleMs)
+        fs.delete(lockFile, false) // break the stale lock, race to acquire
+    } catch { case _: java.io.FileNotFoundException => () }
     try {
       fs.mkdirs(lockFile.getParent)
       // overwrite=false: atomic create-or-fail is the lock primitive
       val out = fs.create(lockFile, false)
-      try out.write(
-        s"${java.lang.ProcessHandle.current().pid()}@${java.net.InetAddress.getLocalHost.getHostName} ${System.currentTimeMillis()}"
-          .getBytes("UTF-8"))
+      try out.write(token.getBytes("UTF-8"))
       finally out.close()
+      held = true
       true
     } catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
@@ -45,7 +55,21 @@ final class JobLock(lockDir: String, jobName: String,
 
   def isLocked: Boolean = fs.exists(lockFile)
 
-  def release(): Unit = fs.delete(lockFile, false)
+  /** Release only OUR lock: after a stale-break took the lock from
+    * us, the file carries the new holder's token and must survive.
+    */
+  def release(): Unit = {
+    if (held) {
+      try {
+        val in = fs.open(lockFile)
+        val content =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        if (content == token) fs.delete(lockFile, false)
+      } catch { case _: java.io.FileNotFoundException => () }
+      held = false
+    }
+  }
 
   /** Run `body` under the lock; `None` if the lock is held elsewhere. */
   def withLock[T](body: => T): Option[T] =

@@ -36,6 +36,20 @@ class JobLockSpec extends SparkSpec {
     taker.release()
   }
 
+  test("a holder that lost its lock to a stale-break cannot delete the new holder's lock") {
+    val dir = tmpDir("graft_lock5")
+    val old = new JobLock(dir, "job1")
+    assert(old.tryAcquire())
+    Thread.sleep(10)
+    val taker = new JobLock(dir, "job1", staleMs = 1)
+    assert(taker.tryAcquire()) // breaks old's stale lock
+    old.release() // must be a no-op: the file carries taker's token
+    assert(taker.isLocked, "live lock deleted by the previous holder")
+    val third = new JobLock(dir, "job1")
+    assert(!third.tryAcquire(), "mutual exclusion broken after stale-break")
+    taker.release()
+  }
+
   test("withLock runs the body exactly when acquired") {
     val dir = tmpDir("graft_lock4")
     val a = new JobLock(dir, "job1")
