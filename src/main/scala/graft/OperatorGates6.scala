@@ -25,6 +25,11 @@ object OperatorGates6 {
     */
   val Garble: String = Seq.fill(8)("zzq qzz").mkString(" ", " ", "")
 
+  /** 4-token variant: a milder corruption, so tercile bucketing has a
+    * genuine middle band to find.
+    */
+  val GarbleShort: String = " zzq qzz qzz zzq"
+
   def queries6: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- config store resolve (ref gobblin-config-management:
@@ -348,6 +353,43 @@ object OperatorGates6 {
         .orderBy(col("step"))
     }),
 
+    // --- CCNet head/middle/tail bucketing: per-language TERCILES of
+    //     the LM score split each language's corpus into quality
+    //     bands with DATA-DRIVEN boundaries. Scores quantize to
+    //     integers first (floor(ratio * 2^20)) because interpolated
+    //     percentile is only proven bit-identical across engines over
+    //     BIGINT inputs (NOTES rule 8) ---------------------------
+    "q_ccnet_buckets" -> ((s, dir) => {
+      import graft.functions.NgramLm
+      val docs = t(s, dir, "documents")
+      // three planted corruption levels -> three genuine score bands
+      val planted = docs.withColumn("text2",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(col("text"), lit(OperatorGates6.Garble)))
+          .when(pmod(col("doc_id"), lit(3)) === 1,
+            concat(col("text"), lit(OperatorGates6.GarbleShort)))
+          .otherwise(col("text")))
+      val lm = NgramLm.train(docs.filter(col("lang") === "en"), "text")
+      val scored = NgramLm.score(planted, "doc_id", "text2", lm)
+        .withColumnRenamed("id", "doc_id")
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          floor(coalesce(col("hit_ratio"), lit(0.0)) * 1048576)
+            .cast("long").as("score_q"))
+      val terciles = scored.groupBy(col("lang")).agg(
+        percentile(col("score_q"), lit(1.0 / 3)).as("p33"),
+        percentile(col("score_q"), lit(2.0 / 3)).as("p66"))
+      scored.join(broadcast(terciles), Seq("lang"))
+        .withColumn("bucket",
+          when(col("score_q") <= col("p33"), "tail")
+            .when(col("score_q") <= col("p66"), "middle")
+            .otherwise("head"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("score_q")).as("min_q"), max(col("score_q")).as("max_q"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
     // --- wave-6 flagship: GOVERNED corpus pipeline — per-language
     //     quality floors come from the CONFIG STORE (strict tag
     //     imported by en/de, root default for the rest), documents are
@@ -478,6 +520,30 @@ object OperatorGates6 {
     "q_bpe_merges" -> OracleSql.bpeMerges(6),
 
     "q_bpe_encode" -> OracleSql.bpeEncode(6),
+
+    "q_ccnet_buckets" ->
+      s"""WITH ${OracleSql.lmCtes(
+        s"text || CASE WHEN doc_id % 3 = 0 THEN '${OperatorGates6.Garble}' " +
+          s"WHEN doc_id % 3 = 1 THEN '${OperatorGates6.GarbleShort}' " +
+          "ELSE '' END")},
+        |sc AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(floor(coalesce(
+        |      CASE WHEN coalesce(h.n_bigrams, 0) > 0
+        |           THEN CAST(coalesce(h.n_hits, 0) AS DOUBLE) / h.n_bigrams
+        |      END, 0.0) * 1048576) AS BIGINT) AS score_q
+        |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id),
+        |q AS (
+        |  SELECT lang, quantile_cont(score_q, 1.0 / 3) AS p33,
+        |         quantile_cont(score_q, 2.0 / 3) AS p66
+        |  FROM sc GROUP BY lang)
+        |SELECT s.lang,
+        |  CASE WHEN s.score_q <= q.p33 THEN 'tail'
+        |       WHEN s.score_q <= q.p66 THEN 'middle'
+        |       ELSE 'head' END AS bucket,
+        |  count(*) AS n, min(s.score_q) AS min_q, max(s.score_q) AS max_q
+        |FROM sc s JOIN q ON s.lang = q.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_governed_pipeline" ->
       s"""WITH ${OracleSql.lmCtes(
