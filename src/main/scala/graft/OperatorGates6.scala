@@ -353,6 +353,27 @@ object OperatorGates6 {
         .orderBy(col("step"))
     }),
 
+    // --- multimodal resize (nearest-neighbor over real BMP bytes):
+    //     synthesize per-doc images, resize through the codec
+    //     (decode -> integer-floor resample -> re-encode -> re-parse),
+    //     report the RESIZED image's features. The oracle replays the
+    //     resample index arithmetic analytically from the generator --
+    "q_bmp_resize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val w = 8 + (id % 5).toInt
+          val h = 4 + (id % 3).toInt
+          (id, Multimodal.BmpCodec.synthesize(w, h,
+            i => ((id * 7 + i) % 256).toInt))
+        }).toDF("media_id", "content")
+      Multimodal.resizeBmp(media, 6, 4).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_pixels"), col("mean_intensity"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- CCNet head/middle/tail bucketing: per-language TERCILES of
     //     the LM score split each language's corpus into quality
     //     bands with DATA-DRIVEN boundaries. Scores quantize to
@@ -520,6 +541,18 @@ object OperatorGates6 {
     "q_bpe_merges" -> OracleSql.bpeMerges(6),
 
     "q_bpe_encode" -> OracleSql.bpeEncode(6),
+
+    "q_bmp_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(6 AS INT) AS width, CAST(4 AS INT) AS height,
+        |  CAST(24 AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(list_transform(range(0, 72), j ->
+        |    (doc_id * 7 + (
+        |      ((((j // 3) // 6) * (4 + doc_id % 3)) // 4
+        |        * (8 + doc_id % 5)
+        |       + (((j // 3) % 6) * (8 + doc_id % 5)) // 6) * 3
+        |      + j % 3)) % 256)) AS DOUBLE) / 72 AS mean_intensity
+        |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_ccnet_buckets" ->
       s"""WITH ${OracleSql.lmCtes(

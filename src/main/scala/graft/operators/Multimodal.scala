@@ -273,6 +273,47 @@ object Multimodal {
     }
   }
 
+  final case class ResizedBmp(
+      media_id: Long, width: Int, height: Int,
+      n_pixels: Long, mean_intensity: Double, content: Array[Byte])
+
+  /** Nearest-neighbor BMP resize — the multimodal RESIZE op: decode
+    * the 24-bpp pixels, resample `(ox, oy) → (ox·srcW/outW,
+    * oy·srcH/outH)` (integer floor), re-encode a REAL BMP via
+    * [[BmpCodec.synthesize]], and report the resized image's features
+    * by re-parsing it. Pure integer index arithmetic, so an oracle
+    * replays the resampled mean analytically from the source
+    * generator formula. Executor-side `mapPartitions` over binary
+    * rows (the honest seam all codecs use). Bottom-up row order
+    * assumed (synthesized and common-case BMPs).
+    */
+  def resizeBmp(media: DataFrame, outW: Int, outH: Int): Dataset[ResizedBmp] = {
+    require(outW > 0 && outH > 0, s"bad resize target ${outW}x$outH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val src = BmpCodec.parse(id, bytes) // validates header + bounds
+        val dataOff = ((bytes(10) & 0xff) | ((bytes(11) & 0xff) << 8) |
+          ((bytes(12) & 0xff) << 16) | ((bytes(13) & 0xff) << 24))
+        val stride = ((src.width * 3 + 3) / 4) * 4
+        def srcByte(k: Int): Int = {
+          val pix = k / 3
+          bytes(dataOff + (pix / src.width) * stride +
+            (pix % src.width) * 3 + k % 3) & 0xff
+        }
+        val out = BmpCodec.synthesize(outW, outH, { j =>
+          val pix = j / 3
+          val sx = (pix % outW) * src.width / outW
+          val sy = (pix / outW) * src.height / outH
+          srcByte((sy * src.width + sx) * 3 + j % 3)
+        })
+        val re = BmpCodec.parse(id, out) // round-trip through the codec
+        ResizedBmp(id, re.width, re.height, re.n_pixels, re.mean_intensity, out)
+      })
+  }
+
   /** (media_id, content) rows → parsed BMP features. */
   def decodeBmp(media: DataFrame): Dataset[BmpFeatures] = {
     val spark = media.sparkSession

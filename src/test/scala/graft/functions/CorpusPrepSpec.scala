@@ -276,6 +276,26 @@ class CorpusPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException](BmpCodec.parse(3L, nonRgb))
   }
 
+  test("resizeBmp: identity keeps pixels; downsample picks floor-index sources") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.BmpCodec
+    val src = BmpCodec.synthesize(4, 2, i => i % 256)
+    val media = Seq((1L, src)).toDF("media_id", "content")
+    // identity resize: re-encoded bytes parse to identical features
+    val same = Multimodal.resizeBmp(media, 4, 2).collect().head
+    assert(same.width == 4 && same.height == 2)
+    assert(same.mean_intensity == BmpCodec.parse(1L, src).mean_intensity)
+    assert(same.content.toSeq == src.toSeq) // bit-identical re-encode
+    // 2x downsample keeps pixels (0,0) and (2,0) of each sampled row:
+    // out pixel (ox,oy) -> src (ox*4/2, oy*2/1) = (2ox, 0)
+    val half = Multimodal.resizeBmp(media, 2, 1).collect().head
+    val expected = Seq(0, 1, 2, 6, 7, 8).map(_ % 256) // channels of px 0 and 2, row 0
+    assert(half.mean_intensity == expected.sum.toDouble / 6)
+    // the output is itself a valid BMP
+    assert(BmpCodec.parse(2L, half.content).n_pixels == 2)
+  }
+
   test("Mp4Codec: probe roundtrip, sniff dispatch, malformed rejection") {
     import graft.operators.Multimodal
     import Multimodal.Mp4Codec
