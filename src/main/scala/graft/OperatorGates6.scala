@@ -353,6 +353,25 @@ object OperatorGates6 {
         .orderBy(col("step"))
     }),
 
+    // --- audio resample (nearest-neighbor rate conversion over real
+    //     PCM16 WAVs): per-doc audio at 8/12/16 kHz converted to
+    //     6 kHz through the codec (parse -> index-map -> re-encode ->
+    //     re-parse); the oracle replays the index arithmetic --------
+    "q_wav_resample" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+        .as[(Long, Long)]
+        .mapPartitions(_.map { case (id, n) =>
+          val rate = 8000 + (id % 3).toInt * 4000
+          val samples = Array.tabulate(n.toInt)(i =>
+            (((id * 31 + i * 17) % 65536) - 32768).toShort)
+          (id, Multimodal.WavCodec.synthesize(rate, samples))
+        }).toDF("media_id", "content")
+      Multimodal.resampleWav(media, 6000).toDF()
+        .orderBy(col("media_id"))
+    }),
+
     // --- multimodal resize (nearest-neighbor over real BMP bytes):
     //     synthesize per-doc images, resize through the codec
     //     (decode -> integer-floor resample -> re-encode -> re-parse),
@@ -541,6 +560,24 @@ object OperatorGates6 {
     "q_bpe_merges" -> OracleSql.bpeMerges(6),
 
     "q_bpe_encode" -> OracleSql.bpeEncode(6),
+
+    "q_wav_resample" ->
+      """WITH p AS (
+        |  SELECT doc_id, n_chars,
+        |    8000 + (doc_id % 3) * 4000 AS sr,
+        |    (n_chars * 6000) // (8000 + (doc_id % 3) * 4000) AS n_out
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(6000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS n_channels, CAST(16 AS INT) AS bits,
+        |  CAST(n_out AS BIGINT) AS n_samples,
+        |  CAST((n_out * 1000000) // 6000 AS BIGINT) AS duration_us,
+        |  CASE WHEN n_out = 0 THEN 0.0 ELSE
+        |    CAST(list_sum(list_transform(range(0, n_out), j ->
+        |      abs((doc_id * 31 + ((j * sr) // 6000) * 17) % 65536 - 32768)))
+        |      AS DOUBLE) / n_out
+        |  END AS mean_abs_amp
+        |FROM p ORDER BY media_id""".stripMargin,
 
     "q_bmp_resize" ->
       """SELECT doc_id AS media_id,

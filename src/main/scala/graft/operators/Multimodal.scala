@@ -173,6 +173,34 @@ object Multimodal {
       * gate fixture generator (and the documented shape [[parse]]
       * understands). Sample values come from the caller.
       */
+    /** Nearest-neighbor sample-rate conversion over mono PCM16 — the
+      * audio RESAMPLE op, mirror of the image resize: output sample j
+      * copies source sample floor(j·srcRate/outRate); the result is a
+      * real WAV via [[synthesize]]. Integer index arithmetic only, so
+      * oracles replay the resampled stats from the generator formula.
+      */
+    def resample(id: Long, bytes: Array[Byte], outRate: Int): Array[Byte] = {
+      require(outRate > 0, s"media $id: bad target rate $outRate")
+      val f = parse(id, bytes) // validates container + PCM16 shape
+      require(f.n_channels == 1,
+        s"media $id: resample supports mono PCM, got ${f.n_channels} channels")
+      var off = 12
+      var dataOff = -1
+      while (off + 8 <= bytes.length && dataOff < 0) {
+        if (tag(bytes, off) == "data") dataOff = off + 8
+        else {
+          val cl = u32(bytes, off + 4)
+          off += 8 + cl.toInt + (cl.toInt & 1)
+        }
+      }
+      val outN = (f.n_samples * outRate / f.sample_rate).toInt
+      val out = Array.tabulate[Short](outN) { j =>
+        val sj = (j.toLong * f.sample_rate / outRate).toInt
+        ((u16(bytes, dataOff + sj * 2) << 16) >> 16).toShort
+      }
+      synthesize(outRate, out)
+    }
+
     def synthesize(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
       val dataSize = samples.length * 2
       val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
@@ -186,6 +214,19 @@ object Multimodal {
       samples.foreach(buf.putShort)
       buf.array()
     }
+  }
+
+  /** Resample every row's audio to `outRate` and report the RESAMPLED
+    * features (full convert→re-encode→re-parse cycle per row).
+    */
+  def resampleWav(media: DataFrame, outRate: Int): Dataset[WavFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) =>
+        WavCodec.parse(id, WavCodec.resample(id, c, outRate))
+      })
   }
 
   /** (media_id, content) rows → parsed WAV features, streamed per

@@ -276,6 +276,17 @@ class CorpusPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException](BmpCodec.parse(3L, nonRgb))
   }
 
+  test("WavCodec.resample: identity round-trips; half-rate keeps even samples") {
+    import graft.operators.Multimodal.WavCodec
+    val samples = Array.tabulate[Short](10)(i => (i * 100 - 500).toShort)
+    val wav = WavCodec.synthesize(8000, samples)
+    assert(WavCodec.resample(1L, wav, 8000).toSeq == wav.toSeq)
+    val half = WavCodec.parse(2L, WavCodec.resample(2L, wav, 4000))
+    assert(half.sample_rate == 4000 && half.n_samples == 5)
+    val expect = Seq(0, 2, 4, 6, 8).map(i => math.abs(i * 100 - 500))
+    assert(half.mean_abs_amp == expect.sum.toDouble / 5)
+  }
+
   test("resizeBmp: identity keeps pixels; downsample picks floor-index sources") {
     import spark.implicits._
     import graft.operators.Multimodal
