@@ -410,12 +410,18 @@ object OperatorGates6 {
             concat(col("text"), lit(OperatorGates6.GarbleShort)))
           .otherwise(col("text")))
       val lm = NgramLm.train(docs.filter(col("lang") === "en"), "text")
-      val scored = NgramLm.score(planted, "doc_id", "text2", lm)
+      // materialize scores once: both the tercile aggregation and the
+      // bucket join read them, and recomputing means running the LM
+      // scoring pipeline twice (same hygiene as q_governed_pipeline)
+      val tmp = tmpDir("graft_ccnet")
+      NgramLm.score(planted, "doc_id", "text2", lm)
         .withColumnRenamed("id", "doc_id")
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"),
           floor(coalesce(col("hit_ratio"), lit(0.0)) * 1048576)
             .cast("long").as("score_q"))
+        .write.parquet(s"$tmp/scored")
+      val scored = s.read.parquet(s"$tmp/scored")
       val terciles = scored.groupBy(col("lang")).agg(
         percentile(col("score_q"), lit(1.0 / 3)).as("p33"),
         percentile(col("score_q"), lit(2.0 / 3)).as("p66"))

@@ -121,11 +121,15 @@ object Multimodal {
     private def tag(b: Array[Byte], o: Int): String =
       new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
-    /** Parse a PCM WAV: chunk walk (any chunk order, unknown chunks
-      * skipped, word-aligned sizes), fmt + data extraction, per-sample
-      * mean |amplitude| over little-endian 16-bit mono/stereo PCM.
+    private[Multimodal] final case class WavMeta(
+        rate: Int, channels: Int, bits: Int, dataOff: Int, nSamples: Long)
+
+    /** Header-only chunk walk + validation (any chunk order, unknown
+      * chunks skipped, word-aligned sizes) — the shared metadata step
+      * so [[resample]] does not pay [[parse]]'s full sample scan. Like
+      * parse always did, the LAST fmt/data chunk wins.
       */
-    def parse(id: Long, bytes: Array[Byte]): WavFeatures = {
+    private[Multimodal] def meta(id: Long, bytes: Array[Byte]): WavMeta = {
       require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
         s"media $id: not a RIFF/WAVE container")
       var off = 12
@@ -155,17 +159,24 @@ object Multimodal {
       require(bits == 16, s"media $id: only 16-bit PCM supported, got $bits")
       require(channels > 0 && blockAlign == channels * 2, // PCM16: blockAlign = channels * bits/8
         s"media $id: blockAlign $blockAlign inconsistent with $channels ch x 16-bit")
-      val nSamples = dataLen / blockAlign
+      WavMeta(rate, channels, bits, dataOff, dataLen / blockAlign)
+    }
+
+    /** Parse a PCM WAV: [[meta]] + per-sample mean |amplitude| over
+      * little-endian 16-bit mono/stereo PCM.
+      */
+    def parse(id: Long, bytes: Array[Byte]): WavFeatures = {
+      val m = meta(id, bytes)
       var sum = 0L
       var i = 0
-      val frames = nSamples.toInt * channels
+      val frames = m.nSamples.toInt * m.channels
       while (i < frames) {
-        val s = (u16(bytes, dataOff + i * 2) << 16) >> 16 // sign-extend LE i16
+        val s = (u16(bytes, m.dataOff + i * 2) << 16) >> 16 // sign-extend LE i16
         sum += math.abs(s).toLong
         i += 1
       }
-      WavFeatures(id, rate, channels, bits, nSamples,
-        nSamples * 1000000L / rate,
+      WavFeatures(id, m.rate, m.channels, m.bits, m.nSamples,
+        m.nSamples * 1000000L / m.rate,
         if (frames == 0) 0.0 else sum.toDouble / frames)
     }
 
@@ -173,34 +184,6 @@ object Multimodal {
       * gate fixture generator (and the documented shape [[parse]]
       * understands). Sample values come from the caller.
       */
-    /** Nearest-neighbor sample-rate conversion over mono PCM16 — the
-      * audio RESAMPLE op, mirror of the image resize: output sample j
-      * copies source sample floor(j·srcRate/outRate); the result is a
-      * real WAV via [[synthesize]]. Integer index arithmetic only, so
-      * oracles replay the resampled stats from the generator formula.
-      */
-    def resample(id: Long, bytes: Array[Byte], outRate: Int): Array[Byte] = {
-      require(outRate > 0, s"media $id: bad target rate $outRate")
-      val f = parse(id, bytes) // validates container + PCM16 shape
-      require(f.n_channels == 1,
-        s"media $id: resample supports mono PCM, got ${f.n_channels} channels")
-      var off = 12
-      var dataOff = -1
-      while (off + 8 <= bytes.length && dataOff < 0) {
-        if (tag(bytes, off) == "data") dataOff = off + 8
-        else {
-          val cl = u32(bytes, off + 4)
-          off += 8 + cl.toInt + (cl.toInt & 1)
-        }
-      }
-      val outN = (f.n_samples * outRate / f.sample_rate).toInt
-      val out = Array.tabulate[Short](outN) { j =>
-        val sj = (j.toLong * f.sample_rate / outRate).toInt
-        ((u16(bytes, dataOff + sj * 2) << 16) >> 16).toShort
-      }
-      synthesize(outRate, out)
-    }
-
     def synthesize(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
       val dataSize = samples.length * 2
       val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
@@ -214,6 +197,28 @@ object Multimodal {
       samples.foreach(buf.putShort)
       buf.array()
     }
+
+    /** Nearest-neighbor sample-rate conversion over mono PCM16 — the
+      * audio RESAMPLE op, mirror of the image resize: output sample j
+      * copies source sample floor(j·srcRate/outRate); the result is a
+      * real WAV via [[synthesize]]. Reads through [[meta]], so the
+      * bytes resampled are exactly the data chunk parse reports on
+      * (last-chunk-wins), with no second feature scan. Integer index
+      * arithmetic only, so oracles replay the resampled stats from
+      * the generator formula.
+      */
+    def resample(id: Long, bytes: Array[Byte], outRate: Int): Array[Byte] = {
+      require(outRate > 0, s"media $id: bad target rate $outRate")
+      val m = meta(id, bytes)
+      require(m.channels == 1,
+        s"media $id: resample supports mono PCM, got ${m.channels} channels")
+      val outN = (m.nSamples * outRate / m.rate).toInt
+      val out = Array.tabulate[Short](outN) { j =>
+        val sj = (j.toLong * m.rate / outRate).toInt
+        ((u16(bytes, m.dataOff + sj * 2) << 16) >> 16).toShort
+      }
+      synthesize(outRate, out)
+    }
   }
 
   /** Resample every row's audio to `outRate` and report the RESAMPLED
@@ -225,6 +230,7 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, c) =>
+        require(c != null, s"media $id: null content")
         WavCodec.parse(id, WavCodec.resample(id, c, outRate))
       })
   }
@@ -254,18 +260,20 @@ object Multimodal {
       (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
         ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
 
-    /** Parse an uncompressed BI_RGB 24-bpp BMP: BITMAPFILEHEADER +
-      * BITMAPINFOHEADER, bottom-up pixel rows padded to 4-byte stride;
-      * mean intensity over all channel bytes (padding excluded).
+    private[Multimodal] final case class BmpMeta(
+        dataOff: Int, width: Int, height: Int, rawHeight: Int, stride: Int)
+
+    /** Header-only validation (shared by [[parse]] and the resize
+      * path, which must not pay parse's full pixel scan).
       */
-    def parse(id: Long, bytes: Array[Byte]): BmpFeatures = {
+    private[Multimodal] def meta(id: Long, bytes: Array[Byte]): BmpMeta = {
       require(bytes.length >= 54 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte,
         s"media $id: not a BMP")
       val dataOff = u32(bytes, 10).toInt
       val width = u32(bytes, 18).toInt
       val rawHeight = u32(bytes, 22).toInt
       // negative height = top-down row order; intensity stats are
-      // row-order independent, so only the magnitude matters here
+      // row-order independent, so only the magnitude matters to parse
       val height = math.abs(rawHeight)
       val bpp = u16(bytes, 28)
       require(bpp == 24 && u32(bytes, 30) == 0,
@@ -274,6 +282,20 @@ object Multimodal {
       val stride = ((width * 3 + 3) / 4) * 4
       require(dataOff >= 54 && dataOff.toLong + height.toLong * stride <= bytes.length,
         s"media $id: BMP pixel data (${height}x$stride at $dataOff) overruns ${bytes.length} bytes")
+      BmpMeta(dataOff, width, height, rawHeight, stride)
+    }
+
+    /** Parse an uncompressed BI_RGB 24-bpp BMP: BITMAPFILEHEADER +
+      * BITMAPINFOHEADER, bottom-up pixel rows padded to 4-byte stride;
+      * mean intensity over all channel bytes (padding excluded).
+      */
+    def parse(id: Long, bytes: Array[Byte]): BmpFeatures = {
+      val m = meta(id, bytes)
+      val dataOff = m.dataOff
+      val width = m.width
+      val height = m.height
+      val stride = m.stride
+      val bpp = 24
       var sum = 0L
       var y = 0
       while (y < height) {
@@ -335,20 +357,23 @@ object Multimodal {
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
-        val src = BmpCodec.parse(id, bytes) // validates header + bounds
-        val dataOff = ((bytes(10) & 0xff) | ((bytes(11) & 0xff) << 8) |
-          ((bytes(12) & 0xff) << 16) | ((bytes(13) & 0xff) << 24))
-        val stride = ((src.width * 3 + 3) / 4) * 4
+        require(bytes != null, s"media $id: null content")
+        val m = BmpCodec.meta(id, bytes) // header-only, no pixel scan
+        // parse tolerates top-down (negative height) because intensity
+        // is row-order independent — resize is NOT: reject instead of
+        // silently flipping/sampling the wrong rows
+        require(m.rawHeight > 0,
+          s"media $id: resize supports bottom-up BMPs only (height ${m.rawHeight})")
         def srcByte(k: Int): Int = {
           val pix = k / 3
-          bytes(dataOff + (pix / src.width) * stride +
-            (pix % src.width) * 3 + k % 3) & 0xff
+          bytes(m.dataOff + (pix / m.width) * m.stride +
+            (pix % m.width) * 3 + k % 3) & 0xff
         }
         val out = BmpCodec.synthesize(outW, outH, { j =>
           val pix = j / 3
-          val sx = (pix % outW) * src.width / outW
-          val sy = (pix / outW) * src.height / outH
-          srcByte((sy * src.width + sx) * 3 + j % 3)
+          val sx = (pix % outW) * m.width / outW
+          val sy = (pix / outW) * m.height / outH
+          srcByte((sy * m.width + sx) * 3 + j % 3)
         })
         val re = BmpCodec.parse(id, out) // round-trip through the codec
         ResizedBmp(id, re.width, re.height, re.n_pixels, re.mean_intensity, out)
