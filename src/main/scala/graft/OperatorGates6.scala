@@ -353,6 +353,44 @@ object OperatorGates6 {
         .orderBy(col("step"))
     }),
 
+    // --- streaming LM quality filter (7th streaming gate): the LM is
+    //     fit OFFLINE on the clean en slice, then applied per
+    //     micro-batch to a garble-planted document stream — score,
+    //     filter against the floor, publish survivors. The offline-
+    //     fit / online-apply split is the production shape for model-
+    //     based stream filtering. Oracle replays LM + floor in batch -
+    "q_stream_quality" -> ((s, dir) => {
+      import graft.functions.NgramLm
+      import graft.streaming.StreamingIngest
+      val tmp = tmpDir("graft_streamlm")
+      val docs = t(s, dir, "documents")
+      docs.withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(OperatorGates6.Garble)))
+            .otherwise(col("text")))
+        .select(col("doc_id"), col("lang"), col("text"))
+        .repartition(4).write.parquet(s"$tmp/in")
+      val lm = NgramLm.train(docs.filter(col("lang") === "en"), "text")
+      val schema = s.read.parquet(s"$tmp/in").schema
+      val stream = StreamingIngest.readFileStream(s, schema, s"$tmp/in",
+        maxFilesPerTrigger = Some(2)) // several micro-batches
+      val q = stream.writeStream.outputMode("append").foreachBatch {
+        (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+          NgramLm.score(batch, "doc_id", "text", lm)
+            .withColumnRenamed("id", "doc_id")
+            .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id"))
+            .filter(col("hit_ratio") >= 0.9)
+            .select(col("doc_id"), col("lang"))
+            .write.mode("append").parquet(s"$tmp/out")
+          ()
+      }.option("checkpointLocation", s"$tmp/ckpt").start()
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_passed"), sum(col("doc_id")).as("sum_id"))
+        .orderBy(col("lang"))
+    }),
+
     // --- audio resample (nearest-neighbor rate conversion over real
     //     PCM16 WAVs): per-doc audio at 8/12/16 kHz converted to
     //     6 kHz through the codec (parse -> index-map -> re-encode ->
@@ -566,6 +604,20 @@ object OperatorGates6 {
     "q_bpe_merges" -> OracleSql.bpeMerges(6),
 
     "q_bpe_encode" -> OracleSql.bpeEncode(6),
+
+    "q_stream_quality" ->
+      s"""WITH ${OracleSql.lmCtes(
+        s"text || CASE WHEN doc_id % 7 = 0 THEN '${OperatorGates6.Garble}' ELSE '' END")},
+        |sc AS (
+        |  SELECT d.doc_id, d.lang,
+        |    CASE WHEN coalesce(h.n_bigrams, 0) > 0
+        |         THEN CAST(coalesce(h.n_hits, 0) AS DOUBLE) / h.n_bigrams
+        |    END AS hit_ratio
+        |  FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id)
+        |SELECT lang, count(*) AS n_passed,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM sc WHERE hit_ratio >= 0.9
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q_wav_resample" ->
       """WITH p AS (

@@ -235,6 +235,31 @@ final class ConfigStore(
     out.toList
   }
 
+  /** Reverse import index — which nodes DIRECTLY import `path` (ref
+    * `InMemoryTopology.getImportedBy`): the impact-analysis query
+    * ("who breaks if this tag changes").
+    */
+  def importedBy(path: String): Seq[String] = {
+    val target = normalize(path)
+    nodes.collect {
+      case (p, n) if n.imports.map(normalize).contains(target) => p
+    }.toSeq.sorted
+  }
+
+  /** Transitive closure of [[importedBy]] (every node whose RESOLVED
+    * config can see `path`'s values through import chains or via an
+    * importing ancestor would be a superset; this lists the explicit
+    * import reachability, matching the reference's recursive
+    * imported-by traversal).
+    */
+  def importedByRecursively(path: String): Seq[String] = {
+    val seen = mutable.Set.empty[String]
+    def recur(p: String): Unit =
+      importedBy(p).foreach { d => if (seen.add(d)) recur(d) }
+    recur(normalize(path))
+    seen.toSeq.sorted
+  }
+
   /** Batch-resolve many dataset paths to a long-format DataFrame
     * `(path, key, value, origin)` — the join-side artifact: resolved
     * configs are tiny, so Spark will broadcast this against any fact

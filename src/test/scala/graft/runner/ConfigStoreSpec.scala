@@ -117,6 +117,19 @@ class ConfigStoreSpec extends SparkSpec {
     assert(old.resolve("/data/ds")("retention.days") == "1")
   }
 
+  test("importedBy lists direct importers; recursive follows chains") {
+    val cs = store(
+      "/" -> Node(),
+      "/base" -> Node(),
+      "/mid" -> Node(imports = Vector("/base")),
+      "/a" -> Node(imports = Vector("/mid")),
+      "/b" -> Node(imports = Vector("/base", "/mid")),
+      "/c" -> Node())
+    assert(cs.importedBy("/base") == Seq("/b", "/mid"))
+    assert(cs.importedBy("/c").isEmpty)
+    assert(cs.importedByRecursively("/base") == Seq("/a", "/b", "/mid"))
+  }
+
   test("property: resolution invariants over 300 random stores") {
     val rnd = new scala.util.Random(0xC0F6)
     val universe = Vector("/a", "/b", "/c", "/a/x", "/a/y", "/b/z", "/a/x/p")
