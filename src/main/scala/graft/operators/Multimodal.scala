@@ -198,26 +198,49 @@ object Multimodal {
       buf.array()
     }
 
-    /** Nearest-neighbor sample-rate conversion over mono PCM16 — the
-      * audio RESAMPLE op, mirror of the image resize: output sample j
-      * copies source sample floor(j·srcRate/outRate); the result is a
-      * real WAV via [[synthesize]]. Reads through [[meta]], so the
-      * bytes resampled are exactly the data chunk parse reports on
-      * (last-chunk-wins), with no second feature scan. Integer index
-      * arithmetic only, so oracles replay the resampled stats from
-      * the generator formula.
+    /** Nearest-neighbor sample-rate conversion over PCM16 — the audio
+      * RESAMPLE op, mirror of the image resize: output frame j copies
+      * source frame floor(j·srcRate/outRate), all channels together
+      * (stereo stays phase-aligned); the result is a real WAV via
+      * [[synthesize]] (mono) or an interleaved re-encode. Reads
+      * through [[meta]], so the bytes resampled are exactly the data
+      * chunk parse reports on (last-chunk-wins), with no second
+      * feature scan. Integer index arithmetic only, so oracles replay
+      * the resampled stats from the generator formula.
       */
     def resample(id: Long, bytes: Array[Byte], outRate: Int): Array[Byte] = {
       require(outRate > 0, s"media $id: bad target rate $outRate")
       val m = meta(id, bytes)
-      require(m.channels == 1,
-        s"media $id: resample supports mono PCM, got ${m.channels} channels")
       val outN = (m.nSamples * outRate / m.rate).toInt
-      val out = Array.tabulate[Short](outN) { j =>
+      val out = Array.tabulate[Short](outN * m.channels) { k =>
+        val j = k / m.channels // output frame
+        val c = k % m.channels
         val sj = (j.toLong * m.rate / outRate).toInt
-        ((u16(bytes, m.dataOff + sj * 2) << 16) >> 16).toShort
+        ((u16(bytes, m.dataOff + (sj * m.channels + c) * 2) << 16) >> 16).toShort
       }
-      synthesize(outRate, out)
+      if (m.channels == 1) synthesize(outRate, out)
+      else synthesizeInterleaved(outRate, m.channels, out)
+    }
+
+    /** Multi-channel variant of [[synthesize]]: interleaved PCM16
+      * frames, canonical 44-byte header.
+      */
+    def synthesizeInterleaved(sampleRate: Int, channels: Int,
+        interleaved: Array[Short]): Array[Byte] = {
+      require(channels >= 1 && interleaved.length % channels == 0,
+        s"interleaved length ${interleaved.length} not a multiple of $channels")
+      val dataSize = interleaved.length * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * channels * 2)
+        .putShort((channels * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      interleaved.foreach(buf.putShort)
+      buf.array()
     }
   }
 

@@ -287,6 +287,22 @@ class CorpusPrepSpec extends SparkSpec {
     assert(half.mean_abs_amp == expect.sum.toDouble / 5)
   }
 
+  test("WavCodec.resample: stereo frames stay phase-aligned") {
+    import graft.operators.Multimodal.WavCodec
+    // L channel = +frame, R channel = -frame: alignment detectable
+    val frames = Array.tabulate[Short](8 * 2) { k =>
+      val f = k / 2
+      (if (k % 2 == 0) f * 10 else -(f * 10)).toShort
+    }
+    val wav = WavCodec.synthesizeInterleaved(8000, 2, frames)
+    val f0 = WavCodec.parse(1L, wav)
+    assert(f0.n_channels == 2 && f0.n_samples == 8)
+    val half = WavCodec.parse(2L, WavCodec.resample(2L, wav, 4000))
+    assert(half.n_channels == 2 && half.n_samples == 4)
+    // kept frames 0,2,4,6 -> mean |amp| over both channels = 30
+    assert(half.mean_abs_amp == Seq(0, 20, 40, 60).map(_ * 2).sum.toDouble / 8)
+  }
+
   test("resizeBmp: identity keeps pixels; downsample picks floor-index sources") {
     import spark.implicits._
     import graft.operators.Multimodal
