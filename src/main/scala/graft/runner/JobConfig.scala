@@ -120,6 +120,34 @@ object JobConfig {
           req(p, "op.stratifiedSample.idColumn"), fractions,
           opt(p, "op.stratifiedSample.defaultFraction").map(_.toDouble).getOrElse(1.0))
       }
+      case "lmFilter" => (df: DataFrame) => {
+        // offline-fit/apply in one op: the LM fits on the configured
+        // slice of the SAME frame, then every row is floor-filtered
+        import graft.functions.NgramLm
+        val textCol = req(p, "op.lmFilter.textColumn")
+        val idCol = req(p, "op.lmFilter.idColumn")
+        val floor = req(p, "op.lmFilter.minHitRatio").toDouble
+        val train = opt(p, "op.lmFilter.trainPredicate")
+          .map(pr => df.filter(expr(pr))).getOrElse(df)
+        val lm = NgramLm.train(train, textCol)
+        df.join(
+          NgramLm.score(df, idCol, textCol, lm)
+            .filter(col("hit_ratio") >= floor)
+            .select(col("id").as(idCol)),
+          Seq(idCol), "left_semi")
+      }
+      case "temperatureResample" => (df: DataFrame) =>
+        Converters.temperatureResample(df,
+          req(p, "op.temperatureResample.domainColumn"),
+          req(p, "op.temperatureResample.idColumn"))
+      case "zorderKey" => (df: DataFrame) => {
+        import graft.functions.ZOrder
+        df.withColumn(
+          opt(p, "op.zorderKey.as").getOrElse("zkey"),
+          ZOrder.zkey16(
+            pmod(expr(req(p, "op.zorderKey.x")), lit(65536)).cast("long"),
+            pmod(expr(req(p, "op.zorderKey.y")), lit(65536)).cast("long")))
+      }
       case other => throw new IllegalArgumentException(s"unknown op: $other")
     }
 

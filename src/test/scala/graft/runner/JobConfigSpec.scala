@@ -105,6 +105,37 @@ class JobConfigSpec extends SparkSpec {
     assert(out(1).getString(2) == "naive <IP> text")
   }
 
+  test("declarative lmFilter + temperatureResample + zorderKey ops") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val conf =
+      """ops=lmFilter,zorderKey
+        |op.lmFilter.textColumn=text
+        |op.lmFilter.idColumn=id
+        |op.lmFilter.minHitRatio=0.9
+        |op.lmFilter.trainPredicate=lang = 'en'
+        |op.zorderKey.x=id
+        |op.zorderKey.y=id * 3
+        |op.zorderKey.as=z
+        |""".stripMargin
+    val ops = JobConfig.buildOps(JobConfig.parse(conf))
+    val df = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the cat sat on the mat"),
+      (3L, "de", "zz qq xx yy ww vv")) // fully OOV vs the en LM
+      .toDF("id", "lang", "text")
+    val out = ops.foldLeft(df)((d, op) => op(d)).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L), "OOV row filtered")
+    assert(out.head.schema.fieldNames.contains("z"))
+    val resample = JobConfig.buildOps(JobConfig.parse(
+      """ops=temperatureResample
+        |op.temperatureResample.domainColumn=lang
+        |op.temperatureResample.idColumn=id
+        |""".stripMargin))
+    val r = resample.foldLeft(df)((d, op) => op(d))
+    assert(r.columns.contains("rep") && r.count() >= 3)
+  }
+
   test("stream job type: config-driven streaming ingest runs to completion") {
     import org.apache.spark.sql.functions._
     val root = tmpDir("streamjob")
