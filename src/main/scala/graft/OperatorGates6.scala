@@ -353,6 +353,27 @@ object OperatorGates6 {
         .orderBy(col("step"))
     }),
 
+    // --- HTML strip + URL canonicalization (C4-style pre-cleaning):
+    //     markup planted around real text is stripped (tags, the five
+    //     entities, whitespace collapse); messy URLs built from data
+    //     columns canonicalize (case, default port, fragment, utm_*,
+    //     trailing slash). The oracle replays both regexp pipelines --
+    "q_html_url_clean" -> ((s, dir) => {
+      import graft.functions.Text
+      val raw = concat(lit("<p>"), substring(col("text"), 1, 40),
+        lit("</p> <a href=\"x\">"), col("lang"),
+        lit("</a> &amp; <br/> done"))
+      val messyUrl = concat(lit("HTTPS://WWW."), col("source"), lit("."),
+        col("lang"), lit(".Example.COM:443/P/"), col("doc_id").cast("string"),
+        lit("/?utm_source=s&id="), col("doc_id").cast("string"),
+        lit("&utm_campaign=c#frag"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.stripHtml(raw).as("clean_text"),
+          Text.normalizeUrl(messyUrl).as("clean_url"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- streaming LM quality filter (7th streaming gate): the LM is
     //     fit OFFLINE on the clean en slice, then applied per
     //     micro-batch to a garble-planted document stream — score,
@@ -604,6 +625,38 @@ object OperatorGates6 {
     "q_bpe_merges" -> OracleSql.bpeMerges(6),
 
     "q_bpe_encode" -> OracleSql.bpeEncode(6),
+
+    "q_html_url_clean" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '<p>' || substring(text, 1, 40) || '</p> <a href="x">' || lang
+        |      || '</a> &amp; <br/> done' AS h,
+        |    'HTTPS://WWW.' || source || '.' || lang || '.Example.COM:443/P/'
+        |      || CAST(doc_id AS VARCHAR) || '/?utm_source=s&id='
+        |      || CAST(doc_id AS VARCHAR) || '&utm_campaign=c#frag' AS m
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(
+        |        regexp_replace(h, '<[^>]*>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&#39;', CHR(39)), '&amp;', '&'),
+        |      ' +', ' ', 'g')) AS clean_text,
+        |    regexp_replace(m, '#.*', '') AS nf
+        |  FROM raw),
+        |parts AS (
+        |  SELECT doc_id, clean_text,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+        |    regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)', 1) AS rest
+        |  FROM st)
+        |SELECT doc_id, clean_text,
+        |  regexp_replace(rtrim(
+        |    scheme || '://' || regexp_replace(host, ':(80|443)$', '')
+        |      || regexp_replace(rest, 'utm_[A-Za-z]+=[^&]*&?', '', 'g'),
+        |    '?&'), '/$', '') AS clean_url
+        |FROM parts ORDER BY doc_id""".stripMargin,
 
     "q_stream_quality" ->
       s"""WITH ${OracleSql.lmCtes(

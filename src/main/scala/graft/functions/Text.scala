@@ -208,6 +208,43 @@ object Text {
   def domains(text: Column): Column =
     array_distinct(transform(extractUrls(text), u => urlDomain(u)))
 
+  /** Strip HTML markup (C4-style pre-cleaning): tags removed, the five
+    * standard entities decoded (`&amp;` LAST so entity-encoded
+    * entities don't double-decode), whitespace collapsed. Pure
+    * regexp/replace chain — codegen'd, replayable in any engine with
+    * global regexp_replace.
+    */
+  def stripHtml(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    trim(regexp_replace(decoded, " +", " "))
+  }
+
+  /** Canonicalize one URL string — the dedup/blocklist key
+    * normalization: fragment stripped, scheme+host lowercased,
+    * default :80/:443 port dropped, utm_* tracking params removed
+    * (dangling separators trimmed), single trailing slash dropped.
+    * Deterministic regexp pipeline, identical semantics in RE2 and
+    * Java regex.
+    */
+  def normalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val host = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)", 1)
+    val noPort = regexp_replace(host, ":(80|443)$", "")
+    val noUtm = regexp_replace(rest, "utm_[A-Za-z]+=[^&]*&?", "")
+    // order matters: drop utm-orphaned separators FIRST, then the
+    // trailing slash ("p/?utm_x=1" -> "p/?" -> "p/" -> "p")
+    val tidy = regexp_replace(
+      rtrim(concat(scheme, lit("://"), noPort, noUtm), "?&"), "/$", "")
+    // non-URLs (no scheme) pass through untouched
+    when(scheme === "", u).otherwise(tidy)
+  }
+
   /** True when the document mentions any blocklisted domain. For a
     * literal blocklist (config-sized) this is a pure projection; a
     * TABLE-sized blocklist should instead explode [[domains]] and

@@ -33,6 +33,36 @@ class TextSimilaritySpec extends SparkSpec {
     out.zip(cases.map(_._2)).foreach { case (got, want) => assert(got == want) }
   }
 
+  test("stripHtml: tags, entities (no double-decode), whitespace collapse") {
+    import spark.implicits._
+    val out = Seq(
+      "<div class='x'>a  <b>b</b></div>",
+      "&amp;lt; stays encoded-ish; &lt;tag&gt; decodes",
+      "plain text untouched").toDF("t")
+      .select(Text.stripHtml($"t")).collect().map(_.getString(0))
+    assert(out(0) == "a b")
+    // &amp;lt; -> "&lt;" literally (amp decoded LAST, no second pass)
+    assert(out(1) == "&lt; stays encoded-ish; <tag> decodes")
+    assert(out(2) == "plain text untouched")
+  }
+
+  test("normalizeUrl: case, default ports, fragment, utm, trailing slash") {
+    import spark.implicits._
+    val cases = Seq(
+      "HTTP://Example.COM:80/A/B/?utm_source=x&q=1#top" ->
+        "http://example.com/A/B/?q=1",
+      "https://Host.org:8443/keep:port" ->
+        "https://host.org:8443/keep:port", // only default ports stripped
+      "https://a.b/" -> "https://a.b",
+      "https://a.b/?utm_x=1" -> "https://a.b",
+      "not a url at all" -> "not a url at all")
+    val out = cases.map(_._1).toDF("u")
+      .select(Text.normalizeUrl($"u")).collect().map(_.getString(0))
+    cases.map(_._2).zip(out).foreach { case (want, got) =>
+      assert(got == want, s"want $want got $got")
+    }
+  }
+
   test("dupNgramRatio: exact counts on known repetition") {
     val df = Seq(
       ("a b a b a b", 0.6),       // bigrams: ab ba ab ba ab -> 5 grams, 2 unique
