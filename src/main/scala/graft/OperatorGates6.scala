@@ -642,7 +642,7 @@ object OperatorGates6 {
         |        regexp_replace(h, '<[^>]*>', ' ', 'g'),
         |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |        '&#39;', CHR(39)), '&amp;', '&'),
-        |      ' +', ' ', 'g')) AS clean_text,
+        |      '\s+', ' ', 'g')) AS clean_text,
         |    regexp_replace(m, '#.*', '') AS nf
         |  FROM raw),
         |parts AS (
@@ -653,8 +653,15 @@ object OperatorGates6 {
         |  FROM st)
         |SELECT doc_id, clean_text,
         |  regexp_replace(rtrim(
-        |    scheme || '://' || regexp_replace(host, ':(80|443)$', '')
-        |      || regexp_replace(rest, 'utm_[A-Za-z]+=[^&]*&?', '', 'g'),
+        |    scheme || '://'
+        |      || CASE WHEN scheme = 'http'
+        |              THEN regexp_replace(host, ':80$', '')
+        |              WHEN scheme = 'https'
+        |              THEN regexp_replace(host, ':443$', '')
+        |              ELSE host END
+        |      || regexp_replace(rest,
+        |           '([?&])utm_[A-Za-z]+=[^&]*(&utm_[A-Za-z]+=[^&]*)*&?',
+        |           '\1', 'g'),
         |    '?&'), '/$', '') AS clean_url
         |FROM parts ORDER BY doc_id""".stripMargin,
 

@@ -220,7 +220,8 @@ object Text {
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
-    trim(regexp_replace(decoded, " +", " "))
+    // \s+, not ' +': real HTML is full of tabs/newlines
+    trim(regexp_replace(decoded, "\\s+", " "))
   }
 
   /** Canonicalize one URL string — the dedup/blocklist key
@@ -235,8 +236,18 @@ object Text {
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val host = lower(regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
     val rest = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)", 1)
-    val noPort = regexp_replace(host, ":(80|443)$", "")
-    val noUtm = regexp_replace(rest, "utm_[A-Za-z]+=[^&]*&?", "")
+    // default-port strip is SCHEME-CONDITIONAL: :80 on https (or :443
+    // on http) is a real, distinct origin and must survive
+    val noPort = when(scheme === "http", regexp_replace(host, ":80$", ""))
+      .when(scheme === "https", regexp_replace(host, ":443$", ""))
+      .otherwise(host)
+    // a RUN of utm params collapses in one match (global regex can't
+    // re-scan its own replacement, so consecutive params need the run
+    // form); the leading separator is kept via $1, and a separator
+    // orphaned at the end is rtrim'd below. Anchored on [?&]: a param
+    // or path segment merely CONTAINING "utm_" is untouched
+    val noUtm = regexp_replace(rest,
+      "([?&])utm_[A-Za-z]+=[^&]*(&utm_[A-Za-z]+=[^&]*)*&?", "$1")
     // order matters: drop utm-orphaned separators FIRST, then the
     // trailing slash ("p/?utm_x=1" -> "p/?" -> "p/" -> "p")
     val tidy = regexp_replace(

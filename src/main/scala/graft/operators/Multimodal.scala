@@ -184,19 +184,8 @@ object Multimodal {
       * gate fixture generator (and the documented shape [[parse]]
       * understands). Sample values come from the caller.
       */
-    def synthesize(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
-      val dataSize = samples.length * 2
-      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
-        .put("WAVE".getBytes("US-ASCII"))
-        .put("fmt ".getBytes("US-ASCII")).putInt(16)
-        .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
-        .putShort(2).putShort(16)
-        .put("data".getBytes("US-ASCII")).putInt(dataSize)
-      samples.foreach(buf.putShort)
-      buf.array()
-    }
+    def synthesize(sampleRate: Int, samples: Array[Short]): Array[Byte] =
+      synthesizeInterleaved(sampleRate, 1, samples)
 
     /** Nearest-neighbor sample-rate conversion over PCM16 — the audio
       * RESAMPLE op, mirror of the image resize: output frame j copies
@@ -218,8 +207,7 @@ object Multimodal {
         val sj = (j.toLong * m.rate / outRate).toInt
         ((u16(bytes, m.dataOff + (sj * m.channels + c) * 2) << 16) >> 16).toShort
       }
-      if (m.channels == 1) synthesize(outRate, out)
-      else synthesizeInterleaved(outRate, m.channels, out)
+      synthesizeInterleaved(outRate, m.channels, out)
     }
 
     /** Multi-channel variant of [[synthesize]]: interleaved PCM16

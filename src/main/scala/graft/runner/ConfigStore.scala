@@ -235,28 +235,37 @@ final class ConfigStore(
     out.toList
   }
 
+  // reverse adjacency, built once per store (nodes are immutable):
+  // importedBy queries are O(answer), not O(topology)
+  private lazy val reverseIndex: Map[String, Seq[String]] =
+    nodes.toSeq
+      .flatMap { case (p, n) => n.imports.map(i => normalize(i) -> p) }
+      .groupMap(_._1)(_._2)
+      .map { case (t, ps) => t -> ps.sorted }
+
   /** Reverse import index — which nodes DIRECTLY import `path` (ref
     * `InMemoryTopology.getImportedBy`): the impact-analysis query
     * ("who breaks if this tag changes").
     */
-  def importedBy(path: String): Seq[String] = {
-    val target = normalize(path)
-    nodes.collect {
-      case (p, n) if n.imports.map(normalize).contains(target) => p
-    }.toSeq.sorted
-  }
+  def importedBy(path: String): Seq[String] =
+    reverseIndex.getOrElse(normalize(path), Seq.empty)
 
-  /** Transitive closure of [[importedBy]] (every node whose RESOLVED
-    * config can see `path`'s values through import chains or via an
-    * importing ancestor would be a superset; this lists the explicit
-    * import reachability, matching the reference's recursive
-    * imported-by traversal).
+  /** Transitive closure of [[importedBy]], matching the reference's
+    * recursive imported-by traversal — including its cycle DETECTION:
+    * a cycle in the explicit-import graph throws, exactly like the
+    * forward [[importsRecursively]], instead of reporting a node as
+    * transitively importing itself.
     */
   def importedByRecursively(path: String): Seq[String] = {
     val seen = mutable.Set.empty[String]
-    def recur(p: String): Unit =
-      importedBy(p).foreach { d => if (seen.add(d)) recur(d) }
-    recur(normalize(path))
+    def recur(p: String, stack: List[String]): Unit =
+      importedBy(p).foreach { d =>
+        if (stack.contains(d))
+          throw CircularConfigImportException((d :: stack).reverse)
+        if (seen.add(d)) recur(d, d :: stack)
+      }
+    val start = normalize(path)
+    recur(start, List(start))
     seen.toSeq.sorted
   }
 

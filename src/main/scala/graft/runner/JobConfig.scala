@@ -129,7 +129,11 @@ object JobConfig {
         val floor = req(p, "op.lmFilter.minHitRatio").toDouble
         val train = opt(p, "op.lmFilter.trainPredicate")
           .map(pr => df.filter(expr(pr))).getOrElse(df)
-        val lm = NgramLm.train(train, textCol)
+        val fitted = NgramLm.train(train, textCol)
+        // cache the vocab-sized model tables: without this, every
+        // action over the filtered frame re-runs the full training
+        // aggregations (uni appears twice in one scoring plan)
+        val lm = NgramLm.Lm(fitted.uni.persist(), fitted.probs.persist())
         df.join(
           NgramLm.score(df, idCol, textCol, lm)
             .filter(col("hit_ratio") >= floor)

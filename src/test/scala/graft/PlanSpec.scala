@@ -161,6 +161,13 @@ class PlanSpec extends SparkSpec {
       "bucket spans lost their map-side partial")
   }
 
+  test("html/url clean: pure projection — one scan, sort is the only exchange") {
+    val p = plan("q_html_url_clean")
+    assert("Scan parquet".r.findAllIn(p).size == 1)
+    assert(!p.contains("Join") && !p.contains("MapPartitions"))
+    assert("\\bExchange\\b".r.findAllIn(p).size <= 1)
+  }
+
   test("inverted index: single scan, bounded collect keeps map-side partial") {
     val p = plan("q_inverted_index")
     assert("Scan parquet".r.findAllIn(p).size == 1)

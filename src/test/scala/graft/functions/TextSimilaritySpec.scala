@@ -53,8 +53,14 @@ class TextSimilaritySpec extends SparkSpec {
         "http://example.com/A/B/?q=1",
       "https://Host.org:8443/keep:port" ->
         "https://host.org:8443/keep:port", // only default ports stripped
+      "https://a.b:80/x" -> "https://a.b:80/x", // :80 NOT default on https
       "https://a.b/" -> "https://a.b",
       "https://a.b/?utm_x=1" -> "https://a.b",
+      // consecutive utm run collapses; embedded 'utm_' substrings and
+      // non-utm params survive
+      "https://a.b/?utm_a=1&utm_b=2&id=3" -> "https://a.b/?id=3",
+      "https://a.b/?xutm_source=1&q=2" -> "https://a.b/?xutm_source=1&q=2",
+      "https://a.b/?id=3&utm_a=1" -> "https://a.b/?id=3",
       "not a url at all" -> "not a url at all")
     val out = cases.map(_._1).toDF("u")
       .select(Text.normalizeUrl($"u")).collect().map(_.getString(0))

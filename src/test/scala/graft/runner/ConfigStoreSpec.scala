@@ -128,6 +128,13 @@ class ConfigStoreSpec extends SparkSpec {
     assert(cs.importedBy("/base") == Seq("/b", "/mid"))
     assert(cs.importedBy("/c").isEmpty)
     assert(cs.importedByRecursively("/base") == Seq("/a", "/b", "/mid"))
+    // cycle: same exception as the forward traversal, not a
+    // self-referential answer
+    val cyc = store(
+      "/" -> Node(),
+      "/a" -> Node(imports = Vector("/b")),
+      "/b" -> Node(imports = Vector("/a")))
+    intercept[CircularConfigImportException](cyc.importedByRecursively("/a"))
   }
 
   test("property: resolution invariants over 300 random stores") {
