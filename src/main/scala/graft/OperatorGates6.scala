@@ -263,6 +263,46 @@ object OperatorGates6 {
         .orderBy(col("lang"))
     }),
 
+    // --- config impact analysis (ref InMemoryTopology.getImportedBy):
+    //     "who breaks if this tag changes" — direct importers and the
+    //     transitive closure for every tag in a deployed store whose
+    //     tags themselves import a shared base tag -----------------
+    "q_config_impact" -> ((s, dir) => {
+      import graft.runner.ConfigStore
+      import graft.runner.ConfigStore.Node
+      import s.implicits._
+      val tmp = tmpDir("graft_cfgimpact")
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+        .collect().map(r => (r.get(0).toString.toLong, r.getString(1)))
+        .sortBy(_._1)
+      val shared = Map(
+        "/" -> Node(),
+        "/datasets" -> Node(),
+        "/tags" -> Node(),
+        "/tags/base" -> Node(Vector("audit" -> "on")),
+        "/tags/hot" -> Node(Vector("retention.days" -> "2"),
+          imports = Vector("/tags/base")),
+        "/tags/cold" -> Node(Vector("retention.days" -> "365"),
+          imports = Vector("/tags/base")))
+      val ds = nations.map { case (k, name) =>
+        val imp = (k % 3) match {
+          case 0 => Vector("/tags/hot")
+          case 1 => Vector("/tags/cold")
+          case _ => Vector.empty[String]
+        }
+        s"/datasets/${name.toLowerCase}" -> Node(Vector.empty, imp)
+      }.toMap
+      ConfigStore.deployFs(tmp, "v1", shared ++ ds)
+      val cs = ConfigStore.openFs(tmp)
+      Seq("/tags/base", "/tags/cold", "/tags/hot")
+        .map(tag => (tag,
+          cs.importedBy(tag).size.toLong,
+          cs.importedByRecursively(tag).size.toLong))
+        .toDF("tag", "n_direct", "n_transitive")
+        .orderBy(col("tag"))
+    }),
+
     // --- config-driven retention: the reference's PRIMARY use of the
     //     config store — per-dataset retention.days resolved through
     //     tag imports, then broadcast-joined onto the fact table to
@@ -880,6 +920,20 @@ object OperatorGates6 {
         |  CAST(sum(d.doc_id * d.n_copies) AS BIGINT) AS id_weighted_sum
         |FROM d JOIN e e2 ON d.lang = e2.domain
         |GROUP BY d.lang, e2.n_in ORDER BY d.lang""".stripMargin,
+
+    "q_config_impact" ->
+      """WITH c AS (
+        |  SELECT count(*) FILTER (n_nationkey % 3 = 0) AS nh,
+        |         count(*) FILTER (n_nationkey % 3 = 1) AS nc
+        |  FROM nation)
+        |SELECT tag, n_direct, n_transitive FROM (
+        |  SELECT '/tags/base' AS tag, CAST(2 AS BIGINT) AS n_direct,
+        |         CAST(2 + nh + nc AS BIGINT) AS n_transitive FROM c
+        |  UNION ALL
+        |  SELECT '/tags/cold', CAST(nc AS BIGINT), CAST(nc AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT '/tags/hot', CAST(nh AS BIGINT), CAST(nh AS BIGINT) FROM c
+        |) ORDER BY tag""".stripMargin,
 
     "q_config_retention" ->
       """WITH cfg AS (
