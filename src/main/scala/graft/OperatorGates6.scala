@@ -263,6 +263,22 @@ object OperatorGates6 {
         .orderBy(col("lang"))
     }),
 
+    // --- packing efficiency report (Packing.packStats): per-sequence
+    //     document counts, token fill, and fill ratio over the greedy
+    //     packing — the waste metric a training pipeline watches. The
+    //     oracle replays the greedy recurrence then aggregates ------
+    "q_pack_stats" -> ((s, dir) => {
+      import graft.functions.Text
+      import graft.operators.Packing
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+          Text.tokenCount(col("text")).as("n_tok"))
+      val packed = Packing.packGreedy(docs, "shard", "doc_id", "n_tok",
+        budget = 256)
+      Packing.packStats(packed, budget = 256)
+        .orderBy(col("shard"), col("seq_id"))
+    }),
+
     // --- config impact analysis (ref InMemoryTopology.getImportedBy):
     //     "who breaks if this tag changes" — direct importers and the
     //     transitive closure for every tag in a deployed store whose
@@ -920,6 +936,31 @@ object OperatorGates6 {
         |  CAST(sum(d.doc_id * d.n_copies) AS BIGINT) AS id_weighted_sum
         |FROM d JOIN e e2 ON d.lang = e2.domain
         |GROUP BY d.lang, e2.n_in ORDER BY d.lang""".stripMargin,
+
+    "q_pack_stats" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id % 8 AS shard, doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |         x -> len(x) > 0)) AS INT) AS n_tok,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        |  FROM documents
+        |), rec(shard, doc_id, n_tok, rn, seq_id, fill) AS (
+        |  SELECT shard, doc_id, n_tok, rn, CAST(0 AS BIGINT),
+        |         CAST(n_tok AS BIGINT)
+        |  FROM docs WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.shard, d.doc_id, d.n_tok, d.rn,
+        |    CASE WHEN r.fill + d.n_tok <= 256 THEN r.seq_id
+        |         ELSE r.seq_id + 1 END,
+        |    CASE WHEN r.fill + d.n_tok <= 256 THEN r.fill + d.n_tok
+        |         ELSE CAST(d.n_tok AS BIGINT) END
+        |  FROM rec r JOIN docs d ON d.shard = r.shard AND d.rn = r.rn + 1
+        |)
+        |SELECT shard, seq_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+        |  CAST(sum(n_tok) AS DOUBLE) / 256 AS fill_ratio
+        |FROM rec GROUP BY shard, seq_id
+        |ORDER BY shard, seq_id""".stripMargin,
 
     "q_config_impact" ->
       """WITH c AS (
