@@ -263,6 +263,22 @@ object OperatorGates6 {
         .orderBy(col("lang"))
     }),
 
+    // --- column profiling (quality.Profile): the dataset health
+    //     report — per-column nulls/distinct/range in ONE aggregation
+    //     pass, melted to long; integer/string columns only so value
+    //     renderings are engine-stable. NULLs planted so the null
+    //     counter provably fires -------------------------------------
+    "q_profile" -> ((s, dir) => {
+      import graft.quality.Profile
+      val e = t(s, dir, "events").select(
+        col("event_id"), col("user_id"),
+        when(pmod(col("event_id"), lit(11)) === 0, lit(null))
+          .otherwise(col("event_type")).as("event_type"),
+        floor(col("value") * 1000).cast("long").as("v_milli"))
+      Profile.profile(e, Seq("event_id", "user_id", "event_type", "v_milli"))
+        .orderBy(col("column"))
+    }),
+
     // --- packing efficiency report (Packing.packStats): per-sequence
     //     document counts, token fill, and fill ratio over the greedy
     //     packing — the waste metric a training pipeline watches. The
@@ -936,6 +952,39 @@ object OperatorGates6 {
         |  CAST(sum(d.doc_id * d.n_copies) AS BIGINT) AS id_weighted_sum
         |FROM d JOIN e e2 ON d.lang = e2.domain
         |GROUP BY d.lang, e2.n_in ORDER BY d.lang""".stripMargin,
+
+    "q_profile" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN event_id % 11 = 0 THEN NULL
+        |         ELSE event_type END AS event_type,
+        |    CAST(floor(value * 1000) AS BIGINT) AS v_milli
+        |  FROM events)
+        |SELECT "column", n_rows, n_nulls, n_distinct, min_repr, max_repr
+        |FROM (
+        |  SELECT 'event_id' AS "column", count(*) AS n_rows,
+        |    count(*) FILTER (event_id IS NULL) AS n_nulls,
+        |    count(DISTINCT event_id) AS n_distinct,
+        |    CAST(min(event_id) AS VARCHAR) AS min_repr,
+        |    CAST(max(event_id) AS VARCHAR) AS max_repr FROM e
+        |  UNION ALL
+        |  SELECT 'event_type', count(*),
+        |    count(*) FILTER (event_type IS NULL),
+        |    count(DISTINCT event_type),
+        |    min(event_type), max(event_type) FROM e
+        |  UNION ALL
+        |  SELECT 'user_id', count(*),
+        |    count(*) FILTER (user_id IS NULL),
+        |    count(DISTINCT user_id),
+        |    CAST(min(user_id) AS VARCHAR), CAST(max(user_id) AS VARCHAR)
+        |  FROM e
+        |  UNION ALL
+        |  SELECT 'v_milli', count(*),
+        |    count(*) FILTER (v_milli IS NULL),
+        |    count(DISTINCT v_milli),
+        |    CAST(min(v_milli) AS VARCHAR), CAST(max(v_milli) AS VARCHAR)
+        |  FROM e
+        |) ORDER BY "column"""".stripMargin,
 
     "q_pack_stats" ->
       """WITH RECURSIVE docs AS (
