@@ -180,6 +180,33 @@ class ConfigStoreSpec extends SparkSpec {
     }
   }
 
+  test("FS reads survive malformed store content with clean errors") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cfgfuzz").toString
+    // no metadata at all
+    val noMeta = intercept[IllegalArgumentException](ConfigStore.openFs(tmp))
+    assert(noMeta.getMessage.contains("currentVersion"))
+    // metadata pointing at a missing version
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(tmp, "_CONFIG_STORE"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tmp, "_CONFIG_STORE", "_metadata.conf"),
+      "config.store.currentVersion=v9\n")
+    val noVer = intercept[IllegalArgumentException](ConfigStore.openFs(tmp))
+    assert(noVer.getMessage.contains("v9"))
+    // junk lines in main.conf are skipped; junk import fails WITH the file named
+    val vdir = java.nio.file.Paths.get(tmp, "_CONFIG_STORE", "v9", "d")
+    java.nio.file.Files.createDirectories(vdir)
+    java.nio.file.Files.writeString(vdir.resolve("main.conf"),
+      "# comment\nnot a kv line\nk=good\n  \n")
+    val cs = ConfigStore.openFs(tmp)
+    assert(cs.resolve("/d") == scala.collection.immutable.ListMap("k" -> "good"))
+    java.nio.file.Files.writeString(vdir.resolve("includes.conf"),
+      "relative/import\n")
+    val badImp = intercept[IllegalArgumentException](ConfigStore.openFs(tmp))
+    assert(badImp.getMessage.contains("relative/import") &&
+      badImp.getMessage.contains("includes.conf"))
+  }
+
   test("resolveAll emits the broadcast-joinable long table") {
     val cs = store(
       "/" -> Node(Vector("r" -> "root")),
