@@ -41,7 +41,9 @@ import graft.state.FsStateStore
   * parse), encrypt/decrypt (rotating-AES over a JSON keystore),
   * scrubPii (email/IP/phone redaction), normalize (NFC, optional
   * accent strip), stratifiedSample (per-group keep fractions, e.g.
-  * `op.stratifiedSample.fractions=en:0.5,de:0.25`).
+  * `op.stratifiedSample.fractions=en:0.5,de:0.25`), lmFilter,
+  * temperatureResample, zorderKey, substringDedup (exact-substring
+  * removal; `op.substringDedup.{idColumn,textColumn,gramTokens}`).
   * Predicates/expressions are Spark SQL fragments (`expr(...)`) — the
   * full column-function surface without naming JVM classes, replacing
   * the reference's `converter.classes` FQCN lists.
@@ -144,6 +146,20 @@ object JobConfig {
         Converters.temperatureResample(df,
           req(p, "op.temperatureResample.domainColumn"),
           req(p, "op.temperatureResample.idColumn"))
+      case "substringDedup" => (df: DataFrame) => {
+        // exact-substring removal (Lee et al. ExactSubstr): duplicated
+        // runs of >= minSpanTokens tokens drop from every document;
+        // the cleaned text replaces the text column in place
+        import graft.operators.SubstringDedup
+        val textCol = req(p, "op.substringDedup.textColumn")
+        val k = opt(p, "op.substringDedup.gramTokens").map(_.toInt).getOrElse(10)
+        val minSpan = opt(p, "op.substringDedup.minSpanTokens")
+          .map(_.toInt).getOrElse(0)
+        SubstringDedup.removeSpans(
+            df, req(p, "op.substringDedup.idColumn"), textCol, k, minSpan)
+          .withColumn(textCol, col("clean_text"))
+          .drop("n_tokens", "n_dup_tokens", "clean_text")
+      }
       case "zorderKey" => (df: DataFrame) => {
         import graft.functions.ZOrder
         df.withColumn(

@@ -45,6 +45,34 @@ class ScaleShapeSpec extends SparkSpec {
     rows.toDF("id", "text").repartition(8).localCheckpoint(true)
   }
 
+  test("substring dedup: a boilerplate gram in EVERY doc (20k-hot) stays a keyed aggregate, not a window sort") {
+    import graft.operators.SubstringDedup
+    // every doc carries the same 8-token tail -> the tail's k-grams
+    // are 20,000-hot; the dup-marking stage must survive that without
+    // sorting 20k rows in one window partition
+    val boiler = "terms apply all rights reserved contact site owner"
+    val withTail = docs.withColumn("text",
+      concat(col("text"), lit(" "), lit(boiler)))
+    val spans = SubstringDedup
+      .duplicatedSpans(withTail, "id", "text", k = 5)
+      .persist()
+    try {
+      val n_docs = spans.select("id").distinct().count()
+      assert(n_docs == n, s"every doc has the boilerplate span, got $n_docs")
+      // the tail span [40, 47] is found everywhere (clone pairs may
+      // also produce full-doc spans; the tail span can then be merged
+      // into a larger one, so check coverage, not exact bounds)
+      val covered = spans.filter(col("span_start") <= 40 && col("span_end") === 47).count()
+      assert(covered == n, s"tail covered in all docs, got $covered")
+      // plan shape: windows may only key on the doc id (island merge);
+      // the hot-fingerprint dedup is an aggregate+join, never a window
+      // sort over fp (20k rows of one key in one sorted partition)
+      val plan = spans.queryExecution.executedPlan.toString
+      assert(!plan.contains("windowspecdefinition(fp"),
+        s"fp dedup must not be a window sort:\n${plan.take(800)}")
+    } finally spans.unpersist()
+  }
+
   test("simhash pigeonhole banding: candidates stay ~linear, planted dups found") {
     val pairs = Similarity.simhashPairs(
       docs.withColumn("block", lit("all")), "id", "text", "block", maxHamming = 12)

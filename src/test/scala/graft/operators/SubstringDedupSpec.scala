@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SubstringDedupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  private def df(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def spans(d: org.apache.spark.sql.DataFrame, k: Int, min: Int = 0) =
+    SubstringDedup
+      .duplicatedSpans(d, "doc_id", "text", k, min)
+      .orderBy("doc_id", "span_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+  test("shared substring across two docs is found in both, exact bounds") {
+    // "c d e f" (4 tokens) shared; k=3 anchors at 2 positions each
+    val d = df(
+      (1L, "a b c d e f g"),
+      (2L, "x c d e f y z"))
+    assert(spans(d, 3) === Seq((1L, 2L, 5L), (2L, 1L, 4L)))
+  }
+
+  test("no duplication -> no spans; docs shorter than k are skipped") {
+    val d = df((1L, "a b c d"), (2L, "e f g h"), (3L, "x y"))
+    assert(spans(d, 3).isEmpty)
+  }
+
+  test("within-document repeat counts as duplication") {
+    val d = df((1L, "p q r z z p q r"))
+    assert(spans(d, 3) === Seq((1L, 0L, 2L), (1L, 5L, 7L)))
+  }
+
+  test("overlapping anchor runs merge into one maximal span") {
+    // whole 5-token run shared -> one span, not three gram-sized ones
+    val d = df(
+      (1L, "m n o p q tail1 tail2"),
+      (2L, "head m n o p q"))
+    assert(spans(d, 3) === Seq((1L, 0L, 4L), (2L, 1L, 5L)))
+  }
+
+  test("disjoint duplicated regions stay separate rows") {
+    val d = df(
+      (1L, "a b c GAP1 GAP2 GAP3 d e f"),
+      (2L, "a b c OTHER1 OTHER2 OTHER3 d e f"))
+    assert(spans(d, 3) === Seq(
+      (1L, 0L, 2L), (1L, 6L, 8L),
+      (2L, 0L, 2L), (2L, 6L, 8L)))
+  }
+
+  test("minSpanTokens filters short spans") {
+    val d = df(
+      (1L, "a b c d e f g"),
+      (2L, "x c d e f y z"))
+    assert(spans(d, 3, min = 5).isEmpty)
+    assert(spans(d, 3, min = 4).nonEmpty)
+  }
+
+  test("removeSpans drops all occurrences and counts dup tokens") {
+    val d = df(
+      (1L, "a b c d e f g"),
+      (2L, "x c d e f y z"),
+      (3L, "solo only here"))
+    val out = SubstringDedup
+      .removeSpans(d, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_dup_tokens", "clean_text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Seq(
+      (1L, 7L, 4L, "a b g"),
+      (2L, 7L, 4L, "x y z"),
+      (3L, 3L, 0L, "solo only here")))
+  }
+
+  test("null text survives removeSpans without poisoning counts") {
+    val d = df((1L, "a b c d e f"), (2L, null))
+    val out = SubstringDedup
+      .removeSpans(d, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_dup_tokens")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out === Seq((1L, 0L), (2L, 0L)))
+  }
+
+  test("plan shape: no cartesian/BNLJ, two shuffles for spans") {
+    val d = df((1L, "a b c d e f g"), (2L, "x c d e f y z"))
+    val plan = SubstringDedup
+      .duplicatedSpans(d, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("invalid k rejected") {
+    val d = df((1L, "a b"))
+    intercept[IllegalArgumentException] {
+      SubstringDedup.duplicatedSpans(d, "doc_id", "text", 1)
+    }
+  }
+}

@@ -136,6 +136,22 @@ class JobConfigSpec extends SparkSpec {
     assert(r.columns.contains("rep") && r.count() >= 3)
   }
 
+  test("declarative substringDedup op rewrites the text column in place") {
+    import spark.implicits._
+    val ops = JobConfig.buildOps(JobConfig.parse(
+      """ops=substringDedup
+        |op.substringDedup.idColumn=id
+        |op.substringDedup.textColumn=text
+        |op.substringDedup.gramTokens=3
+        |""".stripMargin))
+    val df = Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x c d e f y z")).toDF("id", "text")
+    val out = ops.foldLeft(df)((d, op) => op(d)).orderBy("id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("a b g", "x y z"))
+    assert(out.head.schema.fieldNames.toSeq == Seq("id", "text"))
+  }
+
   test("stream job type: config-driven streaming ingest runs to completion") {
     import org.apache.spark.sql.functions._
     val root = tmpDir("streamjob")
