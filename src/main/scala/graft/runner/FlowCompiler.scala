@@ -191,7 +191,8 @@ object FlowCompiler {
     * a resume retries it after the dependency is fixed).
     */
   def executeDag(spark: SparkSession, store: FsStateStore,
-      dag: CompiledDag): Seq[HopResult] = {
+      dag: CompiledDag,
+      issues: Option[Troubleshooter.MultiContextIssueRepository] = None): Seq[HopResult] = {
     val dir = s"flows/${dag.flow.name}"
     val failed = scala.collection.mutable.Set[String]()
     dag.nodes.map { node =>
@@ -210,12 +211,24 @@ object FlowCompiler {
           } catch {
             case e: Exception =>
               failed += key
+              recordIssue(issues, dag.flow.name, key, e)
               store.put(dir, key, Map("status" -> "failed", "error" -> e.getMessage))
               HopResult(key, "failed", Map("error" -> e.getMessage))
           }
       }
     }
   }
+
+  /** Classify a hop failure into the troubleshooter (when attached):
+    * context = flow:name:-:hop (ref TroubleshooterUtils context ids).
+    */
+  private def recordIssue(issues: Option[Troubleshooter.MultiContextIssueRepository],
+      flowName: String, hop: String, e: Throwable): Unit =
+    issues.foreach(_.put(
+      Troubleshooter.contextIdForJob("flow", flowName, "-", hop),
+      Troubleshooter.fromThrowable(e, "graft.runner.FlowCompiler",
+        s"hop '$hop' of flow '$flowName'",
+        timeMs = System.currentTimeMillis())))
 
   final case class HopResult(hop: String, action: String, summary: Map[String, String])
 
@@ -226,7 +239,8 @@ object FlowCompiler {
     * throws is recorded failed and aborts the flow.
     */
   def execute(spark: SparkSession, store: FsStateStore,
-      compiled: CompiledFlow): Seq[HopResult] = {
+      compiled: CompiledFlow,
+      issues: Option[Troubleshooter.MultiContextIssueRepository] = None): Seq[HopResult] = {
     val dir = s"flows/${compiled.flow.name}"
     compiled.hops.zip(compiled.jobs).map { case (hop, props) =>
       val key = props.getProperty("job.name")
@@ -238,6 +252,7 @@ object FlowCompiler {
             try JobConfig.runAny(spark, props)
             catch {
               case e: Exception =>
+                recordIssue(issues, compiled.flow.name, key, e)
                 store.put(dir, key, Map("status" -> "failed", "error" -> e.getMessage))
                 throw new IllegalStateException(
                   s"flow '${compiled.flow.name}' failed at hop '$key': ${e.getMessage}", e)

@@ -251,9 +251,16 @@ class FlowCompilerSpec extends SparkSpec {
     val flow = FlowSpec("failflow", "a", "b")
     val compiled = compile(edges, flow).toOption.get
     val store = new FsStateStore(s"$root/state")
-    val err = intercept[IllegalStateException](FlowCompiler.execute(spark, store, compiled))
+    val issues = new Troubleshooter.MultiContextIssueRepository()
+    val err = intercept[IllegalStateException](
+      FlowCompiler.execute(spark, store, compiled, issues = Some(issues)))
     assert(err.getMessage.contains("failflow") && err.getMessage.contains("boom"))
     val rec = store.get("flows/failflow", "failflow_h0_boom")
     assert(rec.exists(_.get("status").contains("failed")))
+    // the failure is classified into the attached troubleshooter
+    val got = issues.getAll("flow:failflow:-:failflow_h0_boom")
+    assert(got.size === 1)
+    assert(got.head.severity === Troubleshooter.Severity.Error)
+    assert(got.head.summary.contains("failflow"))
   }
 }
