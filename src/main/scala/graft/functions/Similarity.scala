@@ -422,10 +422,24 @@ object Similarity {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCol: String, maxHamming: Int, fnv: Boolean = true): DataFrame = {
+    val shExpr = if (fnv) simhashFnv64(col(textCol)) else simhash64(col(textCol))
+    hammingPairs64(
+      docs.select(col(blockCol), col(idCol), shExpr.as("_sh64")),
+      idCol, "_sh64", blockCol, maxHamming)
+  }
+
+  /** All pairs within a block with hamming(hash) <= maxHamming, for
+    * ANY precomputed 64-bit locality hash column (simhash, image
+    * average-hash, audio fingerprint) — the same pigeonhole banding
+    * as [[simhashPairs]], factored out: exactly the naive block
+    * self-join's result without the quadratic pair blowup.
+    */
+  def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
+      blockCol: String, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
     val nBands = maxHamming + 1
-    val shExpr = if (fnv) simhashFnv64(col(textCol)) else simhash64(col(textCol))
-    val sh = docs.select(col(blockCol).as("block"), col(idCol).as("id"), shExpr.as("sh"))
+    val sh = hashes.select(col(blockCol).as("block"), col(idCol).as("id"),
+      col(hashCol).as("sh"))
     // cumulative bit offsets partition [0, 64) into nBands spans
     val bounds = (0 to nBands).map(i => i * 64 / nBands)
     val bandCols = (0 until nBands).map { i =>

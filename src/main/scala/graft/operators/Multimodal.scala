@@ -345,6 +345,16 @@ object Multimodal {
       }
       buf.array()
     }
+
+    /** Channel byte at linear channel index k of the DECODED image
+      * (pixel-major, channel-fastest, bottom-up row order — the same
+      * linearization [[synthesize]] writes), skipping row padding.
+      */
+    private[Multimodal] def srcChannel(bytes: Array[Byte], m: BmpMeta, k: Int): Int = {
+      val pix = k / 3
+      bytes(m.dataOff + (pix / m.width) * m.stride +
+        (pix % m.width) * 3 + k % 3) & 0xff
+    }
   }
 
   final case class ResizedBmp(
@@ -375,19 +385,62 @@ object Multimodal {
         // silently flipping/sampling the wrong rows
         require(m.rawHeight > 0,
           s"media $id: resize supports bottom-up BMPs only (height ${m.rawHeight})")
-        def srcByte(k: Int): Int = {
-          val pix = k / 3
-          bytes(m.dataOff + (pix / m.width) * m.stride +
-            (pix % m.width) * 3 + k % 3) & 0xff
-        }
         val out = BmpCodec.synthesize(outW, outH, { j =>
           val pix = j / 3
           val sx = (pix % outW) * m.width / outW
           val sy = (pix / outW) * m.height / outH
-          srcByte((sy * m.width + sx) * 3 + j % 3)
+          BmpCodec.srcChannel(bytes, m, (sy * m.width + sx) * 3 + j % 3)
         })
         val re = BmpCodec.parse(id, out) // round-trip through the codec
         ResizedBmp(id, re.width, re.height, re.n_pixels, re.mean_intensity, out)
+      })
+  }
+
+  final case class MediaHash(media_id: Long, ahash: Long)
+
+  /** Perceptual average-hash (aHash) over REAL decoded 24-bpp pixels:
+    * nearest-neighbor sample to an 8x8 grid (the same integer floor
+    * sampling as [[resizeBmp]]), per-sample luma = the SUM of the 3
+    * channel bytes (division-free), bit j set iff
+    * `64 * luma(j) > sum(lumas)` — i.e. the sample is brighter than
+    * the image mean, compared in exact integers so an oracle replays
+    * the hash bit-for-bit from a generator formula.
+    *
+    * Near-identical images (crops of padding, re-encodes, small
+    * overlays) land within a few bits; pair them with
+    * [[graft.functions.Similarity.hammingPairs64]] — image near-dup
+    * becomes the same banded-shuffle shape as text simhash, no
+    * pairwise pixel compare anywhere.
+    */
+  def aHashBmp(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        require(bytes != null, s"media $id: null content")
+        val m = BmpCodec.meta(id, bytes)
+        require(m.rawHeight > 0,
+          s"media $id: aHash supports bottom-up BMPs only (height ${m.rawHeight})")
+        val lumas = new Array[Long](64)
+        var j = 0
+        while (j < 64) {
+          val sx = (j % 8) * m.width / 8
+          val sy = (j / 8) * m.height / 8
+          val base = (sy.toLong * m.width + sx).toInt * 3
+          lumas(j) = BmpCodec.srcChannel(bytes, m, base) +
+            BmpCodec.srcChannel(bytes, m, base + 1) +
+            BmpCodec.srcChannel(bytes, m, base + 2)
+          j += 1
+        }
+        val total = lumas.sum
+        var hash = 0L
+        j = 0
+        while (j < 64) {
+          if (64L * lumas(j) > total) hash |= (1L << j)
+          j += 1
+        }
+        MediaHash(id, hash)
       })
   }
 

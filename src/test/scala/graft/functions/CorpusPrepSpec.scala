@@ -323,6 +323,63 @@ class CorpusPrepSpec extends SparkSpec {
     assert(BmpCodec.parse(2L, half.content).n_pixels == 2)
   }
 
+  test("aHashBmp: flat image hashes to 0; bright top half sets the top 32 bits") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.BmpCodec
+    val flat = BmpCodec.synthesize(8, 8, _ => 100)
+    // bottom-up linearization: rows 0-3 (bottom) dark, rows 4-7 bright
+    val split = BmpCodec.synthesize(8, 8, i => if ((i / 3) / 8 >= 4) 255 else 0)
+    val media = Seq((1L, flat), (2L, split)).toDF("media_id", "content")
+    val got = Multimodal.aHashBmp(media).collect().map(h => h.media_id -> h.ahash).toMap
+    assert(got(1L) === 0L) // no sample is strictly brighter than the mean
+    assert(got(2L) === java.lang.Long.parseUnsignedLong("ffffffff00000000", 16))
+    // top-down BMPs are rejected, not silently mis-sampled
+    val topDown = split.clone()
+    val td = java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    td.putInt(22, -8)
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.aHashBmp(Seq((3L, topDown)).toDF("media_id", "content")).collect()
+    }
+    assert(err.getMessage.contains("bottom-up") || err.getCause != null)
+  }
+
+  test("aHash near-dup: identical and lightly-perturbed images pair via hammingPairs64") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.BmpCodec
+    def img(perturb: Boolean) = BmpCodec.synthesize(16, 16,
+      i => (((i / 3 % 16) * 16 + 7 * i) % 256 + (if (perturb && i < 48) 128 else 0)) % 256)
+    val media = Seq(
+      (1L, img(false)), (2L, img(false)), (3L, img(perturb = true)),
+      (4L, BmpCodec.synthesize(16, 16, i => (i * 37 + 11) % 256))) // unrelated
+      .toDF("media_id", "content")
+    val hashes = Multimodal.aHashBmp(media).toDF().withColumn("block", lit("all"))
+    val pairs = Similarity
+      .hammingPairs64(hashes, "media_id", "ahash", "block", maxHamming = 8)
+      .selectExpr("id_a", "id_b", "CAST(hamming AS BIGINT) AS hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(p => (p._1, p._2))
+    val exact = pairs.filter(_._3 == 0).map(p => (p._1, p._2))
+    assert(exact.contains((1L, 2L))) // identical images: hamming 0
+    // the perturbed copy pairs with both originals at a small distance
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 > 0))
+  }
+
+  test("hammingPairs64 equals the brute-force definition on random hashes") {
+    val rnd = new scala.util.Random(7)
+    val hs = (1L to 30L).map(i =>
+      ("b" + (i % 2), i, rnd.nextLong() & 0xffffL | (rnd.nextLong() & 0xf000000000000000L)))
+    val df = hs.toDF("block", "id", "h")
+    val got = Similarity.hammingPairs64(df, "id", "h", "block", maxHamming = 5)
+      .selectExpr("id_a", "id_b", "CAST(hamming AS BIGINT) AS hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      (ba, ia, ha) <- hs; (bb, ib, hb) <- hs
+      if ba == bb && ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 5
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got === want)
+  }
+
   test("Mp4Codec: probe roundtrip, sniff dispatch, malformed rejection") {
     import graft.operators.Multimodal
     import Multimodal.Mp4Codec
