@@ -1,0 +1,345 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 wave 7: exact-substring dedup (the suffix-array dedup of
+  * Lee et al. 2021, re-expressed as k-gram anchoring — see
+  * operators/SubstringDedup.scala), the troubleshooter and dataset-
+  * metadata surfaces, and image perceptual-hash near-dup. Query side
+  * runs the real operators; the oracle replays gram fingerprints,
+  * island merging, span removal, pixel sampling, and brute-force pair
+  * definitions independently in DuckDB.
+  */
+object OperatorGates7 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Shared boilerplate planted on every 7th document's tail — the
+    * "terms of service" block that exact-substring dedup exists to
+    * strip (26 tokens, >= 2 full k=10 grams).
+    */
+  val Boiler: String =
+    "terms of service apply to all content herein all rights reserved " +
+      "unauthorized reproduction strictly prohibited contact the webmaster " +
+      "for licensing details subject to change without notice"
+
+  /** Second, disjoint boilerplate prepended to every 5th document
+    * (15 tokens) so gates see leading spans, trailing spans, and
+    * both at once on doc_id % 35 == 0.
+    */
+  val Boiler2: String =
+    "cookie consent banner please accept our cookie policy before " +
+      "continuing to browse this site today"
+
+  /** documents with both boilerplate plants applied (single source of
+    * truth for the Spark side; the oracle restates it in SQL).
+    */
+  private def plantedDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0, concat(lit(Boiler2), lit(" ")))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 7 === 0, concat(lit(" "), lit(Boiler)))
+            .otherwise(lit(""))).as("text"))
+
+  /** The planted input restated for DuckDB. */
+  private val plantedSql: String =
+    s"""aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN '$Boiler2 ' ELSE '' END || text ||
+       |    CASE WHEN doc_id % 7 = 0 THEN ' $Boiler' ELSE '' END AS text
+       |  FROM documents)""".stripMargin
+
+  /** Gram/island replay shared by both substring gates (k = 10). */
+  private val spanCtes: String =
+    s"""$plantedSql,
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+       |g AS (
+       |  SELECT doc_id, unnest(generate_series(0, len(toks) - 10)) AS i, toks
+       |  FROM tk WHERE len(toks) >= 10),
+       |fp AS (
+       |  SELECT doc_id, i, md5(array_to_string(toks[i + 1:i + 10], ' ')) AS fp
+       |  FROM g),
+       |dup AS (
+       |  SELECT doc_id, i FROM (
+       |    SELECT doc_id, i, count(*) OVER (PARTITION BY fp) AS cnt FROM fp)
+       |  WHERE cnt > 1),
+       |isl AS (
+       |  SELECT doc_id, i, CASE WHEN i > coalesce(max(i + 9) OVER (
+       |      PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+       |    THEN 1 ELSE 0 END AS starts
+       |  FROM dup),
+       |grp AS (
+       |  SELECT doc_id, i, sum(starts) OVER (
+       |    PARTITION BY doc_id ORDER BY i) AS grp FROM isl)""".stripMargin
+
+  def queries7: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- exact-substring dedup, span report (Lee et al. 2021
+    //     ExactSubstr; scale notes in SubstringDedup.scala): plant
+    //     shared head/tail boilerplate, find every maximal duplicated
+    //     token span of >= 10 tokens. The oracle replays the md5 gram
+    //     fingerprints and the gaps-and-islands merge bit-for-bit ----
+    "q_substring_spans" -> ((s, dir) => {
+      import graft.operators.SubstringDedup
+      SubstringDedup
+        .duplicatedSpans(plantedDocs(s, dir), "doc_id", "text", k = 10)
+        .orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // --- automatic troubleshooter (ref gobblin-runtime/.../
+    //     troubleshooter/ + AutoTroubleshooterLogAppender.java): one
+    //     job context per nation; every 3rd job fails with a coded
+    //     error TWICE (the retry dedups to one issue), every 3rd+1 job
+    //     reports a kafka WARN (refined away), a runner WARN and a
+    //     metrics INFO (refined to the bottom), the rest are healthy.
+    //     Output = refined per-context issue rows; the oracle restates
+    //     the expected classification from the nation table ----------
+    "q_issues" -> ((s, dir) => {
+      import graft.runner.Troubleshooter
+      import graft.runner.Troubleshooter._
+      val repo = new MultiContextIssueRepository()
+      // nation is a fixed-size dimension (25 rows at every SF):
+      // bounded driver metadata, same class as seeds/offsets elsewhere
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+        .collect().map(r => (r.get(0).toString.toLong, r.getString(1)))
+        .sortBy(_._1)
+      nations.foreach { case (k, name) =>
+        val ctx = contextIdForJob("gate", name, "1", "ingest")
+        k % 3 match {
+          case 0 =>
+            // the job and its blind retry fail identically -> ONE issue
+            (1 to 2).foreach { _ =>
+              Troubleshooter.guarded(
+                repo, ctx, "graft.sources.FileSources", "ingest run") {
+                throw new CodedException(
+                  "GRAFT_SOURCE_MISSING", s"no input for $name")
+              }
+            }
+          case 1 =>
+            repo.put(ctx, Issue(1L, Severity.Warn, "KAFKA_LAG",
+              s"consumer lag on $name", "",
+              "org.apache.kafka.clients.NetworkClient", ""))
+            repo.put(ctx, Issue(2L, Severity.Warn, "GRAFT_SLOW_TASK",
+              s"slow tasks on $name", "", "graft.runner.JobRunner", ""))
+            repo.put(ctx, Issue(3L, Severity.Info, "METRICS_EMIT",
+              s"metrics emitted for $name", "",
+              "graft.metrics.GraftListener", ""))
+          case _ => () // healthy run: no issues
+        }
+      }
+      Troubleshooter.toDf(s, repo)
+        .select(col("context"), col("ord"), col("code"), col("severity"),
+          col("summary"), col("source_class"))
+        .orderBy(col("context"), col("ord"))
+    }),
+
+    // --- exact-substring dedup, removal (ALL occurrences dropped):
+    //     per-document token counts plus an md5 of the cleaned text,
+    //     which the oracle rebuilds token-by-token ------------------
+    "q_substring_clean" -> ((s, dir) => {
+      import graft.operators.SubstringDedup
+      SubstringDedup
+        .removeSpans(plantedDocs(s, dir), "doc_id", "text", k = 10)
+        .select(
+          col("doc_id"),
+          col("n_tokens"),
+          col("n_dup_tokens"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- image perceptual-hash near-dup (multimodal dedup): REAL
+    //     synthesized BMPs — pattern keyed by doc_id % 40 so groups
+    //     share pixel content, every 3rd doc lightly perturbed — are
+    //     aHashed through the actual codec (8x8 nearest-neighbor
+    //     sample, integer mean threshold) and paired with the banded
+    //     hamming join. The oracle replays pixels, sampling, bits,
+    //     and the BRUTE-FORCE pair definition the banding must equal -
+    "q_image_neardup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.functions.Similarity
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val g = (id % 40).toInt
+          val w = 8 + (g % 5) * 2
+          val h = 8 + (g % 3) * 4
+          val pert = id % 3 == 0
+          (id, Multimodal.BmpCodec.synthesize(w, h, { i =>
+            val base = ((g + 1) * (i + 3) * 1103) % 256
+            (base + (if (pert && i % 97 == 0) 128 else 0)) % 256
+          }))
+        }).toDF("media_id", "content")
+      val hashes = Multimodal.aHashBmp(media).toDF()
+        .withColumn("block", lit("all"))
+      Similarity.hammingPairs64(hashes, "media_id", "ahash", "block",
+          maxHamming = 6)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- dataset metadata envelope (ref gobblin-modules/
+    //     gobblin-metadata: GlobalMetadata.java, Collector, JsonMerger):
+    //     per event type, a REAL two-file parquet write, per-file
+    //     record counts recovered from footers executor-side, folded
+    //     through the collector (defaults merge + by-id dedup) and the
+    //     json merger into Num-Records/Num-Files totals. The oracle
+    //     recomputes every total from the events table ---------------
+    "q_global_metadata" -> ((s, dir) => {
+      import graft.sink.DatasetMetadata
+      import graft.sink.DatasetMetadata._
+      val tmp = tmpDir("graft_meta")
+      val events = t(s, dir, "events")
+      // event types are a bounded enum (5 values): driver metadata
+      val types = events.select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val defaults = empty.withDatasetList(TransferEncodingKey, Seq("gzip"))
+      val rows = types.map { tp =>
+        val d = s"$tmp/$tp"
+        val part = events.filter(col("event_type") === tp)
+        // two deterministic halves -> two files in one dataset dir
+        Seq(0, 1).foreach { half =>
+          part.filter(pmod(col("event_id"), lit(2)) === half)
+            .coalesce(1).write.mode("append").parquet(d)
+        }
+        val metrics = DatasetMetadata.parquetFileMetrics(s, d)
+        val own = {
+          val base = empty
+            .withDataset(DatasetUrnKey, s"urn:events:$tp")
+            .withDataset(ContentTypeKey, "application/x-parquet")
+          if (tp == "click" || tp == "error")
+            base.withDatasetList(TransferEncodingKey, Seq("aes_rotating"))
+          else base
+        }
+        val collector = new Collector(default = Some(defaults))
+        // upstream re-sends the same metadata; only one admission
+        val admissions = Seq(collector.process(Some(own)),
+          collector.process(Some(own))).flatten
+        val merger = new JsonMerger
+        admissions.foreach(m => merger.update(m.toJson))
+        merger.updateFiles(metrics)
+        val m = merger.mergedMeta
+        (tp, m.numFiles.toLong, m.numRecords,
+          metrics.map(_._2).sorted.mkString(","),
+          m.transferEncoding.getOrElse(Nil).mkString(","),
+          admissions.size.toLong)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("event_type", "num_files", "num_records",
+        "file_counts", "transfer_encoding", "n_admitted")
+        .orderBy(col("event_type"))
+    }))
+
+  def oracleSql7: Map[String, String] = Map(
+
+    "q_image_neardup" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 40 AS g, doc_id % 3 = 0 AS pert,
+        |    8 + (doc_id % 40) % 5 * 2 AS w, 8 + (doc_id % 40) % 3 * 4 AS h
+        |  FROM documents),
+        |lum AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |    list_sum(list_transform(range(0, 3), c ->
+        |      (((g + 1) *
+        |          (((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + c)
+        |            + 3) * 1103) % 256
+        |       + CASE WHEN pert AND
+        |           (((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + c)
+        |             % 97 = 0)
+        |         THEN 128 ELSE 0 END) % 256))) AS lumas
+        |  FROM d),
+        |tot AS (SELECT doc_id, lumas, list_sum(lumas) AS total FROM lum),
+        |bits AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |    CASE WHEN 64 * lumas[j + 1] > total THEN 1 ELSE 0 END) AS bits
+        |  FROM tot),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    list_sum(list_transform(range(0, 64), j ->
+        |      CASE WHEN a.bits[j + 1] <> b.bits[j + 1] THEN 1 ELSE 0 END))
+        |      AS hamming
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_global_metadata" ->
+      """WITH c AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n0
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type,
+        |  CAST(2 AS BIGINT) AS num_files,
+        |  n AS num_records,
+        |  CAST(least(n0, n - n0) AS VARCHAR) || ',' ||
+        |    CAST(greatest(n0, n - n0) AS VARCHAR) AS file_counts,
+        |  CASE WHEN event_type IN ('click', 'error')
+        |       THEN 'aes_rotating,gzip' ELSE 'gzip' END AS transfer_encoding,
+        |  CAST(1 AS BIGINT) AS n_admitted
+        |FROM c ORDER BY event_type""".stripMargin,
+
+    "q_issues" ->
+      """WITH n AS (SELECT n_nationkey AS k, n_name AS name FROM nation),
+        |err AS (
+        |  SELECT 'gate:' || name || ':1:ingest' AS context,
+        |    CAST(0 AS BIGINT) AS ord,
+        |    'GRAFT_SOURCE_MISSING' AS code, 'ERROR' AS severity,
+        |    'CodedException: no input for ' || name || ' | ingest run'
+        |      AS summary,
+        |    'graft.sources.FileSources' AS source_class
+        |  FROM n WHERE k % 3 = 0),
+        |w AS (
+        |  SELECT 'gate:' || name || ':1:ingest', CAST(0 AS BIGINT),
+        |    'GRAFT_SLOW_TASK', 'WARN', 'slow tasks on ' || name,
+        |    'graft.runner.JobRunner'
+        |  FROM n WHERE k % 3 = 1),
+        |i AS (
+        |  SELECT 'gate:' || name || ':1:ingest', CAST(1 AS BIGINT),
+        |    'METRICS_EMIT', 'INFO', 'metrics emitted for ' || name,
+        |    'graft.metrics.GraftListener'
+        |  FROM n WHERE k % 3 = 1)
+        |SELECT * FROM err UNION ALL SELECT * FROM w UNION ALL SELECT * FROM i
+        |ORDER BY context, ord""".stripMargin,
+
+    "q_substring_spans" ->
+      s"""WITH $spanCtes
+         |SELECT doc_id, min(i) AS span_start, max(i) + 9 AS span_end,
+         |  max(i) + 9 - min(i) + 1 AS span_len
+         |FROM grp GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_substring_clean" ->
+      s"""WITH $spanCtes,
+         |spans AS (
+         |  SELECT doc_id, min(i) AS s, max(i) + 9 AS e
+         |  FROM grp GROUP BY doc_id, grp),
+         |pos AS (
+         |  SELECT doc_id, unnest(generate_series(0, len(toks) - 1)) AS p, toks
+         |  FROM tk),
+         |keep AS (
+         |  SELECT pos.doc_id, pos.p, pos.toks[pos.p + 1] AS tok
+         |  FROM pos LEFT JOIN spans sp
+         |    ON pos.doc_id = sp.doc_id AND pos.p BETWEEN sp.s AND sp.e
+         |  WHERE sp.doc_id IS NULL),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_keep,
+         |    md5(string_agg(tok, ' ' ORDER BY p)) AS clean_fp
+         |  FROM keep GROUP BY doc_id)
+         |SELECT t.doc_id,
+         |  len(t.toks) AS n_tokens,
+         |  len(t.toks) - coalesce(a.n_keep, 0) AS n_dup_tokens,
+         |  coalesce(a.clean_fp, md5('')) AS clean_fp
+         |FROM tk t LEFT JOIN agg a ON t.doc_id = a.doc_id
+         |ORDER BY t.doc_id""".stripMargin)
+}
