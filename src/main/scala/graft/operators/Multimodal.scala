@@ -444,6 +444,52 @@ object Multimodal {
       })
   }
 
+  /** 64-bit energy-delta audio fingerprint (Haitsma–Kalker style,
+    * simplified to exact integers) over REAL decoded PCM16: the
+    * linear sample stream (channels interleaved) splits into 65 equal
+    * windows (boundaries `w * n / 65`, integer floor), window energy
+    * = sum of |s16|, bit j set iff `energy(j+1) > energy(j)`.
+    * Division-free, so an oracle replays the hash exactly; robust to
+    * level-preserving edits (re-containering, short overlays) the way
+    * aHash is for images. Pair with
+    * [[graft.functions.Similarity.hammingPairs64]] — audio near-dup
+    * becomes the same banded shuffle as text simhash and image aHash.
+    */
+  def fingerprintWav(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        require(bytes != null, s"media $id: null content")
+        val m = WavCodec.meta(id, bytes)
+        val n = (m.nSamples * m.channels).toInt
+        require(n >= 65,
+          s"media $id: need >= 65 samples for a 64-bit fingerprint, got $n")
+        def s16(t: Int): Int = {
+          val o = m.dataOff + 2 * t
+          ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+        }
+        val energy = new Array[Long](65)
+        var w = 0
+        while (w < 65) {
+          val hi = (w + 1) * n / 65
+          var t = w * n / 65
+          var e = 0L
+          while (t < hi) { e += math.abs(s16(t)); t += 1 }
+          energy(w) = e
+          w += 1
+        }
+        var hash = 0L
+        var j = 0
+        while (j < 64) {
+          if (energy(j + 1) > energy(j)) hash |= (1L << j)
+          j += 1
+        }
+        MediaHash(id, hash)
+      })
+  }
+
   /** (media_id, content) rows → parsed BMP features. */
   def decodeBmp(media: DataFrame): Dataset[BmpFeatures] = {
     val spark = media.sparkSession

@@ -380,6 +380,43 @@ class CorpusPrepSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("fingerprintWav: monotone energy sets all bits, flat signal none, short input rejected") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.WavCodec
+    // 130 samples with strictly growing |amplitude| -> every window
+    // energy exceeds its predecessor -> all 64 delta bits set
+    val rising = WavCodec.synthesize(8000, Array.tabulate(130)(t => (t * 7).toShort))
+    val flat = WavCodec.synthesize(8000, Array.fill(130)(250.toShort))
+    val media = Seq((1L, rising), (2L, flat)).toDF("media_id", "content")
+    val got = Multimodal.fingerprintWav(media).collect().map(h => h.media_id -> h.ahash).toMap
+    assert(got(1L) === -1L) // all 64 bits
+    assert(got(2L) === 0L)
+    val short = WavCodec.synthesize(8000, Array.fill(64)(1.toShort))
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.fingerprintWav(Seq((3L, short)).toDF("media_id", "content")).collect()
+    }
+    assert(err.getMessage.contains("65") || err.getCause != null)
+  }
+
+  test("fingerprintWav near-dup: identical and head-perturbed audio pair via hammingPairs64") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.WavCodec
+    def wav(perturb: Boolean) = WavCodec.synthesize(8000, Array.tabulate(130) { t =>
+      (((t * 131 + 17) % 1800 - 900) + (if (perturb && t < 6) 700 else 0)).toShort
+    })
+    val media = Seq(
+      (1L, wav(false)), (2L, wav(false)), (3L, wav(perturb = true)),
+      (4L, WavCodec.synthesize(8000, Array.tabulate(130)(t => ((t * 997) % 1800 - 900).toShort))))
+      .toDF("media_id", "content")
+    val hashes = Multimodal.fingerprintWav(media).toDF().withColumn("block", lit("all"))
+    val pairs = Similarity
+      .hammingPairs64(hashes, "media_id", "ahash", "block", maxHamming = 8)
+      .selectExpr("id_a", "id_b", "CAST(hamming AS BIGINT) AS hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 > 0L))
+  }
+
   test("Mp4Codec: probe roundtrip, sniff dispatch, malformed rejection") {
     import graft.operators.Multimodal
     import Multimodal.Mp4Codec
