@@ -193,6 +193,38 @@ object Troubleshooter {
         Left(issue)
     }
 
+  /** Spark-native equivalent of the reference's log-appender seam
+    * (AutoTroubleshooterLogAppender attaches to log4j; a Spark driver
+    * owns a listener bus instead): task failures surface as
+    * ExceptionFailure end reasons and classify into issues. Codes
+    * stay stable across attempts/partitions (same site, same code),
+    * so a 1000-task failure storm collapses to one issue per cause —
+    * the repository bound does the rest. Register around a job with
+    * `sc.addSparkListener` / `removeSparkListener`.
+    */
+  final class TaskFailureIssueListener(
+      repo: MultiContextIssueRepository, contextId: String)
+    extends org.apache.spark.scheduler.SparkListener {
+
+    override def onTaskEnd(
+        taskEnd: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      taskEnd.reason match {
+        case ef: org.apache.spark.ExceptionFailure =>
+          val issue = ef.exception match {
+            case Some(t) =>
+              fromThrowable(t, "spark.task", "task failure",
+                timeMs = System.currentTimeMillis())
+            case None => // exception not preserved (e.g. unserializable)
+              Issue(System.currentTimeMillis(), Severity.Error,
+                autoCode(ef.className + ef.description),
+                s"${ef.className}: ${ef.description} | task failure",
+                ef.toErrorString, "spark.task", ef.className)
+          }
+          repo.put(contextId, issue)
+        case _ => ()
+      }
+  }
+
   /** Refined issues across all contexts as a DataFrame — the
     * reportJobIssuesAsEvents surface (IssueEventBuilder tracking
     * events), emitted as rows instead. `ord` is the refined rank

@@ -122,6 +122,31 @@ class TroubleshooterSpec extends SparkSpec {
     assert(Troubleshooter.guarded(m, "ctx", "s", "m")(42) === Right(42))
   }
 
+  test("task-failure listener classifies executor failures into deduped issues") {
+    val m = new MultiContextIssueRepository()
+    val listener = new TaskFailureIssueListener(m, "job:ctx")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      import spark.implicits._
+      intercept[org.apache.spark.SparkException] {
+        spark.range(0, 8, 1, numPartitions = 4).as[Long].mapPartitions { it =>
+          throw new CodedException("GRAFT_TASK_BOOM", "planted task failure")
+          it
+        }.count()
+      }
+      // listener bus is async: wait for the event to land
+      val deadline = System.currentTimeMillis() + 15000
+      while (m.getAll("job:ctx").isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      val got = m.getAll("job:ctx")
+      // several tasks may fail before the job cancels, but they share
+      // the code -> first wins, exactly one issue
+      assert(got.map(_.code) === List("GRAFT_TASK_BOOM"))
+      assert(got.head.severity === Severity.Error)
+      assert(got.head.exceptionClass.contains("CodedException"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("toDf emits refined per-context rows with rank") {
     val m = new MultiContextIssueRepository()
     m.put("c1", issue("W", Severity.Warn, t = 5))
