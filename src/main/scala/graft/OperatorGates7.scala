@@ -82,6 +82,38 @@ object OperatorGates7 {
        |  SELECT doc_id, i, sum(starts) OVER (
        |    PARTITION BY doc_id ORDER BY i) AS grp FROM isl)""".stripMargin
 
+  /** Image aHash replay shared by the image near-dup gates: planted
+    * pixels → 8x8 nearest-neighbor samples → integer lumas → mean
+    * threshold bits (one 0/1 list per doc).
+    */
+  private val imageBitsCtes: String =
+    """d AS (
+      |  SELECT doc_id, doc_id % 40 AS g, doc_id % 3 = 0 AS pert,
+      |    8 + (doc_id % 40) % 5 * 2 AS w, 8 + (doc_id % 40) % 3 * 4 AS h
+      |  FROM documents),
+      |lum AS (
+      |  SELECT doc_id, list_transform(range(0, 64), j ->
+      |    list_sum(list_transform(range(0, 3), c ->
+      |      (((g + 1) *
+      |          (((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + c)
+      |            + 3) * 1103) % 256
+      |       + CASE WHEN pert AND
+      |           (((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + c)
+      |             % 97 = 0)
+      |         THEN 128 ELSE 0 END) % 256))) AS lumas
+      |  FROM d),
+      |tot AS (SELECT doc_id, lumas, list_sum(lumas) AS total FROM lum),
+      |bits AS (
+      |  SELECT doc_id, list_transform(range(0, 64), j ->
+      |    CASE WHEN 64 * lumas[j + 1] > total THEN 1 ELSE 0 END) AS bits
+      |  FROM tot),
+      |allpairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    list_sum(list_transform(range(0, 64), j ->
+      |      CASE WHEN a.bits[j + 1] <> b.bits[j + 1] THEN 1 ELSE 0 END))
+      |      AS hamming
+      |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)""".stripMargin
+
   def queries7: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- exact-substring dedup, span report (Lee et al. 2021
@@ -190,6 +222,109 @@ object OperatorGates7 {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // --- audio fingerprint near-dup (multimodal dedup, audio leg):
+    //     REAL synthesized WAVs (pattern keyed by doc_id % 30, every
+    //     4th doc head-perturbed) fingerprinted through the actual
+    //     codec (65-window energy deltas, exact integers) and paired
+    //     with the banded hamming join; oracle replays samples →
+    //     energies → bits → the brute-force pair definition ----------
+    "q_audio_neardup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      import graft.functions.Similarity
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val g = (id % 30).toInt
+          val pert = id % 4 == 0
+          (id, Multimodal.WavCodec.synthesize(8000, Array.tabulate(130) { tt =>
+            ((((g + 1) * (tt + 7) * 2203) % 2003 - 1001) +
+              (if (pert && tt < 6) 900 else 0)).toShort
+          }))
+        }).toDF("media_id", "content")
+      val hashes = Multimodal.fingerprintWav(media).toDF()
+        .withColumn("block", lit("all"))
+      Similarity.hammingPairs64(hashes, "media_id", "ahash", "block",
+          maxHamming = 8)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- multimodal dedup RESOLUTION: the image aHash pairs (strict
+    //     hamming <= 2) feed the SAME distributed component resolver
+    //     used for text/embedding near-dups; every medium reduces to
+    //     (id, rep) with rep = component minimum, singletons resolve
+    //     to themselves. Oracle = true transitive closure (recursive
+    //     CTE) over the brute-force pair definition ------------------
+    "q_media_dedup_resolve" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Dedup, Multimodal}
+      import graft.functions.Similarity
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          val g = (id % 40).toInt
+          val w = 8 + (g % 5) * 2
+          val h = 8 + (g % 3) * 4
+          val pert = id % 3 == 0
+          (id, Multimodal.BmpCodec.synthesize(w, h, { i =>
+            val base = ((g + 1) * (i + 3) * 1103) % 256
+            (base + (if (pert && i % 97 == 0) 128 else 0)) % 256
+          }))
+        }).toDF("media_id", "content")
+      val hashes = Multimodal.aHashBmp(media).toDF()
+        .withColumn("block", lit("all"))
+      val pairs = Similarity.hammingPairs64(hashes, "media_id", "ahash",
+        "block", maxHamming = 2)
+      val clusters = Dedup.clusterPairs(pairs)
+      media.select(col("media_id"))
+        .join(clusters.withColumnRenamed("id", "media_id"),
+          Seq("media_id"), "left")
+        .select(col("media_id"),
+          coalesce(col("rep"), col("media_id")).as("rep"))
+        .orderBy(col("media_id"))
+    }),
+
+    // --- task-failure listener (the reference's troubleshooter
+    //     log-appender seam, Spark-native): per nation, every 2nd job
+    //     REALLY fails on executors (all partitions throw a coded
+    //     error); the listener classifies ExceptionFailure end reasons
+    //     into issues — many failing tasks, same site, ONE issue.
+    //     Oracle restates the classification from the nation table ---
+    "q_task_issues" -> ((s, dir) => {
+      import graft.runner.Troubleshooter
+      import graft.runner.Troubleshooter._
+      import s.implicits._
+      val repo = new MultiContextIssueRepository()
+      val nations = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+        .collect().map(r => (r.get(0).toString.toLong, r.getString(1)))
+        .sortBy(_._1)
+      nations.foreach { case (k, name) =>
+        val ctx = contextIdForJob("gate", name, "2", "task")
+        val listener = new TaskFailureIssueListener(repo, ctx)
+        s.sparkContext.addSparkListener(listener)
+        try {
+          if (k % 2 == 0) {
+            try s.range(0, 4, 1, numPartitions = 2).as[Long].mapPartitions { it =>
+              throw new CodedException("GRAFT_TASK_BOOM", "planted failure")
+              it
+            }.count()
+            catch { case _: org.apache.spark.SparkException => () }
+            // listener bus is async: wait for THIS context's issue
+            val deadline = System.currentTimeMillis() + 15000
+            while (repo.getAll(ctx).isEmpty &&
+              System.currentTimeMillis() < deadline) Thread.sleep(20)
+          } else {
+            s.range(0, 4, 1, numPartitions = 2).count() // healthy job
+          }
+        } finally s.sparkContext.removeSparkListener(listener)
+      }
+      Troubleshooter.toDf(s, repo)
+        .select(col("context"), col("ord"), col("code"), col("severity"),
+          col("exception_class"))
+        .orderBy(col("context"))
+    }),
+
     // --- dataset metadata envelope (ref gobblin-modules/
     //     gobblin-metadata: GlobalMetadata.java, Collector, JsonMerger):
     //     per event type, a REAL two-file parquet write, per-file
@@ -245,26 +380,44 @@ object OperatorGates7 {
   def oracleSql7: Map[String, String] = Map(
 
     "q_image_neardup" ->
+      s"""WITH $imageBitsCtes
+         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM allpairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_media_dedup_resolve" ->
+      s"""WITH RECURSIVE $imageBitsCtes,
+         |edges AS (
+         |  SELECT id_a AS ea, id_b AS eb FROM allpairs WHERE hamming <= 2),
+         |sym AS (
+         |  SELECT ea AS va, eb AS vb FROM edges
+         |  UNION SELECT eb, ea FROM edges),
+         |reach(va, vb) AS (
+         |  SELECT va, vb FROM sym
+         |  UNION
+         |  SELECT r.va, s.vb FROM reach r JOIN sym s ON r.vb = s.va),
+         |rep AS (
+         |  SELECT va AS id, least(min(vb), va) AS rep
+         |  FROM reach GROUP BY va)
+         |SELECT dd.doc_id AS media_id, coalesce(r.rep, dd.doc_id) AS rep
+         |FROM documents dd LEFT JOIN rep r ON r.id = dd.doc_id
+         |ORDER BY media_id""".stripMargin,
+
+    "q_audio_neardup" ->
       """WITH d AS (
-        |  SELECT doc_id, doc_id % 40 AS g, doc_id % 3 = 0 AS pert,
-        |    8 + (doc_id % 40) % 5 * 2 AS w, 8 + (doc_id % 40) % 3 * 4 AS h
+        |  SELECT doc_id, doc_id % 30 AS g, doc_id % 4 = 0 AS pert
         |  FROM documents),
-        |lum AS (
-        |  SELECT doc_id, list_transform(range(0, 64), j ->
-        |    list_sum(list_transform(range(0, 3), c ->
-        |      (((g + 1) *
-        |          (((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + c)
-        |            + 3) * 1103) % 256
-        |       + CASE WHEN pert AND
-        |           (((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + c)
-        |             % 97 = 0)
-        |         THEN 128 ELSE 0 END) % 256))) AS lumas
+        |e AS (
+        |  SELECT doc_id, list_transform(range(0, 65), w ->
+        |    abs((((g + 1) * ((2 * w) + 7) * 2203) % 2003 - 1001) +
+        |        CASE WHEN pert AND (2 * w) < 6 THEN 900 ELSE 0 END) +
+        |    abs((((g + 1) * ((2 * w + 1) + 7) * 2203) % 2003 - 1001) +
+        |        CASE WHEN pert AND (2 * w + 1) < 6 THEN 900 ELSE 0 END))
+        |    AS en
         |  FROM d),
-        |tot AS (SELECT doc_id, lumas, list_sum(lumas) AS total FROM lum),
         |bits AS (
         |  SELECT doc_id, list_transform(range(0, 64), j ->
-        |    CASE WHEN 64 * lumas[j + 1] > total THEN 1 ELSE 0 END) AS bits
-        |  FROM tot),
+        |    CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END) AS bits
+        |  FROM e),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    list_sum(list_transform(range(0, 64), j ->
@@ -272,7 +425,15 @@ object OperatorGates7 {
         |      AS hamming
         |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
-        |FROM pairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+        |FROM pairs WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_task_issues" ->
+      """WITH n AS (SELECT n_nationkey AS k, n_name AS name FROM nation)
+        |SELECT 'gate:' || name || ':2:task' AS context,
+        |  CAST(0 AS BIGINT) AS ord,
+        |  'GRAFT_TASK_BOOM' AS code, 'ERROR' AS severity,
+        |  'graft.runner.Troubleshooter$CodedException' AS exception_class
+        |FROM n WHERE k % 2 = 0 ORDER BY context""".stripMargin,
 
     "q_global_metadata" ->
       """WITH c AS (
