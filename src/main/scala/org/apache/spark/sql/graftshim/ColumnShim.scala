@@ -22,6 +22,27 @@ object ColumnShim {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
 
+  /** Hadoop conf with the session's SQL confs merged in (sessionState
+    * is private[sql]) — what datasource readers ship to executors, so
+    * executor-side footer/schema readers see the same settings.
+    * newHadoopConf copies only EXPLICITLY-SET sql confs, while
+    * ParquetToSparkSchemaConverter(conf) reads several keys with a
+    * bare .toBoolean — plant their effective session values too.
+    */
+  def sessionHadoopConf(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.hadoop.conf.Configuration = {
+    import org.apache.spark.sql.internal.SQLConf
+    val ss = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState
+    val conf = ss.newHadoopConf()
+    Seq(SQLConf.PARQUET_BINARY_AS_STRING, SQLConf.PARQUET_INT96_AS_TIMESTAMP,
+        SQLConf.CASE_SENSITIVE, SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED,
+        SQLConf.LEGACY_PARQUET_NANOS_AS_LONG,
+        SQLConf.PARQUET_FIELD_ID_READ_ENABLED)
+      .foreach(e => conf.set(e.key, ss.conf.getConf(e).toString))
+    conf
+  }
+
   /** Catalog metadata for a (possibly db-qualified) table — location,
     * schema, partition columns; the session catalog is private[sql].
     */
