@@ -43,7 +43,10 @@ import graft.state.FsStateStore
   * accent strip), stratifiedSample (per-group keep fractions, e.g.
   * `op.stratifiedSample.fractions=en:0.5,de:0.25`), lmFilter,
   * temperatureResample, zorderKey, substringDedup (exact-substring
-  * removal; `op.substringDedup.{idColumn,textColumn,gramTokens}`).
+  * removal; `op.substringDedup.{idColumn,textColumn,gramTokens}`),
+  * importanceFilter (DSIR hashed n-gram selection;
+  * `op.importanceFilter.{idColumn,textColumn,minAvgWeight,
+  * targetPredicate}`).
   * Predicates/expressions are Spark SQL fragments (`expr(...)`) — the
   * full column-function surface without naming JVM classes, replacing
   * the reference's `converter.classes` FQCN lists.
@@ -146,6 +149,26 @@ object JobConfig {
         Converters.temperatureResample(df,
           req(p, "op.temperatureResample.domainColumn"),
           req(p, "op.temperatureResample.idColumn"))
+      case "importanceFilter" => (df: DataFrame) => {
+        // DSIR-style selection: weights fit on the target slice of the
+        // SAME frame, docs kept when their exact integer score clears
+        // minAvgWeight per gram (2^20 = neutral); gram-less docs drop
+        import graft.functions.Importance
+        val textCol = req(p, "op.importanceFilter.textColumn")
+        val idCol = req(p, "op.importanceFilter.idColumn")
+        val minAvg = req(p, "op.importanceFilter.minAvgWeight").toLong
+        val n = opt(p, "op.importanceFilter.gramTokens").map(_.toInt).getOrElse(2)
+        val buckets = opt(p, "op.importanceFilter.buckets").map(_.toInt).getOrElse(65536)
+        val target = opt(p, "op.importanceFilter.targetPredicate")
+          .map(pr => df.filter(expr(pr))).getOrElse(df)
+        val w = Importance.bucketWeights(target, textCol, df, textCol, n, buckets)
+        df.join(
+          Importance.score(df, idCol, textCol, w, n, buckets)
+            .filter(col("n_grams") > 0 &&
+              col("score") >= col("n_grams") * minAvg)
+            .select(col(idCol)),
+          Seq(idCol), "left_semi")
+      }
       case "substringDedup" => (df: DataFrame) => {
         // exact-substring removal (Lee et al. ExactSubstr): duplicated
         // runs of >= minSpanTokens tokens drop from every document;

@@ -152,6 +152,23 @@ class JobConfigSpec extends SparkSpec {
     assert(out.head.schema.fieldNames.toSeq == Seq("id", "text"))
   }
 
+  test("declarative importanceFilter keeps target-like docs, drops garble") {
+    import spark.implicits._
+    val ops = JobConfig.buildOps(JobConfig.parse(
+      """ops=importanceFilter
+        |op.importanceFilter.idColumn=id
+        |op.importanceFilter.textColumn=text
+        |op.importanceFilter.minAvgWeight=524288
+        |op.importanceFilter.targetPredicate=lang = 'en'
+        |""".stripMargin))
+    val df = Seq(
+      (1L, "en", "the cat sat on the mat"),
+      (2L, "en", "the dog sat on the mat"),
+      (3L, "xx", "zzq qzz zzq qzz zzq qzz")).toDF("id", "lang", "text")
+    val out = ops.foldLeft(df)((d, op) => op(d)).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L), "garble filtered")
+  }
+
   test("stream job type: config-driven streaming ingest runs to completion") {
     import org.apache.spark.sql.functions._
     val root = tmpDir("streamjob")
