@@ -325,6 +325,62 @@ object OperatorGates7 {
         .orderBy(col("context"))
     }),
 
+    // --- DSIR hashed n-gram importance (Xie et al. 2023, exact-
+    //     integer variant — functions/Importance.scala): weights fit
+    //     on target = clean en docs vs raw = garble-planted corpus;
+    //     every raw doc scored by its exact integer bucket-weight sum.
+    //     Garbled docs' grams are raw-heavy and target-absent, so
+    //     their scores sink. Oracle replays FNV bigram hashes,
+    //     smoothed integer weights, and the sums bit-for-bit --------
+    "q_importance_weights" -> ((s, dir) => {
+      import graft.functions.Importance
+      val docs = t(s, dir, "documents")
+      val raw = docs.select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(OperatorGates6.Garble)))
+          .otherwise(col("text")).as("text"))
+      val target = docs.filter(col("lang") === "en")
+      val w = Importance.bucketWeights(
+        target, "text", raw, "text", n = 2, nBuckets = 4096)
+      Importance.score(raw, "doc_id", "text", w, n = 2, nBuckets = 4096)
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- copy-time schema parity guard (ref gobblin-data-management
+    //     AvroSchemaCheckDefaultStrategy.java:34-105,
+    //     SchemaCheckedCopySource): per event type, a REAL dataset dir
+    //     gets one conforming file and one variant file (click/error:
+    //     renamed column; signup: int-narrowed column; rest: both
+    //     conforming); footer schemas are checked executor-side
+    //     against the expected StructType. Oracle restates the
+    //     verdict matrix -----------------------------------------
+    "q_schema_parity" -> ((s, dir) => {
+      import graft.quality.SchemaCheck
+      val tmp = tmpDir("graft_schemacheck")
+      val events = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val types = events.select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val expected = events.schema
+      val rows = types.map { tp =>
+        val d = s"$tmp/$tp"
+        val part = events.filter(col("event_type") === tp)
+        part.coalesce(1).write.mode("append").parquet(d)
+        val variant = tp match {
+          case "click" | "error" => part.withColumnRenamed("value", "amount")
+          case "signup" => part.withColumn("event_id",
+            col("event_id").cast("int"))
+          case _ => part
+        }
+        variant.coalesce(1).write.mode("append").parquet(d)
+        val checks = SchemaCheck.checkParquetTree(s, d, expected)
+        (tp, checks.size.toLong, checks.count(_.ok).toLong)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("event_type", "n_files", "n_ok")
+        .orderBy(col("event_type"))
+    }),
+
     // --- dataset metadata envelope (ref gobblin-modules/
     //     gobblin-metadata: GlobalMetadata.java, Collector, JsonMerger):
     //     per event type, a REAL two-file parquet write, per-file
@@ -434,6 +490,18 @@ object OperatorGates7 {
         |  'GRAFT_TASK_BOOM' AS code, 'ERROR' AS severity,
         |  'graft.runner.Troubleshooter$CodedException' AS exception_class
         |FROM n WHERE k % 2 = 0 ORDER BY context""".stripMargin,
+
+    "q_importance_weights" -> OracleSql.importanceWeights(
+      s"text || CASE WHEN doc_id % 7 = 0 THEN '${OperatorGates6.Garble}' " +
+        "ELSE '' END",
+      buckets = 4096),
+
+    "q_schema_parity" ->
+      """SELECT event_type, CAST(2 AS BIGINT) AS n_files,
+        |  CASE WHEN event_type IN ('click', 'error', 'signup')
+        |       THEN CAST(1 AS BIGINT) ELSE CAST(2 AS BIGINT) END AS n_ok
+        |FROM (SELECT DISTINCT event_type FROM events)
+        |ORDER BY event_type""".stripMargin,
 
     "q_global_metadata" ->
       """WITH c AS (

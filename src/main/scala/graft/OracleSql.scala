@@ -713,4 +713,58 @@ object OracleSql {
     (Seq(base) ++ enLayers ++ Seq(allBase) ++ applyLayers ++ Seq(encCtes))
       .mkString(",\n") + "\n" + fin
   }
+
+  /** Oracle for q_importance_weights (graft.functions.Importance):
+    * FNV bigram hashes bucketed mod `buckets`, Laplace-smoothed
+    * integer weights ((tc+1) * 2^20 // (rc+1)) fitted on target =
+    * clean lang='en' docs vs raw = garble-planted docs, then every
+    * raw doc's exact integer score. Docs with < n tokens surface
+    * with 0 grams / 0 score.
+    */
+  def importanceWeights(plantedText: String, buckets: Int): String = {
+    def gramCtes(src: String, prefix: String): String =
+      s"""${prefix}tk AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split($src, ' '), x -> len(x) > 0) AS toks
+         |  FROM aug),
+         |${prefix}g AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |    g_i -> ${fnvS("array_to_string(toks[g_i:g_i+1], ' ')")})) AS h
+         |  FROM ${prefix}tk WHERE len(toks) >= 2),
+         |${prefix}b AS (
+         |  SELECT doc_id, ((h % $buckets) + $buckets) % $buckets AS bucket
+         |  FROM ${prefix}g)""".stripMargin
+    s"""WITH aug AS (
+       |  SELECT doc_id, lang, $plantedText AS text,
+       |    text AS clean_text
+       |  FROM documents),
+       |${gramCtes("text", "r")},
+       |rc AS (SELECT bucket, count(*) AS rc FROM rb GROUP BY bucket),
+       |ttk AS (
+       |  SELECT list_filter(string_split(clean_text, ' '), x -> len(x) > 0)
+       |    AS toks
+       |  FROM aug WHERE lang = 'en'),
+       |tg AS (
+       |  SELECT unnest(list_transform(range(1, len(toks)),
+       |    g_i -> ${fnvS("array_to_string(toks[g_i:g_i+1], ' ')")})) AS h
+       |  FROM ttk WHERE len(toks) >= 2),
+       |tc AS (
+       |  SELECT ((h % $buckets) + $buckets) % $buckets AS bucket,
+       |    count(*) AS tc
+       |  FROM tg GROUP BY bucket),
+       |w AS (
+       |  SELECT coalesce(rc.bucket, tc.bucket) AS bucket,
+       |    ((coalesce(tc, 0) + 1) * 1048576) // (coalesce(rc, 0) + 1) AS w
+       |  FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket),
+       |sc AS (
+       |  SELECT rb.doc_id, count(*) AS n_grams,
+       |    sum(coalesce(w.w, 1048576)) AS score
+       |  FROM rb LEFT JOIN w ON rb.bucket = w.bucket
+       |  GROUP BY rb.doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(sc.n_grams, 0) AS n_grams,
+       |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score
+       |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }
