@@ -65,19 +65,8 @@ object SubstringDedup {
     val minSpan = math.max(minSpanTokens, k)
 
     // 1. one row per k-token window; docs shorter than k have none.
-    //    (sequence(0, n-k) would COUNT DOWN for n < k — guard first.)
-    val grams = df
-      .select(col(idCol), split(col(textCol), " ").as("toks"))
-      .withColumn("n", size(col("toks")))
-      .where(col("n") >= k)
-      .select(
-        col(idCol),
-        col("toks"),
-        explode(sequence(lit(0), col("n") - k)).as("i"))
-      .select(
-        col(idCol),
-        col("i"),
-        md5(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(k)))).as("fp"))
+    //    (sequence(0, n-k) would COUNT DOWN for n < k — gramsOf guards.)
+    val grams = gramsOf(df, idCol, textCol, k)
 
     // 2. grams occurring at more than one (doc, pos) site. See the
     //    class doc for why this is an aggregate + join-back and not a
@@ -89,8 +78,16 @@ object SubstringDedup {
     val dupPos = grams.join(dupFps, Seq("fp"))
       .select(col(idCol), col("i"))
 
-    // 3. gaps-and-islands per document: a new span starts where the
-    //    gram no longer overlaps/abuts the running max end.
+    // 3. gaps-and-islands per document
+    islandsToSpans(dupPos, idCol, k, minSpan)
+  }
+
+  /** Duplicated-position runs → maximal spans (a new span starts
+    * where the gram no longer overlaps/abuts the running max end).
+    * The window is keyed and bounded by document.
+    */
+  private def islandsToSpans(dupPos: DataFrame, idCol: String, k: Int,
+      minSpan: Int): DataFrame = {
     val byDoc = Window.partitionBy(idCol).orderBy("i")
     val prev = byDoc.rowsBetween(Window.unboundedPreceding, -1)
     dupPos
@@ -107,6 +104,59 @@ object SubstringDedup {
       .withColumn("span_len", col("span_end") - col("span_start") + 1)
       .where(col("span_len") >= minSpan)
       .select(col(idCol), col("span_start"), col("span_end"), col("span_len"))
+  }
+
+  /** Gram projection shared by the batch and incremental paths. */
+  private def gramsOf(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("toks"))
+      .withColumn("n", size(col("toks")))
+      .where(col("n") >= k)
+      .select(
+        col(idCol),
+        col("toks"),
+        explode(sequence(lit(0), col("n") - k)).as("i"))
+      .select(
+        col(idCol),
+        col("i"),
+        md5(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(k)))).as("fp"))
+
+  /** Incremental exact-substring dedup — the ongoing-ingest face of
+    * [[duplicatedSpans]]: a new batch's spans count as duplicated when
+    * their grams repeat WITHIN the batch or appear in the LEDGER of
+    * previously-ingested gram fingerprints, without rescanning the
+    * corpus (the ledger is one 32-byte fingerprint column). Returns
+    * (spans, ledger additions) — callers append the additions for the
+    * next batch, the same contract as Dedup's incremental ledger.
+    *
+    * Scale: the ledger join is an fp-keyed shuffle join (linear,
+    * AQE-splittable); additions are the batch's distinct fingerprints
+    * anti-joined against the ledger — never corpus-sized in memory.
+    */
+  def duplicatedSpansIncremental(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      ledger: DataFrame,
+      minSpanTokens: Int = 0): (DataFrame, DataFrame) = {
+    require(k >= 2, s"gram size k must be >= 2, got $k")
+    val minSpan = math.max(minSpanTokens, k)
+    val grams = gramsOf(batch, idCol, textCol, k)
+    val withinDup = grams.groupBy(col("fp"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("fp"))
+    // ONE semi join against both duplication sources: a semi join
+    // tolerates duplicate keys on the build side, so no distinct and
+    // no second scan of the gram projection
+    val dupPos = grams
+      .join(withinDup.union(ledger.select(col("fp"))), Seq("fp"), "left_semi")
+      .select(col(idCol), col("i"))
+    val spans = islandsToSpans(dupPos, idCol, k, minSpan)
+    val additions = grams.select(col("fp")).distinct()
+      .join(ledger.select(col("fp")), Seq("fp"), "left_anti")
+    (spans, additions)
   }
 
   /** Drop every duplicated span from every document (ExactSubstr

@@ -89,6 +89,53 @@ class SubstringDedupSpec extends SparkSpec {
     assert(out === Seq((1L, 0L), (2L, 0L)))
   }
 
+  test("incremental: batch-2 span found only via the ledger, additions exclude known fps") {
+    val s = spark
+    import s.implicits._
+    val emptyLedger = Seq.empty[String].toDF("fp")
+    // batch 1: boilerplate appears ONCE -> no spans, all fps to ledger
+    val b1 = df((1L, "alpha beta gamma delta epsilon zeta"))
+    val (spans1, led1) = SubstringDedup
+      .duplicatedSpansIncremental(b1, "doc_id", "text", 3, emptyLedger)
+    assert(spans1.count() === 0)
+    assert(led1.count() === 4) // 6 tokens -> 4 trigrams
+    // batch 2: same run appears once IN the batch, but is in the ledger
+    val b2 = df(
+      (2L, "x alpha beta gamma delta y"),
+      (3L, "totally different words here now"))
+    val (spans2, led2) = SubstringDedup
+      .duplicatedSpansIncremental(b2, "doc_id", "text", 3, led1)
+    val got = spans2.orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got === Seq((2L, 1L, 4L))) // "alpha beta gamma delta"
+    // additions: batch-2 fps minus the ones already in the ledger
+    val led2fps = led2.collect().map(_.getString(0)).toSet
+    assert(led2.count() > 0)
+    assert(led1.collect().map(_.getString(0)).toSet
+      .intersect(led2fps).isEmpty)
+    // within-batch duplication still detected with a ledger present
+    val b3 = df(
+      (4L, "p q r s t u"),
+      (5L, "m p q r s n"))
+    val (spans3, _) = SubstringDedup
+      .duplicatedSpansIncremental(b3, "doc_id", "text", 3, led1)
+    assert(spans3.count() === 2) // "p q r s" in both docs
+  }
+
+  test("incremental with empty ledger equals the batch definition") {
+    val s = spark
+    import s.implicits._
+    val d = df(
+      (1L, "a b c d e f g"),
+      (2L, "x c d e f y z"),
+      (3L, "nothing shared at all here"))
+    val batch = SubstringDedup.duplicatedSpans(d, "doc_id", "text", 3)
+      .orderBy("doc_id", "span_start").collect().toSeq
+    val (inc, _) = SubstringDedup.duplicatedSpansIncremental(
+      d, "doc_id", "text", 3, Seq.empty[String].toDF("fp"))
+    assert(inc.orderBy("doc_id", "span_start").collect().toSeq === batch)
+  }
+
   test("plan shape: no cartesian/BNLJ, two shuffles for spans") {
     val d = df((1L, "a b c d e f g"), (2L, "x c d e f y z"))
     val plan = SubstringDedup
