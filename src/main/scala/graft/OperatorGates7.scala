@@ -82,15 +82,46 @@ object OperatorGates7 {
        |  SELECT doc_id, i, sum(starts) OVER (
        |    PARTITION BY doc_id ORDER BY i) AS grp FROM isl)""".stripMargin
 
+  /** Planted BMP for doc `id`: pattern keyed by id % 40 so groups
+    * share pixels, every 3rd doc lightly perturbed. Single source of
+    * truth for every image gate; [[imageBitsCtes]] restates it.
+    */
+  private def synthBmp(id: Long): Array[Byte] = {
+    val g = (id % 40).toInt
+    val w = 8 + (g % 5) * 2
+    val h = 8 + (g % 3) * 4
+    val pert = id % 3 == 0
+    graft.operators.Multimodal.BmpCodec.synthesize(w, h, { i =>
+      val base = ((g + 1) * (i + 3) * 1103) % 256
+      (base + (if (pert && i % 97 == 0) 128 else 0)) % 256
+    })
+  }
+
+  /** Planted WAV for doc `id`: pattern keyed by id % 30, docs with
+    * id % 4 == 1 head-perturbed (an ODD residue, so the perturbation
+    * also fires when only odd ids carry audio, as in the flagship
+    * gate). [[audioBitsCtes]] restates it.
+    */
+  private def synthWav(id: Long): Array[Byte] = {
+    val g = (id % 30).toInt
+    val pert = id % 4 == 1
+    graft.operators.Multimodal.WavCodec.synthesize(8000,
+      Array.tabulate(130) { tt =>
+        ((((g + 1) * (tt + 7) * 2203) % 2003 - 1001) +
+          (if (pert && tt < 6) 900 else 0)).toShort
+      })
+  }
+
   /** Image aHash replay shared by the image near-dup gates: planted
     * pixels → 8x8 nearest-neighbor samples → integer lumas → mean
-    * threshold bits (one 0/1 list per doc).
+    * threshold bits (one 0/1 list per doc), plus the brute-force
+    * pair distances. `where` restricts which docs carry images.
     */
-  private val imageBitsCtes: String =
-    """d AS (
+  private def imageBitsCtes(where: String = ""): String =
+    s"""d AS (
       |  SELECT doc_id, doc_id % 40 AS g, doc_id % 3 = 0 AS pert,
       |    8 + (doc_id % 40) % 5 * 2 AS w, 8 + (doc_id % 40) % 3 * 4 AS h
-      |  FROM documents),
+      |  FROM documents$where),
       |lum AS (
       |  SELECT doc_id, list_transform(range(0, 64), j ->
       |    list_sum(list_transform(range(0, 3), c ->
@@ -113,6 +144,33 @@ object OperatorGates7 {
       |      CASE WHEN a.bits[j + 1] <> b.bits[j + 1] THEN 1 ELSE 0 END))
       |      AS hamming
       |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)""".stripMargin
+
+  /** Audio fingerprint replay shared by the audio gates: planted
+    * samples → 65 window energies → delta bits, plus the brute-force
+    * pair distances. `where` restricts which docs carry audio.
+    */
+  private def audioBitsCtes(where: String = ""): String =
+    s"""ad AS (
+      |  SELECT doc_id, doc_id % 30 AS g, doc_id % 4 = 1 AS pert
+      |  FROM documents$where),
+      |aen AS (
+      |  SELECT doc_id, list_transform(range(0, 65), aw ->
+      |    abs((((g + 1) * ((2 * aw) + 7) * 2203) % 2003 - 1001) +
+      |        CASE WHEN pert AND (2 * aw) < 6 THEN 900 ELSE 0 END) +
+      |    abs((((g + 1) * ((2 * aw + 1) + 7) * 2203) % 2003 - 1001) +
+      |        CASE WHEN pert AND (2 * aw + 1) < 6 THEN 900 ELSE 0 END))
+      |    AS en
+      |  FROM ad),
+      |abits AS (
+      |  SELECT doc_id, list_transform(range(0, 64), j ->
+      |    CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END) AS bits
+      |  FROM aen),
+      |apairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    list_sum(list_transform(range(0, 64), j ->
+      |      CASE WHEN a.bits[j + 1] <> b.bits[j + 1] THEN 1 ELSE 0 END))
+      |      AS hamming
+      |  FROM abits a JOIN abits b ON a.doc_id < b.doc_id)""".stripMargin
 
   def queries7: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -203,16 +261,8 @@ object OperatorGates7 {
       import graft.operators.Multimodal
       import graft.functions.Similarity
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          val g = (id % 40).toInt
-          val w = 8 + (g % 5) * 2
-          val h = 8 + (g % 3) * 4
-          val pert = id % 3 == 0
-          (id, Multimodal.BmpCodec.synthesize(w, h, { i =>
-            val base = ((g + 1) * (i + 3) * 1103) % 256
-            (base + (if (pert && i % 97 == 0) 128 else 0)) % 256
-          }))
-        }).toDF("media_id", "content")
+        .mapPartitions(_.map(id => (id, synthBmp(id))))
+        .toDF("media_id", "content")
       val hashes = Multimodal.aHashBmp(media).toDF()
         .withColumn("block", lit("all"))
       Similarity.hammingPairs64(hashes, "media_id", "ahash", "block",
@@ -233,14 +283,8 @@ object OperatorGates7 {
       import graft.operators.Multimodal
       import graft.functions.Similarity
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          val g = (id % 30).toInt
-          val pert = id % 4 == 0
-          (id, Multimodal.WavCodec.synthesize(8000, Array.tabulate(130) { tt =>
-            ((((g + 1) * (tt + 7) * 2203) % 2003 - 1001) +
-              (if (pert && tt < 6) 900 else 0)).toShort
-          }))
-        }).toDF("media_id", "content")
+        .mapPartitions(_.map(id => (id, synthWav(id))))
+        .toDF("media_id", "content")
       val hashes = Multimodal.fingerprintWav(media).toDF()
         .withColumn("block", lit("all"))
       Similarity.hammingPairs64(hashes, "media_id", "ahash", "block",
@@ -261,16 +305,8 @@ object OperatorGates7 {
       import graft.operators.{Dedup, Multimodal}
       import graft.functions.Similarity
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map { id =>
-          val g = (id % 40).toInt
-          val w = 8 + (g % 5) * 2
-          val h = 8 + (g % 3) * 4
-          val pert = id % 3 == 0
-          (id, Multimodal.BmpCodec.synthesize(w, h, { i =>
-            val base = ((g + 1) * (i + 3) * 1103) % 256
-            (base + (if (pert && i % 97 == 0) 128 else 0)) % 256
-          }))
-        }).toDF("media_id", "content")
+        .mapPartitions(_.map(id => (id, synthBmp(id))))
+        .toDF("media_id", "content")
       val hashes = Multimodal.aHashBmp(media).toDF()
         .withColumn("block", lit("all"))
       val pairs = Similarity.hammingPairs64(hashes, "media_id", "ahash",
@@ -323,6 +359,69 @@ object OperatorGates7 {
         .select(col("context"), col("ord"), col("code"), col("severity"),
           col("exception_class"))
         .orderBy(col("context"))
+    }),
+
+    // --- incremental exact-substring dedup (the ongoing-ingest face):
+    //     batch 1 = even docs builds the gram-fingerprint ledger;
+    //     batch 2 = odd docs dedups against itself AND the ledger —
+    //     a boilerplate seen only once in batch 2 is still caught
+    //     because batch 1 recorded it. Oracle replays both batches'
+    //     grams and the two duplication sources -------------------
+    "q_substring_incremental" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.SubstringDedup
+      val docs = plantedDocs(s, dir)
+      val b1 = docs.filter(col("doc_id") % 2 === 0)
+      val b2 = docs.filter(col("doc_id") % 2 === 1)
+      val (_, ledger) = SubstringDedup.duplicatedSpansIncremental(
+        b1, "doc_id", "text", k = 10, Seq.empty[String].toDF("fp"))
+      val (spans, _) = SubstringDedup.duplicatedSpansIncremental(
+        b2, "doc_id", "text", k = 10, ledger)
+      spans.orderBy(col("doc_id"), col("span_start"))
+    }),
+
+    // --- FLAGSHIP multimodal dedup pipeline: a mixed binary corpus
+    //     (even docs carry BMPs, odd docs WAVs — both via the planted
+    //     group formulas of the leg gates) goes through REAL magic-
+    //     byte dispatch (sniffModality), the per-modality perceptual
+    //     hash (aHash / energy-delta fingerprint), ONE banded hamming
+    //     join blocked by modality, and the shared component
+    //     resolver. Output = per-modality dedup accounting. Oracle
+    //     replays both codecs' bits, brute-force pairs, and the true
+    //     transitive closure --------------------------------------
+    "q_multimodal_dedup_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Dedup, Multimodal}
+      import graft.functions.Similarity
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, if (id % 2 == 0) synthBmp(id) else synthWav(id))))
+        .toDF("media_id", "content")
+      // REAL dispatch: modality comes from the bytes, not the id
+      val dispatched = media.as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, c) =>
+          (id, c, Multimodal.sniffModality(c))
+        }).toDF("media_id", "content", "modality")
+      val hashes = Multimodal
+        .aHashBmp(dispatched.filter(col("modality") === "image/bmp"))
+        .toDF().withColumn("block", lit("image/bmp"))
+        .union(Multimodal
+          .fingerprintWav(dispatched.filter(col("modality") === "audio/wav"))
+          .toDF().withColumn("block", lit("audio/wav")))
+      val pairs = Similarity.hammingPairs64(hashes, "media_id", "ahash",
+        "block", maxHamming = 2)
+      val clusters = Dedup.clusterPairs(pairs)
+      dispatched.select(col("media_id"), col("modality"))
+        .join(clusters.withColumnRenamed("id", "media_id"),
+          Seq("media_id"), "left")
+        .groupBy(col("modality"))
+        .agg(
+          count(lit(1)).as("n_media"),
+          count(col("rep")).as("n_clustered"),
+          countDistinct(col("rep")).as("n_components"),
+          (count(lit(1)) - count(col("rep")) + countDistinct(col("rep")))
+            .as("n_survivors"))
+        .orderBy(col("modality"))
     }),
 
     // --- DSIR hashed n-gram importance (Xie et al. 2023, exact-
@@ -436,12 +535,12 @@ object OperatorGates7 {
   def oracleSql7: Map[String, String] = Map(
 
     "q_image_neardup" ->
-      s"""WITH $imageBitsCtes
+      s"""WITH ${imageBitsCtes()}
          |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
          |FROM allpairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
 
     "q_media_dedup_resolve" ->
-      s"""WITH RECURSIVE $imageBitsCtes,
+      s"""WITH RECURSIVE ${imageBitsCtes()},
          |edges AS (
          |  SELECT id_a AS ea, id_b AS eb FROM allpairs WHERE hamming <= 2),
          |sym AS (
@@ -459,29 +558,9 @@ object OperatorGates7 {
          |ORDER BY media_id""".stripMargin,
 
     "q_audio_neardup" ->
-      """WITH d AS (
-        |  SELECT doc_id, doc_id % 30 AS g, doc_id % 4 = 0 AS pert
-        |  FROM documents),
-        |e AS (
-        |  SELECT doc_id, list_transform(range(0, 65), w ->
-        |    abs((((g + 1) * ((2 * w) + 7) * 2203) % 2003 - 1001) +
-        |        CASE WHEN pert AND (2 * w) < 6 THEN 900 ELSE 0 END) +
-        |    abs((((g + 1) * ((2 * w + 1) + 7) * 2203) % 2003 - 1001) +
-        |        CASE WHEN pert AND (2 * w + 1) < 6 THEN 900 ELSE 0 END))
-        |    AS en
-        |  FROM d),
-        |bits AS (
-        |  SELECT doc_id, list_transform(range(0, 64), j ->
-        |    CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END) AS bits
-        |  FROM e),
-        |pairs AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    list_sum(list_transform(range(0, 64), j ->
-        |      CASE WHEN a.bits[j + 1] <> b.bits[j + 1] THEN 1 ELSE 0 END))
-        |      AS hamming
-        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id)
-        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
-        |FROM pairs WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH ${audioBitsCtes()}
+         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+         |FROM apairs WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin,
 
     "q_task_issues" ->
       """WITH n AS (SELECT n_nationkey AS k, n_name AS name FROM nation)
@@ -490,6 +569,64 @@ object OperatorGates7 {
         |  'GRAFT_TASK_BOOM' AS code, 'ERROR' AS severity,
         |  'graft.runner.Troubleshooter$CodedException' AS exception_class
         |FROM n WHERE k % 2 = 0 ORDER BY context""".stripMargin,
+
+    "q_substring_incremental" ->
+      s"""WITH $plantedSql,
+         |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug),
+         |g AS (
+         |  SELECT doc_id, unnest(generate_series(0, len(toks) - 10)) AS i, toks
+         |  FROM tk WHERE len(toks) >= 10),
+         |fpt AS (
+         |  SELECT doc_id, i, md5(array_to_string(toks[i + 1:i + 10], ' ')) AS fp
+         |  FROM g),
+         |b2 AS (SELECT * FROM fpt WHERE doc_id % 2 = 1),
+         |led AS (SELECT DISTINCT fp FROM fpt WHERE doc_id % 2 = 0),
+         |b2d AS (SELECT fp FROM b2 GROUP BY fp HAVING count(*) > 1),
+         |dup AS (
+         |  SELECT DISTINCT doc_id, i FROM b2
+         |  WHERE fp IN (SELECT fp FROM b2d) OR fp IN (SELECT fp FROM led)),
+         |isl AS (
+         |  SELECT doc_id, i, CASE WHEN i > coalesce(max(i + 9) OVER (
+         |      PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+         |    THEN 1 ELSE 0 END AS starts
+         |  FROM dup),
+         |grp AS (
+         |  SELECT doc_id, i, sum(starts) OVER (
+         |    PARTITION BY doc_id ORDER BY i) AS grp FROM isl)
+         |SELECT doc_id, min(i) AS span_start, max(i) + 9 AS span_end,
+         |  max(i) + 9 - min(i) + 1 AS span_len
+         |FROM grp GROUP BY doc_id, grp
+         |ORDER BY doc_id, span_start""".stripMargin,
+
+    "q_multimodal_dedup_pipeline" ->
+      s"""WITH RECURSIVE ${imageBitsCtes(" WHERE doc_id % 2 = 0")},
+         |${audioBitsCtes(" WHERE doc_id % 2 = 1")},
+         |edges AS (
+         |  SELECT id_a AS ea, id_b AS eb FROM allpairs WHERE hamming <= 2
+         |  UNION ALL
+         |  SELECT id_a, id_b FROM apairs WHERE hamming <= 2),
+         |sym AS (
+         |  SELECT ea AS va, eb AS vb FROM edges
+         |  UNION SELECT eb, ea FROM edges),
+         |reach(va, vb) AS (
+         |  SELECT va, vb FROM sym
+         |  UNION
+         |  SELECT r.va, s.vb FROM reach r JOIN sym s ON r.vb = s.va),
+         |rep AS (
+         |  SELECT va AS id, least(min(vb), va) AS rep FROM reach GROUP BY va),
+         |acc AS (
+         |  SELECT 'image/bmp' AS modality, b.doc_id, r.rep
+         |  FROM bits b LEFT JOIN rep r ON r.id = b.doc_id
+         |  UNION ALL
+         |  SELECT 'audio/wav', a.doc_id, r.rep
+         |  FROM abits a LEFT JOIN rep r ON r.id = a.doc_id)
+         |SELECT modality,
+         |  count(*) AS n_media,
+         |  count(rep) AS n_clustered,
+         |  count(DISTINCT rep) AS n_components,
+         |  count(*) - count(rep) + count(DISTINCT rep) AS n_survivors
+         |FROM acc GROUP BY modality ORDER BY modality""".stripMargin,
 
     "q_importance_weights" -> OracleSql.importanceWeights(
       s"text || CASE WHEN doc_id % 7 = 0 THEN '${OperatorGates6.Garble}' " +
