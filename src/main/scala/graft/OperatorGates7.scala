@@ -309,9 +309,12 @@ object OperatorGates7 {
         .toDF("media_id", "content")
       val hashes = Multimodal.aHashBmp(media).toDF()
         .withColumn("block", lit("all"))
-      val pairs = Similarity.hammingPairs64(hashes, "media_id", "ahash",
+      // component-preserving edges (stars for identical hashes), NOT
+      // the full pair list — the oracle's transitive closure over the
+      // brute-force pairs proves the components come out the same
+      val edges = Similarity.hammingEdges64(hashes, "media_id", "ahash",
         "block", maxHamming = 2)
-      val clusters = Dedup.clusterPairs(pairs)
+      val clusters = Dedup.clusterPairs(edges)
       media.select(col("media_id"))
         .join(clusters.withColumnRenamed("id", "media_id"),
           Seq("media_id"), "left")
@@ -408,9 +411,9 @@ object OperatorGates7 {
         .union(Multimodal
           .fingerprintWav(dispatched.filter(col("modality") === "audio/wav"))
           .toDF().withColumn("block", lit("audio/wav")))
-      val pairs = Similarity.hammingPairs64(hashes, "media_id", "ahash",
+      val edges = Similarity.hammingEdges64(hashes, "media_id", "ahash",
         "block", maxHamming = 2)
-      val clusters = Dedup.clusterPairs(pairs)
+      val clusters = Dedup.clusterPairs(edges)
       dispatched.select(col("media_id"), col("modality"))
         .join(clusters.withColumnRenamed("id", "media_id"),
           Seq("media_id"), "left")

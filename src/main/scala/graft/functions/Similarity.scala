@@ -428,6 +428,39 @@ object Similarity {
       idCol, "_sh64", blockCol, maxHamming)
   }
 
+  /** Component-preserving near-dup EDGES over a 64-bit hash — the
+    * resolution-path variant of [[hammingPairs64]]: bit-identical
+    * groups collapse to m-1 STAR edges rooted at the group minimum
+    * (the starPairs shape — never m(m-1)/2 clique pairs), and the
+    * banded join runs over DISTINCT hash values only. The edge list
+    * has exactly the connected components of the full pair list (ids
+    * sharing a hash are star-connected; a near-dup pair with distinct
+    * hashes connects through its hash representatives), so feed it to
+    * Dedup.clusterPairs when resolving survivors; use
+    * [[hammingPairs64]] only when every individual pair is the
+    * answer. A corpus with 10^6 bit-identical images costs 10^6 - 1
+    * edges here instead of 5*10^11 pairs.
+    */
+  def hammingEdges64(hashes: DataFrame, idCol: String, hashCol: String,
+      blockCol: String, maxHamming: Int): DataFrame = {
+    val base = hashes.select(col(blockCol).as("block"), col(idCol).as("id"),
+      col(hashCol).as("sh"))
+    // star edges within each (block, hash) group: one window min,
+    // linear in group size
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("block"), col("sh"))
+    val stars = base
+      .withColumn("id_a", min(col("id")).over(w))
+      .filter(col("id") =!= col("id_a"))
+      .select(col("id_a"), col("id").as("id_b"))
+    // banding over one representative per distinct hash
+    val reps = base.groupBy(col("block"), col("sh"))
+      .agg(min(col("id")).as("id"))
+    val repPairs = hammingPairs64(reps, "id", "sh", "block", maxHamming)
+      .select(col("id_a"), col("id_b"))
+    stars.union(repPairs)
+  }
+
   /** All pairs within a block with hamming(hash) <= maxHamming, for
     * ANY precomputed 64-bit locality hash column (simhash, image
     * average-hash, audio fingerprint) — the same pigeonhole banding

@@ -363,6 +363,36 @@ class CorpusPrepSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 > 0))
   }
 
+  test("hammingEdges64: same components as the full pair list, linear edges for identical groups") {
+    import graft.operators.Dedup
+    // 200 ids sharing ONE hash + a near hash + an unrelated hash
+    val rows = (1L to 200L).map(i => ("b", i, 0x0F0FL)) ++
+      Seq(("b", 300L, 0x0F0EL), ("b", 400L, -1L))
+    val df = rows.toDF("block", "id", "h")
+    val edges = Similarity.hammingEdges64(df, "id", "h", "block", maxHamming = 2)
+    // 199 star edges + 1 rep pair (0x0F0F min-id 1 <-> 300); never C(200,2)
+    assert(edges.count() === 200)
+    val comps = Dedup.clusterPairs(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.clusterPairs(
+      Similarity.hammingPairs64(df, "id", "h", "block", maxHamming = 2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === full)
+    assert(comps(300L) === 1L && !comps.contains(400L))
+    // random corpora: component structure always matches
+    val rnd = new scala.util.Random(11)
+    val hs = (1L to 60L).map(i =>
+      ("blk" + (i % 2), i, (rnd.nextLong() & 0xFFL) | ((i % 5) << 32)))
+    val rdf = hs.toDF("block", "id", "h")
+    val a = Dedup.clusterPairs(
+        Similarity.hammingEdges64(rdf, "id", "h", "block", 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.clusterPairs(
+        Similarity.hammingPairs64(rdf, "id", "h", "block", 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   test("hammingPairs64 equals the brute-force definition on random hashes") {
     val rnd = new scala.util.Random(7)
     val hs = (1L to 30L).map(i =>
