@@ -445,14 +445,10 @@ object Similarity {
       blockCol: String, maxHamming: Int): DataFrame = {
     val base = hashes.select(col(blockCol).as("block"), col(idCol).as("id"),
       col(hashCol).as("sh"))
-    // star edges within each (block, hash) group: one window min,
-    // linear in group size
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("block"), col("sh"))
-    val stars = base
-      .withColumn("id_a", min(col("id")).over(w))
-      .filter(col("id") =!= col("id_a"))
-      .select(col("id_a"), col("id").as("id_b"))
+    // star edges within each (block, hash) group — Dedup.starPairs
+    // owns the shape (m-1 edges, diameter 2)
+    val stars = graft.operators.Dedup.starPairs(
+      base.withColumn("_grp", struct(col("block"), col("sh"))), "_grp", "id")
     // banding over one representative per distinct hash
     val reps = base.groupBy(col("block"), col("sh"))
       .agg(min(col("id")).as("id"))

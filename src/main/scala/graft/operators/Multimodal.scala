@@ -473,8 +473,10 @@ object Multimodal {
         val energy = new Array[Long](65)
         var w = 0
         while (w < 65) {
-          val hi = (w + 1) * n / 65
-          var t = w * n / 65
+          // boundary products in Long: w * n overflows Int past ~33M
+          // samples (a few minutes of 44.1kHz stereo)
+          val hi = ((w + 1).toLong * n / 65).toInt
+          var t = (w.toLong * n / 65).toInt
           var e = 0L
           while (t < hi) { e += math.abs(s16(t)); t += 1 }
           energy(w) = e

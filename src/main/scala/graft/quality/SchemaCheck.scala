@@ -1,12 +1,8 @@
 package graft.quality
 
-import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.datasources.parquet.ParquetToSparkSchemaConverter
 import org.apache.spark.sql.types._
-import org.apache.spark.util.SerializableConfiguration
 
 import graft.functions.JsonSchema._
 
@@ -82,28 +78,11 @@ object SchemaCheck {
     // session conf merged in: the footer->StructType converter reads
     // SQL conf keys (binaryAsString, nanosAsLong, ...) from it
     val conf = org.apache.spark.sql.graftshim.ColumnShim.sessionHadoopConf(spark)
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
-      .sorted
-    if (files.isEmpty) return Nil
-    val serConf = new SerializableConfiguration(conf)
-    spark.sparkContext
-      .parallelize(files.toSeq, math.min(files.length, 32))
-      .map { p =>
-        val in = HadoopInputFile.fromPath(new Path(p), serConf.value)
-        val reader = ParquetFileReader.open(in)
-        val struct =
-          try new ParquetToSparkSchemaConverter(serConf.value)
-            .convert(reader.getFooter.getFileMetaData.getSchema)
-          finally reader.close()
-        FileCheck(new Path(p).getName, parity(expected, struct),
-          struct.simpleString)
-      }
-      .collect()
-      .toSeq
-      .sortBy(_.file)
+    graft.sources.ParquetFooters.scan(spark, dir, conf) { (reader, c) =>
+      new ParquetToSparkSchemaConverter(c)
+        .convert(reader.getFooter.getFileMetaData.getSchema)
+    }.map { case (file, struct) =>
+      FileCheck(file, parity(expected, struct), struct.simpleString)
+    }
   }
 }

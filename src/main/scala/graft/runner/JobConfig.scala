@@ -178,6 +178,13 @@ object JobConfig {
         val k = opt(p, "op.substringDedup.gramTokens").map(_.toInt).getOrElse(10)
         val minSpan = opt(p, "op.substringDedup.minSpanTokens")
           .map(_.toInt).getOrElse(0)
+        // fail fast instead of silently clobbering user columns that
+        // collide with removeSpans' outputs
+        val clash = df.columns.toSet
+          .intersect(Set("n_tokens", "n_dup_tokens", "clean_text"))
+        if (clash.nonEmpty) throw new IllegalArgumentException(
+          s"op.substringDedup: input columns ${clash.mkString(", ")} " +
+            "collide with the op's output columns; rename them upstream")
         SubstringDedup.removeSpans(
             df, req(p, "op.substringDedup.idColumn"), textCol, k, minSpan)
           .withColumn(textCol, col("clean_text"))

@@ -90,12 +90,36 @@ object Troubleshooter {
     cur
   }
 
+  /** Exception classes + stack FRAMES of the whole cause chain,
+    * WITHOUT messages: the reference hashes getStackTrace output,
+    * which embeds messages, so a storm of one failure site with
+    * varying messages ("file X missing", "file Y missing") mints a
+    * new code per message and floods the bounded repository —
+    * excluding messages is a deliberate fix, keeping "same site =>
+    * same code" true by construction.
+    */
+  private def codeBasis(t: Throwable): String = {
+    val sb = new StringBuilder
+    val seen = mutable.Set.empty[Throwable]
+    var cur = t
+    while (cur != null && seen.add(cur)) {
+      sb.append(cur.getClass.getName).append('\n')
+      cur.getStackTrace.foreach { f =>
+        sb.append(f.getClassName).append('.').append(f.getMethodName)
+          .append(':').append(f.getLineNumber).append('\n')
+      }
+      cur = cur.getCause
+    }
+    sb.toString
+  }
+
   /** Issue code for a throwable: explicit error code when present,
-    * otherwise the class+stack hash (same site => same code).
+    * otherwise the class+frames hash (same site => same code, even
+    * when messages vary per task).
     */
   def issueCode(t: Throwable): String = t match {
     case c: WithErrorCode => c.errorCode
-    case _ => autoCode(t.getClass.toString + stackTraceOf(t))
+    case _ => autoCode(codeBasis(t))
   }
 
   /** Build an issue from a throwable. Summary = root-cause short

@@ -7,11 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import com.fasterxml.jackson.databind.node.JsonNodeFactory
-import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.util.SerializableConfiguration
 
 /** Dataset/file-level metadata envelope that rides along a published
   * dataset — the reference's gobblin-metadata module
@@ -233,39 +229,20 @@ object DatasetMetadata {
       }
       merged = merged
         .withDataset(NumRecordsKey, numRecords)
-        .withDataset(NumFilesKey, nodes.numberNode(numFiles))
+        // Long, not Int: fromJson canonicalizes integrals to LongNode,
+        // and IntNode(2) != LongNode(2) would break round-trip equality
+        .withDataset(NumFilesKey, numFiles.toLong)
     }
 
     def mergedMeta: GlobalMeta = merged
     def mergedJson: String = merged.toJson
   }
 
-  /** Per-file record counts for a parquet tree, from footers only:
-    * the file list is driver-side metadata (same class as FsCopy's
-    * plan), the footer reads run EXECUTOR-side over the list — no
-    * row scan, no driver I/O loop, linear in file count.
+  /** Per-file record counts for a parquet tree, from footers only —
+    * see [[graft.sources.ParquetFooters]] for the scan shape.
     */
-  def parquetFileMetrics(spark: SparkSession, dir: String): Seq[(String, Long)] = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val root = new Path(dir)
-    val fs = root.getFileSystem(conf)
-    val files = fs.listStatus(root)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString)
-      .sorted
-    if (files.isEmpty) return Nil
-    val serConf = new SerializableConfiguration(conf)
-    spark.sparkContext
-      .parallelize(files.toSeq, math.min(files.length, 32))
-      .map { p =>
-        val path = new Path(p)
-        val in = HadoopInputFile.fromPath(path, serConf.value)
-        val reader = ParquetFileReader.open(in)
-        try path.getName -> reader.getRecordCount
-        finally reader.close()
-      }
-      .collect()
-      .toSeq
-      .sortBy(_._1)
-  }
+  def parquetFileMetrics(spark: SparkSession, dir: String): Seq[(String, Long)] =
+    graft.sources.ParquetFooters.scan(
+      spark, dir, spark.sparkContext.hadoopConfiguration)(
+      (reader, _) => reader.getRecordCount)
 }

@@ -150,6 +150,11 @@ class JobConfigSpec extends SparkSpec {
     val out = ops.foldLeft(df)((d, op) => op(d)).orderBy("id").collect()
     assert(out.map(_.getString(1)).toSeq == Seq("a b g", "x y z"))
     assert(out.head.schema.fieldNames.toSeq == Seq("id", "text"))
+    // colliding user columns fail fast instead of being clobbered
+    val clash = df.withColumn("n_tokens", org.apache.spark.sql.functions.lit(1L))
+    val err = intercept[IllegalArgumentException](
+      ops.foldLeft(clash)((d, op) => op(d)).collect())
+    assert(err.getMessage.contains("n_tokens"))
   }
 
   test("declarative importanceFilter keeps target-like docs, drops garble") {

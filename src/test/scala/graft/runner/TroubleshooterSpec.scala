@@ -24,6 +24,19 @@ class TroubleshooterSpec extends SparkSpec {
     assert(issueCode(boom2()) !== issueCode(a))
   }
 
+  test("same site with VARYING messages still yields one code (storm collapse)") {
+    def boom(i: Int): Throwable =
+      try { throw new java.io.IOException(s"file part-$i.parquet missing") }
+      catch { case t: Throwable => t }
+    val codes = (1 to 5).map(i => issueCode(boom(i))).toSet
+    assert(codes.size === 1, s"message-varying storm minted codes: $codes")
+    // wrapped causes participate in the site identity, messages don't
+    def wrapped(i: Int): Throwable =
+      try { throw new RuntimeException(s"run $i", boom(i)) }
+      catch { case t: Throwable => t }
+    assert((1 to 3).map(i => issueCode(wrapped(i))).toSet.size === 1)
+  }
+
   test("explicit error code wins over the hash") {
     val t = new CodedException("GRAFT_X", "msg")
     assert(issueCode(t) === "GRAFT_X")

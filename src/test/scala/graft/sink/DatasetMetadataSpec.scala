@@ -98,6 +98,9 @@ class DatasetMetadataSpec extends SparkSpec {
     assert(m.numRecords === 16L)
     assert(m.numFiles === 3)
     assert(m.file("part-1")(NumRecordsKey).asLong() === 5L)
+    // the merged record round-trips by VALUE (Num-Files must be a
+    // canonical long node, not an IntNode)
+    assert(fromJson(merger.mergedJson) === m)
   }
 
   test("parquetFileMetrics reads footer counts per file, no data scan") {
