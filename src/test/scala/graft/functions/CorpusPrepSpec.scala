@@ -544,6 +544,35 @@ class CorpusPrepSpec extends SparkSpec {
     intercept[IllegalArgumentException](Mp4Codec.parse(5L, hugeBox))
   }
 
+  test("perceptual-hash fuzz: header-mutated containers error or hash, never hang or overrun") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.{BmpCodec, WavCodec}
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xA5A5)
+    val bmp = BmpCodec.synthesize(10, 8, i => (i * 13) % 256)
+    val wav = WavCodec.synthesize(8000, Array.tabulate(130)(t => (t * 9).toShort))
+    (1 to 40).foreach { i =>
+      def mutate(src: Array[Byte]): Array[Byte] = {
+        val b = src.clone()
+        // corrupt a header/structure byte (first 64) — the region the
+        // walkers interpret; pixel/sample bytes can't break indexing
+        b(rnd.nextInt(math.min(64, b.length))) = rnd.nextInt(256).toByte
+        if (i % 5 == 0) b.take(8 + rnd.nextInt(b.length - 8)) else b
+      }
+      def attempt(f: => Any): Unit =
+        try { f; () } catch {
+          case _: org.apache.spark.SparkException => () // wrapped require
+          case _: IllegalArgumentException => ()
+          case e: Throwable =>
+            fail(s"iter $i: unexpected ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
+      attempt(Multimodal.aHashBmp(
+        Seq((i.toLong, mutate(bmp))).toDF("media_id", "content")).collect())
+      attempt(Multimodal.fingerprintWav(
+        Seq((i.toLong, mutate(wav))).toDF("media_id", "content")).collect())
+    }
+  }
+
   test("codec fuzz: 500 random byte blobs per codec — error or parse, never hang") {
     import graft.operators.Multimodal.{WavCodec, BmpCodec, Mp4Codec}
     val rnd = new scala.util.Random(0xC0DEC)
