@@ -338,7 +338,7 @@ object OperatorGates5 {
         java.nio.file.Files.copy(java.nio.file.Paths.get(src),
           inDir.resolve("events.parquet"))
         def stream = StreamingIngest.readFileStream(s, rawSchema, inDir.toString)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ts", expr(Tables.tsExpr(rawSchema("ts").dataType)))
         val clicks = stream.filter(col("event_type") === "click")
           .select(col("user_id"), col("event_id").as("click_id"),
             col("ts").as("click_ts"))

@@ -129,15 +129,25 @@ object SparkEntry {
     }),
 
     // --- incremental watermark read (QueryBasedSource semantics) ------
-    // The watermark predicate is pushed on the source's NATIVE column
-    // (raw nanos long) — filtering the reconstructed timestamp column
-    // would sit above a projection and never reach the parquet scan.
-    // ts_us > wm_us  <=>  ts_ns >= (wm_us + 1) * 1000  (exact).
+    // The watermark predicate is pushed on the source's NATIVE column —
+    // filtering a reconstructed timestamp column would sit above a
+    // projection and never reach the parquet scan. Encoding-aware:
+    // nanos long → ts_us > wm_us <=> ts_ns >= (wm_us + 1) * 1000 (exact);
+    // TIMESTAMP micros → strict > on a timestamp literal (micros-exact,
+    // and parquet pushes timestamp predicates).
     "q_incremental_watermark" -> ((s, dir) => {
-      val wmMicros = java.time.LocalDateTime.parse("2024-01-15T00:00:00")
-        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000
-      s.read.parquet(s"$dir/events.parquet")
-        .filter(col("ts") >= lit((wmMicros + 1) * 1000))
+      val wm = java.time.LocalDateTime.parse("2024-01-15T00:00:00")
+      val wmMicros = wm.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val pred = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          col("ts") >= lit((wmMicros + 1) * 1000)
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          col("ts") > lit(wm) // NTZ compares against LocalDateTime
+        case _ =>
+          col("ts") > lit(java.sql.Timestamp.from(wm.toInstant(java.time.ZoneOffset.UTC)))
+      }
+      raw.filter(pred)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), decSumDouble(col("value")).as("sum_value"))
         .orderBy(col("event_type"))
@@ -234,7 +244,7 @@ object SparkEntry {
       java.nio.file.Files.copy(java.nio.file.Paths.get(src),
         inDir.resolve("events.parquet"))
       val stream = StreamingIngest.readFileStream(s, rawSchema, inDir.toString)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", expr(Tables.tsExpr(rawSchema("ts").dataType)))
       val agg = stream
         .withWatermark("ts", "0 seconds")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -264,7 +274,7 @@ object SparkEntry {
       java.nio.file.Files.copy(java.nio.file.Paths.get(src), inDir.resolve("b.parquet"))
       val stream = StreamingIngest
         .readFileStream(s, rawSchema, inDir.toString, maxFilesPerTrigger = Some(1))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .withColumn("ts", expr(Tables.tsExpr(rawSchema("ts").dataType)))
       val dd = StreamingIngest.streamingDedup(stream, "ts", "1 hour", Seq("event_id"))
         .select(col("event_id"), col("event_type"),
           floor(col("value") * 1000).cast("long").as("v_milli"))
@@ -325,7 +335,7 @@ object SparkEntry {
       java.nio.file.Files.copy(java.nio.file.Paths.get(src),
         inDir.resolve("events.parquet"))
       val stream = StreamingIngest.readFileStream(s, rawSchema, inDir.toString)
-        .withColumn("ts", expr("timestamp_millis(ts div 1000000)"))
+        .withColumn("ts", expr(Tables.tsMillisExpr(rawSchema("ts").dataType)))
       val agg = stream
         .withWatermark("ts", "0 seconds")
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))

@@ -17,13 +17,28 @@ object Verify {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must NOT silently shrink the report (the
+    // driver folds in whatever result dirs exist): write a sentinel
+    // single-row result whose schema can never match an oracle, so the
+    // round's correctness shows a RED row instead of a missing one, and
+    // collect the failures into errors.json for diagnosis.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
-          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          val msg = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(1000)}"
+          errors(name) = msg
+          System.err.println(s"[verify] $name failed: $msg")
+          try {
+            import spark.implicits._
+            Seq(msg).toDF("__query_error__").coalesce(1)
+              .write.mode("overwrite").parquet(s"$outDir/$name")
+          } catch { case e2: Throwable =>
+            System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+          }
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -41,6 +56,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

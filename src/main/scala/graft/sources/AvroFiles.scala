@@ -43,6 +43,8 @@ object AvroFiles {
     case Type.LONG =>
       if (s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros] ||
         s.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis]) TimestampType
+      else if (s.getLogicalType.isInstanceOf[LogicalTypes.LocalTimestampMicros] ||
+        s.getLogicalType.isInstanceOf[LogicalTypes.LocalTimestampMillis]) TimestampNTZType
       else LongType
     case Type.FLOAT => FloatType
     case Type.DOUBLE => DoubleType
@@ -78,6 +80,8 @@ object AvroFiles {
       case LongType => Schema.create(Type.LONG)
       case TimestampType =>
         LogicalTypes.timestampMicros().addToSchema(Schema.create(Type.LONG))
+      case TimestampNTZType =>
+        LogicalTypes.localTimestampMicros().addToSchema(Schema.create(Type.LONG))
       case FloatType => Schema.create(Type.FLOAT)
       case DoubleType => Schema.create(Type.DOUBLE)
       case StringType => Schema.create(Type.STRING)
@@ -126,6 +130,17 @@ object AvroFiles {
           Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L))
       case Type.LONG if sch.getLogicalType.isInstanceOf[LogicalTypes.TimestampMillis] =>
         new java.sql.Timestamp(v.asInstanceOf[Long])
+      case Type.LONG if sch.getLogicalType.isInstanceOf[LogicalTypes.LocalTimestampMicros] =>
+        // NTZ external type is LocalDateTime; micros carry naive wall-clock
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(v.asInstanceOf[Long], 1000000L),
+          (Math.floorMod(v.asInstanceOf[Long], 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC)
+      case Type.LONG if sch.getLogicalType.isInstanceOf[LogicalTypes.LocalTimestampMillis] =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(v.asInstanceOf[Long], 1000L),
+          (Math.floorMod(v.asInstanceOf[Long], 1000L) * 1000000L).toInt,
+          java.time.ZoneOffset.UTC)
       case Type.ARRAY =>
         v.asInstanceOf[java.util.List[Any]].asScala.toSeq
           .map(toRowValue(_, sch.getElementType))
@@ -152,6 +167,10 @@ object AvroFiles {
       case Type.LONG if sch.getLogicalType.isInstanceOf[LogicalTypes.TimestampMicros] =>
         val i = v.asInstanceOf[java.sql.Timestamp].toInstant
         Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+      case Type.LONG if sch.getLogicalType.isInstanceOf[LogicalTypes.LocalTimestampMicros] =>
+        val ldt = v.asInstanceOf[java.time.LocalDateTime]
+        Math.addExact(Math.multiplyExact(
+          ldt.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L), ldt.getNano / 1000L)
       case Type.ARRAY => // runtime shape is collection.Seq (ArraySeq from Spark rows)
         v.asInstanceOf[scala.collection.Seq[Any]].map(toAvroValue(_, sch.getElementType))
           .toSeq.asJava

@@ -40,7 +40,9 @@ class PlanSpec extends SparkSpec {
 
   test("incremental watermark: timestamp range filter pushed to scan") {
     val p = plan("q_incremental_watermark")
-    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(ts"))
+    // nanos-long encoding pushes >=, timestamp encoding pushes strict >
+    assert(p.contains("PushedFilters") &&
+      "GreaterThan(OrEqual)?\\(ts".r.findFirstIn(p).isDefined)
   }
 
   test("dedup delta: partial aggregation before the exchange") {

@@ -7,14 +7,23 @@ class JobConfigSpec extends SparkSpec {
 
   test("properties job file runs end-to-end and is incremental on re-run") {
     val root = tmpDir("jobconfig")
+    // encoding-aware: the driver has shipped events.ts as nanos INT64 and
+    // as naive TIMESTAMP micros — the .pull expressions adapt like a user
+    // writing against the schema their files actually have
+    val rawTs = spark.read.parquet(s"${sf()}/events.parquet").schema("ts").dataType
+    val (wmExpr, tsSel) = rawTs match {
+      case org.apache.spark.sql.types.LongType =>
+        ("ts div 1000", "timestamp_micros(ts div 1000) as ts")
+      case _ => ("unix_micros(cast(ts as timestamp))", "cast(ts as timestamp) as ts")
+    }
     val conf =
       s"""# events ingestion job (reference .pull style)
          |job.name=events_from_props
          |source.format=parquet
          |source.path=${sf()}/events.parquet
-         |source.watermark.expr=ts div 1000
+         |source.watermark.expr=$wmExpr
          |ops=sqlExpr,timePartition,filter,pick
-         |op.sqlExpr.exprs=event_id;timestamp_micros(ts div 1000) as ts;user_id;event_type;value;wm
+         |op.sqlExpr.exprs=event_id;$tsSel;user_id;event_type;value;wm
          |op.timePartition.column=ts
          |op.filter.predicate=event_type <> 'error'
          |op.pick.fields=event_id,user_id,event_type,value,wm,date_key
