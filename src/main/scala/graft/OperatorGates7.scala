@@ -338,26 +338,34 @@ object OperatorGates7 {
         .select(col("n_nationkey"), col("n_name"))
         .collect().map(r => (r.get(0).toString.toLong, r.getString(1)))
         .sortBy(_._1)
-      nations.foreach { case (k, name) =>
-        val ctx = contextIdForJob("gate", name, "2", "task")
-        val listener = new TaskFailureIssueListener(repo, ctx)
-        s.sparkContext.addSparkListener(listener)
-        try {
-          if (k % 2 == 0) {
-            try s.range(0, 4, 1, numPartitions = 2).as[Long].mapPartitions { it =>
-              throw new CodedException("GRAFT_TASK_BOOM", "planted failure")
-              it
-            }.count()
-            catch { case _: org.apache.spark.SparkException => () }
-            // listener bus is async: wait for THIS context's issue
-            val deadline = System.currentTimeMillis() + 15000
-            while (repo.getAll(ctx).isEmpty &&
-              System.currentTimeMillis() < deadline) Thread.sleep(20)
-          } else {
-            s.range(0, 4, 1, numPartitions = 2).count() // healthy job
-          }
-        } finally s.sparkContext.removeSparkListener(listener)
-      }
+      // ONE listener for the whole run; each nation's jobs are tagged
+      // with its context via the job group, so a straggler task-end
+      // delivered during a later nation's turn still files under the
+      // stage's owning context (per-nation attach/remove was racy).
+      val listener = new JobGroupIssueListener(repo)
+      s.sparkContext.addSparkListener(listener)
+      try {
+        nations.foreach { case (k, name) =>
+          val ctx = contextIdForJob("gate", name, "2", "task")
+          s.sparkContext.setJobGroup(ctx, s"task-issues $name",
+            interruptOnCancel = false)
+          try {
+            if (k % 2 == 0) {
+              try s.range(0, 4, 1, numPartitions = 2).as[Long].mapPartitions { it =>
+                throw new CodedException("GRAFT_TASK_BOOM", "planted failure")
+                it
+              }.count()
+              catch { case _: org.apache.spark.SparkException => () }
+              // listener bus is async: wait for THIS context's issue
+              val deadline = System.currentTimeMillis() + 15000
+              while (repo.getAll(ctx).isEmpty &&
+                System.currentTimeMillis() < deadline) Thread.sleep(20)
+            } else {
+              s.range(0, 4, 1, numPartitions = 2).count() // healthy job
+            }
+          } finally s.sparkContext.clearJobGroup()
+        }
+      } finally s.sparkContext.removeSparkListener(listener)
       Troubleshooter.toDf(s, repo)
         .select(col("context"), col("ord"), col("code"), col("severity"),
           col("exception_class"))

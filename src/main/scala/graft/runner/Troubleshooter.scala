@@ -226,6 +226,19 @@ object Troubleshooter {
     * the repository bound does the rest. Register around a job with
     * `sc.addSparkListener` / `removeSparkListener`.
     */
+  private def issueFromExceptionFailure(
+      ef: org.apache.spark.ExceptionFailure): Issue =
+    ef.exception match {
+      case Some(t) =>
+        fromThrowable(t, "spark.task", "task failure",
+          timeMs = System.currentTimeMillis())
+      case None => // exception not preserved (e.g. unserializable)
+        Issue(System.currentTimeMillis(), Severity.Error,
+          autoCode(ef.className + ef.description),
+          s"${ef.className}: ${ef.description} | task failure",
+          ef.toErrorString, "spark.task", ef.className)
+    }
+
   final class TaskFailureIssueListener(
       repo: MultiContextIssueRepository, contextId: String)
     extends org.apache.spark.scheduler.SparkListener {
@@ -234,17 +247,45 @@ object Troubleshooter {
         taskEnd: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
       taskEnd.reason match {
         case ef: org.apache.spark.ExceptionFailure =>
-          val issue = ef.exception match {
-            case Some(t) =>
-              fromThrowable(t, "spark.task", "task failure",
-                timeMs = System.currentTimeMillis())
-            case None => // exception not preserved (e.g. unserializable)
-              Issue(System.currentTimeMillis(), Severity.Error,
-                autoCode(ef.className + ef.description),
-                s"${ef.className}: ${ef.description} | task failure",
-                ef.toErrorString, "spark.task", ef.className)
-          }
-          repo.put(contextId, issue)
+          repo.put(contextId, issueFromExceptionFailure(ef))
+        case _ => ()
+      }
+  }
+
+  /** Job-group-scoped variant: ONE listener serves a whole run of
+    * sequential (or concurrent) jobs. Tag each job with its issue
+    * context via `sc.setJobGroup(contextId, ...)`; `onJobStart`
+    * records which stages belong to which group, and a task failure is
+    * attributed to its stage's OWNING context no matter when the async
+    * listener bus delivers it. This replaces the per-job attach/remove
+    * dance, which is inherently racy: a straggler ExceptionFailure
+    * from job N can arrive after job N+1's listener was attached and
+    * be filed under the wrong context (observed as a duplicate issue
+    * in an otherwise-healthy context). Stage ids are globally unique
+    * per SparkContext, so late events for unknown stages (other
+    * suites' jobs) are dropped, not misattributed.
+    */
+  final class JobGroupIssueListener(repo: MultiContextIssueRepository)
+    extends org.apache.spark.scheduler.SparkListener {
+
+    private val stageToContext =
+      new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
+    override def onJobStart(
+        jobStart: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val group = Option(jobStart.properties)
+        .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+      group.foreach { g =>
+        jobStart.stageIds.foreach(sid => stageToContext.put(sid, g))
+      }
+    }
+
+    override def onTaskEnd(
+        taskEnd: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      taskEnd.reason match {
+        case ef: org.apache.spark.ExceptionFailure =>
+          Option(stageToContext.get(taskEnd.stageId))
+            .foreach(ctx => repo.put(ctx, issueFromExceptionFailure(ef)))
         case _ => ()
       }
   }

@@ -160,6 +160,40 @@ class TroubleshooterSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("job-group listener attributes failures to the owning context, drops unknown stages") {
+    val m = new MultiContextIssueRepository()
+    val listener = new Troubleshooter.JobGroupIssueListener(m)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      import spark.implicits._
+      // context A: a job whose tasks really fail on executors
+      spark.sparkContext.setJobGroup("grp:A", "failing", interruptOnCancel = false)
+      intercept[org.apache.spark.SparkException] {
+        spark.range(0, 8, 1, numPartitions = 4).as[Long].mapPartitions { it =>
+          throw new CodedException("GRAFT_GROUP_BOOM", "planted")
+          it
+        }.count()
+      }
+      // context B attached IMMEDIATELY after — any straggler task-end
+      // from A's stages must still land in A, never B
+      spark.sparkContext.setJobGroup("grp:B", "healthy", interruptOnCancel = false)
+      spark.range(0, 8, 1, numPartitions = 4).count()
+      spark.sparkContext.clearJobGroup()
+      val deadline = System.currentTimeMillis() + 15000
+      while (m.getAll("grp:A").isEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(m.getAll("grp:A").map(_.code) === List("GRAFT_GROUP_BOOM"))
+      assert(m.getAll("grp:B").isEmpty, "straggler misattributed to grp:B")
+      // events for stages the listener never saw a job-start for are dropped
+      listener.onTaskEnd(org.apache.spark.scheduler.SparkListenerTaskEnd(
+        stageId = 999999, stageAttemptId = 0, taskType = "ResultTask",
+        reason = new org.apache.spark.ExceptionFailure(
+          "java.lang.RuntimeException", "orphan", Array.empty, "", None),
+        taskInfo = null, taskExecutorMetrics = null, taskMetrics = null))
+      assert(m.contexts.toSet === Set("grp:A", "grp:B"))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("toDf emits refined per-context rows with rank") {
     val m = new MultiContextIssueRepository()
     m.put("c1", issue("W", Severity.Warn, t = 5))
