@@ -265,8 +265,11 @@ object OperatorGates7 {
         .toDF("media_id", "content")
       val hashes = Multimodal.aHashBmp(media).toDF()
         .withColumn("block", lit("all"))
+      // collapsed shape: bit-identical groups -> star edges (hamming
+      // 0), banding over distinct-hash representatives — linear output
+      // on a hash-dominated corpus; the oracle replays exactly this
       Similarity.hammingPairs64(hashes, "media_id", "ahash", "block",
-          maxHamming = 6)
+          maxHamming = 6, collapseIdentical = true)
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
@@ -288,7 +291,7 @@ object OperatorGates7 {
       val hashes = Multimodal.fingerprintWav(media).toDF()
         .withColumn("block", lit("all"))
       Similarity.hammingPairs64(hashes, "media_id", "ahash", "block",
-          maxHamming = 8)
+          maxHamming = 8, collapseIdentical = true)
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))
@@ -456,6 +459,30 @@ object OperatorGates7 {
         .orderBy(col("doc_id"))
     }),
 
+    // --- DSIR SELECTION (the step after scoring — Xie et al. 2023):
+    //     keep the top-k docs per language by exact-integer importance
+    //     score, ties by ascending doc_id. One domain-keyed window;
+    //     the constant rank bound rides WindowGroupLimit so a skewed
+    //     domain never sorts in full. Oracle replays score + the
+    //     row_number selection ----------------------------------------
+    "q_importance_select" -> ((s, dir) => {
+      import graft.functions.Importance
+      val docs = t(s, dir, "documents")
+      val raw = docs.select(col("doc_id"), col("lang"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(OperatorGates6.Garble)))
+          .otherwise(col("text")).as("text"))
+      val target = docs.filter(col("lang") === "en")
+      val w = Importance.bucketWeights(
+        target, "text", raw, "text", n = 2, nBuckets = 4096)
+      val scored = Importance
+        .score(raw, "doc_id", "text", w, n = 2, nBuckets = 4096)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      Importance.selectTopK(scored, "doc_id", "lang", "score", k = 40)
+        .select(col("doc_id"), col("lang"), col("n_grams"), col("score"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // --- copy-time schema parity guard (ref gobblin-data-management
     //     AvroSchemaCheckDefaultStrategy.java:34-105,
     //     SchemaCheckedCopySource): per event type, a REAL dataset dir
@@ -545,10 +572,25 @@ object OperatorGates7 {
 
   def oracleSql7: Map[String, String] = Map(
 
+    // collapsed-shape replay: star edges within identical-bit groups
+    // (group min as hub, hamming 0) + the brute-force pair definition
+    // restricted to the distinct-hash representatives
     "q_image_neardup" ->
-      s"""WITH ${imageBitsCtes()}
-         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
-         |FROM allpairs WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH ${imageBitsCtes()},
+         |hh AS (SELECT doc_id, array_to_string(bits, '') AS hs FROM bits),
+         |hrep AS (SELECT hs, min(doc_id) AS rep FROM hh GROUP BY hs),
+         |stars AS (
+         |  SELECT r.rep AS id_a, g.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+         |  FROM hh g JOIN hrep r USING (hs) WHERE g.doc_id <> r.rep),
+         |reppairs AS (
+         |  SELECT p.id_a, p.id_b, CAST(p.hamming AS BIGINT) AS hamming
+         |  FROM allpairs p
+         |  WHERE p.hamming BETWEEN 1 AND 6
+         |    AND p.id_a IN (SELECT rep FROM hrep)
+         |    AND p.id_b IN (SELECT rep FROM hrep))
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT * FROM stars UNION ALL SELECT * FROM reppairs) u
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_media_dedup_resolve" ->
       s"""WITH RECURSIVE ${imageBitsCtes()},
@@ -569,9 +611,21 @@ object OperatorGates7 {
          |ORDER BY media_id""".stripMargin,
 
     "q_audio_neardup" ->
-      s"""WITH ${audioBitsCtes()}
-         |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
-         |FROM apairs WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH ${audioBitsCtes()},
+         |ahh AS (SELECT doc_id, array_to_string(bits, '') AS hs FROM abits),
+         |ahrep AS (SELECT hs, min(doc_id) AS rep FROM ahh GROUP BY hs),
+         |astars AS (
+         |  SELECT r.rep AS id_a, g.doc_id AS id_b, CAST(0 AS BIGINT) AS hamming
+         |  FROM ahh g JOIN ahrep r USING (hs) WHERE g.doc_id <> r.rep),
+         |areppairs AS (
+         |  SELECT p.id_a, p.id_b, CAST(p.hamming AS BIGINT) AS hamming
+         |  FROM apairs p
+         |  WHERE p.hamming BETWEEN 1 AND 8
+         |    AND p.id_a IN (SELECT rep FROM ahrep)
+         |    AND p.id_b IN (SELECT rep FROM ahrep))
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT * FROM astars UNION ALL SELECT * FROM areppairs) u
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_task_issues" ->
       """WITH n AS (SELECT n_nationkey AS k, n_name AS name FROM nation)
@@ -643,6 +697,11 @@ object OperatorGates7 {
       s"text || CASE WHEN doc_id % 7 = 0 THEN '${OperatorGates6.Garble}' " +
         "ELSE '' END",
       buckets = 4096),
+
+    "q_importance_select" -> OracleSql.importanceSelect(
+      s"text || CASE WHEN doc_id % 7 = 0 THEN '${OperatorGates6.Garble}' " +
+        "ELSE '' END",
+      buckets = 4096, k = 40),
 
     "q_schema_parity" ->
       """SELECT event_type, CAST(2 AS BIGINT) AS n_files,

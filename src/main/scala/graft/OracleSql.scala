@@ -721,7 +721,7 @@ object OracleSql {
     * raw doc's exact integer score. Docs with < n tokens surface
     * with 0 grams / 0 score.
     */
-  def importanceWeights(plantedText: String, buckets: Int): String = {
+  private def importanceScoredCtes(plantedText: String, buckets: Int): String = {
     def gramCtes(src: String, prefix: String): String =
       s"""${prefix}tk AS (
          |  SELECT doc_id,
@@ -734,7 +734,7 @@ object OracleSql {
          |${prefix}b AS (
          |  SELECT doc_id, ((h % $buckets) + $buckets) % $buckets AS bucket
          |  FROM ${prefix}g)""".stripMargin
-    s"""WITH aug AS (
+    s"""aug AS (
        |  SELECT doc_id, lang, $plantedText AS text,
        |    text AS clean_text
        |  FROM documents),
@@ -760,11 +760,32 @@ object OracleSql {
        |  SELECT rb.doc_id, count(*) AS n_grams,
        |    sum(coalesce(w.w, 1048576)) AS score
        |  FROM rb LEFT JOIN w ON rb.bucket = w.bucket
-       |  GROUP BY rb.doc_id)
+       |  GROUP BY rb.doc_id)""".stripMargin
+  }
+
+  def importanceWeights(plantedText: String, buckets: Int): String =
+    s"""WITH ${importanceScoredCtes(plantedText, buckets)}
        |SELECT d.doc_id,
        |  coalesce(sc.n_grams, 0) AS n_grams,
        |  CAST(coalesce(sc.score, 0) AS BIGINT) AS score
        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
        |ORDER BY d.doc_id""".stripMargin
-  }
+
+  /** Oracle for q_importance_select: the scored docs of
+    * [[importanceWeights]], then per-lang top-k by (score desc,
+    * doc_id asc) — the DSIR stratified selection step.
+    */
+  def importanceSelect(plantedText: String, buckets: Int, k: Int): String =
+    s"""WITH ${importanceScoredCtes(plantedText, buckets)},
+       |scored AS (
+       |  SELECT d.doc_id, d.lang,
+       |    coalesce(sc.n_grams, 0) AS n_grams,
+       |    CAST(coalesce(sc.score, 0) AS BIGINT) AS score
+       |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+       |rk AS (
+       |  SELECT doc_id, lang, n_grams, score, row_number() OVER (
+       |    PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT doc_id, lang, n_grams, score
+       |FROM rk WHERE rnk <= $k ORDER BY lang, doc_id""".stripMargin
 }

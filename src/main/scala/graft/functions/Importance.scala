@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hashed n-gram importance weighting for data selection — the DSIR
@@ -71,5 +72,45 @@ object Importance {
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** The DSIR SELECTION step: keep the top-k documents per domain by
+    * importance score (ties broken by ascending id — fully
+    * deterministic, engine-portable). One shuffle on the domain
+    * column; the constant rank bound lets Spark's WindowGroupLimit
+    * keep only k rows per domain per map partition BEFORE the
+    * exchange, so a skewed domain never materializes its full sort.
+    */
+  def selectTopK(scored: DataFrame, idCol: String, domainCol: String,
+      scoreCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    scored.withColumn("_imp_rank", row_number().over(w))
+      .filter(col("_imp_rank") <= k)
+      .drop("_imp_rank")
+  }
+
+  /** Keep the top `fraction` of each domain by importance score
+    * (at least `minPerDomain` docs, so rare domains survive — the
+    * stratification DSIR needs to avoid collapsing the mixture).
+    * Domain sizes come from a pre-aggregated broadcast join (one
+    * row per domain), so the only corpus-wide shuffle is the
+    * window's partition-by-domain exchange.
+    */
+  def selectTopFraction(scored: DataFrame, idCol: String, domainCol: String,
+      scoreCol: String, fraction: Double, minPerDomain: Int = 1): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction in (0, 1], got $fraction")
+    require(minPerDomain >= 0, s"minPerDomain must be >= 0, got $minPerDomain")
+    val sizes = scored.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("_imp_m"))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    scored.join(broadcast(sizes), Seq(domainCol))
+      .withColumn("_imp_rank", row_number().over(w))
+      .filter(col("_imp_rank") <=
+        greatest(lit(minPerDomain.toLong), ceil(col("_imp_m") * fraction)))
+      .select(scored.columns.map(col).toIndexedSeq: _*) // join put the key first
   }
 }

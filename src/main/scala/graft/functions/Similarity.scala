@@ -442,30 +442,52 @@ object Similarity {
     * edges here instead of 5*10^11 pairs.
     */
   def hammingEdges64(hashes: DataFrame, idCol: String, hashCol: String,
-      blockCol: String, maxHamming: Int): DataFrame = {
-    val base = hashes.select(col(blockCol).as("block"), col(idCol).as("id"),
-      col(hashCol).as("sh"))
-    // star edges within each (block, hash) group — Dedup.starPairs
-    // owns the shape (m-1 edges, diameter 2)
-    val stars = graft.operators.Dedup.starPairs(
-      base.withColumn("_grp", struct(col("block"), col("sh"))), "_grp", "id")
-    // banding over one representative per distinct hash
-    val reps = base.groupBy(col("block"), col("sh"))
-      .agg(min(col("id")).as("id"))
-    val repPairs = hammingPairs64(reps, "id", "sh", "block", maxHamming)
+      blockCol: String, maxHamming: Int): DataFrame =
+    hammingPairs64(hashes, idCol, hashCol, blockCol, maxHamming,
+      collapseIdentical = true)
       .select(col("id_a"), col("id_b"))
-    stars.union(repPairs)
-  }
 
   /** All pairs within a block with hamming(hash) <= maxHamming, for
     * ANY precomputed 64-bit locality hash column (simhash, image
     * average-hash, audio fingerprint) — the same pigeonhole banding
     * as [[simhashPairs]], factored out: exactly the naive block
     * self-join's result without the quadratic pair blowup.
+    *
+    * `collapseIdentical=false` enumerates every qualifying pair — the
+    * answer when each pair is the deliverable, but output is
+    * inherently m²/2 in a block dominated by one hash value (a corpus
+    * of monochrome images, silence-padded audio). With
+    * `collapseIdentical=true` each bit-identical (block, hash) group
+    * contributes m-1 STAR edges rooted at its min id (hamming 0) and
+    * the banded join runs over one representative per DISTINCT hash —
+    * same connected components, linear output: 10^6 identical items
+    * cost 10^6 - 1 edges instead of 5·10^11 pairs. Resolution
+    * pipelines should take this shape (or [[hammingEdges64]], its
+    * id-pair projection).
     */
   def hammingPairs64(hashes: DataFrame, idCol: String, hashCol: String,
-      blockCol: String, maxHamming: Int): DataFrame = {
+      blockCol: String, maxHamming: Int,
+      collapseIdentical: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming in [0, 63]")
+    if (collapseIdentical) {
+      val base = hashes.select(col(blockCol).as("block"), col(idCol).as("id"),
+        col(hashCol).as("sh"))
+      // group min per (block, hash); m-1 star edges, diameter 2
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("block"), col("sh"))
+      val stars = base
+        .withColumn("id_a", min(col("id")).over(w))
+        .filter(col("id") =!= col("id_a"))
+        .select(col("block"), col("id_a"), col("id").as("id_b"),
+          lit(0).as("hamming"))
+      // banding over one representative per distinct hash; distinct
+      // hashes have hamming >= 1 by definition, so no overlap with stars
+      val reps = base.groupBy(col("block"), col("sh"))
+        .agg(min(col("id")).as("id"))
+      val repPairs = hammingPairs64(reps, "id", "sh", "block", maxHamming)
+      return stars.union(repPairs.select(
+        col("block"), col("id_a"), col("id_b"), col("hamming")))
+    }
     val nBands = maxHamming + 1
     val sh = hashes.select(col(blockCol).as("block"), col(idCol).as("id"),
       col(hashCol).as("sh"))

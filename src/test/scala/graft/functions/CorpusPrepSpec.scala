@@ -393,6 +393,26 @@ class CorpusPrepSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("hammingPairs64 collapseIdentical: linear output on 10k bit-identical items") {
+    // a hash-dominated corpus (monochrome images / silence-padded
+    // audio): 10k ids share ONE hash; enumerating pairs would be
+    // C(10k,2) ≈ 5*10^7 — the collapsed shape must emit exactly n-1
+    // star edges (hamming 0) rooted at the min id, plus rep pairs
+    val n = 10000L
+    val rows = (1L to n).map(i => ("b", i, 0x5A5AL)) ++
+      Seq(("b", n + 1, 0x5A5BL)) // one near hash, hamming 1
+    val df = rows.toDF("block", "id", "h")
+    val out = Similarity.hammingPairs64(df, "id", "h", "block",
+        maxHamming = 2, collapseIdentical = true)
+      .selectExpr("id_a", "id_b", "CAST(hamming AS BIGINT) AS hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === n.toInt) // (n-1) stars + 1 rep pair
+    val stars = out.filter(_._3 == 0)
+    assert(stars.length === n.toInt - 1 && stars.forall(_._1 == 1L))
+    assert(out.count(_._3 == 1) === 1)
+    assert(out.contains((1L, n + 1, 1L))) // reps pair across hashes
+  }
+
   test("hammingPairs64 equals the brute-force definition on random hashes") {
     val rnd = new scala.util.Random(7)
     val hs = (1L to 30L).map(i =>

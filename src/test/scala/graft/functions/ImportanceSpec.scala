@@ -74,4 +74,37 @@ class ImportanceSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Importance.bucketWeights(df, "text", df, "text", 2, 0))
   }
+
+  test("selectTopK keeps k per domain, score desc then id asc") {
+    val scored = Seq(
+      (1L, "en", 50L), (2L, "en", 90L), (3L, "en", 90L), (4L, "en", 10L),
+      (5L, "fr", 70L), (6L, "fr", 60L)).toDF("id", "dom", "score")
+    val got = Importance.selectTopK(scored, "id", "dom", "score", k = 2)
+      .orderBy("dom", "id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // en ties at 90 break by id asc -> 2, 3; fr keeps both (only 2 docs)
+    assert(got.toSeq === Seq((2L, "en"), (3L, "en"), (5L, "fr"), (6L, "fr")))
+    assert(scored.columns.toSeq ===
+      Importance.selectTopK(scored, "id", "dom", "score", 2).columns.toSeq)
+  }
+
+  test("selectTopK plan: constant rank bound rides WindowGroupLimit") {
+    val scored = Seq((1L, "en", 5L), (2L, "en", 9L)).toDF("id", "dom", "score")
+    val plan = Importance.selectTopK(scored, "id", "dom", "score", 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+  }
+
+  test("selectTopFraction stratifies by domain with a floor for rare domains") {
+    val scored = ((1L to 10L).map(i => (i, "big", i * 10L)) :+
+      ((99L, "rare", 5L))).toDF("id", "dom", "score")
+    val got = Importance
+      .selectTopFraction(scored, "id", "dom", "score", 0.3, minPerDomain = 1)
+      .collect().map(r => (r.getString(1), r.getLong(0))).sorted
+    // big: ceil(10 * 0.3) = 3 highest scores = ids 8, 9, 10; rare: floor keeps 1
+    assert(got.toSeq === Seq(("big", 8L), ("big", 9L), ("big", 10L), ("rare", 99L)))
+    intercept[IllegalArgumentException](
+      Importance.selectTopFraction(scored, "id", "dom", "score", 0.0))
+    intercept[IllegalArgumentException](
+      Importance.selectTopFraction(scored, "id", "dom", "score", 1.5))
+  }
 }
