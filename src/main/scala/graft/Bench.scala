@@ -1,20 +1,27 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Driver benchmark: one JSON line with per-query seconds at
-  * SPARK_GRAFT_SF_DIR, plus a SCALE-RATIO harness — every query also
-  * runs at a 10x-smaller SF (SPARK_GRAFT_SCALE_DIR, default sf0.01)
-  * and the line carries t(big)/t(small) per query with super-linear
-  * offenders flagged. This turns "the plan survives a 10x scale-up"
-  * from code review into a measurement: a data-proportional query on
-  * a scale-safe plan should ratio near the data ratio (<= ~10, plus
-  * fixed overheads pushing it DOWN); a ratio past `FlagRatio` means
-  * some stage grows super-linearly and would bury a 100 TB run.
-  * Operator gates doing fixed-size protocol work ratio near 1 — only
-  * ratios above the flag line are reported as suspicious.
+/** Driver benchmark. Per query: one untimed warmup pass, then
+  * `BestOf` timed passes — the reported figure is the per-query MIN
+  * (same-JVM single-shot timings showed ±2x noise round-over-round;
+  * minima are the standard stable estimator). A SCALE-RATIO harness
+  * also runs every query at a 10x-smaller SF (SPARK_GRAFT_SCALE_DIR,
+  * default sf0.01): t(big)/t(small) near the data ratio means the
+  * plan scales linearly; ratios past `FlagRatio` flag a stage that
+  * grows super-linearly and would bury a 100 TB run.
+  *
+  * Output contract: the FULL per-query JSON (minima + every timed
+  * run + ratios) is written to BENCH_FULL.json in the working
+  * directory; stdout carries ONE compact JSON line (total, errors,
+  * flagged, slowest queries, pointer to the full file) — compact
+  * because the driver's log capture keeps only the last ~2000
+  * characters of stdout, and a complete parseable line must fit
+  * inside that window (a full 150-query map cannot).
   */
 object Bench {
   private val FlagRatio = 15.0
+  private val BestOf = 2
+  private val TopInline = 15
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,37 +37,71 @@ object Bench {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Warmup pass (JVM/codegen/broadcast warm; not timed), then timed run.
+    // Warmup pass (JVM/codegen/broadcast warm; not timed).
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    def timedPass(dir: String): Seq[(String, Double, Boolean)] =
-      ordered.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, dir).count(); true } catch { case _: Throwable => false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
-      }
-    // small-SF pass first (also further warmup for the main pass)
-    val small = scaleDir.map(d => timedPass(d).map(r => r._1 -> r).toMap)
-    // A failing query must not masquerade as a fast success: its entry
-    // is null in `queries` and its name is listed under `errors`.
-    val results = timedPass(sfDir)
-    val qs = results.map { case (k, v, ok) => s"\"" + k + "\":" + (if (ok) v.toString else "null") }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    val scaleJson = (small, scaleDir) match {
-      case (Some(sm), Some(sd)) =>
-        val ratios = results.flatMap { case (k, v, ok) =>
-          sm.get(k).collect { case (_, sv, true) if ok && sv > 0 => k -> v / sv }
-        }
-        val rj = ratios.map { case (k, r) => f""""$k":$r%.2f""" }.mkString("{", ",", "}")
-        val flagged = ratios.collect { case (k, r) if r > FlagRatio => "\"" + k + "\"" }
-          .mkString("[", ",", "]")
-        s""","scale":{"small_sf":"$sd","flag_ratio":$FlagRatio,"ratios":$rj,"flagged":$flagged}"""
-      case _ => ""
+    def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, dir).count(); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"$scaleJson}""")
+    // small-SF pass first (also further warmup for the main passes)
+    val small = scaleDir.map { d =>
+      ordered.map { case (name, fn) => name -> timeOne(fn, d) }.toMap
+    }
+    // Pass-major order (all queries, then repeat): back-to-back runs
+    // of one query share page cache/broadcast state and under-report;
+    // interleaving keeps each timing honest while minima still damp
+    // scheduler noise.
+    val passes = (1 to BestOf).map { _ =>
+      ordered.map { case (name, fn) => name -> timeOne(fn, sfDir) }
+    }
+    val byName = ordered.map { case (name, _) =>
+      val runs = passes.map(_.find(_._1 == name).get._2)
+      val oks = runs.filter(_._2).map(_._1)
+      (name, runs.map(_._1), oks.nonEmpty, if (oks.nonEmpty) oks.min else -1.0)
+    }
+    def jq(s: String) = "\"" + s + "\""
+    def jd(d: Double) = f"$d%.3f"
+    val minJson = byName.map { case (n, _, ok, mn) =>
+      s"${jq(n)}:${if (ok) jd(mn) else "null"}" }.mkString("{", ",", "}")
+    val runsJson = byName.map { case (n, runs, _, _) =>
+      s"${jq(n)}:[${runs.map(jd).mkString(",")}]" }.mkString("{", ",", "}")
+    val errs = byName.collect { case (n, _, false, _) => jq(n) }
+      .mkString("[", ",", "]")
+    val total = byName.collect { case (_, _, true, mn) => mn }.sum
+    val ratios = small match {
+      case Some(sm) => byName.flatMap { case (n, _, ok, mn) =>
+        sm.get(n).collect { case (sv, true) if ok && sv > 0 => n -> mn / sv } }
+      case None => Seq.empty
+    }
+    val flagged = ratios.collect { case (n, r) if r > FlagRatio => jq(n) }
+      .mkString("[", ",", "]")
+    val scaleJson = scaleDir match {
+      case Some(sd) =>
+        val rj = ratios.map { case (n, r) => s"${jq(n)}:${jd(r)}" }
+          .mkString("{", ",", "}")
+        s""","scale":{"small_sf":${jq(sd)},"flag_ratio":$FlagRatio,"ratios":$rj,"flagged":$flagged}"""
+      case None => ""
+    }
+    val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
+    val full =
+      s"""{"metric":"total","value":${jd(total)},"unit":"sec","sf":${jq(sfDir)},""" +
+        s""""best_of":$BestOf,"queries":$minJson,"runs":$runsJson,""" +
+        s""""errors":$errs$scaleJson}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
+    // compact stdout line (fits the driver's 2000-char tail capture):
+    // aggregate + errors + flags + the slowest queries by min
+    val top = byName.filter(_._3).sortBy(-_._4).take(TopInline)
+      .map { case (n, _, _, mn) => s"${jq(n)}:${jd(mn)}" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${jd(total)},"unit":"sec","sf":${jq(sfDir)},""" +
+        s""""n_queries":${byName.size},"best_of":$BestOf,"errors":$errs,""" +
+        s""""flagged":$flagged,"queries":$top,"queries_truncated":true,""" +
+        s""""full":${jq(fullPath)}}""")
     spark.stop()
   }
 }

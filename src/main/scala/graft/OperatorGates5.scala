@@ -233,6 +233,74 @@ object OperatorGates5 {
         .orderBy(col("event_type"))
     }),
 
+    // --- persisted flow catalog (ref gobblin-runtime spec_catalog/
+    //     FlowCatalog.java + spec_store/FSSpecStore.java): a FlowSpec
+    //     is STORED (v1), read back, compiled, executed; a revised
+    //     spec is re-stored (v2, history kept, current pointer moves)
+    //     and the re-execution RESUMES — same hop identities, so the
+    //     state store's completion records skip both hops. Output =
+    //     catalog + orchestration audit; the oracle restates it with
+    //     the one data-derived row (mart rows) from events -----------
+    "q_flow_catalog" -> ((s, dir) => {
+      import graft.runner.{FlowCatalog, FlowCompiler}
+      import graft.runner.FlowCompiler._
+      import graft.state.FsStateStore
+      val tmp = tmpDir("graft_flowcat")
+      Tables.load(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .write.parquet(s"$tmp/landing")
+      val parquetD = DatasetDescriptor(format = "parquet")
+      val tableD = DatasetDescriptor(format = "table")
+      val edges = Seq(
+        FlowEdge("ingest", "landing", "warehouse", parquetD, parquetD, Map(
+          "job.type" -> "ingest",
+          "source.path" -> "${flow.landing}",
+          "source.watermark.expr" -> "event_id",
+          "ops" -> "filter",
+          "op.filter.predicate" -> "value <= ${flow.maxval}",
+          "state.dir" -> "${flow.work}/state",
+          "sink.staging" -> "${flow.work}/wh_staging",
+          "sink.output" -> "${flow.work}/wh")),
+        FlowEdge("compact", "warehouse", "mart", parquetD, tableD, Map(
+          "job.type" -> "compact",
+          "source.path" -> "${flow.work}/wh",
+          "compact.keys" -> "event_id",
+          "sink.staging" -> "${flow.work}/mart_staging",
+          "sink.output" -> "${flow.work}/mart")))
+      val catalog = new FlowCatalog(s"$tmp/catalog")
+      val v1Spec = FlowSpec("cat_flow", "landing", "mart",
+        input = parquetD, output = tableD,
+        config = Map("landing" -> s"$tmp/landing", "work" -> tmp,
+          "maxval" -> "180"))
+      val v1 = catalog.put(v1Spec)
+      val stored = catalog.get("cat_flow").getOrElse(sys.error("flow missing"))
+      require(stored == v1Spec, s"catalog roundtrip drifted: $stored")
+      val store = new FsStateStore(s"$tmp/flowstate")
+      val c1 = FlowCompiler.compile(edges, stored).fold(e => sys.error(e), identity)
+      val r1 = FlowCompiler.execute(s, store, c1)
+      // revision: tighter threshold stored as v2 — history keeps v1,
+      // the current pointer moves, and hop identity is unchanged so
+      // the resume contract skips the already-done hops
+      val v2 = catalog.put(v1Spec.copy(
+        config = v1Spec.config.updated("maxval", "120")))
+      val c2 = FlowCompiler.compile(edges,
+        catalog.get("cat_flow").get).fold(e => sys.error(e), identity)
+      val r2 = FlowCompiler.execute(s, store, c2)
+      val martRows = s.read.parquet(s"$tmp/mart").count()
+      import s.implicits._
+      Seq(
+        ("catalog_flows", catalog.list().size.toString),
+        ("catalog_versions", catalog.versions("cat_flow").mkString(",")),
+        ("current_version", catalog.currentVersion("cat_flow").getOrElse("")),
+        ("mart_rows", martRows.toString),
+        ("run1_actions", r1.map(_.action).mkString(",")),
+        ("run2_actions", r2.map(_.action).mkString(",")),
+        ("stored_versions", s"$v1,$v2"),
+        ("v1_readable", catalog.get("cat_flow", "v1")
+          .contains(v1Spec).toString))
+        .toDF("metric", "value").orderBy(col("metric"))
+    }),
+
     // --- Gopher-style repetition quality signals: mean word length,
     //     duplicate-trigram ratio, symbol-to-word ratio, and the
     //     top-bigram character-coverage fraction (TermStats
@@ -587,6 +655,20 @@ object OperatorGates5 {
         |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_v_milli
         |FROM events WHERE value <= 180
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // mart_rows reflects v1's run (value <= 180): the v2 re-execution
+    // resumes (skips) rather than recomputing with the new threshold
+    "q_flow_catalog" ->
+      """SELECT 'catalog_flows' AS metric, '1' AS value
+        |UNION ALL SELECT 'catalog_versions', 'v1,v2'
+        |UNION ALL SELECT 'current_version', 'v2'
+        |UNION ALL SELECT 'mart_rows',
+        |  CAST((SELECT count(*) FROM events WHERE value <= 180) AS VARCHAR)
+        |UNION ALL SELECT 'run1_actions', 'ran,ran'
+        |UNION ALL SELECT 'run2_actions', 'skipped,skipped'
+        |UNION ALL SELECT 'stored_versions', 'v1,v2'
+        |UNION ALL SELECT 'v1_readable', 'true'
+        |ORDER BY metric""".stripMargin,
 
     "q_embedding_pipeline" -> OracleSql.embeddingPipeline(
       semClusters = 16, semThreshold = 0.9,

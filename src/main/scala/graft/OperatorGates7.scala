@@ -36,6 +36,18 @@ object OperatorGates7 {
     "cookie consent banner please accept our cookie policy before " +
       "continuing to browse this site today"
 
+  /** Repetition plants for q_repetition_clean: a 5-token phrase
+    * repeated 12x (scrape-loop shape — dup-trigram ratio well above
+    * the drop threshold on 10-99 token docs) and a 20-token phrase
+    * repeated twice (salvageable — ratio lands between trim and drop).
+    * Tokens are synthetic so they never collide with corpus trigrams.
+    */
+  val RepDrop: String = Seq.fill(12)(" zqa zqb zqc zqd zqe").mkString
+  val RepTrim: String = {
+    val phrase = (1 to 20).map(i => s" rp$i").mkString
+    phrase + phrase
+  }
+
   /** documents with both boilerplate plants applied (single source of
     * truth for the Spark side; the oracle restates it in SQL).
     */
@@ -232,6 +244,29 @@ object OperatorGates7 {
         .select(col("context"), col("ord"), col("code"), col("severity"),
           col("summary"), col("source_class"))
         .orderBy(col("context"), col("ord"))
+    }),
+
+    // --- Gopher repetition removal (RepetitionRemoval.clean): heavy
+    //     repetition planted on doc_id % 11 (5-token phrase x12 ->
+    //     dup-trigram ratio ~0.3-0.8 -> drop), moderate on doc_id % 5
+    //     (20-token phrase x2 -> ratio ~0.1-0.4 -> trim unless the
+    //     drop threshold fires first); natural corpus repetition tops
+    //     out at ~0.07, safely under trimAbove = 0.1. The oracle
+    //     replays signal, classification, within-doc islands, and the
+    //     cleaned text token-by-token -------------------------------
+    "q_repetition_clean" -> ((s, dir) => {
+      import graft.operators.RepetitionRemoval
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 11 === 0, lit(RepDrop))
+            .when(col("doc_id") % 5 === 0, lit(RepTrim))
+            .otherwise(lit(""))).as("text"))
+      RepetitionRemoval.clean(docs, "doc_id", "text",
+          dupN = 3, dropAbove = 0.25, trimK = 10, trimAbove = 0.1)
+        .select(col("doc_id"), col("dup_ratio"), col("action"),
+          col("n_tokens"), col("n_dup_tokens"),
+          md5(coalesce(col("clean_text"), lit("<dropped>"))).as("clean_fp"))
+        .orderBy(col("doc_id"))
     }),
 
     // --- exact-substring dedup, removal (ALL occurrences dropped):
@@ -483,6 +518,67 @@ object OperatorGates7 {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // --- Kafka-shaped envelope ingestion END-TO-END (the composed
+    //     KafkaStreamingExtractor chain, ref gobblin-modules/
+    //     gobblin-kafka-common/.../KafkaStreamingExtractor.java:87-392
+    //     + FlushingExtractor.java:79-151): a simulated topic
+    //     directory carries Confluent-wire envelopes under TWO schema
+    //     ids (v2 adds a column — additive evolution), a file stream
+    //     consumes it one file per micro-batch (each batch = one
+    //     flush/ack boundary), payloads decode against the registry,
+    //     conform to the evolved schema, land in the sink; a SECOND
+    //     run on the same checkpoint replays nothing (offset-commit
+    //     semantics). Oracle replays the whole chain from events ----
+    "q_kafka_envelope_e2e" -> ((s, dir) => {
+      import graft.streaming.{Envelope, StreamingIngest}
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val tmp = tmpDir("graft_kenv")
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000).cast("long").as("v_milli"))
+      // topic simulation: even event_ids arrive first as v1 payloads,
+      // odd ones later as v2 (+src) — offsets are the event ids
+      ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id").as("offset"),
+          Envelope.encode(1, to_json(struct(col("event_id"),
+            col("event_type"), col("v_milli")))).as("envelope"))
+        .coalesce(1).write.mode("append").parquet(s"$tmp/topic")
+      ev.filter(col("event_id") % 2 =!= 0)
+        .select(col("event_id").as("offset"),
+          Envelope.encode(2, to_json(struct(col("event_id"),
+            col("event_type"), col("v_milli"),
+            lit("kafka2").as("src")))).as("envelope"))
+        .coalesce(1).write.mode("append").parquet(s"$tmp/topic")
+      val topicSchema = s.read.parquet(s"$tmp/topic").schema
+      val v1 = StructType(Seq(StructField("event_id", LongType),
+        StructField("event_type", StringType), StructField("v_milli", LongType)))
+      val v2 = StructType(v1.fields :+ StructField("src", StringType))
+      def conformedStream = {
+        val stream = StreamingIngest.readFileStream(s, topicSchema,
+          s"$tmp/topic", maxFilesPerTrigger = Some(1))
+        Envelope.decode(stream, "envelope", Map(1 -> v1, 2 -> v2))
+          .select(col("offset"), col("schema_id"),
+            coalesce(col("decoded_1.event_id"), col("decoded_2.event_id")).as("event_id"),
+            coalesce(col("decoded_1.event_type"), col("decoded_2.event_type")).as("event_type"),
+            coalesce(col("decoded_1.v_milli"), col("decoded_2.v_milli")).as("v_milli"),
+            col("decoded_2.src").as("src")) // additive: null before v2
+      }
+      StreamingIngest.runAvailableNow(conformedStream, s"$tmp/out", s"$tmp/ck")
+      val afterFirst = s.read.parquet(s"$tmp/out").count()
+      // same checkpoint: the commit log holds the consumed offsets —
+      // the rerun must process zero new data
+      StreamingIngest.runAvailableNow(conformedStream, s"$tmp/out", s"$tmp/ck")
+      val afterSecond = s.read.parquet(s"$tmp/out").count()
+      require(afterFirst == afterSecond,
+        s"checkpoint replay duplicated rows: $afterFirst -> $afterSecond")
+      s.read.parquet(s"$tmp/out")
+        .groupBy(col("schema_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v_milli")).as("sum_v_milli"),
+          sum(when(col("src").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          max(col("offset")).as("max_offset"))
+        .orderBy(col("schema_id"), col("event_type"))
+    }),
+
     // --- copy-time schema parity guard (ref gobblin-data-management
     //     AvroSchemaCheckDefaultStrategy.java:34-105,
     //     SchemaCheckedCopySource): per event type, a REAL dataset dir
@@ -703,6 +799,17 @@ object OperatorGates7 {
         "ELSE '' END",
       buckets = 4096, k = 40),
 
+    "q_kafka_envelope_e2e" ->
+      """SELECT CAST(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
+        |    AS schema_id,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS sum_v_milli,
+        |  CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_legacy,
+        |  max(event_id) AS max_offset
+        |FROM events GROUP BY 1, 2 ORDER BY schema_id, event_type""".stripMargin,
+
     "q_schema_parity" ->
       """SELECT event_type, CAST(2 AS BIGINT) AS n_files,
         |  CASE WHEN event_type IN ('click', 'error', 'signup')
@@ -754,6 +861,82 @@ object OperatorGates7 {
          |  max(i) + 9 - min(i) + 1 AS span_len
          |FROM grp GROUP BY doc_id, grp
          |ORDER BY doc_id, span_start""".stripMargin,
+
+    // replay of RepetitionRemoval.clean: dup-trigram signal over
+    // FILTERED tokens, classification, within-doc (doc, fp) islands at
+    // k=10 over RAW split tokens, and span-removal reconstruction
+    "q_repetition_clean" ->
+      s"""WITH raug AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 11 = 0 THEN '$RepDrop'
+         |         WHEN doc_id % 5 = 0 THEN '$RepTrim'
+         |         ELSE '' END AS text
+         |  FROM documents),
+         |rtok AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), x -> len(x) > 0) AS ft,
+         |    string_split(text, ' ') AS rt
+         |  FROM raug),
+         |rsig AS (
+         |  SELECT doc_id, text, rt,
+         |    CASE WHEN len(ft) >= 3 THEN
+         |      CAST(len(ft) - 2 - len(list_distinct(list_transform(
+         |        range(1, len(ft) - 1),
+         |        i -> array_to_string(ft[i:i+2], ' ')))) AS DOUBLE) / (len(ft) - 2)
+         |      ELSE 0.0 END AS dup_ratio
+         |  FROM rtok),
+         |ract AS (
+         |  SELECT *, CASE WHEN dup_ratio > 0.25 THEN 'drop'
+         |                 WHEN dup_ratio > 0.1 THEN 'trim'
+         |                 ELSE 'keep' END AS action
+         |  FROM rsig),
+         |rg AS (
+         |  SELECT doc_id, rt AS toks,
+         |    unnest(generate_series(0, len(rt) - 10)) AS i
+         |  FROM ract WHERE action = 'trim' AND len(rt) >= 10),
+         |rfp AS (
+         |  SELECT doc_id, i, md5(array_to_string(toks[i + 1:i + 10], ' ')) AS fp
+         |  FROM rg),
+         |rdup AS (
+         |  SELECT doc_id, i FROM (
+         |    SELECT doc_id, i, count(*) OVER (PARTITION BY doc_id, fp) AS cnt
+         |    FROM rfp)
+         |  WHERE cnt > 1),
+         |risl AS (
+         |  SELECT doc_id, i, CASE WHEN i > coalesce(max(i + 9) OVER (
+         |      PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+         |    THEN 1 ELSE 0 END AS starts
+         |  FROM rdup),
+         |rgrp AS (
+         |  SELECT doc_id, i, sum(starts) OVER (
+         |    PARTITION BY doc_id ORDER BY i) AS grp FROM risl),
+         |rspans AS (
+         |  SELECT doc_id, min(i) AS s, max(i) + 9 AS e
+         |  FROM rgrp GROUP BY doc_id, grp),
+         |rpos AS (
+         |  SELECT doc_id, unnest(generate_series(0, len(rt) - 1)) AS p, rt AS toks
+         |  FROM ract WHERE action = 'trim'),
+         |rkeep AS (
+         |  SELECT rpos.doc_id, rpos.p, rpos.toks[rpos.p + 1] AS tok
+         |  FROM rpos LEFT JOIN rspans sp
+         |    ON rpos.doc_id = sp.doc_id AND rpos.p BETWEEN sp.s AND sp.e
+         |  WHERE sp.doc_id IS NULL),
+         |ragg AS (
+         |  SELECT doc_id, count(*) AS n_keep,
+         |    md5(string_agg(tok, ' ' ORDER BY p)) AS clean_fp
+         |  FROM rkeep GROUP BY doc_id)
+         |SELECT a.doc_id, a.dup_ratio, a.action,
+         |  CAST(len(a.rt) AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN a.action = 'keep' THEN 0
+         |            WHEN a.action = 'drop' THEN len(a.rt)
+         |            ELSE len(a.rt) - coalesce(g.n_keep, 0) END AS BIGINT)
+         |    AS n_dup_tokens,
+         |  CASE WHEN a.action = 'drop' THEN md5('<dropped>')
+         |       WHEN a.action = 'keep' THEN md5(a.text)
+         |       ELSE coalesce(g.clean_fp, md5('')) END AS clean_fp
+         |FROM ract a LEFT JOIN ragg g USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin,
 
     "q_substring_clean" ->
       s"""WITH $spanCtes,

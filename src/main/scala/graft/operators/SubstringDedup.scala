@@ -86,7 +86,7 @@ object SubstringDedup {
     * where the gram no longer overlaps/abuts the running max end).
     * The window is keyed and bounded by document.
     */
-  private def islandsToSpans(dupPos: DataFrame, idCol: String, k: Int,
+  private[operators] def islandsToSpans(dupPos: DataFrame, idCol: String, k: Int,
       minSpan: Int): DataFrame = {
     val byDoc = Window.partitionBy(idCol).orderBy("i")
     val prev = byDoc.rowsBetween(Window.unboundedPreceding, -1)
@@ -107,7 +107,7 @@ object SubstringDedup {
   }
 
   /** Gram projection shared by the batch and incremental paths. */
-  private def gramsOf(df: DataFrame, idCol: String, textCol: String,
+  private[operators] def gramsOf(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame =
     df.select(col(idCol), split(col(textCol), " ").as("toks"))
       .withColumn("n", size(col("toks")))
@@ -173,8 +173,21 @@ object SubstringDedup {
       idCol: String,
       textCol: String,
       k: Int,
-      minSpanTokens: Int = 0): DataFrame = {
-    val spans = duplicatedSpans(df, idCol, textCol, k, minSpanTokens)
+      minSpanTokens: Int = 0): DataFrame =
+    applySpanRemoval(df, idCol, textCol,
+      duplicatedSpans(df, idCol, textCol, k, minSpanTokens))
+
+  /** Span-removal mechanics shared with callers that supply their own
+    * span frame (e.g. within-document repetition removal): drops every
+    * (span_start, span_end) token range and appends the accounting
+    * columns documented on [[removeSpans]].
+    */
+  private[operators] def applySpanRemoval(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanFrame: DataFrame): DataFrame = {
+    val spans = spanFrame
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("_spans"))
     df.join(spans, Seq(idCol), "left")

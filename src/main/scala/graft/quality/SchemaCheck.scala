@@ -85,4 +85,32 @@ object SchemaCheck {
       FileCheck(file, parity(expected, struct), struct.simpleString)
     }
   }
+
+  /** Aggregated verdict for a whole (possibly million-file) tree:
+    * (files checked, files failing, up to `maxExamples` failing
+    * relative paths). Parity evaluates executor-side and only the
+    * bounded summary reaches the driver — the scale variant of
+    * [[checkParquetTree]] for trees where a per-file Seq would not
+    * fit driver memory.
+    */
+  final case class TreeCheck(nFiles: Long, nBad: Long, badExamples: Seq[String])
+
+  def checkParquetTreeSummary(spark: SparkSession, dir: String,
+      expected: StructType, maxExamples: Int = 10): TreeCheck = {
+    val conf = org.apache.spark.sql.graftshim.ColumnShim.sessionHadoopConf(spark)
+    graft.sources.ParquetFooters.scanAggregate(spark, dir, conf) { (reader, c) =>
+      parity(expected,
+        new ParquetToSparkSchemaConverter(c)
+          .convert(reader.getFooter.getFileMetaData.getSchema))
+    }(TreeCheck(0L, 0L, Nil))(
+      (acc, fileOk) => fileOk match {
+        case (rel, ok) => TreeCheck(
+          acc.nFiles + 1,
+          acc.nBad + (if (ok) 0 else 1),
+          if (ok) acc.badExamples
+          else (acc.badExamples :+ rel).take(maxExamples))
+      },
+      (a, b) => TreeCheck(a.nFiles + b.nFiles, a.nBad + b.nBad,
+        (a.badExamples ++ b.badExamples).sorted.take(maxExamples)))
+  }
 }

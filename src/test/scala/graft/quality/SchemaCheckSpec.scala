@@ -84,4 +84,47 @@ class SchemaCheckSpec extends SparkSpec {
     assert(checks.forall(_.file.endsWith(".parquet")))
     assert(checks.filter(!_.ok).head.schema.contains("amount"))
   }
+
+  test("checkParquetTree recurses into partitioned dt=*/ subtrees") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft_schemacheck_part")
+    Seq((1L, "a")).toDF("id", "name")
+      .coalesce(1).write.parquet(s"$dir/dt=2024-01-01")
+    Seq((2L, "b")).toDF("id", "name")
+      .coalesce(1).write.parquet(s"$dir/dt=2024-01-02")
+    Seq((3L, 9.0)).toDF("id", "wrong")
+      .coalesce(1).write.parquet(s"$dir/dt=2024-01-03")
+    val expected = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val checks = SchemaCheck.checkParquetTree(spark, dir, expected)
+    // a flat listStatus would see ZERO files here
+    assert(checks.size === 3)
+    assert(checks.count(_.ok) === 2)
+    // relative paths disambiguate the per-partition part-00000 names
+    assert(checks.map(_.file).distinct.size === 3)
+    assert(checks.forall(_.file.startsWith("dt=")))
+    assert(checks.filter(!_.ok).head.file.startsWith("dt=2024-01-03"))
+  }
+
+  test("checkParquetTreeSummary aggregates the verdict executor-side") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft_schemacheck_sum")
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, s"n$i")).toDF("id", "name")
+        .coalesce(1).write.parquet(s"$dir/dt=$i")
+    }
+    Seq((9L, 1.5)).toDF("id", "bad")
+      .coalesce(1).write.parquet(s"$dir/dt=9")
+    val expected = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    val v = SchemaCheck.checkParquetTreeSummary(spark, dir, expected, maxExamples = 3)
+    assert(v.nFiles === 5 && v.nBad === 1)
+    assert(v.badExamples.size === 1 && v.badExamples.head.startsWith("dt=9"))
+    // empty tree -> zero verdict, no job
+    val empty = tmpDir("graft_schemacheck_empty")
+    assert(SchemaCheck.checkParquetTreeSummary(spark, empty, expected)
+      === SchemaCheck.TreeCheck(0L, 0L, Nil))
+  }
 }
