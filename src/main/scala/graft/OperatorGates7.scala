@@ -494,6 +494,22 @@ object OperatorGates7 {
         .orderBy(col("doc_id"))
     }),
 
+    // --- guaranteed heavy hitters (Misra-Gries candidates + exact
+    //     confirm — operators/HeavyHitters.scala): every word holding
+    //     > 1/35 of all token occurrences, with its exact count. The
+    //     sketch bounds pass-1 state at k counters per partition and
+    //     the confirm pass shuffles only candidate rows; the output
+    //     is exact, so the oracle is a plain GROUP BY ... HAVING ----
+    "q_heavy_hitters" -> ((s, dir) => {
+      import graft.operators.HeavyHitters
+      import graft.functions.Text
+      val words = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("word"))
+      HeavyHitters.heavyHitters(words, col("word"), k = 35)
+        .withColumnRenamed("key", "word")
+        .orderBy(col("word"))
+    }),
+
     // --- DSIR SELECTION (the step after scoring — Xie et al. 2023):
     //     keep the top-k docs per language by exact-integer importance
     //     score, ties by ascending doc_id. One domain-keyed window;
@@ -793,6 +809,16 @@ object OperatorGates7 {
       s"text || CASE WHEN doc_id % 7 = 0 THEN '${OperatorGates6.Garble}' " +
         "ELSE '' END",
       buckets = 4096),
+
+    "q_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |    AS word
+        |  FROM documents),
+        |tot AS (SELECT count(*) AS n FROM w)
+        |SELECT word, count(*) AS cnt FROM w, tot
+        |GROUP BY word, n HAVING count(*) * 35 > n
+        |ORDER BY word""".stripMargin,
 
     "q_importance_select" -> OracleSql.importanceSelect(
       s"text || CASE WHEN doc_id % 7 = 0 THEN '${OperatorGates6.Garble}' " +

@@ -104,6 +104,98 @@ object OracleSql {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Oracle for q_minhash_incremental: the two-batch incremental
+    * near-dup protocol replayed — batch 1 (even doc_ids) resolves
+    * against itself (banded candidates -> agreement >= threshold ->
+    * transitive closure, min id kept), its kept signatures form the
+    * ledger; batch 2 (odd doc_ids) first probes the ledger (min
+    * matching accepted id wins), then resolves its unmatched remainder
+    * within the batch the same way.
+    */
+  def minhashIncremental(threshold: Double, numHashes: Int, bands: Int): String = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val p = Similarity.MinhashPrime
+    val mins = Similarity.seededCoeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hms, hm_v -> ($a * ((hm_v % $p + $p) % $p) + $b) % $p)) AS s$i"
+    }.mkString(",\n    ")
+    val sigArr = (0 until numHashes).map(i => s"s$i").mkString("[", ", ", "]")
+    def bandCond(a: String, b: String) = (0 until bands).map { t =>
+      s"$a.sig[${t * rows + 1}:${t * rows + rows}] = $b.sig[${t * rows + 1}:${t * rows + rows}]"
+    }.mkString("(", " OR ", ")")
+    def est(a: String, b: String) =
+      s"CAST(len(list_filter(range($numHashes), eq_i -> $a.sig[eq_i+1] = $b.sig[eq_i+1])) AS DOUBLE) / $numHashes.0"
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks FROM documents
+       |), hms AS (
+       |  SELECT doc_id, list_transform(range(1, len(toks) - 1),
+       |    sh_i -> ${fnvS("array_to_string(toks[sh_i:sh_i+2], ' ')")}) AS hms
+       |  FROM toks WHERE len(toks) >= 3
+       |), mins AS (
+       |  SELECT doc_id, $mins FROM hms
+       |), sig AS (
+       |  SELECT doc_id, $sigArr AS sig FROM mins
+       |), p1 AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 0 AND ${bandCond("a", "b")}
+       |  WHERE ${est("a", "b")} >= $threshold
+       |), sym1 AS (
+       |  SELECT id_a AS va, id_b AS vb FROM p1 UNION SELECT id_b, id_a FROM p1
+       |), reach1(va, vb) AS (
+       |  SELECT va, vb FROM sym1
+       |  UNION SELECT r.va, s.vb FROM reach1 r JOIN sym1 s ON r.vb = s.va
+       |), rep1 AS (
+       |  SELECT va AS id, least(min(vb), va) AS rep FROM reach1 GROUP BY va
+       |), k1 AS (
+       |  SELECT s.doc_id FROM sig s LEFT JOIN rep1 r ON r.id = s.doc_id
+       |  WHERE s.doc_id % 2 = 0 AND (r.id IS NULL OR r.rep = s.doc_id)
+       |), vsl AS (
+       |  SELECT a.doc_id AS id, min(b.doc_id) AS matched_id
+       |  FROM sig a JOIN sig b ON a.doc_id % 2 = 1
+       |    AND b.doc_id IN (SELECT doc_id FROM k1) AND ${bandCond("a", "b")}
+       |  WHERE ${est("a", "b")} >= $threshold
+       |  GROUP BY a.doc_id
+       |), p2 AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |    AND a.doc_id % 2 = 1 AND b.doc_id % 2 = 1
+       |    AND a.doc_id NOT IN (SELECT id FROM vsl)
+       |    AND b.doc_id NOT IN (SELECT id FROM vsl)
+       |    AND ${bandCond("a", "b")}
+       |  WHERE ${est("a", "b")} >= $threshold
+       |), sym2 AS (
+       |  SELECT id_a AS va, id_b AS vb FROM p2 UNION SELECT id_b, id_a FROM p2
+       |), reach2(va, vb) AS (
+       |  SELECT va, vb FROM sym2
+       |  UNION SELECT r.va, s.vb FROM reach2 r JOIN sym2 s ON r.vb = s.va
+       |), rep2 AS (
+       |  SELECT va AS id, least(min(vb), va) AS rep FROM reach2 GROUP BY va
+       |), r1 AS (
+       |  SELECT CAST(1 AS INTEGER) AS batch, d.doc_id AS id,
+       |    CASE WHEN r.rep IS NOT NULL AND r.rep <> d.doc_id
+       |         THEN 'dup_batch' ELSE 'kept' END AS status,
+       |    CASE WHEN r.rep IS NOT NULL AND r.rep <> d.doc_id
+       |         THEN r.rep END AS matched_id
+       |  FROM documents d LEFT JOIN rep1 r ON r.id = d.doc_id
+       |  WHERE d.doc_id % 2 = 0
+       |), r2 AS (
+       |  SELECT CAST(2 AS INTEGER), d.doc_id,
+       |    CASE WHEN v.id IS NOT NULL THEN 'dup_ledger'
+       |         WHEN r.rep IS NOT NULL AND r.rep <> d.doc_id THEN 'dup_batch'
+       |         ELSE 'kept' END,
+       |    coalesce(v.matched_id,
+       |      CASE WHEN r.rep <> d.doc_id THEN r.rep END)
+       |  FROM documents d
+       |  LEFT JOIN vsl v ON v.id = d.doc_id
+       |  LEFT JOIN rep2 r ON r.id = d.doc_id
+       |  WHERE d.doc_id % 2 = 1
+       |)
+       |SELECT batch, id, status, matched_id FROM (
+       |  SELECT * FROM r1 UNION ALL SELECT * FROM r2) u
+       |ORDER BY batch, id""".stripMargin
+  }
+
   /** Oracle for q_rolling_fingerprint. doc_hash replays the whole-text
     * polynomial fold; the boundary positions replay the rolling WINDOW
     * hash by hashing each 16-byte window directly (winHash after byte i

@@ -698,6 +698,28 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // --- incremental MinHash near-dup (ongoing-ingest face of
+    //     q_minhash_neardups): batch 1 = even docs dedups against
+    //     itself and its kept signatures become the LEDGER; batch 2 =
+    //     odd docs probes the ledger first (prior corpus wins), then
+    //     resolves within itself — no rescan of batch 1's text. The
+    //     oracle replays signatures, banding, both closures, and the
+    //     precedence ----------------------------------------------
+    "q_minhash_incremental" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val b1 = docs.filter(col("doc_id") % 2 === 0)
+      val b2 = docs.filter(col("doc_id") % 2 === 1)
+      val empty = Seq.empty[(Long, Array[Long])].toDF("id", "sig")
+      val (r1, ledger) = Similarity.minhashIncremental(
+        b1, empty, "doc_id", "text", threshold = 0.25)
+      val (r2, _) = Similarity.minhashIncremental(
+        b2, ledger, "doc_id", "text", threshold = 0.25)
+      r1.withColumn("batch", lit(1)).unionByName(r2.withColumn("batch", lit(2)))
+        .select(col("batch"), col("id"), col("status"), col("matched_id"))
+        .orderBy(col("batch"), col("id"))
+    }),
+
     // --- SimHash near-dup pairs: pigeonhole-banded equi-join (scale
     //     path), FNV token hash (oracle replays it); the oracle is the
     //     naive self-join, so the gate proves band-join == brute force -
@@ -1121,6 +1143,7 @@ object SparkEntry {
     // polynomial / sign-bit arithmetic (builders in OracleSql.scala).
     "q_simhash_pairs" -> OracleSql.simhashPairs(maxHamming = 12),
     "q_minhash_neardups" -> OracleSql.minhashNearDups(threshold = 0.25, numHashes = 16, bands = 4),
+    "q_minhash_incremental" -> OracleSql.minhashIncremental(threshold = 0.25, numHashes = 16, bands = 4),
     "q_rolling_fingerprint" -> OracleSql.rollingFingerprint(window = 16, maskBits = 5),
     "q_ann_hyperplane_lsh" -> OracleSql.annHyperplaneLsh(k = 5, probeMod = 100),
     "q_embed_neardup_resolve" -> OracleSql.embedNeardupResolve(threshold = 0.5),

@@ -174,7 +174,6 @@ object Similarity {
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
       fnv: Boolean = false): DataFrame = {
-    val rowsPerBand = numHashes / bands
     // signatures are reused three times (banding + two lookups) —
     // lazy persist computes them once within the first job WITHOUT the
     // separate blocking job an eager localCheckpoint pays, and (unlike
@@ -183,12 +182,26 @@ object Similarity {
     // cluster, where executor loss under a checkpoint is job failure
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes, fnv)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    lshCandidatePairsFromSigs(sigs, numHashes, bands)
+  }
+
+  /** (id, band, bucket) banding rows of an (id, sig) frame. */
+  private def bandedOf(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("id"),
+      explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
+      .select(col("id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+
+  /** Candidate pairs from a precomputed (id, sig) frame — the reusable
+    * core of [[lshCandidatePairs]] (the incremental path feeds it the
+    * unmatched slice of a batch).
+    */
+  def lshCandidatePairsFromSigs(sigs: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
     // candidate generation stays NARROW: only (id, band, bucket) is
     // shuffled/deduped; the 16-wide signatures join back afterwards,
     // once per distinct pair instead of once per band collision.
-    val banded = sigs.select(col("id"),
-      explode(lshBandHashes(col("sig"), bands, rowsPerBand)).as("bh"))
-      .select(col("id"), col("bh.band").as("band"), col("bh.bucket").as("bucket"))
+    val banded = bandedOf(sigs, bands, rowsPerBand)
     val a = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
     val b = banded.select(col("id").as("id_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))
@@ -214,6 +227,73 @@ object Similarity {
       .withColumn("est_jaccard", minhashJaccardEstimate(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+
+  /** Incremental MinHash near-dup — the ongoing-ingest face of
+    * [[minhashNearDups]], same contract family as
+    * Dedup.incrementalExact and SubstringDedup.duplicatedSpansIncremental:
+    * a new batch is deduplicated against BOTH itself and a LEDGER of
+    * previously-accepted signatures, without rescanning the prior
+    * corpus. The ledger is one (id, sig) row per accepted doc —
+    * numHashes ints per document, orders of magnitude smaller than
+    * the text it stands for.
+    *
+    * Returns (report, ledgerAdditions):
+    *   report — one row per batch doc: (id, status, matched_id) with
+    *     status `dup_ledger` (estimated Jaccard >= threshold against
+    *     an accepted prior doc; matched_id = the smallest such id —
+    *     prior corpus wins), `dup_batch` (near-dups other batch docs;
+    *     matched_id = its connected component's minimum id, which is
+    *     the member that survives), or `kept`;
+    *   additions — kept docs' (id, sig), to append for the next batch.
+    *
+    * Shape: one signature pass over the batch, banded equi-joins for
+    * both the ledger probe and the in-batch candidates (bucket-keyed,
+    * never all-pairs), distributed component resolution. The ledger
+    * probe is the same hash-partitioned join as the batch's own — AQE
+    * broadcasts it while the ledger is small.
+    */
+  def minhashIncremental(batch: DataFrame, ledger: DataFrame, idCol: String,
+      textCol: String, threshold: Double, shingleN: Int = 3,
+      numHashes: Int = 16, bands: Int = 4,
+      fnv: Boolean = true): (DataFrame, DataFrame) = {
+    require(numHashes % bands == 0, s"bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = minhashSignatures(batch, idCol, textCol, shingleN, numHashes, fnv)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val led = ledger.select(col("id"), col("sig"))
+    // ledger probe: banded candidates, then the agreement check
+    val vsLedger = bandedOf(sigs, bands, rowsPerBand)
+      .join(bandedOf(led, bands, rowsPerBand)
+        .select(col("id").as("lid"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("id"), col("lid")).distinct()
+      .join(sigs, Seq("id"))
+      .join(led.select(col("id").as("lid"), col("sig").as("sig_l")), Seq("lid"))
+      .filter(minhashJaccardEstimate(col("sig"), col("sig_l")) >= threshold)
+      .groupBy(col("id")).agg(min(col("lid")).as("matched_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // in-batch resolution over the docs the ledger did NOT claim
+    val freshSigs = sigs.join(vsLedger.select(col("id")), Seq("id"), "left_anti")
+    val pairs = lshCandidatePairsFromSigs(freshSigs, numHashes, bands)
+      .filter(minhashJaccardEstimate(col("sig_a"), col("sig_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val clusters = graft.operators.Dedup.clusterPairs(pairs) // (id, rep)
+    val report = batch.select(col(idCol).as("id"))
+      .join(vsLedger.withColumnRenamed("matched_id", "_led"), Seq("id"), "left")
+      .join(clusters.withColumnRenamed("rep", "_rep"), Seq("id"), "left")
+      .select(col("id"),
+        when(col("_led").isNotNull, "dup_ledger")
+          .when(col("_rep").isNotNull && col("_rep") =!= col("id"), "dup_batch")
+          .otherwise("kept").as("status"),
+        coalesce(col("_led"),
+          when(col("_rep") =!= col("id"), col("_rep"))).as("matched_id"))
+    // short docs (< shingleN tokens) have no signature: they are kept
+    // (nothing to match on) but add nothing to the ledger
+    val additions = sigs
+      .join(report.filter(col("status") === "kept").select(col("id")), Seq("id"))
+      .select(col("id"), col("sig"))
+    (report, additions)
+  }
 
   // --------------------------------------------------------------- Jaccard
 
