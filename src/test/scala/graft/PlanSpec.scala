@@ -45,6 +45,33 @@ class PlanSpec extends SparkSpec {
       "GreaterThan(OrEqual)?\\(ts".r.findFirstIn(p).isDefined)
   }
 
+  test("heavy hitters: candidate INSET filter below the partial aggregate") {
+    val p = plan("q_heavy_hitters")
+    // the confirm pass must shuffle candidate rows only: the IN filter
+    // sits under the partial HashAggregate, and the key never range-
+    // shuffles before filtering
+    val filterAt = p.indexOf("INSET")
+    val partialAt = p.indexOf("partial_count")
+    assert(filterAt >= 0 && partialAt >= 0 && partialAt < filterAt,
+      s"INSET@$filterAt partial@$partialAt\n${p.take(600)}")
+  }
+
+  test("importance select: constant rank bound rides WindowGroupLimit") {
+    val p = plan("q_importance_select")
+    assert(p.contains("WindowGroupLimit"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("minhash incremental: banded equi-joins only, no pair blowup") {
+    val p = plan("q_minhash_incremental")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("repetition clean: no cartesian anywhere in the trim path") {
+    val p = plan("q_repetition_clean")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("dedup delta: partial aggregation before the exchange") {
     val p = plan("q_dedup_delta")
     assert(p.contains("partial_max_by") || p.contains("partial_"))
