@@ -1,0 +1,244 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 wave 2: CDC maintenance operators (SCD2 changelog merge,
+  * incremental rollup), content-defined chunk dedup, and watermark
+  * late-data accounting. Query side runs the real operators; oracles
+  * replay interval construction, partial-aggregate algebra, rolling-
+  * hash chunking, and the two-batch watermark trajectory in DuckDB.
+  */
+object OperatorGates8 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Write `df` as ONE parquet file named `name` in `dir` with a fixed
+    * modification time — file-stream gates control batch ORDER through
+    * mtimes (FileStreamSource processes oldest-first).
+    */
+  private def stageFile(df: DataFrame, dir: java.nio.file.Path, name: String,
+      mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no parquet part written under $tmp"))
+    val dst = dir.resolve(name)
+    java.nio.file.Files.move(part.toPath, dst)
+    require(dst.toFile.setLastModified(mtime), s"cannot set mtime on $dst")
+  }
+
+  def queries8: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- SCD2 changelog merge (operators/Scd2.scala): orders as a CDC
+    //     stream per customer (seq = orderkey, every 50th a delete),
+    //     split at the half-way seq; dim built from the first half,
+    //     the second half MERGED in — only touched keys recompute.
+    //     The oracle recomputes the dimension from the FULL changelog,
+    //     so a green row proves merge == full rebuild ----------------
+    "q_scd2_merge" -> ((s, dir) => {
+      import graft.operators.Scd2
+      val ch = t(s, dir, "orders").select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 50 === 0, "D").otherwise("U").as("op"),
+        col("o_totalprice").as("price"))
+      // O(1) driver scalar: the split point, not data
+      val maxSeq = ch.agg(max("seq")).head.getLong(0)
+      val split = maxSeq / 2
+      val dim = Scd2.fromChangelog(ch.filter(col("seq") <= split),
+        "custkey", "seq", "op", Seq("price"))
+      Scd2.merge(dim, ch.filter(col("seq") > split),
+          "custkey", "seq", "op", Seq("price"))
+        .orderBy(col("custkey"), col("valid_from"))
+    }),
+
+    // --- incremental rollup maintenance (operators/IncrementalRollup
+    //     .scala): events split by id parity into two "days"; each is
+    //     partially aggregated alone, the states merged, THEN
+    //     finalized. Exact-long summaries make merge associative
+    //     bit-for-bit; the oracle is the full GROUP BY over all
+    //     events, so green == incremental maintenance is lossless ----
+    "q_incremental_rollup" -> ((s, dir) => {
+      import graft.operators.IncrementalRollup
+      val dims = Seq("event_type", "bucket")
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        (col("user_id") % 10).as("bucket"),
+        floor(col("value") * 1000).cast("long").as("v_milli"))
+      val day1 = IncrementalRollup.init(
+        ev.filter(col("event_id") % 2 === 0), dims, "v_milli")
+      val day2 = IncrementalRollup.init(
+        ev.filter(col("event_id") % 2 =!= 0), dims, "v_milli")
+      IncrementalRollup.finalizeState(
+          IncrementalRollup.merge(day1, day2, dims), dims)
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
+    // --- content-defined chunk dedup (operators/ChunkDedup.scala):
+    //     boilerplate planted mid-corpus (every 7th doc) chunks
+    //     identically wherever it lands, so its chunks go cross-doc-
+    //     shared; per-doc occurrence accounting. Oracle replays the
+    //     rolling window hash, boundary cuts, per-chunk fingerprints
+    //     and the shared-set in DuckDB list algebra ------------------
+    "q_cdc_chunk_dedup" -> ((s, dir) => {
+      import graft.operators.ChunkDedup
+      val docs = t(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" "), lit(OperatorGates7.Boiler))).otherwise(lit("")))
+          .as("txt"))
+      ChunkDedup.sharedChunkStats(planted, "doc_id", col("txt"),
+          window = 16, maskBits = 5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- watermark late-data accounting (§2.8): three-batch file
+    //     stream (mtime-ordered), 30-minute watermark delay. Batch 1
+    //     is the on-time bulk (sets the watermark), batch 2 a nudge of
+    //     the freshest rows (Spark's late-event filter runs one batch
+    //     behind eviction — the nudge batch is what arms it), batch 3
+    //     delivers stragglers at least 3 h older than any watermark
+    //     candidate, so every one is DROPPED under any boundary
+    //     variant. Oracle: aggregate everything except the stragglers,
+    //     emit windows closed under the final watermark ---------------
+    "q_stream_late_drop" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      StreamingIngest.withStatePartitions(s, 8) {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val ev = raw.withColumn("_ms",
+          expr("unix_micros(" + Tables.tsExpr(raw.schema("ts").dataType) + ") div 1000"))
+        val maxMs = ev.agg(max("_ms")).head.getLong(0) // O(1) driver scalar
+        val isNudge = col("_ms") > maxMs - 1200000L
+        val isStrag = col("_ms") <= maxMs - 10800000L && col("event_id") % 3 === 0
+        val inDir = java.nio.file.Files.createTempDirectory("q_stream_late")
+        val now = System.currentTimeMillis()
+        stageFile(ev.filter(!isNudge && !isStrag).drop("_ms"), inDir,
+          "a.parquet", now - 180000)
+        stageFile(ev.filter(isNudge).drop("_ms"), inDir, "n.parquet", now - 120000)
+        stageFile(ev.filter(isStrag).drop("_ms"), inDir, "b.parquet", now - 60000)
+        val stream = StreamingIngest
+          .readFileStream(s, raw.schema, inDir.toString, maxFilesPerTrigger = Some(1))
+          .withColumn("ts", expr(Tables.tsExpr(raw.schema("ts").dataType)))
+        val agg = stream
+          .withWatermark("ts", "30 minutes")
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 1000).cast("long")).as("sum_v_milli"))
+          .select(col("window.start").as("window_start"), col("event_type"),
+            col("n"), col("sum_v_milli"))
+        val tmp = tmpDir("q_stream_late_out")
+        StreamingIngest.runAvailableNow(agg, s"$tmp/data", s"$tmp/ck")
+        s.read.parquet(s"$tmp/data")
+          .orderBy(col("window_start"), col("event_type"))
+      }
+    })
+  )
+
+  private val Mersenne61 = "CAST('2305843009213693951' AS HUGEINT)"
+
+  def oracleSql8: Map[String, String] = Map(
+
+    "q_scd2_merge" ->
+      // full-changelog SCD2 rebuild: interval end = next seq for the
+      // key (any op — a delete closes without emitting), open interval
+      // iff no later entry
+      """WITH ch AS (
+        |  SELECT o_custkey AS custkey, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 50 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |v AS (
+        |  SELECT custkey, seq, op, price,
+        |    lead(seq) OVER (PARTITION BY custkey ORDER BY seq) AS valid_to
+        |  FROM ch)
+        |SELECT custkey, price, seq AS valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM v WHERE op <> 'D'
+        |ORDER BY custkey, valid_from""".stripMargin,
+
+    "q_incremental_rollup" ->
+      // the incremental path must equal one full GROUP BY over all
+      // events — partial-aggregate algebra on exact longs
+      """SELECT event_type, user_id % 10 AS bucket,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_m,
+        |  min(CAST(floor(value * 1000) AS BIGINT)) AS min_m,
+        |  max(CAST(floor(value * 1000) AS BIGINT)) AS max_m,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE) / count(*)
+        |    AS avg_m
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q_cdc_chunk_dedup" -> {
+      val poly = s"(h, c) -> (h * 257 + c) % $Mersenne61"
+      s"""WITH codes AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, len(txt) + 1),
+         |      ch_i -> CAST(unicode(substring(txt, ch_i, 1)) + 1 AS HUGEINT)) AS cs
+         |  FROM (SELECT doc_id,
+         |          text || CASE WHEN doc_id % 7 = 0
+         |                       THEN ' ${OperatorGates7.Boiler}'
+         |                       ELSE '' END AS txt
+         |        FROM documents)
+         |), base AS (
+         |  SELECT doc_id, cs,
+         |    list_filter(range(15, len(cs)), w_i ->
+         |      list_reduce(cs[w_i - 14 : w_i + 1], $poly) % 32 = 31) AS bounds
+         |  FROM codes
+         |), withtail AS (
+         |  SELECT doc_id, cs, bounds,
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |      cs[CASE WHEN len(bounds) > 0 THEN bounds[-1] + 2 ELSE 1 END : len(cs)]),
+         |      $poly) AS tail_h
+         |  FROM base
+         |), ch AS (
+         |  SELECT doc_id,
+         |    list_concat(
+         |      list_transform(range(len(bounds)), j ->
+         |        CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT),
+         |          cs[CASE WHEN j = 0 THEN 1 ELSE bounds[j] + 2 END : bounds[j + 1] + 1]),
+         |          $poly) AS BIGINT)),
+         |      CASE WHEN tail_h <> 0 THEN [CAST(tail_h AS BIGINT)]
+         |           ELSE CAST([] AS BIGINT[]) END) AS chunks
+         |  FROM withtail
+         |), occ AS (
+         |  SELECT doc_id, unnest(chunks) AS chunk FROM ch
+         |), sh AS (
+         |  SELECT chunk FROM occ GROUP BY chunk
+         |  HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT o.doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN o.chunk IN (SELECT chunk FROM sh)
+         |               THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+         |FROM occ o GROUP BY o.doc_id
+         |ORDER BY o.doc_id""".stripMargin
+    },
+
+    "q_stream_late_drop" ->
+      // the stragglers (>= 3h old when their batch runs, watermark
+      // already at max - 30min) are all dropped; emitted cells are the
+      // windows closed under the final watermark (end <= max ms-30min)
+      """WITH ev AS (
+        |  SELECT event_id, event_type, epoch_us(ts) // 1000 AS ms,
+        |    CAST(floor(value * 1000) AS BIGINT) AS vm
+        |  FROM events),
+        |mx AS (SELECT max(ms) AS m FROM ev),
+        |keep AS (
+        |  SELECT ev.* FROM ev, mx
+        |  WHERE NOT (ms <= m - 10800000 AND event_id % 3 = 0)),
+        |agg AS (
+        |  SELECT (ms // 3600000) * 3600000 AS ws, event_type,
+        |    count(*) AS n, CAST(sum(vm) AS BIGINT) AS sum_v_milli
+        |  FROM keep GROUP BY 1, 2)
+        |SELECT CAST(epoch_ms(ws) AS TIMESTAMP) AS window_start,
+        |  event_type, n, sum_v_milli
+        |FROM agg, mx WHERE ws + 3600000 <= m - 1800000
+        |ORDER BY window_start, event_type""".stripMargin
+  )
+}

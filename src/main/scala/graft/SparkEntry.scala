@@ -50,7 +50,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     OperatorGates.queries ++ OperatorGates.queries2 ++ OperatorGates3.queries3 ++
       OperatorGates4.queries4 ++ OperatorGates5.queries5 ++
-      OperatorGates6.queries6 ++ OperatorGates7.queries7 ++ Map(
+      OperatorGates6.queries6 ++ OperatorGates7.queries7 ++
+      OperatorGates8.queries8 ++ Map(
 
     // --- aggregation (pricing summary, TPC-H Q1 shape) ----------------
     "q_pricing_summary" -> ((s, dir) => {
@@ -734,7 +735,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     OperatorGates.oracleSql ++ OperatorGates.oracleSql2 ++ OperatorGates3.oracleSql3 ++
       OperatorGates4.oracleSql4 ++ OperatorGates5.oracleSql5 ++
-      OperatorGates6.oracleSql6 ++ OperatorGates7.oracleSql7 ++ Map(
+      OperatorGates6.oracleSql6 ++ OperatorGates7.oracleSql7 ++
+      OperatorGates8.oracleSql8 ++ Map(
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -204,4 +204,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_min_k_longs") || p.contains("partial_"),
       "min-k must combine map-side (the whole point of the bound)")
   }
+
+  test("scd2 merge: touched-key routing joins, no cartesian") {
+    val p = plan("q_scd2_merge")
+    // the anti/semi routing against the small distinct-delta-key set
+    // and per-key windows — never a cartesian or nested-loop fallback
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"),
+      s"untouched-slice routing lost its anti/semi shape:\n$p")
+  }
+
+  test("incremental rollup: both batch states combine map-side") {
+    val p = plan("q_incremental_rollup")
+    assert(!p.contains("Join"), "rollup merge must be union+agg, not a join")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "delta aggregation lost its map-side partial")
+  }
+
+  test("cdc chunk dedup: chunking stays codegen, shared-set join is hash") {
+    val p = plan("q_cdc_chunk_dedup")
+    assert(p.contains("content_chunk_hashes"), "native chunk expression missing")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("BatchEvalPython") && !p.contains("MapPartitions"))
+  }
 }
