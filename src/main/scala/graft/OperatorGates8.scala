@@ -138,6 +138,69 @@ object OperatorGates8 {
         s.read.parquet(s"$tmp/data")
           .orderBy(col("window_start"), col("event_type"))
       }
+    }),
+
+    // --- training-shard export + manifest verification (operators/
+    //     ShardExport.scala): publish documents as 8 deterministic
+    //     shards with a manifest (count, chars, order-independent FNV
+    //     XOR checksum), then VERIFY the manifest from the published
+    //     files. The oracle recomputes every manifest figure from the
+    //     source table — green means written == declared == replayed -
+    "q_shard_manifest" -> ((s, dir) => {
+      import graft.operators.ShardExport
+      val out = tmpDir("q_shard_manifest")
+      ShardExport.exportShards(t(s, dir, "documents"), "doc_id", "text",
+        nShards = 8, outDir = out)
+      ShardExport.verify(s, out, "doc_id", "text")
+        .orderBy(col("shard"))
+    }),
+
+    // --- multi-format writer/source round-trip (the reference's
+    //     writer.output.format matrix: CSV/JSON/ORC writers + the
+    //     matching extractors): the same exact-typed slice of events
+    //     is written and re-read in each format and aggregated — a
+    //     format that drops or mangles a value breaks its row --------
+    "q_format_roundtrip" -> ((s, dir) => {
+      val slice = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        floor(col("value") * 1000).cast("long").as("v_milli"))
+      val out = tmpDir("q_format_roundtrip")
+      val parts = Seq("csv", "json", "orc").map { fmt =>
+        val w = slice.write.mode("overwrite")
+        (fmt match {
+          case "csv" => w.option("header", "true")
+          case _ => w
+        }).format(fmt).save(s"$out/$fmt")
+        val r = s.read
+        val back = (fmt match {
+          case "csv" => r.option("header", "true").schema(slice.schema).format(fmt)
+          case _ => r.schema(slice.schema).format(fmt)
+        }).load(s"$out/$fmt")
+        back.agg(
+            count(lit(1)).as("n"),
+            sum(col("v_milli")).as("sum_v_milli"),
+            countDistinct(col("event_type")).as("n_types"))
+          .select(lit(fmt).as("format"), col("n"), col("sum_v_milli"),
+            col("n_types"))
+      }
+      parts.reduce(_.unionByName(_)).orderBy(col("format"))
+    }),
+
+    // --- CUBE / grouping-sets rollup (the OLAP face of the rollup
+    //     writer): pricing by returnflag x linestatus with all
+    //     subtotal planes; null dims sentineled so both engines sort
+    //     and hash identically ---------------------------------------
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("returnflag"), col("linestatus"))
     })
   )
 
@@ -239,6 +302,37 @@ object OperatorGates8 {
         |SELECT CAST(epoch_ms(ws) AS TIMESTAMP) AS window_start,
         |  event_type, n, sum_v_milli
         |FROM agg, mx WHERE ws + 3600000 <= m - 1800000
-        |ORDER BY window_start, event_type""".stripMargin
+        |ORDER BY window_start, event_type""".stripMargin,
+
+    "q_shard_manifest" ->
+      // every manifest figure recomputed from the source table; the
+      // checksum replays FNV-1a 64 per doc and XOR-folds it (order-
+      // independent, so parallel write order is irrelevant)
+      s"""SELECT doc_id % 8 AS shard, count(*) AS n_docs,
+         |  CAST(sum(len(text)) AS BIGINT) AS sum_chars,
+         |  bit_xor(${OracleSql.fnvS("text")}) AS checksum,
+         |  true AS verified
+         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q_format_roundtrip" ->
+      // a lossless round-trip means each format row carries the SAME
+      // aggregate of the source slice
+      """SELECT f.format, a.n, a.sum_v_milli, a.n_types
+        |FROM (SELECT count(*) AS n,
+        |        CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |          AS sum_v_milli,
+        |        count(DISTINCT event_type) AS n_types
+        |      FROM events) a
+        |CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(format)
+        |ORDER BY f.format""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin
   )
 }

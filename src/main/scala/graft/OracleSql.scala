@@ -31,7 +31,7 @@ object OracleSql {
   /** FNV-1a 64 of an ASCII string expression, as unsigned HUGEINT.
     * (documents.text is ASCII, so unicode(char) == the UTF-8 byte.)
     */
-  private def fnvU(s: String): String =
+  private[graft] def fnvU(s: String): String =
     s"""list_reduce(list_prepend($FnvInit,
        |      list_transform(range(1, len($s)+1), ch_i -> CAST(unicode(substring($s, ch_i, 1)) AS HUGEINT))),
        |      (fh, fc) -> (xor(fh, fc) * $FnvPrime) % $U64)""".stripMargin
@@ -39,7 +39,7 @@ object OracleSql {
   /** Same, reinterpreted as the signed 64-bit value a Spark LongType
     * carries: (u + 2^63) mod 2^64 - 2^63.
     */
-  private def fnvS(s: String): String =
+  private[graft] def fnvS(s: String): String =
     s"CAST((${fnvU(s)} + $S63) % $U64 - $S63 AS BIGINT)"
 
   /** Oracle for q_simhash_pairs: FNV-1a SimHash (token bit-voting)
