@@ -186,6 +186,75 @@ object OperatorGates8 {
       parts.reduce(_.unionByName(_)).orderBy(col("format"))
     }),
 
+    // --- STREAMING CDC -> SCD2 dimension maintenance (the composed
+    //     chain: changelog file-stream -> per-micro-batch Scd2.merge
+    //     against the published dimension -> crash-safe snapshot swap
+    //     via Publisher.publishSnapshot). Three mtime-ordered batches;
+    //     only delta-touched keys recompute per batch. The oracle is
+    //     the full-changelog rebuild — green proves batch boundaries
+    //     don't leak into the dimension -------------------------------
+    "q_stream_scd2" -> ((s, dir) => {
+      import graft.operators.Scd2
+      import graft.sink.{Publisher, SinkSpec}
+      import graft.streaming.StreamingIngest
+      val ch = t(s, dir, "orders").select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 50 === 0, "D").otherwise("U").as("op"),
+        col("o_totalprice").as("price"))
+      val maxSeq = ch.agg(max("seq")).head.getLong(0) // O(1) driver scalar
+      val (c1, c2) = (maxSeq / 3, 2 * maxSeq / 3)
+      val inDir = java.nio.file.Files.createTempDirectory("q_stream_scd2")
+      val now = System.currentTimeMillis()
+      stageFile(ch.filter(col("seq") <= c1), inDir, "b1.parquet", now - 180000)
+      stageFile(ch.filter(col("seq") > c1 && col("seq") <= c2), inDir,
+        "b2.parquet", now - 120000)
+      stageFile(ch.filter(col("seq") > c2), inDir, "b3.parquet", now - 60000)
+      val root = tmpDir("q_stream_scd2_dim")
+      val dimPath = s"$root/dim"
+      val pub = new Publisher(s.sparkContext.hadoopConfiguration)
+      val stream = StreamingIngest.readFileStream(s, ch.schema,
+        inDir.toString, maxFilesPerTrigger = Some(1))
+      val q = stream.writeStream
+        .foreachBatch { (delta: DataFrame, _: Long) =>
+          val dim =
+            if (new java.io.File(dimPath).exists()) s.read.parquet(dimPath)
+            else Scd2.fromChangelog(delta.limit(0),
+              "custkey", "seq", "op", Seq("price"))
+          val merged = Scd2.merge(dim, delta,
+            "custkey", "seq", "op", Seq("price"))
+          // stage fully (forces the read of the CURRENT dim), then swap
+          val spec = SinkSpec(s"$root/staging", dimPath)
+          pub.writeStaged(merged, spec)
+          pub.publishSnapshot(spec)
+          ()
+        }
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(dimPath).orderBy(col("custkey"), col("valid_from"))
+    }),
+
+    // --- corpus version diff (operators/CorpusDiff.scala): per-lang
+    //     added/removed/changed/unchanged between two drops — v2 loses
+    //     every 9th doc, gains back the 11th-excluded ones, rewrites
+    //     every 13th; fingerprints are FNV-1a 64 so the oracle replays
+    //     them exactly -----------------------------------------------
+    "q_corpus_drift" -> ((s, dir) => {
+      import graft.operators.CorpusDiff
+      import graft.functions.Fnv64
+      val docs = t(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 11 =!= 0)
+      val v2 = docs.filter(col("doc_id") % 9 =!= 0)
+        .select(col("doc_id"), col("lang"),
+          concat(col("text"),
+            when(col("doc_id") % 13 === 0, " updated").otherwise(""))
+            .as("text"))
+      CorpusDiff.diff(v1, v2, "doc_id", Fnv64(col("text")), col("lang"))
+        .orderBy(col("stratum"))
+    }),
+
     // --- CUBE / grouping-sets rollup (the OLAP face of the rollup
     //     writer): pricing by returnflag x linestatus with all
     //     subtotal planes; null dims sentineled so both engines sort
@@ -325,6 +394,48 @@ object OperatorGates8 {
         |      FROM events) a
         |CROSS JOIN (VALUES ('csv'), ('json'), ('orc')) AS f(format)
         |ORDER BY f.format""".stripMargin,
+
+    "q_stream_scd2" ->
+      // identical to the full-changelog SCD2 rebuild: batch boundaries
+      // must not be visible in the final dimension
+      """WITH ch AS (
+        |  SELECT o_custkey AS custkey, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 50 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |v AS (
+        |  SELECT custkey, seq, op, price,
+        |    lead(seq) OVER (PARTITION BY custkey ORDER BY seq) AS valid_to
+        |  FROM ch)
+        |SELECT custkey, price, seq AS valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM v WHERE op <> 'D'
+        |ORDER BY custkey, valid_from""".stripMargin,
+
+    "q_corpus_drift" -> {
+      val fp1 = OracleSql.fnvS("text")
+      val fp2 = OracleSql.fnvS(
+        "text || CASE WHEN doc_id % 13 = 0 THEN ' updated' ELSE '' END")
+      s"""WITH o AS (
+         |  SELECT doc_id, lang, $fp1 AS fp FROM documents
+         |  WHERE doc_id % 11 <> 0),
+         |n AS (
+         |  SELECT doc_id, lang, $fp2 AS fp FROM documents
+         |  WHERE doc_id % 9 <> 0),
+         |j AS (
+         |  SELECT coalesce(n.lang, o.lang) AS stratum,
+         |    CASE WHEN o.fp IS NULL THEN 'added'
+         |         WHEN n.fp IS NULL THEN 'removed'
+         |         WHEN o.fp <> n.fp THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+         |SELECT stratum,
+         |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+         |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+         |FROM j GROUP BY stratum ORDER BY stratum""".stripMargin
+    },
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
