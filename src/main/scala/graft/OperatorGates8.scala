@@ -255,6 +255,30 @@ object OperatorGates8 {
         .orderBy(col("stratum"))
     }),
 
+    // --- funnel / ordered-sequence matching (operators/Funnel.scala —
+    //     the MATCH_RECOGNIZE capability): greedy-earliest
+    //     view -> click -> purchase per user with a 24 h step gap.
+    //     The oracle replays each anchor with correlated min-joins ----
+    "q_funnel" -> ((s, dir) => {
+      import graft.operators.Funnel
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 1000").as("ms"))
+      Funnel.funnel(ev, "user_id", "event_type", "ms",
+          steps = Seq("view", "click", "purchase"), maxGapMs = 86400000L)
+        .orderBy(col("user_id"))
+    }),
+
+    // --- k-anonymous aggregate release (compliance tier): per
+    //     (event_type, user) cells, every cell under k=10 folded into
+    //     ONE sentinel cell so no released row re-identifies a user;
+    //     totals preserved exactly ------------------------------------
+    "q_kanon_suppress" -> ((s, dir) => {
+      import graft.operators.Compliance
+      Compliance.kAnonymize(t(s, dir, "events"),
+          Seq("event_type", "user_id"), k = 10)
+        .orderBy(col("event_type"), col("user_id"))
+    }),
+
     // --- CUBE / grouping-sets rollup (the OLAP face of the rollup
     //     writer): pricing by returnflag x linestatus with all
     //     subtotal planes; null dims sentineled so both engines sort
@@ -436,6 +460,41 @@ object OperatorGates8 {
          |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
          |FROM j GROUP BY stratum ORDER BY stratum""".stripMargin
     },
+
+    "q_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) // 1000 AS ms FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ms) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(ms) AS t2 FROM ev e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ms > t1 AND ms <= t1 + 86400000
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(ms) AS t3 FROM ev e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ms > t2 AND ms <= t2 + 86400000
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, t1, t2, t3,
+        |  CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_steps
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
+    "q_kanon_suppress" ->
+      """WITH cells AS (
+        |  SELECT event_type, user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT CASE WHEN n >= 10 THEN event_type ELSE 'OTHER' END
+        |      AS event_type,
+        |    CASE WHEN n >= 10 THEN CAST(user_id AS VARCHAR) ELSE 'OTHER' END
+        |      AS user_id,
+        |    n FROM cells)
+        |SELECT event_type, user_id, CAST(sum(n) AS BIGINT) AS n,
+        |  (event_type = 'OTHER' AND user_id = 'OTHER') AS suppressed
+        |FROM m GROUP BY 1, 2
+        |ORDER BY event_type, user_id""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

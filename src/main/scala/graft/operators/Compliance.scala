@@ -28,4 +28,29 @@ object Compliance {
       org.apache.spark.sql.functions.broadcast(deleteIds),
       data(dataKey) === deleteIds(deleteKey),
       "left_semi")
+
+  /** k-anonymous aggregate release: aggregate `data` by `dims`, then
+    * fold every cell with fewer than k members into a single OTHER
+    * cell per publication (the small-cell suppression a privacy review
+    * requires before an aggregate leaves the boundary — cells of 1-2
+    * users re-identify them). Exact: the OTHER cell carries the full
+    * suppressed mass, so totals are preserved.
+    *
+    * Scale: one map-side-combined aggregation to |cells| rows; the
+    * suppression regroup runs over the aggregated cells, not the data.
+    */
+  def kAnonymize(data: DataFrame, dims: Seq[String], k: Long,
+      other: String = "OTHER"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(k >= 1, "k must be >= 1")
+    val cells = data.groupBy(dims.map(col): _*).agg(count(lit(1)).as("n"))
+    val masked = cells.select(
+      dims.map(dim => when(col("n") >= k, col(dim).cast("string"))
+        .otherwise(lit(other)).as(dim)) :+ col("n"): _*)
+    masked.groupBy(dims.map(col): _*)
+      .agg(sum(col("n")).as("n"))
+      // the fold cell is the one with every dim sentineled (callers
+      // must pick a sentinel outside the dims' value domain)
+      .withColumn("suppressed", dims.map(c => col(c) === other).reduce(_ && _))
+  }
 }
