@@ -168,12 +168,20 @@ object OperatorGates8 {
       val parts = Seq("csv", "json", "orc").map { fmt =>
         val w = slice.write.mode("overwrite")
         (fmt match {
+          // exact CSV round-trip: no write-side whitespace trimming,
+          // and a null sentinel distinct from the empty string so ""
+          // values survive (the reader's default nullValue is "")
           case "csv" => w.option("header", "true")
+            .option("ignoreLeadingWhiteSpace", "false")
+            .option("ignoreTrailingWhiteSpace", "false")
+            .option("nullValue", "\\N")
           case _ => w
         }).format(fmt).save(s"$out/$fmt")
         val r = s.read
         val back = (fmt match {
-          case "csv" => r.option("header", "true").schema(slice.schema).format(fmt)
+          case "csv" => r.option("header", "true")
+            .option("nullValue", "\\N")
+            .schema(slice.schema).format(fmt)
           case _ => r.schema(slice.schema).format(fmt)
         }).load(s"$out/$fmt")
         back.agg(
@@ -494,6 +502,8 @@ object OperatorGates8 {
         |SELECT event_type, user_id, CAST(sum(n) AS BIGINT) AS n,
         |  (event_type = 'OTHER' AND user_id = 'OTHER') AS suppressed
         |FROM m GROUP BY 1, 2
+        |HAVING NOT (event_type = 'OTHER' AND user_id = 'OTHER')
+        |    OR sum(n) >= 10
         |ORDER BY event_type, user_id""".stripMargin,
 
     "q_grouping_sets" ->

@@ -33,8 +33,12 @@ object Compliance {
     * fold every cell with fewer than k members into a single OTHER
     * cell per publication (the small-cell suppression a privacy review
     * requires before an aggregate leaves the boundary — cells of 1-2
-    * users re-identify them). Exact: the OTHER cell carries the full
-    * suppressed mass, so totals are preserved.
+    * users re-identify them). The fold cell itself is released only
+    * when ITS total reaches k — otherwise the suppressed mass would be
+    * a sub-k published cell, the exact leak this operator exists to
+    * close — so totals are preserved exactly whenever the fold cell
+    * appears, and the withheld remainder is < k records by
+    * construction.
     *
     * Scale: one map-side-combined aggregation to |cells| rows; the
     * suppression regroup runs over the aggregated cells, not the data.
@@ -52,5 +56,6 @@ object Compliance {
       // the fold cell is the one with every dim sentineled (callers
       // must pick a sentinel outside the dims' value domain)
       .withColumn("suppressed", dims.map(c => col(c) === other).reduce(_ && _))
+      .filter(!col("suppressed") || col("n") >= k)
   }
 }

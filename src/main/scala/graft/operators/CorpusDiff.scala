@@ -24,16 +24,19 @@ object CorpusDiff {
     */
   def diff(oldV: DataFrame, newV: DataFrame, idCol: String,
       fingerprint: Column, stratum: Column): DataFrame = {
+    // presence travels as an explicit marker, NOT as fingerprint
+    // nullness — a null fingerprint (null text) is a legitimate value
+    // and must not masquerade as absence
     val o = oldV.select(col(idCol).as("_id"), fingerprint.as("_ofp"),
-      stratum.as("_ostr"))
+      stratum.as("_ostr"), lit(true).as("_oex"))
     val n = newV.select(col(idCol).as("_id"), fingerprint.as("_nfp"),
-      stratum.as("_nstr"))
+      stratum.as("_nstr"), lit(true).as("_nex"))
     o.join(n, Seq("_id"), "full_outer")
       .select(
         coalesce(col("_nstr"), col("_ostr")).as("stratum"),
-        when(col("_ofp").isNull, "added")
-          .when(col("_nfp").isNull, "removed")
-          .when(col("_ofp") =!= col("_nfp"), "changed")
+        when(col("_oex").isNull, "added")
+          .when(col("_nex").isNull, "removed")
+          .when(!(col("_ofp") <=> col("_nfp")), "changed")
           .otherwise("unchanged").as("status"))
       .groupBy(col("stratum"))
       .agg(

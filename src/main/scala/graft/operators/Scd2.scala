@@ -73,7 +73,13 @@ object Scd2 {
 
   /** Merge a delta changelog into an existing SCD2 dimension.
     * Requires every delta seq to be newer than any dim seq for the
-    * same key (the CDC contract: the log only moves forward).
+    * same key OR an exact re-delivery of an already-applied event (the
+    * CDC contract: the log only moves forward, but a replayed
+    * micro-batch re-delivers). Idempotent under replay: the
+    * reconstructed history and the delta are deduplicated on
+    * (key, seq) — one seq is one log event — so re-merging an
+    * already-applied delta converges instead of minting zero-width
+    * intervals.
     */
   def merge(dim: DataFrame, delta: DataFrame, key: String, seq: String,
       op: String, attrs: Seq[String]): DataFrame = {
@@ -84,6 +90,10 @@ object Scd2 {
       .unionByName(delta.select(
         Seq(col(key), col(seq).as("_seq"), col(op).as("_op")) ++
           attrs.map(col): _*))
+      // replayed events are byte-identical re-deliveries of the same
+      // (key, seq); reconstructed D rows carry null attrs but D attrs
+      // never reach the output, so an arbitrary survivor is safe
+      .dropDuplicates(key, "_seq")
     val rebuilt = fromChangelog(replay, key, "_seq", "_op", attrs)
     untouched.unionByName(rebuilt)
   }

@@ -26,9 +26,8 @@ import graft.functions.Fnv64
   */
 object ShardExport {
 
-  private def manifestOf(df: DataFrame, idCol: String, text: Column,
-      nShards: Int): DataFrame =
-    df.select(pmod(col(idCol), lit(nShards.toLong)).as("shard"),
+  private def manifestOf(df: DataFrame, text: Column): DataFrame =
+    df.select(col("shard").cast("long").as("shard"),
         length(text).as("_len"), Fnv64(text).as("_fp"))
       .groupBy(col("shard"))
       .agg(
@@ -37,7 +36,11 @@ object ShardExport {
         expr("bit_xor(_fp)").as("checksum"))
 
   /** Write `df` as `nShards` deterministic shards under `outDir/data`
-    * (one partition directory per shard) plus `outDir/manifest`.
+    * (one partition directory per shard) plus `outDir/manifest`. The
+    * manifest is computed by reading the PUBLISHED files back — never
+    * from a second evaluation of `df` (which could diverge if `df` is
+    * nondeterministic or its source moves between jobs): the manifest
+    * must describe the bytes on disk, nothing else.
     */
   def exportShards(df: DataFrame, idCol: String, textCol: String,
       nShards: Int, outDir: String): Unit = {
@@ -45,13 +48,17 @@ object ShardExport {
     df.withColumn("shard", pmod(col(idCol), lit(nShards.toLong)))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$outDir/data")
-    manifestOf(df, idCol, col(textCol), nShards)
+    manifestOf(df.sparkSession.read.parquet(s"$outDir/data"), col(textCol))
       .coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
   }
 
   /** Recompute the manifest from the published tree and diff it against
     * the stored one. Output: one row per shard with the stored figures
-    * and `verified` (all three recomputed values match).
+    * and `verified` (all three recomputed values match). Null-safe on
+    * purpose: a shard present on only ONE side (a deleted shard
+    * directory, an injected one, a manifest row lost) is `verified =
+    * false`, never null — absence is the corruption this exists to
+    * catch.
     */
   def verify(spark: SparkSession, outDir: String, idCol: String,
       textCol: String): DataFrame = {
@@ -67,8 +74,8 @@ object ShardExport {
     spark.read.parquet(s"$outDir/manifest")
       .join(recomputed, Seq("shard"), "full_outer")
       .select(col("shard"), col("n_docs"), col("sum_chars"), col("checksum"),
-        (col("n_docs") === col("r_docs") &&
-          col("sum_chars") === col("r_chars") &&
-          col("checksum") === col("r_checksum")).as("verified"))
+        (col("n_docs") <=> col("r_docs") &&
+          col("sum_chars") <=> col("r_chars") &&
+          col("checksum") <=> col("r_checksum")).as("verified"))
   }
 }

@@ -102,6 +102,22 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.count() + dropped.count() == data.count())
   }
 
+  test("kAnonymize: sub-k cells fold; a sub-k fold cell is WITHHELD") {
+    // 12 'a' rows + 3+2 small cells -> fold cell has 5 >= k=5: released
+    val data = (Seq.fill(12)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("g")
+    val got = Compliance.kAnonymize(data, Seq("g"), k = 5)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got === Map("a" -> ((12L, false)), "OTHER" -> ((5L, true))))
+    // only ONE sub-k cell (2 rows < k): the fold cell itself is sub-k
+    // and must NOT be published
+    val leak = (Seq.fill(12)("a") ++ Seq.fill(2)("c")).toDF("g")
+    val got2 = Compliance.kAnonymize(leak, Seq("g"), k = 5)
+      .collect().map(r => r.getString(0)).toSet
+    assert(got2 === Set("a"), "a sub-k OTHER cell is itself a leak")
+  }
+
   test("sessionize: gap splits sessions, ids contiguous from 1") {
     val rows = Seq(
       (1L, "2024-01-01 00:00:00", 1L),

@@ -42,6 +42,20 @@ class Scd2Spec extends SparkSpec {
     assert(canon(merged).contains((1L, 1.0, 10L, Some(15L), false)))
   }
 
+  test("merge is idempotent under micro-batch replay") {
+    // crash-after-publish: the SAME delta is merged twice; the second
+    // application must converge, not mint zero-width intervals
+    val all = Seq(
+      (1L, 10L, "U", 1.0), (1L, 20L, "U", 2.0), (1L, 30L, "D", 0.0),
+      (2L, 15L, "U", 5.0), (2L, 25L, "U", 6.0))
+    val (first, delta) = all.partition(_._2 <= 15)
+    val deltaDf = delta.toDF("k", "seq", "op", "price")
+    val once = Scd2.merge(dimOf(first), deltaDf, "k", "seq", "op", Seq("price"))
+    val twice = Scd2.merge(once, deltaDf, "k", "seq", "op", Seq("price"))
+    assert(canon(twice) === canon(dimOf(all)))
+    assert(canon(twice) === canon(once))
+  }
+
   test("property: merge == full rebuild over random changelogs and split points") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 30) {

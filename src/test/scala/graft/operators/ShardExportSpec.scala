@@ -34,6 +34,19 @@ class ShardExportSpec extends SparkSpec {
     assert(Seq(0L, 1L, 3L).forall(m(_)), "untouched shards stay verified")
   }
 
+  test("a deleted shard directory reports verified=false, not null/absent") {
+    val out = tmpDir("shardexp_missing")
+    ShardExport.exportShards(docs, "id", "txt", nShards = 4, outDir = out)
+    // remove shard 1 entirely — the published tree lies by omission
+    val dir = new java.io.File(s"$out/data/shard=1")
+    dir.listFiles().foreach(_.delete()); assert(dir.delete())
+    val m = ShardExport.verify(spark, out, "id", "txt").collect()
+    assert(m.length === 4, "the manifest row for the missing shard must appear")
+    val byShard = m.map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(byShard(1L) === false)
+    assert(Seq(0L, 2L, 3L).forall(byShard(_)))
+  }
+
   test("negative ids shard deterministically via pmod") {
     val neg = Seq((-7L, "a"), (-6L, "b"), (5L, "c")).toDF("id", "txt")
     val out = tmpDir("shardexp_neg")
