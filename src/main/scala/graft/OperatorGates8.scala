@@ -287,6 +287,31 @@ object OperatorGates8 {
         .orderBy(col("event_type"), col("user_id"))
     }),
 
+    // --- FLAGSHIP: governed CDC pipeline — changelog -> SCD2 merge
+    //     (incremental path!) -> current snapshot -> price-bucket
+    //     aggregate -> k-anonymous release. One oracle replays the
+    //     whole chain; the merge path (not a full rebuild) feeding it
+    //     proves the incremental dimension is release-grade ----------
+    "q_cdc_pipeline" -> ((s, dir) => {
+      import graft.operators.{Compliance, Scd2}
+      val ch = t(s, dir, "orders").select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 50 === 0, "D").otherwise("U").as("op"),
+        col("o_totalprice").as("price"))
+      val maxSeq = ch.agg(max("seq")).head.getLong(0)
+      val split = maxSeq / 2
+      val dim = Scd2.merge(
+        Scd2.fromChangelog(ch.filter(col("seq") <= split),
+          "custkey", "seq", "op", Seq("price")),
+        ch.filter(col("seq") > split),
+        "custkey", "seq", "op", Seq("price"))
+      val current = dim.filter(col("is_current"))
+        .select(col("custkey"), floor(col("price") / 50000).as("bucket"))
+      Compliance.kAnonymize(current, Seq("bucket"), k = 25)
+        .orderBy(col("bucket"))
+    }),
+
     // --- CUBE / grouping-sets rollup (the OLAP face of the rollup
     //     writer): pricing by returnflag x linestatus with all
     //     subtotal planes; null dims sentineled so both engines sort
@@ -505,6 +530,32 @@ object OperatorGates8 {
         |HAVING NOT (event_type = 'OTHER' AND user_id = 'OTHER')
         |    OR sum(n) >= 10
         |ORDER BY event_type, user_id""".stripMargin,
+
+    "q_cdc_pipeline" ->
+      // chain replay: full-changelog SCD2, current rows, price bucket,
+      // small-cell fold with the sub-k fold-cell withheld
+      """WITH ch AS (
+        |  SELECT o_custkey AS custkey, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 50 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |v AS (
+        |  SELECT custkey, seq, op, price,
+        |    lead(seq) OVER (PARTITION BY custkey ORDER BY seq) AS valid_to
+        |  FROM ch),
+        |cur AS (
+        |  SELECT custkey, CAST(floor(price / 50000) AS BIGINT) AS bucket
+        |  FROM v WHERE op <> 'D' AND valid_to IS NULL),
+        |cells AS (SELECT bucket, count(*) AS n FROM cur GROUP BY bucket),
+        |m AS (
+        |  SELECT CASE WHEN n >= 25 THEN CAST(bucket AS VARCHAR)
+        |              ELSE 'OTHER' END AS bucket, n
+        |  FROM cells)
+        |SELECT bucket, CAST(sum(n) AS BIGINT) AS n,
+        |  (bucket = 'OTHER') AS suppressed
+        |FROM m GROUP BY bucket
+        |HAVING bucket <> 'OTHER' OR sum(n) >= 25
+        |ORDER BY bucket""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

@@ -227,4 +227,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
     assert(!p.contains("BatchEvalPython") && !p.contains("MapPartitions"))
   }
+
+  test("funnel: each step's type filter reaches the scan; equi-joins only") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the per-step slices prune at the parquet scan, not post-shuffle
+    assert(p.contains("EqualTo(event_type,view)") ||
+      p.contains("event_type = view"), s"step filter not pushed:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_"),
+      "step anchors lost their map-side partial min")
+  }
+
+  test("kanon: suppression regroups aggregated cells, not raw data") {
+    val p = plan("q_kanon_suppress")
+    assert(!p.contains("Join"), "suppression must not join back to data")
+    // two aggregations total (cells, then regroup), each partial+final
+    assert("\\bHashAggregate\\b".r.findAllIn(p).size <= 4)
+  }
 }
