@@ -312,6 +312,48 @@ object OperatorGates8 {
         .orderBy(col("bucket"))
     }),
 
+    // --- the DECLARATIVE face of SCD2 maintenance (job.type=scd2):
+    //     two watermark epochs of the same properties job — epoch 1
+    //     sees the first half of the changelog, epoch 2 only the rows
+    //     above the committed watermark; a third run publishes nothing
+    //     (empty delta). Final dimension == full-changelog rebuild ----
+    "q_scd2_job" -> ((s, dir) => {
+      import graft.runner.JobConfig
+      val ch = t(s, dir, "orders").select(
+        col("o_custkey").as("custkey"),
+        col("o_orderkey").as("seq"),
+        when(col("o_orderkey") % 50 === 0, "D").otherwise("U").as("op"),
+        col("o_totalprice").as("price"))
+      val maxSeq = ch.agg(max("seq")).head.getLong(0)
+      val split = maxSeq / 2
+      val tmp = tmpDir("q_scd2_job")
+      val props = JobConfig.parse(
+        s"""job.type=scd2
+           |job.name=orders_scd2
+           |source.path=$tmp/changelog
+           |scd2.key=custkey
+           |scd2.seq=seq
+           |scd2.op=op
+           |scd2.attrs=price
+           |sink.staging=$tmp/staging
+           |sink.output=$tmp/dim
+           |state.dir=$tmp/state
+           |""".stripMargin)
+      ch.filter(col("seq") <= split).write.mode("append")
+        .parquet(s"$tmp/changelog")
+      val r1 = JobConfig.runAny(s, props)
+      require(r1("published") == "true", s"epoch 1 failed: $r1")
+      ch.filter(col("seq") > split).write.mode("append")
+        .parquet(s"$tmp/changelog")
+      val r2 = JobConfig.runAny(s, props)
+      require(r2("published") == "true" && r2("highWatermark") == maxSeq.toString,
+        s"epoch 2 failed: $r2")
+      val r3 = JobConfig.runAny(s, props) // empty delta: no publish
+      require(r3("published") == "false" && r3("deltaRows") == "0",
+        s"empty epoch must be a no-op: $r3")
+      s.read.parquet(s"$tmp/dim").orderBy(col("custkey"), col("valid_from"))
+    }),
+
     // --- CUBE / grouping-sets rollup (the OLAP face of the rollup
     //     writer): pricing by returnflag x linestatus with all
     //     subtotal planes; null dims sentineled so both engines sort
@@ -556,6 +598,23 @@ object OperatorGates8 {
         |FROM m GROUP BY bucket
         |HAVING bucket <> 'OTHER' OR sum(n) >= 25
         |ORDER BY bucket""".stripMargin,
+
+    "q_scd2_job" ->
+      // the watermarked two-epoch declarative job must land exactly on
+      // the full-changelog rebuild
+      """WITH ch AS (
+        |  SELECT o_custkey AS custkey, o_orderkey AS seq,
+        |    CASE WHEN o_orderkey % 50 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS price
+        |  FROM orders),
+        |v AS (
+        |  SELECT custkey, seq, op, price,
+        |    lead(seq) OVER (PARTITION BY custkey ORDER BY seq) AS valid_to
+        |  FROM ch)
+        |SELECT custkey, price, seq AS valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM v WHERE op <> 'D'
+        |ORDER BY custkey, valid_from""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

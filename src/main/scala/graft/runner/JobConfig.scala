@@ -303,6 +303,54 @@ object JobConfig {
         val n = Retention.deleteVersions(spark, paths, trashDir = opt(p, "retention.trash"))
         Map("deletedVersions" -> n.toString)
 
+      case "scd2" =>
+        // incremental CDC -> SCD2 dimension maintenance as a config
+        // job: read the changelog above the stored high watermark,
+        // merge ONLY those events into the published dimension
+        // (touched keys recompute; Scd2.merge), publish by crash-safe
+        // snapshot swap, THEN commit the watermark — the
+        // QueryBasedSource incremental contract applied to dimension
+        // maintenance (watermark stored like ingest's, publish-first
+        // ordering like JobRunner's)
+        import graft.operators.Scd2
+        import graft.sink.{Publisher, SinkSpec}
+        val store = new FsStateStore(req(p, "state.dir"),
+          spark.sparkContext.hadoopConfiguration)
+        val jobName = req(p, "job.name")
+        val key = req(p, "scd2.key")
+        val seqCol = req(p, "scd2.seq")
+        val opCol = req(p, "scd2.op")
+        val attrs = req(p, "scd2.attrs").split(",").map(_.trim).toSeq
+        val outDir = req(p, "sink.output")
+        val ch = spark.read
+          .format(opt(p, "source.format").getOrElse("parquet"))
+          .load(req(p, "source.path"))
+        val prior = store.get("scd2", jobName)
+          .flatMap(_.get("highWatermark")).filter(_.nonEmpty).map(_.toLong)
+        val delta = prior.fold(ch)(w => ch.filter(col(seqCol) > w))
+        val hw = delta.agg(max(col(seqCol))).head
+        if (hw.isNullAt(0)) {
+          // nothing above the watermark: publish nothing, state unchanged
+          Map("published" -> "false", "deltaRows" -> "0",
+            "highWatermark" -> prior.map(_.toString).getOrElse(""))
+        } else {
+          val fs = new org.apache.hadoop.fs.Path(outDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val merged =
+            if (prior.isDefined && fs.exists(new org.apache.hadoop.fs.Path(outDir)))
+              Scd2.merge(spark.read.parquet(outDir), delta, key, seqCol, opCol, attrs)
+            else Scd2.fromChangelog(delta, key, seqCol, opCol, attrs)
+          val spec = SinkSpec(req(p, "sink.staging"), outDir)
+          val pub = new Publisher(spark.sparkContext.hadoopConfiguration)
+          val deltaRows = delta.count()
+          pub.writeStaged(merged, spec)
+          pub.publishSnapshot(spec)
+          store.put("scd2", jobName,
+            Map("highWatermark" -> hw.getLong(0).toString))
+          Map("published" -> "true", "deltaRows" -> deltaRows.toString,
+            "highWatermark" -> hw.getLong(0).toString)
+        }
+
       case "stream" =>
         // config-driven streaming ingest: file-stream source (schema
         // inferred from the existing files), converter-chain ops, a

@@ -289,4 +289,44 @@ class JobConfigSpec extends SparkSpec {
     // trash (not destroy): deleted versions moved under the trash root
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(root, "trash", "dsA", "2024-01-01", "data")))
   }
+
+  test("job.type=scd2: watermarked incremental merge; empty delta is a no-op") {
+    import spark.implicits._
+    val root = tmpDir("jobscd2")
+    val conf =
+      s"""job.type=scd2
+         |job.name=t_scd2
+         |source.path=$root/ch
+         |scd2.key=k
+         |scd2.seq=seq
+         |scd2.op=op
+         |scd2.attrs=price
+         |sink.staging=$root/staging
+         |sink.output=$root/dim
+         |state.dir=$root/state
+         |""".stripMargin
+    val props = JobConfig.parse(conf)
+    Seq((1L, 10L, "U", 1.0), (1L, 20L, "U", 2.0), (2L, 15L, "U", 5.0))
+      .toDF("k", "seq", "op", "price")
+      .write.mode("append").parquet(s"$root/ch")
+    val r1 = JobConfig.runAny(spark, props)
+    assert(r1("published") == "true" && r1("highWatermark") == "20")
+    // epoch 2: a delete for key 1 and an upsert for key 2
+    Seq((1L, 30L, "D", 0.0), (2L, 40L, "U", 6.0))
+      .toDF("k", "seq", "op", "price")
+      .write.mode("append").parquet(s"$root/ch")
+    val r2 = JobConfig.runAny(spark, props)
+    assert(r2("published") == "true" && r2("deltaRows") == "2"
+      && r2("highWatermark") == "40")
+    val r3 = JobConfig.runAny(spark, props)
+    assert(r3("published") == "false" && r3("deltaRows") == "0")
+    val dim = spark.read.parquet(s"$root/dim")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSet
+    assert(dim === Set(
+      (1L, 1.0, 10L, Some(20L), false),
+      (1L, 2.0, 20L, Some(30L), false), // closed by the epoch-2 delete
+      (2L, 5.0, 15L, Some(40L), false),
+      (2L, 6.0, 40L, None, true)))
+  }
 }
