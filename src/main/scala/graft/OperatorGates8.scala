@@ -354,6 +354,47 @@ object OperatorGates8 {
       s.read.parquet(s"$tmp/dim").orderBy(col("custkey"), col("valid_from"))
     }),
 
+    // --- the DECLARATIVE face of incremental rollup (job.type=rollup):
+    //     two watermark epochs over events split by event_id; the
+    //     published state after epoch 2 finalizes to the full GROUP BY.
+    //     Third run: empty delta, no publish -------------------------
+    "q_rollup_job" -> ((s, dir) => {
+      import graft.operators.IncrementalRollup
+      import graft.runner.JobConfig
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("event_type"),
+        (col("user_id") % 10).as("bucket"),
+        floor(col("value") * 1000).cast("long").as("v_milli"))
+      val maxId = ev.agg(max("event_id")).head.getLong(0)
+      val split = maxId / 2
+      val tmp = tmpDir("q_rollup_job")
+      val props = JobConfig.parse(
+        s"""job.type=rollup
+           |job.name=events_rollup
+           |source.path=$tmp/src
+           |rollup.dims=event_type,bucket
+           |rollup.measure=v_milli
+           |rollup.seq=event_id
+           |sink.staging=$tmp/staging
+           |sink.output=$tmp/state
+           |state.dir=$tmp/wm
+           |""".stripMargin)
+      ev.filter(col("event_id") <= split).write.mode("append")
+        .parquet(s"$tmp/src")
+      val r1 = JobConfig.runAny(s, props)
+      require(r1("published") == "true", s"epoch 1 failed: $r1")
+      ev.filter(col("event_id") > split).write.mode("append")
+        .parquet(s"$tmp/src")
+      val r2 = JobConfig.runAny(s, props)
+      require(r2("published") == "true" && r2("highWatermark") == maxId.toString,
+        s"epoch 2 failed: $r2")
+      val r3 = JobConfig.runAny(s, props)
+      require(r3("published") == "false", s"empty epoch must be a no-op: $r3")
+      IncrementalRollup.finalizeState(
+          s.read.parquet(s"$tmp/state"), Seq("event_type", "bucket"))
+        .orderBy(col("event_type"), col("bucket"))
+    }),
+
     // --- CUBE / grouping-sets rollup (the OLAP face of the rollup
     //     writer): pricing by returnflag x linestatus with all
     //     subtotal planes; null dims sentineled so both engines sort
@@ -615,6 +656,18 @@ object OperatorGates8 {
         |  (valid_to IS NULL) AS is_current
         |FROM v WHERE op <> 'D'
         |ORDER BY custkey, valid_from""".stripMargin,
+
+    "q_rollup_job" ->
+      // two watermark epochs must finalize to the one-shot GROUP BY
+      """SELECT event_type, user_id % 10 AS bucket,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS sum_m,
+        |  min(CAST(floor(value * 1000) AS BIGINT)) AS min_m,
+        |  max(CAST(floor(value * 1000) AS BIGINT)) AS max_m,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS DOUBLE) / count(*)
+        |    AS avg_m
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,

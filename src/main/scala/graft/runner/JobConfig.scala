@@ -351,6 +351,51 @@ object JobConfig {
             "highWatermark" -> hw.getLong(0).toString)
         }
 
+      case "rollup" =>
+        // incremental rollup maintenance as a config job: aggregate
+        // only the delta above the stored watermark into mergeable
+        // state (IncrementalRollup), merge with the published state,
+        // snapshot-swap, commit watermark — the materialized-view
+        // refresh a reference user schedules instead of recomputing
+        // from raw history
+        import graft.operators.IncrementalRollup
+        import graft.sink.{Publisher, SinkSpec}
+        val store = new FsStateStore(req(p, "state.dir"),
+          spark.sparkContext.hadoopConfiguration)
+        val jobName = req(p, "job.name")
+        val dims = req(p, "rollup.dims").split(",").map(_.trim).toSeq
+        val measure = req(p, "rollup.measure")
+        val seqCol = req(p, "rollup.seq")
+        val outDir = req(p, "sink.output")
+        val src = spark.read
+          .format(opt(p, "source.format").getOrElse("parquet"))
+          .load(req(p, "source.path"))
+        val prior = store.get("rollup", jobName)
+          .flatMap(_.get("highWatermark")).filter(_.nonEmpty).map(_.toLong)
+        val delta = prior.fold(src)(w => src.filter(col(seqCol) > w))
+        val hw = delta.agg(max(col(seqCol))).head
+        if (hw.isNullAt(0)) {
+          Map("published" -> "false", "deltaRows" -> "0",
+            "highWatermark" -> prior.map(_.toString).getOrElse(""))
+        } else {
+          val fs = new org.apache.hadoop.fs.Path(outDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val deltaState = IncrementalRollup.init(delta, dims, measure)
+          val merged =
+            if (prior.isDefined && fs.exists(new org.apache.hadoop.fs.Path(outDir)))
+              IncrementalRollup.merge(spark.read.parquet(outDir), deltaState, dims)
+            else deltaState
+          val spec = SinkSpec(req(p, "sink.staging"), outDir)
+          val pub = new Publisher(spark.sparkContext.hadoopConfiguration)
+          val deltaRows = delta.count()
+          pub.writeStaged(merged, spec)
+          pub.publishSnapshot(spec)
+          store.put("rollup", jobName,
+            Map("highWatermark" -> hw.getLong(0).toString))
+          Map("published" -> "true", "deltaRows" -> deltaRows.toString,
+            "highWatermark" -> hw.getLong(0).toString)
+        }
+
       case "stream" =>
         // config-driven streaming ingest: file-stream source (schema
         // inferred from the existing files), converter-chain ops, a
