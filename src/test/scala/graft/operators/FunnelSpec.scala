@@ -44,4 +44,34 @@ class FunnelSpec extends SparkSpec {
     // t2 = 20 (earliest), c at 25 > 20 qualifies
     assert(got(1L) === ((Some(0L), Some(20L), Some(25L), 3L)))
   }
+
+  test("property: matches a naive greedy matcher on random event streams") {
+    def naive(rows: Seq[(Long, String, Long)], gap: Long): Map[Long, Seq[Long]] =
+      rows.groupBy(_._1).flatMap { case (k, evs) =>
+        val byType = evs.groupBy(_._2).view
+          .mapValues(_.map(_._3).sorted).toMap
+        byType.get(steps.head).map(_.head).map { t1 =>
+          val anchors = steps.tail.scanLeft(Option(t1)) { (prev, st) =>
+            prev.flatMap(p => byType.getOrElse(st, Nil)
+              .find(ms => ms > p && ms <= p + gap))
+          }
+          k -> anchors.takeWhile(_.isDefined).map(_.get)
+        }
+      }
+    val rnd = new scala.util.Random(13)
+    val types = Vector("a", "b", "c", "x")
+    for (trial <- 1 to 10) {
+      val rows = (1 to 300).map(_ => (rnd.nextInt(12).toLong,
+        types(rnd.nextInt(types.size)), rnd.nextInt(400).toLong))
+      val gap = 20L + rnd.nextInt(100)
+      val exp = naive(rows, gap)
+      val got = run(rows, gap)
+      assert(got.keySet === exp.keySet, s"trial $trial keys")
+      got.foreach { case (k, (t1, t2, t3, n)) =>
+        val seq = Seq(t1, t2, t3).takeWhile(_.isDefined).map(_.get)
+        assert(seq === exp(k), s"trial $trial key $k")
+        assert(n === seq.size.toLong, s"trial $trial key $k n_steps")
+      }
+    }
+  }
 }
