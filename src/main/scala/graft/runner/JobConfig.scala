@@ -305,95 +305,36 @@ object JobConfig {
 
       case "scd2" =>
         // incremental CDC -> SCD2 dimension maintenance as a config
-        // job: read the changelog above the stored high watermark,
+        // job: read the changelog above the snapshot's watermark,
         // merge ONLY those events into the published dimension
         // (touched keys recompute; Scd2.merge), publish by crash-safe
-        // snapshot swap, THEN commit the watermark — the
-        // QueryBasedSource incremental contract applied to dimension
-        // maintenance (watermark stored like ingest's, publish-first
-        // ordering like JobRunner's)
+        // snapshot swap with the watermark INSIDE the snapshot
         import graft.operators.Scd2
-        import graft.sink.{Publisher, SinkSpec}
-        val store = new FsStateStore(req(p, "state.dir"),
-          spark.sparkContext.hadoopConfiguration)
-        val jobName = req(p, "job.name")
         val key = req(p, "scd2.key")
         val seqCol = req(p, "scd2.seq")
         val opCol = req(p, "scd2.op")
         val attrs = req(p, "scd2.attrs").split(",").map(_.trim).toSeq
-        val outDir = req(p, "sink.output")
-        val ch = spark.read
-          .format(opt(p, "source.format").getOrElse("parquet"))
-          .load(req(p, "source.path"))
-        val prior = store.get("scd2", jobName)
-          .flatMap(_.get("highWatermark")).filter(_.nonEmpty).map(_.toLong)
-        val delta = prior.fold(ch)(w => ch.filter(col(seqCol) > w))
-        val hw = delta.agg(max(col(seqCol))).head
-        if (hw.isNullAt(0)) {
-          // nothing above the watermark: publish nothing, state unchanged
-          Map("published" -> "false", "deltaRows" -> "0",
-            "highWatermark" -> prior.map(_.toString).getOrElse(""))
-        } else {
-          val fs = new org.apache.hadoop.fs.Path(outDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val merged =
-            if (prior.isDefined && fs.exists(new org.apache.hadoop.fs.Path(outDir)))
-              Scd2.merge(spark.read.parquet(outDir), delta, key, seqCol, opCol, attrs)
-            else Scd2.fromChangelog(delta, key, seqCol, opCol, attrs)
-          val spec = SinkSpec(req(p, "sink.staging"), outDir)
-          val pub = new Publisher(spark.sparkContext.hadoopConfiguration)
-          val deltaRows = delta.count()
-          pub.writeStaged(merged, spec)
-          pub.publishSnapshot(spec)
-          store.put("scd2", jobName,
-            Map("highWatermark" -> hw.getLong(0).toString))
-          Map("published" -> "true", "deltaRows" -> deltaRows.toString,
-            "highWatermark" -> hw.getLong(0).toString)
+        incrementalPublish(spark, p, kind = "scd2", seqCol) {
+          case (Some(dim), delta) =>
+            Scd2.merge(dim, delta, key, seqCol, opCol, attrs)
+          case (None, delta) =>
+            Scd2.fromChangelog(delta, key, seqCol, opCol, attrs)
         }
 
       case "rollup" =>
         // incremental rollup maintenance as a config job: aggregate
-        // only the delta above the stored watermark into mergeable
+        // only the delta above the snapshot's watermark into mergeable
         // state (IncrementalRollup), merge with the published state,
-        // snapshot-swap, commit watermark — the materialized-view
-        // refresh a reference user schedules instead of recomputing
-        // from raw history
+        // snapshot-swap — the materialized-view refresh a reference
+        // user schedules instead of recomputing from raw history
         import graft.operators.IncrementalRollup
-        import graft.sink.{Publisher, SinkSpec}
-        val store = new FsStateStore(req(p, "state.dir"),
-          spark.sparkContext.hadoopConfiguration)
-        val jobName = req(p, "job.name")
         val dims = req(p, "rollup.dims").split(",").map(_.trim).toSeq
         val measure = req(p, "rollup.measure")
-        val seqCol = req(p, "rollup.seq")
-        val outDir = req(p, "sink.output")
-        val src = spark.read
-          .format(opt(p, "source.format").getOrElse("parquet"))
-          .load(req(p, "source.path"))
-        val prior = store.get("rollup", jobName)
-          .flatMap(_.get("highWatermark")).filter(_.nonEmpty).map(_.toLong)
-        val delta = prior.fold(src)(w => src.filter(col(seqCol) > w))
-        val hw = delta.agg(max(col(seqCol))).head
-        if (hw.isNullAt(0)) {
-          Map("published" -> "false", "deltaRows" -> "0",
-            "highWatermark" -> prior.map(_.toString).getOrElse(""))
-        } else {
-          val fs = new org.apache.hadoop.fs.Path(outDir)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val deltaState = IncrementalRollup.init(delta, dims, measure)
-          val merged =
-            if (prior.isDefined && fs.exists(new org.apache.hadoop.fs.Path(outDir)))
-              IncrementalRollup.merge(spark.read.parquet(outDir), deltaState, dims)
-            else deltaState
-          val spec = SinkSpec(req(p, "sink.staging"), outDir)
-          val pub = new Publisher(spark.sparkContext.hadoopConfiguration)
-          val deltaRows = delta.count()
-          pub.writeStaged(merged, spec)
-          pub.publishSnapshot(spec)
-          store.put("rollup", jobName,
-            Map("highWatermark" -> hw.getLong(0).toString))
-          Map("published" -> "true", "deltaRows" -> deltaRows.toString,
-            "highWatermark" -> hw.getLong(0).toString)
+        incrementalPublish(spark, p, kind = "rollup", req(p, "rollup.seq")) {
+          (published, delta) =>
+            val deltaState = IncrementalRollup.init(delta, dims, measure)
+            published.fold(deltaState)(st =>
+              IncrementalRollup.merge(st, deltaState, dims))
         }
 
       case "stream" =>
@@ -422,6 +363,79 @@ object JobConfig {
 
       case other => throw new IllegalArgumentException(s"unknown job.type: $other")
     }
+
+  /** Shared engine for watermarked incremental-maintenance job types
+    * (scd2, rollup): read rows above the published snapshot's
+    * watermark, apply `applyDelta(publishedOpt, delta)`, stage fully,
+    * plant `_watermark.json` INSIDE the staging dir, snapshot-swap.
+    * Because the watermark rides in the swapped directory, watermark
+    * and state commit ATOMICALLY: a crash after publish but before the
+    * (secondary, observability-only) state-store write re-reads the
+    * new watermark from the snapshot and sees an empty delta — replay
+    * can never double-apply, even for non-idempotent merges like the
+    * additive rollup. (Underscore-prefixed files are invisible to
+    * Spark's parquet reader, so the marker never pollutes reads.)
+    * Empty delta = no publish, nothing touched.
+    */
+  private def incrementalPublish(spark: SparkSession, p: Properties,
+      kind: String, seqCol: String)(
+      applyDelta: (Option[DataFrame], DataFrame) => DataFrame): Map[String, String] = {
+    import graft.sink.{Publisher, SinkSpec}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val store = new FsStateStore(req(p, "state.dir"), conf)
+    val jobName = req(p, "job.name")
+    val outDir = req(p, "sink.output")
+    val src = spark.read
+      .format(opt(p, "source.format").getOrElse("parquet"))
+      .load(req(p, "source.path"))
+    val prior = readSideFile(outDir, WatermarkFile, conf).map(_.trim.toLong)
+      .orElse(store.get(kind, jobName)
+        .flatMap(_.get("highWatermark")).filter(_.nonEmpty).map(_.toLong))
+    val delta = prior.fold(src)(w => src.filter(col(seqCol) > w))
+    val hw = delta.agg(max(col(seqCol))).head
+    if (hw.isNullAt(0)) {
+      Map("published" -> "false", "deltaRows" -> "0",
+        "highWatermark" -> prior.map(_.toString).getOrElse(""))
+    } else {
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      val published =
+        if (prior.isDefined && outPath.getFileSystem(conf).exists(outPath))
+          Some(spark.read.parquet(outDir))
+        else None
+      val merged = applyDelta(published, delta)
+      val spec = SinkSpec(req(p, "sink.staging"), outDir)
+      val pub = new Publisher(conf)
+      val deltaRows = delta.count()
+      pub.writeStaged(merged, spec) // forces the read of the CURRENT snapshot
+      writeSideFile(spec.stagingDir, WatermarkFile, hw.getLong(0).toString, conf)
+      pub.publishSnapshot(spec)
+      store.put(kind, jobName, Map("highWatermark" -> hw.getLong(0).toString))
+      Map("published" -> "true", "deltaRows" -> deltaRows.toString,
+        "highWatermark" -> hw.getLong(0).toString)
+    }
+  }
+
+  private val WatermarkFile = "_watermark.json"
+
+  private def writeSideFile(dir: String, name: String, content: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val path = new org.apache.hadoop.fs.Path(dir, name)
+    val out = path.getFileSystem(conf).create(path, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readSideFile(dir: String, name: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[String] = {
+    val path = new org.apache.hadoop.fs.Path(dir, name)
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
 
   /** Run a properties-defined job end-to-end via [[JobRunner]]. */
   def run(spark: SparkSession, p: Properties): JobRunner.RunResult = {

@@ -329,4 +329,35 @@ class JobConfigSpec extends SparkSpec {
       (2L, 5.0, 15L, Some(40L), false),
       (2L, 6.0, 40L, None, true)))
   }
+
+  test("job.type=rollup: crash after publish, before state write, cannot double-count") {
+    import spark.implicits._
+    val root = tmpDir("jobrollup")
+    val props = JobConfig.parse(
+      s"""job.type=rollup
+         |job.name=t_rollup
+         |source.path=$root/src
+         |rollup.dims=g
+         |rollup.measure=m
+         |rollup.seq=seq
+         |sink.staging=$root/staging
+         |sink.output=$root/state
+         |state.dir=$root/wm
+         |""".stripMargin)
+    Seq(("a", 5L, 1L), ("a", 7L, 2L), ("b", 100L, 3L))
+      .toDF("g", "m", "seq").write.mode("append").parquet(s"$root/src")
+    val r1 = JobConfig.runAny(spark, props)
+    assert(r1("published") == "true" && r1("highWatermark") == "3")
+    // simulate the crash window: the snapshot published but the state
+    // store write never happened — the additive merge must STILL not
+    // re-apply the delta, because the watermark rides in the snapshot
+    val stateFile = java.nio.file.Paths.get(root, "wm", "rollup", "t_rollup.json")
+    assert(java.nio.file.Files.deleteIfExists(stateFile))
+    val r2 = JobConfig.runAny(spark, props)
+    assert(r2("published") == "false" && r2("deltaRows") == "0",
+      s"replay after lost state write must be a no-op: $r2")
+    val sums = spark.read.parquet(s"$root/state")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(sums === Map("a" -> 12L, "b" -> 100L), "no double counting")
+  }
 }
