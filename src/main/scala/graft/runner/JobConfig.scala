@@ -367,15 +367,30 @@ object JobConfig {
   /** Shared engine for watermarked incremental-maintenance job types
     * (scd2, rollup): read rows above the published snapshot's
     * watermark, apply `applyDelta(publishedOpt, delta)`, stage fully,
-    * plant `_watermark.json` INSIDE the staging dir, snapshot-swap.
+    * plant the watermark INSIDE the staging dir (an underscore-
+    * prefixed state-store entry — same JSON format as the main state
+    * store, invisible to Spark's parquet reader), snapshot-swap.
     * Because the watermark rides in the swapped directory, watermark
     * and state commit ATOMICALLY: a crash after publish but before the
     * (secondary, observability-only) state-store write re-reads the
     * new watermark from the snapshot and sees an empty delta — replay
     * can never double-apply, even for non-idempotent merges like the
-    * additive rollup. (Underscore-prefixed files are invisible to
-    * Spark's parquet reader, so the marker never pollutes reads.)
-    * Empty delta = no publish, nothing touched.
+    * additive rollup.
+    *
+    * Recovery/robustness contract:
+    *  - the whole sequence runs under a [[JobLock]] (two overlapping
+    *    scheduled runs would both read the same prior state and
+    *    double-apply the delta; the late one must lose);
+    *  - a crash inside the snapshot swap is recovered by restoring the
+    *    parked tombstone ([[graft.sink.Publisher.recoverSnapshot]]);
+    *  - the watermark is trusted ONLY when the snapshot it described
+    *    survives — a deleted/absent output means full rebuild from the
+    *    source, never "delta-only rebuild" (silent history loss);
+    *  - a missing or still-empty source (first scheduled run before
+    *    the producer lands data) is a no-op, not a crash;
+    *  - empty delta = no publish, nothing touched;
+    *  - the seq column may be any integral type (compared/stored as
+    *    long).
     */
   private def incrementalPublish(spark: SparkSession, p: Properties,
       kind: String, seqCol: String)(
@@ -385,56 +400,61 @@ object JobConfig {
     val store = new FsStateStore(req(p, "state.dir"), conf)
     val jobName = req(p, "job.name")
     val outDir = req(p, "sink.output")
-    val src = spark.read
-      .format(opt(p, "source.format").getOrElse("parquet"))
-      .load(req(p, "source.path"))
-    val prior = readSideFile(outDir, WatermarkFile, conf).map(_.trim.toLong)
-      .orElse(store.get(kind, jobName)
-        .flatMap(_.get("highWatermark")).filter(_.nonEmpty).map(_.toLong))
-    val delta = prior.fold(src)(w => src.filter(col(seqCol) > w))
-    val hw = delta.agg(max(col(seqCol))).head
-    if (hw.isNullAt(0)) {
-      Map("published" -> "false", "deltaRows" -> "0",
-        "highWatermark" -> prior.map(_.toString).getOrElse(""))
-    } else {
-      val outPath = new org.apache.hadoop.fs.Path(outDir)
-      val published =
-        if (prior.isDefined && outPath.getFileSystem(conf).exists(outPath))
-          Some(spark.read.parquet(outDir))
-        else None
-      val merged = applyDelta(published, delta)
+    val srcPath = new org.apache.hadoop.fs.Path(req(p, "source.path"))
+    val noop = (wm: Option[Long]) => Map("published" -> "false",
+      "deltaRows" -> "0", "highWatermark" -> wm.map(_.toString).getOrElse(""))
+    val lock = new JobLock(req(p, "state.dir") + "/_locks", s"$kind-$jobName",
+      conf = conf)
+    lock.withLock {
       val spec = SinkSpec(req(p, "sink.staging"), outDir)
       val pub = new Publisher(conf)
-      val deltaRows = delta.count()
-      pub.writeStaged(merged, spec) // forces the read of the CURRENT snapshot
-      writeSideFile(spec.stagingDir, WatermarkFile, hw.getLong(0).toString, conf)
-      pub.publishSnapshot(spec)
-      store.put(kind, jobName, Map("highWatermark" -> hw.getLong(0).toString))
-      Map("published" -> "true", "deltaRows" -> deltaRows.toString,
-        "highWatermark" -> hw.getLong(0).toString)
-    }
-  }
-
-  private val WatermarkFile = "_watermark.json"
-
-  private def writeSideFile(dir: String, name: String, content: String,
-      conf: org.apache.hadoop.conf.Configuration): Unit = {
-    val path = new org.apache.hadoop.fs.Path(dir, name)
-    val out = path.getFileSystem(conf).create(path, true)
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  private def readSideFile(dir: String, name: String,
-      conf: org.apache.hadoop.conf.Configuration): Option[String] = {
-    val path = new org.apache.hadoop.fs.Path(dir, name)
-    val fs = path.getFileSystem(conf)
-    if (!fs.exists(path)) None
-    else {
-      val in = fs.open(path)
-      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-      finally in.close()
-    }
+      pub.recoverSnapshot(spec) // crashed mid-swap? restore the parked dim
+      val outPath = new org.apache.hadoop.fs.Path(outDir)
+      val snapshotExists = outPath.getFileSystem(conf).exists(outPath)
+      // the watermark is meaningful only WITH its snapshot: if the
+      // output was deleted, rebuild from the full source rather than
+      // silently dropping everything below the orphaned watermark
+      val prior =
+        if (!snapshotExists) None
+        else new FsStateStore(outDir, conf).get("_watermark", kind)
+          .flatMap(_.get("highWatermark")).filter(_.nonEmpty).map(_.toLong)
+          .orElse(store.get(kind, jobName)
+            .flatMap(_.get("highWatermark")).filter(_.nonEmpty).map(_.toLong))
+      val srcOpt =
+        if (!srcPath.getFileSystem(conf).exists(srcPath)) None
+        else try Some(spark.read
+          .format(opt(p, "source.format").getOrElse("parquet"))
+          .load(req(p, "source.path")))
+        catch { // empty dir: no files to infer a schema from yet
+          case _: org.apache.spark.sql.AnalysisException => None
+        }
+      srcOpt.fold(noop(prior)) { src =>
+        val delta = prior.fold(src)(w => src.filter(col(seqCol).cast("long") > w))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // one action for both figures (not one scan each)
+          val stats = delta.agg(max(col(seqCol).cast("long")), count(lit(1))).head
+          if (stats.isNullAt(0)) noop(prior)
+          else {
+            val hw = stats.getLong(0)
+            val deltaRows = stats.getLong(1)
+            val published =
+              if (prior.isDefined && snapshotExists)
+                Some(spark.read.parquet(outDir))
+              else None
+            val merged = applyDelta(published, delta)
+            pub.writeStaged(merged, spec) // forces the read of the CURRENT snapshot
+            new FsStateStore(spec.stagingDir, conf).put("_watermark", kind,
+              Map("highWatermark" -> hw.toString))
+            pub.publishSnapshot(spec)
+            store.put(kind, jobName, Map("highWatermark" -> hw.toString))
+            Map("published" -> "true", "deltaRows" -> deltaRows.toString,
+              "highWatermark" -> hw.toString)
+          }
+        } finally delta.unpersist()
+      }
+    }.getOrElse(Map("published" -> "false", "deltaRows" -> "0",
+      "highWatermark" -> "", "reason" -> "lock held by another run"))
   }
 
   /** Run a properties-defined job end-to-end via [[JobRunner]]. */

@@ -87,6 +87,22 @@ final class Publisher(conf: Configuration = new Configuration()) {
     * is restored if the swap rename fails. Replaying the publish
     * converges to the same output — never merges, never duplicates.
     */
+  /** Recover from a crash INSIDE [[publishSnapshot]]'s swap window: if
+    * the output is missing but the parked previous snapshot (the
+    * dot-tombstone) survives, restore it. Returns true if a restore
+    * happened. Callers doing incremental maintenance run this before
+    * reading the published state, so the crash window between the two
+    * renames degrades to "previous snapshot + re-derived delta", never
+    * to an empty output.
+    */
+  def recoverSnapshot(spec: SinkSpec): Boolean = {
+    val out = new Path(spec.outputDir)
+    val fs = out.getFileSystem(conf)
+    val tomb = new Path(out.getParent, s".${out.getName}.replaced")
+    if (!fs.exists(out) && fs.exists(tomb)) { rename(fs, tomb, out); true }
+    else false
+  }
+
   def publishSnapshot(spec: SinkSpec): Int = {
     val staging = new Path(spec.stagingDir)
     val out = new Path(spec.outputDir)

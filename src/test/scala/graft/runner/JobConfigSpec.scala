@@ -360,4 +360,51 @@ class JobConfigSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(sums === Map("a" -> 12L, "b" -> 100L), "no double counting")
   }
+
+  test("incremental jobs: missing source is a no-op; deleted snapshot forces FULL rebuild; mid-swap crash recovers") {
+    import spark.implicits._
+    val root = tmpDir("jobrecov")
+    val props = JobConfig.parse(
+      s"""job.type=rollup
+         |job.name=t_recov
+         |source.path=$root/src
+         |rollup.dims=g
+         |rollup.measure=m
+         |rollup.seq=seq
+         |sink.staging=$root/staging
+         |sink.output=$root/state
+         |state.dir=$root/wm
+         |""".stripMargin)
+    // 1. source dir does not exist yet: scheduled run must no-op
+    val r0 = JobConfig.runAny(spark, props)
+    assert(r0("published") == "false" && r0("deltaRows") == "0", s"$r0")
+    // 2. normal first epoch (int seq column: must not ClassCastException)
+    Seq(("a", 5L, 1), ("b", 7L, 2)).toDF("g", "m", "seq")
+      .write.mode("append").parquet(s"$root/src")
+    val r1 = JobConfig.runAny(spark, props)
+    assert(r1("published") == "true" && r1("highWatermark") == "2")
+    // 3. crash inside the swap: output renamed to the tombstone, never
+    // replaced — recovery must restore it and see an empty delta
+    val fs = java.nio.file.Paths.get(root)
+    java.nio.file.Files.move(fs.resolve("state"), fs.resolve(".state.replaced"))
+    val r2 = JobConfig.runAny(spark, props)
+    assert(r2("published") == "false" && r2("deltaRows") == "0",
+      s"tombstone recovery must land on an empty delta: $r2")
+    assert(java.nio.file.Files.exists(fs.resolve("state")), "snapshot restored")
+    // 4. snapshot deliberately DELETED (no tombstone) while the state
+    // store still holds a watermark: must rebuild from the FULL source
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(deleteRec)
+      java.nio.file.Files.delete(p)
+    }
+    deleteRec(fs.resolve("state"))
+    val r3 = JobConfig.runAny(spark, props)
+    assert(r3("published") == "true" && r3("deltaRows") == "2",
+      s"orphaned watermark must not shrink the rebuild: $r3")
+    val sums = spark.read.parquet(s"$root/state")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(sums === Map("a" -> 5L, "b" -> 7L))
+  }
 }
