@@ -15,8 +15,9 @@ import graft.functions.RollingHash
   * at storage-dedup cost: one scan + one hash-keyed aggregation.
   *
   * Analogous surface in the reference: distcp-style copy dedup decides
-  * per-FILE via checksums (gobblin-data-management's CopyableFile
-  * checksum guard); this is the sub-file version a text corpus needs.
+  * per-FILE via checksums (ref gobblin-data-management/.../copy/
+  * CopyableFile.java:94,220-252 — origin checksum carried with the
+  * copy entity); this is the sub-file version a text corpus needs.
   *
   * Scale: the exploded chunk table is linear in corpus bytes /
   * 2^maskBits; the shared-hash set (chunks seen in >= 2 docs) is

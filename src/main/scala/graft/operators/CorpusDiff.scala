@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Dataset-version diff — the report a training-data pipeline needs
   * between two corpus drops: per stratum, how many documents were
   * added, removed, changed (same id, different content fingerprint),
-  * or carried unchanged. The reference's snapshot-diff source
-  * (FileBasedSource new-files-since-snapshot) answers this at FILE
-  * granularity; a corpus iterates at DOCUMENT granularity, keyed by a
-  * content fingerprint so rewrites are visible even when ids persist.
+  * or carried unchanged. The reference's snapshot-diff source answers
+  * this at FILE granularity (ref gobblin-core/.../filebased/
+  * FileBasedSource.java:79-146 — previous-run snapshot compared to the
+  * current listing); a corpus iterates at DOCUMENT granularity, keyed
+  * by a content fingerprint so rewrites are visible even when ids
+  * persist.
   *
   * Scale: one full-outer hash join on the id (the minimum to align
   * versions) + one map-side-combined aggregation over strata.

@@ -5,12 +5,14 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Slowly-changing-dimension (type 2) maintenance from a changelog —
-  * the batch face of the reference's delta-stream ingestion (a JDBC /
-  * Kafka change stream landed as upserts with history, the shape
-  * `gobblin-core`'s QueryBasedSource emits for append_daily /
-  * snapshot_append tables and compaction's delta handling resolves;
-  * see ref gobblin-compaction's MRCompactorAvroKeyDedupJobRunner
-  * semantics: latest record per key wins, history retained).
+  * the batch face of the reference's delta-stream ingestion: a JDBC /
+  * Kafka change stream landed incrementally (ref gobblin-core/.../
+  * extract/QueryBasedSource.java:394 — each run resumes from the
+  * previous run's low watermark) and resolved latest-per-key by the
+  * compaction reducer (ref gobblin-compaction/.../mapreduce/avro/
+  * AvroKeyDedupReducer.java:39 with delta-field comparators from
+  * FieldAttributeBasedDeltaFieldsProvider.java). SCD2 keeps what that
+  * reducer discards — the version history as validity intervals.
   *
   * Model: a changelog row is (key, seq, op, attrs...) where `seq` is a
   * monotonically increasing version stamp (offset, scn, event id) and

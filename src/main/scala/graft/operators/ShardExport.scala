@@ -15,9 +15,11 @@ import graft.functions.Fnv64
   * complete and uncorrupted without trusting the writer.
   *
   * Reference analog: the writer/publisher contract records counts and
-  * checksums per task before atomic publish (gobblin-core's
-  * FsDataWriter bytes/records accounting feeding commit decisions);
-  * this lifts it to dataset-drop granularity.
+  * bytes per task before atomic publish (ref gobblin-core/.../writer/
+  * FsDataWriter.java:87,221 — bytesWritten/recordsWritten feeding
+  * commit decisions) and copies carry origin checksums (ref
+  * gobblin-data-management/.../copy/CopyableFile.java:94); this lifts
+  * both to dataset-drop granularity.
   *
   * Scale: assignment is a projection; the manifest is one map-side-
   * combined aggregation over |shards| groups; verify re-reads the

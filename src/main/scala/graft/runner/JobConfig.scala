@@ -378,9 +378,11 @@ object JobConfig {
     * additive rollup.
     *
     * Recovery/robustness contract:
-    *  - the whole sequence runs under a [[JobLock]] (two overlapping
-    *    scheduled runs would both read the same prior state and
-    *    double-apply the delta; the late one must lose);
+    *  - the whole sequence runs under a [[JobLock]] (ref
+    *    gobblin-runtime/.../locks/FileBasedJobLock.java:40 — one run
+    *    per job): two overlapping scheduled runs would both read the
+    *    same prior state and double-apply the delta; the late one must
+    *    lose;
     *  - a crash inside the snapshot swap is recovered by restoring the
     *    parked tombstone ([[graft.sink.Publisher.recoverSnapshot]]);
     *  - the watermark is trusted ONLY when the snapshot it described
