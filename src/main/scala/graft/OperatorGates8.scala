@@ -395,6 +395,47 @@ object OperatorGates8 {
         .orderBy(col("event_type"), col("bucket"))
     }),
 
+    // --- stream-stream LEFT OUTER join (§2.8 — the last stream-join
+    //     face: inner results emit on match, unmatched LEFT rows emit
+    //     null-padded once the watermark passes their join window).
+    //     Both sides file-streams; the compared result is post-filtered
+    //     2 h clear of the final watermark so every retained left row's
+    //     outer emission is boundary-variant-proof. All arithmetic in
+    //     exact MICROS (ms truncation could flip a 10-min bound) ------
+    "q_stream_outer_join" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      StreamingIngest.withStatePartitions(s, 8) {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val ev = raw.withColumn("ts", expr(Tables.tsExpr(raw.schema("ts").dataType)))
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val maxUs = ev.agg(max(expr("unix_micros(ts)"))).head.getLong(0)
+        val lDir = java.nio.file.Files.createTempDirectory("q_soj_l")
+        val rDir = java.nio.file.Files.createTempDirectory("q_soj_r")
+        val now = System.currentTimeMillis()
+        stageFile(raw.filter(col("event_id") % 2 === 0), lDir, "l.parquet", now)
+        stageFile(raw.filter(col("event_id") % 2 =!= 0), rDir, "r.parquet", now)
+        def side(dirP: java.nio.file.Path, prefix: String) =
+          StreamingIngest.readFileStream(s, raw.schema, dirP.toString)
+            .withColumn("ts", expr(Tables.tsExpr(raw.schema("ts").dataType)))
+            .select(col("event_id").as(s"${prefix}_id"),
+              col("user_id").as(s"${prefix}_user"),
+              col("ts").as(s"${prefix}_ts"))
+            .withWatermark(s"${prefix}_ts", "0 seconds")
+        val joined = side(lDir, "l").join(side(rDir, "r"),
+          expr("l_user = r_user AND r_ts >= l_ts AND " +
+            "r_ts <= l_ts + interval 10 minutes"),
+          "leftOuter")
+          .select(col("l_id"), col("r_id"),
+            expr("unix_micros(l_ts)").as("l_us"),
+            expr("unix_micros(r_ts)").as("r_us"))
+        val tmp = tmpDir("q_soj_out")
+        StreamingIngest.runAvailableNow(joined, s"$tmp/data", s"$tmp/ck")
+        s.read.parquet(s"$tmp/data")
+          .filter(col("l_us") <= maxUs - 7200000000L)
+          .orderBy(col("l_id"), col("r_id"))
+      }
+    }),
+
     // --- CUBE / grouping-sets rollup (the OLAP face of the rollup
     //     writer): pricing by returnflag x linestatus with all
     //     subtotal planes; null dims sentineled so both engines sort
@@ -668,6 +709,23 @@ object OperatorGates8 {
         |    AS avg_m
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, bucket""".stripMargin,
+
+    "q_stream_outer_join" ->
+      // plain relational left join replay in exact micros, restricted
+      // to left rows 2 h clear of the final watermark
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+        |mx AS (SELECT max(us) AS m FROM ev),
+        |l AS (SELECT * FROM ev WHERE event_id % 2 = 0),
+        |r AS (SELECT * FROM ev WHERE event_id % 2 <> 0)
+        |SELECT l.event_id AS l_id, r.event_id AS r_id,
+        |  l.us AS l_us, r.us AS r_us
+        |FROM l LEFT JOIN r
+        |  ON l.user_id = r.user_id AND r.us >= l.us
+        |     AND r.us <= l.us + 600000000
+        |CROSS JOIN mx
+        |WHERE l.us <= m - 7200000000
+        |ORDER BY l_id, r_id""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
