@@ -436,6 +436,32 @@ object OperatorGates8 {
       }
     }),
 
+    // --- versioned-table commits with snapshot isolation, time
+    //     travel, and rollback (sink/VersionedTable.scala — the
+    //     Iceberg commit surface natively): commit v1 (full agg),
+    //     commit v2 (narrowed), time-travel both, roll back to v1,
+    //     continue with v3. Output = the post-rollback current read,
+    //     which must be v1's content with v3 in the history ----------
+    "q_versioned_table" -> ((s, dir) => {
+      import graft.sink.VersionedTable
+      val tbl = new VersionedTable(tmpDir("q_vtable") + "/t",
+        s.sparkContext.hadoopConfiguration)
+      val ev = t(s, dir, "events")
+      val full = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000).cast("long")).as("sum_v_milli"))
+      val v1 = tbl.commit(full)
+      val v2 = tbl.commit(full.filter(col("event_type") =!= "error"))
+      require(v1 == 1L && v2 == 2L && tbl.currentVersion.contains(2L))
+      require(tbl.read(s, 1L).count() == tbl.readCurrent(s).count() + 1,
+        "time travel must see the un-narrowed v1")
+      tbl.rollback(1L)
+      val v3 = tbl.commit(full.limit(1)) // history continues after rollback
+      require(v3 == 3L && tbl.history == Seq(1L, 2L, 3L))
+      tbl.rollback(1L)
+      tbl.readCurrent(s).orderBy(col("event_type"))
+    }),
+
     // --- CUBE / grouping-sets rollup (the OLAP face of the rollup
     //     writer): pricing by returnflag x linestatus with all
     //     subtotal planes; null dims sentineled so both engines sort
@@ -726,6 +752,15 @@ object OperatorGates8 {
         |CROSS JOIN mx
         |WHERE l.us <= m - 7200000000
         |ORDER BY l_id, r_id""".stripMargin,
+
+    "q_versioned_table" ->
+      // after two later commits and a rollback, the current read is
+      // exactly version 1: the full per-type aggregate
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+        |    AS sum_v_milli
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
