@@ -462,6 +462,30 @@ object OperatorGates8 {
       tbl.readCurrent(s).orderBy(col("event_type"))
     }),
 
+    // --- term-distribution drift between corpus versions (the token-
+    //     level companion to q_corpus_drift — what a tokenizer/mixture
+    //     owner reads after a refresh): top-50 terms by absolute
+    //     count change between v1 and v2, exact integers, ties by
+    //     term. Two map-side-combined term counts + one full-outer
+    //     hash join on the term --------------------------------------
+    "q_term_drift" -> ((s, dir) => {
+      import graft.functions.Text
+      val docs = t(s, dir, "documents")
+      def counts(df: DataFrame) = df
+        .select(explode(Text.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      val v1 = counts(docs.filter(col("doc_id") % 11 =!= 0))
+      val v2 = counts(docs.filter(col("doc_id") % 9 =!= 0))
+      v1.withColumnRenamed("n", "n_v1")
+        .join(v2.withColumnRenamed("n", "n_v2"), Seq("term"), "full_outer")
+        .select(col("term"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+          coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+        .withColumn("drift", abs(col("n_v2") - col("n_v1")))
+        .orderBy(col("drift").desc, col("term"))
+        .limit(50)
+    }),
+
     // --- CUBE / grouping-sets rollup (the OLAP face of the rollup
     //     writer): pricing by returnflag x linestatus with all
     //     subtotal planes; null dims sentineled so both engines sort
@@ -761,6 +785,24 @@ object OperatorGates8 {
         |    AS sum_v_milli
         |FROM events GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q_term_drift" ->
+      """WITH t1 AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |    AS term
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |t2 AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> len(x) > 0))
+        |    AS term
+        |  FROM documents WHERE doc_id % 9 <> 0),
+        |c1 AS (SELECT term, count(*) AS n FROM t1 GROUP BY term),
+        |c2 AS (SELECT term, count(*) AS n FROM t2 GROUP BY term)
+        |SELECT coalesce(c1.term, c2.term) AS term,
+        |  CAST(coalesce(c1.n, 0) AS BIGINT) AS n_v1,
+        |  CAST(coalesce(c2.n, 0) AS BIGINT) AS n_v2,
+        |  CAST(abs(coalesce(c2.n, 0) - coalesce(c1.n, 0)) AS BIGINT) AS drift
+        |FROM c1 FULL OUTER JOIN c2 ON c1.term = c2.term
+        |ORDER BY drift DESC, term LIMIT 50""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
