@@ -450,6 +450,7 @@ object OperatorGates8 {
       val full = ev.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 1000).cast("long")).as("sum_v_milli"))
+        .persist() // five actions below reuse the one aggregation
       val v1 = tbl.commit(full)
       val v2 = tbl.commit(full.filter(col("event_type") =!= "error"))
       require(v1 == 1L && v2 == 2L && tbl.currentVersion.contains(2L))
@@ -458,6 +459,7 @@ object OperatorGates8 {
       tbl.rollback(1L)
       val v3 = tbl.commit(full.limit(1)) // history continues after rollback
       require(v3 == 3L && tbl.history == Seq(1L, 2L, 3L))
+      full.unpersist()
       tbl.rollback(1L)
       tbl.readCurrent(s).orderBy(col("event_type"))
     }),

@@ -420,16 +420,26 @@ object JobConfig {
         if (!snapshotExists) None
         else new FsStateStore(outDir, conf).get("_watermark", kind)
           .flatMap(_.get("highWatermark")).filter(_.nonEmpty).map(_.toLong)
+          // migration: snapshots published before the JSON state-store
+          // layout carry a bare-long `_watermark.json`; honor it so an
+          // upgrade cannot fall back to a LAGGING state-store value
+          // and double-apply the last delta
+          .orElse(readLegacyWatermark(outDir, conf))
           .orElse(store.get(kind, jobName)
             .flatMap(_.get("highWatermark")).filter(_.nonEmpty).map(_.toLong))
+      // a source DIR with no visible entries is the producer-not-
+      // started-yet case (no-op); any other read failure must surface,
+      // not masquerade as an empty delta forever
+      val srcFs = srcPath.getFileSystem(conf)
       val srcOpt =
-        if (!srcPath.getFileSystem(conf).exists(srcPath)) None
-        else try Some(spark.read
+        if (!srcFs.exists(srcPath)) None
+        else if (!srcFs.listStatus(srcPath).exists { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }) None
+        else Some(spark.read
           .format(opt(p, "source.format").getOrElse("parquet"))
           .load(req(p, "source.path")))
-        catch { // empty dir: no files to infer a schema from yet
-          case _: org.apache.spark.sql.AnalysisException => None
-        }
       srcOpt.fold(noop(prior)) { src =>
         val delta = prior.fold(src)(w => src.filter(col(seqCol).cast("long") > w))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -457,6 +467,23 @@ object JobConfig {
       }
     }.getOrElse(Map("published" -> "false", "deltaRows" -> "0",
       "highWatermark" -> "", "reason" -> "lock held by another run"))
+  }
+
+  /** Pre-JSON-layout snapshots stored the watermark as a bare long in
+    * `_watermark.json` at the snapshot root; read it for migration.
+    */
+  private def readLegacyWatermark(outDir: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
+    val path = new org.apache.hadoop.fs.Path(outDir, "_watermark.json")
+    val fs = path.getFileSystem(conf)
+    if (!fs.exists(path)) None
+    else {
+      val in = fs.open(path)
+      val text =
+        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      text.trim.toLongOption
+    }
   }
 
   /** Run a properties-defined job end-to-end via [[JobRunner]]. */

@@ -36,8 +36,22 @@ final class JobLock(lockDir: String, jobName: String,
       // single getFileStatus: exists()-then-stat would throw if the
       // holder releases in between
       val st = fs.getFileStatus(lockFile)
-      if (System.currentTimeMillis() - st.getModificationTime > staleMs)
-        fs.delete(lockFile, false) // break the stale lock, race to acquire
+      if (System.currentTimeMillis() - st.getModificationTime > staleMs) {
+        // break via rename + re-verify, NOT a blind delete: between
+        // our stat and the break another breaker may have taken the
+        // lock and re-created it FRESH — deleting that would let two
+        // runs hold the lock at once. Renaming parks the candidate
+        // where only we can see it; if it turns out fresh, restore it
+        // (or drop our steal if the holder already re-created).
+        val park = new Path(lockDir, s"$jobName.stale.${System.nanoTime()}")
+        if (fs.rename(lockFile, park)) {
+          val st2 = fs.getFileStatus(park)
+          if (System.currentTimeMillis() - st2.getModificationTime > staleMs)
+            fs.delete(park, false) // genuinely stale: gone, race to acquire
+          else if (!fs.rename(park, lockFile))
+            fs.delete(park, false) // fresh lock re-created meanwhile; back off
+        }
+      }
     } catch { case _: java.io.FileNotFoundException => () }
     try {
       fs.mkdirs(lockFile.getParent)

@@ -87,22 +87,6 @@ final class Publisher(conf: Configuration = new Configuration()) {
     * is restored if the swap rename fails. Replaying the publish
     * converges to the same output — never merges, never duplicates.
     */
-  /** Recover from a crash INSIDE [[publishSnapshot]]'s swap window: if
-    * the output is missing but the parked previous snapshot (the
-    * dot-tombstone) survives, restore it. Returns true if a restore
-    * happened. Callers doing incremental maintenance run this before
-    * reading the published state, so the crash window between the two
-    * renames degrades to "previous snapshot + re-derived delta", never
-    * to an empty output.
-    */
-  def recoverSnapshot(spec: SinkSpec): Boolean = {
-    val out = new Path(spec.outputDir)
-    val fs = out.getFileSystem(conf)
-    val tomb = new Path(out.getParent, s".${out.getName}.replaced")
-    if (!fs.exists(out) && fs.exists(tomb)) { rename(fs, tomb, out); true }
-    else false
-  }
-
   def publishSnapshot(spec: SinkSpec): Int = {
     val staging = new Path(spec.stagingDir)
     val out = new Path(spec.outputDir)
@@ -121,6 +105,29 @@ final class Publisher(conf: Configuration = new Configuration()) {
     }
     if (existed) fs.delete(tomb, true)
     1
+  }
+
+  /** Recover from a crash INSIDE [[publishSnapshot]]'s swap window: if
+    * the output is missing but the parked previous snapshot (the
+    * dot-tombstone) survives, restore it. Returns true if a restore
+    * happened. When the output EXISTS, any leftover tombstone (crash
+    * after the swap rename, before the tomb delete) is deleted instead
+    * — otherwise it would outlive the run and later resurrect a stale
+    * snapshot after an operator deliberately deletes the output to
+    * force a full rebuild. Callers doing incremental maintenance run
+    * this before reading the published state, so the crash window
+    * between the two renames degrades to "previous snapshot +
+    * re-derived delta", never to an empty output.
+    */
+  def recoverSnapshot(spec: SinkSpec): Boolean = {
+    val out = new Path(spec.outputDir)
+    val fs = out.getFileSystem(conf)
+    val tomb = new Path(out.getParent, s".${out.getName}.replaced")
+    if (!fs.exists(out) && fs.exists(tomb)) { rename(fs, tomb, out); true }
+    else {
+      if (fs.exists(out) && fs.exists(tomb)) fs.delete(tomb, true)
+      false
+    }
   }
 
   /** Move every staged entry into the output dir. Partition dirs are

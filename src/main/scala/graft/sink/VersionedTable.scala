@@ -44,17 +44,38 @@ final class VersionedTable(root: String, conf: Configuration = new Configuration
     * pointer moves, so a crash mid-commit leaves the table on the
     * previous version with an orphaned (never-referenced, retention-
     * reclaimable) directory — never a torn table.
+    *
+    * Concurrent committers serialize optimistically: each stages under
+    * a UUID (no shared staging path to clobber), claims the lowest
+    * free version number by rename, and DETECTS a lost race — Hadoop's
+    * rename into an existing directory nests the source inside it, so
+    * the claim is verified by the absence of the nested UUID dir; a
+    * loser un-nests its staging and retries on the next number. Last
+    * pointer write wins, both versions exist in history.
     */
   def commit(df: DataFrame): Long = {
-    val next = history.lastOption.getOrElse(0L) + 1L
-    val staging = s"$root/_staging/v$next"
-    df.write.mode("overwrite").parquet(staging)
+    val id = java.util.UUID.randomUUID().toString
+    val staging = new Path(s"$root/_staging/$id")
+    df.write.mode("overwrite").parquet(staging.toString)
     val fs = new Path(root).getFileSystem(conf)
     fs.mkdirs(new Path(s"$root/versions"))
-    if (!fs.rename(new Path(staging), new Path(versionDir(next))))
-      throw new java.io.IOException(s"cannot land version $next")
-    meta.put("pointer", "current", Map("version" -> next.toString))
-    next
+    var next = history.lastOption.getOrElse(0L) + 1L
+    var attempts = 0
+    while (attempts < 1000) {
+      attempts += 1
+      val dest = new Path(versionDir(next))
+      val nested = new Path(dest, id)
+      if (!fs.exists(dest) && fs.rename(staging, dest) && !fs.exists(nested)) {
+        meta.put("pointer", "current", Map("version" -> next.toString))
+        return next
+      }
+      // lost the race: if our staging got nested INSIDE the winner's
+      // version dir, pull it back out and try the next number
+      if (fs.exists(nested) && !fs.rename(nested, staging))
+        throw new java.io.IOException(s"cannot recover staging for $root v$next")
+      next += 1
+    }
+    throw new java.io.IOException(s"cannot land a version in $root after $attempts attempts")
   }
 
   /** Time travel: read an explicit version. */
