@@ -1,0 +1,369 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-7 wave 3: retrieval and corpus-understanding operators —
+  * BM25 ranked retrieval (quantized-idf, bit-replayable), filtered
+  * ANN search, cluster topic summaries. Oracles replay scoring math
+  * with identical IEEE expression trees in DuckDB.
+  */
+object OperatorGates9 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Full-precision double literal for SQL: Scala's Double.toString
+    * round-trips, and CAST('...' AS DOUBLE) re-parses to the exact
+    * same bits — so Spark `lit(x)` and the oracle agree bit-for-bit.
+    */
+  private def d(x: Double): String = s"CAST('${x}' AS DOUBLE)"
+
+  def queries9: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- BM25 top-k retrieval (operators/Bm25.scala): every 43rd doc
+    //     becomes a query (first 8 distinct tokens); scores are
+    //     order-free integer sums of floor'd per-term contributions,
+    //     so the DuckDB oracle replays ranking exactly --------------
+    "q_bm25_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val queries = docs.filter(pmod(col("doc_id"), lit(43)) === 0)
+      graft.operators.Bm25.topK(docs, queries, "doc_id", "text",
+          "doc_id", "text", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- filtered ANN (Ann.IvfIndex.searchFiltered): metadata
+    //     predicate + top-k vector search with selectivity-
+    //     proportional probe widening (2 -> 4 lists at ~51% kept);
+    //     oracle replays quantizer, widening arithmetic, and exact
+    //     cosine re-rank --------------------------------------------
+    "q_ann_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val idx = graft.functions.Ann.sampledIvf(e, k = 8)
+      idx.searchFiltered(probes, e, col("label") <= 4, k = 5, nProbe = 2)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
+
+    // --- cluster topic summary (corpus understanding): IVF coarse
+    //     clusters over embeddings joined to their documents, top-5
+    //     terms per cluster by count — the "what is in each cluster"
+    //     report a curation run reads before choosing per-cluster
+    //     sampling rates --------------------------------------------
+    "q_cluster_topics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val idx = graft.functions.Ann.sampledIvf(e, k = 8)
+      val assigned = e.select(col("vec_id"),
+        idx.assignColumn(col("embedding")).as("cluster"))
+      assigned.join(docs, assigned("vec_id") === docs("doc_id"))
+        .select(col("cluster"),
+          explode(graft.functions.Text.tokens(coalesce(col("text"), lit(""))))
+            .as("token"))
+        .groupBy(col("cluster"), col("token"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("cluster")).orderBy(col("n").desc, col("token"))))
+        .filter(col("rank") <= 5)
+        .select(col("cluster").cast("int").as("cluster"),
+          col("rank").cast("long").as("rank"), col("token"), col("n"))
+        .orderBy(col("cluster"), col("rank"))
+    }),
+
+    // --- token-budget corpus selection (operators/BudgetSelect.scala):
+    //     keep the best 40% of tokens by priority (n_chars here; any
+    //     integral score column). Two-pass distributed running sum —
+    //     the oracle's single global window replays the same prefix
+    //     cut exactly -----------------------------------------------
+    "q_budget_select" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"),
+        size(graft.functions.Text.tokens(coalesce(col("text"), lit(""))))
+          .cast("long").as("n_tokens"))
+      // O(1) driver scalar: the budget, not data
+      val total = docs.agg(sum(col("n_tokens"))).head.getLong(0)
+      graft.operators.BudgetSelect.selectByBudget(docs, "doc_id", "n_tokens",
+          "n_chars", budget = total * 2 / 5)
+        .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("cum_cost"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- filter-cascade accounting (operators/FilterFunnel.scala):
+    //     ordered survivor funnel in ONE aggregation pass; the oracle
+    //     replays each stage's cumulative conditions ------------------
+    "q_filter_funnel" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.operators.FilterFunnel.report(docs, Seq(
+          "lang_en" -> (col("lang") === "en"),
+          "min_chars" -> (col("n_chars") >= 80),
+          "min_tokens" -> (size(graft.functions.Text.tokens(coalesce(col("text"), lit("")))) >= 20),
+          "mentions_table" -> col("text").contains("table")))
+        .orderBy(col("stage"))
+    }),
+
+    // --- hybrid retrieval (operators/HybridSearch.rrf): BM25 top-10
+    //     fused with IVF-ANN cosine top-10 by integer reciprocal-rank
+    //     fusion over the SAME query set; oracle replays both rankers
+    //     and the fixed-point fusion ---------------------------------
+    "q_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      val bm = graft.operators.Bm25.topK(docs, queries, "doc_id", "text",
+          "doc_id", "text", k = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val idx = graft.functions.Ann.sampledIvf(e, k = 8)
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val ann = idx.search(probes, e, k = 10, nProbe = 4)
+        .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("neighbor_id"))))
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.HybridSearch.rrf(bm, ann, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- per-domain quantized embedding centroids (Quantize
+    //     .groupedQuantizedSums): exact integer component sums per
+    //     (label, dim) — the cross-domain embedding profile ----------
+    "q_domain_centroids" -> ((s, dir) => {
+      graft.functions.Quantize.groupedQuantizedSums(
+          t(s, dir, "embeddings"), "label", "embedding")
+        .select(col("key").cast("int").as("label"), col("dim"),
+          col("qsum"), col("n_vecs"))
+        .orderBy(col("label"), col("dim"))
+    })
+  )
+
+  /** Shared IVF CTE block (mirrors OracleSql.annIvf's quantizer): seeds
+    * by md5('ivf|'+id), cid ascending by vec_id, argmax-dot scoring of
+    * every vector against every centroid.
+    */
+  private def ivfCtes(nCentroids: Int): String =
+    s"""seeds AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |  ORDER BY md5('ivf' || '|' || vec_id), vec_id LIMIT $nCentroids
+       |), cents AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e FROM seeds
+       |), scored AS (
+       |  SELECT v.vec_id, c.cid,
+       |    list_dot_product(CAST(v.embedding AS DOUBLE[]), c.e) AS dot
+       |  FROM embeddings v CROSS JOIN cents c
+       |)""".stripMargin
+
+  private val CosineAB =
+    """list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))"""
+
+  /** BM25 CTE block (mirrors operators/Bm25.topK): toks/post/stats/
+    * qt/dft/bmsc/bmr — `bmr` holds (query_id, doc_id, score, n_terms,
+    * rank) for queries selected by `queryPred`.
+    */
+  private def bm25Ctes(queryPred: String, k1: Double = 1.2, b: Double = 0.75): String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split(coalesce(text, ''), ' '), x -> len(x) > 0)
+       |      AS toks
+       |  FROM documents),
+       |post AS (
+       |  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |          unnest(toks) AS token FROM toks)
+       |  GROUP BY doc_id, dl, token),
+       |stats AS (
+       |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(sum(tf) AS DOUBLE) / count(DISTINCT doc_id) AS avgdl
+       |  FROM post),
+       |qt AS (
+       |  SELECT doc_id AS query_id,
+       |    unnest(list_distinct(toks[1:8])) AS token
+       |  FROM toks WHERE $queryPred),
+       |dft AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM post
+       |  GROUP BY token),
+       |bmsc AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    CAST(sum(floor(
+       |      (CAST(floor(CAST(2 * s.n_docs - 2 * d.df + 1 AS DOUBLE) * ${d(graft.operators.Bm25.Scale.toDouble)}
+       |          / CAST(2 * d.df + 1 AS DOUBLE)) AS DOUBLE)
+       |       * (CAST(p.tf AS DOUBLE) * ${d(k1 + 1.0)}))
+       |      / (CAST(p.tf AS DOUBLE)
+       |         + ${d(k1)} * (${d(1.0 - b)} + ${d(b)} * (CAST(p.dl AS DOUBLE) / s.avgdl)))
+       |    )) AS BIGINT) AS score,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM qt q
+       |  JOIN dft d ON q.token = d.token
+       |  JOIN post p ON p.token = q.token, stats s
+       |  WHERE p.doc_id <> q.query_id
+       |  GROUP BY q.query_id, p.doc_id),
+       |bmr AS (
+       |  SELECT query_id, doc_id, score, n_terms,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |           ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM bmsc)""".stripMargin
+
+  def oracleSql9: Map[String, String] = Map(
+
+    "q_bm25_topk" ->
+      s"""WITH ${bm25Ctes("((doc_id % 43) + 43) % 43 = 0")}
+         |SELECT query_id, rank, doc_id, score, n_terms
+         |FROM bmr WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_filtered" -> {
+      val (k, nProbe, nCentroids, probeMod) = (5, 2, 8, 100)
+      s"""WITH ${ivfCtes(nCentroids)},
+         |npc AS (
+         |  SELECT least($nCentroids, CAST(
+         |    ($nProbe * (SELECT count(*) FROM embeddings) + kept - 1) // kept
+         |    AS BIGINT)) AS np
+         |  FROM (SELECT count(*) AS kept FROM embeddings WHERE label <= 4)
+         |), assign AS (
+         |  SELECT s.vec_id, s.cid FROM scored s
+         |  JOIN embeddings v ON v.vec_id = s.vec_id
+         |  WHERE v.label <= 4
+         |  QUALIFY row_number() OVER (PARTITION BY s.vec_id ORDER BY dot DESC, cid) = 1
+         |), plists AS (
+         |  SELECT vec_id, cid FROM scored CROSS JOIN npc
+         |  WHERE vec_id % $probeMod = 0
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) <= np
+         |), vecs AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), cand AS (
+         |  SELECT p.vec_id AS query_id, v.vec_id AS neighbor_id, $CosineAB AS sim
+         |  FROM plists p JOIN assign v ON p.cid = v.cid AND p.vec_id <> v.vec_id
+         |  JOIN vecs a ON a.vec_id = p.vec_id
+         |  JOIN vecs b ON b.vec_id = v.vec_id
+         |)
+         |SELECT query_id, neighbor_id, sim FROM cand
+         |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+         |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
+    },
+
+    "q_cluster_topics" ->
+      s"""WITH ${ivfCtes(8)},
+         |assign AS (
+         |  SELECT vec_id, cid FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) = 1
+         |), tok AS (
+         |  SELECT a.cid AS cluster,
+         |    unnest(list_filter(string_split(coalesce(d.text, ''), ' '),
+         |                       x -> len(x) > 0)) AS token
+         |  FROM assign a JOIN documents d ON d.doc_id = a.vec_id
+         |), cnt AS (
+         |  SELECT cluster, token, CAST(count(*) AS BIGINT) AS n
+         |  FROM tok GROUP BY cluster, token
+         |)
+         |SELECT cluster,
+         |  CAST(row_number() OVER (PARTITION BY cluster
+         |         ORDER BY n DESC, token) AS BIGINT) AS rank,
+         |  token, n
+         |FROM cnt
+         |QUALIFY rank <= 5
+         |ORDER BY cluster, rank""".stripMargin,
+
+    "q_budget_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |                         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT sum(n_tokens) * 2 // 5 AS budget FROM d),
+        |c AS (
+        |  SELECT doc_id, n_chars, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum_cost
+        |  FROM d)
+        |SELECT doc_id, n_chars, n_tokens, CAST(cum_cost AS BIGINT) AS cum_cost
+        |FROM c, b WHERE cum_cost <= budget
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_filter_funnel" ->
+      """WITH d AS (
+        |  SELECT
+        |    coalesce(lang = 'en', false) AS a1,
+        |    coalesce(n_chars >= 80, false) AS p2,
+        |    coalesce(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |                             x -> len(x) > 0)) >= 20, false) AS p3,
+        |    coalesce(contains(text, 'table'), false) AS p4
+        |  FROM documents),
+        |c AS (
+        |  SELECT a1, a1 AND p2 AS a2, a1 AND p2 AND p3 AS a3,
+        |         a1 AND p2 AND p3 AND p4 AS a4
+        |  FROM d)
+        |SELECT stage, name, CAST(n_in AS BIGINT) AS n_in,
+        |  CAST(n_pass AS BIGINT) AS n_pass,
+        |  CAST(n_in - n_pass AS BIGINT) AS n_fail
+        |FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage, 'lang_en' AS name,
+        |    count(*) AS n_in, sum(CASE WHEN a1 THEN 1 ELSE 0 END) AS n_pass FROM c
+        |  UNION ALL SELECT 1, 'min_chars',
+        |    sum(CASE WHEN a1 THEN 1 ELSE 0 END), sum(CASE WHEN a2 THEN 1 ELSE 0 END) FROM c
+        |  UNION ALL SELECT 2, 'min_tokens',
+        |    sum(CASE WHEN a2 THEN 1 ELSE 0 END), sum(CASE WHEN a3 THEN 1 ELSE 0 END) FROM c
+        |  UNION ALL SELECT 3, 'mentions_table',
+        |    sum(CASE WHEN a3 THEN 1 ELSE 0 END), sum(CASE WHEN a4 THEN 1 ELSE 0 END) FROM c
+        |) ORDER BY stage""".stripMargin,
+
+    "q_hybrid_rrf" -> {
+      val (k, nProbe, nCentroids, probeMod, rrfK) = (10, 4, 8, 100, 60)
+      val contribA = s"coalesce(CAST(floor(${d(graft.operators.HybridSearch.Scale.toDouble)} / (${d(rrfK.toDouble)} + CAST(a.rank AS DOUBLE))) AS BIGINT), 0)"
+      val contribB = s"coalesce(CAST(floor(${d(graft.operators.HybridSearch.Scale.toDouble)} / (${d(rrfK.toDouble)} + CAST(b.rank AS DOUBLE))) AS BIGINT), 0)"
+      s"""WITH ${bm25Ctes(s"doc_id % $probeMod = 0")},
+         |${ivfCtes(nCentroids)},
+         |assign AS (
+         |  SELECT vec_id, cid FROM scored
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) = 1
+         |), plists AS (
+         |  SELECT vec_id, cid FROM scored WHERE vec_id % $probeMod = 0
+         |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) <= $nProbe
+         |), vecs AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+         |), cand AS (
+         |  SELECT p.vec_id AS query_id, v.vec_id AS neighbor_id, $CosineAB AS sim
+         |  FROM plists p JOIN assign v ON p.cid = v.cid AND p.vec_id <> v.vec_id
+         |  JOIN vecs a ON a.vec_id = p.vec_id
+         |  JOIN vecs b ON b.vec_id = v.vec_id
+         |), annr AS (
+         |  SELECT query_id, neighbor_id AS doc_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |           ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM cand
+         |  QUALIFY rank <= $k
+         |), bmk AS (SELECT query_id, doc_id, rank FROM bmr WHERE rank <= $k),
+         |fused AS (
+         |  SELECT coalesce(a.query_id, b.query_id) AS query_id,
+         |    coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |    $contribA + $contribB AS fused_score,
+         |    a.rank AS rank_a, b.rank AS rank_b
+         |  FROM bmk a FULL OUTER JOIN annr b
+         |    ON a.query_id = b.query_id AND a.doc_id = b.doc_id)
+         |SELECT query_id,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |         ORDER BY fused_score DESC, doc_id) AS BIGINT) AS rank,
+         |  doc_id, fused_score, rank_a, rank_b
+         |FROM fused
+         |QUALIFY rank <= $k
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_domain_centroids" ->
+      """WITH q AS (
+        |  SELECT label, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS ma
+        |  FROM embeddings),
+        |s AS (SELECT label, embedding,
+        |        CASE WHEN ma = 0 THEN 0.0 ELSE 127.0 / ma END AS sc FROM q),
+        |qq AS (SELECT label,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * sc + 0.5) AS BIGINT)) AS qv
+        |       FROM s),
+        |ex AS (
+        |  SELECT label, unnest(range(1, CAST(len(qv) AS BIGINT) + 1)) AS i, qv
+        |  FROM qq)
+        |SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  CAST(sum(qv[i]) AS BIGINT) AS qsum, count(*) AS n_vecs
+        |FROM ex GROUP BY label, i
+        |ORDER BY label, dim""".stripMargin
+  )
+}

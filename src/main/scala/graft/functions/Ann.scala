@@ -294,6 +294,31 @@ object Ann {
       cands.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
         .select(col("query_id"), col("neighbor_id"), col("sim"))
     }
+
+    /** FILTERED vector search (the "metadata predicate + top-k" shape
+      * every retrieval stack needs): pre-filter the corpus, then widen
+      * the probe set in proportion to the filter's selectivity —
+      * nProbeEff = min(nCentroids, ceil(nProbe · total/kept)) — so a
+      * filter keeping 1/s of the corpus probes ~s× more lists and
+      * expected candidates-per-query stays ~constant instead of
+      * collapsing (the recall cliff of naive post-filtering). A fully
+      * selective filter degrades gracefully to exact search over the
+      * survivors (all lists probed). Costs two count jobs (O(1) driver
+      * scalars — selectivity, not data); at 100 TB feed `totalHint`/
+      * `keptHint` from catalog stats to skip them.
+      */
+    def searchFiltered(probes: DataFrame, corpus: DataFrame, pred: Column,
+        k: Int, nProbe: Int, id: String = "vec_id", vec: String = "embedding",
+        totalHint: Long = -1L, keptHint: Long = -1L): DataFrame = {
+      val filtered = corpus.filter(pred)
+      val total = if (totalHint >= 0) totalHint else corpus.count()
+      val kept = if (keptHint >= 0) keptHint else filtered.count()
+      val np =
+        if (kept <= 0) nProbe
+        else math.min(centroids.length.toLong,
+          (nProbe.toLong * total + kept - 1) / kept).toInt
+      search(probes, filtered, k, np, id, vec)
+    }
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-level

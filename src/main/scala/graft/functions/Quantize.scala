@@ -59,6 +59,19 @@ object Quantize {
   /** ||q||^2 as an exact BIGINT. */
   def intNormSq(q: Column): Column = intDot(q, q)
 
+  /** Per-group quantized centroid sums: one row per (key, dim) with
+    * the exact integer sum of the int8-quantized component and the
+    * group size — the domain-level embedding profile ("how far apart
+    * are my sources?") with all arithmetic exact until a consumer
+    * divides. posexplode × dim then hash agg: map-side combine bounds
+    * the shuffle by keys × dim, never corpus size.
+    */
+  def groupedQuantizedSums(df: DataFrame, keyCol: String, vecCol: String): DataFrame =
+    withQuantized(df.select(col(keyCol).as("key"), col(vecCol).as("_v")), "_v", "q")
+      .select(col("key"), posexplode(col("q")).as(Seq("dim", "qx")))
+      .groupBy(col("key"), col("dim"))
+      .agg(sum(col("qx")).as("qsum"), count(lit(1)).as("n_vecs"))
+
   /** Add `<as>_q` (array<long> int8-valued) and `<as>_scale` columns. */
   def withQuantized(df: DataFrame, vecCol: String, as: String = "q"): DataFrame = {
     val sc = scaleFor(col(vecCol))

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** BM25 ranked retrieval over a document corpus — the search substrate
+  * a curation pipeline uses for retrieval-based decontamination ("which
+  * training docs score highly against this benchmark query?") and
+  * targeted corpus audits. Builds on the same inverted-index shape as
+  * `q_inverted_index` (token postings bounded by vocabulary, not
+  * corpus).
+  *
+  * Determinism contract (repo-wide oracle discipline — see NgramLm's
+  * "no perplexity logarithms"): the classic BM25 `idf = ln((N-df+.5)/
+  * (df+.5)+1)` is replaced by the exact-rational ratio idf quantized to
+  * a 2^20 fixed-point integer:
+  *
+  *   idfq(t) = ((2N - 2df + 1) * 2^20) div (2df + 1)
+  *
+  * which is monotone-decreasing in df (same ranking direction as log
+  * idf, saturating instead of compressing). The per-term contribution
+  *
+  *   floor( idfq * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl)) )
+  *
+  * is ONE double multiply-divide chain per (term, doc) — identical
+  * expression tree on both engines, bit-reproducible IEEE — floored to
+  * an integer, so per-(query, doc) scores are order-free integer sums.
+  *
+  * 100 TB shape: df/dl/avgdl are map-side-combined hash aggregations;
+  * the scoring join is (query terms) ⋈ (corpus postings) on token — a
+  * shuffle equi-join whose skew is bounded by `maxDf` (stopword
+  * posting lists are both the skew risk and the least informative:
+  * idf → 0 as df → N, so capping df drops almost-zero-weight terms
+  * first, the standard impact-ordered-index pruning move). Top-k is a
+  * per-query rank window over candidates, k-bounded output.
+  *
+  * Reference seam: gobblin has no ranked retrieval; this generalizes
+  * the `q_inverted_index` decontamination substrate
+  * (gobblin-core's converter/filter package carries only boolean filters).
+  */
+object Bm25 {
+
+  val Scale: Long = 1L << 20
+
+  /** Fixed-point ratio idf: floor(((2N - 2df + 1) * 2^20) / (2df + 1)),
+    * computed as one IEEE double divide so the oracle replays it with
+    * the identical expression tree. Exact while (2N+1)*2^20 < 2^53,
+    * i.e. N < ~4.3e9 docs; past that both engines still agree (same
+    * rounding), the quantization just stops being exact-integer.
+    */
+  def idfq(n: Column, df: Column): Column =
+    floor((lit(2L) * n - lit(2L) * df + lit(1L)).cast("double") * lit(Scale.toDouble)
+      / (lit(2L) * df + lit(1L)).cast("double")).cast("long")
+
+  /** Corpus postings: one row per (doc, distinct token) with the term
+    * frequency `tf`, the document length `dl`, and document count /
+    * average length attached as literal-free columns.
+    */
+  private def postings(corpus: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = corpus.select(col(idCol).as("doc_id"),
+      Text.tokens(coalesce(col(textCol), lit(""))).as("toks"))
+    toks
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Top-k BM25 retrieval: for each query (qIdCol, distinct terms of
+    * qTextCol's first `qTerms` tokens), the `k` highest-scoring corpus
+    * docs (ties broken by doc_id; the query's own doc excluded when ids
+    * share a domain). Terms with corpus df > `maxDf` are pruned from
+    * scoring (skew cap; idf ≈ 0 there anyway).
+    */
+  def topK(corpus: DataFrame, queries: DataFrame, idCol: String, textCol: String,
+      qIdCol: String, qTextCol: String, k: Int, qTerms: Int = 8,
+      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = Long.MaxValue,
+      excludeSelf: Boolean = true): DataFrame = {
+    val post = postings(corpus, idCol, textCol)
+    // corpus-level stats: one row, broadcast into the scoring join
+    val stats = post.groupBy().agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      (sum(col("tf")).cast("double") / countDistinct(col("doc_id"))).as("avgdl"))
+    // NOTE: docs whose every token is empty (dl=0) carry no postings;
+    // they can never match a term, and excluding them from N/avgdl is
+    // the documented semantics (stats are over docs WITH tokens).
+    val qterms = queries.select(col(qIdCol).as("query_id"),
+        explode(array_distinct(slice(Text.tokens(coalesce(col(qTextCol), lit(""))), 1, qTerms)))
+          .as("token"))
+    val df = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(maxDf))
+    val scored = qterms
+      .join(df, Seq("token"))
+      .join(post, Seq("token"))
+      .join(broadcast(stats))
+      .filter(if (excludeSelf) col("doc_id") =!= col("query_id") else lit(true))
+      .withColumn("contrib",
+        floor(idfq(col("n_docs"), col("df")).cast("double")
+          * (col("tf").cast("double") * lit(k1 + 1.0))
+          / (col("tf").cast("double")
+             + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("score"),
+        count(lit(1)).as("n_terms"))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("score"), col("n_terms"))
+  }
+}

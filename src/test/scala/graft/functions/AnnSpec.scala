@@ -89,6 +89,34 @@ class AnnSpec extends SparkSpec {
     assert(full == exact)
   }
 
+  test("searchFiltered: results honor the predicate, widening matches search at nProbeEff") {
+    val idx = Ann.fitIvf(emb, k = 8)
+    val pred = $"label" <= 4
+    val filteredCorpus = emb.filter(pred)
+    val got = idx.searchFiltered(probes, emb, pred, k = 5, nProbe = 2)
+    // every neighbor satisfies the predicate
+    val allowed = filteredCorpus.select("vec_id").as[Long].collect().toSet
+    assert(topkSet(got).forall { case (_, n) => allowed(n) })
+    // widening arithmetic: nProbeEff = min(8, ceil(2 * total / kept))
+    val total = emb.count(); val kept = filteredCorpus.count()
+    val npEff = math.min(8L, (2 * total + kept - 1) / kept).toInt
+    assert(npEff > 2, "test setup: selectivity must actually widen the probe set")
+    assert(topkSet(got) == topkSet(idx.search(probes, filteredCorpus, k = 5, nProbe = npEff)))
+    // hints skip the count jobs but must give the identical result
+    val hinted = idx.searchFiltered(probes, emb, pred, k = 5, nProbe = 2,
+      totalHint = total, keptHint = kept)
+    assert(topkSet(hinted) == topkSet(got))
+  }
+
+  test("searchFiltered: a fully selective filter degrades to exact search over survivors") {
+    val idx = Ann.fitIvf(emb, k = 8)
+    val pred = $"vec_id" % 25 === 1 // ~4% kept -> widening caps at all 8 lists
+    val got = topkSet(idx.searchFiltered(probes, emb, pred, k = 5, nProbe = 1))
+    val exactFiltered = topkSet(
+      Similarity.bruteForceTopK(probes, emb.filter(pred), k = 5))
+    assert(got == exactFiltered)
+  }
+
   test("PQ ADC: wide prefilter equals exact top-k; tight prefilter clears the recall floor") {
     val idx = Ann.sampledPq(emb, nSub = 8, nCents = 16)
     // prefilter >= corpus: the ADC stage only ORDERS candidates — the

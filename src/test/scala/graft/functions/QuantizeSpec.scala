@@ -12,6 +12,23 @@ class QuantizeSpec extends SparkSpec {
     (0 until n).map(i => (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2 - 1)))
   }
 
+  test("groupedQuantizedSums matches a naive per-group integer replay") {
+    val data = vecs(20, 8).map { case (id, v) => (id % 3, v) }
+    val df = data.toDF("g", "v")
+    val got = Quantize.groupedQuantizedSums(df, "g", "v")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    def quant(v: Array[Float]): Array[Long] = {
+      val ma = v.map(x => math.abs(x.toDouble)).max
+      val sc = if (ma == 0) 0.0 else 127.0 / ma
+      v.map(x => math.floor(x.toDouble * sc + 0.5).toLong)
+    }
+    val want = data.groupBy(_._1).flatMap { case (g, rows) =>
+      val qs = rows.map(r => quant(r._2))
+      (0 until 8).map(d => ((g, d), (qs.map(_(d)).sum, rows.size.toLong)))
+    }
+    assert(got === want)
+  }
+
   test("quantize: values bounded by 127, zero vector quantizes to zeros") {
     val df = (vecs(50, 16) :+ (99L, Array.fill(16)(0.0f))).toDF("vec_id", "embedding")
     val q = Quantize.withQuantized(df, "embedding")
