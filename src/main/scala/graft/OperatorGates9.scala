@@ -33,6 +33,26 @@ object OperatorGates9 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // --- incremental BM25 index maintenance (Bm25.mergeIndex): the
+    //     index is built with STALE text planted for every 3rd doc,
+    //     then those docs are merged in (delta-wins row replacement);
+    //     scoring from the merged index must equal the oracle's
+    //     full-corpus rebuild — a green row proves merge == rebuild --
+    "q_bm25_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val updated = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val stale = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(coalesce(col("text"), lit("")), lit(" stale stale")))
+          .otherwise(col("text")))
+      val merged = graft.operators.Bm25.mergeIndex(
+        graft.operators.Bm25.index(stale, "doc_id", "text"),
+        updated, "doc_id", "text")
+      val queries = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+      graft.operators.Bm25.topKFromIndex(merged, queries, "doc_id", "text", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // --- filtered ANN (Ann.IvfIndex.searchFiltered): metadata
     //     predicate + top-k vector search with selectivity-
     //     proportional probe widening (2 -> 4 lists at ~51% kept);
@@ -304,6 +324,12 @@ object OperatorGates9 {
         |  UNION ALL SELECT 3, 'mentions_table',
         |    sum(CASE WHEN a3 THEN 1 ELSE 0 END), sum(CASE WHEN a4 THEN 1 ELSE 0 END) FROM c
         |) ORDER BY stage""".stripMargin,
+
+    "q_bm25_merge" ->
+      s"""WITH ${bm25Ctes("((doc_id % 37) + 37) % 37 = 0")}
+         |SELECT query_id, rank, doc_id, score, n_terms
+         |FROM bmr WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_hybrid_rrf" -> {
       val (k, nProbe, nCentroids, probeMod, rrfK) = (10, 4, 8, 100, 60)

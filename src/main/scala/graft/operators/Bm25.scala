@@ -55,6 +55,27 @@ object Bm25 {
     floor((lit(2L) * n - lit(2L) * df + lit(1L)).cast("double") * lit(Scale.toDouble)
       / (lit(2L) * df + lit(1L)).cast("double")).cast("long")
 
+  /** The persistable index: one row per (doc, distinct token) with the
+    * term frequency `tf` and document length `dl` — document-granular,
+    * so it supports incremental maintenance ([[mergeIndex]]); df/N/
+    * avgdl are cheap derived aggregations at query time (vocabulary-
+    * and corpus-count-sized, never another corpus scan).
+    */
+  def index(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    postings(corpus, idCol, textCol)
+
+  /** Incremental index maintenance: rows of changed/new docs REPLACE
+    * that doc's old rows (delta-wins, same discipline as the SCD2/
+    * rollup merges); untouched docs never recompute. An anti-join on
+    * doc_id + a union — both hash-partitioned by key, no corpus scan.
+    */
+  def mergeIndex(idx: DataFrame, updatedDocs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val delta = postings(updatedDocs, idCol, textCol)
+    val touched = updatedDocs.select(col(idCol).as("doc_id")).distinct()
+    idx.join(touched, Seq("doc_id"), "left_anti").unionByName(delta)
+  }
+
   /** Corpus postings: one row per (doc, distinct token) with the term
     * frequency `tf`, the document length `dl`, and document count /
     * average length attached as literal-free columns.
@@ -78,8 +99,15 @@ object Bm25 {
   def topK(corpus: DataFrame, queries: DataFrame, idCol: String, textCol: String,
       qIdCol: String, qTextCol: String, k: Int, qTerms: Int = 8,
       k1: Double = 1.2, b: Double = 0.75, maxDf: Long = Long.MaxValue,
+      excludeSelf: Boolean = true): DataFrame =
+    topKFromIndex(index(corpus, idCol, textCol), queries, qIdCol, qTextCol,
+      k, qTerms, k1, b, maxDf, excludeSelf)
+
+  /** [[topK]] over a prebuilt/incrementally-maintained [[index]]. */
+  def topKFromIndex(post: DataFrame, queries: DataFrame,
+      qIdCol: String, qTextCol: String, k: Int, qTerms: Int = 8,
+      k1: Double = 1.2, b: Double = 0.75, maxDf: Long = Long.MaxValue,
       excludeSelf: Boolean = true): DataFrame = {
-    val post = postings(corpus, idCol, textCol)
     // corpus-level stats: one row, broadcast into the scoring join
     val stats = post.groupBy().agg(
       countDistinct(col("doc_id")).as("n_docs"),

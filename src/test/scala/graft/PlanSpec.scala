@@ -244,4 +244,41 @@ class PlanSpec extends SparkSpec {
     // two aggregations total (cells, then regroup), each partial+final
     assert("\\bHashAggregate\\b".r.findAllIn(p).size <= 4)
   }
+
+  test("bm25: scoring joins are equi-joins, the 1-row stats join is the only BNLJ") {
+    val p = plan("q_bm25_topk")
+    assert(!p.contains("CartesianProduct"))
+    // join(broadcast(stats)) with no condition is deliberately the one
+    // broadcast nested loop — a single-row build side
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1)
+    assert(p.contains("partial_count"), "postings lost map-side partial agg")
+    assert(p.contains("WindowGroupLimit"), "top-k must push before full sort")
+  }
+
+  test("ann filtered: candidate generation stays a bucket equi-join") {
+    val p = plan("q_ann_filtered")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("WindowGroupLimit"))
+  }
+
+  test("hybrid rrf: fusion joins only k-bounded ranked lists, no cartesian") {
+    val p = plan("q_hybrid_rrf")
+    assert(!p.contains("CartesianProduct"))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1) // bm25 stats row
+    assert(p.contains("FullOuter"), "fusion must be a full outer equi-join")
+  }
+
+  test("budget select: running sum windows partition by range-partition id (never one task)") {
+    val p = plan("q_budget_select")
+    assert("windowspecdefinition\\(_pid".r.findFirstIn(p).isDefined,
+      s"global-window fallback detected:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("filter funnel: one aggregation pass, no joins, stack stays a projection") {
+    val p = plan("q_filter_funnel")
+    assert(!p.contains("Join"), "funnel must not join")
+    // one aggregate (partial+final), the stack unpivot is a Generate/Expand
+    assert("\\bHashAggregate\\b".r.findAllIn(p).size <= 2)
+  }
 }

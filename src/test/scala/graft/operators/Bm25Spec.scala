@@ -79,6 +79,18 @@ class Bm25Spec extends SparkSpec {
     assert(got.length <= 2)
   }
 
+  test("mergeIndex: delta-wins replacement equals a full rebuild") {
+    val stale = corpus.withColumn("text",
+      when(col("doc_id") % 2 === 0, concat(col("text"), lit(" junk junk")))
+        .otherwise(col("text")))
+    val merged = Bm25.mergeIndex(Bm25.index(stale, "doc_id", "text"),
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+    val rebuilt = Bm25.index(corpus, "doc_id", "text")
+    val m = merged.collect().map(r => (r.getLong(0), r.getString(2), r.getLong(1), r.getLong(3))).toSet
+    val f = rebuilt.collect().map(r => (r.getLong(0), r.getString(2), r.getLong(1), r.getLong(3))).toSet
+    assert(m === f)
+  }
+
   test("empty-text docs never match and drop out of corpus stats") {
     val c2 = corpus.union(Seq((5L, "")).toDF("doc_id", "text"))
     val queries = Seq((99L, "spark")).toDF("doc_id", "text")
