@@ -144,6 +144,16 @@ object OperatorGates9 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // --- largest-remainder quota sampling (operators/QuotaSample):
+    //     one global budget of 100 docs split across sources in exact
+    //     proportion (quotas sum to exactly 100), md5-keyed draw; the
+    //     oracle replays the apportionment integer-for-integer -------
+    "q_quota_sample" -> ((s, dir) => {
+      graft.operators.QuotaSample.quotaSample(
+          t(s, dir, "documents"), "source", "doc_id", k = 100)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // --- per-domain quantized embedding centroids (Quantize
     //     .groupedQuantizedSums): exact integer component sums per
     //     (label, dim) — the cross-domain embedding profile ----------
@@ -372,6 +382,33 @@ object OperatorGates9 {
          |QUALIFY rank <= $k
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_quota_sample" ->
+      """WITH counts AS (
+        |  SELECT source AS g, count(*) AS n_g FROM documents GROUP BY source),
+        |t AS (SELECT sum(n_g) AS total FROM counts),
+        |based AS (
+        |  SELECT g, n_g, (n_g * 100) // total AS base,
+        |    (n_g * 100) % total AS rem
+        |  FROM counts, t),
+        |defc AS (SELECT 100 - sum(base) AS deficit FROM based),
+        |ranked AS (
+        |  SELECT g, n_g,
+        |    CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, g)
+        |                       <= (SELECT deficit FROM defc)
+        |                THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM based),
+        |keyed AS (
+        |  SELECT d.source AS g, d.doc_id AS id,
+        |    md5('quota' || '|' || d.doc_id) AS k
+        |  FROM documents d),
+        |drawn AS (
+        |  SELECT k2.g, k2.id, r.n_g, r.quota,
+        |    row_number() OVER (PARTITION BY k2.g ORDER BY k2.k, k2.id) AS rn
+        |  FROM keyed k2 JOIN ranked r ON k2.g = r.g)
+        |SELECT g AS source, id AS doc_id, CAST(n_g AS BIGINT) AS n_g, quota
+        |FROM drawn WHERE rn <= quota
+        |ORDER BY source, doc_id""".stripMargin,
 
     "q_domain_centroids" ->
       """WITH q AS (

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quota sampling: split ONE global sample budget across groups in
+  * exact proportion to group sizes — the largest-remainder (Hare)
+  * method — then draw each group's quota deterministically. This is
+  * the missing third face of the sampling family: `sampleKPerGroup`
+  * takes per-group k as input, `stratifiedSample` takes fractions;
+  * this COMPUTES the per-group allocation from a global budget with
+  * quotas that sum to exactly k (floor + top-up by largest remainder,
+  * ties to the smaller group key — all integer arithmetic, no
+  * float apportionment drift).
+  *
+  * The draw is md5-keyed smallest-first (same deterministic-uniform
+  * device as the stratified sampler), so reruns and engines agree.
+  *
+  * 100 TB shape: group counts are one map-side-combined aggregation;
+  * the allocation runs on the GROUPS table (window over #groups rows —
+  * domain-cardinality, not corpus); the draw is one quota join + one
+  * per-group rank window, rank bound pushed as WindowGroupLimit.
+  */
+object QuotaSample {
+
+  /** Select exactly `k` rows (requires k <= total rows), allocated
+    * across `groupCol` by largest remainder. Output: the selected rows'
+    * (group, id) plus that group's size `n_g` and allocation `quota`.
+    */
+  def quotaSample(df: DataFrame, groupCol: String, idCol: String, k: Long,
+      salt: String = "quota"): DataFrame = {
+    require(k >= 0, s"budget must be >= 0, got $k")
+    val counts = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n_g"))
+    // allocation over the groups table (domain-sized): base floor
+    // quotas + largest-remainder top-up. The empty-partition windows
+    // here see #groups rows — deliberately tiny.
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val withTotal = counts.withColumn("total", sum(col("n_g")).over(wAll))
+    val based = withTotal
+      .withColumn("_nk", col("n_g") * k)
+      // SQL `div`: true integer division on longs (no double round-trip)
+      .withColumn("base", expr("_nk div total"))
+      .withColumn("rem", col("_nk") % col("total"))
+    val deficitCol = lit(k) - sum(col("base")).over(wAll)
+    val ranked = based
+      .withColumn("rr", row_number().over(
+        Window.orderBy(col("rem").desc, col("g"))))
+      .withColumn("quota", col("base") + when(col("rr") <= deficitCol, 1L).otherwise(0L))
+      .select(col("g"), col("n_g"), col("quota"))
+    val keyed = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+      md5(concat_ws("|", lit(salt), col(idCol))).as("_key"))
+    val wg = Window.partitionBy(col("g")).orderBy(col("_key"), col("id"))
+    keyed.join(ranked, Seq("g"))
+      .withColumn("_rn", row_number().over(wg))
+      .filter(col("_rn") <= col("quota"))
+      .select(col("g").as(groupCol), col("id").as(idCol), col("n_g"), col("quota"))
+  }
+}
