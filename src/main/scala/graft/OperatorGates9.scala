@@ -144,6 +144,38 @@ object OperatorGates9 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // --- declarative curation job (job.type=curate): ordered filters
+    //     (funnel-accounted) -> exact md5 dedup -> token-budget prefix
+    //     selection -> snapshot publish, all from one properties file;
+    //     the oracle replays the whole chain over the raw table ------
+    "q_curate_job" -> ((s, dir) => {
+      import graft.runner.JobConfig
+      val tmp = java.nio.file.Files.createTempDirectory("q_curate_job").toString
+      val props = JobConfig.parse(
+        s"""job.type=curate
+           |job.name=docs_curate
+           |source.path=$dir/documents.parquet
+           |curate.id=doc_id
+           |curate.filter.1.name=lang_en
+           |curate.filter.1.predicate=lang = 'en'
+           |curate.filter.2.name=min_chars
+           |curate.filter.2.predicate=n_chars >= 80
+           |curate.dedup.text=text
+           |curate.budget.text=text
+           |curate.budget.priority=n_chars
+           |curate.budget.tokens=5000
+           |sink.staging=$tmp/staging
+           |sink.output=$tmp/out
+           |""".stripMargin)
+      val r = JobConfig.runAny(s, props)
+      require(r("published") == "true", s"curate job failed: $r")
+      require(r.contains("stage.lang_en") && r.contains("stage.min_chars"),
+        s"funnel accounting missing from summary: $r")
+      s.read.parquet(s"$tmp/out")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- largest-remainder quota sampling (operators/QuotaSample):
     //     one global budget of 100 docs split across sources in exact
     //     proportion (quotas sum to exactly 100), md5-keyed draw; the
@@ -382,6 +414,29 @@ object OperatorGates9 {
          |QUALIFY rank <= $k
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_curate_job" ->
+      """WITH f AS (
+        |  SELECT doc_id, lang, n_chars, text FROM documents
+        |  WHERE coalesce(lang = 'en', false)
+        |    AND coalesce(n_chars >= 80, false)),
+        |surv AS (
+        |  SELECT md5(text) AS fp, min(doc_id) AS doc_id FROM f GROUP BY md5(text)),
+        |d AS (
+        |  SELECT f.doc_id, f.lang, f.n_chars, f.text
+        |  FROM f JOIN surv s ON f.doc_id = s.doc_id),
+        |c AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |                         x -> len(x) > 0)) AS BIGINT) AS cost
+        |  FROM d),
+        |w AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    sum(cost) OVER (ORDER BY n_chars DESC, doc_id
+        |                    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT doc_id, lang, n_chars FROM w WHERE cum <= 5000
+        |ORDER BY doc_id""".stripMargin,
 
     "q_quota_sample" ->
       """WITH counts AS (

@@ -337,6 +337,67 @@ object JobConfig {
               IncrementalRollup.merge(st, deltaState, dims))
         }
 
+      case "curate" =>
+        // corpus curation as a config job: ordered filter stages
+        // (funnel-accounted), optional exact dedup (md5 fingerprint,
+        // min-id survivor), optional token-budget prefix selection,
+        // snapshot publish. The per-stage attrition lands in the
+        // summary map, so schedulers see WHICH filter killed the run's
+        // volume without a second pass.
+        import graft.operators.{BudgetSelect, FilterFunnel}
+        import scala.jdk.CollectionConverters._
+        val docs = spark.read
+          .format(opt(p, "source.format").getOrElse("parquet"))
+          .load(req(p, "source.path"))
+        val idCol = req(p, "curate.id")
+        val stages: Seq[(String, org.apache.spark.sql.Column)] =
+          p.stringPropertyNames.asScala.toSeq
+            .filter(k => k.startsWith("curate.filter.") && k.endsWith(".predicate"))
+            .map(k => k.stripPrefix("curate.filter.").stripSuffix(".predicate"))
+            .sortBy(_.toInt)
+            .map { i =>
+              (opt(p, s"curate.filter.$i.name").getOrElse(s"stage$i"),
+                expr(p.getProperty(s"curate.filter.$i.predicate")))
+            }
+        val funnel =
+          if (stages.isEmpty) Seq.empty
+          else FilterFunnel.report(docs, stages).collect()
+            .map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+        val filtered = stages.foldLeft(docs) { case (d, (_, pred)) =>
+          d.filter(coalesce(pred, lit(false)))
+        }
+        // exact dedup: min-id survivor per md5(textCol) fingerprint
+        val deduped = opt(p, "curate.dedup.text") match {
+          case Some(textCol) =>
+            val fp = filtered.withColumn("_fp", Text.fingerprint(col(textCol)))
+            val survivors = fp.groupBy(col("_fp")).agg(min(col(idCol)).as(idCol))
+              .select(col(idCol))
+            fp.join(survivors, Seq(idCol), "left_semi").drop("_fp")
+          case None => filtered
+        }
+        val selected = (opt(p, "curate.budget.tokens"),
+            opt(p, "curate.budget.priority")) match {
+          case (Some(budget), Some(prio)) =>
+            val costText = req(p, "curate.budget.text")
+            BudgetSelect.selectByBudget(
+                deduped.withColumn("_cost",
+                  size(Text.tokens(coalesce(col(costText), lit(""))))),
+                idCol, "_cost", prio, budget.toLong)
+              .drop("_cost", "cum_cost")
+          case _ => deduped
+        }
+        import graft.sink.{Publisher, SinkSpec}
+        val spec = SinkSpec(req(p, "sink.staging"), req(p, "sink.output"))
+        val pub = new Publisher()
+        pub.writeStaged(selected, spec)
+        pub.publishSnapshot(spec)
+        val published = spark.read.parquet(req(p, "sink.output")).count()
+        Map("published" -> "true",
+          "rowsIn" -> docs.count().toString,
+          "rowsPublished" -> published.toString) ++
+          funnel.map { case (name, in, pass) =>
+            s"stage.$name" -> s"$in->$pass" }.toMap
+
       case "stream" =>
         // config-driven streaming ingest: file-stream source (schema
         // inferred from the existing files), converter-chain ops, a

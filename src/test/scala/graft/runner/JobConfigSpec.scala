@@ -223,6 +223,46 @@ class JobConfigSpec extends SparkSpec {
     intercept[IllegalArgumentException](JobConfig.run(spark, JobConfig.parse("job.name=x")))
   }
 
+  test("job.type=curate: filters, dedup, budget, and funnel accounting") {
+    import spark.implicits._
+    val root = tmpDir("curatejob")
+    Seq(
+      (1L, "en", 10L, "a b c d e"),       // kept
+      (2L, "en", 10L, "a b c d e"),       // exact dup of 1 -> dropped
+      (3L, "de", 10L, "x y"),             // wrong lang
+      (4L, "en", 1L, "x y"),              // too short
+      (5L, "en", 9L, "f g h i j k l m n") // kept (lower priority)
+    ).toDF("doc_id", "lang", "n_chars", "text")
+      .write.parquet(s"$root/docs")
+    val props = JobConfig.parse(
+      s"""job.type=curate
+         |job.name=t
+         |source.path=$root/docs
+         |curate.id=doc_id
+         |curate.filter.1.name=lang_ok
+         |curate.filter.1.predicate=lang = 'en'
+         |curate.filter.2.name=len_ok
+         |curate.filter.2.predicate=n_chars >= 5
+         |curate.dedup.text=text
+         |curate.budget.text=text
+         |curate.budget.priority=n_chars
+         |curate.budget.tokens=6
+         |sink.staging=$root/staging
+         |sink.output=$root/out
+         |""".stripMargin)
+    val r = JobConfig.runAny(spark, props)
+    assert(r("published") == "true")
+    assert(r("rowsIn") == "5")
+    assert(r("stage.lang_ok") == "5->4")
+    assert(r("stage.len_ok") == "4->3")
+    // survivors after dedup: 1, 5; budget 6 tokens: doc 1 (5 tokens,
+    // prio 10) fits, doc 5 (9 tokens) straddles -> dropped
+    val out = spark.read.parquet(s"$root/out").select("doc_id")
+      .as[Long].collect().toSet
+    assert(out === Set(1L))
+    assert(r("rowsPublished") == "1")
+  }
+
   test("job.type=compact runs the declarative compaction template") {
     val root = tmpDir("jobc")
     graft.Tables.load(spark, sf(), "lineitem")
