@@ -21,7 +21,7 @@ object OperatorGates8 {
     * modification time — file-stream gates control batch ORDER through
     * mtimes (FileStreamSource processes oldest-first).
     */
-  private def stageFile(df: DataFrame, dir: java.nio.file.Path, name: String,
+  private[graft] def stageFile(df: DataFrame, dir: java.nio.file.Path, name: String,
       mtime: Long): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)

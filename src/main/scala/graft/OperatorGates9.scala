@@ -144,6 +144,40 @@ object OperatorGates9 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // --- keys-only streaming dedup with bounded state (StreamingIngest
+    //     .streamingDedupWithinWatermark): the events file replayed in
+    //     a second micro-batch with ts JITTERED +1 min — the classic
+    //     (keys+ts)-keyed dedup would pass every jittered copy; the
+    //     within-watermark dedup suppresses them all (90 d delay >> the
+    //     30 d event span, so no state evicts mid-run). Output = each
+    //     event exactly once with its FIRST-seen (original) timestamp -
+    "q_stream_dedup_keys" -> ((s, dir) => {
+      import graft.streaming.StreamingIngest
+      StreamingIngest.withStatePartitions(s, 8) {
+        val raw = s.read.parquet(s"$dir/events.parquet")
+        val rawSchema = raw.schema
+        val tsCol = expr(Tables.tsExpr(rawSchema("ts").dataType))
+        val inDir = java.nio.file.Files.createTempDirectory("q_stream_ddk")
+        OperatorGates8.stageFile(raw, inDir, "a.parquet", mtime = 1700000000000L)
+        OperatorGates8.stageFile(raw, inDir, "b.parquet", mtime = 1700000001000L)
+        val stream = StreamingIngest
+          .readFileStream(s, rawSchema, inDir.toString, maxFilesPerTrigger = Some(1))
+          .withColumn("_fname", input_file_name())
+          .withColumn("ts",
+            when(col("_fname").contains("b.parquet"),
+              tsCol + expr("INTERVAL 1 MINUTE")).otherwise(tsCol))
+          .drop("_fname")
+        val dd = StreamingIngest
+          .streamingDedupWithinWatermark(stream, "ts", "2160 hours", Seq("event_id"))
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 1000).cast("long").as("v_milli"),
+            unix_micros(col("ts")).as("ts_us"))
+        val tmp = java.nio.file.Files.createTempDirectory("q_stream_ddk_out").toString
+        StreamingIngest.runAvailableNow(dd, s"$tmp/data", s"$tmp/ck")
+        s.read.parquet(s"$tmp/data").orderBy(col("event_id"))
+      }
+    }),
+
     // --- declarative curation job (job.type=curate): ordered filters
     //     (funnel-accounted) -> exact md5 dedup -> token-budget prefix
     //     selection -> snapshot publish, all from one properties file;
@@ -414,6 +448,14 @@ object OperatorGates9 {
          |QUALIFY rank <= $k
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_stream_dedup_keys" ->
+      // doubled + ts-jittered input, keys-only dedup: one row per
+      // event with its FIRST-seen (original) timestamp
+      """SELECT event_id, event_type,
+        |  CAST(floor(value * 1000) AS BIGINT) AS v_milli,
+        |  epoch_us(ts) AS ts_us
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_curate_job" ->
       """WITH f AS (

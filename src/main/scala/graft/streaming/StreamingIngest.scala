@@ -148,6 +148,21 @@ object StreamingIngest {
       keys: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, lateness).dropDuplicates(keys :+ tsCol)
 
+  /** Keys-ONLY streaming dedup with watermark-bounded state
+    * (`dropDuplicatesWithinWatermark`, Spark 3.5+): unlike
+    * [[streamingDedup]] — whose state key includes the event-time
+    * column, so a replayed event with a JITTERED timestamp slips
+    * through — this suppresses any duplicate key arriving within the
+    * watermark delay of the first occurrence, while state still
+    * evicts once the watermark passes. The at-least-once-source →
+    * effectively-once-sink dedup shape (the reference's Kafka replay
+    * concern) with bounded state at 100 TB.
+    */
+  def streamingDedupWithinWatermark(stream: DataFrame, tsCol: String,
+      lateness: String, keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Stream-stream event-time interval join: left rows match right
     * rows with the same key whose timestamp falls in
     * [left.ts, left.ts + within]. Both sides carry watermarks, so the

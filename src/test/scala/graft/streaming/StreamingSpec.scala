@@ -137,4 +137,29 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
     assert(spark.table("dedup_out").count() == 500)
   }
+
+  test("within-watermark dedup suppresses ts-jittered replays; ts-keyed dedup cannot") {
+    val root = tmpDir("streamdedupwk")
+    val in = s"$root/in"
+    val ev = Tables.load(spark, sf(), "events").filter($"event_id" < 200)
+    // replay with a +1 minute jitter: same keys, different event time
+    ev.write.mode("append").parquet(in)
+    ev.withColumn("ts", $"ts" + expr("INTERVAL 1 MINUTE"))
+      .write.mode("append").parquet(in)
+    val schema = Tables.load(spark, sf(), "events").schema
+
+    def runDedup(name: String, f: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Long = {
+      val stream = StreamingIngest.readFileStream(spark, schema, in)
+      val q = f(stream).writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name).count()
+    }
+    // keys-only within-watermark dedup: every jittered replay suppressed
+    assert(runDedup("ddwk_out", s =>
+      StreamingIngest.streamingDedupWithinWatermark(s, "ts", "2160 hours", Seq("event_id"))) == 200)
+    // (keys + ts)-keyed dedup: the jittered copies all slip through
+    assert(runDedup("ddts_out", s =>
+      StreamingIngest.streamingDedup(s, "ts", "2160 hours", Seq("event_id"))) == 400)
+  }
 }
