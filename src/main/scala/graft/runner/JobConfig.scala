@@ -337,6 +337,21 @@ object JobConfig {
               IncrementalRollup.merge(st, deltaState, dims))
         }
 
+      case "index" =>
+        // incremental BM25 inverted-index maintenance as a config job:
+        // docs above the published snapshot's watermark re-index and
+        // REPLACE their rows (Bm25.mergeIndex delta-wins); untouched
+        // docs never recompute. The searchable-corpus face of the
+        // incremental job family (scd2 = dimension, rollup = cube,
+        // index = retrieval).
+        val idCol = req(p, "index.id")
+        val textCol = req(p, "index.text")
+        incrementalPublish(spark, p, kind = "index", req(p, "index.seq")) {
+          (published, delta) =>
+            published.fold(graft.operators.Bm25.index(delta, idCol, textCol))(
+              idx => graft.operators.Bm25.mergeIndex(idx, delta, idCol, textCol))
+        }
+
       case "curate" =>
         // corpus curation as a config job: ordered filter stages
         // (funnel-accounted), optional exact dedup (md5 fingerprint,

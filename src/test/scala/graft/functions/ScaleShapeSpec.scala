@@ -241,4 +241,28 @@ class ScaleShapeSpec extends SparkSpec {
     val found = nd.filter(col("id_b") === col("id_a") + 1).count()
     assert(found >= (n / 100) * 7 / 10, s"recall too low on planted clones: $found")
   }
+
+  test("budget select: 64-way two-pass prefix cut equals the 1-partition reference at 20k docs") {
+    import graft.operators.BudgetSelect
+    val costed = docs.select(col("id"), ((col("id") % 7) + 1).as("cost"),
+      (col("id") % 1000).as("prio"))
+    def cut(parts: Int): Set[Long] =
+      BudgetSelect.selectByBudget(costed, "id", "cost", "prio", budget = 30000,
+          partitions = parts)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val wide = cut(64)
+    assert(wide === cut(1), "partition-count-dependent prefix cut")
+    assert(wide.nonEmpty && wide.size < n, "cut line must fall inside the corpus")
+  }
+
+  test("quota sample: many-group apportionment stays exact at 20k docs") {
+    import graft.operators.QuotaSample
+    val grouped = docs.select(col("id"), (col("id") % 137).cast("string").as("g"))
+    val sel = QuotaSample.quotaSample(grouped, "g", "id", k = 997)
+    assert(sel.count() === 997L, "quotas must sum to exactly k across 137 groups")
+    // every group's draw equals its quota
+    val bad = sel.groupBy("g").agg(count(lit(1)).as("m"), first("quota").as("q"))
+      .filter(col("m") =!= col("q")).count()
+    assert(bad === 0L)
+  }
 }

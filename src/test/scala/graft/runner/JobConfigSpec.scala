@@ -223,6 +223,41 @@ class JobConfigSpec extends SparkSpec {
     intercept[IllegalArgumentException](JobConfig.run(spark, JobConfig.parse("job.name=x")))
   }
 
+  test("job.type=index: incremental BM25 index; updates replace rows; empty delta no-op") {
+    import spark.implicits._
+    import graft.operators.Bm25
+    val root = tmpDir("indexjob")
+    val props = JobConfig.parse(
+      s"""job.type=index
+         |job.name=t_idx
+         |source.path=$root/src
+         |index.id=doc_id
+         |index.text=text
+         |index.seq=seq
+         |sink.staging=$root/staging
+         |sink.output=$root/idx
+         |state.dir=$root/state
+         |""".stripMargin)
+    Seq((1L, 1L, "a b"), (2L, 2L, "b c")).toDF("doc_id", "seq", "text")
+      .write.mode("append").parquet(s"$root/src")
+    val r1 = JobConfig.runAny(spark, props)
+    assert(r1("published") == "true" && r1("highWatermark") == "2")
+    // epoch 2: doc 1 UPDATED (higher seq, new text) + new doc 3
+    Seq((1L, 3L, "z z z"), (3L, 4L, "c d")).toDF("doc_id", "seq", "text")
+      .write.mode("append").parquet(s"$root/src")
+    val r2 = JobConfig.runAny(spark, props)
+    assert(r2("published") == "true" && r2("highWatermark") == "4")
+    val got = spark.read.parquet(s"$root/idx").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(1), r.getLong(3))).toSet
+    val want = Bm25.index(
+        Seq((1L, "z z z"), (2L, "b c"), (3L, "c d")).toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(1), r.getLong(3))).toSet
+    assert(got === want, "merged index must equal a rebuild from the final corpus")
+    val r3 = JobConfig.runAny(spark, props)
+    assert(r3("published") == "false" && r3("deltaRows") == "0")
+  }
+
   test("job.type=curate: filters, dedup, budget, and funnel accounting") {
     import spark.implicits._
     val root = tmpDir("curatejob")
