@@ -144,6 +144,42 @@ object OperatorGates9 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // --- per-document tf-idf keywords (doc tagging): top-3 terms per
+    //     doc by tf × quantized idf (exact long product, Bm25.idfq);
+    //     rank bound rides WindowGroupLimit ------------------------
+    "q_doc_keywords" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val post = graft.operators.Bm25.index(t(s, dir, "documents"), "doc_id", "text")
+      val dft = post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val stats = post.groupBy().agg(countDistinct(col("doc_id")).as("n_docs"))
+      post.join(dft, Seq("token")).join(broadcast(stats))
+        .withColumn("score",
+          col("tf") * graft.operators.Bm25.idfq(col("n_docs"), col("df")))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("token"))))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("token"), col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // --- per-source data cards (corpus governance): the one-row-per-
+    //     source release report — volume, token mass, language spread,
+    //     exact-dup rate, mean length -------------------------------
+    "q_data_cards" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(graft.functions.Text.tokens(coalesce(col("text"), lit("")))))
+            .cast("long").as("n_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"),
+          sum(col("n_chars")).cast("long").as("n_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("mean_chars"))
+        .orderBy(col("source"))
+    }),
+
     // --- declarative incremental index job (job.type=index): two
     //     watermark epochs build the BM25 index via mergeIndex; a
     //     third run is a no-op; queries scored from the PUBLISHED
@@ -485,6 +521,44 @@ object OperatorGates9 {
          |QUALIFY rank <= $k
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_doc_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(coalesce(text, ''), ' '), x -> len(x) > 0)
+         |      AS toks
+         |  FROM documents),
+         |post AS (
+         |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS token FROM toks)
+         |  GROUP BY doc_id, token),
+         |dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY token),
+         |st AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM post),
+         |sc AS (
+         |  SELECT p.doc_id, p.token,
+         |    CAST(p.tf * CAST(floor(CAST(2 * st.n_docs - 2 * d.df + 1 AS DOUBLE)
+         |        * ${d(graft.operators.Bm25.Scale.toDouble)}
+         |        / CAST(2 * d.df + 1 AS DOUBLE)) AS BIGINT) AS BIGINT) AS score
+         |  FROM post p JOIN dft d ON p.token = d.token, st)
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id
+         |         ORDER BY score DESC, token) AS BIGINT) AS rank,
+         |  token, score
+         |FROM sc
+         |QUALIFY rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_data_cards" ->
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |                           x -> len(x) > 0))) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_chars
+        |FROM documents GROUP BY source
+        |ORDER BY source""".stripMargin,
 
     "q_index_job" ->
       s"""WITH ${bm25Ctes("((doc_id % 41) + 41) % 41 = 0")}
