@@ -217,6 +217,59 @@ object OperatorGates9 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // --- STREAMING index maintenance (foreachBatch + Bm25.mergeIndex):
+    //     three micro-batches of documents (third re-delivers every
+    //     6th doc with CORRECTED text — a late-correction upsert);
+    //     each batch merges into the published index by crash-safe
+    //     snapshot swap. Scoring from the final index must equal the
+    //     oracle's full-corpus scoring — merge == rebuild under
+    //     streaming delivery, corrections included -------------------
+    "q_stream_index" -> ((s, dir) => {
+      import graft.operators.Bm25
+      import graft.sink.{Publisher, SinkSpec}
+      import graft.streaming.StreamingIngest
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // batches 1+2 carry STALE text for every 6th doc; batch 3 is the
+      // correction replay (delta-wins must leave only corrected rows)
+      val staled = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(6)) === 0,
+          concat(coalesce(col("text"), lit("")), lit(" stale stale")))
+          .otherwise(col("text")))
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val split = maxId / 2
+      val inDir = java.nio.file.Files.createTempDirectory("q_stream_index")
+      val now = System.currentTimeMillis()
+      OperatorGates8.stageFile(staled.filter(col("doc_id") <= split),
+        inDir, "b1.parquet", now - 180000)
+      OperatorGates8.stageFile(staled.filter(col("doc_id") > split),
+        inDir, "b2.parquet", now - 120000)
+      OperatorGates8.stageFile(docs.filter(pmod(col("doc_id"), lit(6)) === 0),
+        inDir, "b3.parquet", now - 60000)
+      val root = java.nio.file.Files.createTempDirectory("q_stream_index_out").toString
+      val idxPath = s"$root/idx"
+      val pub = new Publisher(s.sparkContext.hadoopConfiguration)
+      val stream = StreamingIngest.readFileStream(s, docs.schema,
+        inDir.toString, maxFilesPerTrigger = Some(1))
+      val q = stream.writeStream
+        .foreachBatch { (delta: DataFrame, _: Long) =>
+          val merged =
+            if (new java.io.File(idxPath).exists())
+              Bm25.mergeIndex(s.read.parquet(idxPath), delta, "doc_id", "text")
+            else Bm25.index(delta, "doc_id", "text")
+          val spec = SinkSpec(s"$root/staging", idxPath)
+          pub.writeStaged(merged, spec) // full stage reads the CURRENT index
+          pub.publishSnapshot(spec)
+          ()
+        }
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Bm25.topKFromIndex(s.read.parquet(idxPath),
+          docs.filter(pmod(col("doc_id"), lit(47)) === 0), "doc_id", "text", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // --- keys-only streaming dedup with bounded state (StreamingIngest
     //     .streamingDedupWithinWatermark): the events file replayed in
     //     a second micro-batch with ts JITTERED +1 min — the classic
@@ -562,6 +615,12 @@ object OperatorGates9 {
 
     "q_index_job" ->
       s"""WITH ${bm25Ctes("((doc_id % 41) + 41) % 41 = 0")}
+         |SELECT query_id, rank, doc_id, score, n_terms
+         |FROM bmr WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q_stream_index" ->
+      s"""WITH ${bm25Ctes("((doc_id % 47) + 47) % 47 = 0")}
          |SELECT query_id, rank, doc_id, score, n_terms
          |FROM bmr WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
