@@ -3,10 +3,13 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-7 wave 3: retrieval and corpus-understanding operators —
-  * BM25 ranked retrieval (quantized-idf, bit-replayable), filtered
-  * ANN search, cluster topic summaries. Oracles replay scoring math
-  * with identical IEEE expression trees in DuckDB.
+/** Round-7 retrieval + curation tier: BM25 ranked retrieval with
+  * incremental (batch, declarative, and streaming) index maintenance,
+  * filtered ANN, hybrid RRF fusion, token-budget / quota selection,
+  * filter-cascade funnels, per-doc keywords, per-source data cards,
+  * keys-only streaming dedup, cluster topics, domain centroids.
+  * Oracles replay all scoring math with identical IEEE expression
+  * trees (or pure integers) in DuckDB — no transcendentals anywhere.
   */
 object OperatorGates9 {
 
