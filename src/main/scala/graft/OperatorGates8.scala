@@ -223,10 +223,17 @@ object OperatorGates8 {
       val pub = new Publisher(s.sparkContext.hadoopConfiguration)
       val stream = StreamingIngest.readFileStream(s, ch.schema,
         inDir.toString, maxFilesPerTrigger = Some(1))
+      // Hadoop-FS existence check (not java.io.File): must answer
+      // through the same FS the Publisher swaps snapshots on
+      val hconf = s.sparkContext.hadoopConfiguration
+      def dimExists(): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(dimPath)
+        p.getFileSystem(hconf).exists(p)
+      }
       val q = stream.writeStream
         .foreachBatch { (delta: DataFrame, _: Long) =>
           val dim =
-            if (new java.io.File(dimPath).exists()) s.read.parquet(dimPath)
+            if (dimExists()) s.read.parquet(dimPath)
             else Scd2.fromChangelog(delta.limit(0),
               "custkey", "seq", "op", Seq("price"))
           val merged = Scd2.merge(dim, delta,

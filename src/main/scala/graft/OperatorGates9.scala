@@ -253,10 +253,18 @@ object OperatorGates9 {
       val pub = new Publisher(s.sparkContext.hadoopConfiguration)
       val stream = StreamingIngest.readFileStream(s, docs.schema,
         inDir.toString, maxFilesPerTrigger = Some(1))
+      // existence via the Hadoop FS the Publisher writes through — a
+      // java.io.File check would silently answer "no" on a non-local
+      // default FS and every batch would REPLACE instead of merge
+      val hconf = s.sparkContext.hadoopConfiguration
+      def idxExists(): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(idxPath)
+        p.getFileSystem(hconf).exists(p)
+      }
       val q = stream.writeStream
         .foreachBatch { (delta: DataFrame, _: Long) =>
           val merged =
-            if (new java.io.File(idxPath).exists())
+            if (idxExists())
               Bm25.mergeIndex(s.read.parquet(idxPath), delta, "doc_id", "text")
             else Bm25.index(delta, "doc_id", "text")
           val spec = SinkSpec(s"$root/staging", idxPath)

@@ -50,9 +50,20 @@ object BudgetSelect {
       .repartitionByRange(n, col(priorityCol).desc, col(idCol))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint(true)
-    // per-partition totals -> prefix offsets (driver-side: n longs)
-    val totals = ordered.groupBy(col("_pid")).agg(sum(col("_cost")).as("_t"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // per-partition totals -> prefix offsets (driver-side: n longs).
+    // Null costs are rejected HERE (piggybacked on the same pass): a
+    // null would vanish from sum() and ride the previous row's
+    // cum_cost through the budget filter for free.
+    val totals = ordered.groupBy(col("_pid"))
+      .agg(sum(col("_cost")).as("_t"),
+        count(when(col("_cost").isNull, lit(1))).as("_nulls"))
+      .collect()
+      .map { r =>
+        require(r.getLong(2) == 0,
+          s"costCol '$costCol' has ${r.getLong(2)} null/uncastable values " +
+            s"(partition ${r.getInt(0)}); budget selection needs exact costs")
+        (r.getInt(0), r.getLong(1))
+      }.sortBy(_._1)
     val offsets: Map[Int, Long] =
       totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
         .sliding(2).collect { case Array((_, acc), (pid, _)) => pid -> acc }

@@ -34,8 +34,13 @@ object FilterFunnel {
         sum(when(alive(i), 1L).otherwise(0L)).as(s"_pass$i"))
     }
     val one = docs.agg(aggs.head, aggs.tail: _*)
+    // Spark SQL string literals escape with BACKSLASH, not the SQL-
+    // standard '' doubling — '' parses as two adjacent strings
+    // concatenated (silently eating the quote)
+    def q(s: String): String =
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
     val stackArgs = stages.zipWithIndex.map { case ((name, _), i) =>
-      s"CAST($i AS BIGINT), '${name.replace("'", "''")}', _in$i, _pass$i"
+      s"CAST($i AS BIGINT), ${q(name)}, _in$i, _pass$i"
     }.mkString(", ")
     one.selectExpr(
         s"stack(${stages.size}, $stackArgs) AS (stage, name, n_in, n_pass)")

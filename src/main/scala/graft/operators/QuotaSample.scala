@@ -32,6 +32,12 @@ object QuotaSample {
       salt: String = "quota"): DataFrame = {
     require(k >= 0, s"budget must be >= 0, got $k")
     val counts = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n_g"))
+    // enforce the documented k <= N contract instead of silently
+    // returning fewer than k rows (one tiny action over the GROUPS
+    // aggregate, not another corpus scan)
+    val totalRows = counts.agg(coalesce(sum(col("n_g")), lit(0L))).head.getLong(0)
+    require(k <= totalRows,
+      s"budget k=$k exceeds the corpus size $totalRows — quotas cannot sum to k")
     // allocation over the groups table (domain-sized): base floor
     // quotas + largest-remainder top-up. The empty-partition windows
     // here see #groups rows — deliberately tiny.

@@ -346,10 +346,22 @@ object JobConfig {
         // index = retrieval).
         val idCol = req(p, "index.id")
         val textCol = req(p, "index.text")
-        incrementalPublish(spark, p, kind = "index", req(p, "index.seq")) {
+        val seqCol = req(p, "index.seq")
+        incrementalPublish(spark, p, kind = "index", seqCol) {
           (published, delta) =>
-            published.fold(graft.operators.Bm25.index(delta, idCol, textCol))(
-              idx => graft.operators.Bm25.mergeIndex(idx, delta, idCol, textCol))
+            // a doc can be updated MORE THAN ONCE inside one delta;
+            // mergeIndex treats every delta row as current, so reduce
+            // to the latest version per doc by seq first (ties: any —
+            // equal seq means equal version under the watermark
+            // contract). Same latest-wins discipline as Scd2.merge.
+            val latest = delta
+              .withColumn("_rn", row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(col(idCol))
+                  .orderBy(col(seqCol).cast("long").desc)))
+              .filter(col("_rn") === 1).drop("_rn")
+            published.fold(graft.operators.Bm25.index(latest, idCol, textCol))(
+              idx => graft.operators.Bm25.mergeIndex(idx, latest, idCol, textCol))
         }
 
       case "curate" =>
@@ -399,7 +411,13 @@ object JobConfig {
                   size(Text.tokens(coalesce(col(costText), lit(""))))),
                 idCol, "_cost", prio, budget.toLong)
               .drop("_cost", "cum_cost")
-          case _ => deduped
+          case (None, None) => deduped
+          case (t, pr) =>
+            // a half-specified budget must be a config ERROR, not a
+            // silent full-corpus publish
+            throw new IllegalArgumentException(
+              "curate.budget.tokens and curate.budget.priority must be set " +
+                s"together (got tokens=$t, priority=$pr)")
         }
         import graft.sink.{Publisher, SinkSpec}
         val spec = SinkSpec(req(p, "sink.staging"), req(p, "sink.output"))
@@ -407,8 +425,11 @@ object JobConfig {
         pub.writeStaged(selected, spec)
         pub.publishSnapshot(spec)
         val published = spark.read.parquet(req(p, "sink.output")).count()
+        // stage 0's n_in IS the source row count — don't scan the
+        // corpus a second time just for the summary
+        val rowsIn = funnel.headOption.map(_._2).getOrElse(docs.count())
         Map("published" -> "true",
-          "rowsIn" -> docs.count().toString,
+          "rowsIn" -> rowsIn.toString,
           "rowsPublished" -> published.toString) ++
           funnel.map { case (name, in, pass) =>
             s"stage.$name" -> s"$in->$pass" }.toMap

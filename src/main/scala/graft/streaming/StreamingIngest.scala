@@ -159,9 +159,11 @@ object StreamingIngest {
     * concern) with bounded state at 100 TB.
     */
   def streamingDedupWithinWatermark(stream: DataFrame, tsCol: String,
-      lateness: String, keys: Seq[String]): DataFrame =
+      lateness: String, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "within-watermark dedup needs at least one key column")
     stream.withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+  }
 
   /** Stream-stream event-time interval join: left rows match right
     * rows with the same key whose timestamp falls in

@@ -33,6 +33,15 @@ class BudgetSelectSpec extends SparkSpec {
     }
   }
 
+  test("null costs are rejected loudly, never selected for free") {
+    val withNull = Seq((1L, Some(10L), 5L), (2L, None, 9L))
+      .toDF("id", "cost", "prio")
+    val e = intercept[Exception] {
+      BudgetSelect.selectByBudget(withNull, "id", "cost", "prio", 100L, 2).collect()
+    }
+    assert(e.getMessage.contains("null"), s"unexpected: ${e.getMessage}")
+  }
+
   test("budget >= total keeps everything; straddler and beyond are dropped") {
     assert(run(1000L, 3).map(_._1).toSet === (1L to 8L).toSet)
     // order: 2(20) 3(25) 8(55) 4(95) 6(120) 1(130) 5(145) 7(146)

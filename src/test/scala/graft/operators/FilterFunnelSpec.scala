@@ -30,6 +30,15 @@ class FilterFunnelSpec extends SparkSpec {
     assert((rows(0).getLong(2), rows(0).getLong(3)) === ((5L, 5L)))
   }
 
+  test("stage names with quotes and backslashes survive the unpivot verbatim") {
+    val rows = FilterFunnel.report(docs, Seq(
+        "it's" -> (col("lang") === "en"),
+        """back\slash""" -> lit(true)))
+      .orderBy("stage").collect()
+    assert(rows(0).getString(1) === "it's")
+    assert(rows(1).getString(1) === """back\slash""")
+  }
+
   test("empty stage list is rejected") {
     intercept[IllegalArgumentException] {
       FilterFunnel.report(docs, Seq.empty)

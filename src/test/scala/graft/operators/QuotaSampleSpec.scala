@@ -32,6 +32,12 @@ class QuotaSampleSpec extends SparkSpec {
     assert(QuotaSample.quotaSample(docs, "g", "id", k = 0).count() === 0L)
   }
 
+  test("k beyond the corpus size fails fast instead of under-delivering silently") {
+    intercept[IllegalArgumentException] {
+      QuotaSample.quotaSample(docs, "g", "id", k = 101)
+    }
+  }
+
   test("draw is deterministic across runs") {
     def ids = QuotaSample.quotaSample(docs, "g", "id", k = 13)
       .select("id").as[Long].collect().toSet

@@ -256,6 +256,36 @@ class JobConfigSpec extends SparkSpec {
     assert(got === want, "merged index must equal a rebuild from the final corpus")
     val r3 = JobConfig.runAny(spark, props)
     assert(r3("published") == "false" && r3("deltaRows") == "0")
+    // epoch 3: the SAME doc updated TWICE within one delta — only the
+    // latest version may survive (no doubled tf, no stale postings)
+    Seq((2L, 5L, "m n"), (2L, 6L, "p q p")).toDF("doc_id", "seq", "text")
+      .write.mode("append").parquet(s"$root/src")
+    val r4 = JobConfig.runAny(spark, props)
+    assert(r4("published") == "true" && r4("highWatermark") == "6")
+    val got2 = spark.read.parquet(s"$root/idx").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(1), r.getLong(3))).toSet
+    val want2 = Bm25.index(
+        Seq((1L, "z z z"), (2L, "p q p"), (3L, "c d")).toDF("doc_id", "text"),
+        "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(1), r.getLong(3))).toSet
+    assert(got2 === want2, "multi-update delta must keep only the latest version")
+  }
+
+  test("job.type=curate: half-specified budget is a config error, not a silent full publish") {
+    import spark.implicits._
+    val root = tmpDir("curatehalf")
+    Seq((1L, "en", 10L, "a b")).toDF("doc_id", "lang", "n_chars", "text")
+      .write.parquet(s"$root/docs")
+    val props = JobConfig.parse(
+      s"""job.type=curate
+         |job.name=t2
+         |source.path=$root/docs
+         |curate.id=doc_id
+         |curate.budget.tokens=100
+         |sink.staging=$root/staging
+         |sink.output=$root/out
+         |""".stripMargin)
+    intercept[IllegalArgumentException] { JobConfig.runAny(spark, props) }
   }
 
   test("job.type=curate: filters, dedup, budget, and funnel accounting") {
