@@ -147,6 +147,23 @@ object OperatorGates9 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // --- retrieval-based decontamination (the BM25 use case): every
+    //     53rd doc stands in for a benchmark item; corpus docs whose
+    //     BM25 score against ANY benchmark query clears a threshold
+    //     are flagged, with how many queries hit them and the max
+    //     score — the shortlist a human (or an n-gram-overlap second
+    //     stage, q_decontaminate) then confirms ----------------------
+    "q_retrieval_decontam" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(pmod(col("doc_id"), lit(53)) === 0)
+      graft.operators.Bm25.topK(docs, bench, "doc_id", "text",
+          "doc_id", "text", k = 20)
+        .filter(col("score") >= 3000000L)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_queries_hit"), max(col("score")).as("max_score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- per-document tf-idf keywords (doc tagging): top-3 terms per
     //     doc by tf × quantized idf (exact long product, Bm25.idfq);
     //     rank bound rides WindowGroupLimit ------------------------
@@ -585,6 +602,13 @@ object OperatorGates9 {
          |QUALIFY rank <= $k
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_retrieval_decontam" ->
+      s"""WITH ${bm25Ctes("((doc_id % 53) + 53) % 53 = 0")}
+         |SELECT doc_id, count(*) AS n_queries_hit, max(score) AS max_score
+         |FROM bmr WHERE rank <= 20 AND score >= 3000000
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "q_doc_keywords" ->
       s"""WITH toks AS (
