@@ -147,6 +147,21 @@ object OperatorGates9 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // --- contrastive triplet mining (operators/TripletMining.scala):
+    //     every 29th doc anchors a (positive = exact cosine NN,
+    //     negatives = BM25 top candidates with cosine < 0.15) training
+    //     triplet — hard negatives: lexically confusable, semantically
+    //     distinct. The oracle replays both rankers and the veto -----
+    "q_mine_triplets" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val anchors = docs.filter(pmod(col("doc_id"), lit(29)) === 0)
+      graft.operators.TripletMining.mine(docs, emb, anchors,
+          "doc_id", "text", "vec_id", "embedding",
+          kCand = 10, nNeg = 3, negMaxSim = 0.15)
+        .orderBy(col("anchor_id"), col("neg_rank"))
+    }),
+
     // --- retrieval-based decontamination (the BM25 use case): every
     //     53rd doc stands in for a benchmark item; corpus docs whose
     //     BM25 score against ANY benchmark query clears a threshold
@@ -602,6 +617,34 @@ object OperatorGates9 {
          |QUALIFY rank <= $k
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_mine_triplets" ->
+      s"""WITH ${bm25Ctes("((doc_id % 29) + 29) % 29 = 0")},
+         |vecs AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |pos AS (
+         |  SELECT a.vec_id AS anchor_id, b.vec_id AS pos_id, $CosineAB AS pos_sim
+         |  FROM vecs a JOIN vecs b
+         |    ON ((a.vec_id % 29) + 29) % 29 = 0 AND b.vec_id <> a.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY anchor_id
+         |            ORDER BY pos_sim DESC, pos_id) = 1),
+         |veto0 AS (
+         |  SELECT c.query_id AS anchor_id, c.doc_id AS neg_id, c.rank AS bm_rank,
+         |    $CosineAB AS neg_sim
+         |  FROM bmr c
+         |  JOIN vecs a ON a.vec_id = c.query_id
+         |  JOIN vecs b ON b.vec_id = c.doc_id
+         |  WHERE c.rank <= 10),
+         |veto AS (SELECT * FROM veto0 WHERE neg_sim < ${d(0.15)}),
+         |trip AS (
+         |  SELECT v.anchor_id, p.pos_id, p.pos_sim, v.neg_id, v.neg_sim,
+         |    CAST(row_number() OVER (PARTITION BY v.anchor_id
+         |           ORDER BY v.bm_rank) AS BIGINT) AS neg_rank
+         |  FROM veto v JOIN pos p ON p.anchor_id = v.anchor_id
+         |  WHERE v.neg_id <> p.pos_id)
+         |SELECT anchor_id, pos_id, pos_sim, neg_rank, neg_id, neg_sim
+         |FROM trip WHERE neg_rank <= 3
+         |ORDER BY anchor_id, neg_rank""".stripMargin,
 
     "q_retrieval_decontam" ->
       s"""WITH ${bm25Ctes("((doc_id % 53) + 53) % 53 = 0")}
