@@ -147,6 +147,17 @@ object OperatorGates9 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // --- T5-style span corruption (operators/SpanCorruption.scala):
+    //     deterministic block masking (FNV(doc|block) % 4 == 0,
+    //     adjacent blocks merge into spans) -> (input with sentinels,
+    //     target with removed spans). The oracle rebuilds both texts
+    //     token-by-token ---------------------------------------------
+    "q_span_corruption" -> ((s, dir) => {
+      graft.operators.SpanCorruption.corrupt(
+          t(s, dir, "documents"), "doc_id", "text", blockSize = 3, maskMod = 4)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- contrastive triplet mining (operators/TripletMining.scala):
     //     every 29th doc anchors a (positive = exact cosine NN,
     //     negatives = BM25 top candidates with cosine < 0.15) training
@@ -616,6 +627,68 @@ object OperatorGates9 {
          |FROM fused
          |QUALIFY rank <= $k
          |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_span_corruption" -> {
+      val mask = OracleSql.fnvS(
+        "CAST(doc_id AS VARCHAR) || '|' || CAST(block AS VARCHAR)")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(coalesce(text, ''), ' '), x -> len(x) > 0)
+         |      AS toks
+         |  FROM documents),
+         |tk AS (
+         |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok,
+         |    CAST((i - 1) // 3 AS BIGINT) AS block
+         |  FROM (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i, toks
+         |        FROM toks)),
+         |blk AS (
+         |  SELECT DISTINCT doc_id, block,
+         |    (($mask % 4) + 4) % 4 = 0 AS masked
+         |  FROM tk),
+         |runs AS (
+         |  SELECT doc_id, block, masked,
+         |    CASE WHEN masked AND NOT coalesce(lag(masked) OVER w, false)
+         |         THEN 1 ELSE 0 END AS run_start
+         |  FROM blk WINDOW w AS (PARTITION BY doc_id ORDER BY block)),
+         |runid AS (
+         |  SELECT doc_id, block, masked,
+         |    sum(run_start) OVER (PARTITION BY doc_id ORDER BY block
+         |                         ROWS UNBOUNDED PRECEDING) - 1 AS run_id
+         |  FROM runs),
+         |tt AS (
+         |  SELECT t.doc_id, t.pos, t.tok, r.masked, r.run_id
+         |  FROM tk t JOIN runid r ON r.doc_id = t.doc_id AND r.block = t.block),
+         |inp AS (
+         |  SELECT doc_id, string_agg(piece, ' ' ORDER BY k) AS input_text FROM (
+         |    SELECT doc_id, CAST(pos AS BIGINT) AS k, tok AS piece
+         |    FROM tt WHERE NOT masked
+         |    UNION ALL
+         |    SELECT doc_id, CAST(min(pos) AS BIGINT),
+         |      '<extra_id_' || CAST(run_id AS VARCHAR) || '>'
+         |    FROM tt WHERE masked GROUP BY doc_id, run_id)
+         |  GROUP BY doc_id),
+         |tgtp AS (
+         |  SELECT doc_id, run_id, CAST(pos AS BIGINT) AS p, tok AS piece
+         |  FROM tt WHERE masked
+         |  UNION ALL
+         |  SELECT DISTINCT doc_id, run_id, CAST(-1 AS BIGINT),
+         |    '<extra_id_' || CAST(run_id AS VARCHAR) || '>'
+         |  FROM tt WHERE masked),
+         |tgt AS (
+         |  SELECT doc_id, string_agg(piece, ' ' ORDER BY run_id, p) AS target_text,
+         |    CAST(count(DISTINCT run_id) AS BIGINT) AS n_spans,
+         |    CAST(count(*) FILTER (WHERE p >= 0) AS BIGINT) AS n_masked_tokens
+         |  FROM tgtp GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(inp.input_text, '') AS input_text,
+         |  coalesce(tgt.target_text, '') AS target_text,
+         |  coalesce(tgt.n_spans, 0) AS n_spans,
+         |  coalesce(tgt.n_masked_tokens, 0) AS n_masked_tokens
+         |FROM documents d
+         |LEFT JOIN inp ON inp.doc_id = d.doc_id
+         |LEFT JOIN tgt ON tgt.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q_mine_triplets" ->
