@@ -147,6 +147,15 @@ object OperatorGates9 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // --- fill-in-the-middle pairs (SpanCorruption.fim): deterministic
+    //     FNV cut points -> <fim_prefix> P <fim_suffix> S <fim_middle>
+    //     M reordering (Bavarian et al. 2022); pure projection, the
+    //     oracle rebuilds every reordered string ----------------------
+    "q_fim_pairs" -> ((s, dir) => {
+      graft.operators.SpanCorruption.fim(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // --- T5-style span corruption (operators/SpanCorruption.scala):
     //     deterministic block masking (FNV(doc|block) % 4 == 0,
     //     adjacent blocks merge into spans) -> (input with sentinels,
@@ -627,6 +636,37 @@ object OperatorGates9 {
          |FROM fused
          |QUALIFY rank <= $k
          |ORDER BY query_id, rank""".stripMargin
+    },
+
+    "q_fim_pairs" -> {
+      def cutSql(salt: String) = {
+        val f = OracleSql.fnvS(s"CAST(doc_id AS VARCHAR) || '|' || '$salt'")
+        s"((($f) % (len(t) + 1)) + (len(t) + 1)) % (len(t) + 1)"
+      }
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(coalesce(text, ''), ' '), x -> len(x) > 0)
+         |      AS t
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n,
+         |    ${cutSql("fimA")} AS ca,
+         |    ${cutSql("fimB")} AS cb
+         |  FROM toks),
+         |cc AS (
+         |  SELECT doc_id, t, n,
+         |    CAST(least(ca, cb) AS BIGINT) AS c1,
+         |    CAST(greatest(ca, cb) AS BIGINT) AS c2
+         |  FROM c)
+         |SELECT doc_id,
+         |  concat_ws(' ', '<fim_prefix>',
+         |    nullif(array_to_string(t[1:c1], ' '), ''),
+         |    '<fim_suffix>',
+         |    nullif(array_to_string(t[c2+1:n], ' '), ''),
+         |    '<fim_middle>',
+         |    nullif(array_to_string(t[c1+1:c2], ' '), '')) AS psm_text,
+         |  c1 AS n_prefix, c2 - c1 AS n_middle, n - c2 AS n_suffix
+         |FROM cc ORDER BY doc_id""".stripMargin
     },
 
     "q_span_corruption" -> {

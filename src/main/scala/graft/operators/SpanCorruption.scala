@@ -27,6 +27,44 @@ import graft.functions.{Fnv64, Text}
   */
 object SpanCorruption {
 
+  /** Fill-in-the-middle (FIM) transformation (Bavarian et al. 2022,
+    * arXiv:2207.14255; the StarCoder/code-model pretraining transform):
+    * deterministically split each doc's token stream into
+    * (prefix, middle, suffix) and emit the PSM reordering
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` — the model learns
+    * infilling from plain next-token prediction. Split points are
+    * FNV-derived fractions of the token count (seedless determinism):
+    * cut1 = fnv(id|a) % (n+1), cut2 = fnv(id|b) % (n+1), ordered.
+    * Pure projection + one tokens pass — no shuffle at all beyond the
+    * scan.
+    */
+  def fim(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = Text.tokens(coalesce(col(textCol), lit("")))
+    val n = size(toks).cast("long")
+    def cut(salt: String) =
+      pmod(Fnv64(concat_ws("|", col(idCol), lit(salt))), n + 1L)
+    // empty segments become NULL so concat_ws skips them (no double
+    // spaces between adjacent sentinels)
+    def seg(c: org.apache.spark.sql.Column) = nullif(concat_ws(" ", c), lit(""))
+    docs
+      .withColumn("_t", toks)
+      .withColumn("_c1", least(cut("fimA"), cut("fimB")))
+      .withColumn("_c2", greatest(cut("fimA"), cut("fimB")))
+      .select(col(idCol),
+        concat_ws(" ",
+          lit("<fim_prefix>"),
+          seg(slice(col("_t"), lit(1), col("_c1").cast("int"))),
+          lit("<fim_suffix>"),
+          seg(slice(col("_t"), col("_c2").cast("int") + 1,
+            (size(col("_t")).cast("long") - col("_c2")).cast("int"))),
+          lit("<fim_middle>"),
+          seg(slice(col("_t"), col("_c1").cast("int") + 1,
+            (col("_c2") - col("_c1")).cast("int")))).as("psm_text"),
+        col("_c1").as("n_prefix"),
+        (col("_c2") - col("_c1")).as("n_middle"),
+        (size(col("_t")).cast("long") - col("_c2")).as("n_suffix"))
+  }
+
   /** One row per input doc: (id, input_text, target_text, n_spans,
     * n_masked_tokens). Docs with nothing masked keep their full text
     * and an empty target.

@@ -58,6 +58,29 @@ class SpanCorruptionSpec extends SparkSpec {
     assert(a.map(_.toString).sorted === b.map(_.toString).sorted)
   }
 
+  test("fim: PSM reordering reconstructs the original; counts partition the doc") {
+    val rows = SpanCorruption.fim(docs, "doc_id", "text").collect()
+    val originals = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).split(" ").filter(_.nonEmpty).toSeq).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val psm = r.getString(1)
+      // parse <fim_prefix> P <fim_suffix> S <fim_middle> M
+      val sfx = psm.indexOf("<fim_suffix>"); val mid = psm.indexOf("<fim_middle>")
+      assert(sfx >= 0 && mid > sfx, s"doc $id: $psm")
+      def toks(s: String) = s.split(" ").filter(_.nonEmpty).toSeq
+      val p = toks(psm.substring("<fim_prefix>".length, sfx))
+      val sf = toks(psm.substring(sfx + "<fim_suffix>".length, mid))
+      val m = toks(psm.substring(mid + "<fim_middle>".length))
+      assert(p ++ m ++ sf === originals(id), s"doc $id")
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) ===
+        ((p.size.toLong, m.size.toLong, sf.size.toLong)))
+    }
+    // empty doc degenerates to the bare sentinels
+    val empty = rows.find(_.getLong(0) == 3L).get
+    assert(empty.getString(1) === "<fim_prefix> <fim_suffix> <fim_middle>")
+  }
+
   test("empty and unmasked docs keep full text with empty targets") {
     val byId = SpanCorruption.corrupt(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r).toMap
