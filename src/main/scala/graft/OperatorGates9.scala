@@ -147,6 +147,38 @@ object OperatorGates9 {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // --- GPG file codec (functions/Pgp.scala): documents encrypted by
+    //     the REAL gpg binary (AES-256, per-doc passphrases, gpg's
+    //     default compression), decrypted on executors by the pure-JCE
+    //     RFC 4880 implementation through the binaryFile source. The
+    //     fixture prep shells to gpg over ~20 docs (driver-side,
+    //     count-bounded); the oracle is the original plaintext -------
+    "q_gpg_roundtrip" -> ((s, dir) => {
+      import graft.functions.PgpDecrypt
+      val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id"), col("text")).collect() // ~20 fixture rows
+      val tmp = java.nio.file.Files.createTempDirectory("q_gpg")
+      val enc = tmp.resolve("enc"); java.nio.file.Files.createDirectories(enc)
+      docs.foreach { r =>
+        val id = r.getLong(0)
+        val pt = tmp.resolve(s"$id.txt")
+        java.nio.file.Files.write(pt, r.getString(1).getBytes("UTF-8"))
+        val rc = new ProcessBuilder("gpg", "--batch", "--yes", "--symmetric",
+            "--cipher-algo", "AES256", "--passphrase", s"graft|$id",
+            "-o", enc.resolve(s"$id.gpg").toString, pt.toString)
+          .redirectErrorStream(true).start().waitFor()
+        require(rc == 0, s"gpg encrypt failed for doc $id (rc=$rc)")
+      }
+      s.read.format("binaryFile").load(s"$enc/*.gpg")
+        .select(regexp_extract(col("path"), "(\\d+)\\.gpg$", 1)
+          .cast("long").as("doc_id"), col("content"))
+        .select(col("doc_id"),
+          PgpDecrypt(col("content"), concat(lit("graft|"), col("doc_id")))
+            .cast("string").as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- fill-in-the-middle pairs (SpanCorruption.fim): deterministic
     //     FNV cut points -> <fim_prefix> P <fim_suffix> S <fim_middle>
     //     M reordering (Bavarian et al. 2022); pure projection, the
@@ -637,6 +669,11 @@ object OperatorGates9 {
          |QUALIFY rank <= $k
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_gpg_roundtrip" ->
+      """SELECT doc_id, text FROM documents
+        |WHERE ((doc_id % 25) + 25) % 25 = 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q_fim_pairs" -> {
       def cutSql(salt: String) = {

@@ -1,0 +1,297 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import java.security.MessageDigest
+import javax.crypto.Cipher
+import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** OpenPGP (RFC 4880) passphrase-based file crypto in pure JCE — the
+  * reference's GPG codec seam
+  * (gobblin-modules/gobblin-crypto/.../GPGFileEncryptor.java /
+  * GPGFileDecryptor.java) re-expressed without BouncyCastle, which the
+  * zero-egress classpath lacks. Wire-compatible with GnuPG for the
+  * password-based subset the reference exercises:
+  *
+  *   decrypt: SKESK(v4, S2K simple/salted/iterated; SHA1/256/512) +
+  *            SEIPD(v1, AES-128/192/256 CFB) packets, old- and
+  *            new-format headers including PARTIAL lengths (gpg
+  *            streams pipes with partial-length packets), optional
+  *            ZIP/ZLIB compressed payload, MDC integrity verified;
+  *   encrypt: SKESK(iterated+salted SHA-256) + SEIPD(AES-256) +
+  *            uncompressed literal — decryptable by `gpg -d`
+  *            (interop-tested in PgpSpec against the real binary).
+  *
+  * Scale shape: a codec — executors decrypt file bytes in place
+  * (binaryFile source column -> plaintext column), no driver state.
+  */
+object Pgp {
+
+  // --- S2K (RFC 4880 §3.7) -------------------------------------------
+
+  private def hashName(id: Int): String = id match {
+    case 2 => "SHA-1"
+    case 8 => "SHA-256"
+    case 9 => "SHA-384"
+    case 10 => "SHA-512"
+    case 11 => "SHA-224"
+    case other => throw new IllegalArgumentException(s"unsupported S2K hash algo $other")
+  }
+
+  private def keyBytes(symAlgo: Int): Int = symAlgo match {
+    case 7 => 16 // AES-128
+    case 8 => 24 // AES-192
+    case 9 => 32 // AES-256
+    case other => throw new IllegalArgumentException(s"unsupported cipher algo $other (AES only)")
+  }
+
+  /** Iterated+salted S2K; `count` octets of (salt ++ passphrase)
+    * repeated, per preloaded-zeros context until keyLen is covered.
+    */
+  private[graft] def s2k(passphrase: Array[Byte], salt: Array[Byte], count: Long,
+      hashAlgo: Int, keyLen: Int): Array[Byte] = {
+    val data = salt ++ passphrase
+    val total = math.max(count, data.length.toLong)
+    val out = new ByteArrayOutputStream()
+    var ctx = 0
+    while (out.size < keyLen) {
+      val md = MessageDigest.getInstance(hashName(hashAlgo))
+      var i = 0
+      while (i < ctx) { md.update(0.toByte); i += 1 }
+      var fed = 0L
+      while (fed < total) {
+        val n = math.min(data.length.toLong, total - fed).toInt
+        md.update(data, 0, n)
+        fed += n
+      }
+      out.write(md.digest())
+      ctx += 1
+    }
+    out.toByteArray.take(keyLen)
+  }
+
+  private def s2kCount(c: Int): Long = (16L + (c & 15)) << ((c >> 4) + 6)
+
+  // --- packet stream parsing -----------------------------------------
+
+  /** One parsed packet: tag + body (partial-length bodies coalesced). */
+  private final case class Packet(tag: Int, body: Array[Byte])
+
+  private final class Reader(buf: Array[Byte], var pos: Int = 0) {
+    def u8(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
+    def take(n: Int): Array[Byte] = {
+      require(n >= 0 && pos + n <= buf.length, s"truncated packet at $pos (+$n)")
+      val r = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; r
+    }
+    def atEnd: Boolean = pos >= buf.length
+  }
+
+  private def parsePackets(bytes: Array[Byte]): Seq[Packet] = {
+    val r = new Reader(bytes)
+    val out = Seq.newBuilder[Packet]
+    while (!r.atEnd) {
+      val hdr = r.u8()
+      require((hdr & 0x80) != 0, f"not an OpenPGP packet header: 0x$hdr%02x")
+      if ((hdr & 0x40) != 0) {
+        // new format
+        val tag = hdr & 0x3f
+        val body = new ByteArrayOutputStream()
+        var done = false
+        while (!done) {
+          val b0 = r.u8()
+          if (b0 < 192) { body.write(r.take(b0)); done = true }
+          else if (b0 <= 223) {
+            val len = ((b0 - 192) << 8) + r.u8() + 192
+            body.write(r.take(len)); done = true
+          } else if (b0 == 255) {
+            val len = (r.u8() << 24) | (r.u8() << 16) | (r.u8() << 8) | r.u8()
+            body.write(r.take(len)); done = true
+          } else {
+            // partial length: 2^(b0 & 0x1f), more headers follow
+            body.write(r.take(1 << (b0 & 0x1f)))
+          }
+        }
+        out += Packet(tag, body.toByteArray)
+      } else {
+        // old format
+        val tag = (hdr >> 2) & 0x0f
+        val len = (hdr & 0x03) match {
+          case 0 => r.u8()
+          case 1 => (r.u8() << 8) | r.u8()
+          case 2 => (r.u8() << 24) | (r.u8() << 16) | (r.u8() << 8) | r.u8()
+          case 3 => bytes.length - r.pos // indeterminate: to end of input
+        }
+        out += Packet(tag, r.take(len))
+      }
+    }
+    out.result()
+  }
+
+  // --- decrypt --------------------------------------------------------
+
+  /** Decrypted literal: original filename (may be empty) + data. */
+  final case class Literal(name: String, data: Array[Byte])
+
+  def decrypt(encrypted: Array[Byte], passphrase: String): Literal = {
+    val packets = parsePackets(encrypted)
+    val skesk = packets.find(_.tag == 3).getOrElse(
+      throw new IllegalArgumentException("no symmetric-key session packet (tag 3)"))
+    val seipd = packets.find(_.tag == 18).getOrElse(
+      throw new IllegalArgumentException(
+        "no integrity-protected data packet (tag 18) — non-MDC data is rejected"))
+
+    val sr = new Reader(skesk.body)
+    require(sr.u8() == 4, "unsupported SKESK version")
+    val symAlgo = sr.u8()
+    val s2kType = sr.u8()
+    val hashAlgo = sr.u8()
+    val (salt, count) = s2kType match {
+      case 0 => (Array.empty[Byte], 0L)
+      case 1 => (sr.take(8), 0L)
+      case 3 => val s = sr.take(8); (s, s2kCount(sr.u8()))
+      case other => throw new IllegalArgumentException(s"unsupported S2K type $other")
+    }
+    require(sr.atEnd, "encrypted session keys are out of scope (passphrase-only seam)")
+    val key = s2k(passphrase.getBytes("UTF-8"), salt, count, hashAlgo, keyBytes(symAlgo))
+
+    val dr = new Reader(seipd.body)
+    require(dr.u8() == 1, "unsupported SEIPD version (AEAD not in the v1 seam)")
+    val cipherText = dr.take(seipd.body.length - 1)
+    val c = Cipher.getInstance("AES/CFB128/NoPadding")
+    c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"),
+      new IvParameterSpec(new Array[Byte](16)))
+    val plain = c.doFinal(cipherText)
+    require(plain.length >= 18 + 22, "ciphertext too short")
+    require(plain(14) == plain(16) && plain(15) == plain(17),
+      "session key check failed — wrong passphrase?")
+    // MDC: last 22 bytes are D3 14 SHA1(plain[0 .. len-20))
+    val mdcAt = plain.length - 22
+    require((plain(mdcAt) & 0xff) == 0xd3 && (plain(mdcAt + 1) & 0xff) == 0x14,
+      "missing MDC trailer")
+    val sha = MessageDigest.getInstance("SHA-1")
+    sha.update(plain, 0, mdcAt + 2)
+    require(java.util.Arrays.equals(sha.digest(),
+        java.util.Arrays.copyOfRange(plain, mdcAt + 2, plain.length)),
+      "MDC integrity check failed — data tampered")
+
+    val inner = java.util.Arrays.copyOfRange(plain, 18, mdcAt)
+    literalOf(parsePackets(inner))
+  }
+
+  private def literalOf(packets: Seq[Packet]): Literal =
+    packets.collectFirst {
+      case Packet(11, body) =>
+        val lr = new Reader(body)
+        lr.u8() // format: 'b'/'t'/'u'
+        val name = new String(lr.take(lr.u8()), "UTF-8")
+        lr.take(4) // date
+        Literal(name, lr.take(body.length - lr.pos))
+      case Packet(8, body) =>
+        // compressed data: algo byte + packets
+        val algo = body(0) & 0xff
+        val deflated = java.util.Arrays.copyOfRange(body, 1, body.length)
+        val raw = algo match {
+          case 0 => deflated
+          case 1 => inflate(deflated, nowrap = true) // ZIP
+          case 2 => inflate(deflated, nowrap = false) // ZLIB
+          case other => throw new IllegalArgumentException(s"unsupported compression $other")
+        }
+        literalOf(parsePackets(raw))
+    }.getOrElse(throw new IllegalArgumentException("no literal data packet found"))
+
+  private def inflate(data: Array[Byte], nowrap: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!inf.finished() && !inf.needsInput()) {
+      val n = inf.inflate(buf)
+      if (n == 0 && !inf.finished()) {
+        require(!inf.needsInput(), "truncated compressed stream")
+      }
+      out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  // --- encrypt --------------------------------------------------------
+
+  /** Passphrase-encrypt `data` as gpg would (`--symmetric --cipher-algo
+    * AES256`): SKESK(iterated+salted SHA-256, count 65536) + SEIPD v1,
+    * uncompressed literal. `gpg -d` accepts the output (PgpSpec).
+    * Salt/prefix randomness comes from SecureRandom; pass a fixed
+    * `rng` only in tests.
+    */
+  def encrypt(data: Array[Byte], passphrase: String, name: String = "",
+      rng: java.security.SecureRandom = new java.security.SecureRandom()): Array[Byte] = {
+    val salt = new Array[Byte](8); rng.nextBytes(salt)
+    val countByte = 0x60 // (16+0) << (6+6) = 65536
+    val key = s2k(passphrase.getBytes("UTF-8"), salt, s2kCount(countByte),
+      hashAlgo = 8, keyLen = 32)
+
+    def newPacket(tag: Int, body: Array[Byte]): Array[Byte] = {
+      val hdr = new ByteArrayOutputStream()
+      hdr.write(0xc0 | tag)
+      val n = body.length
+      if (n < 192) hdr.write(n)
+      else if (n < 8384) { hdr.write(((n - 192) >> 8) + 192); hdr.write((n - 192) & 0xff) }
+      else { hdr.write(255); hdr.write(n >> 24); hdr.write((n >> 16) & 0xff)
+        hdr.write((n >> 8) & 0xff); hdr.write(n & 0xff) }
+      hdr.write(body, 0, n)
+      hdr.toByteArray
+    }
+
+    val skesk = newPacket(3,
+      Array[Byte](4, 9, 3, 8) ++ salt ++ Array(countByte.toByte))
+
+    val nameBytes = name.getBytes("UTF-8")
+    require(nameBytes.length < 256, "literal filename too long")
+    val literal = newPacket(11,
+      Array[Byte]('b'.toByte, nameBytes.length.toByte) ++ nameBytes ++
+        Array[Byte](0, 0, 0, 0) ++ data)
+
+    val prefix = new Array[Byte](16); rng.nextBytes(prefix)
+    val plain = new ByteArrayOutputStream()
+    plain.write(prefix); plain.write(prefix(14)); plain.write(prefix(15))
+    plain.write(literal, 0, literal.length)
+    plain.write(0xd3); plain.write(0x14)
+    val sha = MessageDigest.getInstance("SHA-1")
+    val mdcBody = plain.toByteArray
+    plain.write(sha.digest(mdcBody), 0, 20)
+
+    val c = Cipher.getInstance("AES/CFB128/NoPadding")
+    c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"),
+      new IvParameterSpec(new Array[Byte](16)))
+    val seipd = newPacket(18, Array[Byte](1) ++ c.doFinal(plain.toByteArray))
+    skesk ++ seipd
+  }
+}
+
+/** Column form of [[Pgp.decrypt]]: (encrypted bytes, passphrase) ->
+  * literal data bytes. CodegenFallback by design — packet parsing +
+  * JCE decryption is object work either way (same stance as
+  * AvroDatumDecode); executors decrypt in place, no driver state.
+  */
+case class PgpDecrypt(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pgp_decrypt"
+  override protected def nullSafeEval(data: Any, pass: Any): Any =
+    Pgp.decrypt(data.asInstanceOf[Array[Byte]],
+      pass.asInstanceOf[UTF8String].toString).data
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PgpDecrypt =
+    copy(left = l, right = r)
+}
+
+object PgpDecrypt {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  def apply(data: Column, passphrase: Column): Column =
+    ColumnShim.toColumn(PgpDecrypt(
+      ColumnShim.toExpression(data), ColumnShim.toExpression(passphrase)))
+}
