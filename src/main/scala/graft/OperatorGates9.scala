@@ -155,9 +155,11 @@ object OperatorGates9 {
     //     count-bounded); the oracle is the original plaintext -------
     "q_gpg_roundtrip" -> ((s, dir) => {
       import graft.functions.PgpDecrypt
+      // COUNT-BOUNDED fixture set (doc_id < 500 pins the same 20 docs
+      // at every SF — subprocess fixture prep must not scale with data)
       val docs = t(s, dir, "documents")
-        .filter(pmod(col("doc_id"), lit(25)) === 0)
-        .select(col("doc_id"), col("text")).collect() // ~20 fixture rows
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .select(col("doc_id"), col("text")).collect()
       val tmp = java.nio.file.Files.createTempDirectory("q_gpg")
       val enc = tmp.resolve("enc"); java.nio.file.Files.createDirectories(enc)
       docs.foreach { r =>
@@ -672,7 +674,7 @@ object OperatorGates9 {
 
     "q_gpg_roundtrip" ->
       """SELECT doc_id, text FROM documents
-        |WHERE ((doc_id % 25) + 25) % 25 = 0
+        |WHERE ((doc_id % 25) + 25) % 25 = 0 AND doc_id < 500
         |ORDER BY doc_id""".stripMargin,
 
     "q_fim_pairs" -> {
