@@ -206,15 +206,21 @@ object Pgp {
 
   private def inflate(data: Array[Byte], nowrap: Boolean): Array[Byte] = {
     val inf = new java.util.zip.Inflater(nowrap)
-    inf.setInput(data)
+    // raw-deflate (nowrap) inflaters may need one dummy byte past the
+    // final block (Inflater javadoc); harmless to always provide.
+    inf.setInput(data :+ 0.toByte)
     val out = new ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
-    while (!inf.finished() && !inf.needsInput()) {
+    // drain until FINISHED — exiting on needsInput() with pending
+    // internal output silently truncates (measured: repetitive docs
+    // whose compressed stream fits zlib's bit buffer lost their tail)
+    while (!inf.finished()) {
       val n = inf.inflate(buf)
-      if (n == 0 && !inf.finished()) {
-        require(!inf.needsInput(), "truncated compressed stream")
+      if (n > 0) out.write(buf, 0, n)
+      else if (!inf.finished()) {
+        require(!inf.needsInput() && !inf.needsDictionary(),
+          "truncated compressed stream")
       }
-      out.write(buf, 0, n)
     }
     inf.end()
     out.toByteArray

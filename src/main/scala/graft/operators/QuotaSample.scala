@@ -32,12 +32,6 @@ object QuotaSample {
       salt: String = "quota"): DataFrame = {
     require(k >= 0, s"budget must be >= 0, got $k")
     val counts = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n_g"))
-    // enforce the documented k <= N contract instead of silently
-    // returning fewer than k rows (one tiny action over the GROUPS
-    // aggregate, not another corpus scan)
-    val totalRows = counts.agg(coalesce(sum(col("n_g")), lit(0L))).head.getLong(0)
-    require(k <= totalRows,
-      s"budget k=$k exceeds the corpus size $totalRows — quotas cannot sum to k")
     // allocation over the groups table (domain-sized): base floor
     // quotas + largest-remainder top-up. The empty-partition windows
     // here see #groups rows — deliberately tiny.
@@ -53,11 +47,24 @@ object QuotaSample {
       .withColumn("rr", row_number().over(
         Window.orderBy(col("rem").desc, col("g"))))
       .withColumn("quota", col("base") + when(col("rr") <= deficitCol, 1L).otherwise(0L))
+      // contract enforcement IN-PLAN on the domain-sized groups table
+      // (no extra corpus scan, no second evaluation of the aggregate):
+      // quota > n_g happens exactly when k > N (largest-remainder
+      // property) — error, never silently under-deliver.
+      .withColumn("quota",
+        when(col("quota") > col("n_g"), raise_error(concat(
+          lit(s"budget k=$k exceeds the corpus size — group "),
+          coalesce(col("g").cast("string"), lit("<null>")),
+          lit(" allocated "), col("quota"), lit(" of "), col("n_g"), lit(" rows"))))
+          .otherwise(col("quota")))
       .select(col("g"), col("n_g"), col("quota"))
     val keyed = df.select(col(groupCol).as("g"), col(idCol).as("id"),
       md5(concat_ws("|", lit(salt), col(idCol))).as("_key"))
     val wg = Window.partitionBy(col("g")).orderBy(col("_key"), col("id"))
-    keyed.join(ranked, Seq("g"))
+    // NULL-SAFE join: groupBy keeps a null group, so the draw must too
+    // (a plain equi-join would silently drop its whole allocation)
+    keyed.join(ranked.withColumnRenamed("g", "_rg"),
+        col("g") <=> col("_rg")).drop("_rg")
       .withColumn("_rn", row_number().over(wg))
       .filter(col("_rn") <= col("quota"))
       .select(col("g").as(groupCol), col("id").as(idCol), col("n_g"), col("quota"))

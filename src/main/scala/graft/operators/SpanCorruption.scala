@@ -86,8 +86,12 @@ object SpanCorruption {
       .withColumn("run_id",
         sum(when(col("run_start"), 1L).otherwise(0L))
           .over(wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+    // `t` feeds FOUR assembly branches below (2 input + 2 target) plus
+    // their aggregations; checkpoint it so the tokenize + window +
+    // join subtree evaluates ONCE, not once per branch (same device as
+    // BudgetSelect's frozen range exchange)
     val t = toks.join(blocks.select(col("id"), col("block"), col("run_id")),
-      Seq("id", "block"))
+      Seq("id", "block")).localCheckpoint(true)
     def sentinel(run: org.apache.spark.sql.Column) =
       concat(lit("<extra_id_"), run.cast("string"), lit(">"))
     // input pieces: unmasked tokens at their position; one sentinel per

@@ -63,6 +63,23 @@ class PgpSpec extends AnyFunSuite {
     assert(lit.data.length === "partial length body ".length * 2000)
   }
 
+  test("gpg interop: highly-compressible payloads inflate COMPLETELY (truncation regression)") {
+    assume(haveGpg, "gpg binary not on PATH")
+    val tmp = java.nio.file.Files.createTempDirectory("pgpspec3")
+    // sizes around the measured truncation shape: compressed stream
+    // fits zlib's bit buffer while the 8192-byte output buffer fills
+    for (size <- Seq(8192, 24714, 65536, 100001)) {
+      val data = Array.fill[Byte](size)('a'.toByte)
+      java.nio.file.Files.write(tmp.resolve("r.bin"), data)
+      assert(sh("gpg", "--batch", "--yes", "--symmetric", "--cipher-algo", "AES256",
+        "--passphrase", "pw", "-o", tmp.resolve("r.gpg").toString,
+        tmp.resolve("r.bin").toString) == 0)
+      val lit = Pgp.decrypt(java.nio.file.Files.readAllBytes(tmp.resolve("r.gpg")), "pw")
+      assert(lit.data.length === size, s"size=$size truncated to ${lit.data.length}")
+      assert(lit.data.forall(_ == 'a'.toByte))
+    }
+  }
+
   test("s2k iterated-salted matches itself across key sizes and hash widths") {
     // keyLen > hash width forces the preloaded-zeros multi-context path
     val salt = Array.tabulate[Byte](8)(_.toByte)

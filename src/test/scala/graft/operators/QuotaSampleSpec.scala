@@ -32,10 +32,21 @@ class QuotaSampleSpec extends SparkSpec {
     assert(QuotaSample.quotaSample(docs, "g", "id", k = 0).count() === 0L)
   }
 
-  test("k beyond the corpus size fails fast instead of under-delivering silently") {
-    intercept[IllegalArgumentException] {
-      QuotaSample.quotaSample(docs, "g", "id", k = 101)
+  test("k beyond the corpus size errors instead of under-delivering silently") {
+    val e = intercept[Exception] {
+      QuotaSample.quotaSample(docs, "g", "id", k = 101).collect()
     }
+    assert(e.getMessage.contains("exceeds") ||
+      Option(e.getCause).exists(_.getMessage.contains("exceeds")), e.getMessage)
+  }
+
+  test("null group keys draw their allocation like any group (null-safe join)") {
+    val withNull = docs.withColumn("g",
+      when(col("id") <= 10, null).otherwise(col("g")))
+    val sel = QuotaSample.quotaSample(withNull, "g", "id", k = 50)
+    assert(sel.count() === 50L, "null group's allocation must not silently vanish")
+    // the null group (10 of 100 rows) gets its proportional 5
+    assert(sel.filter(col("g").isNull).count() === 5L)
   }
 
   test("draw is deterministic across runs") {
