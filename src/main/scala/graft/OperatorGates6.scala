@@ -911,13 +911,14 @@ object OperatorGates6 {
         |    (SELECT sum(n) FROM c) AS total
         |  FROM c),
         |r AS (
-        |  SELECT domain, n, share, total, sqrt(share) AS sw,
-        |    sum(sqrt(share)) OVER (ORDER BY domain
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |  FROM w)
+        |  SELECT domain, n, share, total,
+        |    CAST(floor(sqrt(share) * 1099511627776.0) AS BIGINT) AS swq
+        |  FROM w),
+        |d AS (SELECT sum(swq) AS denomq FROM r)
         |SELECT domain, n, share,
-        |  sw / (SELECT max(cum) FROM r) AS weight,
-        |  sw / (SELECT max(cum) FROM r) * CAST(total AS DOUBLE) / n AS epochs
+        |  CAST(swq AS DOUBLE) / CAST((SELECT denomq FROM d) AS DOUBLE) AS weight,
+        |  CAST(swq AS DOUBLE) / CAST((SELECT denomq FROM d) AS DOUBLE)
+        |    * CAST(total AS DOUBLE) / n AS epochs
         |FROM r ORDER BY domain""".stripMargin,
 
     "q_temperature_resample" ->
@@ -929,13 +930,14 @@ object OperatorGates6 {
         |    (SELECT sum(n) FROM c) AS total
         |  FROM c),
         |r AS (
-        |  SELECT domain, n, share, total, sqrt(share) AS sw,
-        |    sum(sqrt(share)) OVER (ORDER BY domain
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  SELECT domain, n, share, total,
+        |    CAST(floor(sqrt(share) * 1099511627776.0) AS BIGINT) AS swq
         |  FROM w),
+        |d0 AS (SELECT sum(swq) AS denomq FROM r),
         |e AS (
         |  SELECT domain, n AS n_in,
-        |    sw / (SELECT max(cum) FROM r) * CAST(total AS DOUBLE) / n AS epochs
+        |    CAST(swq AS DOUBLE) / CAST((SELECT denomq FROM d0) AS DOUBLE)
+        |      * CAST(total AS DOUBLE) / n AS epochs
         |  FROM r),
         |d AS (
         |  SELECT doc_id, lang,

@@ -52,7 +52,8 @@ object OperatorGates9 {
         graft.operators.Bm25.index(stale, "doc_id", "text"),
         updated, "doc_id", "text")
       val queries = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
-      graft.operators.Bm25.topKFromIndex(merged, queries, "doc_id", "text", k = 10)
+      graft.operators.Bm25.topKFromIndex(merged, queries, "doc_id", "text", k = 10,
+        excludeSelf = true)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -166,7 +167,11 @@ object OperatorGates9 {
         val id = r.getLong(0)
         val pt = tmp.resolve(s"$id.txt")
         java.nio.file.Files.write(pt, r.getString(1).getBytes("UTF-8"))
-        val rc = new ProcessBuilder("gpg", "--batch", "--yes", "--symmetric",
+        // --force-mdc pins SEIPD v1 (MDC) output: gpg 2.3+/2.4 would
+        // otherwise emit AEAD/OCB symmetric packets the pure-JCE
+        // decoder deliberately does not speak (no-op on gpg 2.2)
+        val rc = new ProcessBuilder("gpg", "--batch", "--yes", "--force-mdc",
+            "--symmetric",
             "--cipher-algo", "AES256", "--passphrase", s"graft|$id",
             "-o", enc.resolve(s"$id.gpg").toString, pt.toString)
           .redirectErrorStream(true).start().waitFor()
@@ -302,7 +307,8 @@ object OperatorGates9 {
       require(r3("published") == "false" && r3("deltaRows") == "0",
         s"empty epoch must be a no-op: $r3")
       graft.operators.Bm25.topKFromIndex(s.read.parquet(s"$tmp/idx"),
-          docs.filter(pmod(col("doc_id"), lit(41)) === 0), "doc_id", "text", k = 10)
+          docs.filter(pmod(col("doc_id"), lit(41)) === 0), "doc_id", "text", k = 10,
+          excludeSelf = true)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -363,7 +369,8 @@ object OperatorGates9 {
         .start()
       q.awaitTermination()
       Bm25.topKFromIndex(s.read.parquet(idxPath),
-          docs.filter(pmod(col("doc_id"), lit(47)) === 0), "doc_id", "text", k = 10)
+          docs.filter(pmod(col("doc_id"), lit(47)) === 0), "doc_id", "text", k = 10,
+          excludeSelf = true)
         .orderBy(col("query_id"), col("rank"))
     }),
 

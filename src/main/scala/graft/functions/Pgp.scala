@@ -29,6 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale shape: a codec — executors decrypt file bytes in place
   * (binaryFile source column -> plaintext column), no driver state.
+  *
+  * GnuPG compatibility: decrypt speaks SKESK v4 + SEIPD v1 (MDC) —
+  * the format every GnuPG 1.4–2.2 emits and 2.3/2.4 emit under
+  * `--force-mdc` (without it, 2.3+ defaults to AEAD/OCB output, which
+  * this codec rejects loudly at the SEIPD version check). All in-repo
+  * gpg fixture invocations pass `--force-mdc` for that reason.
   */
 object Pgp {
 

@@ -103,11 +103,19 @@ object Bm25 {
     topKFromIndex(index(corpus, idCol, textCol), queries, qIdCol, qTextCol,
       k, qTerms, k1, b, maxDf, excludeSelf)
 
-  /** [[topK]] over a prebuilt/incrementally-maintained [[index]]. */
+  /** [[topK]] over a prebuilt/incrementally-maintained [[index]].
+    *
+    * `excludeSelf` defaults to FALSE here (unlike [[topK]]): index
+    * queries generally come from a DIFFERENT id domain than corpus
+    * docs, and filtering `doc_id =!= query_id` across unrelated
+    * domains would silently drop a legitimate hit on a coincidental
+    * id collision. Pass `excludeSelf = true` only when queries are
+    * drawn from the indexed corpus itself.
+    */
   def topKFromIndex(post: DataFrame, queries: DataFrame,
       qIdCol: String, qTextCol: String, k: Int, qTerms: Int = 8,
       k1: Double = 1.2, b: Double = 0.75, maxDf: Long = Long.MaxValue,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = false): DataFrame = {
     // corpus-level stats: one row, broadcast into the scoring join
     val stats = post.groupBy().agg(
       countDistinct(col("doc_id")).as("n_docs"),

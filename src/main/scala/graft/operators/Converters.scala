@@ -189,33 +189,46 @@ object Converters {
     * weight share^α / Σ share^α and the implied epochs over each
     * domain at that weight. α is fixed at 0.5 so the power is `sqrt`
     * — correctly-rounded IEEE and therefore bit-reproducible across
-    * engines (`pow(x, 0.5)` is not). The denominator folds the
-    * per-domain terms in DOMAIN ORDER through a running-sum window
-    * (sum of doubles is order-dependent; pinning the order makes any
-    * engine produce the identical fold). One corpus aggregation, then
-    * windows over #domains rows — the single-partition window is fine
-    * because its input IS the domain list, never the corpus.
+    * engines (`pow(x, 0.5)` is not).
+    *
+    * The denominator Σ sqrt(share) is a sum of DOUBLES — order-
+    * dependent if folded directly. Instead each term is quantized to
+    * a 2^40 fixed-point integer, `swq = floor(sqrt(share) * 2^40)`
+    * (multiply by a power of two is exact — pure exponent shift — and
+    * sqrt/division are correctly-rounded IEEE, so swq is identical on
+    * every engine), and the denominator is the EXACT long sum Σ swq:
+    * order-free, no pinned fold, no window at all. Headroom: by
+    * Cauchy-Schwarz Σ sqrt(share) <= sqrt(#domains), so the long sum
+    * holds past 2^46 domains. Weights shift by <2^-39 relative vs the
+    * unquantized ratio — noise for sampling weights.
+    *
+    * 100 TB shape: ONE corpus aggregation, materialized
+    * (localCheckpoint) so the two O(1) driver scalars (total, denomq)
+    * re-read the domain-sized table, never the corpus — and a 10M-
+    * domain web corpus never funnels through a single-partition
+    * window (this operator previously order-pinned the fold through
+    * one; [[GlobalOrder]] documents the general pattern).
     */
   def mixtureTemperature(df: DataFrame, domainCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = df.groupBy(col(domainCol).as("domain"))
       .agg(count(lit(1)).as("n"))
-    val full = Window.rowsBetween(
-      Window.unboundedPreceding, Window.unboundedFollowing)
-    val runTo = Window.orderBy(col("domain")).rowsBetween(
-      Window.unboundedPreceding, Window.currentRow)
-    counts
-      .withColumn("total", sum(col("n")).over(full)) // exact longs: order-free
-      .withColumn("share", col("n").cast("double") / col("total"))
-      .withColumn("sw", sqrt(col("share")))
-      .withColumn("cum", sum(col("sw")).over(runTo))
-      // sw > 0, so the running sum is monotone: max == the final fold
-      .withColumn("denom", max(col("cum")).over(full))
-      .select(col("domain"), col("n"), col("share"),
-        (col("sw") / col("denom")).as("weight"),
-        (col("sw") / col("denom") * col("total").cast("double") / col("n"))
-          .as("epochs"))
+      .localCheckpoint(true)
+    val total = counts.agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    val quantized = counts
+      .withColumn("share", col("n").cast("double") / lit(total))
+      .withColumn("swq", floor(sqrt(col("share")) * lit(Sw2p40)).cast("long"))
+    val denomq = // exact long sum: order-free
+      quantized.agg(coalesce(sum(col("swq")), lit(0L))).head.getLong(0)
+    quantized.select(col("domain"), col("n"), col("share"),
+      (col("swq").cast("double") / lit(denomq).cast("double")).as("weight"),
+      (col("swq").cast("double") / lit(denomq).cast("double")
+        * lit(total).cast("double") / col("n")).as("epochs"))
   }
+
+  /** 2^40 as an exact double: the [[mixtureTemperature]] fixed-point
+    * quantum (oracle SQL spells it 1099511627776.0).
+    */
+  private val Sw2p40: Double = 1099511627776.0
 
   /** Materialize the [[mixtureTemperature]] weights as an actual
     * resampled corpus: every record is emitted `floor(epochs)` times

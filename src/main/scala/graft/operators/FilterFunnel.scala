@@ -28,10 +28,13 @@ object FilterFunnel {
     val alive = stages.scanLeft(lit(true)) { case (acc, (_, p)) =>
       acc && coalesce(p, lit(false))
     }.drop(1)
+    // coalesce: a global sum over ZERO rows is NULL, and an empty
+    // corpus must report a zero-count funnel, not null counts (callers
+    // like JobConfig's curate summary read these as primitive longs)
     val aggs = stages.indices.flatMap { i =>
       val in = if (i == 0) lit(true) else alive(i - 1)
-      Seq(sum(when(in, 1L).otherwise(0L)).as(s"_in$i"),
-        sum(when(alive(i), 1L).otherwise(0L)).as(s"_pass$i"))
+      Seq(coalesce(sum(when(in, 1L).otherwise(0L)), lit(0L)).as(s"_in$i"),
+        coalesce(sum(when(alive(i), 1L).otherwise(0L)), lit(0L)).as(s"_pass$i"))
     }
     val one = docs.agg(aggs.head, aggs.tail: _*)
     // Spark SQL string literals escape with BACKSLASH, not the SQL-

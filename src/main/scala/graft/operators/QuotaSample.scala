@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * The draw is md5-keyed smallest-first (same deterministic-uniform
   * device as the stratified sampler), so reruns and engines agree.
   *
-  * 100 TB shape: group counts are one map-side-combined aggregation;
-  * the allocation runs on the GROUPS table (window over #groups rows —
-  * domain-cardinality, not corpus); the draw is one quota join + one
+  * 100 TB shape: group counts are one map-side-combined aggregation,
+  * materialized once (localCheckpoint) so every later pass is
+  * groups-sized; total/deficit are O(1) driver scalars off that
+  * checkpoint; the largest-remainder rank runs through
+  * [[GlobalOrder.withRowNumber]] — range exchange + per-partition
+  * window + prefix offsets, NO single-partition window even at 10M+
+  * registrable-domain group counts; the draw is one quota join + one
   * per-group rank window, rank bound pushed as WindowGroupLimit.
   */
 object QuotaSample {
@@ -31,22 +35,31 @@ object QuotaSample {
   def quotaSample(df: DataFrame, groupCol: String, idCol: String, k: Long,
       salt: String = "quota"): DataFrame = {
     require(k >= 0, s"budget must be >= 0, got $k")
+    // ONE corpus scan, materialized: the allocation below re-reads the
+    // domain-sized groups table, never the corpus
     val counts = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n_g"))
-    // allocation over the groups table (domain-sized): base floor
-    // quotas + largest-remainder top-up. The empty-partition windows
-    // here see #groups rows — deliberately tiny.
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val withTotal = counts.withColumn("total", sum(col("n_g")).over(wAll))
-    val based = withTotal
+      .localCheckpoint(true)
+    // O(1) driver scalar off the checkpoint (coalesce: empty corpus)
+    val total = counts.agg(coalesce(sum(col("n_g")), lit(0L))).head.getLong(0)
+    // the in-plan quota>n_g guard below can't fire on an EMPTY corpus
+    // (no group rows to evaluate) — enforce the k<=N contract here
+    if (total == 0 && k > 0) throw new IllegalArgumentException(
+      s"budget k=$k exceeds the corpus size — corpus is empty")
+    val based = counts
       .withColumn("_nk", col("n_g") * k)
       // SQL `div`: true integer division on longs (no double round-trip)
-      .withColumn("base", expr("_nk div total"))
-      .withColumn("rem", col("_nk") % col("total"))
-    val deficitCol = lit(k) - sum(col("base")).over(wAll)
-    val ranked = based
-      .withColumn("rr", row_number().over(
-        Window.orderBy(col("rem").desc, col("g"))))
-      .withColumn("quota", col("base") + when(col("rr") <= deficitCol, 1L).otherwise(0L))
+      .withColumn("base", expr(s"_nk div CAST(${math.max(total, 1L)} AS BIGINT)"))
+      .withColumn("rem", col("_nk") % lit(math.max(total, 1L)))
+    // largest-remainder rank over the groups table WITHOUT a global
+    // single-partition sort (10M+ domains stay parallel); ranks over
+    // the total order (rem DESC, g) are partition-invariant
+    val ranked0 = GlobalOrder.withRowNumber(based,
+      Seq(col("rem").desc, col("g")), "rr")
+    // deficit = k - Σ base: O(1) driver scalar off the rank checkpoint
+    val deficit =
+      k - ranked0.agg(coalesce(sum(col("base")), lit(0L))).head.getLong(0)
+    val ranked = ranked0
+      .withColumn("quota", col("base") + when(col("rr") <= lit(deficit), 1L).otherwise(0L))
       // contract enforcement IN-PLAN on the domain-sized groups table
       // (no extra corpus scan, no second evaluation of the aggregate):
       // quota > n_g happens exactly when k > N (largest-remainder

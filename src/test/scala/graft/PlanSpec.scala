@@ -176,10 +176,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
-  test("mix temperature: corpus aggregated once; windows see only domains") {
+  test("mix temperature: no window at all — quantized order-free denominator") {
     val p = plan("q_mix_temperature")
-    assert("Scan parquet".r.findAllIn(p).size == 1,
-      "mixture weights must read the corpus exactly once")
+    // the corpus aggregation is materialized eagerly (localCheckpoint);
+    // the returned plan reads the domain table, total/denom are
+    // literals, and the old single-partition running-sum window is gone
+    assert(!p.contains("Window"),
+      s"mixture weights must not window at all (10M-domain corpora):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      "mixture weights must never funnel into one task")
+  }
+
+  test("quota sample: largest-remainder rank never collapses to one task") {
+    val p = plan("q_quota_sample")
+    // the rank over groups rides GlobalOrder's range exchange +
+    // _gpid-partitioned window; the only remaining windows are
+    // per-group (draw) and per-range-partition (rank) — both keyed
+    assert(!p.contains("Exchange SinglePartition"),
+      s"group allocation must stay parallel at 10M+ domains:\n$p")
   }
 
   test("zorder: pure bit-op projection + one aggregation, no join") {

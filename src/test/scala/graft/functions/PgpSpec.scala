@@ -38,7 +38,7 @@ class PgpSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("pgpspec")
     val msg = "interop body with unicode éü and spaces"
     java.nio.file.Files.write(tmp.resolve("m.txt"), msg.getBytes("UTF-8"))
-    assert(sh("gpg", "--batch", "--yes", "--symmetric", "--cipher-algo", "AES256",
+    assert(sh("gpg", "--batch", "--yes", "--force-mdc", "--symmetric", "--cipher-algo", "AES256",
       "--passphrase", "pw", "-o", tmp.resolve("a.gpg").toString,
       tmp.resolve("m.txt").toString) == 0)
     val lit = Pgp.decrypt(java.nio.file.Files.readAllBytes(tmp.resolve("a.gpg")), "pw")
@@ -56,7 +56,7 @@ class PgpSpec extends AnyFunSuite {
     assume(haveGpg, "gpg binary not on PATH")
     val tmp = java.nio.file.Files.createTempDirectory("pgpspec2")
     assert(sh("bash", "-c",
-      s"printf 'partial length body %.0s' {1..2000} | gpg --batch --yes --symmetric " +
+      s"printf 'partial length body %.0s' {1..2000} | gpg --batch --yes --force-mdc --symmetric " +
         s"--cipher-algo AES192 --s2k-digest-algo SHA512 --passphrase pw3 " +
         s"-o ${tmp.resolve("s.gpg")}") == 0)
     val lit = Pgp.decrypt(java.nio.file.Files.readAllBytes(tmp.resolve("s.gpg")), "pw3")
@@ -71,7 +71,7 @@ class PgpSpec extends AnyFunSuite {
     for (size <- Seq(8192, 24714, 65536, 100001)) {
       val data = Array.fill[Byte](size)('a'.toByte)
       java.nio.file.Files.write(tmp.resolve("r.bin"), data)
-      assert(sh("gpg", "--batch", "--yes", "--symmetric", "--cipher-algo", "AES256",
+      assert(sh("gpg", "--batch", "--yes", "--force-mdc", "--symmetric", "--cipher-algo", "AES256",
         "--passphrase", "pw", "-o", tmp.resolve("r.gpg").toString,
         tmp.resolve("r.bin").toString) == 0)
       val lit = Pgp.decrypt(java.nio.file.Files.readAllBytes(tmp.resolve("r.gpg")), "pw")

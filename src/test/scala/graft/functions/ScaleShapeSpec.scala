@@ -265,4 +265,44 @@ class ScaleShapeSpec extends SparkSpec {
       .filter(col("m") =!= col("q")).count()
     assert(bad === 0L)
   }
+
+  test("quota sample at 1M groups: allocation stays parallel and sums to k") {
+    import graft.operators.QuotaSample
+    // a registrable-domain-sized group table — the shape that used to
+    // funnel through one single-partition rank window. 2M rows, 1M
+    // groups of 2; exactness (Σ quota = k) must survive the
+    // range-exchange rank at this cardinality.
+    val grouped = spark.range(2000000L)
+      .select(col("id"), (col("id") % 1000000L).as("g"))
+    val sel = QuotaSample.quotaSample(grouped, "g", "id", k = 499979)
+    assert(sel.count() === 499979L,
+      "largest-remainder quotas must sum to exactly k across 1M groups")
+  }
+
+  test("global rank at 1M groups matches the 1-partition reference on a boundary slice") {
+    import graft.operators.GlobalOrder
+    val t = spark.range(1000000L)
+      .select(col("id"), ((col("id") * 2654435761L) % 999983L).as("ord"))
+    val wide = GlobalOrder.withRowNumber(t, Seq(col("ord").desc, col("id")), "r",
+      partitions = 64)
+    val narrow = GlobalOrder.withRowNumber(t, Seq(col("ord").desc, col("id")), "r",
+      partitions = 1)
+    // ranks over a total order are partition-assignment-invariant:
+    // compare an arbitrary slice (every ~9973rd id) across layouts
+    def slice(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.filter(col("id") % 9973 === 0).select("id", "r")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(slice(wide) === slice(narrow), "partition-count-dependent global rank")
+  }
+
+  test("mixture temperature at 1M domains: weights normalize without any window") {
+    import graft.operators.Converters
+    val grouped = spark.range(2000000L)
+      .select(col("id"), concat(lit("d"), (col("id") % 1000000L)).as("domain"))
+    val w = Converters.mixtureTemperature(grouped, "domain")
+    val p = w.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"1M-domain mixture must not window:\n$p")
+    val s = w.agg(sum(col("weight"))).head.getDouble(0)
+    assert(math.abs(s - 1.0) < 1e-6, s"weights must normalize, got $s")
+  }
 }

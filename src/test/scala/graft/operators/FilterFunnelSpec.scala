@@ -44,4 +44,18 @@ class FilterFunnelSpec extends SparkSpec {
       FilterFunnel.report(docs, Seq.empty)
     }
   }
+
+  test("empty corpus reports a zero-count funnel, not null counts") {
+    val rows = FilterFunnel.report(docs.filter(lit(false)), Seq(
+        "a" -> (col("lang") === "en"), "b" -> (col("len") >= 0)))
+      .orderBy("stage").collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      // getLong on a null would throw / return garbage — the coalesced
+      // sums must be real zeros (the JobConfig curate summary reads
+      // these as primitive longs)
+      assert(!r.isNullAt(2) && !r.isNullAt(3) && !r.isNullAt(4))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((0L, 0L, 0L)))
+    }
+  }
 }

@@ -49,6 +49,16 @@ class QuotaSampleSpec extends SparkSpec {
     assert(sel.filter(col("g").isNull).count() === 5L)
   }
 
+  test("empty corpus with k > 0 throws the budget-exceeds error, not an empty frame") {
+    val e = intercept[IllegalArgumentException] {
+      QuotaSample.quotaSample(docs.filter(lit(false)), "g", "id", k = 5)
+    }
+    assert(e.getMessage.contains("exceeds"), e.getMessage)
+    // k = 0 over an empty corpus is legitimately empty
+    assert(QuotaSample.quotaSample(docs.filter(lit(false)), "g", "id", k = 0)
+      .count() === 0L)
+  }
+
   test("draw is deterministic across runs") {
     def ids = QuotaSample.quotaSample(docs, "g", "id", k = 13)
       .select("id").as[Long].collect().toSet
