@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 tier: persisted ANN index maintenance (declarative +
+  * streaming, frozen-codebook contract), declarative coverage for the
+  * round-7 library operators (funnel, heavy hitters, quota, triplets).
+  * Oracles replay every ranking/assignment with identical IEEE
+  * expression trees in DuckDB.
+  */
+object OperatorGates10 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries10: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- declarative incremental ANN index job (job.type=annindex):
+    //     epoch 1 fits the codebook (Ann.sampledIvf over the FIRST
+    //     half — frozen thereafter) and publishes assignments; epoch 2
+    //     assigns the second half against the frozen codebook and
+    //     merges (delta-wins row replacement); a third run is a no-op.
+    //     Search from the PUBLISHED assignments + sidecar codebook
+    //     must equal the oracle's full-corpus re-assignment with the
+    //     same (first-epoch-seeded) codebook — merge == rebuild ------
+    "q_ann_index_job" -> ((s, dir) => {
+      import graft.operators.AnnIndex
+      import graft.runner.JobConfig
+      val e = t(s, dir, "embeddings")
+      val tmp = java.nio.file.Files.createTempDirectory("q_ann_index_job").toString
+      val props = JobConfig.parse(
+        s"""job.type=annindex
+           |job.name=vec_index
+           |source.path=$tmp/src
+           |annindex.id=vec_id
+           |annindex.vec=embedding
+           |annindex.seq=vec_id
+           |annindex.centroids=8
+           |sink.staging=$tmp/staging
+           |sink.output=$tmp/idx
+           |state.dir=$tmp/state
+           |""".stripMargin)
+      // O(1) driver scalar: the epoch split point, not data
+      val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+      val split = maxId / 2
+      e.filter(col("vec_id") <= split).write.mode("append").parquet(s"$tmp/src")
+      val r1 = JobConfig.runAny(s, props)
+      require(r1("published") == "true", s"epoch 1 failed: $r1")
+      e.filter(col("vec_id") > split).write.mode("append").parquet(s"$tmp/src")
+      val r2 = JobConfig.runAny(s, props)
+      require(r2("published") == "true" && r2("highWatermark") == maxId.toString,
+        s"epoch 2 failed: $r2")
+      val r3 = JobConfig.runAny(s, props)
+      require(r3("published") == "false" && r3("deltaRows") == "0",
+        s"empty epoch must be a no-op: $r3")
+      val idx = AnnIndex.loadCodebook(s"$tmp/idx", s.sparkContext.hadoopConfiguration)
+      AnnIndex.search(idx, s.read.parquet(s"$tmp/idx"),
+          e.filter(pmod(col("vec_id"), lit(100)) === 0), k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
+
+    // --- STREAMING ANN index maintenance (foreachBatch +
+    //     AnnIndex.merge): three micro-batches of vectors; batches 1+2
+    //     carry a STALE (reversed) embedding for every 10th vector,
+    //     batch 3 is the correction replay. The codebook is fit from
+    //     batch 1 (stale rows included — that's what an online fit
+    //     sees) and FROZEN, riding each published snapshot as a
+    //     sidecar. Search from the final snapshot must equal the
+    //     oracle's full re-assignment of the CORRECTED corpus with the
+    //     stale-batch-1-seeded codebook ---------------------------------
+    "q_stream_ann_index" -> ((s, dir) => {
+      import graft.operators.AnnIndex
+      import graft.sink.{Publisher, SinkSpec}
+      import graft.state.FsStateStore
+      import graft.streaming.StreamingIngest
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val staled = e.withColumn("embedding",
+        when(pmod(col("vec_id"), lit(10)) === 0, reverse(col("embedding")))
+          .otherwise(col("embedding")))
+      val maxId = e.agg(max(col("vec_id"))).head.getLong(0)
+      val split = maxId / 2
+      val inDir = java.nio.file.Files.createTempDirectory("q_stream_ann_index")
+      val now = System.currentTimeMillis()
+      OperatorGates8.stageFile(staled.filter(col("vec_id") <= split),
+        inDir, "b1.parquet", now - 180000)
+      OperatorGates8.stageFile(staled.filter(col("vec_id") > split),
+        inDir, "b2.parquet", now - 120000)
+      OperatorGates8.stageFile(e.filter(pmod(col("vec_id"), lit(10)) === 0),
+        inDir, "b3.parquet", now - 60000)
+      val root = java.nio.file.Files.createTempDirectory("q_stream_ann_out").toString
+      val idxPath = s"$root/idx"
+      val hconf = s.sparkContext.hadoopConfiguration
+      val pub = new Publisher(hconf)
+      def idxExists(): Boolean = {
+        val p = new org.apache.hadoop.fs.Path(idxPath)
+        p.getFileSystem(hconf).exists(p)
+      }
+      val stream = StreamingIngest.readFileStream(s, staled.schema,
+        inDir.toString, maxFilesPerTrigger = Some(1))
+      val q = stream.writeStream
+        .foreachBatch { (delta: DataFrame, _: Long) =>
+          // frozen-codebook maintenance: load from the published
+          // snapshot, or fit from the FIRST batch; the sidecar is
+          // planted in staging so it swaps atomically with the data
+          val (idx, merged) =
+            if (idxExists()) {
+              val idx = AnnIndex.loadCodebook(idxPath, hconf)
+              (idx, AnnIndex.merge(idx, s.read.parquet(idxPath), delta))
+            } else {
+              val idx = graft.functions.Ann.sampledIvf(delta, k = 8)
+              (idx, AnnIndex.assign(idx, delta))
+            }
+          val spec = SinkSpec(s"$root/staging", idxPath)
+          pub.writeStaged(merged, spec) // full stage reads the CURRENT index
+          new FsStateStore(spec.stagingDir, hconf).put("_centroids", "annindex",
+            Map("table" -> AnnIndex.encodeCentroids(idx)))
+          pub.publishSnapshot(spec)
+          ()
+        }
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val idx = AnnIndex.loadCodebook(idxPath, hconf)
+      AnnIndex.search(idx, s.read.parquet(idxPath),
+          e.filter(pmod(col("vec_id"), lit(100)) === 0), k = 5, nProbe = 4)
+        .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    })
+  )
+
+  /** Shared IVF oracle CTE block parameterized by the SEED POPULATION
+    * (the frozen-codebook jobs fit centroids from the first epoch /
+    * first batch only): seeds by md5('ivf|'+id) within `seedWhere`,
+    * cid ascending by vec_id, argmax-dot assignment of the FULL
+    * corpus, nProbe probe lists for `probeMod` queries, exact-cosine
+    * top-k — mirrors OracleSql.annIvf with a restricted quantizer fit.
+    */
+  private def frozenIvfSearch(seedWhere: String, seedExpr: String,
+      nCentroids: Int, nProbe: Int, k: Int, probeMod: Int): String =
+    s"""WITH seeds AS (
+       |  SELECT vec_id, $seedExpr AS e FROM embeddings
+       |  WHERE $seedWhere
+       |  ORDER BY md5('ivf' || '|' || vec_id), vec_id LIMIT $nCentroids
+       |), cents AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e
+       |  FROM seeds
+       |), scored AS (
+       |  SELECT v.vec_id, c.cid,
+       |    list_dot_product(CAST(v.embedding AS DOUBLE[]), c.e) AS dot
+       |  FROM embeddings v CROSS JOIN cents c
+       |), assign AS (
+       |  SELECT vec_id, cid FROM scored
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) = 1
+       |), plists AS (
+       |  SELECT vec_id, cid FROM scored WHERE vec_id % $probeMod = 0
+       |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) <= $nProbe
+       |), vecs AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), cand AS (
+       |  SELECT p.vec_id AS query_id, v.vec_id AS neighbor_id,
+       |    list_dot_product(a.e, b.e)
+       |      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e)))
+       |      AS sim
+       |  FROM plists p JOIN assign v ON p.cid = v.cid AND p.vec_id <> v.vec_id
+       |  JOIN vecs a ON a.vec_id = p.vec_id
+       |  JOIN vecs b ON b.vec_id = v.vec_id
+       |)
+       |SELECT query_id, neighbor_id, sim FROM cand
+       |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+       |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
+
+  def oracleSql10: Map[String, String] = Map(
+
+    // merge == rebuild: the oracle re-assigns the WHOLE corpus with
+    // the codebook seeded from the first epoch only
+    "q_ann_index_job" -> frozenIvfSearch(
+      seedWhere = "vec_id <= (SELECT max(vec_id) // 2 FROM embeddings)",
+      seedExpr = "CAST(embedding AS DOUBLE[])",
+      nCentroids = 8, nProbe = 4, k = 5, probeMod = 100),
+
+    // streaming: seeds come from batch 1 (first half) WITH the stale
+    // reversal applied to every 10th vector — exactly what the online
+    // fit saw; assignment/search run over the CORRECTED final corpus
+    "q_stream_ann_index" -> frozenIvfSearch(
+      seedWhere = "vec_id <= (SELECT max(vec_id) // 2 FROM embeddings)",
+      seedExpr = """CASE WHEN vec_id % 10 = 0
+                   |      THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                   |      ELSE CAST(embedding AS DOUBLE[]) END""".stripMargin,
+      nCentroids = 8, nProbe = 4, k = 5, probeMod = 100)
+  )
+}

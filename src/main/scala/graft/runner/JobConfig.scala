@@ -364,6 +364,44 @@ object JobConfig {
               idx => graft.operators.Bm25.mergeIndex(idx, latest, idCol, textCol))
         }
 
+      case "annindex" =>
+        // incremental IVF vector-index maintenance as a config job —
+        // the vector face of the incremental family (index = BM25
+        // retrieval, annindex = ANN). The codebook is FIT ONCE from
+        // the first epoch's delta (Ann.sampledIvf — deterministic,
+        // md5-seeded) and FROZEN: later deltas assign against it and
+        // REPLACE their rows (AnnIndex.merge), so merge == full
+        // rebuild exactly. The codebook rides the snapshot as a
+        // sidecar planted in staging (atomic with data + watermark).
+        val aId = req(p, "annindex.id")
+        val aVec = req(p, "annindex.vec")
+        val aSeq = req(p, "annindex.seq")
+        val aCents = opt(p, "annindex.centroids").map(_.toInt).getOrElse(64)
+        val aConf = spark.sparkContext.hadoopConfiguration
+        // set by applyDelta, written by the sidecar hook (runs later
+        // in the same publish sequence, under the same job lock)
+        var codebook: Option[graft.functions.Ann.IvfIndex] = None
+        incrementalPublish(spark, p, kind = "annindex", aSeq,
+          stageSidecar = staging => codebook.foreach { idx =>
+            new FsStateStore(staging, aConf).put("_centroids", "annindex",
+              Map("table" -> graft.operators.AnnIndex.encodeCentroids(idx)))
+          }) { (published, delta) =>
+          val latest = delta
+            .withColumn("_rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col(aId))
+                .orderBy(col(aSeq).cast("long").desc)))
+            .filter(col("_rn") === 1).drop("_rn")
+          val idx = published match {
+            case Some(_) =>
+              graft.operators.AnnIndex.loadCodebook(req(p, "sink.output"), aConf)
+            case None => graft.functions.Ann.sampledIvf(latest, aCents, aId, aVec)
+          }
+          codebook = Some(idx)
+          published.fold(graft.operators.AnnIndex.assign(idx, latest, aId, aVec))(
+            ex => graft.operators.AnnIndex.merge(idx, ex, latest, aId, aVec))
+        }
+
       case "curate" =>
         // corpus curation as a config job: ordered filter stages
         // (funnel-accounted), optional exact dedup (md5 fingerprint,
@@ -492,7 +530,8 @@ object JobConfig {
     *    long).
     */
   private def incrementalPublish(spark: SparkSession, p: Properties,
-      kind: String, seqCol: String)(
+      kind: String, seqCol: String,
+      stageSidecar: String => Unit = _ => ())(
       applyDelta: (Option[DataFrame], DataFrame) => DataFrame): Map[String, String] = {
     import graft.sink.{Publisher, SinkSpec}
     val conf = spark.sparkContext.hadoopConfiguration
@@ -555,6 +594,11 @@ object JobConfig {
             pub.writeStaged(merged, spec) // forces the read of the CURRENT snapshot
             new FsStateStore(spec.stagingDir, conf).put("_watermark", kind,
               Map("highWatermark" -> hw.toString))
+            // job-type sidecars (e.g. the annindex codebook) land in
+            // the STAGING dir here so they ride the same atomic swap
+            // as the data and the watermark — a crash can never
+            // publish data without its sidecar
+            stageSidecar(spec.stagingDir)
             pub.publishSnapshot(spec)
             store.put(kind, jobName, Map("highWatermark" -> hw.toString))
             Map("published" -> "true", "deltaRows" -> deltaRows.toString,
