@@ -126,6 +126,63 @@ object OperatorGates10 {
       AnnIndex.search(idx, s.read.parquet(idxPath),
           e.filter(pmod(col("vec_id"), lit(100)) === 0), k = 5, nProbe = 4)
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
+    }),
+
+    // --- public-key GPG codec (Pgp.encryptPk/decryptPk/PgpPkDecrypt):
+    //     a throwaway RSA pair is generated BY THE REAL gpg binary,
+    //     documents are encrypted with `gpg --encrypt -r`, and the
+    //     executors decrypt through the pure-JCE PKESK path with the
+    //     exported (unprotected) secret keyring. Same count-bounded
+    //     fixture discipline as q_gpg_roundtrip -----------------------
+    "q_gpg_pubkey" -> ((s, dir) => {
+      import graft.functions.PgpPkDecrypt
+      def sh(cmd: String*): Int = new ProcessBuilder(cmd: _*)
+        .redirectErrorStream(true).start().waitFor()
+      val tmp = java.nio.file.Files.createTempDirectory("q_gpg_pubkey")
+      val home = tmp.resolve("gnupg")
+      java.nio.file.Files.createDirectories(home)
+      java.nio.file.Files.setPosixFilePermissions(home,
+        java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+      val params = home.resolve("params")
+      java.nio.file.Files.writeString(params,
+        """%no-protection
+          |Key-Type: RSA
+          |Key-Length: 2048
+          |Subkey-Type: RSA
+          |Subkey-Length: 2048
+          |Name-Real: Graft Gate
+          |Name-Email: gate@graft
+          |Expire-Date: 0
+          |%commit
+          |""".stripMargin)
+      require(sh("gpg", "--homedir", home.toString, "--batch", "--gen-key",
+        params.toString) == 0, "gpg key generation failed")
+      // -o must precede the --export command (gpg treats trailing args
+      // as key names and would dump the ring to stdout)
+      require(sh("gpg", "--homedir", home.toString, "--batch", "--yes",
+        "-o", home.resolve("sec.gpg").toString,
+        "--export-secret-keys", "gate@graft") == 0, "gpg secret export failed")
+      val sec = java.nio.file.Files.readAllBytes(home.resolve("sec.gpg"))
+      // COUNT-BOUNDED fixture set (same 20 docs at every SF)
+      val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .select(col("doc_id"), col("text")).collect()
+      val enc = tmp.resolve("enc"); java.nio.file.Files.createDirectories(enc)
+      docs.foreach { r =>
+        val id = r.getLong(0)
+        val pt = tmp.resolve(s"$id.txt")
+        java.nio.file.Files.write(pt, r.getString(1).getBytes("UTF-8"))
+        require(sh("gpg", "--homedir", home.toString, "--batch", "--yes",
+          "--force-mdc", "--trust-model", "always", "-r", "gate@graft",
+          "-o", enc.resolve(s"$id.gpg").toString, "--encrypt",
+          pt.toString) == 0, s"gpg encrypt failed for doc $id")
+      }
+      s.read.format("binaryFile").load(s"$enc/*.gpg")
+        .select(regexp_extract(col("path"), "(\\d+)\\.gpg$", 1)
+          .cast("long").as("doc_id"), col("content"))
+        .select(col("doc_id"),
+          PgpPkDecrypt(col("content"), lit(sec)).cast("string").as("text"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -187,6 +244,11 @@ object OperatorGates10 {
       seedExpr = """CASE WHEN vec_id % 10 = 0
                    |      THEN list_reverse(CAST(embedding AS DOUBLE[]))
                    |      ELSE CAST(embedding AS DOUBLE[]) END""".stripMargin,
-      nCentroids = 8, nProbe = 4, k = 5, probeMod = 100)
+      nCentroids = 8, nProbe = 4, k = 5, probeMod = 100),
+
+    "q_gpg_pubkey" ->
+      """SELECT doc_id, text FROM documents
+        |WHERE ((doc_id % 25) + 25) % 25 = 0 AND doc_id < 500
+        |ORDER BY doc_id""".stripMargin
   )
 }

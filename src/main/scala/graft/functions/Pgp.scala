@@ -147,9 +147,6 @@ object Pgp {
     val packets = parsePackets(encrypted)
     val skesk = packets.find(_.tag == 3).getOrElse(
       throw new IllegalArgumentException("no symmetric-key session packet (tag 3)"))
-    val seipd = packets.find(_.tag == 18).getOrElse(
-      throw new IllegalArgumentException(
-        "no integrity-protected data packet (tag 18) — non-MDC data is rejected"))
 
     val sr = new Reader(skesk.body)
     require(sr.u8() == 4, "unsupported SKESK version")
@@ -164,7 +161,18 @@ object Pgp {
     }
     require(sr.atEnd, "encrypted session keys are out of scope (passphrase-only seam)")
     val key = s2k(passphrase.getBytes("UTF-8"), salt, count, hashAlgo, keyBytes(symAlgo))
+    decryptSeipd(packets, key,
+      wrongKeyHint = "session key check failed — wrong passphrase?")
+  }
 
+  /** Shared SEIPD v1 + MDC core: AES-CFB decrypt with `key`, quick
+    * check, MDC verify, inner literal/compressed parse.
+    */
+  private def decryptSeipd(packets: Seq[Packet], key: Array[Byte],
+      wrongKeyHint: String): Literal = {
+    val seipd = packets.find(_.tag == 18).getOrElse(
+      throw new IllegalArgumentException(
+        "no integrity-protected data packet (tag 18) — non-MDC data is rejected"))
     val dr = new Reader(seipd.body)
     require(dr.u8() == 1, "unsupported SEIPD version (AEAD not in the v1 seam)")
     val cipherText = dr.take(seipd.body.length - 1)
@@ -173,8 +181,7 @@ object Pgp {
       new IvParameterSpec(new Array[Byte](16)))
     val plain = c.doFinal(cipherText)
     require(plain.length >= 18 + 22, "ciphertext too short")
-    require(plain(14) == plain(16) && plain(15) == plain(17),
-      "session key check failed — wrong passphrase?")
+    require(plain(14) == plain(16) && plain(15) == plain(17), wrongKeyHint)
     // MDC: last 22 bytes are D3 14 SHA1(plain[0 .. len-20))
     val mdcAt = plain.length - 22
     require((plain(mdcAt) & 0xff) == 0xd3 && (plain(mdcAt + 1) & 0xff) == 0x14,
@@ -246,22 +253,28 @@ object Pgp {
     val countByte = 0x60 // (16+0) << (6+6) = 65536
     val key = s2k(passphrase.getBytes("UTF-8"), salt, s2kCount(countByte),
       hashAlgo = 8, keyLen = 32)
-
-    def newPacket(tag: Int, body: Array[Byte]): Array[Byte] = {
-      val hdr = new ByteArrayOutputStream()
-      hdr.write(0xc0 | tag)
-      val n = body.length
-      if (n < 192) hdr.write(n)
-      else if (n < 8384) { hdr.write(((n - 192) >> 8) + 192); hdr.write((n - 192) & 0xff) }
-      else { hdr.write(255); hdr.write(n >> 24); hdr.write((n >> 16) & 0xff)
-        hdr.write((n >> 8) & 0xff); hdr.write(n & 0xff) }
-      hdr.write(body, 0, n)
-      hdr.toByteArray
-    }
-
     val skesk = newPacket(3,
       Array[Byte](4, 9, 3, 8) ++ salt ++ Array(countByte.toByte))
+    skesk ++ buildSeipd(data, name, key, rng)
+  }
 
+  private def newPacket(tag: Int, body: Array[Byte]): Array[Byte] = {
+    val hdr = new ByteArrayOutputStream()
+    hdr.write(0xc0 | tag)
+    val n = body.length
+    if (n < 192) hdr.write(n)
+    else if (n < 8384) { hdr.write(((n - 192) >> 8) + 192); hdr.write((n - 192) & 0xff) }
+    else { hdr.write(255); hdr.write(n >> 24); hdr.write((n >> 16) & 0xff)
+      hdr.write((n >> 8) & 0xff); hdr.write(n & 0xff) }
+    hdr.write(body, 0, n)
+    hdr.toByteArray
+  }
+
+  /** Literal packet + MDC trailer, AES-CFB'd under `key` → one SEIPD
+    * v1 packet (shared by the passphrase and public-key encryptors).
+    */
+  private def buildSeipd(data: Array[Byte], name: String, key: Array[Byte],
+      rng: java.security.SecureRandom): Array[Byte] = {
     val nameBytes = name.getBytes("UTF-8")
     require(nameBytes.length < 256, "literal filename too long")
     val literal = newPacket(11,
@@ -280,9 +293,148 @@ object Pgp {
     val c = Cipher.getInstance("AES/CFB128/NoPadding")
     c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"),
       new IvParameterSpec(new Array[Byte](16)))
-    val seipd = newPacket(18, Array[Byte](1) ++ c.doFinal(plain.toByteArray))
-    skesk ++ seipd
+    newPacket(18, Array[Byte](1) ++ c.doFinal(plain.toByteArray))
   }
+
+  // --- public-key (PKESK, RFC 4880 §5.1) ------------------------------
+  // The key-based half of the reference codec seam (GPGFileEncryptor
+  // also accepts a keyring + key id): RSA session-key packets via JCE.
+  // Key material comes from gpg's own transferable key format
+  // (`gpg --export` / `gpg --export-secret-keys` of an UNPROTECTED
+  // key — %no-protection / s2k-usage 0; passphrase-locked exports are
+  // rejected loudly), or directly as (n, e[, d]) for JCE-generated
+  // pairs.
+
+  /** An RSA key parsed from a keyring: `keyId` is the low 64 bits of
+    * the v4 SHA-1 fingerprint; `d` is present only for secret keys;
+    * `isSubkey` marks tags 14/7 (gpg encrypts to the subkey).
+    */
+  final case class RsaKey(keyId: Seq[Byte], n: java.math.BigInteger,
+      e: java.math.BigInteger, d: Option[java.math.BigInteger], isSubkey: Boolean)
+
+  private def readMpi(r: Reader): java.math.BigInteger = {
+    val bits = (r.u8() << 8) | r.u8()
+    new java.math.BigInteger(1, r.take((bits + 7) / 8))
+  }
+
+  private def writeMpi(v: java.math.BigInteger): Array[Byte] = {
+    val raw = v.toByteArray.dropWhile(_ == 0)
+    Array[Byte]((v.bitLength() >> 8).toByte, (v.bitLength() & 0xff).toByte) ++ raw
+  }
+
+  /** Parse every RSA key (tags 5/6/7/14, v4) out of a binary keyring
+    * export; other packet types (uids, signatures) are skipped.
+    */
+  def parseKeys(keyring: Array[Byte]): Seq[RsaKey] =
+    parsePackets(keyring).collect {
+      case Packet(tag, body) if tag == 5 || tag == 6 || tag == 7 || tag == 14 =>
+        val r = new Reader(body)
+        require(r.u8() == 4, "only v4 keys supported")
+        r.take(4) // creation time
+        val algo = r.u8()
+        require(algo == 1 || algo == 2,
+          s"unsupported public-key algorithm $algo (RSA only)")
+        val n = readMpi(r)
+        val e = readMpi(r)
+        val publicLen = r.pos // the public portion ends after e
+        // v4 fingerprint: SHA1(0x99, len16, public portion)
+        val sha = MessageDigest.getInstance("SHA-1")
+        sha.update(0x99.toByte)
+        sha.update((publicLen >> 8).toByte); sha.update((publicLen & 0xff).toByte)
+        sha.update(body, 0, publicLen)
+        val keyId = sha.digest().takeRight(8).toSeq
+        val d =
+          if (tag == 5 || tag == 7) {
+            val usage = r.u8()
+            require(usage == 0,
+              "passphrase-protected secret key export — re-export with %no-protection")
+            Some(readMpi(r)) // d; p, q, u + checksum follow, unneeded
+          } else None
+        RsaKey(keyId, n, e, d, isSubkey = tag == 7 || tag == 14)
+    }
+
+  /** The key gpg would encrypt to: the (first) encryption SUBKEY, or
+    * the primary when the ring has no subkey.
+    */
+  def encryptionKey(keyring: Array[Byte]): RsaKey = {
+    val keys = parseKeys(keyring)
+    require(keys.nonEmpty, "no RSA keys in keyring")
+    keys.find(_.isSubkey).getOrElse(keys.head)
+  }
+
+  private def sessionChecksum(sk: Array[Byte]): Int =
+    sk.foldLeft(0)((a, b) => (a + (b & 0xff)) & 0xffff)
+
+  /** Public-key encrypt: PKESK(v3, RSA, PKCS#1 v1.5) + SEIPD(AES-256)
+    * — `gpg -d` with the matching secret key accepts the output.
+    */
+  def encryptPk(data: Array[Byte], recipient: RsaKey, name: String = "",
+      rng: java.security.SecureRandom = new java.security.SecureRandom()): Array[Byte] = {
+    val sk = new Array[Byte](32); rng.nextBytes(sk)
+    val check = sessionChecksum(sk)
+    val m = Array[Byte](9) ++ sk ++ // algo 9 = AES-256
+      Array[Byte]((check >> 8).toByte, (check & 0xff).toByte)
+    val kf = java.security.KeyFactory.getInstance("RSA")
+    val c = Cipher.getInstance("RSA/ECB/PKCS1Padding")
+    c.init(Cipher.ENCRYPT_MODE, kf.generatePublic(
+      new java.security.spec.RSAPublicKeySpec(recipient.n, recipient.e)))
+    val mpi = writeMpi(new java.math.BigInteger(1, c.doFinal(m)))
+    val pkesk = newPacket(1,
+      Array[Byte](3) ++ recipient.keyId ++ Array[Byte](1) ++ mpi)
+    pkesk ++ buildSeipd(data, name, sk, rng)
+  }
+
+  /** Public-key decrypt with any matching secret key from `keys`
+    * (wildcard zero key ids try every key, as gpg does).
+    */
+  def decryptPk(encrypted: Array[Byte], keys: Seq[RsaKey]): Literal = {
+    val secret = keys.filter(_.d.isDefined)
+    require(secret.nonEmpty, "no secret RSA keys supplied")
+    val packets = parsePackets(encrypted)
+    val pkesks = packets.filter(_.tag == 1)
+    require(pkesks.nonEmpty, "no public-key session packet (tag 1)")
+    val attempts = pkesks.flatMap { p =>
+      val r = new Reader(p.body)
+      require(r.u8() == 3, "unsupported PKESK version")
+      val keyId = r.take(8).toSeq
+      val algo = r.u8()
+      require(algo == 1 || algo == 2,
+        s"unsupported PKESK algorithm $algo (RSA only)")
+      val ct = readMpi(r)
+      val wildcard = keyId.forall(_ == 0)
+      secret.filter(k => wildcard || k.keyId == keyId).map(k => (k, ct))
+    }
+    require(attempts.nonEmpty,
+      "no supplied secret key matches any PKESK recipient key id")
+    val kf = java.security.KeyFactory.getInstance("RSA")
+    val sk = attempts.iterator.map { case (k, ct) =>
+      try {
+        val c = Cipher.getInstance("RSA/ECB/PKCS1Padding")
+        c.init(Cipher.DECRYPT_MODE, kf.generatePrivate(
+          new java.security.spec.RSAPrivateKeySpec(k.n, k.d.get)))
+        // left-pad to modulus size: the MPI strips leading zeros
+        val raw = ct.toByteArray.dropWhile(_ == 0)
+        val sz = (k.n.bitLength() + 7) / 8
+        val in = new Array[Byte](sz)
+        System.arraycopy(raw, 0, in, sz - raw.length, raw.length)
+        val m = c.doFinal(in)
+        require(m.length >= 4, "session key block too short")
+        val algo = m(0) & 0xff
+        val key = java.util.Arrays.copyOfRange(m, 1, m.length - 2)
+        require(key.length == keyBytes(algo), "session key length mismatch")
+        val check = ((m(m.length - 2) & 0xff) << 8) | (m(m.length - 1) & 0xff)
+        require(sessionChecksum(key) == check, "session key checksum mismatch")
+        Some(key)
+      } catch { case _: Exception => None } // wrong key under wildcard: next
+    }.collectFirst { case Some(k) => k }
+      .getOrElse(throw new IllegalArgumentException(
+        "PKESK decryption failed with every supplied secret key"))
+    decryptSeipd(packets, sk, wrongKeyHint = "session key check failed — wrong key?")
+  }
+
+  /** [[decryptPk]] parsing the secret keyring bytes first. */
+  def decryptPk(encrypted: Array[Byte], secretKeyring: Array[Byte]): Literal =
+    decryptPk(encrypted, parseKeys(secretKeyring))
 }
 
 /** Column form of [[Pgp.decrypt]]: (encrypted bytes, passphrase) ->
@@ -306,4 +458,32 @@ object PgpDecrypt {
   def apply(data: Column, passphrase: Column): Column =
     ColumnShim.toColumn(PgpDecrypt(
       ColumnShim.toExpression(data), ColumnShim.toExpression(passphrase)))
+}
+
+/** Column form of [[Pgp.decryptPk]]: (encrypted bytes, secret keyring
+  * bytes) -> literal data bytes. The keyring is normally a literal
+  * (one key decrypts the whole corpus), so the parsed keys are cached
+  * per task against the keyring reference — the per-row work is one
+  * RSA private-key op + AES, all executor-side.
+  */
+case class PgpPkDecrypt(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pgp_pk_decrypt"
+  @transient private var cachedRing: Array[Byte] = _
+  @transient private var cachedKeys: Seq[Pgp.RsaKey] = _
+  override protected def nullSafeEval(data: Any, ring: Any): Any = {
+    val rb = ring.asInstanceOf[Array[Byte]]
+    if (!(cachedRing eq rb)) { cachedKeys = Pgp.parseKeys(rb); cachedRing = rb }
+    Pgp.decryptPk(data.asInstanceOf[Array[Byte]], cachedKeys).data
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PgpPkDecrypt =
+    copy(left = l, right = r)
+}
+
+object PgpPkDecrypt {
+  import org.apache.spark.sql.graftshim.ColumnShim
+  def apply(data: Column, secretKeyring: Column): Column =
+    ColumnShim.toColumn(PgpPkDecrypt(
+      ColumnShim.toExpression(data), ColumnShim.toExpression(secretKeyring)))
 }

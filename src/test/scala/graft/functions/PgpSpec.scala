@@ -80,6 +80,110 @@ class PgpSpec extends AnyFunSuite {
     }
   }
 
+  // --- public-key (PKESK) ---------------------------------------------
+
+  /** One unprotected RSA sign+encrypt-subkey pair in a scratch
+    * GNUPGHOME; returns (public keyring, secret keyring, homedir).
+    */
+  private lazy val keyring: (Array[Byte], Array[Byte], String) = {
+    val home = java.nio.file.Files.createTempDirectory("pgpspec-gnupg")
+    java.nio.file.Files.setPosixFilePermissions(home,
+      java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+    val params = home.resolve("params")
+    java.nio.file.Files.writeString(params,
+      """%no-protection
+        |Key-Type: RSA
+        |Key-Length: 2048
+        |Subkey-Type: RSA
+        |Subkey-Length: 2048
+        |Name-Real: Graft Test
+        |Name-Email: graft@test
+        |Expire-Date: 0
+        |%commit
+        |""".stripMargin)
+    assert(sh("gpg", "--homedir", home.toString, "--batch", "--gen-key",
+      params.toString) == 0)
+    // -o must PRECEDE the --export command: gpg consumes everything
+    // after a command as key names and dumps to stdout otherwise
+    assert(sh("gpg", "--homedir", home.toString, "--batch", "--yes",
+      "-o", home.resolve("pub.gpg").toString, "--export", "graft@test") == 0)
+    assert(sh("gpg", "--homedir", home.toString, "--batch", "--yes",
+      "-o", home.resolve("sec.gpg").toString,
+      "--export-secret-keys", "graft@test") == 0)
+    (java.nio.file.Files.readAllBytes(home.resolve("pub.gpg")),
+      java.nio.file.Files.readAllBytes(home.resolve("sec.gpg")),
+      home.toString)
+  }
+
+  test("pk interop: gpg --encrypt -r, we decrypt with the exported secret key") {
+    assume(haveGpg, "gpg binary not on PATH")
+    val (_, sec, home) = keyring
+    val tmp = java.nio.file.Files.createTempDirectory("pgppk1")
+    val msg = "public-key interop body — compressed by gpg's default"
+    java.nio.file.Files.write(tmp.resolve("m.txt"), msg.getBytes("UTF-8"))
+    assert(sh("gpg", "--homedir", home, "--batch", "--yes", "--force-mdc",
+      "--trust-model", "always", "-r", "graft@test", "--encrypt",
+      "-o", tmp.resolve("a.gpg").toString, tmp.resolve("m.txt").toString) == 0)
+    val lit = Pgp.decryptPk(
+      java.nio.file.Files.readAllBytes(tmp.resolve("a.gpg")), sec)
+    assert(new String(lit.data, "UTF-8") === msg)
+  }
+
+  test("pk interop: we encrypt to the exported public subkey, gpg decrypts") {
+    assume(haveGpg, "gpg binary not on PATH")
+    val (pub, _, home) = keyring
+    val tmp = java.nio.file.Files.createTempDirectory("pgppk2")
+    val msg = "ours -> gpg public-key body"
+    val enc = Pgp.encryptPk(msg.getBytes("UTF-8"), Pgp.encryptionKey(pub), "f.txt")
+    java.nio.file.Files.write(tmp.resolve("b.gpg"), enc)
+    assert(sh("bash", "-c",
+      s"gpg --homedir $home --batch --yes -d ${tmp.resolve("b.gpg")} " +
+        s"> ${tmp.resolve("b.out")} 2>/dev/null") == 0)
+    assert(java.nio.file.Files.readString(tmp.resolve("b.out")) === msg)
+  }
+
+  test("pk pure JCE round-trip; a non-matching key id is rejected") {
+    val gen = java.security.KeyPairGenerator.getInstance("RSA")
+    gen.initialize(2048)
+    val kp = gen.generateKeyPair()
+    val rsa = kp.getPrivate.asInstanceOf[java.security.interfaces.RSAPrivateKey]
+    val pub = kp.getPublic.asInstanceOf[java.security.interfaces.RSAPublicKey]
+    val key = Pgp.RsaKey(Seq.tabulate[Byte](8)(_.toByte), pub.getModulus,
+      pub.getPublicExponent, Some(rsa.getPrivateExponent), isSubkey = true)
+    val enc = Pgp.encryptPk("jce only".getBytes("UTF-8"), key, "x.bin")
+    assert(new String(Pgp.decryptPk(enc, Seq(key)).data, "UTF-8") === "jce only")
+    val stranger = key.copy(keyId = Seq.fill[Byte](8)(0x7f))
+    val e = intercept[IllegalArgumentException] { Pgp.decryptPk(enc, Seq(stranger)) }
+    assert(e.getMessage.contains("matches"))
+  }
+
+  test("passphrase-protected secret key exports are rejected loudly") {
+    assume(haveGpg, "gpg binary not on PATH")
+    val home = java.nio.file.Files.createTempDirectory("pgpspec-prot")
+    java.nio.file.Files.setPosixFilePermissions(home,
+      java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
+    val params = home.resolve("params")
+    java.nio.file.Files.writeString(params,
+      """Key-Type: RSA
+        |Key-Length: 2048
+        |Passphrase: lockedpw
+        |Name-Real: Locked
+        |Name-Email: locked@test
+        |Expire-Date: 0
+        |%commit
+        |""".stripMargin)
+    assert(sh("gpg", "--homedir", home.toString, "--batch", "--gen-key",
+      params.toString) == 0)
+    assert(sh("bash", "-c",
+      s"gpg --homedir $home --batch --yes --pinentry-mode loopback " +
+        s"--passphrase lockedpw -o ${home.resolve("sec.gpg")} " +
+        s"--export-secret-keys locked@test") == 0)
+    val e = intercept[IllegalArgumentException] {
+      Pgp.parseKeys(java.nio.file.Files.readAllBytes(home.resolve("sec.gpg")))
+    }
+    assert(e.getMessage.contains("no-protection"))
+  }
+
   test("s2k iterated-salted matches itself across key sizes and hash widths") {
     // keyLen > hash width forces the preloaded-zeros multi-context path
     val salt = Array.tabulate[Byte](8)(_.toByte)
