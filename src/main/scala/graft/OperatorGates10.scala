@@ -183,6 +183,46 @@ object OperatorGates10 {
         .select(col("doc_id"),
           PgpPkDecrypt(col("content"), lit(sec)).cast("string").as("text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- declarative incremental funnel job (job.type=funnel): two
+    //     watermark epochs of events; epoch 2 recomputes ONLY the
+    //     delta-touched users over their full history (order-sensitive
+    //     matching), untouched rows carry over; a third run is a
+    //     no-op. The published funnel must equal the oracle's
+    //     full-corpus match — touched-key merge == rebuild ------------
+    "q_funnel_job" -> ((s, dir) => {
+      import graft.runner.JobConfig
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        col("event_type"), expr("unix_micros(ts) div 1000").as("ms"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_funnel_job").toString
+      val props = JobConfig.parse(
+        s"""job.type=funnel
+           |job.name=purchase_funnel
+           |source.path=$tmp/src
+           |funnel.key=user_id
+           |funnel.type=event_type
+           |funnel.ms=ms
+           |funnel.steps=view,click,purchase
+           |funnel.maxGapMs=86400000
+           |funnel.seq=event_id
+           |sink.staging=$tmp/staging
+           |sink.output=$tmp/funnel
+           |state.dir=$tmp/state
+           |""".stripMargin)
+      val maxId = ev.agg(max(col("event_id"))).head.getLong(0)
+      val split = maxId / 2
+      ev.filter(col("event_id") <= split).write.mode("append").parquet(s"$tmp/src")
+      val r1 = JobConfig.runAny(s, props)
+      require(r1("published") == "true", s"epoch 1 failed: $r1")
+      ev.filter(col("event_id") > split).write.mode("append").parquet(s"$tmp/src")
+      val r2 = JobConfig.runAny(s, props)
+      require(r2("published") == "true" && r2("highWatermark") == maxId.toString,
+        s"epoch 2 failed: $r2")
+      val r3 = JobConfig.runAny(s, props)
+      require(r3("published") == "false" && r3("deltaRows") == "0",
+        s"empty epoch must be a no-op: $r3")
+      s.read.parquet(s"$tmp/funnel").orderBy(col("user_id"))
     })
   )
 
@@ -249,6 +289,28 @@ object OperatorGates10 {
     "q_gpg_pubkey" ->
       """SELECT doc_id, text FROM documents
         |WHERE ((doc_id % 25) + 25) % 25 = 0 AND doc_id < 500
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // full-corpus funnel replay (same CTE chain as q_funnel): a green
+    // row proves the touched-key incremental merge equals the rebuild
+    "q_funnel_job" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) // 1000 AS ms FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ms) AS t1 FROM ev
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(ms) AS t2 FROM ev e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ms > t1 AND ms <= t1 + 86400000
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(ms) AS t3 FROM ev e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ms > t2 AND ms <= t2 + 86400000
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, t1, t2, t3,
+        |  CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS n_steps
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -46,7 +46,13 @@ import graft.state.FsStateStore
   * removal; `op.substringDedup.{idColumn,textColumn,gramTokens}`),
   * importanceFilter (DSIR hashed n-gram selection;
   * `op.importanceFilter.{idColumn,textColumn,minAvgWeight,
-  * targetPredicate}`).
+  * targetPredicate}`), quotaSample (largest-remainder budget split;
+  * `op.quotaSample.{groupColumn,idColumn,k}`), heavyHitters
+  * (`op.heavyHitters.{key,k}`), funnel (ordered step matching;
+  * `op.funnel.{keyColumn,typeColumn,msColumn,steps,maxGapMs}`),
+  * tripletMine (contrastive pair synthesis;
+  * `op.tripletMine.{anchorPredicate,embPath,idColumn,textColumn,
+  * embIdColumn,embVecColumn}`).
   * Predicates/expressions are Spark SQL fragments (`expr(...)`) — the
   * full column-function surface without naming JVM classes, replacing
   * the reference's `converter.classes` FQCN lists.
@@ -197,6 +203,44 @@ object JobConfig {
           ZOrder.zkey16(
             pmod(expr(req(p, "op.zorderKey.x")), lit(65536)).cast("long"),
             pmod(expr(req(p, "op.zorderKey.y")), lit(65536)).cast("long")))
+      }
+      case "quotaSample" => (df: DataFrame) =>
+        graft.operators.QuotaSample.quotaSample(df,
+          req(p, "op.quotaSample.groupColumn"),
+          req(p, "op.quotaSample.idColumn"),
+          req(p, "op.quotaSample.k").toLong)
+      case "heavyHitters" => (df: DataFrame) =>
+        // REPORT op: the frame becomes its (key, cnt) heavy-hitter
+        // table — every value of the keyed expression with frequency
+        // strictly above n/k
+        graft.operators.HeavyHitters.heavyHitters(df,
+          expr(req(p, "op.heavyHitters.key")),
+          req(p, "op.heavyHitters.k").toInt)
+      case "funnel" => (df: DataFrame) =>
+        // REPORT op: per-key ordered step matching (the one-shot
+        // form; job.type=funnel is the watermarked incremental face)
+        graft.operators.Funnel.funnel(df,
+          req(p, "op.funnel.keyColumn"),
+          req(p, "op.funnel.typeColumn"),
+          req(p, "op.funnel.msColumn"),
+          req(p, "op.funnel.steps").split(",").map(_.trim).toSeq,
+          req(p, "op.funnel.maxGapMs").toLong)
+      case "tripletMine" => (df: DataFrame) => {
+        // contrastive training-pair synthesis: anchors are a predicate
+        // slice of the SAME frame; embeddings are a side table (path)
+        val anchors = df.filter(expr(req(p, "op.tripletMine.anchorPredicate")))
+        val emb = df.sparkSession.read
+          .format(opt(p, "op.tripletMine.embFormat").getOrElse("parquet"))
+          .load(req(p, "op.tripletMine.embPath"))
+        graft.operators.TripletMining.mine(df, emb, anchors,
+          req(p, "op.tripletMine.idColumn"),
+          req(p, "op.tripletMine.textColumn"),
+          req(p, "op.tripletMine.embIdColumn"),
+          req(p, "op.tripletMine.embVecColumn"),
+          kCand = opt(p, "op.tripletMine.kCand").map(_.toInt).getOrElse(10),
+          nNeg = opt(p, "op.tripletMine.nNeg").map(_.toInt).getOrElse(3),
+          negMaxSim = opt(p, "op.tripletMine.negMaxSim")
+            .map(_.toDouble).getOrElse(0.15))
       }
       case other => throw new IllegalArgumentException(s"unknown op: $other")
     }
@@ -362,6 +406,33 @@ object JobConfig {
               .filter(col("_rn") === 1).drop("_rn")
             published.fold(graft.operators.Bm25.index(latest, idCol, textCol))(
               idx => graft.operators.Bm25.mergeIndex(idx, latest, idCol, textCol))
+        }
+
+      case "funnel" =>
+        // incremental funnel maintenance as a config job: funnel
+        // matching is order-sensitive — one late event can rewrite a
+        // key's whole chain — so delta-TOUCHED keys recompute over
+        // their FULL event history (source semi-join) while untouched
+        // rows carry over from the published snapshot: O(|delta| +
+        // |touched-history|), the Scd2 touched-key discipline, never
+        // a full re-match
+        val fKey = req(p, "funnel.key")
+        val fSteps = req(p, "funnel.steps").split(",").map(_.trim).toSeq
+        val fGap = req(p, "funnel.maxGapMs").toLong
+        incrementalPublish(spark, p, kind = "funnel", req(p, "funnel.seq")) {
+          (published, delta) =>
+            val one = (d: DataFrame) => graft.operators.Funnel.funnel(d,
+              fKey, req(p, "funnel.type"), req(p, "funnel.ms"), fSteps, fGap)
+            published match {
+              case None => one(delta)
+              case Some(dim) =>
+                val src = spark.read
+                  .format(opt(p, "source.format").getOrElse("parquet"))
+                  .load(req(p, "source.path"))
+                val touched = delta.select(col(fKey)).distinct()
+                dim.join(touched, Seq(fKey), "left_anti")
+                  .unionByName(one(src.join(touched, Seq(fKey), "left_semi")))
+            }
         }
 
       case "annindex" =>

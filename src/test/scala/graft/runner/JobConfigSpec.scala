@@ -512,4 +512,75 @@ class JobConfigSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(sums === Map("a" -> 5L, "b" -> 7L))
   }
+
+  test("declarative quotaSample + heavyHitters + funnel ops") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = (1L to 100L).map { i =>
+      (i, if (i <= 80) "web" else "books")
+    }.toDF("id", "source")
+    val quota = JobConfig.buildOps(JobConfig.parse(
+      """ops=quotaSample
+        |op.quotaSample.groupColumn=source
+        |op.quotaSample.idColumn=id
+        |op.quotaSample.k=10
+        |""".stripMargin)).foldLeft(docs)((d, op) => op(d))
+    assert(quota.count() === 10L)
+    assert(quota.filter(col("source") === "web").count() === 8L) // 80/100 of 10
+    val hh = JobConfig.buildOps(JobConfig.parse(
+      """ops=heavyHitters
+        |op.heavyHitters.key=source
+        |op.heavyHitters.k=3
+        |""".stripMargin)).foldLeft(docs)((d, op) => op(d)).collect()
+    assert(hh.map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("web" -> 80L)) // books (20) is not > 100/3
+    val events = Seq(
+      (1L, "view", 1000L), (1L, "click", 2000L), (1L, "purchase", 3000L),
+      (2L, "view", 1000L), (2L, "purchase", 1500L) // no click: stops at 1
+    ).toDF("user_id", "event_type", "ms")
+    val fun = JobConfig.buildOps(JobConfig.parse(
+      """ops=funnel
+        |op.funnel.keyColumn=user_id
+        |op.funnel.typeColumn=event_type
+        |op.funnel.msColumn=ms
+        |op.funnel.steps=view,click,purchase
+        |op.funnel.maxGapMs=10000
+        |""".stripMargin)).foldLeft(events)((d, op) => op(d))
+      .orderBy("user_id").collect()
+    assert(fun.map(_.getLong(4)).toSeq === Seq(3L, 1L))
+  }
+
+  test("declarative tripletMine op with an embeddings side table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 3 and 4 SHARE a token with the anchor (BM25 can propose them)
+    // but point elsewhere in embedding space (the veto keeps them)
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta delta"),
+      (3L, "alpha psi chi"), (4L, "alpha zz yy")
+    ).toDF("doc_id", "text")
+    // 1~2 near-identical, 3~4 pointing elsewhere
+    val emb = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.99, 0.14)),
+      (3L, Array(0.0, 1.0)), (4L, Array(-1.0, 0.05))
+    ).toDF("vec_id", "embedding")
+    val embPath = tmpDir("triplet-emb") + "/emb"
+    emb.write.parquet(embPath)
+    val out = JobConfig.buildOps(JobConfig.parse(
+      s"""ops=tripletMine
+         |op.tripletMine.anchorPredicate=doc_id = 1
+         |op.tripletMine.embPath=$embPath
+         |op.tripletMine.idColumn=doc_id
+         |op.tripletMine.textColumn=text
+         |op.tripletMine.embIdColumn=vec_id
+         |op.tripletMine.embVecColumn=embedding
+         |op.tripletMine.nNeg=2
+         |op.tripletMine.negMaxSim=0.5
+         |""".stripMargin)).foldLeft(docs)((d, op) => op(d)).collect()
+    // anchor 1: positive = 2 (closest embedding); negatives must pass
+    // the cosine veto (< 0.5) — doc 2 (sim ~0.99) can never slip in
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(out.forall(_.getDouble(5) < 0.5))
+  }
 }
