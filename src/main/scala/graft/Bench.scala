@@ -22,6 +22,48 @@ object Bench {
   private val FlagRatio = 15.0
   private val BestOf = 2
   private val TopInline = 15
+  private val IsoTop = 10 // fresh-JVM isolation runs for the slowest N
+
+  /** Re-time the slowest queries in FRESH JVMs ([[IsoBench]] children,
+    * classpath + module flags inherited from this forked JVM): same-JVM
+    * minima share JIT/page-cache state across the catalog; the isolated
+    * number is the one a cold executor would see. Failures degrade to
+    * an empty map — isolation must never fail the bench.
+    */
+  private def isolated(sfDir: String, names: Seq[String]): Map[String, Double] = {
+    if (sys.env.get("SPARK_GRAFT_ISO").contains("0")) return Map.empty
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+    // keep module opens + heap; drop agent/debug flags
+    val keep = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < jvmArgs.length) {
+      val a = jvmArgs(i)
+      if (a == "--add-opens" && i + 1 < jvmArgs.length) {
+        keep += a += jvmArgs(i + 1); i += 2
+      } else if (a.startsWith("--add-opens=") || a.startsWith("-Xmx")) {
+        keep += a; i += 1
+      } else i += 1
+    }
+    names.flatMap { n =>
+      try {
+        val cmd = Seq(javaBin) ++ keep ++ Seq(
+          "-cp", System.getProperty("java.class.path"), "graft.IsoBench", sfDir, n)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectErrorStream(false)
+        val p = pb.start()
+        val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+        p.waitFor()
+        out.linesIterator.find(_.startsWith("{\"iso\":")).flatMap { line =>
+          val m = """"min":([0-9.]+)""".r.findFirstMatchIn(line)
+          m.map(g => n -> g.group(1).toDouble)
+        }
+      } catch { case _: Throwable => None }
+    }.toMap
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,11 +128,16 @@ object Bench {
         s""","scale":{"small_sf":${jq(sd)},"flag_ratio":$FlagRatio,"ratios":$rj,"flagged":$flagged}"""
       case None => ""
     }
+    // fresh-JVM isolation for the slowest IsoTop queries (see isolated())
+    val isoNames = byName.filter(_._3).sortBy(-_._4).take(IsoTop).map(_._1)
+    val iso = isolated(sfDir, isoNames)
+    val isoJson = iso.toSeq.sortBy(_._1)
+      .map { case (n, v) => s"${jq(n)}:${jd(v)}" }.mkString("{", ",", "}")
     val fullPath = new java.io.File("BENCH_FULL.json").getAbsolutePath
     val full =
       s"""{"metric":"total","value":${jd(total)},"unit":"sec","sf":${jq(sfDir)},""" +
         s""""best_of":$BestOf,"queries":$minJson,"runs":$runsJson,""" +
-        s""""errors":$errs$scaleJson}"""
+        s""""isolated":$isoJson,"errors":$errs$scaleJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
     // compact stdout line (fits the driver's 2000-char tail capture):
     // aggregate + errors + flags + the slowest queries by min

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-8 tier, video leg: REAL MJPEG frame decode (AVI container
+  * walk + pure-JVM baseline JPEG) feeding the banded-hamming near-dup
+  * path. Fixtures are synthesized from table parameters in the
+  * quality-100 constant-block regime, where the whole
+  * encode→container→decode chain is bit-exact — so the oracles replay
+  * decoded pixel statistics and perceptual hashes ANALYTICALLY from
+  * the generator formulas (the same discipline as the BMP/WAV gates).
+  */
+object OperatorGates11 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Constant-block gray frame value for video `d`, frame `f`, 16x16
+    * block `(bx, by)` on the 64x48 canvas — single source of truth;
+    * the q_frame_decode oracle restates it.
+    */
+  private def frameValue(d: Long, f: Int, bx: Int, by: Int): Int =
+    (22 + (d * 31 + f * 17 + bx * 41 + by * 59) % 211).toInt
+
+  /** MJPEG-in-AVI fixture for doc `d`: 4-6 frames of 64x48 gray
+    * constant 16x16 blocks, encoded at quality 100 / 4:2:0 (DC-only
+    * blocks decode bit-exactly through the full color path).
+    */
+  private[graft] def synthAvi(d: Long): Array[Byte] = {
+    import graft.operators.{AviCodec, JpegCodec}
+    val nf = (4 + (d / 25) % 3).toInt
+    val frames = (0 until nf).map { f =>
+      val rgb = new Array[Byte](64 * 48 * 3)
+      var y = 0
+      while (y < 48) {
+        var x = 0
+        while (x < 64) {
+          val v = frameValue(d, f, x / 16, y / 16)
+          val o = (y * 64 + x) * 3
+          rgb(o) = v.toByte; rgb(o + 1) = v.toByte; rgb(o + 2) = v.toByte
+          x += 1
+        }
+        y += 1
+      }
+      JpegCodec.encodeRgb(64, 48, rgb, quality = 100, subsample = true)
+    }
+    AviCodec.synthesize(64, 48, 33333, frames)
+  }
+
+  /** Near-dup fixture: content keyed by group (d/25) % 5 so 4 videos
+    * share each group's frames (re-encoded copies = hamming-0 pairs);
+    * odd (d/25) videos brighten block (0,0) of frame 1 by +30 — a
+    * few-bit aHash wobble in some groups, the near-but-not-identical
+    * signal (and cross-frame pairs land at small distances naturally).
+    */
+  private def neardupValue(d: Long, f: Int, bx: Int, by: Int): Int = {
+    val g = (d / 25) % 5
+    val base = (25 + (g * 37 + f * 13 + bx * 47 + by * 71) % 199).toInt
+    base + (if ((d / 25) % 2 == 1 && f == 1 && bx == 0 && by == 0) 30 else 0)
+  }
+
+  private[graft] def synthNeardupAvi(d: Long): Array[Byte] = {
+    import graft.operators.{AviCodec, JpegCodec}
+    val frames = (0 until 3).map { f =>
+      val rgb = new Array[Byte](64 * 48 * 3)
+      var y = 0
+      while (y < 48) {
+        var x = 0
+        while (x < 64) {
+          val v = neardupValue(d, f, x / 16, y / 16)
+          val o = (y * 64 + x) * 3
+          rgb(o) = v.toByte; rgb(o + 1) = v.toByte; rgb(o + 2) = v.toByte
+          x += 1
+        }
+        y += 1
+      }
+      JpegCodec.encodeRgb(64, 48, rgb, quality = 100, subsample = true)
+    }
+    AviCodec.synthesize(64, 48, 33333, frames)
+  }
+
+  def queries11: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- REAL video frame decode (AviCodec + JpegCodec + MjpegVideo):
+    //     count-bounded MJPEG fixtures (20 videos at every SF), every
+    //     2nd frame container-extracted and fully JPEG-decoded
+    //     (Huffman, dequant, IDCT, 4:2:0 upsample, YCbCr->RGB) on
+    //     executors. The oracle replays per-frame channel sums, IEEE
+    //     mean division, and the 64-bit aHash from the block formula -
+    "q_frame_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.MjpegVideo
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map(id => (id, synthAvi(id))))
+        .toDF("media_id", "content")
+      MjpegVideo.decodeFrames(media, everyN = 2).toDF()
+        .select(col("media_id"),
+          col("frame_no").cast("long").as("frame_no"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_intensity"),
+          lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
+
+    // --- video near-dup through the decoded-frame hashes: group-keyed
+    //     MJPEG content (4 videos per group, odd videos perturb one
+    //     block of frame 1), frame aHashes -> banded hamming pairs ->
+    //     min distance per cross-video pair. The oracle brute-forces
+    //     the pair definition from the same formula ------------------
+    "q_video_neardup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Similarity
+      import graft.operators.MjpegVideo
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map(id => (id, synthNeardupAvi(id))))
+        .toDF("media_id", "content")
+      val hashes = MjpegVideo.frameHashes(media, everyN = 1)
+        .withColumn("fid", col("media_id") * 1000 + col("frame_no"))
+        .withColumn("block", lit("all"))
+      // enumerate every qualifying cross-video frame pair (the oracle
+      // IS the brute-force definition; the collapsed star shape is the
+      // scale path, gated in q_image_neardup/q_media_dedup_resolve)
+      Similarity.hammingPairs64(hashes, "fid", "ahash", "block",
+          maxHamming = 6, collapseIdentical = false)
+        .select(expr("id_a div 1000").as("va"),
+          expr("id_a % 1000").cast("long").as("fa"),
+          expr("id_b div 1000").as("vb"),
+          expr("id_b % 1000").cast("long").as("fb"),
+          col("hamming").cast("long").as("hamming"))
+        .filter(col("va") =!= col("vb"))
+        .orderBy(col("va"), col("fa"), col("vb"), col("fb"))
+    })
+  )
+
+  def oracleSql11: Map[String, String] = Map(
+
+    "q_frame_decode" ->
+      """WITH vids AS (
+        |  SELECT doc_id, CAST(4 + (doc_id // 25) % 3 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |fr AS (
+        |  SELECT doc_id, nf, unnest(range(0, nf, 2)) AS frame_no FROM vids),
+        |feat AS (
+        |  SELECT doc_id, nf, frame_no,
+        |    list_sum(list_transform(range(0, 12), b ->
+        |      22 + (doc_id * 31 + frame_no * 17 + (b % 4) * 41 + (b // 4) * 59) % 211)) AS sv,
+        |    list_transform(range(0, 64), j ->
+        |      3 * (22 + (doc_id * 31 + frame_no * 17
+        |           + ((j % 8) // 2) * 41 + ((6 * (j // 8)) // 16) * 59) % 211)) AS lum
+        |  FROM fr)
+        |SELECT doc_id AS media_id, frame_no, nf AS n_frames,
+        |  CAST(64 AS BIGINT) AS width, CAST(48 AS BIGINT) AS height,
+        |  CAST(768 * sv AS DOUBLE) / 9216 AS mean_intensity,
+        |  array_to_string(list_transform(range(63, -1, -1), j ->
+        |    CASE WHEN 64 * lum[j + 1] > list_sum(lum) THEN 1 ELSE 0 END), '')
+        |    AS ahash_bits
+        |FROM feat ORDER BY media_id, frame_no""".stripMargin,
+
+    "q_video_neardup" ->
+      """WITH vids AS (
+        |  SELECT doc_id, (doc_id // 25) % 5 AS g, (doc_id // 25) % 2 = 1 AS pert
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |fr AS (
+        |  SELECT doc_id, g, pert, unnest(range(0, 3)) AS f FROM vids),
+        |bits AS (
+        |  SELECT doc_id, f, list_transform(range(0, 64), j ->
+        |    3 * (25 + (g * 37 + f * 13 + ((j % 8) // 2) * 47
+        |         + ((6 * (j // 8)) // 16) * 71) % 199
+        |       + CASE WHEN pert AND f = 1 AND ((j % 8) // 2) = 0
+        |              AND ((6 * (j // 8)) // 16) = 0 THEN 30 ELSE 0 END)) AS lum
+        |  FROM fr),
+        |hb AS (
+        |  SELECT doc_id, f, list_transform(range(0, 64), j ->
+        |    CASE WHEN 64 * lum[j + 1] > list_sum(lum) THEN 1 ELSE 0 END) AS b
+        |  FROM bits)
+        |,fpairs AS (
+        |  SELECT a.doc_id AS va, a.f AS fa, b.doc_id AS vb, b.f AS fb,
+        |    list_sum(list_transform(range(0, 64), j ->
+        |      CASE WHEN a.b[j + 1] <> b.b[j + 1] THEN 1 ELSE 0 END)) AS hamming
+        |  FROM hb a JOIN hb b ON a.doc_id < b.doc_id)
+        |SELECT va, fa, vb, fb, CAST(hamming AS BIGINT) AS hamming FROM fpairs
+        |WHERE hamming <= 6 ORDER BY va, fa, vb, fb""".stripMargin
+  )
+}

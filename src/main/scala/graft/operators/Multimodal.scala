@@ -8,11 +8,14 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, processed per-partition in bounded
   * batches.
   *
-  * The decode step is a STUB — real image/audio codecs are not in this
-  * container. `FakeDecoder` is a deterministic stand-in computing
-  * structural features of the bytes; swap [[Decoder]] implementations
-  * for a real codec. Everything around it — schema, batch shape,
-  * partition sizing, null handling — is real and tested.
+  * Every common modality decodes for REAL in pure JVM: RIFF/WAVE PCM16
+  * audio, uncompressed 24-bpp BMP, baseline JPEG ([[JpegCodec]]),
+  * MJPEG-in-AVI video frames ([[AviCodec]]/[[MjpegVideo]]), plus ISO
+  * BMFF (MP4) container probing. `FakeDecoder` survives only as the
+  * deterministic byte-stats fallback for UNKNOWN payloads (and as the
+  * pluggable [[Decoder]] seam a JNI/ONNX codec would fill). Schema,
+  * batch shape, partition sizing, and null handling are shared by all
+  * of them.
   *
   * Scale: `decodeFeatures` is a mapPartitions pipeline (the reference's
   * AsyncConverter1to1 shape, AsyncHttpJoinConverter.java:64): rows
@@ -75,11 +78,12 @@ object Multimodal {
       media_id: Long, n_frames: Long, n_sampled: Long,
       sampled_bytes: Long, frames: Array[Array[Byte]])
 
-  /** Frame-sampling plumbing: split the binary payload into fixed-size
-    * frames (a real video decoder yields decoded frames here — the
-    * framing/striding/batching code is what this exercises), keep
-    * every `everyN`-th frame starting at frame 0. Streams rows per
-    * partition; frames for one record stay together (a decode batch).
+  /** Frame-sampling plumbing over OPAQUE payloads: split the binary
+    * into fixed-size byte frames, keep every `everyN`-th starting at
+    * frame 0 — the striding/batching shape for codecs this build can't
+    * decode. For MJPEG-in-AVI the REAL frame decoder is
+    * [[MjpegVideo.decodeFrames]]. Streams rows per partition; frames
+    * for one record stay together (a decode batch).
     */
   def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int): Dataset[FrameSample] = {
     require(frameBytes > 0 && everyN > 0)
@@ -103,9 +107,9 @@ object Multimodal {
 
   // --- a REAL decoder: RIFF/WAVE PCM ---------------------------------
   // Audio needs no external codec for the PCM case — the container is
-  // a chunk walk and the samples are little-endian shorts. This is the
-  // concrete instance of the Decoder seam; image/video remain honest
-  // fakes (their codecs are not in this container).
+  // a chunk walk and the samples are little-endian shorts. The image
+  // and video legs are equally real: BmpCodec below, JpegCodec and
+  // AviCodec/MjpegVideo in their own files.
 
   final case class WavFeatures(
       media_id: Long, sample_rate: Int, n_channels: Int, bits: Int,
@@ -502,9 +506,10 @@ object Multimodal {
   }
 
   // --- and REAL video-container probing: ISO BMFF (MP4) box walk -----
-  // Codec frames stay an honest fake (no decoder in this container),
-  // but the CONTAINER metadata — what a pipeline probes before
-  // deciding to decode at all — is a pure big-endian box tree.
+  // MP4 payload codecs (H.264 etc.) are beyond a pure-JVM build, but
+  // the CONTAINER metadata — what a pipeline probes before deciding to
+  // decode at all — is a pure big-endian box tree. Full frame decode
+  // exists for MJPEG-in-AVI ([[MjpegVideo.decodeFrames]]).
 
   final case class Mp4Features(
       media_id: Long, brand: String, timescale: Long, duration_units: Long,
@@ -600,8 +605,12 @@ object Multimodal {
   def sniffModality(bytes: Array[Byte]): String =
     if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A') "audio/wav"
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && tag4(bytes, 8) == "AVI ") "video/avi"
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "image/bmp"
     else if (bytes.length >= 12 && tag4(bytes, 4) == "ftyp") "video/mp4"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
+      (bytes(2) & 0xff) == 0xff) "image/jpeg"
     else "unknown"
 
   private def tag4(b: Array[Byte], o: Int): String =
@@ -611,10 +620,11 @@ object Multimodal {
       media_id: Long, modality: String, n_units: Long, mean_val: Double)
 
   /** Mixed-modality decode: sniff each payload, route to the matching
-    * REAL codec (WAV samples / BMP pixels), fall back to byte stats for
-    * unknowns — the one-pass ingest shape for a heterogeneous media
-    * column. n_units = samples | pixels | bytes; mean_val =
-    * mean |amplitude| | mean intensity | mean byte.
+    * REAL codec (WAV samples / BMP pixels / JPEG pixels / MJPEG-AVI
+    * first frame), fall back to byte stats for unknowns — the one-pass
+    * ingest shape for a heterogeneous media column. n_units = samples
+    * | pixels | frames | bytes; mean_val = mean |amplitude| | mean
+    * intensity | frame-0 mean intensity | mean byte.
     */
   def decodeAuto(media: DataFrame): Dataset[MediaAuto] = {
     val spark = media.sparkSession
@@ -630,6 +640,23 @@ object Multimodal {
           case m @ "image/bmp" =>
             val f = BmpCodec.parse(id, bytes)
             MediaAuto(id, m, f.n_pixels, f.mean_intensity)
+          case m @ "image/jpeg" =>
+            val img = JpegCodec.decode(id, bytes)
+            var sum = 0L
+            var i = 0
+            while (i < img.pixels.length) { sum += (img.pixels(i) & 0xff); i += 1 }
+            MediaAuto(id, m, img.width.toLong * img.height,
+              if (img.pixels.length == 0) 0.0 else sum.toDouble / img.pixels.length)
+          case m @ "video/avi" =>
+            // container walk + a REAL decode of the first frame (the
+            // probe a pipeline runs before committing to full decode)
+            val avi = AviCodec.parse(id, bytes)
+            val img = JpegCodec.decode(id, avi.frames.head)
+            var sum = 0L
+            var i = 0
+            while (i < img.pixels.length) { sum += (img.pixels(i) & 0xff); i += 1 }
+            MediaAuto(id, m, avi.frames.length.toLong,
+              if (img.pixels.length == 0) 0.0 else sum.toDouble / img.pixels.length)
           case m =>
             val f = FakeDecoder.features(id, m, bytes)
             MediaAuto(id, m, f.n_bytes, f.byte_mean)
