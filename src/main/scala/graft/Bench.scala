@@ -53,10 +53,17 @@ object Bench {
         val cmd = Seq(javaBin) ++ keep ++ Seq(
           "-cp", System.getProperty("java.class.path"), "graft.IsoBench", sfDir, n)
         val pb = new ProcessBuilder(cmd: _*)
-        pb.redirectErrorStream(false)
+        // merge stderr into stdout: Spark logs to stderr, and an
+        // undrained stderr pipe fills its ~64KB buffer and deadlocks
+        // the child (stdout then never reaches EOF). The {"iso": line
+        // is grepped out of the merged stream below.
+        pb.redirectErrorStream(true)
         val p = pb.start()
         val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
-        p.waitFor()
+        // belt-and-braces: stdout EOF means the child is done or dead;
+        // never hang the whole bench on a wedged child JVM
+        if (!p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS))
+          p.destroyForcibly()
         out.linesIterator.find(_.startsWith("{\"iso\":")).flatMap { line =>
           val m = """"min":([0-9.]+)""".r.findFirstMatchIn(line)
           m.map(g => n -> g.group(1).toDouble)

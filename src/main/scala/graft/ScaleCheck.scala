@@ -56,8 +56,12 @@ object ScaleUp {
       val out =
         if (shifts.isEmpty) base
         else (0 until copies).map { i =>
+          // shift in LONG space: casting back to a narrower source
+          // type (e.g. IntegerType) silently wraps past ~21 copies and
+          // produces colliding/negative keys. Every consumer reads the
+          // replicated dir fresh, so the widened type is harmless.
           val shifted = shifts.foldLeft(base) { case (df, (c, b)) =>
-            df.withColumn(c, (col(c) + lit(b * i)).cast(df.schema(c).dataType))
+            df.withColumn(c, col(c).cast("long") + lit(b * i))
           }
           // vary replicated text so dedup tiers see a 10x corpus, not
           // 10x exact clones of the sf0.1 one

@@ -348,18 +348,30 @@ object JpegCodec {
     def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
 
     var result: DecodedImage = null
+    // segment length, validated against the buffer: a truncated
+    // SOF/DHT/DQT/SOS/APPn must fail with the id-tagged message, never
+    // an ArrayIndexOutOfBoundsException from a body read past the end
+    def segLen(pos: Int): Int = {
+      require(pos + 2 <= bytes.length, s"media $id: truncated segment header")
+      val len = u16(pos)
+      require(len >= 2 && pos + len <= bytes.length,
+        s"media $id: truncated segment (len=$len at $pos)")
+      len
+    }
     while (result == null) {
       require(pos + 1 < bytes.length, s"media $id: truncated before EOI")
       require((bytes(pos) & 0xff) == 0xff, f"media $id: expected marker at $pos")
-      // optional fill bytes before a marker
-      while ((bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      // optional fill bytes before a marker (bounds-checked: a file
+      // ENDING in 0xFF fill bytes must fail loudly with the id, not AIOOBE)
+      while (pos + 2 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff) pos += 1
+      require((bytes(pos + 1) & 0xff) != 0xff, s"media $id: truncated in fill bytes")
       val marker = bytes(pos + 1) & 0xff
       pos += 2
       marker match {
         case 0xd9 => // EOI with no SOS seen
           throw new IllegalArgumentException(s"media $id: EOI before any scan")
         case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
-          val len = u16(pos)
+          val len = segLen(pos)
           require((bytes(pos + 2) & 0xff) == 8, s"media $id: only 8-bit precision supported")
           height = u16(pos + 3)
           width = u16(pos + 5)
@@ -384,7 +396,7 @@ object JpegCodec {
         case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
           throw new IllegalArgumentException(f"media $id: SOF$m%x mode unsupported")
         case 0xc4 => // DHT (possibly several tables)
-          val len = u16(pos)
+          val len = segLen(pos)
           var o = pos + 2
           while (o < pos + len) {
             val tc = (bytes(o) & 0xff) >> 4
@@ -399,7 +411,7 @@ object JpegCodec {
           }
           pos += len
         case 0xdb => // DQT (possibly several tables)
-          val len = u16(pos)
+          val len = segLen(pos)
           var o = pos + 2
           while (o < pos + len) {
             val pq = (bytes(o) & 0xff) >> 4
@@ -417,11 +429,12 @@ object JpegCodec {
           }
           pos += len
         case 0xdd => // DRI
+          val len = segLen(pos)
           restartInterval = u16(pos + 2)
-          pos += u16(pos)
+          pos += len
         case 0xda => // SOS
           require(comps != null, s"media $id: SOS before SOF")
-          val len = u16(pos)
+          val len = segLen(pos)
           val ns = bytes(pos + 2) & 0xff
           require(ns == comps.length,
             s"media $id: non-interleaved multi-scan unsupported ($ns of ${comps.length} components)")
@@ -442,7 +455,7 @@ object JpegCodec {
         case m if m >= 0xd0 && m <= 0xd7 => // stray RST outside scan
           throw new IllegalArgumentException(s"media $id: RST marker outside scan")
         case _ => // APPn, COM, anything else with a length
-          pos += u16(pos)
+          pos += segLen(pos)
       }
     }
     result

@@ -92,6 +92,8 @@ object AviCodec {
     require(width > 0 && height > 0 && usPerFrame > 0,
       s"media $id: missing/invalid avih header")
     require(sawMjpgStream, s"media $id: no MJPG vids stream declared")
+    require(frames.nonEmpty,
+      s"media $id: AVI carries no movi frame chunks (##dc/##db)")
     AviMeta(width, height, usPerFrame, declared, frames.toArray)
   }
 
