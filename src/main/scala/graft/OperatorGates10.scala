@@ -55,7 +55,12 @@ object OperatorGates10 {
       require(r3("published") == "false" && r3("deltaRows") == "0",
         s"empty epoch must be a no-op: $r3")
       val idx = AnnIndex.loadCodebook(s"$tmp/idx", s.sparkContext.hadoopConfiguration)
-      AnnIndex.search(idx, s.read.parquet(s"$tmp/idx"),
+      // assignments live in a list_id-partitioned ShardedTable:
+      // searchTable opens ONLY the probed lists' partitions (manifest
+      // pruning) — same results as a full-assignments search
+      val table = new graft.sink.ShardedTable(s"$tmp/idx", "list_id",
+        s.sparkContext.hadoopConfiguration)
+      AnnIndex.searchTable(idx, table,
           e.filter(pmod(col("vec_id"), lit(100)) === 0), k = 5, nProbe = 4)
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
     }),
@@ -71,7 +76,6 @@ object OperatorGates10 {
     //     stale-batch-1-seeded codebook ---------------------------------
     "q_stream_ann_index" -> ((s, dir) => {
       import graft.operators.AnnIndex
-      import graft.sink.{Publisher, SinkSpec}
       import graft.state.FsStateStore
       import graft.streaming.StreamingIngest
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -91,31 +95,27 @@ object OperatorGates10 {
       val root = java.nio.file.Files.createTempDirectory("q_stream_ann_out").toString
       val idxPath = s"$root/idx"
       val hconf = s.sparkContext.hadoopConfiguration
-      val pub = new Publisher(hconf)
-      def idxExists(): Boolean = {
-        val p = new org.apache.hadoop.fs.Path(idxPath)
-        p.getFileSystem(hconf).exists(p)
-      }
       val stream = StreamingIngest.readFileStream(s, staled.schema,
         inDir.toString, maxFilesPerTrigger = Some(1))
+      // each batch commits a list_id-partitioned ShardedTable version
+      // rewriting ONLY the lists its delta touches; the frozen
+      // codebook (fit from the FIRST batch) is a root sidecar written
+      // before the first commit's pointer flip
+      val table = new graft.sink.ShardedTable(idxPath, "list_id", hconf)
       val q = stream.writeStream
         .foreachBatch { (delta: DataFrame, _: Long) =>
-          // frozen-codebook maintenance: load from the published
-          // snapshot, or fit from the FIRST batch; the sidecar is
-          // planted in staging so it swaps atomically with the data
-          val (idx, merged) =
-            if (idxExists()) {
-              val idx = AnnIndex.loadCodebook(idxPath, hconf)
-              (idx, AnnIndex.merge(idx, s.read.parquet(idxPath), delta))
-            } else {
-              val idx = graft.functions.Ann.sampledIvf(delta, k = 8)
-              (idx, AnnIndex.assign(idx, delta))
+          val hasCurrent = table.currentVersion.isDefined
+          val idx =
+            if (hasCurrent) AnnIndex.loadCodebook(idxPath, hconf)
+            else {
+              val fit = graft.functions.Ann.sampledIvf(delta, k = 8)
+              new FsStateStore(idxPath, hconf).put("_centroids", "annindex",
+                Map("table" -> AnnIndex.encodeCentroids(fit)))
+              fit
             }
-          val spec = SinkSpec(s"$root/staging", idxPath)
-          pub.writeStaged(merged, spec) // full stage reads the CURRENT index
-          new FsStateStore(spec.stagingDir, hconf).put("_centroids", "annindex",
-            Map("table" -> AnnIndex.encodeCentroids(idx)))
-          pub.publishSnapshot(spec)
+          val (merged, touched) =
+            AnnIndex.shardedMerge(idx, table, hasCurrent, delta)
+          table.commit(merged, touched)
           ()
         }
         .option("checkpointLocation", s"$root/ck")
@@ -123,7 +123,7 @@ object OperatorGates10 {
         .start()
       q.awaitTermination()
       val idx = AnnIndex.loadCodebook(idxPath, hconf)
-      AnnIndex.search(idx, s.read.parquet(idxPath),
+      AnnIndex.searchTable(idx, table,
           e.filter(pmod(col("vec_id"), lit(100)) === 0), k = 5, nProbe = 4)
         .orderBy(col("query_id"), col("sim").desc, col("neighbor_id"))
     }),

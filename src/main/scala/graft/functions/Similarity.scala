@@ -173,7 +173,8 @@ object Similarity {
     */
   def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      fnv: Boolean = false): DataFrame = {
+      fnv: Boolean = false, maxBucket: Int = Int.MaxValue,
+      droppedBuckets: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // signatures are reused three times (banding + two lookups) —
     // lazy persist computes them once within the first job WITHOUT the
     // separate blocking job an eager localCheckpoint pays, and (unlike
@@ -182,7 +183,7 @@ object Similarity {
     // cluster, where executor loss under a checkpoint is job failure
     val sigs = minhashSignatures(docs, idCol, textCol, shingleN, numHashes, fnv)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    lshCandidatePairsFromSigs(sigs, numHashes, bands)
+    lshCandidatePairsFromSigs(sigs, numHashes, bands, maxBucket, droppedBuckets)
   }
 
   /** (id, band, bucket) banding rows of an (id, sig) frame. */
@@ -194,19 +195,56 @@ object Similarity {
   /** Candidate pairs from a precomputed (id, sig) frame — the reusable
     * core of [[lshCandidatePairs]] (the incremental path feeds it the
     * unmatched slice of a batch).
+    *
+    * `maxBucket` is the hot-band skew guard (the SCALING.md "hot band
+    * bucket → O(bucket²) pairs" failure mode): with a cap, the
+    * per-(band, bucket) membership list is bounded INSIDE the
+    * aggregate ([[CollectListCapped]] — a hot bucket costs O(cap)
+    * memory ever, and AQE cannot split a single join key, so the cap
+    * must live in the aggregate), and buckets past the cap are DROPPED
+    * from candidate generation — the same capped-set discipline as
+    * [[ngramJaccardPairs]]'s stopword-shingle cut. A bucket that hot
+    * is band-wise boilerplate: its pairs are the least informative and
+    * the first thing parameter tuning (more bands) would shed anyway.
+    * `droppedBuckets` observes (dropped, total) bucket counts on the
+    * same job. Uncapped (the default) keeps the narrow self-join shape
+    * — collecting unbounded buckets would be worse than joining them.
     */
   def lshCandidatePairsFromSigs(sigs: DataFrame, numHashes: Int,
-      bands: Int): DataFrame = {
+      bands: Int, maxBucket: Int = Int.MaxValue,
+      droppedBuckets: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(maxBucket > 1, "maxBucket must be > 1 (pairs need >= 2 ids)")
     val rowsPerBand = numHashes / bands
     // candidate generation stays NARROW: only (id, band, bucket) is
     // shuffled/deduped; the 16-wide signatures join back afterwards,
     // once per distinct pair instead of once per band collision.
     val banded = bandedOf(sigs, bands, rowsPerBand)
-    val a = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
-    val b = banded.select(col("id").as("id_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    val pairs =
+      if (maxBucket == Int.MaxValue) {
+        val a = banded.select(col("id").as("id_a"), col("band"), col("bucket"))
+        val b = banded.select(col("id").as("id_b"), col("band"), col("bucket"))
+        a.join(b, Seq("band", "bucket"))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"))
+      } else {
+        val grouped = banded.groupBy(col("band"), col("bucket"))
+          .agg(sort_array(CollectListCapped(col("id"), maxBucket)).as("ids"))
+        val observed = droppedBuckets.map(o => grouped.observe(o,
+            sum(when(size(col("ids")) > maxBucket, 1L).otherwise(0L))
+              .as("dropped_buckets"),
+            count(lit(1)).as("total_buckets"))).getOrElse(grouped)
+        val kept = observed
+          .filter(size(col("ids")) <= maxBucket && size(col("ids")) > 1)
+        // in-list ordered pairs (ids sorted, so id_a < id_b holds);
+        // expansion bounded by cap² per bucket
+        val pairExpr = flatten(transform(col("ids"), (x, i) =>
+          transform(slice(col("ids"), i + lit(2),
+              greatest(size(col("ids")) - i - 1, lit(0))),
+            y => struct(x.as("id_a"), y.as("id_b")))))
+        kept.select(explode(pairExpr).as("p"))
+          .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      }
+    pairs
       .distinct()
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -222,8 +260,10 @@ object Similarity {
     */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleN: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      fnv: Boolean = false): DataFrame =
-    lshCandidatePairs(docs, idCol, textCol, shingleN, numHashes, bands, fnv)
+      fnv: Boolean = false, maxBucket: Int = Int.MaxValue,
+      droppedBuckets: Option[org.apache.spark.sql.Observation] = None): DataFrame =
+    lshCandidatePairs(docs, idCol, textCol, shingleN, numHashes, bands, fnv,
+        maxBucket, droppedBuckets)
       .withColumn("est_jaccard", minhashJaccardEstimate(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))

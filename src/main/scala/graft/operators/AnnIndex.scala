@@ -77,6 +77,55 @@ object AnnIndex {
       .select(col("query_id"), col("neighbor_id"), col("sim"))
   }
 
+  // ------------------------------------------------- sharded persistence
+
+  /** Partition-granular incremental merge against a
+    * [[graft.sink.ShardedTable]] partitioned by `list_id`: the
+    * replacement rows for ONLY the IVF lists the delta touches (an
+    * updated vector touches its OLD list — retract — and its NEW list
+    * — insert), plus the touched-list values for the commit. List
+    * storage is the search-optimal layout (probe-list reads open
+    * nProbe partitions, not the corpus — [[searchTable]]); locating a
+    * changed vector's old list costs one column-pruned (vec_id,
+    * list_id) scan, ~1% of index bytes next to the embedding payload
+    * the rewrite used to pay. Touched lists are a driver collect
+    * bounded by the codebook size. `hasCurrent = false` = full build.
+    */
+  def shardedMerge(idx: IvfIndex, table: graft.sink.ShardedTable,
+      hasCurrent: Boolean, latestVecs: DataFrame, id: String = "vec_id",
+      vec: String = "embedding"): (DataFrame, Seq[String]) = {
+    val spark = latestVecs.sparkSession
+    val delta = assign(idx, latestVecs, id, vec)
+    val newLists = delta.select(col("list_id"))
+    if (!hasCurrent)
+      (delta, newLists.distinct().collect().map(_.get(0).toString).toSeq.sorted)
+    else {
+      val deltaIds = latestVecs.select(col(id).as("vec_id")).distinct()
+      val oldLists = table.readCurrent(spark).select(col("vec_id"), col("list_id"))
+        .join(deltaIds, Seq("vec_id"), "left_semi").select(col("list_id"))
+      val touched = newLists.unionByName(oldLists).distinct()
+        .collect().map(_.get(0).toString).toSeq.sorted
+      val kept = table.readPartitions(spark, touched)
+        .join(deltaIds, Seq("vec_id"), "left_anti")
+      (kept.unionByName(delta), touched)
+    }
+  }
+
+  /** [[search]] with manifest-pruned candidate reads: only the
+    * partitions of the lists the probes actually hit are opened —
+    * nProbe · |distinct probed lists| directories, never the corpus.
+    * The probed-list collect is bounded by the codebook size.
+    */
+  def searchTable(idx: IvfIndex, table: graft.sink.ShardedTable,
+      probes: DataFrame, k: Int, nProbe: Int, id: String = "vec_id",
+      vec: String = "embedding"): DataFrame = {
+    val spark = probes.sparkSession
+    val probed = probes
+      .select(explode(idx.probeColumn(col(vec), nProbe)).as("list_id"))
+      .distinct().collect().map(_.get(0).toString).toSeq.sorted
+    search(idx, table.readPartitions(spark, probed), probes, k, nProbe, id, vec)
+  }
+
   // --- codebook sidecar codec ----------------------------------------
   // "cid:v1,v2,...;cid:v1,..." with Double.toString components —
   // shortest-round-trip decimal, so decode(encode(x)) is bit-exact.

@@ -76,6 +76,56 @@ object Bm25 {
     idx.join(touched, Seq("doc_id"), "left_anti").unionByName(delta)
   }
 
+  // ------------------------------------------------- sharded persistence
+
+  /** Doc-hash shard for partition-granular index storage. Sharding by
+    * DOC (not term) is what makes maintenance O(delta): a changed
+    * doc's OLD postings live in exactly its hash shard — computable
+    * from the delta alone — whereas term-sharding scatters them across
+    * every shard its old tokens hashed to, forcing either a full-index
+    * scan or a doc→shards sidecar just to locate rows to retract.
+    * Term-sharding's sole upside (pruning query-term lookups) doesn't
+    * pay here: scoring reads candidate postings through a hash
+    * equi-join, which shuffles by token regardless of file layout.
+    */
+  def shardOf(docId: Column, nShards: Int): Column =
+    pmod(hash(docId), lit(nShards)).cast("int")
+
+  /** [[index]] plus the storage shard — the layout persisted through
+    * [[graft.sink.ShardedTable]] so an epoch rewrites only the shards
+    * its delta touches.
+    */
+  def shardedIndex(corpus: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame =
+    index(corpus, idCol, textCol)
+      .withColumn("shard", shardOf(col("doc_id"), nShards))
+
+  /** Partition-granular incremental merge: the replacement rows for
+    * ONLY the shards the delta touches, plus the touched-shard list —
+    * feed both to `ShardedTable.commit` so untouched shards' files are
+    * never rewritten (they carry over by manifest reference). Same
+    * delta-wins algebra as [[mergeIndex]]; `hasCurrent = false` means
+    * full build (first epoch, or data deleted under the metadata).
+    * The touched list is a driver-side collect bounded by nShards.
+    */
+  def shardedMerge(table: graft.sink.ShardedTable, hasCurrent: Boolean,
+      latestDocs: DataFrame, idCol: String, textCol: String,
+      nShards: Int): (DataFrame, Seq[String]) = {
+    val spark = latestDocs.sparkSession
+    val delta = shardedIndex(latestDocs, idCol, textCol, nShards)
+    // from the DOC ids, not the delta postings: a doc updated to empty
+    // text has no new postings but its old rows must still retract
+    val touched = latestDocs.select(shardOf(col(idCol), nShards).as("shard"))
+      .distinct().collect().map(_.getInt(0).toString).toSeq.sorted
+    if (!hasCurrent) (delta, touched)
+    else {
+      val deltaIds = latestDocs.select(col(idCol).as("doc_id")).distinct()
+      val kept = table.readPartitions(spark, touched)
+        .join(deltaIds, Seq("doc_id"), "left_anti")
+      (kept.unionByName(delta), touched)
+    }
+  }
+
   /** Corpus postings: one row per (doc, distinct token) with the term
     * frequency `tf`, the document length `dl`, and document count /
     * average length attached as literal-free columns.

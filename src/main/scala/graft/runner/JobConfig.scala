@@ -383,18 +383,22 @@ object JobConfig {
 
       case "index" =>
         // incremental BM25 inverted-index maintenance as a config job:
-        // docs above the published snapshot's watermark re-index and
-        // REPLACE their rows (Bm25.mergeIndex delta-wins); untouched
-        // docs never recompute. The searchable-corpus face of the
-        // incremental job family (scd2 = dimension, rollup = cube,
+        // docs above the published watermark re-index and REPLACE
+        // their rows (delta-wins); untouched docs never recompute. The
+        // index persists as a doc-hash-SHARDED versioned table
+        // (ShardedTable), so an epoch rewrites only the shards its
+        // delta touches — never the whole index — and every epoch is
+        // a time-travelable version. The searchable-corpus face of
+        // the incremental job family (scd2 = dimension, rollup = cube,
         // index = retrieval).
         val idCol = req(p, "index.id")
         val textCol = req(p, "index.text")
         val seqCol = req(p, "index.seq")
-        incrementalPublish(spark, p, kind = "index", seqCol) {
-          (published, delta) =>
+        val nShards = opt(p, "index.shards").map(_.toInt).getOrElse(32)
+        incrementalShardedPublish(spark, p, kind = "index", seqCol,
+          partCol = "shard") { (table, hasCurrent, delta) =>
             // a doc can be updated MORE THAN ONCE inside one delta;
-            // mergeIndex treats every delta row as current, so reduce
+            // the merge treats every delta row as current, so reduce
             // to the latest version per doc by seq first (ties: any —
             // equal seq means equal version under the watermark
             // contract). Same latest-wins discipline as Scd2.merge.
@@ -404,8 +408,8 @@ object JobConfig {
                   .partitionBy(col(idCol))
                   .orderBy(col(seqCol).cast("long").desc)))
               .filter(col("_rn") === 1).drop("_rn")
-            published.fold(graft.operators.Bm25.index(latest, idCol, textCol))(
-              idx => graft.operators.Bm25.mergeIndex(idx, latest, idCol, textCol))
+            graft.operators.Bm25.shardedMerge(table, hasCurrent, latest,
+              idCol, textCol, nShards)
         }
 
       case "funnel" =>
@@ -441,36 +445,41 @@ object JobConfig {
         // retrieval, annindex = ANN). The codebook is FIT ONCE from
         // the first epoch's delta (Ann.sampledIvf — deterministic,
         // md5-seeded) and FROZEN: later deltas assign against it and
-        // REPLACE their rows (AnnIndex.merge), so merge == full
-        // rebuild exactly. The codebook rides the snapshot as a
-        // sidecar planted in staging (atomic with data + watermark).
+        // REPLACE their rows, so merge == full rebuild exactly. The
+        // assignments persist as a ShardedTable partitioned by
+        // list_id: an epoch rewrites only the lists its delta touches
+        // and probe-time reads open only probed lists. The frozen
+        // codebook is written as a root sidecar BEFORE the pointer
+        // flip (idempotent — refit from the same first delta is
+        // deterministic), so no committed version exists without it.
         val aId = req(p, "annindex.id")
         val aVec = req(p, "annindex.vec")
         val aSeq = req(p, "annindex.seq")
         val aCents = opt(p, "annindex.centroids").map(_.toInt).getOrElse(64)
         val aConf = spark.sparkContext.hadoopConfiguration
-        // set by applyDelta, written by the sidecar hook (runs later
-        // in the same publish sequence, under the same job lock)
+        // set by applyDelta, written by the sidecar hook (runs just
+        // before the commit, under the same job lock)
         var codebook: Option[graft.functions.Ann.IvfIndex] = None
-        incrementalPublish(spark, p, kind = "annindex", aSeq,
-          stageSidecar = staging => codebook.foreach { idx =>
-            new FsStateStore(staging, aConf).put("_centroids", "annindex",
-              Map("table" -> graft.operators.AnnIndex.encodeCentroids(idx)))
-          }) { (published, delta) =>
+        incrementalShardedPublish(spark, p, kind = "annindex", aSeq,
+          partCol = "list_id",
+          commitSidecar = () => codebook.foreach { idx =>
+            new FsStateStore(req(p, "sink.output"), aConf)
+              .put("_centroids", "annindex",
+                Map("table" -> graft.operators.AnnIndex.encodeCentroids(idx)))
+          }) { (table, hasCurrent, delta) =>
           val latest = delta
             .withColumn("_rn", row_number().over(
               org.apache.spark.sql.expressions.Window
                 .partitionBy(col(aId))
                 .orderBy(col(aSeq).cast("long").desc)))
             .filter(col("_rn") === 1).drop("_rn")
-          val idx = published match {
-            case Some(_) =>
+          val idx =
+            if (hasCurrent)
               graft.operators.AnnIndex.loadCodebook(req(p, "sink.output"), aConf)
-            case None => graft.functions.Ann.sampledIvf(latest, aCents, aId, aVec)
-          }
+            else graft.functions.Ann.sampledIvf(latest, aCents, aId, aVec)
           codebook = Some(idx)
-          published.fold(graft.operators.AnnIndex.assign(idx, latest, aId, aVec))(
-            ex => graft.operators.AnnIndex.merge(idx, ex, latest, aId, aVec))
+          graft.operators.AnnIndex.shardedMerge(idx, table, hasCurrent,
+            latest, aId, aVec)
         }
 
       case "curate" =>
@@ -674,6 +683,87 @@ object JobConfig {
             store.put(kind, jobName, Map("highWatermark" -> hw.toString))
             Map("published" -> "true", "deltaRows" -> deltaRows.toString,
               "highWatermark" -> hw.toString)
+          }
+        } finally delta.unpersist()
+      }
+    }.getOrElse(Map("published" -> "false", "deltaRows" -> "0",
+      "highWatermark" -> "", "reason" -> "lock held by another run"))
+  }
+
+  /** Partition-granular sibling of [[incrementalPublish]] for the
+    * index-shaped job types: state persists in a
+    * [[graft.sink.ShardedTable]] instead of a swapped snapshot dir, so
+    * an epoch writes O(touched partitions) — never O(index) — and
+    * each epoch is a time-travelable version. The high watermark rides
+    * the version manifest, committing ATOMICALLY with the data at the
+    * pointer flip (the sharded analog of planting `_watermark` in the
+    * staged snapshot). Shared contract with [[incrementalPublish]]:
+    * JobLock serialization, watermark trusted only while its data
+    * survives (data dirs deleted under the metadata → full rebuild,
+    * committed with no manifest carry-over so dead paths can't leak
+    * forward), missing/empty source and empty delta are no-ops.
+    *
+    * `applyDelta(table, hasCurrent, delta)` returns the replacement
+    * rows for the touched partitions plus the touched-partition
+    * values; `commitSidecar` runs after applyDelta and BEFORE the
+    * commit (for frozen root sidecars like the annindex codebook — a
+    * crash between the two leaves a sidecar without a version, which
+    * the deterministic refit overwrites identically on retry).
+    */
+  private def incrementalShardedPublish(spark: SparkSession, p: Properties,
+      kind: String, seqCol: String, partCol: String,
+      commitSidecar: () => Unit = () => ())(
+      applyDelta: (graft.sink.ShardedTable, Boolean, DataFrame) => (DataFrame, Seq[String])): Map[String, String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val store = new FsStateStore(req(p, "state.dir"), conf)
+    val jobName = req(p, "job.name")
+    val outDir = req(p, "sink.output")
+    val srcPath = new org.apache.hadoop.fs.Path(req(p, "source.path"))
+    val noop = (wm: Option[Long]) => Map("published" -> "false",
+      "deltaRows" -> "0", "highWatermark" -> wm.map(_.toString).getOrElse(""))
+    val lock = new JobLock(req(p, "state.dir") + "/_locks", s"$kind-$jobName",
+      conf = conf)
+    lock.withLock {
+      val table = new graft.sink.ShardedTable(outDir, partCol, conf)
+      val dataPath = new org.apache.hadoop.fs.Path(s"$outDir/data")
+      val hasCurrent = table.currentVersion.isDefined &&
+        dataPath.getFileSystem(conf).exists(dataPath)
+      // the watermark is meaningful only WITH its data: if the data
+      // dirs were deleted, rebuild from the full source rather than
+      // silently dropping everything below the orphaned watermark
+      val prior =
+        if (!hasCurrent) None
+        else table.currentMeta.get("highWatermark").filter(_.nonEmpty).map(_.toLong)
+      val srcFs = srcPath.getFileSystem(conf)
+      val srcOpt =
+        if (!srcFs.exists(srcPath)) None
+        else if (!srcFs.listStatus(srcPath).exists { s =>
+          val n = s.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }) None
+        else Some(spark.read
+          .format(opt(p, "source.format").getOrElse("parquet"))
+          .load(req(p, "source.path")))
+      srcOpt.fold(noop(prior)) { src =>
+        val delta = prior.fold(src)(w => src.filter(col(seqCol).cast("long") > w))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val stats = delta.agg(max(col(seqCol).cast("long")), count(lit(1))).head
+          if (stats.isNullAt(0)) noop(prior)
+          else {
+            val hw = stats.getLong(0)
+            val deltaRows = stats.getLong(1)
+            val (merged, touched) = applyDelta(table, hasCurrent, delta)
+            commitSidecar()
+            val version = table.commit(merged, touched,
+              Map("highWatermark" -> hw.toString), full = !hasCurrent)
+            // observability-only secondary record (the manifest is the
+            // source of truth; see incrementalPublish's crash note)
+            store.put(kind, jobName, Map("highWatermark" -> hw.toString,
+              "version" -> version.toString))
+            Map("published" -> "true", "deltaRows" -> deltaRows.toString,
+              "highWatermark" -> hw.toString, "version" -> version.toString,
+              "touchedPartitions" -> touched.size.toString)
           }
         } finally delta.unpersist()
       }

@@ -84,6 +84,33 @@ class ScaleShapeSpec extends SparkSpec {
     assert(out.forall(_.getAs[Int]("hamming") <= 12))
   }
 
+  test("minhash hot band: a planted boilerplate block stays linear under the bucket cap") {
+    import spark.implicits._
+    // the normal 20k corpus PLUS a 20k block of IDENTICAL boilerplate:
+    // each of the boilerplate's 4 band buckets is 20,000-hot, so
+    // uncapped candidate generation would emit 4 · n(n-1)/2 ≈ 8·10^8
+    // pairs from the block alone. With the cap the hot buckets are
+    // bounded inside the aggregate and dropped (observably), while the
+    // planted near-dup clusters (bucket occupancy ~2) still surface.
+    val hot = (0L until n.toLong)
+      .map(id => (1000000L + id,
+        "all rights reserved contact the site owner for terms"))
+      .toDF("id", "text")
+    val obs = new org.apache.spark.sql.Observation()
+    val pairs = Similarity.minhashNearDups(docs.unionByName(hot), "id", "text",
+      threshold = 0.5, shingleN = 3, numHashes = 16, bands = 4,
+      maxBucket = 64, droppedBuckets = Some(obs))
+    // full count FIRST: the Observation resolves on its first action,
+    // and a non-empty result keeps the metrics node un-pruned (the
+    // AQE empty-relation caveat documented on ngramJaccardPairs)
+    assert(pairs.count() >= n / 100 - 5, "capped path must keep real near-dups")
+    val m = obs.get
+    assert(m("dropped_buckets").asInstanceOf[Long] === 4L,
+      s"exactly the boilerplate's 4 band buckets are over the cap: $m")
+    val fromHot = pairs.filter(col("id_a") >= 1000000L).count()
+    assert(fromHot === 0L, s"hot-block pairs must be dropped, got $fromHot")
+  }
+
   test("minhash LSH banding: candidate pairs are a vanishing fraction of n^2") {
     val cands = Similarity.lshCandidatePairs(docs, "id", "text",
       shingleN = 3, numHashes = 16, bands = 4)

@@ -65,4 +65,55 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.loadCodebook(tmp, spark.sparkContext.hadoopConfiguration)
     }
   }
+
+  test("sharded merge == rebuild; untouched lists carry over by path") {
+    val root = java.nio.file.Files.createTempDirectory("annidx").toString + "/t"
+    val table = new graft.sink.ShardedTable(root, "list_id",
+      spark.sparkContext.hadoopConfiguration)
+    val first = vecs(0 until 60)
+    val idx = Ann.sampledIvf(first, k = 4) // frozen
+    val (full0, touched0) = AnnIndex.shardedMerge(idx, table,
+      hasCurrent = false, first)
+    table.commit(full0, touched0)
+    // epoch 2: ONE vector re-delivered with a changed embedding — only
+    // its old and new lists may rewrite
+    val moved = vecs(0 until 1)
+      .withColumn("embedding", reverse(col("embedding")))
+    val (merged, touched) = AnnIndex.shardedMerge(idx, table,
+      hasCurrent = true, moved)
+    table.commit(merged, touched)
+    assert(touched.size <= 2, s"1-vector delta touched ${touched.size} lists")
+    val m1 = table.manifest(1L)
+    val m2 = table.manifest(2L)
+    m1.keys.filterNot(touched.contains).foreach { l =>
+      assert(m2(l) === m1(l), s"untouched list $l must not rewrite")
+    }
+    // merged table == full rebuild of the corrected corpus under the
+    // frozen codebook
+    val corrected = first.filter(col("vec_id") =!= 0)
+      .unionByName(moved)
+    val rebuilt = AnnIndex.assign(idx, corrected)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val stored = table.readCurrent(spark).select("vec_id", "list_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(stored === rebuilt)
+  }
+
+  test("searchTable (manifest-pruned reads) equals full-assignments search") {
+    val root = java.nio.file.Files.createTempDirectory("annidx").toString + "/t"
+    val table = new graft.sink.ShardedTable(root, "list_id",
+      spark.sparkContext.hadoopConfiguration)
+    val all = vecs(0 until 100)
+    val idx = Ann.sampledIvf(all, k = 4)
+    val (full0, touched0) = AnnIndex.shardedMerge(idx, table,
+      hasCurrent = false, all)
+    table.commit(full0, touched0)
+    val probes = all.filter(col("vec_id") % 11 === 0)
+    val pruned = AnnIndex.searchTable(idx, table, probes, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fullSearch = AnnIndex.search(idx, AnnIndex.assign(idx, all), probes,
+      k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pruned === fullSearch)
+  }
 }

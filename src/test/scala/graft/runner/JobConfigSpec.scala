@@ -247,13 +247,31 @@ class JobConfigSpec extends SparkSpec {
       .write.mode("append").parquet(s"$root/src")
     val r2 = JobConfig.runAny(spark, props)
     assert(r2("published") == "true" && r2("highWatermark") == "4")
-    val got = spark.read.parquet(s"$root/idx").collect()
+    val table = new graft.sink.ShardedTable(s"$root/idx", "shard",
+      spark.sparkContext.hadoopConfiguration)
+    def current() = table.readCurrent(spark)
+      .select("doc_id", "dl", "token", "tf").collect()
       .map(r => (r.getLong(0), r.getString(2), r.getLong(1), r.getLong(3))).toSet
-    val want = Bm25.index(
-        Seq((1L, "z z z"), (2L, "b c"), (3L, "c d")).toDF("doc_id", "text"),
-        "doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(2), r.getLong(1), r.getLong(3))).toSet
-    assert(got === want, "merged index must equal a rebuild from the final corpus")
+    def rebuild(docs: Seq[(Long, String)]) =
+      Bm25.index(docs.toDF("doc_id", "text"), "doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getLong(1), r.getLong(3))).toSet
+    assert(current() === rebuild(Seq((1L, "z z z"), (2L, "b c"), (3L, "c d"))),
+      "merged index must equal a rebuild from the final corpus")
+    // PARTITION-GRANULAR publish: epoch 2 touched only docs {1, 3}'s
+    // hash shards — every other shard's directory must carry over into
+    // the new manifest BY REFERENCE (same path: physically unmodified)
+    val m1 = table.manifest(1L)
+    val m2 = table.manifest(2L)
+    val touched2: Set[String] = Set(1L, 3L).map(id =>
+      Seq((id, "x")).toDF("doc_id", "text")
+        .select(Bm25.shardOf(org.apache.spark.sql.functions.col("doc_id"), 32))
+        .head.getInt(0).toString)
+    m1.keys.filterNot(touched2).foreach { shard =>
+      assert(m2(shard) === m1(shard),
+        s"untouched shard $shard must carry over by reference, not rewrite")
+    }
+    assert(r2("touchedPartitions").toInt <= touched2.size,
+      "epoch 2 may rewrite at most the delta's shards")
     val r3 = JobConfig.runAny(spark, props)
     assert(r3("published") == "false" && r3("deltaRows") == "0")
     // epoch 3: the SAME doc updated TWICE within one delta — only the
@@ -262,13 +280,21 @@ class JobConfigSpec extends SparkSpec {
       .write.mode("append").parquet(s"$root/src")
     val r4 = JobConfig.runAny(spark, props)
     assert(r4("published") == "true" && r4("highWatermark") == "6")
-    val got2 = spark.read.parquet(s"$root/idx").collect()
+    assert(current() === rebuild(Seq((1L, "z z z"), (2L, "p q p"), (3L, "c d"))),
+      "multi-update delta must keep only the latest version")
+    // TIME TRAVEL: epoch 1's index is still readable as version 1 and
+    // equals a rebuild of the epoch-1 corpus; rollback = pointer flip
+    val v1 = table.read(spark, 1L).select("doc_id", "dl", "token", "tf").collect()
       .map(r => (r.getLong(0), r.getString(2), r.getLong(1), r.getLong(3))).toSet
-    val want2 = Bm25.index(
-        Seq((1L, "z z z"), (2L, "p q p"), (3L, "c d")).toDF("doc_id", "text"),
-        "doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(2), r.getLong(1), r.getLong(3))).toSet
-    assert(got2 === want2, "multi-update delta must keep only the latest version")
+    assert(v1 === rebuild(Seq((1L, "a b"), (2L, "b c"))),
+      "version 1 must remain the epoch-1 index")
+    table.rollback(1L)
+    assert(current() === v1, "rollback must serve version 1 as current")
+    table.rollback(3L)
+    // watermark rode each manifest: the rolled-back version's watermark
+    // is the one its epoch committed
+    assert(table.metaOf(1L)("highWatermark") === "2")
+    assert(table.metaOf(3L)("highWatermark") === "6")
   }
 
   test("job.type=curate: half-specified budget is a config error, not a silent full publish") {
