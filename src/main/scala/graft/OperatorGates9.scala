@@ -186,6 +186,37 @@ object OperatorGates9 {
         .orderBy(col("doc_id"))
     }),
 
+    // --- RFC 9580 AEAD codec (Pgp.encryptAead/decrypt + OpenPgpAead):
+    //     the same count-bounded fixture docs, encrypted as SKESK v6 +
+    //     SEIPD v2 with per-doc AEAD mode (OCB / EAX / GCM round-robin,
+    //     64-byte chunks so every doc spans many chunks), decrypted on
+    //     executors through the SAME PgpDecrypt expression as the v1
+    //     gate — one codec, both wire formats. gpg 2.2.40 here has
+    //     AEAD compiled out, so the foreign anchor for OCB is the
+    //     pinned pyca/cryptography vectors in PgpSpec ----------------
+    "q_gpg_aead" -> ((s, dir) => {
+      import graft.functions.{Pgp, PgpDecrypt}
+      val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .select(col("doc_id"), col("text")).collect()
+      val tmp = java.nio.file.Files.createTempDirectory("q_gpg_aead")
+      val enc = tmp.resolve("enc"); java.nio.file.Files.createDirectories(enc)
+      docs.foreach { r =>
+        val id = r.getLong(0)
+        val aead = (id / 25 % 3 + 1).toInt // 1=EAX, 2=OCB, 3=GCM
+        java.nio.file.Files.write(enc.resolve(s"$id.gpg"),
+          Pgp.encryptAead(r.getString(1).getBytes("UTF-8"), s"graft|$id",
+            aeadAlgo = aead, chunkSizeOctet = 0))
+      }
+      s.read.format("binaryFile").load(s"$enc/*.gpg")
+        .select(regexp_extract(col("path"), "(\\d+)\\.gpg$", 1)
+          .cast("long").as("doc_id"), col("content"))
+        .select(col("doc_id"),
+          PgpDecrypt(col("content"), concat(lit("graft|"), col("doc_id")))
+            .cast("string").as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- fill-in-the-middle pairs (SpanCorruption.fim): deterministic
     //     FNV cut points -> <fim_prefix> P <fim_suffix> S <fim_middle>
     //     M reordering (Bavarian et al. 2022); pure projection, the
@@ -306,9 +337,53 @@ object OperatorGates9 {
       val r3 = JobConfig.runAny(s, props)
       require(r3("published") == "false" && r3("deltaRows") == "0",
         s"empty epoch must be a no-op: $r3")
-      graft.operators.Bm25.topKFromIndex(s.read.parquet(s"$tmp/idx"),
+      // the index lives in a doc-hash ShardedTable: scoring reads the
+      // CURRENT version's manifest (the shard column rides along
+      // harmlessly); epochs rewrote only delta-touched shards
+      val table = new graft.sink.ShardedTable(s"$tmp/idx", "shard",
+        s.sparkContext.hadoopConfiguration)
+      graft.operators.Bm25.topKFromIndex(table.readCurrent(s),
           docs.filter(pmod(col("doc_id"), lit(41)) === 0), "doc_id", "text", k = 10,
           excludeSelf = true)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // --- index TIME TRAVEL + rollback (ShardedTable versions): the
+    //     2-epoch index job, then ROLL BACK to version 1 — scoring
+    //     from the rolled-back current must equal the oracle's scoring
+    //     over the epoch-1 corpus ONLY. Every epoch is a manifest
+    //     version; rollback is a pointer flip, no data moves ---------
+    "q_index_time_travel" -> ((s, dir) => {
+      import graft.runner.JobConfig
+      val docs = t(s, dir, "documents")
+      val tmp = java.nio.file.Files.createTempDirectory("q_index_tt").toString
+      val props = JobConfig.parse(
+        s"""job.type=index
+           |job.name=docs_index_tt
+           |source.path=$tmp/src
+           |index.id=doc_id
+           |index.text=text
+           |index.seq=doc_id
+           |sink.staging=$tmp/staging
+           |sink.output=$tmp/idx
+           |state.dir=$tmp/state
+           |""".stripMargin)
+      val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+      val split = maxId / 2
+      docs.filter(col("doc_id") <= split).write.mode("append").parquet(s"$tmp/src")
+      val r1 = JobConfig.runAny(s, props)
+      require(r1("published") == "true", s"epoch 1 failed: $r1")
+      docs.filter(col("doc_id") > split).write.mode("append").parquet(s"$tmp/src")
+      val r2 = JobConfig.runAny(s, props)
+      require(r2("published") == "true", s"epoch 2 failed: $r2")
+      val table = new graft.sink.ShardedTable(s"$tmp/idx", "shard",
+        s.sparkContext.hadoopConfiguration)
+      require(table.currentVersion.contains(2L), "expected 2 committed versions")
+      table.rollback(1L)
+      require(table.currentVersion.contains(1L), "rollback must flip the pointer")
+      graft.operators.Bm25.topKFromIndex(table.readCurrent(s),
+          docs.filter(col("doc_id") <= split && pmod(col("doc_id"), lit(53)) === 0),
+          "doc_id", "text", k = 10, excludeSelf = true)
         .orderBy(col("query_id"), col("rank"))
     }),
 
@@ -321,7 +396,6 @@ object OperatorGates9 {
     //     streaming delivery, corrections included -------------------
     "q_stream_index" -> ((s, dir) => {
       import graft.operators.Bm25
-      import graft.sink.{Publisher, SinkSpec}
       import graft.streaming.StreamingIngest
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       // batches 1+2 carry STALE text for every 6th doc; batch 3 is the
@@ -342,33 +416,26 @@ object OperatorGates9 {
         inDir, "b3.parquet", now - 60000)
       val root = java.nio.file.Files.createTempDirectory("q_stream_index_out").toString
       val idxPath = s"$root/idx"
-      val pub = new Publisher(s.sparkContext.hadoopConfiguration)
+      val hconf = s.sparkContext.hadoopConfiguration
       val stream = StreamingIngest.readFileStream(s, docs.schema,
         inDir.toString, maxFilesPerTrigger = Some(1))
-      // existence via the Hadoop FS the Publisher writes through — a
-      // java.io.File check would silently answer "no" on a non-local
-      // default FS and every batch would REPLACE instead of merge
-      val hconf = s.sparkContext.hadoopConfiguration
-      def idxExists(): Boolean = {
-        val p = new org.apache.hadoop.fs.Path(idxPath)
-        p.getFileSystem(hconf).exists(p)
-      }
+      // each batch commits a ShardedTable version that rewrites ONLY
+      // the doc-hash shards its delta touches; untouched shards carry
+      // over by manifest reference (no per-batch full-index rewrite)
+      val table = new graft.sink.ShardedTable(idxPath, "shard", hconf)
       val q = stream.writeStream
         .foreachBatch { (delta: DataFrame, _: Long) =>
-          val merged =
-            if (idxExists())
-              Bm25.mergeIndex(s.read.parquet(idxPath), delta, "doc_id", "text")
-            else Bm25.index(delta, "doc_id", "text")
-          val spec = SinkSpec(s"$root/staging", idxPath)
-          pub.writeStaged(merged, spec) // full stage reads the CURRENT index
-          pub.publishSnapshot(spec)
+          val hasCurrent = table.currentVersion.isDefined
+          val (merged, touched) = Bm25.shardedMerge(table, hasCurrent,
+            delta, "doc_id", "text", nShards = 16)
+          table.commit(merged, touched)
           ()
         }
         .option("checkpointLocation", s"$root/ck")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      Bm25.topKFromIndex(s.read.parquet(idxPath),
+      Bm25.topKFromIndex(table.readCurrent(s),
           docs.filter(pmod(col("doc_id"), lit(47)) === 0), "doc_id", "text", k = 10,
           excludeSelf = true)
         .orderBy(col("query_id"), col("rank"))
@@ -485,12 +552,13 @@ object OperatorGates9 {
     * qt/dft/bmsc/bmr — `bmr` holds (query_id, doc_id, score, n_terms,
     * rank) for queries selected by `queryPred`.
     */
-  private def bm25Ctes(queryPred: String, k1: Double = 1.2, b: Double = 0.75): String =
+  private def bm25Ctes(queryPred: String, k1: Double = 1.2, b: Double = 0.75,
+      corpusPred: String = "true"): String =
     s"""toks AS (
        |  SELECT doc_id,
        |    list_filter(string_split(coalesce(text, ''), ' '), x -> len(x) > 0)
        |      AS toks
-       |  FROM documents),
+       |  FROM documents WHERE $corpusPred),
        |post AS (
        |  SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
        |  FROM (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
@@ -684,6 +752,11 @@ object OperatorGates9 {
         |WHERE ((doc_id % 25) + 25) % 25 = 0 AND doc_id < 500
         |ORDER BY doc_id""".stripMargin,
 
+    "q_gpg_aead" ->
+      """SELECT doc_id, text FROM documents
+        |WHERE ((doc_id % 25) + 25) % 25 = 0 AND doc_id < 500
+        |ORDER BY doc_id""".stripMargin,
+
     "q_fim_pairs" -> {
       def cutSql(salt: String) = {
         val f = OracleSql.fnvS(s"CAST(doc_id AS VARCHAR) || '|' || '$salt'")
@@ -858,6 +931,15 @@ object OperatorGates9 {
 
     "q_stream_index" ->
       s"""WITH ${bm25Ctes("((doc_id % 47) + 47) % 47 = 0")}
+         |SELECT query_id, rank, doc_id, score, n_terms
+         |FROM bmr WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // the rolled-back version 1 is the epoch-1 index: replay scoring
+    // over the FIRST-HALF corpus only
+    "q_index_time_travel" ->
+      s"""WITH ${bm25Ctes("((doc_id % 53) + 53) % 53 = 0",
+             corpusPred = "doc_id <= (SELECT max(doc_id) // 2 FROM documents)")}
          |SELECT query_id, rank, doc_id, score, n_terms
          |FROM bmr WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,

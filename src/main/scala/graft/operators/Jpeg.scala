@@ -343,6 +343,8 @@ object JpegCodec {
     var width = 0
     var height = 0
     var restartInterval = 0
+    var progressive = false
+    var scansSeen = 0
     var pos = 2
 
     def u16(o: Int): Int = ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
@@ -368,9 +370,13 @@ object JpegCodec {
       val marker = bytes(pos + 1) & 0xff
       pos += 2
       marker match {
-        case 0xd9 => // EOI with no SOS seen
-          throw new IllegalArgumentException(s"media $id: EOI before any scan")
-        case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+        case 0xd9 => // EOI: progressive images finalize here
+          if (progressive && scansSeen > 0)
+            result = finishProgressive(id, comps, quant, width, height)
+          else
+            throw new IllegalArgumentException(s"media $id: EOI before any scan")
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/SOF1 sequential, SOF2 progressive
+          progressive = marker == 0xc2
           val len = segLen(pos)
           require((bytes(pos + 2) & 0xff) == 8, s"media $id: only 8-bit precision supported")
           height = u16(pos + 3)
@@ -390,9 +396,23 @@ object JpegCodec {
               s"media $id: bad sampling ${comps(i).h}x${comps(i).v}")
             i += 1
           }
+          if (progressive) {
+            // coefficient accumulation grid: scans refine these until
+            // EOI dequantizes + IDCTs the finished blocks
+            val hMax = comps.map(_.h).max
+            val vMax = comps.map(_.v).max
+            val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            comps.foreach { c =>
+              c.blocksPerLine = mcusX * c.h
+              c.blocksPerCol = mcusY * c.v
+              c.nbW = (width * c.h + 8 * hMax - 1) / (8 * hMax)
+              c.nbH = (height * c.v + 8 * vMax - 1) / (8 * vMax)
+              c.coefs = new Array[Int](c.blocksPerLine * c.blocksPerCol * 64)
+              c.pred = 0
+            }
+          }
           pos += len
-        case 0xc2 =>
-          throw new IllegalArgumentException(s"media $id: progressive JPEG (SOF2) unsupported")
         case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
           throw new IllegalArgumentException(f"media $id: SOF$m%x mode unsupported")
         case 0xc4 => // DHT (possibly several tables)
@@ -436,8 +456,10 @@ object JpegCodec {
           require(comps != null, s"media $id: SOS before SOF")
           val len = segLen(pos)
           val ns = bytes(pos + 2) & 0xff
-          require(ns == comps.length,
-            s"media $id: non-interleaved multi-scan unsupported ($ns of ${comps.length} components)")
+          require(if (progressive) ns == 1 || ns == comps.length
+              else ns == comps.length,
+            s"media $id: unsupported scan layout ($ns of ${comps.length} components)")
+          val scanComps = new Array[Component](ns)
           var i = 0
           while (i < ns) {
             val cs = bytes(pos + 3 + 2 * i) & 0xff
@@ -445,11 +467,23 @@ object JpegCodec {
               throw new IllegalArgumentException(s"media $id: SOS references unknown component $cs"))
             c.td = (bytes(pos + 4 + 2 * i) & 0xff) >> 4
             c.ta = bytes(pos + 4 + 2 * i) & 0x0f
+            scanComps(i) = c
             i += 1
           }
-          pos += len
-          result = decodeScan(id, bytes, pos, comps, quant, dcTabs, acTabs,
-            width, height, restartInterval)
+          if (progressive) {
+            val ss = bytes(pos + 3 + 2 * ns) & 0xff
+            val se = bytes(pos + 4 + 2 * ns) & 0xff
+            val ahal = bytes(pos + 5 + 2 * ns) & 0xff
+            pos += len
+            pos = decodeProgressiveScan(id, bytes, pos, scanComps, comps,
+              quant, dcTabs, acTabs, width, height, restartInterval,
+              ss, se, ahal >> 4, ahal & 15)
+            scansSeen += 1
+          } else {
+            pos += len
+            result = decodeScan(id, bytes, pos, comps, quant, dcTabs, acTabs,
+              width, height, restartInterval)
+          }
         case 0x01 => // TEM, no payload
           ()
         case m if m >= 0xd0 && m <= 0xd7 => // stray RST outside scan
@@ -602,6 +636,231 @@ object JpegCodec {
 
   private def clampByte(v: Long): Byte =
     (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+
+  // ---------------------------------------------------------------- //
+  //  Progressive mode (T.81 §G.2)                                    //
+  // ---------------------------------------------------------------- //
+
+  /** Decode one progressive scan into the components' coefficient
+    * grids and return the byte position just past its entropy data.
+    * DC scans (ss=0) may interleave all frame components or cover one;
+    * AC scans (ss>0) are single-component by spec. `ah == 0` is a
+    * first pass (values at bit position `al`), `ah > 0` a successive-
+    * approximation refinement contributing bit `al`. The shared
+    * EOB-run counter spans blocks within the scan (reset at restarts).
+    */
+  private def decodeProgressiveScan(id: Long, bytes: Array[Byte], start: Int,
+      scanComps: Array[Component], comps: Array[Component],
+      quant: Array[Array[Int]], dcTabs: Array[HuffTable],
+      acTabs: Array[HuffTable], width: Int, height: Int,
+      restartInterval: Int, ss: Int, se: Int, ah: Int, al: Int): Int = {
+    require(ss >= 0 && se <= 63 && ss <= se,
+      s"media $id: bad spectral selection $ss..$se")
+    require(ss == 0 || scanComps.length == 1,
+      s"media $id: interleaved AC scan is not allowed by T.81")
+    if (ss == 0 && ah == 0) scanComps.foreach { c =>
+      require(dcTabs(c.td) != null, s"media $id: missing DC Huffman table ${c.td}")
+    }
+    if (ss > 0 && ah == 0)
+      require(acTabs(scanComps(0).ta) != null,
+        s"media $id: missing AC Huffman table ${scanComps(0).ta}")
+    val br = new BitReader(bytes, start)
+    var eobrun = 0
+    scanComps.foreach(_.pred = 0)
+
+    // one 8x8 block of component c at block coordinates (row, col)
+    def blockBase(c: Component, row: Int, col: Int): Int =
+      (row * c.blocksPerLine + col) * 64
+
+    def decodeBlock(c: Component, row: Int, col: Int): Unit = {
+      val base = blockBase(c, row, col)
+      val cf = c.coefs
+      if (ss == 0) {
+        if (ah == 0) { // DC first
+          val t = huffDecode(br, dcTabs(c.td), id)
+          require(t <= 11, s"media $id: DC category $t out of range")
+          c.pred += extend(br.receive(id, t), t)
+          cf(base) = c.pred << al
+        } else { // DC refinement: one bit per block
+          if (br.nextBit(id) == 1) cf(base) |= (1 << al)
+        }
+      } else if (ah == 0) { // AC first
+        if (eobrun > 0) { eobrun -= 1 }
+        else {
+          var k = ss
+          var done = false
+          while (k <= se && !done) {
+            val rs = huffDecode(br, acTabs(c.ta), id)
+            val r = rs >> 4
+            val s = rs & 15
+            if (s == 0) {
+              if (r < 15) {
+                eobrun = (1 << r) - 1
+                if (r > 0) eobrun += br.receive(id, r)
+                done = true
+              } else k += 16 // ZRL
+            } else {
+              k += r
+              require(k <= se, s"media $id: AC index $k out of band $ss..$se")
+              cf(base + Zigzag(k)) = extend(br.receive(id, s), s) << al
+              k += 1
+            }
+          }
+        }
+      } else { // AC refinement (T.81 G.2.2 / libjpeg decode_mcu_AC_refine)
+        val p1 = 1 << al
+        val m1 = -1 << al
+        var k = ss
+        if (eobrun == 0) {
+          var done = false
+          while (k <= se && !done) {
+            val rs = huffDecode(br, acTabs(c.ta), id)
+            var r = rs >> 4
+            val s = rs & 15
+            var newVal = 0
+            if (s == 0) {
+              if (r < 15) {
+                // includes the CURRENT block (its remaining band gets
+                // the correction pass below, then eobrun decrements) —
+                // libjpeg decode_mcu_AC_refine's EOBRUN convention
+                eobrun = 1 << r
+                if (r > 0) eobrun += br.receive(id, r)
+                done = true
+              }
+              // r == 15: skip 16 zero-history coefficients
+            } else {
+              require(s == 1, s"media $id: AC refinement magnitude $s != 1")
+              newVal = if (br.nextBit(id) == 1) p1 else m1
+            }
+            if (!done) {
+              // advance past `r` zero-history coefficients, reading a
+              // correction bit at every nonzero-history one en route
+              var placed = false
+              while (k <= se && !placed) {
+                val zi = base + Zigzag(k)
+                if (cf(zi) != 0) {
+                  if (br.nextBit(id) == 1 && (cf(zi) & p1) == 0)
+                    cf(zi) += (if (cf(zi) > 0) p1 else m1)
+                } else {
+                  if (r == 0) {
+                    if (newVal != 0) cf(zi) = newVal
+                    placed = true
+                  } else r -= 1
+                }
+                k += 1
+              }
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // EOB correction pass: refine every nonzero coefficient in
+          // the remainder of the band
+          while (k <= se) {
+            val zi = base + Zigzag(k)
+            if (cf(zi) != 0) {
+              if (br.nextBit(id) == 1 && (cf(zi) & p1) == 0)
+                cf(zi) += (if (cf(zi) > 0) p1 else m1)
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+    }
+
+    def restartIfDue(unit: Int, rstIdx: Int): Int = {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        br.expectRst(id, rstIdx)
+        scanComps.foreach(_.pred = 0)
+        eobrun = 0
+        rstIdx + 1
+      } else rstIdx
+    }
+
+    if (scanComps.length > 1) {
+      // interleaved (DC) scan: frame MCU geometry
+      val hMax = comps.map(_.h).max
+      val vMax = comps.map(_.v).max
+      val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+      val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+      var mcu = 0
+      var rstIdx = 0
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          rstIdx = restartIfDue(mcu, rstIdx)
+          scanComps.foreach { c =>
+            var by = 0
+            while (by < c.v) {
+              var bx = 0
+              while (bx < c.h) {
+                decodeBlock(c, my * c.v + by, mx * c.h + bx)
+                bx += 1
+              }
+              by += 1
+            }
+          }
+          mcu += 1
+          mx += 1
+        }
+        my += 1
+      }
+    } else {
+      // non-interleaved scan: raster over the component's TRUE block
+      // grid (nbW x nbH — padding blocks are not coded, T.81 A.2.2)
+      val c = scanComps(0)
+      var unit = 0
+      var rstIdx = 0
+      var row = 0
+      while (row < c.nbH) {
+        var col = 0
+        while (col < c.nbW) {
+          rstIdx = restartIfDue(unit, rstIdx)
+          decodeBlock(c, row, col)
+          unit += 1
+          col += 1
+        }
+        row += 1
+      }
+    }
+    br.pos
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients and
+    * assemble the final image.
+    */
+  private def finishProgressive(id: Long, comps: Array[Component],
+      quant: Array[Array[Int]], width: Int, height: Int): DecodedImage = {
+    val hMax = comps.map(_.h).max
+    val vMax = comps.map(_.v).max
+    val zz = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    comps.foreach { c =>
+      require(quant(c.tq) != null, s"media $id: missing quant table ${c.tq}")
+      val qt = quant(c.tq)
+      c.planeW = c.blocksPerLine * 8
+      c.planeH = c.blocksPerCol * 8
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      var row = 0
+      while (row < c.blocksPerCol) {
+        var col = 0
+        while (col < c.blocksPerLine) {
+          val base = (row * c.blocksPerLine + col) * 64
+          var k = 0
+          while (k < 64) {
+            val nat = Zigzag(k)
+            zz(nat) = c.coefs(base + nat) * qt(k)
+            k += 1
+          }
+          idctBlock(zz, tmp, c.plane, c.planeW, col * 8, row * 8)
+          col += 1
+        }
+        row += 1
+      }
+    }
+    assemble(comps, width, height, hMax, vMax)
+  }
 
   // ---------------------------------------------------------------- //
   //  Encoder                                                         //

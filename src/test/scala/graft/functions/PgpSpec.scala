@@ -192,4 +192,125 @@ class PgpSpec extends AnyFunSuite {
     assert(k1.toSeq === k2.toSeq && k1.length === 32)
     assert(Pgp.s2k("pw".getBytes, salt, 65536, hashAlgo = 8, keyLen = 16).length === 16)
   }
+
+  // ------------------------------------------------------- AEAD (RFC 9580)
+
+  private def hex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("OCB matches a foreign implementation (pyca/cryptography AESOCB3)") {
+    // (key, 15-octet nonce, aad, plaintext, ct||tag) produced by
+    // cryptography 48.0 (OpenSSL AES-OCB) — the interop anchor the
+    // container's AEAD-less gpg build cannot provide. Covers: empty
+    // and non-empty aad/plaintext, full/partial/multi blocks, AES-128
+    // and AES-256, and the OpenPGP SEIPD v2 info bytes as aad.
+    val cases = Seq(
+      ("00" * 32, "01" * 15, "", "",
+        "ce4da07c0cdbfd120a39f3f5c8d850a5"),
+      ("00" * 32, "01" * 15, "", "68656c6c6f20776f726c64",
+        "7575054ffe5f01266f00bb8673eaf43ef8aa1ad68324d4584c9214"),
+      ("000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f",
+        "000102030405060708090a0b0c0d0e", "d202090206",
+        "54686520717569636b2062726f776e20666f78206a756d7073206f76657220746865206c617a7920646f672e",
+        "02854c86516ed68e0b7bcfdb0c28f8b7ffc41ce6c4c11da367a74d886e9a12b8c5de0594a440dca2f5d7b5220ee76bb96bef758aa03433efb134caf9"),
+      ("000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f",
+        "000102030405060708090a0b0c0d0e", "",
+        "41414141414141414141414141414141",
+        "fb0df32b4d08fc52eac9c46eb04a2dd1b69df54ada7224ee2fe324240be2869d"),
+      ("000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f",
+        "000102030405060708090a0b0c0d0e", "aaaaaaaaaa",
+        "42" * 33,
+        "b4ab60a851cd8fe1a0b22d7e58036e83a1bf4c74602e70a0233c1b2116f23b71ef3753a0aac80d04249d06ff03d10ff7a0"),
+      ("7f" * 16, "02" * 15, "6164",
+        "7369787465656e2062797465732121217369787465656e2062797465732121217369787465656e2062797465732121217369787465656e206279746573212121",
+        "21434e0a64a4859f71f3b87d50aebad49d338e48a5b7bb9d2f6e39e710a729a1841ff45f79b0ff4ec928c66419b6f40b1c44eee6b4351b6cd795b72b513880b60f83c85857db7c2711fd2fd416433db8"))
+    cases.foreach { case (k, n, a, p, expect) =>
+      val got = OpenPgpAead.seal(2, hex(k), hex(n), hex(a), hex(p))
+      assert(got.map("%02x".format(_)).mkString === expect,
+        s"OCB seal mismatch for pt=$p")
+      val back = OpenPgpAead.open(2, hex(k), hex(n), hex(a), hex(expect))
+      assert(back.toSeq === hex(p).toSeq)
+    }
+  }
+
+  test("AEAD modes: seal/open inverse, tamper and wrong-aad rejection") {
+    val key = Array.tabulate[Byte](32)(i => (i * 7).toByte)
+    for (algo <- Seq(1, 2, 3)) {
+      val nonce = Array.tabulate[Byte](OpenPgpAead.ivLen(algo))(i => (i + 1).toByte)
+      val aad = "context".getBytes
+      val pt = ("chunked AEAD payload " * 9).getBytes // partial last block
+      val sealedBytes = OpenPgpAead.seal(algo, key, nonce, aad, pt)
+      assert(OpenPgpAead.open(algo, key, nonce, aad, sealedBytes).toSeq === pt.toSeq)
+      val tampered = sealedBytes.clone(); tampered(3) = (tampered(3) ^ 1).toByte
+      intercept[IllegalArgumentException] {
+        OpenPgpAead.open(algo, key, nonce, aad, tampered)
+      }
+      intercept[IllegalArgumentException] {
+        OpenPgpAead.open(algo, key, nonce, "other".getBytes, sealedBytes)
+      }
+    }
+  }
+
+  test("SEIPD v2 round-trip in all three AEAD modes, multi-chunk") {
+    val rng = new java.security.SecureRandom(Array[Byte](9))
+    // chunk octet 0 => 64-byte chunks: a few-KB doc spans many chunks
+    val data = ("the quick brown fox " * 200).getBytes
+    for (algo <- Seq(1, 2, 3)) {
+      val enc = Pgp.encryptAead(data, "hunter2", name = s"a$algo.txt",
+        aeadAlgo = algo, chunkSizeOctet = 0, rng = rng)
+      val lit = Pgp.decrypt(enc, "hunter2")
+      assert(lit.name === s"a$algo.txt")
+      assert(lit.data.toSeq === data.toSeq)
+    }
+  }
+
+  test("SEIPD v2: wrong passphrase, tamper, and TRUNCATION all fail loudly") {
+    val rng = new java.security.SecureRandom(Array[Byte](10))
+    val data = ("0123456789" * 40).getBytes
+    val enc = Pgp.encryptAead(data, "pw", aeadAlgo = 2, chunkSizeOctet = 0, rng = rng)
+    val wrong = intercept[IllegalArgumentException](Pgp.decrypt(enc, "not-pw"))
+    assert(wrong.getMessage.contains("wrong passphrase"))
+    val tampered = enc.clone()
+    tampered(enc.length / 2) = (tampered(enc.length / 2) ^ 1).toByte
+    intercept[IllegalArgumentException](Pgp.decrypt(tampered, "pw"))
+    // chop off the LAST whole chunk + final tag, re-frame the packets:
+    // the final tag's length AAD makes truncation detectable even at
+    // chunk granularity. Rebuild: drop 80+16 bytes from the SEIPD tail
+    // and fix the outer packet length by re-encrypting shorter data —
+    // simplest robust truncation probe: strip trailing bytes so the
+    // final tag is gone entirely.
+    val truncated = java.util.Arrays.copyOfRange(enc, 0, enc.length - 16)
+    intercept[Exception](Pgp.decrypt(truncated, "pw"))
+  }
+
+  test("SEIPD v2 empty-aad GCM chunk equals the JDK's own GCM (framing sanity)") {
+    // the GCM mode IS javax.crypto; this pins our chunk framing by
+    // decrypting a hand-built single-chunk v2 body through the JDK
+    val key = Array.tabulate[Byte](32)(_.toByte)
+    val nonce = Array.tabulate[Byte](12)(i => (i + 3).toByte)
+    val pt = "frame-check".getBytes
+    val viaUs = OpenPgpAead.seal(3, key, nonce, "info!".getBytes, pt)
+    val c = javax.crypto.Cipher.getInstance("AES/GCM/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.GCMParameterSpec(128, nonce))
+    c.updateAAD("info!".getBytes)
+    assert(viaUs.toSeq === c.doFinal(pt).toSeq)
+  }
+
+  test("librepgp tag-20 AEAD and Argon2 S2K are rejected by name") {
+    // hand-built minimal packets: SKESK v4 (salted SHA-256) + a tag-20 body
+    val skesk = Array[Byte](0xc3.toByte, 12, 4, 9, 1, 8) ++ Array.fill[Byte](8)(1)
+    val t20 = Array[Byte](0xd4.toByte, 4, 1, 9, 2, 10)
+    val e = intercept[IllegalArgumentException](Pgp.decrypt(skesk ++ t20, "pw"))
+    assert(e.getMessage.contains("tag 20"))
+    // SKESK v6 with S2K type 4 (Argon2)
+    val argonSpec = Array[Byte](4) ++ Array.fill[Byte](16)(2) ++ Array[Byte](3, 4, 16)
+    val body = Array[Byte](6, (3 + argonSpec.length + 15).toByte, 9, 2,
+      argonSpec.length.toByte) ++ argonSpec ++ Array.fill[Byte](15)(0) ++
+      Array.fill[Byte](48)(0)
+    val skesk6 = Array[Byte](0xc3.toByte, body.length.toByte) ++ body
+    val e2 = intercept[IllegalArgumentException](Pgp.decrypt(skesk6, "pw"))
+    assert(e2.getMessage.contains("Argon2"))
+  }
 }

@@ -251,15 +251,122 @@ class JpegSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       JpegCodec.decode(8L, Array[Byte](1, 2, 3, 4, 5))
     }
-    // progressive: SOI + minimal SOF2 header
+    // SOF2 header with no scans and no EOI: truncated, not mis-decoded
     val sof2 = Array[Int](0xff, 0xd8, 0xff, 0xc2, 0x00, 0x0b, 0x08,
       0x00, 0x08, 0x00, 0x08, 0x01, 0x01, 0x11, 0x00).map(_.toByte)
     val e = intercept[IllegalArgumentException] { JpegCodec.decode(9L, sof2) }
-    assert(e.getMessage.contains("progressive"))
+    assert(e.getMessage.contains("truncated"))
     // truncated entropy data
     val good = JpegCodec.encodeGray(16, 16, Array.fill(256)(77.toByte), 90)
     assertThrows[IllegalArgumentException] {
       JpegCodec.decode(10L, good.take(good.length - 10))
     }
+  }
+
+  // ------------------------------------------------- progressive (SOF2)
+
+  private def imageIoEncodeProgressive(img: java.awt.image.BufferedImage,
+      q: Float): Array[Byte] = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(q)
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    wr.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wr.dispose()
+    val jpg = bos.toByteArray
+    // make sure the writer actually produced SOF2 (the test premise)
+    val hasSof2 = jpg.sliding(2).exists(w =>
+      (w(0) & 0xff) == 0xff && (w(1) & 0xff) == 0xc2)
+    require(hasSof2, "ImageIO did not emit a progressive JPEG")
+    jpg
+  }
+
+  test("progressive GRAY jpeg (ImageIO-encoded) decodes within IDCT tolerance") {
+    for (salt <- 1 to 3) {
+      val w = 40 + salt; val h = 25 + salt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var i = 0
+      while (i < w * h) {
+        img.getRaster.setSample(i % w, i / w, 0, det(i, salt))
+        i += 1
+      }
+      val jpg = imageIoEncodeProgressive(img, 0.85f)
+      val ours = JpegCodec.decode(20L + salt, jpg)
+      assert(ours.channels == 1 && ours.width == w && ours.height == h)
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+      val theirs = Array.tabulate[Byte](w * h)(i =>
+        back.getRaster.getSample(i % w, i / w, 0).toByte)
+      assert(maxDiff(ours.pixels, theirs) <= 2,
+        s"salt=$salt max=${maxDiff(ours.pixels, theirs)}")
+      assert(meanDiff(ours.pixels, theirs) <= 0.51, s"salt=$salt")
+    }
+  }
+
+  test("progressive COLOR jpeg (ImageIO-encoded, subsampled) matches ImageIO's decode") {
+    val w = 49; val h = 35
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // smooth gradients: chroma subsampling differences stay small
+        val r = (x * 255) / (w - 1)
+        val g = (y * 255) / (h - 1)
+        val b = ((x + y) * 255) / (w + h - 2)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val jpg = imageIoEncodeProgressive(img, 0.9f)
+    val ours = JpegCodec.decode(30L, jpg)
+    assert(ours.channels == 3 && ours.width == w && ours.height == h)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    val theirs = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < w * h) {
+      val px = back.getRGB(i % w, i / w)
+      theirs(3 * i) = ((px >> 16) & 0xff).toByte
+      theirs(3 * i + 1) = ((px >> 8) & 0xff).toByte
+      theirs(3 * i + 2) = (px & 0xff).toByte
+      i += 1
+    }
+    // two independent decoders of the same lossy stream: allow a small
+    // per-sample quantum (chroma upsampling filters differ: box here,
+    // fancy triangle in libjpeg) but require close agreement on average
+    assert(meanDiff(ours.pixels, theirs) <= 2.0,
+      s"mean=${meanDiff(ours.pixels, theirs)}")
+  }
+
+  test("progressive decode equals sequential decode of the same source image") {
+    // same pixels, both ImageIO-encoded at the same quality — one
+    // baseline, one progressive: the two decodes land within the same
+    // tolerance of each other (coefficient accumulation is complete)
+    val w = 32; val h = 24
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < w * h) {
+      img.getRaster.setSample(i % w, i / w, 0, det(i, 7))
+      i += 1
+    }
+    val prog = imageIoEncodeProgressive(img, 0.9f)
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.9f)
+    val bos = new java.io.ByteArrayOutputStream()
+    wr.setOutput(javax.imageio.ImageIO.createImageOutputStream(bos))
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wr.dispose()
+    val seq = JpegCodec.decode(41L, bos.toByteArray)
+    val pro = JpegCodec.decode(42L, prog)
+    assert(pro.width == seq.width && pro.height == seq.height)
+    assert(maxDiff(pro.pixels, seq.pixels) <= 2)
   }
 }
