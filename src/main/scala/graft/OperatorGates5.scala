@@ -403,8 +403,7 @@ object OperatorGates5 {
         val src = s"$dir/events.parquet"
         val rawSchema = s.read.parquet(src).schema
         val inDir = java.nio.file.Files.createTempDirectory("q_stream_sj")
-        java.nio.file.Files.copy(java.nio.file.Paths.get(src),
-          inDir.resolve("events.parquet"))
+        OperatorGates8.copyRaw(s, src, inDir, "events.parquet")
         def stream = StreamingIngest.readFileStream(s, rawSchema, inDir.toString)
           .withColumn("ts", expr(Tables.tsExpr(rawSchema("ts").dataType)))
         val clicks = stream.filter(col("event_type") === "click")

@@ -21,6 +21,24 @@ object OperatorGates8 {
     * modification time — file-stream gates control batch ORDER through
     * mtimes (FileStreamSource processes oldest-first).
     */
+  /** Stage the RAW parquet at `src` into `dir` as ONE file named
+    * `name`. A single-file source (the driver's testdata layout) is
+    * byte-copied, preserving its original encoding (the nanos-ts
+    * pin); a Spark-written DIRECTORY (e.g. the sf1 ScaleUp replica)
+    * is restaged through [[stageFile]] so it lands as one file —
+    * multi-file staging would change batch-split semantics (watermark
+    * advancement between per-file triggers could drop rows a
+    * single-file source keeps).
+    */
+  private[graft] def copyRaw(s: SparkSession, src: String,
+      dir: java.nio.file.Path, name: String): Unit = {
+    val f = new java.io.File(src)
+    if (f.isFile)
+      java.nio.file.Files.copy(f.toPath, dir.resolve(name))
+    else
+      stageFile(s.read.parquet(src), dir, name, System.currentTimeMillis())
+  }
+
   private[graft] def stageFile(df: DataFrame, dir: java.nio.file.Path, name: String,
       mtime: Long): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stage")

@@ -22,6 +22,19 @@ object OperatorGates9 {
     */
   private def d(x: Double): String = s"CAST('${x}' AS DOUBLE)"
 
+  /** Fixed retrieval-workload id bound — the whole documents/embeddings
+    * id range at every driver SF (ids are 0..4999 at sf0.1), so
+    * driver-tested results are bit-identical with or without it. Its
+    * job is the SCALE model: query/anchor/benchmark workloads are
+    * count-bounded (the gpg-fixture discipline) so retrieval cost
+    * scales with the CORPUS, not corpus x queries = corpus^2 — the
+    * sf1 check measured exactly that blowup before this bound
+    * (q_bm25_topk 155x for 10x data; SCALING.md round 9). When the
+    * workload itself must scale, the knob is impact pruning (maxDf),
+    * not unbounded all-corpus scoring.
+    */
+  private val QueryIdBound = 5000
+
   def queries9: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- BM25 top-k retrieval (operators/Bm25.scala): every 43rd doc
@@ -30,7 +43,7 @@ object OperatorGates9 {
     //     so the DuckDB oracle replays ranking exactly --------------
     "q_bm25_topk" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val queries = docs.filter(pmod(col("doc_id"), lit(43)) === 0)
+      val queries = docs.filter(pmod(col("doc_id"), lit(43)) === 0 && col("doc_id") < QueryIdBound)
       graft.operators.Bm25.topK(docs, queries, "doc_id", "text",
           "doc_id", "text", k = 10)
         .orderBy(col("query_id"), col("rank"))
@@ -51,7 +64,7 @@ object OperatorGates9 {
       val merged = graft.operators.Bm25.mergeIndex(
         graft.operators.Bm25.index(stale, "doc_id", "text"),
         updated, "doc_id", "text")
-      val queries = docs.filter(pmod(col("doc_id"), lit(37)) === 0)
+      val queries = docs.filter(pmod(col("doc_id"), lit(37)) === 0 && col("doc_id") < QueryIdBound)
       graft.operators.Bm25.topKFromIndex(merged, queries, "doc_id", "text", k = 10,
         excludeSelf = true)
         .orderBy(col("query_id"), col("rank"))
@@ -134,12 +147,12 @@ object OperatorGates9 {
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
       val e = t(s, dir, "embeddings")
-      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+      val queries = docs.filter(pmod(col("doc_id"), lit(100)) === 0 && col("doc_id") < QueryIdBound)
       val bm = graft.operators.Bm25.topK(docs, queries, "doc_id", "text",
           "doc_id", "text", k = 10)
         .select(col("query_id"), col("doc_id"), col("rank"))
       val idx = graft.functions.Ann.sampledIvf(e, k = 8)
-      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0 && col("vec_id") < QueryIdBound)
       val ann = idx.search(probes, e, k = 10, nProbe = 4)
         .withColumn("rank", row_number().over(Window.partitionBy(col("query_id"))
           .orderBy(col("sim").desc, col("neighbor_id"))))
@@ -245,7 +258,7 @@ object OperatorGates9 {
     "q_mine_triplets" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val emb = t(s, dir, "embeddings")
-      val anchors = docs.filter(pmod(col("doc_id"), lit(29)) === 0)
+      val anchors = docs.filter(pmod(col("doc_id"), lit(29)) === 0 && col("doc_id") < QueryIdBound)
       graft.operators.TripletMining.mine(docs, emb, anchors,
           "doc_id", "text", "vec_id", "embedding",
           kCand = 10, nNeg = 3, negMaxSim = 0.15)
@@ -260,7 +273,7 @@ object OperatorGates9 {
     //     stage, q_decontaminate) then confirms ----------------------
     "q_retrieval_decontam" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val bench = docs.filter(pmod(col("doc_id"), lit(53)) === 0)
+      val bench = docs.filter(pmod(col("doc_id"), lit(53)) === 0 && col("doc_id") < QueryIdBound)
       graft.operators.Bm25.topK(docs, bench, "doc_id", "text",
           "doc_id", "text", k = 20)
         .filter(col("score") >= 3000000L)
@@ -343,7 +356,8 @@ object OperatorGates9 {
       val table = new graft.sink.ShardedTable(s"$tmp/idx", "shard",
         s.sparkContext.hadoopConfiguration)
       graft.operators.Bm25.topKFromIndex(table.readCurrent(s),
-          docs.filter(pmod(col("doc_id"), lit(41)) === 0), "doc_id", "text", k = 10,
+          docs.filter(pmod(col("doc_id"), lit(41)) === 0 && col("doc_id") < QueryIdBound),
+          "doc_id", "text", k = 10,
           excludeSelf = true)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -382,7 +396,8 @@ object OperatorGates9 {
       table.rollback(1L)
       require(table.currentVersion.contains(1L), "rollback must flip the pointer")
       graft.operators.Bm25.topKFromIndex(table.readCurrent(s),
-          docs.filter(col("doc_id") <= split && pmod(col("doc_id"), lit(53)) === 0),
+          docs.filter(col("doc_id") <= split && pmod(col("doc_id"), lit(53)) === 0
+            && col("doc_id") < QueryIdBound),
           "doc_id", "text", k = 10, excludeSelf = true)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -436,7 +451,8 @@ object OperatorGates9 {
         .start()
       q.awaitTermination()
       Bm25.topKFromIndex(table.readCurrent(s),
-          docs.filter(pmod(col("doc_id"), lit(47)) === 0), "doc_id", "text", k = 10,
+          docs.filter(pmod(col("doc_id"), lit(47)) === 0 && col("doc_id") < QueryIdBound),
+          "doc_id", "text", k = 10,
           excludeSelf = true)
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -599,7 +615,7 @@ object OperatorGates9 {
   def oracleSql9: Map[String, String] = Map(
 
     "q_bm25_topk" ->
-      s"""WITH ${bm25Ctes("((doc_id % 43) + 43) % 43 = 0")}
+      s"""WITH ${bm25Ctes("((doc_id % 43) + 43) % 43 = 0 AND doc_id < 5000")}
          |SELECT query_id, rank, doc_id, score, n_terms
          |FROM bmr WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
@@ -700,7 +716,7 @@ object OperatorGates9 {
         |) ORDER BY stage""".stripMargin,
 
     "q_bm25_merge" ->
-      s"""WITH ${bm25Ctes("((doc_id % 37) + 37) % 37 = 0")}
+      s"""WITH ${bm25Ctes("((doc_id % 37) + 37) % 37 = 0 AND doc_id < 5000")}
          |SELECT query_id, rank, doc_id, score, n_terms
          |FROM bmr WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
@@ -709,13 +725,13 @@ object OperatorGates9 {
       val (k, nProbe, nCentroids, probeMod, rrfK) = (10, 4, 8, 100, 60)
       val contribA = s"coalesce(CAST(floor(${d(graft.operators.HybridSearch.Scale.toDouble)} / (${d(rrfK.toDouble)} + CAST(a.rank AS DOUBLE))) AS BIGINT), 0)"
       val contribB = s"coalesce(CAST(floor(${d(graft.operators.HybridSearch.Scale.toDouble)} / (${d(rrfK.toDouble)} + CAST(b.rank AS DOUBLE))) AS BIGINT), 0)"
-      s"""WITH ${bm25Ctes(s"doc_id % $probeMod = 0")},
+      s"""WITH ${bm25Ctes(s"doc_id % $probeMod = 0 AND doc_id < 5000")},
          |${ivfCtes(nCentroids)},
          |assign AS (
          |  SELECT vec_id, cid FROM scored
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) = 1
          |), plists AS (
-         |  SELECT vec_id, cid FROM scored WHERE vec_id % $probeMod = 0
+         |  SELECT vec_id, cid FROM scored WHERE vec_id % $probeMod = 0 AND vec_id < 5000
          |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) <= $nProbe
          |), vecs AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -851,13 +867,13 @@ object OperatorGates9 {
     },
 
     "q_mine_triplets" ->
-      s"""WITH ${bm25Ctes("((doc_id % 29) + 29) % 29 = 0")},
+      s"""WITH ${bm25Ctes("((doc_id % 29) + 29) % 29 = 0 AND doc_id < 5000")},
          |vecs AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |pos AS (
          |  SELECT a.vec_id AS anchor_id, b.vec_id AS pos_id, $CosineAB AS pos_sim
          |  FROM vecs a JOIN vecs b
-         |    ON ((a.vec_id % 29) + 29) % 29 = 0 AND b.vec_id <> a.vec_id
+         |    ON ((a.vec_id % 29) + 29) % 29 = 0 AND a.vec_id < 5000 AND b.vec_id <> a.vec_id
          |  QUALIFY row_number() OVER (PARTITION BY anchor_id
          |            ORDER BY pos_sim DESC, pos_id) = 1),
          |veto0 AS (
@@ -879,7 +895,7 @@ object OperatorGates9 {
          |ORDER BY anchor_id, neg_rank""".stripMargin,
 
     "q_retrieval_decontam" ->
-      s"""WITH ${bm25Ctes("((doc_id % 53) + 53) % 53 = 0")}
+      s"""WITH ${bm25Ctes("((doc_id % 53) + 53) % 53 = 0 AND doc_id < 5000")}
          |SELECT doc_id, count(*) AS n_queries_hit, max(score) AS max_score
          |FROM bmr WHERE rank <= 20 AND score >= 3000000
          |GROUP BY doc_id
@@ -924,13 +940,13 @@ object OperatorGates9 {
         |ORDER BY source""".stripMargin,
 
     "q_index_job" ->
-      s"""WITH ${bm25Ctes("((doc_id % 41) + 41) % 41 = 0")}
+      s"""WITH ${bm25Ctes("((doc_id % 41) + 41) % 41 = 0 AND doc_id < 5000")}
          |SELECT query_id, rank, doc_id, score, n_terms
          |FROM bmr WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
 
     "q_stream_index" ->
-      s"""WITH ${bm25Ctes("((doc_id % 47) + 47) % 47 = 0")}
+      s"""WITH ${bm25Ctes("((doc_id % 47) + 47) % 47 = 0 AND doc_id < 5000")}
          |SELECT query_id, rank, doc_id, score, n_terms
          |FROM bmr WHERE rank <= 10
          |ORDER BY query_id, rank""".stripMargin,
@@ -938,7 +954,7 @@ object OperatorGates9 {
     // the rolled-back version 1 is the epoch-1 index: replay scoring
     // over the FIRST-HALF corpus only
     "q_index_time_travel" ->
-      s"""WITH ${bm25Ctes("((doc_id % 53) + 53) % 53 = 0",
+      s"""WITH ${bm25Ctes("((doc_id % 53) + 53) % 53 = 0 AND doc_id < 5000",
              corpusPred = "doc_id <= (SELECT max(doc_id) // 2 FROM documents)")}
          |SELECT query_id, rank, doc_id, score, n_terms
          |FROM bmr WHERE rank <= 10

@@ -243,8 +243,7 @@ object SparkEntry {
       val rawSchema = s.read.parquet(src).schema // ts as nanos long
       // the file-stream source wants a DIRECTORY to watch
       val inDir = java.nio.file.Files.createTempDirectory("q_stream_in")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(src),
-        inDir.resolve("events.parquet"))
+      OperatorGates8.copyRaw(s, src, inDir, "events.parquet")
       val stream = StreamingIngest.readFileStream(s, rawSchema, inDir.toString)
         .withColumn("ts", expr(Tables.tsExpr(rawSchema("ts").dataType)))
       val agg = stream
@@ -272,8 +271,8 @@ object SparkEntry {
       val src = s"$dir/events.parquet"
       val rawSchema = s.read.parquet(src).schema
       val inDir = java.nio.file.Files.createTempDirectory("q_stream_dd")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(src), inDir.resolve("a.parquet"))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(src), inDir.resolve("b.parquet"))
+      OperatorGates8.copyRaw(s, src, inDir, "a.parquet")
+      OperatorGates8.copyRaw(s, src, inDir, "b.parquet")
       val stream = StreamingIngest
         .readFileStream(s, rawSchema, inDir.toString, maxFilesPerTrigger = Some(1))
         .withColumn("ts", expr(Tables.tsExpr(rawSchema("ts").dataType)))
@@ -298,8 +297,8 @@ object SparkEntry {
       val src = s"$dir/events.parquet"
       val rawSchema = s.read.parquet(src).schema
       val inDir = java.nio.file.Files.createTempDirectory("q_stream_rt")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(src), inDir.resolve("a.parquet"))
-      java.nio.file.Files.copy(java.nio.file.Paths.get(src), inDir.resolve("b.parquet"))
+      OperatorGates8.copyRaw(s, src, inDir, "a.parquet")
+      OperatorGates8.copyRaw(s, src, inDir, "b.parquet")
       val stream = StreamingIngest
         .readFileStream(s, rawSchema, inDir.toString, maxFilesPerTrigger = Some(1))
       val totals = StreamingIngest.runningTotals(stream, "user_id", "value")
@@ -334,8 +333,7 @@ object SparkEntry {
       val src = s"$dir/events.parquet"
       val rawSchema = s.read.parquet(src).schema
       val inDir = java.nio.file.Files.createTempDirectory("q_stream_sess")
-      java.nio.file.Files.copy(java.nio.file.Paths.get(src),
-        inDir.resolve("events.parquet"))
+      OperatorGates8.copyRaw(s, src, inDir, "events.parquet")
       val stream = StreamingIngest.readFileStream(s, rawSchema, inDir.toString)
         .withColumn("ts", expr(Tables.tsMillisExpr(rawSchema("ts").dataType)))
       val agg = stream
