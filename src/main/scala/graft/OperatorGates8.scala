@@ -17,10 +17,6 @@ object OperatorGates8 {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
-  /** Write `df` as ONE parquet file named `name` in `dir` with a fixed
-    * modification time — file-stream gates control batch ORDER through
-    * mtimes (FileStreamSource processes oldest-first).
-    */
   /** Stage the RAW parquet at `src` into `dir` as ONE file named
     * `name`. A single-file source (the driver's testdata layout) is
     * byte-copied, preserving its original encoding (the nanos-ts
@@ -39,6 +35,10 @@ object OperatorGates8 {
       stageFile(s.read.parquet(src), dir, name, System.currentTimeMillis())
   }
 
+  /** Write `df` as ONE parquet file named `name` in `dir` with a fixed
+    * modification time — file-stream gates control batch ORDER through
+    * mtimes (FileStreamSource processes oldest-first).
+    */
   private[graft] def stageFile(df: DataFrame, dir: java.nio.file.Path, name: String,
       mtime: Long): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_stage")
@@ -376,7 +376,11 @@ object OperatorGates8 {
       val r3 = JobConfig.runAny(s, props) // empty delta: no publish
       require(r3("published") == "false" && r3("deltaRows") == "0",
         s"empty epoch must be a no-op: $r3")
-      s.read.parquet(s"$tmp/dim").orderBy(col("custkey"), col("valid_from"))
+      // the dimension is a key-hash ShardedTable since round 9
+      new graft.sink.ShardedTable(s"$tmp/dim", "shard",
+          s.sparkContext.hadoopConfiguration)
+        .readCurrent(s).drop("shard")
+        .orderBy(col("custkey"), col("valid_from"))
     }),
 
     // --- the DECLARATIVE face of incremental rollup (job.type=rollup):
@@ -416,7 +420,10 @@ object OperatorGates8 {
       val r3 = JobConfig.runAny(s, props)
       require(r3("published") == "false", s"empty epoch must be a no-op: $r3")
       IncrementalRollup.finalizeState(
-          s.read.parquet(s"$tmp/state"), Seq("event_type", "bucket"))
+          new graft.sink.ShardedTable(s"$tmp/state", "shard",
+              s.sparkContext.hadoopConfiguration)
+            .readCurrent(s).drop("shard"),
+          Seq("event_type", "bucket"))
         .orderBy(col("event_type"), col("bucket"))
     }),
 

@@ -349,36 +349,57 @@ object JobConfig {
 
       case "scd2" =>
         // incremental CDC -> SCD2 dimension maintenance as a config
-        // job: read the changelog above the snapshot's watermark,
-        // merge ONLY those events into the published dimension
-        // (touched keys recompute; Scd2.merge), publish by crash-safe
-        // snapshot swap with the watermark INSIDE the snapshot
+        // job: read the changelog above the published watermark and
+        // merge ONLY those events (touched keys recompute;
+        // Scd2.merge). The dimension persists as a key-hash-sharded
+        // ShardedTable: an epoch rewrites only the shards its delta's
+        // keys fall in — at a 100 TB dimension the rewrite, not the
+        // merge, was the bottleneck — and every epoch is a
+        // time-travelable version with the watermark in its manifest.
         import graft.operators.Scd2
         val key = req(p, "scd2.key")
         val seqCol = req(p, "scd2.seq")
         val opCol = req(p, "scd2.op")
         val attrs = req(p, "scd2.attrs").split(",").map(_.trim).toSeq
-        incrementalPublish(spark, p, kind = "scd2", seqCol) {
-          case (Some(dim), delta) =>
-            Scd2.merge(dim, delta, key, seqCol, opCol, attrs)
-          case (None, delta) =>
-            Scd2.fromChangelog(delta, key, seqCol, opCol, attrs)
+        val nShards = opt(p, "scd2.shards").map(_.toInt).getOrElse(32)
+        incrementalShardedPublish(spark, p, kind = "scd2", seqCol,
+          partCol = "shard") { (table, hasCurrent, delta) =>
+          val shardOf = pmod(hash(col(key)), lit(nShards)).cast("int")
+          val touched = delta.select(shardOf.as("shard")).distinct()
+            .collect().map(_.getInt(0).toString).toSeq.sorted
+          val merged =
+            if (!hasCurrent) Scd2.fromChangelog(delta, key, seqCol, opCol, attrs)
+            else Scd2.merge(table.readPartitions(spark, touched).drop("shard"),
+              delta, key, seqCol, opCol, attrs)
+          (merged.withColumn("shard", shardOf), touched)
         }
 
       case "rollup" =>
         // incremental rollup maintenance as a config job: aggregate
-        // only the delta above the snapshot's watermark into mergeable
-        // state (IncrementalRollup), merge with the published state,
-        // snapshot-swap — the materialized-view refresh a reference
-        // user schedules instead of recomputing from raw history
+        // only the delta above the published watermark into mergeable
+        // state (IncrementalRollup) and merge with the published
+        // state — the materialized-view refresh a reference user
+        // schedules instead of recomputing from raw history. State
+        // persists as a dims-hash-sharded ShardedTable (epoch
+        // rewrites = delta-touched shards only); the watermark in the
+        // manifest commits atomically at the pointer flip, so a crash
+        // anywhere can never double-apply the ADDITIVE merge.
         import graft.operators.IncrementalRollup
         val dims = req(p, "rollup.dims").split(",").map(_.trim).toSeq
         val measure = req(p, "rollup.measure")
-        incrementalPublish(spark, p, kind = "rollup", req(p, "rollup.seq")) {
-          (published, delta) =>
-            val deltaState = IncrementalRollup.init(delta, dims, measure)
-            published.fold(deltaState)(st =>
-              IncrementalRollup.merge(st, deltaState, dims))
+        val rShards = opt(p, "rollup.shards").map(_.toInt).getOrElse(32)
+        incrementalShardedPublish(spark, p, kind = "rollup",
+          req(p, "rollup.seq"), partCol = "shard") { (table, hasCurrent, delta) =>
+          val shardOf = pmod(hash(dims.map(col): _*), lit(rShards)).cast("int")
+          val deltaState = IncrementalRollup.init(delta, dims, measure)
+          val touched = deltaState.select(shardOf.as("shard")).distinct()
+            .collect().map(_.getInt(0).toString).toSeq.sorted
+          val merged =
+            if (!hasCurrent) deltaState
+            else IncrementalRollup.merge(
+              table.readPartitions(spark, touched).drop("shard"),
+              deltaState, dims)
+          (merged.withColumn("shard", shardOf), touched)
         }
 
       case "index" =>
@@ -423,20 +444,29 @@ object JobConfig {
         val fKey = req(p, "funnel.key")
         val fSteps = req(p, "funnel.steps").split(",").map(_.trim).toSeq
         val fGap = req(p, "funnel.maxGapMs").toLong
-        incrementalPublish(spark, p, kind = "funnel", req(p, "funnel.seq")) {
-          (published, delta) =>
-            val one = (d: DataFrame) => graft.operators.Funnel.funnel(d,
-              fKey, req(p, "funnel.type"), req(p, "funnel.ms"), fSteps, fGap)
-            published match {
-              case None => one(delta)
-              case Some(dim) =>
-                val src = spark.read
-                  .format(opt(p, "source.format").getOrElse("parquet"))
-                  .load(req(p, "source.path"))
-                val touched = delta.select(col(fKey)).distinct()
-                dim.join(touched, Seq(fKey), "left_anti")
-                  .unionByName(one(src.join(touched, Seq(fKey), "left_semi")))
+        val fShards = opt(p, "funnel.shards").map(_.toInt).getOrElse(32)
+        incrementalShardedPublish(spark, p, kind = "funnel",
+          req(p, "funnel.seq"), partCol = "shard") { (table, hasCurrent, delta) =>
+          val one = (d: DataFrame) => graft.operators.Funnel.funnel(d,
+            fKey, req(p, "funnel.type"), req(p, "funnel.ms"), fSteps, fGap)
+          val shardOf = pmod(hash(col(fKey)), lit(fShards)).cast("int")
+          val touchedShards = delta.select(shardOf.as("shard")).distinct()
+            .collect().map(_.getInt(0).toString).toSeq.sorted
+          val merged =
+            if (!hasCurrent) one(delta)
+            else {
+              val src = spark.read
+                .format(opt(p, "source.format").getOrElse("parquet"))
+                .load(req(p, "source.path"))
+              val touchedKeys = delta.select(col(fKey)).distinct()
+              // touched keys recompute over their FULL history; the
+              // other keys IN the touched shards carry over; shards
+              // the delta never touched are never even read
+              table.readPartitions(spark, touchedShards).drop("shard")
+                .join(touchedKeys, Seq(fKey), "left_anti")
+                .unionByName(one(src.join(touchedKeys, Seq(fKey), "left_semi")))
             }
+          (merged.withColumn("shard", shardOf), touchedShards)
         }
 
       case "annindex" =>
@@ -579,129 +609,28 @@ object JobConfig {
       case other => throw new IllegalArgumentException(s"unknown job.type: $other")
     }
 
-  /** Shared engine for watermarked incremental-maintenance job types
-    * (scd2, rollup): read rows above the published snapshot's
-    * watermark, apply `applyDelta(publishedOpt, delta)`, stage fully,
-    * plant the watermark INSIDE the staging dir (an underscore-
-    * prefixed state-store entry — same JSON format as the main state
-    * store, invisible to Spark's parquet reader), snapshot-swap.
-    * Because the watermark rides in the swapped directory, watermark
-    * and state commit ATOMICALLY: a crash after publish but before the
-    * (secondary, observability-only) state-store write re-reads the
-    * new watermark from the snapshot and sees an empty delta — replay
-    * can never double-apply, even for non-idempotent merges like the
-    * additive rollup.
-    *
-    * Recovery/robustness contract:
-    *  - the whole sequence runs under a [[JobLock]] (ref
-    *    gobblin-runtime/.../locks/FileBasedJobLock.java:40 — one run
-    *    per job): two overlapping scheduled runs would both read the
-    *    same prior state and double-apply the delta; the late one must
-    *    lose;
-    *  - a crash inside the snapshot swap is recovered by restoring the
-    *    parked tombstone ([[graft.sink.Publisher.recoverSnapshot]]);
-    *  - the watermark is trusted ONLY when the snapshot it described
-    *    survives — a deleted/absent output means full rebuild from the
-    *    source, never "delta-only rebuild" (silent history loss);
-    *  - a missing or still-empty source (first scheduled run before
-    *    the producer lands data) is a no-op, not a crash;
-    *  - empty delta = no publish, nothing touched;
-    *  - the seq column may be any integral type (compared/stored as
-    *    long).
-    */
-  private def incrementalPublish(spark: SparkSession, p: Properties,
-      kind: String, seqCol: String,
-      stageSidecar: String => Unit = _ => ())(
-      applyDelta: (Option[DataFrame], DataFrame) => DataFrame): Map[String, String] = {
-    import graft.sink.{Publisher, SinkSpec}
-    val conf = spark.sparkContext.hadoopConfiguration
-    val store = new FsStateStore(req(p, "state.dir"), conf)
-    val jobName = req(p, "job.name")
-    val outDir = req(p, "sink.output")
-    val srcPath = new org.apache.hadoop.fs.Path(req(p, "source.path"))
-    val noop = (wm: Option[Long]) => Map("published" -> "false",
-      "deltaRows" -> "0", "highWatermark" -> wm.map(_.toString).getOrElse(""))
-    val lock = new JobLock(req(p, "state.dir") + "/_locks", s"$kind-$jobName",
-      conf = conf)
-    lock.withLock {
-      val spec = SinkSpec(req(p, "sink.staging"), outDir)
-      val pub = new Publisher(conf)
-      pub.recoverSnapshot(spec) // crashed mid-swap? restore the parked dim
-      val outPath = new org.apache.hadoop.fs.Path(outDir)
-      val snapshotExists = outPath.getFileSystem(conf).exists(outPath)
-      // the watermark is meaningful only WITH its snapshot: if the
-      // output was deleted, rebuild from the full source rather than
-      // silently dropping everything below the orphaned watermark
-      val prior =
-        if (!snapshotExists) None
-        else new FsStateStore(outDir, conf).get("_watermark", kind)
-          .flatMap(_.get("highWatermark")).filter(_.nonEmpty).map(_.toLong)
-          // migration: snapshots published before the JSON state-store
-          // layout carry a bare-long `_watermark.json`; honor it so an
-          // upgrade cannot fall back to a LAGGING state-store value
-          // and double-apply the last delta
-          .orElse(readLegacyWatermark(outDir, conf))
-          .orElse(store.get(kind, jobName)
-            .flatMap(_.get("highWatermark")).filter(_.nonEmpty).map(_.toLong))
-      // a source DIR with no visible entries is the producer-not-
-      // started-yet case (no-op); any other read failure must surface,
-      // not masquerade as an empty delta forever
-      val srcFs = srcPath.getFileSystem(conf)
-      val srcOpt =
-        if (!srcFs.exists(srcPath)) None
-        else if (!srcFs.listStatus(srcPath).exists { s =>
-          val n = s.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }) None
-        else Some(spark.read
-          .format(opt(p, "source.format").getOrElse("parquet"))
-          .load(req(p, "source.path")))
-      srcOpt.fold(noop(prior)) { src =>
-        val delta = prior.fold(src)(w => src.filter(col(seqCol).cast("long") > w))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          // one action for both figures (not one scan each)
-          val stats = delta.agg(max(col(seqCol).cast("long")), count(lit(1))).head
-          if (stats.isNullAt(0)) noop(prior)
-          else {
-            val hw = stats.getLong(0)
-            val deltaRows = stats.getLong(1)
-            val published =
-              if (prior.isDefined && snapshotExists)
-                Some(spark.read.parquet(outDir))
-              else None
-            val merged = applyDelta(published, delta)
-            pub.writeStaged(merged, spec) // forces the read of the CURRENT snapshot
-            new FsStateStore(spec.stagingDir, conf).put("_watermark", kind,
-              Map("highWatermark" -> hw.toString))
-            // job-type sidecars (e.g. the annindex codebook) land in
-            // the STAGING dir here so they ride the same atomic swap
-            // as the data and the watermark — a crash can never
-            // publish data without its sidecar
-            stageSidecar(spec.stagingDir)
-            pub.publishSnapshot(spec)
-            store.put(kind, jobName, Map("highWatermark" -> hw.toString))
-            Map("published" -> "true", "deltaRows" -> deltaRows.toString,
-              "highWatermark" -> hw.toString)
-          }
-        } finally delta.unpersist()
-      }
-    }.getOrElse(Map("published" -> "false", "deltaRows" -> "0",
-      "highWatermark" -> "", "reason" -> "lock held by another run"))
-  }
-
-  /** Partition-granular sibling of [[incrementalPublish]] for the
-    * index-shaped job types: state persists in a
-    * [[graft.sink.ShardedTable]] instead of a swapped snapshot dir, so
-    * an epoch writes O(touched partitions) — never O(index) — and
-    * each epoch is a time-travelable version. The high watermark rides
-    * the version manifest, committing ATOMICALLY with the data at the
-    * pointer flip (the sharded analog of planting `_watermark` in the
-    * staged snapshot). Shared contract with [[incrementalPublish]]:
-    * JobLock serialization, watermark trusted only while its data
-    * survives (data dirs deleted under the metadata → full rebuild,
-    * committed with no manifest carry-over so dead paths can't leak
-    * forward), missing/empty source and empty delta are no-ops.
+  /** Shared engine for the watermarked incremental-maintenance job
+    * types (scd2 = dimension, rollup = cube, funnel = sequence
+    * match, index = retrieval, annindex = ANN): read rows above the
+    * published watermark, apply `applyDelta`, commit through a
+    * [[graft.sink.ShardedTable]] — an epoch writes O(touched
+    * partitions), never O(state) — and each epoch is a
+    * time-travelable version. The high watermark rides the version
+    * manifest, committing ATOMICALLY with the data at the pointer
+    * flip, so a crash after the commit but before the (secondary,
+    * observability-only) state-store write replays as an empty delta:
+    * exactly-once even for the non-idempotent additive rollup merge.
+    * Contract: JobLock serialization (ref gobblin-runtime/.../locks/
+    * FileBasedJobLock.java:40 — overlapping runs would double-apply;
+    * the late one must lose); the watermark is trusted only while its
+    * data survives (data dirs deleted under the metadata → full
+    * rebuild, committed with no manifest carry-over so dead paths
+    * can't leak forward); a missing or still-empty source is a no-op,
+    * not a crash; empty delta = no publish; the seq column may be any
+    * integral type (compared/stored as long); a crash INSIDE a commit
+    * leaves orphaned staged dirs that no manifest references
+    * (expireVersions reclaims them) and the table on its previous
+    * version.
     *
     * `applyDelta(table, hasCurrent, delta)` returns the replacement
     * rows for the touched partitions plus the touched-partition
@@ -758,7 +687,7 @@ object JobConfig {
             val version = table.commit(merged, touched,
               Map("highWatermark" -> hw.toString), full = !hasCurrent)
             // observability-only secondary record (the manifest is the
-            // source of truth; see incrementalPublish's crash note)
+            // source of truth for replay decisions)
             store.put(kind, jobName, Map("highWatermark" -> hw.toString,
               "version" -> version.toString))
             Map("published" -> "true", "deltaRows" -> deltaRows.toString,
@@ -769,23 +698,6 @@ object JobConfig {
       }
     }.getOrElse(Map("published" -> "false", "deltaRows" -> "0",
       "highWatermark" -> "", "reason" -> "lock held by another run"))
-  }
-
-  /** Pre-JSON-layout snapshots stored the watermark as a bare long in
-    * `_watermark.json` at the snapshot root; read it for migration.
-    */
-  private def readLegacyWatermark(outDir: String,
-      conf: org.apache.hadoop.conf.Configuration): Option[Long] = {
-    val path = new org.apache.hadoop.fs.Path(outDir, "_watermark.json")
-    val fs = path.getFileSystem(conf)
-    if (!fs.exists(path)) None
-    else {
-      val in = fs.open(path)
-      val text =
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      text.trim.toLongOption
-    }
   }
 
   /** Run a properties-defined job end-to-end via [[JobRunner]]. */

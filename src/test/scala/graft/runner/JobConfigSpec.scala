@@ -451,7 +451,9 @@ class JobConfigSpec extends SparkSpec {
       && r2("highWatermark") == "40")
     val r3 = JobConfig.runAny(spark, props)
     assert(r3("published") == "false" && r3("deltaRows") == "0")
-    val dim = spark.read.parquet(s"$root/dim")
+    val table = new graft.sink.ShardedTable(s"$root/dim", "shard",
+      spark.sparkContext.hadoopConfiguration)
+    val dim = table.readCurrent(spark).drop("shard")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getBoolean(4))).toSet
     assert(dim === Set(
@@ -459,6 +461,19 @@ class JobConfigSpec extends SparkSpec {
       (1L, 2.0, 20L, Some(30L), false), // closed by the epoch-2 delete
       (2L, 5.0, 15L, Some(40L), false),
       (2L, 6.0, 40L, None, true)))
+    // partition physics: epoch 2 touched keys {1, 2} — only their hash
+    // shards may differ between the two manifests
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val touched = Seq(1L, 2L).map(k =>
+      Seq(k).toDF("k").select(pmod(hash(col("k")), lit(32)))
+        .head.getInt(0).toString).toSet
+    val (m1, m2) = (table.manifest(1L), table.manifest(2L))
+    m1.keys.filterNot(touched).foreach { sh =>
+      assert(m2(sh) === m1(sh), s"untouched shard $sh must carry over")
+    }
+    // the watermark rode each manifest; epoch dims are time travelable
+    assert(table.metaOf(1L)("highWatermark") === "20")
+    assert(table.read(spark, 1L).count() === 3L) // epoch-1 dim rows
   }
 
   test("job.type=rollup: crash after publish, before state write, cannot double-count") {
@@ -479,20 +494,23 @@ class JobConfigSpec extends SparkSpec {
       .toDF("g", "m", "seq").write.mode("append").parquet(s"$root/src")
     val r1 = JobConfig.runAny(spark, props)
     assert(r1("published") == "true" && r1("highWatermark") == "3")
-    // simulate the crash window: the snapshot published but the state
-    // store write never happened — the additive merge must STILL not
-    // re-apply the delta, because the watermark rides in the snapshot
+    // simulate the crash window: the version committed but the
+    // observability state-store write never happened — the additive
+    // merge must STILL not re-apply the delta, because the watermark
+    // rides in the committed manifest
     val stateFile = java.nio.file.Paths.get(root, "wm", "rollup", "t_rollup.json")
     assert(java.nio.file.Files.deleteIfExists(stateFile))
     val r2 = JobConfig.runAny(spark, props)
     assert(r2("published") == "false" && r2("deltaRows") == "0",
       s"replay after lost state write must be a no-op: $r2")
-    val sums = spark.read.parquet(s"$root/state")
+    val sums = new graft.sink.ShardedTable(s"$root/state", "shard",
+        spark.sparkContext.hadoopConfiguration)
+      .readCurrent(spark).drop("shard")
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(sums === Map("a" -> 12L, "b" -> 100L), "no double counting")
   }
 
-  test("incremental jobs: missing source is a no-op; deleted snapshot forces FULL rebuild; mid-swap crash recovers") {
+  test("incremental jobs: missing source no-op; deleted data forces FULL rebuild; crashed commit leaves previous version live") {
     import spark.implicits._
     val root = tmpDir("jobrecov")
     val props = JobConfig.parse(
@@ -514,29 +532,50 @@ class JobConfigSpec extends SparkSpec {
       .write.mode("append").parquet(s"$root/src")
     val r1 = JobConfig.runAny(spark, props)
     assert(r1("published") == "true" && r1("highWatermark") == "2")
-    // 3. crash inside the swap: output renamed to the tombstone, never
-    // replaced — recovery must restore it and see an empty delta
+    // 3. crash INSIDE a commit: staged partition dirs landed but no
+    // manifest references them and the pointer never flipped — the
+    // table stays on the previous version, the replay sees an empty
+    // delta, and expireVersions reclaims the orphan
     val fs = java.nio.file.Paths.get(root)
-    java.nio.file.Files.move(fs.resolve("state"), fs.resolve(".state.replaced"))
+    def table() = new graft.sink.ShardedTable(s"$root/state", "shard",
+      spark.sparkContext.hadoopConfiguration)
+    val orphan = fs.resolve("state").resolve("data")
+      .resolve("00000000-dead-beef-0000-000000000000").resolve("_part=0")
+    java.nio.file.Files.createDirectories(orphan)
+    java.nio.file.Files.writeString(orphan.resolve("part-junk.parquet"), "junk")
     val r2 = JobConfig.runAny(spark, props)
     assert(r2("published") == "false" && r2("deltaRows") == "0",
-      s"tombstone recovery must land on an empty delta: $r2")
-    assert(java.nio.file.Files.exists(fs.resolve("state")), "snapshot restored")
-    // 4. snapshot deliberately DELETED (no tombstone) while the state
-    // store still holds a watermark: must rebuild from the FULL source
+      s"crashed-commit leftovers must not disturb the replay: $r2")
+    assert(table().readCurrent(spark).count() === 2L)
+    assert(table().expireVersions(keepLast = 5) === 1,
+      "exactly the orphaned partition dir is reclaimed")
+    // 4. data dirs deliberately DELETED under surviving metadata: the
+    // watermark is orphaned, so the job must rebuild from the FULL
+    // source with no manifest carry-over to dead paths
     def deleteRec(p: java.nio.file.Path): Unit = {
       import scala.jdk.CollectionConverters._
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(deleteRec)
       java.nio.file.Files.delete(p)
     }
-    deleteRec(fs.resolve("state"))
+    deleteRec(fs.resolve("state").resolve("data"))
     val r3 = JobConfig.runAny(spark, props)
     assert(r3("published") == "true" && r3("deltaRows") == "2",
       s"orphaned watermark must not shrink the rebuild: $r3")
-    val sums = spark.read.parquet(s"$root/state")
+    table().manifest(table().currentVersion.get).values.foreach { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      assert(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+        s"manifest must not reference dead paths: $dir")
+    }
+    val sums = table().readCurrent(spark).drop("shard")
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(sums === Map("a" -> 5L, "b" -> 7L))
+    // 5. the whole output root deleted (metadata included): same full
+    // rebuild from scratch
+    deleteRec(fs.resolve("state"))
+    val r4 = JobConfig.runAny(spark, props)
+    assert(r4("published") == "true" && r4("deltaRows") == "2", s"$r4")
+    assert(table().currentVersion === Some(1L))
   }
 
   test("declarative quotaSample + heavyHitters + funnel ops") {
