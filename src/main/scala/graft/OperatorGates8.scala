@@ -221,7 +221,6 @@ object OperatorGates8 {
     //     don't leak into the dimension -------------------------------
     "q_stream_scd2" -> ((s, dir) => {
       import graft.operators.Scd2
-      import graft.sink.{Publisher, SinkSpec}
       import graft.streaming.StreamingIngest
       val ch = t(s, dir, "orders").select(
         col("o_custkey").as("custkey"),
@@ -238,35 +237,34 @@ object OperatorGates8 {
       stageFile(ch.filter(col("seq") > c2), inDir, "b3.parquet", now - 60000)
       val root = tmpDir("q_stream_scd2_dim")
       val dimPath = s"$root/dim"
-      val pub = new Publisher(s.sparkContext.hadoopConfiguration)
       val stream = StreamingIngest.readFileStream(s, ch.schema,
         inDir.toString, maxFilesPerTrigger = Some(1))
-      // Hadoop-FS existence check (not java.io.File): must answer
-      // through the same FS the Publisher swaps snapshots on
+      // each batch commits a key-hash ShardedTable version rewriting
+      // ONLY the shards its delta's keys touch (same discipline as
+      // the declarative scd2 job and the streaming index gates)
       val hconf = s.sparkContext.hadoopConfiguration
-      def dimExists(): Boolean = {
-        val p = new org.apache.hadoop.fs.Path(dimPath)
-        p.getFileSystem(hconf).exists(p)
-      }
+      val table = new graft.sink.ShardedTable(dimPath, "shard", hconf)
       val q = stream.writeStream
         .foreachBatch { (delta: DataFrame, _: Long) =>
+          val shardOf = pmod(hash(col("custkey")), lit(32)).cast("int")
+          val touched = delta.select(shardOf.as("shard")).distinct()
+            .collect().map(_.getInt(0).toString).toSeq.sorted
+          val hasCurrent = table.currentVersion.isDefined
           val dim =
-            if (dimExists()) s.read.parquet(dimPath)
+            if (hasCurrent) table.readPartitions(s, touched).drop("shard")
             else Scd2.fromChangelog(delta.limit(0),
               "custkey", "seq", "op", Seq("price"))
           val merged = Scd2.merge(dim, delta,
             "custkey", "seq", "op", Seq("price"))
-          // stage fully (forces the read of the CURRENT dim), then swap
-          val spec = SinkSpec(s"$root/staging", dimPath)
-          pub.writeStaged(merged, spec)
-          pub.publishSnapshot(spec)
+          table.commit(merged.withColumn("shard", shardOf), touched)
           ()
         }
         .option("checkpointLocation", s"$root/ck")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(dimPath).orderBy(col("custkey"), col("valid_from"))
+      table.readCurrent(s).drop("shard")
+        .orderBy(col("custkey"), col("valid_from"))
     }),
 
     // --- corpus version diff (operators/CorpusDiff.scala): per-lang
