@@ -1,0 +1,291 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 tier: post-training data preparation (classifier-based
+  * quality scoring, SFT thread assembly, preference pairs,
+  * leakage-safe splits) and DCT perceptual-hash image near-dup. Every
+  * oracle replays the full computation — the classifier oracle
+  * re-trains in SQL, the pHash oracle runs the same quantized-integer
+  * DCT with the SAME cosine table (interpolated from
+  * `functions.PerceptualHash.dctSqlLiteral`, one source of truth).
+  */
+object OperatorGates12 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Shared DuckDB tokenizer fragment == `functions.Text.tokens`. */
+  private val SqlToks = "list_filter(string_split(text, ' '), x -> len(x) > 0)"
+
+  /** Block value for the q_phash fixture: 64x64 BMP of constant 16x16
+    * blocks (the oracle restates this formula).
+    */
+  private def phashBlockVal(d: Long, bx: Int, by: Int): Int =
+    (20 + (d * 37 + bx * 53 + by * 77) % 200).toInt
+
+  /** Near-dup fixture: content keyed by group (d/25)%5 (copies hash
+    * identically); odd (d/25) images get a UNIFORM +17 brightness
+    * shift — the re-grade pHash nearly ignores (only quantization
+    * residue in even DCT rows moves) but aHash would scatter.
+    */
+  private def phashNeardupVal(d: Long, bx: Int, by: Int): Int = {
+    val g = (d / 25) % 5
+    (20 + (g * 41 + bx * 67 + by * 83) % 200).toInt +
+      (if ((d / 25) % 2 == 1) 17 else 0)
+  }
+
+  private[graft] def synthPhashBmp(d: Long, v: (Long, Int, Int) => Int): Array[Byte] =
+    operators.Multimodal.BmpCodec.synthesize(64, 64, { k =>
+      val pix = k / 3
+      v(d, (pix % 64) / 16, (pix / 64) / 16)
+    })
+
+  private def phashMedia(s: SparkSession, dir: String,
+      v: (Long, Int, Int) => Int): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents").select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+      .as[Long]
+      .mapPartitions(_.map(id => (id, synthPhashBmp(id, v))))
+      .toDF("media_id", "content")
+  }
+
+  def queries12: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- corpus quality classifier: train an exact-arithmetic
+    //     NB-family bag-of-words classifier on the doc_id%4==0 slice
+    //     (labels = planted en-vs-rest split), score the held-out
+    //     corpus. The oracle RE-TRAINS in SQL: counts, quantized
+    //     rational weights, additive scores, argmax — bit for bit ----
+    "q_text_classifier" -> ((s, dir) => {
+      import operators.TextClassifier
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), col("text"),
+          when(col("lang") === "en", "en").otherwise("xx").as("label"))
+      val (weights, classInfo) = TextClassifier.train(train, "text", "label")
+      val heldOut = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        .select("doc_id", "text")
+      TextClassifier.predictWithMargin(heldOut, "doc_id", "text", weights, classInfo)
+        .orderBy("doc_id")
+    }),
+
+    // --- SFT thread assembly: sessionize events per user on 2h
+    //     silence, role'd turns, token-budget SUFFIX truncation
+    //     (keep the most recent turns), role-alternation validation --
+    "q_conversation_threads" -> ((s, dir) => {
+      import operators.SftPrep
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type").isin("view", "click", "signup"), "user")
+            .otherwise("assistant").as("role"),
+          concat_ws(" ", col("event_type"), col("props")).as("turn_text"))
+        .withColumn("tok", functions.Text.bpeishTokenCount(col("turn_text")))
+      SftPrep.assembleThreads(ev, "user_id", "ts", "event_id",
+          "role", "turn_text", "tok",
+          gapMs = 2 * 3600 * 1000L, budgetTokens = 40L)
+        .orderBy("user_id", "session_no")
+    }),
+
+    // --- preference-pair construction: per prompt group (doc_id div
+    //     8), chosen = best score, rejected = worst, ascending-id
+    //     tie-breaks, groups without a positive margin dropped -------
+    "q_preference_pairs" -> ((s, dir) => {
+      import operators.SftPrep
+      val cands = t(s, dir, "documents")
+        .select((col("doc_id") / 8).cast("long").as("prompt_id"),
+          col("doc_id"), pmod(col("n_chars"), lit(997)).as("score"))
+      SftPrep.preferencePairs(cands, "prompt_id", "doc_id", "score")
+        .orderBy("prompt_id")
+    }),
+
+    // --- leakage-safe split: every SOURCE lands whole in one of
+    //     train/val/test (0.8/0.1/0.1 by md5 of the group key) -------
+    "q_group_split" -> ((s, dir) => {
+      import operators.SftPrep
+      SftPrep.assignSplit(
+          t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "source", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source")
+    }),
+
+    // --- REAL pHash: 20 synthesized 64x64 BMPs decoded pixel-by-pixel,
+    //     box-summed to 32x32, quantized-integer DCT, median-threshold
+    //     bits; the oracle repeats the transform with the shared table
+    "q_phash" -> ((s, dir) => {
+      operators.Multimodal.phashBmp(phashMedia(s, dir, phashBlockVal)).toDF()
+        .select(col("media_id"),
+          lpad(bin(col("phash")), 64, "0").as("phash_bits"))
+        .orderBy("media_id")
+    }),
+
+    // --- pHash near-dup: group-keyed content (copies → hamming 0),
+    //     uniform re-grade on odd images (tiny hamming), banded
+    //     hamming join; oracle brute-forces the pair definition ------
+    "q_phash_neardup" -> ((s, dir) => {
+      val hashes = operators.Multimodal
+        .phashBmp(phashMedia(s, dir, phashNeardupVal)).toDF()
+        .withColumn("block", lit("all"))
+      functions.Similarity.hammingPairs64(hashes, "media_id", "phash", "block",
+          maxHamming = 10, collapseIdentical = false)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    })
+  )
+
+  /** DuckDB DCT pHash replay over a fixture formula `vSql(doc)` giving
+    * the 16x16-block value as SQL over `doc_id` and block coords
+    * `bx`/`by` — shared by both pHash oracles.
+    */
+  private def phashOracleCte(vSql: String): String =
+    s"""imgs AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+       |dct AS (SELECT ${functions.PerceptualHash.dctSqlLiteral} AS D),
+       |g AS (SELECT doc_id, list_transform(range(0, 1024), i ->
+       |        12 * ($vSql)) AS gg
+       |      FROM imgs),
+       |tt AS (SELECT doc_id, list_transform(range(0, 256), k ->
+       |        list_sum(list_transform(range(0, 32), x ->
+       |          gg[(k % 32) * 32 + x + 1] * D[(k // 32) + 1][x + 1]))) AS tv
+       |      FROM g, dct),
+       |ff AS (SELECT doc_id, list_transform(range(0, 64), k ->
+       |        list_sum(list_transform(range(0, 32), y ->
+       |          tv[(k // 8) * 32 + y + 1] * D[(k % 8) + 1][y + 1]))) AS fv
+       |      FROM tt, dct),
+       |bits AS (SELECT doc_id, fv, list_sort(fv[2:])[32] AS med FROM ff)""".stripMargin
+
+  // fixture block coords from the 32x32 cell index i: pixel x = 2*(i%32),
+  // block bx = x/16 = (i%32)//8; same for by
+  private val PhashVal =
+    "20 + (doc_id * 37 + ((i % 32) // 8) * 53 + ((i // 32) // 8) * 77) % 200"
+  private val PhashNeardupVal =
+    """20 + (((doc_id // 25) % 5) * 41 + ((i % 32) // 8) * 67 + ((i // 32) // 8) * 83) % 200
+      | + CASE WHEN (doc_id // 25) % 2 = 1 THEN 17 ELSE 0 END""".stripMargin
+
+  def oracleSql12: Map[String, String] = Map(
+
+    "q_text_classifier" ->
+      s"""WITH tr AS (
+         |  SELECT doc_id, text,
+         |    CASE WHEN lang = 'en' THEN 'en' ELSE 'xx' END AS label
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |toks AS (SELECT label, unnest($SqlToks) AS token FROM tr),
+         |counts AS (SELECT label, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         |totals AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM counts GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+         |docsc AS (SELECT label, count(*) AS docs_c FROM tr GROUP BY 1),
+         |nd AS (SELECT CAST(sum(docs_c) AS BIGINT) AS dt FROM docsc),
+         |ci AS (SELECT d.label,
+         |         CAST(floor(CAST(d.docs_c * 1048576 AS DOUBLE) / CAST(dt AS DOUBLE)) AS BIGINT) AS prior,
+         |         CAST(floor(CAST(1048576 AS DOUBLE) / CAST(t.tot + v AS DOUBLE)) AS BIGINT) AS w0
+         |       FROM docsc d JOIN totals t ON t.label = d.label, nd, vocab),
+         |wt AS (SELECT c.label, c.token,
+         |         CAST(floor(CAST((c.cnt + 1) * 1048576 AS DOUBLE) / CAST(t.tot + v AS DOUBLE)) AS BIGINT) AS w
+         |       FROM counts c JOIN totals t ON c.label = t.label, vocab),
+         |ho AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+         |occ AS (SELECT doc_id, unnest($SqlToks) AS token FROM ho),
+         |pc AS (SELECT o.doc_id, ci.label, CAST(sum(coalesce(w.w, ci.w0)) AS BIGINT) AS ts
+         |       FROM occ o CROSS JOIN ci
+         |       LEFT JOIN wt w ON w.token = o.token AND w.label = ci.label
+         |       GROUP BY 1, 2),
+         |scores AS (SELECT h.doc_id, ci.label,
+         |             ci.prior + coalesce(pc.ts, 0) AS score
+         |           FROM ho h CROSS JOIN ci
+         |           LEFT JOIN pc ON pc.doc_id = h.doc_id AND pc.label = ci.label)
+         |SELECT doc_id, (max({'s': score, 'l': label})).l AS pred_label,
+         |  CAST(max(score) AS BIGINT) AS best_score,
+         |  CAST(max(score) - min(score) AS BIGINT) AS margin
+         |FROM scores GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_conversation_threads" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000 AS ms,
+        |    CASE WHEN event_type IN ('view', 'click', 'signup')
+        |         THEN 'user' ELSE 'assistant' END AS role,
+        |    event_type || ' ' || props AS turn_text,
+        |    CAST(len(regexp_extract_all(event_type || ' ' || props,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS tok
+        |  FROM events),
+        |s1 AS (SELECT *,
+        |    CASE WHEN ms - lag(ms) OVER w > 7200000
+        |           OR lag(ms) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |s2 AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM s1),
+        |s3 AS (SELECT *,
+        |    row_number() OVER tw AS turn_no,
+        |    sum(tok) OVER (PARTITION BY user_id, session_no ORDER BY ms, event_id
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suffix_toks
+        |  FROM s2 WINDOW tw AS (PARTITION BY user_id, session_no ORDER BY ms, event_id)),
+        |kept AS (SELECT *, lag(role) OVER (PARTITION BY user_id, session_no
+        |    ORDER BY turn_no) AS prev_role
+        |  FROM s3 WHERE suffix_toks <= 40),
+        |ka AS (SELECT user_id, session_no,
+        |    CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(sum(tok) AS BIGINT) AS kept_tokens,
+        |    string_agg(role || ': ' || turn_text, chr(10) ORDER BY turn_no) AS thread_text,
+        |    ((min({'t': turn_no, 'r': role})).r = 'user'
+        |      AND coalesce(bool_and(role <> prev_role), TRUE)) AS roles_ok
+        |  FROM kept GROUP BY 1, 2),
+        |alln AS (SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_turns
+        |  FROM s3 GROUP BY 1, 2)
+        |SELECT a.user_id, a.session_no, a.n_turns,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.kept_tokens, 0) AS kept_tokens,
+        |  coalesce(k.roles_ok, FALSE) AS roles_ok,
+        |  coalesce(k.thread_text, '') AS thread_text
+        |FROM alln a LEFT JOIN ka k USING (user_id, session_no)
+        |ORDER BY user_id, session_no""".stripMargin,
+
+    "q_preference_pairs" ->
+      """WITH c AS (
+        |  SELECT doc_id // 8 AS prompt_id, doc_id, n_chars % 997 AS score
+        |  FROM documents),
+        |a AS (SELECT prompt_id,
+        |    (max({'s': score, 'ni': -doc_id})).ni AS cni,
+        |    max(score) AS chosen_score,
+        |    (min({'s': score, 'i': doc_id})).i AS rejected_id,
+        |    min(score) AS rejected_score,
+        |    CAST(count(*) AS BIGINT) AS n_candidates
+        |  FROM c GROUP BY 1)
+        |SELECT prompt_id, -cni AS chosen_id, chosen_score, rejected_id,
+        |  rejected_score, n_candidates,
+        |  chosen_score - rejected_score AS margin
+        |FROM a
+        |WHERE n_candidates >= 2 AND chosen_score - rejected_score >= 1
+        |ORDER BY prompt_id""".stripMargin,
+
+    "q_group_split" -> {
+      import operators.Converters.fractionCut
+      s"""SELECT source,
+         |  CASE WHEN substring(md5('graft|' || source), 1, 4) < '${fractionCut(0.8)}' THEN 'train'
+         |       WHEN substring(md5('graft|' || source), 1, 4) < '${fractionCut(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents GROUP BY 1, 2 ORDER BY source""".stripMargin
+    },
+
+    "q_phash" ->
+      s"""WITH ${phashOracleCte(PhashVal)}
+         |SELECT doc_id AS media_id,
+         |  array_to_string(list_transform(range(0, 64), i ->
+         |    CASE WHEN i >= 1 AND fv[i + 1] > med THEN 1 ELSE 0 END), '') AS phash_bits
+         |FROM bits ORDER BY media_id""".stripMargin,
+
+    "q_phash_neardup" ->
+      s"""WITH ${phashOracleCte(PhashNeardupVal)},
+         |hb AS (SELECT doc_id, list_transform(range(0, 64), i ->
+         |    CASE WHEN i >= 1 AND fv[i + 1] > med THEN 1 ELSE 0 END) AS b
+         |  FROM bits),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(list_sum(list_transform(range(0, 64), i ->
+         |      CASE WHEN a.b[i + 1] <> b.b[i + 1] THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+         |  FROM hb a JOIN hb b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs
+         |WHERE hamming <= 10 ORDER BY id_a, id_b""".stripMargin
+  )
+}

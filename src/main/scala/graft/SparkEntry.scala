@@ -52,7 +52,8 @@ object SparkEntry {
       OperatorGates4.queries4 ++ OperatorGates5.queries5 ++
       OperatorGates6.queries6 ++ OperatorGates7.queries7 ++
       OperatorGates8.queries8 ++ OperatorGates9.queries9 ++
-      OperatorGates10.queries10 ++ OperatorGates11.queries11 ++ Map(
+      OperatorGates10.queries10 ++ OperatorGates11.queries11 ++
+      OperatorGates12.queries12 ++ Map(
 
     // --- aggregation (pricing summary, TPC-H Q1 shape) ----------------
     "q_pricing_summary" -> ((s, dir) => {
@@ -736,7 +737,8 @@ object SparkEntry {
       OperatorGates4.oracleSql4 ++ OperatorGates5.oracleSql5 ++
       OperatorGates6.oracleSql6 ++ OperatorGates7.oracleSql7 ++
       OperatorGates8.oracleSql8 ++ OperatorGates9.oracleSql9 ++
-      OperatorGates10.oracleSql10 ++ OperatorGates11.oracleSql11 ++ Map(
+      OperatorGates10.oracleSql10 ++ OperatorGates11.oracleSql11 ++
+      OperatorGates12.oracleSql12 ++ Map(
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

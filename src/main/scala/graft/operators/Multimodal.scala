@@ -448,6 +448,59 @@ object Multimodal {
       })
   }
 
+  final case class MediaPHash(media_id: Long, phash: Long)
+
+  /** DCT perceptual hash (pHash) over REAL decoded 24-bpp pixels:
+    * exact 2x2-or-larger box SUMS of r+g+b bytes down to a 32x32 gray
+    * grid (division-free; rows in the decoded bottom-up order, the
+    * same linearization [[aHashBmp]] samples), then
+    * [[graft.functions.PerceptualHash.phash64Gray32]] — the quantized
+    * integer DCT whose cosine table the oracle SQL shares verbatim.
+    * Frequency-domain bits survive uniform re-grades that flip aHash
+    * bits; near-dup pairs ride the same
+    * [[graft.functions.Similarity.hammingPairs64]] banded shuffle.
+    */
+  def phashBmp(media: DataFrame): Dataset[MediaPHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        require(bytes != null, s"media $id: null content")
+        val m = BmpCodec.meta(id, bytes)
+        require(m.rawHeight > 0,
+          s"media $id: pHash supports bottom-up BMPs only (height ${m.rawHeight})")
+        require(m.width % 32 == 0 && m.height % 32 == 0,
+          s"media $id: pHash needs dims divisible by 32, got ${m.width}x${m.height}")
+        val bw = m.width / 32
+        val bh = m.height / 32
+        val g = new Array[Long](1024)
+        var cy = 0
+        while (cy < 32) {
+          var cx = 0
+          while (cx < 32) {
+            var acc = 0L
+            var py = cy * bh
+            while (py < (cy + 1) * bh) {
+              var px = cx * bw
+              while (px < (cx + 1) * bw) {
+                val base = (py * m.width + px) * 3
+                acc += BmpCodec.srcChannel(bytes, m, base) +
+                  BmpCodec.srcChannel(bytes, m, base + 1) +
+                  BmpCodec.srcChannel(bytes, m, base + 2)
+                px += 1
+              }
+              py += 1
+            }
+            g(cy * 32 + cx) = acc
+            cx += 1
+          }
+          cy += 1
+        }
+        MediaPHash(id, graft.functions.PerceptualHash.phash64Gray32(g))
+      })
+  }
+
   /** 64-bit energy-delta audio fingerprint (Haitsma–Kalker style,
     * simplified to exact integers) over REAL decoded PCM16: the
     * linear sample stream (channels interleaved) splits into 65 equal
