@@ -72,6 +72,51 @@ object OperatorGates12 {
         .orderBy("doc_id")
     }),
 
+    // --- incremental classifier maintenance: counts are the model's
+    //     sufficient statistics and they're ADDITIVE — train on half
+    //     the corpus, train on the other half, merge counts, predict.
+    //     The oracle retrains from scratch on the union: green =
+    //     merge == rebuild, the same contract as Bm25.mergeIndex -----
+    "q_classifier_incremental" -> ((s, dir) => {
+      import operators.TextClassifier
+      val docs = t(s, dir, "documents")
+      def slice(m: Int, r: Int) = docs.filter(pmod(col("doc_id"), lit(m)) === r)
+        .select(col("doc_id"), col("text"),
+          when(col("lang") === "en", "en").otherwise("xx").as("label"))
+      val merged = TextClassifier.mergeCounts(
+        TextClassifier.trainCounts(slice(8, 0), "text", "label"),
+        TextClassifier.trainCounts(slice(8, 4), "text", "label"))
+      val (weights, classInfo) =
+        TextClassifier.weightsFromCounts(merged._1, merged._2)
+      val heldOut = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select("doc_id", "text")
+      TextClassifier.predictWithMargin(heldOut, "doc_id", "text", weights, classInfo)
+        .orderBy("doc_id")
+    }),
+
+    // --- retrieval quality evaluation: recall@5 of the IVF index
+    //     (nProbe=4 of 8 lists) against the exact brute-force top-5;
+    //     the k-bounded hit join, never a re-scoring pass ------------
+    "q_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      val exact = functions.Similarity.bruteForceTopK(probes, e, k = 5)
+      val idx = functions.Ann.sampledIvf(e, k = 8)
+      val approx = idx.search(probes, e, k = 5, nProbe = 4)
+      operators.RetrievalEval.recallAtK(exact, approx, k = 5)
+        .orderBy("query_id")
+    }),
+
+    // --- mixture epoch planning: integer repeat-factor plan per
+    //     source under a token budget and a 4-epoch repeat cap -------
+    "q_mixture_plan" -> ((s, dir) => {
+      operators.MixturePlan.plan(
+          t(s, dir, "documents").select(col("source"), col("n_chars")),
+          "source", "n_chars", MixWeights,
+          budgetTokens = 3000000L, maxEpochs = 4L)
+        .orderBy("source")
+    }),
+
     // --- SFT thread assembly: sessionize events per user on 2h
     //     silence, role'd turns, token-budget SUFFIX truncation
     //     (keep the most recent turns), role-alternation validation --
@@ -165,40 +210,78 @@ object OperatorGates12 {
     """20 + (((doc_id // 25) % 5) * 41 + ((i % 32) // 8) * 67 + ((i // 32) // 8) * 83) % 200
       | + CASE WHEN (doc_id // 25) % 2 = 1 THEN 17 ELSE 0 END""".stripMargin
 
+  /** Fixed mixture weights for q_mixture_plan (weight = (i%3)+1 per
+    * srcN) — enumerated into the oracle CASE from this same map.
+    */
+  private[graft] val MixWeights: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> ((i % 3) + 1).toLong).toMap
+
+  /** The classifier train+score replay, parameterized by the held-out
+    * filter — q_text_classifier scores everything outside the train
+    * slice, q_classifier_incremental scores the %4==1 slice against a
+    * model built by count-merge (oracle retrains on the union: green
+    * proves merge == rebuild).
+    */
+  private def classifierOracle(scoreFilter: String): String =
+    s"""WITH tr AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN lang = 'en' THEN 'en' ELSE 'xx' END AS label
+       |  FROM documents WHERE doc_id % 4 = 0),
+       |toks AS (SELECT label, unnest($SqlToks) AS token FROM tr),
+       |counts AS (SELECT label, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
+       |totals AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM counts GROUP BY 1),
+       |vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+       |docsc AS (SELECT label, count(*) AS docs_c FROM tr GROUP BY 1),
+       |nd AS (SELECT CAST(sum(docs_c) AS BIGINT) AS dt FROM docsc),
+       |ci AS (SELECT d.label,
+       |         CAST(floor(CAST(d.docs_c * 1048576 AS DOUBLE) / CAST(dt AS DOUBLE)) AS BIGINT) AS prior,
+       |         CAST(floor(CAST(1048576 AS DOUBLE) / CAST(t.tot + v AS DOUBLE)) AS BIGINT) AS w0
+       |       FROM docsc d JOIN totals t ON t.label = d.label, nd, vocab),
+       |wt AS (SELECT c.label, c.token,
+       |         CAST(floor(CAST((c.cnt + 1) * 1048576 AS DOUBLE) / CAST(t.tot + v AS DOUBLE)) AS BIGINT) AS w
+       |       FROM counts c JOIN totals t ON c.label = t.label, vocab),
+       |ho AS (SELECT doc_id, text FROM documents WHERE $scoreFilter),
+       |occ AS (SELECT doc_id, unnest($SqlToks) AS token FROM ho),
+       |pc AS (SELECT o.doc_id, ci.label, CAST(sum(coalesce(w.w, ci.w0)) AS BIGINT) AS ts
+       |       FROM occ o CROSS JOIN ci
+       |       LEFT JOIN wt w ON w.token = o.token AND w.label = ci.label
+       |       GROUP BY 1, 2),
+       |scores AS (SELECT h.doc_id, ci.label,
+       |             ci.prior + coalesce(pc.ts, 0) AS score
+       |           FROM ho h CROSS JOIN ci
+       |           LEFT JOIN pc ON pc.doc_id = h.doc_id AND pc.label = ci.label)
+       |SELECT doc_id, (max({'s': score, 'l': label})).l AS pred_label,
+       |  CAST(max(score) AS BIGINT) AS best_score,
+       |  CAST(max(score) - min(score) AS BIGINT) AS margin
+       |FROM scores GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def oracleSql12: Map[String, String] = Map(
 
-    "q_text_classifier" ->
-      s"""WITH tr AS (
-         |  SELECT doc_id, text,
-         |    CASE WHEN lang = 'en' THEN 'en' ELSE 'xx' END AS label
-         |  FROM documents WHERE doc_id % 4 = 0),
-         |toks AS (SELECT label, unnest($SqlToks) AS token FROM tr),
-         |counts AS (SELECT label, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
-         |totals AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot FROM counts GROUP BY 1),
-         |vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
-         |docsc AS (SELECT label, count(*) AS docs_c FROM tr GROUP BY 1),
-         |nd AS (SELECT CAST(sum(docs_c) AS BIGINT) AS dt FROM docsc),
-         |ci AS (SELECT d.label,
-         |         CAST(floor(CAST(d.docs_c * 1048576 AS DOUBLE) / CAST(dt AS DOUBLE)) AS BIGINT) AS prior,
-         |         CAST(floor(CAST(1048576 AS DOUBLE) / CAST(t.tot + v AS DOUBLE)) AS BIGINT) AS w0
-         |       FROM docsc d JOIN totals t ON t.label = d.label, nd, vocab),
-         |wt AS (SELECT c.label, c.token,
-         |         CAST(floor(CAST((c.cnt + 1) * 1048576 AS DOUBLE) / CAST(t.tot + v AS DOUBLE)) AS BIGINT) AS w
-         |       FROM counts c JOIN totals t ON c.label = t.label, vocab),
-         |ho AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
-         |occ AS (SELECT doc_id, unnest($SqlToks) AS token FROM ho),
-         |pc AS (SELECT o.doc_id, ci.label, CAST(sum(coalesce(w.w, ci.w0)) AS BIGINT) AS ts
-         |       FROM occ o CROSS JOIN ci
-         |       LEFT JOIN wt w ON w.token = o.token AND w.label = ci.label
-         |       GROUP BY 1, 2),
-         |scores AS (SELECT h.doc_id, ci.label,
-         |             ci.prior + coalesce(pc.ts, 0) AS score
-         |           FROM ho h CROSS JOIN ci
-         |           LEFT JOIN pc ON pc.doc_id = h.doc_id AND pc.label = ci.label)
-         |SELECT doc_id, (max({'s': score, 'l': label})).l AS pred_label,
-         |  CAST(max(score) AS BIGINT) AS best_score,
-         |  CAST(max(score) - min(score) AS BIGINT) AS margin
-         |FROM scores GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_text_classifier" -> classifierOracle("doc_id % 4 <> 0"),
+
+    "q_classifier_incremental" -> classifierOracle("doc_id % 4 = 1"),
+
+    "q_ann_recall" -> OracleSql.annRecall(k = 5, nProbe = 4,
+      nCentroids = 8, probeMod = 100),
+
+    "q_mixture_plan" -> {
+      val wsum = MixWeights.values.sum
+      val cases = MixWeights.toSeq.sortBy(_._1)
+        .map { case (g, w) => s"WHEN '$g' THEN ${w}" }.mkString(" ")
+      s"""WITH m AS (
+         |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS mass
+         |  FROM documents GROUP BY 1),
+         |w AS (SELECT source, mass,
+         |    CAST(CASE source $cases ELSE 0 END AS BIGINT) AS weight FROM m),
+         |c AS (SELECT *, (3000000 * weight) // $wsum AS target FROM w),
+         |d AS (SELECT *, CASE WHEN mass = 0 THEN 0
+         |    ELSE (target * 1024 + mass - 1) // mass END AS eq FROM c),
+         |e AS (SELECT *, least(eq, 4 * 1024) AS epochs_q FROM d)
+         |SELECT source, mass, weight, target, CAST(epochs_q AS BIGINT) AS epochs_q,
+         |  CAST((mass * epochs_q) // 1024 AS BIGINT) AS planned_tokens,
+         |  CAST(greatest(target - (mass * epochs_q) // 1024, 0) AS BIGINT) AS shortfall
+         |FROM e ORDER BY source""".stripMargin
+    },
 
     "q_conversation_threads" ->
       """WITH ev AS (

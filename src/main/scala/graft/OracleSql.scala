@@ -347,8 +347,8 @@ object OracleSql {
     * (dot DESC, cid ASC) on both engines; dot products accumulate in
     * array order (bit-equal doubles, same as the LSH oracles).
     */
-  def annIvf(k: Int, nProbe: Int, nCentroids: Int, probeMod: Int): String =
-    s"""WITH seeds AS (
+  private def ivfCandCtes(nProbe: Int, nCentroids: Int, probeMod: Int): String =
+    s"""seeds AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |  ORDER BY md5('ivf' || '|' || vec_id), vec_id LIMIT $nCentroids
        |), cents AS (
@@ -370,10 +370,40 @@ object OracleSql {
        |  FROM plists p JOIN assign v ON p.cid = v.cid AND p.vec_id <> v.vec_id
        |  JOIN vecs a ON a.vec_id = p.vec_id
        |  JOIN vecs b ON b.vec_id = v.vec_id
-       |)
+       |)""".stripMargin
+
+  def annIvf(k: Int, nProbe: Int, nCentroids: Int, probeMod: Int): String =
+    s"""WITH ${ivfCandCtes(nProbe, nCentroids, probeMod)}
        |SELECT query_id, neighbor_id, sim FROM cand
        |QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
        |ORDER BY query_id, sim DESC, neighbor_id""".stripMargin
+
+  /** Oracle for q_ann_recall: the IVF candidates above top-k'd, the
+    * brute-force exact top-k (same cosine, same (sim DESC, id)
+    * tie-break), and per-query hit counting — recall@k as the plain
+    * IEEE division n_hit / k.
+    */
+  def annRecall(k: Int, nProbe: Int, nCentroids: Int, probeMod: Int): String =
+    s"""WITH ${ivfCandCtes(nProbe, nCentroids, probeMod)},
+       |ivfk AS (
+       |  SELECT query_id, neighbor_id FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+       |), exactc AS (
+       |  SELECT p.vec_id AS query_id, v.vec_id AS neighbor_id, $CosineAB AS sim
+       |  FROM (SELECT vec_id FROM vecs WHERE vec_id % $probeMod = 0) p
+       |  JOIN vecs v ON v.vec_id <> p.vec_id
+       |  JOIN vecs a ON a.vec_id = p.vec_id
+       |  JOIN vecs b ON b.vec_id = v.vec_id
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM exactc
+       |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
+       |)
+       |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+       |  CAST(count(i.neighbor_id) AS DOUBLE) / $k AS recall
+       |FROM exact e LEFT JOIN ivfk i
+       |  ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
 
   /** Oracle for q_semantic_dedup: replays Ann.sampledIvf +
     * Ann.semanticDedup — same sampled quantizer and argmax-dot

@@ -40,20 +40,38 @@ object TextClassifier {
 
   val Q: Long = 1L << 20
 
-  /** Train on labeled text: returns (tokenWeights(label, token, w),
-    * classInfo(label, prior, w0)). Both outputs are data-bounded
-    * (vocab × k and k rows) and feed `score`/`predict` as plain
-    * DataFrames — persistable like any model table.
+  /** The classifier's sufficient statistics: per-(label, token)
+    * occurrence counts and per-label doc counts. Counts are ADDITIVE,
+    * which makes the model incrementally maintainable — training on a
+    * delta corpus and [[mergeCounts]]-ing equals retraining from
+    * scratch on the union (the repo's merge == rebuild contract), and
+    * weights re-derive from merged counts in vocab-sized work, never
+    * a corpus rescan.
     */
-  def train(labeled: DataFrame, textCol: String, labelCol: String)
+  def trainCounts(labeled: DataFrame, textCol: String, labelCol: String)
       : (DataFrame, DataFrame) = {
     val toks = labeled.select(col(labelCol).as("label"),
       explode(Text.tokens(col(textCol))).as("token"))
-    val counts = toks.groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+    (toks.groupBy("label", "token").agg(count(lit(1)).as("cnt")),
+      labeled.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("docs_c")))
+  }
+
+  /** Pointwise-additive merge of two count snapshots (either side may
+    * hold labels/tokens the other lacks). Shuffles O(vocab), not
+    * O(corpus).
+    */
+  def mergeCounts(a: (DataFrame, DataFrame), b: (DataFrame, DataFrame))
+      : (DataFrame, DataFrame) =
+    (a._1.unionByName(b._1).groupBy("label", "token")
+        .agg(sum("cnt").as("cnt")),
+      a._2.unionByName(b._2).groupBy("label")
+        .agg(sum("docs_c").as("docs_c")))
+
+  /** Derive the quantized weight tables from count statistics. */
+  def weightsFromCounts(counts: DataFrame, docs: DataFrame)
+      : (DataFrame, DataFrame) = {
     val totals = counts.groupBy("label").agg(sum("cnt").as("tot"))
     val vocab = counts.select("token").distinct().agg(count(lit(1)).as("v"))
-    val docs = labeled.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("docs_c"))
     val nDocs = docs.agg(sum("docs_c").as("docs_total"))
     // floor(double division) with exact-long operands — the idfq
     // discipline (operators/Bm25.scala:54): both engines run the
@@ -69,6 +87,17 @@ object TextClassifier {
       .select(col("label"), col("token"),
         fdiv((col("cnt") + 1) * Q, col("tot") + col("v")).as("w"))
     (weights, classInfo)
+  }
+
+  /** Train on labeled text: returns (tokenWeights(label, token, w),
+    * classInfo(label, prior, w0)). Both outputs are data-bounded
+    * (vocab × k and k rows) and feed `score`/`predict` as plain
+    * DataFrames — persistable like any model table.
+    */
+  def train(labeled: DataFrame, textCol: String, labelCol: String)
+      : (DataFrame, DataFrame) = {
+    val (counts, docs) = trainCounts(labeled, textCol, labelCol)
+    weightsFromCounts(counts, docs)
   }
 
   /** Per-(doc, class) additive scores for every document — documents

@@ -50,6 +50,20 @@ class TextClassifierSpec extends SparkSpec {
     assert(out(101L)._4 > 0) // positive margin
   }
 
+  test("incremental count merge equals full retrain") {
+    val half1 = train.filter("doc_id <= 3")
+    val half2 = train.filter("doc_id > 3")
+    val merged = TextClassifier.mergeCounts(
+      TextClassifier.trainCounts(half1, "text", "label"),
+      TextClassifier.trainCounts(half2, "text", "label"))
+    val (wInc, ciInc) = TextClassifier.weightsFromCounts(merged._1, merged._2)
+    val (wFull, ciFull) = TextClassifier.train(train, "text", "label")
+    assert(wInc.as[(String, String, Long)].collect().toSet ==
+      wFull.as[(String, String, Long)].collect().toSet)
+    assert(ciInc.as[(String, Long, Long)].collect().toSet ==
+      ciFull.as[(String, Long, Long)].collect().toSet)
+  }
+
   test("score keeps one row per (doc, class) and ties break to larger label") {
     val (weights, classInfo) = model
     val docs = Seq((1L, "zzz unseen words only")).toDF("doc_id", "text")
