@@ -94,6 +94,53 @@ object OperatorGates12 {
         .orderBy("doc_id")
     }),
 
+    // --- declarative incremental classifier job (job.type=classify):
+    //     two watermark epochs train by count-merge into a token-hash
+    //     ShardedTable, third epoch no-ops; predictions from the
+    //     PUBLISHED model must equal the oracle's full retrain -------
+    "q_classify_job" -> ((s, dir) => {
+      import graft.runner.JobConfig
+      import operators.TextClassifier
+      val docs = t(s, dir, "documents")
+      val labeled = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), col("text"),
+          when(col("lang") === "en", "en").otherwise("xx").as("label"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_classify_job").toString
+      val props = JobConfig.parse(
+        s"""job.type=classify
+           |job.name=docs_classify
+           |source.path=$tmp/src
+           |classify.text=text
+           |classify.label=label
+           |classify.seq=doc_id
+           |sink.output=$tmp/model
+           |state.dir=$tmp/state
+           |""".stripMargin)
+      val maxId = labeled.agg(max(col("doc_id"))).head.getLong(0)
+      val split = maxId / 2
+      labeled.filter(col("doc_id") <= split)
+        .write.mode("append").parquet(s"$tmp/src")
+      val r1 = JobConfig.runAny(s, props)
+      require(r1("published") == "true", s"epoch 1 failed: $r1")
+      labeled.filter(col("doc_id") > split)
+        .write.mode("append").parquet(s"$tmp/src")
+      val r2 = JobConfig.runAny(s, props)
+      require(r2("published") == "true" && r2("highWatermark") == maxId.toString,
+        s"epoch 2 failed: $r2")
+      val r3 = JobConfig.runAny(s, props)
+      require(r3("published") == "false" && r3("deltaRows") == "0",
+        s"empty epoch must be a no-op: $r3")
+      val table = new graft.sink.ShardedTable(s"$tmp/model", "shard",
+        s.sparkContext.hadoopConfiguration)
+      val (counts, docCounts) = TextClassifier.fromState(table.readCurrent(s))
+      val (weights, classInfo) =
+        TextClassifier.weightsFromCounts(counts, docCounts)
+      val heldOut = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select("doc_id", "text")
+      TextClassifier.predictWithMargin(heldOut, "doc_id", "text", weights, classInfo)
+        .orderBy("doc_id")
+    }),
+
     // --- retrieval quality evaluation: recall@5 of the IVF index
     //     (nProbe=4 of 8 lists) against the exact brute-force top-5;
     //     the k-bounded hit join, never a re-scoring pass ------------
@@ -260,6 +307,10 @@ object OperatorGates12 {
     "q_text_classifier" -> classifierOracle("doc_id % 4 <> 0"),
 
     "q_classifier_incremental" -> classifierOracle("doc_id % 4 = 1"),
+
+    // the job face shares the incremental oracle: the published model
+    // was built by two count-merge epochs, the oracle retrains once
+    "q_classify_job" -> classifierOracle("doc_id % 4 = 1"),
 
     "q_ann_recall" -> OracleSql.annRecall(k = 5, nProbe = 4,
       nCentroids = 8, probeMod = 100),

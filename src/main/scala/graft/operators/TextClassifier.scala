@@ -100,6 +100,16 @@ object TextClassifier {
     weightsFromCounts(counts, docs)
   }
 
+  /** Split a persisted unified state table — token-count rows plus
+    * doc-count rows marked by `token IS NULL` (the layout the
+    * `job.type=classify` sharded table commits) — back into the
+    * (counts, docs) pair [[weightsFromCounts]] consumes.
+    */
+  def fromState(state: DataFrame): (DataFrame, DataFrame) =
+    (state.filter(col("token").isNotNull).select("label", "token", "cnt"),
+      state.filter(col("token").isNull)
+        .select(col("label"), col("cnt").as("docs_c")))
+
   /** Per-(doc, class) additive scores for every document — documents
     * with zero tokens keep their prior-only row (a quality filter must
     * not silently drop empty docs).

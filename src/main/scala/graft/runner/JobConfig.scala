@@ -469,6 +469,45 @@ object JobConfig {
           (merged.withColumn("shard", shardOf), touchedShards)
         }
 
+      case "classify" =>
+        // incremental classifier maintenance as a config job: the
+        // model IS its sufficient statistics — (label, token, cnt)
+        // rows, additive — persisted as a token-hash-sharded
+        // ShardedTable; per-label doc counts ride the SAME table as
+        // `token IS NULL` rows in a dedicated shard, so the whole
+        // state merges through one uniform additive groupBy. An epoch
+        // rewrites only the shards its delta's tokens hash into.
+        // Contract: the source is APPEND-ONLY above the watermark
+        // (the same additive contract job.type=rollup carries —
+        // re-delivering a document would double its counts; route
+        // corrections through a rebuild).
+        import graft.operators.TextClassifier
+        val textCol = req(p, "classify.text")
+        val labelCol = req(p, "classify.label")
+        val cSeq = req(p, "classify.seq")
+        val cShards = opt(p, "classify.shards").map(_.toInt).getOrElse(32)
+        incrementalShardedPublish(spark, p, kind = "classify", cSeq,
+          partCol = "shard") { (table, hasCurrent, delta) =>
+          val (dCounts, dDocs) =
+            TextClassifier.trainCounts(delta, textCol, labelCol)
+          val deltaRows = dCounts
+            .withColumn("shard", pmod(hash(col("token")), lit(cShards)).cast("int"))
+            .unionByName(dDocs.select(col("label"),
+              lit(null).cast("string").as("token"),
+              col("docs_c").as("cnt"),
+              lit(cShards).as("shard")))
+          val touched = deltaRows.select(col("shard")).distinct()
+            .collect().map(_.getInt(0).toString).toSeq.sorted
+          val merged =
+            if (!hasCurrent) deltaRows
+            else table.readPartitions(spark, touched)
+              .unionByName(deltaRows)
+              .groupBy("label", "token", "shard")
+              .agg(sum("cnt").as("cnt"))
+              .select("label", "token", "cnt", "shard")
+          (merged, touched)
+        }
+
       case "annindex" =>
         // incremental IVF vector-index maintenance as a config job —
         // the vector face of the incremental family (index = BM25

@@ -648,4 +648,58 @@ class JobConfigSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
     assert(out.forall(_.getDouble(5) < 0.5))
   }
+
+  test("job.type=classify: count-merge epochs equal full retrain; untouched shards carry over") {
+    import spark.implicits._
+    import graft.operators.TextClassifier
+    val root = tmpDir("classifyjob")
+    val props = JobConfig.parse(
+      s"""job.type=classify
+         |job.name=t_cls
+         |source.path=$root/src
+         |classify.text=text
+         |classify.label=label
+         |classify.seq=seq
+         |classify.shards=32
+         |sink.output=$root/model
+         |state.dir=$root/state
+         |""".stripMargin)
+    val e1 = Seq((1L, "hi", "the cat sat"), (2L, "lo", "zz zz yy"))
+    val e2 = Seq((3L, "hi", "cat naps"))
+    e1.map { case (s1, l, t1) => (s1, l, t1) }.toDF("seq", "label", "text")
+      .write.mode("append").parquet(s"$root/src")
+    val r1 = JobConfig.runAny(spark, props)
+    assert(r1("published") == "true" && r1("highWatermark") == "2")
+    e2.toDF("seq", "label", "text").write.mode("append").parquet(s"$root/src")
+    val r2 = JobConfig.runAny(spark, props)
+    assert(r2("published") == "true" && r2("highWatermark") == "3")
+    val table = new graft.sink.ShardedTable(s"$root/model", "shard",
+      spark.sparkContext.hadoopConfiguration)
+    // published state must equal a single retrain over the union
+    val (counts, docCounts) = TextClassifier.fromState(table.readCurrent(spark))
+    val all = (e1 ++ e2).toDF("seq", "label", "text")
+    val (fullCounts, fullDocs) = TextClassifier.trainCounts(all, "text", "label")
+    assert(counts.as[(String, String, Long)].collect().toSet ==
+      fullCounts.as[(String, String, Long)].collect().toSet)
+    assert(docCounts.as[(String, Long)].collect().toSet ==
+      fullDocs.as[(String, Long)].collect().toSet)
+    // epoch 2's delta tokens are {cat, naps} (+ the doc-count shard 32);
+    // every untouched shard must carry over by reference
+    val touched2 = Set("cat", "naps").map(tok =>
+      Seq(tok).toDF("token")
+        .select(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.hash($"token"),
+          org.apache.spark.sql.functions.lit(32)).cast("int"))
+        .head.getInt(0).toString) + "32"
+    val m1 = table.manifest(1L)
+    val m2 = table.manifest(2L)
+    m1.keys.filterNot(touched2).foreach { sh =>
+      assert(m2(sh) === m1(sh), s"untouched shard $sh must carry over")
+    }
+    assert(r2("touchedPartitions").toInt <= touched2.size)
+    // empty delta: no-op, no new version
+    val r3 = JobConfig.runAny(spark, props)
+    assert(r3("published") == "false" && r3("deltaRows") == "0")
+    assert(table.currentVersion.contains(2L))
+  }
 }
