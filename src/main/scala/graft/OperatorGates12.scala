@@ -141,12 +141,63 @@ object OperatorGates12 {
         .orderBy("doc_id")
     }),
 
+    // --- STREAMING classifier maintenance (foreachBatch +
+    //     TextClassifier.shardedMerge): two micro-batches of labeled
+    //     docs count-merge into the token-hash ShardedTable, one
+    //     version per batch; predictions from the final model must
+    //     equal the oracle's single full retrain ---------------------
+    "q_stream_classify" -> ((s, dir) => {
+      import operators.TextClassifier
+      import streaming.StreamingIngest
+      val docs = t(s, dir, "documents")
+      val labeled = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), col("text"),
+          when(col("lang") === "en", "en").otherwise("xx").as("label"))
+      val maxId = labeled.agg(max(col("doc_id"))).head.getLong(0)
+      val split = maxId / 2
+      val inDir = java.nio.file.Files.createTempDirectory("q_stream_classify")
+      val now = System.currentTimeMillis()
+      OperatorGates8.stageFile(labeled.filter(col("doc_id") <= split),
+        inDir, "b1.parquet", now - 120000)
+      OperatorGates8.stageFile(labeled.filter(col("doc_id") > split),
+        inDir, "b2.parquet", now - 60000)
+      val root = java.nio.file.Files.createTempDirectory("q_stream_cls_out").toString
+      val hconf = s.sparkContext.hadoopConfiguration
+      val table = new sink.ShardedTable(s"$root/model", "shard", hconf)
+      val stream = StreamingIngest.readFileStream(s, labeled.schema,
+        inDir.toString, maxFilesPerTrigger = Some(1))
+      val q = stream.writeStream
+        .foreachBatch { (delta: DataFrame, _: Long) =>
+          val hasCurrent = table.currentVersion.isDefined
+          val (merged, touched) = TextClassifier.shardedMerge(
+            table, hasCurrent, delta, "text", "label", nShards = 32)
+          table.commit(merged, touched, full = !hasCurrent)
+          ()
+        }
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val (counts, docCounts) = TextClassifier.fromState(table.readCurrent(s))
+      val (weights, classInfo) =
+        TextClassifier.weightsFromCounts(counts, docCounts)
+      val heldOut = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select("doc_id", "text")
+      TextClassifier.predictWithMargin(heldOut, "doc_id", "text", weights, classInfo)
+        .orderBy("doc_id")
+    }),
+
     // --- retrieval quality evaluation: recall@5 of the IVF index
     //     (nProbe=4 of 8 lists) against the exact brute-force top-5;
     //     the k-bounded hit join, never a re-scoring pass ------------
     "q_ann_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0)
+      // id-bounded probe workload (the round-9 sf1 lesson: scale the
+      // DATA, pin the WORKLOAD — an unbounded probe set makes the
+      // exact side probes x corpus = quadratic at scale). No-op at the
+      // driver SFs (vec_ids there sit below the bound).
+      val probes = e.filter(pmod(col("vec_id"), lit(100)) === 0 &&
+        col("vec_id") < 50000)
       val exact = functions.Similarity.bruteForceTopK(probes, e, k = 5)
       val idx = functions.Ann.sampledIvf(e, k = 8)
       val approx = idx.search(probes, e, k = 5, nProbe = 4)
@@ -308,12 +359,14 @@ object OperatorGates12 {
 
     "q_classifier_incremental" -> classifierOracle("doc_id % 4 = 1"),
 
-    // the job face shares the incremental oracle: the published model
-    // was built by two count-merge epochs, the oracle retrains once
+    // the job and streaming faces share the incremental oracle: the
+    // published model was built by count-merge epochs/batches, the
+    // oracle retrains once
     "q_classify_job" -> classifierOracle("doc_id % 4 = 1"),
+    "q_stream_classify" -> classifierOracle("doc_id % 4 = 1"),
 
     "q_ann_recall" -> OracleSql.annRecall(k = 5, nProbe = 4,
-      nCentroids = 8, probeMod = 100),
+      nCentroids = 8, probeMod = 100, probeBound = 50000L),
 
     "q_mixture_plan" -> {
       val wsum = MixWeights.values.sum

@@ -347,7 +347,9 @@ object OracleSql {
     * (dot DESC, cid ASC) on both engines; dot products accumulate in
     * array order (bit-equal doubles, same as the LSH oracles).
     */
-  private def ivfCandCtes(nProbe: Int, nCentroids: Int, probeMod: Int): String =
+  private def ivfCandCtes(nProbe: Int, nCentroids: Int, probeMod: Int,
+      probeBound: Option[Long] = None): String = {
+    val boundSql = probeBound.map(b => s" AND vec_id < $b").getOrElse("")
     s"""seeds AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
        |  ORDER BY md5('ivf' || '|' || vec_id), vec_id LIMIT $nCentroids
@@ -361,7 +363,7 @@ object OracleSql {
        |  SELECT vec_id, cid FROM scored
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) = 1
        |), plists AS (
-       |  SELECT vec_id, cid FROM scored WHERE vec_id % $probeMod = 0
+       |  SELECT vec_id, cid FROM scored WHERE vec_id % $probeMod = 0$boundSql
        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) <= $nProbe
        |), vecs AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -371,6 +373,7 @@ object OracleSql {
        |  JOIN vecs a ON a.vec_id = p.vec_id
        |  JOIN vecs b ON b.vec_id = v.vec_id
        |)""".stripMargin
+  }
 
   def annIvf(k: Int, nProbe: Int, nCentroids: Int, probeMod: Int): String =
     s"""WITH ${ivfCandCtes(nProbe, nCentroids, probeMod)}
@@ -383,14 +386,15 @@ object OracleSql {
     * tie-break), and per-query hit counting — recall@k as the plain
     * IEEE division n_hit / k.
     */
-  def annRecall(k: Int, nProbe: Int, nCentroids: Int, probeMod: Int): String =
-    s"""WITH ${ivfCandCtes(nProbe, nCentroids, probeMod)},
+  def annRecall(k: Int, nProbe: Int, nCentroids: Int, probeMod: Int,
+      probeBound: Long): String =
+    s"""WITH ${ivfCandCtes(nProbe, nCentroids, probeMod, Some(probeBound))},
        |ivfk AS (
        |  SELECT query_id, neighbor_id FROM cand
        |  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) <= $k
        |), exactc AS (
        |  SELECT p.vec_id AS query_id, v.vec_id AS neighbor_id, $CosineAB AS sim
-       |  FROM (SELECT vec_id FROM vecs WHERE vec_id % $probeMod = 0) p
+       |  FROM (SELECT vec_id FROM vecs WHERE vec_id % $probeMod = 0 AND vec_id < $probeBound) p
        |  JOIN vecs v ON v.vec_id <> p.vec_id
        |  JOIN vecs a ON a.vec_id = p.vec_id
        |  JOIN vecs b ON b.vec_id = v.vec_id

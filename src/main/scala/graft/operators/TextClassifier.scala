@@ -100,6 +100,40 @@ object TextClassifier {
     weightsFromCounts(counts, docs)
   }
 
+  /** Incremental merge of a labeled delta into a token-hash-sharded
+    * state table (the `job.type=classify` / streaming-maintenance
+    * engine): the delta's counts are additive, so the merge reads
+    * ONLY the shards the delta's tokens hash into, adds, and returns
+    * (merged rows, touched shards) for a partition-granular
+    * ShardedTable commit. Per-label doc counts ride as
+    * `token IS NULL` rows in the dedicated shard `nShards` (touched
+    * on every non-empty delta), making the whole state one uniform
+    * additive groupBy. Contract: the delta is APPEND-ONLY — a
+    * re-delivered document doubles its counts.
+    */
+  def shardedMerge(table: graft.sink.ShardedTable, hasCurrent: Boolean,
+      delta: DataFrame, textCol: String, labelCol: String,
+      nShards: Int): (DataFrame, Seq[String]) = {
+    val spark = delta.sparkSession
+    val (dCounts, dDocs) = trainCounts(delta, textCol, labelCol)
+    val deltaRows = dCounts
+      .withColumn("shard", pmod(hash(col("token")), lit(nShards)).cast("int"))
+      .unionByName(dDocs.select(col("label"),
+        lit(null).cast("string").as("token"),
+        col("docs_c").as("cnt"),
+        lit(nShards).as("shard")))
+    val touched = deltaRows.select(col("shard")).distinct()
+      .collect().map(_.getInt(0).toString).toSeq.sorted
+    val merged =
+      if (!hasCurrent) deltaRows
+      else table.readPartitions(spark, touched)
+        .unionByName(deltaRows)
+        .groupBy("label", "token", "shard")
+        .agg(sum("cnt").as("cnt"))
+        .select("label", "token", "cnt", "shard")
+    (merged, touched)
+  }
+
   /** Split a persisted unified state table — token-count rows plus
     * doc-count rows marked by `token IS NULL` (the layout the
     * `job.type=classify` sharded table commits) — back into the

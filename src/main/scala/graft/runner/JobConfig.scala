@@ -488,24 +488,8 @@ object JobConfig {
         val cShards = opt(p, "classify.shards").map(_.toInt).getOrElse(32)
         incrementalShardedPublish(spark, p, kind = "classify", cSeq,
           partCol = "shard") { (table, hasCurrent, delta) =>
-          val (dCounts, dDocs) =
-            TextClassifier.trainCounts(delta, textCol, labelCol)
-          val deltaRows = dCounts
-            .withColumn("shard", pmod(hash(col("token")), lit(cShards)).cast("int"))
-            .unionByName(dDocs.select(col("label"),
-              lit(null).cast("string").as("token"),
-              col("docs_c").as("cnt"),
-              lit(cShards).as("shard")))
-          val touched = deltaRows.select(col("shard")).distinct()
-            .collect().map(_.getInt(0).toString).toSeq.sorted
-          val merged =
-            if (!hasCurrent) deltaRows
-            else table.readPartitions(spark, touched)
-              .unionByName(deltaRows)
-              .groupBy("label", "token", "shard")
-              .agg(sum("cnt").as("cnt"))
-              .select("label", "token", "cnt", "shard")
-          (merged, touched)
+          TextClassifier.shardedMerge(table, hasCurrent, delta,
+            textCol, labelCol, cShards)
         }
 
       case "annindex" =>
