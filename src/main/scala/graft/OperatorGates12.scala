@@ -232,6 +232,36 @@ object OperatorGates12 {
         .orderBy("user_id", "session_no")
     }),
 
+    // --- STREAMING thread assembly (flatMapGroupsWithState +
+    //     EventTimeTimeout — the 1->N custom-state seam): per-user
+    //     turn buffering, gap-split sessions, each ASSEMBLED thread
+    //     emitted once the watermark strictly passes its end; open
+    //     sessions at stream end never emit ---------------------------
+    "q_stream_threads" -> ((s, dir) => {
+      import streaming.{StreamingIngest, ThreadAssembly}
+      StreamingIngest.withStatePartitions(s, 8) {
+        val src = s"$dir/events.parquet"
+        val rawSchema = s.read.parquet(src).schema
+        val inDir = java.nio.file.Files.createTempDirectory("q_stream_threads")
+        OperatorGates8.copyRaw(s, src, inDir, "events.parquet")
+        import s.implicits._
+        val stream = StreamingIngest.readFileStream(s, rawSchema, inDir.toString)
+          .withColumn("ts", expr(Tables.tsMillisExpr(rawSchema("ts").dataType)))
+          .withWatermark("ts", "0 seconds")
+          .select(col("user_id"), col("ts"), expr("unix_millis(ts)").as("ms"),
+            col("event_id"),
+            when(col("event_type").isin("view", "click", "signup"), "user")
+              .otherwise("assistant").as("role"),
+            concat_ws(" ", col("event_type"), col("props")).as("text"))
+          .as[ThreadAssembly.ThreadTurn]
+        val out = ThreadAssembly.assemble(stream, gapMs = 1800000L)
+        val tmp = java.nio.file.Files.createTempDirectory("q_stream_threads_out").toString
+        StreamingIngest.runAvailableNow(out.toDF(), s"$tmp/data", s"$tmp/ck")
+        s.read.parquet(s"$tmp/data")
+          .orderBy(col("user_id"), col("session_no"))
+      }
+    }),
+
     // --- preference-pair construction: per prompt group (doc_id div
     //     8), chosen = best score, rejected = worst, ascending-id
     //     tie-breaks, groups without a positive margin dropped -------
@@ -426,6 +456,33 @@ object OperatorGates12 {
         |  coalesce(k.roles_ok, FALSE) AS roles_ok,
         |  coalesce(k.thread_text, '') AS thread_text
         |FROM alln a LEFT JOIN ka k USING (user_id, session_no)
+        |ORDER BY user_id, session_no""".stripMargin,
+
+    "q_stream_threads" ->
+      // gap sessionization + thread assembly; append mode emitted
+      // exactly the sessions whose end (last turn + gap) is STRICTLY
+      // below the final watermark (max ms-truncated event time, 0s
+      // delay) — the documented ThreadAssembly contract
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000 AS ms,
+        |    CASE WHEN event_type IN ('view', 'click', 'signup')
+        |         THEN 'user' ELSE 'assistant' END AS role,
+        |    event_type || ' ' || props AS txt
+        |  FROM events),
+        |mx AS (SELECT max(ms) AS max_ms FROM ev),
+        |brk AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+        |      OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS b
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+        |sess AS (SELECT *, SUM(b) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM brk),
+        |agg AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_turns,
+        |    min(ms) AS start_ms, max(ms) + 1800000 AS end_ms,
+        |    string_agg(role || ': ' || txt, chr(10) ORDER BY ms, event_id) AS thread_text
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY start_ms) AS BIGINT) AS session_no,
+        |  n_turns, start_ms, end_ms, thread_text
+        |FROM agg, mx WHERE end_ms < max_ms
         |ORDER BY user_id, session_no""".stripMargin,
 
     "q_preference_pairs" ->
