@@ -206,12 +206,20 @@ object OperatorGates12 {
     }),
 
     // --- mixture epoch planning: integer repeat-factor plan per
-    //     source under a token budget and a 4-epoch repeat cap -------
+    //     source under a token budget and a 4-epoch repeat cap, run
+    //     through the DECLARATIVE op face (ops=mixturePlan) ----------
     "q_mixture_plan" -> ((s, dir) => {
-      operators.MixturePlan.plan(
-          t(s, dir, "documents").select(col("source"), col("n_chars")),
-          "source", "n_chars", MixWeights,
-          budgetTokens = 3000000L, maxEpochs = 4L)
+      val ops = graft.runner.JobConfig.buildOps(graft.runner.JobConfig.parse(
+        s"""ops=mixturePlan
+           |op.mixturePlan.groupColumn=source
+           |op.mixturePlan.tokColumn=n_chars
+           |op.mixturePlan.weights=${MixWeights.toSeq.sorted
+             .map { case (g, w) => s"$g:$w" }.mkString(",")}
+           |op.mixturePlan.budgetTokens=3000000
+           |op.mixturePlan.maxEpochs=4
+           |""".stripMargin))
+      ops.foldLeft(t(s, dir, "documents").select(col("source"), col("n_chars")))(
+          (d, op) => op(d))
         .orderBy("source")
     }),
 
@@ -230,6 +238,51 @@ object OperatorGates12 {
           "role", "turn_text", "tok",
           gapMs = 2 * 3600 * 1000L, budgetTokens = 40L)
         .orderBy("user_id", "session_no")
+    }),
+
+    // --- FLAGSHIP SFT pipeline: a classify job publishes the model,
+    //     then a declarative op chain filters the WHOLE corpus through
+    //     it (classifyFilter: keep 'pos' predictions with margin >= 1)
+    //     and assigns leakage-safe splits. The training label is a
+    //     signal the text actually CARRIES (>= 2 occurrences of the
+    //     token 'vector' — a class-BALANCED cut, so the linear pool's
+    //     prior term can't drown the evidence) and the learned filter
+    //     is non-degenerate on holdout docs. The oracle retrains the
+    //     classifier, re-scores every doc, and replays the split ------
+    "q_sft_pipeline" -> ((s, dir) => {
+      import graft.runner.JobConfig
+      val docs = t(s, dir, "documents")
+      val labeled = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), col("text"),
+          when(size(filter(graft.functions.Text.tokens(col("text")),
+            t => t === "vector")) >= 2, "pos").otherwise("neg").as("label"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_sft_pipeline").toString
+      labeled.write.mode("append").parquet(s"$tmp/src")
+      val model = JobConfig.parse(
+        s"""job.type=classify
+           |job.name=sft_model
+           |source.path=$tmp/src
+           |classify.text=text
+           |classify.label=label
+           |classify.seq=doc_id
+           |sink.output=$tmp/model
+           |state.dir=$tmp/state
+           |""".stripMargin)
+      require(JobConfig.runAny(s, model)("published") == "true",
+        "model build failed")
+      val ops = JobConfig.buildOps(JobConfig.parse(
+        s"""ops=classifyFilter,assignSplit
+           |op.classifyFilter.modelPath=$tmp/model
+           |op.classifyFilter.idColumn=doc_id
+           |op.classifyFilter.textColumn=text
+           |op.classifyFilter.keepLabel=pos
+           |op.classifyFilter.minMargin=1
+           |op.assignSplit.groupColumn=source
+           |op.assignSplit.splits=train:0.8,val:0.1,test:0.1
+           |""".stripMargin))
+      ops.foldLeft(docs)((d, op) => op(d))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id")
     }),
 
     // --- STREAMING thread assembly (flatMapGroupsWithState +
@@ -264,14 +317,19 @@ object OperatorGates12 {
 
     // --- preference-pair construction: per prompt group (doc_id div
     //     8), chosen = best score, rejected = worst, ascending-id
-    //     tie-breaks, groups without a positive margin dropped -------
+    //     tie-breaks, groups without a positive margin dropped; run
+    //     through the DECLARATIVE op face (ops=preferencePairs) ------
     "q_preference_pairs" -> ((s, dir) => {
-      import operators.SftPrep
       val cands = t(s, dir, "documents")
         .select((col("doc_id") / 8).cast("long").as("prompt_id"),
           col("doc_id"), pmod(col("n_chars"), lit(997)).as("score"))
-      SftPrep.preferencePairs(cands, "prompt_id", "doc_id", "score")
-        .orderBy("prompt_id")
+      val ops = graft.runner.JobConfig.buildOps(graft.runner.JobConfig.parse(
+        """ops=preferencePairs
+          |op.preferencePairs.groupColumn=prompt_id
+          |op.preferencePairs.idColumn=doc_id
+          |op.preferencePairs.scoreColumn=score
+          |""".stripMargin))
+      ops.foldLeft(cands)((d, op) => op(d)).orderBy("prompt_id")
     }),
 
     // --- leakage-safe split: every SOURCE lands whole in one of
@@ -351,9 +409,21 @@ object OperatorGates12 {
     * proves merge == rebuild).
     */
   private def classifierOracle(scoreFilter: String): String =
-    s"""WITH tr AS (
+    s"""WITH ${classifierCtes(scoreFilter)}
+       |SELECT doc_id, (max({'s': score, 'l': label})).l AS pred_label,
+       |  CAST(max(score) AS BIGINT) AS best_score,
+       |  CAST(max(score) - min(score) AS BIGINT) AS margin
+       |FROM scores GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The train+score CTE chain up to `scores(doc_id, label, score)`,
+    * reusable by oracles that post-process predictions.
+    */
+  private def classifierCtes(scoreFilter: String,
+      labelCase: String = "CASE WHEN lang = 'en' THEN 'en' ELSE 'xx' END")
+      : String =
+    s"""tr AS (
        |  SELECT doc_id, text,
-       |    CASE WHEN lang = 'en' THEN 'en' ELSE 'xx' END AS label
+       |    $labelCase AS label
        |  FROM documents WHERE doc_id % 4 = 0),
        |toks AS (SELECT label, unnest($SqlToks) AS token FROM tr),
        |counts AS (SELECT label, token, count(*) AS cnt FROM toks GROUP BY 1, 2),
@@ -377,11 +447,7 @@ object OperatorGates12 {
        |scores AS (SELECT h.doc_id, ci.label,
        |             ci.prior + coalesce(pc.ts, 0) AS score
        |           FROM ho h CROSS JOIN ci
-       |           LEFT JOIN pc ON pc.doc_id = h.doc_id AND pc.label = ci.label)
-       |SELECT doc_id, (max({'s': score, 'l': label})).l AS pred_label,
-       |  CAST(max(score) AS BIGINT) AS best_score,
-       |  CAST(max(score) - min(score) AS BIGINT) AS margin
-       |FROM scores GROUP BY doc_id ORDER BY doc_id""".stripMargin
+       |           LEFT JOIN pc ON pc.doc_id = h.doc_id AND pc.label = ci.label)""".stripMargin
 
   def oracleSql12: Map[String, String] = Map(
 
@@ -394,6 +460,22 @@ object OperatorGates12 {
     // oracle retrains once
     "q_classify_job" -> classifierOracle("doc_id % 4 = 1"),
     "q_stream_classify" -> classifierOracle("doc_id % 4 = 1"),
+
+    "q_sft_pipeline" -> {
+      import operators.Converters.fractionCut
+      s"""WITH ${classifierCtes("1 = 1",
+             s"CASE WHEN len(list_filter($SqlToks, x -> x = 'vector')) >= 2 THEN 'pos' ELSE 'neg' END")},
+         |pred AS (SELECT doc_id, (max({'s': score, 'l': label})).l AS pl,
+         |    CAST(max(score) - min(score) AS BIGINT) AS mg
+         |  FROM scores GROUP BY doc_id),
+         |keep AS (SELECT doc_id FROM pred WHERE pl = 'pos' AND mg >= 1)
+         |SELECT d.doc_id, d.source,
+         |  CASE WHEN substring(md5('graft|' || d.source), 1, 4) < '${fractionCut(0.8)}' THEN 'train'
+         |       WHEN substring(md5('graft|' || d.source), 1, 4) < '${fractionCut(0.9)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents d JOIN keep USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "q_ann_recall" -> OracleSql.annRecall(k = 5, nProbe = 4,
       nCentroids = 8, probeMod = 100, probeBound = 50000L),

@@ -242,6 +242,62 @@ object JobConfig {
           negMaxSim = opt(p, "op.tripletMine.negMaxSim")
             .map(_.toDouble).getOrElse(0.15))
       }
+      case "assignSplit" => (df: DataFrame) => {
+        // leakage-safe split: whole GROUPS land in one split
+        val splits = req(p, "op.assignSplit.splits").split(",").map { kv =>
+          kv.split(":") match {
+            case Array(n, f) => n.trim -> f.trim.toDouble
+            case _ => throw new IllegalArgumentException(
+              s"op.assignSplit.splits: entry '${kv.trim}' is not name:fraction")
+          }
+        }.toSeq
+        graft.operators.SftPrep.assignSplit(df,
+          req(p, "op.assignSplit.groupColumn"), splits,
+          seed = opt(p, "op.assignSplit.seed").getOrElse("graft"))
+      }
+      case "preferencePairs" => (df: DataFrame) =>
+        // REPORT op: the frame becomes its chosen/rejected pair table
+        graft.operators.SftPrep.preferencePairs(df,
+          req(p, "op.preferencePairs.groupColumn"),
+          req(p, "op.preferencePairs.idColumn"),
+          req(p, "op.preferencePairs.scoreColumn"),
+          minMargin = opt(p, "op.preferencePairs.minMargin")
+            .map(_.toLong).getOrElse(1L))
+      case "classifyFilter" => (df: DataFrame) => {
+        // classifier-based quality filter: weights derive from a
+        // PUBLISHED job.type=classify model table (current version);
+        // rows keep when predicted keepLabel with margin >= minMargin
+        import graft.operators.TextClassifier
+        val table = new graft.sink.ShardedTable(
+          req(p, "op.classifyFilter.modelPath"), "shard",
+          df.sparkSession.sparkContext.hadoopConfiguration)
+        val (counts, docCounts) = TextClassifier.fromState(
+          table.readCurrent(df.sparkSession))
+        val (weights, classInfo) = TextClassifier.weightsFromCounts(counts, docCounts)
+        val idCol = req(p, "op.classifyFilter.idColumn")
+        val keep = TextClassifier.predictWithMargin(df, idCol,
+            req(p, "op.classifyFilter.textColumn"), weights, classInfo)
+          .filter(col("pred_label") === req(p, "op.classifyFilter.keepLabel") &&
+            col("margin") >= opt(p, "op.classifyFilter.minMargin")
+              .map(_.toLong).getOrElse(1L))
+          .select(col(idCol))
+        df.join(keep, Seq(idCol), "left_semi")
+      }
+      case "mixturePlan" => (df: DataFrame) => {
+        // REPORT op: the frame becomes its per-source epoch plan
+        val weights = req(p, "op.mixturePlan.weights").split(",").map { kv =>
+          kv.split(":") match {
+            case Array(g, w) => g.trim -> w.trim.toLong
+            case _ => throw new IllegalArgumentException(
+              s"op.mixturePlan.weights: entry '${kv.trim}' is not group:weight")
+          }
+        }.toMap
+        graft.operators.MixturePlan.plan(df,
+          req(p, "op.mixturePlan.groupColumn"),
+          req(p, "op.mixturePlan.tokColumn"), weights,
+          req(p, "op.mixturePlan.budgetTokens").toLong,
+          maxEpochs = opt(p, "op.mixturePlan.maxEpochs").map(_.toLong).getOrElse(4L))
+      }
       case other => throw new IllegalArgumentException(s"unknown op: $other")
     }
 
