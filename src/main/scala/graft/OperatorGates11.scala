@@ -80,7 +80,66 @@ object OperatorGates11 {
     AviCodec.synthesize(64, 48, 33333, frames)
   }
 
+  /** PNG fixture value: channel `c` of 16x16 block `(bx, by)` for
+    * image `d` — the oracle restates it. Gray images ((d/25) even) use
+    * c = 0 only.
+    */
+  private def pngValue(d: Long, c: Int, bx: Int, by: Int): Int =
+    (13 + (d * 29 + c * 53 + bx * 43 + by * 61) % 223).toInt
+
+  /** Deterministic PNG fixture for doc `d`: 64x48, constant 16x16
+    * blocks; even (d/25) gray (1 channel), odd RGB. Encoded with the
+    * ADAPTIVE-filter encoder, so decode exercises the real unfilter
+    * matrix while remaining bit-exact (PNG is lossless).
+    */
+  private[graft] def synthPng(d: Long): Array[Byte] = {
+    import graft.operators.PngCodec
+    val gray = (d / 25) % 2 == 0
+    val ch = if (gray) 1 else 3
+    val px = new Array[Byte](64 * 48 * ch)
+    var y = 0
+    while (y < 48) {
+      var x = 0
+      while (x < 64) {
+        var c = 0
+        while (c < ch) {
+          px((y * 64 + x) * ch + c) =
+            pngValue(d, if (gray) 0 else c, x / 16, y / 16).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    PngCodec.encode(64, 48, ch, px)
+  }
+
   def queries11: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- REAL PNG decode (PngCodec): count-bounded fixtures (20
+    //     images at every SF, gray and RGB, adaptive-filtered), each
+    //     CRC-checked, inflated, unfiltered and hashed on executors;
+    //     PNG is lossless so the oracle replays dims, exact channel
+    //     sums, IEEE mean division, and the 64-bit aHash analytically -
+    "q_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map(id => (id, synthPng(id))))
+        .toDF("media_id", "content")
+      Multimodal.decodePng(media).toDF()
+        .join(Multimodal.aHashPng(media).toDF(), "media_id")
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("bit_depth").cast("long").as("bit_depth"),
+          col("color_type").cast("long").as("color_type"),
+          col("n_pixels"), col("mean_intensity"),
+          lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+        .orderBy(col("media_id"))
+    }),
 
     // --- REAL video frame decode (AviCodec + JpegCodec + MjpegVideo):
     //     count-bounded MJPEG fixtures (20 videos at every SF), every
@@ -140,6 +199,42 @@ object OperatorGates11 {
   )
 
   def oracleSql11: Map[String, String] = Map(
+
+    "q_png_decode" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, (doc_id // 25) % 2 = 0 AS gray
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |feat AS (
+        |  SELECT doc_id, gray,
+        |    list_sum(list_transform(range(0, 12), b ->
+        |      CASE WHEN gray
+        |        THEN 13 + (doc_id * 29 + (b % 4) * 43 + (b // 4) * 61) % 223
+        |        ELSE 13 + (doc_id * 29 + (b % 4) * 43 + (b // 4) * 61) % 223
+        |           + 13 + (doc_id * 29 + 53 + (b % 4) * 43 + (b // 4) * 61) % 223
+        |           + 13 + (doc_id * 29 + 106 + (b % 4) * 43 + (b // 4) * 61) % 223
+        |      END)) AS sv,
+        |    list_transform(range(0, 64), j ->
+        |      CASE WHEN gray
+        |        THEN 3 * (13 + (doc_id * 29 + ((j % 8) // 2) * 43
+        |             + ((6 * (j // 8)) // 16) * 61) % 223)
+        |        ELSE 13 + (doc_id * 29 + ((j % 8) // 2) * 43
+        |             + ((6 * (j // 8)) // 16) * 61) % 223
+        |           + 13 + (doc_id * 29 + 53 + ((j % 8) // 2) * 43
+        |             + ((6 * (j // 8)) // 16) * 61) % 223
+        |           + 13 + (doc_id * 29 + 106 + ((j % 8) // 2) * 43
+        |             + ((6 * (j // 8)) // 16) * 61) % 223
+        |      END) AS lum
+        |  FROM imgs)
+        |SELECT doc_id AS media_id, CAST(64 AS BIGINT) AS width,
+        |  CAST(48 AS BIGINT) AS height, CAST(8 AS BIGINT) AS bit_depth,
+        |  CAST(CASE WHEN gray THEN 0 ELSE 2 END AS BIGINT) AS color_type,
+        |  CAST(3072 AS BIGINT) AS n_pixels,
+        |  CAST(256 * sv AS DOUBLE) /
+        |    (CASE WHEN gray THEN 3072 ELSE 9216 END) AS mean_intensity,
+        |  array_to_string(list_transform(range(63, -1, -1), j ->
+        |    CASE WHEN 64 * lum[j + 1] > list_sum(lum) THEN 1 ELSE 0 END), '')
+        |    AS ahash_bits
+        |FROM feat ORDER BY media_id""".stripMargin,
 
     "q_frame_decode" ->
       """WITH vids AS (

@@ -558,6 +558,63 @@ object Multimodal {
       .mapPartitions(_.map { case (id, c) => BmpCodec.parse(id, c) })
   }
 
+  // --- REAL PNG decode ([[PngCodec]]): features + aHash over the
+  // alpha-stripped decoded pixels --------------------------------------
+
+  final case class PngFeatures(
+      media_id: Long, width: Int, height: Int, bit_depth: Int,
+      color_type: Int, channels: Int, n_pixels: Long, mean_intensity: Double)
+
+  /** (media_id, content) PNG rows → decoded features: dims, stored
+    * depth/color-type, and mean intensity over the NON-ALPHA channel
+    * bytes of the decoded 8-bit samples (gray contributes its single
+    * channel; palette is expanded first). Per-partition decode,
+    * nothing on the driver.
+    */
+  def decodePng(media: DataFrame): Dataset[PngFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) =>
+        require(c != null, s"media $id: null content")
+        val img = PngCodec.decode(id, c)
+        val keep = if (img.channels == 2 || img.channels == 4)
+          img.channels - 1 else img.channels
+        var sum = 0L
+        var p = 0
+        val nPix = img.width * img.height
+        while (p < nPix) {
+          var ch = 0
+          while (ch < keep) {
+            sum += (img.pixels(p * img.channels + ch) & 0xff)
+            ch += 1
+          }
+          p += 1
+        }
+        val n = nPix.toLong * keep
+        PngFeatures(id, img.width, img.height, img.bitDepth, img.colorType,
+          img.channels, nPix.toLong, if (n == 0) 0.0 else sum.toDouble / n)
+      })
+  }
+
+  /** PNG → 64-bit perceptual aHash (shared 8x8 nearest-sample / luma
+    * construction, [[MjpegVideo.aHashDecoded]]); alpha is stripped
+    * before hashing so an RGBA re-save of an RGB image hashes
+    * identically.
+    */
+  def aHashPng(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) =>
+        require(c != null, s"media $id: null content")
+        MediaHash(id, MjpegVideo.aHashDecoded(
+          PngCodec.toDecodedImage(PngCodec.decode(id, c))))
+      })
+  }
+
   // --- and REAL video-container probing: ISO BMFF (MP4) box walk -----
   // MP4 payload codecs (H.264 etc.) are beyond a pure-JVM build, but
   // the CONTAINER metadata — what a pipeline probes before deciding to
@@ -664,6 +721,8 @@ object Multimodal {
     else if (bytes.length >= 12 && tag4(bytes, 4) == "ftyp") "video/mp4"
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
       (bytes(2) & 0xff) == 0xff) "image/jpeg"
+    else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
+      bytes(2) == 'N' && bytes(3) == 'G') "image/png"
     else "unknown"
 
   private def tag4(b: Array[Byte], o: Int): String =
@@ -700,6 +759,23 @@ object Multimodal {
             while (i < img.pixels.length) { sum += (img.pixels(i) & 0xff); i += 1 }
             MediaAuto(id, m, img.width.toLong * img.height,
               if (img.pixels.length == 0) 0.0 else sum.toDouble / img.pixels.length)
+          case m @ "image/png" =>
+            val img = PngCodec.decode(id, bytes)
+            val keep = if (img.channels == 2 || img.channels == 4)
+              img.channels - 1 else img.channels
+            var sum = 0L
+            var p = 0
+            val nPix = img.width * img.height
+            while (p < nPix) {
+              var ch = 0
+              while (ch < keep) {
+                sum += (img.pixels(p * img.channels + ch) & 0xff)
+                ch += 1
+              }
+              p += 1
+            }
+            MediaAuto(id, m, nPix.toLong,
+              if (nPix == 0) 0.0 else sum.toDouble / (nPix.toLong * keep))
           case m @ "video/avi" =>
             // container walk + a REAL decode of the first frame (the
             // probe a pipeline runs before committing to full decode)
