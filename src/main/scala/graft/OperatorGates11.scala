@@ -114,7 +114,69 @@ object OperatorGates11 {
     PngCodec.encode(64, 48, ch, px)
   }
 
+  /** GIF fixture frame value: 16x16 block `(bx, by)` of frame `f` for
+    * image `d`, a gray palette index — the oracle restates it.
+    */
+  private def gifValue(d: Long, f: Int, bx: Int, by: Int): Int =
+    (18 + (d * 37 + f * 23 + bx * 41 + by * 67) % 229).toInt
+
+  /** Animated-GIF fixture for doc `d`: 2-4 full-canvas opaque frames
+    * of 64x48 constant 16x16 blocks over a 256-gray global palette
+    * (index == intensity), LZW-compressed by [[GifCodec.encode]].
+    * Full-canvas opaque frames make composited == raw, so the oracle
+    * replays per-frame stats exactly.
+    */
+  private[graft] def synthGif(d: Long): Array[Byte] = {
+    import graft.operators.GifCodec
+    val pal = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      pal(i * 3) = i.toByte; pal(i * 3 + 1) = i.toByte; pal(i * 3 + 2) = i.toByte
+      i += 1
+    }
+    val nf = (2 + (d / 25) % 3).toInt
+    val frames = (0 until nf).map { f =>
+      val idx = new Array[Byte](64 * 48)
+      var y = 0
+      while (y < 48) {
+        var x = 0
+        while (x < 64) {
+          idx(y * 64 + x) = gifValue(d, f, x / 16, y / 16).toByte
+          x += 1
+        }
+        y += 1
+      }
+      idx
+    }
+    GifCodec.encode(64, 48, pal, frames, interlaced = d % 50 == 0)
+  }
+
   def queries11: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- REAL animated-GIF decode (GifCodec): count-bounded fixtures
+    //     (20 GIFs at every SF, 2-4 frames each, half interlaced),
+    //     LZW-decoded and disposal-composited on executors; GIF is
+    //     lossless so the oracle replays every frame's dims, exact
+    //     mean, and 64-bit aHash analytically ------------------------
+    "q_gif_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map(id => (id, synthGif(id))))
+        .toDF("media_id", "content")
+      Multimodal.decodeGifFrames(media).toDF()
+        .select(col("media_id"),
+          col("frame_no").cast("long").as("frame_no"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("delay_cs").cast("long").as("delay_cs"),
+          col("mean_intensity"),
+          lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
 
     // --- REAL PNG decode (PngCodec): count-bounded fixtures (20
     //     images at every SF, gray and RGB, adaptive-filtered), each
@@ -199,6 +261,29 @@ object OperatorGates11 {
   )
 
   def oracleSql11: Map[String, String] = Map(
+
+    "q_gif_decode" ->
+      """WITH gifs AS (
+        |  SELECT doc_id, CAST(2 + (doc_id // 25) % 3 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |fr AS (
+        |  SELECT doc_id, nf, unnest(range(0, nf)) AS frame_no FROM gifs),
+        |feat AS (
+        |  SELECT doc_id, nf, frame_no,
+        |    list_sum(list_transform(range(0, 12), b ->
+        |      18 + (doc_id * 37 + frame_no * 23 + (b % 4) * 41 + (b // 4) * 67) % 229)) AS sv,
+        |    list_transform(range(0, 64), j ->
+        |      3 * (18 + (doc_id * 37 + frame_no * 23 + ((j % 8) // 2) * 41
+        |           + ((6 * (j // 8)) // 16) * 67) % 229)) AS lum
+        |  FROM fr)
+        |SELECT doc_id AS media_id, frame_no, nf AS n_frames,
+        |  CAST(64 AS BIGINT) AS width, CAST(48 AS BIGINT) AS height,
+        |  CAST(10 AS BIGINT) AS delay_cs,
+        |  CAST(256 * sv AS DOUBLE) / 3072 AS mean_intensity,
+        |  array_to_string(list_transform(range(63, -1, -1), j ->
+        |    CASE WHEN 64 * lum[j + 1] > list_sum(lum) THEN 1 ELSE 0 END), '')
+        |    AS ahash_bits
+        |FROM feat ORDER BY media_id, frame_no""".stripMargin,
 
     "q_png_decode" ->
       """WITH imgs AS (

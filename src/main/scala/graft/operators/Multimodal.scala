@@ -615,6 +615,39 @@ object Multimodal {
       })
   }
 
+  // --- REAL GIF decode ([[GifCodec]]): composited frame features +
+  // aHash per ANIMATION frame (GIF's distinguishing structure) --------
+
+  final case class GifFrameRow(
+      media_id: Long, frame_no: Int, n_frames: Int, width: Int, height: Int,
+      delay_cs: Int, mean_intensity: Double, ahash: Long)
+
+  /** (media_id, content) GIF rows → one row per (composited) frame:
+    * LZW-decoded, disposal/transparency-composited RGB canvas stats
+    * plus the shared 64-bit perceptual aHash — the same shape as
+    * [[MjpegVideo.decodeFrames]], so animated-GIF near-dup rides the
+    * identical banded-hamming path. Per-partition decode.
+    */
+  def decodeGifFrames(media: DataFrame): Dataset[GifFrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        require(c != null, s"media $id: null content")
+        val img = GifCodec.decode(id, c)
+        img.frames.iterator.map { f =>
+          var sum = 0L
+          var i = 0
+          while (i < f.pixels.length) { sum += (f.pixels(i) & 0xff); i += 1 }
+          GifFrameRow(id, f.index, img.nFrames, img.width, img.height,
+            f.delayCs,
+            if (f.pixels.length == 0) 0.0 else sum.toDouble / f.pixels.length,
+            MjpegVideo.aHashDecoded(GifCodec.toDecodedImage(img, f.index)))
+        }
+      })
+  }
+
   // --- and REAL video-container probing: ISO BMFF (MP4) box walk -----
   // MP4 payload codecs (H.264 etc.) are beyond a pure-JVM build, but
   // the CONTAINER metadata — what a pipeline probes before deciding to
@@ -723,6 +756,8 @@ object Multimodal {
       (bytes(2) & 0xff) == 0xff) "image/jpeg"
     else if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' &&
       bytes(2) == 'N' && bytes(3) == 'G') "image/png"
+    else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == '8') "image/gif"
     else "unknown"
 
   private def tag4(b: Array[Byte], o: Int): String =
@@ -776,6 +811,16 @@ object Multimodal {
             }
             MediaAuto(id, m, nPix.toLong,
               if (nPix == 0) 0.0 else sum.toDouble / (nPix.toLong * keep))
+          case m @ "image/gif" =>
+            // full decode of the FIRST composited frame; n_units =
+            // animation frames (the probe shape, like video/avi)
+            val img = GifCodec.decode(id, bytes)
+            val px = img.frames.head.pixels
+            var sum = 0L
+            var i = 0
+            while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
+            MediaAuto(id, m, img.nFrames.toLong,
+              if (px.length == 0) 0.0 else sum.toDouble / px.length)
           case m @ "video/avi" =>
             // container walk + a REAL decode of the first frame (the
             // probe a pipeline runs before committing to full decode)
