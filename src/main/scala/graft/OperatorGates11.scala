@@ -151,7 +151,87 @@ object OperatorGates11 {
     GifCodec.encode(64, 48, pal, frames, interlaced = d % 50 == 0)
   }
 
+  /** Cross-format fixture: image `d`'s 16x16 block value at block
+    * `(bx, by)` — keyed by content GROUP g = (d/25) % 5, not by id, so
+    * ids sharing g carry the SAME pixels in DIFFERENT formats; odd
+    * (d/25)/2 images REFLECT block (0,0) (v -> 240-v), pushing its
+    * ~6 aHash cells across the brightness-mean threshold — the
+    * near-but-not-identical signal. The oracle restates it.
+    */
+  private def crossValue(d: Long, bx: Int, by: Int): Int = {
+    val k = d / 25
+    val g = k % 5
+    val base = (20 + (g * 53 + bx * 37 + by * 73) % 200).toInt
+    if ((k / 2) % 2 == 1 && bx == 0 && by == 0) 240 - base else base
+  }
+
+  /** The same 64x48 gray constant-block content serialized as PNG /
+    * GIF / JPEG-q100 / BMP by (d/25) % 4 — every format's decode must
+    * land on the identical top-down pixels (JPEG is exact in the q100
+    * constant-block regime; the others are lossless).
+    */
+  private[graft] def synthCrossformat(d: Long): Array[Byte] = {
+    import graft.operators.{GifCodec, JpegCodec, PngCodec}
+    def v(x: Int, y: Int): Int = crossValue(d, x / 16, y / 16)
+    ((d / 25) % 4).toInt match {
+      case 0 => // PNG, 1-channel gray
+        val px = new Array[Byte](64 * 48)
+        var i = 0
+        while (i < px.length) { px(i) = v(i % 64, i / 64).toByte; i += 1 }
+        PngCodec.encode(64, 48, 1, px)
+      case 1 => // GIF, gray palette (index == intensity)
+        val pal = new Array[Byte](768)
+        var j = 0
+        while (j < 256) {
+          pal(j * 3) = j.toByte; pal(j * 3 + 1) = j.toByte; pal(j * 3 + 2) = j.toByte
+          j += 1
+        }
+        val idx = new Array[Byte](64 * 48)
+        var i = 0
+        while (i < idx.length) { idx(i) = v(i % 64, i / 64).toByte; i += 1 }
+        GifCodec.encode(64, 48, pal, Seq(idx))
+      case 2 => // JPEG q100 4:2:0 (bit-exact for constant 16x16 blocks)
+        val rgb = new Array[Byte](64 * 48 * 3)
+        var i = 0
+        while (i < 64 * 48) {
+          val b = v(i % 64, i / 64).toByte
+          rgb(i * 3) = b; rgb(i * 3 + 1) = b; rgb(i * 3 + 2) = b
+          i += 1
+        }
+        JpegCodec.encodeRgb(64, 48, rgb, quality = 100, subsample = true)
+      case _ => // BMP (bottom-up file rows; aHashAuto flips)
+        graft.operators.Multimodal.BmpCodec.synthesize(64, 48, { i =>
+          val pix = i / 3
+          v(pix % 64, 47 - pix / 64) // file row y is image row 47-y
+        })
+    }
+  }
+
   def queries11: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- CROSS-FORMAT image near-dup: the same logical image stored
+    //     as PNG / GIF / JPEG / BMP must hash IDENTICALLY through
+    //     aHashAuto's format-normalized decode, so dedup finds copies
+    //     that byte- or single-format hashing cannot; perturbed group
+    //     members land at small hamming. Oracle brute-forces the pair
+    //     definition from the shared content formula ------------------
+    "q_crossformat_neardup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Similarity
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map(id => (id, synthCrossformat(id))))
+        .toDF("media_id", "content")
+      val hashes = Multimodal.aHashAuto(media).toDF()
+        .withColumn("block", lit("all"))
+      Similarity.hammingPairs64(hashes, "media_id", "ahash", "block",
+          maxHamming = 8, collapseIdentical = false)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     // --- REAL animated-GIF decode (GifCodec): count-bounded fixtures
     //     (20 GIFs at every SF, 2-4 frames each, half interlaced),
@@ -261,6 +341,31 @@ object OperatorGates11 {
   )
 
   def oracleSql11: Map[String, String] = Map(
+
+    "q_crossformat_neardup" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, (doc_id // 25) % 5 AS g,
+        |    ((doc_id // 25) // 2) % 2 = 1 AS pert
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |bits AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |    3 * (CASE WHEN pert AND ((j % 8) // 2) = 0
+        |              AND ((6 * (j // 8)) // 16) = 0
+        |         THEN 240 - (20 + (g * 53) % 200)
+        |         ELSE 20 + (g * 53 + ((j % 8) // 2) * 37
+        |              + ((6 * (j // 8)) // 16) * 73) % 200 END)) AS lum
+        |  FROM imgs),
+        |hb AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |    CASE WHEN 64 * lum[j + 1] > list_sum(lum) THEN 1 ELSE 0 END) AS b
+        |  FROM bits),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    list_sum(list_transform(range(0, 64), j ->
+        |      CASE WHEN a.b[j + 1] <> b.b[j + 1] THEN 1 ELSE 0 END)) AS hamming
+        |  FROM hb a JOIN hb b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM pairs
+        |WHERE hamming <= 8 ORDER BY id_a, id_b""".stripMargin,
 
     "q_gif_decode" ->
       """WITH gifs AS (

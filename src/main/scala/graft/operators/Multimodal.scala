@@ -648,6 +648,59 @@ object Multimodal {
       })
   }
 
+  // --- cross-format image hashing ------------------------------------
+
+  final case class MediaFormatHash(media_id: Long, modality: String, ahash: Long)
+
+  /** Sniff-and-hash ANY supported still image (BMP/PNG/GIF/JPEG):
+    * every format decodes to the SAME top-down pixel layout before the
+    * shared [[MjpegVideo.aHashDecoded]] construction, so one logical
+    * image hashes IDENTICALLY regardless of container — the contract
+    * cross-format dedup needs (a crawl stores the same picture as
+    * .png, .gif and .jpg; byte-level dedup can't see it). BMP's
+    * bottom-up rows are flipped here (unlike [[aHashBmp]], which
+    * hashes in file order and therefore only matches other BMPs);
+    * GIF hashes its first composited frame; luma = r+g+b is
+    * channel-order independent, so BMP's BGR needs no reorder.
+    * Unsupported payloads fail loudly — route mixed corpora through
+    * [[sniffModality]] first if skipping is intended.
+    */
+  def aHashAuto(media: DataFrame): Dataset[MediaFormatHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) =>
+        require(c != null, s"media $id: null content")
+        val m = sniffModality(c)
+        val img = m match {
+          case "image/bmp" =>
+            val meta = BmpCodec.meta(id, c)
+            require(meta.rawHeight > 0,
+              s"media $id: cross-format aHash supports bottom-up BMPs only")
+            val out = new Array[Byte](meta.width * meta.height * 3)
+            var y = 0
+            while (y < meta.height) {
+              val srcRow = meta.height - 1 - y // file rows are bottom-up
+              var i = 0
+              while (i < meta.width * 3) {
+                out(y * meta.width * 3 + i) =
+                  c(meta.dataOff + srcRow * meta.stride + i)
+                i += 1
+              }
+              y += 1
+            }
+            JpegCodec.DecodedImage(meta.width, meta.height, 3, out)
+          case "image/png" => PngCodec.toDecodedImage(PngCodec.decode(id, c))
+          case "image/gif" => GifCodec.toDecodedImage(GifCodec.decode(id, c))
+          case "image/jpeg" => JpegCodec.decode(id, c)
+          case other => throw new IllegalArgumentException(
+            s"media $id: aHashAuto cannot hash modality '$other'")
+        }
+        MediaFormatHash(id, m, MjpegVideo.aHashDecoded(img))
+      })
+  }
+
   // --- and REAL video-container probing: ISO BMFF (MP4) box walk -----
   // MP4 payload codecs (H.264 etc.) are beyond a pure-JVM build, but
   // the CONTAINER metadata — what a pipeline probes before deciding to
