@@ -316,25 +316,38 @@ object OperatorGates4 {
     }),
 
     // --- mixed-modality dispatch (Multimodal.decodeAuto): a single
-    //     binary column carrying WAVs (even ids) and BMPs (odd ids);
-    //     magic-byte sniffing routes each payload to its REAL codec.
-    //     The oracle replays both feature formulas CASE'd on parity --
+    //     binary column carrying WAVs, PNGs, BMPs and GIFs keyed by
+    //     id % 4; magic-byte sniffing routes each payload to its REAL
+    //     codec. The oracle replays all four feature formulas --------
     "q_media_dispatch" -> ((s, dir) => {
       import s.implicits._
-      import graft.operators.Multimodal
+      import graft.operators.{GifCodec, Multimodal, PngCodec}
       val media = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
         .as[(Long, Long)]
         .mapPartitions(_.map { case (id, n) =>
-          val bytes =
-            if (id % 2 == 0) {
+          val w = 8 + (id % 5).toInt
+          val h = 4 + (id % 3).toInt
+          val bytes = (id % 4) match {
+            case 0L =>
               val rate = 8000 + (id % 3).toInt * 4000
               Multimodal.WavCodec.synthesize(rate, Array.tabulate(n.toInt)(i =>
                 (((id * 31 + i * 17) % 65536) - 32768).toShort))
-            } else {
-              val w = 8 + (id % 5).toInt
-              val h = 4 + (id % 3).toInt
+            case 1L =>
+              PngCodec.encode(w, h, 1,
+                Array.tabulate(w * h)(i => ((id * 7 + i) % 256).toByte))
+            case 2L =>
               Multimodal.BmpCodec.synthesize(w, h, i => ((id * 7 + i) % 256).toInt)
-            }
+            case _ =>
+              val pal = new Array[Byte](768)
+              var j = 0
+              while (j < 256) {
+                pal(j * 3) = j.toByte; pal(j * 3 + 1) = j.toByte
+                pal(j * 3 + 2) = j.toByte
+                j += 1
+              }
+              GifCodec.encode(w, h, pal,
+                Seq(Array.tabulate(w * h)(i => ((id * 11 + i) % 256).toByte)))
+          }
           (id, bytes)
         }).toDF("media_id", "content")
       Multimodal.decodeAuto(media).toDF().orderBy(col("media_id"))
@@ -639,20 +652,30 @@ object OperatorGates4 {
         |FROM documents ORDER BY media_id""".stripMargin,
 
     "q_media_dispatch" ->
-      """SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'image/bmp' END AS modality,
-        |  CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS BIGINT)
-        |       ELSE (8 + doc_id % 5) * (4 + doc_id % 3) END AS n_units,
-        |  CASE WHEN doc_id % 2 = 0 THEN
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    (8 + doc_id % 5) * (4 + doc_id % 3) AS np FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/png'
+        |    WHEN 2 THEN 'image/bmp' ELSE 'image/gif' END AS modality,
+        |  CASE doc_id % 4 WHEN 0 THEN CAST(n_chars AS BIGINT)
+        |    WHEN 3 THEN 1 ELSE np END AS n_units,
+        |  CASE doc_id % 4
+        |  WHEN 0 THEN
         |    CAST(list_sum(list_transform(range(0, n_chars),
         |      i -> abs((doc_id * 31 + i * 17) % 65536 - 32768))) AS DOUBLE)
         |      / CAST(n_chars AS DOUBLE)
+        |  WHEN 1 THEN
+        |    CAST(list_sum(list_transform(range(0, np),
+        |      i -> (doc_id * 7 + i) % 256)) AS DOUBLE) / CAST(np AS DOUBLE)
+        |  WHEN 2 THEN
+        |    CAST(list_sum(list_transform(range(0, np * 3),
+        |      i -> (doc_id * 7 + i) % 256)) AS DOUBLE) / CAST(np * 3 AS DOUBLE)
         |  ELSE
-        |    CAST(list_sum(list_transform(range(0, (8 + doc_id % 5) * (4 + doc_id % 3) * 3),
-        |      i -> (doc_id * 7 + i) % 256)) AS DOUBLE)
-        |      / CAST((8 + doc_id % 5) * (4 + doc_id % 3) * 3 AS DOUBLE)
+        |    CAST(list_sum(list_transform(range(0, np),
+        |      i -> (doc_id * 11 + i) % 256)) AS DOUBLE) / CAST(np AS DOUBLE)
         |  END AS mean_val
-        |FROM documents ORDER BY media_id""".stripMargin,
+        |FROM d ORDER BY media_id""".stripMargin,
 
     "q_mp4_probe" ->
       """SELECT doc_id AS media_id, 'isom' AS brand,
