@@ -240,6 +240,24 @@ object OperatorGates12 {
         .orderBy("user_id", "session_no")
     }),
 
+    // --- link-graph ranking (LinkRank.pagerank): the crawl-curation
+    //     domain-rank signal as 3 exact integer PageRank iterations
+    //     over a source graph derived from the corpus (each doc links
+    //     its source to its 7-block head's source). The oracle unrolls
+    //     the identical iterations in SQL — integer `div` both sides -
+    "q_link_rank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val heads = docs.select(col("doc_id").as("head_id"),
+        col("source").as("dst"))
+      val edges = docs
+        .withColumn("head_id", col("doc_id") - pmod(col("doc_id"), lit(7)))
+        .join(heads, "head_id")
+        .select(col("source").as("src"), col("dst"))
+      operators.LinkRank.pagerank(edges, "src", "dst", iterations = 3)
+        .select(col("node").as("source"), col("rank"))
+        .orderBy("source")
+    }),
+
     // --- FLAGSHIP SFT pipeline: a classify job publishes the model,
     //     then a declarative op chain filters the WHOLE corpus through
     //     it (classifyFilter: keep 'pos' predictions with margin >= 1)
@@ -460,6 +478,28 @@ object OperatorGates12 {
     // oracle retrains once
     "q_classify_job" -> classifierOracle("doc_id % 4 = 1"),
     "q_stream_classify" -> classifierOracle("doc_id % 4 = 1"),
+
+    "q_link_rank" -> {
+      def iter(prev: String, out: String): String =
+        s"""$out AS (SELECT n.node, 157286 + coalesce(m.mass, 0) AS rank
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum((17 * r.rank) // (20 * od.outdeg)) AS BIGINT) AS mass
+           |    FROM e JOIN od ON od.src = e.src JOIN $prev r ON r.node = e.src
+           |    GROUP BY 1) m ON m.node = n.node)""".stripMargin
+      s"""WITH e AS (
+         |  SELECT DISTINCT a.source AS src, b.source AS dst
+         |  FROM documents a JOIN documents b
+         |    ON b.doc_id = a.doc_id - a.doc_id % 7),
+         |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1048576 AS BIGINT) AS rank FROM nodes),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT node AS source, CAST(rank AS BIGINT) AS rank FROM r3
+         |ORDER BY source""".stripMargin
+    },
 
     "q_sft_pipeline" -> {
       import operators.Converters.fractionCut

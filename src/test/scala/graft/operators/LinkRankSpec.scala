@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Exact-integer PageRank: hand-computed small graphs, the pinned
+  * dangling/parallel-edge/self-loop semantics, and the ranking
+  * property the operator exists for (hubs outrank leaves).
+  */
+class LinkRankSpec extends SparkSpec {
+
+  private val Q = LinkRank.Q // 1048576
+  private val Base = (3L * Q) / 20L // 157286
+
+  private def ranks(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    import spark.implicits._
+    LinkRank.pagerank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("one iteration matches the hand computation on a 3-cycle") {
+    // a->b->c->a, all outdeg 1: rank1(v) = base + floor(17*Q/20)
+    val r = ranks(Seq("a" -> "b", "b" -> "c", "c" -> "a"), 1)
+    val contrib = (17L * Q) / 20L
+    assert(r == Map("a" -> (Base + contrib), "b" -> (Base + contrib),
+      "c" -> (Base + contrib)))
+  }
+
+  test("split mass: outdeg 2 halves each contribution (exact floor)") {
+    // a->b, a->c: rank1(b) = rank1(c) = base + floor(17*Q/40)
+    val r = ranks(Seq("a" -> "b", "a" -> "c"), 1)
+    val half = (17L * Q) / 40L
+    assert(r("b") == Base + half && r("c") == Base + half)
+    // a is dangling-IN (no in-edges): pure base
+    assert(r("a") == Base)
+  }
+
+  test("dangling nodes leak mass (no teleport back)") {
+    // a->b; b has no out-edges: after 2 iters b's only income is from
+    // a's CURRENT rank (which decayed to base), total mass shrinks
+    val r1 = ranks(Seq("a" -> "b"), 1)
+    val r2 = ranks(Seq("a" -> "b"), 2)
+    assert(r2("b") == Base + (17L * r1("a")) / 20L)
+    assert(r2.values.sum < r1.values.sum)
+  }
+
+  test("parallel edges collapse, self-loops count") {
+    val dup = ranks(Seq("a" -> "b", "a" -> "b"), 1)
+    val single = ranks(Seq("a" -> "b"), 1)
+    assert(dup == single)
+    // self-loop: a->a keeps feeding itself
+    val self = ranks(Seq("a" -> "a"), 3)
+    assert(self("a") > Base)
+  }
+
+  test("hub outranks leaves on a star after convergence-ish iterations") {
+    val spokes = (1 to 10).map(i => s"leaf$i" -> "hub")
+    val back = (1 to 10).map(i => "hub" -> s"leaf$i")
+    val r = ranks(spokes ++ back, 5)
+    assert((1 to 10).forall(i => r("hub") > r(s"leaf$i")))
+  }
+
+  test("iteration bound is enforced") {
+    import spark.implicits._
+    val e = Seq("a" -> "b").toDF("src", "dst")
+    intercept[IllegalArgumentException](LinkRank.pagerank(e, "src", "dst", 0))
+    intercept[IllegalArgumentException](LinkRank.pagerank(e, "src", "dst", 51))
+  }
+}
