@@ -242,15 +242,19 @@ object OperatorGates12 {
 
     // --- link-graph ranking (LinkRank.pagerank): the crawl-curation
     //     domain-rank signal as 3 exact integer PageRank iterations
-    //     over a source graph derived from the corpus (each doc links
-    //     its source to its 7-block head's source). The oracle unrolls
-    //     the identical iterations in SQL — integer `div` both sides -
+    //     over a source graph derived from the corpus — each doc links
+    //     its source to the source of its VARIABLE-block head
+    //     (block size 2 + doc_id%5), which skews in-links toward
+    //     sources of highly-divisible ids so the ranking actually
+    //     differentiates. The oracle unrolls the identical iterations
+    //     in SQL — integer `div` both sides ---------------------------
     "q_link_rank" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
       val heads = docs.select(col("doc_id").as("head_id"),
         col("source").as("dst"))
       val edges = docs
-        .withColumn("head_id", col("doc_id") - pmod(col("doc_id"), lit(7)))
+        .withColumn("head_id", col("doc_id") -
+          pmod(col("doc_id"), lit(2) + pmod(col("doc_id"), lit(5))))
         .join(heads, "head_id")
         .select(col("source").as("src"), col("dst"))
       operators.LinkRank.pagerank(edges, "src", "dst", iterations = 3)
@@ -490,7 +494,7 @@ object OperatorGates12 {
       s"""WITH e AS (
          |  SELECT DISTINCT a.source AS src, b.source AS dst
          |  FROM documents a JOIN documents b
-         |    ON b.doc_id = a.doc_id - a.doc_id % 7),
+         |    ON b.doc_id = a.doc_id - a.doc_id % (2 + a.doc_id % 5)),
          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
          |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
          |r0 AS (SELECT node, CAST(1048576 AS BIGINT) AS rank FROM nodes),
