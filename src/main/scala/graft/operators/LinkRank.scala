@@ -61,23 +61,31 @@ object LinkRank {
     // outdeg rides the edge table so the per-iteration join stays a
     // single equi-join (edges change never; ranks change per round)
     val eDeg = e.join(outdeg, "src").localCheckpoint(true)
-    val base = (3L * Q) / 20L // floor(0.15 * 2^20)
     var ranks = nodes.withColumn("rank", lit(Q)).localCheckpoint(true)
     var i = 0
     while (i < iterations) {
-      val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
-        .select(col("dst"),
-          // TRUE integer division (`div`), not IEEE: both engines
-          // floor-divide longs, no 2^53 proximity caveat
-          expr("(17 * rank) div (20 * outdeg)").as("c"))
-      ranks = nodes
-        .join(contrib.groupBy("dst").agg(sum("c").as("in_mass")),
-          nodes("node") === contrib("dst"), "left")
-        .select(col("node"),
-          (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
-        .localCheckpoint(true)
+      ranks = step(nodes, eDeg, ranks).localCheckpoint(true)
       i += 1
     }
     ranks
+  }
+
+  /** One un-checkpointed PageRank iteration — exposed so plan guards
+    * can assert the join/aggregate shape the loop hides behind its
+    * eager checkpoints.
+    */
+  private[graft] def step(nodes: DataFrame, eDeg: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val base = (3L * Q) / 20L // floor(0.15 * 2^20)
+    val contrib = eDeg.join(ranks, eDeg("src") === ranks("node"))
+      .select(col("dst"),
+        // TRUE integer division (`div`), not IEEE: both engines
+        // floor-divide longs, no 2^53 proximity caveat
+        expr("(17 * rank) div (20 * outdeg)").as("c"))
+    nodes
+      .join(contrib.groupBy("dst").agg(sum("c").as("in_mass")),
+        nodes("node") === contrib("dst"), "left")
+      .select(col("node"),
+        (lit(base) + coalesce(col("in_mass"), lit(0L))).as("rank"))
   }
 }

@@ -295,4 +295,24 @@ class PlanSpec extends SparkSpec {
     // one aggregate (partial+final), the stack unpivot is a Generate/Expand
     assert("\\bHashAggregate\\b".r.findAllIn(p).size <= 2)
   }
+
+  test("link rank: every iteration is a keyed join, mass aggregation keeps its partial") {
+    // the gate's executed plan is just the final checkpoint scan (the
+    // loop checkpoints eagerly), so assert the ITERATION's plan
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Tables.load(spark, sf(), "documents")
+      .select(col("source").as("src"),
+        concat(lit("s"), pmod(col("doc_id"), lit(7))).as("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+    val ranks = nodes.withColumn("rank", lit(operators.LinkRank.Q))
+    val p = operators.LinkRank.step(nodes, eDeg, ranks)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the per-destination mass sum must map-side combine (hot
+    // destinations at 100 TB: everyone links to the same hubs)
+    assert(p.contains("partial_sum"), s"in-mass aggregation lost its partial:\n${p.take(800)}")
+  }
 }
