@@ -240,6 +240,38 @@ object OperatorGates12 {
         .orderBy("user_id", "session_no")
     }),
 
+    // --- WARC container extraction (WarcCodec): corpus pages packed
+    //     5-per-file into real WARC response records (odd files in
+    //     the Common Crawl member-per-record gzip layout), then
+    //     record-walked + HTTP-split back out on executors. The
+    //     oracle replays record numbering, exact HTTP/WARC lengths,
+    //     and payload text from the same construction ----------------
+    "q_warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.WarcCodec
+      val files = t(s, dir, "documents")
+        .filter(col("doc_id") < 250)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 5)
+        .mapGroups { (fid, docs) =>
+          val pages = docs.toSeq.sortBy(_._1).map { case (id, text) =>
+            (s"https://example.com/doc/$id",
+              s"<html>$text</html>".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          (fid, WarcCodec.writeResponses(pages, gzipPerRecord = fid % 2 == 1))
+        }
+        .toDF("media_id", "content")
+      WarcCodec.records(files).toDF()
+        .select(col("media_id"),
+          col("record_no").cast("long").as("record_no"),
+          col("warc_type"), col("target_uri"), col("content_type"),
+          col("content_length"),
+          col("http_status").cast("long").as("http_status"),
+          col("payload_bytes"), col("payload_text"))
+        .orderBy(col("media_id"), col("record_no"))
+    }),
+
     // --- link-graph ranking (LinkRank.pagerank): the crawl-curation
     //     domain-rank signal as 3 exact integer PageRank iterations
     //     over a source graph derived from the corpus — each doc links
@@ -482,6 +514,25 @@ object OperatorGates12 {
     // oracle retrains once
     "q_classify_job" -> classifierOracle("doc_id % 4 = 1"),
     "q_stream_classify" -> classifierOracle("doc_id % 4 = 1"),
+
+    "q_warc_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id, coalesce(text, '') AS t, doc_id // 5 AS fid
+        |  FROM documents WHERE doc_id < 250),
+        |r AS (
+        |  SELECT fid, doc_id, t,
+        |    row_number() OVER (PARTITION BY fid ORDER BY doc_id) - 1 AS rn
+        |  FROM d)
+        |SELECT fid AS media_id, CAST(rn AS BIGINT) AS record_no,
+        |  'response' AS warc_type,
+        |  'https://example.com/doc/' || doc_id AS target_uri,
+        |  'application/http;msgtype=response' AS content_type,
+        |  CAST(62 + len(CAST(strlen(t) + 13 AS VARCHAR))
+        |    + strlen(t) + 13 AS BIGINT) AS content_length,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  CAST(strlen(t) + 13 AS BIGINT) AS payload_bytes,
+        |  '<html>' || t || '</html>' AS payload_text
+        |FROM r ORDER BY media_id, record_no""".stripMargin,
 
     "q_link_rank" -> {
       def iter(prev: String, out: String): String =

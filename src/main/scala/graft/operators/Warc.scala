@@ -1,0 +1,249 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500) container reader — the format the LLM-data
+  * ecosystem's flagship source (Common Crawl) actually ships: a
+  * sequence of records, each a CRLF-terminated header block
+  * (`WARC/1.0`, named fields, mandatory Content-Length) followed by
+  * exactly Content-Length body bytes and a blank-line separator.
+  * `response` records nest an HTTP/1.1 message in the body; the
+  * payload (HTML) starts after the HTTP header block. Crawl files
+  * arrive gzipped with ONE GZIP MEMBER PER RECORD so readers can
+  * split on member boundaries; the JDK inflater stops at each member
+  * end, so [[gunzipAll]] walks members explicitly and decode handles
+  * plain, whole-stream-gzip, and member-per-record layouts alike.
+  *
+  * Parsing is strict where corruption would poison downstream counts
+  * (bad magic, missing Content-Length, body overruns fail loudly with
+  * the media id) and lenient where real crawls are messy (unknown
+  * WARC record types pass through typed; HTTP headers are parsed
+  * case-insensitively).
+  *
+  * Scale shape: one WARC file = one record batch decoded per
+  * partition via mapPartitions (the [[Multimodal]] codec contract);
+  * a 100-TB crawl is millions of ~1 GB .warc.gz files —
+  * embarrassingly parallel at file granularity, never splitting a
+  * record across tasks.
+  *
+  * Reference seam: the reference ingests remote files as opaque
+  * streams (gobblin-core/.../extract/filebased/FileBasedExtractor.java);
+  * WARC decode is the container step a crawl-curation pipeline adds.
+  */
+object WarcCodec {
+
+  /** One WARC record: protocol fields + (for `response` records with
+    * an HTTP payload) status and the payload body after HTTP headers.
+    * `httpStatus` is -1 and `payload` == `body` for non-HTTP records.
+    */
+  final case class WarcRecord(
+      warcType: String, targetUri: String, recordId: String,
+      contentType: String, contentLength: Long, httpStatus: Int,
+      payload: Array[Byte])
+
+  private def fail(id: Long, msg: String): Nothing =
+    throw new IllegalArgumentException(s"media $id: $msg")
+
+  /** Inflate every concatenated gzip member (Common Crawl writes one
+    * member per record). Members are walked MANUALLY — header parse,
+    * raw-deflate inflate, CRC-32 + ISIZE trailer verification —
+    * because the JDK's GZIPInputStream treats a corrupt second member
+    * as clean EOF, silently dropping every record after it; a truncated
+    * or bit-flipped crawl file must fail loudly, not shrink.
+    */
+  private def gunzipAll(id: Long, bytes: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    var pos = 0
+    var member = 0
+    while (pos < bytes.length) {
+      // --- member header (RFC 1952) ---
+      if (pos + 10 > bytes.length ||
+        (bytes(pos) & 0xff) != 0x1f || (bytes(pos + 1) & 0xff) != 0x8b)
+        fail(id, s"gzip member $member at $pos: bad magic")
+      if ((bytes(pos + 2) & 0xff) != 8)
+        fail(id, s"gzip member $member: unknown compression method ${bytes(pos + 2) & 0xff}")
+      val flg = bytes(pos + 3) & 0xff
+      var p = pos + 10
+      if ((flg & 0x04) != 0) { // FEXTRA
+        if (p + 2 > bytes.length) fail(id, s"gzip member $member: truncated FEXTRA")
+        p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
+      }
+      if ((flg & 0x08) != 0) { // FNAME (NUL-terminated)
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 0x10) != 0) { // FCOMMENT
+        while (p < bytes.length && bytes(p) != 0) p += 1
+        p += 1
+      }
+      if ((flg & 0x02) != 0) p += 2 // FHCRC
+      if (p > bytes.length) fail(id, s"gzip member $member: truncated header")
+      // --- raw deflate body ---
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(bytes, p, bytes.length - p)
+      val crc = new java.util.zip.CRC32()
+      val before = out.size()
+      val buf = new Array[Byte](8192)
+      try {
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished())
+            fail(id, s"gzip member $member: truncated deflate stream")
+          crc.update(buf, 0, n)
+          out.write(buf, 0, n)
+        }
+      } catch {
+        case _: java.util.zip.DataFormatException =>
+          fail(id, s"gzip member $member: corrupt deflate stream")
+      } finally {
+        p += inf.getBytesRead.toInt
+        inf.end()
+      }
+      // --- trailer: CRC32 + ISIZE ---
+      if (p + 8 > bytes.length) fail(id, s"gzip member $member: truncated trailer")
+      def le32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      if (le32(p) != crc.getValue)
+        fail(id, s"gzip member $member: CRC mismatch")
+      if (le32(p + 4) != ((out.size() - before) & 0xffffffffL))
+        fail(id, s"gzip member $member: ISIZE mismatch")
+      pos = p + 8
+      member += 1
+    }
+    if (out.size() == 0) fail(id, "gzip stream inflated to nothing")
+    out.toByteArray
+  }
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** Find the end of a CRLF-header block starting at `from`: returns
+    * the index AFTER the blank line, or -1.
+    */
+  private def headerEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i + 4
+      i += 1
+    }
+    -1
+  }
+
+  private def parseHeaders(block: String): Map[String, String] =
+    block.split("\r\n").drop(1) // drop the version / status line
+      .filter(_.contains(":"))
+      .map { line =>
+        val i = line.indexOf(':')
+        line.substring(0, i).trim.toLowerCase -> line.substring(i + 1).trim
+      }.toMap
+
+  /** Parse every record of one WARC file (plain or gzipped). */
+  def parse(id: Long, bytes: Array[Byte]): Seq[WarcRecord] = {
+    require(bytes != null && bytes.length > 0, s"media $id: empty WARC")
+    val raw = if (isGzip(bytes)) gunzipAll(id, bytes) else bytes
+    val records = Vector.newBuilder[WarcRecord]
+    var pos = 0
+    while (pos < raw.length) {
+      // tolerate trailing record separators
+      while (pos < raw.length &&
+        (raw(pos) == '\r' || raw(pos) == '\n')) pos += 1
+      if (pos < raw.length) {
+        if (pos + 9 > raw.length ||
+          new String(raw, pos, 5, java.nio.charset.StandardCharsets.US_ASCII) != "WARC/")
+          fail(id, s"record at $pos lacks WARC/ magic")
+        val hEnd = headerEnd(raw, pos)
+        if (hEnd < 0) fail(id, s"unterminated WARC header block at $pos")
+        val headers = parseHeaders(new String(raw, pos, hEnd - pos,
+          java.nio.charset.StandardCharsets.UTF_8))
+        val len = headers.getOrElse("content-length",
+          fail(id, s"record at $pos missing Content-Length")).toLong
+        if (len < 0 || hEnd + len > raw.length)
+          fail(id, s"record at $pos body ($len bytes at $hEnd) overruns ${raw.length}")
+        val body = java.util.Arrays.copyOfRange(raw, hEnd, hEnd + len.toInt)
+        val warcType = headers.getOrElse("warc-type", "unknown")
+        val contentType = headers.getOrElse("content-type", "")
+        // response records carry an HTTP message: split status + payload
+        var status = -1
+        var payload = body
+        if (warcType == "response" && contentType.startsWith("application/http")) {
+          val sEnd = headerEnd(body, 0)
+          if (sEnd < 0) fail(id, s"response record at $pos has no HTTP header block")
+          val statusLine = new String(body, 0,
+            body.indexWhere(_ == '\r') max 0,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          val parts = statusLine.split(" ")
+          if (parts.length < 2 || !parts(0).startsWith("HTTP/"))
+            fail(id, s"response record at $pos: bad HTTP status line '$statusLine'")
+          status = parts(1).toInt
+          payload = java.util.Arrays.copyOfRange(body, sEnd, body.length)
+        }
+        records += WarcRecord(warcType,
+          headers.getOrElse("warc-target-uri", ""),
+          headers.getOrElse("warc-record-id", ""),
+          contentType, len, status, payload)
+        pos = hEnd + len.toInt
+      }
+    }
+    val out = records.result()
+    if (out.isEmpty) fail(id, "WARC file contains no records")
+    out
+  }
+
+  // --- writer (fixture + export seam) --------------------------------
+
+  /** Serialize `(targetUri, html)` pages as a WARC file of `response`
+    * records (HTTP 200, text/html payloads). `gzipPerRecord` writes
+    * the Common Crawl layout — one gzip member per record.
+    */
+  def writeResponses(pages: Seq[(String, Array[Byte])],
+      gzipPerRecord: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    pages.zipWithIndex.foreach { case ((uri, html), i) =>
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        s"Content-Length: ${html.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val body = http ++ html
+      val rec = (s"WARC/1.0\r\n" +
+        s"WARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:uuid:rec-$i>\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        body ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      if (gzipPerRecord) {
+        val gz = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(gz)
+        g.write(rec)
+        g.close()
+        out.write(gz.toByteArray, 0, gz.size())
+      } else out.write(rec, 0, rec.length)
+    }
+    out.toByteArray
+  }
+
+  /** (media_id, content) WARC rows → one row per contained record,
+    * with the payload TEXT (UTF-8) for downstream html-clean /
+    * quality stages. Per-partition decode, nothing on the driver.
+    */
+  def records(media: DataFrame): Dataset[WarcRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        parse(id, c).iterator.zipWithIndex.map { case (r, i) =>
+          WarcRow(id, i, r.warcType, r.targetUri, r.contentType,
+            r.contentLength, r.httpStatus, r.payload.length.toLong,
+            new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      })
+  }
+
+  final case class WarcRow(
+      media_id: Long, record_no: Int, warc_type: String, target_uri: String,
+      content_type: String, content_length: Long, http_status: Int,
+      payload_bytes: Long, payload_text: String)
+}
