@@ -52,7 +52,50 @@ object OperatorGates12 {
       .toDF("media_id", "content")
   }
 
+  /** WARC fixture shared by q_warc_extract / q_crawl_ingest: docs
+    * below 250 packed 5-per-file as HTTP response records wrapping
+    * `<html>text</html>`, odd file ids in the Common Crawl
+    * member-per-record gzip layout.
+    */
+  private def warcFixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.WarcCodec
+    t(s, dir, "documents")
+      .filter(col("doc_id") < 250)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 / 5)
+      .mapGroups { (fid, docs) =>
+        val pages = docs.toSeq.sortBy(_._1).map { case (id, text) =>
+          (s"https://example.com/doc/$id",
+            s"<html>$text</html>".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        (fid, WarcCodec.writeResponses(pages, gzipPerRecord = fid % 2 == 1))
+      }
+      .toDF("media_id", "content")
+  }
+
   def queries12: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- crawl-ingest chain: WARC container walk -> HTTP payload ->
+    //     C4-style HTML strip -> per-page domain + text stats. The
+    //     wrap/strip chain must be LOSSLESS on the fixture corpus, so
+    //     the oracle asserts the round-trip against the source table
+    //     directly (stripHtml itself is SQL-replayed in
+    //     q_html_url_clean) -------------------------------------------
+    "q_crawl_ingest" -> ((s, dir) => {
+      import graft.functions.Text
+      val recs = graft.operators.WarcCodec.records(warcFixture(s, dir)).toDF()
+      recs.select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          Text.urlDomain(col("target_uri")).as("domain"),
+          Text.stripHtml(col("payload_text")).as("clean"))
+        .select(col("doc_id"), col("domain"),
+          Text.tokenCount(col("clean")).cast("long").as("n_tokens"),
+          length(col("clean")).cast("long").as("clean_chars"))
+        .orderBy(col("doc_id"))
+    }),
 
     // --- corpus quality classifier: train an exact-arithmetic
     //     NB-family bag-of-words classifier on the doc_id%4==0 slice
@@ -247,22 +290,7 @@ object OperatorGates12 {
     //     oracle replays record numbering, exact HTTP/WARC lengths,
     //     and payload text from the same construction ----------------
     "q_warc_extract" -> ((s, dir) => {
-      import s.implicits._
-      import graft.operators.WarcCodec
-      val files = t(s, dir, "documents")
-        .filter(col("doc_id") < 250)
-        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
-        .as[(Long, String)]
-        .groupByKey(_._1 / 5)
-        .mapGroups { (fid, docs) =>
-          val pages = docs.toSeq.sortBy(_._1).map { case (id, text) =>
-            (s"https://example.com/doc/$id",
-              s"<html>$text</html>".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          }
-          (fid, WarcCodec.writeResponses(pages, gzipPerRecord = fid % 2 == 1))
-        }
-        .toDF("media_id", "content")
-      WarcCodec.records(files).toDF()
+      graft.operators.WarcCodec.records(warcFixture(s, dir)).toDF()
         .select(col("media_id"),
           col("record_no").cast("long").as("record_no"),
           col("warc_type"), col("target_uri"), col("content_type"),
@@ -514,6 +542,13 @@ object OperatorGates12 {
     // oracle retrains once
     "q_classify_job" -> classifierOracle("doc_id % 4 = 1"),
     "q_stream_classify" -> classifierOracle("doc_id % 4 = 1"),
+
+    "q_crawl_ingest" ->
+      """SELECT doc_id, 'example.com' AS domain,
+        |  CAST(len(list_filter(string_split(coalesce(text, ''), ' '),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  CAST(len(coalesce(text, '')) AS BIGINT) AS clean_chars
+        |FROM documents WHERE doc_id < 250 ORDER BY doc_id""".stripMargin,
 
     "q_warc_extract" ->
       """WITH d AS (
