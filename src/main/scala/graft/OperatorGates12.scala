@@ -300,6 +300,46 @@ object OperatorGates12 {
         .orderBy(col("media_id"), col("record_no"))
     }),
 
+    // --- STREAMING WARC ingest (binaryFile source + AvailableNow):
+    //     crawl files LAND in a directory and stream through the
+    //     container walk — the reference's flagship file-ingest shape
+    //     (FileBasedSource + streaming mode) over real WARC bytes.
+    //     Same oracle as q_warc_extract: streaming == batch ----------
+    "q_stream_warc" -> ((s, dir) => {
+      import streaming.StreamingIngest
+      val tmp = java.nio.file.Files.createTempDirectory("q_stream_warc")
+      val inDir = tmp.resolve("in")
+      java.nio.file.Files.createDirectories(inDir)
+      val inPath = inDir.toString
+      warcFixture(s, dir).foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(inPath, f"f${r.getLong(0)}%05d.warc"),
+              r.getAs[Array[Byte]](1))
+          }
+      }
+      import org.apache.spark.sql.types._
+      val binSchema = StructType(Seq( // binaryFile's fixed schema
+        StructField("path", StringType), StructField("modificationTime", TimestampType),
+        StructField("length", LongType), StructField("content", BinaryType)))
+      val stream = s.readStream.format("binaryFile").schema(binSchema)
+        .load(s"$inPath/*.warc")
+        .select(regexp_extract(col("path"), "f(\\d+)\\.warc", 1)
+          .cast("long").as("media_id"), col("content"))
+      val out = graft.operators.WarcCodec.records(stream).toDF()
+      StreamingIngest.runAvailableNow(out,
+        s"$tmp/out", s"$tmp/ckpt")
+      s.read.parquet(s"$tmp/out")
+        .select(col("media_id"),
+          col("record_no").cast("long").as("record_no"),
+          col("warc_type"), col("target_uri"), col("content_type"),
+          col("content_length"),
+          col("http_status").cast("long").as("http_status"),
+          col("payload_bytes"), col("payload_text"))
+        .orderBy(col("media_id"), col("record_no"))
+    }),
+
     // --- link-graph ranking (LinkRank.pagerank): the crawl-curation
     //     domain-rank signal as 3 exact integer PageRank iterations
     //     over a source graph derived from the corpus — each doc links
@@ -531,7 +571,31 @@ object OperatorGates12 {
        |           FROM ho h CROSS JOIN ci
        |           LEFT JOIN pc ON pc.doc_id = h.doc_id AND pc.label = ci.label)""".stripMargin
 
+  /** Shared WARC-record oracle (q_warc_extract and its streaming
+    * face — streaming == batch).
+    */
+  private val WarcOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id, coalesce(text, '') AS t, doc_id // 5 AS fid
+      |  FROM documents WHERE doc_id < 250),
+      |r AS (
+      |  SELECT fid, doc_id, t,
+      |    row_number() OVER (PARTITION BY fid ORDER BY doc_id) - 1 AS rn
+      |  FROM d)
+      |SELECT fid AS media_id, CAST(rn AS BIGINT) AS record_no,
+      |  'response' AS warc_type,
+      |  'https://example.com/doc/' || doc_id AS target_uri,
+      |  'application/http;msgtype=response' AS content_type,
+      |  CAST(62 + len(CAST(strlen(t) + 13 AS VARCHAR))
+      |    + strlen(t) + 13 AS BIGINT) AS content_length,
+      |  CAST(200 AS BIGINT) AS http_status,
+      |  CAST(strlen(t) + 13 AS BIGINT) AS payload_bytes,
+      |  '<html>' || t || '</html>' AS payload_text
+      |FROM r ORDER BY media_id, record_no""".stripMargin
+
   def oracleSql12: Map[String, String] = Map(
+
+    "q_stream_warc" -> WarcOracle,
 
     "q_text_classifier" -> classifierOracle("doc_id % 4 <> 0"),
 
@@ -550,24 +614,7 @@ object OperatorGates12 {
         |  CAST(len(coalesce(text, '')) AS BIGINT) AS clean_chars
         |FROM documents WHERE doc_id < 250 ORDER BY doc_id""".stripMargin,
 
-    "q_warc_extract" ->
-      """WITH d AS (
-        |  SELECT doc_id, coalesce(text, '') AS t, doc_id // 5 AS fid
-        |  FROM documents WHERE doc_id < 250),
-        |r AS (
-        |  SELECT fid, doc_id, t,
-        |    row_number() OVER (PARTITION BY fid ORDER BY doc_id) - 1 AS rn
-        |  FROM d)
-        |SELECT fid AS media_id, CAST(rn AS BIGINT) AS record_no,
-        |  'response' AS warc_type,
-        |  'https://example.com/doc/' || doc_id AS target_uri,
-        |  'application/http;msgtype=response' AS content_type,
-        |  CAST(62 + len(CAST(strlen(t) + 13 AS VARCHAR))
-        |    + strlen(t) + 13 AS BIGINT) AS content_length,
-        |  CAST(200 AS BIGINT) AS http_status,
-        |  CAST(strlen(t) + 13 AS BIGINT) AS payload_bytes,
-        |  '<html>' || t || '</html>' AS payload_text
-        |FROM r ORDER BY media_id, record_no""".stripMargin,
+    "q_warc_extract" -> WarcOracle,
 
     "q_link_rank" -> {
       def iter(prev: String, out: String): String =
