@@ -300,6 +300,33 @@ object OperatorGates12 {
         .orderBy(col("media_id"), col("record_no"))
     }),
 
+    // --- exact PCA moment statistics (EmbeddingPca.momentStats): the
+    //     distributed half of whitening — n, per-dim sums, and the
+    //     full Gramian of 2^10-quantized coordinates, integer-exact
+    //     and order-free so the oracle replays every entry; the d^3
+    //     eigensolve on top is config-sized driver work (spec-tested) -
+    "q_embed_covariance" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val (n, sums, gram) = operators.EmbeddingPca.momentStats(e, "embedding", 64)
+      val rows = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Long, Long, Long)]()
+      var k = 0
+      var i = 0
+      while (i < 64) {
+        var j = i
+        while (j < 64) {
+          rows += ((i, j, n, sums(i), sums(j), gram(k)))
+          k += 1
+          j += 1
+        }
+        i += 1
+      }
+      rows.toSeq.toDF("i", "j", "n", "sum_i", "sum_j", "gram")
+        .select(col("i").cast("long"), col("j").cast("long"), col("n"),
+          col("sum_i"), col("sum_j"), col("gram"))
+        .orderBy("i", "j")
+    }),
+
     // --- STREAMING WARC ingest (binaryFile source + AvailableNow):
     //     crawl files LAND in a directory and stream through the
     //     container walk — the reference's flagship file-ingest shape
@@ -596,6 +623,24 @@ object OperatorGates12 {
   def oracleSql12: Map[String, String] = Map(
 
     "q_stream_warc" -> WarcOracle,
+
+    "q_embed_covariance" ->
+      """WITH x AS (
+        |  SELECT list_transform(embedding, v ->
+        |    CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |dims AS (SELECT unnest(range(0, 64)) AS i),
+        |s AS (SELECT i, CAST(sum(q[i + 1]) AS BIGINT) AS sm
+        |      FROM x, dims GROUP BY i),
+        |n AS (SELECT count(*) AS n FROM x),
+        |g AS (SELECT d1.i AS i, d2.i AS j,
+        |        CAST(sum(x.q[d1.i + 1] * x.q[d2.i + 1]) AS BIGINT) AS gram
+        |      FROM x, dims d1, dims d2 WHERE d1.i <= d2.i GROUP BY 1, 2)
+        |SELECT g.i, g.j, n.n, si.sm AS sum_i, sj.sm AS sum_j, g.gram
+        |FROM g, n
+        |JOIN s si ON si.i = g.i
+        |JOIN s sj ON sj.i = g.j
+        |ORDER BY g.i, g.j""".stripMargin,
 
     "q_text_classifier" -> classifierOracle("doc_id % 4 <> 0"),
 
