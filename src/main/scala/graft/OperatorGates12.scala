@@ -300,6 +300,40 @@ object OperatorGates12 {
         .orderBy(col("media_id"), col("record_no"))
     }),
 
+    // --- robots.txt politeness filter (Robots): per-domain policies
+    //     PARSED from real robots.txt text (group runs, comments,
+    //     unknown directives), URLs resolved relationally — longest
+    //     path match, Allow wins ties, exact-agent group beats * and
+    //     SUPPRESSES it. Even-numbered sources publish a graftbot
+    //     group, so the same path is blocked on some domains and
+    //     allowed on others. The oracle rebuilds the rule table from
+    //     the generator formula and replays the decision ------------
+    "q_robots_filter" -> ((s, dir) => {
+      import operators.Robots
+      val docs = t(s, dir, "documents")
+      val srcs = docs.select(col("source")).distinct()
+        .withColumn("i", substring(col("source"), 4, 10).cast("int"))
+      val robots = srcs.select(
+        concat(lit("www."), col("source"), lit(".example.com")).as("domain"),
+        concat(
+          lit("# synthetic policy\nUser-agent: *\nDisallow: /blocked/\nAllow: /blocked/open\n"),
+          when(pmod(col("i"), lit(2)) === 0,
+            lit("\nUser-agent: graftbot\nDisallow: /beta/\n")).otherwise(lit("")))
+          .as("content"))
+      val urls = docs.select(col("doc_id"), col("source"),
+        concat(lit("https://www."), col("source"), lit(".example.com"),
+          expr("""CASE CAST(doc_id % 5 AS INT)
+                 |  WHEN 0 THEN '/blocked/a' || doc_id
+                 |  WHEN 1 THEN '/blocked/open/' || doc_id
+                 |  WHEN 2 THEN '/beta/x' || doc_id
+                 |  WHEN 3 THEN '/ok/' || doc_id
+                 |  ELSE '/' || doc_id END""".stripMargin)).as("url"))
+      Robots.filterAllowed(urls,
+          "url", Robots.rulesTable(robots, "domain", "content"), "GraftBot")
+        .select(col("doc_id"), col("url"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- exact PCA moment statistics (EmbeddingPca.momentStats): the
     //     distributed half of whitening — n, per-dim sums, and the
     //     full Gramian of 2^10-quantized coordinates, integer-exact
@@ -384,7 +418,13 @@ object OperatorGates12 {
           pmod(col("doc_id"), lit(2) + pmod(col("doc_id"), lit(5))))
         .join(heads, "head_id")
         .select(col("source").as("src"), col("dst"))
-      operators.LinkRank.pagerank(edges, "src", "dst", iterations = 3)
+      val ops = graft.runner.JobConfig.buildOps(graft.runner.JobConfig.parse(
+        """ops=linkRank
+          |op.linkRank.srcColumn=src
+          |op.linkRank.dstColumn=dst
+          |op.linkRank.iterations=3
+          |""".stripMargin))
+      ops.foldLeft(edges)((d, op) => op(d))
         .select(col("node").as("source"), col("rank"))
         .orderBy("source")
     }),
@@ -623,6 +663,42 @@ object OperatorGates12 {
   def oracleSql12: Map[String, String] = Map(
 
     "q_stream_warc" -> WarcOracle,
+
+    "q_robots_filter" ->
+      """WITH s AS (
+        |  SELECT DISTINCT source, CAST(substr(source, 4) AS INT) AS i
+        |  FROM documents),
+        |rules AS (
+        |  SELECT source, '*' AS agent, FALSE AS allow, '/blocked/' AS path FROM s
+        |  UNION ALL SELECT source, '*', TRUE, '/blocked/open' FROM s
+        |  UNION ALL SELECT source, 'graftbot', FALSE, '/beta/' FROM s WHERE i % 2 = 0),
+        |u AS (
+        |  SELECT doc_id, source,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '/blocked/a' || doc_id
+        |      WHEN 1 THEN '/blocked/open/' || doc_id
+        |      WHEN 2 THEN '/beta/x' || doc_id
+        |      WHEN 3 THEN '/ok/' || doc_id
+        |      ELSE '/' || doc_id END AS p
+        |  FROM documents),
+        |grp AS (
+        |  SELECT source, max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS hx
+        |  FROM rules GROUP BY 1),
+        |appl AS (
+        |  SELECT r.source, r.allow, r.path
+        |  FROM rules r JOIN grp g ON g.source = r.source
+        |  WHERE (g.hx = 1 AND r.agent = 'graftbot')
+        |     OR (g.hx = 0 AND r.agent = '*')),
+        |m AS (
+        |  SELECT u.doc_id, u.source, u.p,
+        |    (max({'l': len(a.path), 'a': a.allow})).a AS verdict,
+        |    count(a.path) AS nm
+        |  FROM u LEFT JOIN appl a
+        |    ON a.source = u.source AND starts_with(u.p, a.path)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |  'https://www.' || source || '.example.com' || p AS url
+        |FROM m WHERE nm = 0 OR verdict ORDER BY doc_id""".stripMargin,
 
     "q_embed_covariance" ->
       """WITH x AS (

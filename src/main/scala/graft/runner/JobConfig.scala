@@ -283,6 +283,13 @@ object JobConfig {
           .select(col(idCol))
         df.join(keep, Seq(idCol), "left_semi")
       }
+      case "linkRank" => (df: DataFrame) =>
+        // REPORT op: the frame becomes its (node, rank) table
+        graft.operators.LinkRank.pagerank(df,
+          req(p, "op.linkRank.srcColumn"),
+          req(p, "op.linkRank.dstColumn"),
+          iterations = opt(p, "op.linkRank.iterations")
+            .map(_.toInt).getOrElse(10))
       case "mixturePlan" => (df: DataFrame) => {
         // REPORT op: the frame becomes its per-source epoch plan
         val weights = req(p, "op.mixturePlan.weights").split(",").map { kv =>
