@@ -300,6 +300,33 @@ object OperatorGates12 {
         .orderBy(col("media_id"), col("record_no"))
     }),
 
+    // --- WordPiece tokenizer (functions.WordPiece): vocab = corpus
+    //     chars + top-20 substrings (len 2-4) by weighted frequency
+    //     learned on the en dictionary, then greedy LONGEST-MATCH
+    //     encode of the whole-corpus dictionary; per-language
+    //     fertility reported (the q_bpe_encode shape, other
+    //     algorithm). The oracle re-learns the vocab and unrolls the
+    //     greedy match to the corpus' max word length ----------------
+    "q_wordpiece" -> ((s, dir) => {
+      import functions.{Bpe, Text, WordPiece}
+      val docs = t(s, dir, "documents")
+      val vocab = WordPiece.learnVocab(
+        Bpe.wordDict(docs.filter(col("lang") === "en"), "text")
+          .select("w", "n"), k = 20, maxLen = 4)
+      val encoded = WordPiece.encode(
+        Bpe.wordDict(docs, "text").select("w"), vocab, maxLen = 4)
+      docs.select(col("lang"),
+          explode(Text.tokens(coalesce(col("text"), lit("")))).as("w"))
+        .join(encoded, Seq("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).cast("long").as("n_pieces"))
+        .select(col("lang"), col("n_words"), col("n_pieces"),
+          (col("n_pieces").cast("double") / col("n_words"))
+            .as("pieces_per_word"))
+        .orderBy(col("lang"))
+    }),
+
     // --- robots.txt politeness filter (Robots): per-domain policies
     //     PARSED from real robots.txt text (group runs, comments,
     //     unknown directives), URLs resolved relationally — longest
@@ -663,6 +690,44 @@ object OperatorGates12 {
   def oracleSql12: Map[String, String] = Map(
 
     "q_stream_warc" -> WarcOracle,
+
+    "q_wordpiece" -> {
+      // greedy longest-match unrolled to the corpus' max word length
+      // (8): each layer advances active words by the longest matching
+      // piece (vocab pieces are len 2-4; no match = consume 1 char)
+      val layers = (1 to 8).map { i =>
+        s"""e$i AS (
+           |  SELECT e.w, CASE WHEN e.pos <= len(e.w)
+           |      THEN e.pos + coalesce(max(len(v.piece)), 1) ELSE e.pos END AS pos,
+           |    CASE WHEN e.pos <= len(e.w) THEN e.np + 1 ELSE e.np END AS np
+           |  FROM e${i - 1} e LEFT JOIN topv v
+           |    ON v.piece = substr(e.w, e.pos, len(v.piece))
+           |  GROUP BY e.w, e.pos, e.np)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dtoks AS (
+         |  SELECT lang, list_filter(string_split(coalesce(text, ''), ' '),
+         |                           x -> len(x) > 0) AS l
+         |  FROM documents),
+         |words AS (
+         |  SELECT w, count(*) AS n
+         |  FROM (SELECT unnest(l) AS w FROM dtoks WHERE lang = 'en') GROUP BY w),
+         |subs AS (
+         |  SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |    SELECT n, substr(w, p, q) AS piece
+         |    FROM words, range(1, 9) r1(p), range(2, 5) r2(q)
+         |    WHERE p + q - 1 <= len(w)) GROUP BY piece),
+         |topv AS (SELECT piece FROM subs ORDER BY cnt DESC, piece LIMIT 20),
+         |aw AS (SELECT DISTINCT unnest(l) AS w FROM dtoks),
+         |e0 AS (SELECT w, 1 AS pos, 0 AS np FROM aw),
+         |$layers,
+         |enc AS (SELECT w, np FROM e8),
+         |toklang AS (SELECT lang, unnest(l) AS w FROM dtoks)
+         |SELECT lang, count(*) AS n_words,
+         |  CAST(sum(e.np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(e.np) AS DOUBLE) / count(*) AS pieces_per_word
+         |FROM toklang t JOIN enc e ON t.w = e.w
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "q_robots_filter" ->
       """WITH s AS (
