@@ -300,6 +300,21 @@ object OperatorGates12 {
         .orderBy(col("media_id"), col("record_no"))
     }),
 
+    // --- WebDataset shard export (TarCodec): the corpus packed as
+    //     real ustar shards (GNU-tar-interop-tested codec), 5 docs
+    //     per shard with zero-padded member names, then read back
+    //     through the loader-side contract — export and re-read must
+    //     round-trip every byte. Oracle replays names/sizes/text ----
+    "q_webdataset" -> ((s, dir) => {
+      import graft.operators.TarCodec
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 250)
+      val shards = TarCodec.exportWebDataset(docs, "doc_id", "text",
+        docsPerShard = 5)
+      TarCodec.readWebDataset(shards).toDF()
+        .select(col("shard_id"), col("member"), col("n_bytes"), col("text"))
+        .orderBy(col("shard_id"), col("member"))
+    }),
+
     // --- WordPiece tokenizer (functions.WordPiece): vocab = corpus
     //     chars + top-20 substrings (len 2-4) by weighted frequency
     //     learned on the en dictionary, then greedy LONGEST-MATCH
@@ -690,6 +705,13 @@ object OperatorGates12 {
   def oracleSql12: Map[String, String] = Map(
 
     "q_stream_warc" -> WarcOracle,
+
+    "q_webdataset" ->
+      """SELECT doc_id // 5 AS shard_id, printf('%012d.txt', doc_id) AS member,
+        |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+        |  coalesce(text, '') AS text
+        |FROM documents WHERE doc_id < 250
+        |ORDER BY shard_id, member""".stripMargin,
 
     "q_wordpiece" -> {
       // greedy longest-match unrolled to the corpus' max word length
