@@ -300,6 +300,33 @@ object OperatorGates12 {
         .orderBy(col("media_id"), col("record_no"))
     }),
 
+    // --- Unigram-LM tokenizer (functions.Unigram): Viterbi GLOBAL
+    //     best segmentation (not greedy) under exact-integer piece
+    //     evidence learned on the en dictionary; per-language
+    //     fertility + total evidence reported. The oracle unrolls
+    //     the DP position by position with the identical tie-break --
+    "q_unigram_encode" -> ((s, dir) => {
+      import functions.{Bpe, Text, Unigram}
+      val docs = t(s, dir, "documents")
+      val scores = Unigram.learnScores(
+        Bpe.wordDict(docs.filter(col("lang") === "en"), "text")
+          .select("w", "n"), k = 20, maxLen = 4)
+      val enc = Unigram.viterbiEncode(
+        Bpe.wordDict(docs, "text").select("w"), scores, maxLen = 4)
+      docs.select(col("lang"),
+          explode(Text.tokens(coalesce(col("text"), lit(""))))
+            .as("w"))
+        .join(enc, Seq("w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_pieces")).cast("long").as("n_pieces"),
+          sum(col("score")).cast("long").as("evidence"))
+        .select(col("lang"), col("n_words"), col("n_pieces"), col("evidence"),
+          (col("n_pieces").cast("double") / col("n_words"))
+            .as("pieces_per_word"))
+        .orderBy(col("lang"))
+    }),
+
     // --- WebDataset shard export (TarCodec): the corpus packed as
     //     real ustar shards (GNU-tar-interop-tested codec), 5 docs
     //     per shard with zero-padded member names, then read back
@@ -705,6 +732,83 @@ object OperatorGates12 {
   def oracleSql12: Map[String, String] = Map(
 
     "q_stream_warc" -> WarcOracle,
+
+    "q_unigram_encode" -> {
+      // Viterbi unroll to max word length 8: layer p computes the
+      // best (score, np) ending at position p from candidates
+      // j = p-1 (single char, score-0 fallback) and j = p-2..p-4
+      // (vocab pieces); ties prefer smaller j via mj = -j in the
+      // comparison struct. One LEFT JOIN per candidate (piece keys
+      // unique), greatest() ignores NULL candidates.
+      val layers = (2 to 8).map { p =>
+        val joins = (math.max(0, p - 4) until p).map { j =>
+          val l = p - j
+          s"""LEFT JOIN sc a${p}_$j
+             |  ON len(v.w) >= $p AND a${p}_$j.piece = substr(v.w, ${j + 1}, $l)"""
+            .stripMargin
+        }.mkString("\n")
+        val cands = (math.max(0, p - 4) until p).map { j =>
+          // position 0 is the DP base: score 0, zero pieces; the
+          // struct compares lexicographically (fewest pieces via mn =
+          // -np, then evidence, then longest final piece via mj = -j)
+          val (sj, nj) = if (j == 0) ("0", "0") else (s"v.s$j", s"v.n$j")
+          if (p - j == 1)
+            s"{'mn': -($nj + 1), 's': $sj + coalesce(a${p}_$j.score, 0), 'mj': ${-j}}"
+          else
+            s"""CASE WHEN a${p}_$j.piece IS NOT NULL
+               | THEN {'mn': -($nj + 1), 's': $sj + a${p}_$j.score, 'mj': ${-j}}
+               | END""".stripMargin
+        }.mkString(",\n      ")
+        s"""v$p AS (
+           |  SELECT v.*, CASE WHEN len(v.w) >= $p THEN list_aggregate([
+           |      $cands], 'max') END AS b$p
+           |  FROM v${p - 1} v
+           |$joins),
+           |w$p AS (SELECT * EXCLUDE (b$p), (b$p).s AS s$p, -((b$p).mn) AS n$p
+           |        FROM v$p)""".stripMargin
+      }
+      // rename: layer p reads from w{p-1} except p=2 reads v1-as-w1
+      val chain = layers.zipWithIndex.map { case (sql, idx) =>
+        val p = idx + 2
+        sql.replace(s"FROM v${p - 1} v", s"FROM w${p - 1} v")
+      }.mkString(",\n")
+      val pick = (c: String) => (1 to 8).map(p =>
+        s"WHEN $p THEN $c$p").mkString(" ")
+      s"""WITH dtoks AS (
+         |  SELECT lang, list_filter(string_split(coalesce(text, ''), ' '),
+         |                           x -> len(x) > 0) AS l
+         |  FROM documents),
+         |words AS (
+         |  SELECT w, count(*) AS n
+         |  FROM (SELECT unnest(l) AS w FROM dtoks WHERE lang = 'en') GROUP BY w),
+         |subs AS (
+         |  SELECT piece, CAST(sum(n) AS BIGINT) AS score FROM (
+         |    SELECT n, substr(w, p, q) AS piece
+         |    FROM words, range(1, 9) r1(p), range(1, 5) r2(q)
+         |    WHERE p + q - 1 <= len(w)) GROUP BY piece),
+         |sc AS (
+         |  SELECT piece, score FROM subs WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, score FROM (
+         |    SELECT piece, score FROM subs WHERE len(piece) >= 2
+         |    ORDER BY score DESC, piece LIMIT 20)),
+         |aw AS (SELECT DISTINCT unnest(l) AS w FROM dtoks),
+         |w1 AS (
+         |  SELECT aw.w, coalesce(c1.score, 0) AS s1, 1 AS n1
+         |  FROM aw LEFT JOIN sc c1 ON c1.piece = substr(aw.w, 1, 1)),
+         |$chain,
+         |enc AS (
+         |  SELECT w, CASE len(w) ${pick("n")} END AS np,
+         |            CASE len(w) ${pick("s")} END AS sco
+         |  FROM w8),
+         |toklang AS (SELECT lang, unnest(l) AS w FROM dtoks)
+         |SELECT lang, count(*) AS n_words,
+         |  CAST(sum(e.np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(e.sco) AS BIGINT) AS evidence,
+         |  CAST(sum(e.np) AS DOUBLE) / count(*) AS pieces_per_word
+         |FROM toklang t JOIN enc e ON t.w = e.w
+         |GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "q_webdataset" ->
       """SELECT doc_id // 5 AS shard_id, printf('%012d.txt', doc_id) AS member,
