@@ -300,6 +300,57 @@ object OperatorGates12 {
         .orderBy(col("media_id"), col("record_no"))
     }),
 
+    // --- FLAGSHIP crawl-curation chain: WARC ingest -> robots.txt
+    //     policy gate -> HTML strip -> exact dedup (first id wins) ->
+    //     token-count quality floor -> WebDataset shard packaging.
+    //     Every stage is an already-gated operator; this chain proves
+    //     they COMPOSE (the reference's end-to-end job semantics).
+    //     The oracle replays the whole funnel ------------------------
+    "q_crawl_curate" -> ((s, dir) => {
+      import graft.functions.Text
+      import graft.operators.{Robots, TarCodec, WarcCodec}
+      // 1. container ingest
+      val pages = WarcCodec.records(warcFixture(s, dir)).toDF()
+        .select(regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("target_uri"), col("payload_text"))
+      // 2. robots policy over the SAME synthetic rule set as
+      //    q_robots_filter, URLs keyed by doc_id % 5
+      val docs = t(s, dir, "documents")
+      val srcs = docs.select(col("source")).distinct()
+        .withColumn("i", substring(col("source"), 4, 10).cast("int"))
+      val robots = srcs.select(
+        concat(lit("www."), col("source"), lit(".example.com")).as("domain"),
+        concat(
+          lit("User-agent: *\nDisallow: /blocked/\nAllow: /blocked/open\n"),
+          when(pmod(col("i"), lit(2)) === 0,
+            lit("\nUser-agent: graftbot\nDisallow: /beta/\n")).otherwise(lit("")))
+          .as("content"))
+      val withUrl = pages.join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("crawl_url",
+          concat(lit("https://www."), col("source"), lit(".example.com"),
+            expr("""CASE CAST(doc_id % 5 AS INT)
+                   |  WHEN 0 THEN '/blocked/a' || doc_id
+                   |  WHEN 1 THEN '/blocked/open/' || doc_id
+                   |  WHEN 2 THEN '/beta/x' || doc_id
+                   |  WHEN 3 THEN '/ok/' || doc_id
+                   |  ELSE '/' || doc_id END""".stripMargin)))
+      val polite = Robots.filterAllowed(withUrl, "crawl_url",
+        Robots.rulesTable(robots, "domain", "content"), "graftbot")
+      // 3. HTML strip, 4. exact dedup (first doc_id per text wins),
+      // 5. quality floor
+      val cleaned = polite
+        .select(col("doc_id"), Text.stripHtml(col("payload_text")).as("clean"))
+      val deduped = cleaned
+        .groupBy(col("clean")).agg(min(col("doc_id")).as("doc_id"))
+        .filter(Text.tokenCount(col("clean")) >= 20)
+      // 6. package for the loader
+      TarCodec.readWebDataset(TarCodec.exportWebDataset(
+          deduped, "doc_id", "clean", docsPerShard = 5)).toDF()
+        .select(col("shard_id"), col("member"), col("n_bytes"))
+        .orderBy(col("shard_id"), col("member"))
+    }),
+
     // --- Unigram-LM tokenizer (functions.Unigram): Viterbi GLOBAL
     //     best segmentation (not greedy) under exact-integer piece
     //     evidence learned on the en dictionary; per-language
@@ -732,6 +783,50 @@ object OperatorGates12 {
   def oracleSql12: Map[String, String] = Map(
 
     "q_stream_warc" -> WarcOracle,
+
+    "q_crawl_curate" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, coalesce(text, '') AS t
+        |  FROM documents WHERE doc_id < 250),
+        |s AS (
+        |  SELECT DISTINCT source, CAST(substr(source, 4) AS INT) AS i
+        |  FROM documents),
+        |rules AS (
+        |  SELECT source, '*' AS agent, FALSE AS allow, '/blocked/' AS path FROM s
+        |  UNION ALL SELECT source, '*', TRUE, '/blocked/open' FROM s
+        |  UNION ALL SELECT source, 'graftbot', FALSE, '/beta/' FROM s WHERE i % 2 = 0),
+        |u AS (
+        |  SELECT b.*, CASE doc_id % 5
+        |      WHEN 0 THEN '/blocked/a' || doc_id
+        |      WHEN 1 THEN '/blocked/open/' || doc_id
+        |      WHEN 2 THEN '/beta/x' || doc_id
+        |      WHEN 3 THEN '/ok/' || doc_id
+        |      ELSE '/' || doc_id END AS p
+        |  FROM base b),
+        |grp AS (
+        |  SELECT source, max(CASE WHEN agent = 'graftbot' THEN 1 ELSE 0 END) AS hx
+        |  FROM rules GROUP BY 1),
+        |appl AS (
+        |  SELECT r.source, r.allow, r.path
+        |  FROM rules r JOIN grp g ON g.source = r.source
+        |  WHERE (g.hx = 1 AND r.agent = 'graftbot')
+        |     OR (g.hx = 0 AND r.agent = '*')),
+        |polite AS (
+        |  SELECT u.doc_id, u.t,
+        |    (max({'l': len(a.path), 'a': a.allow})).a AS verdict,
+        |    count(a.path) AS nm
+        |  FROM u LEFT JOIN appl a
+        |    ON a.source = u.source AND starts_with(u.p, a.path)
+        |  GROUP BY 1, 2),
+        |dedup AS (
+        |  SELECT t, min(doc_id) AS doc_id FROM polite
+        |  WHERE nm = 0 OR verdict GROUP BY t),
+        |kept AS (
+        |  SELECT doc_id, t FROM dedup
+        |  WHERE len(list_filter(string_split(t, ' '), x -> len(x) > 0)) >= 20)
+        |SELECT doc_id // 5 AS shard_id, printf('%012d.txt', doc_id) AS member,
+        |  CAST(strlen(t) AS BIGINT) AS n_bytes
+        |FROM kept ORDER BY shard_id, member""".stripMargin,
 
     "q_unigram_encode" -> {
       // Viterbi unroll to max word length 8: layer p computes the
