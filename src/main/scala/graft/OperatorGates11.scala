@@ -207,7 +207,68 @@ object OperatorGates11 {
     }
   }
 
+  /** Per-PIXEL gradient value for the resize fixture (not blocks —
+    * resize must actually change the sampled values). The oracle
+    * restates it.
+    */
+  private def gradValue(d: Long, x: Int, y: Int): Int =
+    (13 + (d * 7 + x * 3 + y * 5) % 241).toInt
+
+  /** The same 64x48 per-pixel gradient serialized as PNG / GIF / BMP
+    * by (d/25) % 3 (all lossless — the resize gate needs exact
+    * source pixels).
+    */
+  private[graft] def synthGradient(d: Long): Array[Byte] = {
+    import graft.operators.{GifCodec, PngCodec}
+    def v(x: Int, y: Int): Int = gradValue(d, x, y)
+    ((d / 25) % 3).toInt match {
+      case 0 =>
+        val px = new Array[Byte](64 * 48)
+        var i = 0
+        while (i < px.length) { px(i) = v(i % 64, i / 64).toByte; i += 1 }
+        PngCodec.encode(64, 48, 1, px)
+      case 1 =>
+        val pal = new Array[Byte](768)
+        var j = 0
+        while (j < 256) {
+          pal(j * 3) = j.toByte; pal(j * 3 + 1) = j.toByte; pal(j * 3 + 2) = j.toByte
+          j += 1
+        }
+        val idx = new Array[Byte](64 * 48)
+        var i = 0
+        while (i < idx.length) { idx(i) = v(i % 64, i / 64).toByte; i += 1 }
+        GifCodec.encode(64, 48, pal, Seq(idx))
+      case _ =>
+        graft.operators.Multimodal.BmpCodec.synthesize(64, 48, { i =>
+          val pix = i / 3
+          v(pix % 64, 47 - pix / 64)
+        })
+    }
+  }
+
   def queries11: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- CROSS-FORMAT image resize (Multimodal.resizeImage): decode
+    //     any lossless format to the normalized layout, 2x
+    //     nearest-neighbor downsample, re-encode PNG, re-decode for
+    //     stats — dims, exact mean, and the resized aHash all replay
+    //     analytically from the gradient formula ---------------------
+    "q_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map(id => (id, synthGradient(id))))
+        .toDF("media_id", "content")
+      Multimodal.resizeImage(media, outW = 32, outH = 24).toDF()
+        .select(col("media_id"), col("src_modality"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_intensity"),
+          lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+        .orderBy(col("media_id"))
+    }),
 
     // --- CROSS-FORMAT image near-dup: the same logical image stored
     //     as PNG / GIF / JPEG / BMP must hash IDENTICALLY through
@@ -341,6 +402,27 @@ object OperatorGates11 {
   )
 
   def oracleSql11: Map[String, String] = Map(
+
+    "q_image_resize" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, (doc_id // 25) % 3 AS f
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |feat AS (
+        |  SELECT doc_id, f,
+        |    list_sum(list_transform(range(0, 768), i ->
+        |      13 + (doc_id * 7 + (i % 32) * 2 * 3 + (i // 32) * 2 * 5) % 241)) AS sv,
+        |    list_transform(range(0, 64), j ->
+        |      3 * (13 + (doc_id * 7 + 8 * (j % 8) * 3 + 6 * (j // 8) * 5) % 241)) AS lum
+        |  FROM imgs)
+        |SELECT doc_id AS media_id,
+        |  CASE f WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/gif'
+        |         ELSE 'image/bmp' END AS src_modality,
+        |  CAST(32 AS BIGINT) AS width, CAST(24 AS BIGINT) AS height,
+        |  CAST(sv AS DOUBLE) / 768 AS mean_intensity,
+        |  array_to_string(list_transform(range(63, -1, -1), j ->
+        |    CASE WHEN 64 * lum[j + 1] > list_sum(lum) THEN 1 ELSE 0 END), '')
+        |    AS ahash_bits
+        |FROM feat ORDER BY media_id""".stripMargin,
 
     "q_crossformat_neardup" ->
       """WITH imgs AS (

@@ -665,39 +665,100 @@ object Multimodal {
     * Unsupported payloads fail loudly — route mixed corpora through
     * [[sniffModality]] first if skipping is intended.
     */
+  /** Sniff + decode ANY supported still format to the shared
+    * top-down, alpha-stripped layout (BMP rows flipped, GIF = first
+    * composited frame). The normalization every cross-format image
+    * op builds on.
+    */
+  private[operators] def decodeNormalized(id: Long,
+      c: Array[Byte]): (String, JpegCodec.DecodedImage) = {
+    require(c != null, s"media $id: null content")
+    val m = sniffModality(c)
+    val img = m match {
+      case "image/bmp" =>
+        val meta = BmpCodec.meta(id, c)
+        require(meta.rawHeight > 0,
+          s"media $id: cross-format decode supports bottom-up BMPs only")
+        val out = new Array[Byte](meta.width * meta.height * 3)
+        var y = 0
+        while (y < meta.height) {
+          val srcRow = meta.height - 1 - y // file rows are bottom-up
+          var i = 0
+          while (i < meta.width * 3) {
+            out(y * meta.width * 3 + i) =
+              c(meta.dataOff + srcRow * meta.stride + i)
+            i += 1
+          }
+          y += 1
+        }
+        JpegCodec.DecodedImage(meta.width, meta.height, 3, out)
+      case "image/png" => PngCodec.toDecodedImage(PngCodec.decode(id, c))
+      case "image/gif" => GifCodec.toDecodedImage(GifCodec.decode(id, c))
+      case "image/jpeg" => JpegCodec.decode(id, c)
+      case other => throw new IllegalArgumentException(
+        s"media $id: cannot decode modality '$other' as a still image")
+    }
+    (m, img)
+  }
+
   def aHashAuto(media: DataFrame): Dataset[MediaFormatHash] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, c) =>
-        require(c != null, s"media $id: null content")
-        val m = sniffModality(c)
-        val img = m match {
-          case "image/bmp" =>
-            val meta = BmpCodec.meta(id, c)
-            require(meta.rawHeight > 0,
-              s"media $id: cross-format aHash supports bottom-up BMPs only")
-            val out = new Array[Byte](meta.width * meta.height * 3)
-            var y = 0
-            while (y < meta.height) {
-              val srcRow = meta.height - 1 - y // file rows are bottom-up
-              var i = 0
-              while (i < meta.width * 3) {
-                out(y * meta.width * 3 + i) =
-                  c(meta.dataOff + srcRow * meta.stride + i)
-                i += 1
-              }
-              y += 1
-            }
-            JpegCodec.DecodedImage(meta.width, meta.height, 3, out)
-          case "image/png" => PngCodec.toDecodedImage(PngCodec.decode(id, c))
-          case "image/gif" => GifCodec.toDecodedImage(GifCodec.decode(id, c))
-          case "image/jpeg" => JpegCodec.decode(id, c)
-          case other => throw new IllegalArgumentException(
-            s"media $id: aHashAuto cannot hash modality '$other'")
-        }
+        val (m, img) = decodeNormalized(id, c)
         MediaFormatHash(id, m, MjpegVideo.aHashDecoded(img))
+      })
+  }
+
+  final case class ResizedImage(
+      media_id: Long, src_modality: String, width: Int, height: Int,
+      mean_intensity: Double, ahash: Long, content: Array[Byte])
+
+  /** Cross-format nearest-neighbor resize — the vision-training prep
+    * step (budget the pixel count before feature extraction): decode
+    * ANY supported format to the normalized layout, resample
+    * `(ox, oy) -> (ox*srcW/outW, oy*srcH/outH)` (integer floor, the
+    * [[resizeBmp]] convention), re-encode as PNG (lossless, so the
+    * emitted bytes are deterministic and loader-readable anywhere).
+    * Reports the resized image's stats + aHash from the decoded
+    * output (round-trips through [[PngCodec]]).
+    */
+  def resizeImage(media: DataFrame, outW: Int, outH: Int): Dataset[ResizedImage] = {
+    require(outW > 0 && outH > 0, s"bad resize target ${outW}x$outH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) =>
+        val (m, src) = decodeNormalized(id, c)
+        val ch = src.channels
+        val px = new Array[Byte](outW * outH * ch)
+        var oy = 0
+        while (oy < outH) {
+          val sy = oy * src.height / outH
+          var ox = 0
+          while (ox < outW) {
+            val sx = ox * src.width / outW
+            var k = 0
+            while (k < ch) {
+              px((oy * outW + ox) * ch + k) =
+                src.pixels((sy * src.width + sx) * ch + k)
+              k += 1
+            }
+            ox += 1
+          }
+          oy += 1
+        }
+        val out = PngCodec.encode(outW, outH, ch, px)
+        val re = PngCodec.toDecodedImage(PngCodec.decode(id, out))
+        var sum = 0L
+        var i = 0
+        while (i < re.pixels.length) { sum += (re.pixels(i) & 0xff); i += 1 }
+        ResizedImage(id, m, re.width, re.height,
+          if (re.pixels.length == 0) 0.0 else sum.toDouble / re.pixels.length,
+          MjpegVideo.aHashDecoded(re), out)
       })
   }
 
