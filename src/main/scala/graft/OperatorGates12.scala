@@ -300,6 +300,39 @@ object OperatorGates12 {
         .orderBy(col("media_id"), col("record_no"))
     }),
 
+    // --- declarative WebDataset export job (job.type=webdataset):
+    //     source parquet -> op chain (length filter) -> ustar shards
+    //     staged as files -> ATOMIC snapshot publish; the published
+    //     directory is read back through binaryFile + the loader
+    //     contract. Oracle replays the filter + shard layout ---------
+    "q_webdataset_job" -> ((s, dir) => {
+      import graft.operators.TarCodec
+      import graft.runner.JobConfig
+      val tmp = java.nio.file.Files.createTempDirectory("q_webdataset_job").toString
+      t(s, dir, "documents").filter(col("doc_id") < 250)
+        .write.parquet(s"$tmp/src")
+      val r = JobConfig.runAny(s, JobConfig.parse(
+        s"""job.type=webdataset
+           |job.name=wds_export
+           |source.path=$tmp/src
+           |ops=filter
+           |op.filter.predicate=n_chars >= 150
+           |export.id=doc_id
+           |export.text=text
+           |export.docsPerShard=5
+           |sink.staging=$tmp/staging
+           |sink.output=$tmp/out
+           |""".stripMargin))
+      require(r("published") == "true", s"export failed: $r")
+      import org.apache.spark.sql.types._
+      val shards = s.read.format("binaryFile").load(s"$tmp/out/*.tar")
+        .select(regexp_extract(col("path"), "shard-(\\d+)\\.tar", 1)
+          .cast("long").as("shard_id"), col("content"))
+      TarCodec.readWebDataset(shards).toDF()
+        .select(col("shard_id"), col("member"), col("n_bytes"), col("text"))
+        .orderBy(col("shard_id"), col("member"))
+    }),
+
     // --- FLAGSHIP crawl-curation chain: WARC ingest -> robots.txt
     //     policy gate -> HTML strip -> exact dedup (first id wins) ->
     //     token-count quality floor -> WebDataset shard packaging.
@@ -783,6 +816,13 @@ object OperatorGates12 {
   def oracleSql12: Map[String, String] = Map(
 
     "q_stream_warc" -> WarcOracle,
+
+    "q_webdataset_job" ->
+      """SELECT doc_id // 5 AS shard_id, printf('%012d.txt', doc_id) AS member,
+        |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+        |  coalesce(text, '') AS text
+        |FROM documents WHERE doc_id < 250 AND n_chars >= 150
+        |ORDER BY shard_id, member""".stripMargin,
 
     "q_crawl_curate" ->
       """WITH base AS (

@@ -668,6 +668,43 @@ object JobConfig {
           funnel.map { case (name, in, pass) =>
             s"stage.$name" -> s"$in->$pass" }.toMap
 
+      case "webdataset" =>
+        // declarative shard export: source (+ optional op chain) ->
+        // ustar WebDataset shards staged as shard-NNNNN.tar files ->
+        // atomic snapshot publish. The loader-facing delivery job.
+        import graft.sink.{Publisher, SinkSpec}
+        import org.apache.spark.util.SerializableConfiguration
+        val docs = spark.read
+          .format(opt(p, "source.format").getOrElse("parquet"))
+          .load(req(p, "source.path"))
+        val prepped = buildOps(p).foldLeft(docs)((d, op) => op(d))
+        val shards = graft.operators.TarCodec.exportWebDataset(prepped,
+          req(p, "export.id"), req(p, "export.text"),
+          docsPerShard = opt(p, "export.docsPerShard")
+            .map(_.toInt).getOrElse(1000))
+        val staging = req(p, "sink.staging")
+        val serConf = new SerializableConfiguration(
+          spark.sparkContext.hadoopConfiguration)
+        import spark.implicits._
+        val written = shards.select(col("shard_id").cast("long"), col("content"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            val fs = new org.apache.hadoop.fs.Path(staging)
+              .getFileSystem(serConf.value)
+            fs.mkdirs(new org.apache.hadoop.fs.Path(staging))
+            var n = 0L
+            it.foreach { case (sid, bytes) =>
+              val out = fs.create(new org.apache.hadoop.fs.Path(
+                staging, f"shard-$sid%05d.tar"), true)
+              try out.write(bytes) finally out.close()
+              n += 1
+            }
+            Iterator.single(n)
+          }.reduce(_ + _)
+        val pub = new Publisher()
+        pub.publishSnapshot(SinkSpec(staging, req(p, "sink.output")))
+        Map("published" -> "true", "shards" -> written.toString)
+
       case "stream" =>
         // config-driven streaming ingest: file-stream source (schema
         // inferred from the existing files), converter-chain ops, a
