@@ -300,6 +300,25 @@ object OperatorGates12 {
         .orderBy(col("media_id"), col("record_no"))
     }),
 
+    // --- multi-phrase blocklist tagging (PhraseMatch, Aho-Corasick):
+    //     ONE automaton pass per doc finds every phrase — the shape
+    //     that survives 10^4-phrase blocklists where alternation
+    //     regex / per-phrase contains are O(text x phrases). The
+    //     oracle brute-forces contains() per phrase ------------------
+    "q_phrase_blocklist" -> ((s, dir) => {
+      import graft.functions.PhraseMatch
+      val phrases = Seq("vector spark", "slow join", "customer data",
+        "big hash", "merge batch", "the stream")
+      PhraseMatch.tagMatches(
+          t(s, dir, "documents").select(col("doc_id"),
+            coalesce(col("text"), lit("")).as("text")),
+          "text", phrases)
+        .select(col("doc_id"),
+          concat_ws("|", sort_array(col("matched"))).as("matched"),
+          size(col("matched")).cast("long").as("n_matched"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- declarative WebDataset export job (job.type=webdataset):
     //     source parquet -> op chain (length filter) -> ustar shards
     //     staged as files -> ATOMIC snapshot publish; the published
@@ -816,6 +835,21 @@ object OperatorGates12 {
   def oracleSql12: Map[String, String] = Map(
 
     "q_stream_warc" -> WarcOracle,
+
+    "q_phrase_blocklist" ->
+      """WITH ph AS (
+        |  SELECT unnest(['vector spark', 'slow join', 'customer data',
+        |                 'big hash', 'merge batch', 'the stream']) AS phrase)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_sort(list(phrase)
+        |      FILTER (phrase IS NOT NULL)), '|'), '') AS matched,
+        |  CAST(count(phrase) AS BIGINT) AS n_matched
+        |FROM (
+        |  SELECT d.doc_id,
+        |    CASE WHEN contains(coalesce(d.text, ''), p.phrase)
+        |         THEN p.phrase END AS phrase
+        |  FROM documents d CROSS JOIN ph p)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_webdataset_job" ->
       """SELECT doc_id // 5 AS shard_id, printf('%012d.txt', doc_id) AS member,
