@@ -283,6 +283,14 @@ object JobConfig {
           .select(col(idCol))
         df.join(keep, Seq(idCol), "left_semi")
       }
+      case "phraseFilter" => (df: DataFrame) =>
+        // blocklist filter: drop rows containing ANY configured phrase
+        // (Aho-Corasick single pass; phrases are |-separated so they
+        // may contain spaces and commas)
+        graft.functions.PhraseMatch.filterClean(df,
+          req(p, "op.phraseFilter.column"),
+          req(p, "op.phraseFilter.phrases").split("\\|").map(_.trim)
+            .filter(_.nonEmpty).toSeq)
       case "linkRank" => (df: DataFrame) =>
         // REPORT op: the frame becomes its (node, rank) table
         graft.operators.LinkRank.pagerank(df,
