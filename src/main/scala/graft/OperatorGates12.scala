@@ -300,6 +300,26 @@ object OperatorGates12 {
         .orderBy(col("media_id"), col("record_no"))
     }),
 
+    // --- bitext margin mining (BitextMine, Artetxe & Schwenk): pairs
+    //     across the label-0/label-1 embedding spaces scored by
+    //     cosine RELATIVE to neighborhood density (hub suppression),
+    //     quantized margins, mutual-best flags. kNN via brute force
+    //     here; the IVF ladder supplies the same tables at scale.
+    //     The oracle replays kNN, quantization, and the integer
+    //     margin decision ---------------------------------------------
+    "q_bitext_mine" -> ((s, dir) => {
+      import graft.functions.Similarity
+      import graft.operators.BitextMine
+      val e = t(s, dir, "embeddings")
+      val a = e.filter(col("label") === 0).select("vec_id", "embedding")
+      val b = e.filter(col("label") === 1).select("vec_id", "embedding")
+      BitextMine.marginPairs(
+          Similarity.bruteForceTopK(a, b, k = 4),
+          Similarity.bruteForceTopK(b, a, k = 4),
+          minMarginNum = 21, minMarginDen = 20)
+        .orderBy(col("src_id"))
+    }),
+
     // --- multi-phrase blocklist tagging (PhraseMatch, Aho-Corasick):
     //     ONE automaton pass per doc finds every phrase — the shape
     //     that survives 10^4-phrase blocklists where alternation
@@ -835,6 +855,50 @@ object OperatorGates12 {
   def oracleSql12: Map[String, String] = Map(
 
     "q_stream_warc" -> WarcOracle,
+
+    "q_bitext_mine" ->
+      """WITH ea AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE label = 0),
+        |eb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE label = 1),
+        |simab AS (
+        |  SELECT a.vec_id AS qa, b.vec_id AS nb,
+        |    list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e))
+        |      * sqrt(list_dot_product(b.e, b.e))) AS sim
+        |  FROM ea a CROSS JOIN eb b WHERE a.vec_id <> b.vec_id),
+        |simba AS (
+        |  SELECT b.vec_id AS qb, a.vec_id AS na,
+        |    list_dot_product(b.e, a.e) / (sqrt(list_dot_product(b.e, b.e))
+        |      * sqrt(list_dot_product(a.e, a.e))) AS sim
+        |  FROM eb b CROSS JOIN ea a WHERE b.vec_id <> a.vec_id),
+        |tab AS (
+        |  SELECT qa, nb, CAST(floor(sim * 1048576) AS BIGINT) AS qsim,
+        |    row_number() OVER (PARTITION BY qa ORDER BY sim DESC, nb) AS rn
+        |  FROM simab QUALIFY rn <= 4),
+        |tba AS (
+        |  SELECT qb, na, CAST(floor(sim * 1048576) AS BIGINT) AS qsim,
+        |    row_number() OVER (PARTITION BY qb ORDER BY sim DESC, na) AS rn
+        |  FROM simba QUALIFY rn <= 4),
+        |da AS (SELECT qa, CAST(sum(qsim) AS BIGINT) AS sum_a,
+        |         count(*) AS n_a FROM tab GROUP BY qa),
+        |db AS (SELECT qb, CAST(sum(qsim) AS BIGINT) AS sum_b,
+        |         count(*) AS n_b FROM tba GROUP BY qb),
+        |fwd AS (SELECT qa AS src_id, nb AS dst_id, qsim FROM tab WHERE rn = 1),
+        |back AS (SELECT qb AS dst_id, na AS best_src FROM tba WHERE rn = 1)
+        |SELECT f.src_id, f.dst_id, f.qsim,
+        |  CAST((2 * f.qsim * da.n_a * db.n_b * 1048576)
+        |    // (da.sum_a * db.n_b + db.sum_b * da.n_a) AS BIGINT) AS margin_q,
+        |  coalesce(b2.best_src = f.src_id, FALSE) AS mutual
+        |FROM fwd f
+        |JOIN da ON da.qa = f.src_id
+        |JOIN db ON db.qb = f.dst_id
+        |LEFT JOIN back b2 ON b2.dst_id = f.dst_id
+        |WHERE f.qsim > 0 AND (da.sum_a * db.n_b + db.sum_b * da.n_a) > 0
+        |  AND 2 * f.qsim * da.n_a * db.n_b * 20
+        |      >= 21 * (da.sum_a * db.n_b + db.sum_b * da.n_a)
+        |ORDER BY f.src_id""".stripMargin,
 
     "q_phrase_blocklist" ->
       """WITH ph AS (
