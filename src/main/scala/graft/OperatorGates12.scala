@@ -311,7 +311,11 @@ object OperatorGates12 {
       import graft.functions.Similarity
       import graft.operators.BitextMine
       val e = t(s, dir, "embeddings")
-      val a = e.filter(col("label") === 0).select("vec_id", "embedding")
+      // id-bounded A side (the sf1 lesson: pin the WORKLOAD while the
+      // data scales — inactive at driver SFs, linearizes the brute
+      // force at replica scale; the corpus-side B stays full)
+      val a = e.filter(col("label") === 0 && col("vec_id") < 5000)
+        .select("vec_id", "embedding")
       val b = e.filter(col("label") === 1).select("vec_id", "embedding")
       BitextMine.marginPairs(
           Similarity.bruteForceTopK(a, b, k = 4),
@@ -859,7 +863,7 @@ object OperatorGates12 {
     "q_bitext_mine" ->
       """WITH ea AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        |  FROM embeddings WHERE label = 0),
+        |  FROM embeddings WHERE label = 0 AND vec_id < 5000),
         |eb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
         |  FROM embeddings WHERE label = 1),
