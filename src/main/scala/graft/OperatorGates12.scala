@@ -300,6 +300,38 @@ object OperatorGates12 {
         .orderBy(col("media_id"), col("record_no"))
     }),
 
+    // --- ZIP container round-trip (ZipCodec): docs packed 5-per-
+    //     archive through the central-directory writer, extracted
+    //     back via the CD walker with CRC verification — the third
+    //     archive container (tar, warc, zip). Oracle replays names/
+    //     sizes/text directly -----------------------------------------
+    "q_zip_extract" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.ZipCodec
+      val archives = t(s, dir, "documents")
+        .filter(col("doc_id") < 250)
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 5)
+        .mapGroups { (fid, docs) =>
+          val ms = docs.toSeq.sortBy(_._1).map { case (id, text) =>
+            f"docs/$id%012d.txt" ->
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          (fid, ZipCodec.write(ms))
+        }
+        .toDF("media_id", "content")
+      archives.as[(Long, Array[Byte])]
+        .flatMap { case (id, c) =>
+          ZipCodec.parse(id, c).map { case (name, data) =>
+            (id, name, data.length.toLong,
+              new String(data, java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }
+        .toDF("media_id", "member", "n_bytes", "text")
+        .orderBy(col("media_id"), col("member"))
+    }),
+
     // --- bitext margin mining (BitextMine, Artetxe & Schwenk): pairs
     //     across the label-0/label-1 embedding spaces scored by
     //     cosine RELATIVE to neighborhood density (hub suppression),
@@ -859,6 +891,14 @@ object OperatorGates12 {
   def oracleSql12: Map[String, String] = Map(
 
     "q_stream_warc" -> WarcOracle,
+
+    "q_zip_extract" ->
+      """SELECT doc_id // 5 AS media_id,
+        |  'docs/' || printf('%012d.txt', doc_id) AS member,
+        |  CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes,
+        |  coalesce(text, '') AS text
+        |FROM documents WHERE doc_id < 250
+        |ORDER BY media_id, member""".stripMargin,
 
     "q_bitext_mine" ->
       """WITH ea AS (
