@@ -40,7 +40,7 @@ object WarcCodec {
   final case class WarcRecord(
       warcType: String, targetUri: String, recordId: String,
       contentType: String, contentLength: Long, httpStatus: Int,
-      payload: Array[Byte])
+      httpCharset: String, payload: Array[Byte])
 
   private def fail(id: Long, msg: String): Nothing =
     throw new IllegalArgumentException(s"media $id: $msg")
@@ -167,22 +167,32 @@ object WarcCodec {
         // response records carry an HTTP message: split status + payload
         var status = -1
         var payload = body
+        var charset = "UTF-8"
         if (warcType == "response" && contentType.startsWith("application/http")) {
           val sEnd = headerEnd(body, 0)
           if (sEnd < 0) fail(id, s"response record at $pos has no HTTP header block")
-          val statusLine = new String(body, 0,
-            body.indexWhere(_ == '\r') max 0,
+          val httpHead = new String(body, 0, sEnd,
             java.nio.charset.StandardCharsets.US_ASCII)
+          val statusLine = httpHead.takeWhile(_ != '\r')
           val parts = statusLine.split(" ")
           if (parts.length < 2 || !parts(0).startsWith("HTTP/"))
             fail(id, s"response record at $pos: bad HTTP status line '$statusLine'")
           status = parts(1).toInt
+          // charset from the HTTP Content-Type header (real crawls are
+          // NOT all UTF-8; decoding latin-1 bytes as UTF-8 corrupts
+          // text silently). Unknown charsets fail loudly downstream.
+          val ctLine = httpHead.split("\r\n").drop(1)
+            .find(_.toLowerCase.startsWith("content-type:"))
+          charset = ctLine.flatMap { l =>
+            val m = "(?i)charset=([A-Za-z0-9_.:-]+)".r.findFirstMatchIn(l)
+            m.map(_.group(1))
+          }.getOrElse("UTF-8")
           payload = java.util.Arrays.copyOfRange(body, sEnd, body.length)
         }
         records += WarcRecord(warcType,
           headers.getOrElse("warc-target-uri", ""),
           headers.getOrElse("warc-record-id", ""),
-          contentType, len, status, payload)
+          contentType, len, status, charset, payload)
         pos = hEnd + len.toInt
       }
     }
@@ -198,10 +208,11 @@ object WarcCodec {
     * the Common Crawl layout — one gzip member per record.
     */
   def writeResponses(pages: Seq[(String, Array[Byte])],
-      gzipPerRecord: Boolean = false): Array[Byte] = {
+      gzipPerRecord: Boolean = false,
+      charset: String = "UTF-8"): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     pages.zipWithIndex.foreach { case ((uri, html), i) =>
-      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=$charset\r\n" +
         s"Content-Length: ${html.length}\r\n\r\n")
         .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
       val body = http ++ html
@@ -235,9 +246,14 @@ object WarcCodec {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, c) =>
         parse(id, c).iterator.zipWithIndex.map { case (r, i) =>
+          val cs = try java.nio.charset.Charset.forName(r.httpCharset)
+            catch {
+              case _: Exception => throw new IllegalArgumentException(
+                s"media $id record $i: unsupported charset '${r.httpCharset}'")
+            }
           WarcRow(id, i, r.warcType, r.targetUri, r.contentType,
             r.contentLength, r.httpStatus, r.payload.length.toLong,
-            new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+            new String(r.payload, cs))
         }
       })
   }

@@ -62,6 +62,26 @@ class WarcSpec extends AnyFunSuite {
     assert(recs(1).warcType == "response" && recs(1).httpStatus == 200)
   }
 
+  test("charset-aware payload decode: latin-1 pages survive intact") {
+    // 'café résumé' in ISO-8859-1 is NOT valid UTF-8; decoding it as
+    // UTF-8 would corrupt to replacement chars
+    val text = "café résumé"
+    val html = s"<html>$text</html>".getBytes("ISO-8859-1")
+    val bytes = WarcCodec.writeResponses(
+      Seq(("https://ex.com/latin", html)), charset = "ISO-8859-1")
+    val rec = WarcCodec.parse(5L, bytes).head
+    assert(rec.httpCharset == "ISO-8859-1")
+    assert(new String(rec.payload, "ISO-8859-1") == s"<html>$text</html>")
+    // and the Spark-facing records() decode honors it end-to-end
+    import org.apache.spark.sql.SparkSession
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val row = WarcCodec.records(
+      Seq((5L, bytes)).toDF("media_id", "content")).collect().head
+    assert(row.payload_text == s"<html>$text</html>")
+  }
+
   test("corrupt inputs fail loudly with the media id") {
     val good = WarcCodec.writeResponses(pages(2))
     def expectFail(bytes: Array[Byte], what: String): Unit = {
