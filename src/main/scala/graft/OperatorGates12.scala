@@ -881,7 +881,7 @@ object OperatorGates12 {
       |  'response' AS warc_type,
       |  'https://example.com/doc/' || doc_id AS target_uri,
       |  'application/http;msgtype=response' AS content_type,
-      |  CAST(62 + len(CAST(strlen(t) + 13 AS VARCHAR))
+      |  CAST(77 + len(CAST(strlen(t) + 13 AS VARCHAR))
       |    + strlen(t) + 13 AS BIGINT) AS content_length,
       |  CAST(200 AS BIGINT) AS http_status,
       |  CAST(strlen(t) + 13 AS BIGINT) AS payload_bytes,
