@@ -140,10 +140,20 @@ object PngCodec {
     if (colorType == 3 && palette == null) fail(id, "palette image missing PLTE")
 
     val srcCh = srcChannels(colorType)
+    // tRNS adds an alpha channel: palette (per-index alpha), gray
+    // (one transparent level), RGB (one transparent color)
     val outCh = colorType match {
       case 3 => if (trns != null) 4 else 3
+      case 0 => if (trns != null) 2 else 1
+      case 2 => if (trns != null) 4 else 3
       case ct => srcChannels(ct)
     }
+    // the transparent LEVEL for gray/RGB tRNS, at source bit depth
+    // (16-bit big-endian fields per spec; -1 = none)
+    def trns16(k: Int): Int =
+      if (trns != null && trns.length >= 2 * k + 2)
+        ((trns(2 * k) & 0xff) << 8) | (trns(2 * k + 1) & 0xff)
+      else -1
 
     // --- expected raw size over passes, then one zlib inflate --------
     val passes: Array[(Int, Int)] =
@@ -181,6 +191,7 @@ object PngCodec {
             destXStep = if (interlace == 0) 1 else XStep(p),
             width = width, bitDepth = bitDepth, colorType = colorType,
             srcCh = srcCh, outCh = outCh, palette = palette, trns = trns,
+            trnsLevels = Array(trns16(0), trns16(1), trns16(2)),
             out = out, id = id)
           System.arraycopy(row, 0, prior, 0, rb)
           y += 1
@@ -285,18 +296,30 @@ object PngCodec {
   private def emitRow(bytes: Array[Byte], pw: Int, destY: Int, destX0: Int,
       destXStep: Int, width: Int, bitDepth: Int, colorType: Int,
       srcCh: Int, outCh: Int, palette: Array[Byte], trns: Array[Byte],
-      out: Array[Byte], id: Long): Unit = {
+      trnsLevels: Array[Int], out: Array[Byte], id: Long): Unit = {
     var px = 0
     while (px < pw) {
       val destX = destX0 + px * destXStep
       val o = (destY * width + destX) * outCh
+      // raw sample at source depth (16-bit keeps BOTH bytes for the
+      // tRNS comparison, which is defined on the full-depth value)
+      def rawAt(k: Int): Int = bitDepth match {
+        case 16 => ((bytes(k * 2) & 0xff) << 8) | (bytes(k * 2 + 1) & 0xff)
+        case _ => sampleAt(bytes, k, bitDepth)
+      }
       colorType match {
         case 0 =>
           out(o) = (sampleAt(bytes, px, bitDepth) * grayScale(bitDepth)).toByte
+          if (outCh == 2)
+            out(o + 1) = if (rawAt(px) == trnsLevels(0)) 0 else 0xff.toByte
         case 2 =>
           out(o) = sampleAt(bytes, px * 3, bitDepth).toByte
           out(o + 1) = sampleAt(bytes, px * 3 + 1, bitDepth).toByte
           out(o + 2) = sampleAt(bytes, px * 3 + 2, bitDepth).toByte
+          if (outCh == 4)
+            out(o + 3) = if (rawAt(px * 3) == trnsLevels(0) &&
+              rawAt(px * 3 + 1) == trnsLevels(1) &&
+              rawAt(px * 3 + 2) == trnsLevels(2)) 0 else 0xff.toByte
         case 3 =>
           val idx = sampleAt(bytes, px, bitDepth)
           if (idx * 3 + 2 >= palette.length)

@@ -263,6 +263,30 @@ class PngSpec extends AnyFunSuite {
     assert(row1 == Seq(0, 255, 0, 255, 0, 255, 0, 255, 0, 255))
   }
 
+  test("gray tRNS level becomes an alpha channel") {
+    // hand-build 4x1 gray-8 with tRNS level 0x42: pixel values
+    // [0x42, 0x10, 0x42, 0x20] -> alpha [0, 255, 0, 255]
+    val raw = Array[Byte](0, 0x42, 0x10, 0x42, 0x20)
+    val png = buildPngWithTrns(4, 1, 8, 0, deflate(raw),
+      Array[Byte](0, 0x42))
+    val img = PngCodec.decode(20L, png)
+    assert(img.channels == 2)
+    val alphas = (0 until 4).map(p => img.pixels(p * 2 + 1) & 0xff)
+    assert(alphas == Seq(0, 255, 0, 255))
+    val grays = (0 until 4).map(p => img.pixels(p * 2) & 0xff)
+    assert(grays == Seq(0x42, 0x10, 0x42, 0x20))
+  }
+
+  test("RGB tRNS color becomes an alpha channel") {
+    // 2x1 RGB-8, transparent color (1,2,3)
+    val raw = Array[Byte](0, 1, 2, 3, 9, 9, 9)
+    val png = buildPngWithTrns(2, 1, 8, 2, deflate(raw),
+      Array[Byte](0, 1, 0, 2, 0, 3))
+    val img = PngCodec.decode(21L, png)
+    assert(img.channels == 4)
+    assert((img.pixels(3) & 0xff) == 0 && (img.pixels(7) & 0xff) == 255)
+  }
+
   // --- corruption: loud, id-tagged ------------------------------------
 
   test("corrupt inputs fail loudly with the media id") {
@@ -307,6 +331,24 @@ class PngSpec extends AnyFunSuite {
     val buf = new Array[Byte](4096)
     while (!d.finished()) out.write(buf, 0, d.deflate(buf))
     d.end()
+    out.toByteArray
+  }
+
+  private def buildPngWithTrns(w: Int, h: Int, bitDepth: Int, colorType: Int,
+      idat: Array[Byte], trns: Array[Byte]): Array[Byte] = {
+    // splice a tRNS chunk before IDAT of a minimal file
+    val base = buildPng(w, h, bitDepth, colorType, idat)
+    val out = new java.io.ByteArrayOutputStream()
+    val ihdrEnd = 8 + 12 + 13 // sig + IHDR chunk
+    out.write(base, 0, ihdrEnd)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(trns.length).array(), 0, 4)
+    val tb = "tRNS".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    out.write(tb, 0, 4)
+    out.write(trns, 0, trns.length)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tb); crc.update(trns)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array(), 0, 4)
+    out.write(base, ihdrEnd, base.length - ihdrEnd)
     out.toByteArray
   }
 
