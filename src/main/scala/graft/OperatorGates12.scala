@@ -300,6 +300,27 @@ object OperatorGates12 {
         .orderBy(col("media_id"), col("record_no"))
     }),
 
+    // --- sitemap URL discovery (Text.sitemapUrls): per-source
+    //     sitemap.xml bodies synthesized from the corpus (entity-
+    //     escaped query strings), <loc> entries extracted + decoded,
+    //     exploded to (source, url). Oracle replays the regexp and
+    //     entity chain ------------------------------------------------
+    "q_sitemap_urls" -> ((s, dir) => {
+      import graft.functions.Text
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 250)
+      val sitemaps = docs.groupBy(col("source"))
+        .agg(concat(
+          lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+          concat_ws("\n", sort_array(collect_list(concat(
+            lit("  <url><loc> https://www."), col("source"),
+            lit(".example.com/p/"), col("doc_id"),
+            lit("?a=1&amp;b=2 </loc></url>"))))),
+          lit("\n</urlset>")).as("xml"))
+      sitemaps.select(col("source"),
+          explode(Text.sitemapUrls(col("xml"))).as("url"))
+        .orderBy(col("source"), col("url"))
+    }),
+
     // --- ZIP container round-trip (ZipCodec): docs packed 5-per-
     //     archive through the central-directory writer, extracted
     //     back via the CD walker with CRC verification — the third
@@ -891,6 +912,13 @@ object OperatorGates12 {
   def oracleSql12: Map[String, String] = Map(
 
     "q_stream_warc" -> WarcOracle,
+
+    "q_sitemap_urls" ->
+      """SELECT source,
+        |  'https://www.' || source || '.example.com/p/' || doc_id
+        |    || '?a=1&b=2' AS url
+        |FROM documents WHERE doc_id < 250
+        |ORDER BY source, url""".stripMargin,
 
     "q_zip_extract" ->
       """SELECT doc_id // 5 AS media_id,

@@ -202,6 +202,22 @@ object Text {
   def urlDomain(url: Column): Column =
     lower(regexp_extract(url, DomainRe, 1))
 
+  /** URLs listed in a sitemap.xml / sitemap-index body: the trimmed
+    * text of every `<loc>` element, XML entities decoded (`&amp;`
+    * LAST, the [[stripHtml]] discipline — sitemap URLs escape `&`).
+    * Pure regexp chain, codegen'd, replayable in any engine with a
+    * global regexp extractor — the crawl-DISCOVERY counterpart to
+    * the robots.txt policy gate.
+    */
+  def sitemapUrls(xml: Column): Column = {
+    val locs = regexp_extract_all(xml,
+      lit("<loc>\\s*([^<]*?)\\s*</loc>"), lit(1))
+    transform(locs, u => Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(u) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) })
+  }
+
   /** Distinct lower-cased domains mentioned in a document — the join
     * key for blocklist filtering. Codegen'd array composition.
     */
