@@ -75,6 +75,8 @@ object ZipCodec {
       val name = new String(bytes, pos + 46, nameLen,
         java.nio.charset.StandardCharsets.UTF_8)
       // local header: its own name/extra lengths govern the data start
+      if (lho > bytes.length - 30)
+        fail(id, s"entry '$name': local header offset $lho outside archive")
       val lh = lho.toInt
       if (lh + 30 > bytes.length ||
         !(bytes(lh) == 'P' && bytes(lh + 1) == 'K' &&
