@@ -184,4 +184,24 @@ class CodecPropSpec extends AnyFunSuite {
       Seq(("https://f.com/1", r.bytes(300))), gzipPerRecord = true)
     fuzzContract("warc", warcGood, b => WarcCodec.parse(9L, b), 120, 50000)
   }
+
+  test("fuzz: the media codecs honor the same contract") {
+    val r = new Rng(99)
+    val rgb = r.bytes(48 * 32 * 3)
+    val jpegGood = JpegCodec.encodeRgb(48, 32, rgb, quality = 90, subsample = true)
+    fuzzContract("jpeg", jpegGood, b => JpegCodec.decode(9L, b), 120, 60000)
+
+    val wavGood = Multimodal.WavCodec.synthesize(8000,
+      Array.tabulate(500)(i => ((i * 377) % 65536 - 32768).toShort))
+    fuzzContract("wav", wavGood, b => Multimodal.WavCodec.parse(9L, b), 120, 70000)
+
+    val bmpGood = Multimodal.BmpCodec.synthesize(23, 17, i => (i * 11) % 256)
+    fuzzContract("bmp", bmpGood, b => Multimodal.BmpCodec.parse(9L, b), 120, 80000)
+
+    val aviGood = AviCodec.synthesize(48, 32, 33333, Seq(jpegGood, jpegGood))
+    fuzzContract("avi", aviGood, b => {
+      val v = AviCodec.parse(9L, b)
+      v.frames.foreach(f => JpegCodec.decode(9L, f))
+    }, 120, 90000)
+  }
 }
