@@ -384,6 +384,7 @@ object JpegCodec {
           require(width > 0 && height > 0, s"media $id: bad dimensions ${width}x$height (DNL unsupported)")
           val nc = bytes(pos + 7) & 0xff
           require(nc == 1 || nc == 3, s"media $id: $nc components unsupported (1 or 3)")
+          require(len >= 8 + 3 * nc, s"media $id: SOF too short for $nc components")
           comps = Array.fill(nc)(new Component)
           var i = 0
           while (i < nc) {
@@ -392,6 +393,7 @@ object JpegCodec {
             comps(i).h = (bytes(o + 1) & 0xff) >> 4
             comps(i).v = bytes(o + 1) & 0x0f
             comps(i).tq = bytes(o + 2) & 0xff
+            require(comps(i).tq <= 3, s"media $id: bad quant table id ${comps(i).tq}")
             require(comps(i).h >= 1 && comps(i).h <= 4 && comps(i).v >= 1 && comps(i).v <= 4,
               s"media $id: bad sampling ${comps(i).h}x${comps(i).v}")
             i += 1
@@ -422,8 +424,10 @@ object JpegCodec {
             val tc = (bytes(o) & 0xff) >> 4
             val th = bytes(o) & 0x0f
             require(tc <= 1 && th <= 3, s"media $id: bad DHT header")
+            require(o + 17 <= pos + len, s"media $id: DHT bits overrun segment")
             val bits = Array.tabulate(16)(i => bytes(o + 1 + i) & 0xff)
             val n = bits.sum
+            require(o + 17 + n <= pos + len, s"media $id: DHT values overrun segment")
             val vals = Array.tabulate(n)(i => bytes(o + 17 + i) & 0xff)
             val tab = new HuffTable(bits, vals)
             if (tc == 0) dcTabs(th) = tab else acTabs(th) = tab
@@ -437,6 +441,8 @@ object JpegCodec {
             val pq = (bytes(o) & 0xff) >> 4
             val tq = bytes(o) & 0x0f
             require(pq <= 1 && tq <= 3, s"media $id: bad DQT header")
+            require(o + 1 + (if (pq == 0) 64 else 128) <= pos + len,
+              s"media $id: DQT table overrun segment")
             val tab = new Array[Int](64)
             var i = 0
             while (i < 64) {
@@ -459,6 +465,7 @@ object JpegCodec {
           require(if (progressive) ns == 1 || ns == comps.length
               else ns == comps.length,
             s"media $id: unsupported scan layout ($ns of ${comps.length} components)")
+          require(len >= 6 + 2 * ns, s"media $id: SOS too short for $ns components")
           val scanComps = new Array[Component](ns)
           var i = 0
           while (i < ns) {
@@ -467,6 +474,8 @@ object JpegCodec {
               throw new IllegalArgumentException(s"media $id: SOS references unknown component $cs"))
             c.td = (bytes(pos + 4 + 2 * i) & 0xff) >> 4
             c.ta = bytes(pos + 4 + 2 * i) & 0x0f
+            require(c.td <= 3 && c.ta <= 3,
+              s"media $id: bad Huffman table ids dc=${c.td} ac=${c.ta}")
             scanComps(i) = c
             i += 1
           }

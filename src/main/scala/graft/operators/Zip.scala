@@ -70,6 +70,10 @@ object ZipCodec {
       val lho = u32(bytes, pos + 42)
       if (csize == 0xffffffffL || usize == 0xffffffffL || lho == 0xffffffffL)
         fail(id, s"entry $e uses zip64 fields")
+      // sizes are u32: anything past the archive (or Int range) is
+      // corrupt — guard BEFORE any toInt/allocation wraps negative
+      if (csize > bytes.length || usize > (1L << 26))
+        fail(id, s"entry $e sizes ($csize/$usize) exceed archive/decode bounds")
       if (pos + 46 + nameLen > bytes.length)
         fail(id, s"entry $e name overruns archive")
       val name = new String(bytes, pos + 46, nameLen,
