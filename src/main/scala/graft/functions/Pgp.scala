@@ -95,7 +95,10 @@ object Pgp {
   private final case class Packet(tag: Int, body: Array[Byte])
 
   private final class Reader(buf: Array[Byte], var pos: Int = 0) {
-    def u8(): Int = { val b = buf(pos) & 0xff; pos += 1; b }
+    def u8(): Int = {
+      require(pos < buf.length, s"truncated packet at $pos (+1)")
+      val b = buf(pos) & 0xff; pos += 1; b
+    }
     def take(n: Int): Array[Byte] = {
       require(n >= 0 && pos + n <= buf.length, s"truncated packet at $pos (+$n)")
       val r = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; r
