@@ -300,6 +300,31 @@ object OperatorGates12 {
         .orderBy(col("media_id"), col("record_no"))
     }),
 
+    // --- main-content extraction (Text.mainContent): body paragraphs
+    //     survive, nav/ad/footer blocks drop on link density — the
+    //     boilerplate-removal stage between raw HTML and C4 cleaning.
+    //     Fixture wraps each doc's text halves in content <p> blocks
+    //     between a link-farm nav, an ad block, and a footer; the
+    //     oracle replays block split, per-block clean/link-char
+    //     scoring, and reassembly --------------------------------------
+    "q_main_content" -> ((s, dir) => {
+      import graft.functions.Text
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+      val half = (length(col("text")) / 2).cast("int")
+      val html = concat(
+        lit("<div><nav><a href=\"/h\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/c\">Contact</a></nav></div>"),
+        lit("<p>"), col("text").substr(lit(1), half), lit("</p>"),
+        lit("<div>ad: <a href=\"/x\">click here right now</a></div>"),
+        lit("<p>"), col("text").substr(half + 1, length(col("text"))), lit("</p>"),
+        lit("<footer><a href=\"/p\">Privacy</a></footer>"))
+      docs.select(col("doc_id"),
+          Text.mainContent(html, minChars = 15,
+            maxLinkNum = 1, maxLinkDen = 3).as("extracted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- sitemap URL discovery (Text.sitemapUrls): per-source
     //     sitemap.xml bodies synthesized from the corpus (entity-
     //     escaped query strings), <loc> entries extracted + decoded,
@@ -912,6 +937,39 @@ object OperatorGates12 {
   def oracleSql12: Map[String, String] = Map(
 
     "q_stream_warc" -> WarcOracle,
+
+    "q_main_content" -> {
+      val blockRe =
+        """</?(?:p|div|nav|footer|header|section|article|li|ul|ol|h[1-6]|table|tr|td)[^>]*>"""
+      // fixture is entity-free, so clean = strip tags + collapse
+      def clean(e: String): String =
+        s"trim(regexp_replace(regexp_replace($e, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+      s"""WITH d AS (
+         |  SELECT doc_id, coalesce(text, '') AS t FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |    '<div><nav><a href="/h">Home</a> <a href="/a">About</a> '
+         |      || '<a href="/c">Contact</a></nav></div>'
+         |      || '<p>' || substr(t, 1, len(t) // 2) || '</p>'
+         |      || '<div>ad: <a href="/x">click here right now</a></div>'
+         |      || '<p>' || substr(t, len(t) // 2 + 1) || '</p>'
+         |      || '<footer><a href="/p">Privacy</a></footer>' AS html
+         |  FROM d),
+         |b AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(html, '$blockRe'), x ->
+         |      len(${clean("x")}) >= 15
+         |      AND coalesce(list_sum(list_transform(
+         |            regexp_extract_all(x, '(?s)<a[^>]*>(.*?)</a>', 1),
+         |            a -> len(${clean("a")}))), 0) * 3
+         |          <= len(${clean("x")}) * 1) AS kept
+         |  FROM h)
+         |SELECT doc_id,
+         |  trim(regexp_replace(array_to_string(
+         |    list_transform(kept, x -> ${clean("x")}), ' '),
+         |    '\\s+', ' ', 'g')) AS extracted
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
 
     "q_sitemap_urls" ->
       """SELECT source,

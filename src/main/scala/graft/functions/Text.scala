@@ -202,6 +202,34 @@ object Text {
   def urlDomain(url: Column): Column =
     lower(regexp_extract(url, DomainRe, 1))
 
+  /** Main-content extraction (trafilatura/readability-style
+    * boilerplate removal — the stage between raw HTML and the C4
+    * pipeline): split the document into BLOCKS on block-level tags,
+    * score each block by length and LINK DENSITY (anchor-text chars
+    * over clean chars, the classic nav/footer discriminator), keep
+    * only long-enough low-link blocks, and reassemble in order.
+    * Navigation bars, "click here" ad blocks, and link-farm footers
+    * drop; body paragraphs survive. Entirely regexp/array
+    * expressions — codegen'd, no UDF, replayable in any engine with
+    * global regex + list lambdas. The link-ratio threshold is the
+    * rational `maxLinkNum/maxLinkDen` compared in exact integers.
+    */
+  def mainContent(html: Column, minChars: Int,
+      maxLinkNum: Int, maxLinkDen: Int): Column = {
+    val blockTags = "</?(?:p|div|nav|footer|header|section|article|li|ul|ol|h[1-6]|table|tr|td)[^>]*>"
+    val blocks = split(html, blockTags)
+    def linkChars(b: Column): Column = aggregate(
+      regexp_extract_all(b, lit("(?s)<a[^>]*>(.*?)</a>"), lit(1)),
+      lit(0), (acc, x) => acc + length(stripHtml(x)))
+    val kept = filter(blocks, b => {
+      val clean = length(stripHtml(b))
+      clean >= minChars &&
+        linkChars(b) * maxLinkDen <= clean * maxLinkNum
+    })
+    trim(regexp_replace(
+      concat_ws(" ", transform(kept, b => stripHtml(b))), "\\s+", " "))
+  }
+
   /** URLs listed in a sitemap.xml / sitemap-index body: the trimmed
     * text of every `<loc>` element, XML entities decoded (`&amp;`
     * LAST, the [[stripHtml]] discipline — sitemap URLs escape `&`).
