@@ -316,18 +316,25 @@ object OperatorGates4 {
     }),
 
     // --- mixed-modality dispatch (Multimodal.decodeAuto): a single
-    //     binary column carrying WAVs, PNGs, BMPs and GIFs keyed by
-    //     id % 4; magic-byte sniffing routes each payload to its REAL
-    //     codec. The oracle replays all four feature formulas --------
+    //     binary column carrying WAVs, PNGs, BMPs, GIFs, ZIPs and
+    //     TARs keyed by id % 6; magic-byte sniffing routes each
+    //     payload to its REAL codec (archives probe member counts +
+    //     payload means). The oracle replays all six formulas --------
     "q_media_dispatch" -> ((s, dir) => {
       import s.implicits._
-      import graft.operators.{GifCodec, Multimodal, PngCodec}
+      import graft.operators.{GifCodec, Multimodal, PngCodec, TarCodec, ZipCodec}
       val media = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
         .as[(Long, Long)]
         .mapPartitions(_.map { case (id, n) =>
           val w = 8 + (id % 5).toInt
           val h = 4 + (id % 3).toInt
-          val bytes = (id % 4) match {
+          def archiveMembers: Seq[(String, Array[Byte])] = {
+            val nm = 1 + (id % 3).toInt
+            val len = 50 + (id % 20).toInt
+            (0 until nm).map(k => (f"m$k.bin",
+              Array.tabulate(len)(i => ((id * 13 + k * 7 + i) % 256).toByte)))
+          }
+          val bytes = (id % 6) match {
             case 0L =>
               val rate = 8000 + (id % 3).toInt * 4000
               Multimodal.WavCodec.synthesize(rate, Array.tabulate(n.toInt)(i =>
@@ -337,7 +344,7 @@ object OperatorGates4 {
                 Array.tabulate(w * h)(i => ((id * 7 + i) % 256).toByte))
             case 2L =>
               Multimodal.BmpCodec.synthesize(w, h, i => ((id * 7 + i) % 256).toInt)
-            case _ =>
+            case 3L =>
               val pal = new Array[Byte](768)
               var j = 0
               while (j < 256) {
@@ -347,6 +354,8 @@ object OperatorGates4 {
               }
               GifCodec.encode(w, h, pal,
                 Seq(Array.tabulate(w * h)(i => ((id * 11 + i) % 256).toByte)))
+            case 4L => ZipCodec.write(archiveMembers)
+            case _ => TarCodec.write(archiveMembers)
           }
           (id, bytes)
         }).toDF("media_id", "content")
@@ -654,13 +663,16 @@ object OperatorGates4 {
     "q_media_dispatch" ->
       """WITH d AS (
         |  SELECT doc_id, n_chars,
-        |    (8 + doc_id % 5) * (4 + doc_id % 3) AS np FROM documents)
+        |    (8 + doc_id % 5) * (4 + doc_id % 3) AS np,
+        |    1 + doc_id % 3 AS nm, 50 + doc_id % 20 AS ml FROM documents)
         |SELECT doc_id AS media_id,
-        |  CASE doc_id % 4 WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/png'
-        |    WHEN 2 THEN 'image/bmp' ELSE 'image/gif' END AS modality,
-        |  CASE doc_id % 4 WHEN 0 THEN CAST(n_chars AS BIGINT)
-        |    WHEN 3 THEN 1 ELSE np END AS n_units,
-        |  CASE doc_id % 4
+        |  CASE doc_id % 6 WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/png'
+        |    WHEN 2 THEN 'image/bmp' WHEN 3 THEN 'image/gif'
+        |    WHEN 4 THEN 'application/zip' ELSE 'application/x-tar'
+        |  END AS modality,
+        |  CASE doc_id % 6 WHEN 0 THEN CAST(n_chars AS BIGINT)
+        |    WHEN 3 THEN 1 WHEN 4 THEN nm WHEN 5 THEN nm ELSE np END AS n_units,
+        |  CASE doc_id % 6
         |  WHEN 0 THEN
         |    CAST(list_sum(list_transform(range(0, n_chars),
         |      i -> abs((doc_id * 31 + i * 17) % 65536 - 32768))) AS DOUBLE)
@@ -671,9 +683,13 @@ object OperatorGates4 {
         |  WHEN 2 THEN
         |    CAST(list_sum(list_transform(range(0, np * 3),
         |      i -> (doc_id * 7 + i) % 256)) AS DOUBLE) / CAST(np * 3 AS DOUBLE)
-        |  ELSE
+        |  WHEN 3 THEN
         |    CAST(list_sum(list_transform(range(0, np),
         |      i -> (doc_id * 11 + i) % 256)) AS DOUBLE) / CAST(np AS DOUBLE)
+        |  ELSE
+        |    CAST(list_sum(list_transform(range(0, nm * ml), j ->
+        |      (doc_id * 13 + (j // ml) * 7 + j % ml) % 256)) AS DOUBLE)
+        |      / CAST(nm * ml AS DOUBLE)
         |  END AS mean_val
         |FROM d ORDER BY media_id""".stripMargin,
 

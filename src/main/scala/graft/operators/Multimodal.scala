@@ -872,6 +872,14 @@ object Multimodal {
       bytes(2) == 'N' && bytes(3) == 'G') "image/png"
     else if (bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' &&
       bytes(2) == 'F' && bytes(3) == '8') "image/gif"
+    else if (bytes.length >= 4 && bytes(0) == 'P' && bytes(1) == 'K' &&
+      bytes(2) == 3 && bytes(3) == 4) "application/zip"
+    else if (bytes.length >= 262 && bytes(257) == 'u' && bytes(258) == 's' &&
+      bytes(259) == 't' && bytes(260) == 'a' && bytes(261) == 'r')
+      "application/x-tar"
+    else if (bytes.length >= 5 && bytes(0) == 'W' && bytes(1) == 'A' &&
+      bytes(2) == 'R' && bytes(3) == 'C' && bytes(4) == '/')
+      "application/warc"
     else "unknown"
 
   private def tag4(b: Array[Byte], o: Int): String =
@@ -935,6 +943,23 @@ object Multimodal {
             while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
             MediaAuto(id, m, img.nFrames.toLong,
               if (px.length == 0) 0.0 else sum.toDouble / px.length)
+          case m @ ("application/zip" | "application/x-tar" |
+                    "application/warc") =>
+            // archive probe: member/record count + mean payload byte
+            val members: Seq[Array[Byte]] = m match {
+              case "application/zip" => ZipCodec.parse(id, bytes).map(_._2)
+              case "application/x-tar" => TarCodec.parse(id, bytes).map(_._2)
+              case _ => WarcCodec.parse(id, bytes).map(_.payload)
+            }
+            var sum = 0L
+            var n = 0L
+            members.foreach { d =>
+              var i = 0
+              while (i < d.length) { sum += (d(i) & 0xff); i += 1 }
+              n += d.length
+            }
+            MediaAuto(id, m, members.length.toLong,
+              if (n == 0) 0.0 else sum.toDouble / n)
           case m @ "video/avi" =>
             // container walk + a REAL decode of the first frame (the
             // probe a pipeline runs before committing to full decode)
