@@ -75,6 +75,31 @@ final class ShardedTable(root: String, partCol: String,
         s"unknown version $version of $root"))
       .collect { case (k, v) if k.startsWith("m:") => k.stripPrefix("m:") -> v }
 
+  /** Zone maps committed with `version`: partition -> column ->
+    * (min, max) rendered as strings ("L" prefix keys compare as
+    * longs, "S" as strings — see [[commit]]'s statsCols).
+    */
+  def zoneStats(version: Long): Map[String, Map[String, (String, String)]] =
+    meta.get("manifests", vKey(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown version $version of $root"))
+      .toSeq
+      .collect { case (k, v) if k.startsWith("zmin:") || k.startsWith("zmax:") =>
+        // zmin:<part>:<col> — the partition value is filesystem-safe
+        // (no ':' — enforced at commit), the column name is the tail
+        val body = k.drop(5)
+        val part = body.takeWhile(_ != ':')
+        val col = body.drop(part.length + 1)
+        (part, col, k.take(4), v)
+      }
+      .groupBy(_._1)
+      .map { case (part, rows) =>
+        part -> rows.groupBy(_._2).map { case (col, mm) =>
+          val byKind = mm.map(r => r._3 -> r._4).toMap
+          col -> ((byKind("zmin"), byKind("zmax")))
+        }
+      }
+
   def currentMeta: Map[String, String] =
     currentVersion.map(metaOf).getOrElse(Map.empty)
 
@@ -90,7 +115,7 @@ final class ShardedTable(root: String, partCol: String,
     */
   def commit(df: DataFrame, touched: Seq[String],
       userMeta: Map[String, String] = Map.empty,
-      full: Boolean = false): Long = {
+      full: Boolean = false, statsCols: Seq[String] = Nil): Long = {
     val id = java.util.UUID.randomUUID().toString
     val dataDir = s"$root/data/$id"
     df.withColumn("_part", col(partCol).cast("string"))
@@ -104,14 +129,70 @@ final class ShardedTable(root: String, partCol: String,
     require(stray.isEmpty,
       s"commit carries rows outside its declared touched partitions: " +
         s"${stray.toSeq.sorted.take(5).mkString(", ")}")
-    val prev =
+
+    // zone maps: one agg over the DELTA (O(touched), like the write) —
+    // per staged partition, min/max per stats column, long or string
+    // typed. Untouched partitions keep their previous stats below.
+    val zoneEntries: Map[String, String] = if (statsCols.isEmpty) Map.empty else {
+      import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType}
+      val schema = df.schema
+      val kinds = statsCols.map { c =>
+        val f = schema(schema.fieldIndex(c))
+        val kind = f.dataType match {
+          case LongType | IntegerType | ShortType => "long"
+          case StringType => "string"
+          case other => throw new IllegalArgumentException(
+            s"zone-map column '$c' has unsupported type $other (long/string)")
+        }
+        require(!c.contains(":"), s"zone-map column name '$c' contains ':'")
+        c -> kind
+      }.toMap
+      touched.foreach(p => require(!p.contains(":"),
+        s"partition value '$p' contains ':' — incompatible with zone maps"))
+      val aggs = statsCols.flatMap(c => Seq(
+        min(col(c)).cast("string").as(s"zmin:$c"),
+        max(col(c)).cast("string").as(s"zmax:$c")))
+      val rows = df.withColumn("_part", col(partCol).cast("string"))
+        .groupBy(col("_part")).agg(aggs.head, aggs.tail: _*)
+        .collect() // one row per TOUCHED partition — delta-bounded
+      rows.flatMap { r =>
+        val part = r.getString(0)
+        statsCols.flatMap { c =>
+          val mn = r.getAs[String](s"zmin:$c")
+          val mx = r.getAs[String](s"zmax:$c")
+          if (mn == null || mx == null) Nil // all-null column: no stats
+          else Seq(s"zmin:$part:$c" -> mn, s"zmax:$part:$c" -> mx)
+        }
+      }.toMap ++ kinds.map { case (c, k) => s"ztyp:$c" -> k }
+    }
+
+    val prevRaw =
       if (full) Map.empty[String, String]
-      else currentVersion.map(manifest).getOrElse(Map.empty)
-    val next = (prev -- touched) ++ staged
+      else currentVersion.flatMap(v => meta.get("manifests", vKey(v)))
+        .getOrElse(Map.empty)
+    val touchedSet = touched.toSet
+    def partOf(key: String): Option[String] =
+      if (key.startsWith("p:")) Some(key.stripPrefix("p:"))
+      else if (key.startsWith("zmin:") || key.startsWith("zmax:"))
+        Some(key.drop(5).takeWhile(_ != ':'))
+      else None
+    // carry forward untouched partitions' dirs AND stats; user meta
+    // (m:) is per-commit and never carried; ztyp merges (same-type
+    // enforced so long/string comparisons never mix)
+    val carried = prevRaw.filter { case (k, v) =>
+      partOf(k).map(!touchedSet.contains(_)).getOrElse {
+        k.startsWith("ztyp:") && {
+          zoneEntries.get(k).foreach(nv => require(nv == v,
+            s"zone-map type of ${k.stripPrefix("ztyp:")} changed: $v -> $nv"))
+          !zoneEntries.contains(k)
+        }
+      }
+    }
+    val next = carried ++
+      staged.map { case (k, d) => s"p:$k" -> d } ++ zoneEntries ++
+      userMeta.map { case (k, v) => s"m:$k" -> v }
     val version = history.lastOption.getOrElse(0L) + 1L
-    meta.put("manifests", vKey(version),
-      next.map { case (k, d) => s"p:$k" -> d } ++
-        userMeta.map { case (k, v) => s"m:$k" -> v })
+    meta.put("manifests", vKey(version), next)
     // the commit point: readers see the new version only after this
     meta.put("pointer", "current", Map("version" -> version.toString))
     version
@@ -150,6 +231,36 @@ final class ShardedTable(root: String, partCol: String,
       require(all.nonEmpty, s"version $v of $root has no partitions")
       spark.read.parquet(all.head).limit(0)
     } else spark.read.parquet(dirs: _*)
+  }
+
+  /** Zone-map-pruned range read: open only partitions whose committed
+    * [min, max] for `column` intersects [lo, hi] (both bounds
+    * inclusive; either may be None for a half-open range). Partitions
+    * with no stats for `column` are kept — pruning is never allowed
+    * to change results, only to skip provably-disjoint data. The
+    * caller still applies its exact predicate; this is the scan-
+    * planning half (the manifest-level analog of parquet row-group
+    * min/max skipping, one metadata lookup instead of a million
+    * footer reads at 100 TB).
+    */
+  def readRange(spark: SparkSession, column: String,
+      lo: Option[String], hi: Option[String],
+      version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(currentVersion).getOrElse(
+      throw new IllegalStateException(s"no committed version in $root"))
+    val raw = meta.get("manifests", vKey(v)).getOrElse(Map.empty)
+    val typ = raw.getOrElse(s"ztyp:$column", "string")
+    def lt(a: String, b: String): Boolean =
+      if (typ == "long") a.toLong < b.toLong else a < b
+    val stats = zoneStats(v)
+    val keep = manifest(v).keys.toSeq.filter { part =>
+      stats.get(part).flatMap(_.get(column)) match {
+        case None => true // no stats: cannot prune
+        case Some((mn, mx)) =>
+          !(lo.exists(l => lt(mx, l)) || hi.exists(h => lt(h, mn)))
+      }
+    }
+    readPartitions(spark, keep, Some(v))
   }
 
   /** Roll the pointer to an existing version; history untouched. */
