@@ -880,6 +880,7 @@ object Multimodal {
     else if (bytes.length >= 5 && bytes(0) == 'W' && bytes(1) == 'A' &&
       bytes(2) == 'R' && bytes(3) == 'C' && bytes(4) == '/')
       "application/warc"
+    else if (graft.functions.ZstdBytes.isZstd(bytes)) "application/zstd"
     else "unknown"
 
   private def tag4(b: Array[Byte], o: Int): String =
@@ -960,6 +961,17 @@ object Multimodal {
             }
             MediaAuto(id, m, members.length.toLong,
               if (n == 0) 0.0 else sum.toDouble / n)
+          case m @ "application/zstd" =>
+            // compressed-blob probe: inflate (bomb-guarded) and report
+            // the DECOMPRESSED byte stats — the .jsonl.zst drop shape
+            val d = try graft.functions.ZstdBytes.decompress(bytes, 512L * 1024 * 1024)
+              catch { case e: Exception => throw new IllegalArgumentException(
+                s"media $id: corrupt zstd frame: ${e.getMessage}", e) }
+            var sum = 0L
+            var i = 0
+            while (i < d.length) { sum += (d(i) & 0xff); i += 1 }
+            MediaAuto(id, m, d.length.toLong,
+              if (d.length == 0) 0.0 else sum.toDouble / d.length)
           case m @ "video/avi" =>
             // container walk + a REAL decode of the first frame (the
             // probe a pipeline runs before committing to full decode)
