@@ -202,6 +202,55 @@ object Text {
   def urlDomain(url: Column): Column =
     lower(regexp_extract(url, DomainRe, 1))
 
+  /** Query parameters dropped by [[canonicalizeUrl]]: the tracking
+    * decorations that make one logical page crawl as many URLs
+    * (the URL-dedup false-negative source in every web corpus).
+    */
+  val TrackingParamRe = "^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)="
+
+  /** Crawl-grade URL canonicalization — the normalize-before-dedup
+    * step of a URL frontier (ref: the reference's extract/restapi URL
+    * assembly normalizes before keying; public crawler convention —
+    * e.g. Nutch BasicURLNormalizer — beyond it):
+    *
+    *   - strip the fragment (`#...`);
+    *   - lower-case scheme and host, strip default ports
+    *     (http :80, https :443);
+    *   - an absent path becomes "/" (path case is PRESERVED);
+    *   - drop tracking query params ([[TrackingParamRe]]) and empty
+    *     params, SORT the survivors (order never distinguishes
+    *     pages), drop the '?' when none survive.
+    *
+    * Deliberately NOT done (documented contract boundary):
+    * percent-encoding normalization and `..`/`.` path resolution —
+    * both require a stateful pass; apply them upstream if inputs need
+    * them. Strings without a `scheme://host` prefix keep everything
+    * but fragment/query handling.
+    *
+    * Pure functions-composition (split/filter/sort_array/array_join)
+    * — codegen'd, no UDF, replayable in any engine with list lambdas.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = split(url, "#").getItem(0)
+    val qpos = instr(noFrag, "?")
+    val base = when(qpos > 0, noFrag.substr(lit(1), qpos - 1))
+      .otherwise(noFrag)
+    val query = when(qpos > 0, noFrag.substr(qpos + 1, length(noFrag)))
+      .otherwise(lit(""))
+    val schemeHost = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    val path = base.substr(length(schemeHost) + 1, lit(1 << 24))
+    val canonHost = regexp_replace(
+      regexp_replace(lower(schemeHost), "^(http://[^:]*):80$", "$1"),
+      "^(https://[^:]*):443$", "$1")
+    val canonBase = when(schemeHost === "", base)
+      .otherwise(concat(canonHost, when(path === "", "/").otherwise(path)))
+    val params = filter(split(query, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe))
+    val joined = array_join(sort_array(params), "&")
+    when(joined === "", canonBase)
+      .otherwise(concat(canonBase, lit("?"), joined))
+  }
+
   /** Main-content extraction (trafilatura/readability-style
     * boilerplate removal — the stage between raw HTML and the C4
     * pipeline): split the document into BLOCKS on block-level tags,

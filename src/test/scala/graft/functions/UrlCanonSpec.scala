@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** canonicalizeUrl edge matrix: every rule, the documented
+  * contract boundaries, and idempotence.
+  */
+class UrlCanonSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(Text.canonicalizeUrl(col("url"))).as[String]
+      .collect().toSeq
+
+  test("scheme/host lower-case, default ports stripped, others kept") {
+    assert(canon(
+      "HTTP://Ex.COM/Path", "http://ex.com:80/Path", "https://ex.com:443/Path",
+      "http://ex.com:8080/Path", "https://ex.com:8443/Path") ==
+      Seq("http://ex.com/Path", "http://ex.com/Path", "https://ex.com/Path",
+        "http://ex.com:8080/Path", "https://ex.com:8443/Path"))
+  }
+
+  test("path case is PRESERVED; missing path becomes /") {
+    assert(canon("http://ex.com", "http://ex.com/", "http://EX.com/MiXeD") ==
+      Seq("http://ex.com/", "http://ex.com/", "http://ex.com/MiXeD"))
+  }
+
+  test("fragments are stripped") {
+    assert(canon("http://ex.com/a#sec", "http://ex.com/a?x=1#sec") ==
+      Seq("http://ex.com/a", "http://ex.com/a?x=1"))
+  }
+
+  test("query params: tracking dropped, empties dropped, survivors sorted, bare ? dropped") {
+    assert(canon(
+      "http://ex.com/a?b=2&a=1",
+      "http://ex.com/a?a=1&b=2",
+      "http://ex.com/a?utm_source=tw&a=1&gclid=xyz",
+      "http://ex.com/a?a=1&utm_campaign=x&",
+      "http://ex.com/a?utm_medium=email",
+      "http://ex.com/a?fbclid=1&msclkid=2&mc_eid=3") ==
+      Seq("http://ex.com/a?a=1&b=2",
+        "http://ex.com/a?a=1&b=2",
+        "http://ex.com/a?a=1",
+        "http://ex.com/a?a=1",
+        "http://ex.com/a",
+        "http://ex.com/a"))
+  }
+
+  test("a param merely CONTAINING a tracking name survives; only prefixes match") {
+    // sutm_source / autm_x are not tracking params; utm_anything= is
+    assert(canon("http://ex.com/a?sutm_source=1&utm_x=2") ==
+      Seq("http://ex.com/a?sutm_source=1"))
+  }
+
+  test("schemeless strings keep body but still lose fragment/query decoration") {
+    assert(canon("relative/path#frag", "no-scheme?utm_source=x&k=v") ==
+      Seq("relative/path", "no-scheme?k=v"))
+  }
+
+  test("idempotent: canonicalizing a canonical URL is a no-op") {
+    val raw = Seq(
+      "HTTP://Ex.COM:80?b=2&a=1#f", "https://h.io:8443/P?utm_source=t",
+      "http://ex.com/a", "plain")
+    val once = canon(raw: _*)
+    assert(canon(once: _*) == once)
+  }
+
+  test("variants of one logical page collapse to a single key") {
+    val variants = Seq(
+      "HTTP://Site.Com/page?b=2&a=1#top",
+      "http://site.com:80/page?a=1&b=2",
+      "http://site.com/page?utm_source=x&a=1&b=2&")
+    assert(canon(variants: _*).distinct.size == 1)
+  }
+}
