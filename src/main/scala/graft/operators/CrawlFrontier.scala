@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-frontier planning — the two standard relational operations a
+  * crawler runs between link discovery and fetching (public semantics:
+  * Apache Nutch's Generator and LinkDb; the reference itself ingests
+  * pre-crawled inputs, so this extends the crawl tier LinkRank /
+  * Robots / Warc began).
+  *
+  * Both operations are pure joins/aggregations/windows — no UDFs, no
+  * driver-side data paths — and every ordering is total (unique
+  * tie-break), so the outputs are bit-replayable by a SQL oracle and
+  * invariant to partitioning.
+  */
+object CrawlFrontier {
+
+  /** Nutch-Generator fetch-list selection: from a scored frontier,
+    * keep at most `maxPerHost` URLs per host (politeness — one host
+    * must not dominate a fetch cycle), then the global `topN` by
+    * score. Returns one row per selected URL with
+    *
+    *   - `sel_rank`: 1-based global priority (score desc, url asc);
+    *   - `fetch_slot`: 0-based stagger within the host AFTER selection
+    *     — a fetcher honoring crawl-delay d schedules the URL at
+    *     `host_first_fetch + fetch_slot * d`.
+    *
+    * Scale shape: the per-host cap is a `row_number` window with a
+    * CONSTANT bound (Spark's WindowGroupLimit pushes the cap into the
+    * sort, so no host's full URL list ever materializes); the global
+    * top-N rides [[GlobalOrder.withRowNumber]]'s range exchange — a
+    * distributed rank, NOT `orderBy.limit` (TakeOrdered funnels N rows
+    * through one task; fetch lists are millions of URLs). The final
+    * slot window re-partitions by host — bounded at `maxPerHost` rows
+    * per host by construction.
+    *
+    * Ordering is (score desc, url asc) everywhere; `urlCol` must be
+    * unique (canonicalize + dedup upstream — [[graft.functions.Text.canonicalizeUrl]]).
+    */
+  def generateFetchList(frontier: DataFrame, urlCol: String, hostCol: String,
+      scoreCol: String, topN: Long, maxPerHost: Int): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    require(maxPerHost >= 1, s"maxPerHost must be >= 1, got $maxPerHost")
+    val url = col(urlCol)
+    val order = Seq(col(scoreCol).desc, url.asc)
+    val perHost = Window.partitionBy(col(hostCol)).orderBy(order: _*)
+    val capped = frontier
+      .withColumn("_host_rank", row_number().over(perHost))
+      .filter(col("_host_rank") <= maxPerHost)
+      .drop("_host_rank")
+    val selected = GlobalOrder
+      .withRowNumber(capped, order, "sel_rank")
+      .filter(col("sel_rank") <= topN)
+    selected
+      .withColumn("fetch_slot",
+        row_number().over(Window.partitionBy(col(hostCol))
+          .orderBy(col("sel_rank"))).cast("long") - 1L)
+  }
+
+  /** LinkDb-style anchor-text aggregation: collapse the inlink set of
+    * each target into its top-`k` anchor strings by frequency (count
+    * desc, anchor asc) — the classic relevance signal ("what the web
+    * calls this page") and a dedup key for mirror detection. Returns
+    * per `dstCol`:
+    *
+    *   - `n_links`: total inlinks (with anchors);
+    *   - `n_anchors`: distinct anchor strings;
+    *   - `top_anchors`: the top-k as "anchor:count" joined by "|",
+    *     frequency-ordered — a flat string so downstream engines (and
+    *     the oracle hash) need no array cells.
+    *
+    * Scale shape: one hash aggregation to (dst, anchor) counts —
+    * map-side partials absorb hub targets' repeated anchors — then a
+    * constant-bound row_number (WindowGroupLimit) and one final
+    * aggregation by dst. Null/empty anchors are dropped first.
+    */
+  def anchorText(links: DataFrame, dstCol: String, anchorCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = links
+      .filter(col(anchorCol).isNotNull && col(anchorCol) =!= "")
+      .groupBy(col(dstCol), col(anchorCol).as("_anchor"))
+      .agg(count(lit(1)).as("_cnt"))
+    val w = Window.partitionBy(col(dstCol))
+      .orderBy(col("_cnt").desc, col("_anchor").asc)
+    counts
+      .withColumn("_rank", row_number().over(w))
+      .groupBy(col(dstCol))
+      .agg(
+        sum(col("_cnt")).as("n_links"),
+        count(lit(1)).as("n_anchors"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_rank") <= k,
+            struct(col("_rank").as("r"),
+              concat(col("_anchor"), lit(":"), col("_cnt")).as("s"))))),
+          x => x.getField("s")), "|").as("top_anchors"))
+  }
+}
