@@ -29,7 +29,15 @@ object GlobalOrder {
 
   /** `df` plus a LongType `outCol` = 1-based global rank by `order`. */
   def withRowNumber(df: DataFrame, order: Seq[Column], outCol: String,
-      partitions: Int = 0): DataFrame = {
+      partitions: Int = 0): DataFrame =
+    withRowNumberCounted(df, order, outCol, partitions)._1
+
+  /** [[withRowNumber]] plus the TOTAL row count — free here (the
+    * prefix-offset pass already collects per-partition counts), and it
+    * saves callers that need n (ntile-style staging) a second scan.
+    */
+  def withRowNumberCounted(df: DataFrame, order: Seq[Column], outCol: String,
+      partitions: Int = 0): (DataFrame, Long) = {
     require(order.nonEmpty, "global rank needs at least one order column")
     val n = if (partitions > 0) partitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -47,8 +55,9 @@ object GlobalOrder {
       when(col("_gpid") === pid, lit(offsets.getOrElse(pid, 0L))).otherwise(c)
     }
     val w = Window.partitionBy(col("_gpid")).orderBy(order: _*)
-    ranged
+    val out = ranged
       .withColumn(outCol, row_number().over(w).cast("long") + offCol)
       .drop("_gpid")
+    (out, cnts.map(_._2).sum)
   }
 }
