@@ -1,0 +1,461 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 session-5 tier: multi-tenant dag scheduling (the
+  * reference's DagManager/UserQuotaManager semantics as a
+  * deterministic virtual-time engine whose full event trace a DuckDB
+  * recursive CTE replays tick for tick), zone-map data skipping on
+  * the sharded-table manifest, zstd-compressed text ingestion, URL
+  * canonicalization, and crawl-frontier planning (fetch-list
+  * generation + anchor-text aggregation).
+  */
+object OperatorGates13 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Scheduler workload shared by the gate and (re-derived) by the
+    * oracle: one diamond dag (a → {b, c} → d) per nation key < 8.
+    * Users rotate mod 3 (u0/u1 own three dags each, so launches
+    * overflow the user quota and quota-fail), groups alternate mod 2,
+    * dag 4 submits first with a long root and a 4-tick SLA (its root
+    * is killed MID-RUN, the rest cancel), task b fails once on
+    * k%4==1 (retry succeeds) and always on k%4==3, task c always on
+    * k%4==2 (attempt exhaustion → the failure options diverge:
+    * FINISH_RUNNING cancels pending siblings, FINISH_ALL_POSSIBLE
+    * finishes what it can).
+    */
+  private[graft] def dagWorkload(s: SparkSession, dir: String)
+      : Seq[graft.runner.DagScheduler.DagTask] = {
+    import graft.runner.DagScheduler.DagTask
+    val keys = t(s, dir, "nation")
+      .filter(col("n_nationkey") < 8)
+      .select(col("n_nationkey").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq // 8 rows of metadata
+    val shape = Seq(("a", Seq.empty[String], 0), ("b", Seq("a"), 1),
+      ("c", Seq("a"), 2), ("d", Seq("b", "c"), 3))
+    keys.flatMap { k =>
+      shape.map { case (task, deps, pos) =>
+        DagTask(
+          dag = s"dag$k", task = task,
+          user = s"u${k % 3}", group = s"g${k % 2}",
+          dependsOn = deps,
+          duration = if (k == 4 && task == "a") 4 else (1 + (k + pos) % 2).toInt,
+          failAttempts =
+            if (task == "b" && k % 4 == 1) 1
+            else if (task == "b" && k % 4 == 3) 9
+            else if (task == "c" && k % 4 == 2) 9
+            else 0,
+          maxAttempts = 2,
+          submitTick = if (k == 4) 0 else k % 3,
+          slaTicks = if (k == 4) 4 else -1,
+          failureOption =
+            if (k % 2 == 0) "FINISH_RUNNING" else "FINISH_ALL_POSSIBLE")
+      }
+    }
+  }
+
+  def queries13: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- multi-tenant dag scheduling: 8 diamond dags through 3
+    //     executor slots under user quota 2 / group quota 3, with
+    //     retries, a permanent failure under each failure option, an
+    //     SLA kill, and a launch-time quota failure. The oracle
+    //     replays the synchronous-update transition rule tick for
+    //     tick in a recursive CTE and derives the identical event
+    //     trace from the state transitions ---------------------------
+    "q_dag_schedule" -> ((s, dir) => {
+      import graft.runner.DagScheduler
+      DagScheduler.scheduleDF(s, dagWorkload(s, dir),
+          DagScheduler.SchedulerConfig(slots = 3, userQuota = 2,
+            groupQuota = 3, horizon = 40))
+        .orderBy(col("tick"), col("dag"), col("task"), col("event"))
+    }),
+
+    // --- zone-map data skipping: documents committed to a
+    //     ShardedTable in ingest-order shards (doc_id/64) with
+    //     manifest-level min/max stats on doc_id and lang; a range
+    //     read opens ONLY shards whose zone intersects [100, 300]
+    //     (pruning proven file-level in ZoneMapSpec) and the residual
+    //     filter makes the result exactly the SQL range scan ---------
+    "q_zonemap_scan" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q_zonemap").toString
+      val table = new sink.ShardedTable(s"$tmp/zt", "shard",
+        s.sparkContext.hadoopConfiguration)
+      val sharded = t(s, dir, "documents")
+        .withColumn("shard", (col("doc_id") / 64).cast("long"))
+      val shards = sharded.select("shard").distinct()
+        .collect().map(_.getLong(0).toString).toSeq // nDocs/64 shard ids
+      table.commit(sharded, shards, statsCols = Seq("doc_id", "lang"))
+      table.readRange(s, "doc_id", Some("100"), Some("300"))
+        .filter(col("doc_id").between(100, 300))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- zstd ingestion: documents packed 10-per-file as
+    //     "id\ttext" lines, zstd-compressed (zstd-jni — the codec on
+    //     every Spark executor), then ingested back through the
+    //     ZstdDecompress expression + line/field splits. The
+    //     round-trip must be lossless; CLI interop is pinned in
+    //     ZstdSpec against the system zstd binary ---------------------
+    "q_zstd_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.{ZstdBytes, ZstdDecompress}
+      val packed = t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 10)
+        .mapGroups { (fid, it) =>
+          val lines = it.toSeq.sortBy(_._1)
+            .map { case (id, text) => s"$id\t$text" }.mkString("\n")
+          (fid, ZstdBytes.compress(
+            lines.getBytes(java.nio.charset.StandardCharsets.UTF_8), 3))
+        }
+        .toDF("file_id", "content")
+      packed
+        .select(explode(split(ZstdDecompress(col("content")).cast("string"),
+          "\n")).as("line"))
+        .select(
+          split(col("line"), "\t").getItem(0).cast("long").as("doc_id"),
+          split(col("line"), "\t").getItem(1).as("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- URL canonicalization: deterministic variants (scheme/host
+    //     case, default + explicit ports, missing paths, shuffled and
+    //     tracking-polluted query strings, fragments) collapse to one
+    //     canonical form per logical page; the dedup keys on it. The
+    //     oracle rebuilds the SAME variants and replays every
+    //     canonicalization rule in SQL --------------------------------
+    "q_url_canonical" -> ((s, dir) => {
+      import graft.functions.Text
+      val k = col("doc_id")
+      val url = concat(
+        when(pmod(k, lit(2)) === 0, "HTTP").otherwise("https"), lit("://"),
+        concat(lit("Ex"), pmod(k, lit(7)), lit(".CoM")),
+        when(pmod(k, lit(3)) === 0,
+            when(pmod(k, lit(2)) === 0, ":80").otherwise(":443"))
+          .when(pmod(k, lit(3)) === 1,
+            when(pmod(k, lit(2)) === 0, ":8080").otherwise(":8443"))
+          .otherwise(""),
+        when(pmod(k, lit(4)) === 0, "").otherwise(concat(lit("/P"), pmod(k, lit(5)))),
+        when(pmod(k, lit(5)) === 0, "?b=2&a=1")
+          .when(pmod(k, lit(5)) === 1, "?a=1&b=2")
+          .when(pmod(k, lit(5)) === 2, "?utm_source=tw&a=1")
+          .when(pmod(k, lit(5)) === 3, "?a=1&utm_campaign=x&")
+          .otherwise(""),
+        when(pmod(k, lit(2)) === 0, concat(lit("#sec"), pmod(k, lit(3)))).otherwise(""))
+      t(s, dir, "documents").select(col("doc_id"), url.as("url"))
+        .select(col("doc_id"), Text.canonicalizeUrl(col("url")).as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_variants"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("canonical"))
+    }),
+
+    // --- Nutch-Generator fetch-list selection: scored frontier (one
+    //     URL per doc, host = source), per-host politeness cap 10,
+    //     global top-150 via the GlobalOrder range exchange (NOT
+    //     orderBy.limit), post-selection per-host fetch slots. The
+    //     oracle replays both windows and the truncation ---------------
+    "q_fetch_list" -> ((s, dir) => {
+      val f = t(s, dir, "documents").select(
+        concat(lit("http://"), col("source"), lit("/p"), col("doc_id")).as("url"),
+        col("source").as("host"),
+        pmod(col("doc_id") * 37, lit(1000)).as("score"))
+      val ops = graft.runner.JobConfig.buildOps(graft.runner.JobConfig.parse(
+        """ops=canonicalizeUrl,fetchList
+          |op.canonicalizeUrl.column=url
+          |op.fetchList.urlColumn=url
+          |op.fetchList.hostColumn=host
+          |op.fetchList.scoreColumn=score
+          |op.fetchList.topN=150
+          |op.fetchList.maxPerHost=10
+          |""".stripMargin))
+      ops.foldLeft(f)((d, op) => op(d))
+        .select(col("url"), col("host"), col("score"),
+          col("sel_rank"), col("fetch_slot"))
+        .orderBy(col("sel_rank"))
+    }),
+
+    // --- LinkDb anchor-text aggregation over the corpus link graph
+    //     (same head-block edge rule as q_link_rank; the anchor is the
+    //     linking doc's first word): per target, total inlinks,
+    //     distinct anchors, and the top-3 "anchor:count" string --------
+    "q_anchor_text" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val heads = docs.select(col("doc_id").as("head_id"),
+        col("source").as("dst"))
+      val links = docs
+        .withColumn("head_id", col("doc_id") -
+          pmod(col("doc_id"), lit(2) + pmod(col("doc_id"), lit(5))))
+        .join(heads, "head_id")
+        .select(col("dst"), split(col("text"), " ").getItem(0).as("anchor"))
+      val ops = graft.runner.JobConfig.buildOps(graft.runner.JobConfig.parse(
+        """ops=anchorText
+          |op.anchorText.dstColumn=dst
+          |op.anchorText.anchorColumn=anchor
+          |op.anchorText.k=3
+          |""".stripMargin))
+      ops.foldLeft(links)((d, op) => op(d)).orderBy(col("dst"))
+    }),
+
+    // --- curriculum training order: rank by difficulty (n_chars),
+    //     4 contiguous stages via the exact (rank-1)*k div n cut,
+    //     md5-shuffled within stages, global train_seq — every step
+    //     an engine-replayable total order (no RNG), so the oracle
+    //     rebuilds the identical sequence ----------------------------
+    "q_curriculum" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val ops = graft.runner.JobConfig.buildOps(graft.runner.JobConfig.parse(
+        """ops=curriculum
+          |op.curriculum.idColumn=doc_id
+          |op.curriculum.difficultyColumn=n_chars
+          |op.curriculum.stages=4
+          |""".stripMargin))
+      ops.foldLeft(docs)((d, op) => op(d))
+        .select(col("doc_id"), col("n_chars"), col("stage"), col("train_seq"))
+        .orderBy(col("train_seq"))
+    })
+  )
+
+  def oracleSql13: Map[String, String] = Map(
+
+    "q_dag_schedule" -> """
+      WITH RECURSIVE tasks AS (
+        SELECT 'dag' || CAST(k AS VARCHAR) AS dag, tt.task,
+               'u' || CAST(k % 3 AS VARCHAR) AS usr,
+               'g' || CAST(k % 2 AS VARCHAR) AS grp,
+               tt.deps,
+               CAST(CASE WHEN k = 4 AND tt.task = 'a' THEN 4
+                         ELSE 1 + (k + tt.pos) % 2 END AS BIGINT) AS dur,
+               CAST(CASE WHEN tt.task = 'b' AND k % 4 = 1 THEN 1
+                         WHEN tt.task = 'b' AND k % 4 = 3 THEN 9
+                         WHEN tt.task = 'c' AND k % 4 = 2 THEN 9
+                         ELSE 0 END AS BIGINT) AS fail_att,
+               CAST(2 AS BIGINT) AS max_att,
+               CAST(CASE WHEN k = 4 THEN 0 ELSE k % 3 END AS BIGINT) AS submit,
+               CAST(CASE WHEN k = 4 THEN 4 ELSE -1 END AS BIGINT) AS sla,
+               CASE WHEN k % 2 = 0 THEN 'FINISH_RUNNING'
+                    ELSE 'FINISH_ALL_POSSIBLE' END AS fopt
+        FROM (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 8) n
+        CROSS JOIN (VALUES ('a', CAST([] AS VARCHAR[]), 0),
+                           ('b', ['a'], 1),
+                           ('c', ['a'], 2),
+                           ('d', ['b','c'], 3)) tt(task, deps, pos)
+      ),
+      sched AS (
+        SELECT CAST(0 AS BIGINT) AS tick, dag, task, usr, grp, deps, dur,
+               fail_att, max_att, submit, sla, fopt,
+               'P' AS state, CAST(1 AS BIGINT) AS attempt,
+               CAST(-1 AS BIGINT) AS end_tick
+        FROM tasks
+        UNION ALL
+        SELECT nt, dag, task, usr, grp, deps, dur, fail_att, max_att,
+               submit, sla, fopt,
+               CASE WHEN completes THEN
+                      (CASE WHEN attempt > fail_att THEN 'S'
+                            WHEN attempt >= max_att THEN 'F'
+                            ELSE 'P' END)
+                    WHEN sla_hit THEN (CASE WHEN state = 'R' THEN 'K' ELSE 'C' END)
+                    WHEN cancels THEN 'C'
+                    WHEN started THEN 'R'
+                    WHEN qfail THEN 'Q'
+                    ELSE state END AS state,
+               CASE WHEN completes AND attempt <= fail_att AND attempt < max_att
+                    THEN attempt + 1 ELSE attempt END AS attempt,
+               CASE WHEN completes AND attempt <= fail_att AND attempt < max_att
+                      THEN -1
+                    WHEN completes THEN end_tick
+                    WHEN sla_hit OR cancels OR qfail THEN -1
+                    WHEN started THEN nt + dur
+                    ELSE end_tick END AS end_tick
+        FROM (
+          SELECT d.*,
+                 launched AND (run_usr + u_rank <= 2)
+                          AND (run_grp + g_rank <= 3) AS started,
+                 launched AND NOT ((run_usr + u_rank <= 2)
+                                   AND (run_grp + g_rank <= 3)) AS qfail
+          FROM (
+            SELECT c.*,
+                   COUNT(*) FILTER (WHERE launched) OVER
+                     (PARTITION BY usr ORDER BY submit, dag, task
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u_rank,
+                   COUNT(*) FILTER (WHERE launched) OVER
+                     (PARTITION BY grp ORDER BY submit, dag, task
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g_rank
+            FROM (
+              SELECT b.*,
+                     is_cand AND run_tot + COUNT(*) FILTER (WHERE is_cand) OVER
+                       (ORDER BY submit, dag, task
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       <= 3 AS launched
+              FROM (
+                SELECT a.*,
+                       state = 'P' AND NOT sla_hit AND
+                         (len(list_intersect(deps, dead_set)) > 0 OR
+                          (fopt = 'FINISH_RUNNING' AND len(dead_set) > 0))
+                         AS cancels,
+                       state = 'P' AND NOT sla_hit AND
+                         NOT (len(list_intersect(deps, dead_set)) > 0 OR
+                              (fopt = 'FINISH_RUNNING' AND len(dead_set) > 0)) AND
+                         submit <= nt AND list_has_all(succ_set, deps) AS is_cand
+                FROM (
+                  SELECT p.*, p.tick + 1 AS nt,
+                         p.state = 'R' AND p.end_tick = p.tick + 1 AS completes,
+                         NOT (p.state = 'R' AND p.end_tick = p.tick + 1)
+                           AND p.sla >= 0 AND p.tick + 1 >= p.submit + p.sla
+                           AND p.state IN ('P','R') AS sla_hit,
+                         COALESCE(list(p.task) FILTER (WHERE p.state = 'S')
+                           OVER (PARTITION BY p.dag), []) AS succ_set,
+                         COALESCE(list(p.task)
+                             FILTER (WHERE p.state IN ('F','Q','C','K'))
+                           OVER (PARTITION BY p.dag), []) AS dead_set,
+                         COUNT(*) FILTER (WHERE p.state = 'R') OVER () AS run_tot,
+                         COUNT(*) FILTER (WHERE p.state = 'R')
+                           OVER (PARTITION BY p.usr) AS run_usr,
+                         COUNT(*) FILTER (WHERE p.state = 'R')
+                           OVER (PARTITION BY p.grp) AS run_grp
+                  FROM sched p
+                ) a
+              ) b
+            ) c
+          ) d
+        )
+        WHERE nt <= 40
+      )
+      SELECT tick, dag, task,
+             CASE WHEN pstate = 'R' AND state = 'P' THEN pattempt
+                  ELSE attempt END AS attempt,
+             CASE WHEN pstate = 'P' AND state = 'R' THEN 'start'
+                  WHEN pstate = 'R' AND state = 'S' THEN 'success'
+                  WHEN pstate = 'R' AND state = 'F' THEN 'fail'
+                  WHEN pstate = 'R' AND state = 'P' THEN 'fail'
+                  WHEN pstate = 'P' AND state = 'Q' THEN 'quota_fail'
+                  WHEN pstate = 'P' AND state = 'C' THEN 'cancelled'
+                  WHEN pstate = 'R' AND state = 'K' THEN 'sla_kill' END AS event
+      FROM (SELECT tick, dag, task, state, attempt,
+                   lag(state) OVER w AS pstate, lag(attempt) OVER w AS pattempt
+            FROM sched WINDOW w AS (PARTITION BY dag, task ORDER BY tick))
+      WHERE pstate IS NOT NULL AND pstate <> state
+      ORDER BY tick, dag, task, event
+    """,
+
+    "q_zonemap_scan" -> """
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id BETWEEN 100 AND 300
+      ORDER BY doc_id
+    """,
+
+    "q_zstd_ingest" -> """
+      SELECT doc_id, COALESCE(text, '') AS text FROM documents
+      ORDER BY doc_id
+    """,
+
+    "q_url_canonical" -> """
+      WITH u AS (
+        SELECT doc_id,
+          (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+          'Ex' || CAST(doc_id % 7 AS VARCHAR) || '.CoM' ||
+          (CASE WHEN doc_id % 3 = 0 THEN
+                  (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+                WHEN doc_id % 3 = 1 THEN
+                  (CASE WHEN doc_id % 2 = 0 THEN ':8080' ELSE ':8443' END)
+                ELSE '' END) ||
+          (CASE WHEN doc_id % 4 = 0 THEN ''
+                ELSE '/P' || CAST(doc_id % 5 AS VARCHAR) END) ||
+          (CASE doc_id % 5 WHEN 0 THEN '?b=2&a=1' WHEN 1 THEN '?a=1&b=2'
+                WHEN 2 THEN '?utm_source=tw&a=1'
+                WHEN 3 THEN '?a=1&utm_campaign=x&' ELSE '' END) ||
+          (CASE WHEN doc_id % 2 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR)
+                ELSE '' END) AS url
+        FROM documents
+      ),
+      s1 AS (SELECT doc_id, string_split(url, '#')[1] AS nofrag FROM u),
+      s2 AS (SELECT doc_id, nofrag, strpos(nofrag, '?') AS qp FROM s1),
+      s3 AS (SELECT doc_id,
+               CASE WHEN qp > 0 THEN substring(nofrag, 1, qp - 1)
+                    ELSE nofrag END AS base,
+               CASE WHEN qp > 0 THEN substring(nofrag, qp + 1) ELSE '' END AS qs
+             FROM s2),
+      s4 AS (SELECT doc_id, base, qs,
+               regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1) AS sh
+             FROM s3),
+      s5 AS (SELECT doc_id, qs, sh, base,
+               regexp_replace(
+                 regexp_replace(lower(sh), '^(http://[^:]*):80$', '\1'),
+                 '^(https://[^:]*):443$', '\1') AS ch,
+               substring(base, length(sh) + 1) AS path
+             FROM s4),
+      s6 AS (SELECT doc_id,
+               CASE WHEN sh = '' THEN base
+                    ELSE ch || (CASE WHEN path = '' THEN '/' ELSE path END)
+                    END AS cb,
+               COALESCE(array_to_string(list_sort(list_filter(
+                 string_split(qs, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                   '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)='))), '&'), '')
+                 AS cq
+             FROM s5)
+      SELECT CASE WHEN cq = '' THEN cb ELSE cb || '?' || cq END AS canonical,
+             COUNT(*) AS n_variants, MIN(doc_id) AS first_doc
+      FROM s6 GROUP BY 1 ORDER BY 1
+    """,
+
+    "q_fetch_list" -> """
+      WITH f AS (
+        SELECT 'http://' || source || '/p' || CAST(doc_id AS VARCHAR) AS url,
+               source AS host, CAST(doc_id * 37 % 1000 AS BIGINT) AS score
+        FROM documents),
+      capped AS (
+        SELECT *, row_number() OVER (PARTITION BY host
+                                     ORDER BY score DESC, url) AS hr
+        FROM f),
+      sel AS (
+        SELECT url, host, score,
+               row_number() OVER (ORDER BY score DESC, url) AS sel_rank
+        FROM capped WHERE hr <= 10)
+      SELECT url, host, score, sel_rank,
+             row_number() OVER (PARTITION BY host ORDER BY sel_rank) - 1
+               AS fetch_slot
+      FROM sel WHERE sel_rank <= 150
+      ORDER BY sel_rank
+    """,
+
+    "q_anchor_text" -> """
+      WITH l AS (
+        SELECT b.source AS dst, string_split(a.text, ' ')[1] AS anchor
+        FROM documents a JOIN documents b
+          ON b.doc_id = a.doc_id - a.doc_id % (2 + a.doc_id % 5)),
+      c AS (
+        SELECT dst, anchor, count(*) AS cnt FROM l
+        WHERE anchor IS NOT NULL AND anchor <> '' GROUP BY 1, 2),
+      r AS (
+        SELECT *, row_number() OVER (PARTITION BY dst
+                                     ORDER BY cnt DESC, anchor) AS rk
+        FROM c)
+      SELECT dst, CAST(sum(cnt) AS BIGINT) AS n_links,
+             count(*) AS n_anchors,
+             string_agg(CASE WHEN rk <= 3 THEN anchor || ':' || cnt END,
+                        '|' ORDER BY rk) AS top_anchors
+      FROM r GROUP BY dst ORDER BY dst
+    """,
+
+    "q_curriculum" -> """
+      WITH r AS (
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS rk,
+               count(*) OVER () AS n
+        FROM documents),
+      s AS (SELECT doc_id, n_chars, (rk - 1) * 4 // n AS stage FROM r)
+      SELECT doc_id, n_chars, stage,
+             row_number() OVER (ORDER BY stage, md5('cur|' || doc_id), doc_id)
+               AS train_seq
+      FROM s ORDER BY train_seq
+    """
+  )
+}

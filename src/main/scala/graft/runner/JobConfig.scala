@@ -298,6 +298,31 @@ object JobConfig {
           req(p, "op.linkRank.dstColumn"),
           iterations = opt(p, "op.linkRank.iterations")
             .map(_.toInt).getOrElse(10))
+      case "canonicalizeUrl" => (df: DataFrame) => {
+        val c = req(p, "op.canonicalizeUrl.column")
+        df.withColumn(opt(p, "op.canonicalizeUrl.outColumn").getOrElse(c),
+          Text.canonicalizeUrl(col(c)))
+      }
+      case "fetchList" => (df: DataFrame) =>
+        // REPORT op: the frame becomes the selected fetch list
+        graft.operators.CrawlFrontier.generateFetchList(df,
+          req(p, "op.fetchList.urlColumn"),
+          req(p, "op.fetchList.hostColumn"),
+          req(p, "op.fetchList.scoreColumn"),
+          topN = req(p, "op.fetchList.topN").toLong,
+          maxPerHost = req(p, "op.fetchList.maxPerHost").toInt)
+      case "anchorText" => (df: DataFrame) =>
+        // REPORT op: the frame becomes the per-target anchor summary
+        graft.operators.CrawlFrontier.anchorText(df,
+          req(p, "op.anchorText.dstColumn"),
+          req(p, "op.anchorText.anchorColumn"),
+          k = opt(p, "op.anchorText.k").map(_.toInt).getOrElse(5))
+      case "curriculum" => (df: DataFrame) =>
+        graft.operators.Curriculum.order(df,
+          req(p, "op.curriculum.idColumn"),
+          req(p, "op.curriculum.difficultyColumn"),
+          stages = req(p, "op.curriculum.stages").toInt,
+          salt = opt(p, "op.curriculum.salt").getOrElse("cur"))
       case "mixturePlan" => (df: DataFrame) => {
         // REPORT op: the frame becomes its per-source epoch plan
         val weights = req(p, "op.mixturePlan.weights").split(",").map { kv =>

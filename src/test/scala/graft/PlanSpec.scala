@@ -315,4 +315,31 @@ class PlanSpec extends SparkSpec {
     // destinations at 100 TB: everyone links to the same hubs)
     assert(p.contains("partial_sum"), s"in-mass aggregation lost its partial:\n${p.take(800)}")
   }
+
+  test("fetch list: host cap rides WindowGroupLimit, no TakeOrdered funnel, no one-task window") {
+    // the gate's plan tail is the GlobalOrder checkpoint scan; assert
+    // the pre-checkpoint stage (the capped frontier) and the gate plan
+    import org.apache.spark.sql.functions._
+    val f = Tables.load(spark, sf(), "documents").select(
+      concat(lit("http://"), col("source"), lit("/p"), col("doc_id")).as("url"),
+      col("source").as("host"), pmod(col("doc_id") * 37, lit(1000)).as("score"))
+    val p = plan("q_fetch_list")
+    assert(!p.contains("TakeOrderedAndProject"),
+      "global top-N must not funnel through one task")
+    val cappedPlan = {
+      import org.apache.spark.sql.expressions.Window
+      f.withColumn("_hr", row_number().over(
+          Window.partitionBy(col("host")).orderBy(col("score").desc, col("url").asc)))
+        .filter(col("_hr") <= 10).queryExecution.executedPlan.toString
+    }
+    assert(cappedPlan.contains("WindowGroupLimit"),
+      "per-host cap lost its rank-limit pushdown")
+  }
+
+  test("anchor text: count agg keeps its partial, top-k rank bound pushes down") {
+    val p = plan("q_anchor_text")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("partial_count"),
+      "(dst, anchor) counting lost map-side partials (hub-target skew)")
+  }
 }
