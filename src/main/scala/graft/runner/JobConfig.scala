@@ -762,6 +762,69 @@ object JobConfig {
         statePartitions.fold(run())(n =>
           StreamingIngest.withStatePartitions(spark, n)(run()))
 
+      case "dag" =>
+        // multi-tenant scheduled dag-of-jobs: every task points at a
+        // properties job file; DagScheduler decides order + admission
+        // (quotas/SLA/failure options) in virtual time, executeScheduled
+        // runs the admitted tasks with state-store crash-resume. Keys:
+        //   dag.<dag>.submit|sla|failureOption        (dag attributes)
+        //   dag.<dag>.<task>.job=<properties path>    (defines a task)
+        //   dag.<dag>.<task>.dependsOn|user|group|duration|maxAttempts
+        //   scheduler.slots|userQuota|groupQuota|horizon
+        import scala.jdk.CollectionConverters._
+        val dagKeys = p.stringPropertyNames.asScala.filter(_.startsWith("dag."))
+        val dagAttrs = Set("submit", "sla", "failureOption")
+        val taskIds = dagKeys.filter(_.endsWith(".job")).toSeq.sorted.map { k =>
+          k.stripPrefix("dag.").stripSuffix(".job").split("\\.", -1) match {
+            case Array(d, task) if d.nonEmpty && task.nonEmpty => (d, task)
+            case _ => throw new IllegalArgumentException(
+              s"dag task key '$k' is not dag.<dag>.<task>.job " +
+                "(dag/task names must not contain '.')")
+          }
+        }
+        require(taskIds.nonEmpty, "job.type=dag needs at least one dag.<dag>.<task>.job")
+        def tOpt(d: String, task: String, a: String) = opt(p, s"dag.$d.$task.$a")
+        val workload = taskIds.map { case (d, task) =>
+          require(!dagAttrs.contains(task),
+            s"task name '$task' in dag '$d' collides with a dag attribute")
+          val dagTask = DagScheduler.DagTask(
+            dag = d, task = task,
+            user = tOpt(d, task, "user").getOrElse("default"),
+            group = tOpt(d, task, "group").getOrElse("default"),
+            dependsOn = tOpt(d, task, "dependsOn")
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+            duration = tOpt(d, task, "duration").map(_.toInt).getOrElse(1),
+            failAttempts = tOpt(d, task, "failAttempts").map(_.toInt).getOrElse(0),
+            maxAttempts = tOpt(d, task, "maxAttempts").map(_.toInt).getOrElse(2),
+            submitTick = opt(p, s"dag.$d.submit").map(_.toLong).getOrElse(0L),
+            slaTicks = opt(p, s"dag.$d.sla").map(_.toLong).getOrElse(-1L),
+            failureOption = opt(p, s"dag.$d.failureOption")
+              .getOrElse("FINISH_ALL_POSSIBLE"))
+          val jobProps = parse(java.nio.file.Files.readString(
+            java.nio.file.Paths.get(req(p, s"dag.$d.$task.job"))))
+          (dagTask, jobProps)
+        }
+        val conf = DagScheduler.SchedulerConfig(
+          slots = opt(p, "scheduler.slots").map(_.toInt).getOrElse(4),
+          userQuota = opt(p, "scheduler.userQuota").map(_.toInt).getOrElse(4),
+          groupQuota = opt(p, "scheduler.groupQuota").map(_.toInt).getOrElse(4),
+          horizon = opt(p, "scheduler.horizon").map(_.toInt).getOrElse(64))
+        val store = new FsStateStore(req(p, "dag.state.dir"),
+          spark.sparkContext.hadoopConfiguration)
+        val results = DagScheduler.executeScheduled(spark, store, workload, conf)
+        val trace = DagScheduler.schedule(workload.map(_._1), conf)
+        val lastByTask = trace.groupBy(e => (e.dag, e.task))
+          .view.mapValues(_.maxBy(e => (e.tick, e.event)).event)
+        Map(
+          "tasks" -> taskIds.size.toString,
+          "ran" -> results.count(_._2 == "ran").toString,
+          "skipped" -> results.count(_._2 == "skipped").toString,
+          "succeeded" -> lastByTask.values.count(_ == "success").toString,
+          "failed" -> lastByTask.values.count(_ == "fail").toString,
+          "quota_failed" -> lastByTask.values.count(_ == "quota_fail").toString,
+          "cancelled" -> lastByTask.values.count(_ == "cancelled").toString,
+          "sla_killed" -> lastByTask.values.count(_ == "sla_kill").toString)
+
       case other => throw new IllegalArgumentException(s"unknown job.type: $other")
     }
 

@@ -107,6 +107,59 @@ class DagSchedulerSpec extends SparkSpec {
     }
   }
 
+  test("job.type=dag: properties-defined dag runs jobs under quota semantics and resumes") {
+    val tmp = tmpDir("dagjob")
+    graft.Tables.load(spark, sf(), "documents").limit(40)
+      .write.mode("overwrite").parquet(s"$tmp/src")
+    def jobFile(name: String, pred: String): String = {
+      val path = s"$tmp/$name.properties"
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        s"""job.name=$name
+           |source.path=$tmp/src
+           |source.watermark.column=doc_id
+           |ops=filter
+           |op.filter.predicate=$pred
+           |sink.staging=$tmp/staging_$name
+           |sink.output=$tmp/out_$name
+           |state.dir=$tmp/jobstate
+           |""".stripMargin)
+      path
+    }
+    val master = JobConfig.parse(
+      s"""job.type=dag
+         |dag.state.dir=$tmp/dagstate
+         |scheduler.slots=2
+         |scheduler.userQuota=1
+         |scheduler.groupQuota=9
+         |dag.f.extract.job=${jobFile("extract", "doc_id < 20")}
+         |dag.f.load.job=${jobFile("load", "doc_id < 5")}
+         |dag.f.load.dependsOn=extract
+         |dag.g.only.job=${jobFile("only", "doc_id < 10")}
+         |dag.g.only.user=other
+         |""".stripMargin)
+    val r1 = JobConfig.runAny(spark, master)
+    assert(r1("tasks") == "3" && r1("ran") == "3" && r1("succeeded") == "3")
+    assert(r1("quota_failed") == "0" && r1("failed") == "0")
+    assert(spark.read.parquet(s"$tmp/out_load").count() == 5)
+    assert(spark.read.parquet(s"$tmp/out_only").count() == 10)
+    // rerun: everything resumes off the dag state store
+    val r2 = JobConfig.runAny(spark, master)
+    assert(r2("ran") == "0" && r2("skipped") == "3")
+    // same-user dags under userQuota=1: the second LAUNCH quota-fails
+    val clash = JobConfig.parse(
+      s"""job.type=dag
+         |dag.state.dir=$tmp/dagstate2
+         |scheduler.slots=2
+         |scheduler.userQuota=1
+         |scheduler.groupQuota=9
+         |dag.a.t.job=${jobFile("qa", "doc_id < 3")}
+         |dag.a.t.duration=5
+         |dag.b.t.job=${jobFile("qb", "doc_id < 3")}
+         |""".stripMargin)
+    val r3 = JobConfig.runAny(spark, clash)
+    assert(r3("quota_failed") == "1" && r3("succeeded") == "1", r3.toString)
+  }
+
   test("executeScheduled runs real jobs in trace order and resumes past completions") {
     import org.apache.spark.sql.functions._
     val tmp = tmpDir("dagsched")
