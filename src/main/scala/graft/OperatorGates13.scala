@@ -203,6 +203,88 @@ object OperatorGates13 {
       ops.foldLeft(links)((d, op) => op(d)).orderBy(col("dst"))
     }),
 
+    // --- FLAGSHIP crawl-plan chain: tracking-polluted discovered URLs
+    //     (3 variants per doc) → canonicalize → URL-dedup (first doc
+    //     wins) → scored frontier (score = winning doc's n_chars %
+    //     1000) → politeness fetch list (top-100, ≤5/host). One oracle
+    //     replays the whole chain ------------------------------------
+    "q_crawl_plan" -> ((s, dir) => {
+      import graft.functions.Text
+      import graft.operators.CrawlFrontier
+      val k = col("doc_id")
+      val base = concat(lit("http://h"), pmod(k, lit(23)), lit(".com/d"), k)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val discovered = docs.select(col("doc_id"), col("n_chars"),
+          explode(array(
+            concat(base, lit("?utm_source=a")),
+            concat(base, lit("?ref=2&utm_medium=b#frag")),
+            concat(lit("HTTP://H"), pmod(k, lit(23)), lit(".COM:80/d"), k,
+              lit("?ref=2")))).as("url"))
+      val canon = discovered
+        .select(col("doc_id"), col("n_chars"),
+          Text.canonicalizeUrl(col("url")).as("url"))
+        .groupBy(col("url"))
+        .agg(min_by(struct(col("doc_id"), col("n_chars")), col("doc_id")).as("w"))
+        .select(col("url"), col("w.doc_id").as("doc_id"),
+          pmod(col("w.n_chars"), lit(1000)).as("score"),
+          regexp_extract(col("url"), "^http://([^/]*)", 1).as("host"))
+      CrawlFrontier.generateFetchList(canon, "url", "host", "score",
+          topN = 100, maxPerHost = 5)
+        .select(col("url"), col("host"), col("doc_id"), col("score"),
+          col("sel_rank"), col("fetch_slot"))
+        .orderBy(col("sel_rank"))
+    }),
+
+    // --- incremental frontier maintenance (job.type=frontier): two
+    //     watermark epochs of tracking-polluted discoveries (every doc
+    //     discovers its head-block URL, decorated with a per-discoverer
+    //     utm param + fragment) canonicalize and merge MERGEABLY
+    //     (first-seen seq, best score, discovery count) into a
+    //     canonical-hash-sharded versioned frontier; epoch 3 is a
+    //     no-op. Oracle = the full recompute over all discoveries ----
+    "q_frontier_job" -> ((s, dir) => {
+      import graft.runner.JobConfig
+      val disc = t(s, dir, "documents")
+        .select(col("doc_id").as("seq"),
+          (col("doc_id") - pmod(col("doc_id"), lit(5))).as("target"),
+          pmod(col("n_chars"), lit(997)).as("score"))
+        .withColumn("url", concat(
+          lit("http://h"), pmod(col("target"), lit(13)),
+          lit(".net/u"), col("target"),
+          lit("?utm_campaign=c"), pmod(col("seq"), lit(3)),
+          lit("#f"), pmod(col("seq"), lit(2))))
+        .select(col("seq"), col("url"), col("score"))
+      val maxSeq = disc.agg(max("seq")).head.getLong(0)
+      val split = maxSeq / 2
+      val tmp = java.nio.file.Files.createTempDirectory("q_frontier").toString
+      val props = JobConfig.parse(
+        s"""job.type=frontier
+           |job.name=frontier_gate
+           |source.path=$tmp/src
+           |frontier.url=url
+           |frontier.score=score
+           |frontier.seq=seq
+           |frontier.shards=16
+           |sink.output=$tmp/front
+           |state.dir=$tmp/wm
+           |""".stripMargin)
+      disc.filter(col("seq") <= split).write.mode("append").parquet(s"$tmp/src")
+      val r1 = JobConfig.runAny(s, props)
+      require(r1("published") == "true", s"epoch 1 failed: $r1")
+      disc.filter(col("seq") > split).write.mode("append").parquet(s"$tmp/src")
+      val r2 = JobConfig.runAny(s, props)
+      require(r2("published") == "true" && r2("highWatermark") == maxSeq.toString,
+        s"epoch 2 failed: $r2")
+      require(r2("touchedPartitions").toInt <= 16, s"touched blew the shards: $r2")
+      val r3 = JobConfig.runAny(s, props)
+      require(r3("published") == "false", s"empty epoch must be a no-op: $r3")
+      new graft.sink.ShardedTable(s"$tmp/front", "shard",
+          s.sparkContext.hadoopConfiguration)
+        .readCurrent(s).drop("shard")
+        .select(col("url"), col("first_seq"), col("score"), col("n_seen"))
+        .orderBy(col("url"))
+    }),
+
     // --- curriculum training order: rank by difficulty (n_chars),
     //     4 contiguous stages via the exact (rank-1)*k div n cut,
     //     md5-shuffled within stages, global train_seq — every step
@@ -443,6 +525,74 @@ object OperatorGates13 {
              string_agg(CASE WHEN rk <= 3 THEN anchor || ':' || cnt END,
                         '|' ORDER BY rk) AS top_anchors
       FROM r GROUP BY dst ORDER BY dst
+    """,
+
+    "q_crawl_plan" -> """
+      WITH u AS (
+        SELECT doc_id, n_chars, unnest([
+          'http://h' || (doc_id % 23) || '.com/d' || doc_id || '?utm_source=a',
+          'http://h' || (doc_id % 23) || '.com/d' || doc_id ||
+            '?ref=2&utm_medium=b#frag',
+          'HTTP://H' || (doc_id % 23) || '.COM:80/d' || doc_id || '?ref=2']) AS url
+        FROM documents),
+      s1 AS (SELECT doc_id, n_chars, string_split(url, '#')[1] AS nofrag FROM u),
+      s2 AS (SELECT *, strpos(nofrag, '?') AS qp FROM s1),
+      s3 AS (SELECT doc_id, n_chars,
+               CASE WHEN qp > 0 THEN substring(nofrag, 1, qp - 1)
+                    ELSE nofrag END AS base,
+               CASE WHEN qp > 0 THEN substring(nofrag, qp + 1) ELSE '' END AS qs
+             FROM s2),
+      s4 AS (SELECT *, regexp_extract(base,
+               '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1) AS sh FROM s3),
+      s5 AS (SELECT *, regexp_replace(regexp_replace(lower(sh),
+               '^(http://[^:]*):80$', '\1'), '^(https://[^:]*):443$', '\1') AS ch,
+               substring(base, length(sh) + 1) AS path FROM s4),
+      s6 AS (SELECT doc_id, n_chars,
+               CASE WHEN sh = '' THEN base
+                    ELSE ch || (CASE WHEN path = '' THEN '/' ELSE path END)
+                    END AS cb,
+               COALESCE(array_to_string(list_sort(list_filter(
+                 string_split(qs, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                   '^(utm_[^=]*|gclid|fbclid|msclkid|mc_eid)='))), '&'), '') AS cq
+             FROM s5),
+      canon0 AS (SELECT doc_id, n_chars,
+                   CASE WHEN cq = '' THEN cb ELSE cb || '?' || cq END AS url
+                 FROM s6),
+      canon AS (
+        SELECT url,
+               (min({'d': doc_id, 'n': n_chars})).d AS doc_id,
+               (min({'d': doc_id, 'n': n_chars})).n % 1000 AS score,
+               regexp_extract(url, '^http://([^/]*)', 1) AS host
+        FROM canon0 GROUP BY url),
+      capped AS (
+        SELECT *, row_number() OVER (PARTITION BY host
+                                     ORDER BY score DESC, url) AS hr
+        FROM canon),
+      sel AS (
+        SELECT url, host, doc_id, score,
+               row_number() OVER (ORDER BY score DESC, url) AS sel_rank
+        FROM capped WHERE hr <= 5)
+      SELECT url, host, doc_id, score, sel_rank,
+             row_number() OVER (PARTITION BY host ORDER BY sel_rank) - 1
+               AS fetch_slot
+      FROM sel WHERE sel_rank <= 100
+      ORDER BY sel_rank
+    """,
+
+    "q_frontier_job" -> """
+      WITH disc AS (
+        SELECT doc_id AS seq, doc_id - doc_id % 5 AS target,
+               n_chars % 997 AS score
+        FROM documents),
+      urls AS (
+        SELECT seq, score,
+               'http://h' || (target % 13) || '.net/u' || target AS url
+        FROM disc)
+      SELECT url, CAST(min(seq) AS BIGINT) AS first_seq,
+             CAST(max(score) AS BIGINT) AS score,
+             count(*) AS n_seen
+      FROM urls GROUP BY url ORDER BY url
     """,
 
     "q_curriculum" -> """

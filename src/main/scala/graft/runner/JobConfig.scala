@@ -762,6 +762,46 @@ object JobConfig {
         statePartitions.fold(run())(n =>
           StreamingIngest.withStatePartitions(spark, n)(run()))
 
+      case "frontier" =>
+        // incremental URL-frontier maintenance: discoveries above the
+        // published watermark canonicalize, collapse per canonical URL
+        // (first-seen seq, best score, discovery count — a MERGEABLE
+        // state, like the rollup), and merge into a canonical-hash-
+        // sharded versioned frontier: an epoch reads and rewrites only
+        // the shards its delta touches, never the whole frontier. The
+        // crawl-cycle face of the incremental job family; pair with
+        // ops=fetchList over readCurrent to cut a fetch cycle.
+        val urlCol = req(p, "frontier.url")
+        val scoreCol = req(p, "frontier.score")
+        val seqCol = req(p, "frontier.seq")
+        val nShards = opt(p, "frontier.shards").map(_.toInt).getOrElse(32)
+        incrementalShardedPublish(spark, p, kind = "frontier", seqCol,
+          partCol = "shard") { (table, hasCurrent, delta) =>
+            val dstate = delta
+              .select(
+                graft.functions.Text.canonicalizeUrl(col(urlCol)).as("url"),
+                col(scoreCol).cast("long").as("score"),
+                col(seqCol).cast("long").as("seq"))
+              .groupBy(col("url"))
+              .agg(min(col("seq")).as("first_seq"),
+                max(col("score")).as("score"),
+                count(lit(1)).as("n_seen"))
+              .withColumn("shard", pmod(xxhash64(col("url")), lit(nShards)))
+            val touched = dstate.select("shard").distinct()
+              .collect().map(_.getLong(0).toString).toSeq // <= nShards values
+            val merged =
+              if (!hasCurrent) dstate
+              else table.readPartitions(spark, touched)
+                .select("url", "first_seq", "score", "n_seen", "shard")
+                .unionByName(dstate)
+                .groupBy(col("url"), col("shard"))
+                .agg(min(col("first_seq")).as("first_seq"),
+                  max(col("score")).as("score"),
+                  sum(col("n_seen")).as("n_seen"))
+            (merged.select("url", "first_seq", "score", "n_seen", "shard"),
+              touched)
+        }
+
       case "dag" =>
         // multi-tenant scheduled dag-of-jobs: every task points at a
         // properties job file; DagScheduler decides order + admission
