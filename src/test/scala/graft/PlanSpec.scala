@@ -342,4 +342,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"),
       "(dst, anchor) counting lost map-side partials (hub-target skew)")
   }
+
+  test("frontier delta fold: per-URL state keeps map-side partials (hot-URL skew)") {
+    // the gate's executed plan is the post-commit table read; assert
+    // the DELTA-fold stage the frontier job runs per epoch
+    import org.apache.spark.sql.functions._
+    val delta = Tables.load(spark, sf(), "documents").select(
+      functions.Text.canonicalizeUrl(
+        concat(lit("http://h"), pmod(col("doc_id"), lit(13)), lit(".net/u"),
+          col("doc_id") - pmod(col("doc_id"), lit(5)))).as("url"),
+      col("n_chars").cast("long").as("score"),
+      col("doc_id").as("seq"))
+    val p = delta.groupBy(col("url"))
+      .agg(min(col("seq")).as("first_seq"), max(col("score")).as("score"),
+        count(lit(1)).as("n_seen"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_min") && p.contains("partial_max") &&
+      p.contains("partial_count"),
+      s"frontier fold lost map-side partials:\n${p.take(600)}")
+  }
 }
