@@ -235,6 +235,25 @@ object OperatorGates13 {
         .orderBy(col("sel_rank"))
     }),
 
+    // --- redirect-chain resolution: a functional redirect graph over
+    //     the corpus (u_k → u_{k-1} except k%50==1 flips forward,
+    //     planting 2-cycles and their feeders; multiples of 7 are
+    //     terminals) resolved by pointer DOUBLING to (terminal, exact
+    //     hops, resolved); loops and >8-hop chains come back NULL +
+    //     unresolved. The oracle walks the same graph step-by-step in
+    //     a recursive CTE -------------------------------------------
+    "q_resolve_redirects" -> ((s, dir) => {
+      import graft.operators.CrawlFrontier
+      val e = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+        .select(concat(lit("u"), col("doc_id")).as("src"),
+          concat(lit("u"),
+            when(pmod(col("doc_id"), lit(50)) === 1, col("doc_id") + 1)
+              .otherwise(col("doc_id") - 1)).as("dst"))
+      CrawlFrontier.resolveRedirects(e, "src", "dst", maxHops = 8)
+        .orderBy(col("src"))
+    }),
+
     // --- incremental frontier maintenance (job.type=frontier): two
     //     watermark epochs of tracking-polluted discoveries (every doc
     //     discovers its head-block URL, decorated with a per-discoverer
@@ -578,6 +597,27 @@ object OperatorGates13 {
                AS fetch_slot
       FROM sel WHERE sel_rank <= 100
       ORDER BY sel_rank
+    """,
+
+    "q_resolve_redirects" -> """
+      WITH RECURSIVE e AS (
+        SELECT 'u' || doc_id AS src,
+               'u' || (CASE WHEN doc_id % 50 = 1 THEN doc_id + 1
+                            ELSE doc_id - 1 END) AS dst
+        FROM documents WHERE doc_id % 7 <> 0),
+      walk AS (
+        SELECT src, dst AS cur, CAST(1 AS BIGINT) AS hops FROM e
+        UNION ALL
+        SELECT w.src, e.dst, w.hops + 1
+        FROM walk w JOIN e ON e.src = w.cur
+        WHERE w.hops < 8),
+      term AS (
+        SELECT w.src, w.cur AS target, w.hops
+        FROM walk w LEFT JOIN e t ON t.src = w.cur
+        WHERE t.src IS NULL)
+      SELECT e.src, t.target, t.hops, t.src IS NOT NULL AS resolved
+      FROM e LEFT JOIN term t ON t.src = e.src
+      ORDER BY e.src
     """,
 
     "q_frontier_job" -> """

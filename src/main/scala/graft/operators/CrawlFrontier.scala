@@ -59,6 +59,74 @@ object CrawlFrontier {
           .orderBy(col("sel_rank"))).cast("long") - 1L)
   }
 
+  /** Redirect-chain resolution: follow `src → dst` redirect edges (a
+    * FUNCTIONAL graph — at most one out-edge per src, enforced) to the
+    * terminal target every alias ultimately lands on — the step a
+    * crawler runs between fetching (301/308, rel=canonical) and URL
+    * dedup, so mirror aliases collapse before content ever compares.
+    * Returns one row per src: `target` (the terminal), `hops` (exact
+    * chain length walked), `resolved` (false when no terminal exists
+    * within `maxHops` — a longer chain or a redirect LOOP; those rows
+    * carry NULL target/hops, because "how far the walk got" depends on
+    * the walk strategy and is not a property of the graph).
+    *
+    * Scale shape: pointer DOUBLING — ceil(log2(maxHops)) self-joins,
+    * each a plain equi-join of the O(srcs) mapping against itself
+    * (after round k every src points 2^k hops ahead, or at its
+    * terminal sooner), with `localCheckpoint` truncating lineage per
+    * round. A per-step walk would be maxHops joins and maxHops× the
+    * wall-clock; anything recursive-CTE-shaped on the driver would
+    * not distribute at all. Cycles never reach a terminal, so they
+    * fall out of the hop cap with `resolved = false` — no cycle
+    * detection pass needed.
+    */
+  def resolveRedirects(redirects: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int = 32): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 1024,
+      s"maxHops must be in [1, 1024], got $maxHops")
+    val edges = redirects
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val dups = edges.groupBy("src").count().filter(col("count") > 1).limit(1)
+      .collect()
+    require(dups.isEmpty,
+      s"src '${if (dups.nonEmpty) dups(0).get(0) else ""}' has multiple " +
+        "redirect targets — resolve the conflict upstream (a functional " +
+        "graph has at most one out-edge per node)")
+    // mapping: src -> (target so far, hops walked, done = target is
+    // terminal). A src whose target has no out-edge is done.
+    var m = edges
+      .join(edges.select(col("src").as("_t")), col("dst") === col("_t"),
+        "left")
+      .select(col("src"), col("dst").as("target"), lit(1L).as("hops"),
+        col("_t").isNull.as("done"))
+      .localCheckpoint(true)
+    var span = 1L // after each round, pending rows walked `span` hops
+    while (span < maxHops) {
+      val next = m.as("a")
+        .join(m.select(col("src").as("_s"), col("target").as("_t2"),
+          col("hops").as("_h2"), col("done").as("_d2")).as("b"),
+          col("a.target") === col("_s") && !col("a.done"), "left")
+        .select(col("a.src"),
+          when(col("_s").isNotNull, col("_t2")).otherwise(col("target"))
+            .as("target"),
+          when(col("_s").isNotNull, col("hops") + col("_h2"))
+            .otherwise(col("hops")).as("hops"),
+          // done if already done, or the jump landed on a done row, or
+          // the target had no mapping row at all (terminal)
+          (col("done") || col("_s").isNull || col("_d2")).as("done"))
+      m = next.localCheckpoint(true)
+      span *= 2
+    }
+    val ok = col("done") && col("hops") <= maxHops
+    m.select(col("src"),
+      when(ok, col("target")).as("target"),
+      when(ok, col("hops")).as("hops"),
+      ok.as("resolved"))
+  }
+
   /** LinkDb-style anchor-text aggregation: collapse the inlink set of
     * each target into its top-`k` anchor strings by frequency (count
     * desc, anchor asc) — the classic relevance signal ("what the web

@@ -74,6 +74,88 @@ class CrawlFrontierSpec extends SparkSpec {
     }
   }
 
+  test("redirect chains resolve to their terminal with exact hop counts") {
+    // chains: a1->a2->a3->T (T has no out-edge), b1->T
+    val edges = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "T"), ("b1", "T"))
+      .toDF("src", "dst")
+    val r = CrawlFrontier.resolveRedirects(edges, "src", "dst", maxHops = 8)
+      .select("src", "target", "hops", "resolved")
+      .as[(String, String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(r == Seq(("a1", "T", 3L, true), ("a2", "T", 2L, true),
+      ("a3", "T", 1L, true), ("b1", "T", 1L, true)))
+  }
+
+  test("loops and over-long chains come back unresolved with NULL target") {
+    // 2-cycle c1<->c2; a feeder into the cycle; a 10-hop chain past cap 8
+    val longChain = (0 until 10).map(i => (s"n$i", s"n${i + 1}"))
+    val edges = (Seq(("c1", "c2"), ("c2", "c1"), ("feed", "c1")) ++ longChain)
+      .toDF("src", "dst")
+    val r = CrawlFrontier.resolveRedirects(edges, "src", "dst", maxHops = 8)
+      .collect().map(x => x.getString(0) -> ((Option(x.getString(1)),
+        if (x.isNullAt(2)) -1L else x.getLong(2), x.getBoolean(3))))
+      .toMap
+    assert(r("c1") == ((None, -1L, false)))
+    assert(r("c2") == ((None, -1L, false)))
+    assert(r("feed") == ((None, -1L, false)))
+    // n0 needs 10 hops > 8: unresolved; n3 needs 7: resolved
+    assert(r("n0") == ((None, -1L, false)))
+    assert(r("n3") == ((Some("n10"), 7L, true)))
+    assert(r("n9") == ((Some("n10"), 1L, true)))
+  }
+
+  test("redirect resolution equals a reference step-walk on 20 random functional graphs") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 20) {
+      val n = 20 + rnd.nextInt(40)
+      // ~70% of nodes redirect somewhere (self-loops and cycles allowed)
+      val edges = (0 until n).filter(_ => rnd.nextInt(10) < 7)
+        .map(i => (s"v$i", s"v${rnd.nextInt(n)}"))
+      if (edges.nonEmpty) {
+        val maxHops = 4 + rnd.nextInt(12)
+        val m = edges.toMap
+        def walk(src: String): (Option[String], Option[Long], Boolean) = {
+          var cur = m(src)
+          var hops = 1L
+          while (hops < maxHops && m.contains(cur)) { cur = m(cur); hops += 1 }
+          if (m.contains(cur)) (None, None, false) // still redirecting past cap
+          else (Some(cur), Some(hops), true)
+        }
+        val got = CrawlFrontier.resolveRedirects(
+            edges.toDF("src", "dst"), "src", "dst", maxHops)
+          .collect().map(x => x.getString(0) -> ((Option(x.getString(1)),
+            if (x.isNullAt(2)) None else Some(x.getLong(2)), x.getBoolean(3))))
+          .toMap
+        edges.foreach { case (src, _) =>
+          assert(got(src) == walk(src),
+            s"trial $trial src $src: ${got(src)} != ${walk(src)} (maxHops=$maxHops)")
+        }
+      }
+    }
+  }
+
+  test("a src with two redirect targets is rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      CrawlFrontier.resolveRedirects(
+        Seq(("a", "b"), ("a", "c")).toDF("src", "dst"), "src", "dst")
+    }
+    assert(e.getMessage.contains("multiple"))
+  }
+
+  test("resolution is partitioning-invariant on a 5k-chain forest") {
+    val edges = (0 until 5000).filter(_ % 9 != 0)
+      .map(i => (s"u$i", s"u${i - 1}"))
+    def run(parts: Int) = CrawlFrontier.resolveRedirects(
+        edges.toDF("src", "dst").repartition(parts), "src", "dst",
+        maxHops = 16)
+      .select("src", "target", "hops", "resolved")
+      .as[(String, String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val a = run(2)
+    assert(a == run(11))
+    assert(a.forall(_._4)) // chains of length <= 8 all resolve
+    // spot-check an exact chain: u17 -> ... -> u9 (terminal: 9 % 9 == 0)
+    assert(a.find(_._1 == "u17").get == (("u17", "u9", 8L, true)))
+  }
+
   test("anchor text: top-k by frequency, anchor tie-break, totals over ALL anchors") {
     val links = Seq(
       ("s1", "d", "home"), ("s2", "d", "home"), ("s3", "d", "home"),
