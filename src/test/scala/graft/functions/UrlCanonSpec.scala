@@ -67,6 +67,24 @@ class UrlCanonSpec extends SparkSpec {
     assert(canon(once: _*) == once)
   }
 
+  test("fuzz: idempotent on 800 random URL-ish strings") {
+    val rnd = new scala.util.Random(31337)
+    val alphabet = "abcXYZ019:/?#&=._-%~ " + "://" + "utm_"
+    val fuzz = (0 until 800).map { i =>
+      val n = rnd.nextInt(60)
+      val core = Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))).mkString
+      // bias half toward real-URL shapes so the deep branches run
+      if (i % 2 == 0) s"HtTp://Ex$i.COM:${Seq("80", "443", "8080")(i % 3)}/$core"
+      else core
+    }
+    val df = fuzz.toDF("url")
+      .select(Text.canonicalizeUrl(col("url")).as("once"))
+      .select(col("once"), Text.canonicalizeUrl(col("once")).as("twice"))
+    val bad = df.filter(col("once") =!= col("twice")).collect()
+    assert(bad.isEmpty,
+      s"not idempotent: ${bad.take(3).map(_.toString).mkString("; ")}")
+  }
+
   test("variants of one logical page collapse to a single key") {
     val variants = Seq(
       "HTTP://Site.Com/page?b=2&a=1#top",

@@ -117,6 +117,32 @@ class ZoneMapSpec extends SparkSpec {
     }
   }
 
+  test("property: pruned range read + residual filter == full scan filter, random layouts") {
+    val rnd = new scala.util.Random(271828)
+    for (trial <- 1 to 3) {
+      val t = mkTable(tmpDir("zmprop") + "/t")
+      // random non-clustered layout: ids land in shards by a random mix
+      // of locality and scatter, so zones OVERLAP — pruning must still
+      // never change results, only skip provably-disjoint shards
+      val nShards = 3 + rnd.nextInt(5)
+      val rows = (0 until 1500).map { i =>
+        val shard = if (rnd.nextBoolean()) (i * nShards / 1500) else rnd.nextInt(nShards)
+        (shard.toLong, rnd.nextInt(10000).toLong)
+      }
+      t.commit(rows.toDF("shard", "id"), (0 until nShards).map(_.toString),
+        statsCols = Seq("id"))
+      for (_ <- 1 to 4) {
+        val a = rnd.nextInt(10000).toLong
+        val b = a + rnd.nextInt(3000)
+        val pruned = t.readRange(spark, "id", Some(a.toString), Some(b.toString))
+          .filter(col("id").between(a, b)).select("id")
+          .as[Long].collect().sorted.toSeq
+        val full = rows.map(_._2).filter(v => v >= a && v <= b).sorted
+        assert(pruned == full, s"trial $trial range [$a,$b]")
+      }
+    }
+  }
+
   test("all-null stat columns record no stats and stay readable") {
     val t = mkTable(tmpDir("zm") + "/t")
     val df = (0 until 50).map(i => (0L, i.toLong))
