@@ -243,15 +243,19 @@ object OperatorGates13 {
     //     unresolved. The oracle walks the same graph step-by-step in
     //     a recursive CTE -------------------------------------------
     "q_resolve_redirects" -> ((s, dir) => {
-      import graft.operators.CrawlFrontier
       val e = t(s, dir, "documents")
         .filter(pmod(col("doc_id"), lit(7)) =!= 0)
         .select(concat(lit("u"), col("doc_id")).as("src"),
           concat(lit("u"),
             when(pmod(col("doc_id"), lit(50)) === 1, col("doc_id") + 1)
               .otherwise(col("doc_id") - 1)).as("dst"))
-      CrawlFrontier.resolveRedirects(e, "src", "dst", maxHops = 8)
-        .orderBy(col("src"))
+      val ops = graft.runner.JobConfig.buildOps(graft.runner.JobConfig.parse(
+        """ops=resolveRedirects
+          |op.resolveRedirects.srcColumn=src
+          |op.resolveRedirects.dstColumn=dst
+          |op.resolveRedirects.maxHops=8
+          |""".stripMargin))
+      ops.foldLeft(e)((d, op) => op(d)).orderBy(col("src"))
     }),
 
     // --- incremental frontier maintenance (job.type=frontier): two

@@ -52,7 +52,13 @@ import graft.state.FsStateStore
   * `op.funnel.{keyColumn,typeColumn,msColumn,steps,maxGapMs}`),
   * tripletMine (contrastive pair synthesis;
   * `op.tripletMine.{anchorPredicate,embPath,idColumn,textColumn,
-  * embIdColumn,embVecColumn}`).
+  * embIdColumn,embVecColumn}`), classifyFilter (filter by a published
+  * classifier model), assignSplit (leakage-safe group-atomic splits),
+  * preferencePairs, mixturePlan, phraseFilter (Aho-Corasick
+  * blocklist), linkRank (PageRank report),
+  * canonicalizeUrl, fetchList (politeness fetch cycle),
+  * anchorText (per-target top-k anchors), resolveRedirects (alias →
+  * terminal), curriculum (easy→hard training order).
   * Predicates/expressions are Spark SQL fragments (`expr(...)`) — the
   * full column-function surface without naming JVM classes, replacing
   * the reference's `converter.classes` FQCN lists.
@@ -317,6 +323,13 @@ object JobConfig {
           req(p, "op.anchorText.dstColumn"),
           req(p, "op.anchorText.anchorColumn"),
           k = opt(p, "op.anchorText.k").map(_.toInt).getOrElse(5))
+      case "resolveRedirects" => (df: DataFrame) =>
+        // REPORT op: the frame becomes (src, target, hops, resolved)
+        graft.operators.CrawlFrontier.resolveRedirects(df,
+          req(p, "op.resolveRedirects.srcColumn"),
+          req(p, "op.resolveRedirects.dstColumn"),
+          maxHops = opt(p, "op.resolveRedirects.maxHops")
+            .map(_.toInt).getOrElse(32))
       case "curriculum" => (df: DataFrame) =>
         graft.operators.Curriculum.order(df,
           req(p, "op.curriculum.idColumn"),
