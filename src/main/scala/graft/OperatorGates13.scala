@@ -235,6 +235,37 @@ object OperatorGates13 {
         .orderBy(col("sel_rank"))
     }),
 
+    // --- crawl-delay-aware fetch schedule: the q_fetch_list frontier
+    //     joined against robots Crawl-delay directives (every domain
+    //     declares a '*' delay; even-numbered domains add a stricter
+    //     graftbot-specific one that must WIN for crawler GraftBot);
+    //     fetch_at = fetch_slot * delay ------------------------------
+    "q_fetch_schedule" -> ((s, dir) => {
+      import graft.operators.{CrawlFrontier, Robots}
+      val f = t(s, dir, "documents").select(
+        concat(lit("http://"), col("source"), lit("/p"), col("doc_id")).as("url"),
+        col("source").as("host"),
+        pmod(col("doc_id") * 37, lit(1000)).as("score"))
+      val srcs = f.select(col("host")).distinct()
+        .withColumn("i", substring(col("host"), 4, 10).cast("int"))
+      val robots = srcs.select(col("host").as("domain"),
+        concat(
+          lit("# politeness\nUser-agent: *\nCrawl-delay: "),
+          (lit(1) + pmod(col("i"), lit(5))).cast("string"),
+          when(pmod(col("i"), lit(2)) === 0,
+            concat(lit("\nUser-agent: graftbot\nCrawl-delay: "),
+              (lit(1) + pmod(col("i"), lit(3)) * 2).cast("string")))
+            .otherwise(lit(""))).as("content"))
+      val selected = CrawlFrontier.generateFetchList(f, "url", "host", "score",
+        topN = 150, maxPerHost = 10)
+      CrawlFrontier.scheduleFetch(selected, "host",
+          Robots.delaysTable(robots, "domain", "content"), "GraftBot",
+          defaultDelaySec = 30)
+        .select(col("url"), col("host"), col("score"),
+          col("sel_rank"), col("fetch_slot"), col("fetch_at"))
+        .orderBy(col("sel_rank"))
+    }),
+
     // --- redirect-chain resolution: a functional redirect graph over
     //     the corpus (u_k → u_{k-1} except k%50==1 flips forward,
     //     planting 2-cycles and their feeders; multiples of 7 are
@@ -601,6 +632,36 @@ object OperatorGates13 {
                AS fetch_slot
       FROM sel WHERE sel_rank <= 100
       ORDER BY sel_rank
+    """,
+
+    "q_fetch_schedule" -> """
+      WITH f AS (
+        SELECT 'http://' || source || '/p' || CAST(doc_id AS VARCHAR) AS url,
+               source AS host, CAST(doc_id * 37 % 1000 AS BIGINT) AS score
+        FROM documents),
+      capped AS (
+        SELECT *, row_number() OVER (PARTITION BY host
+                                     ORDER BY score DESC, url) AS hr
+        FROM f),
+      sel AS (
+        SELECT url, host, score,
+               row_number() OVER (ORDER BY score DESC, url) AS sel_rank
+        FROM capped WHERE hr <= 10),
+      slotted AS (
+        SELECT url, host, score, sel_rank,
+               row_number() OVER (PARTITION BY host ORDER BY sel_rank) - 1
+                 AS fetch_slot
+        FROM sel WHERE sel_rank <= 150),
+      delays AS (
+        SELECT host,
+               CAST(CASE WHEN i % 2 = 0 THEN 1 + (i % 3) * 2
+                         ELSE 1 + i % 5 END AS BIGINT) AS delay_sec
+        FROM (SELECT DISTINCT host,
+                CAST(substring(host, 4) AS INT) AS i FROM f))
+      SELECT s.url, s.host, s.score, s.sel_rank, s.fetch_slot,
+             s.fetch_slot * d.delay_sec AS fetch_at
+      FROM slotted s JOIN delays d ON d.host = s.host
+      ORDER BY s.sel_rank
     """,
 
     "q_resolve_redirects" -> """

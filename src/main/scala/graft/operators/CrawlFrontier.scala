@@ -59,6 +59,35 @@ object CrawlFrontier {
           .orderBy(col("sel_rank"))).cast("long") - 1L)
   }
 
+  /** Crawl-delay-aware fetch schedule: join a [[generateFetchList]]
+    * result against per-domain Crawl-delay directives
+    * ([[Robots.delaysTable]] shape: domain, agent, delay_sec) and turn
+    * each URL's politeness slot into a concrete per-host time offset:
+    *
+    *   fetch_at = fetch_slot * delay_sec   (seconds after the host's
+    *                                        first fetch of the cycle)
+    *
+    * Agent resolution matches [[Robots.filterAllowed]]: the crawler's
+    * exact agent group beats `*`; hosts with no directive use
+    * `defaultDelaySec`. The join is O(hosts) against O(selected URLs)
+    * — AQE broadcasts the delay side at real scale.
+    */
+  def scheduleFetch(fetchList: DataFrame, hostCol: String, delays: DataFrame,
+      crawler: String, defaultDelaySec: Long): DataFrame = {
+    require(defaultDelaySec >= 0, s"negative default delay $defaultDelaySec")
+    val crawlerLc = crawler.toLowerCase
+    val perHost = delays
+      .filter(col("agent") === crawlerLc || col("agent") === "*")
+      .groupBy(col("domain"))
+      .agg(max_by(col("delay_sec"),
+        when(col("agent") === crawlerLc, 1).otherwise(0)).as("_delay"))
+    fetchList
+      .join(perHost, fetchList(hostCol) === perHost("domain"), "left")
+      .withColumn("fetch_at",
+        col("fetch_slot") * coalesce(col("_delay"), lit(defaultDelaySec)))
+      .drop("domain", "_delay")
+  }
+
   /** Redirect-chain resolution: follow `src → dst` redirect edges (a
     * FUNCTIONAL graph — at most one out-edge per src, enforced) to the
     * terminal target every alias ultimately lands on — the step a

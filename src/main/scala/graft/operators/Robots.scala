@@ -71,6 +71,70 @@ object Robots {
     out.result()
   }
 
+  /** Parse one robots.txt body into (agent, crawl-delay seconds)
+    * rows — the politeness directive [[parseRules]] deliberately
+    * skips (it is not part of RFC 9309, but real crawlers honor it).
+    * Group semantics match [[parseRules]]: a delay attaches to every
+    * agent of the preceding User-agent run; the LAST delay in a group
+    * wins. Non-integer or negative values fail loudly with the id.
+    */
+  def parseDelays(id: Long, text: String): Seq[(String, Long)] = {
+    val out = Vector.newBuilder[(String, Long)]
+    var agents: List[String] = Nil
+    var inAgentRun = false
+    text.split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      if (line.nonEmpty) {
+        val ci = line.indexOf(':')
+        if (ci > 0) {
+          val key = line.substring(0, ci).trim.toLowerCase
+          val value = line.substring(ci + 1).trim
+          key match {
+            case "user-agent" =>
+              if (inAgentRun) agents ::= value.toLowerCase
+              else { agents = List(value.toLowerCase); inAgentRun = true }
+            case "crawl-delay" =>
+              inAgentRun = false
+              if (agents.isEmpty)
+                throw new IllegalArgumentException(
+                  s"media $id: Crawl-delay before any User-agent line")
+              val d = try value.toLong catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(
+                    s"media $id: non-integer Crawl-delay '$value'")
+              }
+              if (d < 0) throw new IllegalArgumentException(
+                s"media $id: negative Crawl-delay $d")
+              agents.foreach(a => out += ((a, d)))
+            case _ => inAgentRun = false
+          }
+        }
+      }
+    }
+    // last directive per agent wins (stable order preserved otherwise)
+    val all = out.result()
+    val last = all.groupBy(_._1).map { case (a, xs) => a -> xs.last._2 }
+    all.map(_._1).distinct.map(a => a -> last(a))
+  }
+
+  /** `robots(domain, content)` rows → `(domain, agent, delay_sec)`
+    * rows (the relational form [[graft.operators.CrawlFrontier.scheduleFetch]]
+    * joins).
+    */
+  def delaysTable(robots: DataFrame, domainCol: String, textCol: String)
+      : DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(domainCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (domain, text) =>
+        parseDelays(0L, if (text == null) "" else text).iterator.map {
+          case (agent, d) => (domain, agent, d)
+        }
+      })
+      .toDF("domain", "agent", "delay_sec")
+  }
+
   /** `robots(domain, content)` text rows → `(domain, agent, allow,
     * path)` rule rows (the relational form [[filterAllowed]] joins).
     */

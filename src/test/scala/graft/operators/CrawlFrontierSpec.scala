@@ -74,6 +74,44 @@ class CrawlFrontierSpec extends SparkSpec {
     }
   }
 
+  test("fetch schedule: exact agent delay beats *, default fills gaps, last directive wins") {
+    val robots = Seq(
+      ("a", "User-agent: *\nCrawl-delay: 7\nUser-agent: bot\nCrawl-delay: 2"),
+      ("b", "User-agent: *\nCrawl-delay: 4"),
+      // two delays in ONE group: the last wins
+      ("d", "User-agent: bot\nCrawl-delay: 9\nCrawl-delay: 3"))
+      .toDF("domain", "content")
+    val fl = Seq(
+      ("a/1", "a", 9L, 1L, 0L), ("a/2", "a", 8L, 2L, 1L),
+      ("b/1", "b", 7L, 3L, 0L), ("c/1", "c", 6L, 4L, 0L),
+      ("c/2", "c", 5L, 5L, 1L), ("d/1", "d", 4L, 6L, 0L),
+      ("d/2", "d", 3L, 7L, 1L))
+      .toDF("url", "host", "score", "sel_rank", "fetch_slot")
+    val r = CrawlFrontier.scheduleFetch(fl, "host",
+        Robots.delaysTable(robots, "domain", "content"), "Bot",
+        defaultDelaySec = 30)
+      .select("url", "fetch_at").as[(String, Long)].collect().toMap
+    assert(r == Map("a/1" -> 0L, "a/2" -> 2L, // exact agent: 2, not 7
+      "b/1" -> 0L, "c/1" -> 0L, "c/2" -> 30L, // no robots: default
+      "d/1" -> 0L, "d/2" -> 3L)) // last directive in group wins
+  }
+
+  test("crawl-delay parsing fails loudly on junk and pre-group directives") {
+    intercept[IllegalArgumentException] {
+      Robots.parseDelays(7L, "User-agent: *\nCrawl-delay: soon")
+    }
+    intercept[IllegalArgumentException] {
+      Robots.parseDelays(7L, "Crawl-delay: 5")
+    }
+    intercept[IllegalArgumentException] {
+      Robots.parseDelays(7L, "User-agent: *\nCrawl-delay: -1")
+    }
+    // consecutive UA lines share the group; unrelated directives ignored
+    assert(Robots.parseDelays(1L,
+      "User-agent: a\nUser-agent: b\nSitemap: x\nUser-agent: c\nCrawl-delay: 5") ==
+      Seq("c" -> 5L))
+  }
+
   test("redirect chains resolve to their terminal with exact hop counts") {
     // chains: a1->a2->a3->T (T has no out-edge), b1->T
     val edges = Seq(("a1", "a2"), ("a2", "a3"), ("a3", "T"), ("b1", "T"))
