@@ -235,6 +235,34 @@ object OperatorGates13 {
         .orderBy(col("sel_rank"))
     }),
 
+    // --- full sitemap entries (Text.sitemapEntries): per-<url> block
+    //     loc + OPTIONAL lastmod/priority (the recrawl-scheduling
+    //     inputs), entity-decoded; presence varies per doc so the
+    //     NULL paths run. Oracle rebuilds every field ------------------
+    "q_sitemap_entries" -> ((s, dir) => {
+      import graft.functions.Text
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 250)
+      val sitemaps = docs.groupBy(col("source"))
+        .agg(concat(
+          lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+          concat_ws("\n", sort_array(collect_list(concat(
+            lit("  <url><loc> https://www."), col("source"),
+            lit(".example.com/p/"), col("doc_id"), lit("?a=1&amp;b=2 </loc>"),
+            when(pmod(col("doc_id"), lit(3)) =!= 0,
+              concat(lit("<lastmod>2024-0"), lit(1) + pmod(col("doc_id"), lit(9)),
+                lit("-15</lastmod>"))).otherwise(lit("")),
+            when(pmod(col("doc_id"), lit(4)) =!= 0,
+              concat(lit("<priority>0."), pmod(col("doc_id"), lit(10)),
+                lit("</priority>"))).otherwise(lit("")),
+            lit("</url>"))))),
+          lit("\n</urlset>")).as("xml"))
+      sitemaps.select(col("source"),
+          explode(Text.sitemapEntries(col("xml"))).as("e"))
+        .select(col("source"), col("e.url").as("url"),
+          col("e.lastmod").as("lastmod"), col("e.priority").as("priority"))
+        .orderBy(col("source"), col("url"))
+    }),
+
     // --- crawl-delay-aware fetch schedule: the q_fetch_list frontier
     //     joined against robots Crawl-delay directives (every domain
     //     declares a '*' delay; even-numbered domains add a stricter
@@ -632,6 +660,20 @@ object OperatorGates13 {
                AS fetch_slot
       FROM sel WHERE sel_rank <= 100
       ORDER BY sel_rank
+    """,
+
+    "q_sitemap_entries" -> """
+      SELECT source,
+             'https://www.' || source || '.example.com/p/' ||
+               CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url,
+             CASE WHEN doc_id % 3 <> 0
+                  THEN '2024-0' || CAST(1 + doc_id % 9 AS VARCHAR) || '-15'
+                  END AS lastmod,
+             CASE WHEN doc_id % 4 <> 0
+                  THEN CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE)
+                  END AS priority
+      FROM documents WHERE doc_id < 250
+      ORDER BY source, url
     """,
 
     "q_fetch_schedule" -> """

@@ -295,6 +295,36 @@ object Text {
       .foldLeft(u) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) })
   }
 
+  /** Full sitemap entries: one struct per `<url>` block with the
+    * decoded `url` (from `<loc>`), `lastmod` (ISO date/datetime text,
+    * NULL when absent) and `priority` (double, NULL when absent) — the
+    * recrawl-scheduling inputs [[sitemapUrls]] drops. Blocks without a
+    * `<loc>` are skipped. Same pure split/regexp/transform chain:
+    * codegen'd, engine-replayable.
+    */
+  def sitemapEntries(xml: Column): Column = {
+    def field(b: Column, tag: String): Column =
+      trim(regexp_extract(b, s"(?s)<$tag>\\s*([^<]*?)\\s*</$tag>", 1))
+    val decode = (u: Column) => Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(u) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    val blocks = filter(split(xml, "<url>"),
+      b => b.contains("</url>") && field(b, "loc") =!= "")
+    transform(blocks, b => {
+      val body = split(b, "</url>").getItem(0)
+      struct(
+        decode(field(body, "loc")).as("url"),
+        when(field(body, "lastmod") === "", lit(null).cast("string"))
+          .otherwise(field(body, "lastmod")).as("lastmod"),
+        // regex-guard the cast: ANSI mode (Spark 4 default) throws on
+        // junk numerics, and a malformed sitemap must not kill the scan
+        when(field(body, "priority").rlike("^[0-9]+(\\.[0-9]+)?$"),
+          field(body, "priority").cast("double"))
+          .otherwise(lit(null).cast("double")).as("priority"))
+    })
+  }
+
   /** Distinct lower-cased domains mentioned in a document — the join
     * key for blocklist filtering. Codegen'd array composition.
     */

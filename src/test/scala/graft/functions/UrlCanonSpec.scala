@@ -59,6 +59,24 @@ class UrlCanonSpec extends SparkSpec {
       Seq("relative/path", "no-scheme?k=v"))
   }
 
+  test("sitemapEntries: optional fields NULL when absent, loc-less blocks skipped, entities decoded") {
+    val xml =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc> https://a.com/x?p=1&amp;q=2 </loc><lastmod>2024-01-02</lastmod><priority>0.8</priority></url>
+        |<url><loc>https://a.com/y</loc></url>
+        |<url><lastmod>2024-05-05</lastmod></url>
+        |<url><priority>not-a-number</priority><loc>https://a.com/z</loc></url>
+        |</urlset>""".stripMargin
+    val r = Seq(xml).toDF("xml")
+      .select(explode(Text.sitemapEntries(col("xml"))).as("e"))
+      .select(col("e.url"), col("e.lastmod"), col("e.priority"))
+      .as[(String, Option[String], Option[Double])].collect().toSeq
+    assert(r == Seq(
+      ("https://a.com/x?p=1&q=2", Some("2024-01-02"), Some(0.8)),
+      ("https://a.com/y", None, None),
+      ("https://a.com/z", None, None))) // junk priority -> NULL cast
+  }
+
   test("idempotent: canonicalizing a canonical URL is a no-op") {
     val raw = Seq(
       "HTTP://Ex.COM:80?b=2&a=1#f", "https://h.io:8443/P?utm_source=t",
