@@ -8,8 +8,11 @@ import org.apache.spark.sql.functions._
   * deterministic virtual-time engine whose full event trace a DuckDB
   * recursive CTE replays tick for tick), zone-map data skipping on
   * the sharded-table manifest, zstd-compressed text ingestion, URL
-  * canonicalization, and crawl-frontier planning (fetch-list
-  * generation + anchor-text aggregation).
+  * canonicalization, and the crawl-planning family: fetch-list
+  * generation, crawl-delay-aware fetch scheduling, anchor-text
+  * aggregation, redirect-chain resolution, full sitemap entries, the
+  * incremental frontier job, a curriculum training order, and the
+  * q_crawl_plan flagship chain.
   */
 object OperatorGates13 {
 
