@@ -34,6 +34,34 @@ class DagSchedulerPropSpec extends SparkSpec {
     }
   }
 
+  test("a 2000-dag tenant mix schedules as driver metadata and quiesces") {
+    // the O(dags x tasks x ticks) claim at a realistic control-plane
+    // size: 2000 two-task flows across 20 users / 5 groups through 64
+    // slots — must terminate every task inside the horizon (and inside
+    // the suite's patience)
+    val wl = (0 until 2000).flatMap { d =>
+      Seq(
+        DagTask(s"d$d", "a", s"u${d % 20}", s"g${d % 5}", Nil,
+          duration = 1 + d % 2, failAttempts = 0, maxAttempts = 2,
+          submitTick = (d % 40).toLong, slaTicks = -1L,
+          failureOption = "FINISH_ALL_POSSIBLE"),
+        DagTask(s"d$d", "b", s"u${d % 20}", s"g${d % 5}", Seq("a"),
+          duration = 1, failAttempts = 0, maxAttempts = 2,
+          submitTick = (d % 40).toLong, slaTicks = -1L,
+          failureOption = "FINISH_ALL_POSSIBLE"))
+    }
+    val es = schedule(wl, SchedulerConfig(slots = 64, userQuota = 8,
+      groupQuota = 20, horizon = 2000))
+    val byTask = es.groupBy(e => (e.dag, e.task))
+    assert(byTask.size == 4000)
+    // quotas make some launches fail permanently; every task still
+    // reaches exactly one terminal state
+    wl.foreach { t =>
+      val last = byTask((t.dag, t.task)).maxBy(_.tick)
+      assert(Terminal(last.event), s"${t.dag}/${t.task}: ${last.event}")
+    }
+  }
+
   test("invariants hold on 60 random workloads") {
     val rnd = new scala.util.Random(4242)
     for (trial <- 1 to 60) {
