@@ -238,6 +238,27 @@ object OperatorGates13 {
         .orderBy(col("sel_rank"))
     }),
 
+    // --- outlink extraction (Text.outlinks): anchor hrefs with
+    //     rel=nofollow detection across quote styles, attribute order,
+    //     case, and multi-token rel values; href-less anchors skipped.
+    //     The link-graph feed (nofollow must not confer rank) ---------
+    "q_outlinks" -> ((s, dir) => {
+      import graft.functions.Text
+      val k = col("doc_id")
+      val html = concat(
+        lit("<p>body</p><a href=\"http://t1/"), k, lit("\">a</a>"),
+        lit("<a rel=\"nofollow\" href='http://t2/"), pmod(k, lit(7)),
+        lit("'>b</a>"),
+        lit("<A HREF=\"http://t3/"), pmod(k, lit(3)),
+        lit("?x=1&amp;y=2\" REL=\"me nofollow\">c</A>"),
+        lit("<a name=\"nohref\">skip</a>"))
+      t(s, dir, "documents").select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"), explode(Text.outlinks(col("html"))).as("l"))
+        .select(col("doc_id"), col("l.url").as("url"),
+          col("l.nofollow").as("nofollow"))
+        .orderBy(col("doc_id"), col("url"))
+    }),
+
     // --- full sitemap entries (Text.sitemapEntries): per-<url> block
     //     loc + OPTIONAL lastmod/priority (the recrawl-scheduling
     //     inputs), entity-decoded; presence varies per doc so the
@@ -663,6 +684,20 @@ object OperatorGates13 {
                AS fetch_slot
       FROM sel WHERE sel_rank <= 100
       ORDER BY sel_rank
+    """,
+
+    "q_outlinks" -> """
+      SELECT doc_id, url, nofollow FROM (
+        SELECT doc_id, 'http://t1/' || CAST(doc_id AS VARCHAR) AS url,
+               false AS nofollow FROM documents
+        UNION ALL
+        SELECT doc_id, 'http://t2/' || CAST(doc_id % 7 AS VARCHAR), true
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'http://t3/' || CAST(doc_id % 3 AS VARCHAR) || '?x=1&y=2',
+               true
+        FROM documents)
+      ORDER BY doc_id, url
     """,
 
     "q_sitemap_entries" -> """

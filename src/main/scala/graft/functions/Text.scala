@@ -325,6 +325,28 @@ object Text {
     })
   }
 
+  /** Anchor outlinks of an HTML document with rel=nofollow detection —
+    * the link-graph extraction step (nofollow links must not confer
+    * PageRank mass and usually stay out of the frontier). One struct
+    * per `<a ...>` tag carrying an href: decoded `url` + `nofollow`
+    * (true when the tag's rel attribute contains the nofollow token,
+    * any case, any position). Anchors without an href are skipped.
+    * Pure regexp/transform chain, codegen'd, engine-replayable.
+    */
+  def outlinks(html: Column): Column = {
+    val decode = (u: Column) => Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(u) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    val tags = regexp_extract_all(html, lit("(?is)<a\\s[^>]*>"), lit(0))
+    filter(
+      transform(tags, t => struct(
+        decode(trim(regexp_extract(t,
+          "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1))).as("url"),
+        t.rlike("(?is)rel\\s*=\\s*[\"'][^\"']*nofollow").as("nofollow"))),
+      s => s.getField("url") =!= "")
+  }
+
   /** Distinct lower-cased domains mentioned in a document — the join
     * key for blocklist filtering. Codegen'd array composition.
     */

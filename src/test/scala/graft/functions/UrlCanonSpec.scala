@@ -77,6 +77,23 @@ class UrlCanonSpec extends SparkSpec {
       ("https://a.com/z", None, None))) // junk priority -> NULL cast
   }
 
+  test("outlinks: quote styles, attribute order/case, multi-token rel, href-less skipped") {
+    val html =
+      """<a href="http://a/1">x</a>
+        |<a rel='nofollow' href='http://a/2'>y</a>
+        |<A HREF="http://a/3?p=1&amp;q=2" REL="ugc NoFollow">z</A>
+        |<a rel="noopener" href="http://a/4">w</a>
+        |<a name="anchor-only">skip</a>
+        |<a href="">empty-skip</a>""".stripMargin
+    val r = Seq(html).toDF("html")
+      .select(explode(Text.outlinks(col("html"))).as("l"))
+      .select(col("l.url"), col("l.nofollow"))
+      .as[(String, Boolean)].collect().toSeq
+    assert(r == Seq(
+      ("http://a/1", false), ("http://a/2", true),
+      ("http://a/3?p=1&q=2", true), ("http://a/4", false)))
+  }
+
   test("idempotent: canonicalizing a canonical URL is a no-op") {
     val raw = Seq(
       "HTTP://Ex.COM:80?b=2&a=1#f", "https://h.io:8443/P?utm_source=t",
