@@ -240,8 +240,10 @@ object OperatorGates13 {
 
     // --- outlink extraction (Text.outlinks): anchor hrefs with
     //     rel=nofollow detection across quote styles, attribute order,
-    //     case, and multi-token rel values; href-less anchors skipped.
-    //     The link-graph feed (nofollow must not confer rank) ---------
+    //     case, and multi-token rel values; nofollow must match as a
+    //     whole TOKEN (rel="nofollowme" is follow); unquoted href/rel
+    //     values parse; href-less anchors skipped. The link-graph
+    //     feed (nofollow must not confer rank) -----------------------
     "q_outlinks" -> ((s, dir) => {
       import graft.functions.Text
       val k = col("doc_id")
@@ -251,6 +253,12 @@ object OperatorGates13 {
         lit("'>b</a>"),
         lit("<A HREF=\"http://t3/"), pmod(k, lit(3)),
         lit("?x=1&amp;y=2\" REL=\"me nofollow\">c</A>"),
+        lit("<a rel=\"nofollowme\" href=\"http://t4/"), pmod(k, lit(5)),
+        lit("\">d</a>"),
+        lit("<a href=http://t5/"), pmod(k, lit(11)),
+        lit(" rel=nofollow>e</a>"),
+        lit("<a rel=\"sponsored,nofollow\" href=\"http://t6/"),
+        pmod(k, lit(2)), lit("\">f</a>"),
         lit("<a name=\"nohref\">skip</a>"))
       t(s, dir, "documents").select(col("doc_id"), html.as("html"))
         .select(col("doc_id"), explode(Text.outlinks(col("html"))).as("l"))
@@ -696,6 +704,15 @@ object OperatorGates13 {
         UNION ALL
         SELECT doc_id, 'http://t3/' || CAST(doc_id % 3 AS VARCHAR) || '?x=1&y=2',
                true
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'http://t4/' || CAST(doc_id % 5 AS VARCHAR), false
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'http://t5/' || CAST(doc_id % 11 AS VARCHAR), true
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'http://t6/' || CAST(doc_id % 2 AS VARCHAR), true
         FROM documents)
       ORDER BY doc_id, url
     """,

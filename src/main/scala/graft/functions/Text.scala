@@ -329,21 +329,33 @@ object Text {
     * the link-graph extraction step (nofollow links must not confer
     * PageRank mass and usually stay out of the frontier). One struct
     * per `<a ...>` tag carrying an href: decoded `url` + `nofollow`
-    * (true when the tag's rel attribute contains the nofollow token,
-    * any case, any position). Anchors without an href are skipped.
-    * Pure regexp/transform chain, codegen'd, engine-replayable.
+    * (true when the tag's rel attribute contains nofollow as a WHOLE
+    * token — bounded by whitespace/comma or the value edges, any
+    * case; `rel="nofollowme"` is NOT nofollow). href/rel values may
+    * be double-quoted, single-quoted, or unquoted. Anchors without an
+    * href are skipped. Pure regexp/transform chain, codegen'd,
+    * engine-replayable.
     */
   def outlinks(html: Column): Column = {
     val decode = (u: Column) => Seq(
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(u) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    // quoted form first; an unquoted value runs to whitespace/>/quote
+    // (the quoted regex can't false-positive there: after `=` an
+    // unquoted value's first char is not a quote, and vice versa)
+    def attr(t: Column, name: String): Column = {
+      val q = regexp_extract(t,
+        s"(?is)\\b$name\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+      val uq = regexp_extract(t, s"(?is)\\b$name\\s*=\\s*([^\\s>\"']+)", 1)
+      when(q =!= "", q).otherwise(uq)
+    }
     val tags = regexp_extract_all(html, lit("(?is)<a\\s[^>]*>"), lit(0))
     filter(
       transform(tags, t => struct(
-        decode(trim(regexp_extract(t,
-          "(?is)href\\s*=\\s*[\"']([^\"']*)[\"']", 1))).as("url"),
-        t.rlike("(?is)rel\\s*=\\s*[\"'][^\"']*nofollow").as("nofollow"))),
+        decode(trim(attr(t, "href"))).as("url"),
+        attr(t, "rel")
+          .rlike("(?i)(^|[\\s,])nofollow($|[\\s,])").as("nofollow"))),
       s => s.getField("url") =!= "")
   }
 

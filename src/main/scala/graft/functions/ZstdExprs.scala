@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{BinaryType, DataType}
@@ -32,10 +33,16 @@ object ZstdBytes {
       (bytes(2) & 0xff) == 0x2f && (bytes(3) & 0xff) == 0xfd,
       s"not a zstd frame (${bytes.length} bytes)")
     val declared = com.github.luben.zstd.Zstd.getFrameContentSize(bytes)
-    if (declared >= 0) {
+    // the one-shot path needs an Int allocation; a frame declaring
+    // > Int.MaxValue must not wrap negative even under a raised cap
+    if (declared >= 0 && declared <= Int.MaxValue) {
       require(declared <= maxBytes,
         s"zstd frame declares $declared bytes > cap $maxBytes")
       com.github.luben.zstd.Zstd.decompress(bytes, declared.toInt)
+    } else if (declared > Int.MaxValue) {
+      throw new IllegalArgumentException(
+        s"zstd frame declares $declared bytes > JVM array limit " +
+          s"${Int.MaxValue} (cap $maxBytes)")
     } else {
       // streaming frame without a recorded content size: inflate
       // incrementally under the cap
@@ -67,6 +74,11 @@ case class ZstdCompress(child: Expression, level: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "zstd_compress"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY input, got $other")
+  }
   override protected def nullSafeEval(input: Any): Any =
     ZstdBytes.compress(input.asInstanceOf[Array[Byte]], level)
   override protected def withNewChildInternal(newChild: Expression): ZstdCompress =
@@ -84,6 +96,11 @@ case class ZstdDecompress(child: Expression, maxBytes: Long)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "zstd_decompress"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects BINARY input, got $other")
+  }
   override protected def nullSafeEval(input: Any): Any =
     ZstdBytes.decompress(input.asInstanceOf[Array[Byte]], maxBytes)
   override protected def withNewChildInternal(newChild: Expression): ZstdDecompress =

@@ -81,11 +81,14 @@ object CrawlFrontier {
       .groupBy(col("domain"))
       .agg(max_by(col("delay_sec"),
         when(col("agent") === crawlerLc, 1).otherwise(0)).as("_delay"))
+    // drop via the delays-side column REFERENCES (not by name): a
+    // caller-supplied fetch list may legitimately carry its own
+    // 'domain' column, and drop-by-name would remove that too
     fetchList
       .join(perHost, fetchList(hostCol) === perHost("domain"), "left")
       .withColumn("fetch_at",
-        col("fetch_slot") * coalesce(col("_delay"), lit(defaultDelaySec)))
-      .drop("domain", "_delay")
+        col("fetch_slot") * coalesce(perHost("_delay"), lit(defaultDelaySec)))
+      .drop(perHost("domain")).drop(perHost("_delay"))
   }
 
   /** Redirect-chain resolution: follow `src → dst` redirect edges (a

@@ -12,18 +12,24 @@ import org.apache.spark.sql.functions._
   *  - group selection: the MOST SPECIFIC matching `User-agent` group
   *    (longest agent token that prefixes the crawler's name; `*` is
   *    the 0-length fallback), all of that group's rules;
-  *  - rule matching: longest-PATH-match wins across Allow+Disallow;
-  *    on equal length Allow wins; no matching rule = allowed;
-  *  - only path-prefix rules (no wildcards) — the subset the vast
-  *    majority of real files use; `$`/`*` patterns are rejected
-  *    loudly rather than mis-matched silently.
+  *  - rule matching: `*` matches any run of octets (including empty),
+  *    a trailing `$` anchors the pattern at the end of the path
+  *    (RFC 9309 §2.2.3); `$` anywhere else is a literal octet, like
+  *    the Google reference matcher. Paths compare percent-ENCODED —
+  *    `/a%2Fb` only matches the encoded form, never `/a/b`;
+  *  - precedence: the most specific match wins, where specificity is
+  *    the rule pattern's octet count (RFC "the match that has the
+  *    most octets"); on equal specificity Allow wins; no matching
+  *    rule = allowed.
   *
   * The decision is expressed RELATIONALLY: rules become a
-  * `(domain, agent, allow, path)` table (parsed once, O(hosts) —
-  * config-sized next to the URL corpus), the URL table joins on
-  * domain, prefix-match + longest-match resolve with one `max_by`
-  * aggregation — a broadcast join + hash agg at 100 TB, no UDF in
-  * the match path.
+  * `(domain, agent, allow, path, rx)` table (parsed once, O(hosts) —
+  * config-sized next to the URL corpus; `rx` is the pre-translated
+  * anchored regex, NULL for plain prefix rules), the URL table joins
+  * on domain, prefix/regex match + most-specific-match resolve with
+  * one `max_by` aggregation — a broadcast join + hash agg at 100 TB.
+  * The wildcard regex only evaluates for the minority of rules that
+  * carry one (`rx IS NULL` guards the fast `startsWith` path).
   *
   * Reference seam: the reference's compliance tier purges by dataset
   * descriptor (gobblin-compliance/.../HivePurgerSource.java); this is
@@ -31,13 +37,38 @@ import org.apache.spark.sql.functions._
   */
 object Robots {
 
-  /** Parse one robots.txt body into (agent, allow, path) rows.
+  /** Translate one RFC 9309 rule pattern to an anchored Java regex:
+    * `*` → `.*`, trailing `$` → end anchor, everything else literal
+    * (regex metacharacters escaped, inner `$` included). Only called
+    * for patterns that actually carry a wildcard.
+    */
+  private[operators] def patternRegex(p: String): String = {
+    val anchored = p.endsWith("$")
+    val body = if (anchored) p.dropRight(1) else p
+    val sb = new StringBuilder("^")
+    body.foreach {
+      case '*' => sb.append(".*")
+      case c if "\\.[]{}()<>+-=!?^$|".indexOf(c.toInt) >= 0 =>
+        sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    if (anchored) sb.append('$')
+    sb.toString
+  }
+
+  private def isWild(p: String): Boolean =
+    p.indexOf('*') >= 0 || p.endsWith("$")
+
+  /** Parse one robots.txt body into (agent, allow, pattern) rows.
     * Rules attach to every agent of the preceding User-agent run
     * (consecutive User-agent lines share the group, per the RFC).
     * Comments (#) and unknown directives (Crawl-delay, Sitemap) are
-    * ignored; `*`/`$` pattern rules fail loudly.
+    * ignored; `*`/`$` wildcard patterns are kept verbatim (they
+    * translate to regexes in [[rulesTable]]). Rules before any
+    * User-agent line are structurally invalid and fail loudly with
+    * `ctx` (the domain) in the message.
     */
-  def parseRules(id: Long, text: String): Seq[(String, Boolean, String)] = {
+  def parseRules(ctx: String, text: String): Seq[(String, Boolean, String)] = {
     val out = Vector.newBuilder[(String, Boolean, String)]
     var agents: List[String] = Nil
     var inAgentRun = false
@@ -56,10 +87,7 @@ object Robots {
               inAgentRun = false
               if (agents.isEmpty)
                 throw new IllegalArgumentException(
-                  s"media $id: $key rule before any User-agent line")
-              if (value.exists(c => c == '*' || c == '$'))
-                throw new IllegalArgumentException(
-                  s"media $id: wildcard rule '$value' not supported")
+                  s"robots[$ctx]: $key rule before any User-agent line")
               // empty Disallow = allow everything (no rule)
               if (value.nonEmpty)
                 agents.foreach(a => out += ((a, key == "allow", value)))
@@ -76,9 +104,14 @@ object Robots {
     * skips (it is not part of RFC 9309, but real crawlers honor it).
     * Group semantics match [[parseRules]]: a delay attaches to every
     * agent of the preceding User-agent run; the LAST delay in a group
-    * wins. Non-integer or negative values fail loudly with the id.
+    * wins. Real-world robots.txt are messy, so this parser is
+    * RESILIENT where [[parseRules]] is structural: fractional delays
+    * (`Crawl-delay: 0.5`) round UP to whole seconds, and malformed
+    * directives (non-numeric, negative, orphaned before any
+    * User-agent line) are skipped for that directive only — one messy
+    * host must not fail a corpus-wide scheduling job.
     */
-  def parseDelays(id: Long, text: String): Seq[(String, Long)] = {
+  def parseDelays(ctx: String, text: String): Seq[(String, Long)] = {
     val out = Vector.newBuilder[(String, Long)]
     var agents: List[String] = Nil
     var inAgentRun = false
@@ -95,17 +128,16 @@ object Robots {
               else { agents = List(value.toLowerCase); inAgentRun = true }
             case "crawl-delay" =>
               inAgentRun = false
-              if (agents.isEmpty)
-                throw new IllegalArgumentException(
-                  s"media $id: Crawl-delay before any User-agent line")
-              val d = try value.toLong catch {
-                case _: NumberFormatException =>
-                  throw new IllegalArgumentException(
-                    s"media $id: non-integer Crawl-delay '$value'")
+              val d = try {
+                val v = value.toDouble
+                if (v.isNaN || v.isInfinite || v < 0) None
+                else Some(math.ceil(v).toLong)
+              } catch { case _: NumberFormatException => None }
+              // skip malformed/orphaned directives: resilience beats
+              // loudness for wild-content politeness hints
+              if (agents.nonEmpty) d.foreach { sec =>
+                agents.foreach(a => out += ((a, sec)))
               }
-              if (d < 0) throw new IllegalArgumentException(
-                s"media $id: negative Crawl-delay $d")
-              agents.foreach(a => out += ((a, d)))
             case _ => inAgentRun = false
           }
         }
@@ -128,7 +160,7 @@ object Robots {
     robots.select(col(domainCol).cast("string"), col(textCol).cast("string"))
       .as[(String, String)]
       .mapPartitions(_.flatMap { case (domain, text) =>
-        parseDelays(0L, if (text == null) "" else text).iterator.map {
+        parseDelays(domain, if (text == null) "" else text).iterator.map {
           case (agent, d) => (domain, agent, d)
         }
       })
@@ -136,7 +168,11 @@ object Robots {
   }
 
   /** `robots(domain, content)` text rows → `(domain, agent, allow,
-    * path)` rule rows (the relational form [[filterAllowed]] joins).
+    * path, rx)` rule rows (the relational form [[filterAllowed]]
+    * joins). `path` is the verbatim rule pattern; `rx` is its
+    * anchored regex translation when the pattern carries `*`/`$`
+    * wildcards, NULL for plain prefix rules (the common case, which
+    * keeps the fast `startsWith` match path).
     */
   def rulesTable(robots: DataFrame, domainCol: String, textCol: String)
       : DataFrame = {
@@ -145,17 +181,21 @@ object Robots {
     robots.select(col(domainCol).cast("string"), col(textCol).cast("string"))
       .as[(String, String)]
       .mapPartitions(_.flatMap { case (domain, text) =>
-        parseRules(0L, if (text == null) "" else text).iterator.map {
-          case (agent, allow, path) => (domain, agent, allow, path)
+        parseRules(domain, if (text == null) "" else text).iterator.map {
+          case (agent, allow, path) =>
+            (domain, agent, allow, path,
+              if (isWild(path)) patternRegex(path) else null)
         }
       })
-      .toDF("domain", "agent", "allow", "path")
+      .toDF("domain", "agent", "allow", "path", "rx")
   }
 
   /** Filter `urls` to those the `crawler` may fetch under `rules`
     * (for the exact-match agent group or the `*` fallback — longest
-    * agent name wins, then longest path, Allow on ties; URLs with no
-    * matching group or rule pass). `urls` needs (urlCol); the url's
+    * agent name wins; then the most specific rule by pattern octet
+    * count, Allow on ties; URLs with no matching group or rule pass).
+    * `rules` is a [[rulesTable]] frame; a URL with no path component
+    * matches as `/` per the RFC. `urls` needs (urlCol); the url's
     * domain and path derive via the shared Text helpers.
     */
   def filterAllowed(urls: DataFrame, urlCol: String, rules: DataFrame,
@@ -172,20 +212,29 @@ object Robots {
       .join(groups, "domain")
       .filter((col("has_exact") === 1 && col("agent") === crawlerLc) ||
         (col("has_exact") === 0 && col("agent") === "*"))
-      .select(col("domain"), col("allow"), col("path"))
+      .select(col("domain"), col("allow"), col("path"), col("rx"))
     val withParts = urls
       .withColumn("_domain", Text.urlDomain(col(urlCol)))
       .withColumn("_path",
         regexp_extract(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^#]*)?", 1))
+      // regexp_extract yields "" when the URL has no path component;
+      // the RFC matches such URLs as "/"
+      .withColumn("_path",
+        when(col("_path") === "", lit("/")).otherwise(col("_path")))
     // the decision depends only on (domain, path): resolve per
-    // DISTINCT pair (longest matching rule; Allow wins length ties —
-    // true > false in the max_by struct), then join verdicts back so
-    // duplicate URL rows are preserved. The prefix test rides the
-    // equi-join on domain as a join condition: a URL whose domain has
-    // rules but none matching stays unmatched -> allowed.
+    // DISTINCT pair (most specific matching rule by pattern octets;
+    // Allow wins ties — true > false in the max_by struct), then join
+    // verdicts back so duplicate URL rows are preserved. The match
+    // test rides the equi-join on domain as a join condition —
+    // startsWith for plain prefix rules, the pre-translated anchored
+    // regex for wildcard rules; a URL whose domain has rules but none
+    // matching stays unmatched -> allowed.
+    val ruleMatches =
+      when(col("rx").isNull, col("_path").startsWith(col("path")))
+        .otherwise(regexp_like(col("_path"), col("rx")))
     val decisions = withParts.select(col("_domain"), col("_path")).distinct()
       .join(applicable,
-        col("_domain") === col("domain") && col("_path").startsWith(col("path")),
+        col("_domain") === col("domain") && ruleMatches,
         "left")
       .groupBy("_domain", "_path")
       .agg(max_by(col("allow"),

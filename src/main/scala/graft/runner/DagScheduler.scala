@@ -199,24 +199,63 @@ object DagScheduler {
     * (in trace order; semantically parallel within a tick), quota
     * failures and cancellations never run. Completion records ride
     * `store` exactly like [[FlowCompiler.executeDag]], so a rerun
-    * after a crash skips finished tasks. Returns (task key -> action)
-    * where action is ran/skipped/not_run.
+    * after a crash skips finished tasks; records are keyed PER
+    * ATTEMPT, so a within-run retry start (a planted trace failure)
+    * is never conflated with crash-resume.
+    *
+    * Real failures are contained, not fatal: a task whose job throws
+    * is recorded `failed` and the run continues — later starts of the
+    * SAME task (the trace's retries) still run, while starts of tasks
+    * depending (transitively) on a really-failed task — or, under
+    * FINISH_RUNNING, any later start in that dag — are `cancelled`
+    * without running, mirroring the virtual trace's fail/cancel
+    * semantics. The virtual trace bounds the retry budget
+    * (maxAttempts); an unplanted real failure does not mint extra
+    * attempts beyond the trace's starts.
+    *
+    * Returns (task key -> action) per trace start, action one of
+    * ran/skipped/failed/cancelled.
     */
   def executeScheduled(spark: SparkSession, store: graft.state.FsStateStore,
       workload: Seq[(DagTask, java.util.Properties)],
       conf: SchedulerConfig): Seq[(String, String)] = {
     val trace = schedule(workload.map(_._1), conf)
     val started = trace.filter(_.event == "start")
-      .map(e => (e.tick, e.dag, e.task)).sorted
+      .map(e => (e.tick, e.dag, e.task, e.attempt)).sorted
     val props = workload.map { case (t, p) => (t.dag, t.task) -> p }.toMap
-    started.map { case (_, dag, task) =>
+    val depsOf = workload.map { case (t, _) => (t.dag, t.task) -> t }.toMap
+    // transitive dependency closure within a dag (config-sized)
+    def closure(dag: String, task: String): Set[String] = {
+      val seen = scala.collection.mutable.Set.empty[String]
+      def go(x: String): Unit = depsOf((dag, x)).dependsOn.foreach { d =>
+        if (seen.add(d)) go(d)
+      }
+      go(task)
+      seen.toSet
+    }
+    var reallyFailed = Set.empty[(String, String)]
+    started.map { case (_, dag, task, attempt) =>
       val key = s"$dag/$task"
-      store.get("dagsched", key) match {
+      val w = depsOf((dag, task))
+      val blocked =
+        closure(dag, task).exists(d => reallyFailed((dag, d))) ||
+          (w.failureOption == "FINISH_RUNNING" &&
+            reallyFailed.exists { case (d, x) => d == dag && x != task })
+      if (blocked) key -> "cancelled"
+      else store.get("dagsched", s"$key#$attempt") match {
         case Some(st) if st.get("status").contains("done") => key -> "skipped"
         case _ =>
-          val summary = JobConfig.runAny(spark, props((dag, task)))
-          store.put("dagsched", key, summary + ("status" -> "done"))
-          key -> "ran"
+          try {
+            val summary = JobConfig.runAny(spark, props((dag, task)))
+            store.put("dagsched", s"$key#$attempt",
+              summary + ("status" -> "done"))
+            reallyFailed -= ((dag, task)) // a retry that succeeds heals
+            key -> "ran"
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              reallyFailed += ((dag, task))
+              key -> "failed"
+          }
       }
     }
   }

@@ -872,6 +872,10 @@ object JobConfig {
           "tasks" -> taskIds.size.toString,
           "ran" -> results.count(_._2 == "ran").toString,
           "skipped" -> results.count(_._2 == "skipped").toString,
+          // REAL outcomes (a job that threw / was blocked by a real
+          // failure upstream) — distinct from the virtual-trace counts
+          "real_failed" -> results.count(_._2 == "failed").toString,
+          "real_cancelled" -> results.count(_._2 == "cancelled").toString,
           "succeeded" -> lastByTask.values.count(_ == "success").toString,
           "failed" -> lastByTask.values.count(_ == "fail").toString,
           "quota_failed" -> lastByTask.values.count(_ == "quota_fail").toString,

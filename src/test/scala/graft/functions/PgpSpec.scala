@@ -8,12 +8,16 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PgpSpec extends AnyFunSuite {
 
-  private def haveGpg: Boolean =
-    try new ProcessBuilder("gpg", "--version").start().waitFor() == 0
-    catch { case _: Exception => false }
+  // resolve the binary by probing PATH + system bins so suite health
+  // doesn't depend on the invoking shell's PATH
+  private lazy val gpgBin: Option[String] = graft.BinTool.resolve("gpg")
 
-  private def sh(cmd: String*): Int =
-    new ProcessBuilder(cmd: _*).redirectErrorStream(true).start().waitFor()
+  private def haveGpg: Boolean = gpgBin.isDefined
+
+  private def sh(cmd: String*): Int = {
+    val resolved = if (cmd.head == "gpg") gpgBin.get +: cmd.tail else cmd
+    new ProcessBuilder(resolved: _*).redirectErrorStream(true).start().waitFor()
+  }
 
   test("pure JCE round-trip carries filename and bytes") {
     val data = ("some corpus text " * 100).getBytes("UTF-8")

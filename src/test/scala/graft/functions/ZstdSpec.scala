@@ -39,6 +39,10 @@ class ZstdSpec extends SparkSpec {
   }
 
   test("CLI interop: our frames decode with the zstd binary and vice versa") {
+    // resolve by probing PATH + system bins so suite health doesn't
+    // depend on the invoking shell's PATH
+    val zstdBin = graft.BinTool.resolve("zstd")
+    assume(zstdBin.isDefined, "zstd binary not reachable — skipping interop")
     val dir = Files.createTempDirectory("zstd_interop")
     val payload = ("interop payload line\n" * 500).getBytes(UTF_8)
 
@@ -46,7 +50,7 @@ class ZstdSpec extends SparkSpec {
     val ours = dir.resolve("ours.zst")
     Files.write(ours, ZstdBytes.compress(payload, 3))
     val dec = dir.resolve("ours.out")
-    val p1 = new ProcessBuilder("zstd", "-d", "-f", "-q",
+    val p1 = new ProcessBuilder(zstdBin.get, "-d", "-f", "-q",
       ours.toString, "-o", dec.toString).inheritIO().start()
     assert(p1.waitFor() == 0, "zstd -d rejected our frame")
     assert(Files.readAllBytes(dec).sameElements(payload))
@@ -54,7 +58,7 @@ class ZstdSpec extends SparkSpec {
     // CLI -> ours
     val raw = dir.resolve("cli.in")
     Files.write(raw, payload)
-    val p2 = new ProcessBuilder("zstd", "-3", "-f", "-q", raw.toString,
+    val p2 = new ProcessBuilder(zstdBin.get, "-3", "-f", "-q", raw.toString,
       "-o", dir.resolve("cli.zst").toString).inheritIO().start()
     assert(p2.waitFor() == 0, "zstd binary failed to compress")
     val cli = Files.readAllBytes(dir.resolve("cli.zst"))
@@ -68,6 +72,29 @@ class ZstdSpec extends SparkSpec {
       ZstdBytes.decompress(bomb, 1024)
     }
     assert(e.getMessage.contains("cap"))
+  }
+
+  test("a frame declaring > Int.MaxValue fails loudly even under a huge cap") {
+    // hand-craft a header: magic + descriptor 0xE0 (single-segment,
+    // 8-byte FCS) + FCS = 2^32 little-endian. The guard must trip on
+    // the declared size BEFORE any Int allocation can wrap negative.
+    val hdr = Array[Byte](0x28, 0xb5.toByte, 0x2f, 0xfd.toByte,
+      0xe0.toByte, 0, 0, 0, 0, 1, 0, 0, 0)
+    assert(com.github.luben.zstd.Zstd.getFrameContentSize(hdr) == (1L << 32))
+    val e = intercept[IllegalArgumentException] {
+      ZstdBytes.decompress(hdr, Long.MaxValue)
+    }
+    assert(e.getMessage.contains("array limit"))
+  }
+
+  test("non-binary input fails at analysis, not with a ClassCastException") {
+    val df = Seq("x").toDF("text")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(ZstdCompress(col("text"))).collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(ZstdDecompress(col("text"))).collect()
+    }
   }
 
   test("streaming frames (no recorded content size) inflate under the cap and trip it") {

@@ -96,18 +96,40 @@ class CrawlFrontierSpec extends SparkSpec {
       "d/1" -> 0L, "d/2" -> 3L)) // last directive in group wins
   }
 
-  test("crawl-delay parsing fails loudly on junk and pre-group directives") {
-    intercept[IllegalArgumentException] {
-      Robots.parseDelays(7L, "User-agent: *\nCrawl-delay: soon")
-    }
-    intercept[IllegalArgumentException] {
-      Robots.parseDelays(7L, "Crawl-delay: 5")
-    }
-    intercept[IllegalArgumentException] {
-      Robots.parseDelays(7L, "User-agent: *\nCrawl-delay: -1")
-    }
+  test("scheduleFetch preserves a caller-supplied 'domain' column") {
+    import spark.implicits._
+    val robots = Seq(("a", "User-agent: *\nCrawl-delay: 2"))
+      .toDF("domain", "content")
+    val fl = Seq(("a/1", "a", "keep-me", 1L, 1L))
+      .toDF("url", "host", "domain", "sel_rank", "fetch_slot")
+    val out = CrawlFrontier.scheduleFetch(fl, "host",
+      Robots.delaysTable(robots, "domain", "content"), "bot",
+      defaultDelaySec = 30)
+    assert(out.columns.count(_ == "domain") == 1,
+      "the caller's domain column must survive, the join side's must not")
+    assert(out.select("domain", "fetch_at").as[(String, Long)]
+      .collect().toSeq == Seq(("keep-me", 2L)))
+  }
+
+  test("crawl-delay parsing is resilient: fractional ceils, junk skipped") {
+    // fractional values (common in the wild) round UP to whole seconds
+    assert(Robots.parseDelays("h", "User-agent: *\nCrawl-delay: 0.5") ==
+      Seq("*" -> 1L))
+    assert(Robots.parseDelays("h", "User-agent: *\nCrawl-delay: 2.0") ==
+      Seq("*" -> 2L))
+    // non-numeric, orphaned, and negative directives are SKIPPED (one
+    // messy host must not fail a corpus-wide scheduling job) — other
+    // directives in the same file survive
+    assert(Robots.parseDelays("h",
+      "User-agent: *\nCrawl-delay: soon").isEmpty)
+    assert(Robots.parseDelays("h", "Crawl-delay: 5").isEmpty)
+    assert(Robots.parseDelays("h",
+      "User-agent: *\nCrawl-delay: -1").isEmpty)
+    assert(Robots.parseDelays("h",
+      "User-agent: a\nCrawl-delay: NaN\n\nUser-agent: b\nCrawl-delay: 3") ==
+      Seq("b" -> 3L))
     // consecutive UA lines share the group; unrelated directives ignored
-    assert(Robots.parseDelays(1L,
+    assert(Robots.parseDelays("h",
       "User-agent: a\nUser-agent: b\nSitemap: x\nUser-agent: c\nCrawl-delay: 5") ==
       Seq("c" -> 5L))
   }

@@ -9,7 +9,7 @@ import graft.SparkSpec
 class RobotsSpec extends SparkSpec {
 
   test("parse: groups, shared agent runs, comments, unknown directives") {
-    val rules = Robots.parseRules(1L,
+    val rules = Robots.parseRules("ex.com",
       """# a comment
         |User-agent: GoodBot
         |User-agent: OtherBot
@@ -28,13 +28,23 @@ class RobotsSpec extends SparkSpec {
       ("*", false, "/all/")))
   }
 
-  test("parse: wildcard rules and orphan rules fail loudly") {
-    intercept[IllegalArgumentException](
-      Robots.parseRules(9L, "User-agent: *\nDisallow: /a*"))
-    intercept[IllegalArgumentException](
-      Robots.parseRules(9L, "User-agent: *\nDisallow: /a$"))
-    intercept[IllegalArgumentException](
-      Robots.parseRules(9L, "Disallow: /a"))
+  test("parse: wildcard rules kept verbatim; orphan rules fail loudly") {
+    assert(Robots.parseRules("ex.com", "User-agent: *\nDisallow: /a*") ==
+      Seq(("*", false, "/a*")))
+    assert(Robots.parseRules("ex.com", "User-agent: *\nDisallow: /a$") ==
+      Seq(("*", false, "/a$")))
+    val e = intercept[IllegalArgumentException](
+      Robots.parseRules("ex.com", "Disallow: /a"))
+    assert(e.getMessage.contains("ex.com"), "domain must be in the error")
+  }
+
+  test("pattern→regex translation: *, trailing $, metachars, inner $") {
+    assert(Robots.patternRegex("/a*/b") == "^/a.*/b")
+    assert(Robots.patternRegex("/x.php$") == "^/x\\.php$")
+    assert(Robots.patternRegex("/*?session") == "^/.*\\?session")
+    // inner $ is a literal octet, only the trailing one anchors
+    assert(Robots.patternRegex("/a$b$") == "^/a\\$b$")
+    assert(Robots.patternRegex("/p(1)[2]{3}|x") == "^/p\\(1\\)\\[2\\]\\{3\\}\\|x")
   }
 
   private def runFilter(robotsText: String, urls: Seq[(Long, String)],
@@ -67,6 +77,53 @@ class RobotsSpec extends SparkSpec {
       1L -> "https://ex.com/a/x",
       2L -> "https://ex.com/b/x"), "stranger")
     assert(other == Set(2L))
+  }
+
+  test("wildcard rules: * spans octets, $ anchors, specificity by pattern octets") {
+    // Disallow /pdf/*.pdf$ (10 octets) vs Allow /pdf/open (9): the
+    // Disallow is MORE specific wherever both match
+    val txt = "User-agent: *\nDisallow: /pdf/*.pdf$\nAllow: /pdf/open"
+    val allowed = runFilter(txt, Seq(
+      1L -> "https://ex.com/pdf/a.pdf",        // wildcard blocks
+      2L -> "https://ex.com/pdf/a.pdf?x",      // $ anchor: not end -> allowed
+      3L -> "https://ex.com/pdf/open/x.html",  // Allow prefix, no .pdf end
+      4L -> "https://ex.com/pdf/open/x.pdf",   // both match; Disallow longer
+      5L -> "https://ex.com/pdf/sub/dir/deep.pdf", // * spans octets
+      6L -> "https://ex.com/docs/a.pdf"), "anybot")
+    assert(allowed == Set(2L, 3L, 6L))
+  }
+
+  test("wildcard rules: mid-path *, overlapping patterns, Allow tie-break") {
+    // /*?session (9) blocks any path carrying ?session; Allow
+    // /login*?session (15) carves the login flow back out; a 9-octet
+    // Allow /fight*ok ties a 9-octet Disallow -> Allow wins
+    val txt = "User-agent: *\nDisallow: /*?session\nAllow: /login*?session\n" +
+      "Disallow: /fight*ok\nAllow: /fight*ok"
+    val allowed = runFilter(txt, Seq(
+      1L -> "https://ex.com/cart?session=9",
+      2L -> "https://ex.com/login?session=9",
+      3L -> "https://ex.com/login/two?session=9",
+      4L -> "https://ex.com/fight/ok",
+      5L -> "https://ex.com/plain"), "anybot")
+    assert(allowed == Set(2L, 3L, 4L, 5L))
+  }
+
+  test("percent-encoded octets match literally: %2F is not a slash") {
+    val txt = "User-agent: *\nDisallow: /a%2Fb"
+    val allowed = runFilter(txt, Seq(
+      1L -> "https://ex.com/a%2Fb/x", // encoded form blocked
+      2L -> "https://ex.com/a/b/x"),  // decoded form is a DIFFERENT path
+      "anybot")
+    assert(allowed == Set(2L))
+  }
+
+  test("URL with no path component matches as / per the RFC") {
+    val txt = "User-agent: *\nDisallow: /$\nAllow: /home"
+    val allowed = runFilter(txt, Seq(
+      1L -> "https://ex.com",        // path "/" -> blocked by /$
+      2L -> "https://ex.com/",       // explicit "/" -> blocked
+      3L -> "https://ex.com/home"), "anybot")
+    assert(allowed == Set(3L))
   }
 
   test("domains without rules pass; duplicate URL rows are preserved") {

@@ -33,7 +33,13 @@ class TarSpec extends AnyFunSuite {
         "blockminus.txt" -> 511, "blockplus.txt" -> 513))
   }
 
-  private def run(cmd: Seq[String], cwd: java.io.File): String = {
+  // resolve the binary by probing PATH + system bins so suite health
+  // doesn't depend on the invoking shell's PATH
+  private lazy val tarBin: Option[String] = graft.BinTool.resolve("tar")
+
+  private def run(cmd0: Seq[String], cwd: java.io.File): String = {
+    assume(tarBin.isDefined, "tar binary not reachable — skipping interop")
+    val cmd = tarBin.get +: cmd0.tail
     val pb = new ProcessBuilder(cmd: _*)
     pb.directory(cwd)
     pb.redirectErrorStream(true)
