@@ -110,14 +110,22 @@ object Bench {
     val byName = ordered.map { case (name, _) =>
       val runs = passes.map(_.find(_._1 == name).get._2)
       val oks = runs.filter(_._2).map(_._1)
-      (name, runs.map(_._1), oks.nonEmpty, if (oks.nonEmpty) oks.min else -1.0)
+      (name, runs, oks.nonEmpty, if (oks.nonEmpty) oks.min else -1.0)
     }
     def jq(s: String) = "\"" + s + "\""
     def jd(d: Double) = f"$d%.3f"
     val minJson = byName.map { case (n, _, ok, mn) =>
       s"${jq(n)}:${if (ok) jd(mn) else "null"}" }.mkString("{", ",", "}")
+    // per-run ok flags persist alongside the times: a query that
+    // flaps (one pass throws, the other succeeds) must be VISIBLE in
+    // the report, not masked by the surviving pass's minimum
     val runsJson = byName.map { case (n, runs, _, _) =>
-      s"${jq(n)}:[${runs.map(jd).mkString(",")}]" }.mkString("{", ",", "}")
+      val rs = runs.map { case (t, ok) => s"""{"t":${jd(t)},"ok":$ok}""" }
+      s"${jq(n)}:[${rs.mkString(",")}]"
+    }.mkString("{", ",", "}")
+    val flakyNames = byName.collect {
+      case (n, runs, true, _) if runs.exists(!_._2) => n }
+    val flaky = flakyNames.map(jq).mkString("[", ",", "]")
     val errs = byName.collect { case (n, _, false, _) => jq(n) }
       .mkString("[", ",", "]")
     val total = byName.collect { case (_, _, true, mn) => mn }.sum
@@ -144,7 +152,7 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${jd(total)},"unit":"sec","sf":${jq(sfDir)},""" +
         s""""best_of":$BestOf,"queries":$minJson,"runs":$runsJson,""" +
-        s""""isolated":$isoJson,"errors":$errs$scaleJson}"""
+        s""""isolated":$isoJson,"errors":$errs,"flaky":$flaky$scaleJson}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), full + "\n")
     // compact stdout line (fits the driver's 2000-char tail capture):
     // aggregate + errors + flags + the slowest queries by min
@@ -154,6 +162,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${jd(total)},"unit":"sec","sf":${jq(sfDir)},""" +
         s""""n_queries":${byName.size},"best_of":$BestOf,"errors":$errs,""" +
+        s""""flaky":$flaky,""" +
         s""""flagged":$flagged,"queries":$top,"queries_truncated":true,""" +
         s""""full":${jq(fullPath)}}""")
     spark.stop()

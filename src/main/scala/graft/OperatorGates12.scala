@@ -446,7 +446,11 @@ object OperatorGates12 {
            |""".stripMargin))
       require(r("published") == "true", s"export failed: $r")
       import org.apache.spark.sql.types._
-      val shards = s.read.format("binaryFile").load(s"$tmp/out/*.tar")
+      // read back the EXACT published paths from the job result — a
+      // glob over $tmp/out can race the publish rename
+      val published = r("files").split(",").toSeq
+      require(published.nonEmpty, s"no shards published: $r")
+      val shards = s.read.format("binaryFile").load(published: _*)
         .select(regexp_extract(col("path"), "shard-(\\d+)\\.tar", 1)
           .cast("long").as("shard_id"), col("content"))
       TarCodec.readWebDataset(shards).toDF()

@@ -259,12 +259,58 @@ object OperatorGates13 {
         lit(" rel=nofollow>e</a>"),
         lit("<a rel=\"sponsored,nofollow\" href=\"http://t6/"),
         pmod(k, lit(2)), lit("\">f</a>"),
-        lit("<a name=\"nohref\">skip</a>"))
+        lit("<a name=\"nohref\">skip</a>"),
+        // hyphenated attrs must not alias: data-href is not an href
+        // (anchor skipped), data-rel is not a rel (link stays follow)
+        lit("<a data-href=\"http://bad/x\" name=\"g\">skip</a>"),
+        lit("<a href=\"http://t7/"), pmod(k, lit(4)),
+        lit("\" data-rel=\"nofollow\">h</a>"),
+        // mixed quotes: a single-quoted value may CONTAIN a double
+        // quote and must extract intact
+        lit("<a href='http://t8/"), pmod(k, lit(9)), lit("\"q'>i</a>"))
       t(s, dir, "documents").select(col("doc_id"), html.as("html"))
         .select(col("doc_id"), explode(Text.outlinks(col("html"))).as("l"))
         .select(col("doc_id"), col("l.url").as("url"),
           col("l.nofollow").as("nofollow"))
         .orderBy(col("doc_id"), col("url"))
+    }),
+
+    // --- RFC 9309 wildcard rules (Robots): `*` mid-pattern, trailing
+    //     `$` end anchor, `$` elsewhere literal, %XX octets literal,
+    //     most-specific-match by pattern OCTET count across prefix and
+    //     wildcard rules, Allow on octet ties. The oracle rebuilds the
+    //     rule table with the same anchored-regex translation and
+    //     replays the max-by-octets resolution -------------------------
+    "q_robots_wildcards" -> ((s, dir) => {
+      import graft.operators.Robots
+      val docs = t(s, dir, "documents")
+      val srcs = docs.select(col("source")).distinct()
+      val robots = srcs.select(
+        concat(lit("www."), col("source"), lit(".example.com")).as("domain"),
+        lit("""User-agent: *
+              |Disallow: /pdf/*.pdf$
+              |Allow: /pdf/open*.pdf$
+              |Disallow: /a/*/b
+              |Disallow: /li$t
+              |Disallow: /%2F
+              |Disallow: /dir/*
+              |Allow: /dir/a
+              |""".stripMargin).as("content"))
+      val urls = docs.select(col("doc_id"), col("source"),
+        concat(lit("https://www."), col("source"), lit(".example.com"),
+          expr("""CASE CAST(doc_id % 8 AS INT)
+                 |  WHEN 0 THEN '/pdf/doc' || doc_id || '.pdf'
+                 |  WHEN 1 THEN '/pdf/doc' || doc_id || '.pdfx'
+                 |  WHEN 2 THEN '/pdf/open' || doc_id || '.pdf'
+                 |  WHEN 3 THEN '/a/' || doc_id || '/b'
+                 |  WHEN 4 THEN '/a/' || doc_id || '/c'
+                 |  WHEN 5 THEN '/li$t' || doc_id
+                 |  WHEN 6 THEN '/%2Fx' || doc_id
+                 |  ELSE '/dir/a' || doc_id END""".stripMargin)).as("url"))
+      Robots.filterAllowed(urls,
+          "url", Robots.rulesTable(robots, "domain", "content"), "GraftBot")
+        .select(col("doc_id"), col("url"))
+        .orderBy(col("doc_id"))
     }),
 
     // --- full sitemap entries (Text.sitemapEntries): per-<url> block
@@ -713,9 +759,53 @@ object OperatorGates13 {
         FROM documents
         UNION ALL
         SELECT doc_id, 'http://t6/' || CAST(doc_id % 2 AS VARCHAR), true
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'http://t7/' || CAST(doc_id % 4 AS VARCHAR), false
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 'http://t8/' || CAST(doc_id % 9 AS VARCHAR) || '"q',
+               false
         FROM documents)
       ORDER BY doc_id, url
     """,
+
+    "q_robots_wildcards" ->
+      """WITH s AS (SELECT DISTINCT source FROM documents),
+        |rules AS (
+        |  SELECT source, FALSE AS allow, '/pdf/*.pdf$' AS path,
+        |         '^/pdf/.*\.pdf$' AS rx FROM s
+        |  UNION ALL SELECT source, TRUE, '/pdf/open*.pdf$',
+        |         '^/pdf/open.*\.pdf$' FROM s
+        |  UNION ALL SELECT source, FALSE, '/a/*/b', '^/a/.*/b' FROM s
+        |  UNION ALL SELECT source, FALSE, '/li$t', NULL FROM s
+        |  UNION ALL SELECT source, FALSE, '/%2F', NULL FROM s
+        |  UNION ALL SELECT source, FALSE, '/dir/*', '^/dir/.*' FROM s
+        |  UNION ALL SELECT source, TRUE, '/dir/a', NULL FROM s),
+        |u AS (
+        |  SELECT doc_id, source,
+        |    CASE doc_id % 8
+        |      WHEN 0 THEN '/pdf/doc' || doc_id || '.pdf'
+        |      WHEN 1 THEN '/pdf/doc' || doc_id || '.pdfx'
+        |      WHEN 2 THEN '/pdf/open' || doc_id || '.pdf'
+        |      WHEN 3 THEN '/a/' || doc_id || '/b'
+        |      WHEN 4 THEN '/a/' || doc_id || '/c'
+        |      WHEN 5 THEN '/li$t' || doc_id
+        |      WHEN 6 THEN '/%2Fx' || doc_id
+        |      ELSE '/dir/a' || doc_id END AS p
+        |  FROM documents),
+        |m AS (
+        |  SELECT u.doc_id, u.source, u.p,
+        |    (max({'l': octet_length(encode(a.path)), 'a': a.allow})).a AS verdict,
+        |    count(a.path) AS nm
+        |  FROM u LEFT JOIN rules a
+        |    ON a.source = u.source AND
+        |       CASE WHEN a.rx IS NULL THEN starts_with(u.p, a.path)
+        |            ELSE regexp_matches(u.p, a.rx) END
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id,
+        |  'https://www.' || source || '.example.com' || p AS url
+        |FROM m WHERE nm = 0 OR verdict ORDER BY doc_id""".stripMargin,
 
     "q_sitemap_entries" -> """
       SELECT source,

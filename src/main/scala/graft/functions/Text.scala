@@ -341,14 +341,23 @@ object Text {
       "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(u) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
-    // quoted form first; an unquoted value runs to whitespace/>/quote
-    // (the quoted regex can't false-positive there: after `=` an
-    // unquoted value's first char is not a quote, and vice versa)
+    // quoted forms first; an unquoted value runs to whitespace/>/quote
+    // (the quoted regexes can't false-positive there: after `=` an
+    // unquoted value's first char is not a quote, and vice versa).
+    // Each quote style terminates on its OWN quote char, so
+    // href='a"b' extracts a"b intact. The (?<![\w-]) lookbehind stops
+    // hyphenated attributes from aliasing: `data-href` is not an
+    // href, `data-rel="nofollow"` is not a nofollow (a plain \b
+    // boundary exists inside `data-href` because '-' is a non-word
+    // char).
     def attr(t: Column, name: String): Column = {
-      val q = regexp_extract(t,
-        s"(?is)\\b$name\\s*=\\s*[\"']([^\"']*)[\"']", 1)
-      val uq = regexp_extract(t, s"(?is)\\b$name\\s*=\\s*([^\\s>\"']+)", 1)
-      when(q =!= "", q).otherwise(uq)
+      val dq = regexp_extract(t,
+        s"(?is)(?<![\\w-])$name\\s*=\\s*\"([^\"]*)\"", 1)
+      val sq = regexp_extract(t,
+        s"(?is)(?<![\\w-])$name\\s*=\\s*'([^']*)'", 1)
+      val uq = regexp_extract(t,
+        s"(?is)(?<![\\w-])$name\\s*=\\s*([^\\s>\"']+)", 1)
+      when(dq =!= "", dq).otherwise(when(sq =!= "", sq).otherwise(uq))
     }
     val tags = regexp_extract_all(html, lit("(?is)<a\\s[^>]*>"), lit(0))
     filter(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{BinaryType, DataType}
+import org.apache.spark.sql.types.{BinaryType, DataType, NullType}
 
 /** Zstandard (de)compression columns over zstd-jni — the codec Spark
   * itself ships for shuffle/parquet (on every executor classpath, no
@@ -75,7 +75,9 @@ case class ZstdCompress(child: Expression, level: Int)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "zstd_compress"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    // NullType passes: a bare NULL literal evaluates to NULL via the
+    // nullSafeEval short-circuit, matching pre-check behavior
+    case BinaryType | NullType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects BINARY input, got $other")
   }
@@ -97,7 +99,9 @@ case class ZstdDecompress(child: Expression, maxBytes: Long)
   override def dataType: DataType = BinaryType
   override def prettyName: String = "zstd_decompress"
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    // NullType passes: a bare NULL literal evaluates to NULL via the
+    // nullSafeEval short-circuit, matching pre-check behavior
+    case BinaryType | NullType => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"$prettyName expects BINARY input, got $other")
   }

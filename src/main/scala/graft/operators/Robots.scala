@@ -237,8 +237,10 @@ object Robots {
         col("_domain") === col("domain") && ruleMatches,
         "left")
       .groupBy("_domain", "_path")
+      // specificity is the pattern's OCTET count (RFC 9309 "most
+      // octets"), not UTF-16 chars — they differ for non-ASCII bytes
       .agg(max_by(col("allow"),
-        struct(length(col("path")), col("allow"))).as("_verdict"))
+        struct(octet_length(col("path")), col("allow"))).as("_verdict"))
     withParts
       .join(decisions, Seq("_domain", "_path"), "left")
       .filter(col("_verdict").isNull || col("_verdict"))

@@ -241,8 +241,13 @@ object DagScheduler {
         closure(dag, task).exists(d => reallyFailed((dag, d))) ||
           (w.failureOption == "FINISH_RUNNING" &&
             reallyFailed.exists { case (d, x) => d == dag && x != task })
+      // attempt 1 also probes the legacy un-suffixed key: stores
+      // written before the per-attempt key format (`dag/task` only)
+      // must keep crash-resume working across the format bump
+      val prior = store.get("dagsched", s"$key#$attempt")
+        .orElse(if (attempt == 1) store.get("dagsched", key) else None)
       if (blocked) key -> "cancelled"
-      else store.get("dagsched", s"$key#$attempt") match {
+      else prior match {
         case Some(st) if st.get("status").contains("done") => key -> "skipped"
         case _ =>
           try {

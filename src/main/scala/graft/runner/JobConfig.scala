@@ -749,7 +749,15 @@ object JobConfig {
           }.reduce(_ + _)
         val pub = new Publisher()
         pub.publishSnapshot(SinkSpec(staging, req(p, "sink.output")))
-        Map("published" -> "true", "shards" -> written.toString)
+        // return the exact published shard paths: a reader must not
+        // re-discover them by glob (lazy glob resolution can race the
+        // publish rename on some filesystems)
+        val outPath = new org.apache.hadoop.fs.Path(req(p, "sink.output"))
+        val outFs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files = outFs.listStatus(outPath).map(_.getPath.toString)
+          .filter(_.endsWith(".tar")).sorted
+        Map("published" -> "true", "shards" -> written.toString,
+          "files" -> files.mkString(","))
 
       case "stream" =>
         // config-driven streaming ingest: file-stream source (schema

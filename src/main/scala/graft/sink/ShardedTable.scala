@@ -26,7 +26,15 @@ import graft.state.FsStateStore
   * UUID directory, then writes a manifest that references the new dirs
   * for touched partitions and the PREVIOUS version's dirs for
   * everything else, and flips the pointer (temp+rename JSON — the
-  * commit point). Consequences, all load-bearing at 100 TB:
+  * commit point). The manifest RECORD itself is delta-encoded: a
+  * commit stores only its touched partitions' entries + tombstones +
+  * a `base:` link to the previous version's record, compacting to a
+  * self-contained full record every [[ChainLimit]] commits — so
+  * commit METADATA work is O(touched) too (amortized O(table)/
+  * ChainLimit), not a full-manifest rewrite per commit; a
+  * 10^6-partition table's incremental epoch writes kilobytes of
+  * metadata, not the whole manifest. Consequences, all load-bearing
+  * at 100 TB:
   *
   *  - an epoch's write cost is O(touched partitions), not O(table) —
   *    the fix for the full-snapshot-rewrite incremental-index publish;
@@ -55,6 +63,52 @@ final class ShardedTable(root: String, partCol: String,
   private val meta = new FsStateStore(s"$root/_meta", conf)
   private def vKey(v: Long): String = f"v$v%05d"
 
+  /** Max delta-chain length before a commit compacts to a full
+    * record. Commit metadata is O(touched) for ChainLimit-1 of every
+    * ChainLimit commits and O(table)/ChainLimit amortized; resolution
+    * reads at most ChainLimit records.
+    */
+  private val ChainLimit = 16
+
+  /** Which partition a manifest key describes, if any. */
+  private def partOf(key: String): Option[String] =
+    if (key.startsWith("p:")) Some(key.stripPrefix("p:"))
+    else if (key.startsWith("zmin:") || key.startsWith("zmax:"))
+      Some(key.drop(5).takeWhile(_ != ':'))
+    else None
+
+  private def rawRecord(v: Long): Map[String, String] =
+    meta.get("manifests", vKey(v))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown version $v of $root"))
+
+  /** Resolve a manifest record to its FULL logical content. A record
+    * is either full (self-contained) or a DELTA over `base:` — only
+    * the commit's touched partitions' entries plus `del:<part>`
+    * tombstones masking every base entry of a touched partition.
+    * Resolution walks the base chain (bounded by [[ChainLimit]]);
+    * user meta (`m:`) never inherits from the base (it is
+    * per-commit), `ztyp:` rides every record so the chain never has
+    * to be walked for types. Internal keys (`base:`/`chain:`/`del:`)
+    * are stripped from the result.
+    */
+  private def resolved(v: Long): Map[String, String] = {
+    val raw = rawRecord(v)
+    raw.get("base:") match {
+      case None => raw
+      case Some(b) =>
+        val base = resolved(b.toLong)
+        val masked = raw.keysIterator
+          .collect { case k if k.startsWith("del:") => k.stripPrefix("del:") }
+          .toSet
+        base.filter { case (k, _) =>
+          !k.startsWith("m:") && partOf(k).forall(p => !masked.contains(p))
+        } ++ raw.filterNot { case (k, _) =>
+          k == "base:" || k == "chain:" || k.startsWith("del:")
+        }
+    }
+  }
+
   def currentVersion: Option[Long] =
     meta.get("pointer", "current").flatMap(_.get("version")).map(_.toLong)
 
@@ -63,16 +117,12 @@ final class ShardedTable(root: String, partCol: String,
 
   /** partValue -> data directory for `version`. */
   def manifest(version: Long): Map[String, String] =
-    meta.get("manifests", vKey(version))
-      .getOrElse(throw new IllegalArgumentException(
-        s"unknown version $version of $root"))
+    resolved(version)
       .collect { case (k, v) if k.startsWith("p:") => k.stripPrefix("p:") -> v }
 
   /** User metadata committed with `version` (watermarks etc.). */
   def metaOf(version: Long): Map[String, String] =
-    meta.get("manifests", vKey(version))
-      .getOrElse(throw new IllegalArgumentException(
-        s"unknown version $version of $root"))
+    resolved(version)
       .collect { case (k, v) if k.startsWith("m:") => k.stripPrefix("m:") -> v }
 
   /** Zone maps committed with `version`: partition -> column ->
@@ -80,9 +130,7 @@ final class ShardedTable(root: String, partCol: String,
     * longs, "S" as strings — see [[commit]]'s statsCols).
     */
   def zoneStats(version: Long): Map[String, Map[String, (String, String)]] =
-    meta.get("manifests", vKey(version))
-      .getOrElse(throw new IllegalArgumentException(
-        s"unknown version $version of $root"))
+    resolved(version)
       .toSeq
       .collect { case (k, v) if k.startsWith("zmin:") || k.startsWith("zmax:") =>
         // zmin:<part>:<col> — the partition value is filesystem-safe
@@ -166,31 +214,41 @@ final class ShardedTable(root: String, partCol: String,
       }.toMap ++ kinds.map { case (c, k) => s"ztyp:$c" -> k }
     }
 
-    val prevRaw =
-      if (full) Map.empty[String, String]
-      else currentVersion.flatMap(v => meta.get("manifests", vKey(v)))
-        .getOrElse(Map.empty)
     val touchedSet = touched.toSet
-    def partOf(key: String): Option[String] =
-      if (key.startsWith("p:")) Some(key.stripPrefix("p:"))
-      else if (key.startsWith("zmin:") || key.startsWith("zmax:"))
-        Some(key.drop(5).takeWhile(_ != ':'))
-      else None
-    // carry forward untouched partitions' dirs AND stats; user meta
-    // (m:) is per-commit and never carried; ztyp merges (same-type
-    // enforced so long/string comparisons never mix)
-    val carried = prevRaw.filter { case (k, v) =>
-      partOf(k).map(!touchedSet.contains(_)).getOrElse {
-        k.startsWith("ztyp:") && {
-          zoneEntries.get(k).foreach(nv => require(nv == v,
-            s"zone-map type of ${k.stripPrefix("ztyp:")} changed: $v -> $nv"))
-          !zoneEntries.contains(k)
-        }
-      }
+    val prev = if (full) None else currentVersion
+    val prevRawRec = prev.map(rawRecord).getOrElse(Map.empty[String, String])
+    // ztyp rides EVERY record (delta included), so type enforcement
+    // never walks the chain; same-type enforced so long/string
+    // comparisons never mix
+    val prevZtyp = prevRawRec.filter(_._1.startsWith("ztyp:"))
+    prevZtyp.foreach { case (k, v) =>
+      zoneEntries.get(k).foreach(nv => require(nv == v,
+        s"zone-map type of ${k.stripPrefix("ztyp:")} changed: $v -> $nv"))
     }
-    val next = carried ++
-      staged.map { case (k, d) => s"p:$k" -> d } ++ zoneEntries ++
-      userMeta.map { case (k, v) => s"m:$k" -> v }
+    val ownEntries =
+      staged.map { case (k, d) => s"p:$k" -> d } ++
+        zoneEntries ++ prevZtyp.filterNot { case (k, _) =>
+          zoneEntries.contains(k) } ++
+        userMeta.map { case (k, v) => s"m:$k" -> v }
+    // a delta record is O(touched): tombstone every touched partition
+    // (masking its base dirs AND stats), lay this commit's entries on
+    // top, link the base. Every ChainLimit deltas the chain COMPACTS
+    // into a self-contained full record so resolution stays bounded.
+    val prevDepth = prevRawRec.get("chain:").map(_.toInt).getOrElse(0)
+    val next = prev match {
+      case Some(b) if prevDepth < ChainLimit =>
+        Map("base:" -> b.toString, "chain:" -> (prevDepth + 1).toString) ++
+          touched.map(p => s"del:$p" -> "1").toMap ++ ownEntries
+      case _ =>
+        // full record: carry untouched partitions' dirs and stats
+        // from the RESOLVED previous manifest (compaction point)
+        val carried = prev.map(resolved).getOrElse(Map.empty)
+          .filter { case (k, _) =>
+            partOf(k).map(!touchedSet.contains(_))
+              .getOrElse(k.startsWith("ztyp:") && !zoneEntries.contains(k))
+          }
+        carried ++ ownEntries
+    }
     val version = history.lastOption.getOrElse(0L) + 1L
     meta.put("manifests", vKey(version), next)
     // the commit point: readers see the new version only after this
@@ -248,8 +306,7 @@ final class ShardedTable(root: String, partCol: String,
       version: Option[Long] = None): DataFrame = {
     val v = version.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"no committed version in $root"))
-    val raw = meta.get("manifests", vKey(v)).getOrElse(Map.empty)
-    val typ = raw.getOrElse(s"ztyp:$column", "string")
+    val typ = resolved(v).getOrElse(s"ztyp:$column", "string")
     def lt(a: String, b: String): Boolean =
       if (typ == "long") a.toLong < b.toLong else a < b
     val stats = zoneStats(v)
@@ -280,6 +337,13 @@ final class ShardedTable(root: String, partCol: String,
     val all = history
     val keep = (all.takeRight(keepLast) ++ currentVersion).distinct
     val dropped = all.filterNot(keep.contains)
+    // a surviving DELTA record may chain through a dropped ancestor:
+    // materialize every kept delta to its resolved full content first
+    // (resolution-equivalent rewrite), then the ancestors can go
+    keep.foreach { v =>
+      if (rawRecord(v).contains("base:"))
+        meta.put("manifests", vKey(v), resolved(v))
+    }
     val referenced = keep.flatMap(v => manifest(v).values).toSet
     dropped.foreach(v => meta.delete("manifests", vKey(v)))
     val fs = new Path(root).getFileSystem(conf)

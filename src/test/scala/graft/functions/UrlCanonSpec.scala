@@ -94,6 +94,22 @@ class UrlCanonSpec extends SparkSpec {
       ("http://a/3?p=1&q=2", true), ("http://a/4", false)))
   }
 
+  test("outlinks: hyphenated attrs don't alias; mixed quotes stay intact") {
+    val html =
+      """<a data-href="http://bad/1" name="x">no-href-skip</a>
+        |<a href="http://a/1" data-rel="nofollow">follow</a>
+        |<a href='http://a/2"q'>double-quote-in-value</a>
+        |<a href="http://a/3'q">single-quote-in-value</a>""".stripMargin
+    val r = Seq(html).toDF("html")
+      .select(explode(Text.outlinks(col("html"))).as("l"))
+      .select(col("l.url"), col("l.nofollow"))
+      .as[(String, Boolean)].collect().toSeq
+    assert(r == Seq(
+      ("http://a/1", false), // data-href is not an href, data-rel not a rel
+      ("http://a/2\"q", false),
+      ("http://a/3'q", false)))
+  }
+
   test("idempotent: canonicalizing a canonical URL is a no-op") {
     val raw = Seq(
       "HTTP://Ex.COM:80?b=2&a=1#f", "https://h.io:8443/P?utm_source=t",

@@ -97,6 +97,15 @@ class ZstdSpec extends SparkSpec {
     }
   }
 
+  test("NULL literals evaluate to NULL instead of failing analysis") {
+    // NullType must pass checkInputDataTypes: a bare NULL reaches the
+    // nullSafeEval short-circuit and yields NULL
+    val r = Seq(1).toDF("i")
+      .select(ZstdCompress(lit(null)).as("c"), ZstdDecompress(lit(null)).as("d"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("streaming frames (no recorded content size) inflate under the cap and trip it") {
     // ZstdOutputStream emits a frame without a content-size header:
     // exercises the incremental path

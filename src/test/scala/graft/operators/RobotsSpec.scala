@@ -108,6 +108,18 @@ class RobotsSpec extends SparkSpec {
     assert(allowed == Set(2L, 3L, 4L, 5L))
   }
 
+  test("specificity ranks by OCTETS, not UTF-16 chars") {
+    // Allow /éé = 3 chars but 5 UTF-8 octets; Disallow /*bc = 4 chars
+    // and 4 octets. On path /éébc both match: char ranking would pick
+    // the Disallow (4 > 3), the RFC's octet ranking picks the Allow
+    // (5 > 4) — the URL must survive.
+    val txt = "User-agent: *\nAllow: /éé\nDisallow: /*bc"
+    val allowed = runFilter(txt, Seq(
+      1L -> "https://ex.com/éébc",
+      2L -> "https://ex.com/xxbc"), "anybot") // only the Disallow matches
+    assert(allowed == Set(1L))
+  }
+
   test("percent-encoded octets match literally: %2F is not a slash") {
     val txt = "User-agent: *\nDisallow: /a%2Fb"
     val allowed = runFilter(txt, Seq(

@@ -187,4 +187,29 @@ class DagSchedulerSpec extends SparkSpec {
     val r2 = DagScheduler.executeScheduled(spark, store, wl, conf)
     assert(r2 == Seq("f/first" -> "skipped", "f/second" -> "skipped"))
   }
+
+  test("executeScheduled resumes off LEGACY un-suffixed completion keys") {
+    // a store written before the per-attempt key format (`dag/task`
+    // with no #attempt suffix) must still be recognized on attempt 1
+    import org.apache.spark.sql.functions._
+    val tmp = tmpDir("dagsched_legacy")
+    graft.Tables.load(spark, sf(), "documents").limit(20)
+      .write.mode("overwrite").parquet(s"$tmp/src")
+    val job = JobConfig.parse(
+      s"""job.name=legacy
+         |source.path=$tmp/src
+         |source.watermark.column=doc_id
+         |ops=filter
+         |op.filter.predicate=doc_id < 10
+         |sink.staging=$tmp/staging
+         |sink.output=$tmp/out
+         |state.dir=$tmp/jobstate
+         |""".stripMargin)
+    val store = new graft.state.FsStateStore(s"$tmp/state",
+      spark.sparkContext.hadoopConfiguration)
+    store.put("dagsched", "f/only", Map("status" -> "done")) // legacy key
+    val r = DagScheduler.executeScheduled(spark, store,
+      Seq((task("f", "only"), job)), conf)
+    assert(r == Seq("f/only" -> "skipped"))
+  }
 }

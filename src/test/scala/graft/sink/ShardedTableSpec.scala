@@ -102,6 +102,65 @@ class ShardedTableSpec extends SparkSpec {
     assert(t.readCurrent(spark).count() === 1L)
   }
 
+  test("commit metadata is O(touched): delta record against a 100k-partition manifest") {
+    val root = tmp("shtab") + "/t"
+    val t = new ShardedTable(root, "shard", hconf)
+    // synthesize a committed 10^5-partition FULL manifest directly in
+    // the metadata store (actually writing 10^5 parquet dirs would
+    // test the filesystem, not the manifest encoding)
+    val store = new graft.state.FsStateStore(s"$root/_meta", hconf)
+    val big = (0 until 100000).map(i => s"p:$i" -> s"$root/data/fake/_part=$i").toMap
+    store.put("manifests", "v00001", big)
+    store.put("pointer", "current", Map("version" -> "1"))
+    val v2 = t.commit(Seq((1L, 5)).toDF("id", "shard"), Seq("5"))
+    val rec = store.get("manifests", "v00002").get
+    assert(rec.size < 10,
+      s"delta record must be O(touched), got ${rec.size} entries")
+    assert(rec.contains("base:") && rec.contains("del:5"))
+    // resolution still sees the whole table: 99999 carried + 1 staged
+    val m = t.manifest(v2)
+    assert(m.size === 100000)
+    assert(m("7") === big("p:7"), "untouched partitions carry by path")
+    assert(m("5").contains("/data/"))
+    assert(m("5") !== big("p:5"))
+  }
+
+  test("delta chains compact every ChainLimit commits; every version resolves") {
+    val root = tmp("shtab") + "/t"
+    val t = new ShardedTable(root, "shard", hconf)
+    val store = new graft.state.FsStateStore(s"$root/_meta", hconf)
+    (1 to 40).foreach { i =>
+      t.commit(Seq((i.toLong, i % 4)).toDF("id", "shard"),
+        Seq((i % 4).toString), Map("wm" -> i.toString))
+    }
+    val recs = (1 to 40).map(v => store.get("manifests", f"v$v%05d").get)
+    val fulls = recs.count(!_.contains("base:"))
+    assert(fulls >= 2 && fulls < 40,
+      s"chain must COMPACT periodically (full records: $fulls)")
+    // per-commit user meta never inherits through the chain
+    assert(t.metaOf(40L) === Map("wm" -> "40"))
+    assert(t.metaOf(17L) === Map("wm" -> "17"))
+    // every shard serves its LATEST committed row; time travel exact
+    val cur = t.readCurrent(spark).select("id").as[Long].collect().toSet
+    assert(cur === Set(37L, 38L, 39L, 40L))
+    assert(t.read(spark, 10L).select("id").as[Long].collect().toSet ===
+      Set(7L, 8L, 9L, 10L))
+  }
+
+  test("expireVersions materializes surviving deltas before dropping their bases") {
+    val root = tmp("shtab") + "/t"
+    val t = new ShardedTable(root, "shard", hconf)
+    (1 to 6).foreach { i =>
+      t.commit(Seq((i.toLong, i % 2)).toDF("id", "shard"), Seq((i % 2).toString))
+    }
+    t.expireVersions(keepLast = 2) // v5/v6 are deltas chained through v1..v4
+    assert(t.history === Seq(5L, 6L))
+    assert(t.readCurrent(spark).select("id").as[Long].collect().toSet ===
+      Set(5L, 6L))
+    assert(t.read(spark, 5L).select("id").as[Long].collect().toSet ===
+      Set(4L, 5L))
+  }
+
   test("expireVersions reclaims unreferenced partition dirs, keeps shared ones") {
     val root = tmp("shtab") + "/t"
     val t = new ShardedTable(root, "shard", hconf)
