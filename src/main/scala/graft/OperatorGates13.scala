@@ -313,6 +313,43 @@ object OperatorGates13 {
         .orderBy(col("doc_id"))
     }),
 
+    // --- INCREMENTAL PageRank (LinkRank.pagerankFrom): epoch 1 cold-
+    //     starts on the first crawl slice and commits the rank vector
+    //     into a ShardedTable manifest; epoch 2 warm-starts 2
+    //     iterations off the committed vector over the GROWN graph
+    //     (new nodes join at cold mass Q). The saving at 10^10 edges
+    //     is iterations, not writes. The oracle unrolls both epochs:
+    //     3 cold iterations on the slice graph, then 2 warm ones on
+    //     the full graph seeded by the first result ---------------------
+    "q_link_rank_warm" -> ((s, dir) => {
+      import graft.operators.LinkRank
+      import graft.sink.ShardedTable
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      def graph(d: DataFrame): DataFrame = {
+        val heads = d.select(col("doc_id").as("head_id"),
+          col("source").as("dst"))
+        d.withColumn("head_id", col("doc_id") -
+            pmod(col("doc_id"), lit(2) + pmod(col("doc_id"), lit(5))))
+          .join(heads, "head_id")
+          .select(col("source").as("src"), col("dst"))
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("q_link_rank_warm")
+      val table = new ShardedTable(s"$tmp/ranks", "shard",
+        s.sparkContext.hadoopConfiguration)
+      val shards = (0 until 8).map(_.toString)
+      def sharded(r: DataFrame): DataFrame = r.withColumn("shard",
+        pmod(crc32(col("node").cast("string")), lit(8)).cast("int"))
+      val r1 = LinkRank.pagerank(
+        graph(docs.filter(col("doc_id") < 300)), "src", "dst", 3)
+      table.commit(sharded(r1), shards, Map("epoch" -> "1"))
+      val prev = table.readCurrent(s).select("node", "rank")
+      val r2 = LinkRank.pagerankFrom(graph(docs), "src", "dst", prev, 2)
+      table.commit(sharded(r2), shards, Map("epoch" -> "2"))
+      table.readCurrent(s)
+        .select(col("node").as("source"), col("rank"))
+        .orderBy("source")
+    }),
+
     // --- full sitemap entries (Text.sitemapEntries): per-<url> block
     //     loc + OPTIONAL lastmod/priority (the recrawl-scheduling
     //     inputs), entity-decoded; presence varies per doc so the
@@ -806,6 +843,39 @@ object OperatorGates13 {
         |SELECT doc_id,
         |  'https://www.' || source || '.example.com' || p AS url
         |FROM m WHERE nm = 0 OR verdict ORDER BY doc_id""".stripMargin,
+
+    "q_link_rank_warm" -> {
+      def iter(prev: String, out: String, e: String, od: String,
+          nodes: String): String =
+        s"""$out AS (SELECT n.node, 157286 + coalesce(m.mass, 0) AS rank
+           |  FROM $nodes n LEFT JOIN (
+           |    SELECT e.dst AS node,
+           |      CAST(sum((17 * r.rank) // (20 * od.outdeg)) AS BIGINT) AS mass
+           |    FROM $e e JOIN $od od ON od.src = e.src
+           |      JOIN $prev r ON r.node = e.src
+           |    GROUP BY 1) m ON m.node = n.node)""".stripMargin
+      s"""WITH d1 AS (SELECT doc_id, source FROM documents WHERE doc_id < 300),
+         |e1 AS (SELECT DISTINCT a.source AS src, b.source AS dst
+         |  FROM d1 a JOIN d1 b
+         |    ON b.doc_id = a.doc_id - a.doc_id % (2 + a.doc_id % 5)),
+         |nodes1 AS (SELECT src AS node FROM e1 UNION SELECT dst FROM e1),
+         |od1 AS (SELECT src, count(*) AS outdeg FROM e1 GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1048576 AS BIGINT) AS rank FROM nodes1),
+         |${iter("r0", "r1", "e1", "od1", "nodes1")},
+         |${iter("r1", "r2", "e1", "od1", "nodes1")},
+         |${iter("r2", "r3", "e1", "od1", "nodes1")},
+         |e2 AS (SELECT DISTINCT a.source AS src, b.source AS dst
+         |  FROM documents a JOIN documents b
+         |    ON b.doc_id = a.doc_id - a.doc_id % (2 + a.doc_id % 5)),
+         |nodes2 AS (SELECT src AS node FROM e2 UNION SELECT dst FROM e2),
+         |od2 AS (SELECT src, count(*) AS outdeg FROM e2 GROUP BY 1),
+         |w0 AS (SELECT n.node, coalesce(r.rank, CAST(1048576 AS BIGINT)) AS rank
+         |  FROM nodes2 n LEFT JOIN r3 r ON r.node = n.node),
+         |${iter("w0", "w1", "e2", "od2", "nodes2")},
+         |${iter("w1", "w2", "e2", "od2", "nodes2")}
+         |SELECT node AS source, CAST(rank AS BIGINT) AS rank FROM w2
+         |ORDER BY source""".stripMargin
+    },
 
     "q_sitemap_entries" -> """
       SELECT source,

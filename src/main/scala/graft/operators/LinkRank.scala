@@ -49,7 +49,28 @@ object LinkRank {
     * integer PageRank steps. Nodes = every endpoint of any edge.
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int): DataFrame = {
+      iterations: Int): DataFrame =
+    run(edges, srcCol, dstCol, iterations, None)
+
+  /** WARM-START variant for incremental epochs: iterate from a
+    * previously computed `(node, rank)` vector (e.g. the last epoch's
+    * ranks committed in a [[graft.sink.ShardedTable]] manifest)
+    * instead of the uniform cold start. Nodes of the current graph
+    * missing from `init` (newly discovered) start at the cold-start
+    * mass Q; `init` rows for nodes that left the graph are dropped.
+    * The per-epoch saving is ITERATIONS: a few warm steps track the
+    * rank drift of a slowly-growing crawl graph where a cold start
+    * would re-run the full schedule — at 10^10 edges each saved
+    * iteration is a join+agg over the edge table. Deterministic by
+    * construction (k exact integer steps from a pinned vector), so an
+    * oracle replays it bit-for-bit.
+    */
+  def pagerankFrom(edges: DataFrame, srcCol: String, dstCol: String,
+      init: DataFrame, iterations: Int): DataFrame =
+    run(edges, srcCol, dstCol, iterations, Some(init))
+
+  private def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, init: Option[DataFrame]): DataFrame = {
     require(iterations >= 1 && iterations <= 50,
       s"iterations must be in [1, 50], got $iterations")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
@@ -61,7 +82,13 @@ object LinkRank {
     // outdeg rides the edge table so the per-iteration join stays a
     // single equi-join (edges change never; ranks change per round)
     val eDeg = e.join(outdeg, "src").localCheckpoint(true)
-    var ranks = nodes.withColumn("rank", lit(Q)).localCheckpoint(true)
+    val start = init match {
+      case None => nodes.withColumn("rank", lit(Q))
+      case Some(prev) =>
+        nodes.join(prev.select(col("node"), col("rank")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("rank"), lit(Q)).as("rank"))
+    }
+    var ranks = start.localCheckpoint(true)
     var i = 0
     while (i < iterations) {
       ranks = step(nodes, eDeg, ranks).localCheckpoint(true)

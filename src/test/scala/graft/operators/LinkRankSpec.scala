@@ -59,6 +59,29 @@ class LinkRankSpec extends SparkSpec {
     assert((1 to 10).forall(i => r("hub") > r(s"leaf$i")))
   }
 
+  test("warm start: k steps from a pinned vector equal cold n+k steps; new nodes join at Q") {
+    import spark.implicits._
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a").toDF("src", "dst")
+    // warm-starting from the cold 2-iteration vector and stepping 1
+    // more == cold 3 iterations (the vector IS the state)
+    val cold2 = LinkRank.pagerank(edges, "src", "dst", 2)
+    val warm = LinkRank.pagerankFrom(edges, "src", "dst", cold2, 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cold3 = ranks(Seq("a" -> "b", "b" -> "c", "c" -> "a"), 3)
+    assert(warm == cold3)
+    // a grown graph: node d is new -> starts at Q; node absent from
+    // the graph drops out even if present in init
+    val grown = Seq("a" -> "b", "b" -> "c", "c" -> "a", "c" -> "d")
+      .toDF("src", "dst")
+    val init = cold2.unionByName(Seq(("ghost", 999L)).toDF("node", "rank"))
+    val w2 = LinkRank.pagerankFrom(grown, "src", "dst", init, 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!w2.contains("ghost"))
+    val c2 = cold2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // d's first warm rank: base + floor(17*rank2(c) / (20*outdeg(c)=40))
+    assert(w2("d") == Base + (17L * c2("c")) / 40L)
+  }
+
   test("iteration bound is enforced") {
     import spark.implicits._
     val e = Seq("a" -> "b").toDF("src", "dst")
