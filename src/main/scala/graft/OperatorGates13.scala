@@ -98,6 +98,32 @@ object OperatorGates13 {
         .orderBy(col("doc_id"))
     }),
 
+    // --- zone-map skipping on a TIMESTAMP column: events committed
+    //     day-sharded with ts (epoch-micros stats) + value (double
+    //     stats); a 3-day range read prunes to the intersecting day
+    //     shards (typed pruning proven file-level in ZoneMapSpec) and
+    //     the residual filter makes it exactly the SQL range scan ------
+    "q_zonemap_ts" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("q_zonemap_ts").toString
+      val table = new sink.ShardedTable(s"$tmp/zt", "shard",
+        s.sparkContext.hadoopConfiguration)
+      val sharded = t(s, dir, "events")
+        .withColumn("shard", dayofmonth(col("ts")).cast("long"))
+      val shards = sharded.select("shard").distinct()
+        .collect().map(_.getLong(0).toString).toSeq // one id per day
+      table.commit(sharded, shards, statsCols = Seq("ts", "value"))
+      def mic(iso: String): Long =
+        java.time.Instant.parse(iso).toEpochMilli * 1000L
+      table.readRange(s, "ts",
+          Some(mic("2024-01-10T00:00:00Z").toString),
+          Some((mic("2024-01-13T00:00:00Z") - 1L).toString))
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+          col("ts") < lit("2024-01-13 00:00:00").cast("timestamp"))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    }),
+
     // --- zstd ingestion: documents packed 10-per-file as
     //     "id\ttext" lines, zstd-compressed (zstd-jni — the codec on
     //     every Spark executor), then ingested back through the
@@ -843,6 +869,14 @@ object OperatorGates13 {
         |SELECT doc_id,
         |  'https://www.' || source || '.example.com' || p AS url
         |FROM m WHERE nm = 0 OR verdict ORDER BY doc_id""".stripMargin,
+
+    "q_zonemap_ts" -> """
+      SELECT event_id, epoch_us(ts) AS ts_us, event_type, value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      ORDER BY event_id
+    """,
 
     "q_link_rank_warm" -> {
       def iter(prev: String, out: String, e: String, od: String,

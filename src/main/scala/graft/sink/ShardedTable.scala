@@ -2,7 +2,7 @@ package graft.sink
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.state.FsStateStore
@@ -182,24 +182,40 @@ final class ShardedTable(root: String, partCol: String,
     // per staged partition, min/max per stats column, long or string
     // typed. Untouched partitions keep their previous stats below.
     val zoneEntries: Map[String, String] = if (statsCols.isEmpty) Map.empty else {
-      import org.apache.spark.sql.types.{IntegerType, LongType, ShortType, StringType}
+      import org.apache.spark.sql.types.{DateType, DoubleType, FloatType,
+        IntegerType, LongType, ShortType, StringType, TimestampNTZType,
+        TimestampType}
       val schema = df.schema
       val kinds = statsCols.map { c =>
         val f = schema(schema.fieldIndex(c))
         val kind = f.dataType match {
           case LongType | IntegerType | ShortType => "long"
           case StringType => "string"
+          // ISO yyyy-MM-dd renders compare correctly as strings
+          case DateType => "date"
+          // stored as epoch MICROS (exact, engine-independent);
+          // readRange bounds for timestamp columns are micros strings
+          case TimestampType | TimestampNTZType => "timestamp"
+          // float widens to double exactly; double round-trips its
+          // string render, so bounds stay exact
+          case FloatType | DoubleType => "double"
           case other => throw new IllegalArgumentException(
-            s"zone-map column '$c' has unsupported type $other (long/string)")
+            s"zone-map column '$c' has unsupported type $other " +
+              "(long/string/date/timestamp/double)")
         }
         require(!c.contains(":"), s"zone-map column name '$c' contains ':'")
         c -> kind
       }.toMap
       touched.foreach(p => require(!p.contains(":"),
         s"partition value '$p' contains ':' — incompatible with zone maps"))
+      def render(c: Column, kind: String): Column = kind match {
+        case "timestamp" => unix_micros(c.cast("timestamp")).cast("string")
+        case "double" => c.cast("double").cast("string")
+        case _ => c.cast("string")
+      }
       val aggs = statsCols.flatMap(c => Seq(
-        min(col(c)).cast("string").as(s"zmin:$c"),
-        max(col(c)).cast("string").as(s"zmax:$c")))
+        render(min(col(c)), kinds(c)).as(s"zmin:$c"),
+        render(max(col(c)), kinds(c)).as(s"zmax:$c")))
       val rows = df.withColumn("_part", col(partCol).cast("string"))
         .groupBy(col("_part")).agg(aggs.head, aggs.tail: _*)
         .collect() // one row per TOUCHED partition — delta-bounded
@@ -307,8 +323,11 @@ final class ShardedTable(root: String, partCol: String,
     val v = version.orElse(currentVersion).getOrElse(
       throw new IllegalStateException(s"no committed version in $root"))
     val typ = resolved(v).getOrElse(s"ztyp:$column", "string")
-    def lt(a: String, b: String): Boolean =
-      if (typ == "long") a.toLong < b.toLong else a < b
+    def lt(a: String, b: String): Boolean = typ match {
+      case "long" | "timestamp" => a.toLong < b.toLong // micros for ts
+      case "double" => a.toDouble < b.toDouble // NaN compares false: keep
+      case _ => a < b // string + ISO date
+    }
     val stats = zoneStats(v)
     val keep = manifest(v).keys.toSeq.filter { part =>
       stats.get(part).flatMap(_.get(column)) match {

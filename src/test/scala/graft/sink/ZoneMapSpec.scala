@@ -103,6 +103,53 @@ class ZoneMapSpec extends SparkSpec {
       .sameElements(Array(9L, 10L, 11L)))
   }
 
+  test("timestamp/date/double zone maps prune with exact typed comparisons") {
+    val t = mkTable(tmpDir("zm") + "/t")
+    // 3 day-shards of hourly rows + a double measure per row
+    val df = (0 until 72).map { h =>
+      ((h / 24).toLong, f"2024-01-${10 + h / 24}%02d ${h % 24}%02d:30:00",
+        f"2024-01-${10 + h / 24}%02d", h.toDouble / 8.0)
+    }.toDF("shard", "tss", "days", "v")
+      .withColumn("ts", col("tss").cast("timestamp"))
+      .withColumn("day", col("days").cast("date"))
+      .select("shard", "ts", "day", "v")
+    t.commit(df, Seq("0", "1", "2"), statsCols = Seq("ts", "day", "v"))
+    val m = t.manifest(t.currentVersion.get)
+    def mic(s: String): String =
+      (java.time.Instant.parse(s).toEpochMilli * 1000L).toString
+    // timestamp bounds are epoch-micros strings (UTC session)
+    val tsOpened = paths(t.readRange(spark, "ts",
+      Some(mic("2024-01-11T00:00:00Z")), Some(mic("2024-01-11T23:59:59Z")))
+      .inputFiles.toSeq)
+    assert(tsOpened.nonEmpty && tsOpened.forall(_.startsWith(dirOf(m, "1"))))
+    // date bounds are ISO strings
+    val dayOpened = paths(t.readRange(spark, "day",
+      Some("2024-01-12"), None).inputFiles.toSeq)
+    assert(dayOpened.nonEmpty && dayOpened.forall(_.startsWith(dirOf(m, "2"))))
+    // double bounds compare NUMERICALLY: lexicographic "10.0" < "6.0"
+    // would prune shard 2 (v in [6.0, 8.875]) away
+    val vOpened = paths(t.readRange(spark, "v",
+      Some("5.95"), Some("10.0")).inputFiles.toSeq)
+    assert(vOpened.nonEmpty && vOpened.forall(_.startsWith(dirOf(m, "2"))))
+    // pruning + residual == exact answer
+    assert(t.readRange(spark, "v", Some("3.5"), Some("5.9"))
+      .filter(col("v").between(3.5, 5.9)).count() ===
+      df.filter(col("v").between(3.5, 5.9)).count())
+  }
+
+  test("NaN double stats never prune their shard (conservative)") {
+    val t = mkTable(tmpDir("zm") + "/t")
+    val df = Seq((0L, 1.0), (0L, Double.NaN), (1L, 100.0)).toDF("shard", "v")
+    t.commit(df, Seq("0", "1"), statsCols = Seq("v"))
+    // shard 0's max renders NaN; comparisons with NaN are false, so
+    // the shard is kept for any range and results never change
+    assert(t.readRange(spark, "v", Some("0.5"), Some("2.0"))
+      .filter(col("v").between(0.5, 2.0)).count() === 1)
+    // the NaN shard is conservatively KEPT even for [50, inf): its max
+    // is unknowable, so both shards' 3 rows come back pre-filter
+    assert(t.readRange(spark, "v", Some("50.0"), None).count() === 3)
+  }
+
   test("zone-map type changes and ':' in names are rejected loudly") {
     val t = mkTable(tmpDir("zm") + "/t")
     t.commit(rows(0 until 100, _ => 0), Seq("0"), statsCols = Seq("id"))
