@@ -60,7 +60,61 @@ object OperatorGates13 {
     }
   }
 
+  /** WebP fixture value: channel `c` of 16x16 block `(bx, by)` for
+    * image `d` — the oracle restates it.
+    */
+  private def webpValue(d: Long, c: Int, bx: Int, by: Int): Int =
+    (11 + (d * 31 + c * 59 + bx * 47 + by * 71) % 227).toInt
+
+  /** Deterministic VP8L fixture for doc `d`: 64x48 RGB, constant
+    * 16x16 blocks, encoded by [[graft.operators.WebpCodec.encodeLossless]]
+    * (lossless, so the oracle replays dims, exact channel sums, and
+    * the 64-bit aHash analytically).
+    */
+  private[graft] def synthWebp(d: Long): Array[Byte] = {
+    val px = new Array[Byte](64 * 48 * 3)
+    var y = 0
+    while (y < 48) {
+      var x = 0
+      while (x < 64) {
+        var c = 0
+        while (c < 3) {
+          px((y * 64 + x) * 3 + c) = webpValue(d, c, x / 16, y / 16).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    graft.operators.WebpCodec.encodeLossless(64, 48, 3, px)
+  }
+
   def queries13: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- REAL WebP (VP8L lossless) decode (WebpCodec): count-bounded
+    //     fixtures (20 images at every SF) sniffed and routed through
+    //     the SAME decodeAuto/aHashAuto dispatch as the other image
+    //     formats (the codec itself is interop-pinned against the
+    //     system libwebp in WebpSpec, transforms and all); VP8L is
+    //     lossless so the oracle replays dims, exact channel sums,
+    //     IEEE mean division, and the 64-bit aHash analytically --------
+    "q_webp_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map(id => (id, synthWebp(id))))
+        .toDF("media_id", "content")
+      Multimodal.decodeAuto(media).toDF()
+        .join(Multimodal.aHashAuto(media).toDF()
+          .select(col("media_id"), col("ahash")), Seq("media_id"))
+        .select(col("media_id"), col("modality"),
+          col("n_units"), col("mean_val"),
+          lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+        .orderBy(col("media_id"))
+    }),
+
 
     // --- multi-tenant dag scheduling: 8 diamond dags through 3
     //     executor slots under user quota 2 / group quota 3, with
@@ -529,6 +583,31 @@ object OperatorGates13 {
   )
 
   def oracleSql13: Map[String, String] = Map(
+
+    "q_webp_decode" ->
+      """WITH imgs AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |feat AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(0, 36), k ->
+        |      11 + (doc_id * 31 + (k % 3) * 59 + ((k // 3) % 4) * 47
+        |         + (k // 12) * 71) % 227)) AS sv,
+        |    list_transform(range(0, 64), j ->
+        |      11 + (doc_id * 31 + ((j % 8) // 2) * 47
+        |         + ((6 * (j // 8)) // 16) * 71) % 227
+        |      + 11 + (doc_id * 31 + 59 + ((j % 8) // 2) * 47
+        |         + ((6 * (j // 8)) // 16) * 71) % 227
+        |      + 11 + (doc_id * 31 + 118 + ((j % 8) // 2) * 47
+        |         + ((6 * (j // 8)) // 16) * 71) % 227) AS lum
+        |  FROM imgs)
+        |SELECT doc_id AS media_id, 'image/webp' AS modality,
+        |  CAST(3072 AS BIGINT) AS n_units,
+        |  CAST(256 * sv AS DOUBLE) / 9216 AS mean_val,
+        |  array_to_string(list_transform(range(63, -1, -1), j ->
+        |    CASE WHEN 64 * lum[j + 1] > list_sum(lum) THEN 1 ELSE 0 END), '')
+        |    AS ahash_bits
+        |FROM feat ORDER BY media_id""".stripMargin,
+
 
     "q_dag_schedule" -> """
       WITH RECURSIVE tasks AS (

@@ -695,6 +695,7 @@ object Multimodal {
       case "image/png" => PngCodec.toDecodedImage(PngCodec.decode(id, c))
       case "image/gif" => GifCodec.toDecodedImage(GifCodec.decode(id, c))
       case "image/jpeg" => JpegCodec.decode(id, c)
+      case "image/webp" => WebpCodec.toDecodedImage(WebpCodec.decode(id, c))
       case other => throw new IllegalArgumentException(
         s"media $id: cannot decode modality '$other' as a still image")
     }
@@ -864,6 +865,10 @@ object Multimodal {
       bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A') "audio/wav"
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F' && tag4(bytes, 8) == "AVI ") "video/avi"
+    else if (WebpCodec.isWebp(bytes))
+      // lossless decodes to pixels; lossy VP8 is labeled EXPLICITLY so
+      // pipelines route it consciously (byte stats), never silently
+      (if (WebpCodec.isLossless(bytes)) "image/webp" else "image/webp-lossy")
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "image/bmp"
     else if (bytes.length >= 12 && tag4(bytes, 4) == "ftyp") "video/mp4"
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
@@ -934,6 +939,15 @@ object Multimodal {
             }
             MediaAuto(id, m, nPix.toLong,
               if (nPix == 0) 0.0 else sum.toDouble / (nPix.toLong * keep))
+          case m @ "image/webp" =>
+            // full VP8L decode; n_units = pixels, mean over RGB (alpha
+            // dropped, matching the PNG path's intensity convention)
+            val img = WebpCodec.toDecodedImage(WebpCodec.decode(id, bytes))
+            var sum = 0L
+            var i = 0
+            while (i < img.pixels.length) { sum += (img.pixels(i) & 0xff); i += 1 }
+            MediaAuto(id, m, img.width.toLong * img.height,
+              if (img.pixels.length == 0) 0.0 else sum.toDouble / img.pixels.length)
           case m @ "image/gif" =>
             // full decode of the FIRST composited frame; n_units =
             // animation frames (the probe shape, like video/avi)
