@@ -89,7 +89,75 @@ object OperatorGates13 {
     graft.operators.WebpCodec.encodeLossless(64, 48, 3, px)
   }
 
+  /** Animated-WebP fixture value: gray level of 16x16 block `(bx, by)`
+    * as painted by frame `f` (f = 0 is the full-canvas base) — the
+    * oracle restates it.
+    */
+  private def webpAnimValue(d: Long, f: Int, bx: Int, by: Int): Int =
+    (9 + (d * 23 + f * 29 + bx * 31 + by * 61) % 233).toInt
+
+  /** Animated VP8L fixture for doc `d`: 64x48 canvas, 2-4 frames;
+    * frame 0 paints the full canvas (constant 16x16 blocks), each
+    * later frame overwrites ONE block-aligned 16x16 rect at
+    * `((f*7 + d/25) % 4, (f*11) % 3)` — so composited frame f is the
+    * base with the latest paint per block, which the oracle replays
+    * with a last-painter scan.
+    */
+  private[graft] def synthAnimWebp(d: Long): Array[Byte] = {
+    import graft.operators.WebpCodec
+    val nf = (2 + (d / 25) % 3).toInt
+    def gray(w: Int, h: Int, v: (Int, Int) => Int): Array[Byte] = {
+      val px = new Array[Byte](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val b = v(i % w, i / w).toByte
+        px(i * 3) = b; px(i * 3 + 1) = b; px(i * 3 + 2) = b
+        i += 1
+      }
+      px
+    }
+    val frames = (0 until nf).map { f =>
+      if (f == 0)
+        WebpCodec.AnimFrameSpec(0, 0, 64, 48, 40, noBlend = true,
+          disposeBg = false,
+          gray(64, 48, (x, y) => webpAnimValue(d, 0, x / 16, y / 16)))
+      else {
+        val bx = ((f * 7 + d / 25) % 4).toInt
+        val by = (f * 11) % 3
+        WebpCodec.AnimFrameSpec(bx * 16, by * 16, 16, 16, 40 + 10 * f,
+          noBlend = true, disposeBg = false,
+          gray(16, 16, (_, _) => webpAnimValue(d, f, bx, by)))
+      }
+    }
+    WebpCodec.encodeAnim(64, 48, loopCount = 0, frames)
+  }
+
   def queries13: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- REAL animated-WebP decode (WebpCodec.decodeAnim): ANMF
+    //     sub-rect frames composited on executors (overwrite blend,
+    //     even-aligned rects); lossless, so the oracle replays every
+    //     composited frame's exact mean and 64-bit aHash by scanning
+    //     for each block's LAST painter ---------------------------------
+    "q_webp_anim" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map(id => (id, synthAnimWebp(id))))
+        .toDF("media_id", "content")
+      Multimodal.decodeWebpAnimFrames(media).toDF()
+        .select(col("media_id"),
+          col("frame_no").cast("long").as("frame_no"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("duration_ms").cast("long").as("duration_ms"),
+          col("mean_intensity"),
+          lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+        .orderBy(col("media_id"), col("frame_no"))
+    }),
 
     // --- REAL WebP (VP8L lossless) decode (WebpCodec): count-bounded
     //     fixtures (20 images at every SF) sniffed and routed through
@@ -583,6 +651,35 @@ object OperatorGates13 {
   )
 
   def oracleSql13: Map[String, String] = Map(
+
+    "q_webp_anim" -> {
+      // value of block (bx, by) in composited frame f: the LAST
+      // painter's value (frame 0 = base), found by scanning painters
+      def vat(bx: String, by: String): String =
+        s"9 + (doc_id * 23 + coalesce(list_max(list_filter(range(1, f + 1)," +
+          s" x -> ((x * 7 + doc_id // 25) % 4) = ($bx)" +
+          s" AND ((x * 11) % 3) = ($by))), 0) * 29" +
+          s" + ($bx) * 31 + ($by) * 61) % 233"
+      s"""WITH anims AS (
+         |  SELECT doc_id, CAST(2 + (doc_id // 25) % 3 AS BIGINT) AS nf
+         |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+         |fr AS (SELECT doc_id, nf, unnest(range(0, nf)) AS f FROM anims),
+         |feat AS (
+         |  SELECT doc_id, nf, f,
+         |    list_sum(list_transform(range(0, 12), b ->
+         |      ${vat("b % 4", "b // 4")})) AS sv,
+         |    list_transform(range(0, 64), j ->
+         |      3 * (${vat("(j % 8) // 2", "(6 * (j // 8)) // 16")})) AS lum
+         |  FROM fr)
+         |SELECT doc_id AS media_id, f AS frame_no, nf AS n_frames,
+         |  CAST(64 AS BIGINT) AS width, CAST(48 AS BIGINT) AS height,
+         |  CAST(40 + 10 * f AS BIGINT) AS duration_ms,
+         |  CAST(256 * sv AS DOUBLE) / 3072 AS mean_intensity,
+         |  array_to_string(list_transform(range(63, -1, -1), j ->
+         |    CASE WHEN 64 * lum[j + 1] > list_sum(lum) THEN 1 ELSE 0 END), '')
+         |    AS ahash_bits
+         |FROM feat ORDER BY media_id, frame_no""".stripMargin
+    },
 
     "q_webp_decode" ->
       """WITH imgs AS (

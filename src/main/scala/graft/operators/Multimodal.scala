@@ -648,6 +648,37 @@ object Multimodal {
       })
   }
 
+  final case class WebpFrameRow(media_id: Long, frame_no: Int, n_frames: Int,
+      width: Int, height: Int, duration_ms: Int, mean_intensity: Double,
+      ahash: Long)
+
+  /** Per-frame rows of animated lossless WebPs: every frame fully
+    * composited (blend + dispose applied), per-frame RGB mean and the
+    * shared 64-bit aHash — the [[decodeGifFrames]] contract for the
+    * container modern image boards actually serve animations in.
+    */
+  def decodeWebpAnimFrames(media: DataFrame): Dataset[WebpFrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        require(c != null, s"media $id: null content")
+        val anim = WebpCodec.decodeAnim(id, c)
+        anim.frames.iterator.zipWithIndex.map { case (f, idx) =>
+          val img = WebpCodec.frameToDecodedImage(anim, idx)
+          var sum = 0L
+          var i = 0
+          while (i < img.pixels.length) { sum += (img.pixels(i) & 0xff); i += 1 }
+          WebpFrameRow(id, idx, anim.frames.length, anim.width, anim.height,
+            f.durationMs,
+            if (img.pixels.length == 0) 0.0
+            else sum.toDouble / img.pixels.length,
+            MjpegVideo.aHashDecoded(img))
+        }
+      })
+  }
+
   // --- cross-format image hashing ------------------------------------
 
   final case class MediaFormatHash(media_id: Long, modality: String, ahash: Long)
@@ -696,6 +727,8 @@ object Multimodal {
       case "image/gif" => GifCodec.toDecodedImage(GifCodec.decode(id, c))
       case "image/jpeg" => JpegCodec.decode(id, c)
       case "image/webp" => WebpCodec.toDecodedImage(WebpCodec.decode(id, c))
+      case "image/webp-anim" => // first composited frame, like GIF
+        WebpCodec.frameToDecodedImage(WebpCodec.decodeAnim(id, c), 0)
       case other => throw new IllegalArgumentException(
         s"media $id: cannot decode modality '$other' as a still image")
     }
@@ -868,7 +901,9 @@ object Multimodal {
     else if (WebpCodec.isWebp(bytes))
       // lossless decodes to pixels; lossy VP8 is labeled EXPLICITLY so
       // pipelines route it consciously (byte stats), never silently
-      (if (WebpCodec.isLossless(bytes)) "image/webp" else "image/webp-lossy")
+      (if (WebpCodec.isAnim(bytes)) "image/webp-anim"
+      else if (WebpCodec.isLossless(bytes)) "image/webp"
+      else "image/webp-lossy")
     else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M') "image/bmp"
     else if (bytes.length >= 12 && tag4(bytes, 4) == "ftyp") "video/mp4"
     else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8 &&
@@ -947,6 +982,16 @@ object Multimodal {
             var i = 0
             while (i < img.pixels.length) { sum += (img.pixels(i) & 0xff); i += 1 }
             MediaAuto(id, m, img.width.toLong * img.height,
+              if (img.pixels.length == 0) 0.0 else sum.toDouble / img.pixels.length)
+          case m @ "image/webp-anim" =>
+            // composite all frames; n_units = frames, mean over the
+            // FIRST composited frame's RGB (the GIF probe shape)
+            val anim = WebpCodec.decodeAnim(id, bytes)
+            val img = WebpCodec.frameToDecodedImage(anim, 0)
+            var sum = 0L
+            var i = 0
+            while (i < img.pixels.length) { sum += (img.pixels(i) & 0xff); i += 1 }
+            MediaAuto(id, m, anim.frames.length.toLong,
               if (img.pixels.length == 0) 0.0 else sum.toDouble / img.pixels.length)
           case m @ "image/gif" =>
             // full decode of the FIRST composited frame; n_units =

@@ -75,6 +75,24 @@ object WebpCodec {
       (try findBitstream(-1L, bytes)._1 == "VP8L"
       catch { case _: IllegalArgumentException => false })
 
+  /** True iff the container is animated (VP8X animation flag). A
+    * sniff-time probe: never throws on malformed chunk lists.
+    */
+  def isAnim(bytes: Array[Byte]): Boolean = {
+    if (!isWebp(bytes)) return false
+    var o = 12
+    while (o + 8 <= bytes.length) {
+      val tag = new String(bytes, o, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32le(bytes, o + 4)
+      if (size > Int.MaxValue || o + 8 + size > bytes.length) return false
+      if (tag == "VP8X" && size >= 10 && (bytes(o + 8) & 0x02) != 0)
+        return true
+      o += 8 + size.toInt + (size.toInt & 1)
+    }
+    false
+  }
+
   // ------------------------------------------------------ bit reader
 
   private final class Reader(b: Array[Byte], var bitPos: Long, id: Long) {
@@ -324,6 +342,11 @@ object WebpCodec {
       return WebpImage(w, h, hasAlpha = false, lossless = false,
         pixels = Array.emptyIntArray)
     }
+    decodeVp8l(id, payload)
+  }
+
+  /** Decode one bare VP8L bitstream (the payload of a VP8L chunk). */
+  private def decodeVp8l(id: Long, payload: Array[Byte]): WebpImage = {
     require(payload.nonEmpty && (payload(0) & 0xff) == 0x2f,
       s"media $id: bad VP8L signature")
     val r = new Reader(payload, 8L, id)
@@ -642,6 +665,27 @@ object WebpCodec {
     * is RGB (3 bytes/px) or RGBA (4).
     */
   def encodeLossless(w: Int, h: Int, channels: Int,
+      pixels: Array[Byte]): Array[Byte] =
+    riffWrap(chunk("VP8L", encodeVp8lPayload(w, h, channels, pixels)))
+
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+
+  private def le24(v: Int): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+
+  private def chunk(tag: String, body: Array[Byte]): Array[Byte] =
+    tag.getBytes("US-ASCII") ++ le32(body.length) ++ body ++
+      (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+
+  private def riffWrap(body: Array[Byte]): Array[Byte] =
+    "RIFF".getBytes("US-ASCII") ++ le32(4 + body.length) ++
+      "WEBP".getBytes("US-ASCII") ++ body
+
+  /** The bare VP8L bitstream (signature byte included) for one image. */
+  private def encodeVp8lPayload(w: Int, h: Int, channels: Int,
       pixels: Array[Byte]): Array[Byte] = {
     require(channels == 3 || channels == 4, s"channels $channels not in {3,4}")
     require(w >= 1 && h >= 1 && w <= 16384 && h <= 16384, s"bad dims ${w}x$h")
@@ -691,19 +735,7 @@ object WebpCodec {
       if (channels == 4) o.code(pixels(i * channels + 3) & 0xff, 8)
       i += 1
     }
-    val vp8l = Array[Byte](0x2f) ++ o.toBytes
-    val chunk = new java.io.ByteArrayOutputStream()
-    def le32(v: Int): Array[Byte] =
-      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
-        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    chunk.write("VP8L".getBytes("US-ASCII")); chunk.write(le32(vp8l.length))
-    chunk.write(vp8l)
-    if (vp8l.length % 2 == 1) chunk.write(0)
-    val body = chunk.toByteArray
-    val out = new java.io.ByteArrayOutputStream()
-    out.write("RIFF".getBytes("US-ASCII")); out.write(le32(4 + body.length))
-    out.write("WEBP".getBytes("US-ASCII")); out.write(body)
-    out.toByteArray
+    Array[Byte](0x2f) ++ o.toBytes
   }
 
   private final class BitWriter {
@@ -767,20 +799,197 @@ object WebpCodec {
     o.bits(1, 1); o.bits(0, 1); o.bits(1, 1); o.bits(sym, 8)
   }
 
+  // ------------------------------------------------------- animation
+
+  final case class AnimFrame(durationMs: Int, pixels: Array[Int])
+
+  final case class WebpAnim(width: Int, height: Int, loopCount: Int,
+      frames: Seq[AnimFrame])
+
+  private def u24le(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) | ((b(o + 2) & 0xff) << 16)
+
+  /** Straight-alpha source-over blend, the container spec's formula in
+    * exact integer form (blend flag 0 frames).
+    */
+  private[operators] def blendPx(src: Int, dst: Int): Int = {
+    val sa = src >>> 24
+    if (sa == 255) src
+    else {
+      val da = dst >>> 24
+      val a = sa + da * (255 - sa) / 255
+      if (a == 0) 0
+      else {
+        @inline def ch(sh: Int): Int = {
+          val s = (src >>> sh) & 0xff
+          val d = (dst >>> sh) & 0xff
+          (s * sa + d * da * (255 - sa) / 255) / a
+        }
+        (a << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+      }
+    }
+  }
+
+  /** Decode an ANIMATED lossless WebP (VP8X + ANIM + ANMF chunks with
+    * VP8L frame bitstreams): each ANMF sub-rectangle composites onto
+    * the canvas per its blend flag (alpha-blend or overwrite) and, per
+    * its dispose flag, clears its rect to transparent afterwards (the
+    * dispose-to-background semantics renderers apply — the ANIM
+    * background color is a hint, not pixel data). Returns the FULLY
+    * COMPOSITED frames — the analysis-ready form, matching
+    * [[GifCodec]]'s contract. Lossy (VP8) frames fail loudly.
+    */
+  def decodeAnim(id: Long, b: Array[Byte]): WebpAnim = {
+    require(isWebp(b), s"media $id: not a WebP RIFF container")
+    var o = 12
+    var canvasW = -1
+    var canvasH = -1
+    var loop = 0
+    var animSeen = false
+    var canvas: Array[Int] = null
+    val frames = Seq.newBuilder[AnimFrame]
+    while (o + 8 <= b.length) {
+      val tag = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32le(b, o + 4)
+      require(size <= Int.MaxValue && o + 8 + size <= b.length,
+        s"media $id: WebP chunk '$tag' overruns the container")
+      val sz = size.toInt
+      tag match {
+        case "VP8X" =>
+          require(sz >= 10, s"media $id: short VP8X chunk")
+          val flags = b(o + 8) & 0xff
+          require((flags & 0x02) != 0,
+            s"media $id: VP8X without the animation flag")
+          canvasW = u24le(b, o + 12) + 1
+          canvasH = u24le(b, o + 15) + 1
+          require(canvasW.toLong * canvasH <= 64L * 1024 * 1024,
+            s"media $id: ${canvasW}x$canvasH exceeds the 64 MP decode guard")
+          canvas = new Array[Int](canvasW * canvasH)
+        case "ANIM" =>
+          require(sz >= 6 && canvas != null,
+            s"media $id: ANIM chunk without a VP8X canvas")
+          loop = (b(o + 12) & 0xff) | ((b(o + 13) & 0xff) << 8)
+          animSeen = true
+        case "ANMF" =>
+          require(animSeen, s"media $id: ANMF frame before the ANIM chunk")
+          require(sz >= 16, s"media $id: short ANMF header")
+          val fx = u24le(b, o + 8) * 2
+          val fy = u24le(b, o + 11) * 2
+          val fw = u24le(b, o + 14) + 1
+          val fh = u24le(b, o + 17) + 1
+          val dur = u24le(b, o + 20)
+          val fl = b(o + 23) & 0xff
+          val noBlend = (fl & 0x02) != 0
+          val disposeBg = (fl & 0x01) != 0
+          require(fx + fw <= canvasW && fy + fh <= canvasH,
+            s"media $id: frame rect ${fw}x$fh@($fx,$fy) outside the canvas")
+          // inner chunks of the frame: the VP8L bitstream (ALPH would
+          // accompany lossy frames only)
+          var p = o + 8 + 16
+          var sub: Array[Byte] = null
+          val end = o + 8 + sz
+          while (sub == null && p + 8 <= end) {
+            val t2 = new String(b, p, 4,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            val s2 = u32le(b, p + 4)
+            require(s2 <= Int.MaxValue && p + 8 + s2 <= end,
+              s"media $id: frame chunk '$t2' overruns its ANMF")
+            require(t2 != "VP8 ",
+              s"media $id: lossy (VP8) animation frames are unsupported")
+            if (t2 == "VP8L")
+              sub = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + s2.toInt)
+            p += 8 + s2.toInt + (s2.toInt & 1)
+          }
+          require(sub != null, s"media $id: ANMF frame without a bitstream")
+          val img = decodeVp8l(id, sub)
+          require(img.width == fw && img.height == fh,
+            s"media $id: frame bitstream ${img.width}x${img.height} != " +
+              s"ANMF rect ${fw}x$fh")
+          var yy = 0
+          while (yy < fh) {
+            var xx = 0
+            while (xx < fw) {
+              val di = (fy + yy) * canvasW + (fx + xx)
+              val src = img.pixels(yy * fw + xx)
+              canvas(di) = if (noBlend) src else blendPx(src, canvas(di))
+              xx += 1
+            }
+            yy += 1
+          }
+          frames += AnimFrame(dur, canvas.clone())
+          if (disposeBg) {
+            var y2 = 0
+            while (y2 < fh) {
+              java.util.Arrays.fill(canvas, (fy + y2) * canvasW + fx,
+                (fy + y2) * canvasW + fx + fw, 0)
+              y2 += 1
+            }
+          }
+        case _ => ()
+      }
+      o += 8 + sz + (sz & 1)
+    }
+    val fs = frames.result()
+    require(animSeen && fs.nonEmpty, s"media $id: no animation frames")
+    WebpAnim(canvasW, canvasH, loop, fs)
+  }
+
+  /** Frame spec for [[encodeAnim]]: even-aligned rect + RGB pixels. */
+  final case class AnimFrameSpec(x: Int, y: Int, w: Int, h: Int,
+      durationMs: Int, noBlend: Boolean, disposeBg: Boolean,
+      rgb: Array[Byte])
+
+  /** Animated lossless WebP writer (VP8X + ANIM + one ANMF with a
+    * [[encodeVp8lPayload]] bitstream per frame) — fixture/export
+    * counterpart of [[decodeAnim]].
+    */
+  def encodeAnim(canvasW: Int, canvasH: Int, loopCount: Int,
+      frames: Seq[AnimFrameSpec]): Array[Byte] = {
+    require(frames.nonEmpty, "animation needs frames")
+    val vp8x = Array[Byte](0x02, 0, 0, 0) ++
+      le24(canvasW - 1) ++ le24(canvasH - 1)
+    val anim = le32(0) ++ // background color hint (transparent)
+      Array((loopCount & 0xff).toByte, ((loopCount >> 8) & 0xff).toByte)
+    val anmfs = frames.map { f =>
+      require(f.x % 2 == 0 && f.y % 2 == 0,
+        s"frame offsets must be even, got (${f.x},${f.y})")
+      require(f.x + f.w <= canvasW && f.y + f.h <= canvasH,
+        s"frame rect outside canvas")
+      val flags = ((if (f.noBlend) 0x02 else 0) |
+        (if (f.disposeBg) 0x01 else 0)).toByte
+      val header = le24(f.x / 2) ++ le24(f.y / 2) ++
+        le24(f.w - 1) ++ le24(f.h - 1) ++ le24(f.durationMs) ++
+        Array(flags)
+      chunk("ANMF",
+        header ++ chunk("VP8L", encodeVp8lPayload(f.w, f.h, 3, f.rgb)))
+    }
+    riffWrap(chunk("VP8X", vp8x) ++ chunk("ANIM", anim) ++
+      anmfs.reduce(_ ++ _))
+  }
+
   /** Decode to the shared cross-format layout: top-down RGB, alpha
     * dropped (matching how PNG/GIF/JPEG hash in [[Multimodal]]).
     */
   def toDecodedImage(img: WebpImage): JpegCodec.DecodedImage = {
     require(img.lossless, "lossy WebP carries no decoded pixels")
-    val out = new Array[Byte](img.width * img.height * 3)
+    argbToRgbImage(img.width, img.height, img.pixels)
+  }
+
+  /** One composited animation frame in the shared RGB layout. */
+  def frameToDecodedImage(anim: WebpAnim, idx: Int): JpegCodec.DecodedImage =
+    argbToRgbImage(anim.width, anim.height, anim.frames(idx).pixels)
+
+  private def argbToRgbImage(w: Int, h: Int,
+      px: Array[Int]): JpegCodec.DecodedImage = {
+    val out = new Array[Byte](w * h * 3)
     var i = 0
-    while (i < img.pixels.length) {
-      val p = img.pixels(i)
+    while (i < px.length) {
+      val p = px(i)
       out(i * 3) = ((p >> 16) & 0xff).toByte
       out(i * 3 + 1) = ((p >> 8) & 0xff).toByte
       out(i * 3 + 2) = (p & 0xff).toByte
       i += 1
     }
-    JpegCodec.DecodedImage(img.width, img.height, 3, out)
+    JpegCodec.DecodedImage(w, h, 3, out)
   }
 }

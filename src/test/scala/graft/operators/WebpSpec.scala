@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.scalatest.funsuite.AnyFunSuite
 
 /** VP8L codec: own-encoder round-trips, TWO-direction interop with the
   * system libwebp (via python3 ctypes — the reference implementation;
@@ -9,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * libwebp fixture that runs without python, lossy VP8 dimension
   * probing, and loud id-tagged corruption failures.
   */
-class WebpSpec extends AnyFunSuite {
+class WebpSpec extends graft.SparkSpec {
 
   private def det(i: Int, salt: Int): Int =
     (((i + 11) * (salt + 17) * 1103515245L + 12345) >>> 16).toInt & 0xff
@@ -246,6 +245,74 @@ class WebpSpec extends AnyFunSuite {
     val hashPng = MjpegVideo.aHashDecoded(
       Multimodal.decodeNormalized(1L, asPng)._2)
     assert(hashWebp === hashPng, "cross-format aHash parity")
+  }
+
+  // ---- animation ------------------------------------------------------
+
+  test("animation: sub-rect frames composite; overwrite, blend, dispose") {
+    import WebpCodec.AnimFrameSpec
+    def gray(w: Int, h: Int, v: Int): Array[Byte] =
+      Array.fill(w * h * 3)(v.toByte)
+    val data = WebpCodec.encodeAnim(32, 16, loopCount = 2, Seq(
+      AnimFrameSpec(0, 0, 32, 16, 40, noBlend = true, disposeBg = false,
+        gray(32, 16, 100)),
+      AnimFrameSpec(8, 0, 16, 8, 50, noBlend = true, disposeBg = false,
+        gray(16, 8, 200)),
+      AnimFrameSpec(0, 8, 8, 8, 60, noBlend = true, disposeBg = true,
+        gray(8, 8, 30))))
+    assert(Multimodal.sniffModality(data) === "image/webp-anim")
+    val anim = WebpCodec.decodeAnim(5L, data)
+    assert(anim.width === 32 && anim.height === 16 && anim.loopCount === 2)
+    assert(anim.frames.map(_.durationMs) === Seq(40, 50, 60))
+    def px(f: Int, x: Int, y: Int): Int = anim.frames(f).pixels(y * 32 + x)
+    assert(px(0, 0, 0) === 0xff646464) // frame 0: uniform 100
+    assert(px(1, 9, 1) === 0xffc8c8c8) // frame 1 painted its rect...
+    assert(px(1, 0, 0) === 0xff646464) // ...and kept the rest
+    assert(px(2, 2, 9) === 0xff1e1e1e) // frame 2 painted bottom-left
+    // frame 2's dispose-to-background only affects FOLLOWING frames,
+    // so its own composited pixels keep the paint; the canvas state
+    // is internal — verify via a 4th frame in a second decode
+    val data2 = WebpCodec.encodeAnim(32, 16, 0, Seq(
+      AnimFrameSpec(0, 0, 32, 16, 40, noBlend = true, disposeBg = false,
+        gray(32, 16, 100)),
+      AnimFrameSpec(0, 8, 8, 8, 60, noBlend = true, disposeBg = true,
+        gray(8, 8, 30)),
+      AnimFrameSpec(16, 8, 8, 8, 60, noBlend = true, disposeBg = false,
+        gray(8, 8, 201))))
+    val anim2 = WebpCodec.decodeAnim(6L, data2)
+    def px2(f: Int, x: Int, y: Int): Int = anim2.frames(f).pixels(y * 32 + x)
+    assert(px2(2, 2, 9) === 0) // disposed rect is transparent black now
+    assert(px2(2, 17, 9) === 0xffc9c9c9)
+  }
+
+  test("animation: blend math, per-frame rows, first-frame hash parity") {
+    import WebpCodec.AnimFrameSpec
+    // blendPx: opaque src overwrites; transparent src keeps dst
+    assert(WebpCodec.blendPx(0xff112233, 0xff445566) === 0xff112233)
+    assert(WebpCodec.blendPx(0x00000000, 0xff445566) === 0xff445566)
+    // half-alpha over opaque: a = 128 + 255*127/255 = 255;
+    // ch = (s*128 + d*255*127/255)/255
+    val half = WebpCodec.blendPx(0x80646464, 0xffc8c8c8)
+    assert((half >>> 24) === 255)
+    assert((half & 0xff) === (100 * 128 + 200 * 127) / 255)
+    val base = Array.tabulate(64 * 48 * 3)(i => det(i, 3).toByte)
+    val data = WebpCodec.encodeAnim(64, 48, 0, Seq(
+      AnimFrameSpec(0, 0, 64, 48, 40, noBlend = true, disposeBg = false,
+        base),
+      AnimFrameSpec(16, 16, 16, 16, 50, noBlend = true, disposeBg = false,
+        Array.fill(16 * 16 * 3)(9.toByte))))
+    import spark.implicits._
+    val media = Seq((1L, data)).toDF("media_id", "content")
+    val rows = Multimodal.decodeWebpAnimFrames(media).collect()
+      .sortBy(_.frame_no)
+    assert(rows.length === 2 && rows.forall(_.n_frames == 2))
+    assert(rows.map(_.duration_ms).toSeq === Seq(40, 50))
+    // frame 0 == the still image: hash parity with the still codec
+    val still = WebpCodec.encodeLossless(64, 48, 3, base)
+    val stillHash = MjpegVideo.aHashDecoded(
+      Multimodal.decodeNormalized(1L, still)._2)
+    assert(rows(0).ahash === stillHash)
+    assert(rows(1).ahash !== stillHash, "painted frame must hash apart")
   }
 
   // ---- corruption ----------------------------------------------------
