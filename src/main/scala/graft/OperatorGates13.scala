@@ -423,6 +423,57 @@ object OperatorGates13 {
         .orderBy(col("doc_id"), col("url"))
     }),
 
+    // --- two-level sitemap INDEX resolution (Text.sitemapIndexEntries
+    //     + sitemapEntries): per source a <sitemapindex> of 3 child
+    //     urlsets (docs split by doc_id%3, optional lastmod both
+    //     levels); the index explodes, JOINS to the fetched children,
+    //     and each child urlset explodes — the real shape of large
+    //     sites' 50k-URL-capped sitemaps. Oracle rebuilds both levels --
+    "q_sitemap_index" -> ((s, dir) => {
+      import graft.functions.Text
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 250)
+      val children = docs
+        .withColumn("j", pmod(col("doc_id"), lit(3)).cast("int"))
+        .groupBy(col("source"), col("j"))
+        .agg(concat(
+          lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+          concat_ws("\n", sort_array(collect_list(concat(
+            lit("  <url><loc> https://www."), col("source"),
+            lit(".example.com/p/"), col("doc_id"), lit("?a=1&amp;b=2 </loc>"),
+            when(pmod(col("doc_id"), lit(5)) =!= 0,
+              concat(lit("<lastmod>2024-0"),
+                lit(1) + pmod(col("doc_id"), lit(9)),
+                lit("-15</lastmod>"))).otherwise(lit("")),
+            lit("</url>"))))),
+          lit("\n</urlset>")).as("xml"))
+        .withColumn("child_url",
+          concat(lit("https://www."), col("source"),
+            lit(".example.com/sitemap"), col("j"), lit(".xml")))
+      val index = children.groupBy(col("source"))
+        .agg(concat(
+          lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n"),
+          concat_ws("\n", sort_array(collect_list(concat(
+            lit("  <sitemap><loc> "), col("child_url"), lit(" </loc>"),
+            when(pmod(col("j"), lit(2)) === 0,
+              concat(lit("<lastmod>2024-1"), col("j"),
+                lit("-01</lastmod>"))).otherwise(lit("")),
+            lit("</sitemap>"))))),
+          lit("\n</sitemapindex>")).as("index_xml"))
+      val level1 = index
+        .select(col("source"),
+          explode(Text.sitemapIndexEntries(col("index_xml"))).as("sm"))
+        .select(col("source"), col("sm.url").as("sitemap_url"),
+          col("sm.lastmod").as("sitemap_lastmod"))
+      level1
+        .join(children.select(col("child_url"), col("xml")),
+          level1("sitemap_url") === col("child_url"))
+        .select(col("source"), col("sitemap_url"), col("sitemap_lastmod"),
+          explode(Text.sitemapEntries(col("xml"))).as("e"))
+        .select(col("source"), col("sitemap_url"), col("sitemap_lastmod"),
+          col("e.url").as("url"), col("e.lastmod").as("lastmod"))
+        .orderBy(col("source"), col("url"))
+    }),
+
     // --- RFC 9309 wildcard rules (Robots): `*` mid-pattern, trailing
     //     `$` end anchor, `$` elsewhere literal, %XX octets literal,
     //     most-specific-match by pattern OCTET count across prefix and
@@ -1007,6 +1058,25 @@ object OperatorGates13 {
                false
         FROM documents)
       ORDER BY doc_id, url
+    """,
+
+    "q_sitemap_index" -> """
+      WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id < 250),
+      urls AS (
+        SELECT source, doc_id % 3 AS j,
+          'https://www.' || source || '.example.com/p/' ||
+            CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url,
+          CASE WHEN doc_id % 5 <> 0
+               THEN '2024-0' || CAST(1 + doc_id % 9 AS VARCHAR) || '-15'
+               END AS lastmod
+        FROM d)
+      SELECT source,
+        'https://www.' || source || '.example.com/sitemap' ||
+          CAST(j AS VARCHAR) || '.xml' AS sitemap_url,
+        CASE WHEN j % 2 = 0 THEN '2024-1' || CAST(j AS VARCHAR) || '-01'
+             END AS sitemap_lastmod,
+        url, lastmod
+      FROM urls ORDER BY source, url
     """,
 
     "q_robots_wildcards" ->

@@ -325,6 +325,33 @@ object Text {
     })
   }
 
+  /** Per-<sitemap> block entries of a sitemap INDEX file — the
+    * two-level form large sites actually serve (an index pointing at
+    * child urlsets, each capped at 50k URLs): `(url, lastmod)`
+    * structs, entity-decoded, lastmod optional. Resolving the index
+    * (fetch each child, explode its urlset via [[sitemapEntries]]) is
+    * an ordinary JOIN in the pipeline — see q_sitemap_index. Same
+    * codegen'd split/regexp chain as the urlset parser; `<sitemap>`
+    * does not match the `<sitemapindex>` root tag.
+    */
+  def sitemapIndexEntries(xml: Column): Column = {
+    def field(b: Column, tag: String): Column =
+      trim(regexp_extract(b, s"(?s)<$tag>\\s*([^<]*?)\\s*</$tag>", 1))
+    val decode = (u: Column) => Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(u) { case (acc, (e, v)) => replace(acc, lit(e), lit(v)) }
+    val blocks = filter(split(xml, "<sitemap>"),
+      b => b.contains("</sitemap>") && field(b, "loc") =!= "")
+    transform(blocks, b => {
+      val body = split(b, "</sitemap>").getItem(0)
+      struct(
+        decode(field(body, "loc")).as("url"),
+        when(field(body, "lastmod") === "", lit(null).cast("string"))
+          .otherwise(field(body, "lastmod")).as("lastmod"))
+    })
+  }
+
   /** Anchor outlinks of an HTML document with rel=nofollow detection —
     * the link-graph extraction step (nofollow links must not confer
     * PageRank mass and usually stay out of the frontier). One struct

@@ -77,6 +77,24 @@ class UrlCanonSpec extends SparkSpec {
       ("https://a.com/z", None, None))) // junk priority -> NULL cast
   }
 
+  test("sitemapIndexEntries: loc + optional lastmod; root tag never matches") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sitemap><loc> https://a.com/s1.xml?x=1&amp;y=2 </loc>
+        |    <lastmod>2024-03-01</lastmod></sitemap>
+        |  <sitemap><loc>https://a.com/s2.xml</loc></sitemap>
+        |  <sitemap><lastmod>2024-01-01</lastmod></sitemap>
+        |</sitemapindex>""".stripMargin
+    val r = Seq(xml).toDF("xml")
+      .select(explode(Text.sitemapIndexEntries(col("xml"))).as("e"))
+      .select(col("e.url"), col("e.lastmod"))
+      .as[(String, Option[String])].collect().toSeq
+    assert(r == Seq(
+      ("https://a.com/s1.xml?x=1&y=2", Some("2024-03-01")),
+      ("https://a.com/s2.xml", None))) // loc-less block skipped
+  }
+
   test("outlinks: quote styles, attribute order/case, multi-token rel, href-less skipped") {
     val html =
       """<a href="http://a/1">x</a>
