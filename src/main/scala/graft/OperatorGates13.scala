@@ -132,7 +132,85 @@ object OperatorGates13 {
     WebpCodec.encodeAnim(64, 48, loopCount = 0, frames)
   }
 
+  /** Shared synthetic two-level sitemap world over `docs`: per
+    * (source, j = doc_id % 3) child `<urlset>` (optional lastmod by
+    * doc_id % 5) + per-source `<sitemapindex>` listing the children
+    * (optional lastmod by j % 2). Both q_sitemap_index and
+    * q_sitemap_discovery's oracles restate the formulas.
+    */
+  private def sitemapWorld(docs: DataFrame): (DataFrame, DataFrame) = {
+    val children = docs
+      .withColumn("j", pmod(col("doc_id"), lit(3)).cast("int"))
+      .groupBy(col("source"), col("j"))
+      .agg(concat(
+        lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
+        concat_ws("\n", sort_array(collect_list(concat(
+          lit("  <url><loc> https://www."), col("source"),
+          lit(".example.com/p/"), col("doc_id"), lit("?a=1&amp;b=2 </loc>"),
+          when(pmod(col("doc_id"), lit(5)) =!= 0,
+            concat(lit("<lastmod>2024-0"),
+              lit(1) + pmod(col("doc_id"), lit(9)),
+              lit("-15</lastmod>"))).otherwise(lit("")),
+          lit("</url>"))))),
+        lit("\n</urlset>")).as("xml"))
+      .withColumn("child_url",
+        concat(lit("https://www."), col("source"),
+          lit(".example.com/sitemap"), col("j"), lit(".xml")))
+    val index = children.groupBy(col("source"))
+      .agg(concat(
+        lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n"),
+        concat_ws("\n", sort_array(collect_list(concat(
+          lit("  <sitemap><loc> "), col("child_url"), lit(" </loc>"),
+          when(pmod(col("j"), lit(2)) === 0,
+            concat(lit("<lastmod>2024-1"), col("j"),
+              lit("-01</lastmod>"))).otherwise(lit("")),
+          lit("</sitemap>"))))),
+        lit("\n</sitemapindex>")).as("index_xml"))
+    (children, index)
+  }
+
   def queries13: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- crawl DISCOVERY chain (Robots.sitemapsTable +
+    //     sitemapIndexEntries + sitemapEntries): robots.txt `Sitemap:`
+    //     lines seed the per-domain index fetch (domains whose robots
+    //     carry no Sitemap line never enter), the index resolves to
+    //     child urlsets, the children explode to URLs — the 3-level
+    //     path a crawler actually walks. Oracle replays all levels -----
+    "q_sitemap_discovery" -> ((s, dir) => {
+      import graft.functions.Text
+      import graft.operators.Robots
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 250)
+      val srcs = docs.select(col("source")).distinct()
+        .withColumn("i", substring(col("source"), 4, 10).cast("int"))
+      val robots = srcs.select(
+        concat(lit("www."), col("source"), lit(".example.com")).as("domain"),
+        concat(
+          lit("# crawl policy\nUser-agent: *\nDisallow: /private/\n" +
+            "Crawl-delay: 2\n"),
+          when(pmod(col("i"), lit(5)) =!= 0,
+            concat(lit("Sitemap: https://www."), col("source"),
+              lit(".example.com/sitemap_index.xml\n"))).otherwise(lit("")))
+          .as("content"))
+      val discovered = Robots.sitemapsTable(robots, "domain", "content")
+      val (children, index) = sitemapWorld(docs)
+      val indexed = index.withColumn("index_url",
+        concat(lit("https://www."), col("source"),
+          lit(".example.com/sitemap_index.xml")))
+      val level1 = discovered
+        .join(indexed, discovered("sitemap_url") === indexed("index_url"))
+        .select(col("domain"),
+          explode(Text.sitemapIndexEntries(col("index_xml"))).as("sm"))
+        .select(col("domain"), col("sm.url").as("child_sitemap"))
+      level1
+        .join(children.select(col("child_url"), col("xml")),
+          col("child_sitemap") === col("child_url"))
+        .select(col("domain"), col("child_sitemap"),
+          explode(Text.sitemapEntries(col("xml"))).as("e"))
+        .select(col("domain"), col("child_sitemap"),
+          col("e.url").as("url"), col("e.lastmod").as("lastmod"))
+        .orderBy(col("domain"), col("url"))
+    }),
 
     // --- REAL animated-WebP decode (WebpCodec.decodeAnim): ANMF
     //     sub-rect frames composited on executors (overwrite blend,
@@ -432,33 +510,7 @@ object OperatorGates13 {
     "q_sitemap_index" -> ((s, dir) => {
       import graft.functions.Text
       val docs = t(s, dir, "documents").filter(col("doc_id") < 250)
-      val children = docs
-        .withColumn("j", pmod(col("doc_id"), lit(3)).cast("int"))
-        .groupBy(col("source"), col("j"))
-        .agg(concat(
-          lit("<?xml version=\"1.0\"?>\n<urlset>\n"),
-          concat_ws("\n", sort_array(collect_list(concat(
-            lit("  <url><loc> https://www."), col("source"),
-            lit(".example.com/p/"), col("doc_id"), lit("?a=1&amp;b=2 </loc>"),
-            when(pmod(col("doc_id"), lit(5)) =!= 0,
-              concat(lit("<lastmod>2024-0"),
-                lit(1) + pmod(col("doc_id"), lit(9)),
-                lit("-15</lastmod>"))).otherwise(lit("")),
-            lit("</url>"))))),
-          lit("\n</urlset>")).as("xml"))
-        .withColumn("child_url",
-          concat(lit("https://www."), col("source"),
-            lit(".example.com/sitemap"), col("j"), lit(".xml")))
-      val index = children.groupBy(col("source"))
-        .agg(concat(
-          lit("<?xml version=\"1.0\"?>\n<sitemapindex>\n"),
-          concat_ws("\n", sort_array(collect_list(concat(
-            lit("  <sitemap><loc> "), col("child_url"), lit(" </loc>"),
-            when(pmod(col("j"), lit(2)) === 0,
-              concat(lit("<lastmod>2024-1"), col("j"),
-                lit("-01</lastmod>"))).otherwise(lit("")),
-            lit("</sitemap>"))))),
-          lit("\n</sitemapindex>")).as("index_xml"))
+      val (children, index) = sitemapWorld(docs)
       val level1 = index
         .select(col("source"),
           explode(Text.sitemapIndexEntries(col("index_xml"))).as("sm"))
@@ -1058,6 +1110,25 @@ object OperatorGates13 {
                false
         FROM documents)
       ORDER BY doc_id, url
+    """,
+
+    "q_sitemap_discovery" -> """
+      WITH d AS (SELECT doc_id, source FROM documents WHERE doc_id < 250),
+      s AS (SELECT DISTINCT source, CAST(substr(source, 4) AS INT) AS i
+            FROM d),
+      urls AS (
+        SELECT d.source, doc_id % 3 AS j,
+          'https://www.' || d.source || '.example.com/p/' ||
+            CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS url,
+          CASE WHEN doc_id % 5 <> 0
+               THEN '2024-0' || CAST(1 + doc_id % 9 AS VARCHAR) || '-15'
+               END AS lastmod
+        FROM d JOIN s ON s.source = d.source AND s.i % 5 <> 0)
+      SELECT 'www.' || source || '.example.com' AS domain,
+        'https://www.' || source || '.example.com/sitemap' ||
+          CAST(j AS VARCHAR) || '.xml' AS child_sitemap,
+        url, lastmod
+      FROM urls ORDER BY domain, url
     """,
 
     "q_sitemap_index" -> """

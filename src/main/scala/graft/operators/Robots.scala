@@ -149,6 +149,41 @@ object Robots {
     all.map(_._1).distinct.map(a => a -> last(a))
   }
 
+  /** `Sitemap:` directive values of one robots.txt body — the crawl
+    * DISCOVERY seeds (per the sitemaps.org convention the directive is
+    * global, not part of any User-agent group, and may repeat). The
+    * value keeps its own colons (`https://...`); malformed/empty lines
+    * are skipped — discovery hints share [[parseDelays]]' resilience,
+    * not [[parseRules]]' structural loudness.
+    */
+  def parseSitemaps(text: String): Seq[String] =
+    text.split("\n").toSeq.flatMap { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val ci = line.indexOf(':')
+      if (ci > 0 && line.substring(0, ci).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(ci + 1).trim
+        if (v.nonEmpty) Some(v) else None
+      } else None
+    }
+
+  /** `robots(domain, content)` rows → `(domain, sitemap_url)` rows —
+    * the discovery table a crawl planner joins against fetched
+    * sitemap content (see q_sitemap_discovery's 3-level chain:
+    * robots → sitemap index → urlset).
+    */
+  def sitemapsTable(robots: DataFrame, domainCol: String, textCol: String)
+      : DataFrame = {
+    val spark = robots.sparkSession
+    import spark.implicits._
+    robots.select(col(domainCol).cast("string"), col(textCol).cast("string"))
+      .as[(String, String)]
+      .mapPartitions(_.flatMap { case (domain, text) =>
+        parseSitemaps(if (text == null) "" else text).iterator
+          .map(u => (domain, u))
+      })
+      .toDF("domain", "sitemap_url")
+  }
+
   /** `robots(domain, content)` rows → `(domain, agent, delay_sec)`
     * rows (the relational form [[graft.operators.CrawlFrontier.scheduleFetch]]
     * joins).

@@ -108,6 +108,21 @@ class RobotsSpec extends SparkSpec {
     assert(allowed == Set(2L, 3L, 4L, 5L))
   }
 
+  test("parseSitemaps: global directive, any case, value keeps its colons") {
+    val txt =
+      """User-agent: a
+        |Disallow: /x
+        |SITEMAP: https://ex.com/s1.xml  # trailing comment
+        |User-agent: b
+        |sitemap: https://ex.com/s2.xml?k=v:w
+        |Sitemap:
+        |NotASitemap: https://ex.com/no
+        |""".stripMargin
+    assert(Robots.parseSitemaps(txt) ==
+      Seq("https://ex.com/s1.xml", "https://ex.com/s2.xml?k=v:w"))
+    assert(Robots.parseSitemaps("") == Seq.empty)
+  }
+
   test("specificity ranks by OCTETS, not UTF-16 chars") {
     // Allow /éé = 3 chars but 5 UTF-8 octets; Disallow /*bc = 4 chars
     // and 4 octets. On path /éébc both match: char ranking would pick
