@@ -237,6 +237,37 @@ object OperatorGates13 {
         .orderBy(col("media_id"), col("frame_no"))
     }),
 
+    // --- REAL lossy WebP (VP8 keyframe) decode (Vp8 via WebpCodec):
+    //     committed libwebp-encoded fixtures (segmentation, token
+    //     partitions, loop filter all exercised — Scala cannot encode
+    //     VP8, so fixtures are checked-in bytes) fully decoded on
+    //     executors; the oracle's plane sums are LIBWEBP's own
+    //     WebPDecodeYUV output pinned at fixture-generation time, so
+    //     a green row == byte-exact independent ground truth ----------
+    "q_webp_lossy" -> ((s, dir) => {
+      import s.implicits._
+      val fixtures = (0 until 6).map { i =>
+        val in = getClass.getResourceAsStream(s"/graft/vp8/fixture_$i.webp")
+        require(in != null, s"missing vp8 fixture $i")
+        val bytes = in.readAllBytes(); in.close()
+        (i.toLong, bytes)
+      }
+      fixtures.toDF("fixture_id", "content")
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, c) =>
+          val f = graft.operators.WebpCodec.decodeYuv(id, c)
+          def sum(a: Array[Byte]): Long = {
+            var t = 0L
+            var i = 0
+            while (i < a.length) { t += (a(i) & 0xff); i += 1 }
+            t
+          }
+          (id, f.width.toLong, f.height.toLong, sum(f.y), sum(f.u), sum(f.v))
+        })
+        .toDF("fixture_id", "width", "height", "y_sum", "u_sum", "v_sum")
+        .orderBy(col("fixture_id"))
+    }),
+
     // --- REAL WebP (VP8L lossless) decode (WebpCodec): count-bounded
     //     fixtures (20 images at every SF) sniffed and routed through
     //     the SAME decodeAuto/aHashAuto dispatch as the other image
@@ -783,6 +814,19 @@ object OperatorGates13 {
          |    AS ahash_bits
          |FROM feat ORDER BY media_id, frame_no""".stripMargin
     },
+
+    "q_webp_lossy" -> """
+      SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(64 AS BIGINT), CAST(48 AS BIGINT),
+         CAST(383870 AS BIGINT), CAST(98486 AS BIGINT), CAST(98188 AS BIGINT)),
+        (1, 48, 48, 289635, 73795, 74670),
+        (2, 80, 64, 631232, 163840, 163840),
+        (3, 33, 17, 70244, 19270, 19424),
+        (4, 96, 80, 965635, 244451, 246056),
+        (5, 56, 40, 284608, 71680, 71680))
+        AS t(fixture_id, width, height, y_sum, u_sum, v_sum)
+      ORDER BY fixture_id
+    """,
 
     "q_webp_decode" ->
       """WITH imgs AS (

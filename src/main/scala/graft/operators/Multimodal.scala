@@ -726,7 +726,8 @@ object Multimodal {
       case "image/png" => PngCodec.toDecodedImage(PngCodec.decode(id, c))
       case "image/gif" => GifCodec.toDecodedImage(GifCodec.decode(id, c))
       case "image/jpeg" => JpegCodec.decode(id, c)
-      case "image/webp" => WebpCodec.toDecodedImage(WebpCodec.decode(id, c))
+      case "image/webp" | "image/webp-lossy" =>
+        WebpCodec.toDecodedImage(WebpCodec.decode(id, c))
       case "image/webp-anim" => // first composited frame, like GIF
         WebpCodec.frameToDecodedImage(WebpCodec.decodeAnim(id, c), 0)
       case other => throw new IllegalArgumentException(
@@ -899,8 +900,8 @@ object Multimodal {
     else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
       bytes(3) == 'F' && tag4(bytes, 8) == "AVI ") "video/avi"
     else if (WebpCodec.isWebp(bytes))
-      // lossless decodes to pixels; lossy VP8 is labeled EXPLICITLY so
-      // pipelines route it consciously (byte stats), never silently
+      // both forms decode to pixels (VP8L exactly, VP8 via the RFC
+      // 6386 keyframe decoder); the label keeps them distinguishable
       (if (WebpCodec.isAnim(bytes)) "image/webp-anim"
       else if (WebpCodec.isLossless(bytes)) "image/webp"
       else "image/webp-lossy")
@@ -974,9 +975,10 @@ object Multimodal {
             }
             MediaAuto(id, m, nPix.toLong,
               if (nPix == 0) 0.0 else sum.toDouble / (nPix.toLong * keep))
-          case m @ "image/webp" =>
-            // full VP8L decode; n_units = pixels, mean over RGB (alpha
-            // dropped, matching the PNG path's intensity convention)
+          case m @ ("image/webp" | "image/webp-lossy") =>
+            // full decode (VP8L exact / VP8 keyframe); n_units =
+            // pixels, mean over RGB (alpha dropped, matching the PNG
+            // path's intensity convention)
             val img = WebpCodec.toDecodedImage(WebpCodec.decode(id, bytes))
             var sum = 0L
             var i = 0

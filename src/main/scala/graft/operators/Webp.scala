@@ -19,10 +19,12 @@ package graft.operators
   * meta groups and LZ77) byte-for-byte and round-trips both
   * directions through the system library when present.
   *
-  * Lossy VP8 frames are out of scope (a full DCT video intra-frame
-  * decoder); [[Multimodal.sniffModality]] labels them
-  * `image/webp-lossy` so they are EXPLICITLY routed to byte-stats —
-  * never silently mixed into pixel-level dedup.
+  * Lossy (`VP8 `) stills decode through the full RFC 6386 keyframe
+  * decoder in [[Vp8]] (byte-exact YUV vs libwebp — Vp8Spec), converted
+  * to RGB via the repo's documented BT.601 integer form;
+  * [[Multimodal.sniffModality]] keeps them labeled `image/webp-lossy`
+  * so pipelines can distinguish exact from lossy pixels. ALPH chunks
+  * (lossy-with-alpha) are not decoded — such pixels read opaque.
   *
   * The [[encodeLossless]] writer emits literal-only VP8L (uniform
   * canonical codes, no transforms) — a valid, libwebp-decodable
@@ -332,17 +334,32 @@ object WebpCodec {
   def decode(id: Long, bytes: Array[Byte]): WebpImage = {
     val (tag, payload) = findBitstream(id, bytes)
     if (tag == "VP8 ") {
-      // lossy VP8: probe dims from the keyframe header (3-byte frame
-      // tag + 3-byte start code 9D 01 2A + 14-bit w/h), no pixel decode
-      require(payload.length >= 10 &&
-        (payload(3) & 0xff) == 0x9d && (payload(4) & 0xff) == 0x01 &&
-        (payload(5) & 0xff) == 0x2a, s"media $id: corrupt VP8 keyframe")
-      val w = ((payload(6) & 0xff) | ((payload(7) & 0x3f) << 8))
-      val h = ((payload(8) & 0xff) | ((payload(9) & 0x3f) << 8))
-      return WebpImage(w, h, hasAlpha = false, lossless = false,
-        pixels = Array.emptyIntArray)
+      // lossy VP8 keyframe: full RFC 6386 intra decode ([[Vp8]],
+      // libwebp-interop-pinned on the YUV planes), converted to RGB
+      // via the repo's documented BT.601 form. An accompanying ALPH
+      // chunk (lossy-with-alpha) is not decoded — pixels are opaque.
+      val yuv = Vp8.decode(id, payload)
+      val rgb = Vp8.toRgb(yuv)
+      val px = new Array[Int](yuv.width * yuv.height)
+      var i = 0
+      while (i < px.length) {
+        px(i) = 0xff000000 | ((rgb.pixels(i * 3) & 0xff) << 16) |
+          ((rgb.pixels(i * 3 + 1) & 0xff) << 8) | (rgb.pixels(i * 3 + 2) & 0xff)
+        i += 1
+      }
+      return WebpImage(yuv.width, yuv.height, hasAlpha = false,
+        lossless = false, pixels = px)
     }
     decodeVp8l(id, payload)
+  }
+
+  /** Lossy (VP8) WebP decoded to its native YUV 4:2:0 planes — the
+    * spec-exact output, byte-comparable against reference decoders.
+    */
+  def decodeYuv(id: Long, bytes: Array[Byte]): Vp8.Yuv = {
+    val (tag, payload) = findBitstream(id, bytes)
+    require(tag == "VP8 ", s"media $id: not a lossy (VP8) WebP")
+    Vp8.decode(id, payload)
   }
 
   /** Decode one bare VP8L bitstream (the payload of a VP8L chunk). */
@@ -970,10 +987,8 @@ object WebpCodec {
   /** Decode to the shared cross-format layout: top-down RGB, alpha
     * dropped (matching how PNG/GIF/JPEG hash in [[Multimodal]]).
     */
-  def toDecodedImage(img: WebpImage): JpegCodec.DecodedImage = {
-    require(img.lossless, "lossy WebP carries no decoded pixels")
+  def toDecodedImage(img: WebpImage): JpegCodec.DecodedImage =
     argbToRgbImage(img.width, img.height, img.pixels)
-  }
 
   /** One composited animation frame in the shared RGB layout. */
   def frameToDecodedImage(anim: WebpAnim, idx: Int): JpegCodec.DecodedImage =

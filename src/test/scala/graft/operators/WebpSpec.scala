@@ -218,20 +218,20 @@ class WebpSpec extends graft.SparkSpec {
 
   // ---- lossy + routing ----------------------------------------------
 
-  test("lossy VP8 probes dimensions, carries no pixels, and routes explicitly") {
-    // minimal VP8 keyframe header: frame tag + 9D 01 2A + 14-bit dims
-    val w = 320; val h = 240
-    val payload = Array[Byte](0x10, 0, 0, 0x9d.toByte, 0x01, 0x2a,
-      (w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
-      (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte)
-    val riff = "RIFF".getBytes ++
-      Array[Byte]((4 + 8 + payload.length).toByte, 0, 0, 0) ++
-      "WEBP".getBytes ++ "VP8 ".getBytes ++
-      Array[Byte](payload.length.toByte, 0, 0, 0) ++ payload
-    val img = WebpCodec.decode(3L, riff)
-    assert(img.width === w && img.height === h && !img.lossless)
-    assert(img.pixels.isEmpty)
-    assert(Multimodal.sniffModality(riff) === "image/webp-lossy")
+  test("lossy VP8 decodes real pixels and routes with its own label") {
+    // the pinned libwebp 7.1.5 encoding from Vp8Spec: 16x16 two-tone
+    // 8x8 blocks (40/200 gray), q50, no loop filter
+    val fixture =
+      "524946462800000057454250565038201c0000003401009d012a10001000" +
+        "00004c25a400037000fec59effff07580000"
+    val bytes = hex(fixture)
+    assert(Multimodal.sniffModality(bytes) === "image/webp-lossy")
+    val img = WebpCodec.decode(3L, bytes)
+    assert(img.width === 16 && img.height === 16 && !img.lossless)
+    // Y=0x32 U=V=0x80 converts to gray ~34 via the documented BT.601
+    // form: ((0x32-16)*298 + 128) >> 8 = 40 (the source tone)
+    assert((img.pixels(0) & 0xff) === 40)
+    assert(((img.pixels(15) >> 8) & 0xff) === 200) // Y=0xbc -> the 200 tone
   }
 
   test("sniff + cross-format hash: same pixels hash identically as PNG and WebP") {

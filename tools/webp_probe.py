@@ -181,6 +181,69 @@ if __name__ == "__main__":
         size = lib.WebPEncodeLosslessRGBA(px, w, h, w * 4, ctypes.byref(out))
         assert size > 0, "libwebp encode failed"
         print(bytes(out[0:size]).hex())
+    elif sys.argv[1:2] == ["encode-vp8"]:
+        # RGBA on stdin -> LOSSY webp hex; args: w h quality
+        # filter_strength segments partitions_log2
+        w, h = int(sys.argv[2]), int(sys.argv[3])
+        quality = float(sys.argv[4])
+        fstr = int(sys.argv[5]); segs = int(sys.argv[6])
+        plog = int(sys.argv[7]) if len(sys.argv) > 7 else 0
+        px = sys.stdin.buffer.read()
+        assert len(px) == w * h * 4
+        import struct as st
+        ABI = 0x200
+        cfg = ctypes.create_string_buffer(512)
+        assert lib.WebPConfigInitInternal(cfg, 0, ctypes.c_float(quality), ABI) == 1
+        st.pack_into('<i', cfg, 24, segs)        # segments
+        st.pack_into('<i', cfg, 32, fstr)        # filter_strength
+        st.pack_into('<i', cfg, 44, 0)           # autofilter off
+        st.pack_into('<i', cfg, 72, plog)        # partitions
+        pic = ctypes.create_string_buffer(512)
+        assert lib.WebPPictureInitInternal(pic, ABI) == 1
+        st.pack_into('<i', pic, 0, 1)            # use_argb
+        st.pack_into('<i', pic, 8, w)
+        st.pack_into('<i', pic, 12, h)
+        assert lib.WebPPictureImportRGBA(pic, px, w * 4) == 1
+        mw = ctypes.create_string_buffer(64)
+        lib.WebPMemoryWriterInit(mw)
+        WR = ctypes.CFUNCTYPE(ctypes.c_int, ctypes.POINTER(ctypes.c_ubyte),
+                              ctypes.c_size_t, ctypes.c_void_p)
+        memwrite = WR(('WebPMemoryWrite', lib))
+        st.pack_into('<Q', pic, 96,
+                     ctypes.cast(memwrite, ctypes.c_void_p).value)
+        st.pack_into('<Q', pic, 104, ctypes.addressof(mw))
+        assert lib.WebPEncode(cfg, pic) == 1, \
+            f"encode error {st.unpack_from('<i', pic, 136)[0]}"
+        mem, size = st.unpack_from('<QQ', mw, 0)
+        out = ctypes.string_at(mem, size)
+        lib.WebPPictureFree(pic)
+        print(out.hex())
+    elif sys.argv[1:2] == ["decode-yuv"]:
+        # webp on stdin -> "w h yhex uhex vhex" (planes cropped to
+        # w / ceil(w/2) columns)
+        data = sys.stdin.buffer.read()
+        lib.WebPDecodeYUV.restype = ctypes.POINTER(ctypes.c_ubyte)
+        lib.WebPDecodeYUV.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        w = ctypes.c_int(); h = ctypes.c_int()
+        up = ctypes.POINTER(ctypes.c_ubyte)()
+        vp = ctypes.POINTER(ctypes.c_ubyte)()
+        stride = ctypes.c_int(); uvs = ctypes.c_int()
+        yp = lib.WebPDecodeYUV(data, len(data), ctypes.byref(w),
+                               ctypes.byref(h), ctypes.byref(up),
+                               ctypes.byref(vp), ctypes.byref(stride),
+                               ctypes.byref(uvs))
+        assert yp, "libwebp yuv decode failed"
+        W, H, S, US = w.value, h.value, stride.value, uvs.value
+        uw, uh = (W + 1) // 2, (H + 1) // 2
+        yb = b"".join(bytes(yp[r * S:r * S + W]) for r in range(H))
+        ub = b"".join(bytes(up[r * US:r * US + uw]) for r in range(uh))
+        vb = b"".join(bytes(vp[r * US:r * US + uw]) for r in range(uh))
+        print(W, H, yb.hex(), ub.hex(), vb.hex())
     elif sys.argv[1:2] == ["decode"]:
         # webp bytes on stdin -> "w h rgbahex" on stdout
         data = sys.stdin.buffer.read()
