@@ -904,6 +904,7 @@ object WebpCodec {
           // accompany lossy frames only)
           var p = o + 8 + 16
           var sub: Array[Byte] = null
+          var subLossy = false
           val end = o + 8 + sz
           while (sub == null && p + 8 <= end) {
             val t2 = new String(b, p, 4,
@@ -911,14 +912,30 @@ object WebpCodec {
             val s2 = u32le(b, p + 4)
             require(s2 <= Int.MaxValue && p + 8 + s2 <= end,
               s"media $id: frame chunk '$t2' overruns its ANMF")
-            require(t2 != "VP8 ",
-              s"media $id: lossy (VP8) animation frames are unsupported")
-            if (t2 == "VP8L")
+            if (t2 == "VP8L" || t2 == "VP8 ") {
               sub = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + s2.toInt)
+              subLossy = t2 == "VP8 "
+            }
             p += 8 + s2.toInt + (s2.toInt & 1)
           }
           require(sub != null, s"media $id: ANMF frame without a bitstream")
-          val img = decodeVp8l(id, sub)
+          val img =
+            if (!subLossy) decodeVp8l(id, sub)
+            else { // lossy frame: keyframe decode, opaque pixels
+              val yuv = Vp8.decode(id, sub)
+              val rgb = Vp8.toRgb(yuv)
+              val px2 = new Array[Int](yuv.width * yuv.height)
+              var i2 = 0
+              while (i2 < px2.length) {
+                px2(i2) = 0xff000000 |
+                  ((rgb.pixels(i2 * 3) & 0xff) << 16) |
+                  ((rgb.pixels(i2 * 3 + 1) & 0xff) << 8) |
+                  (rgb.pixels(i2 * 3 + 2) & 0xff)
+                i2 += 1
+              }
+              WebpImage(yuv.width, yuv.height, hasAlpha = false,
+                lossless = false, px2)
+            }
           require(img.width == fw && img.height == fh,
             s"media $id: frame bitstream ${img.width}x${img.height} != " +
               s"ANMF rect ${fw}x$fh")

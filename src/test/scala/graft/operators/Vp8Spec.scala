@@ -129,6 +129,43 @@ class Vp8Spec extends graft.SparkSpec {
     assert(h1 === h2)
   }
 
+  test("lossy frames composite inside animations") {
+    // hand-wrap the pinned 16x16 lossy fixture (tone blocks 40/200) as
+    // an ANMF frame over a 32x16 lossless base canvas
+    val lossy =
+      "524946462800000057454250565038201c0000003401009d012a10001000" +
+        "00004c25a400037000fec59effff07580000"
+    val vp8Chunk = {
+      val all = hex(lossy)
+      java.util.Arrays.copyOfRange(all, 12, all.length) // 'VP8 ' chunk
+    }
+    val base = WebpCodec.encodeLossless(32, 16, 3,
+      Array.fill(32 * 16 * 3)(90.toByte))
+    val baseVp8l = java.util.Arrays.copyOfRange(base, 12, base.length)
+    def le24(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte)
+    def chunk(tag: String, body: Array[Byte]) =
+      tag.getBytes ++ Array((body.length & 0xff).toByte,
+        ((body.length >> 8) & 0xff).toByte, 0.toByte, 0.toByte) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.emptyByteArray)
+    val anmf1 = chunk("ANMF", le24(0) ++ le24(0) ++ le24(31) ++ le24(15) ++
+      le24(40) ++ Array(0x02.toByte) ++ baseVp8l)
+    val anmf2 = chunk("ANMF", le24(8) ++ le24(0) ++ le24(15) ++ le24(15) ++
+      le24(50) ++ Array(0x02.toByte) ++ vp8Chunk)
+    val vp8x = chunk("VP8X", Array[Byte](0x02, 0, 0, 0) ++ le24(31) ++ le24(15))
+    val anim = chunk("ANIM", Array[Byte](0, 0, 0, 0, 0, 0))
+    val body = vp8x ++ anim ++ anmf1 ++ anmf2
+    val data = "RIFF".getBytes ++ Array((4 + body.length & 0xff).toByte,
+      ((4 + body.length) >> 8 & 0xff).toByte, 0.toByte, 0.toByte) ++
+      "WEBP".getBytes ++ body
+    val animD = WebpCodec.decodeAnim(8L, data)
+    assert(animD.frames.length === 2)
+    val f1 = animD.frames(1).pixels
+    assert((f1(0) >> 8 & 0xff) === 90)   // untouched base
+    assert((f1(16) >> 8 & 0xff) === 40)  // lossy frame (0,0): tone 1
+    assert((f1(24) >> 8 & 0xff) === 200) // lossy frame (8,0): tone 2
+  }
+
   test("corrupt lossy payloads fail loudly with the media id") {
     def riffVp8(payload: Array[Byte]): Array[Byte] =
       "RIFF".getBytes ++ Array[Byte]((4 + 8 + payload.length).toByte, 0, 0, 0) ++
