@@ -24,7 +24,8 @@ package graft.operators
   * to RGB via the repo's documented BT.601 integer form;
   * [[Multimodal.sniffModality]] keeps them labeled `image/webp-lossy`
   * so pipelines can distinguish exact from lossy pixels. ALPH chunks
-  * (lossy-with-alpha) are not decoded — such pixels read opaque.
+  * (lossy-with-alpha) decode too: headerless VP8L (or raw) alpha
+  * planes with the pre-filter inverted — lossless, libwebp-pinned.
   *
   * The [[encodeLossless]] writer emits literal-only VP8L (uniform
   * canonical codes, no transforms) — a valid, libwebp-decodable
@@ -69,6 +70,24 @@ object WebpCodec {
     }
     throw new IllegalArgumentException(
       s"media $id: WebP container carries no VP8/VP8L bitstream")
+  }
+
+  /** First chunk with `tag`, if present (stops at the bitstream —
+    * ALPH precedes VP8 in well-formed files).
+    */
+  private def findChunk(id: Long, b: Array[Byte],
+      wanted: String): Option[Array[Byte]] = {
+    var o = 12
+    while (o + 8 <= b.length) {
+      val tag = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = u32le(b, o + 4)
+      require(size <= Int.MaxValue && o + 8 + size <= b.length,
+        s"media $id: WebP chunk '$tag' overruns the container")
+      if (tag == wanted)
+        return Some(java.util.Arrays.copyOfRange(b, o + 8, o + 8 + size.toInt))
+      o += 8 + size.toInt + (size.toInt & 1)
+    }
+    None
   }
 
   /** True iff the container carries a LOSSLESS (VP8L) bitstream. */
@@ -340,15 +359,20 @@ object WebpCodec {
       // chunk (lossy-with-alpha) is not decoded — pixels are opaque.
       val yuv = Vp8.decode(id, payload)
       val rgb = Vp8.toRgb(yuv)
+      // an ALPH chunk carries the (lossless) alpha plane of a lossy
+      // still: headerless VP8L or raw, + a PNG-style pre-filter
+      val alphaPlane = findChunk(id, bytes, "ALPH")
+        .map(a => decodeAlpha(id, a, yuv.width, yuv.height))
       val px = new Array[Int](yuv.width * yuv.height)
       var i = 0
       while (i < px.length) {
-        px(i) = 0xff000000 | ((rgb.pixels(i * 3) & 0xff) << 16) |
+        val a = alphaPlane.map(_(i) & 0xff).getOrElse(0xff)
+        px(i) = (a << 24) | ((rgb.pixels(i * 3) & 0xff) << 16) |
           ((rgb.pixels(i * 3 + 1) & 0xff) << 8) | (rgb.pixels(i * 3 + 2) & 0xff)
         i += 1
       }
-      return WebpImage(yuv.width, yuv.height, hasAlpha = false,
-        lossless = false, pixels = px)
+      return WebpImage(yuv.width, yuv.height,
+        hasAlpha = alphaPlane.isDefined, lossless = false, pixels = px)
     }
     decodeVp8l(id, payload)
   }
@@ -374,7 +398,61 @@ object WebpCodec {
     require(version == 0, s"media $id: unknown VP8L version $version")
     require(w.toLong * h <= 64L * 1024 * 1024,
       s"media $id: ${w}x$h exceeds the 64 MP decode guard")
+    WebpImage(w, h, alpha, lossless = true, level0(r, w, h, id))
+  }
 
+  /** An ALPH chunk's alpha plane: a HEADERLESS level-0 VP8L stream of
+    * the frame's dimensions whose green channel carries alpha, then
+    * the chunk's pre-filter inverted row-wise (horizontal/vertical/
+    * gradient, PNG-style). Compression method 0 is the raw plane.
+    */
+  private def decodeAlpha(id: Long, chunk: Array[Byte], w: Int,
+      h: Int): Array[Byte] = {
+    require(chunk.length >= 1, s"media $id: empty ALPH chunk")
+    val hdr = chunk(0) & 0xff
+    val filter = (hdr >> 2) & 3
+    val method = hdr & 3
+    require(method <= 1, s"media $id: reserved ALPH compression $method")
+    val raw = new Array[Byte](w * h)
+    if (method == 0) {
+      require(chunk.length >= 1 + w * h, s"media $id: short raw ALPH plane")
+      System.arraycopy(chunk, 1, raw, 0, w * h)
+    } else {
+      val payload = java.util.Arrays.copyOfRange(chunk, 1, chunk.length)
+      val px = level0(new Reader(payload, 0L, id), w, h, id)
+      var i = 0
+      while (i < px.length) { raw(i) = ((px(i) >> 8) & 0xff).toByte; i += 1 }
+    }
+    if (filter != 0) { // invert the pre-filter in place, row-major
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          val left = if (x > 0) raw(i - 1) & 0xff else if (y > 0) raw(i - w) & 0xff else 0
+          val top = if (y > 0) raw(i - w) & 0xff else left
+          val tl = if (x > 0 && y > 0) raw(i - w - 1) & 0xff else left
+          val pred = filter match {
+            case 1 => left
+            case 2 => top
+            case _ =>
+              val g = left + top - tl
+              if (g < 0) 0 else if (g > 255) 255 else g
+          }
+          raw(i) = ((raw(i) & 0xff) + pred).toByte
+          x += 1
+        }
+        y += 1
+      }
+    }
+    raw
+  }
+
+  /** The level-0 (transform-carrying) VP8L image stream at known
+    * dimensions — shared by the headered still path and headerless
+    * ALPH alpha planes.
+    */
+  private def level0(r: Reader, w: Int, h: Int, id: Long): Array[Int] = {
     // ---- transforms (top level only; color-indexing shrinks xsize)
     var xsize = w
     var transforms = List.empty[Transform]
@@ -428,7 +506,7 @@ object WebpCodec {
       case Predictor(bits, img, tx) => invPredictor(px, tx, h, bits, img, id)
     }
     require(xsize == w, s"media $id: transform size bookkeeping broke")
-    WebpImage(w, h, alpha, lossless = true, px)
+    px
   }
 
   /** Entropy-coded image (transform data / entropy image / palette):

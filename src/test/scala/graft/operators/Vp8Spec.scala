@@ -129,6 +129,41 @@ class Vp8Spec extends graft.SparkSpec {
     assert(h1 === h2)
   }
 
+  test("ALPH alpha planes decode exactly (VP8L-compressed, raw, filtered)") {
+    assume(python.isDefined, "python3 + libwebp.so.7 not available")
+    val rnd = new scala.util.Random(777)
+    def rgbaAlpha(w: Int, h: Int, kind: Int): Array[Byte] =
+      Array.tabulate(w * h * 4) { i =>
+        val p = i / 4
+        (i % 4 match {
+          case 3 => kind match {
+            case 0 => (p % w) * 255 / math.max(1, w - 1) // smooth ramp
+            case 1 => rnd.nextInt(256) // noise alpha
+            case _ => if ((p % w / 8 + p / w / 8) % 2 == 0) 64 else 255 // blocky
+          }
+          case c => (p * 3 + c * 7) & 0xff
+        }).toByte
+      }
+    // (content kind, alpha_compression, alpha_filtering)
+    for ((kind, ac, af) <- Seq((0, 1, 1), (1, 1, 1), (2, 1, 1),
+      (0, 0, 1), (1, 0, 2), (0, 1, 3), (2, 1, 2))) {
+      val w = 40; val h = 32
+      val rgba = rgbaAlpha(w, h, kind)
+      val enc = hex(run(rgba, "encode-vp8", w.toString, h.toString, "75",
+        "0", "1", "0", ac.toString, af.toString))
+      // libwebp's RGBA alpha channel is the ground truth (alpha is
+      // coded losslessly, so it must match OUR plane byte-for-byte)
+      val refAlpha = {
+        val parts = run(enc, "decode").split(" ")
+        hex(parts(2)).grouped(4).map(_(3)).toArray
+      }
+      val img = WebpCodec.decode(11L, enc)
+      assert(img.hasAlpha, s"kind=$kind ac=$ac af=$af hasAlpha")
+      val mine = img.pixels.map(p => ((p >>> 24) & 0xff).toByte)
+      assert(mine.toSeq === refAlpha.toSeq, s"kind=$kind ac=$ac af=$af alpha")
+    }
+  }
+
   test("lossy frames composite inside animations") {
     // hand-wrap the pinned 16x16 lossy fixture (tone blocks 40/200) as
     // an ANMF frame over a 32x16 lossless base canvas

@@ -198,6 +198,10 @@ if __name__ == "__main__":
         st.pack_into('<i', cfg, 32, fstr)        # filter_strength
         st.pack_into('<i', cfg, 44, 0)           # autofilter off
         st.pack_into('<i', cfg, 72, plog)        # partitions
+        if len(sys.argv) > 8:                    # alpha_compression
+            st.pack_into('<i', cfg, 48, int(sys.argv[8]))
+        if len(sys.argv) > 9:                    # alpha_filtering
+            st.pack_into('<i', cfg, 52, int(sys.argv[9]))
         pic = ctypes.create_string_buffer(512)
         assert lib.WebPPictureInitInternal(pic, ABI) == 1
         st.pack_into('<i', pic, 0, 1)            # use_argb
