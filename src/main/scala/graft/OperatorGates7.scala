@@ -382,6 +382,12 @@ object OperatorGates7 {
       // stage's owning context (per-nation attach/remove was racy).
       val listener = new JobGroupIssueListener(repo)
       s.sparkContext.addSparkListener(listener)
+      // the planted failures below log an ERROR stack + "aborting job"
+      // per even nation; silence them for the gate's duration so a REAL
+      // failure elsewhere in a bench run stands out in the log tail
+      val priorLevel = org.apache.logging.log4j.LogManager.getRootLogger
+        .getLevel.toString
+      s.sparkContext.setLogLevel("FATAL")
       try {
         nations.foreach { case (k, name) =>
           val ctx = contextIdForJob("gate", name, "2", "task")
@@ -403,7 +409,10 @@ object OperatorGates7 {
             }
           } finally s.sparkContext.clearJobGroup()
         }
-      } finally s.sparkContext.removeSparkListener(listener)
+      } finally {
+        s.sparkContext.setLogLevel(priorLevel)
+        s.sparkContext.removeSparkListener(listener)
+      }
       Troubleshooter.toDf(s, repo)
         .select(col("context"), col("ord"), col("code"), col("severity"),
           col("exception_class"))

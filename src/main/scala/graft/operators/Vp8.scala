@@ -18,8 +18,8 @@ package graft.operators
   * a DISPLAY concern the spec leaves open, so interop pins the YUV
   * planes byte-for-byte against the system libwebp's WebPDecodeYUV
   * (Vp8Spec) and the repo's own deterministic YUV→RGB (BT.601
-  * full-range integer form, documented in [[toRgb]]) feeds hashing
-  * and stats. Constant tables ride [[Vp8Tables]] (extracted from
+  * limited/studio-range integer form, documented in [[toRgb]]) feeds
+  * hashing and stats. Constant tables ride [[Vp8Tables]] (extracted from
   * libwebp's rodata, fuzz-verified).
   *
   * Scale contract: executor-local per-payload decode, same as
@@ -37,13 +37,23 @@ object Vp8 {
   // ------------------------------------------------- boolean decoder
 
   private final class Bool(b: Array[Byte], start: Int, end: Int, id: Long) {
-    require(end - start >= 2 && end <= b.length,
-      s"media $id: VP8 partition too short")
-    private var pos = start + 2
+    require(start >= 0 && end >= start && end <= b.length,
+      s"media $id: VP8 partition bounds invalid")
+    private var pos = start
     private var range = 255
-    private var value = ((b(start) & 0xff) << 8) | (b(start + 1) & 0xff)
     private var bitCount = 0
     private var overrun = 0
+    // A spec-valid stream can carry 0/1-byte token partitions (e.g. more
+    // partitions than MB rows, or rows whose MBs all skip); libwebp pads
+    // such partitions with virtual zero bytes, so the initial 16-bit fill
+    // must tolerate a short buffer instead of rejecting it.
+    private var value = {
+      val hi = if (pos < end) b(pos) & 0xff else 0
+      pos += 1
+      val lo = if (pos < end) b(pos) & 0xff else 0
+      pos += 1
+      (hi << 8) | lo
+    }
 
     def bool(prob: Int): Int = {
       val split = 1 + (((range - 1) * prob) >> 8)

@@ -355,8 +355,8 @@ object WebpCodec {
     if (tag == "VP8 ") {
       // lossy VP8 keyframe: full RFC 6386 intra decode ([[Vp8]],
       // libwebp-interop-pinned on the YUV planes), converted to RGB
-      // via the repo's documented BT.601 form. An accompanying ALPH
-      // chunk (lossy-with-alpha) is not decoded — pixels are opaque.
+      // via the repo's documented BT.601 form; an accompanying ALPH
+      // chunk (lossy-with-alpha) is decoded below into the alpha byte.
       val yuv = Vp8.decode(id, payload)
       val rgb = Vp8.toRgb(yuv)
       // an ALPH chunk carries the (lossless) alpha plane of a lossy
@@ -942,6 +942,7 @@ object WebpCodec {
     var loop = 0
     var animSeen = false
     var canvas: Array[Int] = null
+    var totalPx = 0L
     val frames = Seq.newBuilder[AnimFrame]
     while (o + 8 <= b.length) {
       val tag = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
@@ -968,6 +969,14 @@ object WebpCodec {
         case "ANMF" =>
           require(animSeen, s"media $id: ANMF frame before the ANIM chunk")
           require(sz >= 16, s"media $id: short ANMF header")
+          // each composited frame clones the full canvas, so the budget
+          // is frames * canvas pixels — bound it like the 64 MP per-image
+          // guard or an adversarial many-tiny-frame file allocates
+          // unboundedly before any loud failure
+          totalPx += canvasW.toLong * canvasH
+          require(totalPx <= 256L * 1024 * 1024,
+            s"media $id: animation exceeds the 256 MP cumulative " +
+              s"decode guard (${canvasW}x$canvasH canvas)")
           val fx = u24le(b, o + 8) * 2
           val fy = u24le(b, o + 11) * 2
           val fw = u24le(b, o + 14) + 1

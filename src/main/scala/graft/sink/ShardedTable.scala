@@ -92,12 +92,18 @@ final class ShardedTable(root: String, partCol: String,
     * to be walked for types. Internal keys (`base:`/`chain:`/`del:`)
     * are stripped from the result.
     */
-  private def resolved(v: Long): Map[String, String] = {
+  private def resolved(v: Long, depth: Int = 0): Map[String, String] = {
+    // ChainLimit is enforced at write time, so a longer chain (or a
+    // base cycle) only arises from a corrupted/hand-edited manifest —
+    // fail loudly instead of recursing unboundedly
+    require(depth <= ChainLimit + 1,
+      s"manifest base chain of $root exceeds ChainLimit=$ChainLimit at " +
+        s"version $v — corrupted or hand-edited manifest (cycle?)")
     val raw = rawRecord(v)
     raw.get("base:") match {
       case None => raw
       case Some(b) =>
-        val base = resolved(b.toLong)
+        val base = resolved(b.toLong, depth + 1)
         val masked = raw.keysIterator
           .collect { case k if k.startsWith("del:") => k.stripPrefix("del:") }
           .toSet
@@ -258,7 +264,7 @@ final class ShardedTable(root: String, partCol: String,
       case _ =>
         // full record: carry untouched partitions' dirs and stats
         // from the RESOLVED previous manifest (compaction point)
-        val carried = prev.map(resolved).getOrElse(Map.empty)
+        val carried = prev.map(v => resolved(v)).getOrElse(Map.empty)
           .filter { case (k, _) =>
             partOf(k).map(!touchedSet.contains(_))
               .getOrElse(k.startsWith("ztyp:") && !zoneEntries.contains(k))

@@ -81,7 +81,13 @@ class Vp8Spec extends graft.SparkSpec {
       (96, 96, blocky(96, 96), 40, 100, 1, 0),
       (48, 80, gradient(48, 80), 85, 30, 1, 0),
       (200, 150, blocky(200, 150), 60, 60, 4, 1),
-      (144, 112, noise(144, 112), 20, 80, 4, 2))
+      (144, 112, noise(144, 112), 20, 80, 4, 2),
+      // more token partitions than MB rows: a 1-row image with 8/4
+      // partitions leaves 7/3 of them 0-byte — spec-valid streams the
+      // boolean decoder must pad with virtual zero bytes, not reject
+      (16, 16, noise(16, 16), 75, 0, 1, 3),
+      (48, 16, gradient(48, 16), 75, 0, 1, 2),
+      (64, 32, blocky(64, 32), 75, 30, 1, 3))
     for ((w, h, rgba, q, fs, segs, pl) <- cases) {
       val enc = encodeVp8(w, h, rgba, q, fs, segs, pl)
       val (rw, rh, ry, ru, rv) = libwebpYuv(enc)
