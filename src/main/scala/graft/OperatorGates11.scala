@@ -166,18 +166,20 @@ object OperatorGates11 {
   }
 
   /** The same 64x48 gray constant-block content serialized as PNG /
-    * GIF / JPEG-q100 / BMP / WebP-VP8L — every format's decode must
-    * land on the identical top-down pixels (JPEG is exact in the q100
-    * constant-block regime; the others are lossless). The format index
-    * (k%5 + k/5) % 5 varies WITHIN each content group g = k%5, so
-    * near-dup pairs genuinely cross formats; the oracle needs no
-    * format knowledge because every decode is pixel-exact.
+    * GIF / JPEG-q100 / BMP / WebP-VP8L / EXIF-rotated JPEG — every
+    * format's decode must land on the identical top-down pixels (JPEG
+    * is exact in the q100 constant-block regime; the others are
+    * lossless; the rotated JPEG stores the pixels 90°-CCW-turned with
+    * Orientation=6, which decodeNormalized must rotate back). The
+    * format index (k%6 + k/6) % 6 varies WITHIN each content group
+    * g = k%5, so near-dup pairs genuinely cross formats; the oracle
+    * needs no format knowledge because every decode is pixel-exact.
     */
   private[graft] def synthCrossformat(d: Long): Array[Byte] = {
     import graft.operators.{GifCodec, JpegCodec, PngCodec, WebpCodec}
     def v(x: Int, y: Int): Int = crossValue(d, x / 16, y / 16)
     val k = d / 25
-    ((k % 5 + k / 5) % 5).toInt match {
+    ((k % 6 + k / 6) % 6).toInt match {
       case 0 => // PNG, 1-channel gray
         val px = new Array[Byte](64 * 48)
         var i = 0
@@ -208,7 +210,7 @@ object OperatorGates11 {
           val pix = i / 3
           v(pix % 64, 47 - pix / 64) // file row y is image row 47-y
         })
-      case _ => // WebP VP8L (gray replicated to RGB; lossless)
+      case 4 => // WebP VP8L (gray replicated to RGB; lossless)
         val rgb = new Array[Byte](64 * 48 * 3)
         var i = 0
         while (i < 64 * 48) {
@@ -217,6 +219,20 @@ object OperatorGates11 {
           i += 1
         }
         WebpCodec.encodeLossless(64, 48, 3, rgb)
+      case _ => // JPEG q100 stored 90°-CCW-rotated + EXIF Orientation=6
+        val rgb = new Array[Byte](64 * 48 * 3)
+        var i = 0
+        while (i < 64 * 48) {
+          val b = v(i % 64, i / 64).toByte
+          rgb(i * 3) = b; rgb(i * 3 + 1) = b; rgb(i * 3 + 2) = b
+          i += 1
+        }
+        val upright = JpegCodec.DecodedImage(64, 48, 3, rgb)
+        val stored = graft.operators.Multimodal.applyOrientation(upright, 8)
+        JpegCodec.withExifOrientation(
+          JpegCodec.encodeRgb(stored.width, stored.height, stored.pixels,
+            quality = 100, subsample = true),
+          orientation = 6, bigEndian = d % 2 == 0)
     }
   }
 

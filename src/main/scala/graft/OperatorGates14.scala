@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-12 tier: EXIF orientation normalization for perceptual
+  * dedup (real web JPEGs carry Orientation 2-8; a rotated duplicate
+  * must hash identically to its upright copy — the reference's
+  * dedup tier has no answer to this, see
+  * gobblin-data-management/.../CopyableFile.java for the byte-level
+  * fingerprints it stops at), and the round's corpus-payload gates.
+  */
+object OperatorGates14 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Block value of the EXIF fixture's UPRIGHT image — keyed by
+    * content group g = (d/25) % 5 so ids sharing g are true
+    * duplicates stored under different orientations. The oracle
+    * restates it (orientation-independent: that is the point).
+    */
+  private def exifValue(d: Long, bx: Int, by: Int): Int = {
+    val g = (d / 25) % 5
+    (16 + (g * 47 + bx * 31 + by * 67) % 224).toInt
+  }
+
+  /** A 64x48 constant-block gray image (JPEG-q100-exact regime)
+    * PHYSICALLY transformed by the inverse of orientation
+    * o = 1 + (d/25) % 8 and tagged with EXIF Orientation o — so the
+    * upright decode is the SAME base image for every member of the
+    * group. Byte order alternates II/MM; the o=1 odd ids carry no
+    * APP1 at all (the no-Exif default path).
+    */
+  private[graft] def synthExifJpeg(d: Long): Array[Byte] = {
+    import graft.operators.{JpegCodec, Multimodal}
+    val k = d / 25
+    val o = (1 + k % 8).toInt
+    val inv = o match { case 6 => 8; case 8 => 6; case x => x }
+    val rgb = new Array[Byte](64 * 48 * 3)
+    var i = 0
+    while (i < 64 * 48) {
+      val b = exifValue(d, (i % 64) / 16, (i / 64) / 16).toByte
+      rgb(i * 3) = b; rgb(i * 3 + 1) = b; rgb(i * 3 + 2) = b
+      i += 1
+    }
+    val upright = JpegCodec.DecodedImage(64, 48, 3, rgb)
+    val stored = Multimodal.applyOrientation(upright, inv)
+    val enc = JpegCodec.encodeRgb(stored.width, stored.height,
+      stored.pixels, quality = 100, subsample = true)
+    if (o == 1 && k % 2 == 1) enc // no APP1: the missing-Exif default
+    else JpegCodec.withExifOrientation(enc, o, bigEndian = k % 2 == 0)
+  }
+
+  /** Normalize a doc's text to the single-space form both the PDF
+    * writer and the oracle use.
+    */
+  private def normText(c: org.apache.spark.sql.Column) =
+    trim(regexp_replace(coalesce(c, lit("")), "\\s+", " "))
+
+  def queries14: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- PDF text extraction (PdfText over PdfCodec): each doc's text
+    //     is typeset into a REAL PDF — variant doc%3 rotates classic
+    //     xref / Flate+Differences+TJ-kern / xref-stream+ObjStm+Type0
+    //     structures, 8 words per line, 6 lines per page — and the
+    //     extractor must recover the text exactly (line/page breaks
+    //     map back to the spaces they replaced). The oracle replays
+    //     the page arithmetic and asserts the round-trip against the
+    //     source column; real-world interop is pinned by PdfSpec's
+    //     system-PDF fixtures -------------------------------------
+    "q_pdf_extract" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Multimodal, PdfWriter}
+      val media = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(5)) === 0 && col("doc_id") < 500)
+        .select(col("doc_id"), normText(col("text")).as("t"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, txt) =>
+          (id, PdfWriter.write(id,
+            PdfWriter.layout(txt, perLine = 8, linesPerPage = 6),
+            (id % 3).toInt))
+        })
+        .toDF("media_id", "content")
+      Multimodal.extractPdfText(media).toDF()
+        .select(col("media_id"), col("n_pages"), col("n_chars"),
+          regexp_replace(col("text"), "\n", " ").as("text"))
+        .orderBy(col("media_id"))
+    }),
+
+    // --- crawl chain with MIXED payloads: WARC files carry HTML for
+    //     even docs and real PDFs for odd docs; the pipeline sniffs
+    //     each payload's magic bytes (never trusting Content-Type),
+    //     routes PDFs through PdfText and HTML through stripHtml, and
+    //     the shared token stats come out identical either way. The
+    //     oracle replays both branches from the source column --------
+    "q_crawl_pdf" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Text
+      import graft.operators.{Multimodal, PdfText, PdfWriter, WarcCodec}
+      val files = t(s, dir, "documents")
+        .filter(col("doc_id") < 250)
+        .select(col("doc_id"), normText(col("text")).as("t"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 5)
+        .mapGroups { (fid, docs) =>
+          val pages = docs.toSeq.sortBy(_._1).map { case (id, txt) =>
+            val payload =
+              if (id % 2 == 0)
+                s"<html>$txt</html>".getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)
+              else PdfWriter.write(id,
+                PdfWriter.layout(txt, perLine = 8, linesPerPage = 6),
+                (id % 3).toInt)
+            (s"https://example.com/doc/$id", payload)
+          }
+          (fid, WarcCodec.writeResponses(pages, gzipPerRecord = fid % 2 == 1))
+        }
+        .toDF("media_id", "content")
+      val recs = WarcCodec.binaryRecords(files).toDF()
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          col("payload"))
+      val dispatched = recs.as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, p) =>
+          Multimodal.sniffModality(p) match {
+            case "application/pdf" =>
+              (id, "application/pdf",
+                PdfText.extract(id, p).text.replace('\n', ' '))
+            case _ =>
+              (id, "text/html",
+                new String(p, java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }).toDF("doc_id", "modality", "raw")
+      dispatched
+        .select(col("doc_id"), col("modality"),
+          when(col("modality") === "text/html",
+            Text.stripHtml(col("raw"))).otherwise(col("raw")).as("clean"))
+        .select(col("doc_id"), col("modality"),
+          Text.tokenCount(col("clean")).cast("long").as("n_tokens"),
+          length(col("clean")).cast("long").as("clean_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- EXIF orientation normalization: JPEGs stored under all 8
+    //     EXIF orientations (pixels physically counter-transformed,
+    //     APP1 spliced in both TIFF byte orders, o=1 sometimes with
+    //     no Exif at all) must decode through aHashAuto to the SAME
+    //     upright hash — rotated duplicates stop defeating perceptual
+    //     dedup. The oracle replays the UPRIGHT image's hash from the
+    //     block formula, which no orientation may perturb ------------
+    "q_exif_orient" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{JpegCodec, Multimodal}
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map(id => (id, synthExifJpeg(id))))
+        .toDF("media_id", "content")
+      // the planted orientation read back from the real APP1 bytes —
+      // proves the splice/parse round-trip in BOTH byte orders — and
+      // the hash through the shared normalized decode
+      val withO = media.as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, c) =>
+          (id, JpegCodec.exifOrientation(id, c).toLong)
+        }).toDF("media_id", "exif_orientation")
+      val hashes = Multimodal.aHashAuto(media).toDF()
+      withO.join(hashes, "media_id")
+        .select(col("media_id"), col("exif_orientation"), col("modality"),
+          lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  def oracleSql14: Map[String, String] = Map(
+
+    "q_pdf_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 500)
+        |SELECT doc_id AS media_id,
+        |  CAST(ceil(ceil(len(string_split(t, ' ')) / 8.0) / 6.0) AS BIGINT)
+        |    AS n_pages,
+        |  CAST(len(t) AS BIGINT) AS n_chars,
+        |  t AS text
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    "q_crawl_pdf" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id < 250)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+        |       ELSE 'application/pdf' END AS modality,
+        |  CAST(len(list_filter(string_split(t, ' '),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  CAST(len(t) AS BIGINT) AS clean_chars
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_exif_orient" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, (doc_id // 25) % 5 AS g,
+        |    1 + (doc_id // 25) % 8 AS o
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |lum AS (
+        |  SELECT doc_id, o, list_transform(range(0, 64), j ->
+        |    3 * (16 + (g * 47 + ((j % 8) // 2) * 31
+        |         + ((6 * (j // 8)) // 16) * 67) % 224)) AS lum
+        |  FROM imgs)
+        |SELECT doc_id AS media_id, CAST(o AS BIGINT) AS exif_orientation,
+        |  'image/jpeg' AS modality,
+        |  array_to_string(list_transform(range(63, -1, -1), j ->
+        |    CASE WHEN 64 * lum[j + 1] > list_sum(lum) THEN 1 ELSE 0 END), '')
+        |    AS ahash_bits
+        |FROM lum ORDER BY media_id""".stripMargin
+  )
+}

@@ -1122,4 +1122,120 @@ object JpegCodec {
     marker(0xd9) // EOI
     out.toByteArray
   }
+
+  // ----------------------------------------------------------- EXIF
+
+  /** The EXIF Orientation (TIFF tag 0x0112) of a JPEG, or 1 when the
+    * file carries no APP1/Exif segment or no Orientation entry — the
+    * "as stored" default. Real web JPEGs carry values 2-8 (camera
+    * rotations/mirrors); perceptual dedup must normalize them or a
+    * rotated duplicate defeats the hash ([[Multimodal.decodeNormalized]]
+    * applies the transform). The walk is marker-level only (no entropy
+    * decode): SOI, then length-prefixed segments until SOS/EOI; inside
+    * APP1 "Exif\0\0" the TIFF header (II/MM byte order, magic 42,
+    * IFD0 offset) and IFD0's 12-byte entries are scanned for tag
+    * 0x0112 type SHORT. A malformed Exif payload fails loudly
+    * (id-tagged) like every codec path; a missing one is simply 1.
+    */
+  def exifOrientation(id: Long, bytes: Array[Byte]): Int = {
+    require(bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, s"media $id: not a JPEG (no SOI)")
+    var pos = 2
+    while (pos + 4 <= bytes.length) {
+      require((bytes(pos) & 0xff) == 0xff,
+        f"media $id: expected marker at $pos in EXIF walk")
+      while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff)
+        pos += 1 // fill bytes
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xda || marker == 0xd9) return 1 // SOS/EOI: no Exif seen
+      val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      require(len >= 2 && pos + 2 + len <= bytes.length,
+        s"media $id: segment $marker overruns the file in EXIF walk")
+      if (marker == 0xe1 && len >= 2 + 6 + 8 &&
+          bytes(pos + 4) == 'E' && bytes(pos + 5) == 'x' &&
+          bytes(pos + 6) == 'i' && bytes(pos + 7) == 'f' &&
+          bytes(pos + 8) == 0 && bytes(pos + 9) == 0) {
+        val tiff = pos + 10 // TIFF header origin (offsets are relative to it)
+        val end = pos + 2 + len
+        val b0 = bytes(tiff) & 0xff
+        val b1 = bytes(tiff + 1) & 0xff
+        val little =
+          if (b0 == 'I' && b1 == 'I') true
+          else if (b0 == 'M' && b1 == 'M') false
+          else throw new IllegalArgumentException(
+            s"media $id: bad TIFF byte-order mark in Exif")
+        def u16At(o: Int): Int = {
+          require(o + 2 <= end, s"media $id: Exif TIFF read past segment")
+          if (little) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+          else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+        }
+        def u32At(o: Int): Long = {
+          require(o + 4 <= end, s"media $id: Exif TIFF read past segment")
+          if (little) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+            ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+          else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+            ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+        }
+        require(u16At(tiff + 2) == 42, s"media $id: bad TIFF magic in Exif")
+        val ifd0 = u32At(tiff + 4)
+        require(ifd0 >= 8 && tiff + ifd0 + 2 <= end,
+          s"media $id: Exif IFD0 offset outside segment")
+        val entryBase = tiff + ifd0.toInt
+        val n = u16At(entryBase)
+        var i = 0
+        while (i < n) {
+          val e = entryBase + 2 + i * 12
+          if (u16At(e) == 0x0112 && u16At(e + 2) == 3 && u32At(e + 4) == 1L) {
+            val v = u16At(e + 8) // SHORT fits inline, byte-order applies
+            require(v >= 1 && v <= 8,
+              s"media $id: Exif Orientation $v outside 1..8")
+            return v
+          }
+          i += 1
+        }
+        return 1 // Exif present, no Orientation entry
+      }
+      pos += 2 + len
+    }
+    1
+  }
+
+  /** Splice an APP1/Exif segment carrying only the Orientation tag
+    * right after SOI (writers put APP1 first; readers only need it
+    * before SOS). `bigEndian` picks the TIFF byte order — both are
+    * legal in the wild and [[exifOrientation]] must read both.
+    */
+  def withExifOrientation(jpeg: Array[Byte], orientation: Int,
+      bigEndian: Boolean = false): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8,
+      s"Exif orientation $orientation outside 1..8")
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+    val tiff = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit =
+      if (bigEndian) { tiff.write(v >> 8); tiff.write(v & 0xff) }
+      else { tiff.write(v & 0xff); tiff.write(v >> 8) }
+    def u32(v: Int): Unit =
+      if (bigEndian) { u16(v >>> 16); u16(v & 0xffff) }
+      else { u16(v & 0xffff); u16(v >>> 16) }
+    tiff.write(if (bigEndian) 'M' else 'I')
+    tiff.write(if (bigEndian) 'M' else 'I')
+    u16(42); u32(8) // magic + IFD0 at offset 8
+    u16(1) // one entry
+    u16(0x0112); u16(3); u32(1); u16(orientation); u16(0) // tag/SHORT/count/value+pad
+    u32(0) // next-IFD pointer: none
+    val t = tiff.toByteArray
+    val seg = new java.io.ByteArrayOutputStream()
+    seg.write(0xff); seg.write(0xe1)
+    val len = 2 + 6 + t.length
+    seg.write(len >> 8); seg.write(len & 0xff)
+    "Exif".foreach(c => seg.write(c)); seg.write(0); seg.write(0)
+    seg.write(t, 0, t.length)
+    val s = seg.toByteArray
+    val out = new Array[Byte](jpeg.length + s.length)
+    out(0) = jpeg(0); out(1) = jpeg(1)
+    System.arraycopy(s, 0, out, 2, s.length)
+    System.arraycopy(jpeg, 2, out, 2 + s.length, jpeg.length - 2)
+    out
+  }
 }

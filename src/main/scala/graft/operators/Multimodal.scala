@@ -701,6 +701,56 @@ object Multimodal {
     * composited frame). The normalization every cross-format image
     * op builds on.
     */
+  /** Apply an EXIF Orientation (TIFF tag 0x0112 value 1-8) to a
+    * decoded image, producing the UPRIGHT pixels: 1 identity,
+    * 2 mirror-H, 3 rotate-180, 4 mirror-V, 5 transpose,
+    * 6 rotate-90-CW, 7 transverse, 8 rotate-90-CCW (5-8 swap dims).
+    * The value names where the stored row 0 / column 0 sit in the
+    * scene; this is the display transform that puts them back.
+    */
+  private[graft] def applyOrientation(img: JpegCodec.DecodedImage,
+      o: Int): JpegCodec.DecodedImage = {
+    if (o == 1) return img
+    val w = img.width; val h = img.height; val ch = img.channels
+    val swap = o >= 5
+    val ow = if (swap) h else w
+    val oh = if (swap) w else h
+    val out = new Array[Byte](img.pixels.length)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        // (sx, sy) = stored pixel shown at upright (x, y)
+        val sx = o match {
+          case 2 => w - 1 - x
+          case 3 => w - 1 - x
+          case 4 => x
+          case 5 => y
+          case 6 => y
+          case 7 => w - 1 - y
+          case _ => w - 1 - y // 8
+        }
+        val sy = o match {
+          case 2 => y
+          case 3 => h - 1 - y
+          case 4 => h - 1 - y
+          case 5 => x
+          case 6 => h - 1 - x
+          case 7 => h - 1 - x
+          case _ => x // 8
+        }
+        var k = 0
+        while (k < ch) {
+          out((y * ow + x) * ch + k) = img.pixels((sy * w + sx) * ch + k)
+          k += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    JpegCodec.DecodedImage(ow, oh, ch, out)
+  }
+
   private[operators] def decodeNormalized(id: Long,
       c: Array[Byte]): (String, JpegCodec.DecodedImage) = {
     require(c != null, s"media $id: null content")
@@ -725,7 +775,12 @@ object Multimodal {
         JpegCodec.DecodedImage(meta.width, meta.height, 3, out)
       case "image/png" => PngCodec.toDecodedImage(PngCodec.decode(id, c))
       case "image/gif" => GifCodec.toDecodedImage(GifCodec.decode(id, c))
-      case "image/jpeg" => JpegCodec.decode(id, c)
+      case "image/jpeg" =>
+        // real web JPEGs carry EXIF Orientation 2-8; normalize to the
+        // upright pixels here (the shared seam, same argument as the
+        // BMP bottom-up flip) or a rotated duplicate defeats the hash
+        applyOrientation(JpegCodec.decode(id, c),
+          JpegCodec.exifOrientation(id, c))
       case "image/webp" | "image/webp-lossy" =>
         WebpCodec.toDecodedImage(WebpCodec.decode(id, c))
       case "image/webp-anim" => // first composited frame, like GIF
@@ -794,6 +849,30 @@ object Multimodal {
         ResizedImage(id, m, re.width, re.height,
           if (re.pixels.length == 0) 0.0 else sum.toDouble / re.pixels.length,
           MjpegVideo.aHashDecoded(re), out)
+      })
+  }
+
+  final case class PdfTextRow(
+      media_id: Long, n_pages: Long, n_chars: Long, text: String)
+
+  /** PDF text extraction over a binary column — executor-local
+    * [[PdfText.extract]] per payload (xref/ObjStm walk, filter chain,
+    * content-stream interpret, font decode), pages joined with '\n'.
+    * The crawl-curation seam for the PDF half of a web corpus: route
+    * [[sniffModality]] == "application/pdf" payloads here, HTML
+    * through Text.stripHtml, then share the downstream dedup/quality
+    * chain. Loud id-tagged failures on structural corruption and
+    * /Encrypt; unmapped glyphs surface as U+FFFD for quality scoring.
+    */
+  def extractPdfText(media: DataFrame): Dataset[PdfTextRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) =>
+        val t = PdfText.extract(id, c)
+        val txt = t.text
+        PdfTextRow(id, t.nPages.toLong, txt.length.toLong, txt)
       })
   }
 
@@ -921,6 +1000,9 @@ object Multimodal {
     else if (bytes.length >= 5 && bytes(0) == 'W' && bytes(1) == 'A' &&
       bytes(2) == 'R' && bytes(3) == 'C' && bytes(4) == '/')
       "application/warc"
+    else if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+      bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-')
+      "application/pdf"
     else if (graft.functions.ZstdBytes.isZstd(bytes)) "application/zstd"
     else "unknown"
 
@@ -1005,6 +1087,11 @@ object Multimodal {
             while (i < px.length) { sum += (px(i) & 0xff); i += 1 }
             MediaAuto(id, m, img.nFrames.toLong,
               if (px.length == 0) 0.0 else sum.toDouble / px.length)
+          case m @ "application/pdf" =>
+            // document probe: n_units = extracted characters,
+            // mean_val = page count (text metrics, not byte stats)
+            val t = PdfText.extract(id, bytes)
+            MediaAuto(id, m, t.text.length.toLong, t.nPages.toDouble)
           case m @ ("application/zip" | "application/x-tar" |
                     "application/warc") =>
             // archive probe: member/record count + mean payload byte
