@@ -262,4 +262,27 @@ object WarcCodec {
       media_id: Long, record_no: Int, warc_type: String, target_uri: String,
       content_type: String, content_length: Long, http_status: Int,
       payload_bytes: Long, payload_text: String)
+
+  final case class WarcBinRow(
+      media_id: Long, record_no: Int, warc_type: String, target_uri: String,
+      content_type: String, http_status: Int, payload: Array[Byte])
+
+  /** Like [[records]] but with the RAW payload bytes — the seam for
+    * the non-text payloads a real crawl carries (PDFs, images),
+    * dispatched downstream by [[Multimodal.sniffModality]] rather
+    * than by the HTTP Content-Type header (which the wild often gets
+    * wrong). Per-partition decode, nothing on the driver.
+    */
+  def binaryRecords(media: DataFrame): Dataset[WarcBinRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        parse(id, c).iterator.zipWithIndex.map { case (r, i) =>
+          WarcBinRow(id, i, r.warcType, r.targetUri, r.contentType,
+            r.httpStatus, r.payload)
+        }
+      })
+  }
 }

@@ -200,7 +200,22 @@ object AvroFiles {
     * the usual Avro evolution contract. Record decoding runs on
     * executors, one task per file batch.
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, path: String): DataFrame =
+    read(spark, path, readerSchemaJson = None)
+
+  /** Read with an explicit READER schema: every file's writer schema
+    * is resolved against it per the Avro spec (missing fields fill
+    * their defaults, int→long / float→double promotions apply, extra
+    * writer fields are skipped) — so a directory holding files from
+    * two schema epochs comes back as ONE frame under the new schema,
+    * the reference's schema-evolution contract
+    * (gobblin-core/.../converter/avro/AvroSchemaFieldRemover and the
+    * AvroHdfsDataWriter's reader-schema resolution). `None` keeps the
+    * newest file's schema as the reader schema (files written by an
+    * OLDER version resolve forward to it).
+    */
+  def read(spark: SparkSession, path: String,
+      readerSchemaJson: Option[String]): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
@@ -209,7 +224,7 @@ object AvroFiles {
     require(statuses.nonEmpty, s"no .avro files under $path")
     val files = statuses.map(_.getPath.toString).sorted
     val newest = statuses.maxBy(s => (s.getModificationTime, s.getPath.toString)).getPath
-    val schemaJson = {
+    val schemaJson = readerSchemaJson.getOrElse {
       val in = fs.open(newest)
       try new DataFileStream(in, new GenericDatumReader[GenericRecord]()).getSchema.toString
       finally in.close()
