@@ -143,6 +143,69 @@ object OperatorGates14 {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Iceberg v2 FORMAT interop: two native commits mirrored as
+    //     real Iceberg snapshots (metadata.json + Avro manifest list
+    //     + per-partition manifests, spec-pinned in IcebergMetaSpec),
+    //     then read back THROUGH THE ICEBERG METADATA ONLY — current
+    //     snapshot and time travel to snapshot 1 — and aggregated.
+    //     The oracle replays both epochs from the source table -------
+    "q_iceberg_meta" -> ((s, dir) => {
+      import graft.sink.{IcebergMeta, ShardedTable}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_iceberg").toString
+      val table = new ShardedTable(s"$tmp/t", "shard",
+        s.sparkContext.hadoopConfiguration)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(4)).cast("long").as("shard"))
+      // epoch 1: all four shards from docs < 200
+      val v1 = table.commit(docs.filter(col("doc_id") < 200),
+        touched = Seq("0", "1", "2", "3"))
+      IcebergMeta.mirror(s, table, v1)
+      // epoch 2: shards 0/1 rewritten with the full < 300 range
+      val v2 = table.commit(docs.filter(col("shard") < 2),
+        touched = Seq("0", "1"))
+      IcebergMeta.mirror(s, table, v2)
+      def agg(snap: Option[Long], label: Int) =
+        IcebergMeta.read(s, s"$tmp/t", snapshotId = snap)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+          .select(lit(label.toLong).as("snapshot"), col("shard"),
+            col("n"), col("sum_id"))
+      agg(Some(1L), 1).unionByName(agg(None, 2))
+        .orderBy(col("snapshot"), col("shard"))
+    }),
+
+    // --- Avro reader-schema RESOLUTION (the Avro spec's evolution
+    //     contract): epoch-1 files carry an OLD schema (no lang
+    //     column, int score, plus a junk column the new schema
+    //     dropped); epoch-2 files the NEW one. Reading BOTH under the
+    //     new reader schema must default-fill lang, promote int->long,
+    //     and skip the dropped field — one frame, one schema. The
+    //     oracle restates the resolved values from the source table --
+    "q_avro_evolution" -> ((s, dir) => {
+      import graft.sources.AvroFiles
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_avro_evo").toString
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+      val v1 = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("int").as("score"),
+          lit("dropped-by-v2").as("junk"))
+      AvroFiles.write(v1, s"$tmp/epoch1")
+      val v2 = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("score"), col("lang"))
+      AvroFiles.write(v2, s"$tmp/epoch2")
+      val readerJson = AvroFiles.avroSchema(v2.schema).toString
+      AvroFiles.read(s, s"$tmp/epoch1", Some(readerJson))
+        .unionByName(AvroFiles.read(s, s"$tmp/epoch2", Some(readerJson)))
+        .select(col("doc_id"), col("score"),
+          coalesce(col("lang"), lit("unknown")).as("lang"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- EXIF orientation normalization: JPEGs stored under all 8
     //     EXIF orientations (pixels physically counter-transformed,
     //     APP1 spliced in both TIFF byte orders, o=1 sometimes with
@@ -199,6 +262,29 @@ object OperatorGates14 {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  CAST(len(t) AS BIGINT) AS clean_chars
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_meta" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS shard FROM documents
+        |  WHERE doc_id < 300),
+        |s1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS snapshot, shard,
+        |    count(*) AS n, sum(doc_id) AS sum_id
+        |  FROM d WHERE doc_id < 200 GROUP BY shard),
+        |s2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS snapshot, shard,
+        |    count(*) AS n, sum(doc_id) AS sum_id
+        |  FROM d WHERE shard < 2 OR doc_id < 200 GROUP BY shard)
+        |SELECT snapshot, shard, CAST(n AS BIGINT) AS n,
+        |  CAST(sum_id AS BIGINT) AS sum_id
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        |ORDER BY snapshot, shard""".stripMargin,
+
+    "q_avro_evolution" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS score,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'unknown' ELSE lang END AS lang,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "q_exif_orient" ->
       """WITH imgs AS (

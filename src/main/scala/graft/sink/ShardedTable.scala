@@ -57,8 +57,8 @@ import graft.state.FsStateStore
   * Contract: partition values must render to filesystem-safe strings
   * (ints in practice — IVF list ids, doc-hash shards) and be non-null.
   */
-final class ShardedTable(root: String, partCol: String,
-    conf: Configuration = new Configuration()) {
+final class ShardedTable(val root: String, val partCol: String,
+    val conf: Configuration = new Configuration()) {
 
   private val meta = new FsStateStore(s"$root/_meta", conf)
   private def vKey(v: Long): String = f"v$v%05d"
@@ -114,6 +114,17 @@ final class ShardedTable(root: String, partCol: String,
         }
     }
   }
+
+  /** The partitions version v's own commit wrote (its delta): the
+    * raw record's p: entries — for a delta that is exactly the
+    * touched set; for a full record (first commit or compaction
+    * point) it is every partition, which is the correct answer for a
+    * mirror that has to start from scratch there anyway.
+    */
+  def touchedOf(version: Long): Set[String] =
+    rawRecord(version).keysIterator
+      .collect { case k if k.startsWith("p:") => k.stripPrefix("p:") }
+      .toSet
 
   def currentVersion: Option[Long] =
     meta.get("pointer", "current").flatMap(_.get("version")).map(_.toLong)

@@ -1,0 +1,194 @@
+package graft.sink
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+/** Iceberg v2 interop: snapshot mirroring of ShardedTable commits,
+  * round-trip through the metadata-only reader, time travel, manifest
+  * pruning, and byte-level layout pinning against the published
+  * Apache Iceberg Table Spec v2 (file names, Avro field-ids, file
+  * metadata keys, single-value bound serialization).
+  */
+class IcebergMetaSpec extends graft.SparkSpec {
+
+  private def fixture(): (ShardedTable, String) = {
+    val root = tmpDir("iceberg")
+    val t = new ShardedTable(root, "part",
+      spark.sparkContext.hadoopConfiguration)
+    (t, root)
+  }
+
+  private def df(rows: Seq[(Long, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("part", "k", "v")
+  }
+
+  test("mirrored snapshots round-trip through the metadata-only reader") {
+    val (t, root) = fixture()
+    val v1 = t.commit(df(Seq((0L, 1L, "a"), (0L, 2L, "b"), (1L, 3L, "c"),
+      (2L, 4L, "d"))), touched = Seq("0", "1", "2"))
+    IcebergMeta.mirror(spark, t, v1)
+    val v2 = t.commit(df(Seq((1L, 30L, "C"), (1L, 31L, "D"))),
+      touched = Seq("1"))
+    IcebergMeta.mirror(spark, t, v2)
+
+    def rows(d: org.apache.spark.sql.DataFrame): Seq[(Long, Long, String)] =
+      d.select(col("part"), col("k"), col("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sorted.toSeq
+
+    // current snapshot == native current
+    assert(rows(IcebergMeta.read(spark, root)) ===
+      rows(t.readCurrent(spark)))
+    // time travel to snapshot 1 == native version 1
+    assert(rows(IcebergMeta.read(spark, root, snapshotId = Some(1L))) ===
+      rows(t.read(spark, 1L)))
+    // partition pruning never opens unrelated manifests
+    assert(rows(IcebergMeta.read(spark, root,
+      partitions = Some(Seq("1")))) ===
+      Seq((1L, 30L, "C"), (1L, 31L, "D")))
+    // snapshot log carries both snapshots with increasing sequence nums
+    val snaps = IcebergMeta.snapshots(spark, root)
+    assert(snaps.map(_.snapshotId) === Seq(1L, 2L))
+    assert(snaps.map(_.sequenceNumber) === Seq(1L, 2L))
+  }
+
+  test("only the touched partition gets a NEW manifest on commit 2") {
+    val (t, root) = fixture()
+    IcebergMeta.mirror(spark, t, t.commit(
+      df(Seq((0L, 1L, "a"), (1L, 2L, "b"))), touched = Seq("0", "1")))
+    IcebergMeta.mirror(spark, t, t.commit(
+      df(Seq((1L, 20L, "B"))), touched = Seq("1")))
+    val snaps = IcebergMeta.snapshots(spark, root)
+    def manifestsOf(listPath: String): Map[String, String] = {
+      val p = new org.apache.hadoop.fs.Path(listPath)
+      val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+      val st = new org.apache.avro.file.DataFileStream(in,
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try {
+        val b = Map.newBuilder[String, String]
+        while (st.hasNext) {
+          val r = st.next()
+          val parts = r.get("partitions")
+            .asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]]
+          val lo = parts.get(0).get("lower_bound")
+            .asInstanceOf[java.nio.ByteBuffer]
+          val bytes = new Array[Byte](lo.remaining())
+          lo.duplicate().get(bytes)
+          val v = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong.toString
+          b += v -> r.get("manifest_path").toString
+        }
+        b.result()
+      } finally st.close()
+    }
+    val m1 = manifestsOf(snaps(0).manifestList)
+    val m2 = manifestsOf(snaps(1).manifestList)
+    assert(m1.keySet === Set("0", "1") && m2.keySet === Set("0", "1"))
+    assert(m2("0") === m1("0"), "untouched partition manifest carried by path")
+    assert(m2("1") !== m1("1"), "touched partition got a new manifest")
+  }
+
+  test("layout pins: metadata.json, manifest field-ids, file metadata") {
+    val (t, root) = fixture()
+    IcebergMeta.mirror(spark, t, t.commit(
+      df(Seq((7L, 1L, "x"))), touched = Seq("7")))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // version hint + metadata json
+    val hint = new org.apache.hadoop.fs.Path(s"$root/metadata/version-hint.text")
+    assert(fs.exists(hint))
+    val md = new com.fasterxml.jackson.databind.ObjectMapper().readTree {
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        s"$root/metadata/v00001.metadata.json"))
+      try in.readAllBytes() finally in.close()
+    }
+    assert(md.get("format-version").asInt() === 2)
+    assert(md.get("current-schema-id").asInt() === 0)
+    val fields = md.get("schemas").get(0).get("fields").elements().asScala.toSeq
+    assert(fields.map(_.get("name").asText()) === Seq("part", "k", "v"))
+    assert(fields.map(_.get("id").asInt()) === Seq(1, 2, 3))
+    assert(fields.map(_.get("type").asText()) === Seq("long", "long", "string"))
+    val spec = md.get("partition-specs").get(0)
+    assert(spec.get("spec-id").asInt() === 0)
+    val sf = spec.get("fields").get(0)
+    assert(sf.get("transform").asText() === "identity")
+    assert(sf.get("source-id").asInt() === 1)
+    assert(sf.get("field-id").asInt() === 1000)
+    assert(md.get("properties").has("schema.name-mapping.default"))
+    assert(md.get("current-snapshot-id").asLong() === 1L)
+    val snap = md.get("snapshots").get(0)
+    assert(snap.get("sequence-number").asLong() === 1L)
+    // manifest list avro: spec field names + field-id props + header
+    val listPath = new org.apache.hadoop.fs.Path(
+      snap.get("manifest-list").asText())
+    val lin = listPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).open(listPath)
+    val lst = new org.apache.avro.file.DataFileStream(lin,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val lschema = lst.getSchema
+    def fid(s: org.apache.avro.Schema, name: String): Int =
+      s.getField(name).getObjectProp("field-id") match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+        case o => o.toString.toInt
+      }
+    assert(fid(lschema, "manifest_path") === 500)
+    assert(fid(lschema, "manifest_length") === 501)
+    assert(fid(lschema, "added_snapshot_id") === 503)
+    assert(fid(lschema, "sequence_number") === 515)
+    assert(fid(lschema, "content") === 517)
+    val entry = lst.next()
+    lst.close()
+    assert(entry.get("partition_spec_id") === 0)
+    assert(entry.get("content") === 0)
+    // partition bound: long 7 little-endian
+    val parts = entry.get("partitions")
+      .asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]]
+    val lo = parts.get(0).get("lower_bound").asInstanceOf[java.nio.ByteBuffer]
+    val bytes = new Array[Byte](lo.remaining())
+    lo.duplicate().get(bytes)
+    assert(bytes.toSeq === Seq[Byte](7, 0, 0, 0, 0, 0, 0, 0))
+    // the manifest itself: header metadata + entry field-ids
+    val mPath = new org.apache.hadoop.fs.Path(
+      entry.get("manifest_path").toString)
+    val min = mPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).open(mPath)
+    val mst = new org.apache.avro.file.DataFileStream(min,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    assert(new String(mst.getMeta("format-version")) === "2")
+    assert(new String(mst.getMeta("content")) === "data")
+    assert(new String(mst.getMeta("partition-spec-id")) === "0")
+    assert(mst.getMeta("schema") != null)
+    val es = mst.getSchema
+    assert(fid(es, "status") === 0)
+    assert(fid(es, "data_file") === 2)
+    val dfS = es.getField("data_file").schema()
+    assert(fid(dfS, "file_path") === 100)
+    assert(fid(dfS, "record_count") === 103)
+    assert(fid(dfS, "content") === 134)
+    val me = mst.next()
+    mst.close()
+    assert(me.get("status") === 1)
+    val dataFile = me.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(dataFile.get("file_format").toString === "PARQUET")
+    assert(dataFile.get("record_count") === 1L)
+    assert(dataFile.get("file_size_in_bytes").asInstanceOf[Long] > 0L)
+  }
+
+  test("mirror enforces native-version order") {
+    val (t, _) = fixture()
+    val v1 = t.commit(df(Seq((0L, 1L, "a"))), touched = Seq("0"))
+    t.commit(df(Seq((0L, 2L, "b"))), touched = Seq("0"))
+    IcebergMeta.mirror(spark, t, v1)
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.mirror(spark, t, 3L)
+    }
+    assert(e.getMessage.contains("order"))
+  }
+}
