@@ -143,6 +143,27 @@ object OperatorGates14 {
         .orderBy(col("doc_id"))
     }),
 
+    // --- language ID as an exact-integer char-TRIGRAM naive-Bayes
+    //     classifier (the fastText-style upgrade over marker votes:
+    //     char distributions separate close pairs like es/pt that
+    //     whole-word markers cannot): train on the labeled quarter,
+    //     predict the rest with margins. The oracle RE-TRAINS in SQL —
+    //     counts, quantized rational weights, additive scores, argmax
+    //     and the best-minus-runner-up margin, bit for bit ------------
+    "q_lang_id_nb" -> ((s, dir) => {
+      import graft.functions.Text
+      import graft.operators.TextClassifier
+      val grams = (c: org.apache.spark.sql.Column) => Text.charNgrams(c, 3)
+      val docs = t(s, dir, "documents")
+      val train = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id"), col("text"), col("lang").as("label"))
+      val (w, ci) = TextClassifier.train(train, "text", "label", grams)
+      val heldOut = docs.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        .select("doc_id", "text")
+      TextClassifier.predictWithMargin(heldOut, "doc_id", "text", w, ci, grams)
+        .orderBy(col("doc_id"))
+    }),
+
     // --- Iceberg v2 FORMAT interop: two native commits mirrored as
     //     real Iceberg snapshots (metadata.json + Avro manifest list
     //     + per-partition manifests, spec-pinned in IcebergMetaSpec),
@@ -262,6 +283,55 @@ object OperatorGates14 {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  CAST(len(t) AS BIGINT) AS clean_chars
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id_nb" -> {
+      val grams =
+        "list_transform(range(1, greatest(length(text) - 1, 1)), " +
+          "i -> substring(text, i, 3))"
+      s"""WITH tr AS (
+         |  SELECT doc_id, text, lang AS label
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |toks AS (SELECT label, unnest($grams) AS token FROM tr),
+         |counts AS (SELECT label, token, count(*) AS cnt
+         |           FROM toks GROUP BY 1, 2),
+         |totals AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS tot
+         |           FROM counts GROUP BY 1),
+         |vocab AS (SELECT count(DISTINCT token) AS v FROM counts),
+         |docsc AS (SELECT label, count(*) AS docs_c FROM tr GROUP BY 1),
+         |nd AS (SELECT CAST(sum(docs_c) AS BIGINT) AS dt FROM docsc),
+         |ci AS (SELECT d.label,
+         |    CAST(floor(CAST(d.docs_c * 1048576 AS DOUBLE)
+         |      / CAST(dt AS DOUBLE)) AS BIGINT) AS prior,
+         |    CAST(floor(CAST(1048576 AS DOUBLE)
+         |      / CAST(t.tot + v AS DOUBLE)) AS BIGINT) AS w0
+         |  FROM docsc d JOIN totals t ON t.label = d.label, nd, vocab),
+         |wt AS (SELECT c.label, c.token,
+         |    CAST(floor(CAST((c.cnt + 1) * 1048576 AS DOUBLE)
+         |      / CAST(t.tot + v AS DOUBLE)) AS BIGINT) AS w
+         |  FROM counts c JOIN totals t ON c.label = t.label, vocab),
+         |ho AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0),
+         |occ AS (SELECT doc_id, unnest($grams) AS token FROM ho),
+         |pc AS (SELECT o.doc_id, ci.label,
+         |    CAST(sum(coalesce(w.w, ci.w0)) AS BIGINT) AS ts
+         |  FROM occ o CROSS JOIN ci
+         |  LEFT JOIN wt w ON w.token = o.token AND w.label = ci.label
+         |  GROUP BY 1, 2),
+         |scores AS (SELECT h.doc_id, ci.label,
+         |    ci.prior + coalesce(pc.ts, 0) AS score
+         |  FROM ho h CROSS JOIN ci
+         |  LEFT JOIN pc ON pc.doc_id = h.doc_id AND pc.label = ci.label),
+         |pred AS (SELECT doc_id,
+         |    (max({'s': score, 'l': label})).l AS pred_label,
+         |    CAST(max(score) AS BIGINT) AS best_score
+         |  FROM scores GROUP BY doc_id),
+         |sec AS (SELECT s.doc_id, CAST(max(s.score) AS BIGINT) AS s2
+         |  FROM scores s JOIN pred p USING (doc_id)
+         |  WHERE s.label <> p.pred_label GROUP BY s.doc_id)
+         |SELECT p.doc_id, p.pred_label, p.best_score,
+         |  p.best_score - sec.s2 AS margin
+         |FROM pred p JOIN sec USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin
+    },
 
     "q_iceberg_meta" ->
       """WITH d AS (

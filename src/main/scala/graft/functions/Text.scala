@@ -88,6 +88,22 @@ object Text {
     // foldRight means earlier langs in LangMarkers win ties.
   }
 
+  /** Character n-grams (sliding, stride 1): the language-ID feature —
+    * char distributions separate close language pairs (es/pt, da/no)
+    * that word-marker votes cannot. Shorter-than-n text yields an
+    * empty array. Character-indexed on BMP code units, matching
+    * DuckDB's substring/length on the corpora this repo gates
+    * (ASCII + BMP).
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"charNgrams needs n >= 1, got $n")
+    val t = coalesce(text, lit(""))
+    when(length(t) >= n,
+      transform(sequence(lit(1), length(t) - lit(n - 1)),
+        i => t.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Document fingerprint: stable 128-bit content hash (hex). Matches
     * DuckDB md5() byte-for-byte, so it doubles as the oracle-checkable
     * exact-dedup key.

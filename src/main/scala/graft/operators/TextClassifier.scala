@@ -48,10 +48,12 @@ object TextClassifier {
     * weights re-derive from merged counts in vocab-sized work, never
     * a corpus rescan.
     */
-  def trainCounts(labeled: DataFrame, textCol: String, labelCol: String)
+  def trainCounts(labeled: DataFrame, textCol: String, labelCol: String,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Text.tokens)
       : (DataFrame, DataFrame) = {
     val toks = labeled.select(col(labelCol).as("label"),
-      explode(Text.tokens(col(textCol))).as("token"))
+      explode(tokenizer(col(textCol))).as("token"))
     (toks.groupBy("label", "token").agg(count(lit(1)).as("cnt")),
       labeled.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as("docs_c")))
   }
@@ -94,9 +96,11 @@ object TextClassifier {
     * (vocab × k and k rows) and feed `score`/`predict` as plain
     * DataFrames — persistable like any model table.
     */
-  def train(labeled: DataFrame, textCol: String, labelCol: String)
+  def train(labeled: DataFrame, textCol: String, labelCol: String,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Text.tokens)
       : (DataFrame, DataFrame) = {
-    val (counts, docs) = trainCounts(labeled, textCol, labelCol)
+    val (counts, docs) = trainCounts(labeled, textCol, labelCol, tokenizer)
     weightsFromCounts(counts, docs)
   }
 
@@ -149,9 +153,11 @@ object TextClassifier {
     * not silently drop empty docs).
     */
   def score(docs: DataFrame, idCol: String, textCol: String,
-      tokenWeights: DataFrame, classInfo: DataFrame): DataFrame = {
+      tokenWeights: DataFrame, classInfo: DataFrame,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Text.tokens): DataFrame = {
     val occurrences = docs.select(col(idCol).as("_id"),
-      explode(Text.tokens(col(textCol))).as("token"))
+      explode(tokenizer(col(textCol))).as("token"))
     // every token occurrence × every class, unseen → w0
     val perClass = occurrences
       .crossJoin(broadcast(classInfo.select("label", "w0")))
@@ -172,8 +178,10 @@ object TextClassifier {
     * (k = class count, configuration-bounded).
     */
   def predictWithMargin(docs: DataFrame, idCol: String, textCol: String,
-      tokenWeights: DataFrame, classInfo: DataFrame): DataFrame =
-    score(docs, idCol, textCol, tokenWeights, classInfo)
+      tokenWeights: DataFrame, classInfo: DataFrame,
+      tokenizer: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        Text.tokens): DataFrame =
+    score(docs, idCol, textCol, tokenWeights, classInfo, tokenizer)
       .groupBy(col(idCol))
       .agg(reverse(sort_array(collect_list(
         struct(col("score"), col("label"))))).as("_ranked"))
