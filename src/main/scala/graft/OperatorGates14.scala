@@ -197,6 +197,42 @@ object OperatorGates14 {
         .orderBy(col("snapshot"), col("shard"))
     }),
 
+    // --- Iceberg v2 EQUALITY DELETES (merge-on-read): a compliance
+    //     purge deletes doc_ids WITHOUT rewriting any partition — a
+    //     delete snapshot whose file removes matches from every data
+    //     file with a smaller sequence number; a LATER data commit is
+    //     untouched by the older delete. The oracle replays both
+    //     snapshots' visibility rules from the source table ----------
+    "q_iceberg_deletes" -> ((s, dir) => {
+      import graft.sink.{IcebergMeta, ShardedTable}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_icedel").toString
+      val table = new ShardedTable(s"$tmp/t", "shard",
+        s.sparkContext.hadoopConfiguration)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(4)).cast("long").as("shard"))
+      val v1 = table.commit(docs, touched = Seq("0", "1", "2", "3"))
+      IcebergMeta.mirror(s, table, v1)
+      // snapshot 2: purge doc_id % 7 == 3 by equality delete
+      IcebergMeta.mirrorDeletes(s, table,
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
+        equalityCols = Seq("doc_id"))
+      // snapshot 3: shard 0 rewritten — its new files outrank the
+      // delete's sequence number, so the purge no longer masks them
+      val v2 = table.commit(docs.filter(col("shard") === 0),
+        touched = Seq("0"))
+      IcebergMeta.mirror(s, table, v2)
+      def agg(snap: Option[Long], label: Int) =
+        IcebergMeta.read(s, s"$tmp/t", snapshotId = snap)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+          .select(lit(label.toLong).as("snapshot"), col("shard"),
+            col("n"), col("sum_id"))
+      agg(Some(2L), 2).unionByName(agg(None, 3))
+        .orderBy(col("snapshot"), col("shard"))
+    }),
+
     // --- Avro reader-schema RESOLUTION (the Avro spec's evolution
     //     contract): epoch-1 files carry an OLD schema (no lang
     //     column, int score, plus a junk column the new schema
@@ -348,6 +384,23 @@ object OperatorGates14 {
         |SELECT snapshot, shard, CAST(n AS BIGINT) AS n,
         |  CAST(sum_id AS BIGINT) AS sum_id
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        |ORDER BY snapshot, shard""".stripMargin,
+
+    "q_iceberg_deletes" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS shard FROM documents
+        |  WHERE doc_id < 300),
+        |s2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS snapshot, shard,
+        |    count(*) AS n, sum(doc_id) AS sum_id
+        |  FROM d WHERE doc_id % 7 <> 3 GROUP BY shard),
+        |s3 AS (
+        |  SELECT CAST(3 AS BIGINT) AS snapshot, shard,
+        |    count(*) AS n, sum(doc_id) AS sum_id
+        |  FROM d WHERE shard = 0 OR doc_id % 7 <> 3 GROUP BY shard)
+        |SELECT snapshot, shard, CAST(n AS BIGINT) AS n,
+        |  CAST(sum_id AS BIGINT) AS sum_id
+        |FROM (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
         |ORDER BY snapshot, shard""".stripMargin,
 
     "q_avro_evolution" ->

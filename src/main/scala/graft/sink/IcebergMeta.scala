@@ -153,6 +153,27 @@ object IcebergMeta {
     new Schema.Parser().parse(json)
   }
 
+  /** manifest_entry schema for EQUALITY-DELETE manifests: an
+    * unpartitioned spec (empty partition struct) + the spec's
+    * equality_ids list (field-id 135, element-id 136).
+    */
+  private val deleteEntrySchema: Schema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_entry","fields":[
+       |{"name":"status","type":"int","field-id":0},
+       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+       |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
+       |{"name":"file_sequence_number","type":["null","long"],"default":null,"field-id":4},
+       |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+       |{"name":"content","type":"int","field-id":134},
+       |{"name":"file_path","type":"string","field-id":100},
+       |{"name":"file_format","type":"string","field-id":101},
+       |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[]}},
+       |{"name":"record_count","type":"long","field-id":103},
+       |{"name":"file_size_in_bytes","type":"long","field-id":104},
+       |{"name":"equality_ids","field-id":135,"default":null,"type":["null",
+       |{"type":"array","element-id":136,"items":"int"}]}
+       |]}}]}""".stripMargin.replace("\n", ""))
+
   /** manifest_file Avro schema — the manifest list's entry record. */
   private val manifestFileSchema: Schema = new Schema.Parser().parse(
     s"""{"type":"record","name":"manifest_file","fields":[
@@ -180,14 +201,14 @@ object IcebergMeta {
   // -------------------------------------------------------- the mirror
 
   private final case class ListEntry(
-      manifestPath: String, manifestLength: Long, sequenceNumber: Long,
-      minSequenceNumber: Long, addedSnapshotId: Long, addedFiles: Int,
-      addedRows: Long, partitionValue: String)
+      manifestPath: String, manifestLength: Long, content: Int,
+      sequenceNumber: Long, minSequenceNumber: Long, addedSnapshotId: Long,
+      addedFiles: Int, addedRows: Long, partitionValue: Option[String])
 
   /** Mirror `version` of the native table as the NEXT Iceberg
     * snapshot. Mirrors must be applied in native-version order
-    * (snapshot K mirrors version K) — enforced loudly. Idempotent on
-    * re-run of the same version (the snapshot is rewritten).
+    * (tracked by the `graft.native-version` table property, so
+    * delete snapshots can interleave) — enforced loudly.
     */
   def mirror(spark: SparkSession, table: ShardedTable, version: Long): Unit = {
     val conf = table.conf
@@ -196,8 +217,12 @@ object IcebergMeta {
     fs.mkdirs(metaDir)
 
     val prevN = currentMetaVersion(fs, metaDir)
-    require(prevN == version - 1,
-      s"Iceberg mirror of ${table.root} is at snapshot $prevN; " +
+    val prevNative =
+      if (prevN == 0) 0L
+      else M.readTree(readBytes(fs, metadataJsonAt(fs, metaDir, prevN)))
+        .path("properties").path("graft.native-version").asLong(0L)
+    require(prevNative == version - 1,
+      s"Iceberg mirror of ${table.root} is at native version $prevNative; " +
         s"mirror versions in order (got $version)")
 
     val schema = table.read(spark, version).schema
@@ -206,8 +231,8 @@ object IcebergMeta {
     val prevManifest =
       if (version > 1) table.manifest(version - 1) else Map.empty[String, String]
     val touched = cur.filter { case (p, d) => !prevManifest.get(p).contains(d) }
-    val snapshotId = version
-    val seqNum = version
+    val snapshotId = prevN + 1
+    val seqNum = snapshotId
 
     // one distributed job for per-file record counts over touched dirs
     val fileCounts: Map[String, Long] =
@@ -267,30 +292,119 @@ object IcebergMeta {
           w.append(e)
         } finally w.close()
         val len = dfs.getFileStatus(mPath).getLen
-        ListEntry(mPath.toString, len, seqNum, seqNum, snapshotId,
-          files.length, rows, part)
+        ListEntry(mPath.toString, len, 0, seqNum, seqNum, snapshotId,
+          files.length, rows, Some(part))
     }
 
-    // carry untouched partitions' manifests BY PATH from the previous
-    // snapshot's list; drop entries for partitions no longer present
+    // carry forward: untouched data partitions' manifests BY PATH and
+    // every delete manifest (still applies to older data); drop data
+    // entries for partitions rewritten or no longer present
     val carried: Seq[ListEntry] =
-      if (version == 1) Seq.empty
-      else readManifestList(fs, metadataJsonAt(fs, metaDir, version - 1),
-        partType)
-        .filter(e => cur.contains(e.partitionValue) &&
-          !touched.contains(e.partitionValue))
+      if (prevN == 0) Seq.empty
+      else readManifestList(fs, metadataJsonAt(fs, metaDir, prevN), partType)
+        .filter(e => e.content == 1 || e.partitionValue.exists(p =>
+          cur.contains(p) && !touched.contains(p)))
 
     val listPath = new Path(metaDir, f"snap-$snapshotId%d.avro")
+    writeManifestList(fs, listPath, partType,
+      (newEntries ++ carried).sortBy(e => (e.content, e.partitionValue)))
+    writeSnapshotMetadata(fs, metaDir, table, schema, snapshotId, seqNum,
+      listPath.toString, nativeVersion = version, operation = "overwrite")
+  }
+
+  /** Append an EQUALITY-DELETE snapshot (Iceberg v2 merge-on-read):
+    * rows of `deletes` (projected to `equalityCols`) stop matching in
+    * every data file with a SMALLER sequence number — compliance
+    * purges and dedup verdicts delete WITHOUT rewriting partitions,
+    * the write-side format Flink's Iceberg sink produces. The delete
+    * files ride an unpartitioned spec (spec-id 1), so one delete file
+    * covers the whole table.
+    */
+  def mirrorDeletes(spark: SparkSession, table: ShardedTable,
+      deletes: DataFrame, equalityCols: Seq[String]): Unit = {
+    val conf = table.conf
+    val metaDir = new Path(s"${table.root}/metadata")
+    val fs = metaDir.getFileSystem(conf)
+    val prevN = currentMetaVersion(fs, metaDir)
+    require(prevN > 0,
+      s"no Iceberg snapshot under ${table.root} to apply deletes to")
+    val prevMd = M.readTree(readBytes(fs, metadataJsonAt(fs, metaDir, prevN)))
+    val nativeVersion =
+      prevMd.path("properties").path("graft.native-version").asLong(0L)
+    val snapshotId = prevN + 1
+    val seqNum = snapshotId
+
+    val schema = table.read(spark, nativeVersion).schema
+    equalityCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"equality column '$c' not in the table schema"))
+    val partType = schema(schema.fieldIndex(table.partCol)).dataType
+
+    // the delete file: plain parquet of the equality columns
+    val delDir = new Path(s"${table.root}/data/deletes-${java.util.UUID.randomUUID()}")
+    val projected = deletes.select(equalityCols.map(col): _*)
+    projected.coalesce(1).write.parquet(delDir.toString)
+    val dfs = delDir.getFileSystem(conf)
+    val delFiles = dfs.listStatus(delDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val nRows = projected.count()
+    val eqIds = equalityCols.map(c => schema.fieldIndex(c) + 1)
+
+    val mPath = new Path(metaDir,
+      s"${java.util.UUID.randomUUID()}-deletes.avro")
+    val w = new DataFileWriter(
+      new GenericDatumWriter[GenericRecord](deleteEntrySchema))
+    w.setMeta("schema", schemaJson(schema))
+    w.setMeta("partition-spec", "[]")
+    w.setMeta("partition-spec-id", "1")
+    w.setMeta("format-version", "2")
+    w.setMeta("content", "deletes")
+    w.create(deleteEntrySchema, fs.create(mPath, true))
+    try delFiles.foreach { f =>
+      val e = new GenericData.Record(deleteEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      val dfr = new GenericData.Record(
+        deleteEntrySchema.getField("data_file").schema())
+      dfr.put("content", 2) // EQUALITY_DELETES
+      dfr.put("file_path", f.getPath.toString)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(
+        dfr.getSchema.getField("partition").schema()))
+      dfr.put("record_count", nRows)
+      dfr.put("file_size_in_bytes", f.getLen)
+      val idsSchema = dfr.getSchema.getField("equality_ids").schema()
+        .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+      dfr.put("equality_ids", new GenericData.Array[Integer](idsSchema,
+        eqIds.map(Integer.valueOf).asJava))
+      e.put("data_file", dfr)
+      w.append(e)
+    } finally w.close()
+    val mLen = fs.getFileStatus(mPath).getLen
+
+    val carried = readManifestList(fs,
+      metadataJsonAt(fs, metaDir, prevN), partType)
+    val delEntry = ListEntry(mPath.toString, mLen, 1, seqNum, seqNum,
+      snapshotId, delFiles.length, nRows, None)
+    val listPath = new Path(metaDir, f"snap-$snapshotId%d.avro")
+    writeManifestList(fs, listPath, partType,
+      (carried :+ delEntry).sortBy(e => (e.content, e.partitionValue)))
+    writeSnapshotMetadata(fs, metaDir, table, schema, snapshotId, seqNum,
+      listPath.toString, nativeVersion, operation = "delete")
+  }
+
+  private def writeManifestList(fs: org.apache.hadoop.fs.FileSystem,
+      listPath: Path, partType: DataType, entries: Seq[ListEntry]): Unit = {
     val lw = new DataFileWriter(
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
     lw.setMeta("format-version", "2")
     lw.create(manifestFileSchema, fs.create(listPath, true))
-    try (newEntries ++ carried).sortBy(_.partitionValue).foreach { e =>
+    try entries.foreach { e =>
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", e.manifestPath)
       r.put("manifest_length", e.manifestLength)
-      r.put("partition_spec_id", 0)
-      r.put("content", 0) // data
+      r.put("partition_spec_id", if (e.content == 1) 1 else 0)
+      r.put("content", e.content)
       r.put("sequence_number", e.sequenceNumber)
       r.put("min_sequence_number", e.minSequenceNumber)
       r.put("added_snapshot_id", e.addedSnapshotId)
@@ -302,19 +416,29 @@ object IcebergMeta {
       r.put("deleted_rows_count", 0L)
       val sumSchema = manifestFileSchema.getField("partitions").schema()
         .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
-      val summary = new GenericData.Record(sumSchema.getElementType)
-      summary.put("contains_null", false)
-      summary.put("contains_nan", false)
-      val b = java.nio.ByteBuffer.wrap(boundBytes(partType, e.partitionValue))
-      summary.put("lower_bound", b.duplicate())
-      summary.put("upper_bound", b.duplicate())
-      val arr = new GenericData.Array[GenericRecord](sumSchema,
-        java.util.List.of[GenericRecord](summary))
-      r.put("partitions", arr)
+      e.partitionValue match {
+        case Some(part) =>
+          val summary = new GenericData.Record(sumSchema.getElementType)
+          summary.put("contains_null", false)
+          summary.put("contains_nan", false)
+          val b = java.nio.ByteBuffer.wrap(boundBytes(partType, part))
+          summary.put("lower_bound", b.duplicate())
+          summary.put("upper_bound", b.duplicate())
+          r.put("partitions", new GenericData.Array[GenericRecord](sumSchema,
+            java.util.List.of[GenericRecord](summary)))
+        case None => // unpartitioned (delete) manifest: empty summary
+          r.put("partitions", new GenericData.Array[GenericRecord](sumSchema,
+            java.util.List.of[GenericRecord]()))
+      }
       lw.append(r)
     } finally lw.close()
+  }
 
-    // table metadata JSON + version hint (temp + rename = the flip)
+  /** Table metadata JSON + version-hint flip for snapshot N. */
+  private def writeSnapshotMetadata(fs: org.apache.hadoop.fs.FileSystem,
+      metaDir: Path, table: ShardedTable,
+      schema: StructType, snapshotId: Long, seqNum: Long, listPath: String,
+      nativeVersion: Long, operation: String): Unit = {
     val root = M.createObjectNode()
     root.put("format-version", 2)
     root.put("table-uuid", java.util.UUID
@@ -328,32 +452,31 @@ object IcebergMeta {
     root.set("schemas", M.readTree(s"[${schemaJson(schema)}]"))
     root.put("default-spec-id", 0)
     root.set("partition-specs", M.readTree(
-      s"""[{"spec-id":0,"fields":${specFieldsJson(schema, table.partCol)}}]"""))
+      s"""[{"spec-id":0,"fields":${specFieldsJson(schema, table.partCol)}},
+         |{"spec-id":1,"fields":[]}]""".stripMargin.replace("\n", "")))
     root.put("last-partition-id", 1000)
     root.put("default-sort-order-id", 0)
     root.set("sort-orders", M.readTree("""[{"order-id":0,"fields":[]}]"""))
     val props = root.putObject("properties")
     props.put("schema.name-mapping.default", nameMappingJson(schema))
+    props.put("graft.native-version", nativeVersion.toString)
     root.put("current-snapshot-id", snapshotId)
     val snaps = root.putArray("snapshots")
-    // carry the full snapshot history forward
-    if (version > 1) {
+    if (snapshotId > 1) {
       val prevJson = M.readTree(readBytes(fs,
-        metadataJsonAt(fs, metaDir, version - 1)))
-      prevJson.get("snapshots").elements().asScala.foreach(s =>
-        snaps.add(s))
+        metadataJsonAt(fs, metaDir, snapshotId - 1)))
+      prevJson.get("snapshots").elements().asScala.foreach(s => snaps.add(s))
     }
     val snap = snaps.addObject()
     snap.put("snapshot-id", snapshotId)
     snap.put("sequence-number", seqNum)
     snap.put("timestamp-ms", System.currentTimeMillis())
-    snap.put("manifest-list", listPath.toString)
-    snap.putObject("summary").put("operation", "overwrite")
-    val mdPath = new Path(metaDir, f"v$version%05d.metadata.json")
-    writeAtomic(fs, mdPath, M.writerWithDefaultPrettyPrinter()
-      .writeValueAsBytes(root))
+    snap.put("manifest-list", listPath)
+    snap.putObject("summary").put("operation", operation)
+    writeAtomic(fs, metadataJsonAt(fs, metaDir, snapshotId),
+      M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     writeAtomic(fs, new Path(metaDir, "version-hint.text"),
-      version.toString.getBytes(StandardCharsets.UTF_8))
+      snapshotId.toString.getBytes(StandardCharsets.UTF_8))
   }
 
   private def writeAtomic(fs: org.apache.hadoop.fs.FileSystem, p: Path,
@@ -391,6 +514,11 @@ object IcebergMeta {
       .map(_.get("manifest-list").asText())
       .getOrElse(throw new IllegalStateException(
         s"current snapshot $snapId not in $mdPath"))
+    readManifestListFile(fs, listPath, partType)
+  }
+
+  private def readManifestListFile(fs: org.apache.hadoop.fs.FileSystem,
+      listPath: String, partType: DataType): Seq[ListEntry] = {
     val in = fs.open(new Path(listPath))
     val stream = new DataFileStream(in,
       new GenericDatumReader[GenericRecord]())
@@ -398,23 +526,30 @@ object IcebergMeta {
       val out = Seq.newBuilder[ListEntry]
       while (stream.hasNext) {
         val r = stream.next()
+        val content = r.get("content").asInstanceOf[Int]
         val parts = r.get("partitions")
           .asInstanceOf[java.util.List[GenericRecord]]
-        require(parts != null && parts.size() == 1,
-          s"manifest ${r.get("manifest_path")} should cover one partition")
-        val lo = parts.get(0).get("lower_bound")
-          .asInstanceOf[java.nio.ByteBuffer]
-        val bytes = new Array[Byte](lo.remaining())
-        lo.duplicate().get(bytes)
+        val partValue =
+          if (content == 1 || parts == null || parts.isEmpty) None
+          else {
+            require(parts.size() == 1,
+              s"manifest ${r.get("manifest_path")} should cover one partition")
+            val lo = parts.get(0).get("lower_bound")
+              .asInstanceOf[java.nio.ByteBuffer]
+            val bytes = new Array[Byte](lo.remaining())
+            lo.duplicate().get(bytes)
+            Some(boundValue(partType, bytes))
+          }
         out += ListEntry(
           r.get("manifest_path").toString,
           r.get("manifest_length").asInstanceOf[Long],
+          content,
           r.get("sequence_number").asInstanceOf[Long],
           r.get("min_sequence_number").asInstanceOf[Long],
           r.get("added_snapshot_id").asInstanceOf[Long],
           r.get("added_files_count").asInstanceOf[Int],
           r.get("added_rows_count").asInstanceOf[Long],
-          boundValue(partType, bytes))
+          partValue)
       }
       out.result()
     } finally stream.close()
@@ -440,11 +575,13 @@ object IcebergMeta {
   }
 
   /** Read an Iceberg table THROUGH ITS METADATA ONLY — version hint →
-    * metadata.json → manifest list → manifests → data files. The
-    * verification path: nothing here consults the native manifest.
-    * `snapshotId = None` reads the current snapshot; `partitions`
-    * prunes manifests from the list's partition summaries without
-    * opening them.
+    * metadata.json → manifest list → manifests → data files, with
+    * v2 merge-on-read EQUALITY DELETES applied (a delete row removes
+    * matches from every data file with a smaller sequence number).
+    * The verification path: nothing here consults the native
+    * manifest. `snapshotId = None` reads the current snapshot;
+    * `partitions` prunes data manifests from the list's partition
+    * summaries without opening them.
     */
   def read(spark: SparkSession, tableRoot: String,
       snapshotId: Option[Long] = None,
@@ -461,12 +598,15 @@ object IcebergMeta {
       .map(_.get("manifest-list").asText())
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wantSnap not found under $tableRoot"))
-    // partition type from the schema + spec
+    // schema + partition type from the metadata
     val schemas = md.get("schemas").elements().asScala.toSeq
     val schemaNode = schemas.find(
       _.get("schema-id").asInt() == md.get("current-schema-id").asInt())
       .getOrElse(schemas.head)
-    val spec = md.get("partition-specs").elements().asScala.toSeq.head
+    val fieldById = schemaNode.get("fields").elements().asScala
+      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+    val spec = md.get("partition-specs").elements().asScala.toSeq
+      .find(_.get("spec-id").asInt() == 0).get
       .get("fields").elements().asScala.toSeq.head
     val srcId = spec.get("source-id").asInt()
     val partTypeName = schemaNode.get("fields").elements().asScala
@@ -477,52 +617,64 @@ object IcebergMeta {
       case "int" => IntegerType
       case _ => StringType
     }
-    // manifest list -> (manifest, partitionValue)
-    val manifests = {
-      val in = fs.open(new Path(listPath))
-      val stream = new DataFileStream(in,
-        new GenericDatumReader[GenericRecord]())
-      try {
-        val out = Seq.newBuilder[(String, String)]
-        while (stream.hasNext) {
-          val r = stream.next()
-          val parts = r.get("partitions")
-            .asInstanceOf[java.util.List[GenericRecord]]
-          val lo = parts.get(0).get("lower_bound")
-            .asInstanceOf[java.nio.ByteBuffer]
-          val bytes = new Array[Byte](lo.remaining())
-          lo.duplicate().get(bytes)
-          out += r.get("manifest_path").toString ->
-            boundValue(partType, bytes)
-        }
-        out.result()
-      } finally stream.close()
+    val entries = readManifestListFile(fs, listPath, partType)
+    val dataEntries = entries.filter(_.content == 0)
+    val deleteEntries = entries.filter(_.content == 1)
+    val prunedData = partitions match {
+      case Some(ps) =>
+        dataEntries.filter(_.partitionValue.exists(ps.contains))
+      case None => dataEntries
     }
-    val pruned = partitions match {
-      case Some(ps) => manifests.filter { case (_, p) => ps.contains(p) }
-      case None => manifests
-    }
-    // manifests -> live data files
-    val files = pruned.flatMap { case (mPath, _) =>
+    // manifests -> live files, keyed by the entries' sequence numbers
+    def filesOf(mPath: String): Seq[(String, Option[Seq[Int]])] = {
       val in = fs.open(new Path(mPath))
       val stream = new DataFileStream(in,
         new GenericDatumReader[GenericRecord]())
       try {
-        val out = Seq.newBuilder[String]
+        val out = Seq.newBuilder[(String, Option[Seq[Int]])]
         while (stream.hasNext) {
           val e = stream.next()
-          val status = e.get("status").asInstanceOf[Int]
-          if (status != 2) { // not DELETED
-            val df = e.get("data_file").asInstanceOf[GenericRecord]
-            require(df.get("file_format").toString == "PARQUET",
+          if (e.get("status").asInstanceOf[Int] != 2) { // not DELETED
+            val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+            require(dfr.get("file_format").toString == "PARQUET",
               s"unsupported file format in $mPath")
-            out += df.get("file_path").toString
+            val eqIds = dfr.getSchema.getField("equality_ids") match {
+              case null => None
+              case _ => Option(dfr.get("equality_ids"))
+                .map(_.asInstanceOf[java.util.List[Integer]]
+                  .asScala.map(_.intValue()).toSeq)
+            }
+            out += dfr.get("file_path").toString -> eqIds
           }
         }
         out.result()
       } finally stream.close()
     }
-    require(files.nonEmpty, s"snapshot $wantSnap has no data files")
-    spark.read.parquet(files: _*)
+    val dataBySeq: Map[Long, Seq[String]] = prunedData
+      .groupBy(_.sequenceNumber)
+      .view.mapValues(_.flatMap(e => filesOf(e.manifestPath).map(_._1)))
+      .toMap
+    // (sequence, files, equality column names) per delete manifest
+    val deletes: Seq[(Long, Seq[String], Seq[String])] =
+      deleteEntries.map { e =>
+        val fl = filesOf(e.manifestPath)
+        val eqIds = fl.headOption.flatMap(_._2).getOrElse(
+          throw new IllegalStateException(
+            s"delete manifest ${e.manifestPath} without equality_ids"))
+        (e.sequenceNumber, fl.map(_._1),
+          eqIds.map(id => fieldById.getOrElse(id,
+            throw new IllegalStateException(s"unknown field id $id"))))
+      }
+    require(dataBySeq.nonEmpty, s"snapshot $wantSnap has no data files")
+    // per data sequence group: anti-join every delete with seq > s
+    dataBySeq.toSeq.sortBy(_._1).map { case (s, files) =>
+      var df = spark.read.parquet(files: _*)
+      deletes.filter(_._1 > s).foreach { case (_, delFiles, eqCols) =>
+        val delDf = spark.read.parquet(delFiles: _*)
+          .select(eqCols.map(col): _*).distinct()
+        df = df.join(broadcast(delDf), eqCols, "left_anti")
+      }
+      df
+    }.reduce(_ unionByName _)
   }
 }

@@ -181,6 +181,75 @@ class IcebergMetaSpec extends graft.SparkSpec {
     assert(dataFile.get("file_size_in_bytes").asInstanceOf[Long] > 0L)
   }
 
+  test("equality deletes: merge-on-read without rewriting partitions") {
+    import spark.implicits._
+    val (t, root) = fixture()
+    IcebergMeta.mirror(spark, t, t.commit(
+      df(Seq((0L, 1L, "a"), (0L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"))),
+      touched = Seq("0", "1")))
+    // delete k in {2, 3} via an equality-delete snapshot
+    IcebergMeta.mirrorDeletes(spark, t,
+      Seq(2L, 3L).toDF("k"), equalityCols = Seq("k"))
+    def ks(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select("k").collect().map(_.getLong(0)).sorted.toSeq
+    // current snapshot applies the deletes
+    assert(ks(IcebergMeta.read(spark, root)) === Seq(1L, 4L))
+    // time travel BEFORE the delete still sees everything
+    assert(ks(IcebergMeta.read(spark, root, snapshotId = Some(1L))) ===
+      Seq(1L, 2L, 3L, 4L))
+    // pruned read applies deletes within the partition
+    assert(ks(IcebergMeta.read(spark, root,
+      partitions = Some(Seq("1")))) === Seq(4L))
+    // a LATER data commit is NOT affected by the older delete
+    // (equality deletes hit only files with smaller sequence numbers)
+    IcebergMeta.mirror(spark, t, t.commit(
+      df(Seq((2L, 2L, "resurrected"))), touched = Seq("2")))
+    assert(ks(IcebergMeta.read(spark, root)) === Seq(1L, 2L, 4L))
+    // snapshot log: data, delete, data with increasing sequence nums
+    val snaps = IcebergMeta.snapshots(spark, root)
+    assert(snaps.map(_.snapshotId) === Seq(1L, 2L, 3L))
+  }
+
+  test("delete manifest layout: content codes, spec-id 1, equality_ids") {
+    import spark.implicits._
+    val (t, root) = fixture()
+    IcebergMeta.mirror(spark, t, t.commit(
+      df(Seq((0L, 1L, "a"))), touched = Seq("0")))
+    IcebergMeta.mirrorDeletes(spark, t, Seq(1L).toDF("k"), Seq("k"))
+    val snaps = IcebergMeta.snapshots(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(snaps(1).manifestList))
+    val st = new org.apache.avro.file.DataFileStream(in,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val entries = Iterator.continually(st)
+      .takeWhile(_.hasNext).map(_.next()).toSeq
+    st.close()
+    // one data entry carried + one delete entry
+    assert(entries.map(_.get("content")).toSet === Set(0, 1))
+    val del = entries.find(_.get("content") == 1).get
+    assert(del.get("partition_spec_id") === 1)
+    assert(del.get("sequence_number") === 2L)
+    val mPath = new org.apache.hadoop.fs.Path(
+      del.get("manifest_path").toString)
+    val min2 = mPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration).open(mPath)
+    val mst = new org.apache.avro.file.DataFileStream(min2,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    assert(new String(mst.getMeta("content")) === "deletes")
+    assert(new String(mst.getMeta("partition-spec-id")) === "1")
+    val me = mst.next()
+    mst.close()
+    val dataFile = me.get("data_file")
+      .asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(dataFile.get("content") === 2) // EQUALITY_DELETES
+    val ids = dataFile.get("equality_ids")
+      .asInstanceOf[java.util.List[Integer]]
+    assert(ids.size() === 1 && ids.get(0) === 2) // field id of k
+  }
+
   test("mirror enforces native-version order") {
     val (t, _) = fixture()
     val v1 = t.commit(df(Seq((0L, 1L, "a"))), touched = Seq("0"))
