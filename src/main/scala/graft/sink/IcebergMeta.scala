@@ -148,10 +148,59 @@ object IcebergMeta {
          |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[
          |{"name":"$partCol","type":["null","$pType"],"default":null,"field-id":1000}]}},
          |{"name":"record_count","type":"long","field-id":103},
-         |{"name":"file_size_in_bytes","type":"long","field-id":104}
+         |{"name":"file_size_in_bytes","type":"long","field-id":104},
+         |{"name":"value_counts","field-id":109,"default":null,"type":["null",
+         |{"type":"array","logicalType":"map","items":{"type":"record","name":"k119_v120","fields":[
+         |{"name":"key","type":"int","field-id":119},{"name":"value","type":"long","field-id":120}]}}]},
+         |{"name":"null_value_counts","field-id":110,"default":null,"type":["null",
+         |{"type":"array","logicalType":"map","items":{"type":"record","name":"k121_v122","fields":[
+         |{"name":"key","type":"int","field-id":121},{"name":"value","type":"long","field-id":122}]}}]},
+         |{"name":"lower_bounds","field-id":125,"default":null,"type":["null",
+         |{"type":"array","logicalType":"map","items":{"type":"record","name":"k126_v127","fields":[
+         |{"name":"key","type":"int","field-id":126},{"name":"value","type":"bytes","field-id":127}]}}]},
+         |{"name":"upper_bounds","field-id":128,"default":null,"type":["null",
+         |{"type":"array","logicalType":"map","items":{"type":"record","name":"k129_v130","fields":[
+         |{"name":"key","type":"int","field-id":129},{"name":"value","type":"bytes","field-id":130}]}}]}
          |]}}]}""".stripMargin.replace("\n", "")
     new Schema.Parser().parse(json)
   }
+
+  /** Column types that get file-level bounds/stats in the manifests. */
+  private def statsSupported(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType |
+         DoubleType | FloatType => true
+    case _ => false
+  }
+
+  /** Iceberg single-value serialization of a STATS bound (typed). */
+  private def statBoundBytes(dt: DataType, v: Any): Array[Byte] = dt match {
+    case LongType => java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(v.asInstanceOf[Long]).array()
+    case IntegerType | ShortType | ByteType => java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(v.asInstanceOf[Number].intValue()).array()
+    case DoubleType => java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putDouble(v.asInstanceOf[Double]).array()
+    case FloatType => java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putFloat(v.asInstanceOf[Float]).array()
+    case _ => v.toString.getBytes(StandardCharsets.UTF_8)
+  }
+
+  private def statBoundDecode(typeName: String, b: Array[Byte]): Any =
+    typeName match {
+      case "long" => java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+      case "int" => java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong
+      case "double" => java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getDouble
+      case "float" => java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat.toDouble
+      case _ => new String(b, StandardCharsets.UTF_8)
+    }
 
   /** manifest_entry schema for EQUALITY-DELETE manifests: an
     * unpartitioned spec (empty partition struct) + the spec's
@@ -234,12 +283,22 @@ object IcebergMeta {
     val snapshotId = prevN + 1
     val seqNum = snapshotId
 
-    // one distributed job for per-file record counts over touched dirs
-    val fileCounts: Map[String, Long] =
+    // ONE distributed job over the touched dirs: per-file record
+    // counts AND per-column min/max/non-null counts — the data_file
+    // stats (bounds field-ids 125/128) external readers prune with
+    val statFields = schema.fields.filter(f => statsSupported(f.dataType))
+    val fileStats: Map[String, org.apache.spark.sql.Row] =
       if (touched.isEmpty) Map.empty
-      else spark.read.parquet(touched.values.toSeq: _*)
-        .groupBy(input_file_name().as("f")).count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      else {
+        val aggs = Seq(count(lit(1)).as("_n")) ++ statFields.flatMap(f => Seq(
+          min(col(f.name)).as(s"_min_${f.name}"),
+          max(col(f.name)).as(s"_max_${f.name}"),
+          count(col(f.name)).as(s"_nn_${f.name}")))
+        spark.read.parquet(touched.values.toSeq: _*)
+          .groupBy(input_file_name().as("_f"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect().map(r => r.getString(0) -> r).toMap
+      }
 
     val entrySchema = manifestEntrySchema(schema, table.partCol)
     val newEntries: Seq[ListEntry] = touched.toSeq.sortBy(_._1).map {
@@ -263,11 +322,12 @@ object IcebergMeta {
         var rows = 0L
         try files.foreach { f =>
           val uri = f.getPath.toString
-          val matchKey = fileCounts.keys.find(k =>
+          val matchKey = fileStats.keys.find(k =>
             k.endsWith(f.getPath.toUri.getPath) || k == uri)
-          val count = matchKey.map(fileCounts).getOrElse(
+          val stats = matchKey.map(fileStats).getOrElse(
             throw new IllegalStateException(
-              s"no record count for data file $uri"))
+              s"no stats row for data file $uri"))
+          val count = stats.getAs[Long]("_n")
           rows += count
           val e = new GenericData.Record(entrySchema)
           e.put("status", 1) // ADDED
@@ -288,6 +348,32 @@ object IcebergMeta {
           df.put("partition", pr)
           df.put("record_count", count)
           df.put("file_size_in_bytes", f.getLen)
+          // per-column stats: value/null counts + typed bounds
+          def mapArray(field: String,
+              mk: (Int, StructField) => Option[Any]): Unit = {
+            val arrSchema = df.getSchema.getField(field).schema()
+              .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+            val items = statFields.flatMap { sf =>
+              val fid = schema.fieldIndex(sf.name) + 1
+              mk(fid, sf).map { v =>
+                val r = new GenericData.Record(arrSchema.getElementType)
+                r.put("key", fid)
+                r.put("value", v)
+                r: GenericRecord
+              }
+            }
+            df.put(field, new GenericData.Array[GenericRecord](arrSchema,
+              java.util.Arrays.asList(items: _*)))
+          }
+          mapArray("value_counts", (_, _) => Some(java.lang.Long.valueOf(count)))
+          mapArray("null_value_counts", (_, sf) => Some(java.lang.Long.valueOf(
+            count - stats.getAs[Long](s"_nn_${sf.name}"))))
+          mapArray("lower_bounds", (_, sf) =>
+            Option(stats.getAs[Any](s"_min_${sf.name}")).map(v =>
+              java.nio.ByteBuffer.wrap(statBoundBytes(sf.dataType, v))))
+          mapArray("upper_bounds", (_, sf) =>
+            Option(stats.getAs[Any](s"_max_${sf.name}")).map(v =>
+              java.nio.ByteBuffer.wrap(statBoundBytes(sf.dataType, v))))
           e.put("data_file", df)
           w.append(e)
         } finally w.close()
@@ -560,6 +646,9 @@ object IcebergMeta {
   final case class SnapshotInfo(snapshotId: Long, sequenceNumber: Long,
       manifestList: String)
 
+  private final case class FileRef(path: String, eqIds: Option[Seq[Int]],
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+
   /** The snapshot log of an Iceberg table (current metadata.json). */
   def snapshots(spark: SparkSession, tableRoot: String): Seq[SnapshotInfo] = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -585,7 +674,8 @@ object IcebergMeta {
     */
   def read(spark: SparkSession, tableRoot: String,
       snapshotId: Option[Long] = None,
-      partitions: Option[Seq[String]] = None): DataFrame = {
+      partitions: Option[Seq[String]] = None,
+      range: Option[(String, String, String)] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metaDir = new Path(s"$tableRoot/metadata")
     val fs = metaDir.getFileSystem(conf)
@@ -626,42 +716,84 @@ object IcebergMeta {
       case None => dataEntries
     }
     // manifests -> live files, keyed by the entries' sequence numbers
-    def filesOf(mPath: String): Seq[(String, Option[Seq[Int]])] = {
+    def filesOf(mPath: String): Seq[FileRef] = {
       val in = fs.open(new Path(mPath))
       val stream = new DataFileStream(in,
         new GenericDatumReader[GenericRecord]())
       try {
-        val out = Seq.newBuilder[(String, Option[Seq[Int]])]
+        val out = Seq.newBuilder[FileRef]
         while (stream.hasNext) {
           val e = stream.next()
           if (e.get("status").asInstanceOf[Int] != 2) { // not DELETED
             val dfr = e.get("data_file").asInstanceOf[GenericRecord]
             require(dfr.get("file_format").toString == "PARQUET",
               s"unsupported file format in $mPath")
-            val eqIds = dfr.getSchema.getField("equality_ids") match {
-              case null => None
-              case _ => Option(dfr.get("equality_ids"))
-                .map(_.asInstanceOf[java.util.List[Integer]]
-                  .asScala.map(_.intValue()).toSeq)
-            }
-            out += dfr.get("file_path").toString -> eqIds
+            def opt(name: String): Option[Any] =
+              Option(dfr.getSchema.getField(name)).flatMap(_ =>
+                Option(dfr.get(name)))
+            val eqIds = opt("equality_ids")
+              .map(_.asInstanceOf[java.util.List[Integer]]
+                .asScala.map(_.intValue()).toSeq)
+            def boundsMap(name: String): Map[Int, Array[Byte]] =
+              opt(name).map(_.asInstanceOf[java.util.List[GenericRecord]]
+                .asScala.map { r =>
+                  val bb = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+                  val bytes = new Array[Byte](bb.remaining())
+                  bb.duplicate().get(bytes)
+                  r.get("key").asInstanceOf[Int] -> bytes
+                }.toMap).getOrElse(Map.empty)
+            out += FileRef(dfr.get("file_path").toString, eqIds,
+              boundsMap("lower_bounds"), boundsMap("upper_bounds"))
           }
         }
         out.result()
       } finally stream.close()
     }
+    // file-level range pruning off the manifests' typed bounds —
+    // files without bounds are kept (conservative, like zone maps)
+    val rangePredicate: FileRef => Boolean = range match {
+      case None => _ => true
+      case Some((colName, loS, hiS)) =>
+        val fid = fieldById.collectFirst {
+          case (id, n) if n == colName => id
+        }.getOrElse(throw new IllegalArgumentException(
+          s"range column '$colName' not in the Iceberg schema"))
+        val typeName = schemaNode.get("fields").elements().asScala
+          .find(_.get("id").asInt() == fid).map(_.get("type").asText())
+          .getOrElse("string")
+        def cmp(a: Any, b: Any): Int = (a, b) match {
+          case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+          case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+          case _ => a.toString.compareTo(b.toString)
+        }
+        def parse(s: String): Any = typeName match {
+          case "long" | "int" => s.toLong
+          case "double" | "float" => s.toDouble
+          case _ => s
+        }
+        val lo = parse(loS); val hi = parse(hiS)
+        f => {
+          val keepLo = f.upper.get(fid).forall(b =>
+            cmp(statBoundDecode(typeName, b), lo) >= 0)
+          val keepHi = f.lower.get(fid).forall(b =>
+            cmp(statBoundDecode(typeName, b), hi) <= 0)
+          keepLo && keepHi
+        }
+    }
     val dataBySeq: Map[Long, Seq[String]] = prunedData
       .groupBy(_.sequenceNumber)
-      .view.mapValues(_.flatMap(e => filesOf(e.manifestPath).map(_._1)))
+      .view.mapValues(_.flatMap(e => filesOf(e.manifestPath)
+        .filter(rangePredicate).map(_.path)))
+      .filter(_._2.nonEmpty)
       .toMap
     // (sequence, files, equality column names) per delete manifest
     val deletes: Seq[(Long, Seq[String], Seq[String])] =
       deleteEntries.map { e =>
         val fl = filesOf(e.manifestPath)
-        val eqIds = fl.headOption.flatMap(_._2).getOrElse(
+        val eqIds = fl.headOption.flatMap(_.eqIds).getOrElse(
           throw new IllegalStateException(
             s"delete manifest ${e.manifestPath} without equality_ids"))
-        (e.sequenceNumber, fl.map(_._1),
+        (e.sequenceNumber, fl.map(_.path),
           eqIds.map(id => fieldById.getOrElse(id,
             throw new IllegalStateException(s"unknown field id $id"))))
       }

@@ -250,6 +250,73 @@ class IcebergMetaSpec extends graft.SparkSpec {
     assert(ids.size() === 1 && ids.get(0) === 2) // field id of k
   }
 
+  test("data_file column stats: counts, typed bounds, range pruning") {
+    val (t, root) = fixture()
+    // two partitions with DISJOINT k ranges -> file-level bounds prune
+    IcebergMeta.mirror(spark, t, t.commit(
+      df(Seq((0L, 10L, "a"), (0L, 19L, "b"), (1L, 100L, "c"),
+        (1L, 190L, "d"))), touched = Seq("0", "1")))
+    val snaps = IcebergMeta.snapshots(spark, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(snaps(0).manifestList))
+    val lst = new org.apache.avro.file.DataFileStream(in,
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val listEntries = Iterator.continually(lst)
+      .takeWhile(_.hasNext).map(_.next()).toSeq
+    lst.close()
+    // open partition 0's manifest and pin the k-column stats
+    val m0 = listEntries.map(_.get("manifest_path").toString)
+      .find(_.contains("-m0")).get
+    val min0 = new org.apache.hadoop.fs.Path(m0)
+    val ms = new org.apache.avro.file.DataFileStream(
+      min0.getFileSystem(spark.sparkContext.hadoopConfiguration).open(min0),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val fileEntries = Iterator.continually(ms)
+      .takeWhile(_.hasNext).map(_.next()).toSeq
+    ms.close()
+    // aggregate the k bounds over partition 0's files (field id 2)
+    def boundsOf(name: String): Seq[Long] = fileEntries.map { e =>
+      val dfr = e.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val m = dfr.get(name)
+        .asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]]
+      val kv = m.asScala.find(_.get("key") == 2).get
+      val bb = kv.get("value").asInstanceOf[java.nio.ByteBuffer]
+      val bytes = new Array[Byte](bb.remaining())
+      bb.duplicate().get(bytes)
+      java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    }
+    assert(boundsOf("lower_bounds").min === 10L)
+    assert(boundsOf("upper_bounds").max === 19L)
+    val counts = fileEntries.map { e =>
+      val dfr = e.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val vc = dfr.get("value_counts")
+        .asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]]
+      val nc = dfr.get("null_value_counts")
+        .asInstanceOf[java.util.List[org.apache.avro.generic.GenericRecord]]
+      (vc.asScala.find(_.get("key") == 2).get.get("value"),
+        nc.asScala.find(_.get("key") == 2).get.get("value"))
+    }
+    assert(counts.map(_._1.asInstanceOf[Long]).sum === 2L) // 2 rows in p0
+    assert(counts.forall(_._2 === 0L)) // no nulls
+    // range read on k: only partition 1's range matches
+    val pruned = IcebergMeta.read(spark, root,
+      range = Some(("k", "100", "200")))
+    assert(pruned.select("k").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(100L, 190L))
+    // a range with no matching file bounds fails loudly (no data files)
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.read(spark, root, range = Some(("k", "500", "600")))
+        .count()
+    }
+    assert(e.getMessage.contains("no data files"))
+  }
+
   test("mirror enforces native-version order") {
     val (t, _) = fixture()
     val v1 = t.commit(df(Seq((0L, 1L, "a"))), touched = Seq("0"))
