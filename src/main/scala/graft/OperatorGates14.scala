@@ -197,6 +197,54 @@ object OperatorGates14 {
         .orderBy(col("snapshot"), col("shard"))
     }),
 
+    // --- CROSS-FORMAT TEXT dedup (the q_crossformat_neardup story in
+    //     the text domain): one logical document stored as plain text
+    //     / HTML / a real PDF must collapse to ONE fingerprint after
+    //     sniff-dispatched extraction + normalization — byte-level
+    //     dedup can never see these copies. Groups of 3 consecutive
+    //     ids share the leader's text in three containers. The oracle
+    //     fingerprints the leader text directly -----------------------
+    "q_crossformat_textdedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Text
+      import graft.operators.{Multimodal, PdfText, PdfWriter}
+      val media = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), normText(col("text")).as("t"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 3)
+        .flatMapGroups { (g, it) =>
+          val members = it.toSeq.sortBy(_._1)
+          val leaderText = members.head._2
+          members.map { case (id, _) =>
+            val bytes = (id % 3) match {
+              case 0 => leaderText.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)
+              case 1 => s"<html>$leaderText</html>".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)
+              case _ => PdfWriter.write(id,
+                PdfWriter.layout(leaderText, perLine = 8, linesPerPage = 6),
+                (g % 3).toInt)
+            }
+            (id, bytes)
+          }
+        }.toDF("media_id", "content")
+      val extracted = media.as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, c) =>
+          Multimodal.sniffModality(c) match {
+            case "application/pdf" =>
+              (id, PdfText.extract(id, c).text.replace('\n', ' '))
+            case _ => (id,
+              new String(c, java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }).toDF("media_id", "raw")
+      extracted
+        .select(col("media_id"), Text.stripHtml(col("raw")).as("clean"))
+        .groupBy(Text.fingerprint(col("clean")).as("fingerprint"))
+        .agg(min(col("media_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy(col("fingerprint"))
+    }),
+
     // --- Iceberg v2 EQUALITY DELETES (merge-on-read): a compliance
     //     purge deletes doc_ids WITHOUT rewriting any partition — a
     //     delete snapshot whose file removes matches from every data
@@ -385,6 +433,18 @@ object OperatorGates14 {
         |  CAST(sum_id AS BIGINT) AS sum_id
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
         |ORDER BY snapshot, shard""".stripMargin,
+
+    "q_crossformat_textdedup" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id < 300),
+        |m AS (
+        |  SELECT a.doc_id AS media_id, l.t AS lt
+        |  FROM d a JOIN d l ON l.doc_id = a.doc_id - a.doc_id % 3)
+        |SELECT md5(lt) AS fingerprint, min(media_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_iceberg_deletes" ->
       """WITH d AS (

@@ -290,6 +290,30 @@ object PdfText {
     out.result()
   }
 
+  /** The BUILT-IN encoding of an embedded Type1 font program
+    * (/FontFile): TeX fonts carry custom layouts as cleartext
+    * `dup <code> /<name> put` lines before `eexec` — without them the
+    * Standard fallback misreads every repositioned glyph (this is how
+    * pdftotext resolves CM-font text). Used only when the font dict
+    * names no /Encoding (the spec's precedence).
+    */
+  private val DupPut = """dup\s+(\d+)\s*/([^\s/]+)\s+put""".r
+
+  private def builtinType1Encoding(doc: Doc, fd: PDict): Map[Int, String] =
+    doc.resolve(fd.get("FontDescriptor").getOrElse(PNull)) match {
+      case d: PDict => doc.resolve(d.get("FontFile").getOrElse(PNull)) match {
+        case s: PStream =>
+          val data = doc.decodeStream(s)
+          val text = new String(data, StandardCharsets.ISO_8859_1)
+          val cut = text.indexOf("eexec")
+          val clear = if (cut >= 0) text.substring(0, cut) else text
+          DupPut.findAllMatchIn(clear)
+            .map(m => m.group(1).toInt -> m.group(2)).toMap
+        case _ => Map.empty
+      }
+      case _ => Map.empty
+    }
+
   private def loadFont(doc: Doc, fd: PDict): Font = {
     val id = doc.id
     val subtype = doc.resolve(fd.get("Subtype").getOrElse(PNull)) match {
@@ -326,19 +350,25 @@ object PdfText {
       }
       Font(twoByte = true, toUni, null, Map.empty, w, dw)
     } else {
-      // simple font: base encoding + differences
+      // simple font: base encoding + differences; when NO base
+      // encoding is named, the embedded font program's built-in
+      // encoding applies underneath /Differences (spec precedence)
       var baseMap: Array[String] =
         if (subtype == "TrueType") WinAnsi else Standard
+      var namedBase = false
       var diffs = Map.empty[Int, String]
       doc.resolve(fd.get("Encoding").getOrElse(PNull)) match {
-        case PName("WinAnsiEncoding") => baseMap = WinAnsi
-        case PName("MacRomanEncoding") => baseMap = MacRoman
-        case PName("StandardEncoding") => baseMap = Standard
+        case PName("WinAnsiEncoding") => baseMap = WinAnsi; namedBase = true
+        case PName("MacRomanEncoding") => baseMap = MacRoman; namedBase = true
+        case PName("StandardEncoding") => baseMap = Standard; namedBase = true
         case d: PDict =>
           doc.resolve(d.get("BaseEncoding").getOrElse(PNull)) match {
-            case PName("WinAnsiEncoding") => baseMap = WinAnsi
-            case PName("MacRomanEncoding") => baseMap = MacRoman
-            case PName("StandardEncoding") => baseMap = Standard
+            case PName("WinAnsiEncoding") =>
+              baseMap = WinAnsi; namedBase = true
+            case PName("MacRomanEncoding") =>
+              baseMap = MacRoman; namedBase = true
+            case PName("StandardEncoding") =>
+              baseMap = Standard; namedBase = true
             case _ => ()
           }
           doc.resolve(d.get("Differences").getOrElse(PNull)) match {
@@ -355,6 +385,10 @@ object PdfText {
             case _ => ()
           }
         case _ => ()
+      }
+      if (!namedBase && subtype == "Type1") {
+        val builtin = builtinType1Encoding(doc, fd)
+        if (builtin.nonEmpty) diffs = builtin ++ diffs // diffs win
       }
       val firstChar = doc.resolve(fd.get("FirstChar").getOrElse(PNull)) match {
         case n: PNum => n.i
