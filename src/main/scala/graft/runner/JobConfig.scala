@@ -351,6 +351,29 @@ object JobConfig {
           req(p, "op.mixturePlan.budgetTokens").toLong,
           maxEpochs = opt(p, "op.mixturePlan.maxEpochs").map(_.toLong).getOrElse(4L))
       }
+      case "extractDocText" => (df: DataFrame) => {
+        // sniff-dispatched text extraction over a binary payload
+        // column: PDFs through PdfText, everything else decoded UTF-8
+        // and HTML-stripped — the crawl chain's document-text seam
+        val bytesCol = req(p, "op.extractDocText.bytesColumn")
+        val outCol = opt(p, "op.extractDocText.outColumn").getOrElse("text")
+        val spark = df.sparkSession
+        import spark.implicits._
+        val idCol = req(p, "op.extractDocText.idColumn")
+        val extracted = df.select(col(idCol).cast("long"), col(bytesCol))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, c) =>
+            graft.operators.Multimodal.sniffModality(c) match {
+              case "application/pdf" =>
+                (id, graft.operators.PdfText.extract(id, c)
+                  .text.replace('\n', ' '))
+              case _ =>
+                (id, new String(c, java.nio.charset.StandardCharsets.UTF_8))
+            }
+          }).toDF(idCol, "_raw")
+          .select(col(idCol), Text.stripHtml(col("_raw")).as(outCol))
+        df.drop(bytesCol).join(extracted, idCol)
+      }
       case other => throw new IllegalArgumentException(s"unknown op: $other")
     }
 

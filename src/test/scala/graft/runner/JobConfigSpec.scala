@@ -114,6 +114,28 @@ class JobConfigSpec extends SparkSpec {
     assert(out(1).getString(2) == "naive <IP> text")
   }
 
+  test("declarative extractDocText op dispatches PDF and HTML payloads") {
+    import spark.implicits._
+    val conf =
+      """ops=extractDocText
+        |op.extractDocText.idColumn=id
+        |op.extractDocText.bytesColumn=payload
+        |op.extractDocText.outColumn=doc_text
+        |""".stripMargin
+    val ops = JobConfig.buildOps(JobConfig.parse(conf))
+    val pdf = graft.operators.PdfWriter.write(1L,
+      graft.operators.PdfWriter.layout("alpha beta gamma", 2, 4), 2)
+    val df = Seq(
+      (1L, pdf),
+      (2L, "<html>delta epsilon</html>".getBytes("UTF-8")),
+      (3L, "plain zeta".getBytes("UTF-8")))
+      .toDF("id", "payload")
+    val out = ops.foldLeft(df)((d, op) => op(d)).orderBy("id").collect()
+    assert(out.map(_.getAs[String]("doc_text")).toSeq ===
+      Seq("alpha beta gamma", "delta epsilon", "plain zeta"))
+    assert(!out.head.schema.fieldNames.contains("payload"))
+  }
+
   test("declarative lmFilter + temperatureResample + zorderKey ops") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
