@@ -197,6 +197,34 @@ object OperatorGates14 {
         .orderBy(col("snapshot"), col("shard"))
     }),
 
+    // --- HTML page metadata (crawl tier): <title> text and OpenGraph
+    //     og:title / og:description in BOTH attribute orders, via
+    //     codegen'd RE2-safe regexp columns — titles/descriptions are
+    //     the page-ranking signals curation uses before any body-text
+    //     stage. Planted HTML replayed by the oracle ------------------
+    "q_html_meta" -> ((s, dir) => {
+      import graft.functions.Text
+      val d = t(s, dir, "documents").filter(col("doc_id") < 400)
+      val html = concat(
+        lit("<html><head><title> Doc "), col("doc_id"),
+        lit(" \n of "), col("source"), lit("</title>"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("<meta property=\"og:title\" content=\""),
+            col("source"), lit(" page\"/>")))
+          .otherwise(concat(lit("<meta content='"), col("source"),
+            lit(" page' property='og:title'/>"))),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("<meta property=\"og:description\" content=\""),
+            substring(col("text"), 1, 40), lit("\"/>")))
+          .otherwise(lit("")),
+        lit("</head><body>"), col("text"), lit("</body></html>"))
+      d.select(col("doc_id"),
+        Text.htmlTitle(html).as("title"),
+        Text.htmlMetaContent(html, "og:title").as("og_title"),
+        Text.htmlMetaContent(html, "og:description").as("og_desc"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- CROSS-FORMAT TEXT dedup (the q_crossformat_neardup story in
     //     the text domain): one logical document stored as plain text
     //     / HTML / a real PDF must collapse to ONE fingerprint after
@@ -433,6 +461,16 @@ object OperatorGates14 {
         |  CAST(sum_id AS BIGINT) AS sum_id
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
         |ORDER BY snapshot, shard""".stripMargin,
+
+    "q_html_meta" ->
+      """SELECT doc_id,
+        |  'Doc ' || doc_id || ' of ' || source AS title,
+        |  source || ' page' AS og_title,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN trim(regexp_replace(substring(coalesce(text, ''), 1, 40),
+        |      '\s+', ' ', 'g'))
+        |    ELSE '' END AS og_desc
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin,
 
     "q_crossformat_textdedup" ->
       """WITH d AS (

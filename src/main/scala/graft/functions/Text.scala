@@ -433,6 +433,27 @@ object Text {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** Page metadata out of raw HTML — the crawl tier's title/
+    * description signals (curation ranks and labels pages by them
+    * before any body-text stage). Pure codegen'd regexp columns,
+    * RE2-safe (no backtracking constructs): `<title>` text, and
+    * OpenGraph `og:title` / `og:description` meta content in either
+    * attribute order. Missing pieces come back as empty strings.
+    */
+  def htmlTitle(html: Column): Column =
+    trim(regexp_replace(
+      regexp_extract(html, "(?i)<title[^>]*>([^<]*)</title>", 1),
+      "\\s+", " "))
+
+  def htmlMetaContent(html: Column, prop: String): Column = {
+    // property before content, or content before property
+    val a = regexp_extract(html,
+      s"""(?i)<meta[^>]*property\\s*=\\s*["']$prop["'][^>]*content\\s*=\\s*["']([^"']*)["']""", 1)
+    val b = regexp_extract(html,
+      s"""(?i)<meta[^>]*content\\s*=\\s*["']([^"']*)["'][^>]*property\\s*=\\s*["']$prop["']""", 1)
+    trim(regexp_replace(when(length(a) > 0, a).otherwise(b), "\\s+", " "))
+  }
+
   /** Canonicalize one URL string — the dedup/blocklist key
     * normalization: fragment stripped, scheme+host lowercased,
     * default :80/:443 port dropped, utm_* tracking params removed

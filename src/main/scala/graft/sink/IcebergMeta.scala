@@ -641,6 +641,50 @@ object IcebergMeta {
     } finally stream.close()
   }
 
+  /** Expire all but the newest `keepLast` snapshots — Iceberg's
+    * expire-snapshots maintenance, the mirror of
+    * [[ShardedTable.expireVersions]]: the current metadata.json is
+    * rewritten with the trimmed snapshot log, and manifest LISTS plus
+    * manifests referenced ONLY by expired snapshots are deleted
+    * (manifests shared with surviving snapshots stay — the carry-by-
+    * path reuse makes that the common case). Data files are owned by
+    * the native table's own expiry. Returns deleted metadata files.
+    */
+  def expireSnapshots(spark: SparkSession, tableRoot: String,
+      keepLast: Int): Int = {
+    require(keepLast >= 1, "must keep at least one snapshot")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new Path(s"$tableRoot/metadata")
+    val fs = metaDir.getFileSystem(conf)
+    val v = currentMetaVersion(fs, metaDir)
+    require(v > 0, s"no Iceberg metadata under $tableRoot")
+    val md = M.readTree(readBytes(fs, metadataJsonAt(fs, metaDir, v)))
+      .asInstanceOf[ObjectNode]
+    val snaps = md.get("snapshots").elements().asScala.toSeq
+    if (snaps.length <= keepLast) return 0
+    val (dropped, kept) = snaps.splitAt(snaps.length - keepLast)
+    // manifests still referenced by a surviving snapshot
+    val keptManifests = kept.flatMap { s =>
+      readManifestListFile(fs, s.get("manifest-list").asText(), StringType)
+        .map(_.manifestPath)
+    }.toSet
+    var deleted = 0
+    dropped.foreach { s =>
+      val listPath = s.get("manifest-list").asText()
+      readManifestListFile(fs, listPath, StringType).foreach { e =>
+        if (!keptManifests.contains(e.manifestPath)) {
+          if (fs.delete(new Path(e.manifestPath), false)) deleted += 1
+        }
+      }
+      if (fs.delete(new Path(listPath), false)) deleted += 1
+    }
+    val keptArr = md.putArray("snapshots")
+    kept.foreach(keptArr.add)
+    writeAtomic(fs, metadataJsonAt(fs, metaDir, v),
+      M.writerWithDefaultPrettyPrinter().writeValueAsBytes(md))
+    deleted
+  }
+
   // ------------------------------------------------------- the reader
 
   final case class SnapshotInfo(snapshotId: Long, sequenceNumber: Long,

@@ -317,6 +317,32 @@ class IcebergMetaSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("no data files"))
   }
 
+  test("expireSnapshots trims the log and keeps shared manifests") {
+    val (t, root) = fixture()
+    IcebergMeta.mirror(spark, t, t.commit(
+      df(Seq((0L, 1L, "a"), (1L, 2L, "b"))), touched = Seq("0", "1")))
+    IcebergMeta.mirror(spark, t, t.commit(
+      df(Seq((1L, 20L, "B"))), touched = Seq("1")))
+    IcebergMeta.mirror(spark, t, t.commit(
+      df(Seq((1L, 30L, "C"))), touched = Seq("1")))
+    val before = IcebergMeta.snapshots(spark, root).map(_.snapshotId)
+    assert(before === Seq(1L, 2L, 3L))
+    val deleted = IcebergMeta.expireSnapshots(spark, root, keepLast = 1)
+    assert(deleted >= 3) // two old lists + at least one orphaned manifest
+    val after = IcebergMeta.snapshots(spark, root)
+    assert(after.map(_.snapshotId) === Seq(3L))
+    // the survivor still reads fine: partition 0's manifest was SHARED
+    // with expired snapshots and must have survived the expiry
+    val rows = IcebergMeta.read(spark, root)
+      .select("part", "k").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    assert(rows === Seq((0L, 1L), (1L, 30L)))
+    // expired snapshots are gone
+    intercept[IllegalArgumentException] {
+      IcebergMeta.read(spark, root, snapshotId = Some(1L))
+    }
+  }
+
   test("mirror enforces native-version order") {
     val (t, _) = fixture()
     val v1 = t.commit(df(Seq((0L, 1L, "a"))), touched = Seq("0"))
