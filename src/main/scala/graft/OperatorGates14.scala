@@ -197,6 +197,70 @@ object OperatorGates14 {
         .orderBy(col("snapshot"), col("shard"))
     }),
 
+    // --- FLAGSHIP document pipeline: one logical corpus stored as a
+    //     MIX of plain text / HTML / real PDFs (groups of 3 ids share
+    //     the leader's text) -> magic-byte dispatch + extraction ->
+    //     cross-format exact dedup (min-id survivor per fingerprint)
+    //     -> token/char stats -> ShardedTable publish -> Iceberg v2
+    //     mirror -> read back THROUGH THE ICEBERG METADATA ONLY. The
+    //     oracle replays the whole chain from the source table --------
+    "q_document_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Text
+      import graft.operators.{Multimodal, PdfText, PdfWriter}
+      import graft.sink.{IcebergMeta, ShardedTable}
+      val media = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), normText(col("text")).as("t"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 3)
+        .flatMapGroups { (g, it) =>
+          val members = it.toSeq.sortBy(_._1)
+          val leaderText = members.head._2
+          members.map { case (id, _) =>
+            val bytes = (id % 3) match {
+              case 0 => leaderText.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)
+              case 1 => s"<html>$leaderText</html>".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)
+              case _ => PdfWriter.write(id,
+                PdfWriter.layout(leaderText, perLine = 8, linesPerPage = 6),
+                (g % 3).toInt)
+            }
+            (id, bytes)
+          }
+        }.toDF("media_id", "content")
+      val extracted = media.as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, c) =>
+          Multimodal.sniffModality(c) match {
+            case "application/pdf" =>
+              (id, PdfText.extract(id, c).text.replace('\n', ' '))
+            case _ => (id,
+              new String(c, java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }).toDF("media_id", "raw")
+        .select(col("media_id"), Text.stripHtml(col("raw")).as("clean"))
+      val survivors = extracted
+        .groupBy(Text.fingerprint(col("clean")).as("fp"))
+        .agg(min(col("media_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"),
+          first(col("clean")).as("clean"))
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(4)).cast("long").as("shard"),
+          col("n_copies"),
+          Text.tokenCount(col("clean")).cast("long").as("n_tokens"),
+          length(col("clean")).cast("long").as("clean_chars"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_docpipe").toString
+      val table = new ShardedTable(s"$tmp/t", "shard",
+        s.sparkContext.hadoopConfiguration)
+      val v = table.commit(survivors, touched = Seq("0", "1", "2", "3"))
+      IcebergMeta.mirror(s, table, v)
+      IcebergMeta.read(s, s"$tmp/t")
+        .select(col("doc_id"), col("shard"), col("n_copies"),
+          col("n_tokens"), col("clean_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- HTML page metadata (crawl tier): <title> text and OpenGraph
     //     og:title / og:description in BOTH attribute orders, via
     //     codegen'd RE2-safe regexp columns — titles/descriptions are
@@ -461,6 +525,24 @@ object OperatorGates14 {
         |  CAST(sum_id AS BIGINT) AS sum_id
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
         |ORDER BY snapshot, shard""".stripMargin,
+
+    "q_document_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id < 300),
+        |m AS (
+        |  SELECT a.doc_id AS media_id, l.t AS lt
+        |  FROM d a JOIN d l ON l.doc_id = a.doc_id - a.doc_id % 3),
+        |surv AS (
+        |  SELECT min(media_id) AS doc_id, count(*) AS n_copies, lt
+        |  FROM m GROUP BY lt)
+        |SELECT doc_id, doc_id % 4 AS shard,
+        |  CAST(n_copies AS BIGINT) AS n_copies,
+        |  CAST(len(list_filter(string_split(lt, ' '),
+        |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |  CAST(len(lt) AS BIGINT) AS clean_chars
+        |FROM surv ORDER BY doc_id""".stripMargin,
 
     "q_html_meta" ->
       """SELECT doc_id,
