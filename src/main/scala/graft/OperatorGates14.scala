@@ -25,15 +25,17 @@ object OperatorGates14 {
     (16 + (g * 47 + bx * 31 + by * 67) % 224).toInt
   }
 
-  /** A 64x48 constant-block gray image (JPEG-q100-exact regime)
-    * PHYSICALLY transformed by the inverse of orientation
-    * o = 1 + (d/25) % 8 and tagged with EXIF Orientation o — so the
-    * upright decode is the SAME base image for every member of the
-    * group. Byte order alternates II/MM; the o=1 odd ids carry no
-    * APP1 at all (the no-Exif default path).
+  /** A 64x48 constant-block gray image (JPEG-q100-exact regime; VP8L
+    * is lossless) PHYSICALLY transformed by the inverse of
+    * orientation o = 1 + (d/25) % 8 and tagged with EXIF Orientation
+    * o — so the upright decode is the SAME base image for every
+    * member of the group. Container alternates: every 4th member is
+    * a VP8X WebP with an EXIF chunk, the rest JPEG with APP1. Byte
+    * order alternates II/MM; the o=1 odd ids carry no Exif at all
+    * (the missing-Exif default path).
     */
   private[graft] def synthExifJpeg(d: Long): Array[Byte] = {
-    import graft.operators.{JpegCodec, Multimodal}
+    import graft.operators.{JpegCodec, Multimodal, WebpCodec}
     val k = d / 25
     val o = (1 + k % 8).toInt
     val inv = o match { case 6 => 8; case 8 => 6; case x => x }
@@ -46,10 +48,16 @@ object OperatorGates14 {
     }
     val upright = JpegCodec.DecodedImage(64, 48, 3, rgb)
     val stored = Multimodal.applyOrientation(upright, inv)
-    val enc = JpegCodec.encodeRgb(stored.width, stored.height,
-      stored.pixels, quality = 100, subsample = true)
-    if (o == 1 && k % 2 == 1) enc // no APP1: the missing-Exif default
-    else JpegCodec.withExifOrientation(enc, o, bigEndian = k % 2 == 0)
+    if (k % 4 == 3) {
+      val plain = WebpCodec.encodeLossless(stored.width, stored.height,
+        3, stored.pixels)
+      WebpCodec.withExifOrientation(d, plain, o, bigEndian = k % 2 == 0)
+    } else {
+      val enc = JpegCodec.encodeRgb(stored.width, stored.height,
+        stored.pixels, quality = 100, subsample = true)
+      if (o == 1 && k % 2 == 1) enc // no APP1: the missing-Exif default
+      else JpegCodec.withExifOrientation(enc, o, bigEndian = k % 2 == 0)
+    }
   }
 
   /** Normalize a doc's text to the single-space form both the PDF
@@ -418,12 +426,17 @@ object OperatorGates14 {
         .as[Long]
         .mapPartitions(_.map(id => (id, synthExifJpeg(id))))
         .toDF("media_id", "content")
-      // the planted orientation read back from the real APP1 bytes —
-      // proves the splice/parse round-trip in BOTH byte orders — and
+      // the planted orientation read back from the real container
+      // bytes (JPEG APP1 or WebP EXIF chunk, both byte orders) and
       // the hash through the shared normalized decode
       val withO = media.as[(Long, Array[Byte])]
         .mapPartitions(_.map { case (id, c) =>
-          (id, JpegCodec.exifOrientation(id, c).toLong)
+          val o = Multimodal.sniffModality(c) match {
+            case "image/webp" => graft.operators.WebpCodec
+              .exifOrientation(id, c)
+            case _ => JpegCodec.exifOrientation(id, c)
+          }
+          (id, o.toLong)
         }).toDF("media_id", "exif_orientation")
       val hashes = Multimodal.aHashAuto(media).toDF()
       withO.join(hashes, "media_id")
@@ -600,7 +613,8 @@ object OperatorGates14 {
         |         + ((6 * (j // 8)) // 16) * 67) % 224)) AS lum
         |  FROM imgs)
         |SELECT doc_id AS media_id, CAST(o AS BIGINT) AS exif_orientation,
-        |  'image/jpeg' AS modality,
+        |  CASE WHEN (doc_id // 25) % 4 = 3 THEN 'image/webp'
+        |       ELSE 'image/jpeg' END AS modality,
         |  array_to_string(list_transform(range(63, -1, -1), j ->
         |    CASE WHEN 64 * lum[j + 1] > list_sum(lum) THEN 1 ELSE 0 END), '')
         |    AS ahash_bits

@@ -1154,63 +1154,67 @@ object JpegCodec {
       if (marker == 0xe1 && len >= 2 + 6 + 8 &&
           bytes(pos + 4) == 'E' && bytes(pos + 5) == 'x' &&
           bytes(pos + 6) == 'i' && bytes(pos + 7) == 'f' &&
-          bytes(pos + 8) == 0 && bytes(pos + 9) == 0) {
-        val tiff = pos + 10 // TIFF header origin (offsets are relative to it)
-        val end = pos + 2 + len
-        val b0 = bytes(tiff) & 0xff
-        val b1 = bytes(tiff + 1) & 0xff
-        val little =
-          if (b0 == 'I' && b1 == 'I') true
-          else if (b0 == 'M' && b1 == 'M') false
-          else throw new IllegalArgumentException(
-            s"media $id: bad TIFF byte-order mark in Exif")
-        def u16At(o: Int): Int = {
-          require(o + 2 <= end, s"media $id: Exif TIFF read past segment")
-          if (little) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
-          else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
-        }
-        def u32At(o: Int): Long = {
-          require(o + 4 <= end, s"media $id: Exif TIFF read past segment")
-          if (little) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
-            ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
-          else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
-            ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
-        }
-        require(u16At(tiff + 2) == 42, s"media $id: bad TIFF magic in Exif")
-        val ifd0 = u32At(tiff + 4)
-        require(ifd0 >= 8 && tiff + ifd0 + 2 <= end,
-          s"media $id: Exif IFD0 offset outside segment")
-        val entryBase = tiff + ifd0.toInt
-        val n = u16At(entryBase)
-        var i = 0
-        while (i < n) {
-          val e = entryBase + 2 + i * 12
-          if (u16At(e) == 0x0112 && u16At(e + 2) == 3 && u32At(e + 4) == 1L) {
-            val v = u16At(e + 8) // SHORT fits inline, byte-order applies
-            require(v >= 1 && v <= 8,
-              s"media $id: Exif Orientation $v outside 1..8")
-            return v
-          }
-          i += 1
-        }
-        return 1 // Exif present, no Orientation entry
-      }
+          bytes(pos + 8) == 0 && bytes(pos + 9) == 0)
+        return tiffOrientation(id, bytes, pos + 10, pos + 2 + len)
       pos += 2 + len
     }
     1
   }
 
-  /** Splice an APP1/Exif segment carrying only the Orientation tag
-    * right after SOI (writers put APP1 first; readers only need it
-    * before SOS). `bigEndian` picks the TIFF byte order — both are
-    * legal in the wild and [[exifOrientation]] must read both.
+  /** The Orientation entry of a TIFF IFD0 block at `[tiff, end)` —
+    * the payload of a JPEG APP1/Exif segment or a WebP EXIF chunk.
+    * Returns 1 when no Orientation entry exists; malformed TIFF
+    * structure fails loudly.
     */
-  def withExifOrientation(jpeg: Array[Byte], orientation: Int,
-      bigEndian: Boolean = false): Array[Byte] = {
+  private[operators] def tiffOrientation(id: Long, bytes: Array[Byte],
+      tiff: Int, end: Int): Int = {
+    require(tiff + 8 <= end, s"media $id: Exif TIFF block too short")
+    val b0 = bytes(tiff) & 0xff
+    val b1 = bytes(tiff + 1) & 0xff
+    val little =
+      if (b0 == 'I' && b1 == 'I') true
+      else if (b0 == 'M' && b1 == 'M') false
+      else throw new IllegalArgumentException(
+        s"media $id: bad TIFF byte-order mark in Exif")
+    def u16At(o: Int): Int = {
+      require(o + 2 <= end, s"media $id: Exif TIFF read past segment")
+      if (little) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    }
+    def u32At(o: Int): Long = {
+      require(o + 4 <= end, s"media $id: Exif TIFF read past segment")
+      if (little) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    }
+    require(u16At(tiff + 2) == 42, s"media $id: bad TIFF magic in Exif")
+    val ifd0 = u32At(tiff + 4)
+    require(ifd0 >= 8 && tiff + ifd0 + 2 <= end,
+      s"media $id: Exif IFD0 offset outside segment")
+    val entryBase = tiff + ifd0.toInt
+    val n = u16At(entryBase)
+    var i = 0
+    while (i < n) {
+      val e = entryBase + 2 + i * 12
+      if (u16At(e) == 0x0112 && u16At(e + 2) == 3 && u32At(e + 4) == 1L) {
+        val v = u16At(e + 8) // SHORT fits inline, byte-order applies
+        require(v >= 1 && v <= 8,
+          s"media $id: Exif Orientation $v outside 1..8")
+        return v
+      }
+      i += 1
+    }
+    1 // Exif present, no Orientation entry
+  }
+
+  /** A minimal TIFF block carrying only the Orientation tag — the
+    * payload shared by the JPEG APP1 splice and WebP's EXIF chunk.
+    */
+  private[operators] def exifTiffBytes(orientation: Int,
+      bigEndian: Boolean): Array[Byte] = {
     require(orientation >= 1 && orientation <= 8,
       s"Exif orientation $orientation outside 1..8")
-    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
-      (jpeg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
     val tiff = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit =
       if (bigEndian) { tiff.write(v >> 8); tiff.write(v & 0xff) }
@@ -1224,7 +1228,19 @@ object JpegCodec {
     u16(1) // one entry
     u16(0x0112); u16(3); u32(1); u16(orientation); u16(0) // tag/SHORT/count/value+pad
     u32(0) // next-IFD pointer: none
-    val t = tiff.toByteArray
+    tiff.toByteArray
+  }
+
+  /** Splice an APP1/Exif segment carrying only the Orientation tag
+    * right after SOI (writers put APP1 first; readers only need it
+    * before SOS). `bigEndian` picks the TIFF byte order — both are
+    * legal in the wild and [[exifOrientation]] must read both.
+    */
+  def withExifOrientation(jpeg: Array[Byte], orientation: Int,
+      bigEndian: Boolean = false): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+    val t = exifTiffBytes(orientation, bigEndian)
     val seg = new java.io.ByteArrayOutputStream()
     seg.write(0xff); seg.write(0xe1)
     val len = 2 + 6 + t.length

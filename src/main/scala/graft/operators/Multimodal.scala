@@ -782,7 +782,10 @@ object Multimodal {
         applyOrientation(JpegCodec.decode(id, c),
           JpegCodec.exifOrientation(id, c))
       case "image/webp" | "image/webp-lossy" =>
-        WebpCodec.toDecodedImage(WebpCodec.decode(id, c))
+        // WebP stills carry EXIF in a VP8X chunk — same normalization
+        // contract as the JPEG APP1 path
+        applyOrientation(WebpCodec.toDecodedImage(WebpCodec.decode(id, c)),
+          WebpCodec.exifOrientation(id, c))
       case "image/webp-anim" => // first composited frame, like GIF
         WebpCodec.frameToDecodedImage(WebpCodec.decodeAnim(id, c), 0)
       case other => throw new IllegalArgumentException(

@@ -90,6 +90,71 @@ object WebpCodec {
     None
   }
 
+  /** The EXIF Orientation of a WebP still (VP8X EXIF chunk), or 1
+    * when absent — same contract as [[JpegCodec.exifOrientation]].
+    * The chunk payload is a raw TIFF block; some writers prefix it
+    * with JPEG's "Exif\0\0" marker, both are read.
+    */
+  def exifOrientation(id: Long, bytes: Array[Byte]): Int = {
+    require(isWebp(bytes), s"media $id: not a WebP RIFF container")
+    findChunk(id, bytes, "EXIF") match {
+      case None => 1
+      case Some(p) =>
+        val off = if (p.length >= 6 && p(0) == 'E' && p(1) == 'x' &&
+          p(2) == 'i' && p(3) == 'f' && p(4) == 0 && p(5) == 0) 6 else 0
+        JpegCodec.tiffOrientation(id, p, off, p.length)
+    }
+  }
+
+  /** Wrap a simple (VP8 /VP8L-only) WebP into a VP8X container
+    * carrying an EXIF chunk with the Orientation tag — the fixture
+    * face of [[exifOrientation]]. Canvas dims come from decoding the
+    * bitstream (fixture-time cost only).
+    */
+  def withExifOrientation(id: Long, webp: Array[Byte], orientation: Int,
+      bigEndian: Boolean = false): Array[Byte] = {
+    val img = decode(id, webp)
+    val (tag, payload) = findBitstream(id, webp)
+    val exif = JpegCodec.exifTiffBytes(orientation, bigEndian)
+    val out = new java.io.ByteArrayOutputStream()
+    def u32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def u24(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff)
+    }
+    def chunk(t: String, data: Array[Byte]): Unit = {
+      t.foreach(c => out.write(c))
+      u32(data.length)
+      out.write(data, 0, data.length)
+      if ((data.length & 1) == 1) out.write(0) // pad to even
+    }
+    out.write('R'); out.write('I'); out.write('F'); out.write('F')
+    u32(0) // placeholder, patched below
+    out.write('W'); out.write('E'); out.write('B'); out.write('P')
+    // VP8X: flags (EXIF=0x08 plus alpha if the source has it), canvas
+    val vp8x = new java.io.ByteArrayOutputStream()
+    vp8x.write(0x08 | (if (img.hasAlpha) 0x10 else 0))
+    vp8x.write(0); vp8x.write(0); vp8x.write(0)
+    val w1 = img.width - 1; val h1 = img.height - 1
+    vp8x.write(w1 & 0xff); vp8x.write((w1 >> 8) & 0xff)
+    vp8x.write((w1 >> 16) & 0xff)
+    vp8x.write(h1 & 0xff); vp8x.write((h1 >> 8) & 0xff)
+    vp8x.write((h1 >> 16) & 0xff)
+    chunk("VP8X", vp8x.toByteArray)
+    chunk(tag, payload)
+    chunk("EXIF", exif)
+    val bytes = out.toByteArray
+    val riffSize = bytes.length - 8
+    bytes(4) = (riffSize & 0xff).toByte
+    bytes(5) = ((riffSize >> 8) & 0xff).toByte
+    bytes(6) = ((riffSize >> 16) & 0xff).toByte
+    bytes(7) = ((riffSize >> 24) & 0xff).toByte
+    bytes
+  }
+
   /** True iff the container carries a LOSSLESS (VP8L) bitstream. */
   def isLossless(bytes: Array[Byte]): Boolean =
     isWebp(bytes) &&
