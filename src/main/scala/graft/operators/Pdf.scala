@@ -186,6 +186,14 @@ object PdfCodec {
       v
     }
 
+    // adversarial [[[[... / <<<<... nesting must fail loudly instead
+    // of overflowing the parse stack
+    private var nesting = 0
+    private def push(): Unit = {
+      nesting += 1
+      require(nesting <= 64, s"media $id: PDF nesting deeper than 64")
+    }
+
     /** Next object; content-stream keywords come back as POp. */
     def readToken(): Obj = {
       skipWs()
@@ -195,6 +203,7 @@ object PdfCodec {
         case '(' => readLiteralString()
         case '/' => readName()
         case '[' =>
+          push()
           pos += 1
           val items = Vector.newBuilder[Obj]
           skipWs()
@@ -203,6 +212,7 @@ object PdfCodec {
             items += readToken(); skipWs()
           }
           pos += 1
+          nesting -= 1
           PArr(items.result())
         case ']' | '}' | ')' | '>' =>
           if (c == '>' && pos + 1 < b.length && b(pos + 1) == '>') {
@@ -211,13 +221,16 @@ object PdfCodec {
             s"media $id: stray delimiter '${c.toChar}' at $pos")
         case '<' =>
           if (pos + 1 < b.length && b(pos + 1) == '<') {
+            push()
             pos += 2
             val m = Map.newBuilder[String, Obj]
             var done = false
             while (!done) {
               skipWs()
               require(pos + 1 < b.length, s"media $id: unterminated dict")
-              if (b(pos) == '>' && b(pos + 1) == '>') { pos += 2; done = true }
+              if (b(pos) == '>' && b(pos + 1) == '>') {
+                pos += 2; nesting -= 1; done = true
+              }
               else {
                 val k = readToken()
                 require(k.isInstanceOf[PName],
@@ -247,6 +260,13 @@ object PdfCodec {
 
   // ---------------------------------------------------------- filters
 
+  /** Decoded-stream budget: only content/font/CMap/xref/ObjStm
+    * streams are ever decoded (images are skipped), so 64 MB is far
+    * past any legitimate size — an adversarial deflate bomb fails
+    * loudly instead of allocating unboundedly on an executor.
+    */
+  private val MaxStreamBytes = 64 * 1024 * 1024
+
   private def inflate(id: Long, data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
@@ -262,6 +282,9 @@ object PdfCodec {
           if (!inf.finished()) return out.toByteArray
         }
         out.write(buf, 0, n)
+        require(out.size() <= MaxStreamBytes,
+          s"media $id: FlateDecode output exceeds the " +
+            s"$MaxStreamBytes-byte stream budget (deflate bomb?)")
       }
     } catch {
       case e: java.util.zip.DataFormatException =>
@@ -437,6 +460,8 @@ object PdfCodec {
             else throw new IllegalArgumentException(
               s"media $id: bad LZW code $code")
           out.write(entry, 0, entry.length)
+          require(out.size() <= MaxStreamBytes,
+            s"media $id: LZWDecode output exceeds the stream budget")
           if (prev != null && dict.length < 4096) dict += (prev :+ entry(0))
           prev = entry
           if (dict.length + earlyChange >= (1 << width) && width < 12)
@@ -466,6 +491,7 @@ object PdfCodec {
     private val xref = scala.collection.mutable.Map.empty[Int, XrefEntry]
     private[this] var trailerDict: Map[String, Obj] = Map.empty
     private val cache = scala.collection.mutable.Map.empty[Int, Obj]
+    private val inFlight = scala.collection.mutable.Set.empty[Int]
 
     locally {
       val tail = new String(bytes,
@@ -648,8 +674,20 @@ object PdfCodec {
       (num, obj)
     }
 
-    /** Fetch object `num`, through object streams if needed. */
-    def obj(num: Int): Obj = cache.getOrElseUpdate(num, {
+    /** Fetch object `num`, through object streams if needed. A
+      * corrupted xref can point an object INTO an ObjStm whose own
+      * stream object resolves back through it — guard the recursion
+      * or it overflows the stack instead of failing loudly.
+      */
+    def obj(num: Int): Obj = cache.get(num).getOrElse {
+      require(inFlight.add(num),
+        s"media $id: object $num resolves through itself (xref cycle)")
+      val resolvedObj = try objUncached(num) finally inFlight.remove(num)
+      cache(num) = resolvedObj
+      resolvedObj
+    }
+
+    private def objUncached(num: Int): Obj = {
       xref.get(num) match {
         case None => PNull // spec: missing object is null
         case Some(AtOffset(off)) =>
@@ -685,7 +723,7 @@ object PdfCodec {
             s"media $id: object $num not at index $idx of ObjStm $stmNum")
           new Lexer(data, offInStm, id).readToken()
       }
-    })
+    }
 
     def resolve(o: Obj): Obj = o match {
       case PRef(n, _) => resolve(obj(n))
