@@ -269,6 +269,62 @@ object OperatorGates14 {
         .orderBy(col("doc_id"))
     }),
 
+    // --- MP3 container probe: ID3v2 skip + MPEG-1/2 Layer-III frame
+    //     walk (bitrate/samplerate tables, padding-aware frame
+    //     sizing) — compressed-audio corpus accounting without MDCT
+    //     decode, the Mp4Codec contract. All header arithmetic
+    //     replays in SQL from the fixture parameters ----------------
+    "q_mp3_probe" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Mp3Codec
+      t(s, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id / 25
+          val bytes = Mp3Codec.synthesize(
+            nFrames = (10 + k % 7).toInt,
+            brIdx = (1 + k % 14).toInt,
+            srIdx = ((k / 2) % 3).toInt,
+            mpeg1 = k % 2 == 0,
+            id3Bytes = if (k % 3 == 0) (50 + k).toInt else 0)
+          val f = Mp3Codec.parse(id, bytes)
+          (id, f.nFrames.toLong, f.bitrateKbps.toLong,
+            f.sampleRate.toLong, f.samplesPerFrame.toLong,
+            f.durationMs, f.hasId3)
+        })
+        .toDF("media_id", "n_frames", "bitrate_kbps", "sample_rate",
+          "samples_per_frame", "duration_ms", "has_id3")
+        .orderBy(col("media_id"))
+    }),
+
+    // --- FLAC STREAMINFO probe: the mandatory first metadata block's
+    //     bit layout (20-bit sample rate straddling byte boundaries,
+    //     36-bit total samples, the signature MD5) ------------------
+    "q_flac_probe" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.FlacCodec
+      t(s, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map { id =>
+          val k = id / 25
+          val rates = Array(8000, 16000, 22050, 32000, 44100, 48000)
+          val bytes = FlacCodec.synthesize(
+            sampleRate = rates((k % 6).toInt),
+            channels = (1 + k % 4).toInt,
+            bps = if (k % 2 == 0) 16 else 24,
+            totalSamples = 1000 + k * 977,
+            md5 = Array.tabulate(16)(i => ((k * 31 + i) % 256).toByte))
+          val f = FlacCodec.parse(id, bytes)
+          (id, f.sampleRate.toLong, f.channels.toLong,
+            f.bitsPerSample.toLong, f.totalSamples, f.durationMs, f.md5Hex)
+        })
+        .toDF("media_id", "sample_rate", "channels", "bits_per_sample",
+          "total_samples", "duration_ms", "md5_hex")
+        .orderBy(col("media_id"))
+    }),
+
     // --- HTML page metadata (crawl tier): <title> text and OpenGraph
     //     og:title / og:description in BOTH attribute orders, via
     //     codegen'd RE2-safe regexp columns — titles/descriptions are
@@ -556,6 +612,57 @@ object OperatorGates14 {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  CAST(len(lt) AS BIGINT) AS clean_chars
         |FROM surv ORDER BY doc_id""".stripMargin,
+
+    "q_mp3_probe" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id // 25 AS k
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |f AS (
+        |  SELECT doc_id, k,
+        |    10 + k % 7 AS n_frames,
+        |    k % 2 = 0 AS mpeg1,
+        |    1 + k % 14 AS br_idx,
+        |    (k // 2) % 3 AS sr_idx
+        |  FROM p),
+        |g AS (
+        |  SELECT doc_id, n_frames,
+        |    CASE WHEN mpeg1
+        |      THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320][br_idx]
+        |      ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160][br_idx]
+        |    END AS bitrate_kbps,
+        |    CASE WHEN mpeg1 THEN [44100,48000,32000][sr_idx + 1]
+        |         ELSE [22050,24000,16000][sr_idx + 1] END AS sample_rate,
+        |    CASE WHEN mpeg1 THEN 1152 ELSE 576 END AS spf,
+        |    (doc_id // 25) % 3 = 0 AS has_id3
+        |  FROM f)
+        |SELECT doc_id AS media_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(bitrate_kbps AS BIGINT) AS bitrate_kbps,
+        |  CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(spf AS BIGINT) AS samples_per_frame,
+        |  CAST(n_frames * spf * 1000 // sample_rate AS BIGINT) AS duration_ms,
+        |  has_id3
+        |FROM g ORDER BY media_id""".stripMargin,
+
+    "q_flac_probe" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id // 25 AS k
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |f AS (
+        |  SELECT doc_id, k,
+        |    [8000,16000,22050,32000,44100,48000][CAST(k % 6 AS INT) + 1]
+        |      AS sample_rate,
+        |    1 + k % 4 AS channels,
+        |    CASE WHEN k % 2 = 0 THEN 16 ELSE 24 END AS bits_per_sample,
+        |    1000 + k * 977 AS total_samples
+        |  FROM p)
+        |SELECT doc_id AS media_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(bits_per_sample AS BIGINT) AS bits_per_sample,
+        |  CAST(total_samples AS BIGINT) AS total_samples,
+        |  CAST(total_samples * 1000 // sample_rate AS BIGINT) AS duration_ms,
+        |  array_to_string(list_transform(range(0, 16),
+        |    i -> printf('%02x', (k * 31 + i) % 256)), '') AS md5_hex
+        |FROM f ORDER BY media_id""".stripMargin,
 
     "q_html_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,175 @@
+package graft.operators
+
+/** MP3 and FLAC container probes — honest header-level parsing of the
+  * two compressed audio formats a scraped corpus actually carries
+  * (the WAV codec handles PCM; frame DECODE of MDCT codecs is out of
+  * scope, exactly the boundary the container imposes — the Mp4Codec
+  * contract). Everything here is integer arithmetic from the public
+  * specs (MPEG-1/2 audio frame headers incl. the bitrate/samplerate
+  * tables; FLAC STREAMINFO bit layout), so fixture parameters replay
+  * bit-for-bit in SQL.
+  *
+  * Scale contract: executor-local per-payload walks, loud id-tagged
+  * failures on corruption.
+  */
+object Mp3Codec {
+
+  /** kbit/s by (versionIdx 1=MPEG1, layer III) bitrate index. */
+  private val BitrateV1L3 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val BitrateV2L3 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val SampleRateV1 = Array(44100, 48000, 32000)
+  private val SampleRateV2 = Array(22050, 24000, 16000)
+
+  final case class Mp3Info(
+      nFrames: Int, bitrateKbps: Int, sampleRate: Int,
+      samplesPerFrame: Int, durationMs: Long, hasId3: Boolean)
+
+  def isMp3(b: Array[Byte]): Boolean =
+    (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') ||
+      (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xe0) == 0xe0)
+
+  /** Walk an MP3: optional ID3v2 tag (syncsafe size), then MPEG audio
+    * frames — layer III, MPEG-1 or MPEG-2, constant rate assumed for
+    * duration (the probe reports the FIRST frame's parameters and
+    * counts every frame; VBR files still count correctly because each
+    * frame's own header sizes it).
+    */
+  def parse(id: Long, b: Array[Byte]): Mp3Info = {
+    require(isMp3(b), s"media $id: not an MP3 (no ID3/frame sync)")
+    var o = 0
+    var hasId3 = false
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      hasId3 = true
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      o = 10 + size
+      require(o <= b.length, s"media $id: ID3v2 tag overruns the file")
+    }
+    var nFrames = 0
+    var bitrate = -1
+    var sampleRate = -1
+    var spf = -1
+    while (o + 4 <= b.length) {
+      require((b(o) & 0xff) == 0xff && (b(o + 1) & 0xe0) == 0xe0,
+        s"media $id: lost MP3 frame sync at $o")
+      val versionBits = (b(o + 1) >> 3) & 0x03 // 3=MPEG1, 2=MPEG2
+      val layerBits = (b(o + 1) >> 1) & 0x03 // 1 = Layer III
+      require(layerBits == 1, s"media $id: only Layer III supported")
+      require(versionBits == 3 || versionBits == 2,
+        s"media $id: reserved MPEG version")
+      val mpeg1 = versionBits == 3
+      val brIdx = (b(o + 2) >> 4) & 0x0f
+      val srIdx = (b(o + 2) >> 2) & 0x03
+      require(brIdx >= 1 && brIdx <= 14, s"media $id: bad bitrate index")
+      require(srIdx <= 2, s"media $id: reserved sample-rate index")
+      val br = (if (mpeg1) BitrateV1L3 else BitrateV2L3)(brIdx)
+      val sr = (if (mpeg1) SampleRateV1 else SampleRateV2)(srIdx)
+      val padding = (b(o + 2) >> 1) & 0x01
+      val thisSpf = if (mpeg1) 1152 else 576
+      if (nFrames == 0) { bitrate = br; sampleRate = sr; spf = thisSpf }
+      val frameLen = thisSpf / 8 * br * 1000 / sr + padding
+      require(frameLen > 4 && o + frameLen <= b.length,
+        s"media $id: MP3 frame at $o overruns the file")
+      o += frameLen
+      nFrames += 1
+    }
+    require(nFrames > 0, s"media $id: MP3 with no audio frames")
+    Mp3Info(nFrames, bitrate, sampleRate, spf,
+      nFrames.toLong * spf * 1000L / sampleRate, hasId3)
+  }
+
+  /** Synthesize a valid constant-rate Layer-III stream (headers +
+    * zeroed payloads — silent, decoder-walkable) with an optional
+    * ID3v2 shell. Fixture generator; parameters replay in SQL.
+    */
+  def synthesize(nFrames: Int, brIdx: Int, srIdx: Int, mpeg1: Boolean,
+      id3Bytes: Int): Array[Byte] = {
+    require(brIdx >= 1 && brIdx <= 14 && srIdx >= 0 && srIdx <= 2)
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) {
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0); out.write(0) // v2.4, no flags
+      out.write((id3Bytes >> 21) & 0x7f); out.write((id3Bytes >> 14) & 0x7f)
+      out.write((id3Bytes >> 7) & 0x7f); out.write(id3Bytes & 0x7f)
+      out.write(new Array[Byte](id3Bytes), 0, id3Bytes)
+    }
+    val br = (if (mpeg1) BitrateV1L3 else BitrateV2L3)(brIdx)
+    val sr = (if (mpeg1) SampleRateV1 else SampleRateV2)(srIdx)
+    val spf = if (mpeg1) 1152 else 576
+    val frameLen = spf / 8 * br * 1000 / sr // no padding
+    var f = 0
+    while (f < nFrames) {
+      out.write(0xff)
+      out.write(if (mpeg1) 0xfa else 0xf2) // sync | version | L3 | no CRC
+      out.write((brIdx << 4) | (srIdx << 2)) // no padding
+      out.write(0x00) // stereo, no extras
+      out.write(new Array[Byte](frameLen - 4), 0, frameLen - 4)
+      f += 1
+    }
+    out.toByteArray
+  }
+}
+
+object FlacCodec {
+
+  final case class FlacInfo(
+      sampleRate: Int, channels: Int, bitsPerSample: Int,
+      totalSamples: Long, durationMs: Long, md5Hex: String)
+
+  def isFlac(b: Array[Byte]): Boolean =
+    b.length >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C'
+
+  /** Parse the mandatory STREAMINFO metadata block (the fLaC marker
+    * is followed by it per the spec).
+    */
+  def parse(id: Long, b: Array[Byte]): FlacInfo = {
+    require(isFlac(b), s"media $id: not a FLAC stream")
+    require(b.length >= 4 + 4 + 34, s"media $id: truncated STREAMINFO")
+    require((b(4) & 0x7f) == 0, s"media $id: first block is not STREAMINFO")
+    val len = ((b(5) & 0xff) << 16) | ((b(6) & 0xff) << 8) | (b(7) & 0xff)
+    require(len == 34, s"media $id: STREAMINFO length $len != 34")
+    val s = 8 // block payload start
+    // [min/max blocksize 16+16][min/max framesize 24+24][sr 20]
+    // [channels-1 3][bps-1 5][total 36][md5 128]
+    val sampleRate = ((b(s + 10) & 0xff) << 12) | ((b(s + 11) & 0xff) << 4) |
+      ((b(s + 12) & 0xf0) >> 4)
+    val channels = ((b(s + 12) & 0x0e) >> 1) + 1
+    val bps = (((b(s + 12) & 0x01) << 4) | ((b(s + 13) & 0xf0) >> 4)) + 1
+    var total = (b(s + 13) & 0x0fL)
+    var i = 14
+    while (i <= 17) { total = (total << 8) | (b(s + i) & 0xffL); i += 1 }
+    require(sampleRate > 0, s"media $id: FLAC sample rate 0")
+    val md5 = (18 until 34).map(k => f"${b(s + k) & 0xff}%02x").mkString
+    FlacInfo(sampleRate, channels, bps, total,
+      total * 1000L / sampleRate, md5)
+  }
+
+  /** Synthesize a STREAMINFO-only FLAC shell (valid header, no audio
+    * frames — the metadata face fixtures need).
+    */
+  def synthesize(sampleRate: Int, channels: Int, bps: Int,
+      totalSamples: Long, md5: Array[Byte]): Array[Byte] = {
+    require(channels >= 1 && channels <= 8 && bps >= 4 && bps <= 32)
+    require(md5.length == 16)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('f'); out.write('L'); out.write('a'); out.write('C')
+    out.write(0x80) // last block + type 0 (STREAMINFO)
+    out.write(0); out.write(0); out.write(34)
+    out.write(0x10); out.write(0x00) // min blocksize 4096
+    out.write(0x10); out.write(0x00) // max blocksize 4096
+    (0 until 6).foreach(_ => out.write(0)) // min/max framesize unknown
+    out.write((sampleRate >> 12) & 0xff)
+    out.write((sampleRate >> 4) & 0xff)
+    out.write(((sampleRate & 0x0f) << 4) | ((channels - 1) << 1) |
+      ((bps - 1) >> 4))
+    out.write((((bps - 1) & 0x0f) << 4) | ((totalSamples >> 32) & 0x0f).toInt)
+    out.write(((totalSamples >> 24) & 0xff).toInt)
+    out.write(((totalSamples >> 16) & 0xff).toInt)
+    out.write(((totalSamples >> 8) & 0xff).toInt)
+    out.write((totalSamples & 0xff).toInt)
+    out.write(md5, 0, 16)
+    out.toByteArray
+  }
+}

@@ -1006,6 +1006,9 @@ object Multimodal {
     else if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
       bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-')
       "application/pdf"
+    else if (FlacCodec.isFlac(bytes)) "audio/flac"
+    // after image/jpeg: an MP3 frame sync is FF Ex/Fx, never FF D8
+    else if (Mp3Codec.isMp3(bytes)) "audio/mpeg"
     else if (graft.functions.ZstdBytes.isZstd(bytes)) "application/zstd"
     else "unknown"
 
@@ -1095,6 +1098,14 @@ object Multimodal {
             // mean_val = page count (text metrics, not byte stats)
             val t = PdfText.extract(id, bytes)
             MediaAuto(id, m, t.text.length.toLong, t.nPages.toDouble)
+          case m @ "audio/mpeg" =>
+            // compressed-audio probe: n_units = frames, mean_val =
+            // duration in ms (header arithmetic, no MDCT decode)
+            val f = Mp3Codec.parse(id, bytes)
+            MediaAuto(id, m, f.nFrames.toLong, f.durationMs.toDouble)
+          case m @ "audio/flac" =>
+            val f = FlacCodec.parse(id, bytes)
+            MediaAuto(id, m, f.totalSamples, f.durationMs.toDouble)
           case m @ ("application/zip" | "application/x-tar" |
                     "application/warc") =>
             // archive probe: member/record count + mean payload byte
