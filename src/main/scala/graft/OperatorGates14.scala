@@ -269,6 +269,92 @@ object OperatorGates14 {
         .orderBy(col("doc_id"))
     }),
 
+    // --- STREAMING document ingest (the flagship's streaming face):
+    //     two micro-batches of the mixed plain/HTML/PDF corpus are
+    //     extracted per batch and merged into a fingerprint-sharded
+    //     dedup LEDGER (min-id survivor, copy counts — both mergeable
+    //     folds, so streaming == batch), committed partition-granular
+    //     per epoch. The oracle deduplicates the union in one shot ---
+    "q_stream_document" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Text
+      import graft.operators.{Multimodal, PdfText, PdfWriter}
+      import graft.streaming.StreamingIngest
+      val media = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), normText(col("text")).as("t"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 3)
+        .flatMapGroups { (g, it) =>
+          val members = it.toSeq.sortBy(_._1)
+          val leaderText = members.head._2
+          members.map { case (id, _) =>
+            val bytes = (id % 3) match {
+              case 0 => leaderText.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)
+              case 1 => s"<html>$leaderText</html>".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)
+              case _ => PdfWriter.write(id,
+                PdfWriter.layout(leaderText, perLine = 8, linesPerPage = 6),
+                (g % 3).toInt)
+            }
+            (id, bytes)
+          }
+        }.toDF("media_id", "content")
+      val inDir = java.nio.file.Files.createTempDirectory("q_stream_doc")
+      val now = System.currentTimeMillis()
+      OperatorGates8.stageFile(media.filter(col("media_id") < 150),
+        inDir, "b1.parquet", now - 120000)
+      OperatorGates8.stageFile(media.filter(col("media_id") >= 150),
+        inDir, "b2.parquet", now - 60000)
+      val root = java.nio.file.Files
+        .createTempDirectory("q_stream_doc_out").toString
+      val table = new graft.sink.ShardedTable(s"$root/dedup", "shard",
+        s.sparkContext.hadoopConfiguration)
+      val stream = StreamingIngest.readFileStream(s, media.schema,
+        inDir.toString, maxFilesPerTrigger = Some(1))
+      val q = stream.writeStream
+        .foreachBatch { (delta: DataFrame, _: Long) =>
+          val ext = delta.as[(Long, Array[Byte])]
+            .mapPartitions(_.map { case (id, c) =>
+              Multimodal.sniffModality(c) match {
+                case "application/pdf" =>
+                  (id, PdfText.extract(id, c).text.replace('\n', ' '))
+                case _ => (id,
+                  new String(c, java.nio.charset.StandardCharsets.UTF_8))
+              }
+            }).toDF("media_id", "raw")
+            .select(col("media_id"),
+              Text.stripHtml(col("raw")).as("clean"))
+          val agg = ext
+            .groupBy(Text.fingerprint(col("clean")).as("fp"))
+            .agg(min(col("media_id")).as("keep_id"),
+              count(lit(1)).as("n_copies"))
+            .withColumn("shard",
+              pmod(xxhash64(col("fp")), lit(8)).cast("long"))
+          val touched = agg.select(col("shard").cast("string"))
+            .distinct().as[String].collect().toSeq.sorted
+          val hasCurrent = table.currentVersion.isDefined
+          val merged =
+            if (!hasCurrent) agg
+            else table.readPartitions(s, touched)
+              .select("fp", "keep_id", "n_copies", "shard")
+              .unionByName(agg)
+              .groupBy(col("fp"), col("shard"))
+              .agg(min(col("keep_id")).as("keep_id"),
+                sum(col("n_copies")).as("n_copies"))
+          table.commit(merged, touched, full = !hasCurrent)
+          ()
+        }
+        .option("checkpointLocation", s"$root/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      table.readCurrent(s)
+        .select(col("fp").as("fingerprint"), col("keep_id"),
+          col("n_copies").cast("long").as("n_copies"))
+        .orderBy(col("fingerprint"))
+    }),
+
     // --- MP3 container probe: ID3v2 skip + MPEG-1/2 Layer-III frame
     //     walk (bitrate/samplerate tables, padding-aware frame
     //     sizing) — compressed-audio corpus accounting without MDCT
@@ -612,6 +698,18 @@ object OperatorGates14 {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  CAST(len(lt) AS BIGINT) AS clean_chars
         |FROM surv ORDER BY doc_id""".stripMargin,
+
+    "q_stream_document" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id < 300),
+        |m AS (
+        |  SELECT a.doc_id AS media_id, l.t AS lt
+        |  FROM d a JOIN d l ON l.doc_id = a.doc_id - a.doc_id % 3)
+        |SELECT md5(lt) AS fingerprint, min(media_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_mp3_probe" ->
       """WITH p AS (
