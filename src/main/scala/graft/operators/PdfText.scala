@@ -471,6 +471,14 @@ object PdfText {
       case other => throw new IllegalArgumentException(
         s"media $id: number expected in content, got $other")
     }
+    // malformed content (too few operands) must fail id-tagged, not
+    // with a bare IndexOutOfBounds
+    def operand(fromEnd: Int, op: String): Obj = {
+      require(operands.length >= fromEnd,
+        s"media $id: operator $op needs $fromEnd operands, " +
+          s"got ${operands.length}")
+      operands(operands.length - fromEnd)
+    }
     def setTd(tx: Double, ty: Double): Unit = {
       // Tlm = [1 0 0 1 tx ty] x Tlm
       val e = tx * tlm(0) + ty * tlm(2) + tlm(4)
@@ -555,37 +563,43 @@ object PdfText {
               tm = Array(1.0, 0, 0, 1.0, 0, 0); tlm = tm.clone()
             case "ET" => ()
             case "Tf" =>
-              st.size = num(operands.last)
-              st.font = fontOf(operands(operands.length - 2)
-                .asInstanceOf[PName].v)
+              st.size = num(operand(1, "Tf"))
+              st.font = fontOf(operand(2, "Tf") match {
+                case PName(n) => n
+                case other => throw new IllegalArgumentException(
+                  s"media $id: Tf font operand is $other")
+              })
             case "Td" =>
-              setTd(num(operands(operands.length - 2)), num(operands.last))
+              setTd(num(operand(2, "Td")), num(operand(1, "Td")))
             case "TD" =>
-              st.leading = -num(operands.last)
-              setTd(num(operands(operands.length - 2)), num(operands.last))
+              st.leading = -num(operand(1, "TD"))
+              setTd(num(operand(2, "TD")), num(operand(1, "TD")))
             case "Tm" =>
-              val n = operands.length
-              tm = Array(num(operands(n - 6)), num(operands(n - 5)),
-                num(operands(n - 4)), num(operands(n - 3)),
-                num(operands(n - 2)), num(operands(n - 1)))
+              tm = Array(num(operand(6, "Tm")), num(operand(5, "Tm")),
+                num(operand(4, "Tm")), num(operand(3, "Tm")),
+                num(operand(2, "Tm")), num(operand(1, "Tm")))
               tlm = tm.clone()
             case "T*" => setTd(0, -st.leading)
-            case "TL" => st.leading = num(operands.last)
-            case "Tc" => st.charSp = num(operands.last)
-            case "Tw" => st.wordSp = num(operands.last)
-            case "Tz" => st.hscale = num(operands.last)
-            case "Ts" => st.rise = num(operands.last)
-            case "Tj" => showString(operands.last.asInstanceOf[PStr].bytes)
+            case "TL" => st.leading = num(operand(1, "TL"))
+            case "Tc" => st.charSp = num(operand(1, "Tc"))
+            case "Tw" => st.wordSp = num(operand(1, "Tw"))
+            case "Tz" => st.hscale = num(operand(1, "Tz"))
+            case "Ts" => st.rise = num(operand(1, "Ts"))
+            case "Tj" => operand(1, "Tj") match {
+              case PStr(bs) => showString(bs)
+              case other => throw new IllegalArgumentException(
+                s"media $id: Tj operand is $other")
+            }
             case "'" =>
               setTd(0, -st.leading)
-              showString(operands.last.asInstanceOf[PStr].bytes)
+              showString(operand(1, "'").asInstanceOf[PStr].bytes)
             case "\"" =>
-              st.wordSp = num(operands(operands.length - 3))
-              st.charSp = num(operands(operands.length - 2))
+              st.wordSp = num(operand(3, "\""))
+              st.charSp = num(operand(2, "\""))
               setTd(0, -st.leading)
-              showString(operands.last.asInstanceOf[PStr].bytes)
+              showString(operand(1, "\"").asInstanceOf[PStr].bytes)
             case "TJ" =>
-              operands.last.asInstanceOf[PArr].items.foreach {
+              operand(1, "TJ").asInstanceOf[PArr].items.foreach {
                 case s: PStr => showString(s.bytes)
                 case n: PNum =>
                   val tx = -n.v / 1000.0 * st.size * (st.hscale / 100.0)
@@ -603,7 +617,7 @@ object PdfText {
                 st.leading = s.leading; st.rise = s.rise
               }
             case "Do" =>
-              val name = operands.last.asInstanceOf[PName].v
+              val name = operand(1, "Do").asInstanceOf[PName].v
               val xobjs = doc.resolve(resources.get("XObject")
                 .getOrElse(PNull)) match {
                 case d: PDict => d
