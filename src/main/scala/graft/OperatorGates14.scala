@@ -269,6 +269,31 @@ object OperatorGates14 {
         .orderBy(col("doc_id"))
     }),
 
+    // --- Iceberg file-level STATS pruning: partitions hold disjoint
+    //     doc_id ranges, so the manifests' per-file lower/upper
+    //     bounds (field-ids 125/128) let a range read skip whole
+    //     files without opening them; rows come back THROUGH the
+    //     Iceberg metadata only. The oracle is the plain range scan --
+    "q_iceberg_stats_prune" -> ((s, dir) => {
+      import graft.sink.{IcebergMeta, ShardedTable}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_icestats").toString
+      val table = new ShardedTable(s"$tmp/t", "shard",
+        s.sparkContext.hadoopConfiguration)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          (col("doc_id") / 75).cast("long").as("shard"))
+      val v = table.commit(docs, touched = Seq("0", "1", "2", "3"))
+      IcebergMeta.mirror(s, table, v)
+      IcebergMeta.read(s, s"$tmp/t",
+          range = Some(("doc_id", "100", "220")))
+        .filter(col("doc_id").between(100, 220)) // exact cut inside kept files
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .select(col("shard"), col("n"), col("sum_id").cast("long").as("sum_id"))
+        .orderBy(col("shard"))
+    }),
+
     // --- STREAMING document ingest (the flagship's streaming face):
     //     two micro-batches of the mixed plain/HTML/PDF corpus are
     //     extracted per batch and merged into a fingerprint-sharded
@@ -698,6 +723,13 @@ object OperatorGates14 {
         |    x -> len(x) > 0)) AS BIGINT) AS n_tokens,
         |  CAST(len(lt) AS BIGINT) AS clean_chars
         |FROM surv ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_stats_prune" ->
+      """SELECT doc_id // 75 AS shard, count(*) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM documents
+        |WHERE doc_id BETWEEN 100 AND 220
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_document" ->
       """WITH d AS (
