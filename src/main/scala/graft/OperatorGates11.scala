@@ -166,20 +166,21 @@ object OperatorGates11 {
   }
 
   /** The same 64x48 gray constant-block content serialized as PNG /
-    * GIF / JPEG-q100 / BMP / WebP-VP8L / EXIF-rotated JPEG — every
-    * format's decode must land on the identical top-down pixels (JPEG
-    * is exact in the q100 constant-block regime; the others are
-    * lossless; the rotated JPEG stores the pixels 90°-CCW-turned with
-    * Orientation=6, which decodeNormalized must rotate back). The
-    * format index (k%6 + k/6) % 6 varies WITHIN each content group
-    * g = k%5, so near-dup pairs genuinely cross formats; the oracle
-    * needs no format knowledge because every decode is pixel-exact.
+    * GIF / JPEG-q100 / BMP / WebP-VP8L / EXIF-rotated JPEG / TIFF-LZW
+    * — every format's decode must land on the identical top-down
+    * pixels (JPEG is exact in the q100 constant-block regime; the
+    * others are lossless; the rotated JPEG stores the pixels
+    * 90°-CCW-turned with Orientation=6, which decodeNormalized must
+    * rotate back). The format index (k%7 + k/7) % 7 varies WITHIN
+    * each content group g = k%5, so near-dup pairs genuinely cross
+    * formats; the oracle needs no format knowledge because every
+    * decode is pixel-exact.
     */
   private[graft] def synthCrossformat(d: Long): Array[Byte] = {
-    import graft.operators.{GifCodec, JpegCodec, PngCodec, WebpCodec}
+    import graft.operators.{GifCodec, JpegCodec, PngCodec, TiffCodec, WebpCodec}
     def v(x: Int, y: Int): Int = crossValue(d, x / 16, y / 16)
     val k = d / 25
-    ((k % 6 + k / 6) % 6).toInt match {
+    ((k % 7 + k / 7) % 7).toInt match {
       case 0 => // PNG, 1-channel gray
         val px = new Array[Byte](64 * 48)
         var i = 0
@@ -219,7 +220,7 @@ object OperatorGates11 {
           i += 1
         }
         WebpCodec.encodeLossless(64, 48, 3, rgb)
-      case _ => // JPEG q100 stored 90°-CCW-rotated + EXIF Orientation=6
+      case 5 => // JPEG q100 stored 90°-CCW-rotated + EXIF Orientation=6
         val rgb = new Array[Byte](64 * 48 * 3)
         var i = 0
         while (i < 64 * 48) {
@@ -233,6 +234,12 @@ object OperatorGates11 {
           JpegCodec.encodeRgb(stored.width, stored.height, stored.pixels,
             quality = 100, subsample = true),
           orientation = 6, bigEndian = d % 2 == 0)
+      case _ => // TIFF gray, LZW + predictor, alternating byte orders
+        val px = new Array[Byte](64 * 48)
+        var i = 0
+        while (i < px.length) { px(i) = v(i % 64, i / 64).toByte; i += 1 }
+        TiffCodec.encode(64, 48, 1, px, compression = 5, predictor = true,
+          bigEndian = d % 2 == 0)
     }
   }
 

@@ -610,8 +610,61 @@ object OperatorGates14 {
         .select(col("media_id"), col("exif_orientation"), col("modality"),
           lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
         .orderBy(col("media_id"))
+    }),
+
+    // --- REAL multi-page TIFF decode (TiffCodec): count-bounded
+    //     fixtures (20 documents at every SF, 1-3 pages each) across
+    //     none/LZW+predictor/Deflate/PackBits and both byte orders,
+    //     strip-walked and fully decoded on executors; TIFF is
+    //     lossless so the oracle replays per-page dims, exact mean
+    //     and the 64-bit aHash analytically. CCITT fax + tiles are
+    //     pinned against libtiff-encoded fixtures in TiffSpec --------
+    "q_tiff_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map(id => (id, synthTiff(id))))
+        .toDF("media_id", "content")
+      Multimodal.decodeTiffPages(media).toDF()
+        .select(col("media_id"),
+          col("page_no").cast("long").as("page_no"),
+          col("n_pages").cast("long").as("n_pages"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("channels").cast("long").as("channels"),
+          col("mean_intensity"),
+          lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+        .orderBy(col("media_id"), col("page_no"))
     })
   )
+
+  /** Multi-page gray TIFF for doc `d`: 64x48 constant 16x16 blocks,
+    * 1-3 pages, variant (d/25) % 5 sweeps compression (none / LZW +
+    * predictor in both byte orders / Deflate / PackBits). The oracle
+    * replays the block formula; every variant is lossless.
+    */
+  private[graft] def synthTiff(d: Long): Array[Byte] = {
+    import graft.operators.TiffCodec
+    val k = (d / 25).toInt
+    def tv(p: Int, bx: Int, by: Int): Int =
+      (15 + (d * 41 + p * 29 + bx * 37 + by * 71) % 227).toInt
+    val nPages = 1 + k % 3
+    val pages = (0 until nPages).map { p =>
+      Array.tabulate(64 * 48)(i => tv(p, (i % 64) / 16, (i / 64) / 16).toByte)
+    }
+    k % 5 match {
+      case 0 => TiffCodec.encodeGrayPages(64, 48, pages, compression = 1,
+        rowsPerStrip = 7)
+      case 1 => TiffCodec.encodeGrayPages(64, 48, pages, compression = 5,
+        predictor = true)
+      case 2 => TiffCodec.encodeGrayPages(64, 48, pages, compression = 5,
+        predictor = true, bigEndian = true)
+      case 3 => TiffCodec.encodeGrayPages(64, 48, pages, compression = 8)
+      case _ => TiffCodec.encodeGrayPages(64, 48, pages, compression = 32773)
+    }
+  }
 
   def oracleSql14: Map[String, String] = Map(
 
@@ -855,6 +908,29 @@ object OperatorGates14 {
         |  array_to_string(list_transform(range(63, -1, -1), j ->
         |    CASE WHEN 64 * lum[j + 1] > list_sum(lum) THEN 1 ELSE 0 END), '')
         |    AS ahash_bits
-        |FROM lum ORDER BY media_id""".stripMargin
+        |FROM lum ORDER BY media_id""".stripMargin,
+
+    "q_tiff_decode" ->
+      """WITH tiffs AS (
+        |  SELECT doc_id, CAST(1 + (doc_id // 25) % 3 AS BIGINT) AS np
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |pg AS (
+        |  SELECT doc_id, np, unnest(range(0, np)) AS page_no FROM tiffs),
+        |feat AS (
+        |  SELECT doc_id, np, page_no,
+        |    list_sum(list_transform(range(0, 12), b ->
+        |      15 + (doc_id * 41 + page_no * 29 + (b % 4) * 37 + (b // 4) * 71) % 227)) AS sv,
+        |    list_transform(range(0, 64), j ->
+        |      3 * (15 + (doc_id * 41 + page_no * 29 + ((j % 8) // 2) * 37
+        |           + ((6 * (j // 8)) // 16) * 71) % 227)) AS lum
+        |  FROM pg)
+        |SELECT doc_id AS media_id, page_no, np AS n_pages,
+        |  CAST(64 AS BIGINT) AS width, CAST(48 AS BIGINT) AS height,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(256 * sv AS DOUBLE) / 3072 AS mean_intensity,
+        |  array_to_string(list_transform(range(63, -1, -1), j ->
+        |    CASE WHEN 64 * lum[j + 1] > list_sum(lum) THEN 1 ELSE 0 END), '')
+        |    AS ahash_bits
+        |FROM feat ORDER BY media_id, page_no""".stripMargin
   )
 }

@@ -648,6 +648,53 @@ object Multimodal {
       })
   }
 
+  final case class TiffPageRow(media_id: Long, page_no: Int, n_pages: Int,
+      width: Int, height: Int, channels: Int, mean_intensity: Double,
+      ahash: Long)
+
+  /** Per-page rows of (possibly multi-page) TIFFs — the scanned-
+    * document container shape (faxes and book scans are one TIFF,
+    * many pages). Every page fully decoded (CCITT fax / LZW / Deflate
+    * / PackBits, strips or tiles) on executors; per-page mean over
+    * color channels (alpha dropped) and the shared 64-bit aHash.
+    */
+  def decodeTiffPages(media: DataFrame): Dataset[TiffPageRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, c) =>
+        require(c != null, s"media $id: null content")
+        val n = TiffCodec.nPages(id, c)
+        (0 until n).iterator.map { p =>
+          val img = TiffCodec.decodePage(id, c, p)
+          val keep = if (img.channels == 4) 3 else img.channels
+          var sum = 0L
+          var px = 0
+          val nPix = img.width * img.height
+          while (px < nPix) {
+            var ch = 0
+            while (ch < keep) { sum += (img.pixels(px * img.channels + ch) & 0xff); ch += 1 }
+            px += 1
+          }
+          val hashImg = if (img.channels != 4) img else {
+            val out = new Array[Byte](nPix * 3)
+            var q = 0
+            while (q < nPix) {
+              out(q * 3) = img.pixels(q * 4)
+              out(q * 3 + 1) = img.pixels(q * 4 + 1)
+              out(q * 3 + 2) = img.pixels(q * 4 + 2)
+              q += 1
+            }
+            JpegCodec.DecodedImage(img.width, img.height, 3, out)
+          }
+          TiffPageRow(id, p, n, img.width, img.height, img.channels,
+            if (nPix == 0) 0.0 else sum.toDouble / (nPix.toLong * keep),
+            MjpegVideo.aHashDecoded(hashImg))
+        }
+      })
+  }
+
   final case class WebpFrameRow(media_id: Long, frame_no: Int, n_frames: Int,
       width: Int, height: Int, duration_ms: Int, mean_intensity: Double,
       ahash: Long)
@@ -788,6 +835,23 @@ object Multimodal {
           WebpCodec.exifOrientation(id, c))
       case "image/webp-anim" => // first composited frame, like GIF
         WebpCodec.frameToDecodedImage(WebpCodec.decodeAnim(id, c), 0)
+      case "image/tiff" =>
+        // page 0, alpha stripped (PNG convention), upright per the
+        // TIFF Orientation tag (same normalization contract as the
+        // JPEG APP1 / WebP VP8X paths)
+        val raw = TiffCodec.decode(id, c)
+        val rgb = if (raw.channels != 4) raw else {
+          val out = new Array[Byte](raw.width * raw.height * 3)
+          var p = 0
+          while (p < raw.width * raw.height) {
+            out(p * 3) = raw.pixels(p * 4)
+            out(p * 3 + 1) = raw.pixels(p * 4 + 1)
+            out(p * 3 + 2) = raw.pixels(p * 4 + 2)
+            p += 1
+          }
+          JpegCodec.DecodedImage(raw.width, raw.height, 3, out)
+        }
+        applyOrientation(rgb, TiffCodec.exifOrientation(id, c))
       case other => throw new IllegalArgumentException(
         s"media $id: cannot decode modality '$other' as a still image")
     }
@@ -1006,6 +1070,7 @@ object Multimodal {
     else if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
       bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-')
       "application/pdf"
+    else if (TiffCodec.isTiff(bytes)) "image/tiff"
     else if (FlacCodec.isFlac(bytes)) "audio/flac"
     // after image/jpeg: an MP3 frame sync is FF Ex/Fx, never FF D8
     else if (Mp3Codec.isMp3(bytes)) "audio/mpeg"
@@ -1098,6 +1163,26 @@ object Multimodal {
             // mean_val = page count (text metrics, not byte stats)
             val t = PdfText.extract(id, bytes)
             MediaAuto(id, m, t.text.length.toLong, t.nPages.toDouble)
+          case m @ "image/tiff" =>
+            // scanned-document shape: full decode of PAGE 0 (strips/
+            // tiles, LZW/Deflate/PackBits/CCITT fax); n_units = page-0
+            // pixels, mean over color channels (alpha dropped, the PNG
+            // convention)
+            val img = TiffCodec.decode(id, bytes)
+            val keep = if (img.channels == 4) 3 else img.channels
+            var sum = 0L
+            var p = 0
+            val nPix = img.width * img.height
+            while (p < nPix) {
+              var ch = 0
+              while (ch < keep) {
+                sum += (img.pixels(p * img.channels + ch) & 0xff)
+                ch += 1
+              }
+              p += 1
+            }
+            MediaAuto(id, m, nPix.toLong,
+              if (nPix == 0) 0.0 else sum.toDouble / (nPix.toLong * keep))
           case m @ "audio/mpeg" =>
             // compressed-audio probe: n_units = frames, mean_val =
             // duration in ms (header arithmetic, no MDCT decode)

@@ -50,14 +50,22 @@ class CrossFormatSpec extends SparkSpec {
       v(pix % 64, 47 - pix / 64) // BMP file rows are bottom-up
     })
 
-  test("one logical image hashes identically across all four formats") {
+  private def tiffBytes: Array[Byte] = {
+    val px = new Array[Byte](64 * 48)
+    var i = 0
+    while (i < px.length) { px(i) = v(i % 64, i / 64).toByte; i += 1 }
+    TiffCodec.encode(64, 48, 1, px, compression = 5, predictor = true)
+  }
+
+  test("one logical image hashes identically across all five formats") {
     import spark.implicits._
     val media = Seq(
-      (0L, pngBytes), (1L, gifBytes), (2L, jpegBytes), (3L, bmpBytes)
+      (0L, pngBytes), (1L, gifBytes), (2L, jpegBytes), (3L, bmpBytes),
+      (4L, tiffBytes)
     ).toDF("media_id", "content")
     val rows = Multimodal.aHashAuto(media).collect().sortBy(_.media_id)
     assert(rows.map(_.modality).toSeq ==
-      Seq("image/png", "image/gif", "image/jpeg", "image/bmp"))
+      Seq("image/png", "image/gif", "image/jpeg", "image/bmp", "image/tiff"))
     assert(rows.map(_.ahash).distinct.length == 1,
       s"hashes diverge across formats: ${rows.map(r => r.modality -> r.ahash).toSeq}")
   }
