@@ -637,6 +637,35 @@ object OperatorGates14 {
           col("mean_intensity"),
           lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
         .orderBy(col("media_id"), col("page_no"))
+    }),
+
+    // --- REAL DOCX/ODT text extraction (OfficeText): each document's
+    //     normalized text chunked into 8-word paragraphs and written
+    //     as a genuine office container (ZIP + WordprocessingML /
+    //     OpenDocument XML, runs split mid-sentence, proofErr/rsid
+    //     noise), then container-classified and StAX-extracted on
+    //     executors. The oracle recomputes paragraph count and the
+    //     reassembled text from documents.text alone ----------------
+    "q_docx_extract" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.OfficeText
+      val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(5)) === 2 && col("doc_id") < 500)
+        .select(col("doc_id"), normText(col("text")).as("t"))
+        .as[(Long, String)]
+      val out = docs.mapPartitions(_.map { case (id, txt) =>
+        val words = txt.split(" ", -1)
+        val paras = words.grouped(8).map(_.mkString(" ")).toSeq
+        val bytes =
+          if (id % 2 == 0) OfficeText.writeDocx(paras, salt = id)
+          else OfficeText.writeOdt(paras, salt = id)
+        val doc = OfficeText.extract(id, bytes)
+        (id, doc.kind, doc.nParagraphs.toLong,
+          doc.text.replace('\n', ' '))
+      }).toDF("doc_id", "kind", "n_paragraphs", "text")
+      out.select(col("doc_id"), col("kind"), col("n_paragraphs"),
+          length(col("text")).cast("long").as("n_chars"), col("text"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -931,6 +960,19 @@ object OperatorGates14 {
         |  array_to_string(list_transform(range(63, -1, -1), j ->
         |    CASE WHEN 64 * lum[j + 1] > list_sum(lum) THEN 1 ELSE 0 END), '')
         |    AS ahash_bits
-        |FROM feat ORDER BY media_id, page_no""".stripMargin
+        |FROM feat ORDER BY media_id, page_no""".stripMargin,
+
+    "q_docx_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id % 5 = 2 AND doc_id < 500)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'docx' ELSE 'odt' END AS kind,
+        |  CAST(ceil(len(string_split(t, ' ')) / 8.0) AS BIGINT)
+        |    AS n_paragraphs,
+        |  CAST(len(t) AS BIGINT) AS n_chars,
+        |  t AS text
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }

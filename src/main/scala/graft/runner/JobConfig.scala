@@ -353,8 +353,9 @@ object JobConfig {
       }
       case "extractDocText" => (df: DataFrame) => {
         // sniff-dispatched text extraction over a binary payload
-        // column: PDFs through PdfText, everything else decoded UTF-8
-        // and HTML-stripped — the crawl chain's document-text seam
+        // column: PDFs through PdfText, DOCX/ODT containers through
+        // OfficeText, everything else decoded UTF-8 and
+        // HTML-stripped — the crawl chain's document-text seam
         val bytesCol = req(p, "op.extractDocText.bytesColumn")
         val outCol = opt(p, "op.extractDocText.outColumn").getOrElse("text")
         val spark = df.sparkSession
@@ -367,6 +368,10 @@ object JobConfig {
               case "application/pdf" =>
                 (id, graft.operators.PdfText.extract(id, c)
                   .text.replace('\n', ' '))
+              case "application/zip"
+                if graft.operators.OfficeText.classifyZip(id, c) != "zip" =>
+                (id, graft.operators.OfficeText.extract(id, c)
+                  .text.replace('\n', ' ').replace('\t', ' '))
               case _ =>
                 (id, new String(c, java.nio.charset.StandardCharsets.UTF_8))
             }
