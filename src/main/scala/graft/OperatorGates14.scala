@@ -666,6 +666,38 @@ object OperatorGates14 {
       out.select(col("doc_id"), col("kind"), col("n_paragraphs"),
           length(col("text")).cast("long").as("n_chars"), col("text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- .tar.bz2 ingest (Bzip2Codec + TarCodec): documents packed
+    //     10-per-shard into a ustar archive, bzip2-compressed with
+    //     OUR encoder, then the ingest chain decompresses (CRCs
+    //     verified), walks the tar and reassembles every document —
+    //     the legacy corpus-drop shape. Oracle = the plain documents
+    //     table; bzip2 is lossless so the chain must be exact --------
+    "q_bzip2_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Bzip2Codec, TarCodec}
+      val packed = t(s, dir, "documents")
+        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)]
+        .groupByKey(_._1 / 10)
+        .mapGroups { (fid, it) =>
+          val members = it.toSeq.sortBy(_._1).map { case (id, text) =>
+            s"docs/$id.txt" -> text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          (fid, Bzip2Codec.compress(TarCodec.write(members)))
+        }
+        .toDF("file_id", "content")
+      packed.as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (fid, bz) =>
+          val tar = Bzip2Codec.decompress(fid, bz)
+          TarCodec.parse(fid, tar).iterator.map { case (name, data) =>
+            val id = name.stripPrefix("docs/").stripSuffix(".txt").toLong
+            (id, new String(data, java.nio.charset.StandardCharsets.UTF_8))
+          }
+        })
+        .toDF("doc_id", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -973,6 +1005,11 @@ object OperatorGates14 {
         |    AS n_paragraphs,
         |  CAST(len(t) AS BIGINT) AS n_chars,
         |  t AS text
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_bzip2_ingest" -> """
+      SELECT doc_id, COALESCE(text, '') AS text FROM documents
+      ORDER BY doc_id
+    """
   )
 }

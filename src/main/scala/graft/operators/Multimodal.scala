@@ -1075,6 +1075,7 @@ object Multimodal {
     // after image/jpeg: an MP3 frame sync is FF Ex/Fx, never FF D8
     else if (Mp3Codec.isMp3(bytes)) "audio/mpeg"
     else if (graft.functions.ZstdBytes.isZstd(bytes)) "application/zstd"
+    else if (Bzip2Codec.isBzip2(bytes)) "application/x-bzip2"
     else "unknown"
 
   private def tag4(b: Array[Byte], o: Int): String =
@@ -1214,6 +1215,15 @@ object Multimodal {
             val d = try graft.functions.ZstdBytes.decompress(bytes, 512L * 1024 * 1024)
               catch { case e: Exception => throw new IllegalArgumentException(
                 s"media $id: corrupt zstd frame: ${e.getMessage}", e) }
+            var sum = 0L
+            var i = 0
+            while (i < d.length) { sum += (d(i) & 0xff); i += 1 }
+            MediaAuto(id, m, d.length.toLong,
+              if (d.length == 0) 0.0 else sum.toDouble / d.length)
+          case m @ "application/x-bzip2" =>
+            // same shape for the .bz2 era of corpus drops (CRCs
+            // verified, bomb-guarded, multi-stream)
+            val d = Bzip2Codec.decompress(id, bytes)
             var sum = 0L
             var i = 0
             while (i < d.length) { sum += (d(i) & 0xff); i += 1 }
