@@ -698,6 +698,66 @@ object OperatorGates14 {
         })
         .toDF("doc_id", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // --- JDBC state store (graft.state.JdbcStateStore, the
+    //     reference's MysqlStateStore shape): put / transactional
+    //     upsert / delete / listKeys against an embedded Derby, with
+    //     the oracle replaying the final store contents from the id
+    //     arithmetic. Rows here are per-dataset METADATA — the store
+    //     is config-sized by design --------------------------------
+    "q_state_store" -> ((s, dir) => {
+      import s.implicits._
+      import graft.state.JdbcStateStore
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+        .as[Long].collect().sorted
+      val url = "jdbc:derby:memory:gst" +
+        java.util.UUID.randomUUID().toString.replace("-", "") + ";create=true"
+      val store = new JdbcStateStore(url).init()
+      ids.foreach { id =>
+        store.put(s"s${id % 3}", s"t$id",
+          Map("watermark" -> (id * 7).toString, "run" -> "1"))
+      }
+      ids.filter(_ % 4 == 0).foreach { id => // upsert path
+        store.put(s"s${id % 3}", s"t$id",
+          Map("watermark" -> (id * 7 + 1).toString, "run" -> "2"))
+      }
+      ids.filter(_ % 10 == 9).foreach(id => store.delete(s"s${id % 3}", s"t$id"))
+      val rows = (0 until 3).flatMap { g =>
+        val st = s"s$g"
+        store.listKeys(st).map { k =>
+          val m = store.get(st, k).getOrElse(sys.error(s"listed key $k missing"))
+          (st, k, m("watermark").toLong, m("run").toLong)
+        }
+      }
+      rows.toDF("store_name", "key", "watermark", "run")
+        .orderBy(col("store_name"), col("key"))
+    }),
+
+    // --- Metric wire formats (graft.metrics.Reporters): corpus
+    //     aggregates rendered as Graphite plaintext and InfluxDB line
+    //     protocol by pure codegen'd column chains (no UDF, no driver
+    //     loop); the oracle rebuilds every line with string concat in
+    //     SQL. Escaping edge cases are spec-pinned ------------------
+    "q_metrics_wire" -> ((s, dir) => {
+      import graft.metrics.Reporters
+      val m = t(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("double").as("docs"),
+          sum(col("n_chars")).as("total_chars"))
+      val g = Reporters.graphiteLines(
+        m.withColumn("metric", lit("docs")),
+        "graft.corpus", Seq("source", "lang", "metric"), "docs",
+        tsSeconds = 1723766400L)
+      val i = Reporters.influxLines(m, "corpus_stats",
+        tagCols = Seq("source", "lang"),
+        longFields = Seq("total_chars"), doubleFields = Seq("docs"),
+        tsMillis = 1723766400000L)
+      g.toDF().withColumn("proto", lit("graphite"))
+        .union(i.toDF().withColumn("proto", lit("influx")))
+        .select(col("proto"), col("line"))
+        .orderBy(col("proto"), col("line"))
     })
   )
 
@@ -1010,6 +1070,41 @@ object OperatorGates14 {
     "q_bzip2_ingest" -> """
       SELECT doc_id, COALESCE(text, '') AS text FROM documents
       ORDER BY doc_id
-    """
+    """,
+
+    "q_state_store" ->
+      """WITH d AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id < 200 AND doc_id % 10 != 9)
+        |SELECT 's' || CAST(doc_id % 3 AS VARCHAR) AS store_name,
+        |  't' || CAST(doc_id AS VARCHAR) AS key,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN doc_id * 7 + 1
+        |            ELSE doc_id * 7 END AS BIGINT) AS watermark,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END AS BIGINT) AS run
+        |FROM d ORDER BY store_name, key""".stripMargin,
+
+    "q_metrics_wire" ->
+      """WITH m AS (
+        |  SELECT source, lang, COUNT(*) AS docs,
+        |    SUM(n_chars) AS total_chars
+        |  FROM documents GROUP BY source, lang),
+        |g AS (
+        |  SELECT 'graphite' AS proto,
+        |    'graft.corpus.' ||
+        |    regexp_replace(source, '[^A-Za-z0-9_-]', '_', 'g') || '.' ||
+        |    regexp_replace(lang, '[^A-Za-z0-9_-]', '_', 'g') ||
+        |    '.docs ' || printf('%.4f', CAST(docs AS DOUBLE)) ||
+        |    ' 1723766400' AS line
+        |  FROM m),
+        |i AS (
+        |  SELECT 'influx' AS proto,
+        |    'corpus_stats,source=' || source || ',lang=' || lang ||
+        |    ' total_chars=' || CAST(total_chars AS VARCHAR) || 'i,docs=' ||
+        |    printf('%.4f', CAST(docs AS DOUBLE)) ||
+        |    ' 1723766400000000000' AS line
+        |  FROM m)
+        |SELECT proto, line FROM g
+        |UNION ALL SELECT proto, line FROM i
+        |ORDER BY proto, line""".stripMargin
   )
 }

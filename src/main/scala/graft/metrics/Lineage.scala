@@ -2,7 +2,7 @@ package graft.metrics
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.state.FsStateStore
+import graft.state.{FsStateStore, StateStore}
 
 /** Dataset lineage events, the reference's metrics-lineage surface
   * (ref `gobblin-metrics-base/.../lineage/LineageInfo.java:86-311`,
@@ -33,7 +33,7 @@ object Lineage {
   /** Declare the job's source dataset. Resets any prior lineage for
     * the job (a rerun re-derives its lineage from scratch).
     */
-  def setSource(store: FsStateStore, job: String, dataset: String,
+  def setSource(store: StateStore, job: String, dataset: String,
       source: Descriptor): Unit =
     store.put(Store, job, Map(
       "dataset" -> dataset, "source" -> source.render))
@@ -41,7 +41,7 @@ object Lineage {
   /** Record one branch's destination (idempotent per branch: a retry
     * overwrites the same keys, so `load` never double-counts).
     */
-  def putDestination(store: FsStateStore, job: String, branch: Int,
+  def putDestination(store: StateStore, job: String, branch: Int,
       dest: Descriptor, rows: Long): Unit = {
     val cur = store.get(Store, job).getOrElse(
       throw new IllegalStateException(
@@ -55,7 +55,7 @@ object Lineage {
     * (dataset, branch) with a destination — branches without one are
     * skipped, matching the reference's "no destination, no event".
     */
-  def loadEvents(store: FsStateStore, jobs: Seq[String]): Seq[Event] =
+  def loadEvents(store: StateStore, jobs: Seq[String]): Seq[Event] =
     jobs.flatMap { job =>
       store.get(Store, job).toSeq.flatMap { st =>
         val dataset = st.getOrElse("dataset", job)
@@ -72,7 +72,7 @@ object Lineage {
     }
 
   /** The queryable form: (job, dataset, branch, src, dst, n_rows). */
-  def load(spark: SparkSession, store: FsStateStore,
+  def load(spark: SparkSession, store: StateStore,
       jobs: Seq[String]): DataFrame = {
     import spark.implicits._
     loadEvents(store, jobs)
@@ -81,6 +81,6 @@ object Lineage {
   }
 
   /** Drop a job's lineage (ref `LineageInfo.purgeLineageInfo`). */
-  def purge(store: FsStateStore, job: String): Unit =
+  def purge(store: StateStore, job: String): Unit =
     store.delete(Store, job)
 }

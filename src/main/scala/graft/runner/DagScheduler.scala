@@ -216,7 +216,7 @@ object DagScheduler {
     * Returns (task key -> action) per trace start, action one of
     * ran/skipped/failed/cancelled.
     */
-  def executeScheduled(spark: SparkSession, store: graft.state.FsStateStore,
+  def executeScheduled(spark: SparkSession, store: graft.state.StateStore,
       workload: Seq[(DagTask, java.util.Properties)],
       conf: SchedulerConfig): Seq[(String, String)] = {
     val trace = schedule(workload.map(_._1), conf)

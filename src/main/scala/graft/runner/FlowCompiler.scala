@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.SparkSession
 
-import graft.state.FsStateStore
+import graft.state.{FsStateStore, StateStore}
 
 /** Thin GaaS flow compiler (SURVEY §3.3) — the reference's
   * FlowGraph → JobSpec-chain compilation re-expressed as driver-side
@@ -190,7 +190,7 @@ object FlowCompiler {
     * dependency failed this run is skipped as "blocked" (recorded, so
     * a resume retries it after the dependency is fixed).
     */
-  def executeDag(spark: SparkSession, store: FsStateStore,
+  def executeDag(spark: SparkSession, store: StateStore,
       dag: CompiledDag,
       issues: Option[Troubleshooter.MultiContextIssueRepository] = None): Seq[HopResult] = {
     val dir = s"flows/${dag.flow.name}"
@@ -238,7 +238,7 @@ object FlowCompiler {
     * hops (crash-resume; same contract as CommitSequence). A hop that
     * throws is recorded failed and aborts the flow.
     */
-  def execute(spark: SparkSession, store: FsStateStore,
+  def execute(spark: SparkSession, store: StateStore,
       compiled: CompiledFlow,
       issues: Option[Troubleshooter.MultiContextIssueRepository] = None): Seq[HopResult] = {
     val dir = s"flows/${compiled.flow.name}"
@@ -267,6 +267,6 @@ object FlowCompiler {
     * sequence (the post-success clear the reference does on flow
     * completion).
     */
-  def reset(store: FsStateStore, flowName: String): Unit =
+  def reset(store: StateStore, flowName: String): Unit =
     store.listKeys(s"flows/$flowName").foreach(store.delete(s"flows/$flowName", _))
 }

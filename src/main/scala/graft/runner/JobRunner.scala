@@ -7,7 +7,7 @@ import graft.model.{JobSpec, LongWatermark}
 import graft.operators.Converters.Op
 import graft.quality.Quality
 import graft.sink.{Publisher, SinkSpec}
-import graft.state.FsStateStore
+import graft.state.{FsStateStore, StateStore}
 
 /** The batch job lifecycle (SURVEY.md §3.1) in one Spark action chain:
   *
@@ -37,10 +37,10 @@ object JobRunner {
 
   private val WatermarkStore = "watermarks"
 
-  def lowWatermark(store: FsStateStore, job: JobSpec): Option[Long] =
+  def lowWatermark(store: StateStore, job: JobSpec): Option[Long] =
     store.get(WatermarkStore, job.name).flatMap(_.get("watermark")).map(_.toLong)
 
-  def run(spark: SparkSession, store: FsStateStore, job: JobSpec,
+  def run(spark: SparkSession, store: StateStore, job: JobSpec,
       read: SparkSession => DataFrame,
       watermarkCol: String,
       ops: Seq[Op],

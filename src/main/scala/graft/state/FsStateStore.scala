@@ -5,6 +5,21 @@ import java.nio.charset.StandardCharsets
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 
+/** State-store contract shared by the filesystem and JDBC backends —
+  * the reference's StateStore interface
+  * (gobblin-metastore/.../StateStore.java) reduced to the flat
+  * string-map State this engine carries. Values are per-dataset
+  * METADATA (watermarks, schemas, run bookkeeping), never data.
+  */
+trait StateStore {
+  def put(store: String, key: String, state: Map[String, String]): Unit
+  def get(store: String, key: String): Option[Map[String, String]]
+  def getOrElse(store: String, key: String, default: Map[String, String]): Map[String, String] =
+    get(store, key).getOrElse(default)
+  def delete(store: String, key: String): Unit
+  def listKeys(store: String): Seq[String]
+}
+
 /** Filesystem-backed state store: one JSON file per (store, table) key,
   * written via temp-file + rename so readers never observe a partial
   * state. Replaces the reference's SequenceFile-backed FsStateStore
@@ -19,7 +34,8 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   * using the Hadoop FileSystem API keeps this working unchanged on
   * HDFS/S3A at cluster scale.
   */
-final class FsStateStore(root: String, conf: Configuration = new Configuration()) {
+final class FsStateStore(root: String, conf: Configuration = new Configuration())
+  extends StateStore {
 
   private def pathFor(store: String, key: String): Path =
     new Path(root, s"$store/$key.json")
@@ -58,9 +74,6 @@ final class FsStateStore(root: String, conf: Configuration = new Configuration()
       } finally in.close()
     }
   }
-
-  def getOrElse(store: String, key: String, default: Map[String, String]): Map[String, String] =
-    get(store, key).getOrElse(default)
 
   def delete(store: String, key: String): Unit = {
     val p = pathFor(store, key)

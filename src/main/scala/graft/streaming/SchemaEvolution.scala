@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 
-import graft.state.FsStateStore
+import graft.state.{FsStateStore, StateStore}
 
 /** Mid-stream schema evolution (SURVEY §1.3 / §7 hard-parts): the
   * reference injects MetadataUpdateControlMessage when a record's
@@ -29,16 +29,16 @@ object SchemaEvolution {
 
   private val Store = "schemas"
 
-  def recordSchema(store: FsStateStore, stream: String, schema: StructType): Unit =
+  def recordSchema(store: StateStore, stream: String, schema: StructType): Unit =
     store.put(Store, stream, Map("ddl" -> schema.toDDL))
 
-  def loadSchema(store: FsStateStore, stream: String): Option[StructType] =
+  def loadSchema(store: StateStore, stream: String): Option[StructType] =
     store.get(Store, stream).flatMap(_.get("ddl")).map(StructType.fromDDL)
 
   /** Conform one micro-batch to `target`. Returns the conformed frame;
     * records widened schema / throws per the policy above.
     */
-  def conform(batch: DataFrame, target: StructType, store: FsStateStore,
+  def conform(batch: DataFrame, target: StructType, store: StateStore,
       stream: String): DataFrame = {
     val observed = batch.schema
     val byName = observed.fields.map(f => f.name -> f).toMap

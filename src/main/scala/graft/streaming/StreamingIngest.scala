@@ -102,7 +102,7 @@ object StreamingIngest {
     */
   def ingestForeachBatch(stream: DataFrame,
       targetSchema: org.apache.spark.sql.types.StructType,
-      store: graft.state.FsStateStore, streamName: String,
+      store: graft.state.StateStore, streamName: String,
       ops: Seq[Op], stagingDir: String, outputDir: String,
       partitionBy: Seq[String]): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.outputMode("append").foreachBatch {
