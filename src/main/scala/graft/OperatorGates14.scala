@@ -648,7 +648,7 @@ object OperatorGates14 {
     //     reassembled text from documents.text alone ----------------
     "q_docx_extract" -> ((s, dir) => {
       import s.implicits._
-      import graft.operators.OfficeText
+      import graft.operators.{OfficeText, RtfText}
       val docs = t(s, dir, "documents")
         .filter(pmod(col("doc_id"), lit(5)) === 2 && col("doc_id") < 500)
         .select(col("doc_id"), normText(col("text")).as("t"))
@@ -656,12 +656,18 @@ object OperatorGates14 {
       val out = docs.mapPartitions(_.map { case (id, txt) =>
         val words = txt.split(" ", -1)
         val paras = words.grouped(8).map(_.mkString(" ")).toSeq
-        val bytes =
-          if (id % 2 == 0) OfficeText.writeDocx(paras, salt = id)
-          else OfficeText.writeOdt(paras, salt = id)
-        val doc = OfficeText.extract(id, bytes)
-        (id, doc.kind, doc.nParagraphs.toLong,
-          doc.text.replace('\n', ' '))
+        val (kind, text) = id % 3 match {
+          case 0 =>
+            val d = OfficeText.extract(id, OfficeText.writeDocx(paras, salt = id))
+            (d.kind, d.text)
+          case 1 =>
+            val d = OfficeText.extract(id, OfficeText.writeOdt(paras, salt = id))
+            (d.kind, d.text)
+          case _ =>
+            ("rtf", RtfText.extract(id, RtfText.write(paras)))
+        }
+        (id, kind, text.split("\n", -1).length.toLong,
+          text.replace('\n', ' '))
       }).toDF("doc_id", "kind", "n_paragraphs", "text")
       out.select(col("doc_id"), col("kind"), col("n_paragraphs"),
           length(col("text")).cast("long").as("n_chars"), col("text"))
@@ -1060,7 +1066,8 @@ object OperatorGates14 {
         |    trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
         |  FROM documents WHERE doc_id % 5 = 2 AND doc_id < 500)
         |SELECT doc_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'docx' ELSE 'odt' END AS kind,
+        |  CASE doc_id % 3 WHEN 0 THEN 'docx' WHEN 1 THEN 'odt'
+        |       ELSE 'rtf' END AS kind,
         |  CAST(ceil(len(string_split(t, ' ')) / 8.0) AS BIGINT)
         |    AS n_paragraphs,
         |  CAST(len(t) AS BIGINT) AS n_chars,

@@ -1076,6 +1076,7 @@ object Multimodal {
     else if (Mp3Codec.isMp3(bytes)) "audio/mpeg"
     else if (graft.functions.ZstdBytes.isZstd(bytes)) "application/zstd"
     else if (Bzip2Codec.isBzip2(bytes)) "application/x-bzip2"
+    else if (RtfText.isRtf(bytes)) "text/rtf"
     else "unknown"
 
   private def tag4(b: Array[Byte], o: Int): String =

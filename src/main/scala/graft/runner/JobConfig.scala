@@ -372,6 +372,9 @@ object JobConfig {
                 if graft.operators.OfficeText.classifyZip(id, c) != "zip" =>
                 (id, graft.operators.OfficeText.extract(id, c)
                   .text.replace('\n', ' ').replace('\t', ' '))
+              case "text/rtf" =>
+                (id, graft.operators.RtfText.extract(id, c)
+                  .replace('\n', ' ').replace('\t', ' '))
               case _ =>
                 (id, new String(c, java.nio.charset.StandardCharsets.UTF_8))
             }
