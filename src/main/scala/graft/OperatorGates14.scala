@@ -764,6 +764,73 @@ object OperatorGates14 {
         .union(i.toDF().withColumn("proto", lit("influx")))
         .select(col("proto"), col("line"))
         .orderBy(col("proto"), col("line"))
+    }),
+
+    // --- FLAGSHIP mixed corpus drop: documents serialized across SIX
+    //     formats (HTML / PDF / DOCX / ODT / RTF / plain), packed
+    //     12-per-shard into .tar.bz2 archives (our bzip2 + ustar
+    //     writers), then the ingest chain runs decompress -> tar walk
+    //     -> magic-byte sniff -> per-format extraction and every
+    //     document's text comes out EXACTLY equal to the source
+    //     column. One gate proving the whole document tier composes --
+    "q_mixed_corpus_drop" -> ((s, dir) => {
+      import s.implicits._
+      import graft.functions.Text
+      import graft.operators.{Bzip2Codec, Multimodal, OfficeText, PdfText,
+        PdfWriter, RtfText, TarCodec}
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 240)
+        .select(col("doc_id"), normText(col("text")).as("t"))
+        .as[(Long, String)]
+      val shards = docs.groupByKey(_._1 / 12).mapGroups { (fid, it) =>
+        val members = it.toSeq.sortBy(_._1).map { case (id, txt) =>
+          val paras = txt.split(" ", -1).grouped(8).map(_.mkString(" ")).toSeq
+          (id % 6) match {
+            case 0 => s"d$id.html" -> s"<html>$txt</html>".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)
+            case 1 => s"d$id.pdf" -> PdfWriter.write(id,
+              PdfWriter.layout(txt, perLine = 8, linesPerPage = 6),
+              (id % 3).toInt)
+            case 2 => s"d$id.docx" -> OfficeText.writeDocx(paras, salt = id)
+            case 3 => s"d$id.odt" -> OfficeText.writeOdt(paras, salt = id)
+            case 4 => s"d$id.rtf" -> RtfText.write(paras)
+            case _ => s"d$id.txt" -> txt.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8)
+          }
+        }
+        (fid, Bzip2Codec.compress(TarCodec.write(members)))
+      }.toDF("file_id", "content")
+      val extracted = shards.as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (fid, bz) =>
+          TarCodec.parse(fid, Bzip2Codec.decompress(fid, bz))
+            .iterator.map { case (name, data) =>
+              val id = name.stripPrefix("d").takeWhile(_.isDigit).toLong
+              Multimodal.sniffModality(data) match {
+                case "application/pdf" =>
+                  (id, "application/pdf",
+                    PdfText.extract(id, data).text.replace('\n', ' '))
+                case "application/zip" =>
+                  val d = OfficeText.extract(id, data)
+                  (id, s"application/${d.kind}",
+                    d.text.replace('\n', ' ').replace('\t', ' '))
+                case "text/rtf" =>
+                  (id, "text/rtf", RtfText.extract(id, data)
+                    .replace('\n', ' ').replace('\t', ' '))
+                case _ => // plain text members: html vs txt by name
+                  val raw = new String(data,
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  if (name.endsWith(".html")) (id, "text/html", raw)
+                  else (id, "text/plain", raw)
+              }
+            }
+        }).toDF("doc_id", "modality", "raw")
+      extracted
+        .select(col("doc_id"), col("modality"),
+          when(col("modality") === "text/html",
+            Text.stripHtml(col("raw"))).otherwise(col("raw")).as("clean"))
+        .select(col("doc_id"), col("modality"),
+          trim(regexp_replace(col("clean"), "\\s+", " ")).as("text"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1112,6 +1179,19 @@ object OperatorGates14 {
         |  FROM m)
         |SELECT proto, line FROM g
         |UNION ALL SELECT proto, line FROM i
-        |ORDER BY proto, line""".stripMargin
+        |ORDER BY proto, line""".stripMargin,
+
+    "q_mixed_corpus_drop" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(coalesce(text, ''), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id < 240)
+        |SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'text/html' WHEN 1 THEN 'application/pdf'
+        |    WHEN 2 THEN 'application/docx' WHEN 3 THEN 'application/odt'
+        |    WHEN 4 THEN 'text/rtf' ELSE 'text/plain' END AS modality,
+        |  t AS text
+        |FROM d ORDER BY doc_id""".stripMargin
   )
 }
