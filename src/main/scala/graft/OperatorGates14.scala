@@ -831,6 +831,33 @@ object OperatorGates14 {
         .select(col("doc_id"), col("modality"),
           trim(regexp_replace(col("clean"), "\\s+", " ")).as("text"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- .xz ingest (XzCodec, pure-JVM LZMA2): COMMITTED fixtures
+    //     encoded by the system xz CLI (tools/xz_fixtures.py) over
+    //     generator-deterministic content, sweeping presets, lc/lp/pb
+    //     shapes, all four check types, forced multi-block and a
+    //     concatenated two-stream file. Each decodes executor-side
+    //     (checks verified) into lines the oracle rebuilds
+    //     analytically — no pinned constants ------------------------
+    "q_xz_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.XzCodec
+      val fixtures = (0 until 12).map { k =>
+        val in = getClass.getResourceAsStream(s"/graft/xz/fixture_$k.xz")
+        require(in != null, s"missing xz fixture $k")
+        try (k.toLong, in.readAllBytes()) finally in.close()
+      }
+      fixtures.toDF("fixture_id", "content")
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (k, bz) =>
+          val text = new String(XzCodec.decompress(k, bz),
+            java.nio.charset.StandardCharsets.UTF_8)
+          text.split("\n", -1).iterator.filter(_.nonEmpty)
+            .zipWithIndex.map { case (l, i) => (k, i.toLong, l) }
+        })
+        .toDF("fixture_id", "line_no", "line")
+        .orderBy(col("fixture_id"), col("line_no"))
     })
   )
 
@@ -1192,6 +1219,19 @@ object OperatorGates14 {
         |    WHEN 2 THEN 'application/docx' WHEN 3 THEN 'application/odt'
         |    WHEN 4 THEN 'text/rtf' ELSE 'text/plain' END AS modality,
         |  t AS text
-        |FROM d ORDER BY doc_id""".stripMargin
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_xz_ingest" ->
+      """WITH f AS (SELECT unnest(range(0, 12)) AS k),
+        |l AS (SELECT k, unnest(range(0, 20 + 5 * k)) AS i FROM f),
+        |w AS (SELECT k, i, unnest(range(0, 5 + (i % 7))) AS j FROM l),
+        |words AS (
+        |  SELECT k, i,
+        |    string_agg('w' || CAST((k * 31 + i * 17 + j * 13) % 101
+        |      AS VARCHAR), ' ' ORDER BY j) AS ws
+        |  FROM w GROUP BY k, i)
+        |SELECT k AS fixture_id, i AS line_no,
+        |  'doc' || CAST(k * 100 + i AS VARCHAR) || chr(9) || ws AS line
+        |FROM words ORDER BY fixture_id, line_no""".stripMargin
   )
 }

@@ -1076,6 +1076,7 @@ object Multimodal {
     else if (Mp3Codec.isMp3(bytes)) "audio/mpeg"
     else if (graft.functions.ZstdBytes.isZstd(bytes)) "application/zstd"
     else if (Bzip2Codec.isBzip2(bytes)) "application/x-bzip2"
+    else if (XzCodec.isXz(bytes)) "application/x-xz"
     else if (RtfText.isRtf(bytes)) "text/rtf"
     else "unknown"
 
@@ -1216,6 +1217,15 @@ object Multimodal {
             val d = try graft.functions.ZstdBytes.decompress(bytes, 512L * 1024 * 1024)
               catch { case e: Exception => throw new IllegalArgumentException(
                 s"media $id: corrupt zstd frame: ${e.getMessage}", e) }
+            var sum = 0L
+            var i = 0
+            while (i < d.length) { sum += (d(i) & 0xff); i += 1 }
+            MediaAuto(id, m, d.length.toLong,
+              if (d.length == 0) 0.0 else sum.toDouble / d.length)
+          case m @ "application/x-xz" =>
+            // .xz corpus drops (Wikipedia-dump era): LZMA2 decode with
+            // per-block checks verified, bomb-guarded
+            val d = XzCodec.decompress(id, bytes)
             var sum = 0L
             var i = 0
             while (i < d.length) { sum += (d(i) & 0xff); i += 1 }
