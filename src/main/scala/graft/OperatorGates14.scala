@@ -858,6 +858,68 @@ object OperatorGates14 {
         })
         .toDF("fixture_id", "line_no", "line")
         .orderBy(col("fixture_id"), col("line_no"))
+    }),
+
+    // --- Content-Encoding crawl ingest (BrotliCodec + WarcCodec):
+    //     WARC response records whose HTTP bodies rotate br / gzip /
+    //     identity / deflate — br bodies are COMMITTED libbrotli
+    //     fixtures (quality 1..11, tools/brotli_probe.py) over
+    //     generator-deterministic lines; gzip/deflate bodies are
+    //     JDK-encoded from the same formula in-gate. The parse side
+    //     decodes transparently per the header; the oracle rebuilds
+    //     every line analytically ----------------------------------
+    "q_brotli_ingest" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.WarcCodec
+      def line(k: Int, i: Int): String = {
+        val words = (0 until (4 + i % 5))
+          .map(j => s"b${(k * 37 + i * 19 + j * 11) % 89}").mkString(" ")
+        s"page${k * 100 + i} $words\n"
+      }
+      def content(k: Int): Array[Byte] =
+        (0 until (15 + 3 * k)).map(i => line(k, i)).mkString
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val files = (0 until 6).toDF("file_id")
+        .as[Int]
+        .mapPartitions(_.map { f =>
+          val pages = (f * 4 until f * 4 + 4).map { k =>
+            val (wire, enc) =
+              if (k < 8) {
+                val in = getClass.getResourceAsStream(s"/graft/brotli/fixture_$k.br")
+                require(in != null, s"missing brotli fixture $k")
+                (try in.readAllBytes() finally in.close(), "br")
+              } else if (k < 16) {
+                val bo = new java.io.ByteArrayOutputStream()
+                val g = new java.util.zip.GZIPOutputStream(bo)
+                g.write(content(k)); g.close()
+                (bo.toByteArray, "gzip")
+              } else if (k < 20) (content(k), "identity")
+              else {
+                val d = new java.util.zip.Deflater()
+                d.setInput(content(k)); d.finish()
+                val bo = new java.io.ByteArrayOutputStream()
+                val buf = new Array[Byte](8192)
+                while (!d.finished()) bo.write(buf, 0, d.deflate(buf))
+                d.end()
+                (bo.toByteArray, "deflate")
+              }
+            (s"https://x.example/p/$k", wire, enc)
+          }
+          (f.toLong, WarcCodec.writeResponsesEncoded(pages))
+        })
+        .toDF("media_id", "content")
+      WarcCodec.records(files).toDF()
+        .select(
+          regexp_extract(col("target_uri"), "/p/(\\d+)$", 1)
+            .cast("long").as("k"),
+          col("payload_text"))
+        .as[(Long, String)]
+        .flatMap { case (k, text) =>
+          text.split("\n", -1).iterator.filter(_.nonEmpty)
+            .zipWithIndex.map { case (l, i) => (k, i.toLong, l) }
+        }
+        .toDF("k", "line_no", "line")
+        .orderBy(col("k"), col("line_no"))
     })
   )
 
@@ -1232,6 +1294,19 @@ object OperatorGates14 {
         |  FROM w GROUP BY k, i)
         |SELECT k AS fixture_id, i AS line_no,
         |  'doc' || CAST(k * 100 + i AS VARCHAR) || chr(9) || ws AS line
-        |FROM words ORDER BY fixture_id, line_no""".stripMargin
+        |FROM words ORDER BY fixture_id, line_no""".stripMargin,
+
+    "q_brotli_ingest" ->
+      """WITH f AS (SELECT unnest(range(0, 24)) AS k),
+        |l AS (SELECT k, unnest(range(0, 15 + 3 * k)) AS i FROM f),
+        |w AS (SELECT k, i, unnest(range(0, 4 + (i % 5))) AS j FROM l),
+        |words AS (
+        |  SELECT k, i,
+        |    string_agg('b' || CAST((k * 37 + i * 19 + j * 11) % 89
+        |      AS VARCHAR), ' ' ORDER BY j) AS ws
+        |  FROM w GROUP BY k, i)
+        |SELECT k, i AS line_no,
+        |  'page' || CAST(k * 100 + i AS VARCHAR) || ' ' || ws AS line
+        |FROM words ORDER BY k, line_no""".stripMargin
   )
 }

@@ -188,6 +188,37 @@ object WarcCodec {
             m.map(_.group(1))
           }.getOrElse("UTF-8")
           payload = java.util.Arrays.copyOfRange(body, sEnd, body.length)
+          // HTTP Content-Encoding: hand downstream the LOGICAL body
+          // (modern crawls carry br; legacy gzip/deflate), never the
+          // wire bytes; unknown codings fail loudly
+          val ceLine = httpHead.split("\r\n").drop(1)
+            .find(_.toLowerCase.startsWith("content-encoding:"))
+            .map(_.split(":", 2)(1).trim.toLowerCase)
+          payload = ceLine match {
+            case None | Some("identity") | Some("") => payload
+            case Some("gzip") | Some("x-gzip") => gunzipAll(id, payload)
+            case Some("br") => BrotliCodec.decompress(id, payload)
+            case Some("deflate") =>
+              // RFC 9110 deflate = zlib wrapper
+              val inf = new java.util.zip.Inflater()
+              inf.setInput(payload)
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](8192)
+              try {
+                while (!inf.finished()) {
+                  val n = inf.inflate(buf)
+                  if (n == 0 && inf.needsInput())
+                    fail(id, s"record at $pos: truncated deflate body")
+                  out.write(buf, 0, n)
+                }
+              } catch {
+                case _: java.util.zip.DataFormatException =>
+                  fail(id, s"record at $pos: corrupt deflate body")
+              } finally inf.end()
+              out.toByteArray
+            case Some(other) =>
+              fail(id, s"record at $pos: Content-Encoding '$other' unsupported")
+          }
         }
         records += WarcRecord(warcType,
           headers.getOrElse("warc-target-uri", ""),
@@ -231,6 +262,35 @@ object WarcCodec {
         g.close()
         out.write(gz.toByteArray, 0, gz.size())
       } else out.write(rec, 0, rec.length)
+    }
+    out.toByteArray
+  }
+
+  /** Like [[writeResponses]] but with per-page HTTP Content-Encoding:
+    * pages are (uri, WIRE body, encoding token) — the caller encodes
+    * (gzip via JDK, br via an external encoder); "identity" writes
+    * no header. The parse side decodes transparently.
+    */
+  def writeResponsesEncoded(
+      pages: Seq[(String, Array[Byte], String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    pages.zipWithIndex.foreach { case ((uri, wire, enc), i) =>
+      val ceHeader =
+        if (enc == "identity" || enc.isEmpty) ""
+        else s"Content-Encoding: $enc\r\n"
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+        ceHeader + s"Content-Length: ${wire.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val body = http ++ wire
+      val rec = (s"WARC/1.0\r\n" +
+        s"WARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:uuid:rec-$i>\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        body ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(rec, 0, rec.length)
     }
     out.toByteArray
   }
