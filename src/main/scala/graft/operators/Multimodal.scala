@@ -1078,6 +1078,9 @@ object Multimodal {
     else if (Bzip2Codec.isBzip2(bytes)) "application/x-bzip2"
     else if (XzCodec.isXz(bytes)) "application/x-xz"
     else if (RtfText.isRtf(bytes)) "text/rtf"
+    else if (bytes.length >= 3 && (bytes(0) & 0xff) == 0x1f &&
+      (bytes(1) & 0xff) == 0x8b && (bytes(2) & 0xff) == 0x08)
+      "application/gzip"
     else "unknown"
 
   private def tag4(b: Array[Byte], o: Int): String =
@@ -1240,6 +1243,22 @@ object Multimodal {
             while (i < d.length) { sum += (d(i) & 0xff); i += 1 }
             MediaAuto(id, m, d.length.toLong,
               if (d.length == 0) 0.0 else sum.toDouble / d.length)
+          case m @ "application/gzip" =>
+            // multi-member walk with CRC+ISIZE verification (a
+            // .warc.gz routes here too — the inner WARC is the
+            // member payload, probed as decompressed bytes)
+            val d = WarcCodec.gunzipAll(id, bytes)
+            var sum = 0L
+            var i = 0
+            while (i < d.length) { sum += (d(i) & 0xff); i += 1 }
+            MediaAuto(id, m, d.length.toLong,
+              if (d.length == 0) 0.0 else sum.toDouble / d.length)
+          case m @ "text/rtf" =>
+            // document probe: n_units = extracted characters,
+            // mean_val = paragraph count (the PDF probe shape)
+            val text = RtfText.extract(id, bytes)
+            MediaAuto(id, m, text.length.toLong,
+              text.split("\n", -1).length.toDouble)
           case m @ "video/avi" =>
             // container walk + a REAL decode of the first frame (the
             // probe a pipeline runs before committing to full decode)

@@ -52,7 +52,7 @@ object WarcCodec {
     * as clean EOF, silently dropping every record after it; a truncated
     * or bit-flipped crawl file must fail loudly, not shrink.
     */
-  private def gunzipAll(id: Long, bytes: Array[Byte]): Array[Byte] = {
+  private[operators] def gunzipAll(id: Long, bytes: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
     var pos = 0
     var member = 0

@@ -28,6 +28,8 @@ object ZipCodec {
   private def u32(b: Array[Byte], o: Int): Long =
     (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
       ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+  private def u64(b: Array[Byte], o: Int): Long =
+    u32(b, o) | (u32(b, o + 4) << 32)
 
   /** Parse members in central-directory order, CRC/size verified. */
   def parse(id: Long, bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
@@ -42,12 +44,32 @@ object ZipCodec {
       i -= 1
     }
     if (eocd < 0) fail(id, "no end-of-central-directory record")
-    val nEntries = u16(bytes, eocd + 10)
+    var nEntries: Long = u16(bytes, eocd + 10).toLong
     if (nEntries != u16(bytes, eocd + 8))
       fail(id, "multi-disk archives not supported")
-    val cdOff = u32(bytes, eocd + 16)
-    if (cdOff == 0xffffffffL || nEntries == 0xffff)
-      fail(id, "zip64 archives not supported")
+    var cdOff = u32(bytes, eocd + 16)
+    if (cdOff == 0xffffffffL || nEntries == 0xffffL) {
+      // zip64: the EOCD64 locator (PK\x06\x07, 20 bytes) sits directly
+      // before the EOCD and points at the EOCD64 record (PK\x06\x06)
+      val loc = eocd - 20
+      if (loc < 0 || !(bytes(loc) == 'P' && bytes(loc + 1) == 'K' &&
+        bytes(loc + 2) == 6 && bytes(loc + 3) == 7))
+        fail(id, "zip64 markers present but EOCD64 locator missing")
+      if (u32(bytes, loc + 4) != 0 || u32(bytes, loc + 16) != 1)
+        fail(id, "multi-disk zip64 archives not supported")
+      val e64 = u64(bytes, loc + 8)
+      if (e64 < 0 || e64 + 56 > loc)
+        fail(id, s"zip64 EOCD64 offset $e64 out of range")
+      val z = e64.toInt
+      if (!(bytes(z) == 'P' && bytes(z + 1) == 'K' &&
+        bytes(z + 2) == 6 && bytes(z + 3) == 6))
+        fail(id, "bad EOCD64 record magic")
+      nEntries = u64(bytes, z + 32)
+      if (nEntries != u64(bytes, z + 24))
+        fail(id, "multi-disk zip64 archives not supported")
+      cdOff = u64(bytes, z + 48)
+      if (nEntries > 1000000) fail(id, s"implausible zip64 entry count $nEntries")
+    }
     if (cdOff > eocd) fail(id, s"central directory offset $cdOff past EOCD $eocd")
 
     val out = Vector.newBuilder[(String, Array[Byte])]
@@ -62,14 +84,33 @@ object ZipCodec {
       if ((flags & 0x1) != 0) fail(id, s"entry $e is encrypted")
       val method = u16(bytes, pos + 10)
       val crc = u32(bytes, pos + 16)
-      val csize = u32(bytes, pos + 20)
-      val usize = u32(bytes, pos + 24)
+      var csize = u32(bytes, pos + 20)
+      var usize = u32(bytes, pos + 24)
       val nameLen = u16(bytes, pos + 28)
       val extraLen = u16(bytes, pos + 30)
       val commentLen = u16(bytes, pos + 32)
-      val lho = u32(bytes, pos + 42)
-      if (csize == 0xffffffffL || usize == 0xffffffffL || lho == 0xffffffffL)
-        fail(id, s"entry $e uses zip64 fields")
+      var lho = u32(bytes, pos + 42)
+      if (csize == 0xffffffffL || usize == 0xffffffffL || lho == 0xffffffffL) {
+        // zip64 extended-information extra (id 0x0001): u64 values in
+        // fixed order, present only for the fields that saturated
+        var eo = pos + 46 + nameLen
+        val eEnd = eo + extraLen
+        var found = false
+        while (eo + 4 <= eEnd && !found) {
+          val eid = u16(bytes, eo)
+          val esz = u16(bytes, eo + 2)
+          if (eid == 0x0001) {
+            var vo = eo + 4
+            if (usize == 0xffffffffL) { usize = u64(bytes, vo); vo += 8 }
+            if (csize == 0xffffffffL) { csize = u64(bytes, vo); vo += 8 }
+            if (lho == 0xffffffffL) { lho = u64(bytes, vo); vo += 8 }
+            if (vo > eo + 4 + esz) fail(id, s"entry $e zip64 extra too short")
+            found = true
+          }
+          eo += 4 + esz
+        }
+        if (!found) fail(id, s"entry $e saturated fields without a zip64 extra")
+      }
       // sizes are u32: anything past the archive (or Int range) is
       // corrupt — guard BEFORE any toInt/allocation wraps negative
       if (csize > bytes.length || usize > (1L << 26))

@@ -65,6 +65,81 @@ class ZipSpec extends AnyFunSuite {
     }
   }
 
+  test("zip64 archives parse (EOCD64 + per-entry extended info)") {
+    // build a classic archive, then rewrite it into a spec-valid
+    // zip64 layout: central entries get saturated size/offset fields
+    // with 0x0001 extras; EOCD64 + locator precede an EOCD whose
+    // counts/offset are saturated — the layout >4GB archives use
+    val ms = members(3)
+    val classic = ZipCodec.write(ms)
+    def u16le(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def u32le(v: Long) = Array.tabulate[Byte](4)(i => ((v >> (8 * i)) & 0xff).toByte)
+    def u64le(v: Long) = Array.tabulate[Byte](8)(i => ((v >> (8 * i)) & 0xff).toByte)
+    // locate classic EOCD (our writer emits no comment)
+    val eocd = classic.length - 22
+    assert(classic(eocd) == 'P' && classic(eocd + 1) == 'K' &&
+      classic(eocd + 2) == 5 && classic(eocd + 3) == 6)
+    def cu16(o: Int) = (classic(o) & 0xff) | ((classic(o + 1) & 0xff) << 8)
+    def cu32(o: Int) = (classic(o) & 0xffL) | ((classic(o + 1) & 0xffL) << 8) |
+      ((classic(o + 2) & 0xffL) << 16) | ((classic(o + 3) & 0xffL) << 24)
+    val n = cu16(eocd + 10)
+    val cdOff = cu32(eocd + 16).toInt
+    // rebuild the central directory with zip64 extras on every entry
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(classic, 0, cdOff) // local headers + data unchanged
+    val newCdOff = out.size()
+    var pos = cdOff
+    var e = 0
+    while (e < n) {
+      val nameLen = cu16(pos + 28)
+      val extraLen = cu16(pos + 30)
+      val commentLen = cu16(pos + 32)
+      val csize = cu32(pos + 20)
+      val usize = cu32(pos + 24)
+      val lho = cu32(pos + 42)
+      val hdr = classic.slice(pos, pos + 46 + nameLen)
+      // saturate usize/csize/lho; append a zip64 extra with all three
+      System.arraycopy(u32le(0xffffffffL), 0, hdr, 20, 4)
+      System.arraycopy(u32le(0xffffffffL), 0, hdr, 24, 4)
+      System.arraycopy(u32le(0xffffffffL), 0, hdr, 42, 4)
+      val extra = u16le(0x0001) ++ u16le(24) ++
+        u64le(usize) ++ u64le(csize) ++ u64le(lho)
+      System.arraycopy(u16le(extraLen + extra.length), 0, hdr, 30, 2)
+      out.write(hdr)
+      out.write(classic, pos + 46 + nameLen, extraLen) // existing extras
+      out.write(extra)
+      pos += 46 + nameLen + extraLen + commentLen
+      e += 1
+    }
+    val cdSize = out.size() - newCdOff
+    val e64Off = out.size()
+    // EOCD64 (56 bytes)
+    out.write(Array[Byte]('P', 'K', 6, 6))
+    out.write(u64le(44))            // size of remainder
+    out.write(u16le(45)); out.write(u16le(45)) // version made/needed
+    out.write(u32le(0)); out.write(u32le(0))   // disk numbers
+    out.write(u64le(n.toLong)); out.write(u64le(n.toLong))
+    out.write(u64le(cdSize.toLong))
+    out.write(u64le(newCdOff.toLong))
+    // EOCD64 locator (20 bytes)
+    out.write(Array[Byte]('P', 'K', 6, 7))
+    out.write(u32le(0))
+    out.write(u64le(e64Off.toLong))
+    out.write(u32le(1))
+    // saturated classic EOCD
+    out.write(Array[Byte]('P', 'K', 5, 6))
+    out.write(u16le(0)); out.write(u16le(0))
+    out.write(u16le(0xffff)); out.write(u16le(0xffff))
+    out.write(u32le(0xffffffffL)); out.write(u32le(0xffffffffL))
+    out.write(u16le(0))
+    val z64 = out.toByteArray
+    val parsed = ZipCodec.parse(64L, z64)
+    assert(parsed.map(_._1) == ms.map(_._1))
+    ms.zip(parsed).foreach { case ((name, want), (_, got)) =>
+      assert(java.util.Arrays.equals(got, want), name)
+    }
+  }
+
   test("corruption and unsupported features fail loudly with the media id") {
     val good = ZipCodec.write(members(3))
     def expectFail(mutate: Array[Byte] => Array[Byte], what: String): Unit = {
