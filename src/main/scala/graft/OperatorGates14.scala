@@ -920,6 +920,29 @@ object OperatorGates14 {
         }
         .toDF("k", "line_no", "line")
         .orderBy(col("k"), col("line_no"))
+    }),
+
+    // --- ENCRYPTED-PDF ingest (PdfCrypt): committed fixtures built by
+    //     an independent python implementation of the standard
+    //     security handler (tools/pdf_encrypt.py) — R3 RC4-128,
+    //     R4 AESV2, R6 AES-256, all opening with the EMPTY user
+    //     password (the crawled-corpus case: permission-bit documents)
+    //     and extracting exact text the oracle rebuilds analytically -
+    "q_pdf_encrypted" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.PdfText
+      val names = Seq((0L, "r3"), (1L, "r4aes"), (2L, "r6"))
+      names.toDF("k", "name")
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (k, name) =>
+          val in = getClass.getResourceAsStream(s"/graft/pdf_enc/fixture_$name.pdf")
+          require(in != null, s"missing encrypted-pdf fixture $name")
+          val bytes = try in.readAllBytes() finally in.close()
+          val t = PdfText.extract(k, bytes)
+          (k, name, t.nPages.toLong, t.text.replace('\n', ' '))
+        })
+        .toDF("k", "revision", "n_pages", "text")
+        .orderBy(col("k"))
     })
   )
 
@@ -1307,6 +1330,21 @@ object OperatorGates14 {
         |  FROM w GROUP BY k, i)
         |SELECT k, i AS line_no,
         |  'page' || CAST(k * 100 + i AS VARCHAR) || ' ' || ws AS line
-        |FROM words ORDER BY k, line_no""".stripMargin
+        |FROM words ORDER BY k, line_no""".stripMargin,
+
+    "q_pdf_encrypted" ->
+      """WITH f AS (SELECT unnest(range(0, 3)) AS k),
+        |l AS (SELECT k, unnest(range(0, 8 + k)) AS i FROM f),
+        |txt AS (
+        |  SELECT k, string_agg(
+        |    'enc' || CAST(k AS VARCHAR) || ' line' || CAST(i AS VARCHAR) ||
+        |    ' w' || CAST((k * 7 + i * 3) % 50 AS VARCHAR),
+        |    ' ' ORDER BY i) AS text
+        |  FROM l GROUP BY k)
+        |SELECT k,
+        |  CASE k WHEN 0 THEN 'r3' WHEN 1 THEN 'r4aes' ELSE 'r6' END
+        |    AS revision,
+        |  CAST(1 AS BIGINT) AS n_pages, text
+        |FROM txt ORDER BY k""".stripMargin
   )
 }

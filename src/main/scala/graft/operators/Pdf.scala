@@ -22,8 +22,11 @@ import java.util.zip.Inflater
   * x-gap over 0.15 em inserts a space.
   *
   * Loud id-tagged failures for structural corruption (bad xref,
-  * overrun streams, cycles) and for /Encrypt documents (decryption is
-  * out of scope BY NAME); unmappable glyph codes extract as U+FFFD so
+  * overrun streams, cycles). /Encrypt documents open through the
+  * standard security handler ([[PdfCrypt]]: R2-R4 RC4/AESV2, R6
+  * AES-256) when the user password is EMPTY — the crawled-corpus
+  * case — and password-protected files fail loudly by name;
+  * unmappable glyph codes extract as U+FFFD so
   * one exotic font cannot sink a page — corpus quality scoring sees
   * the replacement density downstream.
   *
@@ -492,6 +495,8 @@ object PdfCodec {
     private[this] var trailerDict: Map[String, Obj] = Map.empty
     private val cache = scala.collection.mutable.Map.empty[Int, Obj]
     private val inFlight = scala.collection.mutable.Set.empty[Int]
+    private[this] var crypt: Option[PdfCrypt.State] = None
+    private[this] var encryptObjNum: Int = -1
 
     locally {
       val tail = new String(bytes,
@@ -516,8 +521,95 @@ object PdfCodec {
         next = readXrefSection(next)
       }
       require(trailerDict.contains("Root"), s"media $id: trailer has no /Root")
-      require(!trailerDict.contains("Encrypt"),
-        s"media $id: encrypted PDF (decryption is out of scope)")
+      trailerDict.get("Encrypt").foreach(initCrypt)
+    }
+
+    /** Standard-security-handler setup (empty user password only;
+      * password-protected documents fail loudly by name). The
+      * /Encrypt dictionary itself and /ID strings are parsed while
+      * `crypt` is still None, so they are never "decrypted".
+      */
+    private def initCrypt(encRef: Obj): Unit = {
+      encryptObjNum = encRef match {
+        case PRef(n, _) => n
+        case _ => -1
+      }
+      val enc = resolve(encRef) match {
+        case d: PDict => d
+        case o => throw new IllegalArgumentException(
+          s"media $id: /Encrypt is $o, not a dictionary")
+      }
+      def num(k: String, dflt: Long): Long =
+        resolve(enc.get(k).getOrElse(PNull)) match {
+          case n: PNum => n.l
+          case _ => dflt
+        }
+      def str(k: String): Array[Byte] =
+        resolve(enc.get(k).getOrElse(PNull)) match {
+          case PStr(b) => b
+          case _ => Array.emptyByteArray
+        }
+      val filter = resolve(enc.get("Filter").getOrElse(PNull))
+      require(filter == PName("Standard"),
+        s"media $id: PDF security handler $filter unsupported (Standard only)")
+      val v = num("V", 0).toInt
+      val r = num("R", 0).toInt
+      val cfm =
+        if (v < 4) "V2"
+        else {
+          // /CF <</StdCF <</CFM ...>>>> with /StmF//StrF naming StdCF
+          val cf = resolve(enc.get("CF").getOrElse(PNull)) match {
+            case d: PDict => d
+            case _ => PDict(Map.empty)
+          }
+          val stdcf = resolve(cf.get("StdCF").getOrElse(PNull)) match {
+            case d: PDict => d
+            case _ => PDict(Map.empty)
+          }
+          Seq("StmF", "StrF").foreach { k =>
+            val f = resolve(enc.get(k).getOrElse(PName("Identity")))
+            require(f == PName("StdCF"),
+              s"media $id: PDF /$k $f unsupported (StdCF only)")
+          }
+          resolve(stdcf.get("CFM").getOrElse(PNull)) match {
+            case PName(m) => m
+            case o => throw new IllegalArgumentException(
+              s"media $id: PDF /CFM missing ($o)")
+          }
+        }
+      val encryptMetadata = resolve(enc.get("EncryptMetadata")
+        .getOrElse(PBool(true))) match {
+        case PBool(b) => b
+        case _ => true
+      }
+      val id0 = resolve(trailerDict.getOrElse("ID", PNull)) match {
+        case PArr(items) if items.nonEmpty => resolve(items.head) match {
+          case PStr(b) => b
+          case _ => Array.emptyByteArray
+        }
+        case _ => Array.emptyByteArray
+      }
+      crypt = Some(PdfCrypt.init(id, v, r, num("Length", 40).toInt,
+        num("P", -1), str("O"), str("U"), str("UE"), cfm,
+        encryptMetadata, id0))
+    }
+
+    /** Decrypt every string and stream payload of a directly-stored
+      * object (objects INSIDE object streams are plaintext per spec;
+      * xref streams are never encrypted).
+      */
+    private def decryptTree(o: Obj, num: Int, gen: Int): Obj = o match {
+      case PStr(b) =>
+        PStr(PdfCrypt.decrypt(id, crypt.get, num, gen, b))
+      case PDict(m) =>
+        PDict(m.map { case (k, v) => k -> decryptTree(v, num, gen) })
+      case PArr(items) => PArr(items.map(decryptTree(_, num, gen)))
+      case PStream(d, raw) =>
+        val nd = decryptTree(d, num, gen).asInstanceOf[PDict]
+        val isXref = d.get("Type").contains(PName("XRef"))
+        PStream(nd, if (isXref) raw
+        else PdfCrypt.decrypt(id, crypt.get, num, gen, raw))
+      case x => x
     }
 
     /** Parse one xref section (classic table or xref stream) at
@@ -568,7 +660,7 @@ object PdfCodec {
             case _ => -1L
           }
         case _: PNum => // "N G obj" — an xref STREAM object
-          val stream = parseObjectAt(off.toInt)._2 match {
+          val stream = parseObjectAt(off.toInt)._3 match {
             case s: PStream => s
             case other => throw new IllegalArgumentException(
               s"media $id: xref offset points at $other")
@@ -636,7 +728,7 @@ object PdfCodec {
     /** Parse "N G obj <object> [stream...endstream] endobj" at a byte
       * offset; returns (number, object).
       */
-    private def parseObjectAt(off: Int): (Int, Obj) = {
+    private def parseObjectAt(off: Int): (Int, Int, Obj) = {
       require(off >= 0 && off < bytes.length,
         s"media $id: object offset $off outside file")
       val lx = new Lexer(bytes, off, id)
@@ -645,7 +737,10 @@ object PdfCodec {
         case o => throw new IllegalArgumentException(
           s"media $id: expected object number at $off, got $o")
       }
-      lx.readToken() // generation
+      val gen = lx.readToken() match {
+        case n: PNum => n.i
+        case _ => 0
+      }
       require(lx.readToken() == POp("obj"),
         s"media $id: missing 'obj' keyword at $off")
       val body = lx.readToken()
@@ -671,7 +766,7 @@ object PdfCodec {
           }
         case other => other
       }
-      (num, obj)
+      (num, gen, obj)
     }
 
     /** Fetch object `num`, through object streams if needed. A
@@ -691,10 +786,13 @@ object PdfCodec {
       xref.get(num) match {
         case None => PNull // spec: missing object is null
         case Some(AtOffset(off)) =>
-          val (n, o) = parseObjectAt(off.toInt)
+          val (n, g, o) = parseObjectAt(off.toInt)
           require(n == num,
             s"media $id: xref says object $num at $off but found $n")
-          o
+          // decrypt strings/streams of directly-stored objects (the
+          // /Encrypt dictionary itself stays as stored)
+          if (crypt.isDefined && num != encryptObjNum) decryptTree(o, num, g)
+          else o
         case Some(InObjStm(stmNum, idx)) =>
           val stm = obj(stmNum) match {
             case s: PStream => s
