@@ -943,6 +943,41 @@ object OperatorGates14 {
         })
         .toDF("k", "revision", "n_pages", "text")
         .orderBy(col("k"))
+    }),
+
+    // --- CDX(J) index fetch planning (CdxIndex): the 100-TB crawl
+    //     consumer's workflow — resolve target URLs through the
+    //     per-crawl index (render -> parse round-trips the CDXJ line
+    //     format in-gate) via SURT keys (case/port/param-order
+    //     variants collapse), then coalesce per-file byte ranges
+    //     under the gap bound with a windowed gaps-and-islands pass.
+    //     The oracle replays SURT matching and the island arithmetic -
+    "q_cdx_plan" -> ((s, dir) => {
+      import graft.operators.CdxIndex
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val url = concat(lit("https://www.Ex"), pmod(col("doc_id"), lit(7)),
+        lit(".COM/p"), pmod(col("doc_id"), lit(5)),
+        lit("?a="), col("doc_id"), lit("&z=9&m=1"))
+      val index = docs.select(
+        CdxIndex.surt(url).as("urlkey"),
+        lit("20260815000000").as("ts"),
+        url.as("url"),
+        lit(200).as("status"), lit("text/html").as("mime"),
+        concat(lit("sha1:"), md5(col("doc_id").cast("string"))).as("digest"),
+        concat(lit("crawl-"), pmod(col("doc_id"), lit(4)),
+          lit(".warc.gz")).as("filename"),
+        (col("doc_id") * 120).as("offset"),
+        (lit(100) + pmod(col("doc_id"), lit(7)) * 250).as("length"))
+      // wire-format round-trip: render to CDXJ lines, parse back
+      val parsed = CdxIndex.parseCdxj(CdxIndex.renderCdxj(index))
+      // wanted URLs arrive in a DIFFERENT surface form (scheme/host
+      // case, explicit default port, shuffled params, no www)
+      val wanted = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(concat(lit("HTTP://EX"), pmod(col("doc_id"), lit(7)),
+          lit(".COM:80/p"), pmod(col("doc_id"), lit(5)),
+          lit("?z=9&a="), col("doc_id"), lit("&m=1")).as("url"))
+      CdxIndex.planFetch(parsed, wanted, "url", maxGap = 600)
+        .orderBy(col("filename"), col("range_start"))
     })
   )
 
@@ -1345,6 +1380,32 @@ object OperatorGates14 {
         |  CASE k WHEN 0 THEN 'r3' WHEN 1 THEN 'r4aes' ELSE 'r6' END
         |    AS revision,
         |  CAST(1 AS BIGINT) AS n_pages, text
-        |FROM txt ORDER BY k""".stripMargin
+        |FROM txt ORDER BY k""".stripMargin,
+
+    "q_cdx_plan" ->
+      """WITH sel AS (
+        |  SELECT doc_id,
+        |    'crawl-' || CAST(doc_id % 4 AS VARCHAR) || '.warc.gz' AS filename,
+        |    doc_id * 120 AS off, 100 + (doc_id % 7) * 250 AS len
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |w AS (
+        |  SELECT filename, off, len,
+        |    MAX(off + len) OVER (PARTITION BY filename ORDER BY off
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM sel),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_end IS NULL OR off > prev_end + 600
+        |                 THEN 1 ELSE 0 END AS ni
+        |  FROM w),
+        |i AS (
+        |  SELECT *, SUM(ni) OVER (PARTITION BY filename ORDER BY off)
+        |    AS island
+        |  FROM f)
+        |SELECT filename, MIN(off) AS range_start,
+        |  MAX(off + len) AS range_end,
+        |  MAX(off + len) - MIN(off) AS range_bytes,
+        |  COUNT(*) AS n_records
+        |FROM i GROUP BY filename, island
+        |ORDER BY filename, range_start""".stripMargin
   )
 }

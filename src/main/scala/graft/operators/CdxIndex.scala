@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Common Crawl CDX(J) index operations — the planning layer a 100-TB
+  * crawl consumer actually uses: instead of reading whole .warc.gz
+  * files, resolve target URLs through the published per-crawl index
+  * (`urlkey timestamp {json}` lines) to (file, offset, length) ranges
+  * and fetch ONLY those byte ranges. Reference seam: the reference
+  * plans file-level work units from listings
+  * (gobblin-core/.../source/extractor/filebased/FileBasedSource.java);
+  * the CDX range plan is the byte-granular refinement crawls need.
+  *
+  * Everything here is pure codegen'd column chains (no UDF) plus one
+  * windowed gaps-and-islands pass for range coalescing.
+  */
+object CdxIndex {
+
+  /** SURT form of a URL (the index's `urlkey`): scheme dropped,
+    * lower-cased, leading `www.` stripped, host segments reversed and
+    * comma-joined, `)/` + path, query params SORTED (the pywb default
+    * canonicalizer this module pins in its oracle).
+    */
+  def surt(url: Column): Column = {
+    val lowered = lower(url)
+    val noScheme = regexp_replace(lowered, "^[a-z][a-z0-9+.-]*://", "")
+    val noFrag = split(noScheme, "#").getItem(0)
+    val hostPort = split(noFrag, "/").getItem(0)
+    // path+query = everything from the first '/' (or just "/")
+    val slashPos = instr(noFrag, "/")
+    val pqReal = when(slashPos > 0,
+      noFrag.substr(slashPos, length(noFrag) - slashPos + 1))
+      .otherwise(lit("/"))
+    val host = regexp_replace(split(hostPort, ":").getItem(0), "^www\\.", "")
+    val revHost = array_join(reverse(split(host, "\\.")), ",")
+    // sort query params
+    val qpos = instr(pqReal, "?")
+    val path = when(qpos > 0, pqReal.substr(lit(1), qpos - 1)).otherwise(pqReal)
+    val query = when(qpos > 0, pqReal.substr(qpos + 1, length(pqReal)))
+      .otherwise(lit(""))
+    val sortedQ = array_join(array_sort(filter(split(query, "&"),
+      p => length(p) > 0)), "&")
+    concat(revHost, lit(")"), path,
+      when(length(sortedQ) > 0, concat(lit("?"), sortedQ)).otherwise(lit("")))
+  }
+
+  /** Parse CDXJ lines (`urlkey timestamp {json}`) into typed columns.
+    * `lines` must have a `line` string column; malformed lines fail
+    * the JSON parse into nulls the caller can police.
+    */
+  def parseCdxj(lines: DataFrame): DataFrame = {
+    val spark = lines.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("url",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("status",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("mime",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("digest",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("filename",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("offset",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.StringType)))
+    val _ = spark
+    lines
+      .withColumn("urlkey", split(col("line"), " ", 3).getItem(0))
+      .withColumn("ts", split(col("line"), " ", 3).getItem(1))
+      .withColumn("j", from_json(split(col("line"), " ", 3).getItem(2), schema))
+      .select(col("urlkey"), col("ts"),
+        col("j.url").as("url"),
+        col("j.status").cast("int").as("status"),
+        col("j.mime").as("mime"),
+        col("j.digest").as("digest"),
+        col("j.filename").as("filename"),
+        col("j.offset").cast("long").as("offset"),
+        col("j.length").cast("long").as("length"))
+  }
+
+  /** Resolve wanted URLs through the index and coalesce per-file byte
+    * ranges whose gaps are at most `maxGap` (HTTP range requests are
+    * cheaper when merged across small gaps) — gaps-and-islands over a
+    * per-file window, never a driver loop. Output: one row per merged
+    * range with the number of records it covers.
+    */
+  def planFetch(index: DataFrame, wanted: DataFrame, urlCol: String,
+      maxGap: Long = 4096): DataFrame = {
+    val keys = wanted.select(surt(col(urlCol)).as("urlkey")).distinct()
+    val hits = index.join(keys, "urlkey")
+      .select(col("filename"), col("offset"), col("length"))
+    val w = Window.partitionBy(col("filename")).orderBy(col("offset"))
+    val withPrev = hits
+      .withColumn("prev_end", max(col("offset") + col("length")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)))
+    val flagged = withPrev.withColumn("new_island",
+      when(col("prev_end").isNull ||
+        col("offset") > col("prev_end") + maxGap, 1).otherwise(0))
+    val islands = flagged.withColumn("island",
+      sum(col("new_island")).over(w))
+    islands.groupBy(col("filename"), col("island"))
+      .agg(min(col("offset")).as("range_start"),
+        max(col("offset") + col("length")).as("range_end"),
+        count(lit(1)).as("n_records"))
+      .select(col("filename"), col("range_start"), col("range_end"),
+        (col("range_end") - col("range_start")).as("range_bytes"),
+        col("n_records"))
+  }
+
+  /** Render an index DataFrame back to CDXJ lines (the export side). */
+  def renderCdxj(index: DataFrame): DataFrame =
+    index.select(concat(
+      col("urlkey"), lit(" "), col("ts"), lit(" "),
+      to_json(struct(
+        col("url"), col("status").cast("string").as("status"),
+        col("mime"), col("digest"), col("filename"),
+        col("offset").cast("string").as("offset"),
+        col("length").cast("string").as("length")))).as("line"))
+}

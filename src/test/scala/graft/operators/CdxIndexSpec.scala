@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+/** CdxIndex: SURT canonicalization rule matrix, CDXJ parse/render
+  * round-trip, and the range-coalescing plan (gaps-and-islands
+  * boundaries, overlap handling, per-file isolation, partitioning
+  * invariance).
+  */
+class CdxIndexSpec extends graft.SparkSpec {
+
+  test("surt rule matrix") {
+    import spark.implicits._
+    val cases = Seq(
+      ("https://www.Example.COM/Path?b=2&a=1", "com,example)/path?a=1&b=2"),
+      ("http://example.com", "com,example)/"),
+      ("https://sub.host.example.org:8443/x#frag", "org,example,host,sub)/x"),
+      ("HTTP://WWW.A.B/", "b,a)/"),
+      ("https://example.com/a/b/c?z=1", "com,example)/a/b/c?z=1"),
+      ("example.com/noscheme?b=&a=", "com,example)/noscheme?a=&b="))
+    val got = cases.map(_._1).toDF("url")
+      .select(CdxIndex.surt(col("url")).as("s")).as[String].collect()
+    got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("CDXJ render/parse round-trip") {
+    import spark.implicits._
+    val idx = Seq(
+      ("com,example)/a", "20260815000000", "https://example.com/a", 200,
+        "text/html", "sha1:AAAA", "crawl-0.warc.gz", 0L, 500L),
+      ("com,example)/b", "20260815000001", "https://example.com/b", 301,
+        "application/pdf", "sha1:BBBB", "crawl-1.warc.gz", 12345L, 999L))
+      .toDF("urlkey", "ts", "url", "status", "mime", "digest",
+        "filename", "offset", "length")
+    val lines = CdxIndex.renderCdxj(idx)
+    assert(lines.as[String].collect().forall(l =>
+      l.matches("""\S+ \d{14} \{.*\}""")))
+    val back = CdxIndex.parseCdxj(lines)
+    val rows = back.orderBy("urlkey").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[String]("urlkey") == "com,example)/a")
+    assert(rows(0).getAs[Long]("offset") == 0L)
+    assert(rows(1).getAs[Int]("status") == 301)
+    assert(rows(1).getAs[Long]("length") == 999L)
+  }
+
+  test("planFetch coalesces ranges per file with the gap bound") {
+    import spark.implicits._
+    val idx = Seq(
+      // file A: 0-100, 150-250 (gap 50), 1000-1100 (gap 750)
+      ("k1", "f_a", 0L, 100L), ("k2", "f_a", 150L, 100L),
+      ("k3", "f_a", 1000L, 100L),
+      // file B: overlapping ranges merge regardless of gap
+      ("k4", "f_b", 0L, 500L), ("k5", "f_b", 300L, 100L),
+      // not wanted:
+      ("k9", "f_a", 400L, 50L))
+      .toDF("urlkey", "filename", "offset", "length")
+    val wanted = Seq("k1", "k2", "k3", "k4", "k5").toDF("url")
+    // identity surt for bare tokens: surt("k1") = "k1)/"... use the
+    // index join seam directly by pre-shaping wanted keys
+    val keyed = idx.filter(col("urlkey") =!= "k9")
+    val plan = CdxIndex.planFetch(
+      keyed.withColumn("urlkey", col("urlkey")),
+      wanted.select(col("url")), "url", maxGap = 100)
+    val _ = plan // full-path check below uses real URLs instead
+    // real-URL path: k tokens as hosts
+    val idx2 = keyed.withColumn("urlkey",
+      CdxIndex.surt(concat(lit("https://"), col("urlkey"), lit(".com/"))))
+    val wanted2 = wanted.select(
+      concat(lit("HTTPS://"), col("url"), lit(".COM/")).as("url"))
+    val rows = CdxIndex.planFetch(idx2, wanted2, "url", maxGap = 100)
+      .orderBy("filename", "range_start").collect()
+    assert(rows.map(r => (r.getAs[String]("filename"),
+      r.getAs[Long]("range_start"), r.getAs[Long]("range_end"),
+      r.getAs[Long]("n_records"))).toSeq == Seq(
+      ("f_a", 0L, 250L, 2L),    // 0-100 + 150-250 merge (gap 50 <= 100)
+      ("f_a", 1000L, 1100L, 1L),
+      ("f_b", 0L, 500L, 2L)))   // overlap merges
+  }
+
+  test("plan is partitioning-invariant") {
+    import spark.implicits._
+    val idx = (0 until 200).map { i =>
+      (s"h$i", s"f_${i % 3}", i.toLong * 97, 50L + i % 40)
+    }.toDF("host", "filename", "offset", "length")
+      .withColumn("urlkey",
+        CdxIndex.surt(concat(lit("http://"), col("host"), lit(".com/"))))
+      .drop("host")
+    val wanted = (0 until 200 by 2).map(i => s"http://H$i.com/").toDF("url")
+    def run(parts: Int) =
+      CdxIndex.planFetch(idx.repartition(parts), wanted, "url", maxGap = 300)
+        .orderBy("filename", "range_start").collect().toSeq.map(_.toString)
+    assert(run(1) == run(7))
+  }
+}
