@@ -843,16 +843,20 @@ object OperatorGates14 {
     "q_xz_ingest" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.XzCodec
-      val fixtures = (0 until 12).map { k =>
-        val in = getClass.getResourceAsStream(s"/graft/xz/fixture_$k.xz")
+      val fixtures = (0 until 13).map { k =>
+        val ext = if (k == 12) "lzma" else "xz"
+        val in = getClass.getResourceAsStream(s"/graft/xz/fixture_$k.$ext")
         require(in != null, s"missing xz fixture $k")
         try (k.toLong, in.readAllBytes()) finally in.close()
       }
       fixtures.toDF("fixture_id", "content")
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (k, bz) =>
-          val text = new String(XzCodec.decompress(k, bz),
-            java.nio.charset.StandardCharsets.UTF_8)
+          // k=12 is the legacy .lzma "alone" container (routed by
+          // NAME — the format has no magic); the rest are .xz
+          val raw = if (k == 12) XzCodec.decompressLzmaAlone(k, bz)
+            else XzCodec.decompress(k, bz)
+          val text = new String(raw, java.nio.charset.StandardCharsets.UTF_8)
           text.split("\n", -1).iterator.filter(_.nonEmpty)
             .zipWithIndex.map { case (l, i) => (k, i.toLong, l) }
         })
@@ -978,6 +982,58 @@ object OperatorGates14 {
           lit("?z=9&a="), col("doc_id"), lit("&m=1")).as("url"))
       CdxIndex.planFetch(parsed, wanted, "url", maxGap = 600)
         .orderBy(col("filename"), col("range_start"))
+    }),
+
+    // --- Digest-dedup fetch planning (CdxIndex.dedupByDigest): many
+    //     URLs share identical bodies (the index's digest column
+    //     exists for this); fetch each digest ONCE — deterministic
+    //     winner by (filename, offset) — then coalesce ranges. The
+    //     oracle replays the row_number winner and island arithmetic -
+    "q_cdx_dedup_plan" -> ((s, dir) => {
+      import graft.operators.CdxIndex
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val url = concat(lit("https://ex"), pmod(col("doc_id"), lit(7)),
+        lit(".com/q"), col("doc_id"))
+      val index = docs.select(
+        CdxIndex.surt(url).as("urlkey"),
+        lit("20260815000000").as("ts"), url.as("url"),
+        lit(200).as("status"), lit("text/html").as("mime"),
+        md5(pmod(col("doc_id"), lit(50)).cast("string")).as("digest"),
+        concat(lit("crawl-"), pmod(col("doc_id"), lit(4)),
+          lit(".warc.gz")).as("filename"),
+        (col("doc_id") * 120).as("offset"),
+        (lit(100) + pmod(col("doc_id"), lit(7)) * 250).as("length"))
+      val deduped = CdxIndex.dedupByDigest(index)
+      val wanted = docs.select(
+        concat(lit("https://ex"), pmod(col("doc_id"), lit(7)),
+          lit(".com/q"), col("doc_id")).as("url"))
+      CdxIndex.planFetch(deduped, wanted, "url", maxGap = 150)
+        .orderBy(col("filename"), col("range_start"))
+    }),
+
+    // --- page-level robots directives (Text.robotsMeta): meta robots
+    //     in either attribute order and quote style, `none`/`all`
+    //     semantics, X-Robots-Tag union — the indexing-consent checks
+    //     a curation pipeline must run on FETCHED pages (robots.txt
+    //     is only half the contract). Oracle replays the variants ----
+    "q_robots_meta" -> ((s, dir) => {
+      import graft.functions.Text
+      val k = pmod(col("doc_id"), lit(6))
+      val html = concat(lit("<html><head>"),
+        when(k === 0, "<meta name=\"robots\" content=\"noindex, nofollow\">")
+          .when(k === 1, "<meta content='nofollow' name=robots>")
+          .when(k === 2, "<meta name=\"robots\" content=\"none\">")
+          .when(k === 3, "<meta name=\"robots\" content=\"all\">")
+          .otherwise(""),
+        lit("<title>t</title></head><body>x</body></html>"))
+      val header = when(k === 4, "noindex").otherwise(lit(null))
+      t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          Text.robotsMeta(html, header).as("r"))
+        .select(col("doc_id"),
+          col("r.noindex").as("noindex"), col("r.nofollow").as("nofollow"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1342,7 +1398,7 @@ object OperatorGates14 {
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "q_xz_ingest" ->
-      """WITH f AS (SELECT unnest(range(0, 12)) AS k),
+      """WITH f AS (SELECT unnest(range(0, 13)) AS k),
         |l AS (SELECT k, unnest(range(0, 20 + 5 * k)) AS i FROM f),
         |w AS (SELECT k, i, unnest(range(0, 5 + (i % 7))) AS j FROM l),
         |words AS (
@@ -1406,6 +1462,42 @@ object OperatorGates14 {
         |  MAX(off + len) - MIN(off) AS range_bytes,
         |  COUNT(*) AS n_records
         |FROM i GROUP BY filename, island
-        |ORDER BY filename, range_start""".stripMargin
+        |ORDER BY filename, range_start""".stripMargin,
+
+    "q_cdx_dedup_plan" ->
+      """WITH idx AS (
+        |  SELECT doc_id,
+        |    'crawl-' || CAST(doc_id % 4 AS VARCHAR) || '.warc.gz' AS filename,
+        |    doc_id * 120 AS off, 100 + (doc_id % 7) * 250 AS len,
+        |    md5(CAST(doc_id % 50 AS VARCHAR)) AS digest
+        |  FROM documents),
+        |win AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY digest
+        |    ORDER BY filename, off) AS rn FROM idx),
+        |sel AS (SELECT filename, off, len FROM win WHERE rn = 1),
+        |w AS (
+        |  SELECT filename, off, len,
+        |    MAX(off + len) OVER (PARTITION BY filename ORDER BY off
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |  FROM sel),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_end IS NULL OR off > prev_end + 150
+        |                 THEN 1 ELSE 0 END AS ni FROM w),
+        |i AS (
+        |  SELECT *, SUM(ni) OVER (PARTITION BY filename ORDER BY off)
+        |    AS island FROM f)
+        |SELECT filename, MIN(off) AS range_start,
+        |  MAX(off + len) AS range_end,
+        |  MAX(off + len) - MIN(off) AS range_bytes,
+        |  COUNT(*) AS n_records
+        |FROM i GROUP BY filename, island
+        |ORDER BY filename, range_start""".stripMargin,
+
+    "q_robots_meta" ->
+      """SELECT doc_id,
+        |  (doc_id % 6) IN (0, 2, 4) AS noindex,
+        |  (doc_id % 6) IN (0, 1, 2) AS nofollow
+        |FROM documents WHERE doc_id < 300
+        |ORDER BY doc_id""".stripMargin
   )
 }

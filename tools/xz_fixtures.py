@@ -31,6 +31,7 @@ VARIANTS = [
     ["--lzma2=preset=1,lc=0,lp=0,pb=0"],
     ["-6"],        # reserved for future variant churn
     None,           # k=11: concatenated two-stream file
+    "lzma-alone",   # k=12: legacy .lzma container (xz --format=lzma)
 ]
 
 
@@ -55,15 +56,19 @@ def main():
     os.makedirs(OUT, exist_ok=True)
     for k, v in enumerate(VARIANTS):
         n = 20 + 5 * k
+        ext = "xz"
         if v is None:
             half = n // 2
             enc = xz(["-1"], content(k, 0, half)) + \
                 xz(["-9"], content(k, half, n))
+        elif v == "lzma-alone":
+            enc = xz(["--format=lzma", "-6"], content(k, 0, n))
+            ext = "lzma"
         else:
             enc = xz(v, content(k, 0, n))
-        with open(os.path.join(OUT, f"fixture_{k}.xz"), "wb") as f:
+        with open(os.path.join(OUT, f"fixture_{k}.{ext}"), "wb") as f:
             f.write(enc)
-        print(k, len(enc))
+        print(k, ext, len(enc))
 
 
 if __name__ == "__main__":
