@@ -1011,6 +1011,64 @@ object OperatorGates14 {
         .orderBy(col("filename"), col("range_start"))
     }),
 
+    // --- Exif privacy scrub (Multimodal.scrubExifGps): JPEGs planted
+    //     with GPS coordinates + orientations (both byte orders) and
+    //     VP8X WebPs with EXIF chunks; the scrub must flag and remove
+    //     GPS while pixels stay byte-identical and display
+    //     orientation survives — proven by hashing the SCRUBBED bytes
+    //     through the shared normalized decode and matching the
+    //     upright formula hash in the oracle -------------------------
+    "q_exif_scrub" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{JpegCodec, Multimodal, WebpCodec}
+      def sv(d: Long, bx: Int, by: Int): Int =
+        (18 + ((d / 25) * 53 + bx * 29 + by * 61) % 220).toInt
+      val media = t(s, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(25)) === 0 && col("doc_id") < 500)
+        .as[Long]
+        .mapPartitions(_.map { d =>
+          val k = d / 25
+          val o = (1 + k % 8).toInt
+          val inv = o match { case 6 => 8; case 8 => 6; case x => x }
+          val rgb = new Array[Byte](64 * 48 * 3)
+          var i = 0
+          while (i < 64 * 48) {
+            val b = sv(d, (i % 64) / 16, (i / 64) / 16).toByte
+            rgb(i * 3) = b; rgb(i * 3 + 1) = b; rgb(i * 3 + 2) = b
+            i += 1
+          }
+          val upright = JpegCodec.DecodedImage(64, 48, 3, rgb)
+          val stored = Multimodal.applyOrientation(upright, inv)
+          val bytes =
+            if (k % 4 == 3) {
+              val plain = WebpCodec.encodeLossless(stored.width,
+                stored.height, 3, stored.pixels)
+              WebpCodec.withExifOrientation(d, plain, o)
+            } else {
+              val enc = JpegCodec.encodeRgb(stored.width, stored.height,
+                stored.pixels, quality = 100, subsample = true)
+              if (k % 2 == 0)
+                JpegCodec.withExifGps(enc, o,
+                  latMilli = (40000 + k * 97).toInt,
+                  lonMilli = (9000 + k * 53).toInt,
+                  bigEndian = k % 8 < 4)
+              else if (o == 1) enc
+              else JpegCodec.withExifOrientation(enc, o)
+            }
+          (d, bytes)
+        })
+        .toDF("media_id", "content")
+      val scrubbed = Multimodal.scrubExifGps(media).toDF()
+      val rehashed = Multimodal.aHashAuto(
+        scrubbed.select(col("media_id"), col("content"))).toDF()
+        .select(col("media_id"), col("ahash"))
+      scrubbed.select(col("media_id"), col("modality"), col("had_gps"))
+        .join(rehashed, "media_id")
+        .select(col("media_id"), col("modality"), col("had_gps"),
+          lpad(bin(col("ahash")), 64, "0").as("ahash_bits"))
+        .orderBy(col("media_id"))
+    }),
+
     // --- page-level robots directives (Text.robotsMeta): meta robots
     //     in either attribute order and quote style, `none`/`all`
     //     semantics, X-Robots-Tag union — the indexing-consent checks
@@ -1498,6 +1556,24 @@ object OperatorGates14 {
         |  (doc_id % 6) IN (0, 2, 4) AS noindex,
         |  (doc_id % 6) IN (0, 1, 2) AS nofollow
         |FROM documents WHERE doc_id < 300
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_exif_scrub" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, doc_id // 25 AS k
+        |  FROM documents WHERE doc_id % 25 = 0 AND doc_id < 500),
+        |lum AS (
+        |  SELECT doc_id, k, list_transform(range(0, 64), j ->
+        |    3 * (18 + (k * 53 + ((j % 8) // 2) * 29
+        |         + ((6 * (j // 8)) // 16) * 61) % 220)) AS lum
+        |  FROM imgs)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN k % 4 = 3 THEN 'image/webp' ELSE 'image/jpeg' END
+        |    AS modality,
+        |  k % 2 = 0 AS had_gps,
+        |  array_to_string(list_transform(range(63, -1, -1), j ->
+        |    CASE WHEN 64 * lum[j + 1] > list_sum(lum) THEN 1 ELSE 0 END), '')
+        |    AS ahash_bits
+        |FROM lum ORDER BY media_id""".stripMargin
   )
 }

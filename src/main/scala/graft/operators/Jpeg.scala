@@ -1208,6 +1208,169 @@ object JpegCodec {
     1 // Exif present, no Orientation entry
   }
 
+  /** True iff the TIFF IFD0 block at `[tiff, end)` carries a GPSInfo
+    * IFD pointer (tag 0x8825) — the privacy-relevant Exif payload.
+    */
+  private[operators] def tiffHasGps(id: Long, bytes: Array[Byte],
+      tiff: Int, end: Int): Boolean = {
+    require(tiff + 8 <= end, s"media $id: Exif TIFF block too short")
+    val little = (bytes(tiff) & 0xff) == 'I'
+    def u16At(o: Int): Int = {
+      require(o + 2 <= end, s"media $id: Exif TIFF read past segment")
+      if (little) (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      else ((bytes(o) & 0xff) << 8) | (bytes(o + 1) & 0xff)
+    }
+    def u32At(o: Int): Long = {
+      require(o + 4 <= end, s"media $id: Exif TIFF read past segment")
+      if (little) (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+      else ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    }
+    val ifd0 = u32At(tiff + 4).toInt
+    val entryBase = tiff + ifd0
+    val n = u16At(entryBase)
+    var i = 0
+    while (i < n) {
+      if (u16At(entryBase + 2 + i * 12) == 0x8825) return true
+      i += 1
+    }
+    false
+  }
+
+  /** True iff a JPEG's APP1/Exif segment carries GPS coordinates. */
+  def exifHasGps(id: Long, bytes: Array[Byte]): Boolean = {
+    var pos = 2
+    require(bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, s"media $id: not a JPEG (no SOI)")
+    while (pos + 4 <= bytes.length) {
+      while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff &&
+        (bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xff) == 0xff)
+        pos += 1
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xda || marker == 0xd9) return false
+      val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      require(len >= 2 && pos + 2 + len <= bytes.length,
+        s"media $id: segment overruns the file in GPS walk")
+      if (marker == 0xe1 && len >= 2 + 6 + 8 &&
+        bytes(pos + 4) == 'E' && bytes(pos + 5) == 'x' &&
+        bytes(pos + 6) == 'i' && bytes(pos + 7) == 'f' &&
+        bytes(pos + 8) == 0 && bytes(pos + 9) == 0)
+        return tiffHasGps(id, bytes, pos + 10, pos + 2 + len)
+      pos += 2 + len
+    }
+    false
+  }
+
+  /** A TIFF block with Orientation + a GPS IFD (latitude/longitude as
+    * degree/minute/second rationals) — the fixture face of the
+    * privacy scrub. Coordinates in millidegrees.
+    */
+  private[operators] def exifTiffBytesGps(orientation: Int, latMilli: Int,
+      lonMilli: Int, bigEndian: Boolean): Array[Byte] = {
+    val t = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit =
+      if (bigEndian) { t.write(v >> 8); t.write(v & 0xff) }
+      else { t.write(v & 0xff); t.write(v >> 8) }
+    def u32(v: Int): Unit =
+      if (bigEndian) { u16(v >>> 16); u16(v & 0xffff) }
+      else { u16(v & 0xffff); u16(v >>> 16) }
+    t.write(if (bigEndian) 'M' else 'I')
+    t.write(if (bigEndian) 'M' else 'I')
+    u16(42); u32(8)
+    // IFD0 at 8: Orientation + GPSInfo pointer; ends at 8+2+24+4 = 38
+    u16(2)
+    u16(0x0112); u16(3); u32(1); u16(orientation); u16(0)
+    u16(0x8825); u16(4); u32(1); u32(38)
+    u32(0)
+    // GPS IFD at 38: 4 entries; ends at 38+2+48+4 = 92
+    def rat3Off(i: Int): Int = 92 + i * 24
+    u16(4)
+    u16(0x0001); u16(2); u32(2) // GPSLatitudeRef ASCII "N\0" inline
+    if (bigEndian) { t.write('N'); t.write(0); u16(0) }
+    else { t.write('N'); t.write(0); u16(0) }
+    u16(0x0002); u16(5); u32(3); u32(rat3Off(0)) // GPSLatitude
+    u16(0x0003); u16(2); u32(2)
+    if (bigEndian) { t.write('E'); t.write(0); u16(0) }
+    else { t.write('E'); t.write(0); u16(0) }
+    u16(0x0004); u16(5); u32(3); u32(rat3Off(1)) // GPSLongitude
+    u32(0)
+    def dms(milli: Int): Unit = {
+      val deg = milli / 1000
+      val minTotal = (milli % 1000) * 60
+      val min = minTotal / 1000
+      val secMilli = (minTotal % 1000) * 60
+      u32(deg); u32(1)
+      u32(min); u32(1)
+      u32(secMilli); u32(1000)
+    }
+    dms(latMilli); dms(lonMilli)
+    t.toByteArray
+  }
+
+  /** Splice an APP1/Exif segment carrying Orientation + GPS — the
+    * privacy-scrub fixture writer.
+    */
+  def withExifGps(jpeg: Array[Byte], orientation: Int, latMilli: Int,
+      lonMilli: Int, bigEndian: Boolean = false): Array[Byte] = {
+    require(jpeg.length >= 2 && (jpeg(0) & 0xff) == 0xff &&
+      (jpeg(1) & 0xff) == 0xd8, "not a JPEG (no SOI)")
+    val t = exifTiffBytesGps(orientation, latMilli, lonMilli, bigEndian)
+    val seg = new java.io.ByteArrayOutputStream()
+    seg.write(0xff); seg.write(0xe1)
+    val len = 2 + 6 + t.length
+    seg.write(len >> 8); seg.write(len & 0xff)
+    "Exif".foreach(c => seg.write(c)); seg.write(0); seg.write(0)
+    seg.write(t, 0, t.length)
+    val s = seg.toByteArray
+    val out = new Array[Byte](jpeg.length + s.length)
+    out(0) = jpeg(0); out(1) = jpeg(1)
+    System.arraycopy(s, 0, out, 2, s.length)
+    System.arraycopy(jpeg, 2, out, 2 + s.length, jpeg.length - 2)
+    out
+  }
+
+  /** Strip metadata segments (APP1 Exif/XMP) from a JPEG — the
+    * privacy scrub before corpus publication. Pixels and every other
+    * segment stay byte-identical; when `keepOrientation` and the
+    * stored Orientation is not 1, a minimal orientation-only APP1 is
+    * re-spliced so display stays correct without leaking the rest
+    * (GPS, timestamps, device ids).
+    */
+  def stripExif(id: Long, jpeg: Array[Byte],
+      keepOrientation: Boolean = true): Array[Byte] = {
+    val o = exifOrientation(id, jpeg)
+    val out = new java.io.ByteArrayOutputStream(jpeg.length)
+    out.write(jpeg(0)); out.write(jpeg(1))
+    var pos = 2
+    var copying = true
+    while (copying && pos + 4 <= jpeg.length) {
+      require((jpeg(pos) & 0xff) == 0xff,
+        s"media $id: expected marker at $pos in scrub walk")
+      val marker = jpeg(pos + 1) & 0xff
+      if (marker == 0xda) {
+        // SOS: entropy data follows to EOI — copy the rest verbatim
+        out.write(jpeg, pos, jpeg.length - pos)
+        copying = false
+      } else {
+        val len = ((jpeg(pos + 2) & 0xff) << 8) | (jpeg(pos + 3) & 0xff)
+        require(len >= 2 && pos + 2 + len <= jpeg.length,
+          s"media $id: segment overruns the file in scrub walk")
+        val isExif = marker == 0xe1 && len >= 8 &&
+          jpeg(pos + 4) == 'E' && jpeg(pos + 5) == 'x' &&
+          jpeg(pos + 6) == 'i' && jpeg(pos + 7) == 'f'
+        val isXmp = marker == 0xe1 && len >= 8 &&
+          jpeg(pos + 4) == 'h' && jpeg(pos + 5) == 't' &&
+          jpeg(pos + 6) == 't' && jpeg(pos + 7) == 'p'
+        if (!isExif && !isXmp) out.write(jpeg, pos, 2 + len)
+        pos += 2 + len
+      }
+    }
+    val stripped = out.toByteArray
+    if (keepOrientation && o != 1) withExifOrientation(stripped, o)
+    else stripped
+  }
+
   /** A minimal TIFF block carrying only the Orientation tag — the
     * payload shared by the JPEG APP1 splice and WebP's EXIF chunk.
     */

@@ -648,6 +648,38 @@ object Multimodal {
       })
   }
 
+  final case class ScrubbedMedia(media_id: Long, modality: String,
+      had_gps: Boolean, content: Array[Byte])
+
+  /** Privacy scrub before corpus publication: strip Exif/XMP metadata
+    * (GPS coordinates, timestamps, device ids) from JPEG and WebP
+    * payloads while keeping pixels byte-identical and display
+    * orientation correct (a minimal orientation-only block is
+    * re-spliced when needed). Other modalities pass through
+    * unchanged. The compliance-tier counterpart of the reference's
+    * record-purger (gobblin-modules/gobblin-compliance) for media
+    * columns.
+    */
+  def scrubExifGps(media: DataFrame): Dataset[ScrubbedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, c) =>
+        require(c != null, s"media $id: null content")
+        sniffModality(c) match {
+          case m @ "image/jpeg" =>
+            ScrubbedMedia(id, m, JpegCodec.exifHasGps(id, c),
+              JpegCodec.stripExif(id, c))
+          case m @ ("image/webp" | "image/webp-lossy" | "image/webp-anim") =>
+            ScrubbedMedia(id, m, WebpCodec.exifHasGps(id, c),
+              WebpCodec.scrubExif(id, c))
+          case m =>
+            ScrubbedMedia(id, m, had_gps = false, c)
+        }
+      })
+  }
+
   final case class TiffPageRow(media_id: Long, page_no: Int, n_pages: Int,
       width: Int, height: Int, channels: Int, mean_intensity: Double,
       ahash: Long)

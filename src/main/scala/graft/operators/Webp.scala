@@ -155,6 +155,76 @@ object WebpCodec {
     bytes
   }
 
+  /** True iff the container's EXIF chunk carries GPS coordinates. */
+  def exifHasGps(id: Long, bytes: Array[Byte]): Boolean = {
+    require(isWebp(bytes), s"media $id: not a WebP RIFF container")
+    findChunk(id, bytes, "EXIF") match {
+      case None => false
+      case Some(p) =>
+        val off = if (p.length >= 6 && p(0) == 'E' && p(1) == 'x' &&
+          p(2) == 'i' && p(3) == 'f' && p(4) == 0 && p(5) == 0) 6 else 0
+        JpegCodec.tiffHasGps(id, p, off, p.length)
+    }
+  }
+
+  /** Strip metadata chunks (EXIF, XMP) from a WebP container — the
+    * privacy scrub before corpus publication. Every other chunk
+    * (bitstream, ALPH, ICCP, animation) is copied verbatim; the VP8X
+    * EXIF/XMP flag bits are cleared. When `keepOrientation` and the
+    * stored Orientation is not 1, a minimal orientation-only EXIF is
+    * re-added (flag kept) so display stays correct without leaking
+    * GPS/timestamps/device ids.
+    */
+  def scrubExif(id: Long, bytes: Array[Byte],
+      keepOrientation: Boolean = true): Array[Byte] = {
+    require(isWebp(bytes), s"media $id: not a WebP RIFF container")
+    val o = exifOrientation(id, bytes)
+    val keepExif = keepOrientation && o != 1
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    out.write(bytes, 0, 12) // RIFF size patched below
+    var pos = 12
+    while (pos + 8 <= bytes.length) {
+      val tag = new String(bytes, pos, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val len = (bytes(pos + 4) & 0xff) | ((bytes(pos + 5) & 0xff) << 8) |
+        ((bytes(pos + 6) & 0xff) << 16) | ((bytes(pos + 7) & 0xff) << 24)
+      val total = 8 + len + (len & 1)
+      require(len >= 0 && pos + total <= bytes.length,
+        s"media $id: WebP chunk $tag overruns container in scrub")
+      tag match {
+        case "EXIF" | "XMP " => // dropped (minimal EXIF re-added below)
+        case "VP8X" =>
+          val payload = java.util.Arrays.copyOfRange(bytes, pos + 8,
+            pos + 8 + len)
+          require(payload.length >= 1, s"media $id: VP8X chunk too short")
+          payload(0) = ((payload(0) & ~0x0c) |
+            (if (keepExif) 0x08 else 0)).toByte // EXIF=0x08, XMP=0x04
+          out.write(bytes, pos, 8) // chunk header verbatim
+          out.write(payload, 0, payload.length)
+          if ((len & 1) == 1) out.write(0)
+        case _ =>
+          out.write(bytes, pos, total)
+      }
+      pos += total
+    }
+    if (keepExif) {
+      val exif = JpegCodec.exifTiffBytes(o, bigEndian = false)
+      out.write('E'); out.write('X'); out.write('I'); out.write('F')
+      val l = exif.length
+      out.write(l & 0xff); out.write((l >> 8) & 0xff)
+      out.write((l >> 16) & 0xff); out.write((l >> 24) & 0xff)
+      out.write(exif, 0, exif.length)
+      if ((l & 1) == 1) out.write(0)
+    }
+    val res = out.toByteArray
+    val riffSize = res.length - 8
+    res(4) = (riffSize & 0xff).toByte
+    res(5) = ((riffSize >> 8) & 0xff).toByte
+    res(6) = ((riffSize >> 16) & 0xff).toByte
+    res(7) = ((riffSize >> 24) & 0xff).toByte
+    res
+  }
+
   /** True iff the container carries a LOSSLESS (VP8L) bitstream. */
   def isLossless(bytes: Array[Byte]): Boolean =
     isWebp(bytes) &&
