@@ -351,6 +351,20 @@ object JobConfig {
           req(p, "op.mixturePlan.budgetTokens").toLong,
           maxEpochs = opt(p, "op.mixturePlan.maxEpochs").map(_.toLong).getOrElse(4L))
       }
+      case "scrubExif" => (df: DataFrame) => {
+        // privacy scrub over a binary media column: Exif/XMP metadata
+        // (GPS, timestamps, device ids) removed from JPEG/WebP
+        // payloads, pixels untouched, orientation preserved; adds
+        // modality + had_gps columns for the compliance audit trail
+        val idCol = req(p, "op.scrubExif.idColumn")
+        val bytesCol = req(p, "op.scrubExif.bytesColumn")
+        val scrubbed = graft.operators.Multimodal.scrubExifGps(
+          df.select(col(idCol).cast("long").as("media_id"),
+            col(bytesCol).as("content"))).toDF()
+          .select(col("media_id").as(idCol), col("modality"),
+            col("had_gps"), col("content").as(bytesCol))
+        df.drop(bytesCol).join(scrubbed, idCol)
+      }
       case "extractDocText" => (df: DataFrame) => {
         // sniff-dispatched text extraction over a binary payload
         // column: PDFs through PdfText, DOCX/ODT containers through

@@ -136,6 +136,29 @@ class JobConfigSpec extends SparkSpec {
     assert(!out.head.schema.fieldNames.contains("payload"))
   }
 
+  test("declarative scrubExif op strips GPS and keeps pixels") {
+    import spark.implicits._
+    val conf =
+      """ops=scrubExif
+        |op.scrubExif.idColumn=id
+        |op.scrubExif.bytesColumn=payload
+        |""".stripMargin
+    val ops = JobConfig.buildOps(JobConfig.parse(conf))
+    val rgb = Array.tabulate(64 * 48 * 3)(i => ((20 + (i / 48) % 200) & 0xff).toByte)
+    val plain = graft.operators.JpegCodec.encodeRgb(64, 48, rgb,
+      quality = 100, subsample = true)
+    val gps = graft.operators.JpegCodec.withExifGps(plain, 6, 1000, 2000)
+    val df = Seq((1L, gps), (2L, "not an image".getBytes))
+      .toDF("id", "payload")
+    val out = ops.foldLeft(df)((d, op) => op(d)).orderBy("id").collect()
+    assert(out(0).getAs[Boolean]("had_gps"))
+    assert(!graft.operators.JpegCodec.exifHasGps(1L,
+      out(0).getAs[Array[Byte]]("payload")))
+    assert(graft.operators.JpegCodec.exifOrientation(1L,
+      out(0).getAs[Array[Byte]]("payload")) == 6)
+    assert(!out(1).getAs[Boolean]("had_gps"))
+  }
+
   test("declarative lmFilter + temperatureResample + zorderKey ops") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
