@@ -251,7 +251,10 @@ object OperatorGates14 {
         .groupBy(Text.fingerprint(col("clean")).as("fp"))
         .agg(min(col("media_id")).as("doc_id"),
           count(lit(1)).as("n_copies"),
-          first(col("clean")).as("clean"))
+          // min, not first: deterministic by construction — though
+          // the group key IS fingerprint(clean), so every value in
+          // the group is byte-identical, min makes that explicit
+          min(col("clean")).as("clean"))
         .select(col("doc_id"),
           pmod(col("doc_id"), lit(4)).cast("long").as("shard"),
           col("n_copies"),
@@ -959,8 +962,15 @@ object OperatorGates14 {
     "q_cdx_plan" -> ((s, dir) => {
       import graft.operators.CdxIndex
       val docs = t(s, dir, "documents").select(col("doc_id"))
-      val url = concat(lit("https://www.Ex"), pmod(col("doc_id"), lit(7)),
-        lit(".COM/p"), pmod(col("doc_id"), lit(5)),
+      // hosts alternate www./www2. (both stripped, pywb-style) and
+      // every 5th URL sits on a non-default :8080 port (KEPT in the
+      // urlkey) — the wanted side must canonicalize to the same keys
+      val wwwPfx = when(pmod(col("doc_id"), lit(2)) === 0,
+        lit("https://www2.Ex")).otherwise(lit("https://www.Ex"))
+      val portSeg = when(pmod(col("doc_id"), lit(5)) === 0,
+        lit(".COM:8080/p")).otherwise(lit(".COM/p"))
+      val url = concat(wwwPfx, pmod(col("doc_id"), lit(7)),
+        portSeg, pmod(col("doc_id"), lit(5)),
         lit("?a="), col("doc_id"), lit("&z=9&m=1"))
       val index = docs.select(
         CdxIndex.surt(url).as("urlkey"),
@@ -976,9 +986,11 @@ object OperatorGates14 {
       val parsed = CdxIndex.parseCdxj(CdxIndex.renderCdxj(index))
       // wanted URLs arrive in a DIFFERENT surface form (scheme/host
       // case, explicit default port, shuffled params, no www)
+      val wantedPort = when(pmod(col("doc_id"), lit(5)) === 0,
+        lit(".COM:8080/p")).otherwise(lit(".COM:80/p"))
       val wanted = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
         .select(concat(lit("HTTP://EX"), pmod(col("doc_id"), lit(7)),
-          lit(".COM:80/p"), pmod(col("doc_id"), lit(5)),
+          wantedPort, pmod(col("doc_id"), lit(5)),
           lit("?z=9&a="), col("doc_id"), lit("&m=1")).as("url"))
       CdxIndex.planFetch(parsed, wanted, "url", maxGap = 600)
         .orderBy(col("filename"), col("range_start"))
@@ -1079,8 +1091,8 @@ object OperatorGates14 {
       val k = pmod(col("doc_id"), lit(6))
       val html = concat(lit("<html><head>"),
         when(k === 0, "<meta name=\"robots\" content=\"noindex, nofollow\">")
-          .when(k === 1, "<meta content='nofollow' name=robots>")
-          .when(k === 2, "<meta name=\"robots\" content=\"none\">")
+          .when(k === 1, "<meta content=nofollow name=robots>")
+          .when(k === 2, "<meta name=robots content=none>")
           .when(k === 3, "<meta name=\"robots\" content=\"all\">")
           .otherwise(""),
         lit("<title>t</title></head><body>x</body></html>"))

@@ -116,16 +116,31 @@ object Sf1Check {
       val ratio = if (smin > 0 && bmin > 0) bmin / smin else -1.0
       (n, smin, bmin, ratio)
     }
-    val flagged = rows.collect { case (n, _, _, r) if r > FlagRatio => jq(n) }
-    val json = rows.map { case (n, s, b, r) =>
+    // merge into the existing JSON instead of replacing it: a
+    // targeted sweep must not shrink the at-HEAD scale evidence for
+    // queries checked by earlier sweeps (this run's results win on
+    // overlap; `flagged` is recomputed over the union)
+    val path = java.nio.file.Paths.get("SCALE_SF1.json")
+    val prior: Map[String, (Double, Double, Double)] =
+      if (java.nio.file.Files.exists(path)) {
+        val txt = java.nio.file.Files.readString(path)
+        val re = ("\"([^\"]+)\":\\{\"sf01_sec\":(-?[0-9.]+)," +
+          "\"sf1_sec\":(-?[0-9.]+),\"ratio\":(-?[0-9.]+)\\}").r
+        re.findAllMatchIn(txt).map(m => m.group(1) ->
+          (m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble))
+          .toMap
+      } else Map.empty
+    val merged = (prior ++ rows.map { case (n, s, b, r) => n -> (s, b, r) })
+      .toSeq.sortBy(_._1)
+    val flagged = merged.collect { case (n, (_, _, r)) if r > FlagRatio => jq(n) }
+    val json = merged.map { case (n, (s, b, r)) =>
       s"${jq(n)}:{${jq("sf01_sec")}:${jd(s)},${jq("sf1_sec")}:${jd(b)},${jq("ratio")}:${jd(r)}}"
     }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"sf1_scale_check","big":${jq(bigDir)},"small":${jq(smallDir)},""" +
-        s""""data_ratio":10,"flag_ratio":$FlagRatio,""" +
+        s""""data_ratio":10,"flag_ratio":$FlagRatio,"n_queries":${merged.size},""" +
         s""""flagged":${flagged.mkString("[", ",", "]")},"queries":$json}"""
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALE_SF1.json"), out + "\n")
+    java.nio.file.Files.writeString(path, out + "\n")
     rows.sortBy(-_._4).foreach { case (n, s, b, r) =>
       println(f"$n%-28s sf0.1=${s}%7.3f s  sf1=${b}%7.3f s  ratio=${r}%6.2f")
     }

@@ -534,11 +534,17 @@ object Text {
     * fetched page — robots.txt alone is not the whole contract.
     */
   def robotsMeta(html: Column, xRobotsTag: Column): Column = {
-    val metaNameFirst = regexp_extract(html,
-      "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*content\\s*=\\s*[\"']([^\"']*)[\"']", 1)
-    val metaContentFirst = regexp_extract(html,
-      "(?is)<meta[^>]*content\\s*=\\s*[\"']([^\"']*)[\"'][^>]*name\\s*=\\s*[\"']?robots[\"']?", 1)
-    val all = lower(concat_ws(",", metaNameFirst, metaContentFirst,
+    // content value: quoted (group 1) or HTML-legal unquoted token
+    // (group 2) — the spec allows unquoted attribute values, so
+    // <meta name=robots content=noindex> must be honored too
+    val contentVal = "content\\s*=\\s*(?:[\"']([^\"']*)[\"']|([^\\s\"'>]+))"
+    val metaNameFirst = "(?is)<meta[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*" + contentVal
+    val metaContentFirst = "(?is)<meta[^>]*" + contentVal + "[^>]*name\\s*=\\s*[\"']?robots[\"']?"
+    val all = lower(concat_ws(",",
+      regexp_extract(html, metaNameFirst, 1),
+      regexp_extract(html, metaNameFirst, 2),
+      regexp_extract(html, metaContentFirst, 1),
+      regexp_extract(html, metaContentFirst, 2),
       coalesce(xRobotsTag, lit(""))))
     val toks = transform(split(all, ","), t => trim(t))
     struct(

@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
 object CdxIndex {
 
   /** SURT form of a URL (the index's `urlkey`): scheme dropped,
-    * lower-cased, leading `www.` stripped, host segments reversed and
-    * comma-joined, `)/` + path, query params SORTED (the pywb default
-    * canonicalizer this module pins in its oracle).
+    * lower-cased, leading `www`/`www2`/`www3`… label stripped, host
+    * segments reversed and comma-joined, non-default port kept as
+    * `host:port` before reversal (`com,example:8080)/…`), `)/` +
+    * path, query params SORTED (the pywb default canonicalizer this
+    * module pins in its oracle: it strips `www\d*\.` and only the
+    * default :80/:443 ports).
     */
   def surt(url: Column): Column = {
     val lowered = lower(url)
@@ -33,8 +36,11 @@ object CdxIndex {
     val pqReal = when(slashPos > 0,
       noFrag.substr(slashPos, length(noFrag) - slashPos + 1))
       .otherwise(lit("/"))
-    val host = regexp_replace(split(hostPort, ":").getItem(0), "^www\\.", "")
-    val revHost = array_join(reverse(split(host, "\\.")), ",")
+    val host = regexp_replace(split(hostPort, ":").getItem(0), "^www\\d*\\.", "")
+    val port = get(split(hostPort, ":"), lit(1)) // null when no port
+    val keptPort = when(port.isNotNull && !port.isin("80", "443"),
+      concat(lit(":"), port)).otherwise(lit(""))
+    val revHost = concat(array_join(reverse(split(host, "\\.")), ","), keptPort)
     // sort query params
     val qpos = instr(pqReal, "?")
     val path = when(qpos > 0, pqReal.substr(lit(1), qpos - 1)).otherwise(pqReal)

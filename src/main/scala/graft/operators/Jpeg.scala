@@ -1138,27 +1138,18 @@ object JpegCodec {
     * (id-tagged) like every codec path; a missing one is simply 1.
     */
   def exifOrientation(id: Long, bytes: Array[Byte]): Int = {
-    require(bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
-      (bytes(1) & 0xff) == 0xd8, s"media $id: not a JPEG (no SOI)")
-    var pos = 2
-    while (pos + 4 <= bytes.length) {
-      require((bytes(pos) & 0xff) == 0xff,
-        f"media $id: expected marker at $pos in EXIF walk")
-      while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff)
-        pos += 1 // fill bytes
-      val marker = bytes(pos + 1) & 0xff
-      if (marker == 0xda || marker == 0xd9) return 1 // SOS/EOI: no Exif seen
-      val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
-      require(len >= 2 && pos + 2 + len <= bytes.length,
-        s"media $id: segment $marker overruns the file in EXIF walk")
-      if (marker == 0xe1 && len >= 2 + 6 + 8 &&
+    var result = 1
+    var seen = false
+    walkSegments(id, bytes, (marker, pos, len) => {
+      if (!seen && marker == 0xe1 && len >= 2 + 6 + 8 &&
           bytes(pos + 4) == 'E' && bytes(pos + 5) == 'x' &&
           bytes(pos + 6) == 'i' && bytes(pos + 7) == 'f' &&
-          bytes(pos + 8) == 0 && bytes(pos + 9) == 0)
-        return tiffOrientation(id, bytes, pos + 10, pos + 2 + len)
-      pos += 2 + len
-    }
-    1
+          bytes(pos + 8) == 0 && bytes(pos + 9) == 0) {
+        seen = true
+        result = tiffOrientation(id, bytes, pos + 10, pos + 2 + len)
+      }
+    })
+    result
   }
 
   /** The Orientation entry of a TIFF IFD0 block at `[tiff, end)` —
@@ -1240,26 +1231,18 @@ object JpegCodec {
 
   /** True iff a JPEG's APP1/Exif segment carries GPS coordinates. */
   def exifHasGps(id: Long, bytes: Array[Byte]): Boolean = {
-    var pos = 2
-    require(bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
-      (bytes(1) & 0xff) == 0xd8, s"media $id: not a JPEG (no SOI)")
-    while (pos + 4 <= bytes.length) {
-      while (pos + 1 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff &&
-        (bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xff) == 0xff)
-        pos += 1
-      val marker = bytes(pos + 1) & 0xff
-      if (marker == 0xda || marker == 0xd9) return false
-      val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
-      require(len >= 2 && pos + 2 + len <= bytes.length,
-        s"media $id: segment overruns the file in GPS walk")
-      if (marker == 0xe1 && len >= 2 + 6 + 8 &&
-        bytes(pos + 4) == 'E' && bytes(pos + 5) == 'x' &&
-        bytes(pos + 6) == 'i' && bytes(pos + 7) == 'f' &&
-        bytes(pos + 8) == 0 && bytes(pos + 9) == 0)
-        return tiffHasGps(id, bytes, pos + 10, pos + 2 + len)
-      pos += 2 + len
-    }
-    false
+    var result = false
+    var seen = false
+    walkSegments(id, bytes, (marker, pos, len) => {
+      if (!seen && marker == 0xe1 && len >= 2 + 6 + 8 &&
+          bytes(pos + 4) == 'E' && bytes(pos + 5) == 'x' &&
+          bytes(pos + 6) == 'i' && bytes(pos + 7) == 'f' &&
+          bytes(pos + 8) == 0 && bytes(pos + 9) == 0) {
+        seen = true
+        result = tiffHasGps(id, bytes, pos + 10, pos + 2 + len)
+      }
+    })
+    result
   }
 
   /** A TIFF block with Orientation + a GPS IFD (latitude/longitude as
@@ -1330,8 +1313,82 @@ object JpegCodec {
     out
   }
 
-  /** Strip metadata segments (APP1 Exif/XMP) from a JPEG — the
-    * privacy scrub before corpus publication. Pixels and every other
+  /** Walk the pre-SOS marker segments of a JPEG with the same
+    * 0xFF-fill-byte tolerance as [[decode]] (a file that decodes must
+    * also survive the metadata walks): `f(marker, segStart, segLen)`
+    * fires per length-carrying segment, where `segStart` is the
+    * offset of the marker's 0xFF and `segLen` the stored length.
+    * Returns the 0xFF offset of the terminating SOS/EOI marker, or
+    * -1 when the file ends before either (headers-only payloads).
+    */
+  private def walkSegments(id: Long, bytes: Array[Byte],
+      f: (Int, Int, Int) => Unit): Int = {
+    require(bytes.length >= 2 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, s"media $id: not a JPEG (no SOI)")
+    var pos = 2
+    while (pos + 4 <= bytes.length) {
+      require((bytes(pos) & 0xff) == 0xff,
+        s"media $id: expected marker at $pos in segment walk")
+      // optional fill bytes before the marker byte, decode()-style
+      while (pos + 2 < bytes.length && (bytes(pos + 1) & 0xff) == 0xff)
+        pos += 1
+      require((bytes(pos + 1) & 0xff) != 0xff,
+        s"media $id: truncated in fill bytes in segment walk")
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xda || marker == 0xd9) return pos
+      val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      require(len >= 2 && pos + 2 + len <= bytes.length,
+        s"media $id: segment ${marker.toHexString} overruns the file at $pos")
+      f(marker, pos, len)
+      pos += 2 + len
+    }
+    -1
+  }
+
+  /** Offset just past the EOI marker, starting the scan at a
+    * SOS/EOI marker offset: walks entropy-coded data honoring byte
+    * stuffing (FF00), RSTn, fill bytes and any embedded
+    * length-carrying segments (progressive scans, DNL) until EOI.
+    * Bytes appended AFTER the returned offset are trailer payloads
+    * (MPF/motion-photo), not image data.
+    */
+  private def entropyEnd(id: Long, bytes: Array[Byte], start: Int): Int = {
+    var pos = start
+    while (pos + 2 <= bytes.length) {
+      require((bytes(pos) & 0xff) == 0xff,
+        s"media $id: expected marker at $pos in EOI scan")
+      val marker = bytes(pos + 1) & 0xff
+      if (marker == 0xd9) return pos + 2
+      require(marker != 0xff && pos + 4 <= bytes.length,
+        s"media $id: truncated before EOI")
+      val len = ((bytes(pos + 2) & 0xff) << 8) | (bytes(pos + 3) & 0xff)
+      require(len >= 2 && pos + 2 + len <= bytes.length,
+        s"media $id: segment overruns the file in EOI scan")
+      pos += 2 + len
+      if (marker == 0xda) {
+        // entropy data: scan to the next true marker
+        var scanning = true
+        while (scanning) {
+          require(pos + 1 < bytes.length, s"media $id: truncated in scan data")
+          if ((bytes(pos) & 0xff) != 0xff) pos += 1
+          else {
+            val b = bytes(pos + 1) & 0xff
+            if (b == 0x00 || (b >= 0xd0 && b <= 0xd7)) pos += 2 // stuffed / RSTn
+            else if (b == 0xff) pos += 1 // fill byte
+            else scanning = false
+          }
+        }
+      }
+    }
+    throw new IllegalArgumentException(s"media $id: no EOI marker found")
+  }
+
+  /** Strip metadata segments from a JPEG — the privacy scrub before
+    * corpus publication: APP1 Exif/XMP, APP13 Photoshop/IPTC
+    * (creator names, captions, location strings) and COM comment
+    * segments are dropped, and the file is truncated at EOI so
+    * appended trailer payloads (MPF/motion-photo blobs carrying
+    * their own Exif) don't ride through. Pixels and every other
     * segment stay byte-identical; when `keepOrientation` and the
     * stored Orientation is not 1, a minimal orientation-only APP1 is
     * re-spliced so display stays correct without leaking the rest
@@ -1342,30 +1399,21 @@ object JpegCodec {
     val o = exifOrientation(id, jpeg)
     val out = new java.io.ByteArrayOutputStream(jpeg.length)
     out.write(jpeg(0)); out.write(jpeg(1))
-    var pos = 2
-    var copying = true
-    while (copying && pos + 4 <= jpeg.length) {
-      require((jpeg(pos) & 0xff) == 0xff,
-        s"media $id: expected marker at $pos in scrub walk")
-      val marker = jpeg(pos + 1) & 0xff
-      if (marker == 0xda) {
-        // SOS: entropy data follows to EOI — copy the rest verbatim
-        out.write(jpeg, pos, jpeg.length - pos)
-        copying = false
-      } else {
-        val len = ((jpeg(pos + 2) & 0xff) << 8) | (jpeg(pos + 3) & 0xff)
-        require(len >= 2 && pos + 2 + len <= jpeg.length,
-          s"media $id: segment overruns the file in scrub walk")
-        val isExif = marker == 0xe1 && len >= 8 &&
-          jpeg(pos + 4) == 'E' && jpeg(pos + 5) == 'x' &&
-          jpeg(pos + 6) == 'i' && jpeg(pos + 7) == 'f'
-        val isXmp = marker == 0xe1 && len >= 8 &&
-          jpeg(pos + 4) == 'h' && jpeg(pos + 5) == 't' &&
-          jpeg(pos + 6) == 't' && jpeg(pos + 7) == 'p'
-        if (!isExif && !isXmp) out.write(jpeg, pos, 2 + len)
-        pos += 2 + len
-      }
-    }
+    val sos = walkSegments(id, jpeg, (marker, pos, len) => {
+      val isExif = marker == 0xe1 && len >= 8 &&
+        jpeg(pos + 4) == 'E' && jpeg(pos + 5) == 'x' &&
+        jpeg(pos + 6) == 'i' && jpeg(pos + 7) == 'f'
+      val isXmp = marker == 0xe1 && len >= 8 &&
+        jpeg(pos + 4) == 'h' && jpeg(pos + 5) == 't' &&
+        jpeg(pos + 6) == 't' && jpeg(pos + 7) == 'p'
+      val isIptc = marker == 0xed // APP13 Photoshop 3.0 / IPTC
+      val isCom = marker == 0xfe
+      if (!isExif && !isXmp && !isIptc && !isCom)
+        out.write(jpeg, pos, 2 + len)
+    })
+    require(sos >= 0, s"media $id: no SOS/EOI before EOF in scrub walk")
+    val end = entropyEnd(id, jpeg, sos)
+    out.write(jpeg, sos, end - sos)
     val stripped = out.toByteArray
     if (keepOrientation && o != 1) withExifOrientation(stripped, o)
     else stripped

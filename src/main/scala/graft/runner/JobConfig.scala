@@ -358,12 +358,20 @@ object JobConfig {
         // modality + had_gps columns for the compliance audit trail
         val idCol = req(p, "op.scrubExif.idColumn")
         val bytesCol = req(p, "op.scrubExif.bytesColumn")
+        // the id must survive a long round-trip: a row whose id
+        // doesn't cast would silently vanish from the inner join, so
+        // raise instead of dropping it from a privacy-critical path
+        val idNum = col(idCol).cast("long")
         val scrubbed = graft.operators.Multimodal.scrubExifGps(
-          df.select(col(idCol).cast("long").as("media_id"),
+          df.select(
+            when(idNum.isNull, raise_error(concat(
+              lit(s"op.scrubExif: id column '$idCol' not numeric: "),
+              col(idCol).cast("string")))).otherwise(idNum).as("media_id"),
             col(bytesCol).as("content"))).toDF()
           .select(col("media_id").as(idCol), col("modality"),
             col("had_gps"), col("content").as(bytesCol))
-        df.drop(bytesCol).join(scrubbed, idCol)
+        // pre-existing audit columns would make the join ambiguous
+        df.drop(bytesCol, "modality", "had_gps").join(scrubbed, idCol)
       }
       case "extractDocText" => (df: DataFrame) => {
         // sniff-dispatched text extraction over a binary payload

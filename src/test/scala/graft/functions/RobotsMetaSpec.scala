@@ -29,7 +29,13 @@ class RobotsMetaSpec extends graft.SparkSpec {
     assert(run("""<meta name="robots" content="noindex">""", Some("nofollow")) == (true, true))
     // case-insensitive names and values, extra attributes
     assert(run("""<META NAME="ROBOTS" data-x="1" CONTENT="NoIndex">""", None) == (true, false))
+    // unquoted content values (HTML allows unquoted attributes)
+    assert(run("""<meta name=robots content=noindex>""", None) == (true, false))
+    assert(run("""<meta name="robots" content=none>""", None) == (true, true))
+    assert(run("""<meta content=nofollow name=robots>""", None) == (false, true))
+    assert(run("""<meta name=robots content=noindex />""", None) == (true, false))
     // an unrelated meta must not trigger
     assert(run("""<meta name="viewport" content="noindex">""", None) == (false, false))
+    assert(run("""<meta name=viewport content=noindex>""", None) == (false, false))
   }
 }

@@ -14,10 +14,20 @@ class CdxIndexSpec extends graft.SparkSpec {
     val cases = Seq(
       ("https://www.Example.COM/Path?b=2&a=1", "com,example)/path?a=1&b=2"),
       ("http://example.com", "com,example)/"),
-      ("https://sub.host.example.org:8443/x#frag", "org,example,host,sub)/x"),
+      // pywb keeps non-default ports in the urlkey as host:port
+      ("https://sub.host.example.org:8443/x#frag",
+        "org,example,host,sub:8443)/x"),
       ("HTTP://WWW.A.B/", "b,a)/"),
       ("https://example.com/a/b/c?z=1", "com,example)/a/b/c?z=1"),
-      ("example.com/noscheme?b=&a=", "com,example)/noscheme?a=&b="))
+      ("example.com/noscheme?b=&a=", "com,example)/noscheme?a=&b="),
+      // www2./www3. labels are stripped like www. (pywb: www\d*\.)
+      ("https://www2.example.com/x", "com,example)/x"),
+      ("http://WWW3.Example.com/", "com,example)/"),
+      // default ports are dropped, not kept
+      ("http://example.com:80/x", "com,example)/x"),
+      ("https://example.com:443/x", "com,example)/x"),
+      // wwwides.com must NOT lose its first label
+      ("http://wwwides.com/x", "com,wwwides)/x"))
     val got = cases.map(_._1).toDF("url")
       .select(CdxIndex.surt(col("url")).as("s")).as[String].collect()
     got.zip(cases.map(_._2)).foreach { case (g, w) => assert(g == w) }
