@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-13 operator gates: FLAC frame decode (in-gate round-trip
+  * against the formula PCM the oracle replays, plus the committed
+  * fixtures from the independent Python encoder).
+  */
+object OperatorGates15 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  def queries15: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- REAL FLAC decode (FlacAudio): per-doc PCM from a formula
+    //     the oracle replays, encoded in-gate sweeping stereo modes,
+    //     subframe types (fixed 0-4 / verbatim / LPC), bit depths
+    //     8/16/24 and rice partition orders, then decoded back —
+    //     CRC-8/CRC-16 checked per frame and the STREAMINFO MD5 of
+    //     the decoded PCM verified, so a row existing at all proves
+    //     bit-exactness; the stats prove it to the oracle ------------
+    "q_flac_decode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.FlacAudio
+      t(s, dir, "documents").select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(25)) === 0)
+        .as[Long]
+        .mapPartitions(_.map { d =>
+          val k = d / 25
+          val channels = (1 + k % 2).toInt
+          val bps = (k % 3) match { case 0 => 8; case 1 => 16; case _ => 24 }
+          val amp = bps match { case 8 => 120; case 16 => 9000; case _ => 4000000 }
+          val nf = (150 + (k % 7) * 37).toInt
+          val blockSize = (64 + (k % 3) * 32).toInt
+          val pcm = Array.tabulate(nf * channels) { i =>
+            val frame = i / channels
+            val c = i % channels
+            (((frame + 7).toLong * (k + 3) * 2203 + c * 911)
+              % (2L * amp + 1)).toInt - amp
+          }
+          val stereoModes =
+            Array("independent", "leftside", "rightside", "midside")
+          val stereo: String =
+            if (channels == 2) stereoModes((k % 4).toInt) else "independent"
+          val (sub, lp) = (k % 5) match {
+            case 0 => ("auto", None)
+            case 1 => ("fixed1", None)
+            case 2 => ("fixed3", None)
+            case 3 => ("verbatim", None)
+            case _ => ("lpc", Some(FlacAudio.LpcSpec(Array(3, -1), 1, 4)))
+          }
+          val enc = FlacAudio.encode(8000, channels, bps, pcm,
+            blockSize = blockSize, stereo = stereo, subframe = sub,
+            partitionOrder = (k % 3).toInt, lpc = lp)
+          val dec = FlacAudio.decode(d, enc)
+          require(dec.md5Ok, s"media $d: FLAC MD5 did not verify")
+          var sum = 0L
+          var mn = Int.MaxValue
+          var mx = Int.MinValue
+          dec.samples.foreach { v =>
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+          }
+          (d, dec.sampleRate.toLong, dec.channels.toLong, dec.bps.toLong,
+            (dec.samples.length / dec.channels).toLong, sum,
+            mn.toLong, mx.toLong, dec.md5Ok)
+        })
+        .toDF("media_id", "sample_rate", "channels", "bps", "n_samples",
+          "sum_samples", "min_s", "max_s", "md5_ok")
+        .orderBy(col("media_id"))
+    }),
+
+    // --- FLAC interop fixtures: files written by the INDEPENDENT
+    //     pure-Python encoder (tools/flac_fixtures.py — LPC, rice2,
+    //     escape partitions, wasted bits, all stereo modes, tabled +
+    //     explicit block-size/sample-rate codes, multi-byte frame
+    //     numbers) decoded by the Scala module; oracle replays the
+    //     shared formula PCM per fixture, so a correlated Scala
+    //     encode/decode misreading cannot pass --------------------
+    "q_flac_fixtures" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{FlacAudio, FlacFixtures}
+      val names = FlacFixtures.manifest.map(_.name)
+      s.createDataset(names).repartition(3)
+        .mapPartitions(_.map { name =>
+          val fx = FlacFixtures.manifest.find(_.name == name).get
+          val dec = FlacAudio.decode(fx.salt.toLong, FlacFixtures.load(name))
+          require(dec.md5Ok, s"${fx.name}: FLAC MD5 did not verify")
+          var sum = 0L
+          dec.samples.foreach(sum += _)
+          (name, dec.sampleRate.toLong, dec.channels.toLong, dec.bps.toLong,
+            (dec.samples.length / dec.channels).toLong, sum)
+        })
+        .toDF("fixture", "sample_rate", "channels", "bps", "n_samples",
+          "sum_samples")
+        .orderBy(col("fixture"))
+    })
+  )
+
+  def oracleSql15: Map[String, String] = Map(
+
+    "q_flac_decode" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id // 25 AS k FROM documents
+        |  WHERE doc_id % 25 = 0),
+        |p AS (
+        |  SELECT doc_id, k,
+        |    1 + k % 2 AS channels,
+        |    CASE k % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END AS bps,
+        |    CASE k % 3 WHEN 0 THEN 120 WHEN 1 THEN 9000
+        |      ELSE 4000000 END AS amp,
+        |    150 + (k % 7) * 37 AS nf
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, k, channels, bps, nf,
+        |    list_transform(range(0, nf * channels), i ->
+        |      ((i // channels + 7) * (k + 3) * 2203 + (i % channels) * 911)
+        |        % (2 * amp + 1) - amp) AS pcm
+        |  FROM p)
+        |SELECT doc_id AS media_id,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(bps AS BIGINT) AS bps,
+        |  CAST(nf AS BIGINT) AS n_samples,
+        |  CAST(list_sum(pcm) AS BIGINT) AS sum_samples,
+        |  CAST(list_min(pcm) AS BIGINT) AS min_s,
+        |  CAST(list_max(pcm) AS BIGINT) AS max_s,
+        |  TRUE AS md5_ok
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    "q_flac_fixtures" ->
+      """WITH m(fixture, rate, ch, bps, nf, amp, salt, scale) AS (VALUES
+        |  ('fixture_0.flac', 8000, 1, 16, 600, 9000, 1, 1),
+        |  ('fixture_1.flac', 16000, 2, 16, 500, 7000, 2, 1),
+        |  ('fixture_2.flac', 8000, 1, 8, 300, 120, 3, 1),
+        |  ('fixture_3.flac', 44100, 2, 24, 256, 8000000, 4, 1),
+        |  ('fixture_4.flac', 8000, 1, 16, 400, 4000, 5, 8),
+        |  ('fixture_5.flac', 8000, 1, 16, 256, 32000, 6, 1),
+        |  ('fixture_6.flac', 22050, 2, 16, 700, 5000, 7, 1),
+        |  ('fixture_7.flac', 8000, 1, 12, 350, 1800, 8, 1),
+        |  ('fixture_8.flac', 8000, 1, 16, 3000, 100, 9, 1)),
+        |s AS (
+        |  SELECT fixture, rate, ch, bps, nf,
+        |    list_transform(range(0, nf * ch), i ->
+        |      (((i // ch + 7) * (salt + 3) * 2203 + (i % ch) * 911)
+        |        % (2 * amp + 1) - amp) * scale) AS pcm
+        |  FROM m)
+        |SELECT fixture,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(ch AS BIGINT) AS channels,
+        |  CAST(bps AS BIGINT) AS bps,
+        |  CAST(nf AS BIGINT) AS n_samples,
+        |  CAST(list_sum(pcm) AS BIGINT) AS sum_samples
+        |FROM s ORDER BY fixture""".stripMargin
+  )
+}

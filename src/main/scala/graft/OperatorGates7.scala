@@ -311,19 +311,33 @@ object OperatorGates7 {
     }),
 
     // --- audio fingerprint near-dup (multimodal dedup, audio leg):
-    //     REAL synthesized WAVs (pattern keyed by doc_id % 30, every
+    //     REAL synthesized audio (pattern keyed by doc_id % 30, every
     //     4th doc head-perturbed) fingerprinted through the actual
-    //     codec (65-window energy deltas, exact integers) and paired
-    //     with the banded hamming join; oracle replays samples →
-    //     energies → bits → the brute-force pair definition ----------
+    //     codecs (65-window energy deltas, exact integers) and paired
+    //     with the banded hamming join. Every 5th doc ships the SAME
+    //     samples as a FLAC stream instead of a WAV — the fingerprint
+    //     dispatches on container and FLAC is lossless, so cross-
+    //     container duplicates hash identically and the oracle is
+    //     container-blind. Oracle replays samples → energies → bits →
+    //     the brute-force pair definition -------------------------
     "q_audio_neardup" -> ((s, dir) => {
       import s.implicits._
-      import graft.operators.Multimodal
+      import graft.operators.{FlacAudio, Multimodal}
       import graft.functions.Similarity
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
-        .mapPartitions(_.map(id => (id, synthWav(id))))
+        .mapPartitions(_.map { id =>
+          val wav = synthWav(id)
+          if (id % 5 == 2) {
+            // re-container the identical PCM as FLAC; samples live in
+            // the canonical 44-byte-header WAV's data chunk
+            val pcm = Array.tabulate((wav.length - 44) / 2) { i =>
+              ((wav(44 + 2 * i) & 0xff) | (wav(45 + 2 * i) << 8)).toShort.toInt
+            }
+            (id, FlacAudio.encode(8000, 1, 16, pcm, blockSize = 64))
+          } else (id, wav)
+        })
         .toDF("media_id", "content")
-      val hashes = Multimodal.fingerprintWav(media).toDF()
+      val hashes = Multimodal.fingerprintAudio(media).toDF()
         .withColumn("block", lit("all"))
       Similarity.hammingPairs64(hashes, "media_id", "ahash", "block",
           maxHamming = 8, collapseIdentical = true)

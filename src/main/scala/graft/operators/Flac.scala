@@ -1,0 +1,822 @@
+package graft.operators
+
+/** FLAC frame decode to bit-exact PCM, plus a fixture-grade encoder.
+  *
+  * The reference pipeline moves audio as opaque bytes (its Kafka/HDFS
+  * writers never open payloads); a 100-TB curation corpus is mostly
+  * FLAC/MP3, and audio near-dup fingerprinting needs REAL samples —
+  * so this module implements the public FLAC format (RFC 9639 /
+  * xiph.org format spec) from scratch: STREAMINFO, frame headers with
+  * the UTF-8-style coded number, CONSTANT/VERBATIM/FIXED/LPC
+  * subframes, rice + rice2 residual partitions with escape codes,
+  * wasted bits, and all four channel assignments (independent,
+  * left/side, right/side, mid/side).
+  *
+  * FLAC is lossless, which buys the same verification discipline as
+  * the TIFF/PNG codecs: the format itself carries three independent
+  * integrity channels — a CRC-8 over each frame header, a CRC-16 over
+  * each whole frame, and an MD5 of the *unencoded* PCM in STREAMINFO
+  * — and the decoder checks ALL of them, so a decode that returns is
+  * bit-exact end-to-end. Interop is pinned two ways: committed
+  * fixtures produced by an independent pure-Python encoder
+  * (tools/flac_fixtures.py, exercising LPC/rice2/escapes/wasted
+  * bits), and in-gate round-trips against the formula PCM the oracle
+  * replays.
+  *
+  * Scale contract: executor-local per-payload decode behind
+  * mapPartitions (see [[Multimodal.fingerprintAudio]]), loud
+  * id-tagged failures, no driver work.
+  */
+object FlacAudio {
+
+  /** Interleaved decoded PCM. `md5Ok` = STREAMINFO carried a non-zero
+    * MD5 and the decoded samples hash to exactly it.
+    */
+  final case class FlacPcm(
+      sampleRate: Int, channels: Int, bps: Int,
+      samples: Array[Int], md5Ok: Boolean)
+
+  // --- CRCs (frame header CRC-8 poly x^8+x^2+x^1+1 = 0x07, frame
+  // CRC-16 poly x^16+x^15+x^2+1 = 0x8005, both init 0, MSB-first) ----
+
+  private val Crc8Table: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var c = i
+      var k = 0
+      while (k < 8) { c = if ((c & 0x80) != 0) (c << 1) ^ 0x07 else c << 1; k += 1 }
+      t(i) = c & 0xff
+      i += 1
+    }
+    t
+  }
+
+  private val Crc16Table: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var c = i << 8
+      var k = 0
+      while (k < 8) { c = if ((c & 0x8000) != 0) (c << 1) ^ 0x8005 else c << 1; k += 1 }
+      t(i) = c & 0xffff
+      i += 1
+    }
+    t
+  }
+
+  private[operators] def crc8(b: Array[Byte], from: Int, until: Int): Int = {
+    var c = 0
+    var i = from
+    while (i < until) { c = Crc8Table(c ^ (b(i) & 0xff)); i += 1 }
+    c
+  }
+
+  private[operators] def crc16(b: Array[Byte], from: Int, until: Int): Int = {
+    var c = 0
+    var i = from
+    while (i < until) { c = Crc16Table(((c >> 8) ^ (b(i) & 0xff)) & 0xff) ^ ((c << 8) & 0xffff); i += 1 }
+    c & 0xffff
+  }
+
+  // --- MSB-first bit reader over the whole stream -------------------
+
+  private final class BitReader(val b: Array[Byte], val id: Long) {
+    var bytePos = 0
+    var bitPos = 0 // 0..7, bits consumed in current byte
+
+    def atByteBoundary: Boolean = bitPos == 0
+    def alignToByte(): Unit = if (bitPos != 0) { bitPos = 0; bytePos += 1 }
+
+    def readBit(): Int = {
+      require(bytePos < b.length, s"media $id: FLAC bitstream truncated")
+      val v = (b(bytePos) >> (7 - bitPos)) & 1
+      bitPos += 1
+      if (bitPos == 8) { bitPos = 0; bytePos += 1 }
+      v
+    }
+
+    /** n <= 32 unsigned bits. */
+    def readBits(n: Int): Int = {
+      var v = 0
+      var k = 0
+      while (k < n) { v = (v << 1) | readBit(); k += 1 }
+      v
+    }
+
+    def readBitsLong(n: Int): Long = {
+      var v = 0L
+      var k = 0
+      while (k < n) { v = (v << 1) | readBit(); k += 1 }
+      v
+    }
+
+    /** n-bit two's-complement signed value. */
+    def readSigned(n: Int): Int = {
+      if (n == 0) return 0
+      val v = readBits(n)
+      if (n == 32) v // Int wrap IS the two's-complement value
+      else if ((v & (1 << (n - 1))) != 0) v - (1 << n) else v
+    }
+
+    /** Unary: count of 0 bits before the terminating 1. */
+    def readUnary(): Int = {
+      var q = 0
+      while (readBit() == 0) {
+        q += 1
+        require(q < (b.length.toLong * 8),
+          s"media $id: runaway unary code in FLAC residual")
+      }
+      q
+    }
+  }
+
+  // --- decode -------------------------------------------------------
+
+  private val FixedBlockSizes = Array(
+    -1, 192, 576, 1152, 2304, 4608, -1, -1,
+    256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+  private val FixedSampleRates = Array(
+    -1, 88200, 176400, 192000, 8000, 16000, 22050, 24000,
+    32000, 44100, 48000, 96000, -1, -1, -1, -1)
+  private val FixedBps = Array(-1, 8, 12, -1, 16, 20, 24, 32)
+
+  /** True when audio frames follow the metadata blocks — false for a
+    * STREAMINFO-only shell (metadata fixtures carry totals but no
+    * frames; full decode must not be attempted on them).
+    */
+  def hasFrames(id: Long, b: Array[Byte]): Boolean = {
+    require(FlacCodec.isFlac(b), s"media $id: not a FLAC stream")
+    var off = 4
+    var last = false
+    while (!last) {
+      require(off + 4 <= b.length, s"media $id: truncated metadata block header")
+      last = (b(off) & 0x80) != 0
+      val len = ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      off += 4 + len
+      require(off <= b.length, s"media $id: metadata block overruns the file")
+    }
+    off < b.length
+  }
+
+  /** Decode a whole FLAC stream to interleaved PCM, verifying every
+    * frame-header CRC-8, every frame CRC-16, the inter-frame sample
+    * accounting, and the STREAMINFO MD5 of the decoded samples.
+    */
+  def decode(id: Long, b: Array[Byte]): FlacPcm = {
+    val info = FlacCodec.parse(id, b) // STREAMINFO (validates magic)
+    // walk metadata blocks to the first frame
+    var off = 4
+    var last = false
+    while (!last) {
+      require(off + 4 <= b.length, s"media $id: truncated metadata block header")
+      last = (b(off) & 0x80) != 0
+      val len = ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      off += 4 + len
+      require(off <= b.length, s"media $id: metadata block overruns the file")
+    }
+    require(info.totalSamples <= Int.MaxValue / math.max(1, info.channels),
+      s"media $id: FLAC too large for in-memory decode (${info.totalSamples} samples)")
+    val total = info.totalSamples.toInt
+    val out = new Array[Int](total * info.channels)
+    var written = 0 // inter-channel sample count written so far
+    var nominalBs = -1 // constant block size of a fixed-blocking stream
+    val r = new BitReader(b, id)
+    r.bytePos = off
+
+    while (written < total) {
+      val frameStart = r.bytePos
+      require(r.atByteBoundary, s"media $id: frame not byte-aligned")
+      // sync 11111111 111110xx
+      require(r.readBits(8) == 0xff && r.readBits(6) == 0x3e,
+        s"media $id: lost FLAC frame sync at byte $frameStart")
+      require(r.readBit() == 0, s"media $id: reserved frame-header bit set")
+      val variableBlocking = r.readBit() == 1
+      val bsBits = r.readBits(4)
+      val srBits = r.readBits(4)
+      val chBits = r.readBits(4)
+      val bpsBits = r.readBits(3)
+      require(r.readBit() == 0, s"media $id: reserved frame-header bit set")
+      // UTF-8-style coded number (frame or sample number, <= 36 bits)
+      val first = r.readBits(8)
+      var codedNum: Long = 0L
+      if ((first & 0x80) == 0) codedNum = first
+      else {
+        var nCont = 0
+        var mask = 0x40
+        while ((first & mask) != 0) { nCont += 1; mask >>= 1 }
+        require(nCont >= 1 && nCont <= 6, s"media $id: bad coded number lead byte")
+        codedNum = first & (mask - 1)
+        var k = 0
+        while (k < nCont) {
+          val cont = r.readBits(8)
+          require((cont & 0xc0) == 0x80, s"media $id: bad coded number continuation")
+          codedNum = (codedNum << 6) | (cont & 0x3f)
+          k += 1
+        }
+      }
+      val blockSize = bsBits match {
+        case 0 => throw new IllegalArgumentException(
+          s"media $id: reserved block-size code 0")
+        case 6 => r.readBits(8) + 1
+        case 7 => r.readBits(16) + 1
+        case n => FixedBlockSizes(n)
+      }
+      val sampleRate = srBits match {
+        case 0 => info.sampleRate
+        case 12 => r.readBits(8) * 1000
+        case 13 => r.readBits(16)
+        case 14 => r.readBits(16) * 10
+        case 15 => throw new IllegalArgumentException(
+          s"media $id: invalid sample-rate code 15")
+        case n => FixedSampleRates(n)
+      }
+      require(sampleRate == info.sampleRate,
+        s"media $id: frame sample rate $sampleRate != STREAMINFO ${info.sampleRate}")
+      val bps = if (bpsBits == 0) info.bitsPerSample else {
+        val v = FixedBps(bpsBits)
+        require(v > 0, s"media $id: reserved bps code $bpsBits")
+        v
+      }
+      require(bps == info.bitsPerSample,
+        s"media $id: frame bps $bps != STREAMINFO ${info.bitsPerSample}")
+      val nCh = if (chBits <= 7) chBits + 1 else 2
+      require(chBits <= 10, s"media $id: reserved channel assignment $chBits")
+      require(nCh == info.channels,
+        s"media $id: frame channels $nCh != STREAMINFO ${info.channels}")
+      // header CRC-8 covers sync through the coded number + any
+      // variable block-size/sample-rate fields
+      r.alignToByte()
+      val headerEnd = r.bytePos
+      val storedCrc8 = r.readBits(8)
+      require(storedCrc8 == crc8(b, frameStart, headerEnd),
+        s"media $id: FLAC frame-header CRC-8 mismatch at $frameStart")
+      // sample accounting: frame/sample number must match position
+      if (nominalBs < 0) nominalBs = blockSize
+      val expectedStart = written.toLong
+      val actualStart =
+        if (variableBlocking) codedNum
+        else codedNum * nominalBs // frame index x constant block size
+      require(actualStart == expectedStart,
+        s"media $id: frame starts at sample $actualStart, expected $expectedStart")
+      require(written + blockSize <= total,
+        s"media $id: frame overruns STREAMINFO total samples")
+
+      // subframes
+      val chans = new Array[Array[Int]](nCh)
+      var ch = 0
+      while (ch < nCh) {
+        val sideBoost = chBits match {
+          case 8 => if (ch == 1) 1 else 0 // left/side
+          case 9 => if (ch == 0) 1 else 0 // side/right
+          case 10 => if (ch == 1) 1 else 0 // mid/side
+          case _ => 0
+        }
+        chans(ch) = decodeSubframe(r, id, blockSize, bps + sideBoost)
+        ch += 1
+      }
+      r.alignToByte()
+      val frameEnd = r.bytePos
+      val storedCrc16 = r.readBits(16)
+      require(storedCrc16 == crc16(b, frameStart, frameEnd),
+        s"media $id: FLAC frame CRC-16 mismatch at $frameStart")
+
+      // undo stereo decorrelation
+      chBits match {
+        case 8 => // left/side: right = left - side
+          var i = 0
+          while (i < blockSize) { chans(1)(i) = chans(0)(i) - chans(1)(i); i += 1 }
+        case 9 => // side/right: left = right + side
+          var i = 0
+          while (i < blockSize) {
+            val side = chans(0)(i)
+            chans(0)(i) = chans(1)(i) + side
+            i += 1
+          }
+        case 10 => // mid/side
+          var i = 0
+          while (i < blockSize) {
+            val side = chans(1)(i)
+            var mid = chans(0)(i) << 1
+            mid |= (side & 1)
+            chans(0)(i) = (mid + side) >> 1
+            chans(1)(i) = (mid - side) >> 1
+            i += 1
+          }
+        case _ => ()
+      }
+      // interleave
+      var i = 0
+      while (i < blockSize) {
+        var c = 0
+        while (c < nCh) {
+          out((written + i) * nCh + c) = chans(c)(i)
+          c += 1
+        }
+        i += 1
+      }
+      written += blockSize
+    }
+
+    // STREAMINFO MD5 over the unencoded PCM: interleaved samples,
+    // little-endian, smallest whole number of bytes per sample
+    val md5Stored = info.md5Hex
+    val md5Ok =
+      if (md5Stored == "0" * 32) false
+      else {
+        val bytesPer = (info.bitsPerSample + 7) / 8
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val buf = new Array[Byte](out.length * bytesPer)
+        var i = 0
+        while (i < out.length) {
+          var k = 0
+          while (k < bytesPer) {
+            buf(i * bytesPer + k) = ((out(i) >> (8 * k)) & 0xff).toByte
+            k += 1
+          }
+          i += 1
+        }
+        val dig = md.digest(buf)
+        val hex = dig.map(x => f"${x & 0xff}%02x").mkString
+        require(hex == md5Stored,
+          s"media $id: decoded PCM MD5 $hex != STREAMINFO $md5Stored")
+        true
+      }
+    FlacPcm(info.sampleRate, info.channels, info.bitsPerSample, out, md5Ok)
+  }
+
+  /** One subframe: header (type + wasted bits), payload, predictor
+    * reconstruction. Returns blockSize samples at full scale (wasted
+    * bits re-shifted in).
+    */
+  private def decodeSubframe(r: BitReader, id: Long, blockSize: Int,
+      bps: Int): Array[Int] = {
+    require(r.readBit() == 0, s"media $id: subframe pad bit set")
+    val ty = r.readBits(6)
+    val wasted =
+      if (r.readBit() == 1) r.readUnary() + 1
+      else 0
+    val ebps = bps - wasted
+    require(ebps >= 1 && ebps <= 32,
+      s"media $id: effective bps $ebps out of range (wasted=$wasted)")
+    val s = new Array[Int](blockSize)
+    if (ty == 0) { // CONSTANT
+      val v = r.readSigned(ebps)
+      java.util.Arrays.fill(s, v)
+    } else if (ty == 1) { // VERBATIM
+      var i = 0
+      while (i < blockSize) { s(i) = r.readSigned(ebps); i += 1 }
+    } else if ((ty & 0x38) == 0x08 && (ty & 0x07) <= 4) { // FIXED 0-4
+      val order = ty & 0x07
+      var i = 0
+      while (i < order) { s(i) = r.readSigned(ebps); i += 1 }
+      decodeResidual(r, id, blockSize, order, s)
+      // fixed predictors, orders 0..4
+      i = order
+      order match {
+        case 0 => ()
+        case 1 => while (i < blockSize) { s(i) += s(i - 1); i += 1 }
+        case 2 => while (i < blockSize) { s(i) += 2 * s(i - 1) - s(i - 2); i += 1 }
+        case 3 => while (i < blockSize) {
+          s(i) += 3 * s(i - 1) - 3 * s(i - 2) + s(i - 3); i += 1
+        }
+        case 4 => while (i < blockSize) {
+          s(i) += 4 * s(i - 1) - 6 * s(i - 2) + 4 * s(i - 3) - s(i - 4); i += 1
+        }
+      }
+    } else if ((ty & 0x20) != 0) { // LPC, order 1-32
+      val order = (ty & 0x1f) + 1
+      var i = 0
+      while (i < order) { s(i) = r.readSigned(ebps); i += 1 }
+      val precRaw = r.readBits(4)
+      require(precRaw != 15, s"media $id: invalid LPC precision code")
+      val precision = precRaw + 1
+      val shift = r.readSigned(5)
+      require(shift >= 0, s"media $id: negative LPC shift $shift")
+      val coefs = new Array[Int](order)
+      i = 0
+      while (i < order) { coefs(i) = r.readSigned(precision); i += 1 }
+      decodeResidual(r, id, blockSize, order, s)
+      i = order
+      while (i < blockSize) {
+        var acc = 0L
+        var j = 0
+        while (j < order) { acc += coefs(j).toLong * s(i - 1 - j); j += 1 }
+        s(i) += (acc >> shift).toInt
+        i += 1
+      }
+    } else throw new IllegalArgumentException(
+      s"media $id: reserved subframe type $ty")
+    if (wasted > 0) {
+      var i = 0
+      while (i < blockSize) { s(i) = s(i) << wasted; i += 1 }
+    }
+    s
+  }
+
+  /** Rice-coded residual into s(order until blockSize). */
+  private def decodeResidual(r: BitReader, id: Long, blockSize: Int,
+      order: Int, s: Array[Int]): Unit = {
+    val method = r.readBits(2)
+    require(method <= 1, s"media $id: reserved residual coding method $method")
+    val paramBits = if (method == 0) 4 else 5
+    val escape = if (method == 0) 15 else 31
+    val po = r.readBits(4)
+    val nPart = 1 << po
+    require(blockSize % nPart == 0,
+      s"media $id: block size $blockSize not divisible into $nPart partitions")
+    require((blockSize >> po) >= order,
+      s"media $id: partition shorter than predictor order")
+    var idx = order
+    var p = 0
+    while (p < nPart) {
+      val n = (blockSize >> po) - (if (p == 0) order else 0)
+      val param = r.readBits(paramBits)
+      if (param == escape) {
+        val raw = r.readBits(5)
+        var k = 0
+        while (k < n) { s(idx) = if (raw == 0) 0 else r.readSigned(raw); idx += 1; k += 1 }
+      } else {
+        var k = 0
+        while (k < n) {
+          val q = r.readUnary()
+          val rem = if (param == 0) 0 else r.readBits(param)
+          val v = (q << param) | rem
+          s(idx) = (v >>> 1) ^ -(v & 1) // zigzag
+          idx += 1
+          k += 1
+        }
+      }
+      p += 1
+    }
+  }
+
+  // --- encode (fixture-grade: correct, not maximally compressed) ----
+
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0
+    private var nBits = 0
+
+    def writeBit(v: Int): Unit = {
+      acc = (acc << 1) | (v & 1)
+      nBits += 1
+      if (nBits == 8) { out.write(acc); acc = 0; nBits = 0 }
+    }
+    def writeBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { writeBit((v >> k) & 1); k -= 1 }
+    }
+    def writeBitsLong(v: Long, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { writeBit(((v >> k) & 1).toInt); k -= 1 }
+    }
+    def writeUnary(q: Int): Unit = {
+      var k = 0
+      while (k < q) { writeBit(0); k += 1 }
+      writeBit(1)
+    }
+    def alignToByte(): Unit = while (nBits != 0) writeBit(0)
+    def toByteArray: Array[Byte] = { require(nBits == 0); out.toByteArray }
+  }
+
+  /** LPC parameters for the encoder's `lpc` subframe mode. */
+  final case class LpcSpec(coefs: Array[Int], shift: Int, precision: Int)
+
+  /** Encode interleaved PCM to a spec-conforming FLAC stream.
+    *
+    * `stereo`: "independent" | "leftside" | "rightside" | "midside"
+    * (2-channel inputs only; >2 channels are always independent).
+    * `subframe`: "auto" (constant where possible, else best fixed
+    * order by |residual| sum) | "verbatim" | "fixed0".."fixed4" |
+    * "lpc" (requires `lpc` params). `partitionOrder` picks the rice
+    * partition order where divisibility allows. The STREAMINFO MD5 is
+    * always written, so any conforming decoder can verify losslessness.
+    */
+  def encode(sampleRate: Int, channels: Int, bps: Int,
+      samples: Array[Int], blockSize: Int = 4096,
+      stereo: String = "independent", subframe: String = "auto",
+      partitionOrder: Int = 0, lpc: Option[LpcSpec] = None): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"channels $channels")
+    require(bps >= 4 && bps <= 24, s"bps $bps")
+    require(samples.length % channels == 0, "ragged interleaved samples")
+    require(samples.length > 0, "cannot encode a zero-sample stream")
+    require(blockSize >= 16 && blockSize <= 65535, s"blockSize $blockSize")
+    val total = samples.length / channels
+    // MD5 over the little-endian interleaved input
+    val bytesPer = (bps + 7) / 8
+    val md5 = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = new Array[Byte](samples.length * bytesPer)
+      var i = 0
+      while (i < samples.length) {
+        var k = 0
+        while (k < bytesPer) {
+          buf(i * bytesPer + k) = ((samples(i) >> (8 * k)) & 0xff).toByte
+          k += 1
+        }
+        i += 1
+      }
+      md.digest(buf)
+    }
+    val header = streamInfo(sampleRate, channels, bps, total.toLong,
+      blockSize, md5)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(header, 0, header.length)
+
+    var frameIdx = 0L
+    var start = 0
+    while (start < total) {
+      val n = math.min(blockSize, total - start)
+      val frame = encodeFrame(sampleRate, channels, bps, samples,
+        start, n, blockSize, frameIdx, stereo, subframe,
+        partitionOrder, lpc)
+      out.write(frame, 0, frame.length)
+      frameIdx += 1
+      start += n
+    }
+    out.toByteArray
+  }
+
+  private def streamInfo(sampleRate: Int, channels: Int, bps: Int,
+      total: Long, blockSize: Int, md5: Array[Byte]): Array[Byte] = {
+    val o = new java.io.ByteArrayOutputStream()
+    o.write('f'); o.write('L'); o.write('a'); o.write('C')
+    o.write(0x80); o.write(0); o.write(0); o.write(34)
+    o.write(blockSize >> 8); o.write(blockSize & 0xff) // min
+    o.write(blockSize >> 8); o.write(blockSize & 0xff) // max
+    (0 until 6).foreach(_ => o.write(0)) // min/max framesize unknown
+    o.write((sampleRate >> 12) & 0xff)
+    o.write((sampleRate >> 4) & 0xff)
+    o.write(((sampleRate & 0x0f) << 4) | ((channels - 1) << 1) | ((bps - 1) >> 4))
+    o.write((((bps - 1) & 0x0f) << 4) | ((total >> 32) & 0x0f).toInt)
+    o.write(((total >> 24) & 0xff).toInt)
+    o.write(((total >> 16) & 0xff).toInt)
+    o.write(((total >> 8) & 0xff).toInt)
+    o.write((total & 0xff).toInt)
+    o.write(md5, 0, 16)
+    o.toByteArray
+  }
+
+  private def encodeFrame(sampleRate: Int, channels: Int, bps: Int,
+      samples: Array[Int], start: Int, n: Int, nominalBlock: Int,
+      frameIdx: Long, stereo: String, subframe: String,
+      partitionOrder: Int, lpc: Option[LpcSpec]): Array[Byte] = {
+    val w = new BitWriter
+    w.writeBits(0xff, 8); w.writeBits(0x3e, 6)
+    w.writeBit(0) // reserved
+    w.writeBit(0) // fixed blocking
+    // block size: use end-of-header 16-bit form only for a short last
+    // block; else the tabled code when one exists
+    val tabled = FixedBlockSizes.indexOf(n)
+    val bsBits = if (n == nominalBlock && tabled >= 8) tabled
+      else if (n == nominalBlock && tabled >= 1 && tabled <= 5) tabled
+      else 7
+    w.writeBits(bsBits, 4)
+    w.writeBits(0, 4) // sample rate: from STREAMINFO
+    val chBits = stereo match {
+      case _ if channels != 2 => channels - 1
+      case "independent" => 1
+      case "leftside" => 8
+      case "rightside" => 9
+      case "midside" => 10
+      case other => throw new IllegalArgumentException(s"stereo mode $other")
+    }
+    w.writeBits(chBits, 4)
+    val bpsCode = FixedBps.indexOf(bps)
+    w.writeBits(if (bpsCode > 0) bpsCode else 0, 3)
+    w.writeBit(0) // reserved
+    // coded frame number, UTF-8 style
+    writeCodedNumber(w, frameIdx)
+    if (bsBits == 7) w.writeBits(n - 1, 16)
+    // CRC-8 so far: serialize, compute, append — BitWriter is
+    // byte-aligned here by construction (header fields sum to whole
+    // bytes)
+    w.alignToByte()
+    val head = w.toByteArray
+    val w2 = new BitWriter
+    head.foreach(x => w2.writeBits(x & 0xff, 8))
+    w2.writeBits(crc8(head, 0, head.length), 8)
+
+    // channel planes (after decorrelation)
+    val planes = new Array[Array[Int]](channels)
+    var c = 0
+    while (c < channels) {
+      val p = new Array[Int](n)
+      var i = 0
+      while (i < n) { p(i) = samples((start + i) * channels + c); i += 1 }
+      planes(c) = p
+      c += 1
+    }
+    val (enc0, enc1, boost0, boost1) =
+      if (channels == 2) chBits match {
+        case 8 =>
+          val side = Array.tabulate(n)(i => planes(0)(i) - planes(1)(i))
+          (planes(0), side, 0, 1)
+        case 9 =>
+          val side = Array.tabulate(n)(i => planes(0)(i) - planes(1)(i))
+          (side, planes(1), 1, 0)
+        case 10 =>
+          val mid = Array.tabulate(n)(i => (planes(0)(i) + planes(1)(i)) >> 1)
+          val side = Array.tabulate(n)(i => planes(0)(i) - planes(1)(i))
+          (mid, side, 0, 1)
+        case _ => (planes(0), planes(1), 0, 0)
+      } else (planes(0), if (channels > 1) planes(1) else null, 0, 0)
+
+    if (channels == 2) {
+      encodeSubframe(w2, enc0, bps + boost0, subframe, partitionOrder, lpc)
+      encodeSubframe(w2, enc1, bps + boost1, subframe, partitionOrder, lpc)
+    } else {
+      var ch = 0
+      while (ch < channels) {
+        encodeSubframe(w2, planes(ch), bps, subframe, partitionOrder, lpc)
+        ch += 1
+      }
+    }
+    w2.alignToByte()
+    val body = w2.toByteArray
+    val w3 = new BitWriter
+    body.foreach(x => w3.writeBits(x & 0xff, 8))
+    w3.writeBits(crc16(body, 0, body.length), 16)
+    w3.toByteArray
+  }
+
+  private def writeCodedNumber(w: BitWriter, v: Long): Unit = {
+    if (v < 0x80) w.writeBits(v.toInt, 8)
+    else {
+      // count payload bits -> continuation byte count (6 bits each)
+      var nCont = 1
+      while (nCont < 6 && v >= (1L << (6 * nCont + (6 - nCont)))) nCont += 1
+      // lead byte: nCont+1 ones then 0, then high payload bits
+      val leadPayloadBits = 6 - nCont
+      var lead = 0
+      var k = 0
+      while (k <= nCont) { lead = (lead << 1) | 1; k += 1 }
+      lead = lead << 1 // trailing zero
+      lead = (lead << leadPayloadBits) | ((v >> (6 * nCont)) & ((1 << leadPayloadBits) - 1)).toInt
+      w.writeBits(lead, 8)
+      var j = nCont - 1
+      while (j >= 0) {
+        w.writeBits((0x80 | ((v >> (6 * j)) & 0x3f)).toInt, 8)
+        j -= 1
+      }
+    }
+  }
+
+  private def encodeSubframe(w: BitWriter, s: Array[Int], bps: Int,
+      subframe: String, partitionOrder: Int, lpc: Option[LpcSpec]): Unit = {
+    val n = s.length
+    val constant = n > 0 && s.forall(_ == s(0))
+    val mode =
+      if (subframe == "auto") {
+        if (constant) "constant"
+        else "fixedbest"
+      } else subframe
+    w.writeBit(0) // pad
+    mode match {
+      case "constant" =>
+        require(constant, "constant subframe over varying samples")
+        w.writeBits(0, 6)
+        w.writeBit(0) // no wasted bits
+        w.writeBits(s(0) & maskOf(bps), bps)
+      case "verbatim" =>
+        w.writeBits(1, 6)
+        w.writeBit(0)
+        var i = 0
+        while (i < n) { w.writeBits(s(i) & maskOf(bps), bps); i += 1 }
+      case m if m.startsWith("fixed") || m == "fixedbest" =>
+        // a short last block can be smaller than the forced order:
+        // cap (order == n is legal — all warmup, empty residual)
+        val order = math.min(
+          if (m == "fixedbest") bestFixedOrder(s)
+          else m.substring(5).toInt, n)
+        w.writeBits(0x08 | order, 6)
+        w.writeBit(0)
+        var i = 0
+        while (i < order) { w.writeBits(s(i) & maskOf(bps), bps); i += 1 }
+        val res = fixedResidual(s, order)
+        writeResidual(w, res, order, n, partitionOrder)
+      case "lpc" =>
+        val p = lpc.getOrElse(throw new IllegalArgumentException(
+          "subframe=lpc requires LpcSpec"))
+        val order = p.coefs.length
+        require(order >= 1 && order <= 32 && n > order, s"lpc order $order")
+        w.writeBits(0x20 | (order - 1), 6)
+        w.writeBit(0)
+        var i = 0
+        while (i < order) { w.writeBits(s(i) & maskOf(bps), bps); i += 1 }
+        w.writeBits(p.precision - 1, 4)
+        w.writeBits(p.shift & 0x1f, 5)
+        i = 0
+        while (i < order) {
+          w.writeBits(p.coefs(i) & maskOf(p.precision), p.precision)
+          i += 1
+        }
+        val res = new Array[Int](n)
+        i = order
+        while (i < n) {
+          var acc = 0L
+          var j = 0
+          while (j < order) { acc += p.coefs(j).toLong * s(i - 1 - j); j += 1 }
+          res(i) = s(i) - (acc >> p.shift).toInt
+          i += 1
+        }
+        writeResidual(w, res, order, n, partitionOrder)
+      case other => throw new IllegalArgumentException(s"subframe mode $other")
+    }
+  }
+
+  private def maskOf(bits: Int): Int =
+    if (bits >= 32) -1 else (1 << bits) - 1
+
+  private def fixedResidual(s: Array[Int], order: Int): Array[Int] = {
+    val n = s.length
+    val res = new Array[Int](n)
+    var i = order
+    while (i < n) {
+      res(i) = order match {
+        case 0 => s(i)
+        case 1 => s(i) - s(i - 1)
+        case 2 => s(i) - 2 * s(i - 1) + s(i - 2)
+        case 3 => s(i) - 3 * s(i - 1) + 3 * s(i - 2) - s(i - 3)
+        case 4 => s(i) - 4 * s(i - 1) + 6 * s(i - 2) - 4 * s(i - 3) + s(i - 4)
+      }
+      i += 1
+    }
+    res
+  }
+
+  private def bestFixedOrder(s: Array[Int]): Int = {
+    var best = 0
+    var bestSum = Long.MaxValue
+    var o = 0
+    while (o <= math.min(4, math.max(0, s.length - 1))) {
+      val r = fixedResidual(s, o)
+      var sum = 0L
+      var i = o
+      while (i < r.length) { sum += math.abs(r(i).toLong); i += 1 }
+      if (sum < bestSum) { bestSum = sum; best = o }
+      o += 1
+    }
+    best
+  }
+
+  /** Rice parameter that minimizes coded bits for the mean |residual|
+    * (standard estimate: smallest k with mean < 2^k).
+    */
+  private def riceParam(res: Array[Int], from: Int, until: Int): Int = {
+    var sum = 0L
+    var i = from
+    while (i < until) { sum += math.abs(res(i).toLong); i += 1 }
+    val cnt = math.max(1, until - from)
+    var k = 0
+    // cap above the 4-bit escape code (15) so pathological residuals
+    // fall through to the raw-escape branch instead of a bad param
+    while (k < 20 && (cnt.toLong << k) < sum) k += 1
+    k
+  }
+
+  private def writeResidual(w: BitWriter, res: Array[Int], order: Int,
+      n: Int, partitionOrder: Int): Unit = {
+    val po = if (n % (1 << partitionOrder) == 0 &&
+      (partitionOrder == 0 || (n >> partitionOrder) > order)) partitionOrder
+    else 0
+    w.writeBits(0, 2) // rice method 0 (4-bit params)
+    w.writeBits(po, 4)
+    val nPart = 1 << po
+    var p = 0
+    var idx = order
+    while (p < nPart) {
+      val cnt = (n >> po) - (if (p == 0) order else 0)
+      val param = riceParam(res, idx, idx + cnt)
+      if (param >= 15) {
+        // escape to raw: widest residual decides the bit width
+        var width = 1
+        var i = idx
+        while (i < idx + cnt) {
+          var v = res(i)
+          var need = 1
+          while (v != (v << (32 - need)) >> (32 - need)) need += 1
+          if (need > width) width = need
+          i += 1
+        }
+        w.writeBits(15, 4)
+        w.writeBits(width, 5)
+        i = idx
+        while (i < idx + cnt) { w.writeBits(res(i) & maskOf(width), width); i += 1 }
+      } else {
+        w.writeBits(param, 4)
+        var i = idx
+        while (i < idx + cnt) {
+          val v = res(i)
+          val u = (v << 1) ^ (v >> 31) // zigzag
+          w.writeUnary(u >>> param)
+          if (param > 0) w.writeBits(u & maskOf(param), param)
+          i += 1
+        }
+      }
+      idx += cnt
+      p += 1
+    }
+  }
+}

@@ -519,31 +519,69 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         require(bytes != null, s"media $id: null content")
-        val m = WavCodec.meta(id, bytes)
-        val n = (m.nSamples * m.channels).toInt
-        require(n >= 65,
-          s"media $id: need >= 65 samples for a 64-bit fingerprint, got $n")
-        def s16(t: Int): Int = {
-          val o = m.dataOff + 2 * t
-          ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
-        }
-        val energy = new Array[Long](65)
-        var w = 0
-        while (w < 65) {
-          // boundary products in Long: w * n overflows Int past ~33M
-          // samples (a few minutes of 44.1kHz stereo)
-          val hi = ((w + 1).toLong * n / 65).toInt
-          var t = (w.toLong * n / 65).toInt
-          var e = 0L
-          while (t < hi) { e += math.abs(s16(t)); t += 1 }
-          energy(w) = e
-          w += 1
-        }
-        var hash = 0L
-        var j = 0
-        while (j < 64) {
-          if (energy(j + 1) > energy(j)) hash |= (1L << j)
-          j += 1
+        MediaHash(id, fingerprintWavBytes(id, bytes))
+      })
+  }
+
+  /** The 65-window energy hash over an abstract sample accessor —
+    * shared by the WAV byte-walk and the FLAC decoded-PCM path so one
+    * logical recording fingerprints identically from either container.
+    */
+  private def energyFingerprint(id: Long, n: Int, sampleAt: Int => Int): Long = {
+    require(n >= 65,
+      s"media $id: need >= 65 samples for a 64-bit fingerprint, got $n")
+    val energy = new Array[Long](65)
+    var w = 0
+    while (w < 65) {
+      // boundary products in Long: w * n overflows Int past ~33M
+      // samples (a few minutes of 44.1kHz stereo)
+      val hi = ((w + 1).toLong * n / 65).toInt
+      var t = (w.toLong * n / 65).toInt
+      var e = 0L
+      while (t < hi) { e += math.abs(sampleAt(t)); t += 1 }
+      energy(w) = e
+      w += 1
+    }
+    var hash = 0L
+    var j = 0
+    while (j < 64) {
+      if (energy(j + 1) > energy(j)) hash |= (1L << j)
+      j += 1
+    }
+    hash
+  }
+
+  private def fingerprintWavBytes(id: Long, bytes: Array[Byte]): Long = {
+    val m = WavCodec.meta(id, bytes)
+    val n = (m.nSamples * m.channels).toInt
+    energyFingerprint(id, n, { t =>
+      val o = m.dataOff + 2 * t
+      ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
+    })
+  }
+
+  /** Audio fingerprint with container dispatch: WAV PCM16 walks the
+    * bytes directly; FLAC goes through the REAL frame decoder
+    * ([[FlacAudio.decode]], CRC+MD5-verified) — lossless, so the same
+    * recording hashes identically from either container and audio
+    * near-dup works on real (FLAC-carried) corpora, not just WAV.
+    */
+  def fingerprintAudio(media: DataFrame): Dataset[MediaHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        require(bytes != null, s"media $id: null content")
+        val hash = sniffModality(bytes) match {
+          case "audio/wav" => fingerprintWavBytes(id, bytes)
+          case "audio/flac" =>
+            val pcm = FlacAudio.decode(id, bytes)
+            require(pcm.bps == 16,
+              s"media $id: audio fingerprint needs 16-bit PCM, got ${pcm.bps}")
+            energyFingerprint(id, pcm.samples.length, pcm.samples)
+          case other => throw new IllegalArgumentException(
+            s"media $id: no audio fingerprint for modality $other")
         }
         MediaHash(id, hash)
       })
@@ -1227,8 +1265,24 @@ object Multimodal {
             val f = Mp3Codec.parse(id, bytes)
             MediaAuto(id, m, f.nFrames.toLong, f.durationMs.toDouble)
           case m @ "audio/flac" =>
-            val f = FlacCodec.parse(id, bytes)
-            MediaAuto(id, m, f.totalSamples, f.durationMs.toDouble)
+            if (FlacAudio.hasFrames(id, bytes)) {
+              // REAL frame decode (CRC+MD5-verified): n_units =
+              // per-channel samples, mean_val = mean |amplitude| —
+              // the WAV parse shape, so one recording probes the
+              // same from either container
+              val pcm = FlacAudio.decode(id, bytes)
+              var sum = 0L
+              var i = 0
+              while (i < pcm.samples.length) {
+                sum += math.abs(pcm.samples(i).toLong); i += 1
+              }
+              MediaAuto(id, m, pcm.samples.length.toLong / pcm.channels,
+                if (pcm.samples.length == 0) 0.0
+                else sum.toDouble / pcm.samples.length)
+            } else { // STREAMINFO-only shell: header probe
+              val f = FlacCodec.parse(id, bytes)
+              MediaAuto(id, m, f.totalSamples, f.durationMs.toDouble)
+            }
           case m @ ("application/zip" | "application/x-tar" |
                     "application/warc") =>
             // archive probe: member/record count + mean payload byte
