@@ -97,6 +97,48 @@ object OperatorGates15 {
         .toDF("fixture", "sample_rate", "channels", "bps", "n_samples",
           "sum_samples")
         .orderBy(col("fixture"))
+    }),
+
+    // --- WHATWG charset sniff in the WARC chain (CharsetSniff): six
+    //     page shapes per doc — meta charset (quoted + unquoted),
+    //     http-equiv, a latin1 header label that must resolve to
+    //     windows-1252 (euro at 0x80), a BOM overriding a WRONG
+    //     header, an undeclared cp1252 fallback, and a commented-out
+    //     decoy meta — each round-tripped through a real WARC
+    //     response record; the oracle replays the expected charset
+    //     and the exact decoded text --------------------------------
+    "q_charset_sniff" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{CharsetSniff, WarcCodec}
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val k = (d % 6).toInt
+          val (bodyBytes, ct) = k match {
+            case 0 => (("<!-- <meta charset=\"koi8-r\"> -->" +
+              s"<meta charset=\"utf-8\"><p>naïve café №$d</p>")
+              .getBytes("UTF-8"), "text/html")
+            case 1 => (s"<p>euro €$d</p>".getBytes("windows-1252"),
+              "text/html; charset=iso-8859-1")
+            case 2 => (("<meta http-equiv=\"Content-Type\" " +
+              "content=\"text/html; charset=shift_jis\">" +
+              s"<p>テスト$d</p>").getBytes("Shift_JIS"), "text/html")
+            case 3 => (s"<meta charset=windows-1251><p>Привет$d</p>"
+              .getBytes("windows-1251"), "text/html")
+            case 4 => (Array(0xef, 0xbb, 0xbf).map(_.toByte) ++
+              s"<p>bom wins ☃$d</p>".getBytes("UTF-8"),
+              "text/html; charset=shift_jis")
+            case _ => (s"<p>fall™back$d</p>".getBytes("windows-1252"),
+              "text/html")
+          }
+          val warc = WarcCodec.writeResponsesWithContentType(
+            Seq((s"https://ex.com/$d", bodyBytes, ct)))
+          val rec = WarcCodec.parse(d, warc).head
+          val txt = new String(rec.payload,
+            CharsetSniff.javaCharset(rec.httpCharset)).stripPrefix("\uFEFF")
+          (d, rec.httpCharset, txt)
+        })
+        .toDF("doc_id", "charset", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -154,6 +196,20 @@ object OperatorGates15 {
         |  CAST(bps AS BIGINT) AS bps,
         |  CAST(nf AS BIGINT) AS n_samples,
         |  CAST(list_sum(pcm) AS BIGINT) AS sum_samples
-        |FROM s ORDER BY fixture""".stripMargin
+        |FROM s ORDER BY fixture""".stripMargin,
+
+    "q_charset_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+        |    WHEN 2 THEN 'shift_jis' WHEN 3 THEN 'windows-1251'
+        |    WHEN 4 THEN 'utf-8' ELSE 'windows-1252' END AS charset,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN '<!-- <meta charset="koi8-r"> --><meta charset="utf-8"><p>naïve café №' || doc_id || '</p>'
+        |    WHEN 1 THEN '<p>euro €' || doc_id || '</p>'
+        |    WHEN 2 THEN '<meta http-equiv="Content-Type" content="text/html; charset=shift_jis"><p>テスト' || doc_id || '</p>'
+        |    WHEN 3 THEN '<meta charset=windows-1251><p>Привет' || doc_id || '</p>'
+        |    WHEN 4 THEN '<p>bom wins ☃' || doc_id || '</p>'
+        |    ELSE '<p>fall™back' || doc_id || '</p>' END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

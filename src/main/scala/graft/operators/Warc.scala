@@ -178,15 +178,15 @@ object WarcCodec {
           if (parts.length < 2 || !parts(0).startsWith("HTTP/"))
             fail(id, s"response record at $pos: bad HTTP status line '$statusLine'")
           status = parts(1).toInt
-          // charset from the HTTP Content-Type header (real crawls are
-          // NOT all UTF-8; decoding latin-1 bytes as UTF-8 corrupts
-          // text silently). Unknown charsets fail loudly downstream.
+          // transport-layer charset label (resolved through the
+          // WHATWG sniff below, AFTER content-decoding — the meta
+          // prescan must see the logical body, not gzip bytes)
           val ctLine = httpHead.split("\r\n").drop(1)
             .find(_.toLowerCase.startsWith("content-type:"))
-          charset = ctLine.flatMap { l =>
-            val m = "(?i)charset=([A-Za-z0-9_.:-]+)".r.findFirstMatchIn(l)
-            m.map(_.group(1))
-          }.getOrElse("UTF-8")
+          val headerLabel = ctLine.flatMap { l =>
+            "(?i)charset=\"?([A-Za-z0-9_.:-]+)\"?".r
+              .findFirstMatchIn(l).map(_.group(1))
+          }
           payload = java.util.Arrays.copyOfRange(body, sEnd, body.length)
           // HTTP Content-Encoding: hand downstream the LOGICAL body
           // (modern crawls carry br; legacy gzip/deflate), never the
@@ -219,6 +219,10 @@ object WarcCodec {
             case Some(other) =>
               fail(id, s"record at $pos: Content-Encoding '$other' unsupported")
           }
+          // WHATWG encoding sniff on the logical body: BOM > header
+          // label > meta prescan > windows-1252 (real crawls are NOT
+          // all UTF-8, and the header is often absent or wrong)
+          charset = CharsetSniff.sniff(payload, headerLabel)
         }
         records += WarcRecord(warcType,
           headers.getOrElse("warc-target-uri", ""),
@@ -266,6 +270,33 @@ object WarcCodec {
     out.toByteArray
   }
 
+  /** Like [[writeResponses]] but with a per-page HTTP Content-Type
+    * header value (e.g. `text/html` with no charset parameter, or a
+    * deliberately wrong `text/html; charset=shift_jis`) — the fixture
+    * face of the WHATWG charset sniff: pages are (uri, body bytes,
+    * full Content-Type value).
+    */
+  def writeResponsesWithContentType(
+      pages: Seq[(String, Array[Byte], String)]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    pages.zipWithIndex.foreach { case ((uri, html, ct), i) =>
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+        s"Content-Length: ${html.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val body = http ++ html
+      val rec = (s"WARC/1.0\r\n" +
+        s"WARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:uuid:rec-$i>\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        body ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(rec, 0, rec.length)
+    }
+    out.toByteArray
+  }
+
   /** Like [[writeResponses]] but with per-page HTTP Content-Encoding:
     * pages are (uri, WIRE body, encoding token) — the caller encodes
     * (gzip via JDK, br via an external encoder); "identity" writes
@@ -306,14 +337,17 @@ object WarcCodec {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, c) =>
         parse(id, c).iterator.zipWithIndex.map { case (r, i) =>
-          val cs = try java.nio.charset.Charset.forName(r.httpCharset)
+          // httpCharset is a canonical WHATWG name for response
+          // records (CharsetSniff) and "UTF-8" for the rest
+          val cs = try CharsetSniff.javaCharset(r.httpCharset)
             catch {
               case _: Exception => throw new IllegalArgumentException(
                 s"media $id record $i: unsupported charset '${r.httpCharset}'")
             }
+          // a leading BOM is encoding metadata, not content
+          val text = new String(r.payload, cs).stripPrefix("\uFEFF")
           WarcRow(id, i, r.warcType, r.targetUri, r.contentType,
-            r.contentLength, r.httpStatus, r.payload.length.toLong,
-            new String(r.payload, cs))
+            r.contentLength, r.httpStatus, r.payload.length.toLong, text)
         }
       })
   }
