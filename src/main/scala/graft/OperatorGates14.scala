@@ -477,7 +477,7 @@ object OperatorGates14 {
     "q_crossformat_textdedup" -> ((s, dir) => {
       import s.implicits._
       import graft.functions.Text
-      import graft.operators.{Multimodal, PdfText, PdfWriter}
+      import graft.operators.{EpubText, Multimodal, OfficeText, PdfText, PdfWriter}
       val media = t(s, dir, "documents").filter(col("doc_id") < 300)
         .select(col("doc_id"), normText(col("text")).as("t"))
         .as[(Long, String)]
@@ -489,8 +489,14 @@ object OperatorGates14 {
             val bytes = (id % 3) match {
               case 0 => leaderText.getBytes(
                 java.nio.charset.StandardCharsets.UTF_8)
-              case 1 => s"<html>$leaderText</html>".getBytes(
-                java.nio.charset.StandardCharsets.UTF_8)
+              case 1 =>
+                // alternate the HTML serialization with an EPUB book
+                // carrying the same text (extraction is lossless, so
+                // the fingerprint — and the oracle — are unchanged)
+                if (g % 2 == 1)
+                  EpubText.write(s"Book $g", Seq((s"c$g", Seq(leaderText))))
+                else s"<html>$leaderText</html>".getBytes(
+                  java.nio.charset.StandardCharsets.UTF_8)
               case _ => PdfWriter.write(id,
                 PdfWriter.layout(leaderText, perLine = 8, linesPerPage = 6),
                 (g % 3).toInt)
@@ -503,6 +509,8 @@ object OperatorGates14 {
           Multimodal.sniffModality(c) match {
             case "application/pdf" =>
               (id, PdfText.extract(id, c).text.replace('\n', ' '))
+            case "application/zip" =>
+              (id, OfficeText.extract(id, c).text.replace('\n', ' '))
             case _ => (id,
               new String(c, java.nio.charset.StandardCharsets.UTF_8))
           }

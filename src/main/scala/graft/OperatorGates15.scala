@@ -139,6 +139,30 @@ object OperatorGates15 {
         })
         .toDF("doc_id", "charset", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // --- EPUB extraction (EpubText): per-doc books with 1-3 chapters
+    //     of formula paragraphs, written through the OCF/OPF fixture
+    //     writer and extracted back through container.xml → OPF →
+    //     spine-ordered XHTML; the oracle replays title, spine and
+    //     the exact newline-joined text -----------------------------
+    "q_epub_extract" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.EpubText
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val nCh = (1 + d % 3).toInt
+          val chapters = (0 until nCh).map { c =>
+            (s"Chapter $c", Seq(
+              s"c${c}p0 w${(d + 11 * c) % 50}",
+              s"c${c}p1 w${(d + 11 * c + 7) % 50}"))
+          }
+          val book = EpubText.write(s"Book $d", chapters)
+          val doc = EpubText.extract(d, book)
+          (d, doc.title, doc.nSpine.toLong, doc.nParagraphs.toLong, doc.text)
+        })
+        .toDF("doc_id", "title", "n_spine", "n_paragraphs", "text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -210,6 +234,21 @@ object OperatorGates15 {
         |    WHEN 3 THEN '<meta charset=windows-1251><p>Привет' || doc_id || '</p>'
         |    WHEN 4 THEN '<p>bom wins ☃' || doc_id || '</p>'
         |    ELSE '<p>fall™back' || doc_id || '</p>' END AS text
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_epub_extract" ->
+      """WITH d AS (
+        |  SELECT doc_id, 1 + doc_id % 3 AS n_ch FROM documents),
+        |ch AS (
+        |  SELECT doc_id, n_ch,
+        |    array_to_string(list_transform(range(0, n_ch), c ->
+        |      'c' || c || 'p0 w' || ((doc_id + 11 * c) % 50) || chr(10) ||
+        |      'c' || c || 'p1 w' || ((doc_id + 11 * c + 7) % 50)),
+        |      chr(10)) AS text
+        |  FROM d)
+        |SELECT doc_id, 'Book ' || doc_id AS title,
+        |  CAST(n_ch AS BIGINT) AS n_spine,
+        |  CAST(n_ch * 2 AS BIGINT) AS n_paragraphs, text
+        |FROM ch ORDER BY doc_id""".stripMargin
   )
 }

@@ -26,7 +26,9 @@ object OfficeText {
 
   final case class OfficeDoc(kind: String, text: String, nParagraphs: Int)
 
-  /** Classify a ZIP payload: "docx" | "odt" | "zip" (plain archive). */
+  /** Classify a ZIP payload: "docx" | "odt" | "epub" | "zip" (plain
+    * archive).
+    */
   def classifyZip(id: Long, bytes: Array[Byte]): String = {
     val entries = ZipCodec.parse(id, bytes)
     val names = entries.iterator.map(_._1).toSet
@@ -35,7 +37,8 @@ object OfficeText {
       case Some((_, m))
         if new String(m, "UTF-8").trim ==
           "application/vnd.oasis.opendocument.text" => "odt"
-      case _ => "zip"
+      case _ =>
+        if (EpubText.isEpubZip(entries)) "epub" else "zip"
     }
   }
 
@@ -44,6 +47,9 @@ object OfficeText {
     classifyZip(id, bytes) match {
       case "docx" => extractDocx(id, bytes)
       case "odt" => extractOdt(id, bytes)
+      case "epub" =>
+        val e = EpubText.extract(id, bytes)
+        OfficeDoc("epub", e.text, e.nParagraphs)
       case other => throw new IllegalArgumentException(
         s"media $id: ZIP is not an office document (classified '$other')")
     }
@@ -51,7 +57,7 @@ object OfficeText {
   // ------------------------------------------------------------------
   // hardened StAX
   // ------------------------------------------------------------------
-  private def xmlReader(id: Long, xml: Array[Byte]): XMLStreamReader = {
+  private[operators] def xmlReader(id: Long, xml: Array[Byte]): XMLStreamReader = {
     val f = XMLInputFactory.newInstance()
     // XXE hardening: no DTDs, no external entities, no coalescing
     // surprises — office XML never legitimately needs either
@@ -67,7 +73,7 @@ object OfficeText {
     }
   }
 
-  private def entry(id: Long, bytes: Array[Byte], name: String): Array[Byte] =
+  private[operators] def entry(id: Long, bytes: Array[Byte], name: String): Array[Byte] =
     ZipCodec.parse(id, bytes).collectFirst { case (n, d) if n == name => d }
       .getOrElse(throw new IllegalArgumentException(
         s"media $id: office container missing $name"))
@@ -199,7 +205,7 @@ object OfficeText {
   // ------------------------------------------------------------------
   // writers (fixture synthesis / office-as-sink)
   // ------------------------------------------------------------------
-  private def xmlEscape(s: String): String = {
+  private[operators] def xmlEscape(s: String): String = {
     val sb = new StringBuilder(s.length + 8)
     s.foreach {
       case '&' => sb.append("&amp;")
