@@ -163,6 +163,47 @@ object OperatorGates15 {
         })
         .toDF("doc_id", "title", "n_spine", "n_paragraphs", "text")
         .orderBy(col("doc_id"))
+    }),
+
+    // --- Iceberg v2 POSITION DELETES (merge-on-read, content=1): a
+    //     foreign engine's MERGE deletes rows by (data file, row
+    //     position) rather than by key; the plan is computed
+    //     distributedly from Spark's parquet _metadata columns, the
+    //     snapshot emitted with a position-delete file, and the
+    //     independent reader must purge exactly those rows — while a
+    //     LATER rewrite of shard 0 outranks the delete's sequence
+    //     number and un-masks it. Oracle replays both snapshots'
+    //     visibility rules from the source table -------------------
+    "q_iceberg_pos_deletes" -> ((s, dir) => {
+      import graft.sink.{IcebergMeta, ShardedTable}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_iceposdel").toString
+      val table = new ShardedTable(s"$tmp/t", "shard",
+        s.sparkContext.hadoopConfiguration)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(4)).cast("long").as("shard"))
+      val v1 = table.commit(docs, touched = Seq("0", "1", "2", "3"))
+      IcebergMeta.mirror(s, table, v1)
+      // snapshot 2: purge doc_id % 7 == 3 by POSITION — the rows'
+      // (file, pos) identities come from the current snapshot
+      val plan = IcebergMeta.planPositionDeletes(s, s"$tmp/t",
+        docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
+        joinCols = Seq("doc_id"))
+      IcebergMeta.mirrorPositionDeletes(s, table, plan)
+      // snapshot 3: shard 0 rewritten — its new files outrank the
+      // delete's sequence number, so the purge no longer masks them
+      val v2 = table.commit(docs.filter(col("shard") === 0),
+        touched = Seq("0"))
+      IcebergMeta.mirror(s, table, v2)
+      def agg(snap: Option[Long], label: Int) =
+        IcebergMeta.read(s, s"$tmp/t", snapshotId = snap)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+          .select(lit(label.toLong).as("snapshot"), col("shard"),
+            col("n"), col("sum_id"))
+      agg(Some(2L), 2).unionByName(agg(None, 3))
+        .orderBy(col("snapshot"), col("shard"))
     })
   )
 
@@ -249,6 +290,23 @@ object OperatorGates15 {
         |SELECT doc_id, 'Book ' || doc_id AS title,
         |  CAST(n_ch AS BIGINT) AS n_spine,
         |  CAST(n_ch * 2 AS BIGINT) AS n_paragraphs, text
-        |FROM ch ORDER BY doc_id""".stripMargin
+        |FROM ch ORDER BY doc_id""".stripMargin,
+
+    "q_iceberg_pos_deletes" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS shard FROM documents
+        |  WHERE doc_id < 300),
+        |s2 AS (
+        |  SELECT CAST(2 AS BIGINT) AS snapshot, shard,
+        |    count(*) AS n, sum(doc_id) AS sum_id
+        |  FROM d WHERE doc_id % 7 <> 3 GROUP BY shard),
+        |s3 AS (
+        |  SELECT CAST(3 AS BIGINT) AS snapshot, shard,
+        |    count(*) AS n, sum(doc_id) AS sum_id
+        |  FROM d WHERE shard = 0 OR doc_id % 7 <> 3 GROUP BY shard)
+        |SELECT snapshot, shard, CAST(n AS BIGINT) AS n,
+        |  CAST(sum_id AS BIGINT) AS sum_id
+        |FROM (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+        |ORDER BY snapshot, shard""".stripMargin
   )
 }

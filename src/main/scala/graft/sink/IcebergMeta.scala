@@ -479,6 +479,134 @@ object IcebergMeta {
       listPath.toString, nativeVersion, operation = "delete")
   }
 
+  /** Data-file paths of a table's CURRENT snapshot (content-0
+    * manifests, live entries) — the inputs [[planPositionDeletes]]
+    * scans.
+    */
+  private def currentDataFilePaths(
+      fs: org.apache.hadoop.fs.FileSystem, metaDir: Path): Seq[String] = {
+    val v = currentMetaVersion(fs, metaDir)
+    require(v > 0, s"no Iceberg metadata under $metaDir")
+    readManifestList(fs, metadataJsonAt(fs, metaDir, v), StringType)
+      .filter(_.content == 0)
+      .flatMap { e =>
+        val in = fs.open(new Path(e.manifestPath))
+        val stream = new DataFileStream(in,
+          new GenericDatumReader[GenericRecord]())
+        try {
+          val out = Seq.newBuilder[String]
+          while (stream.hasNext) {
+            val entry = stream.next()
+            if (entry.get("status").asInstanceOf[Int] != 2)
+              out += entry.get("data_file").asInstanceOf[GenericRecord]
+                .get("file_path").toString
+          }
+          out.result()
+        } finally stream.close()
+      }
+  }
+
+  /** (file_path, pos) rows for every CURRENT-snapshot data-file row
+    * matching `rows` on `joinCols` — computed distributedly with
+    * Spark's parquet `_metadata` columns (file path + row index), the
+    * exact identity a spec-v2 position delete records. Feed the
+    * result to [[mirrorPositionDeletes]].
+    */
+  def planPositionDeletes(spark: SparkSession, tableRoot: String,
+      rows: DataFrame, joinCols: Seq[String]): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val metaDir = new Path(s"$tableRoot/metadata")
+    val fs = metaDir.getFileSystem(conf)
+    val files = currentDataFilePaths(fs, metaDir)
+    require(files.nonEmpty, s"no data files under $tableRoot")
+    spark.read.parquet(files: _*)
+      .select(Seq(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos")) ++ joinCols.map(col): _*)
+      .join(rows.select(joinCols.map(col): _*).distinct(),
+        joinCols, "left_semi")
+      .select(col("file_path"), col("pos"))
+  }
+
+  /** Merge-on-read POSITION deletes (spec v2 data_file content=1):
+    * `posDeletes` rows of (file_path string, pos long) stop matching
+    * at that exact row of that exact data file in every data file
+    * with sequence number <= the delete's — the delete shape a
+    * foreign engine's MERGE/DELETE writes (and [[read]] must honor
+    * even though [[mirrorDeletes]] itself emits equality deletes).
+    * The delete file is plain parquet of (file_path, pos) on the
+    * unpartitioned spec, one file covering the whole table.
+    */
+  def mirrorPositionDeletes(spark: SparkSession, table: ShardedTable,
+      posDeletes: DataFrame): Unit = {
+    val conf = table.conf
+    val metaDir = new Path(s"${table.root}/metadata")
+    val fs = metaDir.getFileSystem(conf)
+    val prevN = currentMetaVersion(fs, metaDir)
+    require(prevN > 0,
+      s"no Iceberg snapshot under ${table.root} to apply deletes to")
+    val prevMd = M.readTree(readBytes(fs, metadataJsonAt(fs, metaDir, prevN)))
+    val nativeVersion =
+      prevMd.path("properties").path("graft.native-version").asLong(0L)
+    val snapshotId = prevN + 1
+    val seqNum = snapshotId
+
+    val schema = table.read(spark, nativeVersion).schema
+    val partType = schema(schema.fieldIndex(table.partCol)).dataType
+    require(posDeletes.columns.toSet == Set("file_path", "pos"),
+      s"position deletes need exactly (file_path, pos), got " +
+        posDeletes.columns.mkString(","))
+
+    val delDir = new Path(
+      s"${table.root}/data/pos-deletes-${java.util.UUID.randomUUID()}")
+    // spec ordering: sort by file then position
+    val projected = posDeletes.orderBy(col("file_path"), col("pos"))
+    projected.coalesce(1).write.parquet(delDir.toString)
+    val dfs = delDir.getFileSystem(conf)
+    val delFiles = dfs.listStatus(delDir)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .sortBy(_.getPath.getName)
+    val nRows = projected.count()
+
+    val mPath = new Path(metaDir,
+      s"${java.util.UUID.randomUUID()}-pos-deletes.avro")
+    val w = new DataFileWriter(
+      new GenericDatumWriter[GenericRecord](deleteEntrySchema))
+    w.setMeta("schema", schemaJson(schema))
+    w.setMeta("partition-spec", "[]")
+    w.setMeta("partition-spec-id", "1")
+    w.setMeta("format-version", "2")
+    w.setMeta("content", "deletes")
+    w.create(deleteEntrySchema, fs.create(mPath, true))
+    try delFiles.foreach { f =>
+      val e = new GenericData.Record(deleteEntrySchema)
+      e.put("status", 1)
+      e.put("snapshot_id", snapshotId)
+      val dfr = new GenericData.Record(
+        deleteEntrySchema.getField("data_file").schema())
+      dfr.put("content", 1) // POSITION_DELETES
+      dfr.put("file_path", f.getPath.toString)
+      dfr.put("file_format", "PARQUET")
+      dfr.put("partition", new GenericData.Record(
+        dfr.getSchema.getField("partition").schema()))
+      dfr.put("record_count", nRows)
+      dfr.put("file_size_in_bytes", f.getLen)
+      // equality_ids stays null: position deletes carry none
+      e.put("data_file", dfr)
+      w.append(e)
+    } finally w.close()
+    val mLen = fs.getFileStatus(mPath).getLen
+
+    val carried = readManifestList(fs,
+      metadataJsonAt(fs, metaDir, prevN), partType)
+    val delEntry = ListEntry(mPath.toString, mLen, 1, seqNum, seqNum,
+      snapshotId, delFiles.length, nRows, None)
+    val listPath = new Path(metaDir, f"snap-$snapshotId%d.avro")
+    writeManifestList(fs, listPath, partType,
+      (carried :+ delEntry).sortBy(e => (e.content, e.partitionValue)))
+    writeSnapshotMetadata(fs, metaDir, table, schema, snapshotId, seqNum,
+      listPath.toString, nativeVersion, operation = "delete")
+  }
+
   private def writeManifestList(fs: org.apache.hadoop.fs.FileSystem,
       listPath: Path, partType: DataType, entries: Seq[ListEntry]): Unit = {
     val lw = new DataFileWriter(
@@ -690,7 +818,8 @@ object IcebergMeta {
   final case class SnapshotInfo(snapshotId: Long, sequenceNumber: Long,
       manifestList: String)
 
-  private final case class FileRef(path: String, eqIds: Option[Seq[Int]],
+  private final case class FileRef(path: String, content: Int,
+      eqIds: Option[Seq[Int]],
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
 
   /** The snapshot log of an Iceberg table (current metadata.json). */
@@ -786,7 +915,8 @@ object IcebergMeta {
                   bb.duplicate().get(bytes)
                   r.get("key").asInstanceOf[Int] -> bytes
                 }.toMap).getOrElse(Map.empty)
-            out += FileRef(dfr.get("file_path").toString, eqIds,
+            out += FileRef(dfr.get("file_path").toString,
+              dfr.get("content").asInstanceOf[Int], eqIds,
               boundsMap("lower_bounds"), boundsMap("upper_bounds"))
           }
         }
@@ -830,22 +960,50 @@ object IcebergMeta {
         .filter(rangePredicate).map(_.path)))
       .filter(_._2.nonEmpty)
       .toMap
-    // (sequence, files, equality column names) per delete manifest
-    val deletes: Seq[(Long, Seq[String], Seq[String])] =
-      deleteEntries.map { e =>
-        val fl = filesOf(e.manifestPath)
-        val eqIds = fl.headOption.flatMap(_.eqIds).getOrElse(
+    // split each delete manifest's files by data_file content:
+    // equality deletes (content 2, carry equality_ids) vs position
+    // deletes (content 1, (file_path, pos) rows a foreign writer's
+    // MERGE produces — spec v2 readers must honor both)
+    val eqDeletes = Seq.newBuilder[(Long, Seq[String], Seq[String])]
+    val posDeletes = Seq.newBuilder[(Long, Seq[String])]
+    deleteEntries.foreach { e =>
+      val fl = filesOf(e.manifestPath)
+      val (pos, eq) = fl.partition(_.content == 1)
+      if (pos.nonEmpty) posDeletes += ((e.sequenceNumber, pos.map(_.path)))
+      if (eq.nonEmpty) {
+        val eqIds = eq.head.eqIds.getOrElse(
           throw new IllegalStateException(
-            s"delete manifest ${e.manifestPath} without equality_ids"))
-        (e.sequenceNumber, fl.map(_.path),
+            s"equality-delete manifest ${e.manifestPath} without equality_ids"))
+        eqDeletes += ((e.sequenceNumber, eq.map(_.path),
           eqIds.map(id => fieldById.getOrElse(id,
-            throw new IllegalStateException(s"unknown field id $id"))))
+            throw new IllegalStateException(s"unknown field id $id")))))
       }
+    }
+    val eqDels = eqDeletes.result()
+    val posDels = posDeletes.result()
     require(dataBySeq.nonEmpty, s"snapshot $wantSnap has no data files")
-    // per data sequence group: anti-join every delete with seq > s
+    // scheme-insensitive path form: manifests store file:/p, Spark's
+    // _metadata.file_path reports file:///p
+    def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      regexp_replace(c, "^file:/+", "/")
+    // per data sequence group: equality deletes apply STRICTLY newer
+    // (seq > s), position deletes at seq >= s (they name rows of
+    // files that already existed in their own snapshot) — spec v2
     dataBySeq.toSeq.sortBy(_._1).map { case (s, files) =>
-      var df = spark.read.parquet(files: _*)
-      deletes.filter(_._1 > s).foreach { case (_, delFiles, eqCols) =>
+      val posApplicable = posDels.filter(_._1 >= s)
+      var df =
+        if (posApplicable.isEmpty) spark.read.parquet(files: _*)
+        else {
+          val delDf = spark.read.parquet(posApplicable.flatMap(_._2): _*)
+            .select(normPath(col("file_path")).as("__gpath"),
+              col("pos").as("__gpos")).distinct()
+          spark.read.parquet(files: _*)
+            .withColumn("__gpath", normPath(col("_metadata.file_path")))
+            .withColumn("__gpos", col("_metadata.row_index"))
+            .join(broadcast(delDf), Seq("__gpath", "__gpos"), "left_anti")
+            .drop("__gpath", "__gpos")
+        }
+      eqDels.filter(_._1 > s).foreach { case (_, delFiles, eqCols) =>
         val delDf = spark.read.parquet(delFiles: _*)
           .select(eqCols.map(col): _*).distinct()
         df = df.join(broadcast(delDf), eqCols, "left_anti")

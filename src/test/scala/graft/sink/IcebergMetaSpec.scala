@@ -210,6 +210,35 @@ class IcebergMetaSpec extends graft.SparkSpec {
     assert(snaps.map(_.snapshotId) === Seq(1L, 2L, 3L))
   }
 
+  test("position deletes: by (file, pos), later commits outrank") {
+    import spark.implicits._
+    val (t, root) = fixture()
+    IcebergMeta.mirror(spark, t, t.commit(
+      df(Seq((0L, 1L, "a"), (0L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"))),
+      touched = Seq("0", "1")))
+    // plan (file, pos) for k in {2, 3} from the current snapshot
+    val plan = IcebergMeta.planPositionDeletes(spark, root,
+      Seq(2L, 3L).toDF("k"), joinCols = Seq("k"))
+    assert(plan.count() == 2)
+    IcebergMeta.mirrorPositionDeletes(spark, t, plan)
+    def ks(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks(IcebergMeta.read(spark, root)) === Seq(1L, 4L))
+    // time travel BEFORE the delete still sees everything
+    assert(ks(IcebergMeta.read(spark, root, snapshotId = Some(1L))) ===
+      Seq(1L, 2L, 3L, 4L))
+    // a LATER data commit carrying the same key is NOT affected —
+    // its files outrank the delete's sequence number (and the
+    // position identity names the OLD file anyway)
+    IcebergMeta.mirror(spark, t, t.commit(
+      df(Seq((2L, 2L, "resurrected"))), touched = Seq("2")))
+    assert(ks(IcebergMeta.read(spark, root)) === Seq(1L, 2L, 4L))
+    // mixed kinds: an equality delete on top of the position delete
+    IcebergMeta.mirrorDeletes(spark, t, Seq(4L).toDF("k"),
+      equalityCols = Seq("k"))
+    assert(ks(IcebergMeta.read(spark, root)) === Seq(1L, 2L))
+  }
+
   test("delete manifest layout: content codes, spec-id 1, equality_ids") {
     import spark.implicits._
     val (t, root) = fixture()
