@@ -204,6 +204,30 @@ object OperatorGates15 {
             col("n"), col("sum_id"))
       agg(Some(2L), 2).unionByName(agg(None, 3))
         .orderBy(col("snapshot"), col("shard"))
+    }),
+
+    // --- Avro logical DECIMAL round-trip (AvroFiles): money columns
+    //     cast to DECIMAL, written as bytes+decimal(p,s) logical
+    //     type, read back as DecimalType and aggregated with EXACT
+    //     decimal arithmetic (cast DOUBLE only at the very end, the
+    //     oracle-parity discipline every money gate uses) ------------
+    "q_decimal_roundtrip" -> ((s, dir) => {
+      import graft.sources.AvroFiles
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_decimal").toString
+      val li = t(s, dir, "lineitem").select(
+        col("l_orderkey").cast("long").as("k"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price"),
+        col("l_discount").cast("decimal(4,2)").as("disc"))
+      AvroFiles.write(li, s"$tmp/a")
+      val back = AvroFiles.read(s, s"$tmp/a")
+      back.groupBy(pmod(col("k"), lit(7)).as("g"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("sum_price"),
+          sum(col("price") *
+            (lit(1).cast("decimal(4,2)") - col("disc")))
+            .cast("double").as("sum_disc_price"))
+        .orderBy(col("g"))
     })
   )
 
@@ -307,6 +331,15 @@ object OperatorGates15 {
         |SELECT snapshot, shard, CAST(n AS BIGINT) AS n,
         |  CAST(sum_id AS BIGINT) AS sum_id
         |FROM (SELECT * FROM s2 UNION ALL SELECT * FROM s3)
-        |ORDER BY snapshot, shard""".stripMargin
+        |ORDER BY snapshot, shard""".stripMargin,
+
+    "q_decimal_roundtrip" ->
+      """SELECT l_orderkey % 7 AS g, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |    AS DOUBLE) AS sum_disc_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -41,6 +41,11 @@ object JsonSchema {
   case object SBoolean extends SType
   case object SNull extends SType
   case object SEnum extends SType
+  /** Avro logical decimal (bytes + precision/scale) — the reference
+    * passes these through opaquely (SURVEY §1.2); Spark has an exact
+    * DecimalType, so money columns stay money.
+    */
+  final case class SDecimal(precision: Int, scale: Int) extends SType
   final case class SArray(items: SType) extends SType
   final case class SMap(values: SType) extends SType
   final case class SRecord(name: String, fields: Seq[(String, SType)]) extends SType
@@ -58,6 +63,7 @@ object JsonSchema {
     case SFloat => FloatType
     case SDouble => DoubleType
     case SBoolean => BooleanType
+    case SDecimal(p, sc) => DecimalType(p, sc)
     case SNull => NullType
     case SArray(items) => ArrayType(toSpark(items, seen))
     case SMap(values) => MapType(StringType, toSpark(values, seen))

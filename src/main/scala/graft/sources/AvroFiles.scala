@@ -49,7 +49,13 @@ object AvroFiles {
     case Type.FLOAT => FloatType
     case Type.DOUBLE => DoubleType
     case Type.STRING | Type.ENUM => StringType
-    case Type.BYTES | Type.FIXED => BinaryType
+    case Type.BYTES | Type.FIXED => s.getLogicalType match {
+      // Avro logical decimal (bytes/fixed + precision/scale) maps to
+      // DecimalType — money columns from JDBC ingest stay exact
+      // instead of passing through as opaque binary
+      case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+      case _ => BinaryType
+    }
     case Type.NULL => NullType
     case Type.ARRAY => ArrayType(sparkType(s.getElementType))
     case Type.MAP => MapType(StringType, sparkType(s.getValueType))
@@ -85,6 +91,9 @@ object AvroFiles {
       case FloatType => Schema.create(Type.FLOAT)
       case DoubleType => Schema.create(Type.DOUBLE)
       case StringType => Schema.create(Type.STRING)
+      case d: DecimalType =>
+        LogicalTypes.decimal(d.precision, d.scale)
+          .addToSchema(Schema.create(Type.BYTES))
       case BinaryType => Schema.create(Type.BYTES)
       case NullType => Schema.create(Type.NULL)
       case ArrayType(et, containsNull) =>
@@ -116,6 +125,17 @@ object AvroFiles {
     val sch = nonNullBranch(s)
     sch.getType match {
       case Type.STRING | Type.ENUM => v.toString
+      case (Type.BYTES | Type.FIXED)
+        if sch.getLogicalType.isInstanceOf[LogicalTypes.Decimal] =>
+        // unscaled two's-complement big-endian bytes, per the spec
+        val scale = sch.getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale
+        val bytes = v match {
+          case b: ByteBuffer =>
+            val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
+          case f: GenericData.Fixed => f.bytes().clone()
+          case a: Array[Byte] => a
+        }
+        new java.math.BigDecimal(new java.math.BigInteger(bytes), scale)
       case Type.BYTES => v match {
         case b: ByteBuffer =>
           val out = new Array[Byte](b.remaining()); b.duplicate().get(out); out
@@ -161,6 +181,11 @@ object AvroFiles {
     if (v == null) return null
     val sch = nonNullBranch(s)
     sch.getType match {
+      case Type.BYTES
+        if sch.getLogicalType.isInstanceOf[LogicalTypes.Decimal] =>
+        val scale = sch.getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale
+        val bd = v.asInstanceOf[java.math.BigDecimal].setScale(scale)
+        ByteBuffer.wrap(bd.unscaledValue().toByteArray)
       case Type.BYTES => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
       case Type.INT if sch.getLogicalType.isInstanceOf[LogicalTypes.Date] =>
         v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt

@@ -105,6 +105,36 @@ class AvroSpec extends SparkSpec {
     assert(round("i").nullable && !round("l").nullable)
   }
 
+  test("logical decimal: schema matrix + container round-trip exact") {
+    val st = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("money", DecimalType(18, 2), nullable = false),
+      StructField("rate", DecimalType(4, 3), nullable = true)))
+    // schema: bytes + decimal(p,s) both ways
+    val avro = AvroFiles.avroSchema(st)
+    val round = AvroFiles.sparkType(avro).asInstanceOf[StructType]
+    assert(round("money").dataType == DecimalType(18, 2))
+    assert(round("rate").dataType == DecimalType(4, 3))
+    val moneySchema = avro.getField("money").schema()
+    assert(moneySchema.getType == org.apache.avro.Schema.Type.BYTES &&
+      moneySchema.getLogicalType.getName == "decimal")
+    // values: negative, zero, scale-extreme — all byte-exact
+    val dir = tmpDir("avrodec")
+    val df = Seq(
+      (1L, BigDecimal("12345678901234.56"), Some(BigDecimal("0.125"))),
+      (2L, BigDecimal("-0.01"), None),
+      (3L, BigDecimal("0.00"), Some(BigDecimal("-1.999"))))
+      .toDF("k", "money", "rate")
+      .select(col("k"), col("money").cast("decimal(18,2)").as("money"),
+        col("rate").cast("decimal(4,3)").as("rate"))
+    AvroFiles.write(df, dir)
+    val back = AvroFiles.read(spark, dir).orderBy("k").collect()
+    assert(back(0).getDecimal(1) == new java.math.BigDecimal("12345678901234.56"))
+    assert(back(1).getDecimal(1) == new java.math.BigDecimal("-0.01"))
+    assert(back(1).isNullAt(2))
+    assert(back(2).getDecimal(2) == new java.math.BigDecimal("-1.999"))
+  }
+
   test("binary-datum envelope decode (BytesToAvroConverter semantics)") {
     val schema = AvroFiles.avroSchema(StructType(Seq(
       StructField("k", LongType, nullable = false),
