@@ -228,6 +228,72 @@ object OperatorGates15 {
             (lit(1).cast("decimal(4,2)") - col("disc")))
             .cast("double").as("sum_disc_price"))
         .orderBy(col("g"))
+    }),
+
+    // --- incremental CDX-driven crawl consumption (job.type=cdxfetch):
+    //     a mini-crawl of member-per-record .warc.gz files + a CDX
+    //     index built from the writer's real member offsets; epoch 1
+    //     ingests half the index, epoch 2 the rest — mostly duplicate
+    //     digests the sharded ledger must skip WITHOUT refetching,
+    //     plus genuinely new content range-read from only the needed
+    //     byte ranges; a third run is a watermark no-op. Oracle =
+    //     full recompute of the digest ledger ------------------------
+    "q_cdxfetch_job" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.WarcCodec
+      import graft.runner.JobConfig
+      val tmp = java.nio.file.Files.createTempDirectory("q_cdxfetch").toString
+      val ds = t(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") < 240).as[Long].collect().sorted
+      def ck(d: Long): Long =
+        if (d >= 120 && d % 3 == 0) 40 + d % 40 else d % 40
+      def payload(d: Long): String = {
+        val c = ck(d)
+        s"<html><p>page c$c body w${c * 7 % 50}</p></html>"
+      }
+      val warcDir = s"$tmp/warc"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(warcDir))
+      val rows = (0 until 4).flatMap { f =>
+        val members = ds.filter(_ % 4 == f).toSeq
+        val pages = members.map(d =>
+          (s"https://site$d.example/p", payload(d).getBytes("UTF-8")))
+        val (bytes, idx) = WarcCodec.writeResponsesIndexed(pages)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$warcDir/crawl-$f.warc.gz"), bytes)
+        members.zip(idx).zip(pages).map {
+          case ((d, (uri, off, len)), (_, pl)) =>
+            val digest = java.security.MessageDigest.getInstance("MD5")
+              .digest(pl).map(b => f"${b & 0xff}%02x").mkString
+            (uri, digest, s"crawl-$f.warc.gz", off, len, d)
+        }
+      }
+      val cdx = rows
+        .toDF("url", "digest", "filename", "offset", "length", "seq")
+      val props = JobConfig.parse(
+        s"""job.type=cdxfetch
+           |job.name=cdxfetch_gate
+           |source.path=$tmp/src
+           |cdx.warcDir=$warcDir
+           |cdx.maxGap=512
+           |cdx.shards=8
+           |sink.output=$tmp/ledger
+           |state.dir=$tmp/wm
+           |""".stripMargin)
+      cdx.filter(col("seq") < 120).write.mode("append").parquet(s"$tmp/src")
+      val r1 = JobConfig.runAny(s, props)
+      require(r1("published") == "true", s"epoch 1 failed: $r1")
+      cdx.filter(col("seq") >= 120).write.mode("append").parquet(s"$tmp/src")
+      val r2 = JobConfig.runAny(s, props)
+      require(r2("published") == "true" && r2("highWatermark") == "239",
+        s"epoch 2 failed: $r2")
+      val r3 = JobConfig.runAny(s, props)
+      require(r3("published") == "false", s"empty epoch must be a no-op: $r3")
+      new graft.sink.ShardedTable(s"$tmp/ledger", "shard",
+          s.sparkContext.hadoopConfiguration)
+        .readCurrent(s)
+        .select(col("digest"), col("url"), col("seq"), col("n_chars"))
+        .orderBy(col("digest"))
     })
   )
 
@@ -340,6 +406,26 @@ object OperatorGates15 {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |    (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
         |    AS DOUBLE) AS sum_disc_price
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cdxfetch_job" ->
+      """WITH d AS (
+        |  SELECT doc_id AS d FROM documents WHERE doc_id < 240),
+        |c AS (
+        |  SELECT d, CASE WHEN d >= 120 AND d % 3 = 0
+        |    THEN 40 + d % 40 ELSE d % 40 END AS ck FROM d),
+        |p AS (
+        |  SELECT d, ck,
+        |    '<html><p>page c' || ck || ' body w' || (ck * 7 % 50) ||
+        |      '</p></html>' AS payload
+        |  FROM c),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY ck ORDER BY d) AS rn
+        |  FROM p)
+        |SELECT md5(payload) AS digest,
+        |  'https://site' || d || '.example/p' AS url,
+        |  CAST(d AS BIGINT) AS seq,
+        |  CAST(length(payload) AS BIGINT) AS n_chars
+        |FROM w WHERE rn = 1 ORDER BY digest""".stripMargin
   )
 }

@@ -97,10 +97,18 @@ object CdxIndex {
   def planFetch(index: DataFrame, wanted: DataFrame, urlCol: String,
       maxGap: Long = 4096): DataFrame = {
     val keys = wanted.select(surt(col(urlCol)).as("urlkey")).distinct()
-    val hits = index.join(keys, "urlkey")
-      .select(col("filename"), col("offset"), col("length"))
+    coalesceRanges(index.join(keys, "urlkey")
+      .select(col("filename"), col("offset"), col("length")), maxGap)
+  }
+
+  /** The range-coalescing core of [[planFetch]]: (filename, offset,
+    * length) hit rows → per-file gaps-and-islands byte ranges, merged
+    * when the gap to the previous record end is <= `maxGap`.
+    */
+  def coalesceRanges(hits: DataFrame, maxGap: Long): DataFrame = {
     val w = Window.partitionBy(col("filename")).orderBy(col("offset"))
     val withPrev = hits
+      .select(col("filename"), col("offset"), col("length"))
       .withColumn("prev_end", max(col("offset") + col("length")).over(
         w.rowsBetween(Window.unboundedPreceding, -1)))
     val flagged = withPrev.withColumn("new_island",
@@ -115,6 +123,47 @@ object CdxIndex {
       .select(col("filename"), col("range_start"), col("range_end"),
         (col("range_end") - col("range_start")).as("range_bytes"),
         col("n_records"))
+  }
+
+  /** Execute a fetch plan against a store of member-per-record
+    * .warc.gz files: every plan row becomes ONE bounded seek-read of
+    * `[range_start, range_end)` — never a whole-file read, the
+    * property that makes a 100-TB crawl consumable — and the slice
+    * (whole gzip members by construction) decodes through
+    * [[WarcCodec.parse]]. Returns one row per contained response
+    * record with the charset-sniffed payload text and its payload
+    * MD5 (the digest-join key for synthetic indexes). Distributed:
+    * one task per range; executors open the filesystem themselves.
+    */
+  def fetchRanges(spark: org.apache.spark.sql.SparkSession, warcDir: String,
+      plan: DataFrame): DataFrame = {
+    import spark.implicits._
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    plan.select(col("filename"), col("range_start").cast("long"),
+        col("range_end").cast("long"))
+      .as[(String, Long, Long)]
+      .mapPartitions(_.flatMap { case (fname, start, end) =>
+        require(end > start, s"empty range [$start,$end) for $fname")
+        val path = new org.apache.hadoop.fs.Path(s"$warcDir/$fname")
+        val fs = path.getFileSystem(serConf.value)
+        val len = (end - start).toInt
+        val buf = new Array[Byte](len)
+        val in = fs.open(path)
+        try { in.seek(start); in.readFully(buf, 0, len) } finally in.close()
+        WarcCodec.parse(start, buf).iterator
+          .filter(_.warcType == "response")
+          .map { r =>
+            val cs = CharsetSniff.javaCharset(r.httpCharset)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val digest = md.digest(r.payload)
+              .map(b => f"${b & 0xff}%02x").mkString
+            (fname, r.targetUri, r.httpStatus, digest,
+              new String(r.payload, cs).stripPrefix("\uFEFF"))
+          }
+      })
+      .toDF("filename", "target_uri", "http_status", "payload_md5",
+        "payload_text")
   }
 
   /** Keep ONE index record per content digest before planning — the

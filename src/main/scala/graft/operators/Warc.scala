@@ -270,6 +270,39 @@ object WarcCodec {
     out.toByteArray
   }
 
+  /** [[writeResponses]] in the Common Crawl layout (one gzip member
+    * per record) that ALSO returns each record's (uri, member offset,
+    * member length) — exactly what a CDX index stores, so fixtures
+    * can build a faithful index over their own WARC bytes.
+    */
+  def writeResponsesIndexed(pages: Seq[(String, Array[Byte])])
+      : (Array[Byte], Seq[(String, Long, Long)]) = {
+    val out = new java.io.ByteArrayOutputStream()
+    val index = Seq.newBuilder[(String, Long, Long)]
+    pages.zipWithIndex.foreach { case ((uri, html), i) =>
+      val start = out.size().toLong
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+        s"Content-Length: ${html.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val body = http ++ html
+      val rec = (s"WARC/1.0\r\n" +
+        s"WARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:uuid:rec-$i>\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+        body ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val gz = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(gz)
+      g.write(rec)
+      g.close()
+      out.write(gz.toByteArray, 0, gz.size())
+      index += ((uri, start, out.size().toLong - start))
+    }
+    (out.toByteArray, index.result())
+  }
+
   /** Like [[writeResponses]] but with a per-page HTTP Content-Type
     * header value (e.g. `text/html` with no charset parameter, or a
     * deliberately wrong `text/html; charset=shift_jis`) — the fixture

@@ -876,6 +876,68 @@ object JobConfig {
               touched)
         }
 
+      case "cdxfetch" =>
+        // incremental Common-Crawl consumption: the CDX delta above
+        // the published watermark dedups by content digest, anti-joins
+        // the digest-sharded ledger (touched shards only — never the
+        // whole table), coalesces byte ranges (CdxIndex.planFetch's
+        // core) and RANGE-READS only those WARC segments; the fetched
+        // documents merge into the ledger. An epoch's IO is
+        // O(new content), not O(crawl) — the end-to-end shape of
+        // incremental crawl consumption. Keys:
+        //   source.path  parquet CDX records (urlkey ts url digest
+        //                filename offset length + cdx.seq)
+        //   cdx.warcDir  directory holding the .warc.gz files
+        //   cdx.maxGap   range coalescing gap (default 4096)
+        //   cdx.shards   digest ledger shards (default 32)
+        import graft.operators.CdxIndex
+        val warcDir = req(p, "cdx.warcDir")
+        val maxGap = opt(p, "cdx.maxGap").map(_.toLong).getOrElse(4096L)
+        val nShards = opt(p, "cdx.shards").map(_.toInt).getOrElse(32)
+        val cdxSeqCol = opt(p, "cdx.seq").getOrElse("seq")
+        incrementalShardedPublish(spark, p, kind = "cdxfetch", cdxSeqCol,
+          partCol = "shard") { (table, hasCurrent, delta) =>
+            val deduped = CdxIndex.dedupByDigest(delta)
+              .withColumn("shard", pmod(xxhash64(col("digest")), lit(nShards)))
+            val candidates = deduped.select("shard").distinct()
+              .collect().map(_.getLong(0).toString).toSeq // <= nShards values
+            val fresh0 =
+              if (!hasCurrent) deduped
+              else deduped.join(
+                table.readPartitions(spark, candidates)
+                  .select("digest").distinct(),
+                Seq("digest"), "left_anti")
+            // deterministic one-capture-per-url winner (a URL may
+            // carry several digests across recrawls in one delta)
+            val urlWin = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("url"))
+              .orderBy(col("filename"), col("offset"))
+            val fresh = fresh0
+              .withColumn("_rn", row_number().over(urlWin))
+              .filter(col("_rn") === 1).drop("_rn")
+            val touched = fresh.select("shard").distinct()
+              .collect().map(_.getLong(0).toString).toSeq
+            val plan = CdxIndex.coalesceRanges(
+              fresh.select("filename", "offset", "length"), maxGap)
+            val fetched = CdxIndex.fetchRanges(spark, warcDir, plan)
+            // ranges cover skipped neighbors too: the url join keeps
+            // exactly the fresh winners
+            val docs = fresh
+              .select(col("url"), col("digest"), col("shard"),
+                col(cdxSeqCol).cast("long").as("seq"))
+              .join(fetched.select(col("target_uri").as("url"),
+                col("payload_text").as("text")), Seq("url"))
+              .select(col("url"), col("digest"), col("seq"),
+                length(col("text")).cast("long").as("n_chars"),
+                col("text"), col("shard"))
+            val merged =
+              if (!hasCurrent) docs
+              else table.readPartitions(spark, touched)
+                .select("url", "digest", "seq", "n_chars", "text", "shard")
+                .unionByName(docs)
+            (merged, touched)
+        }
+
       case "dag" =>
         // multi-tenant scheduled dag-of-jobs: every task points at a
         // properties job file; DagScheduler decides order + admission

@@ -101,6 +101,32 @@ class CdxIndexSpec extends graft.SparkSpec {
     assert(got == Seq("k2", "k4"))
   }
 
+  test("fetchRanges decodes exactly the records its ranges cover") {
+    import spark.implicits._
+    val pages = (0 until 10).map(i =>
+      (s"https://ex.com/p$i", s"<html>body $i</html>".getBytes("UTF-8")))
+    val (bytes, idx) = WarcCodec.writeResponsesIndexed(pages)
+    val dir = tmpDir("cdxfetch")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/crawl-0.warc.gz"), bytes)
+    // one range over members 3..5 only (no gap coalescing needed)
+    val (o3, _) = (idx(3)._2, idx(3)._3)
+    val end5 = idx(5)._2 + idx(5)._3
+    val plan = Seq(("crawl-0.warc.gz", o3, end5))
+      .toDF("filename", "range_start", "range_end")
+    val got = CdxIndex.fetchRanges(spark, dir, plan)
+      .orderBy("target_uri").collect()
+    assert(got.map(_.getAs[String]("target_uri")).toSeq ==
+      Seq("https://ex.com/p3", "https://ex.com/p4", "https://ex.com/p5"))
+    assert(got.forall(_.getAs[Int]("http_status") == 200))
+    assert(got.head.getAs[String]("payload_text") == "<html>body 3</html>")
+    // the digest column really is the payload md5
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("<html>body 3</html>".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(got.head.getAs[String]("payload_md5") == md)
+  }
+
   test("plan is partitioning-invariant") {
     import spark.implicits._
     val idx = (0 until 200).map { i =>
