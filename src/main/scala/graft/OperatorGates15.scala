@@ -294,6 +294,83 @@ object OperatorGates15 {
         .readCurrent(s)
         .select(col("digest"), col("url"), col("seq"), col("n_chars"))
         .orderBy(col("digest"))
+    }),
+
+    // --- ID3v2 metadata + Xing VBR headers (Id3, Mp3Codec.vbrInfo):
+    //     per-doc MP3s with a real tag (v2.3/v2.4 x all four text
+    //     encodings, COMM + TXXX structure) in front of a VBR frame
+    //     stream, every third file without a Xing header (duration
+    //     falls back to the full frame walk). Oracle replays the tag
+    //     strings and the exact integer duration arithmetic ---------
+    "q_id3_extract" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Id3, Mp3Codec}
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val k = (d % 4).toInt
+          val (v24, enc) = k match {
+            case 0 => (false, 0)
+            case 1 => (false, 1)
+            case 2 => (true, 3)
+            case _ => (true, 2)
+          }
+          val title = if (k == 0) s"Tîtle æ$d" else s"Tïtle №$d"
+          val artist = if (k == 0) s"Ärtist $d" else s"Артист $d"
+          val frames = Seq(
+            "TIT2" -> title, "TPE1" -> artist,
+            "TALB" -> s"Album ${d % 9}",
+            (if (v24) "TDRC" else "TYER") -> (1990 + d % 30).toString,
+            "COMM" -> s"eng/note:Comment ©$d",
+            "TXXX" -> s"origin:crawl-${d % 5}")
+          val tag = Id3.synthesize(frames, v24, enc)
+          val withXing = d % 3 != 1
+          val n = (3 + d % 4).toInt
+          val brIdxs = (0 until n).map(i => 1 + ((d + i) % 14).toInt)
+          val mp3 = Mp3Codec.synthesizeVbr(brIdxs, (d % 3).toInt,
+            mpeg1 = d % 2 == 0, withXing = withXing, id3 = tag)
+          val parsed = Id3.parse(d, mp3).get
+          val info = Mp3Codec.parse(d, mp3)
+          val duration = Mp3Codec.vbrInfo(d, mp3)
+            .map(_.durationMs).getOrElse(info.durationMs)
+          (d, parsed.version,
+            parsed.first("TIT2").get, parsed.first("TPE1").get,
+            parsed.first("TALB").get,
+            parsed.first("TDRC").orElse(parsed.first("TYER")).get,
+            parsed.first("COMM").get, parsed.first("TXXX").get,
+            info.nFrames.toLong, duration)
+        })
+        .toDF("doc_id", "version", "title", "artist", "album", "yr",
+          "comm", "txxx", "n_frames", "duration_ms")
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- subtitle extraction (Subtitles): per-doc SRT or WebVTT
+    //     transcripts (hourless timestamps, cue settings, bold
+    //     markup to strip, NOTE blocks) parsed to cues; the oracle
+    //     replays cue timing arithmetic and the exact joined text ----
+    "q_subtitle_extract" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Subtitles
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val n = (2 + d % 4).toInt
+          val cues = (0 until n).map { j =>
+            val start = j * 2000L + d % 997
+            val end = start + 800L + (j * 37 + d) % 1200
+            Subtitles.Cue(j + 1, start, end, s"cue$j w${(d + j) % 50}")
+          }
+          val bytes =
+            if (d % 2 == 0) Subtitles.writeSrt(cues)
+            else Subtitles.writeVtt(cues,
+              withHours = d % 4 == 1, decorate = d % 4 == 3)
+          val (fmt, parsed) = Subtitles.parse(d, bytes)
+          require(parsed == cues, s"media $d: subtitle round-trip drifted")
+          (d, fmt, parsed.length.toLong,
+            parsed.map(c => c.endMs - c.startMs).sum,
+            parsed.map(_.text).mkString(" / "))
+        })
+        .toDF("doc_id", "fmt", "n_cues", "total_dur_ms", "all_text")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -426,6 +503,50 @@ object OperatorGates15 {
         |  'https://site' || d || '.example/p' AS url,
         |  CAST(d AS BIGINT) AS seq,
         |  CAST(length(payload) AS BIGINT) AS n_chars
-        |FROM w WHERE rn = 1 ORDER BY digest""".stripMargin
+        |FROM w WHERE rn = 1 ORDER BY digest""".stripMargin,
+
+    "q_id3_extract" ->
+      """WITH d AS (SELECT doc_id AS d FROM documents),
+        |p AS (
+        |  SELECT d, d % 4 AS k, d % 2 = 0 AS mpeg1, d % 3 AS sri,
+        |    d % 3 <> 1 AS xing, 3 + d % 4 AS music
+        |  FROM d),
+        |q AS (
+        |  SELECT *,
+        |    CASE WHEN mpeg1
+        |      THEN CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |        ELSE 32000 END
+        |      ELSE CASE sri WHEN 0 THEN 22050 WHEN 1 THEN 24000
+        |        ELSE 16000 END END AS sr,
+        |    CASE WHEN mpeg1 THEN 1152 ELSE 576 END AS spf
+        |  FROM p)
+        |SELECT d AS doc_id,
+        |  CASE WHEN k >= 2 THEN '2.4' ELSE '2.3' END AS version,
+        |  CASE WHEN k = 0 THEN 'Tîtle æ' || d
+        |    ELSE 'Tïtle №' || d END AS title,
+        |  CASE WHEN k = 0 THEN 'Ärtist ' || d
+        |    ELSE 'Артист ' || d END AS artist,
+        |  'Album ' || (d % 9) AS album,
+        |  CAST(1990 + d % 30 AS VARCHAR) AS yr,
+        |  'eng/note:Comment ©' || d AS comm,
+        |  'origin:crawl-' || (d % 5) AS txxx,
+        |  CAST(music + CASE WHEN xing THEN 1 ELSE 0 END AS BIGINT)
+        |    AS n_frames,
+        |  CAST(music * spf * 1000 // sr AS BIGINT) AS duration_ms
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q_subtitle_extract" ->
+      """WITH d AS (SELECT doc_id AS d FROM documents),
+        |c AS (
+        |  SELECT d, j,
+        |    800 + (j * 37 + d) % 1200 AS dur,
+        |    'cue' || j || ' w' || ((d + j) % 50) AS txt
+        |  FROM d, LATERAL (SELECT unnest(range(0, 2 + d % 4)) AS j))
+        |SELECT d AS doc_id,
+        |  CASE WHEN d % 2 = 0 THEN 'srt' ELSE 'vtt' END AS fmt,
+        |  CAST(2 + d % 4 AS BIGINT) AS n_cues,
+        |  CAST(sum(dur) AS BIGINT) AS total_dur_ms,
+        |  string_agg(txt, ' / ' ORDER BY j) AS all_text
+        |FROM c GROUP BY d ORDER BY doc_id""".stripMargin
   )
 }

@@ -80,6 +80,105 @@ object Mp3Codec {
       nFrames.toLong * spf * 1000L / sampleRate, hasId3)
   }
 
+  /** The Xing/Info (or VBRI) VBR header in the FIRST audio frame —
+    * the frame/byte totals a VBR file carries because frame-1's
+    * bitrate field lies about the rest. `nFrames` is the MUSIC frame
+    * count (excluding the header frame itself, the LAME convention);
+    * durationMs is computed from it.
+    */
+  final case class VbrInfo(tag: String, nFrames: Int, nBytes: Long,
+      durationMs: Long)
+
+  def vbrInfo(id: Long, b: Array[Byte]): Option[VbrInfo] = {
+    var o = 0
+    if (b.length >= 10 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      val size = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+        ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+      o = 10 + size
+    }
+    if (o + 4 > b.length) return None
+    require((b(o) & 0xff) == 0xff && (b(o + 1) & 0xe0) == 0xe0,
+      s"media $id: no MP3 frame sync for VBR probe")
+    val mpeg1 = ((b(o + 1) >> 3) & 0x03) == 3
+    val srIdx = (b(o + 2) >> 2) & 0x03
+    require(srIdx <= 2, s"media $id: reserved sample-rate index")
+    val sr = (if (mpeg1) SampleRateV1 else SampleRateV2)(srIdx)
+    val spf = if (mpeg1) 1152 else 576
+    val mono = ((b(o + 3) >> 6) & 0x03) == 3
+    val sideInfo =
+      if (mpeg1) { if (mono) 17 else 32 }
+      else { if (mono) 9 else 17 }
+    def be32(p: Int): Long = ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+      ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    val x = o + 4 + sideInfo
+    if (x + 8 <= b.length && (
+        (b(x) == 'X' && b(x + 1) == 'i' && b(x + 2) == 'n' && b(x + 3) == 'g') ||
+        (b(x) == 'I' && b(x + 1) == 'n' && b(x + 2) == 'f' && b(x + 3) == 'o'))) {
+      val tag = new String(b, x, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val flags = be32(x + 4)
+      var p = x + 8
+      var frames = -1
+      var bytes = -1L
+      if ((flags & 0x1) != 0) { frames = be32(p).toInt; p += 4 }
+      if ((flags & 0x2) != 0) { bytes = be32(p); p += 4 }
+      require(frames > 0, s"media $id: $tag header without a frame count")
+      Some(VbrInfo(tag, frames, bytes,
+        frames.toLong * spf * 1000L / sr))
+    } else {
+      // VBRI sits at a FIXED 32-byte offset after the header (Fraunhofer)
+      val v = o + 4 + 32
+      if (v + 26 <= b.length && b(v) == 'V' && b(v + 1) == 'B' &&
+          b(v + 2) == 'R' && b(v + 3) == 'I') {
+        val bytes = be32(v + 10)
+        val frames = be32(v + 14).toInt
+        require(frames > 0, s"media $id: VBRI header without a frame count")
+        Some(VbrInfo("VBRI", frames, bytes,
+          frames.toLong * spf * 1000L / sr))
+      } else None
+    }
+  }
+
+  /** Synthesize a VBR Layer-III stream: per-frame bitrate indexes,
+    * optionally led by a Xing header frame carrying the music-frame
+    * count (zeroed payloads — silent, decoder-walkable). Prepend an
+    * [[Id3.synthesize]] tag for the full real-file shape.
+    */
+  def synthesizeVbr(brIdxs: Seq[Int], srIdx: Int, mpeg1: Boolean,
+      withXing: Boolean, id3: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    require(brIdxs.nonEmpty && brIdxs.forall(i => i >= 1 && i <= 14))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(id3, 0, id3.length)
+    val sr = (if (mpeg1) SampleRateV1 else SampleRateV2)(srIdx)
+    val spf = if (mpeg1) 1152 else 576
+    def frame(brIdx: Int, fill: Array[Byte] => Unit): Unit = {
+      val br = (if (mpeg1) BitrateV1L3 else BitrateV2L3)(brIdx)
+      val frameLen = spf / 8 * br * 1000 / sr
+      val buf = new Array[Byte](frameLen)
+      buf(0) = 0xff.toByte
+      buf(1) = (if (mpeg1) 0xfa else 0xf2).toByte
+      buf(2) = ((brIdx << 4) | (srIdx << 2)).toByte
+      buf(3) = 0x00 // stereo
+      fill(buf)
+      out.write(buf, 0, buf.length)
+    }
+    if (withXing) {
+      // header frame: largest table rate so the Xing block fits
+      frame(14, { buf =>
+        val sideInfo = if (mpeg1) 32 else 17 // stereo
+        val x = 4 + sideInfo
+        buf(x) = 'X'; buf(x + 1) = 'i'; buf(x + 2) = 'n'; buf(x + 3) = 'g'
+        buf(x + 7) = 0x01 // flags: frames only
+        val n = brIdxs.length
+        buf(x + 8) = ((n >> 24) & 0xff).toByte
+        buf(x + 9) = ((n >> 16) & 0xff).toByte
+        buf(x + 10) = ((n >> 8) & 0xff).toByte
+        buf(x + 11) = (n & 0xff).toByte
+      })
+    }
+    brIdxs.foreach(i => frame(i, _ => ()))
+    out.toByteArray
+  }
+
   /** Synthesize a valid constant-rate Layer-III stream (headers +
     * zeroed payloads — silent, decoder-walkable) with an optional
     * ID3v2 shell. Fixture generator; parameters replay in SQL.

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Id3: v2.3/v2.4 round-trips across all four text encodings,
+  * TXXX/COMM structure, unsynchronisation, padding, loud failures;
+  * Mp3Codec.vbrInfo Xing parsing and its absence.
+  */
+class Id3Spec extends AnyFunSuite {
+
+  private val frames = Seq(
+    "TIT2" -> "Søme Tïtle", "TPE1" -> "Ärtist", "TALB" -> "Album 1",
+    "TXXX" -> "origin:crawl-3", "COMM" -> "eng/note:hello © world")
+
+  test("v2.3 latin-1 and UTF-16 round-trip") {
+    for (enc <- Seq(0, 1)) {
+      val tag = Id3.synthesize(frames, v24 = false, encoding = enc)
+      val p = Id3.parse(1L, tag).get
+      assert(p.version == "2.3")
+      assert(p.first("TIT2").contains("Søme Tïtle"))
+      assert(p.first("TPE1").contains("Ärtist"))
+      assert(p.first("TXXX").contains("origin:crawl-3"))
+      assert(p.first("COMM").contains("eng/note:hello © world"))
+    }
+  }
+
+  test("v2.4 UTF-8 and UTF-16BE round-trip (syncsafe frame sizes)") {
+    val uf = frames ++ Seq("TDRC" -> "2021", "TPE2" -> "Группа №1")
+    for (enc <- Seq(1, 3, 2)) {
+      val tag = Id3.synthesize(uf, v24 = true, encoding = enc)
+      val p = Id3.parse(2L, tag).get
+      assert(p.version == "2.4")
+      assert(p.first("TPE2").contains("Группа №1"))
+      assert(p.first("TDRC").contains("2021"))
+    }
+  }
+
+  test("a large frame really exercises multi-byte syncsafe sizes") {
+    val big = "x" * 300 // > 127: v2.4 frame size needs 2 syncsafe bytes
+    val tag = Id3.synthesize(Seq("TIT2" -> big), v24 = true, encoding = 3)
+    assert(Id3.parse(3L, tag).get.first("TIT2").contains(big))
+  }
+
+  test("unsynchronised tag is resynced before frame parsing") {
+    // craft: take a clean v2.3 tag body, apply FF -> FF 00, set flag
+    val clean = Id3.synthesize(Seq("TIT2" -> "AÿB"), v24 = false,
+      encoding = 1, padding = 0)
+    val body = clean.drop(10)
+    val unsynced = body.flatMap { x =>
+      if ((x & 0xff) == 0xff) Seq(x, 0.toByte) else Seq(x)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(3); out.write(0); out.write(0x80) // unsync flag
+    val n = unsynced.length
+    out.write((n >> 21) & 0x7f); out.write((n >> 14) & 0x7f)
+    out.write((n >> 7) & 0x7f); out.write(n & 0x7f)
+    out.write(unsynced, 0, n)
+    val p = Id3.parse(4L, out.toByteArray).get
+    assert(p.first("TIT2").contains("AÿB"))
+  }
+
+  test("no tag, truncation and corrupt frame ids fail appropriately") {
+    assert(Id3.parse(5L, "not an mp3".getBytes).isEmpty)
+    val tag = Id3.synthesize(frames, v24 = false, encoding = 0)
+    val e = intercept[IllegalArgumentException](
+      Id3.parse(5L, tag.take(tag.length / 2)))
+    assert(e.getMessage.contains("media 5"))
+    val bad = tag.clone()
+    bad(10) = '!' // frame id must be A-Z0-9
+    val e2 = intercept[IllegalArgumentException](Id3.parse(5L, bad))
+    assert(e2.getMessage.contains("bad ID3 frame id"))
+  }
+
+  test("Xing header: music-frame count and duration; absent => None") {
+    val tag = Id3.synthesize(Seq("TIT2" -> "t"), v24 = true, encoding = 3)
+    val withX = Mp3Codec.synthesizeVbr(Seq(3, 9, 14, 5), srIdx = 0,
+      mpeg1 = true, withXing = true, id3 = tag)
+    val info = Mp3Codec.vbrInfo(10L, withX).get
+    assert(info.tag == "Xing" && info.nFrames == 4)
+    assert(info.durationMs == 4L * 1152 * 1000 / 44100)
+    // parse still walks every frame (header frame included)
+    assert(Mp3Codec.parse(10L, withX).nFrames == 5)
+    val noX = Mp3Codec.synthesizeVbr(Seq(3, 9), srIdx = 2, mpeg1 = false,
+      withXing = false)
+    assert(Mp3Codec.vbrInfo(11L, noX).isEmpty)
+    assert(Mp3Codec.parse(11L, noX).nFrames == 2)
+  }
+}
