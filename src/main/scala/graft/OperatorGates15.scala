@@ -371,6 +371,40 @@ object OperatorGates15 {
         })
         .toDF("doc_id", "fmt", "n_cues", "total_dur_ms", "all_text")
         .orderBy(col("doc_id"))
+    }),
+
+    // --- Ogg container metadata (OggCodec): per-doc Vorbis or Opus
+    //     streams with CRC-valid pages, VorbisComment tags and
+    //     granule-exact durations (Opus at 48 kHz minus pre-skip);
+    //     the oracle replays the tag strings and the integer
+    //     duration arithmetic --------------------------------------
+    "q_ogg_meta" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.OggCodec
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val opus = d % 2 == 1
+          val rate = Array(8000, 16000, 44100, 48000)((d % 4).toInt)
+          val channels = (1 + d % 2).toInt
+          val preSkip = if (opus) (300 + d % 50).toInt else 0
+          val nAudio = (2 + d % 5).toInt
+          val granule =
+            if (opus) preSkip + 4800L * (1 + d % 7)
+            else rate.toLong * (1 + d % 7) / 2
+          val b = OggCodec.synthesize(
+            if (opus) "opus" else "vorbis", channels, rate, preSkip,
+            vendor = s"graft-$d",
+            cs = Seq("TITLE" -> s"Trãck №$d", "ARTIST" -> s"Ensemble ${d % 9}"),
+            nAudioPages = nAudio, finalGranule = granule)
+          val m = OggCodec.parse(d, b)
+          (d, m.codec, m.channels.toLong, m.sampleRate.toLong,
+            m.comments.collectFirst { case ("TITLE", v) => v }.get,
+            m.comments.collectFirst { case ("ARTIST", v) => v }.get,
+            m.nPages.toLong, m.lastGranule, m.durationMs)
+        })
+        .toDF("doc_id", "codec", "channels", "sample_rate", "title",
+          "artist", "n_pages", "last_granule", "duration_ms")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -547,6 +581,32 @@ object OperatorGates15 {
         |  CAST(2 + d % 4 AS BIGINT) AS n_cues,
         |  CAST(sum(dur) AS BIGINT) AS total_dur_ms,
         |  string_agg(txt, ' / ' ORDER BY j) AS all_text
-        |FROM c GROUP BY d ORDER BY doc_id""".stripMargin
+        |FROM c GROUP BY d ORDER BY doc_id""".stripMargin,
+
+    "q_ogg_meta" ->
+      """WITH d AS (SELECT doc_id AS d FROM documents),
+        |p AS (
+        |  SELECT d, d % 2 = 1 AS opus,
+        |    CASE d % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 44100 ELSE 48000 END AS rate,
+        |    1 + d % 2 AS channels,
+        |    CASE WHEN d % 2 = 1 THEN 300 + d % 50 ELSE 0 END AS preskip,
+        |    2 + d % 5 AS n_audio
+        |  FROM d),
+        |q AS (
+        |  SELECT *, CASE WHEN opus THEN preskip + 4800 * (1 + d % 7)
+        |    ELSE rate * (1 + d % 7) // 2 END AS granule
+        |  FROM p)
+        |SELECT d AS doc_id,
+        |  CASE WHEN opus THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  CAST(channels AS BIGINT) AS channels,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  'Trãck №' || d AS title,
+        |  'Ensemble ' || (d % 9) AS artist,
+        |  CAST(2 + n_audio AS BIGINT) AS n_pages,
+        |  CAST(granule AS BIGINT) AS last_granule,
+        |  CAST(CASE WHEN opus THEN (granule - preskip) * 1000 // 48000
+        |    ELSE granule * 1000 // rate END AS BIGINT) AS duration_ms
+        |FROM q ORDER BY doc_id""".stripMargin
   )
 }

@@ -1142,6 +1142,8 @@ object Multimodal {
       "application/pdf"
     else if (TiffCodec.isTiff(bytes)) "image/tiff"
     else if (FlacCodec.isFlac(bytes)) "audio/flac"
+    else if (Subtitles.isWebVtt(bytes)) "text/vtt"
+    else if (OggCodec.isOgg(bytes)) "audio/ogg"
     // after image/jpeg: an MP3 frame sync is FF Ex/Fx, never FF D8
     else if (Mp3Codec.isMp3(bytes)) "audio/mpeg"
     else if (graft.functions.ZstdBytes.isZstd(bytes)) "application/zstd"
@@ -1355,6 +1357,16 @@ object Multimodal {
             while (i < img.pixels.length) { sum += (img.pixels(i) & 0xff); i += 1 }
             MediaAuto(id, m, avi.frames.length.toLong,
               if (img.pixels.length == 0) 0.0 else sum.toDouble / img.pixels.length)
+          case m @ "audio/ogg" =>
+            // container+metadata parse (CRC-verified pages): n_units
+            // = final granule (PCM samples), mean_val = duration ms
+            val g = OggCodec.parse(id, bytes)
+            MediaAuto(id, m, g.lastGranule, g.durationMs.toDouble)
+          case m @ "text/vtt" =>
+            // transcript probe: n_units = cues, mean_val = voiced ms
+            val (_, cues) = Subtitles.parse(id, bytes)
+            MediaAuto(id, m, cues.length.toLong,
+              cues.map(c => c.endMs - c.startMs).sum.toDouble)
           case m =>
             val f = FakeDecoder.features(id, m, bytes)
             MediaAuto(id, m, f.n_bytes, f.byte_mean)

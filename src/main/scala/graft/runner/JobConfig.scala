@@ -397,6 +397,9 @@ object JobConfig {
               case "text/rtf" =>
                 (id, graft.operators.RtfText.extract(id, c)
                   .replace('\n', ' ').replace('\t', ' '))
+              case "text/vtt" =>
+                (id, graft.operators.Subtitles.parse(id, c)._2
+                  .map(_.text.replace('\n', ' ')).mkString(" "))
               case _ =>
                 (id, new String(c, java.nio.charset.StandardCharsets.UTF_8))
             }
