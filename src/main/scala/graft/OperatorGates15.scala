@@ -405,6 +405,83 @@ object OperatorGates15 {
         .toDF("doc_id", "codec", "channels", "sample_rate", "title",
           "artist", "n_pages", "last_granule", "duration_ms")
         .orderBy(col("doc_id"))
+    }),
+
+    // --- FLAGSHIP audio-corpus chain: one binary column carrying
+    //     WAV, FLAC, MP3(+ID3) and Ogg Opus payloads; sniff dispatch
+    //     routes each to its real parser, PCM containers dedup by
+    //     the shared energy fingerprint (FLAC is lossless, so a
+    //     WAV/FLAC pair of the same recording collapses), compressed
+    //     containers dedup by their TITLE tag across MP3/Ogg, and
+    //     every row reports its exact container-native duration.
+    //     The oracle replays group membership and the duration
+    //     arithmetic end to end ------------------------------------
+    "q_audio_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{FlacAudio, Id3, Mp3Codec, Multimodal, OggCodec}
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val r = (d % 25).toInt
+          val samples =
+            Array.tabulate(130)(t => ((r + 1) * (t + 7) * 2203) % 2003 - 1001)
+          val bytes = (d % 4) match {
+            case 0 => Multimodal.WavCodec.synthesize(8000,
+              samples.map(_.toShort))
+            case 1 => FlacAudio.encode(8000, 1, 16, samples, blockSize = 64)
+            case 2 =>
+              val tag = Id3.synthesize(Seq("TIT2" -> s"track $r"),
+                v24 = true, encoding = 3)
+              Mp3Codec.synthesizeVbr(
+                (0 until (3 + r % 4)).map(i => 1 + (r + i) % 14),
+                (r % 3), mpeg1 = true, withXing = true, id3 = tag)
+            case _ =>
+              OggCodec.synthesize("opus", 1, 16000, 300, "v",
+                Seq("TITLE" -> s"track $r"), nAudioPages = 2,
+                finalGranule = 300L + 4800L * (1 + r % 5))
+          }
+          (d, bytes)
+        }).toDF("media_id", "content")
+      val keyed = media.as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, c) =>
+          Multimodal.sniffModality(c) match {
+            case m @ "audio/wav" =>
+              val f = Multimodal.WavCodec.parse(id, c)
+              (id, m, "", f.duration_us / 1000)
+            case m @ "audio/flac" =>
+              val p = FlacAudio.decode(id, c)
+              (id, m, "",
+                (p.samples.length / p.channels).toLong * 1000 / p.sampleRate)
+            case m @ "audio/mpeg" =>
+              val title = Id3.parse(id, c).flatMap(_.first("TIT2"))
+                .getOrElse(throw new IllegalArgumentException(
+                  s"media $id: MP3 without a TIT2 tag"))
+              (id, m, title, Mp3Codec.vbrInfo(id, c).get.durationMs)
+            case m @ "audio/ogg" =>
+              val g = OggCodec.parse(id, c)
+              val title = g.comments.collectFirst { case ("TITLE", v) => v }
+                .getOrElse(throw new IllegalArgumentException(
+                  s"media $id: Ogg without a TITLE tag"))
+              (id, m, title, g.durationMs)
+            case other => throw new IllegalArgumentException(
+              s"media $id: unexpected modality $other")
+          }
+        }).toDF("media_id", "modality", "tag_key", "duration_ms")
+      // PCM containers: dedup by the shared 64-bit energy fingerprint
+      val pcm = keyed.filter(col("modality").isin("audio/wav", "audio/flac"))
+      val fp = Multimodal.fingerprintAudio(
+        media.join(pcm.select("media_id"), "media_id")).toDF()
+      val pcmRep = fp.join(
+        fp.groupBy(col("ahash")).agg(min(col("media_id")).as("rep")),
+        "ahash").select(col("media_id"), col("rep"))
+      // compressed containers: dedup by TITLE across MP3 and Ogg
+      val tagged = keyed.filter(!col("modality").isin("audio/wav", "audio/flac"))
+      val tagRep = tagged.join(
+        tagged.groupBy(col("tag_key")).agg(min(col("media_id")).as("rep")),
+        "tag_key").select(col("media_id"), col("rep"))
+      keyed.join(pcmRep.unionByName(tagRep), "media_id")
+        .select(col("media_id"), col("modality"), col("rep"),
+          col("duration_ms"))
+        .orderBy(col("media_id"))
     })
   )
 
@@ -607,6 +684,38 @@ object OperatorGates15 {
         |  CAST(granule AS BIGINT) AS last_granule,
         |  CAST(CASE WHEN opus THEN (granule - preskip) * 1000 // 48000
         |    ELSE granule * 1000 // rate END AS BIGINT) AS duration_ms
-        |FROM q ORDER BY doc_id""".stripMargin
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q_audio_pipeline" ->
+      """WITH d AS (
+        |  SELECT doc_id AS d, doc_id % 25 AS r, doc_id % 4 AS k
+        |  FROM documents),
+        |en AS (
+        |  SELECT r, list_transform(range(0, 65), w ->
+        |    abs(((r + 1) * (2*w + 7) * 2203) % 2003 - 1001) +
+        |    abs(((r + 1) * (2*w + 8) * 2203) % 2003 - 1001)) AS e
+        |  FROM (SELECT DISTINCT r FROM d)),
+        |bits AS (
+        |  SELECT r, array_to_string(list_transform(range(0, 64), j ->
+        |    CASE WHEN e[j + 2] > e[j + 1] THEN 1 ELSE 0 END), '') AS fp
+        |  FROM en),
+        |pcmrep AS (
+        |  SELECT b.fp, min(d.d) AS rep
+        |  FROM d JOIN bits b ON b.r = d.r WHERE d.k <= 1 GROUP BY b.fp),
+        |tagrep AS (
+        |  SELECT r, min(d) AS rep FROM d WHERE k >= 2 GROUP BY r)
+        |SELECT d.d AS media_id,
+        |  CASE d.k WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'audio/flac'
+        |    WHEN 2 THEN 'audio/mpeg' ELSE 'audio/ogg' END AS modality,
+        |  CASE WHEN d.k <= 1
+        |    THEN (SELECT p.rep FROM pcmrep p JOIN bits b ON b.fp = p.fp
+        |          WHERE b.r = d.r)
+        |    ELSE (SELECT t.rep FROM tagrep t WHERE t.r = d.r) END AS rep,
+        |  CAST(CASE WHEN d.k <= 1 THEN 16
+        |    WHEN d.k = 2 THEN (3 + d.r % 4) * 1152 * 1000 //
+        |      (CASE d.r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+        |        ELSE 32000 END)
+        |    ELSE 100 * (1 + d.r % 5) END AS BIGINT) AS duration_ms
+        |FROM d ORDER BY media_id""".stripMargin
   )
 }
