@@ -482,6 +482,48 @@ object OperatorGates15 {
         .select(col("media_id"), col("modality"), col("rep"),
           col("duration_ms"))
         .orderBy(col("media_id"))
+    }),
+
+    // --- schema.org JSON-LD extraction (Text.jsonLd): pages carry
+    //     NewsArticle/BlogPosting blocks with object or bare-string
+    //     authors, or no block at all; pure codegen'd regexp +
+    //     from_json, oracle replays every field --------------------
+    "q_jsonld_meta" -> ((s, dir) => {
+      import graft.functions.Text
+      val k = pmod(col("doc_id"), lit(4))
+      val ld = when(k === 0, concat(
+        lit("""{"@context":"https://schema.org","@type":"NewsArticle","headline":"Headline """),
+        col("doc_id"),
+        lit("""","datePublished":"2026-07-"""),
+        (lit(10) + pmod(col("doc_id"), lit(19))),
+        lit("""","inLanguage":"en","author":{"@type":"Person","name":"Reporter """),
+        pmod(col("doc_id"), lit(3)), lit("\"}}")))
+        .when(k === 1, concat(
+          lit("""{"@type":"BlogPosting","headline":"Post """),
+          col("doc_id"),
+          lit("""","author":{"@type":"Person","name":"Author """),
+          pmod(col("doc_id"), lit(7)), lit("\"}}")))
+        .when(k === 2, concat(
+          lit("""{"@type":"Article","headline":"Piece """),
+          col("doc_id"),
+          lit("""","author":"Writer """),
+          pmod(col("doc_id"), lit(5)), lit("\"}")))
+        .otherwise(lit(""))
+      val html = concat(lit("<html><head><title>t</title>"),
+        when(k =!= 3, concat(
+          lit("""<script type="application/ld+json">"""), ld,
+          lit("</script>"))).otherwise(lit("")),
+        lit("</head><body>b</body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+          Text.jsonLd(html).as("ld"))
+        .select(col("doc_id"),
+          col("ld.ld_type").as("ld_type"),
+          col("ld.headline").as("headline"),
+          col("ld.date_published").as("date_published"),
+          col("ld.in_language").as("in_language"),
+          col("ld.author").as("author"),
+          col("ld.author_raw").as("author_raw"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -716,6 +758,22 @@ object OperatorGates15 {
         |      (CASE d.r % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
         |        ELSE 32000 END)
         |    ELSE 100 * (1 + d.r % 5) END AS BIGINT) AS duration_ms
-        |FROM d ORDER BY media_id""".stripMargin
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    "q_jsonld_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4 WHEN 0 THEN 'NewsArticle' WHEN 1 THEN 'BlogPosting'
+        |    WHEN 2 THEN 'Article' ELSE NULL END AS ld_type,
+        |  CASE doc_id % 4 WHEN 0 THEN 'Headline ' || doc_id
+        |    WHEN 1 THEN 'Post ' || doc_id
+        |    WHEN 2 THEN 'Piece ' || doc_id ELSE NULL END AS headline,
+        |  CASE doc_id % 4 WHEN 0 THEN '2026-07-' || (10 + doc_id % 19)
+        |    ELSE NULL END AS date_published,
+        |  CASE doc_id % 4 WHEN 0 THEN 'en' ELSE NULL END AS in_language,
+        |  CASE doc_id % 4 WHEN 0 THEN 'Reporter ' || (doc_id % 3)
+        |    WHEN 1 THEN 'Author ' || (doc_id % 7) ELSE NULL END AS author,
+        |  CASE doc_id % 4 WHEN 2 THEN 'Writer ' || (doc_id % 5)
+        |    ELSE '' END AS author_raw
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

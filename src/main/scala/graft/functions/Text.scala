@@ -454,6 +454,47 @@ object Text {
     trim(regexp_replace(when(length(a) > 0, a).otherwise(b), "\\s+", " "))
   }
 
+  /** Structured page metadata from the FIRST embedded JSON-LD block
+    * (`<script type="application/ld+json">`) — the schema.org layer
+    * modern pages carry and curation ranks by: article type,
+    * headline, publication date, author and language. Pure codegen'd
+    * regexp + from_json (no UDF); a page without a block (or with
+    * unparsable JSON) yields a null struct the caller can police.
+    * Nested `author` may be an object (`{"name": ...}`); string
+    * authors land in `author_raw`.
+    */
+  def jsonLd(html: Column): Column = {
+    val block = regexp_extract(html,
+      "(?is)<script[^>]*type\\s*=\\s*[\"']application/ld\\+json[\"'][^>]*>(.*?)</script>",
+      1)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("@type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("headline",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("datePublished",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("inLanguage",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("author",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("@type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("name",
+            org.apache.spark.sql.types.StringType))))))
+    val parsed = from_json(block, schema)
+    struct(
+      parsed.getField("@type").as("ld_type"),
+      parsed.getField("headline").as("headline"),
+      parsed.getField("datePublished").as("date_published"),
+      parsed.getField("inLanguage").as("in_language"),
+      parsed.getField("author").getField("name").as("author"),
+      // a bare-string author fails the struct parse; recover it with
+      // a targeted extraction over the same block
+      regexp_extract(block,
+        "\"author\"\\s*:\\s*\"([^\"]*)\"", 1).as("author_raw"))
+  }
+
   /** Canonicalize one URL string — the dedup/blocklist key
     * normalization: fragment stripped, scheme+host lowercased,
     * default :80/:443 port dropped, utm_* tracking params removed
