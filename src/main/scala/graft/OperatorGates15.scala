@@ -524,6 +524,55 @@ object OperatorGates15 {
           col("ld.author").as("author"),
           col("ld.author_raw").as("author_raw"))
         .orderBy(col("doc_id"))
+    }),
+
+    // --- PNG privacy scrub (PngCodec.stripMetadata): gray PNGs
+    //     planted with tEXt author strings, tIME stamps and (every
+    //     2nd) an eXIf block carrying GPS; the scrub must flag and
+    //     remove ALL metadata classes while pixels decode identical
+    //     — proven by re-decoding the scrubbed bytes against the
+    //     pixel formula and asserting the planted strings are gone --
+    "q_png_scrub" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{JpegCodec, Multimodal, PngCodec}
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val w = 8 + (d % 5).toInt
+          val h = 4 + (d % 3).toInt
+          val plain = PngCodec.encode(w, h, 1,
+            Array.tabulate(w * h)(i => ((d * 7 + i) % 256).toByte))
+          val exif =
+            if (d % 2 == 0)
+              Some(JpegCodec.exifTiffBytesGps((1 + d % 8).toInt,
+                latMilli = (40000 + d * 31 % 9000).toInt,
+                lonMilli = (9000 + d * 17 % 7000).toInt,
+                bigEndian = d % 4 < 2))
+            else None
+          (d, PngCodec.withMetadata(d, plain,
+            texts = Seq("Author" -> s"secret-author-$d",
+              "Comment" -> "shot at home"),
+            exifTiff = exif, withTime = true))
+        }).toDF("media_id", "content")
+      val scrubbed = Multimodal.scrubExifGps(media).toDF()
+        .select(col("media_id"), col("modality"), col("had_gps"),
+          col("content"))
+      scrubbed.as[(Long, String, Boolean, Array[Byte])]
+        .mapPartitions(_.map { case (id, m, hadGps, c) =>
+          val img = PngCodec.decode(id, c)
+          var sum = 0L
+          img.pixels.foreach(p => sum += (p & 0xff))
+          val txt = new String(c,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          require(!txt.contains("secret-author") && !txt.contains("shot at"),
+            s"media $id: scrub left metadata text behind")
+          require(!PngCodec.exifHasGps(id, c),
+            s"media $id: scrub left GPS behind")
+          (id, m, hadGps, img.pixels.length.toLong,
+            sum.toDouble / img.pixels.length)
+        })
+        .toDF("media_id", "modality", "had_gps", "n_pixels",
+          "mean_intensity")
+        .orderBy(col("media_id"))
     })
   )
 
@@ -774,6 +823,18 @@ object OperatorGates15 {
         |    WHEN 1 THEN 'Author ' || (doc_id % 7) ELSE NULL END AS author,
         |  CASE doc_id % 4 WHEN 2 THEN 'Writer ' || (doc_id % 5)
         |    ELSE '' END AS author_raw
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_png_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, 8 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+        |  FROM documents)
+        |SELECT doc_id AS media_id, 'image/png' AS modality,
+        |  doc_id % 2 = 0 AS had_gps,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(list_transform(range(0, w * h), i ->
+        |    (doc_id * 7 + i) % 256)) AS DOUBLE) / (w * h)
+        |    AS mean_intensity
+        |FROM d ORDER BY media_id""".stripMargin
   )
 }

@@ -1249,7 +1249,7 @@ object JpegCodec {
     * degree/minute/second rationals) — the fixture face of the
     * privacy scrub. Coordinates in millidegrees.
     */
-  private[operators] def exifTiffBytesGps(orientation: Int, latMilli: Int,
+  private[graft] def exifTiffBytesGps(orientation: Int, latMilli: Int,
       lonMilli: Int, bigEndian: Boolean): Array[Byte] = {
     val t = new java.io.ByteArrayOutputStream()
     def u16(v: Int): Unit =

@@ -712,6 +712,9 @@ object Multimodal {
           case m @ ("image/webp" | "image/webp-lossy" | "image/webp-anim") =>
             ScrubbedMedia(id, m, WebpCodec.exifHasGps(id, c),
               WebpCodec.scrubExif(id, c))
+          case m @ "image/png" =>
+            ScrubbedMedia(id, m, PngCodec.exifHasGps(id, c),
+              PngCodec.stripMetadata(id, c))
           case m =>
             ScrubbedMedia(id, m, had_gps = false, c)
         }

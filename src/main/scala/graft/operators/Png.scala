@@ -418,6 +418,96 @@ object PngCodec {
     out.toByteArray
   }
 
+  /** Chunk types carrying textual/temporal/Exif metadata — the
+    * classes the privacy scrub removes (creator names, captions,
+    * software tags, timestamps, GPS in the eXIf block).
+    */
+  private val MetaChunks = Set("tEXt", "zTXt", "iTXt", "tIME", "eXIf")
+
+  /** Privacy scrub for PNGs — the [[JpegCodec.stripExif]] sibling:
+    * tEXt/zTXt/iTXt/tIME/eXIf chunks are dropped, every other chunk
+    * (pixels, palette, transparency, gamma) is copied byte-identical,
+    * each chunk's CRC is verified while walking, and the file is
+    * truncated after IEND so appended trailers don't ride through.
+    */
+  def stripMetadata(id: Long, bytes: Array[Byte]): Array[Byte] = {
+    checkSignature(id, bytes)
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    out.write(bytes, 0, 8)
+    var pos = 8
+    var sawEnd = false
+    while (!sawEnd) {
+      if (pos + 12 > bytes.length) fail(id, s"truncated chunk header at $pos")
+      val n = be32(bytes, pos).toInt
+      if (n < 0 || pos + 12 + n > bytes.length)
+        fail(id, s"chunk overruns the file at $pos")
+      val ctype = new String(bytes, pos + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new CRC32()
+      crc.update(bytes, pos + 4, 4 + n)
+      if (crc.getValue != be32(bytes, pos + 8 + n))
+        fail(id, s"CRC mismatch in $ctype chunk during scrub")
+      if (!MetaChunks.contains(ctype)) out.write(bytes, pos, 12 + n)
+      if (ctype == "IEND") sawEnd = true
+      pos += 12 + n
+    }
+    out.toByteArray
+  }
+
+  /** True iff the PNG's eXIf chunk carries GPS coordinates. */
+  def exifHasGps(id: Long, bytes: Array[Byte]): Boolean = {
+    checkSignature(id, bytes)
+    var pos = 8
+    while (pos + 12 <= bytes.length) {
+      val n = be32(bytes, pos).toInt
+      if (n < 0 || pos + 12 + n > bytes.length)
+        fail(id, s"chunk overruns the file at $pos")
+      val ctype = new String(bytes, pos + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (ctype == "eXIf")
+        return JpegCodec.tiffHasGps(id, bytes, pos + 8, pos + 8 + n)
+      if (ctype == "IEND") return false
+      pos += 12 + n
+    }
+    false
+  }
+
+  private def checkSignature(id: Long, bytes: Array[Byte]): Unit = {
+    require(bytes.length >= 8 &&
+      (0 until 8).forall(i => (bytes(i) & 0xff) == Signature(i)),
+      s"media $id: not a PNG (bad signature)")
+  }
+
+  /** Splice metadata chunks after IHDR — the scrub's fixture face:
+    * tEXt pairs (latin-1), an optional tIME stamp, and an optional
+    * raw Exif TIFF block as eXIf.
+    */
+  def withMetadata(id: Long, png: Array[Byte],
+      texts: Seq[(String, String)] = Nil,
+      exifTiff: Option[Array[Byte]] = None,
+      withTime: Boolean = false): Array[Byte] = {
+    checkSignature(id, png)
+    val ihdrLen = be32(png, 8).toInt
+    val afterIhdr = 8 + 12 + ihdrLen
+    val mid = new java.io.ByteArrayOutputStream()
+    texts.foreach { case (k, v) =>
+      val latin = java.nio.charset.StandardCharsets.ISO_8859_1
+      writeChunk(mid, "tEXt", k.getBytes(latin) ++ Array(0.toByte) ++
+        v.getBytes(latin))
+    }
+    if (withTime)
+      writeChunk(mid, "tIME", Array(0x07, 0xea, 7, 15, 12, 30, 45)
+        .map(_.toByte))
+    exifTiff.foreach(t => writeChunk(mid, "eXIf", t))
+    val m = mid.toByteArray
+    val out = new Array[Byte](png.length + m.length)
+    System.arraycopy(png, 0, out, 0, afterIhdr)
+    System.arraycopy(m, 0, out, afterIhdr, m.length)
+    System.arraycopy(png, afterIhdr, out, afterIhdr + m.length,
+      png.length - afterIhdr)
+    out
+  }
+
   private def writeChunk(out: java.io.ByteArrayOutputStream, ctype: String,
       data: Array[Byte]): Unit = {
     val len = java.nio.ByteBuffer.allocate(4).putInt(data.length).array()
