@@ -573,6 +573,40 @@ object OperatorGates15 {
         .toDF("media_id", "modality", "had_gps", "n_pixels",
           "mean_intensity")
         .orderBy(col("media_id"))
+    }),
+
+    // --- MP4 track-level metadata (Mp4Codec.tracks): real trak/
+    //     tkhd/mdhd/hdlr/stsd structure per doc — handler types,
+    //     sample-entry codecs, packed ISO-639-2 languages and
+    //     per-track timescale-exact durations; the probe a video
+    //     pipeline runs before committing to decode. Oracle replays
+    //     every field ---------------------------------------------
+    "q_mp4_tracks" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.flatMap { d =>
+          val nT = (1 + d % 3).toInt
+          val handlers = Array("vide", "soun", "text")
+          val codecs = Array("avc1", "mp4a", "tx3g")
+          val langs = Array("eng", "deu", "jpn", "und")
+          val specs = (0 until nT).map { t =>
+            val c = ((d + t) % 3).toInt
+            val timescale = Array(600, 1000, 48000)(((d + t) % 3).toInt)
+            val secs = (2 + (d + t) % 5).toInt
+            (handlers(c), codecs(c), langs(((d + t) % 4).toInt),
+              timescale, timescale * secs)
+          }
+          val mp4 = Multimodal.Mp4Codec.synthesizeTracks(1000, 5000, specs)
+          Multimodal.Mp4Codec.tracks(d, mp4).zipWithIndex.map {
+            case (tr, i) =>
+              (d, i.toLong, tr.trackId, tr.handler, tr.codec,
+                tr.language, tr.timescale, tr.durationMs)
+          }
+        })
+        .toDF("media_id", "track_no", "track_id", "handler", "codec",
+          "language", "timescale", "duration_ms")
+        .orderBy(col("media_id"), col("track_no"))
     })
   )
 
@@ -835,6 +869,25 @@ object OperatorGates15 {
         |  CAST(list_sum(list_transform(range(0, w * h), i ->
         |    (doc_id * 7 + i) % 256)) AS DOUBLE) / (w * h)
         |    AS mean_intensity
-        |FROM d ORDER BY media_id""".stripMargin
+        |FROM d ORDER BY media_id""".stripMargin,
+
+    "q_mp4_tracks" ->
+      """WITH d AS (SELECT doc_id AS d FROM documents),
+        |t AS (
+        |  SELECT d, j AS track_no, (d + j) % 3 AS c, (d + j) % 4 AS lg,
+        |    2 + (d + j) % 5 AS secs
+        |  FROM d, LATERAL (SELECT unnest(range(0, 1 + d % 3)) AS j))
+        |SELECT d AS media_id, CAST(track_no AS BIGINT) AS track_no,
+        |  CAST(track_no + 1 AS BIGINT) AS track_id,
+        |  CASE c WHEN 0 THEN 'vide' WHEN 1 THEN 'soun' ELSE 'text' END
+        |    AS handler,
+        |  CASE c WHEN 0 THEN 'avc1' WHEN 1 THEN 'mp4a' ELSE 'tx3g' END
+        |    AS codec,
+        |  CASE lg WHEN 0 THEN 'eng' WHEN 1 THEN 'deu' WHEN 2 THEN 'jpn'
+        |    ELSE 'und' END AS language,
+        |  CAST(CASE c WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 48000 END
+        |    AS BIGINT) AS timescale,
+        |  CAST(secs * 1000 AS BIGINT) AS duration_ms
+        |FROM t ORDER BY media_id, track_no""".stripMargin
   )
 }

@@ -1074,6 +1074,139 @@ object Multimodal {
         duration * 1000L / timescale, tracks)
     }
 
+    /** One track's metadata: id + duration from tkhd/mdhd, the
+      * ISO-639-2 language packed in mdhd, handler type (vide/soun/
+      * text/sbtl) from hdlr, and the first stsd sample-entry fourcc
+      * (the codec a transcoding pipeline dispatches on).
+      */
+    final case class Mp4Track(trackId: Long, handler: String,
+        codec: String, language: String, timescale: Long,
+        durationMs: Long)
+
+    /** Child boxes of `[start,end)` as (type, bodyStart, bodyEnd). */
+    private def children(id: Long, b: Array[Byte], start: Int,
+        end: Int): Seq[(String, Int, Int)] = {
+      val out = Seq.newBuilder[(String, Int, Int)]
+      var c = start
+      while (c + 8 <= end) {
+        val cs = u32(b, c)
+        val ct = tag(b, c + 4)
+        require(cs >= 8 && cs <= (end - c).toLong,
+          s"media $id: corrupt box '$ct' size $cs at $c")
+        out += ((ct, c + 8, c + cs.toInt))
+        c += cs.toInt
+      }
+      out.result()
+    }
+
+    private def child(id: Long, b: Array[Byte], start: Int, end: Int,
+        name: String): Option[(Int, Int)] =
+      children(id, b, start, end).collectFirst {
+        case (t, s, e) if t == name => (s, e)
+      }
+
+    /** Per-track metadata walk: moov/trak/(tkhd, mdia/(mdhd, hdlr,
+      * minf/stbl/stsd)).
+      */
+    def tracks(id: Long, bytes: Array[Byte]): Seq[Mp4Track] = {
+      require(bytes.length >= 16 && tag(bytes, 4) == "ftyp",
+        s"media $id: not an ISO BMFF container (no ftyp)")
+      val (moovS, moovE) = child(id, bytes, 0, bytes.length, "moov")
+        .getOrElse(fail(id, "missing moov box"))
+      children(id, bytes, moovS, moovE).collect {
+        case ("trak", ts, te) =>
+          val (tkS, _) = child(id, bytes, ts, te, "tkhd")
+            .getOrElse(fail(id, "trak without tkhd"))
+          require(bytes(tkS) == 0, s"media $id: only tkhd version 0 supported")
+          val trackId = u32(bytes, tkS + 12)
+          val (mdS, mdE) = child(id, bytes, ts, te, "mdia")
+            .getOrElse(fail(id, "trak without mdia"))
+          val (mhS, _) = child(id, bytes, mdS, mdE, "mdhd")
+            .getOrElse(fail(id, "mdia without mdhd"))
+          require(bytes(mhS) == 0, s"media $id: only mdhd version 0 supported")
+          val timescale = u32(bytes, mhS + 12)
+          val duration = u32(bytes, mhS + 16)
+          require(timescale > 0, s"media $id: mdhd timescale 0")
+          val langBits = ((bytes(mhS + 20) & 0xff) << 8) | (bytes(mhS + 21) & 0xff)
+          val language = new String(Array(
+            (0x60 + ((langBits >> 10) & 0x1f)).toChar,
+            (0x60 + ((langBits >> 5) & 0x1f)).toChar,
+            (0x60 + (langBits & 0x1f)).toChar))
+          val (hdS, _) = child(id, bytes, mdS, mdE, "hdlr")
+            .getOrElse(fail(id, "mdia without hdlr"))
+          val handler = tag(bytes, hdS + 8)
+          val codec = (for {
+            (mnS, mnE) <- child(id, bytes, mdS, mdE, "minf")
+            (sbS, sbE) <- child(id, bytes, mnS, mnE, "stbl")
+            (sdS, sdE) <- child(id, bytes, sbS, sbE, "stsd")
+          } yield {
+            require(u32(bytes, sdS + 4) >= 1, s"media $id: empty stsd")
+            tag(bytes, sdS + 12) // first sample entry's fourcc
+          }).getOrElse(fail(id, "trak without an stsd sample entry"))
+          Mp4Track(trackId, handler, codec, language, timescale,
+            duration * 1000L / timescale)
+      }
+    }
+
+    private def fail(id: Long, msg: String): Nothing =
+      throw new IllegalArgumentException(s"media $id: $msg")
+
+    private def fullBox(name: String, body: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(8 + body.length)
+      out.putInt(8 + body.length).put(name.getBytes("US-ASCII")).put(body)
+      out.array()
+    }
+
+    /** Synthesize an MP4 with REAL track structure: per track a
+      * (handler, codecFourcc, language, timescale, duration) tuple
+      * becomes trak/tkhd + mdia/(mdhd with packed language, hdlr,
+      * minf/stbl/stsd with one sample entry).
+      */
+    def synthesizeTracks(movieTimescale: Int, movieDuration: Int,
+        specs: Seq[(String, String, String, Int, Int)]): Array[Byte] = {
+      val traks = specs.zipWithIndex.map {
+        case ((handler, codec, lang, timescale, duration), i) =>
+          val tkhd = java.nio.ByteBuffer.allocate(84)
+          tkhd.putInt(0x00000007) // version 0 + enabled flags
+            .putInt(0).putInt(0) // times
+            .putInt(i + 1).putInt(0) // track_ID + reserved
+            .putInt(duration)
+          tkhd.putLong(0L) // reserved
+          tkhd.putShort(0).putShort(0).putShort(0).putShort(0)
+          Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+            .foreach(tkhd.putInt)
+          tkhd.putInt(0).putInt(0) // width/height
+          val langBits = ((lang(0) - 0x60) << 10) |
+            ((lang(1) - 0x60) << 5) | (lang(2) - 0x60)
+          val mdhd = java.nio.ByteBuffer.allocate(24)
+          mdhd.putInt(0).putInt(0).putInt(0)
+            .putInt(timescale).putInt(duration)
+            .putShort(langBits.toShort).putShort(0)
+          val hdlr = java.nio.ByteBuffer.allocate(25)
+          hdlr.putInt(0).putInt(0).put(handler.getBytes("US-ASCII"))
+            .putInt(0).putInt(0).putInt(0).put(0.toByte) // empty name
+          val entry = java.nio.ByteBuffer.allocate(16)
+          entry.putInt(16).put(codec.getBytes("US-ASCII"))
+            .putInt(0).putShort(0).putShort(1) // reserved + data_ref_idx
+          val stsdBody = java.nio.ByteBuffer.allocate(8 + 16)
+          stsdBody.putInt(0).putInt(1).put(entry.array())
+          val stbl = fullBox("stbl", fullBox("stsd", stsdBody.array()))
+          val minf = fullBox("minf", stbl)
+          val mdia = fullBox("mdia",
+            fullBox("mdhd", mdhd.array()) ++
+              fullBox("hdlr", hdlr.array()) ++ minf)
+          fullBox("trak", fullBox("tkhd", tkhd.array()) ++ mdia)
+      }
+      val base = synthesize(movieTimescale, movieDuration, 0)
+      // splice the traks inside moov: rebuild moov with them appended
+      val moovStart = 16 // after the 16-byte ftyp
+      val moovSize = u32(base, moovStart).toInt
+      val moovBody = java.util.Arrays.copyOfRange(base,
+        moovStart + 8, moovStart + moovSize)
+      val ftyp = java.util.Arrays.copyOfRange(base, 0, 16)
+      ftyp ++ fullBox("moov", moovBody ++ traks.flatten.toArray)
+    }
+
     /** Synthesize a minimal structurally-valid MP4: ftyp(isom) +
       * moov(mvhd v0 + `nTracks` empty trak boxes).
       */

@@ -467,6 +467,25 @@ class CorpusPrepSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 3L && p._3 > 0L))
   }
 
+  test("Mp4Codec.tracks: tkhd/mdhd/hdlr/stsd metadata round-trips") {
+    import graft.operators.Multimodal.Mp4Codec
+    val mp4 = Mp4Codec.synthesizeTracks(1000, 9000, Seq(
+      ("vide", "avc1", "eng", 600, 1800),
+      ("soun", "mp4a", "deu", 48000, 96000),
+      ("text", "tx3g", "und", 1000, 2500)))
+    val ts = Mp4Codec.tracks(1L, mp4)
+    assert(ts.map(t => (t.trackId, t.handler, t.codec, t.language,
+      t.timescale, t.durationMs)) == Seq(
+      (1L, "vide", "avc1", "eng", 600L, 3000L),
+      (2L, "soun", "mp4a", "deu", 48000L, 2000L),
+      (3L, "text", "tx3g", "und", 1000L, 2500L)))
+    // the container-level probe still agrees on the track count
+    assert(Mp4Codec.parse(1L, mp4).n_tracks == 3)
+    val e = intercept[IllegalArgumentException](
+      Mp4Codec.tracks(2L, Mp4Codec.synthesize(900, 1000, 1)))
+    assert(e.getMessage.contains("media 2")) // bare trak: no tkhd
+  }
+
   test("Mp4Codec: probe roundtrip, sniff dispatch, malformed rejection") {
     import graft.operators.Multimodal
     import Multimodal.Mp4Codec
