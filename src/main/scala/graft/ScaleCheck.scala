@@ -124,8 +124,10 @@ object Sf1Check {
     val prior: Map[String, (Double, Double, Double)] =
       if (java.nio.file.Files.exists(path)) {
         val txt = java.nio.file.Files.readString(path)
-        val re = ("\"([^\"]+)\":\\{\"sf01_sec\":(-?[0-9.]+)," +
-          "\"sf1_sec\":(-?[0-9.]+),\"ratio\":(-?[0-9.]+)\\}").r
+        // tolerate whitespace after colons: older files were written
+        // by json.dump-style tooling with spaces
+        val re = ("\"([^\"]+)\":\\s*\\{\"sf01_sec\":\\s*(-?[0-9.]+)," +
+          "\\s*\"sf1_sec\":\\s*(-?[0-9.]+),\\s*\"ratio\":\\s*(-?[0-9.]+)\\}").r
         re.findAllMatchIn(txt).map(m => m.group(1) ->
           (m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble))
           .toMap

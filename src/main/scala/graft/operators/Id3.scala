@@ -100,11 +100,20 @@ object Id3 {
     nulSplit(body, enc).map(new String(_, cs)).mkString("/")
   }
 
+  /** v2.2 3-char frame ids → their v2.3 names, so consumers see one
+    * vocabulary (old MP3s in the wild really do carry v2.2).
+    */
+  private val V22Names = Map(
+    "TT2" -> "TIT2", "TP1" -> "TPE1", "TP2" -> "TPE2", "TAL" -> "TALB",
+    "TYE" -> "TYER", "TRK" -> "TRCK", "TCO" -> "TCON", "TEN" -> "TENC",
+    "COM" -> "COMM", "TXX" -> "TXXX")
+
   /** Parse the ID3v2 tag at the head of `b`; None when absent. */
   def parse(id: Long, b: Array[Byte]): Option[Id3Tag] = {
     if (b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3')
       return None
     val majVer = b(3) & 0xff
+    if (majVer == 2) return Some(parseV22(id, b))
     if (majVer != 3 && majVer != 4)
       fail(id, s"unsupported ID3v2.$majVer tag")
     val flags = b(5) & 0xff
@@ -160,6 +169,52 @@ object Id3 {
       }
     }
     Some(Id3Tag(s"2.$majVer", texts.result(), others.result()))
+  }
+
+  /** v2.2: 3-char frame ids, 3-byte plain sizes, no frame flags.
+    * Only encodings 0/1 exist at this version.
+    */
+  private def parseV22(id: Long, b: Array[Byte]): Id3Tag = {
+    val flags = b(5) & 0xff
+    val tagSize = syncsafe(b, 6)
+    if (10 + tagSize > b.length) fail(id, "ID3 tag overruns the file")
+    var body = java.util.Arrays.copyOfRange(b, 10, 10 + tagSize)
+    if ((flags & 0x80) != 0) body = resync(body)
+    val texts = Seq.newBuilder[(String, String)]
+    val others = Seq.newBuilder[(String, Int)]
+    var o = 0
+    var done = false
+    while (!done && o + 6 <= body.length) {
+      if (body(o) == 0) done = true // padding
+      else {
+        val raw = new String(body, o, 3,
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        require(raw.forall(c => c.isUpper || c.isDigit),
+          s"media $id: bad ID3v2.2 frame id '$raw' at $o")
+        val size = ((body(o + 3) & 0xff) << 16) |
+          ((body(o + 4) & 0xff) << 8) | (body(o + 5) & 0xff)
+        require(size >= 0 && o + 6 + size <= body.length,
+          s"media $id: ID3v2.2 frame $raw overruns the tag")
+        val name = V22Names.getOrElse(raw, raw)
+        val from = o + 6
+        val until = from + size
+        if (name == "TXXX") {
+          texts += name -> text(id, body, from, until).replaceFirst("/", ":")
+        } else if (raw.startsWith("T")) {
+          texts += name -> text(id, body, from, until)
+        } else if (name == "COMM") {
+          require(size >= 4, s"media $id: COM frame too short")
+          val lang = new String(body, from + 1, 3,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val synth = Array(body(from)) ++
+            java.util.Arrays.copyOfRange(body, from + 4, until)
+          val v = text(id, synth, 0, synth.length).replaceFirst("/", ":")
+          texts += name -> s"$lang/$v"
+        } else others += name -> size
+        o = until
+      }
+    }
+    Id3Tag("2.2", texts.result(), others.result())
   }
 
   // --- fixture writer ------------------------------------------------

@@ -117,9 +117,12 @@ object Subtitles {
     }
   }
 
-  /** Sniff + parse either format from raw bytes (UTF-8 text). */
+  /** Sniff + parse either format from raw bytes (UTF-8 text; a
+    * leading BOM is tolerated in both formats).
+    */
   def parse(id: Long, b: Array[Byte]): (String, Seq[Cue]) = {
     val text = new String(b, java.nio.charset.StandardCharsets.UTF_8)
+      .stripPrefix("\uFEFF")
     if (isWebVtt(b)) ("vtt", parseVtt(id, text))
     else ("srt", parseSrt(id, text))
   }

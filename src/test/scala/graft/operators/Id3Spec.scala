@@ -72,6 +72,35 @@ class Id3Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("bad ID3 frame id"))
   }
 
+  test("ID3v2.2: 3-char frame ids map into the v2.3 vocabulary") {
+    val body = new java.io.ByteArrayOutputStream()
+    def frame(fid: String, value: String): Unit = {
+      val payload = Array(0.toByte) ++ value.getBytes("ISO-8859-1")
+      body.write(fid.getBytes("ISO-8859-1"), 0, 3)
+      body.write((payload.length >> 16) & 0xff)
+      body.write((payload.length >> 8) & 0xff)
+      body.write(payload.length & 0xff)
+      body.write(payload, 0, payload.length)
+    }
+    frame("TT2", "Old Title")
+    frame("TP1", "Old Artist")
+    frame("TAL", "Old Album")
+    frame("TYE", "1997")
+    val bb = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(2); out.write(0); out.write(0)
+    out.write((bb.length >> 21) & 0x7f); out.write((bb.length >> 14) & 0x7f)
+    out.write((bb.length >> 7) & 0x7f); out.write(bb.length & 0x7f)
+    out.write(bb, 0, bb.length)
+    val p = Id3.parse(8L, out.toByteArray).get
+    assert(p.version == "2.2")
+    assert(p.first("TIT2").contains("Old Title"))
+    assert(p.first("TPE1").contains("Old Artist"))
+    assert(p.first("TALB").contains("Old Album"))
+    assert(p.first("TYER").contains("1997"))
+  }
+
   test("Xing header: music-frame count and duration; absent => None") {
     val tag = Id3.synthesize(Seq("TIT2" -> "t"), v24 = true, encoding = 3)
     val withX = Mp3Codec.synthesizeVbr(Seq(3, 9, 14, 5), srIdx = 0,

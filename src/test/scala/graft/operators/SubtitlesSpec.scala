@@ -41,6 +41,13 @@ class SubtitlesSpec extends AnyFunSuite {
     assert(got == under)
   }
 
+  test("SRT with a leading BOM parses (common editor output)") {
+    val bytes = Subtitles.writeSrt(cues.take(2))
+    val bom = Array(0xef, 0xbb, 0xbf).map(_.toByte) ++ bytes
+    val (fmt, got) = Subtitles.parse(7L, bom)
+    assert(fmt == "srt" && got == cues.take(2))
+  }
+
   test("inline cue timestamps and voice tags are stripped") {
     val txt = "WEBVTT\n\n00:00:00.000 --> 00:00:02.000\n" +
       "<v Roger>Karaoke <00:00:01.000>middle</v> end\n"
