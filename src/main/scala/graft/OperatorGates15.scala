@@ -12,6 +12,43 @@ object OperatorGates15 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Shared mini-crawl for the cdxfetch gates: 240 pages (content key
+    * ck makes epoch-2/late batches mostly duplicate digests) across 4
+    * member-per-record .warc.gz files written to `warcDir`, returning
+    * CDX rows (url digest filename offset length seq) over the REAL
+    * member offsets. The oracle replays ck + the min-d winner rule.
+    */
+  private def buildMiniCrawl(s: SparkSession, dir: String,
+      warcDir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.WarcCodec
+    val ds = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 240).as[Long].collect().sorted
+    def ck(d: Long): Long =
+      if (d >= 120 && d % 3 == 0) 40 + d % 40 else d % 40
+    def payload(d: Long): String = {
+      val c = ck(d)
+      s"<html><p>page c$c body w${c * 7 % 50}</p></html>"
+    }
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(warcDir))
+    val rows = (0 until 4).flatMap { f =>
+      val members = ds.filter(_ % 4 == f).toSeq
+      val pages = members.map(d =>
+        (s"https://site$d.example/p", payload(d).getBytes("UTF-8")))
+      val (bytes, idx) = WarcCodec.writeResponsesIndexed(pages)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$warcDir/crawl-$f.warc.gz"), bytes)
+      members.zip(idx).zip(pages).map {
+        case ((d, (uri, off, len)), (_, pl)) =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(pl).map(b => f"${b & 0xff}%02x").mkString
+          (uri, digest, s"crawl-$f.warc.gz", off, len, d)
+      }
+    }
+    rows.toDF("url", "digest", "filename", "offset", "length", "seq")
+  }
+
   def queries15: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- REAL FLAC decode (FlacAudio): per-doc PCM from a formula
@@ -239,37 +276,10 @@ object OperatorGates15 {
     //     byte ranges; a third run is a watermark no-op. Oracle =
     //     full recompute of the digest ledger ------------------------
     "q_cdxfetch_job" -> ((s, dir) => {
-      import s.implicits._
-      import graft.operators.WarcCodec
       import graft.runner.JobConfig
       val tmp = java.nio.file.Files.createTempDirectory("q_cdxfetch").toString
-      val ds = t(s, dir, "documents").select(col("doc_id"))
-        .filter(col("doc_id") < 240).as[Long].collect().sorted
-      def ck(d: Long): Long =
-        if (d >= 120 && d % 3 == 0) 40 + d % 40 else d % 40
-      def payload(d: Long): String = {
-        val c = ck(d)
-        s"<html><p>page c$c body w${c * 7 % 50}</p></html>"
-      }
       val warcDir = s"$tmp/warc"
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(warcDir))
-      val rows = (0 until 4).flatMap { f =>
-        val members = ds.filter(_ % 4 == f).toSeq
-        val pages = members.map(d =>
-          (s"https://site$d.example/p", payload(d).getBytes("UTF-8")))
-        val (bytes, idx) = WarcCodec.writeResponsesIndexed(pages)
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$warcDir/crawl-$f.warc.gz"), bytes)
-        members.zip(idx).zip(pages).map {
-          case ((d, (uri, off, len)), (_, pl)) =>
-            val digest = java.security.MessageDigest.getInstance("MD5")
-              .digest(pl).map(b => f"${b & 0xff}%02x").mkString
-            (uri, digest, s"crawl-$f.warc.gz", off, len, d)
-        }
-      }
-      val cdx = rows
-        .toDF("url", "digest", "filename", "offset", "length", "seq")
+      val cdx = buildMiniCrawl(s, dir, warcDir)
       val props = JobConfig.parse(
         s"""job.type=cdxfetch
            |job.name=cdxfetch_gate
@@ -607,6 +617,50 @@ object OperatorGates15 {
         .toDF("media_id", "track_no", "track_id", "handler", "codec",
           "language", "timescale", "duration_ms")
         .orderBy(col("media_id"), col("track_no"))
+    }),
+
+    // --- STREAMING CDX consumption (foreachBatch + the same
+    //     CdxIndex.ledgerMerge the batch job uses): three
+    //     micro-batches of CDX rows in arrival order, each batch
+    //     range-reading only its genuinely new content into the
+    //     digest-sharded ledger — streaming delivery must converge to
+    //     the identical ledger as a full recompute (same oracle as
+    //     q_cdxfetch_job) -----------------------------------------
+    "q_stream_cdxfetch" -> ((s, dir) => {
+      import graft.operators.CdxIndex
+      import graft.streaming.StreamingIngest
+      val tmp = java.nio.file.Files
+        .createTempDirectory("q_stream_cdxf").toString
+      val warcDir = s"$tmp/warc"
+      val cdx = buildMiniCrawl(s, dir, warcDir)
+      val inDir = java.nio.file.Files.createTempDirectory("q_stream_cdxf_in")
+      val now = System.currentTimeMillis()
+      OperatorGates8.stageFile(cdx.filter(col("seq") < 80),
+        inDir, "b1.parquet", now - 180000)
+      OperatorGates8.stageFile(
+        cdx.filter(col("seq") >= 80 && col("seq") < 160),
+        inDir, "b2.parquet", now - 120000)
+      OperatorGates8.stageFile(cdx.filter(col("seq") >= 160),
+        inDir, "b3.parquet", now - 60000)
+      val table = new graft.sink.ShardedTable(s"$tmp/ledger", "shard",
+        s.sparkContext.hadoopConfiguration)
+      val stream = StreamingIngest.readFileStream(s, cdx.schema,
+        inDir.toString, maxFilesPerTrigger = Some(1))
+      val q = stream.writeStream
+        .foreachBatch { (delta: DataFrame, _: Long) =>
+          val hasCurrent = table.currentVersion.isDefined
+          val (merged, touched) = CdxIndex.ledgerMerge(s, table,
+            hasCurrent, delta, warcDir, "seq", maxGap = 512L, nShards = 8)
+          table.commit(merged, touched)
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      table.readCurrent(s)
+        .select(col("digest"), col("url"), col("seq"), col("n_chars"))
+        .orderBy(col("digest"))
     })
   )
 
@@ -722,6 +776,26 @@ object OperatorGates15 {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cdxfetch_job" ->
+      """WITH d AS (
+        |  SELECT doc_id AS d FROM documents WHERE doc_id < 240),
+        |c AS (
+        |  SELECT d, CASE WHEN d >= 120 AND d % 3 = 0
+        |    THEN 40 + d % 40 ELSE d % 40 END AS ck FROM d),
+        |p AS (
+        |  SELECT d, ck,
+        |    '<html><p>page c' || ck || ' body w' || (ck * 7 % 50) ||
+        |      '</p></html>' AS payload
+        |  FROM c),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY ck ORDER BY d) AS rn
+        |  FROM p)
+        |SELECT md5(payload) AS digest,
+        |  'https://site' || d || '.example/p' AS url,
+        |  CAST(d AS BIGINT) AS seq,
+        |  CAST(length(payload) AS BIGINT) AS n_chars
+        |FROM w WHERE rn = 1 ORDER BY digest""".stripMargin,
+
+    "q_stream_cdxfetch" ->
       """WITH d AS (
         |  SELECT doc_id AS d FROM documents WHERE doc_id < 240),
         |c AS (

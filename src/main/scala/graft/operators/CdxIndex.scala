@@ -125,6 +125,57 @@ object CdxIndex {
         col("n_records"))
   }
 
+  /** One CDX delta's ledger step — shared by `job.type=cdxfetch` and
+    * its streaming face: dedup the delta by content digest, anti-join
+    * the digest-sharded ledger over the delta's candidate shards only
+    * (never the whole table), coalesce byte ranges and [[fetchRanges]]
+    * just the genuinely new content, then merge the fetched documents
+    * with the touched shards' existing rows. Returns (merged rows,
+    * touched shard ids) in the incremental-publish contract's shape.
+    */
+  def ledgerMerge(spark: org.apache.spark.sql.SparkSession,
+      table: graft.sink.ShardedTable, hasCurrent: Boolean,
+      delta: DataFrame, warcDir: String, seqCol: String,
+      maxGap: Long, nShards: Int): (DataFrame, Seq[String]) = {
+    val deduped = dedupByDigest(delta)
+      .withColumn("shard", pmod(xxhash64(col("digest")), lit(nShards)))
+    val candidates = deduped.select("shard").distinct()
+      .collect().map(_.getLong(0).toString).toSeq // <= nShards values
+    val fresh0 =
+      if (!hasCurrent) deduped
+      else deduped.join(
+        table.readPartitions(spark, candidates).select("digest").distinct(),
+        Seq("digest"), "left_anti")
+    // deterministic one-capture-per-url winner (a URL may carry
+    // several digests across recrawls in one delta)
+    val urlWin = Window.partitionBy(col("url"))
+      .orderBy(col("filename"), col("offset"))
+    val fresh = fresh0
+      .withColumn("_rn", row_number().over(urlWin))
+      .filter(col("_rn") === 1).drop("_rn")
+    val touched = fresh.select("shard").distinct()
+      .collect().map(_.getLong(0).toString).toSeq
+    val plan = coalesceRanges(
+      fresh.select("filename", "offset", "length"), maxGap)
+    val fetched = fetchRanges(spark, warcDir, plan)
+    // ranges cover skipped neighbors too: the url join keeps exactly
+    // the fresh winners
+    val docs = fresh
+      .select(col("url"), col("digest"), col("shard"),
+        col(seqCol).cast("long").as("seq"))
+      .join(fetched.select(col("target_uri").as("url"),
+        col("payload_text").as("text")), Seq("url"))
+      .select(col("url"), col("digest"), col("seq"),
+        length(col("text")).cast("long").as("n_chars"),
+        col("text"), col("shard"))
+    val merged =
+      if (!hasCurrent) docs
+      else table.readPartitions(spark, touched)
+        .select("url", "digest", "seq", "n_chars", "text", "shard")
+        .unionByName(docs)
+    (merged, touched)
+  }
+
   /** Execute a fetch plan against a store of member-per-record
     * .warc.gz files: every plan row becomes ONE bounded seek-read of
     * `[range_start, range_end)` — never a whole-file read, the

@@ -900,45 +900,8 @@ object JobConfig {
         val cdxSeqCol = opt(p, "cdx.seq").getOrElse("seq")
         incrementalShardedPublish(spark, p, kind = "cdxfetch", cdxSeqCol,
           partCol = "shard") { (table, hasCurrent, delta) =>
-            val deduped = CdxIndex.dedupByDigest(delta)
-              .withColumn("shard", pmod(xxhash64(col("digest")), lit(nShards)))
-            val candidates = deduped.select("shard").distinct()
-              .collect().map(_.getLong(0).toString).toSeq // <= nShards values
-            val fresh0 =
-              if (!hasCurrent) deduped
-              else deduped.join(
-                table.readPartitions(spark, candidates)
-                  .select("digest").distinct(),
-                Seq("digest"), "left_anti")
-            // deterministic one-capture-per-url winner (a URL may
-            // carry several digests across recrawls in one delta)
-            val urlWin = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("url"))
-              .orderBy(col("filename"), col("offset"))
-            val fresh = fresh0
-              .withColumn("_rn", row_number().over(urlWin))
-              .filter(col("_rn") === 1).drop("_rn")
-            val touched = fresh.select("shard").distinct()
-              .collect().map(_.getLong(0).toString).toSeq
-            val plan = CdxIndex.coalesceRanges(
-              fresh.select("filename", "offset", "length"), maxGap)
-            val fetched = CdxIndex.fetchRanges(spark, warcDir, plan)
-            // ranges cover skipped neighbors too: the url join keeps
-            // exactly the fresh winners
-            val docs = fresh
-              .select(col("url"), col("digest"), col("shard"),
-                col(cdxSeqCol).cast("long").as("seq"))
-              .join(fetched.select(col("target_uri").as("url"),
-                col("payload_text").as("text")), Seq("url"))
-              .select(col("url"), col("digest"), col("seq"),
-                length(col("text")).cast("long").as("n_chars"),
-                col("text"), col("shard"))
-            val merged =
-              if (!hasCurrent) docs
-              else table.readPartitions(spark, touched)
-                .select("url", "digest", "seq", "n_chars", "text", "shard")
-                .unionByName(docs)
-            (merged, touched)
+            CdxIndex.ledgerMerge(spark, table, hasCurrent, delta,
+              warcDir, cdxSeqCol, maxGap, nShards)
         }
 
       case "dag" =>
