@@ -661,6 +661,38 @@ object OperatorGates15 {
       table.readCurrent(s)
         .select(col("digest"), col("url"), col("seq"), col("n_chars"))
         .orderBy(col("digest"))
+    }),
+
+    // --- WAV bit depths (WavCodec): real corpora are not all 16-bit
+    //     — 8-bit unsigned-centered, 24-bit and 32-bit little-endian
+    //     PCM round-trip through the depth-generic writer/parser;
+    //     the oracle replays the amplitude formula and the exact
+    //     integer mean arithmetic per depth --------------------------
+    "q_wav_depths" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val bits = Array(8, 16, 24, 32)((d % 4).toInt)
+          val amp = bits match {
+            case 8 => 100; case 16 => 9000; case 24 => 4000000
+            case _ => 100000000
+          }
+          val channels = (1 + d % 2).toInt
+          val n = (100 + (d % 7) * 13).toInt
+          val pcm = Array.tabulate(n * channels) { i =>
+            (((i / channels + 7).toLong * (d % 25 + 3) * 2203 + (i % channels) * 911)
+              % (2L * amp + 1)).toInt - amp
+          }
+          val wav = Multimodal.WavCodec.synthesizeDepth(8000, channels,
+            bits, pcm)
+          val f = Multimodal.WavCodec.parse(d, wav)
+          (d, f.bits.toLong, f.n_channels.toLong, f.n_samples,
+            f.duration_us, f.mean_abs_amp)
+        })
+        .toDF("media_id", "bits", "channels", "n_samples", "duration_us",
+          "mean_abs_amp")
+        .orderBy(col("media_id"))
     })
   )
 
@@ -794,6 +826,29 @@ object OperatorGates15 {
         |  CAST(d AS BIGINT) AS seq,
         |  CAST(length(payload) AS BIGINT) AS n_chars
         |FROM w WHERE rn = 1 ORDER BY digest""".stripMargin,
+
+    "q_wav_depths" ->
+      """WITH d AS (
+        |  SELECT doc_id AS d,
+        |    CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 24
+        |      ELSE 32 END AS bits,
+        |    CASE doc_id % 4 WHEN 0 THEN 100 WHEN 1 THEN 9000
+        |      WHEN 2 THEN 4000000 ELSE 100000000 END AS amp,
+        |    1 + doc_id % 2 AS ch,
+        |    100 + (doc_id % 7) * 13 AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT d, bits, ch, n,
+        |    list_transform(range(0, n * ch), i ->
+        |      abs(((i // ch + 7) * (d % 25 + 3) * 2203 + (i % ch) * 911)
+        |        % (2 * amp + 1) - amp)) AS a
+        |  FROM d)
+        |SELECT d AS media_id, CAST(bits AS BIGINT) AS bits,
+        |  CAST(ch AS BIGINT) AS channels,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(n * 1000000 // 8000 AS BIGINT) AS duration_us,
+        |  CAST(list_sum(a) AS DOUBLE) / (n * ch) AS mean_abs_amp
+        |FROM s ORDER BY media_id""".stripMargin,
 
     "q_stream_cdxfetch" ->
       """WITH d AS (

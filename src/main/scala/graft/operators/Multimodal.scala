@@ -160,14 +160,33 @@ object Multimodal {
         off += 8 + cl.toInt + (cl.toInt & 1) // word-aligned; always >= 8 forward
       }
       require(rate > 0 && dataOff >= 0, s"media $id: missing fmt/data chunk")
-      require(bits == 16, s"media $id: only 16-bit PCM supported, got $bits")
-      require(channels > 0 && blockAlign == channels * 2, // PCM16: blockAlign = channels * bits/8
-        s"media $id: blockAlign $blockAlign inconsistent with $channels ch x 16-bit")
+      require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
+        s"media $id: unsupported PCM depth $bits")
+      require(channels > 0 && blockAlign == channels * (bits / 8),
+        s"media $id: blockAlign $blockAlign inconsistent with $channels ch x $bits-bit")
       WavMeta(rate, channels, bits, dataOff, dataLen / blockAlign)
     }
 
+    /** Sample `i` (interleaved index) as a SIGNED amplitude at the
+      * stored depth: 8-bit WAV is unsigned-centered (v - 128), wider
+      * depths are little-endian two's complement — the RIFF spec's
+      * convention per depth.
+      */
+    private def sampleAt(bytes: Array[Byte], m: WavMeta, i: Int): Int = {
+      val w = m.bits / 8
+      val o = m.dataOff + i * w
+      m.bits match {
+        case 8 => (bytes(o) & 0xff) - 128
+        case 16 => (u16(bytes, o) << 16) >> 16
+        case 24 => (((bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+          ((bytes(o + 2) & 0xff) << 16)) << 8) >> 8
+        case _ => (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+          ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      }
+    }
+
     /** Parse a PCM WAV: [[meta]] + per-sample mean |amplitude| over
-      * little-endian 16-bit mono/stereo PCM.
+      * little-endian PCM at any supported depth (8/16/24/32).
       */
     def parse(id: Long, bytes: Array[Byte]): WavFeatures = {
       val m = meta(id, bytes)
@@ -175,8 +194,7 @@ object Multimodal {
       var i = 0
       val frames = m.nSamples.toInt * m.channels
       while (i < frames) {
-        val s = (u16(bytes, m.dataOff + i * 2) << 16) >> 16 // sign-extend LE i16
-        sum += math.abs(s).toLong
+        sum += math.abs(sampleAt(bytes, m, i).toLong)
         i += 1
       }
       WavFeatures(id, m.rate, m.channels, m.bits, m.nSamples,
@@ -204,6 +222,8 @@ object Multimodal {
     def resample(id: Long, bytes: Array[Byte], outRate: Int): Array[Byte] = {
       require(outRate > 0, s"media $id: bad target rate $outRate")
       val m = meta(id, bytes)
+      require(m.bits == 16,
+        s"media $id: resample supports 16-bit PCM, got ${m.bits}")
       val outN = (m.nSamples * outRate / m.rate).toInt
       val out = Array.tabulate[Short](outN * m.channels) { k =>
         val j = k / m.channels // output frame
@@ -232,6 +252,40 @@ object Multimodal {
         .putShort((channels * 2).toShort).putShort(16)
         .put("data".getBytes("US-ASCII")).putInt(dataSize)
       interleaved.foreach(buf.putShort)
+      buf.array()
+    }
+
+    /** Depth-generic synthesis: interleaved SIGNED amplitudes stored
+      * at `bits` (8-bit written unsigned-centered, wider depths
+      * little-endian two's complement — [[sampleAt]]'s inverse).
+      */
+    def synthesizeDepth(sampleRate: Int, channels: Int, bits: Int,
+        interleaved: Array[Int]): Array[Byte] = {
+      require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
+        s"unsupported PCM depth $bits")
+      require(channels >= 1 && interleaved.length % channels == 0,
+        s"interleaved length ${interleaved.length} not a multiple of $channels")
+      val w = bits / 8
+      val dataSize = interleaved.length * w
+      val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+        .putInt(sampleRate * channels * w)
+        .putShort((channels * w).toShort).putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataSize)
+      interleaved.foreach { v =>
+        bits match {
+          case 8 => buf.put((v + 128).toByte)
+          case 16 => buf.putShort(v.toShort)
+          case 24 =>
+            buf.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+              .put(((v >> 16) & 0xff).toByte)
+          case _ => buf.putInt(v)
+        }
+      }
       buf.array()
     }
   }
@@ -553,6 +607,8 @@ object Multimodal {
 
   private def fingerprintWavBytes(id: Long, bytes: Array[Byte]): Long = {
     val m = WavCodec.meta(id, bytes)
+    require(m.bits == 16,
+      s"media $id: audio fingerprint needs 16-bit PCM, got ${m.bits}")
     val n = (m.nSamples * m.channels).toInt
     energyFingerprint(id, n, { t =>
       val o = m.dataOff + 2 * t
