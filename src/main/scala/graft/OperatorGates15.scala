@@ -693,6 +693,40 @@ object OperatorGates15 {
         .toDF("media_id", "bits", "channels", "n_samples", "duration_us",
           "mean_abs_amp")
         .orderBy(col("media_id"))
+    }),
+
+    // --- ASR-prep audio curation (WavCodec.trimSilence + segment):
+    //     recordings padded with sub-threshold noise on both ends are
+    //     trimmed to the loud middle by exact integer cuts, then
+    //     chunked into fixed 25-frame windows (short tail kept);
+    //     16- and 24-bit, mono and stereo. Oracle replays the cut
+    //     indices, window arithmetic and the trimmed mean ----------
+    "q_audio_trim_segment" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.Multimodal.WavCodec
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val padL = (10 + d % 7).toInt
+          val padR = (5 + d % 4).toInt
+          val loud = (60 + (d % 5) * 10).toInt
+          val ch = (1 + d % 2).toInt
+          val bits = if (d % 3 == 0) 24 else 16
+          val n = padL + loud + padR
+          def frameV(i: Int): Int =
+            if (i < padL || i >= padL + loud) (i % 40) - 20
+            else 100 + ((d + i * 13L) % 5000).toInt
+          val pcm = Array.tabulate(n * ch)(k => frameV(k / ch))
+          val wav = WavCodec.synthesizeDepth(8000, ch, bits, pcm)
+          val trimmed = WavCodec.trimSilence(d, wav, threshold = 50)
+          val f = WavCodec.parse(d, trimmed)
+          val segs = WavCodec.segment(d, trimmed, windowFrames = 25)
+          val lastFrames = WavCodec.parse(d, segs.last._2).n_samples
+          (d, n.toLong, f.n_samples, segs.length.toLong, lastFrames,
+            f.mean_abs_amp)
+        })
+        .toDF("media_id", "n_orig", "n_trimmed", "n_windows",
+          "last_window_frames", "mean_abs")
+        .orderBy(col("media_id"))
     })
   )
 
@@ -848,6 +882,26 @@ object OperatorGates15 {
         |  CAST(n AS BIGINT) AS n_samples,
         |  CAST(n * 1000000 // 8000 AS BIGINT) AS duration_us,
         |  CAST(list_sum(a) AS DOUBLE) / (n * ch) AS mean_abs_amp
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    "q_audio_trim_segment" ->
+      """WITH d AS (
+        |  SELECT doc_id AS d,
+        |    10 + doc_id % 7 AS padl, 5 + doc_id % 4 AS padr,
+        |    60 + (doc_id % 5) * 10 AS loud
+        |  FROM documents),
+        |s AS (
+        |  SELECT d, padl, padr, loud,
+        |    list_transform(range(padl, padl + loud), i ->
+        |      100 + (d + i * 13) % 5000) AS a
+        |  FROM d)
+        |SELECT d AS media_id,
+        |  CAST(padl + loud + padr AS BIGINT) AS n_orig,
+        |  CAST(loud AS BIGINT) AS n_trimmed,
+        |  CAST((loud + 24) // 25 AS BIGINT) AS n_windows,
+        |  CAST(loud - ((loud + 24) // 25 - 1) * 25 AS BIGINT)
+        |    AS last_window_frames,
+        |  CAST(list_sum(a) AS DOUBLE) / loud AS mean_abs
         |FROM s ORDER BY media_id""".stripMargin,
 
     "q_stream_cdxfetch" ->

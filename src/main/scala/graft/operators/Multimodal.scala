@@ -288,6 +288,59 @@ object Multimodal {
       }
       buf.array()
     }
+
+    /** Strip leading/trailing silence — the ASR-prep trim: a frame is
+      * silent when EVERY channel's |amplitude| is <= `threshold`; the
+      * kept range runs from the first to the last non-silent frame
+      * (inclusive). All-silent input yields a zero-frame WAV. Exact
+      * integer cuts, so oracles replay them from the sample formula.
+      * Works at every supported depth.
+      */
+    def trimSilence(id: Long, bytes: Array[Byte],
+        threshold: Int): Array[Byte] = {
+      require(threshold >= 0, s"media $id: negative threshold")
+      val m = meta(id, bytes)
+      val nF = m.nSamples.toInt
+      def loud(frame: Int): Boolean = {
+        var c = 0
+        while (c < m.channels) {
+          if (math.abs(sampleAt(bytes, m, frame * m.channels + c).toLong)
+            > threshold) return true
+          c += 1
+        }
+        false
+      }
+      var first = 0
+      while (first < nF && !loud(first)) first += 1
+      var last = nF - 1
+      while (last >= first && !loud(last)) last -= 1
+      val kept = math.max(0, last - first + 1)
+      val out = Array.tabulate(kept * m.channels)(k =>
+        sampleAt(bytes, m, (first + k / m.channels) * m.channels
+          + k % m.channels))
+      synthesizeDepth(m.rate, m.channels, m.bits, out)
+    }
+
+    /** Fixed-window segmentation — the ASR-prep chunker: frames split
+      * into windows of `windowFrames` (the last window may be short;
+      * empty windows never emitted), each window re-encoded as its
+      * own WAV. Returns (window index, window WAV bytes).
+      */
+    def segment(id: Long, bytes: Array[Byte],
+        windowFrames: Int): Seq[(Int, Array[Byte])] = {
+      require(windowFrames > 0, s"media $id: bad window $windowFrames")
+      val m = meta(id, bytes)
+      val nF = m.nSamples.toInt
+      val nW = (nF + windowFrames - 1) / windowFrames
+      (0 until nW).map { w =>
+        val from = w * windowFrames
+        val until = math.min(nF, from + windowFrames)
+        val out = Array.tabulate((until - from) * m.channels)(k =>
+          sampleAt(bytes, m, (from + k / m.channels) * m.channels
+            + k % m.channels))
+        (w, synthesizeDepth(m.rate, m.channels, m.bits, out))
+      }
+    }
   }
 
   /** Resample every row's audio to `outRate` and report the RESAMPLED
