@@ -373,6 +373,28 @@ object JobConfig {
         // pre-existing audit columns would make the join ambiguous
         df.drop(bytesCol, "modality", "had_gps").join(scrubbed, idCol)
       }
+      case "trimAudio" => (df: DataFrame) => {
+        // ASR-prep silence trim over a binary WAV column: leading and
+        // trailing sub-threshold frames cut, other columns carried
+        val idCol = req(p, "op.trimAudio.idColumn")
+        val bytesCol = req(p, "op.trimAudio.bytesColumn")
+        val threshold = opt(p, "op.trimAudio.threshold")
+          .map(_.toInt).getOrElse(0)
+        val spark = df.sparkSession
+        import spark.implicits._
+        val idNum = col(idCol).cast("long")
+        val trimmed = df.select(
+          when(idNum.isNull, raise_error(concat(
+            lit(s"op.trimAudio: id column '$idCol' not numeric: "),
+            col(idCol).cast("string")))).otherwise(idNum).as("_id"),
+          col(bytesCol))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, c) =>
+            (id, graft.operators.Multimodal.WavCodec
+              .trimSilence(id, c, threshold))
+          }).toDF(idCol, bytesCol)
+        df.drop(bytesCol).join(trimmed, idCol)
+      }
       case "extractDocText" => (df: DataFrame) => {
         // sniff-dispatched text extraction over a binary payload
         // column: PDFs through PdfText, DOCX/ODT containers through

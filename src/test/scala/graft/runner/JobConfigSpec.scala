@@ -159,6 +159,26 @@ class JobConfigSpec extends SparkSpec {
     assert(!out(1).getAs[Boolean]("had_gps"))
   }
 
+  test("declarative trimAudio op cuts silence, carries other columns") {
+    import spark.implicits._
+    val conf =
+      """ops=trimAudio
+        |op.trimAudio.idColumn=id
+        |op.trimAudio.bytesColumn=audio
+        |op.trimAudio.threshold=50
+        |""".stripMargin
+    val ops = JobConfig.buildOps(JobConfig.parse(conf))
+    val wav = graft.operators.Multimodal.WavCodec.synthesizeDepth(
+      8000, 1, 16,
+      Array.fill(10)(5) ++ Array.fill(30)(900) ++ Array.fill(7)(-3))
+    val df = Seq((1L, "keep-me", wav)).toDF("id", "label", "audio")
+    val out = ops.foldLeft(df)((d, op) => op(d)).collect().head
+    assert(out.getAs[String]("label") == "keep-me")
+    val f = graft.operators.Multimodal.WavCodec.parse(1L,
+      out.getAs[Array[Byte]]("audio"))
+    assert(f.n_samples == 30 && f.mean_abs_amp == 900.0)
+  }
+
   test("declarative lmFilter + temperatureResample + zorderKey ops") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
