@@ -727,6 +727,51 @@ object OperatorGates15 {
         .toDF("media_id", "n_orig", "n_trimmed", "n_windows",
           "last_window_frames", "mean_abs")
         .orderBy(col("media_id"))
+    }),
+
+    // --- TIFF privacy scrub (TiffScrub): gray TIFFs planted with
+    //     Artist/DateTime strings and a GPS sub-IFD in both byte
+    //     orders; the surgical scrub must flag and remove all of it
+    //     with pixels byte-identical — proven by re-decoding scrubbed
+    //     bytes against the pixel formula and asserting the planted
+    //     strings and GPS are gone --------------------------------
+    "q_tiff_scrub" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{Multimodal, TiffCodec, TiffScrub}
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val w = 16 + (d % 3).toInt * 8
+          val h = 8 + (d % 2).toInt * 4
+          val px = Array.tabulate(w * h)(i => ((d * 11 + i) % 256).toByte)
+          val plain = TiffCodec.encode(w, h, 1, px,
+            compression = if (d % 2 == 0) 5 else 1,
+            bigEndian = d % 4 < 2)
+          (d, TiffScrub.withPrivacyTags(d, plain,
+            artist = s"secret-artist-$d",
+            dateTime = "2026:07:15 12:30:45",
+            gps = if (d % 2 == 0) Some(((40000 + d * 31 % 9000).toInt,
+              (9000 + d * 17 % 7000).toInt)) else None))
+        }).toDF("media_id", "content")
+      Multimodal.scrubExifGps(media).toDF()
+        .select(col("media_id"), col("modality"), col("had_gps"),
+          col("content"))
+        .as[(Long, String, Boolean, Array[Byte])]
+        .mapPartitions(_.map { case (id, m, hadGps, c) =>
+          val img = TiffCodec.decode(id, c)
+          var sum = 0L
+          img.pixels.foreach(p => sum += (p & 0xff))
+          val txt = new String(c,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          require(!txt.contains("secret-artist") && !txt.contains("2026:07"),
+            s"media $id: scrub left metadata text behind")
+          require(!TiffScrub.hasGps(id, c),
+            s"media $id: scrub left GPS behind")
+          (id, m, hadGps, img.pixels.length.toLong,
+            sum.toDouble / img.pixels.length)
+        })
+        .toDF("media_id", "modality", "had_gps", "n_pixels",
+          "mean_intensity")
+        .orderBy(col("media_id"))
     })
   )
 
@@ -903,6 +948,19 @@ object OperatorGates15 {
         |    AS last_window_frames,
         |  CAST(list_sum(a) AS DOUBLE) / loud AS mean_abs
         |FROM s ORDER BY media_id""".stripMargin,
+
+    "q_tiff_scrub" ->
+      """WITH d AS (
+        |  SELECT doc_id, 16 + (doc_id % 3) * 8 AS w,
+        |    8 + (doc_id % 2) * 4 AS h
+        |  FROM documents)
+        |SELECT doc_id AS media_id, 'image/tiff' AS modality,
+        |  doc_id % 2 = 0 AS had_gps,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(list_transform(range(0, w * h), i ->
+        |    (doc_id * 11 + i) % 256)) AS DOUBLE) / (w * h)
+        |    AS mean_intensity
+        |FROM d ORDER BY media_id""".stripMargin,
 
     "q_stream_cdxfetch" ->
       """WITH d AS (

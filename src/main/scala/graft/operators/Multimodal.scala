@@ -824,6 +824,9 @@ object Multimodal {
           case m @ "image/png" =>
             ScrubbedMedia(id, m, PngCodec.exifHasGps(id, c),
               PngCodec.stripMetadata(id, c))
+          case m @ "image/tiff" =>
+            ScrubbedMedia(id, m, TiffScrub.hasGps(id, c),
+              TiffScrub.scrub(id, c))
           case m =>
             ScrubbedMedia(id, m, had_gps = false, c)
         }
