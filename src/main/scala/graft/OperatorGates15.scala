@@ -772,6 +772,38 @@ object OperatorGates15 {
         .toDF("media_id", "modality", "had_gps", "n_pixels",
           "mean_intensity")
         .orderBy(col("media_id"))
+    }),
+
+    // --- AIFF probe (AiffCodec): the big-endian PCM container older
+    //     corpora carry beside WAV — 80-bit extended sample rates
+    //     parsed exactly, signed samples at 8/16/24 bits; the oracle
+    //     replays the amplitude formula and the integer duration ----
+    "q_aiff_probe" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.AiffCodec
+      t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val bits = Array(8, 16, 24)((d % 3).toInt)
+          val amp = bits match {
+            case 8 => 100; case 16 => 9000; case _ => 4000000
+          }
+          val rate = Array(8000, 44100, 22050, 11025)((d % 4).toInt)
+          val ch = (1 + d % 2).toInt
+          val n = (90 + (d % 6) * 17).toInt
+          val pcm = Array.tabulate(n * ch) { i =>
+            (((i / ch + 7).toLong * (d % 25 + 3) * 2203 + (i % ch) * 911)
+              % (2L * amp + 1)).toInt - amp
+          }
+          val aiff = AiffCodec.synthesize(rate, ch, bits, pcm)
+          require(graft.operators.Multimodal.sniffModality(aiff)
+            == "audio/aiff", s"media $d: AIFF not sniffed")
+          val a = AiffCodec.parse(d, aiff)
+          (d, a.sampleRate.toLong, a.channels.toLong, a.bits.toLong,
+            a.nFrames, a.durationUs, a.meanAbsAmp)
+        })
+        .toDF("media_id", "sample_rate", "channels", "bits", "n_frames",
+          "duration_us", "mean_abs_amp")
+        .orderBy(col("media_id"))
     })
   )
 
@@ -961,6 +993,31 @@ object OperatorGates15 {
         |    (doc_id * 11 + i) % 256)) AS DOUBLE) / (w * h)
         |    AS mean_intensity
         |FROM d ORDER BY media_id""".stripMargin,
+
+    "q_aiff_probe" ->
+      """WITH d AS (
+        |  SELECT doc_id AS d,
+        |    CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END
+        |      AS bits,
+        |    CASE doc_id % 3 WHEN 0 THEN 100 WHEN 1 THEN 9000
+        |      ELSE 4000000 END AS amp,
+        |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 44100
+        |      WHEN 2 THEN 22050 ELSE 11025 END AS rate,
+        |    1 + doc_id % 2 AS ch,
+        |    90 + (doc_id % 6) * 17 AS n
+        |  FROM documents),
+        |s AS (
+        |  SELECT d, bits, rate, ch, n,
+        |    list_transform(range(0, n * ch), i ->
+        |      abs(((i // ch + 7) * (d % 25 + 3) * 2203 + (i % ch) * 911)
+        |        % (2 * amp + 1) - amp)) AS a
+        |  FROM d)
+        |SELECT d AS media_id, CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(ch AS BIGINT) AS channels, CAST(bits AS BIGINT) AS bits,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(n * 1000000 // rate AS BIGINT) AS duration_us,
+        |  CAST(list_sum(a) AS DOUBLE) / (n * ch) AS mean_abs_amp
+        |FROM s ORDER BY media_id""".stripMargin,
 
     "q_stream_cdxfetch" ->
       """WITH d AS (

@@ -211,6 +211,138 @@ object Mp3Codec {
   }
 }
 
+/** AIFF (Audio IFF) — the big-endian PCM container older corpora
+  * carry beside RIFF/WAVE: FORM/AIFF chunks, the COMM chunk's sample
+  * rate stored as an 80-bit IEEE 754 extended float (parsed exactly:
+  * sign/15-bit exponent/64-bit mantissa with the explicit integer
+  * bit), SSND with offset/blockSize, big-endian signed samples at
+  * 8/16/24/32 bits. Same loud-failure and per-payload executor
+  * contract as WavCodec.
+  */
+object AiffCodec {
+
+  final case class AiffInfo(
+      sampleRate: Int, channels: Int, bits: Int, nFrames: Long,
+      durationUs: Long, meanAbsAmp: Double)
+
+  def isAiff(b: Array[Byte]): Boolean =
+    b.length >= 12 && b(0) == 'F' && b(1) == 'O' && b(2) == 'R' &&
+      b(3) == 'M' && b(8) == 'A' && b(9) == 'I' && b(10) == 'F' &&
+      b(11) == 'F'
+
+  private def fail(id: Long, msg: String): Nothing =
+    throw new IllegalArgumentException(s"media $id: $msg")
+
+  private def u16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def u32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  /** 80-bit extended float at `o` → integer sample rate (audio rates
+    * are whole numbers; a non-integral or absurd rate fails loudly).
+    */
+  private[operators] def extended80(id: Long, b: Array[Byte], o: Int): Int = {
+    val sign = (b(o) & 0x80) != 0
+    val exp = ((b(o) & 0x7f) << 8) | (b(o + 1) & 0xff)
+    var mant = 0L
+    var i = 0
+    while (i < 8) { mant = (mant << 8) | (b(o + 2 + i) & 0xffL); i += 1 }
+    if (sign || exp == 0 || mant == 0) fail(id, "bad AIFF sample rate")
+    // value = mantissa * 2^(exp - 16383 - 63); integral when the
+    // shift keeps all set mantissa bits
+    val shift = exp - 16383 - 63
+    val rate =
+      if (shift >= 0) mant << shift
+      else {
+        if ((mant & ((1L << -shift) - 1)) != 0)
+          fail(id, "non-integral AIFF sample rate")
+        mant >>> -shift // logical: the explicit integer bit is bit 63
+      }
+    if (rate <= 0 || rate > 1000000) fail(id, s"absurd AIFF rate $rate")
+    rate.toInt
+  }
+
+  def parse(id: Long, b: Array[Byte]): AiffInfo = {
+    if (!isAiff(b)) fail(id, "not an AIFF (no FORM/AIFF)")
+    var off = 12
+    var channels = -1; var nFrames = -1L; var bits = -1; var rate = -1
+    var dataOff = -1; var dataLen = 0L
+    while (off + 8 <= b.length) {
+      val ct = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val cl = u32(b, off + 4)
+      if (cl < 0 || off + 8 + cl > b.length)
+        fail(id, s"chunk '$ct' size $cl overruns the file at $off")
+      if (ct == "COMM") {
+        if (cl < 18) fail(id, s"COMM chunk too short ($cl)")
+        channels = u16(b, off + 8)
+        nFrames = u32(b, off + 10)
+        bits = u16(b, off + 14)
+        rate = extended80(id, b, off + 16)
+      } else if (ct == "SSND") {
+        if (cl < 8) fail(id, s"SSND chunk too short ($cl)")
+        val dOff = u32(b, off + 8) // extra offset before sound data
+        dataOff = (off + 16 + dOff).toInt
+        dataLen = cl - 8 - dOff
+      }
+      off += 8 + cl.toInt + (cl.toInt & 1) // chunks are word-aligned
+    }
+    if (channels <= 0 || rate <= 0) fail(id, "missing COMM chunk")
+    if (dataOff < 0) fail(id, "missing SSND chunk")
+    require(bits == 8 || bits == 16 || bits == 24 || bits == 32,
+      s"media $id: unsupported AIFF depth $bits")
+    val w = bits / 8
+    require(dataLen >= nFrames * channels * w,
+      s"media $id: SSND holds $dataLen bytes < $nFrames x $channels x $w")
+    var sum = 0L
+    var i = 0
+    val total = (nFrames * channels).toInt
+    while (i < total) {
+      val o = dataOff + i * w
+      // big-endian signed at any width (8-bit AIFF is SIGNED,
+      // unlike WAV's unsigned-centered convention)
+      var v = b(o).toInt // sign-extended leading byte
+      var k = 1
+      while (k < w) { v = (v << 8) | (b(o + k) & 0xff); k += 1 }
+      sum += math.abs(v.toLong)
+      i += 1
+    }
+    AiffInfo(rate, channels, bits, nFrames,
+      nFrames * 1000000L / rate,
+      if (total == 0) 0.0 else sum.toDouble / total)
+  }
+
+  /** Synthesize a canonical AIFF: FORM/AIFF + COMM (with the exact
+    * 80-bit extended rate) + SSND, big-endian signed samples.
+    */
+  def synthesize(sampleRate: Int, channels: Int, bits: Int,
+      interleaved: Array[Int]): Array[Byte] = {
+    require(bits == 8 || bits == 16 || bits == 24 || bits == 32)
+    require(channels >= 1 && interleaved.length % channels == 0)
+    val w = bits / 8
+    val nFrames = interleaved.length / channels
+    val ssndLen = 8 + interleaved.length * w
+    val formLen = 4 + (8 + 18) + (8 + ssndLen)
+    val buf = java.nio.ByteBuffer.allocate(8 + formLen) // big-endian default
+    buf.put("FORM".getBytes("US-ASCII")).putInt(formLen)
+      .put("AIFF".getBytes("US-ASCII"))
+    buf.put("COMM".getBytes("US-ASCII")).putInt(18)
+      .putShort(channels.toShort).putInt(nFrames).putShort(bits.toShort)
+    // 80-bit extended: exponent chosen so mantissa = rate << 63-e
+    val nbits = 64 - java.lang.Long.numberOfLeadingZeros(sampleRate.toLong)
+    val exp = 16383 + nbits - 1
+    val mant = sampleRate.toLong << (64 - nbits)
+    buf.putShort(exp.toShort).putLong(mant)
+    buf.put("SSND".getBytes("US-ASCII")).putInt(ssndLen)
+      .putInt(0).putInt(0) // offset + blockSize
+    interleaved.foreach { v =>
+      var k = w - 1
+      while (k >= 0) { buf.put(((v >> (8 * k)) & 0xff).toByte); k -= 1 }
+    }
+    buf.array()
+  }
+}
+
 object FlacCodec {
 
   final case class FlacInfo(

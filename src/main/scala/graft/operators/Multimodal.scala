@@ -1392,6 +1392,7 @@ object Multimodal {
     else if (FlacCodec.isFlac(bytes)) "audio/flac"
     else if (Subtitles.isWebVtt(bytes)) "text/vtt"
     else if (OggCodec.isOgg(bytes)) "audio/ogg"
+    else if (AiffCodec.isAiff(bytes)) "audio/aiff"
     // after image/jpeg: an MP3 frame sync is FF Ex/Fx, never FF D8
     else if (Mp3Codec.isMp3(bytes)) "audio/mpeg"
     else if (graft.functions.ZstdBytes.isZstd(bytes)) "application/zstd"
@@ -1610,6 +1611,10 @@ object Multimodal {
             // = final granule (PCM samples), mean_val = duration ms
             val g = OggCodec.parse(id, bytes)
             MediaAuto(id, m, g.lastGranule, g.durationMs.toDouble)
+          case m @ "audio/aiff" =>
+            // big-endian PCM sibling of the WAV parse shape
+            val a = AiffCodec.parse(id, bytes)
+            MediaAuto(id, m, a.nFrames, a.meanAbsAmp)
           case m @ "text/vtt" =>
             // transcript probe: n_units = cues, mean_val = voiced ms
             val (_, cues) = Subtitles.parse(id, bytes)

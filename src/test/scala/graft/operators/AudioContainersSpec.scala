@@ -88,4 +88,26 @@ class AudioContainersSpec extends graft.SparkSpec {
     assert(rows(1).n_units === 44100L)
     assert(rows(1).mean_val === 2000.0) // 44100 samples at 22050 Hz
   }
+
+  test("AIFF: round-trip at all depths, 80-bit rates, loud failures") {
+    for ((bits, amp) <- Seq((8, 100), (16, 9000), (24, 4000000))) {
+      val pcm = Array.tabulate(120)(i => ((i * 37) % (2 * amp + 1)) - amp)
+      val aiff = AiffCodec.synthesize(11025, 1, bits, pcm)
+      val a = AiffCodec.parse(1L, aiff)
+      assert(a.sampleRate == 11025 && a.bits == bits && a.nFrames == 120)
+      val want = pcm.map(v => math.abs(v.toLong)).sum.toDouble / 120
+      assert(a.meanAbsAmp == want)
+    }
+    // stereo + the 44100 extended-float encoding
+    val st = Array.tabulate(64)(i => if (i % 2 == 0) 500 else -300)
+    val a2 = AiffCodec.parse(2L, AiffCodec.synthesize(44100, 2, 16, st))
+    assert(a2.channels == 2 && a2.sampleRate == 44100 && a2.nFrames == 32)
+    assert(a2.durationUs == 32L * 1000000 / 44100)
+    // corruption: truncated SSND fails loudly
+    val full = AiffCodec.synthesize(8000, 1, 16, Array.fill(50)(7))
+    val e = intercept[IllegalArgumentException](
+      AiffCodec.parse(3L, full.take(full.length - 10)))
+    assert(e.getMessage.contains("media 3"))
+    assert(!AiffCodec.isAiff("RIFFxxxxWAVE".getBytes))
+  }
 }
