@@ -696,6 +696,12 @@ object FlacAudio {
         while (i < order) { w.writeBits(s(i) & maskOf(bps), bps); i += 1 }
         val res = fixedResidual(s, order)
         writeResidual(w, res, order, n, partitionOrder)
+      case "lpc" if lpc.exists(_.coefs.length >= n) =>
+        // a short last block cannot hold the LPC warmup: verbatim
+        w.writeBits(1, 6)
+        w.writeBit(0)
+        var i = 0
+        while (i < n) { w.writeBits(s(i) & maskOf(bps), bps); i += 1 }
       case "lpc" =>
         val p = lpc.getOrElse(throw new IllegalArgumentException(
           "subframe=lpc requires LpcSpec"))
