@@ -177,6 +177,12 @@ object OperatorGates10 {
           "-o", enc.resolve(s"$id.gpg").toString, "--encrypt",
           pt.toString) == 0, s"gpg encrypt failed for doc $id")
       }
+      // each per-run temp homedir spawns its OWN gpg-agent; left
+      // running they accumulate across rounds until the user's
+      // inotify-instance limit kills unrelated tooling (observed: 82
+      // stale agents). Decryption below is pure-JCE — the agent is
+      // fixture-only, kill it with the fixture.
+      sh("gpgconf", "--homedir", home.toString, "--kill", "gpg-agent")
       s.read.format("binaryFile").load(s"$enc/*.gpg")
         .select(regexp_extract(col("path"), "(\\d+)\\.gpg$", 1)
           .cast("long").as("doc_id"), col("content"))

@@ -16,7 +16,13 @@ object OperatorGates15 {
     * ck makes epoch-2/late batches mostly duplicate digests) across 4
     * member-per-record .warc.gz files written to `warcDir`, returning
     * CDX rows (url digest filename offset length seq) over the REAL
-    * member offsets. The oracle replays ck + the min-d winner rule.
+    * member offsets. Every url of a doc < 40 additionally gets a
+    * RECAPTURE (fresh content, seq 240+d) written IMMEDIATELY after
+    * its original member — so each epoch's coalesced byte ranges
+    * decode the OTHER epoch's capture of the same URL as a neighbor,
+    * and the fetched-row join-back is only correct when keyed on the
+    * record's (filename, offset) identity, never on url. The oracle
+    * replays ck + the min-d winner rule + the recapture rows.
     */
   private def buildMiniCrawl(s: SparkSession, dir: String,
       warcDir: String): DataFrame = {
@@ -34,20 +40,63 @@ object OperatorGates15 {
       java.nio.file.Paths.get(warcDir))
     val rows = (0 until 4).flatMap { f =>
       val members = ds.filter(_ % 4 == f).toSeq
-      val pages = members.map(d =>
-        (s"https://site$d.example/p", payload(d).getBytes("UTF-8")))
-      val (bytes, idx) = WarcCodec.writeResponsesIndexed(pages)
+      val pages: Seq[(String, Array[Byte], Long)] = members.flatMap { d =>
+        val orig = (s"https://site$d.example/p",
+          payload(d).getBytes("UTF-8"), d)
+        if (d < 40)
+          Seq(orig, (s"https://site$d.example/p",
+            s"<html><p>recrawl r$d body</p></html>".getBytes("UTF-8"),
+            240 + d))
+        else Seq(orig)
+      }
+      val (bytes, idx) = WarcCodec.writeResponsesIndexed(
+        pages.map(p => (p._1, p._2)))
       java.nio.file.Files.write(
         java.nio.file.Paths.get(s"$warcDir/crawl-$f.warc.gz"), bytes)
-      members.zip(idx).zip(pages).map {
-        case ((d, (uri, off, len)), (_, pl)) =>
-          val digest = java.security.MessageDigest.getInstance("MD5")
-            .digest(pl).map(b => f"${b & 0xff}%02x").mkString
-          (uri, digest, s"crawl-$f.warc.gz", off, len, d)
+      pages.zip(idx).map { case ((uri, pl, seqv), (_, off, len)) =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(pl).map(b => f"${b & 0xff}%02x").mkString
+        (uri, digest, s"crawl-$f.warc.gz", off, len, seqv)
       }
     }
     rows.toDF("url", "digest", "filename", "offset", "length", "seq")
   }
+
+  /** Full-recompute digest-ledger oracle shared by q_cdxfetch_job and
+    * q_stream_cdxfetch: the ck winner rows (min-d per content key)
+    * plus the recapture rows of [[buildMiniCrawl]].
+    */
+  private val cdxLedgerOracle: String =
+    """WITH d AS (
+      |  SELECT doc_id AS d FROM documents WHERE doc_id < 240),
+      |c AS (
+      |  SELECT d, CASE WHEN d >= 120 AND d % 3 = 0
+      |    THEN 40 + d % 40 ELSE d % 40 END AS ck FROM d),
+      |p AS (
+      |  SELECT d, ck,
+      |    '<html><p>page c' || ck || ' body w' || (ck * 7 % 50) ||
+      |      '</p></html>' AS payload
+      |  FROM c),
+      |w AS (
+      |  SELECT *, row_number() OVER (PARTITION BY ck ORDER BY d) AS rn
+      |  FROM p),
+      |orig AS (
+      |  SELECT md5(payload) AS digest,
+      |    'https://site' || d || '.example/p' AS url,
+      |    CAST(d AS BIGINT) AS seq,
+      |    CAST(length(payload) AS BIGINT) AS n_chars
+      |  FROM w WHERE rn = 1),
+      |rec AS (
+      |  SELECT md5('<html><p>recrawl r' || d || ' body</p></html>')
+      |      AS digest,
+      |    'https://site' || d || '.example/p' AS url,
+      |    CAST(240 + d AS BIGINT) AS seq,
+      |    CAST(length('<html><p>recrawl r' || d || ' body</p></html>')
+      |      AS BIGINT) AS n_chars
+      |  FROM d WHERE d < 40)
+      |SELECT digest, url, seq, n_chars
+      |FROM (SELECT * FROM orig UNION ALL SELECT * FROM rec) u
+      |ORDER BY digest""".stripMargin
 
   def queries15: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -136,20 +185,25 @@ object OperatorGates15 {
         .orderBy(col("fixture"))
     }),
 
-    // --- WHATWG charset sniff in the WARC chain (CharsetSniff): six
+    // --- WHATWG charset sniff in the WARC chain (CharsetSniff): nine
     //     page shapes per doc — meta charset (quoted + unquoted),
     //     http-equiv, a latin1 header label that must resolve to
     //     windows-1252 (euro at 0x80), a BOM overriding a WRONG
-    //     header, an undeclared cp1252 fallback, and a commented-out
-    //     decoy meta — each round-tripped through a real WARC
-    //     response record; the oracle replays the expected charset
-    //     and the exact decoded text --------------------------------
+    //     header, an undeclared cp1252 fallback, a commented-out
+    //     decoy meta, plus the ATTRIBUTE-LEVEL decoys only a real
+    //     prescan tokenizer survives: `charset=` inside an unrelated
+    //     meta's content VALUE (no pragma -> ignored), a
+    //     `data-charset` attribute NAME, a quoted `>` inside an
+    //     earlier tag's attribute, and a pragma meta with its
+    //     content= BEFORE http-equiv= — each round-tripped through a
+    //     real WARC response record; the oracle replays the expected
+    //     charset and the exact decoded text -------------------------
     "q_charset_sniff" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.{CharsetSniff, WarcCodec}
       t(s, dir, "documents").select(col("doc_id")).as[Long]
         .mapPartitions(_.map { d =>
-          val k = (d % 6).toInt
+          val k = (d % 9).toInt
           val (bodyBytes, ct) = k match {
             case 0 => (("<!-- <meta charset=\"koi8-r\"> -->" +
               s"<meta charset=\"utf-8\"><p>naïve café №$d</p>")
@@ -164,8 +218,19 @@ object OperatorGates15 {
             case 4 => (Array(0xef, 0xbb, 0xbf).map(_.toByte) ++
               s"<p>bom wins ☃$d</p>".getBytes("UTF-8"),
               "text/html; charset=shift_jis")
-            case _ => (s"<p>fall™back$d</p>".getBytes("windows-1252"),
+            case 5 => (s"<p>fall™back$d</p>".getBytes("windows-1252"),
               "text/html")
+            case 6 => (("<meta name=\"description\" " +
+              "content=\"see charset=koi8-r docs\">" +
+              s"<meta charset=\"utf-8\"><p>naïve №$d</p>")
+              .getBytes("UTF-8"), "text/html")
+            case 7 => (("<meta data-charset=\"koi8-r\" name=\"x\">" +
+              s"<meta charset='greek'><p>αβγ$d</p>")
+              .getBytes("ISO-8859-7"), "text/html")
+            case _ => (("<img alt=\"a > charset=big5\" src=i>" +
+              "<meta content=\"text/html; charset=ibm866\" " +
+              s"http-equiv=\"content-type\"><p>Тест$d</p>")
+              .getBytes("IBM866"), "text/html")
           }
           val warc = WarcCodec.writeResponsesWithContentType(
             Seq((s"https://ex.com/$d", bodyBytes, ct)))
@@ -227,7 +292,11 @@ object OperatorGates15 {
       val plan = IcebergMeta.planPositionDeletes(s, s"$tmp/t",
         docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"),
         joinCols = Seq("doc_id"))
-      IcebergMeta.mirrorPositionDeletes(s, table, plan)
+      // tiny maxRowsPerDeleteFile forces a MULTI-FILE delete snapshot:
+      // the sharded (repartitionByRange) write path and the reader's
+      // union over several delete files are what a mass purge uses
+      IcebergMeta.mirrorPositionDeletes(s, table, plan,
+        maxRowsPerDeleteFile = 8)
       // snapshot 3: shard 0 rewritten — its new files outrank the
       // delete's sequence number, so the purge no longer masks them
       val v2 = table.commit(docs.filter(col("shard") === 0),
@@ -295,10 +364,56 @@ object OperatorGates15 {
       require(r1("published") == "true", s"epoch 1 failed: $r1")
       cdx.filter(col("seq") >= 120).write.mode("append").parquet(s"$tmp/src")
       val r2 = JobConfig.runAny(s, props)
-      require(r2("published") == "true" && r2("highWatermark") == "239",
+      require(r2("published") == "true" && r2("highWatermark") == "279",
         s"epoch 2 failed: $r2")
       val r3 = JobConfig.runAny(s, props)
       require(r3("published") == "false", s"empty epoch must be a no-op: $r3")
+      new graft.sink.ShardedTable(s"$tmp/ledger", "shard",
+          s.sparkContext.hadoopConfiguration)
+        .readCurrent(s)
+        .select(col("digest"), col("url"), col("seq"), col("n_chars"))
+        .orderBy(col("digest"))
+    }),
+
+    // --- fetch-time politeness in the cdxfetch chain (cdx.robotsPath
+    //     -> Robots.filterAllowed BEFORE digest dedup): domains with
+    //     d%9==7 publish Disallow:/ (their captures must never be
+    //     fetched — not even as a digest winner another URL's content
+    //     rides on, so ck winners SHIFT to the next allowed capture:
+    //     the candidates ck/ck+40/ck+80 differ mod 9),
+    //     d%9==3 publish a non-matching Disallow:/q (stays allowed —
+    //     path matching, not domain blanket). One epoch carries
+    //     originals AND recaptures, so the per-url winner and the
+    //     (filename,offset) join-back are exercised together. Oracle
+    //     replays the robots filter + the shifted winner rule --------
+    "q_cdxfetch_robots" -> ((s, dir) => {
+      import s.implicits._
+      import graft.runner.JobConfig
+      val tmp = java.nio.file.Files
+        .createTempDirectory("q_cdxrobots").toString
+      val warcDir = s"$tmp/warc"
+      val cdx = buildMiniCrawl(s, dir, warcDir)
+      (0L until 240L)
+        .map(d => (s"site$d.example",
+          if (d % 9 == 7) "User-agent: *\nDisallow: /"
+          else if (d % 9 == 3) "User-agent: *\nDisallow: /q"
+          else "User-agent: *\nAllow: /"))
+        .toDF("domain", "content")
+        .write.parquet(s"$tmp/robots")
+      val props = JobConfig.parse(
+        s"""job.type=cdxfetch
+           |job.name=cdxfetch_robots_gate
+           |source.path=$tmp/src
+           |cdx.warcDir=$warcDir
+           |cdx.maxGap=512
+           |cdx.shards=8
+           |cdx.robotsPath=$tmp/robots
+           |sink.output=$tmp/ledger
+           |state.dir=$tmp/wm
+           |""".stripMargin)
+      cdx.write.mode("append").parquet(s"$tmp/src")
+      val r1 = JobConfig.runAny(s, props)
+      require(r1("published") == "true", s"epoch failed: $r1")
       new graft.sink.ShardedTable(s"$tmp/ledger", "shard",
           s.sparkContext.hadoopConfiguration)
         .readCurrent(s)
@@ -865,16 +980,21 @@ object OperatorGates15 {
 
     "q_charset_sniff" ->
       """SELECT doc_id,
-        |  CASE doc_id % 6 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
+        |  CASE doc_id % 9 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'windows-1252'
         |    WHEN 2 THEN 'shift_jis' WHEN 3 THEN 'windows-1251'
-        |    WHEN 4 THEN 'utf-8' ELSE 'windows-1252' END AS charset,
-        |  CASE doc_id % 6
+        |    WHEN 4 THEN 'utf-8' WHEN 5 THEN 'windows-1252'
+        |    WHEN 6 THEN 'utf-8' WHEN 7 THEN 'iso-8859-7'
+        |    ELSE 'ibm866' END AS charset,
+        |  CASE doc_id % 9
         |    WHEN 0 THEN '<!-- <meta charset="koi8-r"> --><meta charset="utf-8"><p>naïve café №' || doc_id || '</p>'
         |    WHEN 1 THEN '<p>euro €' || doc_id || '</p>'
         |    WHEN 2 THEN '<meta http-equiv="Content-Type" content="text/html; charset=shift_jis"><p>テスト' || doc_id || '</p>'
         |    WHEN 3 THEN '<meta charset=windows-1251><p>Привет' || doc_id || '</p>'
         |    WHEN 4 THEN '<p>bom wins ☃' || doc_id || '</p>'
-        |    ELSE '<p>fall™back' || doc_id || '</p>' END AS text
+        |    WHEN 5 THEN '<p>fall™back' || doc_id || '</p>'
+        |    WHEN 6 THEN '<meta name="description" content="see charset=koi8-r docs"><meta charset="utf-8"><p>naïve №' || doc_id || '</p>'
+        |    WHEN 7 THEN '<meta data-charset="koi8-r" name="x"><meta charset=''greek''><p>αβγ' || doc_id || '</p>'
+        |    ELSE '<img alt="a > charset=big5" src=i><meta content="text/html; charset=ibm866" http-equiv="content-type"><p>Тест' || doc_id || '</p>' END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_epub_extract" ->
@@ -919,11 +1039,15 @@ object OperatorGates15 {
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cdxfetch_job" ->
+      cdxLedgerOracle,
+
+    "q_cdxfetch_robots" ->
       """WITH d AS (
         |  SELECT doc_id AS d FROM documents WHERE doc_id < 240),
+        |a AS (SELECT d FROM d WHERE d % 9 <> 7),
         |c AS (
         |  SELECT d, CASE WHEN d >= 120 AND d % 3 = 0
-        |    THEN 40 + d % 40 ELSE d % 40 END AS ck FROM d),
+        |    THEN 40 + d % 40 ELSE d % 40 END AS ck FROM a),
         |p AS (
         |  SELECT d, ck,
         |    '<html><p>page c' || ck || ' body w' || (ck * 7 % 50) ||
@@ -1020,24 +1144,7 @@ object OperatorGates15 {
         |FROM s ORDER BY media_id""".stripMargin,
 
     "q_stream_cdxfetch" ->
-      """WITH d AS (
-        |  SELECT doc_id AS d FROM documents WHERE doc_id < 240),
-        |c AS (
-        |  SELECT d, CASE WHEN d >= 120 AND d % 3 = 0
-        |    THEN 40 + d % 40 ELSE d % 40 END AS ck FROM d),
-        |p AS (
-        |  SELECT d, ck,
-        |    '<html><p>page c' || ck || ' body w' || (ck * 7 % 50) ||
-        |      '</p></html>' AS payload
-        |  FROM c),
-        |w AS (
-        |  SELECT *, row_number() OVER (PARTITION BY ck ORDER BY d) AS rn
-        |  FROM p)
-        |SELECT md5(payload) AS digest,
-        |  'https://site' || d || '.example/p' AS url,
-        |  CAST(d AS BIGINT) AS seq,
-        |  CAST(length(payload) AS BIGINT) AS n_chars
-        |FROM w WHERE rn = 1 ORDER BY digest""".stripMargin,
+      cdxLedgerOracle,
 
     "q_id3_extract" ->
       """WITH d AS (SELECT doc_id AS d FROM documents),

@@ -184,6 +184,43 @@ object OperatorGates7 {
       |      AS hamming
       |  FROM abits a JOIN abits b ON a.doc_id < b.doc_id)""".stripMargin
 
+  /** Depth-aware audio-bits replay for q_audio_neardup: each doc
+    * carries the shared recording in the container/depth keyed by
+    * doc_id % 5 — 3 ships 24-bit FLAC storing base<<8 (the norm16
+    * shift cancels EXACTLY, so the bits equal the 16-bit twins'), 4
+    * ships 8-bit WAV storing base>>8 (norm16 yields the floor-
+    * quantized samples this replay computes — quantization is
+    * replayed, never assumed away).
+    */
+  private def audioDepthBitsCtes(where: String = ""): String =
+    s"""ad AS (
+      |  SELECT doc_id, doc_id % 30 AS g, doc_id % 4 = 1 AS pert,
+      |    doc_id % 5 AS cont
+      |  FROM documents$where),
+      |asamp AS (
+      |  SELECT doc_id, list_transform(range(0, 130), t ->
+      |    CASE WHEN cont = 4 THEN
+      |      CAST(floor(((((g + 1) * (t + 7) * 2203) % 2003 - 1001) +
+      |        CASE WHEN pert AND t < 6 THEN 900 ELSE 0 END) / 256.0)
+      |        AS BIGINT) * 256
+      |    ELSE (((g + 1) * (t + 7) * 2203) % 2003 - 1001) +
+      |      CASE WHEN pert AND t < 6 THEN 900 ELSE 0 END END) AS sm
+      |  FROM ad),
+      |aen AS (
+      |  SELECT doc_id, list_transform(range(0, 65), aw ->
+      |    abs(sm[2 * aw + 1]) + abs(sm[2 * aw + 2])) AS en
+      |  FROM asamp),
+      |abits AS (
+      |  SELECT doc_id, list_transform(range(0, 64), j ->
+      |    CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END) AS bits
+      |  FROM aen),
+      |apairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    list_sum(list_transform(range(0, 64), j ->
+      |      CASE WHEN a.bits[j + 1] <> b.bits[j + 1] THEN 1 ELSE 0 END))
+      |      AS hamming
+      |  FROM abits a JOIN abits b ON a.doc_id < b.doc_id)""".stripMargin
+
   def queries7: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- exact-substring dedup, span report (Lee et al. 2021
@@ -314,12 +351,14 @@ object OperatorGates7 {
     //     REAL synthesized audio (pattern keyed by doc_id % 30, every
     //     4th doc head-perturbed) fingerprinted through the actual
     //     codecs (65-window energy deltas, exact integers) and paired
-    //     with the banded hamming join. Every 5th doc ships the SAME
-    //     samples as a FLAC stream instead of a WAV — the fingerprint
-    //     dispatches on container and FLAC is lossless, so cross-
-    //     container duplicates hash identically and the oracle is
-    //     container-blind. Oracle replays samples → energies → bits →
-    //     the brute-force pair definition -------------------------
+    //     with the banded hamming join. Containers/depths vary by
+    //     doc_id % 5: 2 ships the SAME samples as a 16-bit FLAC, 3 as
+    //     a 24-bit FLAC (base<<8 — the archival depth; norm16 cancels
+    //     the shift EXACTLY so it collapses with its 16-bit twins), 4
+    //     as an 8-bit legacy WAV (base>>8 — norm16 yields the floor-
+    //     quantized samples the oracle replays). Oracle replays
+    //     samples (incl. quantization) → energies → bits → the
+    //     brute-force pair definition -------------------------------
     "q_audio_neardup" -> ((s, dir) => {
       import s.implicits._
       import graft.operators.{FlacAudio, Multimodal}
@@ -327,14 +366,19 @@ object OperatorGates7 {
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .mapPartitions(_.map { id =>
           val wav = synthWav(id)
-          if (id % 5 == 2) {
-            // re-container the identical PCM as FLAC; samples live in
-            // the canonical 44-byte-header WAV's data chunk
-            val pcm = Array.tabulate((wav.length - 44) / 2) { i =>
-              ((wav(44 + 2 * i) & 0xff) | (wav(45 + 2 * i) << 8)).toShort.toInt
-            }
-            (id, FlacAudio.encode(8000, 1, 16, pcm, blockSize = 64))
-          } else (id, wav)
+          // the base PCM lives in the canonical 44-byte-header WAV's
+          // data chunk; depth variants re-container the SAME recording
+          lazy val pcm = Array.tabulate((wav.length - 44) / 2) { i =>
+            ((wav(44 + 2 * i) & 0xff) | (wav(45 + 2 * i) << 8)).toShort.toInt
+          }
+          (id % 5) match {
+            case 2 => (id, FlacAudio.encode(8000, 1, 16, pcm, blockSize = 64))
+            case 3 => (id, FlacAudio.encode(8000, 1, 24,
+              pcm.map(_ << 8), blockSize = 64))
+            case 4 => (id, Multimodal.WavCodec.synthesizeDepth(8000, 1, 8,
+              pcm.map(_ >> 8)))
+            case _ => (id, wav)
+          }
         })
         .toDF("media_id", "content")
       val hashes = Multimodal.fingerprintAudio(media).toDF()
@@ -746,7 +790,7 @@ object OperatorGates7 {
          |ORDER BY media_id""".stripMargin,
 
     "q_audio_neardup" ->
-      s"""WITH ${audioBitsCtes()},
+      s"""WITH ${audioDepthBitsCtes()},
          |ahh AS (SELECT doc_id, array_to_string(bits, '') AS hs FROM abits),
          |ahrep AS (SELECT hs, min(doc_id) AS rep FROM ahh GROUP BY hs),
          |astars AS (

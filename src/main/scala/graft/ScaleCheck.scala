@@ -123,14 +123,25 @@ object Sf1Check {
     val path = java.nio.file.Paths.get("SCALE_SF1.json")
     val prior: Map[String, (Double, Double, Double)] =
       if (java.nio.file.Files.exists(path)) {
-        val txt = java.nio.file.Files.readString(path)
-        // tolerate whitespace after colons: older files were written
-        // by json.dump-style tooling with spaces
-        val re = ("\"([^\"]+)\":\\s*\\{\"sf01_sec\":\\s*(-?[0-9.]+)," +
-          "\\s*\"sf1_sec\":\\s*(-?[0-9.]+),\\s*\"ratio\":\\s*(-?[0-9.]+)\\}").r
-        re.findAllMatchIn(txt).map(m => m.group(1) ->
-          (m.group(2).toDouble, m.group(3).toDouble, m.group(4).toDouble))
-          .toMap
+        // a REAL JSON parse (jackson, already on the classpath via
+        // avro) — a regex here silently dropped entries whose numbers
+        // drifted to another serialization (e.g. scientific notation),
+        // shrinking the at-HEAD scale evidence the merge preserves.
+        // Shrinkage is also checked loudly below.
+        val M = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = M.readTree(java.nio.file.Files.readAllBytes(path))
+        val qs = root.path("queries")
+        val claimed = root.path("n_queries").asInt(-1)
+        import scala.jdk.CollectionConverters._
+        val parsed = qs.fields().asScala.map { e =>
+          e.getKey -> (e.getValue.path("sf01_sec").asDouble(-1.0),
+            e.getValue.path("sf1_sec").asDouble(-1.0),
+            e.getValue.path("ratio").asDouble(-1.0))
+        }.toMap
+        require(claimed < 0 || parsed.size == claimed,
+          s"SCALE_SF1.json claims $claimed queries but ${parsed.size} " +
+            "parsed — refusing to merge over a corrupt prior file")
+        parsed
       } else Map.empty
     val merged = (prior ++ rows.map { case (n, s, b, r) => n -> (s, b, r) })
       .toSeq.sortBy(_._1)

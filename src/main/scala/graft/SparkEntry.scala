@@ -54,7 +54,8 @@ object SparkEntry {
       OperatorGates8.queries8 ++ OperatorGates9.queries9 ++
       OperatorGates10.queries10 ++ OperatorGates11.queries11 ++
       OperatorGates12.queries12 ++ OperatorGates13.queries13 ++
-      OperatorGates14.queries14 ++ OperatorGates15.queries15 ++ Map(
+      OperatorGates14.queries14 ++ OperatorGates15.queries15 ++
+      OperatorGates16.queries16 ++ Map(
 
     // --- aggregation (pricing summary, TPC-H Q1 shape) ----------------
     "q_pricing_summary" -> ((s, dir) => {
@@ -740,7 +741,8 @@ object SparkEntry {
       OperatorGates8.oracleSql8 ++ OperatorGates9.oracleSql9 ++
       OperatorGates10.oracleSql10 ++ OperatorGates11.oracleSql11 ++
       OperatorGates12.oracleSql12 ++ OperatorGates13.oracleSql13 ++
-      OperatorGates14.oracleSql14 ++ OperatorGates15.oracleSql15 ++ Map(
+      OperatorGates14.oracleSql14 ++ OperatorGates15.oracleSql15 ++
+      OperatorGates16.oracleSql16 ++ Map(
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

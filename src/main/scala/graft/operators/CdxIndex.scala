@@ -103,9 +103,19 @@ object CdxIndex {
 
   /** The range-coalescing core of [[planFetch]]: (filename, offset,
     * length) hit rows → per-file gaps-and-islands byte ranges, merged
-    * when the gap to the previous record end is <= `maxGap`.
+    * when the gap to the previous record end is <= `maxGap`. Islands
+    * are additionally SPLIT at `maxRangeBytes` (a densely-hit file
+    * must never coalesce into a range one task cannot buffer — the
+    * cap bounds task memory AND keeps ranges inside Int addressing):
+    * records are bucketed by `floor((offset - island_start) /
+    * maxRangeBytes)`, so a merged range spans at most maxRangeBytes
+    * plus one record's length (a single record larger than the cap is
+    * still fetched whole — it has to be).
     */
-  def coalesceRanges(hits: DataFrame, maxGap: Long): DataFrame = {
+  def coalesceRanges(hits: DataFrame, maxGap: Long,
+      maxRangeBytes: Long = 256L << 20): DataFrame = {
+    require(maxRangeBytes > 0 && maxRangeBytes <= Int.MaxValue.toLong,
+      s"maxRangeBytes must be in (0, 2^31), got $maxRangeBytes")
     val w = Window.partitionBy(col("filename")).orderBy(col("offset"))
     val withPrev = hits
       .select(col("filename"), col("offset"), col("length"))
@@ -116,7 +126,11 @@ object CdxIndex {
         col("offset") > col("prev_end") + maxGap, 1).otherwise(0))
     val islands = flagged.withColumn("island",
       sum(col("new_island")).over(w))
-    islands.groupBy(col("filename"), col("island"))
+    val capped = islands.withColumn("sub",
+      floor((col("offset") - min(col("offset")).over(
+        Window.partitionBy(col("filename"), col("island")))) /
+        lit(maxRangeBytes)))
+    capped.groupBy(col("filename"), col("island"), col("sub"))
       .agg(min(col("offset")).as("range_start"),
         max(col("offset") + col("length")).as("range_end"),
         count(lit(1)).as("n_records"))
@@ -136,8 +150,19 @@ object CdxIndex {
   def ledgerMerge(spark: org.apache.spark.sql.SparkSession,
       table: graft.sink.ShardedTable, hasCurrent: Boolean,
       delta: DataFrame, warcDir: String, seqCol: String,
-      maxGap: Long, nShards: Int): (DataFrame, Seq[String]) = {
-    val deduped = dedupByDigest(delta)
+      maxGap: Long, nShards: Int,
+      maxRangeBytes: Long = 256L << 20,
+      robots: Option[(DataFrame, String)] = None): (DataFrame, Seq[String]) = {
+    // optional fetch-time politeness: drop index rows whose URL the
+    // robots rules table disallows for `crawler`, BEFORE digest dedup
+    // — a disallowed capture must never be fetched, not even as the
+    // digest winner another (allowed) URL's content would ride on
+    val polite = robots match {
+      case None => delta
+      case Some((rules, crawler)) =>
+        Robots.filterAllowed(delta, "url", rules, crawler)
+    }
+    val deduped = dedupByDigest(polite)
       .withColumn("shard", pmod(xxhash64(col("digest")), lit(nShards)))
     val candidates = deduped.select("shard").distinct()
       .collect().map(_.getLong(0).toString).toSeq // <= nShards values
@@ -156,15 +181,23 @@ object CdxIndex {
     val touched = fresh.select("shard").distinct()
       .collect().map(_.getLong(0).toString).toSeq
     val plan = coalesceRanges(
-      fresh.select("filename", "offset", "length"), maxGap)
+      fresh.select("filename", "offset", "length"), maxGap, maxRangeBytes)
     val fetched = fetchRanges(spark, warcDir, plan)
-    // ranges cover skipped neighbors too: the url join keeps exactly
-    // the fresh winners
+    // ranges cover skipped neighbors too (including OTHER captures of
+    // the same URL): join back on the record's addressable identity
+    // (filename, member offset) — unique by construction — never on
+    // url, which fans out under recrawls. A fresh winner whose range
+    // read returned nothing is a planning bug: fail loudly.
     val docs = fresh
       .select(col("url"), col("digest"), col("shard"),
+        col("filename"), col("offset"),
         col(seqCol).cast("long").as("seq"))
-      .join(fetched.select(col("target_uri").as("url"),
-        col("payload_text").as("text")), Seq("url"))
+      .join(fetched.select(col("filename"), col("offset"),
+        col("payload_text").as("text")), Seq("filename", "offset"), "left")
+      .withColumn("text", when(col("text").isNull,
+        raise_error(concat(lit("cdxfetch: no record decoded at "),
+          col("filename"), lit(":"), col("offset"),
+          lit(" for "), col("url")))).otherwise(col("text")))
       .select(col("url"), col("digest"), col("seq"),
         length(col("text")).cast("long").as("n_chars"),
         col("text"), col("shard"))
@@ -182,9 +215,12 @@ object CdxIndex {
     * property that makes a 100-TB crawl consumable — and the slice
     * (whole gzip members by construction) decodes through
     * [[WarcCodec.parse]]. Returns one row per contained response
-    * record with the charset-sniffed payload text and its payload
-    * MD5 (the digest-join key for synthetic indexes). Distributed:
-    * one task per range; executors open the filesystem themselves.
+    * record with its addressable offset (the gzip MEMBER start \u2014 what
+    * the CDX index's `offset` column stores, so (filename, offset) is
+    * the unique join-back key), the charset-sniffed payload text and
+    * its payload MD5 (the digest-join key for synthetic indexes).
+    * Distributed: one task per range; executors open the filesystem
+    * themselves.
     */
   def fetchRanges(spark: org.apache.spark.sql.SparkSession, warcDir: String,
       plan: DataFrame): DataFrame = {
@@ -196,25 +232,28 @@ object CdxIndex {
       .as[(String, Long, Long)]
       .mapPartitions(_.flatMap { case (fname, start, end) =>
         require(end > start, s"empty range [$start,$end) for $fname")
+        require(end - start <= Int.MaxValue.toLong,
+          s"range [$start,$end) for $fname exceeds one task's Int " +
+            "addressing; lower cdx.maxRangeBytes")
         val path = new org.apache.hadoop.fs.Path(s"$warcDir/$fname")
         val fs = path.getFileSystem(serConf.value)
         val len = (end - start).toInt
         val buf = new Array[Byte](len)
         val in = fs.open(path)
         try { in.seek(start); in.readFully(buf, 0, len) } finally in.close()
-        WarcCodec.parse(start, buf).iterator
-          .filter(_.warcType == "response")
-          .map { r =>
+        WarcCodec.parseIndexed(start, buf, base = start).iterator
+          .filter(_._2.warcType == "response")
+          .map { case (off, r) =>
             val cs = CharsetSniff.javaCharset(r.httpCharset)
             val md = java.security.MessageDigest.getInstance("MD5")
             val digest = md.digest(r.payload)
               .map(b => f"${b & 0xff}%02x").mkString
-            (fname, r.targetUri, r.httpStatus, digest,
+            (fname, off, r.targetUri, r.httpStatus, digest,
               new String(r.payload, cs).stripPrefix("\uFEFF"))
           }
       })
-      .toDF("filename", "target_uri", "http_status", "payload_md5",
-        "payload_text")
+      .toDF("filename", "offset", "target_uri", "http_status",
+        "payload_md5", "payload_text")
   }
 
   /** Keep ONE index record per content digest before planning — the

@@ -127,32 +127,196 @@ object CharsetSniff {
     }
   }
 
-  private val MetaCharset =
-    "(?is)<meta[^>]*?charset\\s*=\\s*(?:[\"']\\s*([^\"'>]+?)\\s*[\"']|([^\\s\"'>;]+))".r
-  private val CommentRe = "(?s)<!--.*?-->".r
+  private def isWs(b: Byte): Boolean =
+    b == 0x09 || b == 0x0a || b == 0x0c || b == 0x0d || b == 0x20
 
-  /** The standard's prescan, regex-simplified: first 1024 bytes
-    * decoded as ISO-8859-1 (byte-transparent), comments removed,
-    * first `charset=` inside a `<meta ...>` tag wins — this covers
-    * both `<meta charset=..>` and
-    * `<meta http-equiv=content-type content="...; charset=..">`
-    * since the attribute value regex accepts the embedded form.
+  private def lc(b: Byte): Char = {
+    val c = (b & 0xff).toChar
+    if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+  }
+
+  /** The standard's "get an attribute" over the prescan bytes: skips
+    * leading whitespace and `/`, collects a lowercased name up to
+    * `=`/whitespace/`/`/`>`, then the (quoted or bare) lowercased
+    * value. Returns ((name, value), position after the attribute), or
+    * None when the next non-skipped byte is `>` / EOF (no attribute).
     */
-  private def prescanMeta(payload: Array[Byte]): Option[String] = {
+  private def getAttribute(b: Array[Byte], n: Int,
+      start: Int): Option[((String, String), Int)] = {
+    var p = start
+    while (p < n && (isWs(b(p)) || b(p) == 0x2f)) p += 1
+    if (p >= n || b(p) == '>') return None
+    val name = new StringBuilder
+    var value: String = null
+    var done = false
+    while (!done && p < n) {
+      if (b(p) == '=' && name.nonEmpty) { p += 1; value = null; done = true }
+      else if (isWs(b(p))) {
+        // spaces before a possible '='
+        while (p < n && isWs(b(p))) p += 1
+        if (p < n && b(p) == '=') { p += 1; value = null; done = true }
+        else return Some(((name.toString, ""), p)) // valueless attribute
+      }
+      else if (b(p) == '/' || b(p) == '>')
+        return Some(((name.toString, ""), p))
+      else { name += lc(b(p)); p += 1 }
+    }
+    if (p >= n) return Some(((name.toString, ""), p))
+    // the value
+    while (p < n && isWs(b(p))) p += 1
+    if (p >= n) return Some(((name.toString, ""), p))
+    val sb = new StringBuilder
+    if (b(p) == '"' || b(p) == '\'') {
+      val q = b(p); p += 1
+      while (p < n && b(p) != q) { sb += lc(b(p)); p += 1 }
+      if (p >= n) return None // unmatched quote: prescan gives up here
+      p += 1
+    } else if (b(p) == '>') {
+      return Some(((name.toString, ""), p))
+    } else {
+      while (p < n && !isWs(b(p)) && b(p) != '>') { sb += lc(b(p)); p += 1 }
+    }
+    Some(((name.toString, sb.toString), p))
+  }
+
+  /** The standard's "extract a character encoding from a meta
+    * element" over a `content` attribute value: each
+    * case-insensitive `charset` occurrence must be followed by
+    * (whitespace-tolerant) `=`, then a quoted or `;`/space-delimited
+    * label; an unmatched quote fails.
+    */
+  private def extractFromContent(v: String): Option[String] = {
+    val lcv = v // getAttribute already lowercased
+    var from = 0
+    while (true) {
+      val i = lcv.indexOf("charset", from)
+      if (i < 0) return None
+      var p = i + 7
+      while (p < lcv.length && lcv(p).isWhitespace) p += 1
+      if (p < lcv.length && lcv(p) == '=') {
+        p += 1
+        while (p < lcv.length && lcv(p).isWhitespace) p += 1
+        if (p >= lcv.length) return None
+        if (lcv(p) == '"' || lcv(p) == '\'') {
+          val q = lcv(p)
+          val e = lcv.indexOf(q, p + 1)
+          return if (e < 0) None else Some(lcv.substring(p + 1, e))
+        }
+        val e0 = lcv.indexWhere(c => c.isWhitespace || c == ';', p)
+        val e = if (e0 < 0) lcv.length else e0
+        return Some(lcv.substring(p, e))
+      }
+      from = i + 7 // "charset" not followed by '=': try the next one
+    }
+    None
+  }
+
+  /** The standard's prescan, attribute-level: walk the first 1024
+    * bytes; skip `<!-- -->` comments (`<!-->` terminates, per the
+    * HTML prescan) and `<!`/`</`/`<?` constructs to their `>`;
+    * tokenize every `<meta>`'s attributes with the real "get an
+    * attribute" algorithm — so a literal `charset=` inside an
+    * unrelated attribute's VALUE can never false-positive — honoring
+    * first-occurrence-wins per attribute name, the `charset`
+    * attribute, and `http-equiv=content-type` + `content=...;
+    * charset=..` (the charset applies only when the pragma is
+    * declared). Other tags get their attributes consumed so a `>`
+    * inside a quoted value cannot end them early.
+    */
+  private[operators] def prescanMeta(payload: Array[Byte]): Option[String] = {
     val n = math.min(1024, payload.length)
-    val head = new String(payload, 0, n,
-      java.nio.charset.StandardCharsets.ISO_8859_1)
-    val noComments = CommentRe.replaceAllIn(head, " ")
-    MetaCharset.findFirstMatchIn(noComments).flatMap { m =>
-      val label = Option(m.group(1)).getOrElse(m.group(2))
-      resolveLabel(label).map {
-        // per the standard, a meta-declared UTF-16 is treated as
-        // UTF-8 (the page bytes plainly aren't UTF-16 if the ASCII
-        // prescan could read the declaration)
-        case "utf-16be" | "utf-16le" => "utf-8"
-        case "x-user-defined" => "windows-1252"
-        case other => other
+    val b = payload
+    var pos = 0
+    def startsWith(s: String, at: Int): Boolean =
+      at + s.length <= n && (0 until s.length).forall(i => lc(b(at + i)) == s(i))
+    while (pos < n) {
+      if (startsWith("<!--", pos)) {
+        // first '>' preceded by '--' (dashes may overlap the opener)
+        var j = pos + 4
+        while (j < n && !(b(j) == '>' && b(j - 1) == '-' && b(j - 2) == '-'))
+          j += 1
+        if (j >= n) return None
+        pos = j + 1
+      } else if (startsWith("<meta", pos) && pos + 5 < n &&
+        (isWs(b(pos + 5)) || b(pos + 5) == 0x2f)) {
+        var p = pos + 6
+        val seen = scala.collection.mutable.Set.empty[String]
+        var gotPragma = false
+        var needPragma = false
+        var haveCharset = false
+        var charset: Option[String] = None
+        var more = true
+        while (more) {
+          getAttribute(b, n, p) match {
+            case None => more = false
+            case Some(((name, value), after)) =>
+              p = math.max(after, p + 1) // always progress
+              if (!seen.contains(name)) {
+                seen += name
+                name match {
+                  case "http-equiv" =>
+                    if (value == "content-type") gotPragma = true
+                  case "content" =>
+                    if (!haveCharset) extractFromContent(value).foreach { l =>
+                      needPragma = true
+                      haveCharset = true
+                      charset = resolveLabel(l)
+                    }
+                  case "charset" =>
+                    haveCharset = true
+                    charset = resolveLabel(value)
+                    needPragma = false
+                  case _ =>
+                }
+              }
+          }
+        }
+        if (haveCharset && (!needPragma || gotPragma) && charset.isDefined)
+          return charset.map {
+            // per the standard, a meta-declared UTF-16 is treated as
+            // UTF-8 (the bytes plainly aren't UTF-16 if the ASCII
+            // prescan could read the declaration)
+            case "utf-16be" | "utf-16le" => "utf-8"
+            case "x-user-defined" => "windows-1252"
+            case other => other
+          }
+        pos = p
+      } else if (startsWith("</", pos) && pos + 2 < n && {
+        val c = lc(b(pos + 2)); c >= 'a' && c <= 'z'
+      }) {
+        // end tag: skip name, then consume attributes like a start tag
+        pos = consumeTag(b, n, pos + 2)
+      } else if (pos + 1 < n && b(pos) == '<' && {
+        val c = lc(b(pos + 1)); c >= 'a' && c <= 'z'
+      }) {
+        pos = consumeTag(b, n, pos + 1)
+      } else if (startsWith("<!", pos) || startsWith("</", pos) ||
+        startsWith("<?", pos)) {
+        var j = pos + 2
+        while (j < n && b(j) != '>') j += 1
+        if (j >= n) return None
+        pos = j + 1
+      } else pos += 1
+    }
+    None
+  }
+
+  /** Skip a (start or end) tag from just after its `<`/`</`: advance
+    * past the name, then drain attributes so quoted `>` bytes cannot
+    * terminate the tag early. Returns the next scan position.
+    */
+  private def consumeTag(b: Array[Byte], n: Int, nameStart: Int): Int = {
+    var p = nameStart
+    while (p < n && !isWs(b(p)) && b(p) != '>' && b(p) != '/') p += 1
+    var more = true
+    while (more) {
+      getAttribute(b, n, p) match {
+        case None => more = false
+        case Some((_, after)) => p = math.max(after, p + 1)
       }
     }
+    // position now sits at '>' (or EOF); step past it
+    while (p < n && b(p) != '>') p += 1
+    if (p < n) p + 1 else n
   }
 }

@@ -146,20 +146,48 @@ object Id3 {
         val size = if (majVer == 4) syncsafe(body, o + 4) else be32(body, o + 4)
         require(size >= 0 && o + 10 + size <= body.length,
           s"media $id: ID3 frame $name overruns the tag")
-        val from = o + 10
-        val until = from + size
+        val until = o + 10 + size
+        // frame FORMAT flags (second flag byte): real-world v2.4
+        // encoders set per-frame unsynchronisation (0x02) and the
+        // data-length indicator (0x01); both must be unwound or the
+        // text decodes garbled. Compressed/encrypted frames have no
+        // zlib/key support here — fail loudly, never emit garbage.
+        val fmt = body(o + 9) & 0xff
+        var fb = java.util.Arrays.copyOfRange(body, o + 10, until)
+        if (majVer == 4) {
+          require((fmt & 0x0c) == 0,
+            s"media $id: ID3 frame $name is compressed/encrypted " +
+              f"(format flags 0x$fmt%02x) — unsupported")
+          if ((fmt & 0x40) != 0) { // grouping identity byte
+            require(fb.length >= 1, s"media $id: $name grouped but empty")
+            fb = java.util.Arrays.copyOfRange(fb, 1, fb.length)
+          }
+          if ((fmt & 0x01) != 0) { // data-length indicator (syncsafe)
+            require(fb.length >= 4, s"media $id: $name DLI but <4 bytes")
+            fb = java.util.Arrays.copyOfRange(fb, 4, fb.length)
+          }
+          if ((fmt & 0x02) != 0) fb = resync(fb) // per-frame unsync
+        } else { // v2.3: %ijk00000 — i compression, j encryption
+          require((fmt & 0xc0) == 0,
+            s"media $id: ID3 frame $name is compressed/encrypted " +
+              f"(format flags 0x$fmt%02x) — unsupported")
+          if ((fmt & 0x20) != 0) { // grouping identity byte
+            require(fb.length >= 1, s"media $id: $name grouped but empty")
+            fb = java.util.Arrays.copyOfRange(fb, 1, fb.length)
+          }
+        }
         if (name == "TXXX") {
           // desc and value are NUL-separated; text() folded to '/'
-          texts += name -> text(id, body, from, until).replaceFirst("/", ":")
+          texts += name -> text(id, fb, 0, fb.length).replaceFirst("/", ":")
         } else if (name.startsWith("T")) {
-          texts += name -> text(id, body, from, until)
+          texts += name -> text(id, fb, 0, fb.length)
         } else if (name == "COMM") {
-          require(size >= 4, s"media $id: COMM frame too short")
-          val lang = new String(body, from + 1, 3,
+          require(fb.length >= 4, s"media $id: COMM frame too short")
+          val lang = new String(fb, 1, 3,
             java.nio.charset.StandardCharsets.ISO_8859_1)
           // re-frame as a text body (encoding byte + desc\0text)
-          val synth = Array(body(from)) ++
-            java.util.Arrays.copyOfRange(body, from + 4, until)
+          val synth = Array(fb(0)) ++
+            java.util.Arrays.copyOfRange(fb, 4, fb.length)
           val v = text(id, synth, 0, synth.length).replaceFirst("/", ":")
           texts += name -> s"$lang/$v"
         } else {
@@ -219,13 +247,37 @@ object Id3 {
 
   // --- fixture writer ------------------------------------------------
 
+  /** Spec unsynchronisation: insert 0x00 after an 0xFF that precedes
+    * a byte >= 0xE0 (a false sync), a 0x00, or nothing (end of data).
+    */
+  private def unsyncBytes(b: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(b.length + 8)
+    var i = 0
+    while (i < b.length) {
+      out.write(b(i))
+      if ((b(i) & 0xff) == 0xff &&
+        (i + 1 == b.length || (b(i + 1) & 0xff) >= 0xe0 || b(i + 1) == 0))
+        out.write(0)
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** Write an ID3v2.3 or v2.4 tag. `encoding`: 0 latin-1, 1 UTF-16
     * with BOM, 2 UTF-16BE (2.4 only), 3 UTF-8 (2.4 only).
+    * `v24Format` sets each frame's v2.4 FORMAT flag byte — 0x40
+    * grouping (a group byte is emitted), 0x02 per-frame
+    * unsynchronisation, 0x01 data-length indicator — the shapes
+    * real-world encoders produce that [[parse]] must unwind.
     */
   def synthesize(frames: Seq[(String, String)], v24: Boolean,
-      encoding: Int, padding: Int = 16): Array[Byte] = {
+      encoding: Int, padding: Int = 16,
+      v24Format: Int = 0): Array[Byte] = {
     require(encoding >= 0 && encoding <= 3, s"encoding $encoding")
     require(v24 || encoding <= 1, "encodings 2/3 are ID3v2.4-only")
+    require(v24Format == 0 || v24, "frame format flags are v2.4-only")
+    require((v24Format & ~0x43) == 0,
+      f"unsupported v2.4 format flags 0x$v24Format%02x")
     val body = new java.io.ByteArrayOutputStream()
     frames.foreach { case (name, value) =>
       require(name.length == 4, s"frame id '$name'")
@@ -251,8 +303,19 @@ object Id3 {
           Array(encoding.toByte) ++ desc.getBytes(cs) ++ nul ++
             txt.getBytes(cs)
         } else Array(encoding.toByte) ++ value.getBytes(cs)
+      // on-disk frame data under the v2.4 format flags: the unsynced
+      // data, preceded by the DLI (syncsafe ORIGINAL length), preceded
+      // by the group byte — parse() unwinds in the reverse order
+      var data = payload
+      val origLen = data.length
+      if ((v24Format & 0x02) != 0) data = unsyncBytes(data)
+      if ((v24Format & 0x01) != 0)
+        data = Array[Byte](((origLen >> 21) & 0x7f).toByte,
+          ((origLen >> 14) & 0x7f).toByte, ((origLen >> 7) & 0x7f).toByte,
+          (origLen & 0x7f).toByte) ++ data
+      if ((v24Format & 0x40) != 0) data = Array[Byte](0x2a) ++ data
       body.write(name.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
-      val sz = payload.length
+      val sz = data.length
       if (v24) {
         body.write((sz >> 21) & 0x7f); body.write((sz >> 14) & 0x7f)
         body.write((sz >> 7) & 0x7f); body.write(sz & 0x7f)
@@ -260,8 +323,8 @@ object Id3 {
         body.write((sz >> 24) & 0xff); body.write((sz >> 16) & 0xff)
         body.write((sz >> 8) & 0xff); body.write(sz & 0xff)
       }
-      body.write(0); body.write(0) // frame flags
-      body.write(payload, 0, payload.length)
+      body.write(0); body.write(v24Format) // status + format flags
+      body.write(data, 0, data.length)
     }
     (0 until padding).foreach(_ => body.write(0))
     val bodyBytes = body.toByteArray

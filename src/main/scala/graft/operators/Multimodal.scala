@@ -172,7 +172,7 @@ object Multimodal {
       * depths are little-endian two's complement — the RIFF spec's
       * convention per depth.
       */
-    private def sampleAt(bytes: Array[Byte], m: WavMeta, i: Int): Int = {
+    private[Multimodal] def sampleAt(bytes: Array[Byte], m: WavMeta, i: Int): Int = {
       val w = m.bits / 8
       val o = m.dataOff + i * w
       m.bits match {
@@ -630,20 +630,29 @@ object Multimodal {
       })
   }
 
-  /** The 65-window energy hash over an abstract sample accessor —
+  /** The windowed energy hash over an abstract sample accessor —
     * shared by the WAV byte-walk and the FLAC decoded-PCM path so one
     * logical recording fingerprints identically from either container.
+    * `windows` energy buckets yield a (windows-1)-bit hash (default
+    * 65 → 64 bits); `minSamples` rejects clips too short for the
+    * windows to carry signal (production fingerprints over real clips
+    * should demand many samples per window, e.g. minSamples =
+    * windows * 256 — toy gate clips use the floor).
     */
-  private def energyFingerprint(id: Long, n: Int, sampleAt: Int => Int): Long = {
-    require(n >= 65,
-      s"media $id: need >= 65 samples for a 64-bit fingerprint, got $n")
-    val energy = new Array[Long](65)
+  private def energyFingerprint(id: Long, n: Int, sampleAt: Int => Int,
+      windows: Int = 65, minSamples: Int = 0): Long = {
+    require(windows >= 2 && windows <= 65,
+      s"media $id: windows must be in [2,65], got $windows")
+    require(n >= math.max(windows, minSamples),
+      s"media $id: need >= ${math.max(windows, minSamples)} samples " +
+        s"for a ${windows - 1}-bit fingerprint, got $n")
+    val energy = new Array[Long](windows)
     var w = 0
-    while (w < 65) {
+    while (w < windows) {
       // boundary products in Long: w * n overflows Int past ~33M
       // samples (a few minutes of 44.1kHz stereo)
-      val hi = ((w + 1).toLong * n / 65).toInt
-      var t = (w.toLong * n / 65).toInt
+      val hi = ((w + 1).toLong * n / windows).toInt
+      var t = (w.toLong * n / windows).toInt
       var e = 0L
       while (t < hi) { e += math.abs(sampleAt(t)); t += 1 }
       energy(w) = e
@@ -651,31 +660,45 @@ object Multimodal {
     }
     var hash = 0L
     var j = 0
-    while (j < 64) {
+    while (j < windows - 1) {
       if (energy(j + 1) > energy(j)) hash |= (1L << j)
       j += 1
     }
     hash
   }
 
-  private def fingerprintWavBytes(id: Long, bytes: Array[Byte]): Long = {
+  /** Normalize a sample stored at `bits` to the 16-bit domain by
+    * arithmetic shift — deterministic and oracle-replayable, so the
+    * same recording fingerprints identically from a 24-bit FLAC (the
+    * common archival depth), a 16-bit WAV, or an 8-bit legacy WAV.
+    * (The energy hash compares window sums pairwise, so the uniform
+    * scale cancels — the shift exists to pin ONE documented domain.)
+    */
+  private def norm16(v: Int, bits: Int): Int =
+    if (bits >= 16) v >> (bits - 16) else v << (16 - bits)
+
+  private def fingerprintWavBytes(id: Long, bytes: Array[Byte],
+      windows: Int = 65, minSamples: Int = 0): Long = {
     val m = WavCodec.meta(id, bytes)
-    require(m.bits == 16,
-      s"media $id: audio fingerprint needs 16-bit PCM, got ${m.bits}")
     val n = (m.nSamples * m.channels).toInt
-    energyFingerprint(id, n, { t =>
-      val o = m.dataOff + 2 * t
-      ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt
-    })
+    energyFingerprint(id, n,
+      t => norm16(WavCodec.sampleAt(bytes, m, t), m.bits),
+      windows, minSamples)
   }
 
-  /** Audio fingerprint with container dispatch: WAV PCM16 walks the
-    * bytes directly; FLAC goes through the REAL frame decoder
-    * ([[FlacAudio.decode]], CRC+MD5-verified) — lossless, so the same
-    * recording hashes identically from either container and audio
-    * near-dup works on real (FLAC-carried) corpora, not just WAV.
+  /** Audio fingerprint with container dispatch: WAV PCM (any
+    * supported depth — 8-bit legacy through 32-bit) walks the bytes
+    * directly; FLAC goes through the REAL frame decoder
+    * ([[FlacAudio.decode]], CRC+MD5-verified). Samples are
+    * depth-normalized to the 16-bit domain ([[norm16]]) before the
+    * energy windows, so the same recording hashes identically from a
+    * 16-bit WAV, a 24-bit archival FLAC, or an 8-bit legacy WAV, and
+    * near-dup works on real mixed-depth corpora. `windows`/
+    * `minSamples` parameterize the hash for production clip lengths
+    * (defaults keep the 65-window/64-bit shape).
     */
-  def fingerprintAudio(media: DataFrame): Dataset[MediaHash] = {
+  def fingerprintAudio(media: DataFrame, windows: Int = 65,
+      minSamples: Int = 0): Dataset[MediaHash] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("content"))
@@ -683,12 +706,11 @@ object Multimodal {
       .mapPartitions(_.map { case (id, bytes) =>
         require(bytes != null, s"media $id: null content")
         val hash = sniffModality(bytes) match {
-          case "audio/wav" => fingerprintWavBytes(id, bytes)
+          case "audio/wav" => fingerprintWavBytes(id, bytes, windows, minSamples)
           case "audio/flac" =>
             val pcm = FlacAudio.decode(id, bytes)
-            require(pcm.bps == 16,
-              s"media $id: audio fingerprint needs 16-bit PCM, got ${pcm.bps}")
-            energyFingerprint(id, pcm.samples.length, pcm.samples)
+            energyFingerprint(id, pcm.samples.length,
+              t => norm16(pcm.samples(t), pcm.bps), windows, minSamples)
           case other => throw new IllegalArgumentException(
             s"media $id: no audio fingerprint for modality $other")
         }

@@ -54,9 +54,24 @@ object WarcCodec {
     */
   private[operators] def gunzipAll(id: Long, bytes: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    gunzipMembers(id, bytes).foreach { case (_, m) => out.write(m, 0, m.length) }
+    out.toByteArray
+  }
+
+  /** [[gunzipAll]] keeping member boundaries: (member start offset
+    * within `bytes`, inflated member bytes) per gzip member. The
+    * member offset is the record's addressable identity in the
+    * Common Crawl layout (one member per record) — what a CDX index's
+    * `offset` column stores, and therefore the unique join key range
+    * fetches must carry back ([[CdxIndex.fetchRanges]]).
+    */
+  private[operators] def gunzipMembers(id: Long,
+      bytes: Array[Byte]): Seq[(Long, Array[Byte])] = {
+    val members = Seq.newBuilder[(Long, Array[Byte])]
     var pos = 0
     var member = 0
     while (pos < bytes.length) {
+      val memberStart = pos
       // --- member header (RFC 1952) ---
       if (pos + 10 > bytes.length ||
         (bytes(pos) & 0xff) != 0x1f || (bytes(pos + 1) & 0xff) != 0x8b)
@@ -83,7 +98,7 @@ object WarcCodec {
       val inf = new java.util.zip.Inflater(true)
       inf.setInput(bytes, p, bytes.length - p)
       val crc = new java.util.zip.CRC32()
-      val before = out.size()
+      val mout = new java.io.ByteArrayOutputStream(8192)
       val buf = new Array[Byte](8192)
       try {
         while (!inf.finished()) {
@@ -91,7 +106,7 @@ object WarcCodec {
           if (n == 0 && !inf.finished())
             fail(id, s"gzip member $member: truncated deflate stream")
           crc.update(buf, 0, n)
-          out.write(buf, 0, n)
+          mout.write(buf, 0, n)
         }
       } catch {
         case _: java.util.zip.DataFormatException =>
@@ -106,13 +121,15 @@ object WarcCodec {
         ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
       if (le32(p) != crc.getValue)
         fail(id, s"gzip member $member: CRC mismatch")
-      if (le32(p + 4) != ((out.size() - before) & 0xffffffffL))
+      if (le32(p + 4) != (mout.size().toLong & 0xffffffffL))
         fail(id, s"gzip member $member: ISIZE mismatch")
+      members += ((memberStart.toLong, mout.toByteArray))
       pos = p + 8
       member += 1
     }
-    if (out.size() == 0) fail(id, "gzip stream inflated to nothing")
-    out.toByteArray
+    val result = members.result()
+    if (result.forall(_._2.isEmpty)) fail(id, "gzip stream inflated to nothing")
+    result
   }
 
   private def isGzip(b: Array[Byte]): Boolean =
@@ -142,14 +159,38 @@ object WarcCodec {
   /** Parse every record of one WARC file (plain or gzipped). */
   def parse(id: Long, bytes: Array[Byte]): Seq[WarcRecord] = {
     require(bytes != null && bytes.length > 0, s"media $id: empty WARC")
-    val raw = if (isGzip(bytes)) gunzipAll(id, bytes) else bytes
-    val records = Vector.newBuilder[WarcRecord]
+    if (isGzip(bytes)) parseRawIndexed(id, gunzipAll(id, bytes)).map(_._2)
+    else parseRawIndexed(id, bytes).map(_._2)
+  }
+
+  /** [[parse]] keeping each record's ADDRESSABLE offset within the
+    * original (possibly gzipped) file slice: for the Common Crawl
+    * layout the offset is the record's gzip MEMBER start — exactly
+    * the `offset` a CDX index stores — so fetched records can be
+    * joined back to index rows on a key that is unique even when a
+    * coalesced range decodes neighbor captures of the same URL.
+    * `base` is the slice's position within the whole file.
+    */
+  def parseIndexed(id: Long, bytes: Array[Byte],
+      base: Long): Seq[(Long, WarcRecord)] = {
+    require(bytes != null && bytes.length > 0, s"media $id: empty WARC")
+    if (isGzip(bytes))
+      gunzipMembers(id, bytes).flatMap { case (mOff, raw) =>
+        parseRawIndexed(id, raw).map { case (_, r) => (base + mOff, r) }
+      }
+    else parseRawIndexed(id, bytes).map { case (o, r) => (base + o, r) }
+  }
+
+  private def parseRawIndexed(id: Long,
+      raw: Array[Byte]): Seq[(Long, WarcRecord)] = {
+    val records = Vector.newBuilder[(Long, WarcRecord)]
     var pos = 0
     while (pos < raw.length) {
       // tolerate trailing record separators
       while (pos < raw.length &&
         (raw(pos) == '\r' || raw(pos) == '\n')) pos += 1
       if (pos < raw.length) {
+        val recStart = pos.toLong
         if (pos + 9 > raw.length ||
           new String(raw, pos, 5, java.nio.charset.StandardCharsets.US_ASCII) != "WARC/")
           fail(id, s"record at $pos lacks WARC/ magic")
@@ -224,10 +265,10 @@ object WarcCodec {
           // all UTF-8, and the header is often absent or wrong)
           charset = CharsetSniff.sniff(payload, headerLabel)
         }
-        records += WarcRecord(warcType,
+        records += ((recStart, WarcRecord(warcType,
           headers.getOrElse("warc-target-uri", ""),
           headers.getOrElse("warc-record-id", ""),
-          contentType, len, status, charset, payload)
+          contentType, len, status, charset, payload)))
         pos = hEnd + len.toInt
       }
     }

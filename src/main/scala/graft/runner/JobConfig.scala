@@ -915,15 +915,26 @@ object JobConfig {
         //   cdx.warcDir  directory holding the .warc.gz files
         //   cdx.maxGap   range coalescing gap (default 4096)
         //   cdx.shards   digest ledger shards (default 32)
-        import graft.operators.CdxIndex
+        //   cdx.maxRangeBytes  per-task range cap (default 256 MiB)
+        //   cdx.robotsPath     optional parquet of robots.txt texts
+        //                      (domain, content) — disallowed URLs are
+        //                      dropped BEFORE fetch planning
+        //   cdx.crawler        agent name for robots (default graftbot)
+        import graft.operators.{CdxIndex, Robots}
         val warcDir = req(p, "cdx.warcDir")
         val maxGap = opt(p, "cdx.maxGap").map(_.toLong).getOrElse(4096L)
         val nShards = opt(p, "cdx.shards").map(_.toInt).getOrElse(32)
         val cdxSeqCol = opt(p, "cdx.seq").getOrElse("seq")
+        val maxRange = opt(p, "cdx.maxRangeBytes").map(_.toLong)
+          .getOrElse(256L << 20)
+        val robots = opt(p, "cdx.robotsPath").map { rp =>
+          (Robots.rulesTable(spark.read.parquet(rp), "domain", "content"),
+            opt(p, "cdx.crawler").getOrElse("graftbot"))
+        }
         incrementalShardedPublish(spark, p, kind = "cdxfetch", cdxSeqCol,
           partCol = "shard") { (table, hasCurrent, delta) =>
             CdxIndex.ledgerMerge(spark, table, hasCurrent, delta,
-              warcDir, cdxSeqCol, maxGap, nShards)
+              warcDir, cdxSeqCol, maxGap, nShards, maxRange, robots)
         }
 
       case "dag" =>

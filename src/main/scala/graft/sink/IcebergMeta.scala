@@ -41,6 +41,14 @@ import org.apache.spark.sql.types._
   * `partitions` field summary has lower == upper == the partition
   * value — the reader maps manifests to partitions from the list
   * alone, and partition-pruned scans never open unrelated manifests.
+  *
+  * Partition-spec EVOLUTION is supported both ways: [[mirror]] can
+  * ride a new identity spec (`specPartCol`) — appended to the
+  * metadata's partition-specs with a fresh spec-id/field-id while
+  * carried manifests keep theirs — and [[read]] resolves every
+  * manifest's partition type through the manifest-list entry's own
+  * `partition_spec_id`, so a foreign writer's spec change reads
+  * correctly instead of throwing.
   */
 object IcebergMeta {
 
@@ -121,19 +129,21 @@ object IcebergMeta {
     M.writeValueAsString(arr)
   }
 
-  private def specFieldsJson(schema: StructType, partCol: String): String = {
+  private def specFieldsJson(schema: StructType, partCol: String,
+      fieldId: Int = 1000): String = {
     val srcId = schema.fieldIndex(partCol) + 1
     val arr = M.createArrayNode()
     val o = arr.addObject()
     o.put("name", partCol).put("transform", "identity")
-      .put("source-id", srcId).put("field-id", 1000)
+      .put("source-id", srcId).put("field-id", fieldId)
     M.writeValueAsString(arr)
   }
 
   /** manifest_entry Avro schema (spec v2 field names + field-ids;
     * required data_file fields + the optional ones we fill).
     */
-  private def manifestEntrySchema(schema: StructType, partCol: String): Schema = {
+  private def manifestEntrySchema(schema: StructType, partCol: String,
+      partFieldId: Int = 1000): Schema = {
     val pType = partAvroType(schema(schema.fieldIndex(partCol)).dataType)
     val json =
       s"""{"type":"record","name":"manifest_entry","fields":[
@@ -146,7 +156,7 @@ object IcebergMeta {
          |{"name":"file_path","type":"string","field-id":100},
          |{"name":"file_format","type":"string","field-id":101},
          |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[
-         |{"name":"$partCol","type":["null","$pType"],"default":null,"field-id":1000}]}},
+         |{"name":"$partCol","type":["null","$pType"],"default":null,"field-id":$partFieldId}]}},
          |{"name":"record_count","type":"long","field-id":103},
          |{"name":"file_size_in_bytes","type":"long","field-id":104},
          |{"name":"value_counts","field-id":109,"default":null,"type":["null",
@@ -249,33 +259,134 @@ object IcebergMeta {
 
   // -------------------------------------------------------- the mirror
 
+  /** One manifest-list row. `partLower`/`partUpper` are the partition
+    * summary's RAW bound bytes (kept undecoded so carried entries
+    * re-serialize byte-exactly whatever spec they ride); `specId` is
+    * the entry's own partition-spec-id — the key the reader resolves
+    * each manifest's partition type through, so spec-EVOLVED tables
+    * (mixed spec ids in one snapshot) read correctly.
+    */
   private final case class ListEntry(
       manifestPath: String, manifestLength: Long, content: Int,
       sequenceNumber: Long, minSequenceNumber: Long, addedSnapshotId: Long,
-      addedFiles: Int, addedRows: Long, partitionValue: Option[String])
+      addedFiles: Int, addedRows: Long,
+      partLower: Option[Array[Byte]], partUpper: Option[Array[Byte]],
+      specId: Int) {
+    /** Deterministic list order: deletes last, then spec, then the
+      * raw lower bound (hex — bytewise order).
+      */
+    def sortKey: (Int, Int, String) = (content, specId,
+      partLower.map(_.map(b => f"${b & 0xff}%02x").mkString).getOrElse(""))
+  }
+
+  /** The native partition a data manifest mirrors, recovered from the
+    * writer's own filename format `<36-char-uuid>-m<part>.avro` — the
+    * carry-forward filter keys on this, NOT on the Iceberg partition
+    * value, because under an evolved spec the two domains differ.
+    * Delete manifests (`-deletes`/`-pos-deletes`) return None.
+    */
+  private def nativePartOfManifest(path: String): Option[String] = {
+    val name = new Path(path).getName
+    if (!name.endsWith(".avro")) None
+    else {
+      val stem = name.stripSuffix(".avro")
+      if (stem.length > 38 && stem.charAt(36) == '-' && stem.charAt(37) == 'm')
+        Some(stem.substring(38))
+      else None
+    }
+  }
+
+  /** The carried partition-specs array (seeded with spec 0 =
+    * identity(table partCol) and spec 1 = unpartitioned on a fresh
+    * table) plus the (spec-id, partition field-id) for
+    * identity(mirrorCol) — found among the existing specs or APPENDED
+    * as a new spec with the next spec-id and a fresh field-id:
+    * Iceberg partition-spec evolution, where old manifests keep their
+    * spec and only new data rides the new one.
+    */
+  private def resolveSpec(
+      prevMd: Option[com.fasterxml.jackson.databind.JsonNode],
+      schema: StructType, tablePartCol: String, mirrorCol: String)
+      : (Int, Int, com.fasterxml.jackson.databind.node.ArrayNode) = {
+    val arr = M.createArrayNode()
+    prevMd match {
+      case Some(md) if md.has("partition-specs") =>
+        md.get("partition-specs").elements().asScala.foreach(s => arr.add(s))
+      case _ =>
+        arr.add(M.readTree(
+          s"""{"spec-id":0,"fields":${specFieldsJson(schema, tablePartCol)}}"""))
+        arr.add(M.readTree("""{"spec-id":1,"fields":[]}"""))
+    }
+    val srcId = schema.fieldIndex(mirrorCol) + 1
+    val existing = arr.elements().asScala.find { s =>
+      val fields = s.get("fields")
+      fields.size() == 1 &&
+        fields.get(0).get("transform").asText() == "identity" &&
+        fields.get(0).get("source-id").asInt() == srcId
+    }
+    existing match {
+      case Some(s) => (s.get("spec-id").asInt(),
+        s.get("fields").get(0).get("field-id").asInt(), arr)
+      case None =>
+        val nextId = arr.elements().asScala
+          .map(_.get("spec-id").asInt()).max + 1
+        val nextFieldId = (arr.elements().asScala.flatMap(
+          _.get("fields").elements().asScala
+            .map(_.get("field-id").asInt())).toSeq :+ 999).max + 1
+        arr.add(M.readTree(
+          s"""{"spec-id":$nextId,"fields":${
+            specFieldsJson(schema, mirrorCol, nextFieldId)}}"""))
+        (nextId, nextFieldId, arr)
+    }
+  }
+
+  private def valueOrdering(dt: DataType): Ordering[Any] = dt match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      Ordering.by((v: Any) => v.asInstanceOf[Number].longValue())
+    case _ => Ordering.by((v: Any) => v.toString)
+  }
 
   /** Mirror `version` of the native table as the NEXT Iceberg
     * snapshot. Mirrors must be applied in native-version order
     * (tracked by the `graft.native-version` table property, so
     * delete snapshots can interleave) — enforced loudly.
+    *
+    * `specPartCol` mirrors this version's NEW manifests under an
+    * identity spec on a DIFFERENT column — Iceberg partition-spec
+    * evolution (the reference registers spec changes through the
+    * Iceberg library, gobblin-iceberg/.../writer/IcebergMetadataWriter
+    * .java). Identity partitioning requires each data file to be
+    * single-valued in that column — enforced loudly from the same
+    * distributed stats pass that feeds the manifests' bounds. Carried
+    * (untouched) manifests keep their original spec; the manifest
+    * list records each entry's own spec-id, which [[read]] resolves
+    * per manifest.
     */
-  def mirror(spark: SparkSession, table: ShardedTable, version: Long): Unit = {
+  def mirror(spark: SparkSession, table: ShardedTable, version: Long,
+      specPartCol: Option[String] = None): Unit = {
     val conf = table.conf
     val metaDir = new Path(s"${table.root}/metadata")
     val fs = metaDir.getFileSystem(conf)
     fs.mkdirs(metaDir)
 
     val prevN = currentMetaVersion(fs, metaDir)
-    val prevNative =
-      if (prevN == 0) 0L
-      else M.readTree(readBytes(fs, metadataJsonAt(fs, metaDir, prevN)))
-        .path("properties").path("graft.native-version").asLong(0L)
+    val prevMd =
+      if (prevN == 0) None
+      else Some(M.readTree(readBytes(fs, metadataJsonAt(fs, metaDir, prevN))))
+    val prevNative = prevMd
+      .map(_.path("properties").path("graft.native-version").asLong(0L))
+      .getOrElse(0L)
     require(prevNative == version - 1,
       s"Iceberg mirror of ${table.root} is at native version $prevNative; " +
         s"mirror versions in order (got $version)")
 
     val schema = table.read(spark, version).schema
-    val partType = schema(schema.fieldIndex(table.partCol)).dataType
+    val mirrorCol = specPartCol.getOrElse(table.partCol)
+    require(schema.fieldNames.contains(mirrorCol),
+      s"partition column '$mirrorCol' not in the table schema")
+    val partType = schema(schema.fieldIndex(mirrorCol)).dataType
+    val (specId, partFieldId, specsArr) =
+      resolveSpec(prevMd, schema, table.partCol, mirrorCol)
     val cur = table.manifest(version)
     val prevManifest =
       if (version > 1) table.manifest(version - 1) else Map.empty[String, String]
@@ -300,7 +411,7 @@ object IcebergMeta {
           .collect().map(r => r.getString(0) -> r).toMap
       }
 
-    val entrySchema = manifestEntrySchema(schema, table.partCol)
+    val entrySchema = manifestEntrySchema(schema, mirrorCol, partFieldId)
     val newEntries: Seq[ListEntry] = touched.toSeq.sortBy(_._1).map {
       case (part, dir) =>
         val dirPath = new Path(dir)
@@ -314,12 +425,14 @@ object IcebergMeta {
         val w = new DataFileWriter(
           new GenericDatumWriter[GenericRecord](entrySchema))
         w.setMeta("schema", schemaJson(schema))
-        w.setMeta("partition-spec", specFieldsJson(schema, table.partCol))
-        w.setMeta("partition-spec-id", "0")
+        w.setMeta("partition-spec",
+          specFieldsJson(schema, mirrorCol, partFieldId))
+        w.setMeta("partition-spec-id", specId.toString)
         w.setMeta("format-version", "2")
         w.setMeta("content", "data")
         w.create(entrySchema, out)
         var rows = 0L
+        val partValues = Seq.newBuilder[Any]
         try files.foreach { f =>
           val uri = f.getPath.toString
           val matchKey = fileStats.keys.find(k =>
@@ -339,12 +452,33 @@ object IcebergMeta {
           df.put("file_format", "PARQUET")
           val ps = df.getSchema.getField("partition").schema()
           val pr = new GenericData.Record(ps)
-          pr.put(table.partCol, partType match {
-            case LongType => java.lang.Long.valueOf(part)
-            case IntegerType | ShortType | ByteType =>
-              java.lang.Integer.valueOf(part)
-            case _ => part
-          })
+          // identity partition value of THIS file: the native shard
+          // name under the table spec; under an evolved spec, the
+          // file's mirrorCol value from the same stats pass — which
+          // identity partitioning requires to be file-constant
+          val fileValue: Any =
+            if (mirrorCol == table.partCol) partType match {
+              case LongType => java.lang.Long.valueOf(part)
+              case IntegerType | ShortType | ByteType =>
+                java.lang.Integer.valueOf(part)
+              case _ => part
+            } else {
+              val lo = stats.getAs[Any](s"_min_$mirrorCol")
+              val hi = stats.getAs[Any](s"_max_$mirrorCol")
+              require(lo != null && lo == hi,
+                s"identity($mirrorCol) needs single-valued data files; " +
+                  s"$uri spans [$lo, $hi]")
+              partType match {
+                case LongType => java.lang.Long.valueOf(
+                  lo.asInstanceOf[Number].longValue())
+                case IntegerType | ShortType | ByteType =>
+                  java.lang.Integer.valueOf(
+                    lo.asInstanceOf[Number].intValue())
+                case _ => lo.toString
+              }
+            }
+          partValues += fileValue
+          pr.put(mirrorCol, fileValue)
           df.put("partition", pr)
           df.put("record_count", count)
           df.put("file_size_in_bytes", f.getLen)
@@ -378,24 +512,33 @@ object IcebergMeta {
           w.append(e)
         } finally w.close()
         val len = dfs.getFileStatus(mPath).getLen
+        val vals = partValues.result()
+        require(vals.nonEmpty, s"no data files under $dir")
+        implicit val ord: Ordering[Any] = valueOrdering(partType)
         ListEntry(mPath.toString, len, 0, seqNum, seqNum, snapshotId,
-          files.length, rows, Some(part))
+          files.length, rows,
+          Some(boundBytes(partType, vals.min.toString)),
+          Some(boundBytes(partType, vals.max.toString)), specId)
     }
 
     // carry forward: untouched data partitions' manifests BY PATH and
     // every delete manifest (still applies to older data); drop data
-    // entries for partitions rewritten or no longer present
+    // entries for partitions rewritten or no longer present. The
+    // filter keys on the NATIVE partition recovered from the manifest
+    // filename — under an evolved spec the Iceberg partition value is
+    // in a different domain than the native shard names
     val carried: Seq[ListEntry] =
       if (prevN == 0) Seq.empty
-      else readManifestList(fs, metadataJsonAt(fs, metaDir, prevN), partType)
-        .filter(e => e.content == 1 || e.partitionValue.exists(p =>
-          cur.contains(p) && !touched.contains(p)))
+      else readManifestList(fs, metadataJsonAt(fs, metaDir, prevN))
+        .filter(e => e.content == 1 || nativePartOfManifest(e.manifestPath)
+          .exists(p => cur.contains(p) && !touched.contains(p)))
 
     val listPath = new Path(metaDir, f"snap-$snapshotId%d.avro")
-    writeManifestList(fs, listPath, partType,
-      (newEntries ++ carried).sortBy(e => (e.content, e.partitionValue)))
+    writeManifestList(fs, listPath,
+      (newEntries ++ carried).sortBy(_.sortKey))
     writeSnapshotMetadata(fs, metaDir, table, schema, snapshotId, seqNum,
-      listPath.toString, nativeVersion = version, operation = "overwrite")
+      listPath.toString, nativeVersion = version, operation = "overwrite",
+      specs = specsArr, defaultSpecId = specId)
   }
 
   /** Append an EQUALITY-DELETE snapshot (Iceberg v2 merge-on-read):
@@ -407,7 +550,8 @@ object IcebergMeta {
     * covers the whole table.
     */
   def mirrorDeletes(spark: SparkSession, table: ShardedTable,
-      deletes: DataFrame, equalityCols: Seq[String]): Unit = {
+      deletes: DataFrame, equalityCols: Seq[String],
+      maxRowsPerDeleteFile: Long = 4L << 20): Unit = {
     val conf = table.conf
     val metaDir = new Path(s"${table.root}/metadata")
     val fs = metaDir.getFileSystem(conf)
@@ -423,17 +567,23 @@ object IcebergMeta {
     val schema = table.read(spark, nativeVersion).schema
     equalityCols.foreach(c => require(schema.fieldNames.contains(c),
       s"equality column '$c' not in the table schema"))
-    val partType = schema(schema.fieldIndex(table.partCol)).dataType
 
-    // the delete file: plain parquet of the equality columns
+    // the delete files: plain parquet of the equality columns,
+    // SHARDED by key hash above maxRowsPerDeleteFile — a mass purge
+    // must never funnel through one writer task / one reader file
     val delDir = new Path(s"${table.root}/data/deletes-${java.util.UUID.randomUUID()}")
     val projected = deletes.select(equalityCols.map(col): _*)
-    projected.coalesce(1).write.parquet(delDir.toString)
+    val nRows = projected.count()
+    val nFiles = math.min(64L,
+      math.max(1L, (nRows + maxRowsPerDeleteFile - 1) / maxRowsPerDeleteFile))
+      .toInt
+    projected.repartition(nFiles, equalityCols.map(col): _*)
+      .write.parquet(delDir.toString)
     val dfs = delDir.getFileSystem(conf)
     val delFiles = dfs.listStatus(delDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    val nRows = projected.count()
+    val perFileRows = deleteFileRowCounts(spark, delDir.toString)
     val eqIds = equalityCols.map(c => schema.fieldIndex(c) + 1)
 
     val mPath = new Path(metaDir,
@@ -457,7 +607,7 @@ object IcebergMeta {
       dfr.put("file_format", "PARQUET")
       dfr.put("partition", new GenericData.Record(
         dfr.getSchema.getField("partition").schema()))
-      dfr.put("record_count", nRows)
+      dfr.put("record_count", perFileRows(f.getPath.toString))
       dfr.put("file_size_in_bytes", f.getLen)
       val idsSchema = dfr.getSchema.getField("equality_ids").schema()
         .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
@@ -468,15 +618,50 @@ object IcebergMeta {
     } finally w.close()
     val mLen = fs.getFileStatus(mPath).getLen
 
-    val carried = readManifestList(fs,
-      metadataJsonAt(fs, metaDir, prevN), partType)
+    val carried = readManifestList(fs, metadataJsonAt(fs, metaDir, prevN))
     val delEntry = ListEntry(mPath.toString, mLen, 1, seqNum, seqNum,
-      snapshotId, delFiles.length, nRows, None)
+      snapshotId, delFiles.length, nRows, None, None, 1)
     val listPath = new Path(metaDir, f"snap-$snapshotId%d.avro")
-    writeManifestList(fs, listPath, partType,
-      (carried :+ delEntry).sortBy(e => (e.content, e.partitionValue)))
+    writeManifestList(fs, listPath,
+      (carried :+ delEntry).sortBy(_.sortKey))
+    val (specs, defSpec) = carriedSpecsOf(prevMd, schema, table.partCol)
     writeSnapshotMetadata(fs, metaDir, table, schema, snapshotId, seqNum,
-      listPath.toString, nativeVersion, operation = "delete")
+      listPath.toString, nativeVersion, operation = "delete",
+      specs = specs, defaultSpecId = defSpec)
+  }
+
+  /** Carry the previous metadata's partition-specs + default spec id
+    * unchanged (seeding the standard pair when absent — pre-evolution
+    * metadata always has them).
+    */
+  private def carriedSpecsOf(prevMd: com.fasterxml.jackson.databind.JsonNode,
+      schema: StructType, partCol: String)
+      : (com.fasterxml.jackson.databind.node.ArrayNode, Int) = {
+    val arr = M.createArrayNode()
+    if (prevMd.has("partition-specs"))
+      prevMd.get("partition-specs").elements().asScala.foreach(arr.add)
+    else {
+      arr.add(M.readTree(
+        s"""{"spec-id":0,"fields":${specFieldsJson(schema, partCol)}}"""))
+      arr.add(M.readTree("""{"spec-id":1,"fields":[]}"""))
+    }
+    (arr, prevMd.path("default-spec-id").asInt(0))
+  }
+
+  /** Per-file row counts of a freshly written delete directory — the
+    * manifests' record_count must be per FILE once deletes shard.
+    */
+  private def deleteFileRowCounts(spark: SparkSession,
+      delDir: String): Map[String, Long] = {
+    def norm(s: String): String = s.replaceFirst("^file:/+", "/")
+    val counts = spark.read.parquet(delDir)
+      .groupBy(col("_metadata.file_path").as("f"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+    // key by the listing's path form (counts came via _metadata's);
+    // a hash-empty shard writes a 0-row file that the groupBy never
+    // sees — record_count 0 is the truthful manifest entry for it
+    counts.withDefault(k => counts.getOrElse(norm(k), 0L))
   }
 
   /** Data-file paths of a table's CURRENT snapshot (content-0
@@ -487,7 +672,7 @@ object IcebergMeta {
       fs: org.apache.hadoop.fs.FileSystem, metaDir: Path): Seq[String] = {
     val v = currentMetaVersion(fs, metaDir)
     require(v > 0, s"no Iceberg metadata under $metaDir")
-    readManifestList(fs, metadataJsonAt(fs, metaDir, v), StringType)
+    readManifestList(fs, metadataJsonAt(fs, metaDir, v))
       .filter(_.content == 0)
       .flatMap { e =>
         val in = fs.open(new Path(e.manifestPath))
@@ -519,11 +704,22 @@ object IcebergMeta {
     val fs = metaDir.getFileSystem(conf)
     val files = currentDataFilePaths(fs, metaDir)
     require(files.nonEmpty, s"no data files under $tableRoot")
+    // canonicalize to the EXACT file_path strings the data manifests
+    // store: Spark's _metadata.file_path reports file:///p where the
+    // manifests say file:/p — a spec-compliant foreign reader compares
+    // the strings exactly, so the delete file must carry the
+    // manifests' form or every delete silently misses
+    import spark.implicits._
+    def norm(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      regexp_replace(s, "^file:/+", "/")
+    val canon = files.map(f => (f.replaceFirst("^file:/+", "/"), f))
+      .toDF("__norm", "file_path")
     spark.read.parquet(files: _*)
-      .select(Seq(col("_metadata.file_path").as("file_path"),
+      .select(Seq(norm(col("_metadata.file_path")).as("__norm"),
         col("_metadata.row_index").as("pos")) ++ joinCols.map(col): _*)
       .join(rows.select(joinCols.map(col): _*).distinct(),
         joinCols, "left_semi")
+      .join(broadcast(canon), Seq("__norm")) // O(files) lookup
       .select(col("file_path"), col("pos"))
   }
 
@@ -537,7 +733,8 @@ object IcebergMeta {
     * unpartitioned spec, one file covering the whole table.
     */
   def mirrorPositionDeletes(spark: SparkSession, table: ShardedTable,
-      posDeletes: DataFrame): Unit = {
+      posDeletes: DataFrame,
+      maxRowsPerDeleteFile: Long = 4L << 20): Unit = {
     val conf = table.conf
     val metaDir = new Path(s"${table.root}/metadata")
     val fs = metaDir.getFileSystem(conf)
@@ -551,21 +748,30 @@ object IcebergMeta {
     val seqNum = snapshotId
 
     val schema = table.read(spark, nativeVersion).schema
-    val partType = schema(schema.fieldIndex(table.partCol)).dataType
     require(posDeletes.columns.toSet == Set("file_path", "pos"),
       s"position deletes need exactly (file_path, pos), got " +
         posDeletes.columns.mkString(","))
 
     val delDir = new Path(
       s"${table.root}/data/pos-deletes-${java.util.UUID.randomUUID()}")
-    // spec ordering: sort by file then position
-    val projected = posDeletes.orderBy(col("file_path"), col("pos"))
-    projected.coalesce(1).write.parquet(delDir.toString)
+    // shard by data-file path RANGE above maxRowsPerDeleteFile (one
+    // delete file must never concentrate a mass purge), keeping the
+    // spec's (file_path, pos) ordering WITHIN each file
+    val nRows = posDeletes.count()
+    val nFiles = math.min(64L,
+      math.max(1L, (nRows + maxRowsPerDeleteFile - 1) / maxRowsPerDeleteFile))
+      .toInt
+    val projected =
+      if (nFiles == 1) posDeletes.orderBy(col("file_path"), col("pos"))
+      else posDeletes
+        .repartitionByRange(nFiles, col("file_path"), col("pos"))
+        .sortWithinPartitions(col("file_path"), col("pos"))
+    projected.write.parquet(delDir.toString)
     val dfs = delDir.getFileSystem(conf)
     val delFiles = dfs.listStatus(delDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    val nRows = projected.count()
+    val perFileRows = deleteFileRowCounts(spark, delDir.toString)
 
     val mPath = new Path(metaDir,
       s"${java.util.UUID.randomUUID()}-pos-deletes.avro")
@@ -588,7 +794,7 @@ object IcebergMeta {
       dfr.put("file_format", "PARQUET")
       dfr.put("partition", new GenericData.Record(
         dfr.getSchema.getField("partition").schema()))
-      dfr.put("record_count", nRows)
+      dfr.put("record_count", perFileRows(f.getPath.toString))
       dfr.put("file_size_in_bytes", f.getLen)
       // equality_ids stays null: position deletes carry none
       e.put("data_file", dfr)
@@ -596,19 +802,20 @@ object IcebergMeta {
     } finally w.close()
     val mLen = fs.getFileStatus(mPath).getLen
 
-    val carried = readManifestList(fs,
-      metadataJsonAt(fs, metaDir, prevN), partType)
+    val carried = readManifestList(fs, metadataJsonAt(fs, metaDir, prevN))
     val delEntry = ListEntry(mPath.toString, mLen, 1, seqNum, seqNum,
-      snapshotId, delFiles.length, nRows, None)
+      snapshotId, delFiles.length, nRows, None, None, 1)
     val listPath = new Path(metaDir, f"snap-$snapshotId%d.avro")
-    writeManifestList(fs, listPath, partType,
-      (carried :+ delEntry).sortBy(e => (e.content, e.partitionValue)))
+    writeManifestList(fs, listPath,
+      (carried :+ delEntry).sortBy(_.sortKey))
+    val (specs, defSpec) = carriedSpecsOf(prevMd, schema, table.partCol)
     writeSnapshotMetadata(fs, metaDir, table, schema, snapshotId, seqNum,
-      listPath.toString, nativeVersion, operation = "delete")
+      listPath.toString, nativeVersion, operation = "delete",
+      specs = specs, defaultSpecId = defSpec)
   }
 
   private def writeManifestList(fs: org.apache.hadoop.fs.FileSystem,
-      listPath: Path, partType: DataType, entries: Seq[ListEntry]): Unit = {
+      listPath: Path, entries: Seq[ListEntry]): Unit = {
     val lw = new DataFileWriter(
       new GenericDatumWriter[GenericRecord](manifestFileSchema))
     lw.setMeta("format-version", "2")
@@ -617,7 +824,7 @@ object IcebergMeta {
       val r = new GenericData.Record(manifestFileSchema)
       r.put("manifest_path", e.manifestPath)
       r.put("manifest_length", e.manifestLength)
-      r.put("partition_spec_id", if (e.content == 1) 1 else 0)
+      r.put("partition_spec_id", e.specId)
       r.put("content", e.content)
       r.put("sequence_number", e.sequenceNumber)
       r.put("min_sequence_number", e.minSequenceNumber)
@@ -630,17 +837,16 @@ object IcebergMeta {
       r.put("deleted_rows_count", 0L)
       val sumSchema = manifestFileSchema.getField("partitions").schema()
         .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
-      e.partitionValue match {
-        case Some(part) =>
+      (e.partLower, e.partUpper) match {
+        case (Some(lo), Some(hi)) =>
           val summary = new GenericData.Record(sumSchema.getElementType)
           summary.put("contains_null", false)
           summary.put("contains_nan", false)
-          val b = java.nio.ByteBuffer.wrap(boundBytes(partType, part))
-          summary.put("lower_bound", b.duplicate())
-          summary.put("upper_bound", b.duplicate())
+          summary.put("lower_bound", java.nio.ByteBuffer.wrap(lo))
+          summary.put("upper_bound", java.nio.ByteBuffer.wrap(hi))
           r.put("partitions", new GenericData.Array[GenericRecord](sumSchema,
             java.util.List.of[GenericRecord](summary)))
-        case None => // unpartitioned (delete) manifest: empty summary
+        case _ => // unpartitioned (delete/evolved-empty) manifest
           r.put("partitions", new GenericData.Array[GenericRecord](sumSchema,
             java.util.List.of[GenericRecord]()))
       }
@@ -648,11 +854,17 @@ object IcebergMeta {
     } finally lw.close()
   }
 
-  /** Table metadata JSON + version-hint flip for snapshot N. */
+  /** Table metadata JSON + version-hint flip for snapshot N. `specs`
+    * is the full partition-specs array (carried + any spec this
+    * snapshot evolved); `defaultSpecId` points at the spec new data
+    * rides.
+    */
   private def writeSnapshotMetadata(fs: org.apache.hadoop.fs.FileSystem,
       metaDir: Path, table: ShardedTable,
       schema: StructType, snapshotId: Long, seqNum: Long, listPath: String,
-      nativeVersion: Long, operation: String): Unit = {
+      nativeVersion: Long, operation: String,
+      specs: com.fasterxml.jackson.databind.node.ArrayNode,
+      defaultSpecId: Int): Unit = {
     val root = M.createObjectNode()
     root.put("format-version", 2)
     root.put("table-uuid", java.util.UUID
@@ -664,11 +876,11 @@ object IcebergMeta {
     root.put("last-column-id", schema.fields.length)
     root.put("current-schema-id", 0)
     root.set("schemas", M.readTree(s"[${schemaJson(schema)}]"))
-    root.put("default-spec-id", 0)
-    root.set("partition-specs", M.readTree(
-      s"""[{"spec-id":0,"fields":${specFieldsJson(schema, table.partCol)}},
-         |{"spec-id":1,"fields":[]}]""".stripMargin.replace("\n", "")))
-    root.put("last-partition-id", 1000)
+    root.put("default-spec-id", defaultSpecId)
+    root.set("partition-specs", specs)
+    root.put("last-partition-id",
+      (specs.elements().asScala.flatMap(_.get("fields").elements().asScala
+        .map(_.get("field-id").asInt())).toSeq :+ 1000).max)
     root.put("default-sort-order-id", 0)
     root.set("sort-orders", M.readTree("""[{"order-id":0,"fields":[]}]"""))
     val props = root.putObject("properties")
@@ -720,7 +932,7 @@ object IcebergMeta {
     new Path(metaDir, f"v$version%05d.metadata.json")
 
   private def readManifestList(fs: org.apache.hadoop.fs.FileSystem,
-      mdPath: Path, partType: DataType): Seq[ListEntry] = {
+      mdPath: Path): Seq[ListEntry] = {
     val md = M.readTree(readBytes(fs, mdPath))
     val snapId = md.get("current-snapshot-id").asLong()
     val listPath = md.get("snapshots").elements().asScala
@@ -728,11 +940,11 @@ object IcebergMeta {
       .map(_.get("manifest-list").asText())
       .getOrElse(throw new IllegalStateException(
         s"current snapshot $snapId not in $mdPath"))
-    readManifestListFile(fs, listPath, partType)
+    readManifestListFile(fs, listPath)
   }
 
   private def readManifestListFile(fs: org.apache.hadoop.fs.FileSystem,
-      listPath: String, partType: DataType): Seq[ListEntry] = {
+      listPath: String): Seq[ListEntry] = {
     val in = fs.open(new Path(listPath))
     val stream = new DataFileStream(in,
       new GenericDatumReader[GenericRecord]())
@@ -743,16 +955,20 @@ object IcebergMeta {
         val content = r.get("content").asInstanceOf[Int]
         val parts = r.get("partitions")
           .asInstanceOf[java.util.List[GenericRecord]]
-        val partValue =
-          if (content == 1 || parts == null || parts.isEmpty) None
+        val (lo, hi) =
+          // multi-field summaries (a foreign writer's composite spec)
+          // are not decodable here: carry no bounds -> never pruned
+          if (parts == null || parts.isEmpty || parts.size() != 1)
+            (None, None)
           else {
-            require(parts.size() == 1,
-              s"manifest ${r.get("manifest_path")} should cover one partition")
-            val lo = parts.get(0).get("lower_bound")
-              .asInstanceOf[java.nio.ByteBuffer]
-            val bytes = new Array[Byte](lo.remaining())
-            lo.duplicate().get(bytes)
-            Some(boundValue(partType, bytes))
+            def bytesOf(name: String): Option[Array[Byte]] =
+              Option(parts.get(0).get(name)
+                .asInstanceOf[java.nio.ByteBuffer]).map { bb =>
+                val b = new Array[Byte](bb.remaining())
+                bb.duplicate().get(b)
+                b
+              }
+            (bytesOf("lower_bound"), bytesOf("upper_bound"))
           }
         out += ListEntry(
           r.get("manifest_path").toString,
@@ -763,7 +979,8 @@ object IcebergMeta {
           r.get("added_snapshot_id").asInstanceOf[Long],
           r.get("added_files_count").asInstanceOf[Int],
           r.get("added_rows_count").asInstanceOf[Long],
-          partValue)
+          lo, hi,
+          r.get("partition_spec_id").asInstanceOf[Int])
       }
       out.result()
     } finally stream.close()
@@ -793,13 +1010,13 @@ object IcebergMeta {
     val (dropped, kept) = snaps.splitAt(snaps.length - keepLast)
     // manifests still referenced by a surviving snapshot
     val keptManifests = kept.flatMap { s =>
-      readManifestListFile(fs, s.get("manifest-list").asText(), StringType)
+      readManifestListFile(fs, s.get("manifest-list").asText())
         .map(_.manifestPath)
     }.toSet
     var deleted = 0
     dropped.foreach { s =>
       val listPath = s.get("manifest-list").asText()
-      readManifestListFile(fs, listPath, StringType).foreach { e =>
+      readManifestListFile(fs, listPath).foreach { e =>
         if (!keptManifests.contains(e.manifestPath)) {
           if (fs.delete(new Path(e.manifestPath), false)) deleted += 1
         }
@@ -820,7 +1037,8 @@ object IcebergMeta {
 
   private final case class FileRef(path: String, content: Int,
       eqIds: Option[Seq[Int]],
-      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+      lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
+      sizeBytes: Long)
 
   /** The snapshot log of an Iceberg table (current metadata.json). */
   def snapshots(spark: SparkSession, tableRoot: String): Seq[SnapshotInfo] = {
@@ -868,24 +1086,54 @@ object IcebergMeta {
       .getOrElse(schemas.head)
     val fieldById = schemaNode.get("fields").elements().asScala
       .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
-    val spec = md.get("partition-specs").elements().asScala.toSeq
-      .find(_.get("spec-id").asInt() == 0).get
-      .get("fields").elements().asScala.toSeq.head
-    val srcId = spec.get("source-id").asInt()
-    val partTypeName = schemaNode.get("fields").elements().asScala
-      .find(_.get("id").asInt() == srcId)
-      .map(_.get("type").asText()).getOrElse("string")
-    val partType: DataType = partTypeName match {
-      case "long" => LongType
-      case "int" => IntegerType
-      case _ => StringType
-    }
-    val entries = readManifestListFile(fs, listPath, partType)
+    // per-spec identity partition resolution: every manifest-list
+    // entry carries its OWN partition-spec-id (spec-EVOLVED tables mix
+    // spec ids in one snapshot — a foreign writer's spec change must
+    // not throw), resolved here to the spec's source column type;
+    // empty specs (unpartitioned, e.g. delete files) resolve to None
+    // a foreign table may partition by bucket[N]/truncate[W]/multiple
+    // fields — shapes this reader cannot decode values for. Those
+    // specs resolve to None: their manifests are read (never thrown
+    // on, never dropped), they just cannot be partition-PRUNED.
+    val specById: Map[Int, Option[DataType]] =
+      md.get("partition-specs").elements().asScala.map { s =>
+        val fields = s.get("fields").elements().asScala.toSeq
+        val t: Option[DataType] =
+          if (fields.length != 1 ||
+            fields.head.get("transform").asText() != "identity") None
+          else {
+            val srcId = fields.head.get("source-id").asInt()
+            val typeName = schemaNode.get("fields").elements().asScala
+              .find(_.get("id").asInt() == srcId)
+              .map(_.get("type").asText()).getOrElse("string")
+            Some(typeName match {
+              case "long" => LongType
+              case "int" => IntegerType
+              case _ => StringType
+            })
+          }
+        s.get("spec-id").asInt() -> t
+      }.toMap
+    val entries = readManifestListFile(fs, listPath)
     val dataEntries = entries.filter(_.content == 0)
     val deleteEntries = entries.filter(_.content == 1)
+    // pruning decodes each entry's summary under ITS spec's type; a
+    // manifest whose summary covers a RANGE (lower != upper), rides
+    // an unpartitioned spec, or lacks a summary is kept conservatively
+    // — pruning is an optimization and keeping is always sound
     val prunedData = partitions match {
       case Some(ps) =>
-        dataEntries.filter(_.partitionValue.exists(ps.contains))
+        dataEntries.filter { e =>
+          (for {
+            t <- specById.getOrElse(e.specId, None)
+            lo <- e.partLower
+            hi <- e.partUpper
+          } yield {
+            if (java.util.Arrays.equals(lo, hi))
+              ps.contains(boundValue(t, lo))
+            else true
+          }).getOrElse(true)
+        }
       case None => dataEntries
     }
     // manifests -> live files, keyed by the entries' sequence numbers
@@ -917,7 +1165,8 @@ object IcebergMeta {
                 }.toMap).getOrElse(Map.empty)
             out += FileRef(dfr.get("file_path").toString,
               dfr.get("content").asInstanceOf[Int], eqIds,
-              boundsMap("lower_bounds"), boundsMap("upper_bounds"))
+              boundsMap("lower_bounds"), boundsMap("upper_bounds"),
+              dfr.get("file_size_in_bytes").asInstanceOf[Long])
           }
         }
         out.result()
@@ -964,17 +1213,20 @@ object IcebergMeta {
     // equality deletes (content 2, carry equality_ids) vs position
     // deletes (content 1, (file_path, pos) rows a foreign writer's
     // MERGE produces — spec v2 readers must honor both)
-    val eqDeletes = Seq.newBuilder[(Long, Seq[String], Seq[String])]
-    val posDeletes = Seq.newBuilder[(Long, Seq[String])]
+    val eqDeletes =
+      Seq.newBuilder[(Long, Seq[String], Long, Seq[String])]
+    val posDeletes = Seq.newBuilder[(Long, Seq[String], Long)]
     deleteEntries.foreach { e =>
       val fl = filesOf(e.manifestPath)
       val (pos, eq) = fl.partition(_.content == 1)
-      if (pos.nonEmpty) posDeletes += ((e.sequenceNumber, pos.map(_.path)))
+      if (pos.nonEmpty) posDeletes += ((e.sequenceNumber, pos.map(_.path),
+        pos.map(_.sizeBytes).sum))
       if (eq.nonEmpty) {
         val eqIds = eq.head.eqIds.getOrElse(
           throw new IllegalStateException(
             s"equality-delete manifest ${e.manifestPath} without equality_ids"))
         eqDeletes += ((e.sequenceNumber, eq.map(_.path),
+          eq.map(_.sizeBytes).sum,
           eqIds.map(id => fieldById.getOrElse(id,
             throw new IllegalStateException(s"unknown field id $id")))))
       }
@@ -989,6 +1241,11 @@ object IcebergMeta {
     // per data sequence group: equality deletes apply STRICTLY newer
     // (seq > s), position deletes at seq >= s (they name rows of
     // files that already existed in their own snapshot) — spec v2
+    // broadcast the delete side only while it is provably small (the
+    // manifests carry file sizes); a mass purge's anti-join is left
+    // to AQE, which picks shuffled-hash/sort-merge at runtime size
+    def sizeHint(df: DataFrame, bytes: Long): DataFrame =
+      if (bytes <= (64L << 20)) broadcast(df) else df
     dataBySeq.toSeq.sortBy(_._1).map { case (s, files) =>
       val posApplicable = posDels.filter(_._1 >= s)
       var df =
@@ -997,16 +1254,18 @@ object IcebergMeta {
           val delDf = spark.read.parquet(posApplicable.flatMap(_._2): _*)
             .select(normPath(col("file_path")).as("__gpath"),
               col("pos").as("__gpos")).distinct()
+          val posBytes = posApplicable.map(_._3).sum
           spark.read.parquet(files: _*)
             .withColumn("__gpath", normPath(col("_metadata.file_path")))
             .withColumn("__gpos", col("_metadata.row_index"))
-            .join(broadcast(delDf), Seq("__gpath", "__gpos"), "left_anti")
+            .join(sizeHint(delDf, posBytes), Seq("__gpath", "__gpos"),
+              "left_anti")
             .drop("__gpath", "__gpos")
         }
-      eqDels.filter(_._1 > s).foreach { case (_, delFiles, eqCols) =>
+      eqDels.filter(_._1 > s).foreach { case (_, delFiles, delBytes, eqCols) =>
         val delDf = spark.read.parquet(delFiles: _*)
           .select(eqCols.map(col): _*).distinct()
-        df = df.join(broadcast(delDf), eqCols, "left_anti")
+        df = df.join(sizeHint(delDf, delBytes), eqCols, "left_anti")
       }
       df
     }.reduce(_ unionByName _)

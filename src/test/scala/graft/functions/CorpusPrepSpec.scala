@@ -448,6 +448,45 @@ class CorpusPrepSpec extends SparkSpec {
     assert(err.getMessage.contains("65") || err.getCause != null)
   }
 
+  test("fingerprintAudio: depth-normalized across 8/16/24-bit containers") {
+    import graft.operators.{FlacAudio, Multimodal}
+    // base samples are multiples of 256, so the 8-bit truncation
+    // (>>8 stored, <<8 normalized) is EXACT and all three depths
+    // must hash identically — the mixed-depth archival corpus case
+    val base = Array.tabulate(130)(t => ((((t + 7) * 37) % 120) - 60) * 256)
+    val wav16 = Multimodal.WavCodec.synthesizeDepth(8000, 1, 16, base)
+    val flac24 = FlacAudio.encode(8000, 1, 24, base.map(_ << 8),
+      blockSize = 64)
+    val wav8 = Multimodal.WavCodec.synthesizeDepth(8000, 1, 8,
+      base.map(_ >> 8))
+    val media = Seq((1L, wav16), (2L, flac24), (3L, wav8))
+      .toDF("media_id", "content")
+    val h = Multimodal.fingerprintAudio(media).collect()
+      .map(x => x.media_id -> x.ahash).toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L) == h(3L))
+  }
+
+  test("fingerprintAudio: windows and minSamples parameters") {
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.WavCodec
+    // 528 = 33 * 16 samples: every window holds exactly 16, so the
+    // rising signal makes window energies strictly increasing
+    val rising = WavCodec.synthesize(8000,
+      Array.tabulate(528)(t => (t * 7).toShort))
+    val media = Seq((1L, rising)).toDF("media_id", "content")
+    // 33 windows -> a 32-bit hash: rising energy sets exactly bits 0-31
+    val h33 = Multimodal.fingerprintAudio(media, windows = 33)
+      .collect().head.ahash
+    assert(h33 == 0xffffffffL)
+    // minSamples above the clip length fails loudly
+    val err = intercept[org.apache.spark.SparkException] {
+      Multimodal.fingerprintAudio(media, windows = 65,
+        minSamples = 1000).collect()
+    }
+    assert(err.getMessage.contains("1000") || err.getCause != null)
+  }
+
   test("fingerprintWav near-dup: identical and head-perturbed audio pair via hammingPairs64") {
     import graft.operators.Multimodal
     import graft.operators.Multimodal.WavCodec

@@ -6,11 +6,28 @@ import org.scalatest.funsuite.AnyFunSuite
   * and TRUE interop against the system gpg binary (skipped when gpg is
   * absent — present in CI).
   */
-class PgpSpec extends AnyFunSuite {
+class PgpSpec extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
 
   // resolve the binary by probing PATH + system bins so suite health
   // doesn't depend on the invoking shell's PATH
   private lazy val gpgBin: Option[String] = graft.BinTool.resolve("gpg")
+
+  // every scratch GNUPGHOME spawns its own gpg-agent; left running
+  // they accumulate across rounds until the user's inotify-instance
+  // limit (2 per agent, 128 total) kills unrelated tooling
+  private val scratchHomes = scala.collection.mutable.Buffer.empty[String]
+  private def trackHome(p: java.nio.file.Path): java.nio.file.Path = {
+    scratchHomes += p.toString; p
+  }
+  override def afterAll(): Unit = {
+    if (haveGpg) scratchHomes.foreach { h =>
+      graft.BinTool.resolve("gpgconf").foreach(g =>
+        new ProcessBuilder(g, "--homedir", h, "--kill", "gpg-agent")
+          .redirectErrorStream(true).start().waitFor())
+    }
+    super.afterAll()
+  }
 
   private def haveGpg: Boolean = gpgBin.isDefined
 
@@ -90,7 +107,7 @@ class PgpSpec extends AnyFunSuite {
     * GNUPGHOME; returns (public keyring, secret keyring, homedir).
     */
   private lazy val keyring: (Array[Byte], Array[Byte], String) = {
-    val home = java.nio.file.Files.createTempDirectory("pgpspec-gnupg")
+    val home = trackHome(java.nio.file.Files.createTempDirectory("pgpspec-gnupg"))
     java.nio.file.Files.setPosixFilePermissions(home,
       java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
     val params = home.resolve("params")
@@ -163,7 +180,7 @@ class PgpSpec extends AnyFunSuite {
 
   test("passphrase-protected secret key exports are rejected loudly") {
     assume(haveGpg, "gpg binary not on PATH")
-    val home = java.nio.file.Files.createTempDirectory("pgpspec-prot")
+    val home = trackHome(java.nio.file.Files.createTempDirectory("pgpspec-prot"))
     java.nio.file.Files.setPosixFilePermissions(home,
       java.nio.file.attribute.PosixFilePermissions.fromString("rwx------"))
     val params = home.resolve("params")

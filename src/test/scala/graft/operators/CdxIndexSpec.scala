@@ -127,6 +127,77 @@ class CdxIndexSpec extends graft.SparkSpec {
     assert(got.head.getAs[String]("payload_md5") == md)
   }
 
+  test("maxRangeBytes splits a dense island while staying byte-complete") {
+    import spark.implicits._
+    // 100 contiguous 1000-byte records: one island without a cap
+    val hits = (0 until 100).map(i => ("f", i.toLong * 1000, 1000L))
+      .toDF("filename", "offset", "length")
+    val uncapped = CdxIndex.coalesceRanges(hits, maxGap = 0).collect()
+    assert(uncapped.length == 1 &&
+      uncapped.head.getAs[Long]("range_bytes") == 100000L)
+    val capped = CdxIndex.coalesceRanges(hits, maxGap = 0,
+        maxRangeBytes = 16000L)
+      .orderBy("range_start").collect()
+    // every record is covered exactly once, in order, and no range
+    // exceeds the cap plus one record's length
+    assert(capped.map(_.getAs[Long]("n_records")).sum == 100L)
+    assert(capped.head.getAs[Long]("range_start") == 0L)
+    assert(capped.last.getAs[Long]("range_end") == 100000L)
+    capped.sliding(2).foreach {
+      case Array(a, b) => assert(
+        a.getAs[Long]("range_end") == b.getAs[Long]("range_start"))
+      case _ =>
+    }
+    assert(capped.forall(_.getAs[Long]("range_bytes") <= 17000L))
+    assert(capped.length >= 6)
+    // a cap outside Int addressing is rejected loudly
+    intercept[IllegalArgumentException](
+      CdxIndex.coalesceRanges(hits, 0, maxRangeBytes = 1L << 40))
+  }
+
+  test("fetchRanges reports each record's true member offset") {
+    import spark.implicits._
+    val pages = (0 until 6).map(i =>
+      (s"https://ex.com/p$i", s"<html>m $i</html>".getBytes("UTF-8")))
+    val (bytes, idx) = WarcCodec.writeResponsesIndexed(pages)
+    val dir = tmpDir("cdxoffsets")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/c.warc.gz"), bytes)
+    val plan = Seq(("c.warc.gz", idx(1)._2, idx(4)._2 + idx(4)._3))
+      .toDF("filename", "range_start", "range_end")
+    val got = CdxIndex.fetchRanges(spark, dir, plan)
+      .orderBy("offset").collect()
+    assert(got.map(_.getAs[Long]("offset")).toSeq ==
+      idx.slice(1, 5).map(_._2))
+    assert(got.map(_.getAs[String]("target_uri")).toSeq ==
+      (1 until 5).map(i => s"https://ex.com/p$i"))
+  }
+
+  test("recrawled URLs in one range stay disambiguated by offset") {
+    import spark.implicits._
+    // two captures of the SAME url, adjacent members — a coalesced
+    // range decodes both; (filename, offset) tells them apart where
+    // a url join would fan out
+    val pages = Seq(
+      ("https://ex.com/p", "<html>old</html>".getBytes("UTF-8")),
+      ("https://ex.com/p", "<html>new!</html>".getBytes("UTF-8")))
+    val (bytes, idx) = WarcCodec.writeResponsesIndexed(pages)
+    val dir = tmpDir("cdxrecrawl")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/r.warc.gz"), bytes)
+    val plan = Seq(("r.warc.gz", 0L, idx(1)._2 + idx(1)._3))
+      .toDF("filename", "range_start", "range_end")
+    val got = CdxIndex.fetchRanges(spark, dir, plan)
+      .orderBy("offset").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("offset") == idx(0)._2)
+    assert(got(1).getAs[Long]("offset") == idx(1)._2)
+    assert(got(0).getAs[String]("payload_text") == "<html>old</html>")
+    assert(got(1).getAs[String]("payload_text") == "<html>new!</html>")
+    assert(got(0).getAs[String]("target_uri") ==
+      got(1).getAs[String]("target_uri"))
+  }
+
   test("plan is partitioning-invariant") {
     import spark.implicits._
     val idx = (0 until 200).map { i =>

@@ -58,6 +58,50 @@ class CharsetSniffSpec extends AnyFunSuite {
       == "windows-1252")
   }
 
+  test("attribute-level prescan: decoys cannot false-positive") {
+    // charset= inside an unrelated meta's content VALUE with no
+    // http-equiv pragma must be ignored (the r13 regex matched it)
+    assert(sniff(
+      """<meta name="description" content="see charset=koi8-r docs">""" +
+        """<meta charset="utf-8">""", "UTF-8", None) == "utf-8")
+    // ... and with NO later meta it falls through to the default
+    assert(sniff(
+      """<meta name="description" content="use charset=koi8-r here">""",
+      "UTF-8", None) == "windows-1252")
+    // an attribute NAMED data-charset is not the charset attribute
+    assert(sniff(
+      """<meta data-charset="koi8-r" name="x"><meta charset='greek'>""",
+      "UTF-8", None) == "iso-8859-7")
+    // a quoted '>' inside an earlier tag's attribute must not
+    // terminate that tag early and hide the real meta
+    assert(sniff(
+      """<img alt="a > b charset=big5" src=i><meta charset=ibm866>""",
+      "UTF-8", None) == "ibm866")
+    // content= BEFORE http-equiv= (attribute order is free)
+    assert(sniff(
+      """<meta content="text/html; charset=euc-kr" """ +
+        """http-equiv="content-type">""", "UTF-8", None) == "euc-kr")
+    // http-equiv that is NOT content-type gives the content no power
+    assert(sniff(
+      """<meta http-equiv="refresh" content="1; url=/?charset=koi8-r">""",
+      "UTF-8", None) == "windows-1252")
+    // first occurrence of an attribute name wins within one tag
+    assert(sniff("""<meta charset="utf-8" charset="koi8-r">""",
+      "UTF-8", None) == "utf-8")
+    // <!--> terminates a comment per the HTML prescan
+    assert(sniff("""<!--><meta charset="koi8-r">""", "UTF-8", None)
+      == "koi8-r")
+    // a meta whose charset label is off the table keeps scanning
+    assert(sniff(
+      """<meta charset="not-a-real-label"><meta charset="utf-8">""",
+      "UTF-8", None) == "utf-8")
+    // charset WITHOUT '=' inside content: the extractor moves on
+    assert(sniff(
+      """<meta http-equiv="content-type" """ +
+        """content="charset charset=shift_jis">""", "UTF-8", None)
+      == "shift_jis")
+  }
+
   test("javaCharset round-trips every canonical name in the table") {
     val canonicals = Seq("utf-8", "windows-1252", "windows-1251",
       "windows-874", "ibm866", "iso-8859-2", "iso-8859-5", "iso-8859-7",

@@ -60,6 +60,36 @@ class Id3Spec extends AnyFunSuite {
     assert(p.first("TIT2").contains("AÿB"))
   }
 
+  test("v2.4 per-frame format flags: unsync, DLI, grouping unwind") {
+    // values chosen so UTF-16's BOM (FF FE) forces real FF-stuffing
+    val fs = Seq("TIT2" -> "Tÿtle ÿ", "TPE1" -> "Ärtist")
+    for (fmt <- Seq(0x02, 0x01, 0x03, 0x40, 0x43)) {
+      val tag = Id3.synthesize(fs, v24 = true, encoding = 1,
+        v24Format = fmt)
+      val p = Id3.parse(fmt.toLong, tag).get
+      assert(p.first("TIT2").contains("Tÿtle ÿ"), s"fmt 0x$fmt%02x")
+      assert(p.first("TPE1").contains("Ärtist"))
+    }
+    // a tag synthesized WITH flags differs on disk from a clean one
+    assert(!java.util.Arrays.equals(
+      Id3.synthesize(fs, v24 = true, encoding = 1, v24Format = 0x03),
+      Id3.synthesize(fs, v24 = true, encoding = 1)))
+  }
+
+  test("compressed/encrypted frames fail loudly, never decode garbage") {
+    val tag = Id3.synthesize(Seq("TIT2" -> "x"), v24 = true, encoding = 3,
+      padding = 0)
+    val bad = tag.clone()
+    bad(10 + 9) = 0x08 // v2.4 compression format flag on frame 1
+    val e = intercept[IllegalArgumentException](Id3.parse(9L, bad))
+    assert(e.getMessage.contains("compressed/encrypted"))
+    val bad23 = Id3.synthesize(Seq("TIT2" -> "x"), v24 = false,
+      encoding = 0, padding = 0).clone()
+    bad23(10 + 9) = 0x80.toByte // v2.3 compression flag
+    val e2 = intercept[IllegalArgumentException](Id3.parse(9L, bad23))
+    assert(e2.getMessage.contains("compressed/encrypted"))
+  }
+
   test("no tag, truncation and corrupt frame ids fail appropriately") {
     assert(Id3.parse(5L, "not an mp3".getBytes).isEmpty)
     val tag = Id3.synthesize(frames, v24 = false, encoding = 0)

@@ -239,6 +239,117 @@ class IcebergMetaSpec extends graft.SparkSpec {
     assert(ks(IcebergMeta.read(spark, root)) === Seq(1L, 2L))
   }
 
+  test("position-delete plans carry the manifests' EXACT file_path form") {
+    import spark.implicits._
+    val (t, root) = fixture()
+    IcebergMeta.mirror(spark, t, t.commit(
+      df(Seq((0L, 1L, "a"), (1L, 2L, "b"))), touched = Seq("0", "1")))
+    val plan = IcebergMeta.planPositionDeletes(spark, root,
+      Seq(1L).toDF("k"), joinCols = Seq("k"))
+    val planned = plan.select("file_path").collect()
+      .map(_.getString(0)).toSet
+    // the manifests store file:/p (Path.toString); Spark's _metadata
+    // reports file:///p — a foreign reader compares EXACTLY, so the
+    // plan must be in the manifests' form, never the _metadata form
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestForm = t.manifest(1L).values.flatMap { d =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(d)).toSeq
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
+    }.toSet
+    assert(planned.nonEmpty)
+    assert(planned.forall(p => !p.startsWith("file:///")))
+    assert(planned.subsetOf(manifestForm))
+  }
+
+  test("partition-spec evolution: mixed-spec snapshots read per spec") {
+    import spark.implicits._
+    val (t, root) = fixture()
+    // table partCol "part"; extra column "zone" is part-constant so
+    // identity(zone) is single-valued per data file
+    val rows = Seq((0L, 1L, "a", 10L), (0L, 2L, "b", 10L),
+      (1L, 3L, "c", 11L), (2L, 4L, "d", 12L))
+      .toDF("part", "k", "v", "zone")
+    IcebergMeta.mirror(spark, t, t.commit(rows,
+      touched = Seq("0", "1", "2")))
+    // evolve: rewrite part 1 under identity(zone)
+    IcebergMeta.mirror(spark, t, t.commit(
+      Seq((1L, 30L, "C", 11L)).toDF("part", "k", "v", "zone"),
+      touched = Seq("1")), specPartCol = Some("zone"))
+    def ks(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks(IcebergMeta.read(spark, root)) === Seq(1L, 2L, 4L, 30L))
+    assert(ks(IcebergMeta.read(spark, root, snapshotId = Some(1L))) ===
+      Seq(1L, 2L, 3L, 4L))
+    // pruning decodes each manifest under ITS spec: native "0" and
+    // evolved zone "11" prune across both domains at once
+    assert(ks(IcebergMeta.read(spark, root,
+      partitions = Some(Seq("0", "11")))) === Seq(1L, 2L, 30L))
+    // the metadata carries BOTH specs; default points at the new one
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint = new org.apache.hadoop.fs.Path(s"$root/metadata/version-hint.text")
+    val fs = hint.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readAll(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val in = fs.open(p); try in.readAllBytes() finally in.close()
+    }
+    val v = new String(readAll(hint)).trim.toLong
+    val md = M.readTree(readAll(new org.apache.hadoop.fs.Path(
+      f"$root/metadata/v$v%05d.metadata.json")))
+    val specs = md.get("partition-specs").elements().asScala.toSeq
+    assert(specs.map(_.get("spec-id").asInt()).sorted == Seq(0, 1, 2))
+    assert(md.get("default-spec-id").asInt() == 2)
+    assert(md.get("last-partition-id").asInt() == 1001)
+    // a FURTHER mirror back under the table spec reuses spec 0 and
+    // still carries the evolved manifest by path
+    IcebergMeta.mirror(spark, t, t.commit(
+      Seq((2L, 40L, "E", 12L)).toDF("part", "k", "v", "zone"),
+      touched = Seq("2")))
+    assert(ks(IcebergMeta.read(spark, root)) === Seq(1L, 2L, 30L, 40L))
+    // deletes still apply across the evolution
+    IcebergMeta.mirrorDeletes(spark, t, Seq(30L).toDF("k"),
+      equalityCols = Seq("k"))
+    assert(ks(IcebergMeta.read(spark, root)) === Seq(1L, 2L, 40L))
+  }
+
+  test("evolution demands single-valued files; foreign specs tolerated") {
+    import spark.implicits._
+    val (t, root) = fixture()
+    // zone VARIES inside part 0 -> identity(zone) must fail loudly;
+    // coalesce(1) pins both rows into ONE data file (two files would
+    // each be single-valued and legitimately pass)
+    val rows = Seq((0L, 1L, "a", 10L), (0L, 2L, "b", 99L))
+      .toDF("part", "k", "v", "zone").coalesce(1)
+    val v1 = t.commit(rows, touched = Seq("0"))
+    val e = intercept[IllegalArgumentException](
+      IcebergMeta.mirror(spark, t, v1, specPartCol = Some("zone")))
+    assert(e.getMessage.contains("single-valued"))
+    // a bucket[16] spec from a foreign writer must not break read():
+    // it resolves to "not prunable", never to a throw
+    IcebergMeta.mirror(spark, t, v1)
+    val hint = new org.apache.hadoop.fs.Path(s"$root/metadata/version-hint.text")
+    val fs = hint.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readAll(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val in = fs.open(p); try in.readAllBytes() finally in.close()
+    }
+    val v = new String(readAll(hint)).trim.toLong
+    val mdPath = new org.apache.hadoop.fs.Path(
+      f"$root/metadata/v$v%05d.metadata.json")
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val md = M.readTree(readAll(mdPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val specs = md.get("partition-specs")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    specs.add(M.readTree("""{"spec-id":7,"fields":[
+      {"name":"k_bucket","transform":"bucket[16]","source-id":2,
+       "field-id":1007}]}""".replace("\n", "")))
+    val out = fs.create(mdPath, true)
+    out.write(M.writeValueAsBytes(md)); out.close()
+    assert(IcebergMeta.read(spark, root).count() == 2L)
+    assert(IcebergMeta.read(spark, root,
+      partitions = Some(Seq("0"))).count() == 2L)
+  }
+
   test("delete manifest layout: content codes, spec-id 1, equality_ids") {
     import spark.implicits._
     val (t, root) = fixture()
