@@ -24,7 +24,7 @@ object OperatorGates15 {
     * record's (filename, offset) identity, never on url. The oracle
     * replays ck + the min-d winner rule + the recapture rows.
     */
-  private def buildMiniCrawl(s: SparkSession, dir: String,
+  private[graft] def buildMiniCrawl(s: SparkSession, dir: String,
       warcDir: String): DataFrame = {
     import s.implicits._
     import graft.operators.WarcCodec
@@ -66,7 +66,7 @@ object OperatorGates15 {
     * q_stream_cdxfetch: the ck winner rows (min-d per content key)
     * plus the recapture rows of [[buildMiniCrawl]].
     */
-  private val cdxLedgerOracle: String =
+  private[graft] val cdxLedgerOracle: String =
     """WITH d AS (
       |  SELECT doc_id AS d FROM documents WHERE doc_id < 240),
       |c AS (

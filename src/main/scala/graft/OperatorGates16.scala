@@ -11,6 +11,15 @@ object OperatorGates16 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** [[OperatorGates15.buildMiniCrawl]] with the index's `mime`
+    * column (all real captures are text/html; revisit rows add their
+    * own `warc/revisit` marker).
+    */
+  private def buildMiniCrawlMime(s: SparkSession, dir: String,
+      warcDir: String): DataFrame =
+    OperatorGates15.buildMiniCrawl(s, dir, warcDir)
+      .withColumn("mime", lit("text/html"))
+
   def queries16: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // --- Iceberg PARTITION-SPEC EVOLUTION (spec v2): snapshot 1
@@ -56,9 +65,114 @@ object OperatorGates16 {
         .unionByName(probe(None, None, 2))
         .unionByName(probe(None, Some(Seq("0", "11")), 3))
         .orderBy(col("probe"), col("shard"))
+    }),
+
+    // --- WARC `warc/revisit` semantics in cdxfetch: real Common
+    //     Crawl indexes carry revisit rows — dedup'd captures whose
+    //     digest names an ORIGINAL payload (usually in an EARLIER
+    //     crawl's files). They must never be fetched and never win
+    //     digest dedup. The planted revisits all point at a file that
+    //     DOES NOT EXIST (and one sorts lexically before every real
+    //     capture, so a missing mime filter would make it the dedup
+    //     winner) — any wrong fetch fails loudly, and the ledger must
+    //     equal the revisit-free recompute VERBATIM ----------------
+    "q_cdxfetch_revisit" -> ((s, dir) => {
+      import s.implicits._
+      import graft.runner.JobConfig
+      val tmp = java.nio.file.Files
+        .createTempDirectory("q_cdxrevisit").toString
+      val warcDir = s"$tmp/warc"
+      val cdx = buildMiniCrawlMime(s, dir, warcDir)
+      def md5(p: String): String = java.security.MessageDigest
+        .getInstance("MD5").digest(p.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString
+      def payload(ck: Long): String =
+        s"<html><p>page c$ck body w${ck * 7 % 50}</p></html>"
+      val revisits =
+        // re-captures of epoch-1 content arriving in epoch 2
+        (0L until 40L).map { d =>
+          (s"https://site$d.example/p", md5(payload(d)),
+            "a-revisits-old-crawl.warc.gz", 1000L + d, 200L, 280L + d,
+            "warc/revisit")
+        } ++
+        // revisits whose digest ALSO arrives as a fresh response in
+        // the SAME delta: the response must win dedup
+        (120L until 240L by 15L).map { d =>
+          (s"https://site$d.example/p-re", md5(payload(40 + d % 40)),
+            "a-revisits-old-crawl.warc.gz", 2000L + d, 200L, 320L + d,
+            "warc/revisit")
+        } ++
+        // a digest visible ONLY through a revisit (original lives in
+        // an older crawl): skipped, absent from the ledger
+        Seq(("https://site9999.example/p", "00" * 16,
+          "a-revisits-old-crawl.warc.gz", 9000L, 200L, 500L,
+          "warc/revisit"))
+      val all = cdx.unionByName(revisits
+        .toDF("url", "digest", "filename", "offset", "length", "seq",
+          "mime"))
+      val props = JobConfig.parse(
+        s"""job.type=cdxfetch
+           |job.name=cdxfetch_revisit_gate
+           |source.path=$tmp/src
+           |cdx.warcDir=$warcDir
+           |cdx.maxGap=512
+           |cdx.shards=8
+           |sink.output=$tmp/ledger
+           |state.dir=$tmp/wm
+           |""".stripMargin)
+      all.filter(col("seq") < 120).write.mode("append").parquet(s"$tmp/src")
+      val r1 = JobConfig.runAny(s, props)
+      require(r1("published") == "true", s"epoch 1 failed: $r1")
+      all.filter(col("seq") >= 120).write.mode("append").parquet(s"$tmp/src")
+      val r2 = JobConfig.runAny(s, props)
+      // max seq = 320 + 225 (the last same-delta revisit row)
+      require(r2("published") == "true" && r2("highWatermark") == "545",
+        s"epoch 2 failed: $r2")
+      new graft.sink.ShardedTable(s"$tmp/ledger", "shard",
+          s.sparkContext.hadoopConfiguration)
+        .readCurrent(s)
+        .select(col("digest"), col("url"), col("seq"), col("n_chars"))
+        .orderBy(col("digest"))
+    }),
+
+    // --- PRODUCTION-SHAPED audio fingerprint (the toy gates use
+    //     2-sample windows; real clips carry many samples per
+    //     window): 4160-sample clips = 64 samples in EVERY one of the
+    //     65 energy windows, minSamples enforcing exactly that floor,
+    //     containers rotating WAV16 / FLAC16 / 24-bit FLAC (the
+    //     archival depth — norm16 cancels its shift exactly, so the
+    //     same recording collapses across depths at this shape too).
+    //     Oracle replays samples → 64-sample window energies → bits →
+    //     hash-equality groups ------------------------------------
+    "q_audio_fp_production" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.{FlacAudio, Multimodal}
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { d =>
+          val g = (d % 20).toInt
+          val pcm = Array.tabulate(4160)(tt =>
+            ((g + 1) * (tt + 11) * 131) % 4001 - 2000)
+          val bytes = (d % 3) match {
+            case 1 => FlacAudio.encode(8000, 1, 16, pcm, blockSize = 512)
+            case 2 => FlacAudio.encode(8000, 1, 24, pcm.map(_ << 8),
+              blockSize = 512)
+            case _ => Multimodal.WavCodec.synthesizeDepth(8000, 1, 16, pcm)
+          }
+          (d, bytes)
+        }).toDF("media_id", "content")
+      val fp = Multimodal
+        .fingerprintAudio(media, windows = 65, minSamples = 4160).toDF()
+      fp.join(fp.groupBy(col("ahash")).agg(min(col("media_id")).as("rep")),
+          "ahash")
+        .select(col("media_id"), col("rep"))
+        .orderBy(col("media_id"))
     }))
 
   def oracleSql16: Map[String, String] = Map(
+
+    // revisits add NOTHING: the ledger equals the revisit-free
+    // recompute verbatim
+    "q_cdxfetch_revisit" -> OperatorGates15.cdxLedgerOracle,
 
     "q_iceberg_spec_evolution" ->
       """WITH d AS (
@@ -84,5 +198,24 @@ object OperatorGates16 {
         |  CAST(n AS BIGINT) AS n, CAST(sum_id AS BIGINT) AS sum_id
         |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
         |  UNION ALL SELECT * FROM p3) u
-        |ORDER BY probe, shard""".stripMargin)
+        |ORDER BY probe, shard""".stripMargin,
+
+    "q_audio_fp_production" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 20 AS g FROM documents),
+        |en AS (
+        |  SELECT doc_id, list_transform(range(0, 65), w ->
+        |    list_sum(list_transform(range(0, 64), i ->
+        |      abs(((g + 1) * ((w * 64 + i) + 11) * 131) % 4001 - 2000))))
+        |    AS en
+        |  FROM d),
+        |bits AS (
+        |  SELECT doc_id, list_transform(range(0, 64), j ->
+        |    CASE WHEN en[j + 2] > en[j + 1] THEN 1 ELSE 0 END) AS b
+        |  FROM en),
+        |hh AS (SELECT doc_id, array_to_string(b, '') AS hs FROM bits),
+        |rep AS (SELECT hs, min(doc_id) AS rep FROM hh GROUP BY hs)
+        |SELECT h.doc_id AS media_id, r.rep AS rep
+        |FROM hh h JOIN rep r USING (hs)
+        |ORDER BY media_id""".stripMargin)
 }

@@ -162,7 +162,20 @@ object CdxIndex {
       case Some((rules, crawler)) =>
         Robots.filterAllowed(delta, "url", rules, crawler)
     }
-    val deduped = dedupByDigest(polite)
+    // Common Crawl indexes carry `warc/revisit` rows: dedup'd
+    // captures whose digest names an ORIGINAL payload, usually in an
+    // EARLIER crawl's files. A revisit member holds no payload, so it
+    // must never be fetched and never win digest dedup; a digest
+    // visible ONLY through revisits is content this crawl's files do
+    // not carry — skipped (the ledger already has it when the
+    // original crawl was ingested; epochs stay O(new FETCHABLE
+    // content)). Applies when the delta carries a `mime` column.
+    val fetchable =
+      if (polite.columns.contains("mime"))
+        polite.filter(col("mime").isNull ||
+          lower(col("mime")) =!= "warc/revisit")
+      else polite
+    val deduped = dedupByDigest(fetchable)
       .withColumn("shard", pmod(xxhash64(col("digest")), lit(nShards)))
     val candidates = deduped.select("shard").distinct()
       .collect().map(_.getLong(0).toString).toSeq // <= nShards values

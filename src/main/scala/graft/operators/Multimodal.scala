@@ -222,16 +222,17 @@ object Multimodal {
     def resample(id: Long, bytes: Array[Byte], outRate: Int): Array[Byte] = {
       require(outRate > 0, s"media $id: bad target rate $outRate")
       val m = meta(id, bytes)
-      require(m.bits == 16,
-        s"media $id: resample supports 16-bit PCM, got ${m.bits}")
       val outN = (m.nSamples * outRate / m.rate).toInt
-      val out = Array.tabulate[Short](outN * m.channels) { k =>
+      // depth-generic: [[sampleAt]] decodes any supported PCM width
+      // and [[synthesizeDepth]] re-encodes at the SAME width, so
+      // 8/24/32-bit archival audio resamples without a depth cast
+      val out = Array.tabulate[Int](outN * m.channels) { k =>
         val j = k / m.channels // output frame
         val c = k % m.channels
         val sj = (j.toLong * m.rate / outRate).toInt
-        ((u16(bytes, m.dataOff + (sj * m.channels + c) * 2) << 16) >> 16).toShort
+        sampleAt(bytes, m, sj * m.channels + c)
       }
-      synthesizeInterleaved(outRate, m.channels, out)
+      synthesizeDepth(outRate, m.channels, m.bits, out)
     }
 
     /** Multi-channel variant of [[synthesize]]: interleaved PCM16

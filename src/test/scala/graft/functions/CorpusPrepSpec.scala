@@ -287,6 +287,22 @@ class CorpusPrepSpec extends SparkSpec {
     assert(half.mean_abs_amp == expect.sum.toDouble / 5)
   }
 
+  test("WavCodec.resample: depth-generic (8/24/32-bit stay at depth)") {
+    import graft.operators.Multimodal.WavCodec
+    for (bits <- Seq(8, 24, 32)) {
+      val amp = bits match { case 8 => 100; case 24 => 4000000; case _ => 100000000 }
+      val samples = Array.tabulate(10)(i => (i % 5) * amp / 5 - amp / 2)
+      val wav = WavCodec.synthesizeDepth(8000, 1, bits, samples)
+      // identity rate round-trips byte-exactly at every depth
+      assert(WavCodec.resample(1L, wav, 8000).toSeq == wav.toSeq)
+      val half = WavCodec.parse(2L, WavCodec.resample(2L, wav, 4000))
+      assert(half.bits == bits && half.n_samples == 5)
+      val expect = Seq(0, 2, 4, 6, 8)
+        .map(i => math.abs((i % 5) * amp / 5 - amp / 2).toLong)
+      assert(half.mean_abs_amp == expect.sum.toDouble / 5)
+    }
+  }
+
   test("WavCodec.resample: stereo frames stay phase-aligned") {
     import graft.operators.Multimodal.WavCodec
     // L channel = +frame, R channel = -frame: alignment detectable
