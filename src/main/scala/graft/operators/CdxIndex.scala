@@ -205,8 +205,12 @@ object CdxIndex {
       .select(col("url"), col("digest"), col("shard"),
         col("filename"), col("offset"),
         col(seqCol).cast("long").as("seq"))
+      // dropDuplicates makes the join provably 1:1 even if two plan
+      // ranges ever covered one member (identical decodes either way)
       .join(fetched.select(col("filename"), col("offset"),
-        col("payload_text").as("text")), Seq("filename", "offset"), "left")
+          col("payload_text").as("text"))
+          .dropDuplicates("filename", "offset"),
+        Seq("filename", "offset"), "left")
       .withColumn("text", when(col("text").isNull,
         raise_error(concat(lit("cdxfetch: no record decoded at "),
           col("filename"), lit(":"), col("offset"),

@@ -198,6 +198,55 @@ class CdxIndexSpec extends graft.SparkSpec {
       got(1).getAs[String]("target_uri"))
   }
 
+  test("coalesceRanges invariants hold under randomized layouts (seeded)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (round <- 0 until 8) {
+      val maxGap = rnd.nextInt(500).toLong
+      val cap = (2000 + rnd.nextInt(20000)).toLong
+      // members TILE a file (gzip concatenation): non-overlapping,
+      // random sizes, random inter-member gaps
+      val hits = (0 until 3).flatMap { f =>
+        var off = rnd.nextInt(1000).toLong
+        (0 until 50).map { _ =>
+          val len = (1 + rnd.nextInt(3000)).toLong
+          val row = (s"f_$f", off, len)
+          off += len + rnd.nextInt(800)
+          row
+        }
+      }
+      val df = hits.toDF("filename", "offset", "length")
+      val ranges = CdxIndex.coalesceRanges(df, maxGap, cap).collect()
+        .map(r => (r.getAs[String]("filename"),
+          r.getAs[Long]("range_start"), r.getAs[Long]("range_end"),
+          r.getAs[Long]("n_records")))
+      // every record counted exactly once
+      assert(ranges.map(_._4).sum == hits.length.toLong, s"round $round")
+      // ranges per file are disjoint and each start is a record offset
+      val offsets = hits.groupBy(_._1).view
+        .mapValues(_.map(_._2).toSet).toMap
+      ranges.groupBy(_._1).foreach { case (f, rs) =>
+        val sorted = rs.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._3 <= b._2, s"overlap in $f")
+          case _ =>
+        }
+        sorted.foreach { r =>
+          assert(offsets(f).contains(r._2), s"start not a record offset")
+          assert(r._3 > r._2)
+        }
+      }
+      // every record's bytes are inside some range of its file
+      hits.foreach { case (f, off, len) =>
+        assert(ranges.exists(r => r._1 == f && r._2 <= off &&
+          off + len <= r._3), s"uncovered record $f@$off")
+      }
+      // no range exceeds cap + one record's max length
+      assert(ranges.forall(r => r._3 - r._2 <= cap + 3000),
+        s"cap breach in round $round")
+    }
+  }
+
   test("plan is partitioning-invariant") {
     import spark.implicits._
     val idx = (0 until 200).map { i =>

@@ -102,6 +102,25 @@ class Id3Spec extends AnyFunSuite {
     assert(e2.getMessage.contains("bad ID3 frame id"))
   }
 
+  test("parse is total on adversarial tag bytes (fuzz, seeded)") {
+    // real crawls carry truncated/bit-rotted tags: parse must return
+    // or throw the module's loud IllegalArgumentException — never
+    // hang, never throw anything unclassified
+    val rnd = new scala.util.Random(1234)
+    val base = Id3.synthesize(frames, v24 = true, encoding = 1,
+      v24Format = 0x03)
+    (0 until 800).foreach { i =>
+      val mutated = base.clone()
+      (0 until 1 + rnd.nextInt(6)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      val cut = 3 + rnd.nextInt(mutated.length - 3)
+      val sample = if (i % 3 == 0) mutated.take(cut) else mutated
+      try { Id3.parse(i.toLong, sample); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("ID3v2.2: 3-char frame ids map into the v2.3 vocabulary") {
     val body = new java.io.ByteArrayOutputStream()
     def frame(fid: String, value: String): Unit = {
