@@ -135,6 +135,68 @@ object OperatorGates16 {
         .orderBy(col("digest"))
     }),
 
+    // --- CDX index GENERATION (job.type=cdxindex, the PRODUCER side
+    //     of cdxfetch): a crawl with no published index becomes
+    //     consumable by indexing its .warc.gz store once. The built
+    //     index must agree with the WRITER's ground truth (url,
+    //     digest, member length, WARC-Date ts, mime) at every
+    //     (filename, offset) identity — and then DRIVE cdxfetch end
+    //     to end: warc store -> cdxindex -> cdxfetch -> the exact
+    //     ledger a full recompute produces ------------------------
+    "q_cdx_index_build" -> ((s, dir) => {
+      import graft.runner.JobConfig
+      val tmp = java.nio.file.Files
+        .createTempDirectory("q_cdxindex").toString
+      val warcDir = s"$tmp/warc"
+      val fixture = OperatorGates15.buildMiniCrawl(s, dir, warcDir)
+      val r0 = JobConfig.runAny(s, JobConfig.parse(
+        s"""job.type=cdxindex
+           |job.name=cdxindex_gate
+           |cdx.warcDir=$warcDir
+           |cdx.digest=md5
+           |sink.output=$tmp/index
+           |""".stripMargin))
+      require(r0("published") == "true", s"index build failed: $r0")
+      val built = s.read.parquet(s"$tmp/index")
+      val nF = fixture.count()
+      require(r0("rowsWritten") == nF.toString,
+        s"built ${r0("rowsWritten")} rows, writer ground truth has $nF")
+      val joined = built.join(
+        fixture.select(col("url").as("f_url"),
+          col("digest").as("f_digest"), col("length").as("f_len"),
+          col("seq"), col("filename"), col("offset")),
+        Seq("filename", "offset"))
+      require(joined.count() == nF, "identity join lost rows")
+      require(joined.filter(col("url") =!= col("f_url") ||
+        col("digest") =!= col("f_digest") ||
+        col("length") =!= col("f_len") ||
+        col("ts") =!= "20260101000000" ||
+        col("mime") =!= "text/html" ||
+        col("status") =!= 200 ||
+        col("urlkey") =!= graft.operators.CdxIndex.surt(col("url")))
+        .isEmpty, "built index disagrees with the writer's ground truth")
+      // the built index (fixture seq attached per identity) now
+      // drives the consumer job — self-indexing ingestion
+      joined.select("url", "digest", "filename", "offset", "length",
+        "seq").write.mode("append").parquet(s"$tmp/src")
+      val r1 = JobConfig.runAny(s, JobConfig.parse(
+        s"""job.type=cdxfetch
+           |job.name=cdxindex_fetch_gate
+           |source.path=$tmp/src
+           |cdx.warcDir=$warcDir
+           |cdx.maxGap=512
+           |cdx.shards=8
+           |sink.output=$tmp/ledger
+           |state.dir=$tmp/wm
+           |""".stripMargin))
+      require(r1("published") == "true", s"fetch epoch failed: $r1")
+      new graft.sink.ShardedTable(s"$tmp/ledger", "shard",
+          s.sparkContext.hadoopConfiguration)
+        .readCurrent(s)
+        .select(col("digest"), col("url"), col("seq"), col("n_chars"))
+        .orderBy(col("digest"))
+    }),
+
     // --- PRODUCTION-SHAPED audio fingerprint (the toy gates use
     //     2-sample windows; real clips carry many samples per
     //     window): 4160-sample clips = 64 samples in EVERY one of the
@@ -173,6 +235,29 @@ object OperatorGates16 {
     // revisits add NOTHING: the ledger equals the revisit-free
     // recompute verbatim
     "q_cdxfetch_revisit" -> OperatorGates15.cdxLedgerOracle,
+
+    // the self-indexed SINGLE-epoch chain: originals and recaptures
+    // share one delta, so the per-URL winner keeps only the original
+    // capture — the ledger is exactly the ck winners
+    "q_cdx_index_build" ->
+      """WITH d AS (
+        |  SELECT doc_id AS d FROM documents WHERE doc_id < 240),
+        |c AS (
+        |  SELECT d, CASE WHEN d >= 120 AND d % 3 = 0
+        |    THEN 40 + d % 40 ELSE d % 40 END AS ck FROM d),
+        |p AS (
+        |  SELECT d, ck,
+        |    '<html><p>page c' || ck || ' body w' || (ck * 7 % 50) ||
+        |      '</p></html>' AS payload
+        |  FROM c),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY ck ORDER BY d) AS rn
+        |  FROM p)
+        |SELECT md5(payload) AS digest,
+        |  'https://site' || d || '.example/p' AS url,
+        |  CAST(d AS BIGINT) AS seq,
+        |  CAST(length(payload) AS BIGINT) AS n_chars
+        |FROM w WHERE rn = 1 ORDER BY digest""".stripMargin,
 
     "q_iceberg_spec_evolution" ->
       """WITH d AS (

@@ -285,6 +285,78 @@ object CdxIndex {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** RFC 4648 base32 (uppercase, unpadded) of a SHA-1 — the Common
+    * Crawl CDX digest convention (20 bytes = exactly 32 chars).
+    */
+  private[operators] def sha1B32(b: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(b)
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    val sb = new java.lang.StringBuilder(32)
+    var buf = 0L
+    var bits = 0
+    d.foreach { byte =>
+      buf = (buf << 8) | (byte & 0xffL)
+      bits += 8
+      while (bits >= 5) {
+        bits -= 5
+        sb.append(alphabet(((buf >> bits) & 31L).toInt))
+      }
+    }
+    sb.toString
+  }
+
+  /** Build a CDX index over a directory of member-per-record .warc.gz
+    * files — the PRODUCER side of [[planFetch]]/[[ledgerMerge]]: a
+    * crawl with no published index becomes consumable by indexing it
+    * once and feeding the result to `job.type=cdxfetch`. Distributed
+    * one task per file (binaryFile source); whole-file reads are
+    * inherent to indexing, and each epoch after that costs only range
+    * reads. Emitted per response record: the REAL gzip member offset
+    * and compressed member length (what range fetches need), the
+    * `urlkey` in SURT form, `ts` from WARC-Date (digits, 14), the
+    * HTTP status, the parameter-stripped Content-Type, and the
+    * payload digest — `digestAlgo` "sha1b32" (the Common Crawl
+    * convention) or "md5" (hex). Columns match [[parseCdxj]], so
+    * [[renderCdxj]] serializes the result to CDXJ lines directly.
+    */
+  def indexWarcs(spark: org.apache.spark.sql.SparkSession, warcDir: String,
+      digestAlgo: String = "sha1b32",
+      pattern: String = "*.warc.gz"): DataFrame = {
+    require(digestAlgo == "sha1b32" || digestAlgo == "md5",
+      s"unsupported digest algo '$digestAlgo' (sha1b32 | md5)")
+    import spark.implicits._
+    val rows = spark.read.format("binaryFile")
+      .load(s"$warcDir/$pattern")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, bytes) =>
+        val fname = path.substring(path.lastIndexOf('/') + 1)
+        val recs = WarcCodec.parseIndexed(
+          fname.hashCode.toLong & 0x7fffffffL, bytes, base = 0L)
+        // compressed member length = distance to the next member (or
+        // EOF) — offsets are member starts in the CC one-record-per-
+        // member layout, which this indexer requires like fetchRanges
+        val offsets = recs.map(_._1).distinct.sorted
+        val endOf = offsets.zip(offsets.drop(1) :+ bytes.length.toLong).toMap
+        recs.iterator.filter(_._2.warcType == "response").map {
+          case (off, r) =>
+            val digest =
+              if (digestAlgo == "md5")
+                java.security.MessageDigest.getInstance("MD5")
+                  .digest(r.payload).map(b => f"${b & 0xff}%02x").mkString
+              else sha1B32(r.payload)
+            val ts = r.warcDate.filter(_.isDigit).take(14)
+            (ts, r.targetUri, r.httpStatus, r.httpMime, digest,
+              fname, off, endOf(off) - off)
+        }
+      })
+      .toDF("ts", "url", "status", "mime", "digest",
+        "filename", "offset", "length")
+    rows.select(surt(col("url")).as("urlkey"), col("ts"), col("url"),
+      col("status"), col("mime"), col("digest"),
+      col("filename"), col("offset"), col("length"))
+  }
+
   /** Render an index DataFrame back to CDXJ lines (the export side). */
   def renderCdxj(index: DataFrame): DataFrame =
     index.select(concat(

@@ -40,7 +40,8 @@ object WarcCodec {
   final case class WarcRecord(
       warcType: String, targetUri: String, recordId: String,
       contentType: String, contentLength: Long, httpStatus: Int,
-      httpCharset: String, payload: Array[Byte])
+      httpCharset: String, payload: Array[Byte],
+      warcDate: String = "", httpMime: String = "")
 
   private def fail(id: Long, msg: String): Nothing =
     throw new IllegalArgumentException(s"media $id: $msg")
@@ -209,6 +210,7 @@ object WarcCodec {
         var status = -1
         var payload = body
         var charset = "UTF-8"
+        var mime = ""
         if (warcType == "response" && contentType.startsWith("application/http")) {
           val sEnd = headerEnd(body, 0)
           if (sEnd < 0) fail(id, s"response record at $pos has no HTTP header block")
@@ -224,6 +226,9 @@ object WarcCodec {
           // prescan must see the logical body, not gzip bytes)
           val ctLine = httpHead.split("\r\n").drop(1)
             .find(_.toLowerCase.startsWith("content-type:"))
+          // parameter-stripped media type (the CDX `mime` column)
+          mime = ctLine.map(_.split(":", 2)(1).split(";")(0).trim
+            .toLowerCase).getOrElse("")
           val headerLabel = ctLine.flatMap { l =>
             "(?i)charset=\"?([A-Za-z0-9_.:-]+)\"?".r
               .findFirstMatchIn(l).map(_.group(1))
@@ -268,7 +273,8 @@ object WarcCodec {
         records += ((recStart, WarcRecord(warcType,
           headers.getOrElse("warc-target-uri", ""),
           headers.getOrElse("warc-record-id", ""),
-          contentType, len, status, charset, payload)))
+          contentType, len, status, charset, payload,
+          headers.getOrElse("warc-date", ""), mime)))
         pos = hEnd + len.toInt
       }
     }
@@ -330,6 +336,7 @@ object WarcCodec {
         s"WARC-Type: response\r\n" +
         s"WARC-Record-ID: <urn:uuid:rec-$i>\r\n" +
         s"WARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2026-01-01T00:00:00Z\r\n" +
         s"Content-Type: application/http;msgtype=response\r\n" +
         s"Content-Length: ${body.length}\r\n\r\n")
         .getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++

@@ -901,6 +901,24 @@ object JobConfig {
               touched)
         }
 
+      case "cdxindex" =>
+        // the PRODUCER side of cdxfetch: index a directory of
+        // member-per-record .warc.gz files into CDX records (parquet,
+        // parseCdxj-shaped) — one distributed pass, after which every
+        // epoch costs only range reads. Keys:
+        //   cdx.warcDir  the WARC store to index
+        //   cdx.digest   sha1b32 (Common Crawl convention) | md5
+        //   cdx.pattern  file glob (default *.warc.gz)
+        //   sink.output  parquet output path
+        val idx = graft.operators.CdxIndex.indexWarcs(spark,
+          req(p, "cdx.warcDir"),
+          opt(p, "cdx.digest").getOrElse("sha1b32"),
+          opt(p, "cdx.pattern").getOrElse("*.warc.gz"))
+        val out = req(p, "sink.output")
+        idx.write.mode("overwrite").parquet(out)
+        val n = spark.read.parquet(out).count()
+        Map("published" -> "true", "rowsWritten" -> n.toString)
+
       case "cdxfetch" =>
         // incremental Common-Crawl consumption: the CDX delta above
         // the published watermark dedups by content digest, anti-joins

@@ -247,6 +247,57 @@ class CdxIndexSpec extends graft.SparkSpec {
     }
   }
 
+  test("sha1B32 matches an independent base-32 derivation") {
+    // 160 bits = exactly 32 base-32 digits, so RFC 4648 base32 of a
+    // SHA-1 equals the digest read as a big-endian integer rendered
+    // in base 32 with the RFC alphabet — an independent arithmetic
+    // path that would catch alphabet or bit-order bugs
+    val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+    for (payload <- Seq("", "abc", "The quick brown fox", "üÿ")) {
+      val bytes = payload.getBytes("UTF-8")
+      val sha = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(bytes)
+      var n = new java.math.BigInteger(1, sha)
+      val digits = new StringBuilder
+      (0 until 32).foreach { _ =>
+        digits.insert(0, alphabet(n.mod(
+          java.math.BigInteger.valueOf(32)).intValue()))
+        n = n.shiftRight(5)
+      }
+      assert(CdxIndex.sha1B32(bytes) == digits.toString, payload)
+    }
+  }
+
+  test("indexWarcs recovers member offsets, lengths and metadata") {
+    val pages = (0 until 8).map(i =>
+      (s"https://Ex.com/p$i?b=2&a=1", s"<html>idx $i</html>".getBytes("UTF-8")))
+    val (bytes, idx) = WarcCodec.writeResponsesIndexed(pages)
+    val dir = tmpDir("cdxbuild")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/seg-0.warc.gz"), bytes)
+    val built = CdxIndex.indexWarcs(spark, dir)
+      .orderBy("offset").collect()
+    assert(built.length == 8)
+    built.zip(idx).zipWithIndex.foreach { case ((r, (uri, off, len)), i) =>
+      assert(r.getAs[String]("url") == uri)
+      assert(r.getAs[Long]("offset") == off)
+      assert(r.getAs[Long]("length") == len)
+      assert(r.getAs[String]("filename") == "seg-0.warc.gz")
+      assert(r.getAs[Int]("status") == 200)
+      assert(r.getAs[String]("mime") == "text/html")
+      assert(r.getAs[String]("ts") == "20260101000000")
+      assert(r.getAs[String]("urlkey") == s"com,ex)/p$i?a=1&b=2")
+      assert(r.getAs[String]("digest") ==
+        CdxIndex.sha1B32(s"<html>idx $i</html>".getBytes("UTF-8")))
+    }
+    // the built index round-trips through the CDXJ text form
+    val lines = CdxIndex.renderCdxj(CdxIndex.indexWarcs(spark, dir))
+    val back = CdxIndex.parseCdxj(lines).orderBy("offset").collect()
+    assert(back.length == 8)
+    assert(back.map(_.getAs[Long]("offset")).toSeq ==
+      idx.map(_._2).toSeq)
+  }
+
   test("plan is partitioning-invariant") {
     import spark.implicits._
     val idx = (0 until 200).map { i =>
