@@ -536,9 +536,19 @@ object IcebergMeta {
     val listPath = new Path(metaDir, f"snap-$snapshotId%d.avro")
     writeManifestList(fs, listPath,
       (newEntries ++ carried).sortBy(_.sortKey))
+    val allEntries = newEntries ++ carried
     writeSnapshotMetadata(fs, metaDir, table, schema, snapshotId, seqNum,
       listPath.toString, nativeVersion = version, operation = "overwrite",
-      specs = specsArr, defaultSpecId = specId)
+      specs = specsArr, defaultSpecId = specId,
+      summary = Map(
+        "added-data-files" -> newEntries.map(_.addedFiles).sum.toString,
+        "added-records" -> newEntries.map(_.addedRows).sum.toString,
+        "total-data-files" -> allEntries.filter(_.content == 0)
+          .map(_.addedFiles).sum.toString,
+        "total-records" -> allEntries.filter(_.content == 0)
+          .map(_.addedRows).sum.toString,
+        "total-delete-files" -> allEntries.filter(_.content == 1)
+          .map(_.addedFiles).sum.toString))
   }
 
   /** Append an EQUALITY-DELETE snapshot (Iceberg v2 merge-on-read):
@@ -627,7 +637,16 @@ object IcebergMeta {
     val (specs, defSpec) = carriedSpecsOf(prevMd, schema, table.partCol)
     writeSnapshotMetadata(fs, metaDir, table, schema, snapshotId, seqNum,
       listPath.toString, nativeVersion, operation = "delete",
-      specs = specs, defaultSpecId = defSpec)
+      specs = specs, defaultSpecId = defSpec,
+      summary = Map(
+        "added-delete-files" -> delFiles.length.toString,
+        "added-equality-delete-records" -> nRows.toString,
+        "total-data-files" -> carried.filter(_.content == 0)
+          .map(_.addedFiles).sum.toString,
+        "total-records" -> carried.filter(_.content == 0)
+          .map(_.addedRows).sum.toString,
+        "total-delete-files" -> (carried.filter(_.content == 1)
+          .map(_.addedFiles).sum + delFiles.length).toString))
   }
 
   /** Carry the previous metadata's partition-specs + default spec id
@@ -811,7 +830,16 @@ object IcebergMeta {
     val (specs, defSpec) = carriedSpecsOf(prevMd, schema, table.partCol)
     writeSnapshotMetadata(fs, metaDir, table, schema, snapshotId, seqNum,
       listPath.toString, nativeVersion, operation = "delete",
-      specs = specs, defaultSpecId = defSpec)
+      specs = specs, defaultSpecId = defSpec,
+      summary = Map(
+        "added-delete-files" -> delFiles.length.toString,
+        "added-position-delete-records" -> nRows.toString,
+        "total-data-files" -> carried.filter(_.content == 0)
+          .map(_.addedFiles).sum.toString,
+        "total-records" -> carried.filter(_.content == 0)
+          .map(_.addedRows).sum.toString,
+        "total-delete-files" -> (carried.filter(_.content == 1)
+          .map(_.addedFiles).sum + delFiles.length).toString))
   }
 
   private def writeManifestList(fs: org.apache.hadoop.fs.FileSystem,
@@ -864,7 +892,8 @@ object IcebergMeta {
       schema: StructType, snapshotId: Long, seqNum: Long, listPath: String,
       nativeVersion: Long, operation: String,
       specs: com.fasterxml.jackson.databind.node.ArrayNode,
-      defaultSpecId: Int): Unit = {
+      defaultSpecId: Int,
+      summary: Map[String, String] = Map.empty): Unit = {
     val root = M.createObjectNode()
     root.put("format-version", 2)
     root.put("table-uuid", java.util.UUID
@@ -898,7 +927,12 @@ object IcebergMeta {
     snap.put("sequence-number", seqNum)
     snap.put("timestamp-ms", System.currentTimeMillis())
     snap.put("manifest-list", listPath)
-    snap.putObject("summary").put("operation", operation)
+    // spec snapshot summary: external tooling (a $snapshots metadata
+    // table, UIs) reads these counters, so they must be truthful
+    val summaryNode = snap.putObject("summary")
+    summaryNode.put("operation", operation)
+    summary.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      summaryNode.put(k, v) }
     writeAtomic(fs, metadataJsonAt(fs, metaDir, snapshotId),
       M.writerWithDefaultPrettyPrinter().writeValueAsBytes(root))
     writeAtomic(fs, new Path(metaDir, "version-hint.text"),

@@ -350,6 +350,37 @@ class IcebergMetaSpec extends graft.SparkSpec {
       partitions = Some(Seq("0"))).count() == 2L)
   }
 
+  test("snapshot summaries carry truthful counters") {
+    import spark.implicits._
+    val (t, root) = fixture()
+    IcebergMeta.mirror(spark, t, t.commit(
+      df(Seq((0L, 1L, "a"), (0L, 2L, "b"), (1L, 3L, "c"))),
+      touched = Seq("0", "1")))
+    IcebergMeta.mirrorDeletes(spark, t, Seq(2L).toDF("k"),
+      equalityCols = Seq("k"))
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val hint = new org.apache.hadoop.fs.Path(
+      s"$root/metadata/version-hint.text")
+    val fs = hint.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readAll(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val in = fs.open(p); try in.readAllBytes() finally in.close()
+    }
+    val v = new String(readAll(hint)).trim.toLong
+    val md = M.readTree(readAll(new org.apache.hadoop.fs.Path(
+      f"$root/metadata/v$v%05d.metadata.json")))
+    val snaps = md.get("snapshots").elements().asScala.toSeq
+    val s1 = snaps.head.get("summary")
+    assert(s1.get("operation").asText() == "overwrite")
+    assert(s1.get("added-records").asText() == "3")
+    assert(s1.get("total-records").asText() == "3")
+    assert(s1.get("total-delete-files").asText() == "0")
+    val s2 = snaps(1).get("summary")
+    assert(s2.get("operation").asText() == "delete")
+    assert(s2.get("added-equality-delete-records").asText() == "1")
+    assert(s2.get("total-records").asText() == "3")
+    assert(s2.get("added-delete-files").asText().toInt >= 1)
+  }
+
   test("delete manifest layout: content codes, spec-id 1, equality_ids") {
     import spark.implicits._
     val (t, root) = fixture()
