@@ -114,8 +114,13 @@ object CdxIndex {
     */
   def coalesceRanges(hits: DataFrame, maxGap: Long,
       maxRangeBytes: Long = 256L << 20): DataFrame = {
-    require(maxRangeBytes > 0 && maxRangeBytes <= Int.MaxValue.toLong,
-      s"maxRangeBytes must be in (0, 2^31), got $maxRangeBytes")
+    // a merged range can exceed the cap by ONE record's length (a
+    // record straddling a bucket boundary stays whole), so the cap
+    // itself is bounded at 1 GiB — comfortable headroom under
+    // fetchRanges' Int-addressing backstop even for a pathological
+    // 1 GiB single record
+    require(maxRangeBytes > 0 && maxRangeBytes <= (1L << 30),
+      s"maxRangeBytes must be in (0, 1 GiB], got $maxRangeBytes")
     val w = Window.partitionBy(col("filename")).orderBy(col("offset"))
     val withPrev = hits
       .select(col("filename"), col("offset"), col("length"))

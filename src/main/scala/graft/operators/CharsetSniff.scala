@@ -135,17 +135,28 @@ object CharsetSniff {
     if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
   }
 
+  /** "Get an attribute" results: an attribute, none left, or ABORT —
+    * the WHATWG prescan fails outright on an unterminated quoted
+    * value (the window cut a tag mid-value; resuming the scan INSIDE
+    * the value would honor decoy markup in attribute text).
+    */
+  private sealed trait AttrResult
+  private final case class Attr(name: String, value: String,
+      next: Int) extends AttrResult
+  private case object NoAttr extends AttrResult
+  private case object AbortPrescan extends AttrResult
+
   /** The standard's "get an attribute" over the prescan bytes: skips
     * leading whitespace and `/`, collects a lowercased name up to
     * `=`/whitespace/`/`/`>`, then the (quoted or bare) lowercased
-    * value. Returns ((name, value), position after the attribute), or
-    * None when the next non-skipped byte is `>` / EOF (no attribute).
+    * value. [[NoAttr]] when the next non-skipped byte is `>` / EOF;
+    * [[AbortPrescan]] on an unterminated quote.
     */
   private def getAttribute(b: Array[Byte], n: Int,
-      start: Int): Option[((String, String), Int)] = {
+      start: Int): AttrResult = {
     var p = start
     while (p < n && (isWs(b(p)) || b(p) == 0x2f)) p += 1
-    if (p >= n || b(p) == '>') return None
+    if (p >= n || b(p) == '>') return NoAttr
     val name = new StringBuilder
     var value: String = null
     var done = false
@@ -155,28 +166,28 @@ object CharsetSniff {
         // spaces before a possible '='
         while (p < n && isWs(b(p))) p += 1
         if (p < n && b(p) == '=') { p += 1; value = null; done = true }
-        else return Some(((name.toString, ""), p)) // valueless attribute
+        else return Attr(name.toString, "", p) // valueless attribute
       }
       else if (b(p) == '/' || b(p) == '>')
-        return Some(((name.toString, ""), p))
+        return Attr(name.toString, "", p)
       else { name += lc(b(p)); p += 1 }
     }
-    if (p >= n) return Some(((name.toString, ""), p))
+    if (p >= n) return Attr(name.toString, "", p)
     // the value
     while (p < n && isWs(b(p))) p += 1
-    if (p >= n) return Some(((name.toString, ""), p))
+    if (p >= n) return Attr(name.toString, "", p)
     val sb = new StringBuilder
     if (b(p) == '"' || b(p) == '\'') {
       val q = b(p); p += 1
       while (p < n && b(p) != q) { sb += lc(b(p)); p += 1 }
-      if (p >= n) return None // unmatched quote: prescan gives up here
+      if (p >= n) return AbortPrescan // unterminated quoted value
       p += 1
     } else if (b(p) == '>') {
-      return Some(((name.toString, ""), p))
+      return Attr(name.toString, "", p)
     } else {
       while (p < n && !isWs(b(p)) && b(p) != '>') { sb += lc(b(p)); p += 1 }
     }
-    Some(((name.toString, sb.toString), p))
+    Attr(name.toString, sb.toString, p)
   }
 
   /** The standard's "extract a character encoding from a meta
@@ -248,8 +259,9 @@ object CharsetSniff {
         var more = true
         while (more) {
           getAttribute(b, n, p) match {
-            case None => more = false
-            case Some(((name, value), after)) =>
+            case NoAttr => more = false
+            case AbortPrescan => return None // unterminated quote
+            case Attr(name, value, after) =>
               p = math.max(after, p + 1) // always progress
               if (!seen.contains(name)) {
                 seen += name
@@ -285,11 +297,17 @@ object CharsetSniff {
         val c = lc(b(pos + 2)); c >= 'a' && c <= 'z'
       }) {
         // end tag: skip name, then consume attributes like a start tag
-        pos = consumeTag(b, n, pos + 2)
+        consumeTag(b, n, pos + 2) match {
+          case Some(next) => pos = next
+          case None => return None // unterminated quote: abort
+        }
       } else if (pos + 1 < n && b(pos) == '<' && {
         val c = lc(b(pos + 1)); c >= 'a' && c <= 'z'
       }) {
-        pos = consumeTag(b, n, pos + 1)
+        consumeTag(b, n, pos + 1) match {
+          case Some(next) => pos = next
+          case None => return None // unterminated quote: abort
+        }
       } else if (startsWith("<!", pos) || startsWith("</", pos) ||
         startsWith("<?", pos)) {
         var j = pos + 2
@@ -303,20 +321,23 @@ object CharsetSniff {
 
   /** Skip a (start or end) tag from just after its `<`/`</`: advance
     * past the name, then drain attributes so quoted `>` bytes cannot
-    * terminate the tag early. Returns the next scan position.
+    * terminate the tag early. Returns the next scan position, or None
+    * when an unterminated quoted value aborts the whole prescan.
     */
-  private def consumeTag(b: Array[Byte], n: Int, nameStart: Int): Int = {
+  private def consumeTag(b: Array[Byte], n: Int,
+      nameStart: Int): Option[Int] = {
     var p = nameStart
     while (p < n && !isWs(b(p)) && b(p) != '>' && b(p) != '/') p += 1
     var more = true
     while (more) {
       getAttribute(b, n, p) match {
-        case None => more = false
-        case Some((_, after)) => p = math.max(after, p + 1)
+        case NoAttr => more = false
+        case AbortPrescan => return None
+        case Attr(_, _, after) => p = math.max(after, p + 1)
       }
     }
     // position now sits at '>' (or EOF); step past it
     while (p < n && b(p) != '>') p += 1
-    if (p < n) p + 1 else n
+    Some(if (p < n) p + 1 else n)
   }
 }

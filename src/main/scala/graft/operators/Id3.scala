@@ -158,6 +158,12 @@ object Id3 {
           require((fmt & 0x0c) == 0,
             s"media $id: ID3 frame $name is compressed/encrypted " +
               f"(format flags 0x$fmt%02x) — unsupported")
+          // unsynchronisation covers ALL frame data after the header
+          // (id3v2.4.0-structure §6.1) — de-unsync FIRST, then strip
+          // the group byte and the data-length indicator, which were
+          // stuffed along with the payload (a group id of 0xFF really
+          // does get a 0x00 inserted after it)
+          if ((fmt & 0x02) != 0) fb = resync(fb) // per-frame unsync
           if ((fmt & 0x40) != 0) { // grouping identity byte
             require(fb.length >= 1, s"media $id: $name grouped but empty")
             fb = java.util.Arrays.copyOfRange(fb, 1, fb.length)
@@ -166,7 +172,6 @@ object Id3 {
             require(fb.length >= 4, s"media $id: $name DLI but <4 bytes")
             fb = java.util.Arrays.copyOfRange(fb, 4, fb.length)
           }
-          if ((fmt & 0x02) != 0) fb = resync(fb) // per-frame unsync
         } else { // v2.3: %ijk00000 — i compression, j encryption
           require((fmt & 0xc0) == 0,
             s"media $id: ID3 frame $name is compressed/encrypted " +
@@ -303,17 +308,21 @@ object Id3 {
           Array(encoding.toByte) ++ desc.getBytes(cs) ++ nul ++
             txt.getBytes(cs)
         } else Array(encoding.toByte) ++ value.getBytes(cs)
-      // on-disk frame data under the v2.4 format flags: the unsynced
-      // data, preceded by the DLI (syncsafe ORIGINAL length), preceded
-      // by the group byte — parse() unwinds in the reverse order
+      // on-disk frame data under the v2.4 format flags: group byte,
+      // then the DLI (syncsafe length with all format flags zeroed),
+      // then the payload — and unsynchronisation applied LAST over
+      // the whole assembly, per §6.1 ("all data from the end of the
+      // frame header"); parse() de-unsyncs first, then strips
       var data = payload
       val origLen = data.length
-      if ((v24Format & 0x02) != 0) data = unsyncBytes(data)
       if ((v24Format & 0x01) != 0)
         data = Array[Byte](((origLen >> 21) & 0x7f).toByte,
           ((origLen >> 14) & 0x7f).toByte, ((origLen >> 7) & 0x7f).toByte,
           (origLen & 0x7f).toByte) ++ data
-      if ((v24Format & 0x40) != 0) data = Array[Byte](0x2a) ++ data
+      // group id 0xFF on purpose: under unsync it MUST get a 0x00
+      // stuffed after it, proving readers de-unsync before stripping
+      if ((v24Format & 0x40) != 0) data = Array[Byte](0xff.toByte) ++ data
+      if ((v24Format & 0x02) != 0) data = unsyncBytes(data)
       body.write(name.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
       val sz = data.length
       if (v24) {

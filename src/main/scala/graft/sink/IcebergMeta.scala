@@ -583,12 +583,14 @@ object IcebergMeta {
     // must never funnel through one writer task / one reader file
     val delDir = new Path(s"${table.root}/data/deletes-${java.util.UUID.randomUUID()}")
     val projected = deletes.select(equalityCols.map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nRows = projected.count()
     val nFiles = math.min(64L,
       math.max(1L, (nRows + maxRowsPerDeleteFile - 1) / maxRowsPerDeleteFile))
       .toInt
     projected.repartition(nFiles, equalityCols.map(col): _*)
       .write.parquet(delDir.toString)
+    projected.unpersist(blocking = false)
     val dfs = delDir.getFileSystem(conf)
     val delFiles = dfs.listStatus(delDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -776,16 +778,25 @@ object IcebergMeta {
     // shard by data-file path RANGE above maxRowsPerDeleteFile (one
     // delete file must never concentrate a mass purge), keeping the
     // spec's (file_path, pos) ordering WITHIN each file
-    val nRows = posDeletes.count()
+    // the deletes plan is typically the most expensive stage of the
+    // snapshot (a planPositionDeletes join over the data files):
+    // cache it across the sizing count and the write
+    val cached = posDeletes.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRows = cached.count()
     val nFiles = math.min(64L,
       math.max(1L, (nRows + maxRowsPerDeleteFile - 1) / maxRowsPerDeleteFile))
       .toInt
+    // repartition(1) (not a bare global orderBy, whose range shuffle
+    // writes one file PER PARTITION) guarantees the single-file case
     val projected =
-      if (nFiles == 1) posDeletes.orderBy(col("file_path"), col("pos"))
-      else posDeletes
+      if (nFiles == 1) cached.repartition(1)
+        .sortWithinPartitions(col("file_path"), col("pos"))
+      else cached
         .repartitionByRange(nFiles, col("file_path"), col("pos"))
         .sortWithinPartitions(col("file_path"), col("pos"))
     projected.write.parquet(delDir.toString)
+    cached.unpersist(blocking = false)
     val dfs = delDir.getFileSystem(conf)
     val delFiles = dfs.listStatus(delDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))

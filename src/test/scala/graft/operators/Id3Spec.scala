@@ -63,7 +63,9 @@ class Id3Spec extends AnyFunSuite {
   test("v2.4 per-frame format flags: unsync, DLI, grouping unwind") {
     // values chosen so UTF-16's BOM (FF FE) forces real FF-stuffing
     val fs = Seq("TIT2" -> "Tÿtle ÿ", "TPE1" -> "Ärtist")
-    for (fmt <- Seq(0x02, 0x01, 0x03, 0x40, 0x43)) {
+    // 0x42 = grouping + unsync: the 0xFF group byte gets stuffed,
+    // so readers must de-unsync BEFORE stripping it (spec order)
+    for (fmt <- Seq(0x02, 0x01, 0x03, 0x40, 0x42, 0x43)) {
       val tag = Id3.synthesize(fs, v24 = true, encoding = 1,
         v24Format = fmt)
       val p = Id3.parse(fmt.toLong, tag).get
