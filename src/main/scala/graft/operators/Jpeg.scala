@@ -7,9 +7,11 @@ package graft.operators
   * components, any sampling factors up to 4x4 (JFIF 4:4:4 / 4:2:2 /
   * 4:2:0 all included), multiple DQT/DHT segments, 8- and 16-bit quant
   * tables, restart markers (DRI/RSTn), byte-stuffed entropy data, odd
-  * dimensions (edge MCU clipping). Progressive (SOF2), arithmetic
-  * coding, and hierarchical modes are rejected loudly — a corpus scan
-  * must never silently mis-decode.
+  * dimensions (edge MCU clipping). Progressive (SOF2) is decoded too
+  * (spectral-selection + successive-approximation scan accumulation,
+  * see decodeProgressiveScan below); arithmetic coding and
+  * hierarchical modes are rejected loudly — a corpus scan must never
+  * silently mis-decode.
   *
   * Encoder: baseline, Annex K quantization tables scaled by the
   * libjpeg quality curve and Annex K Huffman tables, 4:2:0 or 4:4:4

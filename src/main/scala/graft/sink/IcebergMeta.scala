@@ -101,7 +101,14 @@ object IcebergMeta {
     case IntegerType | ShortType | ByteType =>
       java.nio.ByteBuffer.wrap(b)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toString
-    case _ => new String(b, StandardCharsets.UTF_8)
+    // Iceberg serializes dates as 4-byte LE epoch DAYS; render ISO so
+    // partition filters compare in the form users write
+    case DateType => java.time.LocalDate.ofEpochDay(
+      java.nio.ByteBuffer.wrap(b)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong).toString
+    case StringType => new String(b, StandardCharsets.UTF_8)
+    case other => throw new IllegalArgumentException(
+      s"partition bound type $other is not decodable here")
   }
 
   // --------------------------------------------------- schema renders
@@ -343,7 +350,23 @@ object IcebergMeta {
   private def valueOrdering(dt: DataType): Ordering[Any] = dt match {
     case LongType | IntegerType | ShortType | ByteType =>
       Ordering.by((v: Any) => v.asInstanceOf[Number].longValue())
-    case _ => Ordering.by((v: Any) => v.toString)
+    // Iceberg string bounds compare as UNSIGNED UTF-8 bytes (foreign
+    // readers prune on byte order) — Java's UTF-16 code-unit order
+    // disagrees for supplementary-plane characters, so order bytes
+    case _ => new Ordering[Any] {
+      def compare(a: Any, b: Any): Int = {
+        val x = a.toString.getBytes(StandardCharsets.UTF_8)
+        val y = b.toString.getBytes(StandardCharsets.UTF_8)
+        val n = math.min(x.length, y.length)
+        var i = 0
+        while (i < n) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+    }
   }
 
   /** Mirror `version` of the native table as the NEXT Iceberg
@@ -530,8 +553,19 @@ object IcebergMeta {
     val carried: Seq[ListEntry] =
       if (prevN == 0) Seq.empty
       else readManifestList(fs, metadataJsonAt(fs, metaDir, prevN))
-        .filter(e => e.content == 1 || nativePartOfManifest(e.manifestPath)
-          .exists(p => cur.contains(p) && !touched.contains(p)))
+        .filter { e =>
+          e.content == 1 || {
+            // an unparseable content-0 manifest name means external
+            // tooling renamed our artifacts — carrying forward is
+            // undecidable; failing beats silently dropping the data
+            val p = nativePartOfManifest(e.manifestPath).getOrElse(
+              throw new IllegalStateException(
+                s"carried data manifest ${e.manifestPath} does not " +
+                  "parse as '<uuid>-m<part>.avro'; cannot decide " +
+                  "carry-forward (renamed by external tooling?)"))
+            cur.contains(p) && !touched.contains(p)
+          }
+        }
 
     val listPath = new Path(metaDir, f"snap-$snapshotId%d.avro")
     writeManifestList(fs, listPath,
@@ -595,7 +629,7 @@ object IcebergMeta {
     val delFiles = dfs.listStatus(delDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    val perFileRows = deleteFileRowCounts(spark, delDir.toString)
+    val perFileRows = deleteFileRowCounts(spark, delDir.toString, nRows)
     val eqIds = equalityCols.map(c => schema.fieldIndex(c) + 1)
 
     val mPath = new Path(metaDir,
@@ -673,12 +707,20 @@ object IcebergMeta {
     * manifests' record_count must be per FILE once deletes shard.
     */
   private def deleteFileRowCounts(spark: SparkSession,
-      delDir: String): Map[String, Long] = {
+      delDir: String, expectedRows: Long): Map[String, Long] = {
     def norm(s: String): String = s.replaceFirst("^file:/+", "/")
     val counts = spark.read.parquet(delDir)
       .groupBy(col("_metadata.file_path").as("f"))
       .agg(count(lit(1)).as("n"))
       .collect().map(r => norm(r.getString(0)) -> r.getLong(1)).toMap
+    // loud invariant: every written row is accounted for under some
+    // file key — a path-form drift (scheme/authority variants beyond
+    // the file:/+ normalization) would otherwise default record_count
+    // to 0 and write a wrong-but-plausible manifest silently
+    require(counts.values.sum == expectedRows,
+      s"delete-file row counts under $delDir sum to " +
+        s"${counts.values.sum}, expected $expectedRows — file_path " +
+        "form mismatch between the listing and _metadata.file_path?")
     // key by the listing's path form (counts came via _metadata's);
     // a hash-empty shard writes a 0-row file that the groupBy never
     // sees — record_count 0 is the truthful manifest entry for it
@@ -801,7 +843,7 @@ object IcebergMeta {
     val delFiles = dfs.listStatus(delDir)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
-    val perFileRows = deleteFileRowCounts(spark, delDir.toString)
+    val perFileRows = deleteFileRowCounts(spark, delDir.toString, nRows)
 
     val mPath = new Path(metaDir,
       s"${java.util.UUID.randomUUID()}-pos-deletes.avro")
@@ -1148,14 +1190,21 @@ object IcebergMeta {
             fields.head.get("transform").asText() != "identity") None
           else {
             val srcId = fields.head.get("source-id").asInt()
-            val typeName = schemaNode.get("fields").elements().asScala
+            // ONLY types whose single-value serialization this reader
+            // decodes may prune; anything else (timestamptz, decimal,
+            // uuid, an id missing from the schema...) resolves to
+            // None — read conservatively, never dropped on a garbage
+            // decode. A date identity spec IS decodable (LE epoch
+            // days), the common foreign layout for daily partitions.
+            schemaNode.get("fields").elements().asScala
               .find(_.get("id").asInt() == srcId)
-              .map(_.get("type").asText()).getOrElse("string")
-            Some(typeName match {
-              case "long" => LongType
-              case "int" => IntegerType
-              case _ => StringType
-            })
+              .map(_.get("type").asText()).flatMap {
+                case "long" => Some(LongType)
+                case "int" => Some(IntegerType)
+                case "string" => Some(StringType)
+                case "date" => Some(DateType)
+                case _ => None
+              }
           }
         s.get("spec-id").asInt() -> t
       }.toMap
