@@ -1,0 +1,133 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-15 operator gates: Iceberg SCHEMA evolution (write + read),
+  * the foreign-spec pruning conservatism fix, and the pywb-
+  * interoperable CDXJ text export.
+  */
+object OperatorGates17 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def readMetadataJson(s: SparkSession, tableRoot: String)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fs = new org.apache.hadoop.fs.Path(tableRoot)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def readAll(p: org.apache.hadoop.fs.Path): Array[Byte] = {
+      val in = fs.open(p); try in.readAllBytes() finally in.close()
+    }
+    val v = new String(readAll(new org.apache.hadoop.fs.Path(
+      s"$tableRoot/metadata/version-hint.text"))).trim.toLong
+    M.readTree(readAll(new org.apache.hadoop.fs.Path(
+      f"$tableRoot/metadata/v$v%05d.metadata.json")))
+  }
+
+  def queries17: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // --- Iceberg SCHEMA EVOLUTION (spec v2): snapshot 1 writes under
+    //     schema 0 = (doc_id, shard); snapshot 2 rewrites shard 2
+    //     WITH AN ADDED COLUMN — the metadata accumulates schema 1
+    //     (stable field ids, fresh id for the added column, optional
+    //     per the spec), `current-schema-id` bumps, and each snapshot
+    //     records its own schema-id. The independent reader reads the
+    //     CURRENT snapshot under schema 1 (old files null-fill the
+    //     added column) and TIME TRAVEL under schema 0 (no leaked
+    //     column). Probes: 1 = snapshot-1 visibility, 2 = current
+    //     null-fill shape, 3 = partition-pruned current read, 4 = the
+    //     added column's actual values. Oracle replays all four -----
+    "q_iceberg_schema_evolution" -> ((s, dir) => {
+      import graft.sink.{IcebergMeta, ShardedTable}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_schemaevo").toString
+      val table = new ShardedTable(s"$tmp/t", "shard",
+        s.sparkContext.hadoopConfiguration)
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 240)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(4)).cast("long").as("shard"))
+      val v1 = table.commit(docs, touched = Seq("0", "1", "2", "3"))
+      IcebergMeta.mirror(s, table, v1) // schema 0: (doc_id, shard)
+      // evolution arrives WITH new data: shard 2 rewritten carrying
+      // an added nullable column
+      val v2 = table.commit(
+        docs.filter(col("shard") === 2)
+          .withColumn("lang", concat(lit("l"), pmod(col("doc_id"), lit(3)))),
+        touched = Seq("2"))
+      IcebergMeta.mirror(s, table, v2) // schema 1: + lang (id 3)
+      // metadata shape: accumulated schemas, per-snapshot schema ids
+      val md = readMetadataJson(s, s"$tmp/t")
+      require(md.get("current-schema-id").asInt() == 1 &&
+        md.get("schemas").size() == 2 &&
+        md.get("last-column-id").asInt() == 3,
+        "metadata did not accumulate the evolved schema")
+      val snapSchemaIds = md.get("snapshots").elements().asScala
+        .map(n => n.get("snapshot-id").asLong() ->
+          n.get("schema-id").asInt()).toSeq
+      require(snapSchemaIds == Seq(1L -> 0, 2L -> 1),
+        s"snapshots carry wrong schema ids: $snapSchemaIds")
+      val snap1 = IcebergMeta.read(s, s"$tmp/t", snapshotId = Some(1L))
+      require(!snap1.columns.contains("lang"),
+        "time travel leaked a column added AFTER the snapshot")
+      val cur = IcebergMeta.read(s, s"$tmp/t")
+      require(cur.columns.toSeq == Seq("doc_id", "shard", "lang"),
+        s"current read is not under the evolved schema: " +
+          cur.columns.mkString(","))
+      val p1 = snap1.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .select(lit(1L).as("probe"), col("shard").as("grp"),
+          col("n"), col("sum_id"), lit(0L).as("n_lang"))
+      def shardAgg(df: DataFrame, probe: Long) = df.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"),
+          count(col("lang")).as("n_lang"))
+        .select(lit(probe).as("probe"), col("shard").as("grp"),
+          col("n"), col("sum_id"), col("n_lang"))
+      val p2 = shardAgg(cur, 2L)
+      val p3 = shardAgg(
+        IcebergMeta.read(s, s"$tmp/t", partitions = Some(Seq("2"))), 3L)
+      val p4 = cur.filter(col("lang").isNotNull).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .select(lit(4L).as("probe"),
+          substring(col("lang"), 2, 1).cast("long").as("grp"),
+          col("n"), col("sum_id"), col("n").as("n_lang"))
+      p1.unionByName(p2).unionByName(p3).unionByName(p4)
+        .orderBy(col("probe"), col("grp"))
+    }))
+
+  def oracleSql17: Map[String, String] = Map(
+
+    "q_iceberg_schema_evolution" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 4 AS shard FROM documents
+        |  WHERE doc_id < 240),
+        |l AS (
+        |  SELECT doc_id, shard, 'l' || (doc_id % 3) AS lang
+        |  FROM d WHERE shard = 2),
+        |p1 AS (
+        |  SELECT CAST(1 AS BIGINT) AS probe, shard AS grp,
+        |    count(*) AS n, sum(doc_id) AS sum_id,
+        |    CAST(0 AS BIGINT) AS n_lang
+        |  FROM d GROUP BY shard),
+        |p2 AS (
+        |  SELECT CAST(2 AS BIGINT), shard,
+        |    count(*), sum(doc_id),
+        |    CASE WHEN shard = 2 THEN count(*) ELSE 0 END
+        |  FROM d GROUP BY shard),
+        |p3 AS (
+        |  SELECT CAST(3 AS BIGINT), shard,
+        |    count(*), sum(doc_id), count(*)
+        |  FROM d WHERE shard = 2 GROUP BY shard),
+        |p4 AS (
+        |  SELECT CAST(4 AS BIGINT), doc_id % 3,
+        |    count(*), sum(doc_id), count(*)
+        |  FROM l GROUP BY doc_id % 3)
+        |SELECT probe, CAST(grp AS BIGINT) AS grp, CAST(n AS BIGINT) AS n,
+        |  CAST(sum_id AS BIGINT) AS sum_id, CAST(n_lang AS BIGINT) AS n_lang
+        |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+        |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4) u
+        |ORDER BY probe, grp""".stripMargin)
+}

@@ -113,37 +113,133 @@ object IcebergMeta {
 
   // --------------------------------------------------- schema renders
 
-  /** Iceberg schema JSON: positional field ids 1..n. */
-  private def schemaJson(schema: StructType): String = {
+  /** Spark type of an Iceberg schema type name — [[iceType]]'s
+    * inverse, used to read data files under the METADATA's schema
+    * (schema evolution: old files null-fill added columns).
+    */
+  private def sparkTypeOf(t: String): DataType = t match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "string" => StringType
+    case "binary" => BinaryType
+    case "date" => DateType
+    case "timestamptz" => TimestampType
+    case "timestamp" => TimestampNTZType
+    case d if d.startsWith("decimal(") && d.endsWith(")") =>
+      val ps = d.stripPrefix("decimal(").stripSuffix(")").split(",")
+      DecimalType(ps(0).trim.toInt, ps(1).trim.toInt)
+    case other => throw new IllegalArgumentException(
+      s"unsupported Iceberg type '$other' in table schema")
+  }
+
+  /** Iceberg schema JSON under EXPLICIT field ids (stable across
+    * schema evolution). `forcedOptional` marks columns ADDED by
+    * evolution: per the spec they are always optional — old data
+    * files don't carry them and read as null.
+    */
+  private def schemaJson(schema: StructType, ids: Map[String, Int],
+      schemaId: Int, forcedOptional: Set[String] = Set.empty): String = {
     val root = M.createObjectNode()
-    root.put("type", "struct").put("schema-id", 0)
+    root.put("type", "struct").put("schema-id", schemaId)
     val fields = root.putArray("fields")
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
+    schema.fields.foreach { f =>
       val fo = fields.addObject()
-      fo.put("id", i + 1).put("name", f.name)
-        .put("required", !f.nullable).put("type", iceType(f.dataType))
+      fo.put("id", ids(f.name)).put("name", f.name)
+        .put("required", !f.nullable && !forcedOptional(f.name))
+        .put("type", iceType(f.dataType))
     }
     M.writeValueAsString(root)
   }
 
-  private def nameMappingJson(schema: StructType): String = {
+  /** Positional ids 1..n — the fresh-table layout. */
+  private def positionalIds(schema: StructType): Map[String, Int] =
+    schema.fieldNames.zipWithIndex.map { case (n, i) => n -> (i + 1) }.toMap
+
+  private def nameMappingJson(schema: StructType,
+      ids: Map[String, Int]): String = {
     val arr = M.createArrayNode()
-    schema.fields.zipWithIndex.foreach { case (f, i) =>
+    schema.fields.foreach { f =>
       val o = arr.addObject()
-      o.put("field-id", i + 1)
+      o.put("field-id", ids(f.name))
       o.putArray("names").add(f.name)
     }
     M.writeValueAsString(arr)
   }
 
-  private def specFieldsJson(schema: StructType, partCol: String,
+  private def specFieldsJson(partCol: String, srcId: Int,
       fieldId: Int = 1000): String = {
-    val srcId = schema.fieldIndex(partCol) + 1
     val arr = M.createArrayNode()
     val o = arr.addObject()
     o.put("name", partCol).put("transform", "identity")
       .put("source-id", srcId).put("field-id", fieldId)
     M.writeValueAsString(arr)
+  }
+
+  /** The carried schemas array plus the (schema-id, name→field-id,
+    * last-column-id) this snapshot writes under — Iceberg SCHEMA
+    * evolution, symmetric to [[resolveSpec]]: existing columns keep
+    * their ids, ADDED columns get fresh ids past last-column-id, and
+    * a changed schema is APPENDED with schema-id = max + 1 while old
+    * snapshots keep pointing at theirs. Evolution here is add-only —
+    * a dropped or retyped column fails loudly (the native table never
+    * does either; a foreign expectation of rename/retype must not be
+    * silently mis-mirrored).
+    */
+  private def resolveSchemas(
+      prevMd: Option[com.fasterxml.jackson.databind.JsonNode],
+      schema: StructType)
+      : (com.fasterxml.jackson.databind.node.ArrayNode, Int,
+         Map[String, Int], Int) = {
+    prevMd match {
+      case None =>
+        val ids = positionalIds(schema)
+        val arr = M.createArrayNode()
+        arr.add(M.readTree(schemaJson(schema, ids, 0)))
+        (arr, 0, ids, schema.fields.length)
+      case Some(md) =>
+        val arr = M.createArrayNode()
+        md.get("schemas").elements().asScala.foreach(arr.add)
+        val curId = md.get("current-schema-id").asInt()
+        val curSchema = arr.elements().asScala
+          .find(_.get("schema-id").asInt() == curId)
+          .getOrElse(throw new IllegalStateException(
+            s"current-schema-id $curId not in the schemas array"))
+        // name -> (id, type) of the previously-current schema
+        val prevFields = curSchema.get("fields").elements().asScala
+          .map(f => f.get("name").asText() ->
+            (f.get("id").asInt(), f.get("type").asText())).toMap
+        val lastColId = math.max(md.path("last-column-id").asInt(0),
+          prevFields.values.map(_._1).max)
+        val dropped = prevFields.keySet -- schema.fieldNames.toSet
+        require(dropped.isEmpty,
+          s"schema evolution is add-only here; dropped columns: " +
+            dropped.toSeq.sorted.mkString(", "))
+        prevFields.foreach { case (n, (_, t)) =>
+          val nt = iceType(schema(schema.fieldIndex(n)).dataType)
+          require(nt == t,
+            s"column '$n' changed type $t -> $nt; retyping is not " +
+              "supported by this mirror")
+        }
+        if (prevFields.size == schema.fields.length)
+          (arr, curId, prevFields.view.mapValues(_._1).toMap, lastColId)
+        else {
+          var next = lastColId
+          val added = Set.newBuilder[String]
+          val ids = schema.fields.map { f =>
+            f.name -> prevFields.get(f.name).map(_._1).getOrElse {
+              next += 1; added += f.name; next
+            }
+          }.toMap
+          val newSchemaId = arr.elements().asScala
+            .map(_.get("schema-id").asInt()).max + 1
+          arr.add(M.readTree(
+            schemaJson(schema, ids, newSchemaId, added.result())))
+          (arr, newSchemaId, ids, next)
+        }
+    }
   }
 
   /** manifest_entry Avro schema (spec v2 field names + field-ids;
@@ -313,7 +409,7 @@ object IcebergMeta {
     */
   private def resolveSpec(
       prevMd: Option[com.fasterxml.jackson.databind.JsonNode],
-      schema: StructType, tablePartCol: String, mirrorCol: String)
+      ids: Map[String, Int], tablePartCol: String, mirrorCol: String)
       : (Int, Int, com.fasterxml.jackson.databind.node.ArrayNode) = {
     val arr = M.createArrayNode()
     prevMd match {
@@ -321,10 +417,11 @@ object IcebergMeta {
         md.get("partition-specs").elements().asScala.foreach(s => arr.add(s))
       case _ =>
         arr.add(M.readTree(
-          s"""{"spec-id":0,"fields":${specFieldsJson(schema, tablePartCol)}}"""))
+          s"""{"spec-id":0,"fields":${
+            specFieldsJson(tablePartCol, ids(tablePartCol))}}"""))
         arr.add(M.readTree("""{"spec-id":1,"fields":[]}"""))
     }
-    val srcId = schema.fieldIndex(mirrorCol) + 1
+    val srcId = ids(mirrorCol)
     val existing = arr.elements().asScala.find { s =>
       val fields = s.get("fields")
       fields.size() == 1 &&
@@ -342,7 +439,7 @@ object IcebergMeta {
             .map(_.get("field-id").asInt())).toSeq :+ 999).max + 1
         arr.add(M.readTree(
           s"""{"spec-id":$nextId,"fields":${
-            specFieldsJson(schema, mirrorCol, nextFieldId)}}"""))
+            specFieldsJson(mirrorCol, srcId, nextFieldId)}}"""))
         (nextId, nextFieldId, arr)
     }
   }
@@ -403,17 +500,40 @@ object IcebergMeta {
       s"Iceberg mirror of ${table.root} is at native version $prevNative; " +
         s"mirror versions in order (got $version)")
 
-    val schema = table.read(spark, version).schema
+    val cur = table.manifest(version)
+    val prevManifest =
+      if (version > 1) table.manifest(version - 1) else Map.empty[String, String]
+    val touched = cur.filter { case (p, d) => !prevManifest.get(p).contains(d) }
+    // the TOUCHED delta defines the snapshot's schema — schema
+    // evolution arrives WITH new data (an added column shows up in
+    // the delta's parquet); a no-delta mirror keeps the previous
+    // metadata's schema verbatim
+    val touchedDf =
+      if (touched.isEmpty) None
+      else Some(spark.read.parquet(touched.values.toSeq: _*))
+    val schema: StructType = touchedDf.map(_.schema).getOrElse(prevMd match {
+      case Some(md) =>
+        val curId = md.get("current-schema-id").asInt()
+        val node = md.get("schemas").elements().asScala
+          .find(_.get("schema-id").asInt() == curId)
+          .getOrElse(throw new IllegalStateException(
+            s"current-schema-id $curId not in the schemas array"))
+        StructType(node.get("fields").elements().asScala.map(f =>
+          StructField(f.get("name").asText(),
+            sparkTypeOf(f.get("type").asText()),
+            nullable = !f.get("required").asBoolean())).toSeq)
+      case None => table.read(spark, version).schema
+    })
+    val (schemasArr, schemaId, ids, lastColId) =
+      resolveSchemas(prevMd, schema)
+    val schemaJsonStr = M.writeValueAsString(schemasArr.elements().asScala
+      .find(_.get("schema-id").asInt() == schemaId).get)
     val mirrorCol = specPartCol.getOrElse(table.partCol)
     require(schema.fieldNames.contains(mirrorCol),
       s"partition column '$mirrorCol' not in the table schema")
     val partType = schema(schema.fieldIndex(mirrorCol)).dataType
     val (specId, partFieldId, specsArr) =
-      resolveSpec(prevMd, schema, table.partCol, mirrorCol)
-    val cur = table.manifest(version)
-    val prevManifest =
-      if (version > 1) table.manifest(version - 1) else Map.empty[String, String]
-    val touched = cur.filter { case (p, d) => !prevManifest.get(p).contains(d) }
+      resolveSpec(prevMd, ids, table.partCol, mirrorCol)
     val snapshotId = prevN + 1
     val seqNum = snapshotId
 
@@ -422,16 +542,16 @@ object IcebergMeta {
     // stats (bounds field-ids 125/128) external readers prune with
     val statFields = schema.fields.filter(f => statsSupported(f.dataType))
     val fileStats: Map[String, org.apache.spark.sql.Row] =
-      if (touched.isEmpty) Map.empty
-      else {
-        val aggs = Seq(count(lit(1)).as("_n")) ++ statFields.flatMap(f => Seq(
-          min(col(f.name)).as(s"_min_${f.name}"),
-          max(col(f.name)).as(s"_max_${f.name}"),
-          count(col(f.name)).as(s"_nn_${f.name}")))
-        spark.read.parquet(touched.values.toSeq: _*)
-          .groupBy(input_file_name().as("_f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect().map(r => r.getString(0) -> r).toMap
+      touchedDf match {
+        case None => Map.empty
+        case Some(df) =>
+          val aggs = Seq(count(lit(1)).as("_n")) ++ statFields.flatMap(f => Seq(
+            min(col(f.name)).as(s"_min_${f.name}"),
+            max(col(f.name)).as(s"_max_${f.name}"),
+            count(col(f.name)).as(s"_nn_${f.name}")))
+          df.groupBy(input_file_name().as("_f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect().map(r => r.getString(0) -> r).toMap
       }
 
     val entrySchema = manifestEntrySchema(schema, mirrorCol, partFieldId)
@@ -447,9 +567,9 @@ object IcebergMeta {
         val out = dfs.create(mPath, true)
         val w = new DataFileWriter(
           new GenericDatumWriter[GenericRecord](entrySchema))
-        w.setMeta("schema", schemaJson(schema))
+        w.setMeta("schema", schemaJsonStr)
         w.setMeta("partition-spec",
-          specFieldsJson(schema, mirrorCol, partFieldId))
+          specFieldsJson(mirrorCol, ids(mirrorCol), partFieldId))
         w.setMeta("partition-spec-id", specId.toString)
         w.setMeta("format-version", "2")
         w.setMeta("content", "data")
@@ -511,7 +631,7 @@ object IcebergMeta {
             val arrSchema = df.getSchema.getField(field).schema()
               .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
             val items = statFields.flatMap { sf =>
-              val fid = schema.fieldIndex(sf.name) + 1
+              val fid = ids(sf.name)
               mk(fid, sf).map { v =>
                 val r = new GenericData.Record(arrSchema.getElementType)
                 r.put("key", fid)
@@ -571,7 +691,8 @@ object IcebergMeta {
     writeManifestList(fs, listPath,
       (newEntries ++ carried).sortBy(_.sortKey))
     val allEntries = newEntries ++ carried
-    writeSnapshotMetadata(fs, metaDir, table, schema, snapshotId, seqNum,
+    writeSnapshotMetadata(fs, metaDir, table, schemasArr, schemaId,
+      lastColId, nameMappingJson(schema, ids), snapshotId, seqNum,
       listPath.toString, nativeVersion = version, operation = "overwrite",
       specs = specsArr, defaultSpecId = specId,
       summary = Map(
@@ -608,8 +729,11 @@ object IcebergMeta {
     val snapshotId = prevN + 1
     val seqNum = snapshotId
 
-    val schema = table.read(spark, nativeVersion).schema
-    equalityCols.foreach(c => require(schema.fieldNames.contains(c),
+    // delete snapshots never evolve the schema: the metadata's CURRENT
+    // schema is authoritative (field ids, names, the schema render)
+    val (schemasArr, curSchemaId, ids, lastColId, curSchemaJson) =
+      carriedSchemasOf(prevMd)
+    equalityCols.foreach(c => require(ids.contains(c),
       s"equality column '$c' not in the table schema"))
 
     // the delete files: plain parquet of the equality columns,
@@ -630,13 +754,13 @@ object IcebergMeta {
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .sortBy(_.getPath.getName)
     val perFileRows = deleteFileRowCounts(spark, delDir.toString, nRows)
-    val eqIds = equalityCols.map(c => schema.fieldIndex(c) + 1)
+    val eqIds = equalityCols.map(ids)
 
     val mPath = new Path(metaDir,
       s"${java.util.UUID.randomUUID()}-deletes.avro")
     val w = new DataFileWriter(
       new GenericDatumWriter[GenericRecord](deleteEntrySchema))
-    w.setMeta("schema", schemaJson(schema))
+    w.setMeta("schema", curSchemaJson)
     w.setMeta("partition-spec", "[]")
     w.setMeta("partition-spec-id", "1")
     w.setMeta("format-version", "2")
@@ -670,8 +794,9 @@ object IcebergMeta {
     val listPath = new Path(metaDir, f"snap-$snapshotId%d.avro")
     writeManifestList(fs, listPath,
       (carried :+ delEntry).sortBy(_.sortKey))
-    val (specs, defSpec) = carriedSpecsOf(prevMd, schema, table.partCol)
-    writeSnapshotMetadata(fs, metaDir, table, schema, snapshotId, seqNum,
+    val (specs, defSpec) = carriedSpecsOf(prevMd, ids, table.partCol)
+    writeSnapshotMetadata(fs, metaDir, table, schemasArr, curSchemaId,
+      lastColId, nameMappingOf(prevMd, ids), snapshotId, seqNum,
       listPath.toString, nativeVersion, operation = "delete",
       specs = specs, defaultSpecId = defSpec,
       summary = Map(
@@ -690,17 +815,58 @@ object IcebergMeta {
     * metadata always has them).
     */
   private def carriedSpecsOf(prevMd: com.fasterxml.jackson.databind.JsonNode,
-      schema: StructType, partCol: String)
+      ids: Map[String, Int], partCol: String)
       : (com.fasterxml.jackson.databind.node.ArrayNode, Int) = {
     val arr = M.createArrayNode()
     if (prevMd.has("partition-specs"))
       prevMd.get("partition-specs").elements().asScala.foreach(arr.add)
     else {
       arr.add(M.readTree(
-        s"""{"spec-id":0,"fields":${specFieldsJson(schema, partCol)}}"""))
+        s"""{"spec-id":0,"fields":${specFieldsJson(partCol, ids(partCol))}}"""))
       arr.add(M.readTree("""{"spec-id":1,"fields":[]}"""))
     }
     (arr, prevMd.path("default-spec-id").asInt(0))
+  }
+
+  /** The previous metadata's schemas array, current schema id, the
+    * current schema's name→field-id map, last-column-id, and the
+    * current schema's JSON render — what a NON-evolving snapshot
+    * (deletes) carries forward verbatim.
+    */
+  private def carriedSchemasOf(
+      prevMd: com.fasterxml.jackson.databind.JsonNode)
+      : (com.fasterxml.jackson.databind.node.ArrayNode, Int,
+         Map[String, Int], Int, String) = {
+    val arr = M.createArrayNode()
+    prevMd.get("schemas").elements().asScala.foreach(arr.add)
+    val curId = prevMd.get("current-schema-id").asInt()
+    val cur = arr.elements().asScala
+      .find(_.get("schema-id").asInt() == curId)
+      .getOrElse(throw new IllegalStateException(
+        s"current-schema-id $curId not in the schemas array"))
+    val ids = cur.get("fields").elements().asScala
+      .map(f => f.get("name").asText() -> f.get("id").asInt()).toMap
+    val lastColId = math.max(prevMd.path("last-column-id").asInt(0),
+      ids.values.max)
+    (arr, curId, ids, lastColId, M.writeValueAsString(cur))
+  }
+
+  /** Carry the previous metadata's name mapping when present; rebuild
+    * from the current ids otherwise.
+    */
+  private def nameMappingOf(prevMd: com.fasterxml.jackson.databind.JsonNode,
+      ids: Map[String, Int]): String = {
+    val prev = prevMd.path("properties").path("schema.name-mapping.default")
+    if (!prev.isMissingNode && prev.isTextual) prev.asText()
+    else {
+      val arr = M.createArrayNode()
+      ids.toSeq.sortBy(_._2).foreach { case (n, id) =>
+        val o = arr.addObject()
+        o.put("field-id", id)
+        o.putArray("names").add(n)
+      }
+      M.writeValueAsString(arr)
+    }
   }
 
   /** Per-file row counts of a freshly written delete directory — the
@@ -810,7 +976,8 @@ object IcebergMeta {
     val snapshotId = prevN + 1
     val seqNum = snapshotId
 
-    val schema = table.read(spark, nativeVersion).schema
+    val (schemasArr, curSchemaId, ids, lastColId, curSchemaJson) =
+      carriedSchemasOf(prevMd)
     require(posDeletes.columns.toSet == Set("file_path", "pos"),
       s"position deletes need exactly (file_path, pos), got " +
         posDeletes.columns.mkString(","))
@@ -849,7 +1016,7 @@ object IcebergMeta {
       s"${java.util.UUID.randomUUID()}-pos-deletes.avro")
     val w = new DataFileWriter(
       new GenericDatumWriter[GenericRecord](deleteEntrySchema))
-    w.setMeta("schema", schemaJson(schema))
+    w.setMeta("schema", curSchemaJson)
     w.setMeta("partition-spec", "[]")
     w.setMeta("partition-spec-id", "1")
     w.setMeta("format-version", "2")
@@ -880,8 +1047,9 @@ object IcebergMeta {
     val listPath = new Path(metaDir, f"snap-$snapshotId%d.avro")
     writeManifestList(fs, listPath,
       (carried :+ delEntry).sortBy(_.sortKey))
-    val (specs, defSpec) = carriedSpecsOf(prevMd, schema, table.partCol)
-    writeSnapshotMetadata(fs, metaDir, table, schema, snapshotId, seqNum,
+    val (specs, defSpec) = carriedSpecsOf(prevMd, ids, table.partCol)
+    writeSnapshotMetadata(fs, metaDir, table, schemasArr, curSchemaId,
+      lastColId, nameMappingOf(prevMd, ids), snapshotId, seqNum,
       listPath.toString, nativeVersion, operation = "delete",
       specs = specs, defaultSpecId = defSpec,
       summary = Map(
@@ -938,11 +1106,16 @@ object IcebergMeta {
   /** Table metadata JSON + version-hint flip for snapshot N. `specs`
     * is the full partition-specs array (carried + any spec this
     * snapshot evolved); `defaultSpecId` points at the spec new data
-    * rides.
+    * rides. `schemas`/`currentSchemaId`/`lastColumnId` are the
+    * accumulated SCHEMAS array (carried + any schema this snapshot
+    * evolved) — each snapshot also records its own `schema-id`, so
+    * time travel reads old data under the schema it was written with.
     */
   private def writeSnapshotMetadata(fs: org.apache.hadoop.fs.FileSystem,
       metaDir: Path, table: ShardedTable,
-      schema: StructType, snapshotId: Long, seqNum: Long, listPath: String,
+      schemas: com.fasterxml.jackson.databind.node.ArrayNode,
+      currentSchemaId: Int, lastColumnId: Int, nameMapping: String,
+      snapshotId: Long, seqNum: Long, listPath: String,
       nativeVersion: Long, operation: String,
       specs: com.fasterxml.jackson.databind.node.ArrayNode,
       defaultSpecId: Int,
@@ -955,9 +1128,9 @@ object IcebergMeta {
     root.put("location", table.root)
     root.put("last-sequence-number", seqNum)
     root.put("last-updated-ms", System.currentTimeMillis())
-    root.put("last-column-id", schema.fields.length)
-    root.put("current-schema-id", 0)
-    root.set("schemas", M.readTree(s"[${schemaJson(schema)}]"))
+    root.put("last-column-id", lastColumnId)
+    root.put("current-schema-id", currentSchemaId)
+    root.set("schemas", schemas)
     root.put("default-spec-id", defaultSpecId)
     root.set("partition-specs", specs)
     root.put("last-partition-id",
@@ -966,7 +1139,7 @@ object IcebergMeta {
     root.put("default-sort-order-id", 0)
     root.set("sort-orders", M.readTree("""[{"order-id":0,"fields":[]}]"""))
     val props = root.putObject("properties")
-    props.put("schema.name-mapping.default", nameMappingJson(schema))
+    props.put("schema.name-mapping.default", nameMapping)
     props.put("graft.native-version", nativeVersion.toString)
     root.put("current-snapshot-id", snapshotId)
     val snaps = root.putArray("snapshots")
@@ -979,6 +1152,7 @@ object IcebergMeta {
     snap.put("snapshot-id", snapshotId)
     snap.put("sequence-number", seqNum)
     snap.put("timestamp-ms", System.currentTimeMillis())
+    snap.put("schema-id", currentSchemaId)
     snap.put("manifest-list", listPath)
     // spec snapshot summary: external tooling (a $snapshots metadata
     // table, UIs) reads these counters, so they must be truthful
@@ -1161,16 +1335,31 @@ object IcebergMeta {
     require(v > 0, s"no Iceberg metadata under $tableRoot")
     val md = M.readTree(readBytes(fs, metadataJsonAt(fs, metaDir, v)))
     val wantSnap = snapshotId.getOrElse(md.get("current-snapshot-id").asLong())
-    val listPath = md.get("snapshots").elements().asScala
+    val snapNode = md.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == wantSnap)
-      .map(_.get("manifest-list").asText())
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wantSnap not found under $tableRoot"))
-    // schema + partition type from the metadata
+    val listPath = snapNode.get("manifest-list").asText()
+    // schema + partition type from the metadata — the SNAPSHOT's own
+    // schema-id when recorded (schema evolution: time travel reads old
+    // snapshots under the schema they were written with), else the
+    // table's current one
     val schemas = md.get("schemas").elements().asScala.toSeq
-    val schemaNode = schemas.find(
-      _.get("schema-id").asInt() == md.get("current-schema-id").asInt())
+    val wantSchemaId =
+      if (snapNode.hasNonNull("schema-id")) snapNode.get("schema-id").asInt()
+      else md.get("current-schema-id").asInt()
+    val schemaNode = schemas.find(_.get("schema-id").asInt() == wantSchemaId)
       .getOrElse(schemas.head)
+    // data files are read under the METADATA schema, not each file's
+    // parquet footer: files written before a column was added don't
+    // carry it and must read as null (the spec's default-value fill
+    // for add-column evolution); parquet matches columns by name here
+    // because Spark writes no Iceberg field-ids (name mapping)
+    val readSchema = StructType(
+      schemaNode.get("fields").elements().asScala.map(f =>
+        StructField(f.get("name").asText(),
+          sparkTypeOf(f.get("type").asText()),
+          nullable = !f.get("required").asBoolean())).toSeq)
     val fieldById = schemaNode.get("fields").elements().asScala
       .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
     // per-spec identity partition resolution: every manifest-list
@@ -1343,13 +1532,13 @@ object IcebergMeta {
     dataBySeq.toSeq.sortBy(_._1).map { case (s, files) =>
       val posApplicable = posDels.filter(_._1 >= s)
       var df =
-        if (posApplicable.isEmpty) spark.read.parquet(files: _*)
+        if (posApplicable.isEmpty) spark.read.schema(readSchema).parquet(files: _*)
         else {
           val delDf = spark.read.parquet(posApplicable.flatMap(_._2): _*)
             .select(normPath(col("file_path")).as("__gpath"),
               col("pos").as("__gpos")).distinct()
           val posBytes = posApplicable.map(_._3).sum
-          spark.read.parquet(files: _*)
+          spark.read.schema(readSchema).parquet(files: _*)
             .withColumn("__gpath", normPath(col("_metadata.file_path")))
             .withColumn("__gpos", col("_metadata.row_index"))
             .join(sizeHint(delDf, posBytes), Seq("__gpath", "__gpos"),

@@ -524,4 +524,76 @@ class IcebergMetaSpec extends graft.SparkSpec {
     }
     assert(e.getMessage.contains("order"))
   }
+
+  test("schema evolution: added columns null-fill; time travel keeps old schema") {
+    import spark.implicits._
+    val (t, root) = fixture()
+    val v1 = t.commit(df(Seq((0L, 1L, "a"), (1L, 2L, "b"))),
+      touched = Seq("0", "1"))
+    IcebergMeta.mirror(spark, t, v1)
+    // evolution arrives WITH new data: part 1 rewritten carrying an
+    // added column
+    val v2 = t.commit(Seq((1L, 30L, "C", 7L)).toDF("part", "k", "v", "extra"),
+      touched = Seq("1"))
+    IcebergMeta.mirror(spark, t, v2)
+
+    // current read: the snapshot-2 schema, old files null-filled
+    val cur = IcebergMeta.read(spark, root)
+    assert(cur.columns.toSeq === Seq("part", "k", "v", "extra"))
+    val rows = cur.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3)))
+      .sorted.toSeq
+    assert(rows === Seq((0L, 1L, "a", -1L), (1L, 30L, "C", 7L)))
+    // time travel: snapshot 1 reads under ITS schema — no added column
+    val old = IcebergMeta.read(spark, root, snapshotId = Some(1L))
+    assert(old.columns.toSeq === Seq("part", "k", "v"))
+
+    // metadata shape: schemas ACCUMULATE, ids are stable, the added
+    // column gets a fresh id and is optional, snapshots record their
+    // own schema-id
+    val M = new com.fasterxml.jackson.databind.ObjectMapper()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def md() = {
+      val hint = new org.apache.hadoop.fs.Path(
+        s"$root/metadata/version-hint.text")
+      val in = fs.open(hint)
+      val v = new String(try in.readAllBytes() finally in.close())
+        .trim.toLong
+      val p = new org.apache.hadoop.fs.Path(
+        f"$root/metadata/v$v%05d.metadata.json")
+      val in2 = fs.open(p)
+      M.readTree(try in2.readAllBytes() finally in2.close())
+    }
+    val m2 = md()
+    val schemas = m2.get("schemas").elements().asScala.toSeq
+    assert(schemas.map(_.get("schema-id").asInt()) === Seq(0, 1))
+    assert(m2.get("current-schema-id").asInt() === 1)
+    assert(m2.get("last-column-id").asInt() === 4)
+    val s1 = schemas(1).get("fields").elements().asScala.toSeq
+    assert(s1.map(f => (f.get("name").asText(), f.get("id").asInt())) ===
+      Seq(("part", 1), ("k", 2), ("v", 3), ("extra", 4)))
+    assert(!s1.last.get("required").asBoolean(), "added column is optional")
+    val snapIds = m2.get("snapshots").elements().asScala
+      .map(s => s.get("snapshot-id").asLong() ->
+        s.get("schema-id").asInt()).toSeq
+    assert(snapIds === Seq(1L -> 0, 2L -> 1))
+
+    // deletes after evolution carry the evolved schema verbatim and
+    // resolve equality ids through it
+    IcebergMeta.mirrorDeletes(spark, t, Seq(30L).toDF("k"), Seq("k"))
+    assert(IcebergMeta.read(spark, root).select("k").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L))
+    val m3 = md()
+    assert(m3.get("current-schema-id").asInt() === 1)
+    assert(m3.get("schemas").size() === 2)
+
+    // dropping or retyping a column fails loudly (add-only mirror)
+    val v4 = t.commit(Seq((0L, 50L, 8L)).toDF("part", "k", "extra"),
+      touched = Seq("0"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.mirror(spark, t, v4)
+    }
+    assert(e.getMessage.contains("add-only"))
+  }
 }
