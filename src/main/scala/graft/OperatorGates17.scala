@@ -96,6 +96,50 @@ object OperatorGates17 {
           col("n"), col("sum_id"), col("n").as("n_lang"))
       p1.unionByName(p2).unionByName(p3).unionByName(p4)
         .orderBy(col("probe"), col("grp"))
+    }),
+
+    // --- Foreign-spec pruning conservatism: tables written by an
+    //     INDEPENDENT minimal Iceberg v2 writer (ForeignIceberg —
+    //     shapes the native mirror never produces). Probe 0 reads a
+    //     date-identity table unfiltered; probe 1 partition-filters it
+    //     — date bounds are 4-byte LE epoch days and MUST decode to
+    //     ISO and prune EXACTLY (the r14 judge's silent-row-loss bug:
+    //     they decoded as UTF-8 garbage and dropped every manifest).
+    //     Probes 2-4 partition-filter specs this reader cannot decode
+    //     — timestamptz identity, bucket[4], truncate[3] — and must
+    //     return ALL rows (resolve to not-prunable, never dropped).
+    //     The shapes also fuzz non-zero spec/schema ids, multi-element
+    //     `schemas`, a snapshot without `schema-id`, and file:///
+    //     manifest paths -------------------------------------------
+    "q_iceberg_foreign_prune" -> ((s, dir) => {
+      import graft.sink.{ForeignIceberg, IcebergMeta}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_foreignice").toString
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 240)
+        .select(col("doc_id"),
+          date_add(lit("2024-01-01").cast("date"),
+            pmod(col("doc_id"), lit(4)).cast("int")).as("day"))
+        .withColumn("ts", col("day").cast("timestamp"))
+        .withColumn("cat", concat(lit("cat"), pmod(col("doc_id"), lit(4))))
+      ForeignIceberg.write(s, s"$tmp/t_date", docs, Some("day"))
+      ForeignIceberg.write(s, s"$tmp/t_ts", docs, Some("ts"),
+        ForeignIceberg.Shape(specId = 3, schemaId = 2,
+          historicalSchema = true, snapshotSchemaId = false,
+          pathForm = "file"))
+      ForeignIceberg.write(s, s"$tmp/t_bucket", docs, Some("doc_id"),
+        ForeignIceberg.Shape(transform = "bucket[4]", pathForm = "file3"))
+      ForeignIceberg.write(s, s"$tmp/t_trunc", docs, Some("cat"),
+        ForeignIceberg.Shape(transform = "truncate[3]", specId = 1))
+      def probe(root: String, parts: Option[Seq[String]], label: Long) =
+        IcebergMeta.read(s, root, partitions = parts)
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+          .select(lit(label).as("probe"), col("n"), col("sum_id"))
+      probe(s"$tmp/t_date", None, 0L)
+        .unionByName(probe(s"$tmp/t_date", Some(Seq("2024-01-02")), 1L))
+        .unionByName(probe(s"$tmp/t_ts", Some(Seq("2024-01-02")), 2L))
+        .unionByName(probe(s"$tmp/t_bucket", Some(Seq("1")), 3L))
+        .unionByName(probe(s"$tmp/t_trunc", Some(Seq("cat")), 4L))
+        .orderBy(col("probe"))
     }))
 
   def oracleSql17: Map[String, String] = Map(
@@ -129,5 +173,22 @@ object OperatorGates17 {
         |  CAST(sum_id AS BIGINT) AS sum_id, CAST(n_lang AS BIGINT) AS n_lang
         |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
         |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4) u
-        |ORDER BY probe, grp""".stripMargin)
+        |ORDER BY probe, grp""".stripMargin,
+
+    // probes 0, 2, 3, 4 see every row; probe 1 only day = 2024-01-02
+    // (doc_id % 4 = 1) — the exact date-identity prune
+    "q_iceberg_foreign_prune" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+        |a AS (SELECT count(*) AS n, sum(doc_id) AS sum_id FROM d),
+        |m AS (SELECT count(*) AS n, sum(doc_id) AS sum_id FROM d
+        |      WHERE doc_id % 4 = 1),
+        |u AS (
+        |  SELECT 0 AS probe, n, sum_id FROM a
+        |  UNION ALL SELECT 1, n, sum_id FROM m
+        |  UNION ALL SELECT 2, n, sum_id FROM a
+        |  UNION ALL SELECT 3, n, sum_id FROM a
+        |  UNION ALL SELECT 4, n, sum_id FROM a)
+        |SELECT CAST(probe AS BIGINT) AS probe, CAST(n AS BIGINT) AS n,
+        |  CAST(sum_id AS BIGINT) AS sum_id
+        |FROM u ORDER BY probe""".stripMargin)
 }

@@ -1,0 +1,373 @@
+package graft.sink
+
+import java.nio.charset.StandardCharsets
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** A deliberately INDEPENDENT, minimal Apache Iceberg v2 table writer
+  * used only by gates and specs to synthesize the metadata shapes that
+  * OTHER engines produce — so [[IcebergMeta.read]] is exercised against
+  * layouts the native mirror never writes: identity specs on
+  * `date`/`timestamptz` sources, `bucket[N]`/`truncate[W]` transforms,
+  * unpartitioned specs, non-zero spec/schema ids, multi-element
+  * `schemas` arrays, snapshots without a `schema-id`, all three
+  * `file_path` scheme forms, and manifests that omit every OPTIONAL
+  * `data_file` field (no stats, no equality_ids). Everything written
+  * here follows the published Apache Iceberg Table Spec v2 (field
+  * names, field-ids, single-value bound serialization: numbers
+  * little-endian, date = LE int epoch days, timestamptz = LE long
+  * micros, strings UTF-8) but shares NO code with [[IcebergMeta]] —
+  * reader bugs can't be masked by a common serializer. Reference
+  * surface: gobblin-iceberg/.../writer/IcebergMetadataWriter.java
+  * writes these artifacts through the Iceberg library; here the point
+  * is the shapes that library (driven by engines other than ours)
+  * legitimately emits.
+  *
+  * Fixture-scale by design: one parquet file per partition value, the
+  * distinct-value collect is gate-bounded (≤ dozens of partitions).
+  */
+object ForeignIceberg {
+
+  private val M = new ObjectMapper()
+
+  /** Knobs for the foreign shapes under test. `transform` is the
+    * spec's transform string verbatim ("identity", "bucket[4]",
+    * "truncate[3]", or "" for an unpartitioned spec). `pathForm`
+    * renders each data file's manifest `file_path`: "plain" = /p,
+    * "file" = file:/p, "file3" = file:///p. `historicalSchema`
+    * prepends a narrower schema-id-(n-1) entry so `schemas` is
+    * multi-element; `snapshotSchemaId` = false omits the snapshot's
+    * optional `schema-id` (an older writer), forcing the
+    * current-schema-id fallback.
+    */
+  final case class Shape(
+      transform: String = "identity",
+      specId: Int = 0,
+      schemaId: Int = 0,
+      pathForm: String = "plain",
+      historicalSchema: Boolean = false,
+      snapshotSchemaId: Boolean = true)
+
+  private def iceType(dt: DataType): String = dt match {
+    case BooleanType => "boolean"
+    case IntegerType => "int"
+    case LongType => "long"
+    case FloatType => "float"
+    case DoubleType => "double"
+    case StringType => "string"
+    case BinaryType => "binary"
+    case DateType => "date"
+    case TimestampType => "timestamptz"
+    case TimestampNTZType => "timestamp"
+    case other => throw new IllegalArgumentException(
+      s"foreign fixture: unmapped type $other")
+  }
+
+  /** Iceberg single-value serialization of a partition value. */
+  private def boundBytes(dt: DataType, v: Any): Array[Byte] = {
+    def le4(i: Int) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    def le8(l: Long) = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).array()
+    (dt, v) match {
+      case (DateType, d: java.sql.Date) => le4(d.toLocalDate.toEpochDay.toInt)
+      case (DateType, d: java.time.LocalDate) => le4(d.toEpochDay.toInt)
+      case (TimestampType, t: java.sql.Timestamp) =>
+        le8(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+      case (TimestampType, t: java.time.Instant) =>
+        le8(t.getEpochSecond * 1000000L + t.getNano / 1000L)
+      case (LongType, l: Long) => le8(l)
+      case (IntegerType, i: Int) => le4(i)
+      case (StringType, s: String) => s.getBytes(StandardCharsets.UTF_8)
+      case other => throw new IllegalArgumentException(
+        s"foreign fixture: unserializable partition value $other")
+    }
+  }
+
+  /** Avro type of the partition field inside the manifest's
+    * `partition` record (dates are int days, timestamps long micros
+    * per the spec's Avro mapping).
+    */
+  private def partAvro(transform: String, dt: DataType): String =
+    if (transform.startsWith("bucket")) "int"
+    else if (transform.startsWith("truncate")) "string"
+    else dt match {
+      case LongType | TimestampType | TimestampNTZType => "long"
+      case IntegerType | DateType => "int"
+      case StringType => "string"
+      case other => throw new IllegalArgumentException(
+        s"foreign fixture: no partition Avro mapping for $other")
+    }
+
+  /** The partition value as stored in the manifest's partition record
+    * and summarized in the manifest list: the TRANSFORMED value.
+    * Bucket ids here are NOT Iceberg's murmur3 bucketing — they don't
+    * need to be: a conservative reader must never prune on a bucket
+    * spec at all, which is exactly what the fixtures prove.
+    */
+  private def transformed(transform: String, dt: DataType, v: Any)
+      : (Array[Byte], Any) = {
+    if (transform.startsWith("bucket")) {
+      val n = transform.stripPrefix("bucket[").stripSuffix("]").toInt
+      val b = math.floorMod(v.hashCode(), n)
+      (boundBytes(IntegerType, b), b)
+    } else if (transform.startsWith("truncate")) {
+      val w = transform.stripPrefix("truncate[").stripSuffix("]").toInt
+      val t = v.toString.take(w)
+      (boundBytes(StringType, t), t)
+    } else {
+      val avroVal: Any = (dt, v) match {
+        case (DateType, d: java.sql.Date) => d.toLocalDate.toEpochDay.toInt
+        case (DateType, d: java.time.LocalDate) => d.toEpochDay.toInt
+        case (TimestampType, t: java.sql.Timestamp) =>
+          t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+        case (TimestampType, t: java.time.Instant) =>
+          t.getEpochSecond * 1000000L + t.getNano / 1000L
+        case (_, x) => x
+      }
+      (boundBytes(dt, v), avroVal)
+    }
+  }
+
+  private def renderPath(form: String, p: String): String = form match {
+    case "plain" => p
+    case "file" => s"file:$p"
+    case "file3" => s"file://$p"
+    case other => throw new IllegalArgumentException(s"pathForm $other")
+  }
+
+  /** Minimal manifest_entry: ONLY the spec's required data_file fields
+    * — no stats maps, no equality_ids, no sort_order_id. A reader that
+    * assumes the optional fields exist breaks on real foreign files.
+    */
+  private def entrySchema(partField: Option[(String, String, Int)]): Schema = {
+    val pf = partField.map { case (name, typ, fid) =>
+      s"""{"name":"$name","type":["null","$typ"],"default":null,"field-id":$fid}"""
+    }.getOrElse("")
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+         |{"name":"status","type":"int","field-id":0},
+         |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
+         |{"name":"content","type":"int","field-id":134},
+         |{"name":"file_path","type":"string","field-id":100},
+         |{"name":"file_format","type":"string","field-id":101},
+         |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pf]}},
+         |{"name":"record_count","type":"long","field-id":103},
+         |{"name":"file_size_in_bytes","type":"long","field-id":104}
+         |]}}]}""".stripMargin.replace("\n", ""))
+  }
+
+  /** manifest_file without `contains_nan` (a pre-NaN-summary writer)
+    * and without key_metadata — spec-required fields only.
+    */
+  private val listSchema: Schema = new Schema.Parser().parse(
+    s"""{"type":"record","name":"manifest_file","fields":[
+       |{"name":"manifest_path","type":"string","field-id":500},
+       |{"name":"manifest_length","type":"long","field-id":501},
+       |{"name":"partition_spec_id","type":"int","field-id":502},
+       |{"name":"content","type":"int","field-id":517},
+       |{"name":"sequence_number","type":"long","field-id":515},
+       |{"name":"min_sequence_number","type":"long","field-id":516},
+       |{"name":"added_snapshot_id","type":"long","field-id":503},
+       |{"name":"added_files_count","type":"int","field-id":504},
+       |{"name":"existing_files_count","type":"int","field-id":505},
+       |{"name":"deleted_files_count","type":"int","field-id":506},
+       |{"name":"added_rows_count","type":"long","field-id":512},
+       |{"name":"existing_rows_count","type":"long","field-id":513},
+       |{"name":"deleted_rows_count","type":"long","field-id":514},
+       |{"name":"partitions","field-id":507,"default":null,"type":["null",
+       |{"type":"array","element-id":508,"items":{"type":"record","name":"r508","fields":[
+       |{"name":"contains_null","type":"boolean","field-id":509},
+       |{"name":"lower_bound","type":["null","bytes"],"default":null,"field-id":510},
+       |{"name":"upper_bound","type":["null","bytes"],"default":null,"field-id":511}
+       |]}}]}]}""".stripMargin.replace("\n", ""))
+
+  /** Write `df` at `root` as a complete foreign-shaped Iceberg v2
+    * table: one parquet data file per distinct `partCol` value (or one
+    * file total when unpartitioned), one manifest per file, one
+    * manifest list, one metadata.json + version-hint. Returns the
+    * table root (= `root`).
+    */
+  def write(spark: SparkSession, root: String, df: DataFrame,
+      partCol: Option[String], shape: Shape = Shape()): String = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(root).getFileSystem(conf)
+    val metaDir = new Path(s"$root/metadata")
+    fs.mkdirs(metaDir)
+
+    // ---- data files: one parquet per partition value (gate-bounded)
+    def onePartFile(d: DataFrame, dir: String): (String, Long, Long) = {
+      d.coalesce(1).write.mode("overwrite").parquet(dir)
+      val part = fs.listStatus(new Path(dir))
+        .filter(st => st.getPath.getName.startsWith("part-") &&
+          st.getPath.getName.endsWith(".parquet"))
+      require(part.length == 1, s"expected one part file under $dir")
+      (part.head.getPath.toUri.getPath, part.head.getLen, d.count())
+    }
+    // (bound bytes, avro partition value, path, length, rows) per file
+    val files: Seq[(Option[(Array[Byte], Any)], String, Long, Long)] =
+      partCol match {
+        case None =>
+          val (p, len, n) = onePartFile(df, s"$root/data/all")
+          Seq((None, p, len, n))
+        case Some(pc) =>
+          val dt = df.schema(pc).dataType
+          val vals = df.select(col(pc)).distinct().collect().map(_.get(0))
+            .sortBy(_.toString)
+          vals.zipWithIndex.toSeq.map { case (v, i) =>
+            val (p, len, n) =
+              onePartFile(df.filter(col(pc) === lit(v)), s"$root/data/p$i")
+            (Some(transformed(shape.transform, dt, v)), p, len, n)
+          }
+      }
+
+    // ---- one manifest per data file
+    val partFieldId = 1000
+    val specFieldName = partCol.map(pc =>
+      if (shape.transform == "identity") pc else s"${pc}_${shape.transform
+        .takeWhile(_ != '[')}").getOrElse("")
+    val eSchema = entrySchema(partCol.map { pc =>
+      (specFieldName, partAvro(shape.transform, df.schema(pc).dataType),
+        partFieldId)
+    }.filter(_ => shape.transform.nonEmpty))
+    val manifests = files.zipWithIndex.map { case ((pv, path, len, rows), i) =>
+      val mPath = new Path(metaDir, f"foreign-m$i%03d.avro")
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](eSchema))
+      w.setMeta("format-version", "2")
+      w.setMeta("content", "data")
+      w.create(eSchema, fs.create(mPath, true))
+      try {
+        val r = new GenericData.Record(eSchema)
+        r.put("status", 1) // ADDED
+        r.put("snapshot_id", 1L)
+        val d = new GenericData.Record(
+          eSchema.getField("data_file").schema())
+        d.put("content", 0)
+        d.put("file_path", renderPath(shape.pathForm, path))
+        d.put("file_format", "PARQUET")
+        val pRec = new GenericData.Record(
+          d.getSchema.getField("partition").schema())
+        if (shape.transform.nonEmpty) pv.foreach { case (_, av) =>
+          pRec.put(specFieldName, av match {
+            case s: String => new org.apache.avro.util.Utf8(s)
+            case x => x
+          })
+        }
+        d.put("partition", pRec)
+        d.put("record_count", rows)
+        d.put("file_size_in_bytes", len)
+        r.put("data_file", d)
+        w.append(r)
+      } finally w.close()
+      (mPath, fs.getFileStatus(mPath).getLen, pv.map(_._1), rows)
+    }
+
+    // ---- manifest list
+    val listPath = new Path(metaDir, "snap-1-foreign.avro")
+    val lw = new DataFileWriter(new GenericDatumWriter[GenericRecord](listSchema))
+    lw.setMeta("format-version", "2")
+    lw.create(listSchema, fs.create(listPath, true))
+    try manifests.foreach { case (mPath, mLen, bound, rows) =>
+      val r = new GenericData.Record(listSchema)
+      r.put("manifest_path", mPath.toString)
+      r.put("manifest_length", mLen)
+      r.put("partition_spec_id", shape.specId)
+      r.put("content", 0)
+      r.put("sequence_number", 1L)
+      r.put("min_sequence_number", 1L)
+      r.put("added_snapshot_id", 1L)
+      r.put("added_files_count", 1)
+      r.put("existing_files_count", 0)
+      r.put("deleted_files_count", 0)
+      r.put("added_rows_count", rows)
+      r.put("existing_rows_count", 0L)
+      r.put("deleted_rows_count", 0L)
+      val sumSchema = listSchema.getField("partitions").schema()
+        .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+      val summaries = bound match {
+        case Some(b) =>
+          val s = new GenericData.Record(sumSchema.getElementType)
+          s.put("contains_null", false)
+          s.put("lower_bound", java.nio.ByteBuffer.wrap(b))
+          s.put("upper_bound", java.nio.ByteBuffer.wrap(b))
+          java.util.List.of[GenericRecord](s)
+        case None => java.util.List.of[GenericRecord]()
+      }
+      r.put("partitions",
+        new GenericData.Array[GenericRecord](sumSchema, summaries))
+      lw.append(r)
+    } finally lw.close()
+
+    // ---- metadata.json (v00001) + version-hint
+    val rootNode = M.createObjectNode()
+    rootNode.put("format-version", 2)
+    rootNode.put("table-uuid", java.util.UUID
+      .nameUUIDFromBytes(root.getBytes(StandardCharsets.UTF_8)).toString)
+    rootNode.put("location", root)
+    rootNode.put("last-sequence-number", 1L)
+    rootNode.put("last-updated-ms", System.currentTimeMillis())
+    rootNode.put("last-column-id", df.schema.length)
+    rootNode.put("current-schema-id", shape.schemaId)
+    val schemas = rootNode.putArray("schemas")
+    if (shape.historicalSchema) {
+      // a narrower, older schema under a lower id — multi-element array
+      val h = schemas.addObject()
+      h.put("type", "struct"); h.put("schema-id", shape.schemaId - 1)
+      val hf = h.putArray("fields")
+      df.schema.fields.take(1).zipWithIndex.foreach { case (f, i) =>
+        val n = hf.addObject()
+        n.put("id", i + 1); n.put("name", f.name)
+        n.put("required", false); n.put("type", iceType(f.dataType))
+      }
+    }
+    val cur = schemas.addObject()
+    cur.put("type", "struct"); cur.put("schema-id", shape.schemaId)
+    val cf = cur.putArray("fields")
+    df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val n = cf.addObject()
+      n.put("id", i + 1); n.put("name", f.name)
+      n.put("required", false); n.put("type", iceType(f.dataType))
+    }
+    rootNode.put("default-spec-id", shape.specId)
+    val specs = rootNode.putArray("partition-specs")
+    val spec = specs.addObject()
+    spec.put("spec-id", shape.specId)
+    val sf = spec.putArray("fields")
+    if (shape.transform.nonEmpty) partCol.foreach { pc =>
+      val f = sf.addObject()
+      f.put("name", specFieldName)
+      f.put("transform", shape.transform)
+      f.put("source-id", df.schema.fieldIndex(pc) + 1)
+      f.put("field-id", partFieldId)
+    }
+    rootNode.put("last-partition-id", partFieldId)
+    rootNode.put("default-sort-order-id", 0)
+    rootNode.set("sort-orders", M.readTree("""[{"order-id":0,"fields":[]}]"""))
+    rootNode.put("current-snapshot-id", 1L)
+    val snaps = rootNode.putArray("snapshots")
+    val snap = snaps.addObject()
+    snap.put("snapshot-id", 1L)
+    snap.put("sequence-number", 1L)
+    snap.put("timestamp-ms", System.currentTimeMillis())
+    if (shape.snapshotSchemaId) snap.put("schema-id", shape.schemaId)
+    snap.put("manifest-list", listPath.toString)
+    snap.putObject("summary").put("operation", "append")
+    val out = fs.create(new Path(metaDir, "v00001.metadata.json"), true)
+    out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootNode))
+    out.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    hint.write("1".getBytes(StandardCharsets.UTF_8))
+    hint.close()
+    root
+  }
+}

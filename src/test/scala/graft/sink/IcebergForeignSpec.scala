@@ -1,0 +1,111 @@
+package graft.sink
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Foreign-table read fuzz: [[IcebergMeta.read]] against metadata
+  * shapes OTHER engines write (synthesized by the independent
+  * [[ForeignIceberg]] writer) — identity specs on date/timestamptz/
+  * long/string sources, bucket/truncate transforms, unpartitioned
+  * specs, non-zero spec/schema ids, multi-element `schemas` arrays,
+  * snapshots without the optional `schema-id`, all three file_path
+  * scheme forms, manifests with every OPTIONAL data_file field
+  * omitted. The invariant under every shape: read() is loud-or-
+  * correct — a partition-filtered read returns EXACTLY the matching
+  * rows when the spec's value serialization is decodable (long/int/
+  * string/date identity) and ALL rows when it is not (timestamptz,
+  * bucket, truncate, unpartitioned) — never a silently pruned subset.
+  */
+class IcebergForeignSpec extends graft.SparkSpec {
+
+  private def data(): DataFrame = {
+    import spark.implicits._
+    (0L until 60L).map { id =>
+      (id, id % 3,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+          .plusDays(id % 3)),
+        java.sql.Timestamp.valueOf(java.time.LocalDateTime
+          .of(2024, 1, 1, (id % 3).toInt, 0, 0)),
+        s"cat${id % 3}x", id * 7)
+    }.toDF("id", "grp", "day", "ts", "cat", "v")
+  }
+
+  private def sums(df: DataFrame): (Long, Long) = {
+    val r = df.agg(count(lit(1)), sum(col("v"))).collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("date-identity specs prune EXACTLY; never garbage-decode") {
+    val root = ForeignIceberg.write(spark, tmpDir("fi_date"), data(),
+      Some("day"))
+    assert(sums(IcebergMeta.read(spark, root)) === sums(data()))
+    val picked = IcebergMeta.read(spark, root,
+      partitions = Some(Seq("2024-01-02")))
+    assert(sums(picked) === sums(data().filter(col("grp") === 1)))
+    // and the filter column survives with the right values
+    assert(picked.select(col("day")).distinct().collect()
+      .map(_.getDate(0).toString).toSeq === Seq("2024-01-02"))
+  }
+
+  test("long- and string-identity specs prune exactly too") {
+    val rootL = ForeignIceberg.write(spark, tmpDir("fi_long"), data(),
+      Some("grp"), ForeignIceberg.Shape(specId = 2))
+    assert(sums(IcebergMeta.read(spark, rootL,
+      partitions = Some(Seq("0", "2")))) ===
+      sums(data().filter(col("grp") =!= 1)))
+    val rootS = ForeignIceberg.write(spark, tmpDir("fi_str"), data(),
+      Some("cat"))
+    assert(sums(IcebergMeta.read(spark, rootS,
+      partitions = Some(Seq("cat1x")))) ===
+      sums(data().filter(col("grp") === 1)))
+  }
+
+  test("undecodable specs NEVER prune: timestamptz, bucket, truncate, unpartitioned") {
+    val shapes = Seq(
+      ("ts", ForeignIceberg.Shape()),                       // timestamptz id
+      ("grp", ForeignIceberg.Shape(transform = "bucket[4]")),
+      ("cat", ForeignIceberg.Shape(transform = "truncate[3]")),
+      ("grp", ForeignIceberg.Shape(transform = "")))        // unpartitioned
+    shapes.zipWithIndex.foreach { case ((pc, shape), i) =>
+      val root = ForeignIceberg.write(spark, tmpDir(s"fi_cons$i"),
+        data(), Some(pc), shape)
+      // a filter that would "match" nothing decodable must keep ALL
+      assert(sums(IcebergMeta.read(spark, root,
+        partitions = Some(Seq("2024-01-02", "1", "cat")))) ===
+        sums(data()), s"shape $i pruned rows it cannot decode")
+    }
+  }
+
+  test("schema/spec-id and path-form fuzz: every combination reads whole") {
+    val combos = for {
+      pathForm <- Seq("plain", "file", "file3")
+      specId <- Seq(0, 7)
+      (schemaId, hist) <- Seq((0, false), (3, true))
+      snapSchemaId <- Seq(true, false)
+    } yield ForeignIceberg.Shape(specId = specId, schemaId = schemaId,
+      pathForm = pathForm, historicalSchema = hist,
+      snapshotSchemaId = snapSchemaId)
+    combos.zipWithIndex.foreach { case (shape, i) =>
+      val root = ForeignIceberg.write(spark, tmpDir(s"fi_fuzz$i"),
+        data(), Some("day"), shape)
+      val got = IcebergMeta.read(spark, root)
+      // reads under the CURRENT schema (never the narrower historical
+      // one), full row set, exact prune still works
+      assert(got.columns.toSeq ===
+        Seq("id", "grp", "day", "ts", "cat", "v"), s"shape $i columns")
+      assert(sums(got) === sums(data()), s"shape $i rows")
+      assert(sums(IcebergMeta.read(spark, root,
+        partitions = Some(Seq("2024-01-01")))) ===
+        sums(data().filter(col("grp") === 0)), s"shape $i prune")
+    }
+  }
+
+  test("broken references fail loudly, never silently empty") {
+    val root = ForeignIceberg.write(spark, tmpDir("fi_loud"), data(),
+      Some("day"))
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.read(spark, root, snapshotId = Some(99L)).count()
+    }
+    assert(e.getMessage.contains("snapshot 99"))
+  }
+}
