@@ -140,6 +140,105 @@ object OperatorGates17 {
         .unionByName(probe(s"$tmp/t_bucket", Some(Seq("1")), 3L))
         .unionByName(probe(s"$tmp/t_trunc", Some(Seq("cat")), 4L))
         .orderBy(col("probe"))
+    }),
+
+    // --- pywb-interoperable ZipNum export: the cdxindex job (run
+    //     through a 2 KiB read window, exercising the window-growth
+    //     walk on real member tilings) also emits the Common Crawl
+    //     distribution layout — sorted cdx-NNNNN.gz text shards whose
+    //     gzip BLOCKS (≤ linesPerBlock lines each) are addressed
+    //     exactly by cluster.idx. The gate replays what a foreign
+    //     ZipNum reader does: parse cluster.idx, require the blocks
+    //     TILE each shard byte-exactly, range-read + gunzip every
+    //     block, require global (urlkey, ts) order across the whole
+    //     export and ≤ linesPerBlock lines per block, round-trip all
+    //     lines through parseCdxj against the parquet index, and
+    //     require identity with the WARC writer's ground truth.
+    //     Output = the round-tripped captures (content-derived
+    //     columns only; member lengths are gzip-encoder-dependent) --
+    "q_cdx_zipnum" -> ((s, dir) => {
+      import graft.runner.JobConfig
+      import graft.operators.CdxIndex
+      val tmp = java.nio.file.Files
+        .createTempDirectory("q_cdxzipnum").toString
+      val warcDir = s"$tmp/warc"
+      val fixture = OperatorGates15.buildMiniCrawl(s, dir, warcDir)
+      val r0 = JobConfig.runAny(s, JobConfig.parse(
+        s"""job.type=cdxindex
+           |job.name=cdxzipnum_gate
+           |cdx.warcDir=$warcDir
+           |cdx.digest=md5
+           |cdx.windowBytes=2048
+           |cdx.zipnumDir=$tmp/zipnum
+           |cdx.zipnumShards=3
+           |cdx.linesPerBlock=7
+           |sink.output=$tmp/index
+           |""".stripMargin))
+      require(r0("published") == "true" && r0("zipnumDir") == s"$tmp/zipnum",
+        s"cdxindex+zipnum failed: $r0")
+      // --- what a foreign ZipNum reader does, replayed loudly
+      val zn = java.nio.file.Paths.get(s"$tmp/zipnum")
+      val clusterLines = java.nio.file.Files
+        .readAllLines(zn.resolve("cluster.idx")).asScala.toSeq
+      val blocks = clusterLines.map { l =>
+        val Array(key, fname, off, len, seqNo) = l.split("\t")
+        (key, fname, off.toLong, len.toLong, seqNo.toLong)
+      }
+      require(blocks.map(_._5) == (1L to blocks.length).toSeq,
+        "cluster.idx seq is not the 1-based global block ordinal")
+      // blocks tile each shard file byte-exactly
+      blocks.groupBy(_._2).foreach { case (fname, bs) =>
+        val size = java.nio.file.Files.size(zn.resolve(fname))
+        val sorted = bs.sortBy(_._3)
+        require(sorted.head._3 == 0L &&
+          sorted.map(b => b._3 + b._4).zip(sorted.tail.map(_._3))
+            .forall { case (e, n) => e == n } &&
+          sorted.last._3 + sorted.last._4 == size,
+          s"$fname: cluster.idx blocks do not tile the shard exactly")
+      }
+      // range-read every block exactly as addressed; check order + cap
+      val allLines = blocks.sortBy(b => (b._2, b._3)).flatMap {
+        case (key, fname, off, len, _) =>
+          val ch = java.nio.file.Files.newByteChannel(zn.resolve(fname))
+          val buf = java.nio.ByteBuffer.allocate(len.toInt)
+          ch.position(off)
+          while (buf.hasRemaining && ch.read(buf) >= 0) {}
+          ch.close()
+          require(!buf.hasRemaining, s"$fname: short read at $off")
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(buf.array()))
+          val text = new String(gz.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+          require(lines.nonEmpty && lines.size <= 7,
+            s"$fname@$off: block carries ${lines.size} lines (cap 7)")
+          require(lines.head.startsWith(key),
+            s"$fname@$off: cluster.idx key '$key' is not the block's first line")
+          lines
+      }
+      require(allLines == allLines.sorted,
+        "shard lines are not globally (urlkey, ts)-ordered")
+      require(allLines.size == fixture.count(),
+        s"${allLines.size} exported lines != ${fixture.count()} captures")
+      // parseCdxj round-trips every line against the parquet index
+      import s.implicits._
+      val parsed = CdxIndex.parseCdxj(allLines.toDF("line"))
+      val idx = s.read.parquet(s"$tmp/index")
+      require(parsed.exceptAll(idx).isEmpty && idx.exceptAll(parsed).isEmpty,
+        "ZipNum round-trip diverges from the parquet index")
+      // identity against the WARC writer's ground truth -> output
+      val joined = parsed.join(
+        fixture.select(col("url").as("f_url"), col("digest").as("f_digest"),
+          col("length").as("f_len"), col("seq"), col("filename"),
+          col("offset")),
+        Seq("filename", "offset"))
+      require(joined.count() == fixture.count(), "identity join lost rows")
+      require(joined.filter(col("url") =!= col("f_url") ||
+        col("digest") =!= col("f_digest") ||
+        col("length") =!= col("f_len")).isEmpty,
+        "ZipNum content disagrees with the writer's ground truth")
+      joined.select(col("seq"), col("url"), col("urlkey"), col("ts"),
+        col("digest")).orderBy(col("seq"))
     }))
 
   def oracleSql17: Map[String, String] = Map(
@@ -190,5 +289,29 @@ object OperatorGates17 {
         |  UNION ALL SELECT 4, n, sum_id FROM a)
         |SELECT CAST(probe AS BIGINT) AS probe, CAST(n AS BIGINT) AS n,
         |  CAST(sum_id AS BIGINT) AS sum_id
-        |FROM u ORDER BY probe""".stripMargin)
+        |FROM u ORDER BY probe""".stripMargin,
+
+    // every capture of buildMiniCrawl: originals (seq = d) plus the
+    // d < 40 recaptures (seq = 240 + d); urlkey is the SURT form,
+    // ts the writer's constant WARC-Date
+    "q_cdx_zipnum" ->
+      """WITH d AS (
+        |  SELECT doc_id AS d FROM documents WHERE doc_id < 240),
+        |c AS (
+        |  SELECT d, CASE WHEN d >= 120 AND d % 3 = 0
+        |    THEN 40 + d % 40 ELSE d % 40 END AS ck FROM d),
+        |caps AS (
+        |  SELECT d AS seq,
+        |    md5('<html><p>page c' || ck || ' body w' || (ck * 7 % 50) ||
+        |      '</p></html>') AS digest, d AS site
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 240 + d,
+        |    md5('<html><p>recrawl r' || d || ' body</p></html>'), d
+        |  FROM d WHERE d < 40)
+        |SELECT CAST(seq AS BIGINT) AS seq,
+        |  'https://site' || site || '.example/p' AS url,
+        |  'example,site' || site || ')/p' AS urlkey,
+        |  '20260101000000' AS ts, digest
+        |FROM caps ORDER BY seq""".stripMargin)
 }

@@ -314,46 +314,92 @@ object CdxIndex {
     * files — the PRODUCER side of [[planFetch]]/[[ledgerMerge]]: a
     * crawl with no published index becomes consumable by indexing it
     * once and feeding the result to `job.type=cdxfetch`. Distributed
-    * one task per file (binaryFile source); whole-file reads are
-    * inherent to indexing, and each epoch after that costs only range
-    * reads. Emitted per response record: the REAL gzip member offset
-    * and compressed member length (what range fetches need), the
-    * `urlkey` in SURT form, `ts` from WARC-Date (digits, 14), the
-    * HTTP status, the parameter-stripped Content-Type, and the
-    * payload digest — `digestAlgo` "sha1b32" (the Common Crawl
-    * convention) or "md5" (hex). Columns match [[parseCdxj]], so
-    * [[renderCdxj]] serializes the result to CDXJ lines directly.
+    * one task per file; each task STREAMS its file through bounded
+    * seek-read windows (`windowBytes` at a time, grown only while a
+    * single gzip member straddles the cut, capped at `maxMemberBytes`
+    * — the same 1 GiB discipline [[fetchRanges]] enforces), so a task
+    * never holds a whole archive: production crawl files larger than
+    * executor heap — or the 2 GiB Int ceiling — index fine. Emitted
+    * per response record: the REAL gzip member offset and compressed
+    * member length (what range fetches need), the `urlkey` in SURT
+    * form, `ts` from WARC-Date (digits, 14), the HTTP status, the
+    * parameter-stripped Content-Type, and the payload digest —
+    * `digestAlgo` "sha1b32" (the Common Crawl convention) or "md5"
+    * (hex). Columns match [[parseCdxj]], so [[renderCdxj]] serializes
+    * the result to CDXJ lines directly.
     */
   def indexWarcs(spark: org.apache.spark.sql.SparkSession, warcDir: String,
       digestAlgo: String = "sha1b32",
-      pattern: String = "*.warc.gz"): DataFrame = {
+      pattern: String = "*.warc.gz",
+      windowBytes: Long = 64L << 20,
+      maxMemberBytes: Long = 1L << 30): DataFrame = {
     require(digestAlgo == "sha1b32" || digestAlgo == "md5",
       s"unsupported digest algo '$digestAlgo' (sha1b32 | md5)")
+    require(windowBytes > 0 && windowBytes <= maxMemberBytes,
+      s"windowBytes $windowBytes must be in (0, maxMemberBytes]")
+    require(maxMemberBytes <= (1L << 30),
+      "maxMemberBytes above 1 GiB breaks one task's Int addressing")
     import spark.implicits._
-    val rows = spark.read.format("binaryFile")
-      .load(s"$warcDir/$pattern")
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (path, bytes) =>
-        val fname = path.substring(path.lastIndexOf('/') + 1)
-        val recs = WarcCodec.parseIndexed(
-          fname.hashCode.toLong & 0x7fffffffL, bytes, base = 0L)
-        // compressed member length = distance to the next member (or
-        // EOF) — offsets are member starts in the CC one-record-per-
-        // member layout, which this indexer requires like fetchRanges
-        val offsets = recs.map(_._1).distinct.sorted
-        val endOf = offsets.zip(offsets.drop(1) :+ bytes.length.toLong).toMap
-        recs.iterator.filter(_._2.warcType == "response").map {
-          case (off, r) =>
-            val digest =
-              if (digestAlgo == "md5")
-                java.security.MessageDigest.getInstance("MD5")
-                  .digest(r.payload).map(b => f"${b & 0xff}%02x").mkString
-              else sha1B32(r.payload)
-            val ts = r.warcDate.filter(_.isDigit).take(14)
-            (ts, r.targetUri, r.httpStatus, r.httpMime, digest,
-              fname, off, endOf(off) - off)
-        }
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // driver-side listing is O(files) metadata, like any scan planning
+    val dirPath = new org.apache.hadoop.fs.Path(warcDir)
+    val dirFs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = dirFs.globStatus(
+      new org.apache.hadoop.fs.Path(dirPath, pattern))
+      .map(st => (st.getPath.getName, st.getLen)).toSeq.sorted
+    require(files.nonEmpty, s"no '$pattern' files under $warcDir")
+    val rows = spark.createDataset(files)
+      .repartition(math.min(files.size,
+        spark.sparkContext.defaultParallelism))
+      .mapPartitions(_.flatMap { case (fname, fileLen) =>
+        val id = fname.hashCode.toLong & 0x7fffffffL
+        val path = new org.apache.hadoop.fs.Path(s"$warcDir/$fname")
+        val fs = path.getFileSystem(serConf.value)
+        val out = Seq.newBuilder[(String, String, Int, String, String,
+          String, Long, Long)]
+        val in = fs.open(path)
+        try {
+          var pos = 0L
+          var window = windowBytes
+          while (pos < fileLen) {
+            val len = math.min(window, fileLen - pos).toInt
+            val buf = new Array[Byte](len)
+            in.seek(pos)
+            in.readFully(buf, 0, len)
+            val (members, consumed) = WarcCodec.gunzipMembersPrefix(id, buf)
+            if (members.isEmpty) {
+              // no complete member fits this window: grow (a single
+              // member straddles the cut) unless the file itself ends
+              // inside the member — then it is truncation, be loud
+              require(pos + len < fileLen,
+                s"$fname: truncated gzip member at $pos (file ends mid-member)")
+              require(len.toLong < maxMemberBytes,
+                s"$fname: gzip member at $pos exceeds maxMemberBytes $maxMemberBytes")
+              window = math.min(window * 2, maxMemberBytes)
+            } else {
+              members.foreach { case (mStart, mEnd, raw) =>
+                (if (raw.isEmpty) Seq.empty
+                 else WarcCodec.parseIndexed(id, raw, base = 0L))
+                  .filter(_._2.warcType == "response")
+                  .foreach { case (_, r) =>
+                    val digest =
+                      if (digestAlgo == "md5")
+                        java.security.MessageDigest.getInstance("MD5")
+                          .digest(r.payload)
+                          .map(b => f"${b & 0xff}%02x").mkString
+                      else sha1B32(r.payload)
+                    val ts = r.warcDate.filter(_.isDigit).take(14)
+                    out += ((ts, r.targetUri, r.httpStatus, r.httpMime,
+                      digest, fname, pos + mStart, mEnd - mStart))
+                  }
+              }
+              pos += consumed
+              window = windowBytes // reset after any growth
+            }
+          }
+        } finally in.close()
+        out.result().iterator
       })
       .toDF("ts", "url", "status", "mime", "digest",
         "filename", "offset", "length")
@@ -364,11 +410,113 @@ object CdxIndex {
 
   /** Render an index DataFrame back to CDXJ lines (the export side). */
   def renderCdxj(index: DataFrame): DataFrame =
-    index.select(concat(
+    keyedCdxj(index).select(col("line"))
+
+  /** CDXJ lines keeping the (urlkey, ts) sort key as columns — the
+    * ZipNum export orders and blocks on them.
+    */
+  private def keyedCdxj(index: DataFrame): DataFrame =
+    index.select(col("urlkey"), col("ts"), concat(
       col("urlkey"), lit(" "), col("ts"), lit(" "),
       to_json(struct(
         col("url"), col("status").cast("string").as("status"),
         col("mime"), col("digest"), col("filename"),
         col("offset").cast("string").as("offset"),
         col("length").cast("string").as("length")))).as("line"))
+
+  /** pywb-interoperable ZipNum export — the Common Crawl distribution
+    * layout external replay tooling consumes: `shards` sorted text
+    * shards `cdx-NNNNN.gz` (each a CONCATENATION of standalone gzip
+    * members — "blocks" — of at most `linesPerBlock` CDXJ lines, the
+    * whole shard still a valid multi-member .gz) plus the plain-text
+    * `cluster.idx` secondary index, one line per block:
+    *
+    *   {{{<first urlkey> <first ts>\t<shard file>\t<offset>\t<length>\t<seq>}}}
+    *
+    * A reader (pywb's ZipNum cluster) binary-searches cluster.idx for
+    * a key, range-reads ONE compressed block from the named shard and
+    * gunzips ≤ `linesPerBlock` lines — O(log blocks + block) per
+    * lookup over an arbitrarily large index.
+    *
+    * Scale shape: one range exchange orders the whole index by
+    * (urlkey, ts); each shard is written by ITS OWN task (memory =
+    * one block's lines); block descriptors — O(rows / linesPerBlock)
+    * metadata, the same cardinality as the cluster.idx file itself —
+    * flow through a shuffle to the single task that writes
+    * cluster.idx (one sorted text file is the format's own design;
+    * CC's production cluster.idx is exactly that).
+    */
+  def exportZipnum(spark: org.apache.spark.sql.SparkSession,
+      index: DataFrame, outDir: String, shards: Int,
+      linesPerBlock: Int = 3000): Unit = {
+    require(shards > 0, s"shards $shards must be positive")
+    require(linesPerBlock > 0, s"linesPerBlock $linesPerBlock must be positive")
+    import spark.implicits._
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val outFs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    outFs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
+    // total order: the line embeds filename/offset, so (urlkey, ts,
+    // line) is unique — range boundaries can't split ties ambiguously
+    val ranged = keyedCdxj(index)
+      .repartitionByRange(shards, col("urlkey"), col("ts"), col("line"))
+      .sortWithinPartitions(col("urlkey"), col("ts"), col("line"))
+      .as[(String, String, String)]
+    val blocks = ranged.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val fname = f"cdx-$pid%05d.gz"
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(serConf.value)
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$outDir/$fname"), true)
+        val descs = Seq.newBuilder[(String, String, String, Long, Long)]
+        var offset = 0L
+        val buf = new scala.collection.mutable.ArrayBuffer[(String, String, String)](
+          linesPerBlock)
+        def flush(): Unit = if (buf.nonEmpty) {
+          val bos = new java.io.ByteArrayOutputStream(64 * buf.length)
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          buf.foreach { case (_, _, line) =>
+            gz.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            gz.write('\n')
+          }
+          gz.finish(); gz.close()
+          val member = bos.toByteArray
+          out.write(member)
+          descs += ((buf.head._1, buf.head._2, fname, offset,
+            member.length.toLong))
+          offset += member.length
+          buf.clear()
+        }
+        it.foreach { row =>
+          buf += row
+          if (buf.length == linesPerBlock) flush()
+        }
+        flush()
+        out.close()
+        descs.result().iterator
+      }
+    }.toDF("urlkey", "ts", "filename", "offset", "length")
+    // cluster.idx: every block, globally sorted, one task (the format
+    // is one text file); `seq` is the 1-based global block ordinal
+    blocks.repartition(1)
+      .sortWithinPartitions(col("filename"), col("offset"))
+      .as[(String, String, String, Long, Long)]
+      .foreachPartition { (it: Iterator[(String, String, String, Long, Long)]) =>
+        val fs = new org.apache.hadoop.fs.Path(outDir)
+          .getFileSystem(serConf.value)
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(s"$outDir/cluster.idx"), true)
+        var seq = 0L
+        it.foreach { case (uk, ts, fname, off, len) =>
+          seq += 1
+          out.write(s"$uk $ts\t$fname\t$off\t$len\t$seq\n"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        out.close()
+      }
+  }
 }

@@ -68,69 +68,95 @@ object WarcCodec {
     */
   private[operators] def gunzipMembers(id: Long,
       bytes: Array[Byte]): Seq[(Long, Array[Byte])] = {
-    val members = Seq.newBuilder[(Long, Array[Byte])]
+    val (members, consumed) = gunzipMembersPrefix(id, bytes)
+    if (consumed != bytes.length)
+      fail(id, s"gzip member ${members.length} at $consumed: truncated " +
+        s"(${bytes.length - consumed} trailing bytes are not a complete member)")
+    if (members.forall(_._3.isEmpty)) fail(id, "gzip stream inflated to nothing")
+    members.map(m => (m._1, m._3))
+  }
+
+  /** Prefix walk for WINDOWED readers ([[CdxIndex.indexWarcs]]): parse
+    * complete gzip members from the front of `bytes`, returning
+    * `((start, end, inflated) per member, consumed)` where `end` is
+    * the byte after the member's trailer and `consumed` is the offset
+    * of the first un-walked byte — the start of a member the buffer
+    * CUT SHORT (a window boundary), or `bytes.length` when the buffer
+    * ends exactly on a member boundary. Running out of buffer is the
+    * caller's signal to slide the window; CORRUPTION inside a complete
+    * member (bad magic, CRC/ISIZE mismatch, corrupt deflate) still
+    * fails loudly — a windowed walk must never quietly skip bytes.
+    */
+  private[operators] def gunzipMembersPrefix(id: Long,
+      bytes: Array[Byte]): (Seq[(Long, Long, Array[Byte])], Int) = {
+    val members = Seq.newBuilder[(Long, Long, Array[Byte])]
     var pos = 0
     var member = 0
-    while (pos < bytes.length) {
+    var truncated = false
+    while (pos < bytes.length && !truncated) {
       val memberStart = pos
       // --- member header (RFC 1952) ---
-      if (pos + 10 > bytes.length ||
-        (bytes(pos) & 0xff) != 0x1f || (bytes(pos + 1) & 0xff) != 0x8b)
+      if (pos + 2 <= bytes.length &&
+        ((bytes(pos) & 0xff) != 0x1f || (bytes(pos + 1) & 0xff) != 0x8b))
         fail(id, s"gzip member $member at $pos: bad magic")
-      if ((bytes(pos + 2) & 0xff) != 8)
-        fail(id, s"gzip member $member: unknown compression method ${bytes(pos + 2) & 0xff}")
-      val flg = bytes(pos + 3) & 0xff
-      var p = pos + 10
-      if ((flg & 0x04) != 0) { // FEXTRA
-        if (p + 2 > bytes.length) fail(id, s"gzip member $member: truncated FEXTRA")
-        p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
-      }
-      if ((flg & 0x08) != 0) { // FNAME (NUL-terminated)
-        while (p < bytes.length && bytes(p) != 0) p += 1
-        p += 1
-      }
-      if ((flg & 0x10) != 0) { // FCOMMENT
-        while (p < bytes.length && bytes(p) != 0) p += 1
-        p += 1
-      }
-      if ((flg & 0x02) != 0) p += 2 // FHCRC
-      if (p > bytes.length) fail(id, s"gzip member $member: truncated header")
-      // --- raw deflate body ---
-      val inf = new java.util.zip.Inflater(true)
-      inf.setInput(bytes, p, bytes.length - p)
-      val crc = new java.util.zip.CRC32()
-      val mout = new java.io.ByteArrayOutputStream(8192)
-      val buf = new Array[Byte](8192)
-      try {
-        while (!inf.finished()) {
-          val n = inf.inflate(buf)
-          if (n == 0 && !inf.finished())
-            fail(id, s"gzip member $member: truncated deflate stream")
-          crc.update(buf, 0, n)
-          mout.write(buf, 0, n)
+      if (pos + 10 > bytes.length) truncated = true
+      else {
+        if ((bytes(pos + 2) & 0xff) != 8)
+          fail(id, s"gzip member $member: unknown compression method ${bytes(pos + 2) & 0xff}")
+        val flg = bytes(pos + 3) & 0xff
+        var p = pos + 10
+        if (!truncated && (flg & 0x04) != 0) { // FEXTRA
+          if (p + 2 > bytes.length) truncated = true
+          else p += 2 + ((bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8))
         }
-      } catch {
-        case _: java.util.zip.DataFormatException =>
-          fail(id, s"gzip member $member: corrupt deflate stream")
-      } finally {
-        p += inf.getBytesRead.toInt
-        inf.end()
+        if (!truncated && (flg & 0x08) != 0) { // FNAME (NUL-terminated)
+          while (p < bytes.length && bytes(p) != 0) p += 1
+          if (p >= bytes.length) truncated = true else p += 1
+        }
+        if (!truncated && (flg & 0x10) != 0) { // FCOMMENT
+          while (p < bytes.length && bytes(p) != 0) p += 1
+          if (p >= bytes.length) truncated = true else p += 1
+        }
+        if (!truncated && (flg & 0x02) != 0) p += 2 // FHCRC
+        if (p > bytes.length) truncated = true
+        if (!truncated) {
+          // --- raw deflate body ---
+          val inf = new java.util.zip.Inflater(true)
+          inf.setInput(bytes, p, bytes.length - p)
+          val crc = new java.util.zip.CRC32()
+          val mout = new java.io.ByteArrayOutputStream(8192)
+          val buf = new Array[Byte](8192)
+          try {
+            while (!inf.finished() && !truncated) {
+              val n = inf.inflate(buf)
+              if (n == 0 && !inf.finished()) truncated = true
+              else { crc.update(buf, 0, n); mout.write(buf, 0, n) }
+            }
+          } catch {
+            case _: java.util.zip.DataFormatException =>
+              fail(id, s"gzip member $member: corrupt deflate stream")
+          } finally {
+            p += inf.getBytesRead.toInt
+            inf.end()
+          }
+          // --- trailer: CRC32 + ISIZE ---
+          if (!truncated && p + 8 > bytes.length) truncated = true
+          if (!truncated) {
+            def le32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+              ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+            if (le32(p) != crc.getValue)
+              fail(id, s"gzip member $member: CRC mismatch")
+            if (le32(p + 4) != (mout.size().toLong & 0xffffffffL))
+              fail(id, s"gzip member $member: ISIZE mismatch")
+            pos = p + 8
+            members += ((memberStart.toLong, pos.toLong, mout.toByteArray))
+            member += 1
+          }
+        }
       }
-      // --- trailer: CRC32 + ISIZE ---
-      if (p + 8 > bytes.length) fail(id, s"gzip member $member: truncated trailer")
-      def le32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
-        ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
-      if (le32(p) != crc.getValue)
-        fail(id, s"gzip member $member: CRC mismatch")
-      if (le32(p + 4) != (mout.size().toLong & 0xffffffffL))
-        fail(id, s"gzip member $member: ISIZE mismatch")
-      members += ((memberStart.toLong, mout.toByteArray))
-      pos = p + 8
-      member += 1
+      if (truncated) pos = memberStart
     }
-    val result = members.result()
-    if (result.forall(_._2.isEmpty)) fail(id, "gzip stream inflated to nothing")
-    result
+    (members.result(), pos)
   }
 
   private def isGzip(b: Array[Byte]): Boolean =

@@ -904,20 +904,37 @@ object JobConfig {
       case "cdxindex" =>
         // the PRODUCER side of cdxfetch: index a directory of
         // member-per-record .warc.gz files into CDX records (parquet,
-        // parseCdxj-shaped) — one distributed pass, after which every
-        // epoch costs only range reads. Keys:
+        // parseCdxj-shaped) — one distributed pass streaming each
+        // file through bounded windows (cdx.windowBytes per task, a
+        // file larger than executor heap indexes fine), after which
+        // every epoch costs only range reads. Keys:
         //   cdx.warcDir  the WARC store to index
         //   cdx.digest   sha1b32 (Common Crawl convention) | md5
         //   cdx.pattern  file glob (default *.warc.gz)
+        //   cdx.windowBytes    per-task read window (default 64 MiB)
         //   sink.output  parquet output path
+        //   cdx.zipnumDir      optional: ALSO export the pywb/Common
+        //                      Crawl ZipNum layout there — sorted
+        //                      cdx-NNNNN.gz text shards + cluster.idx
+        //   cdx.zipnumShards   text shard count (default 4)
+        //   cdx.linesPerBlock  CDXJ lines per gzip block (default 3000)
         val idx = graft.operators.CdxIndex.indexWarcs(spark,
           req(p, "cdx.warcDir"),
           opt(p, "cdx.digest").getOrElse("sha1b32"),
-          opt(p, "cdx.pattern").getOrElse("*.warc.gz"))
+          opt(p, "cdx.pattern").getOrElse("*.warc.gz"),
+          opt(p, "cdx.windowBytes").map(_.toLong).getOrElse(64L << 20))
         val out = req(p, "sink.output")
         idx.write.mode("overwrite").parquet(out)
         val n = spark.read.parquet(out).count()
-        Map("published" -> "true", "rowsWritten" -> n.toString)
+        val zipnum = opt(p, "cdx.zipnumDir").map { zd =>
+          graft.operators.CdxIndex.exportZipnum(spark,
+            spark.read.parquet(out), zd,
+            opt(p, "cdx.zipnumShards").map(_.toInt).getOrElse(4),
+            opt(p, "cdx.linesPerBlock").map(_.toInt).getOrElse(3000))
+          zd
+        }
+        Map("published" -> "true", "rowsWritten" -> n.toString) ++
+          zipnum.map("zipnumDir" -> _)
 
       case "cdxfetch" =>
         // incremental Common-Crawl consumption: the CDX delta above

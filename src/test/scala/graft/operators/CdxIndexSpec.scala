@@ -298,6 +298,94 @@ class CdxIndexSpec extends graft.SparkSpec {
       idx.map(_._2).toSeq)
   }
 
+  test("windowed indexWarcs is byte-identical to the single-window walk") {
+    val pages = (0 until 16).map(i =>
+      (s"https://ex.com/w$i", s"<html>win $i ${"x" * (i * 13)}</html>"
+        .getBytes("UTF-8")))
+    val (bytes, _) = WarcCodec.writeResponsesIndexed(pages)
+    val dir = tmpDir("cdxwin")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/seg-0.warc.gz"), bytes)
+    val whole = CdxIndex.indexWarcs(spark, dir)
+      .orderBy("offset").collect().map(_.toSeq)
+    // a 64-byte window is smaller than every member: each step must
+    // GROW until one member fits, emit it, then reset — many windows,
+    // same rows
+    val windowed = CdxIndex.indexWarcs(spark, dir,
+      windowBytes = 64L, maxMemberBytes = 1L << 16)
+      .orderBy("offset").collect().map(_.toSeq)
+    assert(windowed.toSeq == whole.toSeq)
+    // a window that lands mid-member but fits several: slides, no rescan loss
+    val mid = CdxIndex.indexWarcs(spark, dir,
+      windowBytes = 777L, maxMemberBytes = 1L << 16)
+      .orderBy("offset").collect().map(_.toSeq)
+    assert(mid.toSeq == whole.toSeq)
+    // a member above maxMemberBytes fails loudly, never OOMs quietly
+    val eCap = intercept[org.apache.spark.SparkException] {
+      CdxIndex.indexWarcs(spark, dir,
+        windowBytes = 64L, maxMemberBytes = 128L).collect()
+    }
+    assert(eCap.getMessage.contains("exceeds maxMemberBytes"))
+    // a file truncated mid-member fails loudly, never shrinks
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/seg-0.warc.gz"),
+      java.util.Arrays.copyOfRange(bytes, 0, bytes.length - 7))
+    val eTrunc = intercept[org.apache.spark.SparkException] {
+      CdxIndex.indexWarcs(spark, dir).collect()
+    }
+    assert(eTrunc.getMessage.contains("truncated gzip member") ||
+      eTrunc.getMessage.contains("truncated"))
+  }
+
+  test("exportZipnum: sorted blocked shards + cluster.idx that tiles them") {
+    val pages = (0 until 23).map(i =>
+      (s"https://ex.com/z${"%02d".format(i)}", s"<html>zn $i</html>"
+        .getBytes("UTF-8")))
+    val (bytes, _) = WarcCodec.writeResponsesIndexed(pages)
+    val dir = tmpDir("cdxzn")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/seg-0.warc.gz"), bytes)
+    val idx = CdxIndex.indexWarcs(spark, dir)
+    val out = tmpDir("cdxzn_out")
+    CdxIndex.exportZipnum(spark, idx, out, shards = 2, linesPerBlock = 4)
+    val cluster = java.nio.file.Files
+      .readAllLines(java.nio.file.Paths.get(s"$out/cluster.idx"))
+    assert(!cluster.isEmpty)
+    // every block: addressed range gunzips to <= 4 lines starting at its key
+    val all = scala.collection.mutable.ArrayBuffer[String]()
+    cluster.forEach { l =>
+      val Array(key, fname, off, len, _) = l.split("\t")
+      val raw = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$out/$fname"))
+      val slice = java.util.Arrays.copyOfRange(raw,
+        off.toInt, off.toInt + len.toInt)
+      val gz = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(slice))
+      val lines = new String(gz.readAllBytes(), "UTF-8")
+        .split("\n").toSeq.filter(_.nonEmpty)
+      assert(lines.nonEmpty && lines.size <= 4)
+      assert(lines.head.startsWith(key))
+      all ++= lines
+    }
+    // global (urlkey, ts) order and full coverage
+    assert(all.toSeq == all.toSeq.sorted)
+    assert(all.size == 23)
+    // blocks tile each shard file exactly
+    import scala.jdk.CollectionConverters._
+    cluster.asScala.toSeq.map(_.split("\t"))
+      .groupBy(_(1)).foreach { case (fname, bs) =>
+        val size = java.nio.file.Files.size(
+          java.nio.file.Paths.get(s"$out/$fname"))
+        val sorted = bs.sortBy(_(2).toLong)
+        assert(sorted.head(2).toLong == 0L)
+        assert(sorted.map(b => b(2).toLong + b(3).toLong).last == size)
+      }
+    // parseCdxj round-trip equals the source index
+    import spark.implicits._
+    val parsed = CdxIndex.parseCdxj(all.toSeq.toDF("line"))
+    assert(parsed.exceptAll(idx).isEmpty && idx.exceptAll(parsed).isEmpty)
+  }
+
   test("plan is partitioning-invariant") {
     import spark.implicits._
     val idx = (0 until 200).map { i =>
