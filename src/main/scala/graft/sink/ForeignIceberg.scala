@@ -146,13 +146,19 @@ object ForeignIceberg {
   }
 
   /** Minimal manifest_entry: ONLY the spec's required data_file fields
-    * — no stats maps, no equality_ids, no sort_order_id. A reader that
-    * assumes the optional fields exist breaks on real foreign files.
+    * — no stats maps, no sort_order_id, and equality_ids ONLY when the
+    * manifest carries equality deletes. A reader that assumes the
+    * optional fields exist breaks on real foreign files.
     */
-  private def entrySchema(partField: Option[(String, String, Int)]): Schema = {
+  private def entrySchema(partField: Option[(String, String, Int)],
+      withEqIds: Boolean = false): Schema = {
     val pf = partField.map { case (name, typ, fid) =>
       s"""{"name":"$name","type":["null","$typ"],"default":null,"field-id":$fid}"""
     }.getOrElse("")
+    val eq = if (!withEqIds) ""
+      else """,{"name":"equality_ids","field-id":135,"default":null,
+             |"type":["null",{"type":"array","element-id":136,"items":"int"}]}"""
+        .stripMargin.replace("\n", "")
     new Schema.Parser().parse(
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
@@ -163,7 +169,7 @@ object ForeignIceberg {
          |{"name":"file_format","type":"string","field-id":101},
          |{"name":"partition","field-id":102,"type":{"type":"record","name":"r102","fields":[$pf]}},
          |{"name":"record_count","type":"long","field-id":103},
-         |{"name":"file_size_in_bytes","type":"long","field-id":104}
+         |{"name":"file_size_in_bytes","type":"long","field-id":104}$eq
          |]}}]}""".stripMargin.replace("\n", ""))
   }
 
@@ -195,19 +201,31 @@ object ForeignIceberg {
   /** Write `df` at `root` as a complete foreign-shaped Iceberg v2
     * table: one parquet data file per distinct `partCol` value (or one
     * file total when unpartitioned), one manifest per file, one
-    * manifest list, one metadata.json + version-hint. Returns the
-    * table root (= `root`).
+    * manifest list, one metadata.json + version-hint. Rows within each
+    * data file sort by all columns so positions are deterministic —
+    * what `posDeletes` addresses: `(file ordinal in partition-value
+    * order, row position)` pairs become a POSITION-delete file +
+    * manifest, and `eqDeletes` `(rows, key column names)` an
+    * EQUALITY-delete file + manifest, both riding sequence number 2
+    * under a second snapshot exactly the way a foreign engine's
+    * MERGE/DELETE lands next to older data manifests in one manifest
+    * list. Returns the table root (= `root`).
     */
   def write(spark: SparkSession, root: String, df: DataFrame,
-      partCol: Option[String], shape: Shape = Shape()): String = {
+      partCol: Option[String], shape: Shape = Shape(),
+      posDeletes: Seq[(Int, Long)] = Nil,
+      eqDeletes: Option[(DataFrame, Seq[String])] = None): String = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(root).getFileSystem(conf)
     val metaDir = new Path(s"$root/metadata")
     fs.mkdirs(metaDir)
+    val hasDeletes = posDeletes.nonEmpty || eqDeletes.nonEmpty
 
     // ---- data files: one parquet per partition value (gate-bounded)
     def onePartFile(d: DataFrame, dir: String): (String, Long, Long) = {
-      d.coalesce(1).write.mode("overwrite").parquet(dir)
+      d.coalesce(1)
+        .sortWithinPartitions(d.columns.map(col).toSeq: _*)
+        .write.mode("overwrite").parquet(dir)
       val part = fs.listStatus(new Path(dir))
         .filter(st => st.getPath.getName.startsWith("part-") &&
           st.getPath.getName.endsWith(".parquet"))
@@ -240,24 +258,25 @@ object ForeignIceberg {
       (specFieldName, partAvro(shape.transform, df.schema(pc).dataType),
         partFieldId)
     }.filter(_ => shape.transform.nonEmpty))
-    val manifests = files.zipWithIndex.map { case ((pv, path, len, rows), i) =>
-      val mPath = new Path(metaDir, f"foreign-m$i%03d.avro")
-      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](eSchema))
+    def writeManifest(mPath: Path, schema: Schema, content: Int,
+        filePath: String, rows: Long, len: Long,
+        partVal: Option[Any], eqIds: Option[Seq[Int]]): Long = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       w.setMeta("format-version", "2")
-      w.setMeta("content", "data")
-      w.create(eSchema, fs.create(mPath, true))
+      w.setMeta("content", if (content == 0) "data" else "deletes")
+      w.create(schema, fs.create(mPath, true))
       try {
-        val r = new GenericData.Record(eSchema)
+        val r = new GenericData.Record(schema)
         r.put("status", 1) // ADDED
-        r.put("snapshot_id", 1L)
+        r.put("snapshot_id", if (content == 0) 1L else 2L)
         val d = new GenericData.Record(
-          eSchema.getField("data_file").schema())
-        d.put("content", 0)
-        d.put("file_path", renderPath(shape.pathForm, path))
+          schema.getField("data_file").schema())
+        d.put("content", content)
+        d.put("file_path", renderPath(shape.pathForm, filePath))
         d.put("file_format", "PARQUET")
         val pRec = new GenericData.Record(
           d.getSchema.getField("partition").schema())
-        if (shape.transform.nonEmpty) pv.foreach { case (_, av) =>
+        if (shape.transform.nonEmpty) partVal.foreach { av =>
           pRec.put(specFieldName, av match {
             case s: String => new org.apache.avro.util.Utf8(s)
             case x => x
@@ -266,47 +285,127 @@ object ForeignIceberg {
         d.put("partition", pRec)
         d.put("record_count", rows)
         d.put("file_size_in_bytes", len)
+        eqIds.foreach { ids =>
+          val l = new java.util.ArrayList[Integer](ids.length)
+          ids.foreach(i => l.add(Integer.valueOf(i)))
+          d.put("equality_ids", l)
+        }
         r.put("data_file", d)
         w.append(r)
       } finally w.close()
-      (mPath, fs.getFileStatus(mPath).getLen, pv.map(_._1), rows)
+      fs.getFileStatus(mPath).getLen
     }
 
-    // ---- manifest list
-    val listPath = new Path(metaDir, "snap-1-foreign.avro")
-    val lw = new DataFileWriter(new GenericDatumWriter[GenericRecord](listSchema))
-    lw.setMeta("format-version", "2")
-    lw.create(listSchema, fs.create(listPath, true))
-    try manifests.foreach { case (mPath, mLen, bound, rows) =>
-      val r = new GenericData.Record(listSchema)
-      r.put("manifest_path", mPath.toString)
-      r.put("manifest_length", mLen)
-      r.put("partition_spec_id", shape.specId)
-      r.put("content", 0)
-      r.put("sequence_number", 1L)
-      r.put("min_sequence_number", 1L)
-      r.put("added_snapshot_id", 1L)
-      r.put("added_files_count", 1)
-      r.put("existing_files_count", 0)
-      r.put("deleted_files_count", 0)
-      r.put("added_rows_count", rows)
-      r.put("existing_rows_count", 0L)
-      r.put("deleted_rows_count", 0L)
-      val sumSchema = listSchema.getField("partitions").schema()
-        .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
-      val summaries = bound match {
-        case Some(b) =>
-          val s = new GenericData.Record(sumSchema.getElementType)
-          s.put("contains_null", false)
-          s.put("lower_bound", java.nio.ByteBuffer.wrap(b))
-          s.put("upper_bound", java.nio.ByteBuffer.wrap(b))
-          java.util.List.of[GenericRecord](s)
-        case None => java.util.List.of[GenericRecord]()
+    val manifests = files.zipWithIndex.map { case ((pv, path, len, rows), i) =>
+      val mPath = new Path(metaDir, f"foreign-m$i%03d.avro")
+      val mLen = writeManifest(mPath, eSchema, content = 0, path, rows, len,
+        pv.map(_._2), eqIds = None)
+      (mPath, mLen, pv.map(_._1), rows)
+    }
+
+    // ---- delete files (sequence 2, the foreign MERGE/DELETE shape):
+    //      positions address (file ordinal, row pos); equality rows
+    //      carry the key columns, ids resolved by schema position
+    val delSchema = entrySchema(None, withEqIds = true)
+    def oneDeleteFile(d: DataFrame, dir: String): (String, Long, Long) = {
+      d.coalesce(1).write.mode("overwrite").parquet(dir)
+      val part = fs.listStatus(new Path(dir))
+        .filter(st => st.getPath.getName.startsWith("part-") &&
+          st.getPath.getName.endsWith(".parquet"))
+      require(part.length == 1, s"expected one part file under $dir")
+      (part.head.getPath.toUri.getPath, part.head.getLen, d.count())
+    }
+    val posManifest = if (posDeletes.isEmpty) None else {
+      import spark.implicits._
+      val rows = posDeletes.map { case (ord, pos) =>
+        require(ord >= 0 && ord < files.length,
+          s"posDeletes ordinal $ord out of range (${files.length} files)")
+        (renderPath(shape.pathForm, files(ord)._2), pos)
       }
-      r.put("partitions",
-        new GenericData.Array[GenericRecord](sumSchema, summaries))
-      lw.append(r)
-    } finally lw.close()
+      val (p, len, n) = oneDeleteFile(
+        rows.toDF("file_path", "pos").sort(col("file_path"), col("pos")),
+        s"$root/data/del_pos")
+      val mPath = new Path(metaDir, "foreign-del-pos.avro")
+      val mLen = writeManifest(mPath, delSchema, content = 1, p, n, len,
+        None, eqIds = None)
+      Some((mPath, mLen))
+    }
+    val eqManifest = eqDeletes.map { case (rowsDf, keyCols) =>
+      val ids = keyCols.map(c => df.schema.fieldIndex(c) + 1)
+      val (p, len, n) = oneDeleteFile(
+        rowsDf.select(keyCols.map(col): _*), s"$root/data/del_eq")
+      val mPath = new Path(metaDir, "foreign-del-eq.avro")
+      val mLen = writeManifest(mPath, delSchema, content = 2, p, n, len,
+        None, eqIds = Some(ids))
+      (mPath, mLen, n)
+    }
+
+    // ---- manifest lists: snapshot 1 = data only; when deletes exist,
+    //      snapshot 2's list carries the SAME data manifests (their
+    //      original sequence number 1) plus the delete manifests at
+    //      sequence 2 — exactly how a foreign engine's second commit
+    //      lays out mixed-snapshot manifests in one list
+    def writeList(listPath: Path, withDeletes: Boolean): Unit = {
+      val lw = new DataFileWriter(new GenericDatumWriter[GenericRecord](listSchema))
+      lw.setMeta("format-version", "2")
+      lw.create(listSchema, fs.create(listPath, true))
+      def entry(mPath: Path, mLen: Long, content: Int, seqNum: Long,
+          snapId: Long, rows: Long, bound: Option[Array[Byte]]): Unit = {
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", mPath.toString)
+        r.put("manifest_length", mLen)
+        r.put("partition_spec_id", shape.specId)
+        r.put("content", content)
+        r.put("sequence_number", seqNum)
+        r.put("min_sequence_number", seqNum)
+        r.put("added_snapshot_id", snapId)
+        r.put("added_files_count", 1)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", rows)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        val sumSchema = listSchema.getField("partitions").schema()
+          .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+        val summaries = bound match {
+          case Some(b) =>
+            val s = new GenericData.Record(sumSchema.getElementType)
+            s.put("contains_null", false)
+            s.put("lower_bound", java.nio.ByteBuffer.wrap(b))
+            s.put("upper_bound", java.nio.ByteBuffer.wrap(b))
+            java.util.List.of[GenericRecord](s)
+          case None => java.util.List.of[GenericRecord]()
+        }
+        r.put("partitions",
+          new GenericData.Array[GenericRecord](sumSchema, summaries))
+        lw.append(r)
+      }
+      try {
+        manifests.foreach { case (mPath, mLen, bound, rows) =>
+          entry(mPath, mLen, content = 0, seqNum = 1L, snapId = 1L,
+            rows, bound)
+        }
+        if (withDeletes) {
+          posManifest.foreach { case (mPath, mLen) =>
+            entry(mPath, mLen, content = 1, seqNum = 2L, snapId = 2L,
+              posDeletes.length.toLong, None)
+          }
+          eqManifest.foreach { case (mPath, mLen, n) =>
+            entry(mPath, mLen, content = 1, seqNum = 2L, snapId = 2L,
+              n, None)
+          }
+        }
+      } finally lw.close()
+    }
+    val listPath = new Path(metaDir, "snap-1-foreign.avro")
+    writeList(listPath, withDeletes = false)
+    val listPath2 =
+      if (!hasDeletes) listPath
+      else {
+        val p2 = new Path(metaDir, "snap-2-foreign.avro")
+        writeList(p2, withDeletes = true)
+        p2
+      }
 
     // ---- metadata.json (v00001) + version-hint
     val rootNode = M.createObjectNode()
@@ -314,7 +413,7 @@ object ForeignIceberg {
     rootNode.put("table-uuid", java.util.UUID
       .nameUUIDFromBytes(root.getBytes(StandardCharsets.UTF_8)).toString)
     rootNode.put("location", root)
-    rootNode.put("last-sequence-number", 1L)
+    rootNode.put("last-sequence-number", if (hasDeletes) 2L else 1L)
     rootNode.put("last-updated-ms", System.currentTimeMillis())
     rootNode.put("last-column-id", df.schema.length)
     rootNode.put("current-schema-id", shape.schemaId)
@@ -353,7 +452,7 @@ object ForeignIceberg {
     rootNode.put("last-partition-id", partFieldId)
     rootNode.put("default-sort-order-id", 0)
     rootNode.set("sort-orders", M.readTree("""[{"order-id":0,"fields":[]}]"""))
-    rootNode.put("current-snapshot-id", 1L)
+    rootNode.put("current-snapshot-id", if (hasDeletes) 2L else 1L)
     val snaps = rootNode.putArray("snapshots")
     val snap = snaps.addObject()
     snap.put("snapshot-id", 1L)
@@ -362,6 +461,15 @@ object ForeignIceberg {
     if (shape.snapshotSchemaId) snap.put("schema-id", shape.schemaId)
     snap.put("manifest-list", listPath.toString)
     snap.putObject("summary").put("operation", "append")
+    if (hasDeletes) {
+      val snap2 = snaps.addObject()
+      snap2.put("snapshot-id", 2L)
+      snap2.put("sequence-number", 2L)
+      snap2.put("timestamp-ms", System.currentTimeMillis())
+      if (shape.snapshotSchemaId) snap2.put("schema-id", shape.schemaId)
+      snap2.put("manifest-list", listPath2.toString)
+      snap2.putObject("summary").put("operation", "overwrite")
+    }
     val out = fs.create(new Path(metaDir, "v00001.metadata.json"), true)
     out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootNode))
     out.close()

@@ -100,6 +100,43 @@ class IcebergForeignSpec extends graft.SparkSpec {
     }
   }
 
+  test("foreign POSITION deletes apply: (file, pos) rows vanish, time travel keeps them") {
+    // data files sort by all columns, so positions are deterministic:
+    // partition ordinal 0 = day 2024-01-01 (ids 0,3,6,9,...), pos 0 ->
+    // id 0, pos 3 -> id 9; ordinal 2 = day 2024-01-03 (ids 2,5,8,11..),
+    // pos 3 -> id 11
+    val root = ForeignIceberg.write(spark, tmpDir("fi_pos"), data(),
+      Some("day"), ForeignIceberg.Shape(pathForm = "file"),
+      posDeletes = Seq((0, 0L), (0, 3L), (2, 3L)))
+    val expect = data().filter(!col("id").isin(0L, 9L, 11L))
+    assert(sums(IcebergMeta.read(spark, root)) === sums(expect))
+    // partition-pruned read still applies the deletes
+    assert(sums(IcebergMeta.read(spark, root,
+      partitions = Some(Seq("2024-01-01")))) ===
+      sums(expect.filter(col("grp") === 0)))
+    // time travel to snapshot 1 pre-dates the delete snapshot
+    assert(sums(IcebergMeta.read(spark, root, snapshotId = Some(1L))) ===
+      sums(data()))
+  }
+
+  test("foreign EQUALITY deletes apply by key columns at a later sequence") {
+    import spark.implicits._
+    val root = ForeignIceberg.write(spark, tmpDir("fi_eq"), data(),
+      Some("day"),
+      eqDeletes = Some((Seq(7L, 13L, 26L).toDF("id"), Seq("id"))))
+    val expect = data().filter(!col("id").isin(7L, 13L, 26L))
+    assert(sums(IcebergMeta.read(spark, root)) === sums(expect))
+    assert(sums(IcebergMeta.read(spark, root, snapshotId = Some(1L))) ===
+      sums(data()))
+    // both kinds together, keys disjoint: ordinal 1 pos 0 -> id 1
+    val both = ForeignIceberg.write(spark, tmpDir("fi_both"), data(),
+      Some("day"),
+      posDeletes = Seq((1, 0L)),
+      eqDeletes = Some((Seq(5L).toDF("id"), Seq("id"))))
+    assert(sums(IcebergMeta.read(spark, both)) ===
+      sums(data().filter(!col("id").isin(1L, 5L))))
+  }
+
   test("broken references fail loudly, never silently empty") {
     val root = ForeignIceberg.write(spark, tmpDir("fi_loud"), data(),
       Some("day"))
