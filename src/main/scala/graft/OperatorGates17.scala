@@ -226,6 +226,18 @@ object OperatorGates17 {
       val idx = s.read.parquet(s"$tmp/index")
       require(parsed.exceptAll(idx).isEmpty && idx.exceptAll(parsed).isEmpty,
         "ZipNum round-trip diverges from the parquet index")
+      // the distributed CONSUMER reads the layout back identically,
+      // and a prefix lookup touches only matching blocks
+      val reread = CdxIndex.readZipnum(s, s"$tmp/zipnum")
+      require(reread.exceptAll(idx).isEmpty && idx.exceptAll(reread).isEmpty,
+        "readZipnum diverges from the parquet index")
+      val prefix = "example,site1"
+      val probe = CdxIndex.readZipnum(s, s"$tmp/zipnum",
+        urlkeyPrefix = Some(prefix))
+      val expectP = idx.filter(col("urlkey").startsWith(prefix))
+      require(probe.exceptAll(expectP).isEmpty &&
+        expectP.exceptAll(probe).isEmpty,
+        "prefix lookup through cluster.idx diverges from a full filter")
       // identity against the WARC writer's ground truth -> output
       val joined = parsed.join(
         fixture.select(col("url").as("f_url"), col("digest").as("f_digest"),

@@ -519,4 +519,73 @@ object CdxIndex {
         out.close()
       }
   }
+
+  /** Read a ZipNum-distributed CDX index (`cdx-*.gz` shards +
+    * `cluster.idx`) back as the [[parseCdxj]]-shaped DataFrame — the
+    * CONSUMER of the layout [[exportZipnum]] writes and Common Crawl
+    * actually distributes, so a published index feeds
+    * `job.type=cdxfetch` without any parquet conversion step.
+    *
+    * `urlkeyPrefix` replays what pywb's binary search does,
+    * distributively: cluster.idx carries each block's FIRST key, so a
+    * block can contain keys in `[key_i, key_{i+1})` — only blocks
+    * whose interval intersects the prefix range are range-read at
+    * all. IO is O(matching blocks), never O(index); without a prefix
+    * every block is read but still only ONCE, streamed per task, no
+    * whole-shard buffering.
+    */
+  def readZipnum(spark: org.apache.spark.sql.SparkSession, dir: String,
+      urlkeyPrefix: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    // cluster.idx is O(blocks) metadata text; the lead() needs the
+    // GLOBAL block order, which the format itself defines as the file
+    // order (shards sort lexically, offsets within) — one window task
+    // over block-descriptor rows, the same cardinality the file holds
+    val cluster = spark.read.text(s"$dir/cluster.idx")
+      .select(split(col("value"), "\t").as("f"))
+      .select(
+        col("f").getItem(0).as("key"),
+        col("f").getItem(1).as("filename"),
+        col("f").getItem(2).cast("long").as("offset"),
+        col("f").getItem(3).cast("long").as("length"))
+    val w = Window.orderBy(col("filename"), col("offset"))
+    val ranged = cluster.withColumn("next_key",
+      lead(col("key"), 1).over(w))
+    val wanted = urlkeyPrefix match {
+      case None => ranged
+      case Some(p) =>
+        // key strings in cluster.idx are "<urlkey> <ts>"; a block may
+        // hold the prefix iff its first key is below the prefix's
+        // upper bound AND the next block starts at-or-after the prefix
+        ranged.filter(col("key") < lit(p + "\uffff") &&
+          (col("next_key").isNull || col("next_key") >= lit(p)))
+    }
+    val lines = wanted
+      .select(col("filename"), col("offset"), col("length"))
+      .repartition(col("filename"), col("offset"))
+      .as[(String, Long, Long)]
+      .mapPartitions(_.flatMap { case (fname, off, len) =>
+        require(len <= Int.MaxValue.toLong,
+          s"$fname: block at $off exceeds Int addressing")
+        val path = new org.apache.hadoop.fs.Path(s"$dir/$fname")
+        val fs = path.getFileSystem(serConf.value)
+        val buf = new Array[Byte](len.toInt)
+        val in = fs.open(path)
+        try { in.seek(off); in.readFully(buf, 0, len.toInt) }
+        finally in.close()
+        val gz = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(buf))
+        new String(gz.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+          .split("\n").iterator.filter(_.nonEmpty)
+      })
+      .toDF("line")
+    val parsed = parseCdxj(lines)
+    urlkeyPrefix match {
+      case None => parsed
+      case Some(p) => parsed.filter(col("urlkey").startsWith(p))
+    }
+  }
 }

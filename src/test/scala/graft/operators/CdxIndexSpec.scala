@@ -384,6 +384,19 @@ class CdxIndexSpec extends graft.SparkSpec {
     import spark.implicits._
     val parsed = CdxIndex.parseCdxj(all.toSeq.toDF("line"))
     assert(parsed.exceptAll(idx).isEmpty && idx.exceptAll(parsed).isEmpty)
+    // the distributed consumer reads the layout back identically
+    val reread = CdxIndex.readZipnum(spark, out)
+    assert(reread.exceptAll(idx).isEmpty && idx.exceptAll(reread).isEmpty)
+    // prefix lookup == full filter (cluster.idx narrows the blocks)
+    val probe = CdxIndex.readZipnum(spark, out,
+      urlkeyPrefix = Some("com,ex)/z1"))
+    val expectP = idx.filter(col("urlkey").startsWith("com,ex)/z1"))
+    assert(probe.exceptAll(expectP).isEmpty &&
+      expectP.exceptAll(probe).isEmpty)
+    assert(probe.count() == 10) // z10..z19
+    // a prefix matching nothing returns empty, not an error
+    assert(CdxIndex.readZipnum(spark, out,
+      urlkeyPrefix = Some("zz,nothing")).isEmpty)
   }
 
   test("plan is partitioning-invariant") {
