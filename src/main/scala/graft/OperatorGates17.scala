@@ -115,18 +115,22 @@ object OperatorGates17 {
       import graft.sink.{ForeignIceberg, IcebergMeta}
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_foreignice").toString
+      // the fixture writer runs 2 jobs per partition value (write +
+      // count); pin the 240-row base once so none of them re-scan
+      // parquet, and give every spec a 4-value partition source
       val docs = t(s, dir, "documents").filter(col("doc_id") < 240)
         .select(col("doc_id"),
           date_add(lit("2024-01-01").cast("date"),
             pmod(col("doc_id"), lit(4)).cast("int")).as("day"))
         .withColumn("ts", col("day").cast("timestamp"))
         .withColumn("cat", concat(lit("cat"), pmod(col("doc_id"), lit(4))))
+        .coalesce(1).localCheckpoint(true)
       ForeignIceberg.write(s, s"$tmp/t_date", docs, Some("day"))
       ForeignIceberg.write(s, s"$tmp/t_ts", docs, Some("ts"),
         ForeignIceberg.Shape(specId = 3, schemaId = 2,
           historicalSchema = true, snapshotSchemaId = false,
           pathForm = "file"))
-      ForeignIceberg.write(s, s"$tmp/t_bucket", docs, Some("doc_id"),
+      ForeignIceberg.write(s, s"$tmp/t_bucket", docs, Some("cat"),
         ForeignIceberg.Shape(transform = "bucket[4]", pathForm = "file3"))
       ForeignIceberg.write(s, s"$tmp/t_trunc", docs, Some("cat"),
         ForeignIceberg.Shape(transform = "truncate[3]", specId = 1))
