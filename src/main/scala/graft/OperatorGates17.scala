@@ -255,6 +255,58 @@ object OperatorGates17 {
         "ZipNum content disagrees with the writer's ground truth")
       joined.select(col("seq"), col("url"), col("urlkey"), col("ts"),
         col("digest")).orderBy(col("seq"))
+    }),
+
+    // --- cdxfetch straight off a ZipNum distribution (the layout
+    //     Common Crawl actually publishes): index a crawl with
+    //     job.type=cdxindex emitting ONLY the ZipNum face, then run
+    //     job.type=cdxfetch with cdx.zipnumSource=true — readZipnum
+    //     feeds the ledger pipeline with no parquet conversion, the
+    //     capture timestamp is the watermark (cdx.seq=ts), and a
+    //     second epoch over the SAME index is a watermark no-op.
+    //     Single-epoch winner semantics: digest dedup then per-URL
+    //     min-(filename,offset) — recaptures drop, ck winners land
+    //     (the q_cdx_index_build oracle shape, constant ts seq) -----
+    "q_cdxfetch_zipnum" -> ((s, dir) => {
+      import graft.runner.JobConfig
+      val tmp = java.nio.file.Files
+        .createTempDirectory("q_cdxzipfetch").toString
+      val warcDir = s"$tmp/warc"
+      OperatorGates15.buildMiniCrawl(s, dir, warcDir)
+      val r0 = JobConfig.runAny(s, JobConfig.parse(
+        s"""job.type=cdxindex
+           |job.name=zipfetch_index
+           |cdx.warcDir=$warcDir
+           |cdx.digest=md5
+           |cdx.zipnumDir=$tmp/zipnum
+           |cdx.zipnumShards=2
+           |cdx.linesPerBlock=16
+           |sink.output=$tmp/index
+           |""".stripMargin))
+      require(r0("published") == "true", s"index build failed: $r0")
+      def fetchEpoch(): Map[String, String] = JobConfig.runAny(s,
+        JobConfig.parse(
+          s"""job.type=cdxfetch
+             |job.name=zipfetch_gate
+             |source.path=$tmp/zipnum
+             |cdx.zipnumSource=true
+             |cdx.seq=ts
+             |cdx.warcDir=$warcDir
+             |cdx.maxGap=512
+             |cdx.shards=8
+             |sink.output=$tmp/ledger
+             |state.dir=$tmp/wm
+             |""".stripMargin))
+      val r1 = fetchEpoch()
+      require(r1("published") == "true", s"zipnum fetch epoch failed: $r1")
+      val r2 = fetchEpoch()
+      require(r2("published") == "false",
+        s"re-ingesting the same index must be a watermark no-op: $r2")
+      new graft.sink.ShardedTable(s"$tmp/ledger", "shard",
+          s.sparkContext.hadoopConfiguration)
+        .readCurrent(s)
+        .select(col("digest"), col("url"), col("seq"), col("n_chars"))
+        .orderBy(col("digest"))
     }))
 
   def oracleSql17: Map[String, String] = Map(
@@ -329,5 +381,28 @@ object OperatorGates17 {
         |  'https://site' || site || '.example/p' AS url,
         |  'example,site' || site || ')/p' AS urlkey,
         |  '20260101000000' AS ts, digest
-        |FROM caps ORDER BY seq""".stripMargin)
+        |FROM caps ORDER BY seq""".stripMargin,
+
+    // ck winners only (digest dedup then per-URL min-offset winner
+    // drops the recaptures in one epoch); seq is the constant capture
+    // timestamp — the ZipNum watermark column
+    "q_cdxfetch_zipnum" ->
+      """WITH d AS (
+        |  SELECT doc_id AS d FROM documents WHERE doc_id < 240),
+        |c AS (
+        |  SELECT d, CASE WHEN d >= 120 AND d % 3 = 0
+        |    THEN 40 + d % 40 ELSE d % 40 END AS ck FROM d),
+        |p AS (
+        |  SELECT d, ck,
+        |    '<html><p>page c' || ck || ' body w' || (ck * 7 % 50) ||
+        |      '</p></html>' AS payload
+        |  FROM c),
+        |w AS (
+        |  SELECT *, row_number() OVER (PARTITION BY ck ORDER BY d) AS rn
+        |  FROM p)
+        |SELECT md5(payload) AS digest,
+        |  'https://site' || d || '.example/p' AS url,
+        |  CAST(20260101000000 AS BIGINT) AS seq,
+        |  CAST(length(payload) AS BIGINT) AS n_chars
+        |FROM w WHERE rn = 1 ORDER BY digest""".stripMargin)
 }

@@ -955,6 +955,12 @@ object JobConfig {
         //                      (domain, content) — disallowed URLs are
         //                      dropped BEFORE fetch planning
         //   cdx.crawler        agent name for robots (default graftbot)
+        //   cdx.zipnumSource   true = source.path is a ZipNum index
+        //                      dir (cdx-*.gz + cluster.idx — what
+        //                      Common Crawl publishes), consumed via
+        //                      readZipnum with no parquet conversion;
+        //                      set cdx.seq=ts (the capture timestamp
+        //                      is the natural watermark)
         import graft.operators.{CdxIndex, Robots}
         val warcDir = req(p, "cdx.warcDir")
         val maxGap = opt(p, "cdx.maxGap").map(_.toLong).getOrElse(4096L)
@@ -966,8 +972,18 @@ object JobConfig {
           (Robots.rulesTable(spark.read.parquet(rp), "domain", "content"),
             opt(p, "cdx.crawler").getOrElse("graftbot"))
         }
+        val zipnumSrc =
+          if (!opt(p, "cdx.zipnumSource").exists(_.toBoolean)) None
+          else Some { () =>
+            val dir = req(p, "source.path")
+            val idx = new org.apache.hadoop.fs.Path(s"$dir/cluster.idx")
+            if (!idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(idx)) None
+            else Some(CdxIndex.readZipnum(spark, dir))
+          }
         incrementalShardedPublish(spark, p, kind = "cdxfetch", cdxSeqCol,
-          partCol = "shard") { (table, hasCurrent, delta) =>
+          partCol = "shard",
+          sourceOverride = zipnumSrc) { (table, hasCurrent, delta) =>
             CdxIndex.ledgerMerge(spark, table, hasCurrent, delta,
               warcDir, cdxSeqCol, maxGap, nShards, maxRange, robots)
         }
@@ -1074,7 +1090,8 @@ object JobConfig {
     */
   private def incrementalShardedPublish(spark: SparkSession, p: Properties,
       kind: String, seqCol: String, partCol: String,
-      commitSidecar: () => Unit = () => ())(
+      commitSidecar: () => Unit = () => (),
+      sourceOverride: Option[() => Option[DataFrame]] = None)(
       applyDelta: (graft.sink.ShardedTable, Boolean, DataFrame) => (DataFrame, Seq[String])): Map[String, String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val store = new FsStateStore(req(p, "state.dir"), conf)
@@ -1097,15 +1114,18 @@ object JobConfig {
         if (!hasCurrent) None
         else table.currentMeta.get("highWatermark").filter(_.nonEmpty).map(_.toLong)
       val srcFs = srcPath.getFileSystem(conf)
-      val srcOpt =
-        if (!srcFs.exists(srcPath)) None
-        else if (!srcFs.listStatus(srcPath).exists { s =>
-          val n = s.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        }) None
-        else Some(spark.read
-          .format(opt(p, "source.format").getOrElse("parquet"))
-          .load(req(p, "source.path")))
+      val srcOpt = sourceOverride match {
+        case Some(reader) => reader()
+        case None =>
+          if (!srcFs.exists(srcPath)) None
+          else if (!srcFs.listStatus(srcPath).exists { s =>
+            val n = s.getPath.getName
+            !n.startsWith("_") && !n.startsWith(".")
+          }) None
+          else Some(spark.read
+            .format(opt(p, "source.format").getOrElse("parquet"))
+            .load(req(p, "source.path")))
+      }
       srcOpt.fold(noop(prior)) { src =>
         val delta = prior.fold(src)(w => src.filter(col(seqCol).cast("long") > w))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
