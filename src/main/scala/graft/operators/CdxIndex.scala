@@ -345,10 +345,20 @@ object CdxIndex {
     // driver-side listing is O(files) metadata, like any scan planning
     val dirPath = new org.apache.hadoop.fs.Path(warcDir)
     val dirFs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = dirFs.globStatus(
-      new org.apache.hadoop.fs.Path(dirPath, pattern))
+    // globStatus returns NULL (not empty) for a wildcard-free pattern
+    // naming a missing file — fold both into the loud require
+    val files = Option(dirFs.globStatus(
+      new org.apache.hadoop.fs.Path(dirPath, pattern)))
+      .getOrElse(Array.empty)
       .map(st => (st.getPath.getName, st.getLen)).toSeq.sorted
     require(files.nonEmpty, s"no '$pattern' files under $warcDir")
+    // a 0-byte archive is an interrupted upload, not an empty crawl —
+    // indexing it to zero rows would silently shrink the index
+    files.filter(_._2 == 0L).foreach { case (f, _) =>
+      throw new IllegalArgumentException(
+        s"$warcDir/$f is empty (0 bytes) — refusing to index a " +
+          "truncated archive silently")
+    }
     val rows = spark.createDataset(files)
       .repartition(math.min(files.size,
         spark.sparkContext.defaultParallelism))
@@ -449,7 +459,12 @@ object CdxIndex {
   def exportZipnum(spark: org.apache.spark.sql.SparkSession,
       index: DataFrame, outDir: String, shards: Int,
       linesPerBlock: Int = 3000): Unit = {
-    require(shards > 0, s"shards $shards must be positive")
+    // 5-digit shard names are load-bearing: lexical filename order IS
+    // the global key order cluster.idx and readZipnum assume — a 6th
+    // digit would sort cdx-100000 before cdx-99999 and silently
+    // mis-order the intervals
+    require(shards > 0 && shards <= 99999,
+      s"shards $shards must be in [1, 99999]")
     require(linesPerBlock > 0, s"linesPerBlock $linesPerBlock must be positive")
     import spark.implicits._
     val serConf = new org.apache.spark.util.SerializableConfiguration(
@@ -466,12 +481,20 @@ object CdxIndex {
     val blocks = ranged.mapPartitions { it =>
       if (!it.hasNext) Iterator.empty
       else {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
         val fname = f"cdx-$pid%05d.gz"
         val fs = new org.apache.hadoop.fs.Path(outDir)
           .getFileSystem(serConf.value)
-        val out = fs.create(
-          new org.apache.hadoop.fs.Path(s"$outDir/$fname"), true)
+        // attempt-safe: write under an attempt-unique temp name, then
+        // rename into place — two concurrent attempts (speculation, a
+        // zombie after a partition) never interleave bytes in the
+        // final file; the partition's content is deterministic, so
+        // whichever attempt's rename lands, cluster.idx offsets hold
+        val finalPath = new org.apache.hadoop.fs.Path(s"$outDir/$fname")
+        val tmpPath = new org.apache.hadoop.fs.Path(
+          s"$outDir/.$fname.attempt-${tc.taskAttemptId()}.tmp")
+        val out = fs.create(tmpPath, true)
         val descs = Seq.newBuilder[(String, String, String, Long, Long)]
         var offset = 0L
         val buf = new scala.collection.mutable.ArrayBuffer[(String, String, String)](
@@ -497,6 +520,9 @@ object CdxIndex {
         }
         flush()
         out.close()
+        fs.delete(finalPath, false)
+        require(fs.rename(tmpPath, finalPath) || fs.exists(finalPath),
+          s"rename $tmpPath -> $finalPath failed")
         descs.result().iterator
       }
     }.toDF("urlkey", "ts", "filename", "offset", "length")
@@ -506,10 +532,13 @@ object CdxIndex {
       .sortWithinPartitions(col("filename"), col("offset"))
       .as[(String, String, String, Long, Long)]
       .foreachPartition { (it: Iterator[(String, String, String, Long, Long)]) =>
+        val tc = org.apache.spark.TaskContext.get()
         val fs = new org.apache.hadoop.fs.Path(outDir)
           .getFileSystem(serConf.value)
-        val out = fs.create(
-          new org.apache.hadoop.fs.Path(s"$outDir/cluster.idx"), true)
+        val finalPath = new org.apache.hadoop.fs.Path(s"$outDir/cluster.idx")
+        val tmpPath = new org.apache.hadoop.fs.Path(
+          s"$outDir/.cluster.idx.attempt-${tc.taskAttemptId()}.tmp")
+        val out = fs.create(tmpPath, true)
         var seq = 0L
         it.foreach { case (uk, ts, fname, off, len) =>
           seq += 1
@@ -517,6 +546,9 @@ object CdxIndex {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
         out.close()
+        fs.delete(finalPath, false)
+        require(fs.rename(tmpPath, finalPath) || fs.exists(finalPath),
+          s"rename $tmpPath -> $finalPath failed")
       }
   }
 
@@ -562,25 +594,47 @@ object CdxIndex {
         ranged.filter(col("key") < lit(p + "\uffff") &&
           (col("next_key").isNull || col("next_key") >= lit(p)))
     }
+    // one open + monotonic seeks per (task, shard file): same-file
+    // blocks land in one task sorted by offset, so a full read costs
+    // one sequential pass per shard instead of an open/seek/close
+    // round trip per block (object stores price exactly that)
     val lines = wanted
       .select(col("filename"), col("offset"), col("length"))
-      .repartition(col("filename"), col("offset"))
+      .repartition(col("filename"))
+      .sortWithinPartitions(col("filename"), col("offset"))
       .as[(String, Long, Long)]
-      .mapPartitions(_.flatMap { case (fname, off, len) =>
-        require(len <= Int.MaxValue.toLong,
-          s"$fname: block at $off exceeds Int addressing")
-        val path = new org.apache.hadoop.fs.Path(s"$dir/$fname")
-        val fs = path.getFileSystem(serConf.value)
-        val buf = new Array[Byte](len.toInt)
-        val in = fs.open(path)
-        try { in.seek(off); in.readFully(buf, 0, len.toInt) }
-        finally in.close()
-        val gz = new java.util.zip.GZIPInputStream(
-          new java.io.ByteArrayInputStream(buf))
-        new String(gz.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-          .split("\n").iterator.filter(_.nonEmpty)
-      })
+      .mapPartitions { it =>
+        var curName: String = null
+        var curIn: org.apache.hadoop.fs.FSDataInputStream = null
+        def closeCur(): Unit = if (curIn != null) { curIn.close(); curIn = null }
+        val out = it.flatMap { case (fname, off, len) =>
+          require(len <= Int.MaxValue.toLong,
+            s"$fname: block at $off exceeds Int addressing")
+          if (fname != curName) {
+            closeCur()
+            val path = new org.apache.hadoop.fs.Path(s"$dir/$fname")
+            curIn = path.getFileSystem(serConf.value).open(path)
+            curName = fname
+          }
+          val buf = new Array[Byte](len.toInt)
+          curIn.seek(off)
+          curIn.readFully(buf, 0, len.toInt)
+          val gz = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(buf))
+          new String(gz.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+            .split("\n").iterator.filter(_.nonEmpty)
+        }
+        // flatMap is lazy: close the stream when the iterator drains
+        new scala.collection.AbstractIterator[String] {
+          def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h) closeCur()
+            h
+          }
+          def next(): String = out.next()
+        }
+      }
       .toDF("line")
     val parsed = parseCdxj(lines)
     urlkeyPrefix match {

@@ -504,26 +504,47 @@ object IcebergMeta {
     val prevManifest =
       if (version > 1) table.manifest(version - 1) else Map.empty[String, String]
     val touched = cur.filter { case (p, d) => !prevManifest.get(p).contains(d) }
-    // the TOUCHED delta defines the snapshot's schema — schema
+    // the TOUCHED delta drives the snapshot's schema — schema
     // evolution arrives WITH new data (an added column shows up in
-    // the delta's parquet); a no-delta mirror keeps the previous
-    // metadata's schema verbatim
+    // the delta's parquet, read under mergeSchema so a heterogeneous
+    // delta unions deterministically instead of riding one footer).
+    // The snapshot schema is prev-current UNION delta: a delta that
+    // LACKS a current column is a legal old-shape commit (those files
+    // null-fill on read), NOT a drop; a column present in the delta
+    // contributes its own type so retypes stay loud; genuinely new
+    // columns append. A no-delta mirror keeps the previous metadata's
+    // schema verbatim.
+    val touchedDeltaSchema =
+      if (touched.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(touched.values.toSeq: _*).schema)
+    val prevCurSchema: Option[StructType] = prevMd.map { md =>
+      val curId = md.get("current-schema-id").asInt()
+      val node = md.get("schemas").elements().asScala
+        .find(_.get("schema-id").asInt() == curId)
+        .getOrElse(throw new IllegalStateException(
+          s"current-schema-id $curId not in the schemas array"))
+      StructType(node.get("fields").elements().asScala.map(f =>
+        StructField(f.get("name").asText(),
+          sparkTypeOf(f.get("type").asText()),
+          nullable = !f.get("required").asBoolean())).toSeq)
+    }
+    val schema: StructType = (touchedDeltaSchema, prevCurSchema) match {
+      case (None, Some(prev)) => prev
+      case (None, None) => table.read(spark, version).schema
+      case (Some(d), None) => d
+      case (Some(d), Some(prev)) =>
+        StructType(prev.fields.map(pf =>
+          d.fields.find(_.name == pf.name).getOrElse(pf)) ++
+          d.fields.filterNot(f => prev.fieldNames.contains(f.name)))
+    }
+    // the stats job reads the delta PINNED to the snapshot schema so
+    // old-shape files null-fill added columns (null bounds -> no
+    // bounds written, null counts truthful) instead of failing the
+    // column resolution
     val touchedDf =
       if (touched.isEmpty) None
-      else Some(spark.read.parquet(touched.values.toSeq: _*))
-    val schema: StructType = touchedDf.map(_.schema).getOrElse(prevMd match {
-      case Some(md) =>
-        val curId = md.get("current-schema-id").asInt()
-        val node = md.get("schemas").elements().asScala
-          .find(_.get("schema-id").asInt() == curId)
-          .getOrElse(throw new IllegalStateException(
-            s"current-schema-id $curId not in the schemas array"))
-        StructType(node.get("fields").elements().asScala.map(f =>
-          StructField(f.get("name").asText(),
-            sparkTypeOf(f.get("type").asText()),
-            nullable = !f.get("required").asBoolean())).toSeq)
-      case None => table.read(spark, version).schema
-    })
+      else Some(spark.read.schema(schema).parquet(touched.values.toSeq: _*))
     val (schemasArr, schemaId, ids, lastColId) =
       resolveSchemas(prevMd, schema)
     val schemaJsonStr = M.writeValueAsString(schemasArr.elements().asScala
@@ -1550,7 +1571,10 @@ object IcebergMeta {
           .select(eqCols.map(col): _*).distinct()
         df = df.join(sizeHint(delDf, delBytes), eqCols, "left_anti")
       }
-      df
+      // a using-columns join surfaces its keys FIRST — restore the
+      // metadata schema's column order (readers see the table shape,
+      // not the delete plan's)
+      df.select(readSchema.fieldNames.map(col).toSeq: _*)
     }.reduce(_ unionByName _)
   }
 }

@@ -588,12 +588,30 @@ class IcebergMetaSpec extends graft.SparkSpec {
     assert(m3.get("current-schema-id").asInt() === 1)
     assert(m3.get("schemas").size() === 2)
 
-    // dropping or retyping a column fails loudly (add-only mirror)
+    // a delta may OMIT optional columns (an old-shape writer after
+    // evolution — the common post-evolution commit): the union schema
+    // keeps them, the new files null-fill, the schemas array does NOT
+    // grow, and the mirror never wedges on a false "dropped column"
     val v4 = t.commit(Seq((0L, 50L, 8L)).toDF("part", "k", "extra"),
       touched = Seq("0"))
+    IcebergMeta.mirror(spark, t, v4)
+    val cur4 = IcebergMeta.read(spark, root)
+    assert(cur4.columns.toSeq === Seq("part", "k", "v", "extra"))
+    val row4 = cur4.filter(col("k") === 50L).collect().head
+    assert(row4.isNullAt(2), "omitted optional column must null-fill")
+    assert(row4.getLong(3) === 8L)
+    val m4 = md()
+    assert(m4.get("current-schema-id").asInt() === 1)
+    assert(m4.get("schemas").size() === 2,
+      "an old-shape delta must not mint a new schema")
+
+    // retyping a column still fails loudly
+    val v5 = t.commit(
+      Seq((0L, "oops", "x", 9L)).toDF("part", "k", "v", "extra"),
+      touched = Seq("0"))
     val e = intercept[IllegalArgumentException] {
-      IcebergMeta.mirror(spark, t, v4)
+      IcebergMeta.mirror(spark, t, v5)
     }
-    assert(e.getMessage.contains("add-only"))
+    assert(e.getMessage.contains("retyping"))
   }
 }
