@@ -134,6 +134,14 @@ object OperatorGates17 {
         ForeignIceberg.Shape(transform = "bucket[4]", pathForm = "file3"))
       ForeignIceberg.write(s, s"$tmp/t_trunc", docs, Some("cat"),
         ForeignIceberg.Shape(transform = "truncate[3]", specId = 1))
+      // a foreign MERGE/DELETE shape: data files sort by all columns,
+      // so position (ordinal, pos) deletes address the pos-th smallest
+      // doc_id of day-group ordinal; equality deletes name doc_ids
+      import s.implicits._
+      ForeignIceberg.write(s, s"$tmp/t_del", docs, Some("day"),
+        ForeignIceberg.Shape(pathForm = "file"),
+        posDeletes = Seq((0, 0L), (0, 3L), (2, 3L)),
+        eqDeletes = Some((Seq(7L, 13L, 26L).toDF("doc_id"), Seq("doc_id"))))
       def probe(root: String, parts: Option[Seq[String]], label: Long) =
         IcebergMeta.read(s, root, partitions = parts)
           .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
@@ -143,6 +151,8 @@ object OperatorGates17 {
         .unionByName(probe(s"$tmp/t_ts", Some(Seq("2024-01-02")), 2L))
         .unionByName(probe(s"$tmp/t_bucket", Some(Seq("1")), 3L))
         .unionByName(probe(s"$tmp/t_trunc", Some(Seq("cat")), 4L))
+        .unionByName(probe(s"$tmp/t_del", None, 5L))
+        .unionByName(probe(s"$tmp/t_del", Some(Seq("2024-01-01")), 6L))
         .orderBy(col("probe"))
     }),
 
@@ -343,18 +353,38 @@ object OperatorGates17 {
         |ORDER BY probe, grp""".stripMargin,
 
     // probes 0, 2, 3, 4 see every row; probe 1 only day = 2024-01-02
-    // (doc_id % 4 = 1) — the exact date-identity prune
+    // (doc_id % 4 = 1) — the exact date-identity prune; probes 5/6
+    // replay the foreign MERGE/DELETE: position deletes remove the
+    // 1st and 4th smallest doc_id of day-group 0 and the 4th of
+    // group 2 (files sort by doc_id), equality deletes remove
+    // doc_ids 7/13/26, and pruning composes with both
     "q_iceberg_foreign_prune" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 240),
         |a AS (SELECT count(*) AS n, sum(doc_id) AS sum_id FROM d),
         |m AS (SELECT count(*) AS n, sum(doc_id) AS sum_id FROM d
         |      WHERE doc_id % 4 = 1),
+        |posdel AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, doc_id % 4 AS g,
+        |      row_number() OVER (PARTITION BY doc_id % 4
+        |        ORDER BY doc_id) AS rn
+        |    FROM d)
+        |  WHERE (g = 0 AND rn IN (1, 4)) OR (g = 2 AND rn = 4)),
+        |live AS (
+        |  SELECT doc_id FROM d
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM posdel)
+        |    AND doc_id NOT IN (7, 13, 26)),
+        |l5 AS (SELECT count(*) AS n, sum(doc_id) AS sum_id FROM live),
+        |l6 AS (SELECT count(*) AS n, sum(doc_id) AS sum_id FROM live
+        |       WHERE doc_id % 4 = 0),
         |u AS (
         |  SELECT 0 AS probe, n, sum_id FROM a
         |  UNION ALL SELECT 1, n, sum_id FROM m
         |  UNION ALL SELECT 2, n, sum_id FROM a
         |  UNION ALL SELECT 3, n, sum_id FROM a
-        |  UNION ALL SELECT 4, n, sum_id FROM a)
+        |  UNION ALL SELECT 4, n, sum_id FROM a
+        |  UNION ALL SELECT 5, n, sum_id FROM l5
+        |  UNION ALL SELECT 6, n, sum_id FROM l6)
         |SELECT CAST(probe AS BIGINT) AS probe, CAST(n AS BIGINT) AS n,
         |  CAST(sum_id AS BIGINT) AS sum_id
         |FROM u ORDER BY probe""".stripMargin,
