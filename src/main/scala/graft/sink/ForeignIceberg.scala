@@ -55,7 +55,8 @@ object ForeignIceberg {
       schemaId: Int = 0,
       pathForm: String = "plain",
       historicalSchema: Boolean = false,
-      snapshotSchemaId: Boolean = true)
+      snapshotSchemaId: Boolean = true,
+      rangeSummary: Boolean = false)
 
   private def iceType(dt: DataType): String = dt match {
     case BooleanType => "boolean"
@@ -259,13 +260,13 @@ object ForeignIceberg {
         partFieldId)
     }.filter(_ => shape.transform.nonEmpty))
     def writeManifest(mPath: Path, schema: Schema, content: Int,
-        filePath: String, rows: Long, len: Long,
-        partVal: Option[Any], eqIds: Option[Seq[Int]]): Long = {
+        entries: Seq[(String, Long, Long, Option[Any])],
+        eqIds: Option[Seq[Int]]): Long = {
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
       w.setMeta("format-version", "2")
       w.setMeta("content", if (content == 0) "data" else "deletes")
       w.create(schema, fs.create(mPath, true))
-      try {
+      try entries.foreach { case (filePath, rows, len, partVal) =>
         val r = new GenericData.Record(schema)
         r.put("status", 1) // ADDED
         r.put("snapshot_id", if (content == 0) 1L else 2L)
@@ -296,12 +297,25 @@ object ForeignIceberg {
       fs.getFileStatus(mPath).getLen
     }
 
-    val manifests = files.zipWithIndex.map { case ((pv, path, len, rows), i) =>
-      val mPath = new Path(metaDir, f"foreign-m$i%03d.avro")
-      val mLen = writeManifest(mPath, eSchema, content = 0, path, rows, len,
-        pv.map(_._2), eqIds = None)
-      (mPath, mLen, pv.map(_._1), rows)
-    }
+    // (path, len, summary lower, summary upper, rows) per manifest:
+    // one single-file manifest per partition normally; under
+    // rangeSummary ONE multi-entry manifest whose summary spans
+    // [min, max] — lower != upper, the shape engines write when a
+    // manifest covers several partitions (never prunable here)
+    val manifests: Seq[(Path, Long, Option[Array[Byte]], Option[Array[Byte]], Long)] =
+      if (shape.rangeSummary) {
+        val mPath = new Path(metaDir, "foreign-m-range.avro")
+        val mLen = writeManifest(mPath, eSchema, content = 0,
+          files.map { case (pv, path, len, rows) =>
+            (path, rows, len, pv.map(_._2)) }, eqIds = None)
+        Seq((mPath, mLen, files.head._1.map(_._1), files.last._1.map(_._1),
+          files.map(_._4).sum))
+      } else files.zipWithIndex.map { case ((pv, path, len, rows), i) =>
+        val mPath = new Path(metaDir, f"foreign-m$i%03d.avro")
+        val mLen = writeManifest(mPath, eSchema, content = 0,
+          Seq((path, rows, len, pv.map(_._2))), eqIds = None)
+        (mPath, mLen, pv.map(_._1), pv.map(_._1), rows)
+      }
 
     // ---- delete files (sequence 2, the foreign MERGE/DELETE shape):
     //      positions address (file ordinal, row pos); equality rows
@@ -326,8 +340,8 @@ object ForeignIceberg {
         rows.toDF("file_path", "pos").sort(col("file_path"), col("pos")),
         s"$root/data/del_pos")
       val mPath = new Path(metaDir, "foreign-del-pos.avro")
-      val mLen = writeManifest(mPath, delSchema, content = 1, p, n, len,
-        None, eqIds = None)
+      val mLen = writeManifest(mPath, delSchema, content = 1,
+        Seq((p, n, len, None)), eqIds = None)
       Some((mPath, mLen))
     }
     val eqManifest = eqDeletes.map { case (rowsDf, keyCols) =>
@@ -335,8 +349,8 @@ object ForeignIceberg {
       val (p, len, n) = oneDeleteFile(
         rowsDf.select(keyCols.map(col): _*), s"$root/data/del_eq")
       val mPath = new Path(metaDir, "foreign-del-eq.avro")
-      val mLen = writeManifest(mPath, delSchema, content = 2, p, n, len,
-        None, eqIds = Some(ids))
+      val mLen = writeManifest(mPath, delSchema, content = 2,
+        Seq((p, n, len, None)), eqIds = Some(ids))
       (mPath, mLen, n)
     }
 
@@ -350,7 +364,8 @@ object ForeignIceberg {
       lw.setMeta("format-version", "2")
       lw.create(listSchema, fs.create(listPath, true))
       def entry(mPath: Path, mLen: Long, content: Int, seqNum: Long,
-          snapId: Long, rows: Long, bound: Option[Array[Byte]]): Unit = {
+          snapId: Long, rows: Long, boundLo: Option[Array[Byte]],
+          boundHi: Option[Array[Byte]]): Unit = {
         val r = new GenericData.Record(listSchema)
         r.put("manifest_path", mPath.toString)
         r.put("manifest_length", mLen)
@@ -367,32 +382,32 @@ object ForeignIceberg {
         r.put("deleted_rows_count", 0L)
         val sumSchema = listSchema.getField("partitions").schema()
           .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
-        val summaries = bound match {
-          case Some(b) =>
+        val summaries = (boundLo, boundHi) match {
+          case (Some(lo), Some(hi)) =>
             val s = new GenericData.Record(sumSchema.getElementType)
             s.put("contains_null", false)
-            s.put("lower_bound", java.nio.ByteBuffer.wrap(b))
-            s.put("upper_bound", java.nio.ByteBuffer.wrap(b))
+            s.put("lower_bound", java.nio.ByteBuffer.wrap(lo))
+            s.put("upper_bound", java.nio.ByteBuffer.wrap(hi))
             java.util.List.of[GenericRecord](s)
-          case None => java.util.List.of[GenericRecord]()
+          case _ => java.util.List.of[GenericRecord]()
         }
         r.put("partitions",
           new GenericData.Array[GenericRecord](sumSchema, summaries))
         lw.append(r)
       }
       try {
-        manifests.foreach { case (mPath, mLen, bound, rows) =>
+        manifests.foreach { case (mPath, mLen, lo, hi, rows) =>
           entry(mPath, mLen, content = 0, seqNum = 1L, snapId = 1L,
-            rows, bound)
+            rows, lo, hi)
         }
         if (withDeletes) {
           posManifest.foreach { case (mPath, mLen) =>
             entry(mPath, mLen, content = 1, seqNum = 2L, snapId = 2L,
-              posDeletes.length.toLong, None)
+              posDeletes.length.toLong, None, None)
           }
           eqManifest.foreach { case (mPath, mLen, n) =>
             entry(mPath, mLen, content = 1, seqNum = 2L, snapId = 2L,
-              n, None)
+              n, None, None)
           }
         }
       } finally lw.close()

@@ -137,6 +137,20 @@ class IcebergForeignSpec extends graft.SparkSpec {
       sums(data().filter(!col("id").isin(1L, 5L))))
   }
 
+  test("multi-entry manifests with RANGE summaries read whole; never pruned") {
+    // one manifest covering ALL partitions: summary lower != upper —
+    // the shape engines write when a manifest spans partitions. The
+    // reader must walk every entry of the multi-file manifest and a
+    // partition filter must keep the manifest (range summaries are
+    // not prunable), returning ALL rows
+    val root = ForeignIceberg.write(spark, tmpDir("fi_range"), data(),
+      Some("day"), ForeignIceberg.Shape(rangeSummary = true))
+    assert(sums(IcebergMeta.read(spark, root)) === sums(data()))
+    assert(sums(IcebergMeta.read(spark, root,
+      partitions = Some(Seq("2024-01-02")))) === sums(data()),
+      "a range-summary manifest must never be pruned")
+  }
+
   test("broken references fail loudly, never silently empty") {
     val root = ForeignIceberg.write(spark, tmpDir("fi_loud"), data(),
       Some("day"))
