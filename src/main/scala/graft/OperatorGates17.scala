@@ -94,7 +94,33 @@ object OperatorGates17 {
         .select(lit(4L).as("probe"),
           substring(col("lang"), 2, 1).cast("long").as("grp"),
           col("n"), col("sum_id"), col("n").as("n_lang"))
+      // DROP evolution (opt-in): shard 2 rewritten WITHOUT lang — the
+      // new current schema omits it (schema 2, same last-column-id:
+      // dropped ids are never reused), while snapshot 2 keeps lang
+      // through its own schema-id. Probe 5 = the lang-less current
+      // read, probe 6 = time travel to snapshot 2 STILL carrying it
+      val v3 = table.commit(docs.filter(col("shard") === 2),
+        touched = Seq("2"))
+      IcebergMeta.mirror(s, table, v3, allowDrops = true)
+      val md2 = readMetadataJson(s, s"$tmp/t")
+      require(md2.get("current-schema-id").asInt() == 2 &&
+        md2.get("schemas").size() == 3 &&
+        md2.get("last-column-id").asInt() == 3,
+        "drop evolution did not append a lang-less schema")
+      val cur2 = IcebergMeta.read(s, s"$tmp/t")
+      require(cur2.columns.toSeq == Seq("doc_id", "shard"),
+        s"current read after drop still carries: " +
+          cur2.columns.mkString(","))
+      val snap2 = IcebergMeta.read(s, s"$tmp/t", snapshotId = Some(2L))
+      require(snap2.columns.toSeq == Seq("doc_id", "shard", "lang"),
+        "time travel lost the dropped column")
+      val p5 = cur2.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_id"))
+        .select(lit(5L).as("probe"), col("shard").as("grp"),
+          col("n"), col("sum_id"), lit(0L).as("n_lang"))
+      val p6 = shardAgg(snap2, 6L)
       p1.unionByName(p2).unionByName(p3).unionByName(p4)
+        .unionByName(p5).unionByName(p6)
         .orderBy(col("probe"), col("grp"))
     }),
 
@@ -252,6 +278,26 @@ object OperatorGates17 {
       require(probe.exceptAll(expectP).isEmpty &&
         expectP.exceptAll(probe).isEmpty,
         "prefix lookup through cluster.idx diverges from a full filter")
+      // the per-shard .idx layout variant (extreme-scale: secondary-
+      // index writing parallelizes with the shards, no cluster.idx)
+      // must read back IDENTICALLY through the same consumer
+      CdxIndex.exportZipnum(s, idx, s"$tmp/zipnum2", shards = 3,
+        linesPerBlock = 7, perShardIdx = true)
+      val z2 = java.nio.file.Paths.get(s"$tmp/zipnum2")
+      require(!java.nio.file.Files.exists(z2.resolve("cluster.idx")) &&
+        java.nio.file.Files.exists(z2.resolve("shards.idx")) &&
+        java.nio.file.Files.list(z2).iterator().asScala
+          .count(_.getFileName.toString.matches("cdx-\\d{5}\\.idx")) == 3,
+        "per-shard layout did not write cdx-*.idx + shards.idx")
+      val reread2 = CdxIndex.readZipnum(s, s"$tmp/zipnum2")
+      require(reread2.exceptAll(idx).isEmpty &&
+        idx.exceptAll(reread2).isEmpty,
+        "per-shard .idx layout diverges from the parquet index")
+      val probe2 = CdxIndex.readZipnum(s, s"$tmp/zipnum2",
+        urlkeyPrefix = Some(prefix))
+      require(probe2.exceptAll(expectP).isEmpty &&
+        expectP.exceptAll(probe2).isEmpty,
+        "prefix lookup through per-shard .idx diverges from a full filter")
       // identity against the WARC writer's ground truth -> output
       val joined = parsed.join(
         fixture.select(col("url").as("f_url"), col("digest").as("f_digest"),
@@ -345,11 +391,21 @@ object OperatorGates17 {
         |p4 AS (
         |  SELECT CAST(4 AS BIGINT), doc_id % 3,
         |    count(*), sum(doc_id), count(*)
-        |  FROM l GROUP BY doc_id % 3)
+        |  FROM l GROUP BY doc_id % 3),
+        |p5 AS (
+        |  SELECT CAST(5 AS BIGINT), shard,
+        |    count(*), sum(doc_id), CAST(0 AS BIGINT)
+        |  FROM d GROUP BY shard),
+        |p6 AS (
+        |  SELECT CAST(6 AS BIGINT), shard,
+        |    count(*), sum(doc_id),
+        |    CASE WHEN shard = 2 THEN count(*) ELSE 0 END
+        |  FROM d GROUP BY shard)
         |SELECT probe, CAST(grp AS BIGINT) AS grp, CAST(n AS BIGINT) AS n,
         |  CAST(sum_id AS BIGINT) AS sum_id, CAST(n_lang AS BIGINT) AS n_lang
         |FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2
-        |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4) u
+        |  UNION ALL SELECT * FROM p3 UNION ALL SELECT * FROM p4
+        |  UNION ALL SELECT * FROM p5 UNION ALL SELECT * FROM p6) u
         |ORDER BY probe, grp""".stripMargin,
 
     // probes 0, 2, 3, 4 see every row; probe 1 only day = 2024-01-02

@@ -55,7 +55,8 @@ object SparkEntry {
       OperatorGates10.queries10 ++ OperatorGates11.queries11 ++
       OperatorGates12.queries12 ++ OperatorGates13.queries13 ++
       OperatorGates14.queries14 ++ OperatorGates15.queries15 ++
-      OperatorGates16.queries16 ++ OperatorGates17.queries17 ++ Map(
+      OperatorGates16.queries16 ++ OperatorGates17.queries17 ++
+      OperatorGates18.queries18 ++ Map(
 
     // --- aggregation (pricing summary, TPC-H Q1 shape) ----------------
     "q_pricing_summary" -> ((s, dir) => {
@@ -742,7 +743,8 @@ object SparkEntry {
       OperatorGates10.oracleSql10 ++ OperatorGates11.oracleSql11 ++
       OperatorGates12.oracleSql12 ++ OperatorGates13.oracleSql13 ++
       OperatorGates14.oracleSql14 ++ OperatorGates15.oracleSql15 ++
-      OperatorGates16.oracleSql16 ++ OperatorGates17.oracleSql17 ++ Map(
+      OperatorGates16.oracleSql16 ++ OperatorGates17.oracleSql17 ++
+      OperatorGates18.oracleSql18 ++ Map(
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

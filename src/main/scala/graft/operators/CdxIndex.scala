@@ -372,6 +372,11 @@ object CdxIndex {
         try {
           var pos = 0L
           var window = windowBytes
+          // mirrors the old whole-file gunzipMembers "inflated to
+          // nothing" guard: an archive whose every member inflates
+          // empty is corruption, not an empty crawl — the 0-byte-file
+          // check above can't see it, so track it across windows
+          var anyInflated = false
           while (pos < fileLen) {
             val len = math.min(window, fileLen - pos).toInt
             val buf = new Array[Byte](len)
@@ -389,6 +394,7 @@ object CdxIndex {
               window = math.min(window * 2, maxMemberBytes)
             } else {
               members.foreach { case (mStart, mEnd, raw) =>
+                if (raw.nonEmpty) anyInflated = true
                 (if (raw.isEmpty) Seq.empty
                  else WarcCodec.parseIndexed(id, raw, base = 0L))
                   .filter(_._2.warcType == "response")
@@ -408,6 +414,9 @@ object CdxIndex {
               window = windowBytes // reset after any growth
             }
           }
+          require(anyInflated,
+            s"$fname: every gzip member inflated to nothing — " +
+              "corrupt archive, refusing to index it to zero rows")
         } finally in.close()
         out.result().iterator
       })
@@ -455,10 +464,18 @@ object CdxIndex {
     * flow through a shuffle to the single task that writes
     * cluster.idx (one sorted text file is the format's own design;
     * CC's production cluster.idx is exactly that).
+    *
+    * `perShardIdx` is the EXTREME-scale layout variant: each shard
+    * task also writes its own `cdx-NNNNN.idx` (same line format,
+    * seq = the 1-based ordinal within the shard) so secondary-index
+    * writing parallelizes with the shards, and instead of the
+    * single-task cluster.idx only a tiny `shards.idx` top index (one
+    * line per shard — O(shards) driver metadata) is written.
+    * [[readZipnum]] consumes both layouts identically.
     */
   def exportZipnum(spark: org.apache.spark.sql.SparkSession,
       index: DataFrame, outDir: String, shards: Int,
-      linesPerBlock: Int = 3000): Unit = {
+      linesPerBlock: Int = 3000, perShardIdx: Boolean = false): Unit = {
     // 5-digit shard names are load-bearing: lexical filename order IS
     // the global key order cluster.idx and readZipnum assume — a 6th
     // digit would sort cdx-100000 before cdx-99999 and silently
@@ -472,6 +489,16 @@ object CdxIndex {
     val outFs = new org.apache.hadoop.fs.Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     outFs.mkdirs(new org.apache.hadoop.fs.Path(outDir))
+    // Cross-JOB overwrite happens here, on the driver, before any
+    // task launches: tasks themselves never delete a committed final
+    // (a zombie attempt that deleted the winner's shard and then died
+    // would leave cluster.idx naming a missing file). Stale .tmp
+    // debris from crashed prior runs goes too.
+    Option(outFs.globStatus(new org.apache.hadoop.fs.Path(outDir,
+        "{cdx-*.gz,cdx-*.idx,cluster.idx,shards.idx," +
+          ".cdx-*.tmp,.cluster.idx.*.tmp}")))
+      .getOrElse(Array.empty)
+      .foreach(st => outFs.delete(st.getPath, false))
     // total order: the line embeds filename/offset, so (urlkey, ts,
     // line) is unique — range boundaries can't split ties ambiguously
     val ranged = keyedCdxj(index)
@@ -488,9 +515,11 @@ object CdxIndex {
           .getFileSystem(serConf.value)
         // attempt-safe: write under an attempt-unique temp name, then
         // rename into place — two concurrent attempts (speculation, a
-        // zombie after a partition) never interleave bytes in the
+        // zombie after a repartition) never interleave bytes in the
         // final file; the partition's content is deterministic, so
-        // whichever attempt's rename lands, cluster.idx offsets hold
+        // whichever attempt's rename lands, cluster.idx offsets hold.
+        // Rename-FIRST, never delete the final: "destination exists"
+        // means a sibling attempt committed the identical bytes.
         val finalPath = new org.apache.hadoop.fs.Path(s"$outDir/$fname")
         val tmpPath = new org.apache.hadoop.fs.Path(
           s"$outDir/.$fname.attempt-${tc.taskAttemptId()}.tmp")
@@ -520,12 +549,58 @@ object CdxIndex {
         }
         flush()
         out.close()
-        fs.delete(finalPath, false)
-        require(fs.rename(tmpPath, finalPath) || fs.exists(finalPath),
-          s"rename $tmpPath -> $finalPath failed")
-        descs.result().iterator
+        if (!fs.rename(tmpPath, finalPath)) {
+          require(fs.exists(finalPath),
+            s"rename $tmpPath -> $finalPath failed")
+          fs.delete(tmpPath, false) // lost the race: drop our debris
+        }
+        val ds = descs.result()
+        if (perShardIdx) {
+          // this shard's OWN secondary index, written by the same
+          // task (same attempt-safe protocol) — the variant that
+          // parallelizes index writing at extreme block counts
+          val idxName = fname.stripSuffix(".gz") + ".idx"
+          val idxFinal = new org.apache.hadoop.fs.Path(s"$outDir/$idxName")
+          val idxTmp = new org.apache.hadoop.fs.Path(
+            s"$outDir/.$idxName.attempt-${tc.taskAttemptId()}.tmp")
+          val iout = fs.create(idxTmp, true)
+          var iseq = 0L
+          ds.foreach { case (uk, ts2, fn, off, len) =>
+            iseq += 1
+            iout.write(s"$uk $ts2\t$fn\t$off\t$len\t$iseq\n"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          iout.close()
+          if (!fs.rename(idxTmp, idxFinal)) {
+            require(fs.exists(idxFinal),
+              s"rename $idxTmp -> $idxFinal failed")
+            fs.delete(idxTmp, false)
+          }
+        }
+        ds.iterator
       }
     }.toDF("urlkey", "ts", "filename", "offset", "length")
+    if (perShardIdx) {
+      // top index: one line per shard — O(shards) metadata collected
+      // to the driver (the whole point of the variant: nothing
+      // O(blocks) funnels through one task or the driver)
+      val tops = blocks.groupBy(col("filename"))
+        .agg(min_by(struct(col("urlkey"), col("ts")),
+            col("offset")).as("first"),
+          count(lit(1)).as("nblocks"), sum(col("length")).as("bytes"))
+        .select(col("filename"), col("first.urlkey"), col("first.ts"),
+          col("nblocks"), col("bytes"))
+        .collect().sortBy(_.getString(0))
+      val topOut = outFs.create(
+        new org.apache.hadoop.fs.Path(s"$outDir/shards.idx"), true)
+      tops.foreach { r =>
+        topOut.write((s"${r.getString(1)} ${r.getString(2)}\t" +
+          s"${r.getString(0)}\t${r.getLong(3)}\t${r.getLong(4)}\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      topOut.close()
+      return
+    }
     // cluster.idx: every block, globally sorted, one task (the format
     // is one text file); `seq` is the 1-based global block ordinal
     blocks.repartition(1)
@@ -546,14 +621,18 @@ object CdxIndex {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
         out.close()
-        fs.delete(finalPath, false)
-        require(fs.rename(tmpPath, finalPath) || fs.exists(finalPath),
-          s"rename $tmpPath -> $finalPath failed")
+        if (!fs.rename(tmpPath, finalPath)) {
+          require(fs.exists(finalPath),
+            s"rename $tmpPath -> $finalPath failed")
+          fs.delete(tmpPath, false)
+        }
+        ()
       }
   }
 
   /** Read a ZipNum-distributed CDX index (`cdx-*.gz` shards +
-    * `cluster.idx`) back as the [[parseCdxj]]-shaped DataFrame — the
+    * `cluster.idx`, or the per-shard `cdx-*.idx` variant when no
+    * cluster.idx exists) back as the [[parseCdxj]]-shaped DataFrame — the
     * CONSUMER of the layout [[exportZipnum]] writes and Common Crawl
     * actually distributes, so a published index feeds
     * `job.type=cdxfetch` without any parquet conversion step.
@@ -575,7 +654,16 @@ object CdxIndex {
     // GLOBAL block order, which the format itself defines as the file
     // order (shards sort lexically, offsets within) — one window task
     // over block-descriptor rows, the same cardinality the file holds
-    val cluster = spark.read.text(s"$dir/cluster.idx")
+    // both layouts: the pywb default (one cluster.idx) and the
+    // per-shard variant (cdx-*.idx, same line format) — the window
+    // below re-establishes the global block order either way
+    val clusterPath = new org.apache.hadoop.fs.Path(s"$dir/cluster.idx")
+    val idxSource =
+      if (clusterPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(clusterPath))
+        s"$dir/cluster.idx"
+      else s"$dir/cdx-*.idx"
+    val cluster = spark.read.text(idxSource)
       .select(split(col("value"), "\t").as("f"))
       .select(
         col("f").getItem(0).as("key"),

@@ -75,6 +75,21 @@ object JobConfig {
     Option(p.getProperty(key)).map(_.trim)
       .getOrElse(throw new IllegalArgumentException(s"missing config: $key"))
 
+  /** Load the job's declared batch source. `source.format=zipnum`
+    * reads a ZipNum CDX distribution (cdx-*.gz shards + cluster.idx,
+    * or the per-shard .idx variant) through `CdxIndex.readZipnum` —
+    * any declarative job can consume a Common Crawl index drop
+    * directly, optionally narrowed by `source.urlkeyPrefix`; every
+    * other format goes through the standard DataFrameReader.
+    */
+  private def loadSource(spark: SparkSession, p: Properties): DataFrame =
+    opt(p, "source.format").getOrElse("parquet") match {
+      case "zipnum" =>
+        graft.operators.CdxIndex.readZipnum(spark, req(p, "source.path"),
+          opt(p, "source.urlkeyPrefix"))
+      case f => spark.read.format(f).load(req(p, "source.path"))
+    }
+
   private def opt(p: Properties, key: String): Option[String] =
     Option(p.getProperty(key)).map(_.trim).filter(_.nonEmpty)
 
@@ -642,9 +657,7 @@ object JobConfig {
           val merged =
             if (!hasCurrent) one(delta)
             else {
-              val src = spark.read
-                .format(opt(p, "source.format").getOrElse("parquet"))
-                .load(req(p, "source.path"))
+              val src = loadSource(spark, p)
               val touchedKeys = delta.select(col(fKey)).distinct()
               // touched keys recompute over their FULL history; the
               // other keys IN the touched shards carry over; shards
@@ -798,9 +811,7 @@ object JobConfig {
         // atomic snapshot publish. The loader-facing delivery job.
         import graft.sink.{Publisher, SinkSpec}
         import org.apache.spark.util.SerializableConfiguration
-        val docs = spark.read
-          .format(opt(p, "source.format").getOrElse("parquet"))
-          .load(req(p, "source.path"))
+        val docs = loadSource(spark, p)
         val prepped = buildOps(p).foldLeft(docs)((d, op) => op(d))
         val shards = graft.operators.TarCodec.exportWebDataset(prepped,
           req(p, "export.id"), req(p, "export.text"),
@@ -845,6 +856,9 @@ object JobConfig {
         // pipeline spec as one properties file
         import graft.streaming.StreamingIngest
         val srcPath = req(p, "source.path")
+        require(!opt(p, "source.format").contains("zipnum"),
+          "source.format=zipnum is a batch face (gzip blocks are not " +
+            "file-streamable); use job.type=cdxfetch or a batch job")
         val schema = spark.read
           .format(opt(p, "source.format").getOrElse("parquet")).load(srcPath).schema
         val statePartitions = opt(p, "stream.statePartitions").map(_.toInt)
@@ -918,6 +932,9 @@ object JobConfig {
         //                      cdx-NNNNN.gz text shards + cluster.idx
         //   cdx.zipnumShards   text shard count (default 4)
         //   cdx.linesPerBlock  CDXJ lines per gzip block (default 3000)
+        //   cdx.zipnumPerShardIdx  true = the extreme-scale layout:
+        //                      per-shard cdx-NNNNN.idx + tiny
+        //                      shards.idx instead of one cluster.idx
         val idx = graft.operators.CdxIndex.indexWarcs(spark,
           req(p, "cdx.warcDir"),
           opt(p, "cdx.digest").getOrElse("sha1b32"),
@@ -930,7 +947,8 @@ object JobConfig {
           graft.operators.CdxIndex.exportZipnum(spark,
             spark.read.parquet(out), zd,
             opt(p, "cdx.zipnumShards").map(_.toInt).getOrElse(4),
-            opt(p, "cdx.linesPerBlock").map(_.toInt).getOrElse(3000))
+            opt(p, "cdx.linesPerBlock").map(_.toInt).getOrElse(3000),
+            opt(p, "cdx.zipnumPerShardIdx").exists(_.toBoolean))
           zd
         }
         Map("published" -> "true", "rowsWritten" -> n.toString) ++
@@ -959,13 +977,20 @@ object JobConfig {
         //                      dir (cdx-*.gz + cluster.idx — what
         //                      Common Crawl publishes), consumed via
         //                      readZipnum with no parquet conversion;
-        //                      set cdx.seq=ts (the capture timestamp
-        //                      is the natural watermark)
+        //                      cdx.seq then DEFAULTS to ts (capture
+        //                      timestamp — the ZipNum shape has no
+        //                      'seq' column)
         import graft.operators.{CdxIndex, Robots}
         val warcDir = req(p, "cdx.warcDir")
         val maxGap = opt(p, "cdx.maxGap").map(_.toLong).getOrElse(4096L)
         val nShards = opt(p, "cdx.shards").map(_.toInt).getOrElse(32)
-        val cdxSeqCol = opt(p, "cdx.seq").getOrElse("seq")
+        // a ZipNum source has parseCdxj's shape — no 'seq' column; its
+        // natural watermark is the capture timestamp, so default THERE
+        // to 'ts' instead of failing later with an opaque unresolved-
+        // column AnalysisException deep in incrementalShardedPublish
+        val zipnumIn = opt(p, "cdx.zipnumSource").exists(_.toBoolean)
+        val cdxSeqCol = opt(p, "cdx.seq")
+          .getOrElse(if (zipnumIn) "ts" else "seq")
         val maxRange = opt(p, "cdx.maxRangeBytes").map(_.toLong)
           .getOrElse(256L << 20)
         val robots = opt(p, "cdx.robotsPath").map { rp =>
@@ -973,12 +998,16 @@ object JobConfig {
             opt(p, "cdx.crawler").getOrElse("graftbot"))
         }
         val zipnumSrc =
-          if (!opt(p, "cdx.zipnumSource").exists(_.toBoolean)) None
+          if (!zipnumIn) None
           else Some { () =>
             val dir = req(p, "source.path")
             val idx = new org.apache.hadoop.fs.Path(s"$dir/cluster.idx")
-            if (!idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(idx)) None
+            val fsz = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val hasIdx = fsz.exists(idx) ||
+              Option(fsz.globStatus(
+                new org.apache.hadoop.fs.Path(s"$dir/cdx-*.idx")))
+                .exists(_.nonEmpty)
+            if (!hasIdx) None
             else Some(CdxIndex.readZipnum(spark, dir))
           }
         incrementalShardedPublish(spark, p, kind = "cdxfetch", cdxSeqCol,
@@ -1122,9 +1151,7 @@ object JobConfig {
             val n = s.getPath.getName
             !n.startsWith("_") && !n.startsWith(".")
           }) None
-          else Some(spark.read
-            .format(opt(p, "source.format").getOrElse("parquet"))
-            .load(req(p, "source.path")))
+          else Some(loadSource(spark, p))
       }
       srcOpt.fold(noop(prior)) { src =>
         val delta = prior.fold(src)(w => src.filter(col(seqCol).cast("long") > w))
@@ -1160,8 +1187,7 @@ object JobConfig {
       spark.sparkContext.hadoopConfiguration)
     val wmExpr = opt(p, "source.watermark.expr")
     val read = (s: SparkSession) => {
-      val df = s.read.format(opt(p, "source.format").getOrElse("parquet"))
-        .load(req(p, "source.path"))
+      val df = loadSource(s, p)
       wmExpr.fold(df)(e => df.withColumn("wm", expr(e)))
     }
     JobRunner.run(spark, store, job, read,

@@ -493,4 +493,248 @@ object ForeignIceberg {
     hint.close()
     root
   }
+
+  /** One snapshot of a column-EVOLUTION history: `df`'s column names
+    * and types are the schema AT THIS SNAPSHOT, `fieldIds` maps each
+    * column to its stable Iceberg field id (a RENAME keeps the id and
+    * changes the name between snapshots; a legal PROMOTION keeps both
+    * and widens the type int→long / float→double), and
+    * `parquetFieldIds` controls whether the data file's footer
+    * records those ids (engines driving the Iceberg library do;
+    * name-mapping tables don't).
+    */
+  final case class HistSnap(df: DataFrame, fieldIds: Map[String, Int],
+      parquetFieldIds: Boolean = true)
+
+  /** Write an UNPARTITIONED foreign v2 table whose snapshots evolved
+    * the schema — rename and/or type promotion — one data file +
+    * manifest per snapshot, each manifest list accumulating all prior
+    * manifests at their original sequence numbers, one `schemas`
+    * entry per snapshot with per-snapshot `schema-id`s. This is the
+    * fixture [[IcebergMeta.read]]'s per-file rename resolution is
+    * gated against: pre-rename files carry the OLD column name (and
+    * optionally parquet field ids), and a correct reader returns
+    * their VALUES under the current name — never silent nulls.
+    */
+  def writeHistory(spark: SparkSession, root: String,
+      snaps: Seq[HistSnap],
+      eqDelete: Option[HistSnap] = None,
+      snapshotSchemaIds: Boolean = true): String = {
+    require(snaps.nonEmpty, "writeHistory needs at least one snapshot")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(root).getFileSystem(conf)
+    val metaDir = new Path(s"$root/metadata")
+    fs.mkdirs(metaDir)
+    val eSchema = entrySchema(None)
+
+    // ---- one data file + manifest per snapshot, under ITS schema
+    val writeIdsKey = "spark.sql.parquet.fieldId.write.enabled"
+    val files: Seq[(String, Long, Long)] = snaps.zipWithIndex.map {
+      case (sn, i) =>
+        sn.fieldIds.keys.foreach(c => require(
+          sn.df.columns.contains(c), s"fieldIds names unknown column $c"))
+        require(sn.df.columns.forall(sn.fieldIds.contains),
+          "every column needs a field id")
+        val tagged =
+          if (!sn.parquetFieldIds) sn.df
+          else sn.df.select(sn.df.schema.fields.map { f =>
+            col(f.name).as(f.name, new MetadataBuilder()
+              .putLong("parquet.field.id", sn.fieldIds(f.name).toLong)
+              .build())
+          }.toSeq: _*)
+        val prev = spark.conf.getOption(writeIdsKey)
+        spark.conf.set(writeIdsKey, sn.parquetFieldIds.toString)
+        try {
+          val dir = s"$root/data/s$i"
+          tagged.coalesce(1)
+            .sortWithinPartitions(tagged.columns.map(col).toSeq: _*)
+            .write.mode("overwrite").parquet(dir)
+          val part = fs.listStatus(new Path(dir))
+            .filter(st => st.getPath.getName.startsWith("part-") &&
+              st.getPath.getName.endsWith(".parquet"))
+          require(part.length == 1, s"expected one part file under $dir")
+          (part.head.getPath.toUri.getPath, part.head.getLen, sn.df.count())
+        } finally prev match {
+          case Some(v) => spark.conf.set(writeIdsKey, v)
+          case None => spark.conf.unset(writeIdsKey)
+        }
+    }
+    val manifests: Seq[(Path, Long, Long)] = files.zipWithIndex.map {
+      case ((path, len, rows), i) =>
+        val mPath = new Path(metaDir, f"hist-m$i%03d.avro")
+        val w = new DataFileWriter(
+          new GenericDatumWriter[GenericRecord](eSchema))
+        w.setMeta("format-version", "2")
+        w.setMeta("content", "data")
+        w.create(eSchema, fs.create(mPath, true))
+        try {
+          val r = new GenericData.Record(eSchema)
+          r.put("status", 1)
+          r.put("snapshot_id", (i + 1).toLong)
+          val d = new GenericData.Record(
+            eSchema.getField("data_file").schema())
+          d.put("content", 0)
+          d.put("file_path", path)
+          d.put("file_format", "PARQUET")
+          d.put("partition", new GenericData.Record(
+            d.getSchema.getField("partition").schema()))
+          d.put("record_count", rows)
+          d.put("file_size_in_bytes", len)
+          r.put("data_file", d)
+          w.append(r)
+        } finally w.close()
+        (mPath, fs.getFileStatus(mPath).getLen, rows)
+    }
+
+    // ---- optional EQUALITY-delete file + manifest: key rows under
+    //      the names/ids of the schema the deleting engine saw (e.g.
+    //      PRE-rename names — the reader must resolve them too),
+    //      riding sequence snaps.length so it applies to all strictly
+    //      older data, attached to the LAST snapshot's manifest list
+    val eqDelManifest: Option[(Path, Long, Long)] = eqDelete.map { del =>
+      val ids = del.df.columns.map(del.fieldIds).toSeq
+      val tagged =
+        if (!del.parquetFieldIds) del.df
+        else del.df.select(del.df.schema.fields.map { f =>
+          col(f.name).as(f.name, new MetadataBuilder()
+            .putLong("parquet.field.id", del.fieldIds(f.name).toLong)
+            .build())
+        }.toSeq: _*)
+      val prev = spark.conf.getOption(writeIdsKey)
+      spark.conf.set(writeIdsKey, del.parquetFieldIds.toString)
+      val (path, len, rows) = try {
+        val dir = s"$root/data/del_hist"
+        tagged.coalesce(1).write.mode("overwrite").parquet(dir)
+        val part = fs.listStatus(new Path(dir))
+          .filter(st => st.getPath.getName.startsWith("part-") &&
+            st.getPath.getName.endsWith(".parquet"))
+        require(part.length == 1, s"expected one part file under $dir")
+        (part.head.getPath.toUri.getPath, part.head.getLen, del.df.count())
+      } finally prev match {
+        case Some(v) => spark.conf.set(writeIdsKey, v)
+        case None => spark.conf.unset(writeIdsKey)
+      }
+      val delSchema = entrySchema(None, withEqIds = true)
+      val mPath = new Path(metaDir, "hist-del-eq.avro")
+      val w = new DataFileWriter(
+        new GenericDatumWriter[GenericRecord](delSchema))
+      w.setMeta("format-version", "2")
+      w.setMeta("content", "deletes")
+      w.create(delSchema, fs.create(mPath, true))
+      try {
+        val r = new GenericData.Record(delSchema)
+        r.put("status", 1)
+        r.put("snapshot_id", snaps.length.toLong)
+        val d = new GenericData.Record(
+          delSchema.getField("data_file").schema())
+        d.put("content", 2)
+        d.put("file_path", path)
+        d.put("file_format", "PARQUET")
+        d.put("partition", new GenericData.Record(
+          d.getSchema.getField("partition").schema()))
+        d.put("record_count", rows)
+        d.put("file_size_in_bytes", len)
+        val l = new java.util.ArrayList[Integer](ids.length)
+        ids.foreach(i => l.add(Integer.valueOf(i)))
+        d.put("equality_ids", l)
+        r.put("data_file", d)
+        w.append(r)
+      } finally w.close()
+      (mPath, fs.getFileStatus(mPath).getLen, rows)
+    }
+
+    // ---- manifest list i carries manifests 0..i at original seqs
+    val listPaths = snaps.indices.map { i =>
+      val listPath = new Path(metaDir, s"snap-${i + 1}-hist.avro")
+      val lw = new DataFileWriter(
+        new GenericDatumWriter[GenericRecord](listSchema))
+      lw.setMeta("format-version", "2")
+      lw.create(listSchema, fs.create(listPath, true))
+      def entry(mPath: Path, mLen: Long, content: Int, seqNum: Long,
+          snapId: Long, rows: Long): Unit = {
+        val r = new GenericData.Record(listSchema)
+        r.put("manifest_path", mPath.toString)
+        r.put("manifest_length", mLen)
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", seqNum)
+        r.put("min_sequence_number", seqNum)
+        r.put("added_snapshot_id", snapId)
+        r.put("added_files_count", 1)
+        r.put("existing_files_count", 0)
+        r.put("deleted_files_count", 0)
+        r.put("added_rows_count", rows)
+        r.put("existing_rows_count", 0L)
+        r.put("deleted_rows_count", 0L)
+        val sumSchema = listSchema.getField("partitions").schema()
+          .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+        r.put("partitions", new GenericData.Array[GenericRecord](
+          sumSchema, java.util.List.of[GenericRecord]()))
+        lw.append(r)
+      }
+      try {
+        (0 to i).foreach { j =>
+          val (mPath, mLen, rows) = manifests(j)
+          entry(mPath, mLen, content = 0, seqNum = (j + 1).toLong,
+            snapId = (j + 1).toLong, rows)
+        }
+        if (i == snaps.length - 1) eqDelManifest.foreach {
+          case (mPath, mLen, rows) =>
+            entry(mPath, mLen, content = 1,
+              seqNum = snaps.length.toLong,
+              snapId = snaps.length.toLong, rows)
+        }
+      } finally lw.close()
+      listPath
+    }
+
+    // ---- metadata.json: one schemas entry per snapshot
+    val rootNode = M.createObjectNode()
+    rootNode.put("format-version", 2)
+    rootNode.put("table-uuid", java.util.UUID
+      .nameUUIDFromBytes(root.getBytes(StandardCharsets.UTF_8)).toString)
+    rootNode.put("location", root)
+    rootNode.put("last-sequence-number", snaps.length.toLong)
+    rootNode.put("last-updated-ms", System.currentTimeMillis())
+    rootNode.put("last-column-id",
+      snaps.flatMap(_.fieldIds.values).max)
+    rootNode.put("current-schema-id", snaps.length - 1)
+    val schemasArr = rootNode.putArray("schemas")
+    snaps.zipWithIndex.foreach { case (sn, i) =>
+      val o = schemasArr.addObject()
+      o.put("type", "struct"); o.put("schema-id", i)
+      val ff = o.putArray("fields")
+      sn.df.schema.fields.foreach { f =>
+        val n = ff.addObject()
+        n.put("id", sn.fieldIds(f.name)); n.put("name", f.name)
+        n.put("required", false); n.put("type", iceType(f.dataType))
+      }
+    }
+    rootNode.put("default-spec-id", 0)
+    val specs = rootNode.putArray("partition-specs")
+    val spec = specs.addObject()
+    spec.put("spec-id", 0)
+    spec.putArray("fields")
+    rootNode.put("last-partition-id", 999)
+    rootNode.put("default-sort-order-id", 0)
+    rootNode.set("sort-orders", M.readTree("""[{"order-id":0,"fields":[]}]"""))
+    rootNode.put("current-snapshot-id", snaps.length.toLong)
+    val snapsArr = rootNode.putArray("snapshots")
+    snaps.indices.foreach { i =>
+      val sNode = snapsArr.addObject()
+      sNode.put("snapshot-id", (i + 1).toLong)
+      sNode.put("sequence-number", (i + 1).toLong)
+      sNode.put("timestamp-ms", System.currentTimeMillis())
+      if (snapshotSchemaIds) sNode.put("schema-id", i)
+      sNode.put("manifest-list", listPaths(i).toString)
+      sNode.putObject("summary").put("operation", "append")
+    }
+    val out = fs.create(new Path(metaDir, "v00001.metadata.json"), true)
+    out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootNode))
+    out.close()
+    val hint = fs.create(new Path(metaDir, "version-hint.text"), true)
+    hint.write("1".getBytes(StandardCharsets.UTF_8))
+    hint.close()
+    root
+  }
 }

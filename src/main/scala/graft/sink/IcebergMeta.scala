@@ -183,14 +183,17 @@ object IcebergMeta {
     * evolution, symmetric to [[resolveSpec]]: existing columns keep
     * their ids, ADDED columns get fresh ids past last-column-id, and
     * a changed schema is APPENDED with schema-id = max + 1 while old
-    * snapshots keep pointing at theirs. Evolution here is add-only —
-    * a dropped or retyped column fails loudly (the native table never
-    * does either; a foreign expectation of rename/retype must not be
-    * silently mis-mirrored).
+    * snapshots keep pointing at theirs. Evolution is add-only by
+    * default — a dropped column fails loudly unless the caller
+    * explicitly opted in (`allowDrops`: the new schema omits the
+    * column, old snapshots keep theirs via their own schema-ids, and
+    * the dropped field id is never reused); a retyped column always
+    * fails loudly (the native table never retypes; a foreign
+    * expectation of rename/retype must not be silently mis-mirrored).
     */
   private def resolveSchemas(
       prevMd: Option[com.fasterxml.jackson.databind.JsonNode],
-      schema: StructType)
+      schema: StructType, allowDrops: Boolean = false)
       : (com.fasterxml.jackson.databind.node.ArrayNode, Int,
          Map[String, Int], Int) = {
     prevMd match {
@@ -214,16 +217,18 @@ object IcebergMeta {
         val lastColId = math.max(md.path("last-column-id").asInt(0),
           prevFields.values.map(_._1).max)
         val dropped = prevFields.keySet -- schema.fieldNames.toSet
-        require(dropped.isEmpty,
-          s"schema evolution is add-only here; dropped columns: " +
+        require(dropped.isEmpty || allowDrops,
+          s"schema evolution is add-only here (pass allowDrops to opt " +
+            s"into drops); dropped columns: " +
             dropped.toSeq.sorted.mkString(", "))
-        prevFields.foreach { case (n, (_, t)) =>
-          val nt = iceType(schema(schema.fieldIndex(n)).dataType)
-          require(nt == t,
-            s"column '$n' changed type $t -> $nt; retyping is not " +
-              "supported by this mirror")
-        }
-        if (prevFields.size == schema.fields.length)
+        prevFields.filter(f => schema.fieldNames.contains(f._1))
+          .foreach { case (n, (_, t)) =>
+            val nt = iceType(schema(schema.fieldIndex(n)).dataType)
+            require(nt == t,
+              s"column '$n' changed type $t -> $nt; retyping is not " +
+                "supported by this mirror")
+          }
+        if (schema.fieldNames.toSet == prevFields.keySet)
           (arr, curId, prevFields.view.mapValues(_._1).toMap, lastColId)
         else {
           var next = lastColId
@@ -481,9 +486,19 @@ object IcebergMeta {
     * (untouched) manifests keep their original spec; the manifest
     * list records each entry's own spec-id, which [[read]] resolves
     * per manifest.
+    *
+    * `allowDrops` opts this mirror into DROP schema evolution: a
+    * prev-current column ABSENT from the touched delta is dropped
+    * from the new current schema (instead of carried as a legal
+    * old-shape commit, the default) — old snapshots keep the column
+    * through their own schema-ids, so time travel still reads it,
+    * and the dropped field id is never reused. Re-adding the same
+    * NAME later mints a fresh field id; [[read]] then refuses old
+    * id-less files loudly rather than mis-attributing their data.
     */
   def mirror(spark: SparkSession, table: ShardedTable, version: Long,
-      specPartCol: Option[String] = None): Unit = {
+      specPartCol: Option[String] = None,
+      allowDrops: Boolean = false): Unit = {
     val conf = table.conf
     val metaDir = new Path(s"${table.root}/metadata")
     val fs = metaDir.getFileSystem(conf)
@@ -534,7 +549,10 @@ object IcebergMeta {
       case (None, None) => table.read(spark, version).schema
       case (Some(d), None) => d
       case (Some(d), Some(prev)) =>
-        StructType(prev.fields.map(pf =>
+        val kept =
+          if (!allowDrops) prev.fields.toSeq
+          else prev.fields.toSeq.filter(f => d.fieldNames.contains(f.name))
+        StructType(kept.map(pf =>
           d.fields.find(_.name == pf.name).getOrElse(pf)) ++
           d.fields.filterNot(f => prev.fieldNames.contains(f.name)))
     }
@@ -546,7 +564,7 @@ object IcebergMeta {
       if (touched.isEmpty) None
       else Some(spark.read.schema(schema).parquet(touched.values.toSeq: _*))
     val (schemasArr, schemaId, ids, lastColId) =
-      resolveSchemas(prevMd, schema)
+      resolveSchemas(prevMd, schema, allowDrops)
     val schemaJsonStr = M.writeValueAsString(schemasArr.elements().asScala
       .find(_.get("schema-id").asInt() == schemaId).get)
     val mirrorCol = specPartCol.getOrElse(table.partCol)
@@ -1374,15 +1392,50 @@ object IcebergMeta {
     // data files are read under the METADATA schema, not each file's
     // parquet footer: files written before a column was added don't
     // carry it and must read as null (the spec's default-value fill
-    // for add-column evolution); parquet matches columns by name here
-    // because Spark writes no Iceberg field-ids (name mapping)
-    val readSchema = StructType(
+    // for add-column evolution). Types may be WIDER than a file's
+    // footer type — Iceberg's legal promotions (int->long,
+    // float->double) read correctly under the pinned wider schema
+    // (Spark's parquet readers widen; anything else fails loudly).
+    val schemaFieldIds: Seq[(Int, StructField)] =
       schemaNode.get("fields").elements().asScala.map(f =>
-        StructField(f.get("name").asText(),
+        f.get("id").asInt() -> StructField(f.get("name").asText(),
           sparkTypeOf(f.get("type").asText()),
-          nullable = !f.get("required").asBoolean())).toSeq)
-    val fieldById = schemaNode.get("fields").elements().asScala
-      .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+          nullable = !f.get("required").asBoolean())).toSeq
+    val readSchema = StructType(schemaFieldIds.map(_._2))
+    val fieldById = schemaFieldIds.map { case (id, sf) => id -> sf.name }.toMap
+    // Column-name resolution across the table's WHOLE history: every
+    // (field-id -> name) binding any schema version ever had, plus
+    // the optional `schema.name-mapping.default` property. An Iceberg
+    // RENAME keeps the field-id and changes the name, so pre-rename
+    // data files carry the OLD column name — resolving parquet
+    // columns by current name alone would silently null-fill the
+    // renamed column for every old file. When the history shows a
+    // rename (one id, several names) or a resurrected name (one
+    // name, several ids — drop + re-add), each file is resolved
+    // individually below: by the footer's parquet field ids when the
+    // writing engine recorded them (authoritative), else by the
+    // unique historical name present in the footer; ambiguity fails
+    // loudly, never null-fills.
+    val historyBindings: Seq[(Int, String)] = {
+      val fromSchemas = schemas.flatMap(_.get("fields").elements().asScala
+        .map(f => f.get("id").asInt() -> f.get("name").asText()))
+      val mappingNode = md.path("properties")
+        .path("schema.name-mapping.default")
+      val fromMapping =
+        if (!mappingNode.isTextual) Seq.empty
+        else M.readTree(mappingNode.asText()).elements().asScala.toSeq
+          .flatMap(m => m.path("names").elements().asScala
+            .map(n => m.get("field-id").asInt() -> n.asText()))
+      (fromSchemas ++ fromMapping).distinct
+    }
+    val namesById: Map[Int, Seq[String]] =
+      historyBindings.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val idsByName: Map[String, Seq[Int]] =
+      historyBindings.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val needsFileResolve = schemaFieldIds.exists { case (id, sf) =>
+      namesById.getOrElse(id, Nil).length > 1 ||
+        idsByName.getOrElse(sf.name, Nil).length > 1
+    }
     // per-spec identity partition resolution: every manifest-list
     // entry carries its OWN partition-spec-id (spec-EVOLVED tables mix
     // spec ids in one snapshot — a foreign writer's spec change must
@@ -1518,7 +1571,7 @@ object IcebergMeta {
     // deletes (content 1, (file_path, pos) rows a foreign writer's
     // MERGE produces — spec v2 readers must honor both)
     val eqDeletes =
-      Seq.newBuilder[(Long, Seq[String], Long, Seq[String])]
+      Seq.newBuilder[(Long, Seq[String], Long, Seq[Int])]
     val posDeletes = Seq.newBuilder[(Long, Seq[String], Long)]
     deleteEntries.foreach { e =>
       val fl = filesOf(e.manifestPath)
@@ -1529,10 +1582,11 @@ object IcebergMeta {
         val eqIds = eq.head.eqIds.getOrElse(
           throw new IllegalStateException(
             s"equality-delete manifest ${e.manifestPath} without equality_ids"))
+        eqIds.foreach(id => require(fieldById.contains(id),
+          s"unknown field id $id in equality-delete manifest " +
+            e.manifestPath))
         eqDeletes += ((e.sequenceNumber, eq.map(_.path),
-          eq.map(_.sizeBytes).sum,
-          eqIds.map(id => fieldById.getOrElse(id,
-            throw new IllegalStateException(s"unknown field id $id")))))
+          eq.map(_.sizeBytes).sum, eqIds))
       }
     }
     val eqDels = eqDeletes.result()
@@ -1542,6 +1596,168 @@ object IcebergMeta {
     // _metadata.file_path reports file:///p
     def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       regexp_replace(c, "^file:/+", "/")
+    // Per-file column resolution for rename/resurrection histories:
+    // ONLY built when the metadata shows one (needsFileResolve) —
+    // the common add-only table keeps the zero-footer-IO fast path.
+    // One distributed footer scan over the snapshot's data +
+    // equality-delete files collects O(files) tiny maps — the same
+    // cardinality this planner already holds in dataBySeq — mapping
+    // field-id -> the FOOTER name to read that file's column under.
+    // Binding rules, per file, in order:
+    //   1. parquet field ids in the footer win (the engine that
+    //      wrote the file recorded exactly which Iceberg field each
+    //      column is);
+    //   2. the schema of the snapshot that ADDED the file (its
+    //      sequence number -> the snapshot's schema-id): an engine
+    //      writes data files under its then-current schema, so that
+    //      schema's name for the field is what the footer carries —
+    //      this resolves renames, swaps, AND drop+re-add without
+    //      footer ids;
+    //   3. the unique historical name present in the footer (a file
+    //      whose adding schema is unknown) — 2+ candidate names or a
+    //      name owned by 2+ ids is untrackable and fails LOUDLY;
+    //   4. absent — but a same-named column owned by a DIFFERENT
+    //      field reads under a sentinel name, which null-fills
+    //      instead of silently binding foreign data.
+    // The schema each snapshot's files were written under, keyed by
+    // the snapshot's sequence number (= what dataBySeq groups by)
+    val bindingsBySeq: Map[Long, Map[Int, String]] =
+      md.get("snapshots").elements().asScala.flatMap { sn =>
+        if (!sn.hasNonNull("schema-id") || !sn.hasNonNull("sequence-number"))
+          None
+        else schemas.find(_.get("schema-id").asInt() ==
+          sn.get("schema-id").asInt()).map { sc =>
+          sn.get("sequence-number").asLong() ->
+            sc.get("fields").elements().asScala
+              .map(f => f.get("id").asInt() -> f.get("name").asText()).toMap
+        }
+      }.toMap
+    val resolveByPath: Map[String, Map[Int, String]] =
+      if (!needsFileResolve) Map.empty
+      else {
+        val pathSeq: Map[String, Long] =
+          (dataBySeq.toSeq.flatMap { case (s, fs2) => fs2.map(_ -> s) } ++
+            eqDels.flatMap { case (s, fs2, _, _) => fs2.map(_ -> s) }).toMap
+        val paths = pathSeq.keys.toSeq
+        if (paths.isEmpty) Map.empty
+        else {
+          val serConf = new org.apache.spark.util.SerializableConfiguration(conf)
+          val wanted: Seq[(Int, String)] =
+            schemaFieldIds.map { case (id, sf) => id -> sf.name }
+          val histById = namesById
+          val histByName = idsByName
+          val addingOf: Seq[(String, Option[Map[Int, String]])] =
+            paths.map(p => p -> bindingsBySeq.get(pathSeq(p)))
+          spark.sparkContext.parallelize(addingOf,
+            math.max(1, math.min(paths.size,
+              spark.sparkContext.defaultParallelism)))
+            .map { case (p, adding) =>
+              val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                  new org.apache.hadoop.fs.Path(p), serConf.value))
+              val footer = try
+                rd.getFooter.getFileMetaData.getSchema.getFields.asScala
+                  .map(f => f.getName -> Option(f.getId).map(_.intValue()))
+                  .toSeq
+              finally rd.close()
+              val byId = footer.collect { case (n, Some(i)) => i -> n }.toMap
+              val idless = footer.collect { case (n, None) => n }.toSet
+              val footerNames = footer.map(_._1).toSet
+              val binding = wanted.flatMap { case (fid, curName) =>
+                def absent: Option[(Int, String)] =
+                  if (footerNames.contains(curName))
+                    Some(fid -> s"__graft_absent_$fid")
+                  else None
+                byId.get(fid) match {
+                  case Some(n) => Some(fid -> n) // rule 1
+                  case None =>
+                    adding.flatMap(_.get(fid)).filter(idless) match {
+                      case Some(n) => Some(fid -> n) // rule 2
+                      case None =>
+                        // rule 3 — drop names the adding schema
+                        // attributes to a DIFFERENT field (they are
+                        // that field's data, not this one's)
+                        val hist = histById.getOrElse(fid, Nil)
+                          .filter(idless)
+                          .filterNot(n => adding.exists(_.exists {
+                            case (i, an) => an == n && i != fid
+                          }))
+                        require(hist.length <= 1,
+                          s"$p: field id $fid matches ${hist.length} " +
+                            s"historical names (${hist.mkString(", ")}) " +
+                            "in the footer — ambiguous without parquet " +
+                            "field ids")
+                        hist.headOption match {
+                          case Some(n) =>
+                            require(
+                              histByName.getOrElse(n, Nil).forall(_ == fid),
+                              s"$p: column '$n' was owned by several " +
+                                "field ids across the table's schema " +
+                                "history (drop + re-add); reading it " +
+                                "without parquet field ids cannot " +
+                                "attribute the data — refusing a " +
+                                "silent mis-bind")
+                            Some(fid -> n)
+                          case None => absent // rule 4
+                        }
+                    }
+                }
+              }.toMap
+              p -> binding
+            }.collect().toMap
+        }
+      }
+    // read `files` under the snapshot schema, resolving renamed
+    // columns per file group: files sharing one (old-name) binding
+    // read together under a substituted schema and alias back to the
+    // current names, so downstream sees ONE table shape
+    def readData(files: Seq[String], withMeta: Boolean): DataFrame = {
+      def metaCols(df: DataFrame): DataFrame =
+        if (!withMeta) df
+        else df.withColumn("__gpath", normPath(col("_metadata.file_path")))
+          .withColumn("__gpos", col("_metadata.row_index"))
+      if (!needsFileResolve)
+        metaCols(spark.read.schema(readSchema).parquet(files: _*))
+      else files.groupBy { p =>
+        resolveByPath.getOrElse(p, Map.empty)
+          .filter { case (id, n) => n != fieldById(id) }
+      }.map { case (subst, gf) =>
+        if (subst.isEmpty)
+          metaCols(spark.read.schema(readSchema).parquet(gf: _*))
+        else {
+          val grpSchema = StructType(schemaFieldIds.map { case (id, sf) =>
+            subst.get(id).map(n => sf.copy(name = n)).getOrElse(sf)
+          })
+          require(grpSchema.fieldNames.distinct.length == grpSchema.length,
+            "rename resolution produced duplicate column names: " +
+              grpSchema.fieldNames.mkString(", "))
+          val cols = schemaFieldIds.map { case (id, sf) =>
+            subst.get(id).map(o => col(o).as(sf.name)).getOrElse(col(sf.name))
+          } ++ (if (withMeta) Seq(col("__gpath"), col("__gpos")) else Nil)
+          metaCols(spark.read.schema(grpSchema).parquet(gf: _*))
+            .select(cols: _*)
+        }
+      }.reduce(_ unionByName _)
+    }
+    // equality-delete key rows under CURRENT names, same per-file
+    // rename resolution (a delete file written pre-rename carries the
+    // old key column name)
+    val typeById = schemaFieldIds.toMap
+    def readDeleteKeys(files: Seq[String], ids: Seq[Int]): DataFrame = {
+      def sel(subst: Map[Int, String]) = ids.map { id =>
+        val cur = fieldById(id)
+        subst.get(id).map(o => col(o).cast(typeById(id).dataType).as(cur))
+          .getOrElse(col(cur).cast(typeById(id).dataType))
+      }
+      if (!needsFileResolve)
+        spark.read.parquet(files: _*).select(sel(Map.empty): _*)
+      else files.groupBy { p =>
+        resolveByPath.getOrElse(p, Map.empty)
+          .filter { case (id, n) => ids.contains(id) && n != fieldById(id) }
+      }.map { case (subst, gf) =>
+        spark.read.parquet(gf: _*).select(sel(subst): _*)
+      }.reduce(_ unionByName _)
+    }
     // per data sequence group: equality deletes apply STRICTLY newer
     // (seq > s), position deletes at seq >= s (they name rows of
     // files that already existed in their own snapshot) — spec v2
@@ -1553,22 +1769,20 @@ object IcebergMeta {
     dataBySeq.toSeq.sortBy(_._1).map { case (s, files) =>
       val posApplicable = posDels.filter(_._1 >= s)
       var df =
-        if (posApplicable.isEmpty) spark.read.schema(readSchema).parquet(files: _*)
+        if (posApplicable.isEmpty) readData(files, withMeta = false)
         else {
           val delDf = spark.read.parquet(posApplicable.flatMap(_._2): _*)
             .select(normPath(col("file_path")).as("__gpath"),
               col("pos").as("__gpos")).distinct()
           val posBytes = posApplicable.map(_._3).sum
-          spark.read.schema(readSchema).parquet(files: _*)
-            .withColumn("__gpath", normPath(col("_metadata.file_path")))
-            .withColumn("__gpos", col("_metadata.row_index"))
+          readData(files, withMeta = true)
             .join(sizeHint(delDf, posBytes), Seq("__gpath", "__gpos"),
               "left_anti")
             .drop("__gpath", "__gpos")
         }
-      eqDels.filter(_._1 > s).foreach { case (_, delFiles, delBytes, eqCols) =>
-        val delDf = spark.read.parquet(delFiles: _*)
-          .select(eqCols.map(col): _*).distinct()
+      eqDels.filter(_._1 > s).foreach { case (_, delFiles, delBytes, eqIds) =>
+        val eqCols = eqIds.map(fieldById)
+        val delDf = readDeleteKeys(delFiles, eqIds).distinct()
         df = df.join(sizeHint(delDf, delBytes), eqCols, "left_anti")
       }
       // a using-columns join surfaces its keys FIRST — restore the

@@ -52,6 +52,47 @@ class JobConfigSpec extends SparkSpec {
     assert(spark.read.parquet(s"$root/out").count() == r1.rowsWritten)
   }
 
+  test("source.format=zipnum: a declarative job consumes a ZipNum index drop") {
+    import spark.implicits._
+    val root = tmpDir("zipnumsrc")
+    val idx = (0 until 25).map { i =>
+      (f"site,ex$i%02d)/p", f"202601010${i % 10}0000", s"https://ex$i.site/p",
+        if (i % 5 == 0) 404 else 200, "text/html", f"d$i%032d",
+        "f.warc.gz", i * 100L, 90L)
+    }.toDF("urlkey", "ts", "url", "status", "mime", "digest",
+      "filename", "offset", "length")
+    graft.operators.CdxIndex.exportZipnum(spark, idx, s"$root/zn",
+      shards = 2, linesPerBlock = 4)
+    def conf(extra: String) =
+      s"""job.name=zipnum_src
+         |source.format=zipnum
+         |source.path=$root/zn
+         |source.watermark.expr=cast(ts as long)
+         |ops=filter
+         |op.filter.predicate=status = 200
+         |sink.staging=$root/staging
+         |sink.output=$root/out
+         |state.dir=$root/state
+         |quarantine.dir=$root/q
+         |$extra""".stripMargin
+    val r1 = JobConfig.run(spark, JobConfig.parse(conf("")))
+    assert(r1.published && r1.rowsWritten === 20L)
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() === 20L)
+    assert(out.filter(org.apache.spark.sql.functions
+      .col("status") =!= 200).count() === 0L)
+    // re-run: the index drop is fully below the watermark — a no-op
+    val r2 = JobConfig.run(spark, JobConfig.parse(conf("")))
+    assert(r2.rowsWritten === 0L)
+    // urlkeyPrefix narrows the read to matching blocks
+    val r3 = JobConfig.run(spark, JobConfig.parse(
+      conf(s"source.urlkeyPrefix=site,ex01\n")
+        .replace("job.name=zipnum_src", "job.name=zipnum_src_pfx")
+        .replace(s"$root/out", s"$root/out2")
+        .replace(s"$root/state", s"$root/state2")))
+    assert(r3.rowsWritten === 1L)
+  }
+
   test("declarative encrypt/decrypt ops roundtrip through a JSON keystore") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
