@@ -20,8 +20,13 @@ import org.apache.spark.sql.types._
   * `date`/`timestamptz` sources, `bucket[N]`/`truncate[W]` transforms,
   * unpartitioned specs, non-zero spec/schema ids, multi-element
   * `schemas` arrays, snapshots without a `schema-id`, all three
-  * `file_path` scheme forms, and manifests that omit every OPTIONAL
-  * `data_file` field (no stats, no equality_ids). Everything written
+  * `file_path` scheme forms, manifests that omit every OPTIONAL
+  * `data_file` field (no stats, no equality_ids), and — via
+  * [[writeHistory]] — schema-EVOLUTION histories: renames, name
+  * swaps, drop+re-add, int→long/float→double promotions, and
+  * equality-delete files keyed under pre-rename names, each with or
+  * without parquet footer field ids and per-snapshot schema-ids.
+  * Everything written
   * here follows the published Apache Iceberg Table Spec v2 (field
   * names, field-ids, single-value bound serialization: numbers
   * little-endian, date = LE int epoch days, timestamptz = LE long
@@ -504,7 +509,8 @@ object ForeignIceberg {
     * name-mapping tables don't).
     */
   final case class HistSnap(df: DataFrame, fieldIds: Map[String, Int],
-      parquetFieldIds: Boolean = true)
+      parquetFieldIds: Boolean = true,
+      metaNames: Map[String, String] = Map.empty)
 
   /** Write an UNPARTITIONED foreign v2 table whose snapshots evolved
     * the schema — rename and/or type promotion — one data file +
@@ -519,7 +525,8 @@ object ForeignIceberg {
   def writeHistory(spark: SparkSession, root: String,
       snaps: Seq[HistSnap],
       eqDelete: Option[HistSnap] = None,
-      snapshotSchemaIds: Boolean = true): String = {
+      snapshotSchemaIds: Boolean = true,
+      nameMapping: Option[Seq[(Int, Seq[String])]] = None): String = {
     require(snaps.nonEmpty, "writeHistory needs at least one snapshot")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(root).getFileSystem(conf)
@@ -706,9 +713,24 @@ object ForeignIceberg {
       val ff = o.putArray("fields")
       sn.df.schema.fields.foreach { f =>
         val n = ff.addObject()
-        n.put("id", sn.fieldIds(f.name)); n.put("name", f.name)
+        // metaNames lets the METADATA schema use a different name
+        // than the data file carries — the "imported id-less parquet
+        // under a name-mapping" shape
+        n.put("id", sn.fieldIds(f.name))
+        n.put("name", sn.metaNames.getOrElse(f.name, f.name))
         n.put("required", false); n.put("type", iceType(f.dataType))
       }
+    }
+    nameMapping.foreach { nm =>
+      val arr = M.createArrayNode()
+      nm.foreach { case (fid, names) =>
+        val o = arr.addObject()
+        o.put("field-id", fid)
+        val na = o.putArray("names")
+        names.foreach(na.add)
+      }
+      rootNode.putObject("properties")
+        .put("schema.name-mapping.default", M.writeValueAsString(arr))
     }
     rootNode.put("default-spec-id", 0)
     val specs = rootNode.putArray("partition-specs")

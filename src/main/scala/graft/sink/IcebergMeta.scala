@@ -49,6 +49,16 @@ import org.apache.spark.sql.types._
   * manifest's partition type through the manifest-list entry's own
   * `partition_spec_id`, so a foreign writer's spec change reads
   * correctly instead of throwing.
+  *
+  * SCHEMA evolution: the write side is add-only by default (drops
+  * are opt-in via `mirror(allowDrops)`, retypes always refuse
+  * loudly; renames are not expressible by name-matched mirroring —
+  * they would arrive as drop+add with a fresh field id). The read
+  * side additionally handles FOREIGN rename/swap/drop+re-add and
+  * legal type-promotion histories by per-file column resolution
+  * (footer field ids → adding snapshot's schema → unique historical
+  * name → loud refusal), so no evolution shape reads silent nulls
+  * or another field's data.
   */
 object IcebergMeta {
 
@@ -1362,6 +1372,15 @@ object IcebergMeta {
     * manifest. `snapshotId = None` reads the current snapshot;
     * `partitions` prunes data manifests from the list's partition
     * summaries without opening them.
+    *
+    * Schema-evolution read policy: files read under the SNAPSHOT's
+    * metadata schema (add = null-fill, legal int→long/float→double
+    * promotion = widened). When the schema history shows a RENAME or
+    * a resurrected name, files resolve individually — parquet footer
+    * field ids first, then the adding snapshot's schema, then the
+    * unique historical name; genuinely unattributable columns fail
+    * LOUDLY and never null-fill or mis-bind silently (the per-file
+    * binding rules are documented at resolveByPath below).
     */
   def read(spark: SparkSession, tableRoot: String,
       snapshotId: Option[Long] = None,

@@ -337,6 +337,35 @@ class CdxIndexSpec extends graft.SparkSpec {
       eTrunc.getMessage.contains("truncated"))
   }
 
+  test("indexWarcs: an archive of only empty-inflating members fails loudly") {
+    // gzip members that inflate to ZERO bytes — corruption (or a
+    // broken writer), not an empty crawl; the 0-byte-file check
+    // cannot see it and the windowed walk must not index it to zero
+    // rows silently (ADVICE r15)
+    val emptyMember = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.finish(); gz.close()
+      bos.toByteArray
+    }
+    val dir = tmpDir("cdxempty")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bad.warc.gz"),
+      emptyMember ++ emptyMember ++ emptyMember)
+    val e = intercept[org.apache.spark.SparkException] {
+      CdxIndex.indexWarcs(spark, dir).collect()
+    }
+    assert(e.getMessage.contains("inflated to nothing"))
+    // a mix (one real member) stays fine: empty members skip, real
+    // records index
+    val pages = Seq(("https://ex.com/ok", "<html>ok</html>".getBytes("UTF-8")))
+    val (bytes, _) = WarcCodec.writeResponsesIndexed(pages)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/bad.warc.gz"),
+      emptyMember ++ bytes ++ emptyMember)
+    assert(CdxIndex.indexWarcs(spark, dir).count() === 1L)
+  }
+
   test("exportZipnum: sorted blocked shards + cluster.idx that tiles them") {
     val pages = (0 until 23).map(i =>
       (s"https://ex.com/z${"%02d".format(i)}", s"<html>zn $i</html>"
@@ -397,6 +426,23 @@ class CdxIndexSpec extends graft.SparkSpec {
     // a prefix matching nothing returns empty, not an error
     assert(CdxIndex.readZipnum(spark, out,
       urlkeyPrefix = Some("zz,nothing")).isEmpty)
+    // the per-shard .idx layout variant: no cluster.idx, one
+    // cdx-NNNNN.idx per shard + a tiny shards.idx top index — the
+    // same consumer reads it identically, prefix narrowing included
+    val out2 = tmpDir("zipnum_pershard")
+    CdxIndex.exportZipnum(spark, idx, out2, shards = 3,
+      linesPerBlock = 4, perShardIdx = true)
+    val z2 = java.nio.file.Paths.get(out2)
+    assert(!java.nio.file.Files.exists(z2.resolve("cluster.idx")))
+    assert(java.nio.file.Files.exists(z2.resolve("shards.idx")))
+    assert(java.nio.file.Files.list(z2).iterator().asScala
+      .count(_.getFileName.toString.matches("cdx-\\d{5}\\.idx")) == 3)
+    val reread2 = CdxIndex.readZipnum(spark, out2)
+    assert(reread2.exceptAll(idx).isEmpty && idx.exceptAll(reread2).isEmpty)
+    val probe2 = CdxIndex.readZipnum(spark, out2,
+      urlkeyPrefix = Some("com,ex)/z1"))
+    assert(probe2.exceptAll(expectP).isEmpty &&
+      expectP.exceptAll(probe2).isEmpty)
   }
 
   test("plan is partitioning-invariant") {

@@ -258,6 +258,24 @@ class IcebergEvolveSpec extends graft.SparkSpec {
     assert(rows === Seq((1L, 2L, "-"), (0L, 30L, "Z")))
   }
 
+  test("rename known ONLY via schema.name-mapping.default resolves") {
+    import spark.implicits._
+    // the standard imported-parquet shape: ONE metadata schema naming
+    // the field `b`, data files (no footer ids) carrying `a`, and the
+    // name-mapping property declaring both names for field 2 — the
+    // spec's mechanism for exactly this case
+    val s1 = Seq((0L, 10L), (1L, 11L)).toDF("id", "a")
+    val root = ForeignIceberg.writeHistory(spark, tmpDir("fi_nm"), Seq(
+      ForeignIceberg.HistSnap(s1, Map("id" -> 1, "a" -> 2),
+        parquetFieldIds = false, metaNames = Map("a" -> "b"))),
+      nameMapping = Some(Seq(1 -> Seq("id"), 2 -> Seq("b", "a"))))
+    val cur = IcebergMeta.read(spark, root)
+    assert(cur.columns.toSeq === Seq("id", "b"))
+    val rows = cur.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq
+    assert(rows === Seq((0L, 10L), (1L, 11L)))
+  }
+
   test("add-only history keeps the fast path: no resolution needed") {
     import spark.implicits._
     val s1 = Seq((0L, 10L)).toDF("id", "v")
