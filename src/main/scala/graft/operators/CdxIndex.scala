@@ -656,14 +656,45 @@ object CdxIndex {
     // over block-descriptor rows, the same cardinality the file holds
     // both layouts: the pywb default (one cluster.idx) and the
     // per-shard variant (cdx-*.idx, same line format) — the window
-    // below re-establishes the global block order either way
+    // below re-establishes the global block order either way. In the
+    // per-shard layout a PREFIX lookup first narrows WHICH .idx
+    // files to read through the tiny shards.idx top index (shards
+    // are globally key-ordered, so shard intervals prune like block
+    // intervals) — block metadata IO stays O(matching shards), not
+    // O(all shards), exactly the reason the variant exists.
     val clusterPath = new org.apache.hadoop.fs.Path(s"$dir/cluster.idx")
-    val idxSource =
-      if (clusterPath.getFileSystem(
-          spark.sparkContext.hadoopConfiguration).exists(clusterPath))
-        s"$dir/cluster.idx"
-      else s"$dir/cdx-*.idx"
-    val cluster = spark.read.text(idxSource)
+    val dirFs = clusterPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val idxSource: Seq[String] =
+      if (dirFs.exists(clusterPath)) Seq(s"$dir/cluster.idx")
+      else {
+        val topPath = new org.apache.hadoop.fs.Path(s"$dir/shards.idx")
+        (urlkeyPrefix, dirFs.exists(topPath)) match {
+          case (Some(p), true) =>
+            // shards.idx: "<first key>\t<shard gz>\t<blocks>\t<bytes>",
+            // lexically ordered by shard = globally ordered by key.
+            // O(shards) driver metadata, the same class as scan
+            // planning; interval logic mirrors the block filter below
+            val in = dirFs.open(topPath)
+            val tops = try new String(in.readAllBytes(),
+              java.nio.charset.StandardCharsets.UTF_8)
+              .split("\n").toSeq.filter(_.nonEmpty).map(_.split("\t"))
+            finally in.close()
+            val keep = tops.zipWithIndex.filter { case (t, i) =>
+              val nextKey = tops.lift(i + 1).map(_(0))
+              t(0) < p + "\uffff" && nextKey.forall(_ >= p)
+            }.map { case (t, _) =>
+              s"$dir/${t(1).stripSuffix(".gz")}.idx"
+            }
+            // no candidate shard (prefix past every key): fall back
+            // to the full glob — the block-level filter below then
+            // drops every block, and an empty-partition shard that
+            // never wrote its file can't 404 a concrete path
+            if (keep.nonEmpty) keep else Seq(s"$dir/cdx-*.idx")
+          case _ => Seq(s"$dir/cdx-*.idx")
+        }
+      }
+    val cluster = spark.read.text(idxSource: _*)
       .select(split(col("value"), "\t").as("f"))
       .select(
         col("f").getItem(0).as("key"),

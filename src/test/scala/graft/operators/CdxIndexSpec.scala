@@ -443,6 +443,10 @@ class CdxIndexSpec extends graft.SparkSpec {
       urlkeyPrefix = Some("com,ex)/z1"))
     assert(probe2.exceptAll(expectP).isEmpty &&
       expectP.exceptAll(probe2).isEmpty)
+    // prefix past every shard's keys: empty result, no 404 on a
+    // concrete path (shard-narrowing falls back to the glob)
+    assert(CdxIndex.readZipnum(spark, out2,
+      urlkeyPrefix = Some("zz,nothing")).isEmpty)
   }
 
   test("plan is partitioning-invariant") {
