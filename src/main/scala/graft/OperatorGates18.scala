@@ -66,7 +66,7 @@ object OperatorGates18 {
           parquetFieldIds = false),
         HistSnap(newPart, Map("doc_id" -> 1, "score" -> 2),
           parquetFieldIds = false)),
-        eqDelete = Some(HistSnap(Seq(15L, 30L).toDF("old_score"),
+        eqDelete = Seq(HistSnap(Seq(15L, 30L).toDF("old_score"),
           Map("old_score" -> 2), parquetFieldIds = false)))
       def agg(df: DataFrame, probe: Long): DataFrame = {
         require(df.columns.toSeq.head == "doc_id",

@@ -427,6 +427,21 @@ object CdxIndex {
       col("filename"), col("offset"), col("length"))
   }
 
+  /** Attempt-safe commit: rename tmp into place, treating
+    * "destination exists" as a sibling attempt's identical commit
+    * (per-partition content is deterministic). NEVER deletes a
+    * committed final — a zombie attempt that deleted the winner's
+    * file and died would orphan a path cluster.idx still references;
+    * the loser's tmp debris is dropped instead.
+    */
+  private def commitRename(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path,
+      fin: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(tmp, fin)) {
+      require(fs.exists(fin), s"rename $tmp -> $fin failed")
+      fs.delete(tmp, false)
+    }
+
   /** Render an index DataFrame back to CDXJ lines (the export side). */
   def renderCdxj(index: DataFrame): DataFrame =
     keyedCdxj(index).select(col("line"))
@@ -549,11 +564,7 @@ object CdxIndex {
         }
         flush()
         out.close()
-        if (!fs.rename(tmpPath, finalPath)) {
-          require(fs.exists(finalPath),
-            s"rename $tmpPath -> $finalPath failed")
-          fs.delete(tmpPath, false) // lost the race: drop our debris
-        }
+        commitRename(fs, tmpPath, finalPath)
         val ds = descs.result()
         if (perShardIdx) {
           // this shard's OWN secondary index, written by the same
@@ -571,11 +582,7 @@ object CdxIndex {
               .getBytes(java.nio.charset.StandardCharsets.UTF_8))
           }
           iout.close()
-          if (!fs.rename(idxTmp, idxFinal)) {
-            require(fs.exists(idxFinal),
-              s"rename $idxTmp -> $idxFinal failed")
-            fs.delete(idxTmp, false)
-          }
+          commitRename(fs, idxTmp, idxFinal)
         }
         ds.iterator
       }
@@ -621,11 +628,7 @@ object CdxIndex {
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
         out.close()
-        if (!fs.rename(tmpPath, finalPath)) {
-          require(fs.exists(finalPath),
-            s"rename $tmpPath -> $finalPath failed")
-          fs.delete(tmpPath, false)
-        }
+        commitRename(fs, tmpPath, finalPath)
         ()
       }
   }
@@ -694,6 +697,14 @@ object CdxIndex {
           case _ => Seq(s"$dir/cdx-*.idx")
         }
       }
+    // an EMPTY per-shard export writes no shard files at all (every
+    // range partition empty ⇒ no task wrote) — mirror the cluster.idx
+    // layout's empty read instead of a Path-does-not-exist crash
+    if (idxSource == Seq(s"$dir/cdx-*.idx") &&
+      Option(dirFs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/cdx-*.idx")))
+        .forall(_.isEmpty))
+      return parseCdxj(Seq.empty[String].toDF("line"))
     val cluster = spark.read.text(idxSource: _*)
       .select(split(col("value"), "\t").as("f"))
       .select(

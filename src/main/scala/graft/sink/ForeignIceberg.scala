@@ -522,9 +522,46 @@ object ForeignIceberg {
     * optionally parquet field ids), and a correct reader returns
     * their VALUES under the current name — never silent nulls.
     */
+  /** Write one HistSnap's rows as a single parquet file under `dir`,
+    * with parquet field ids in the footer iff the snap asks for them
+    * (conf saved/restored around the write). Returns (path, bytes,
+    * rows).
+    */
+  private def writeSnapParquet(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, sn: HistSnap, dir: String,
+      sorted: Boolean): (String, Long, Long) = {
+    sn.fieldIds.keys.foreach(c => require(
+      sn.df.columns.contains(c), s"fieldIds names unknown column $c"))
+    require(sn.df.columns.forall(sn.fieldIds.contains),
+      "every column needs a field id")
+    val tagged =
+      if (!sn.parquetFieldIds) sn.df
+      else sn.df.select(sn.df.schema.fields.map { f =>
+        col(f.name).as(f.name, new MetadataBuilder()
+          .putLong("parquet.field.id", sn.fieldIds(f.name).toLong)
+          .build())
+      }.toSeq: _*)
+    val writeIdsKey = "spark.sql.parquet.fieldId.write.enabled"
+    val prev = spark.conf.getOption(writeIdsKey)
+    spark.conf.set(writeIdsKey, sn.parquetFieldIds.toString)
+    try {
+      val one = tagged.coalesce(1)
+      (if (sorted) one.sortWithinPartitions(tagged.columns.map(col).toSeq: _*)
+       else one).write.mode("overwrite").parquet(dir)
+      val part = fs.listStatus(new Path(dir))
+        .filter(st => st.getPath.getName.startsWith("part-") &&
+          st.getPath.getName.endsWith(".parquet"))
+      require(part.length == 1, s"expected one part file under $dir")
+      (part.head.getPath.toUri.getPath, part.head.getLen, sn.df.count())
+    } finally prev match {
+      case Some(v) => spark.conf.set(writeIdsKey, v)
+      case None => spark.conf.unset(writeIdsKey)
+    }
+  }
+
   def writeHistory(spark: SparkSession, root: String,
       snaps: Seq[HistSnap],
-      eqDelete: Option[HistSnap] = None,
+      eqDelete: Seq[HistSnap] = Nil,
       snapshotSchemaIds: Boolean = true,
       nameMapping: Option[Seq[(Int, Seq[String])]] = None): String = {
     require(snaps.nonEmpty, "writeHistory needs at least one snapshot")
@@ -535,36 +572,9 @@ object ForeignIceberg {
     val eSchema = entrySchema(None)
 
     // ---- one data file + manifest per snapshot, under ITS schema
-    val writeIdsKey = "spark.sql.parquet.fieldId.write.enabled"
     val files: Seq[(String, Long, Long)] = snaps.zipWithIndex.map {
       case (sn, i) =>
-        sn.fieldIds.keys.foreach(c => require(
-          sn.df.columns.contains(c), s"fieldIds names unknown column $c"))
-        require(sn.df.columns.forall(sn.fieldIds.contains),
-          "every column needs a field id")
-        val tagged =
-          if (!sn.parquetFieldIds) sn.df
-          else sn.df.select(sn.df.schema.fields.map { f =>
-            col(f.name).as(f.name, new MetadataBuilder()
-              .putLong("parquet.field.id", sn.fieldIds(f.name).toLong)
-              .build())
-          }.toSeq: _*)
-        val prev = spark.conf.getOption(writeIdsKey)
-        spark.conf.set(writeIdsKey, sn.parquetFieldIds.toString)
-        try {
-          val dir = s"$root/data/s$i"
-          tagged.coalesce(1)
-            .sortWithinPartitions(tagged.columns.map(col).toSeq: _*)
-            .write.mode("overwrite").parquet(dir)
-          val part = fs.listStatus(new Path(dir))
-            .filter(st => st.getPath.getName.startsWith("part-") &&
-              st.getPath.getName.endsWith(".parquet"))
-          require(part.length == 1, s"expected one part file under $dir")
-          (part.head.getPath.toUri.getPath, part.head.getLen, sn.df.count())
-        } finally prev match {
-          case Some(v) => spark.conf.set(writeIdsKey, v)
-          case None => spark.conf.unset(writeIdsKey)
-        }
+        writeSnapParquet(spark, fs, sn, s"$root/data/s$i", sorted = true)
     }
     val manifests: Seq[(Path, Long, Long)] = files.zipWithIndex.map {
       case ((path, len, rows), i) =>
@@ -593,62 +603,53 @@ object ForeignIceberg {
         (mPath, fs.getFileStatus(mPath).getLen, rows)
     }
 
-    // ---- optional EQUALITY-delete file + manifest: key rows under
-    //      the names/ids of the schema the deleting engine saw (e.g.
-    //      PRE-rename names — the reader must resolve them too),
-    //      riding sequence snaps.length so it applies to all strictly
-    //      older data, attached to the LAST snapshot's manifest list
-    val eqDelManifest: Option[(Path, Long, Long)] = eqDelete.map { del =>
-      val ids = del.df.columns.map(del.fieldIds).toSeq
-      val tagged =
-        if (!del.parquetFieldIds) del.df
-        else del.df.select(del.df.schema.fields.map { f =>
-          col(f.name).as(f.name, new MetadataBuilder()
-            .putLong("parquet.field.id", del.fieldIds(f.name).toLong)
-            .build())
-        }.toSeq: _*)
-      val prev = spark.conf.getOption(writeIdsKey)
-      spark.conf.set(writeIdsKey, del.parquetFieldIds.toString)
-      val (path, len, rows) = try {
-        val dir = s"$root/data/del_hist"
-        tagged.coalesce(1).write.mode("overwrite").parquet(dir)
-        val part = fs.listStatus(new Path(dir))
-          .filter(st => st.getPath.getName.startsWith("part-") &&
-            st.getPath.getName.endsWith(".parquet"))
-        require(part.length == 1, s"expected one part file under $dir")
-        (part.head.getPath.toUri.getPath, part.head.getLen, del.df.count())
-      } finally prev match {
-        case Some(v) => spark.conf.set(writeIdsKey, v)
-        case None => spark.conf.unset(writeIdsKey)
+    // ---- optional EQUALITY-delete files + ONE manifest: key rows
+    //      under the names/ids of the schema the deleting engine saw
+    //      (e.g. PRE-rename names — the reader must resolve them
+    //      too). equality_ids is a per-data_file field, so SEVERAL
+    //      delete files keyed on DIFFERENT column sets legally share
+    //      one manifest — the shape that catches a reader applying
+    //      the head file's ids to every file. All ride sequence
+    //      snaps.length (apply to strictly older data), attached to
+    //      the LAST snapshot's manifest list.
+    val eqDelManifest: Option[(Path, Long, Long)] =
+      if (eqDelete.isEmpty) None
+      else {
+        val written = eqDelete.zipWithIndex.map { case (del, i) =>
+          val ids = del.df.columns.map(del.fieldIds).toSeq
+          val (path, len, rows) = writeSnapParquet(spark, fs, del,
+            s"$root/data/del_hist$i", sorted = false)
+          (path, len, rows, ids)
+        }
+        val delSchema = entrySchema(None, withEqIds = true)
+        val mPath = new Path(metaDir, "hist-del-eq.avro")
+        val w = new DataFileWriter(
+          new GenericDatumWriter[GenericRecord](delSchema))
+        w.setMeta("format-version", "2")
+        w.setMeta("content", "deletes")
+        w.create(delSchema, fs.create(mPath, true))
+        try written.foreach { case (path, len, rows, ids) =>
+          val r = new GenericData.Record(delSchema)
+          r.put("status", 1)
+          r.put("snapshot_id", snaps.length.toLong)
+          val d = new GenericData.Record(
+            delSchema.getField("data_file").schema())
+          d.put("content", 2)
+          d.put("file_path", path)
+          d.put("file_format", "PARQUET")
+          d.put("partition", new GenericData.Record(
+            d.getSchema.getField("partition").schema()))
+          d.put("record_count", rows)
+          d.put("file_size_in_bytes", len)
+          val l = new java.util.ArrayList[Integer](ids.length)
+          ids.foreach(i => l.add(Integer.valueOf(i)))
+          d.put("equality_ids", l)
+          r.put("data_file", d)
+          w.append(r)
+        } finally w.close()
+        Some((mPath, fs.getFileStatus(mPath).getLen,
+          written.map(_._3).sum))
       }
-      val delSchema = entrySchema(None, withEqIds = true)
-      val mPath = new Path(metaDir, "hist-del-eq.avro")
-      val w = new DataFileWriter(
-        new GenericDatumWriter[GenericRecord](delSchema))
-      w.setMeta("format-version", "2")
-      w.setMeta("content", "deletes")
-      w.create(delSchema, fs.create(mPath, true))
-      try {
-        val r = new GenericData.Record(delSchema)
-        r.put("status", 1)
-        r.put("snapshot_id", snaps.length.toLong)
-        val d = new GenericData.Record(
-          delSchema.getField("data_file").schema())
-        d.put("content", 2)
-        d.put("file_path", path)
-        d.put("file_format", "PARQUET")
-        d.put("partition", new GenericData.Record(
-          d.getSchema.getField("partition").schema()))
-        d.put("record_count", rows)
-        d.put("file_size_in_bytes", len)
-        val l = new java.util.ArrayList[Integer](ids.length)
-        ids.foreach(i => l.add(Integer.valueOf(i)))
-        d.put("equality_ids", l)
-        r.put("data_file", d)
-        w.append(r)
-      } finally w.close()
-      (mPath, fs.getFileStatus(mPath).getLen, rows)
-    }
 
     // ---- manifest list i carries manifests 0..i at original seqs
     val listPaths = snaps.indices.map { i =>

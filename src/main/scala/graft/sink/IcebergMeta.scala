@@ -1597,15 +1597,20 @@ object IcebergMeta {
       val (pos, eq) = fl.partition(_.content == 1)
       if (pos.nonEmpty) posDeletes += ((e.sequenceNumber, pos.map(_.path),
         pos.map(_.sizeBytes).sum))
-      if (eq.nonEmpty) {
-        val eqIds = eq.head.eqIds.getOrElse(
+      // equality_ids is a data_file field — one MANIFEST may legally
+      // mix delete files keyed on different column sets; group by the
+      // per-FILE ids so each file anti-joins on ITS OWN key columns
+      // (applying the head's ids to all would null-key the others and
+      // silently skip their deletes)
+      eq.groupBy(_.eqIds).foreach { case (idsOpt, fl2) =>
+        val eqIds = idsOpt.getOrElse(
           throw new IllegalStateException(
             s"equality-delete manifest ${e.manifestPath} without equality_ids"))
         eqIds.foreach(id => require(fieldById.contains(id),
           s"unknown field id $id in equality-delete manifest " +
             e.manifestPath))
-        eqDeletes += ((e.sequenceNumber, eq.map(_.path),
-          eq.map(_.sizeBytes).sum, eqIds))
+        eqDeletes += ((e.sequenceNumber, fl2.map(_.path),
+          fl2.map(_.sizeBytes).sum, eqIds))
       }
     }
     val eqDels = eqDeletes.result()
@@ -1774,6 +1779,16 @@ object IcebergMeta {
         resolveByPath.getOrElse(p, Map.empty)
           .filter { case (id, n) => ids.contains(id) && n != fieldById(id) }
       }.map { case (subst, gf) =>
+        // a delete file MUST carry its key columns — a sentinel
+        // (rule-4 "absent") binding here means the footer's
+        // same-named column belongs to a different field: refuse
+        // with the reader's message, not an unresolved-column crash
+        subst.foreach { case (id, n) =>
+          require(!n.startsWith("__graft_absent_"),
+            s"equality-delete file(s) ${gf.mkString(", ")} do not " +
+              s"carry key column '${fieldById(id)}' attributable to " +
+              s"field $id — refusing a silent mis-bind")
+        }
         spark.read.parquet(gf: _*).select(sel(subst): _*)
       }.reduce(_ unionByName _)
     }

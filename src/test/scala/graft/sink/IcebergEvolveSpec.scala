@@ -211,7 +211,7 @@ class IcebergEvolveSpec extends graft.SparkSpec {
         parquetFieldIds = false),
       ForeignIceberg.HistSnap(df2renamed, Map("id" -> 1, "b" -> 2),
         parquetFieldIds = false)),
-      eqDelete = Some(ForeignIceberg.HistSnap(
+      eqDelete = Seq(ForeignIceberg.HistSnap(
         Seq(7L * 7, 13L * 7).toDF("a"), Map("a" -> 2),
         parquetFieldIds = false)))
     val cur = IcebergMeta.read(spark, root)
@@ -256,6 +256,29 @@ class IcebergEvolveSpec extends graft.SparkSpec {
     val rows = cur2.collect().map(r => (r.getLong(0), r.getLong(1),
       if (r.isNullAt(2)) "-" else r.getString(2))).sortBy(_._2).toSeq
     assert(rows === Seq((1L, 2L, "-"), (0L, 30L, "Z")))
+  }
+
+  test("one manifest mixing delete files keyed on DIFFERENT columns applies each by ITS ids") {
+    import spark.implicits._
+    // equality_ids is per data_file: file A deletes by value (field
+    // 2), file B by id (field 1) — a reader that applies A's ids to
+    // B null-keys B's rows and silently skips its deletes
+    val root = ForeignIceberg.writeHistory(spark, tmpDir("fi_mixdel"), Seq(
+      ForeignIceberg.HistSnap(df1, Map("id" -> 1, "a" -> 2),
+        parquetFieldIds = false),
+      ForeignIceberg.HistSnap(df2renamed, Map("id" -> 1, "b" -> 2),
+        parquetFieldIds = false)),
+      eqDelete = Seq(
+        ForeignIceberg.HistSnap(Seq(7L * 7).toDF("a"), Map("a" -> 2),
+          parquetFieldIds = false),
+        ForeignIceberg.HistSnap(Seq(3L, 11L).toDF("id"), Map("id" -> 1),
+          parquetFieldIds = false)))
+    val cur = IcebergMeta.read(spark, root)
+    // dropped: id 7 (by a=49), ids 3 and 11 (by id) — all from the
+    // pre-rename file; 30 - 3 + 20 = 47 rows survive
+    assert(cur.count() === 47L)
+    assert(cur.filter(col("id").isin(3L, 7L, 11L)).count() === 0L)
+    assert(cur.filter(col("b").isNull).count() === 0L)
   }
 
   test("rename known ONLY via schema.name-mapping.default resolves") {
