@@ -1615,7 +1615,14 @@ object IcebergMeta {
     }
     val eqDels = eqDeletes.result()
     val posDels = posDeletes.result()
-    require(dataBySeq.nonEmpty, s"snapshot $wantSnap has no data files")
+    // empty is an ANSWER, not an error: a partition filter matching
+    // no manifest (or a spec-legal empty snapshot) returns an empty
+    // frame under the table schema — crashing here would turn every
+    // no-data-for-that-day query into an outage. Broken REFERENCES
+    // (missing snapshot id, unreadable manifest) still throw above.
+    if (dataBySeq.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], readSchema)
     // scheme-insensitive path form: manifests store file:/p, Spark's
     // _metadata.file_path reports file:///p
     def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =

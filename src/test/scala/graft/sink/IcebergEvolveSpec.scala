@@ -281,6 +281,24 @@ class IcebergEvolveSpec extends graft.SparkSpec {
     assert(cur.filter(col("b").isNull).count() === 0L)
   }
 
+  test("foreign DROP history: current read lacks the column, time travel keeps it") {
+    import spark.implicits._
+    val s1 = Seq((0L, 1L, 9L), (1L, 2L, 8L)).toDF("id", "a", "b")
+    val s2 = Seq((2L, 3L)).toDF("id", "a")
+    val root = ForeignIceberg.writeHistory(spark, tmpDir("fi_drop"), Seq(
+      ForeignIceberg.HistSnap(s1, Map("id" -> 1, "a" -> 2, "b" -> 3),
+        parquetFieldIds = false),
+      ForeignIceberg.HistSnap(s2, Map("id" -> 1, "a" -> 2),
+        parquetFieldIds = false)))
+    val cur = IcebergMeta.read(spark, root)
+    assert(cur.columns.toSeq === Seq("id", "a"))
+    assert(cur.count() === 3L)
+    assert(cur.filter(col("a").isNull).count() === 0L)
+    val old = IcebergMeta.read(spark, root, snapshotId = Some(1L))
+    assert(old.columns.toSeq === Seq("id", "a", "b"))
+    assert(old.filter(col("b").isNull).count() === 0L)
+  }
+
   test("rename known ONLY via schema.name-mapping.default resolves") {
     import spark.implicits._
     // the standard imported-parquet shape: ONE metadata schema naming

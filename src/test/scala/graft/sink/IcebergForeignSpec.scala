@@ -151,6 +151,15 @@ class IcebergForeignSpec extends graft.SparkSpec {
       "a range-summary manifest must never be pruned")
   }
 
+  test("a partition filter matching NOTHING returns empty under the table schema") {
+    val root = ForeignIceberg.write(spark, tmpDir("fi_none"), data(),
+      Some("day"))
+    val none = IcebergMeta.read(spark, root,
+      partitions = Some(Seq("1999-01-01")))
+    assert(none.columns.toSeq === data().columns.toSeq)
+    assert(none.count() === 0L)
+  }
+
   test("broken references fail loudly, never silently empty") {
     val root = ForeignIceberg.write(spark, tmpDir("fi_loud"), data(),
       Some("day"))

@@ -480,12 +480,13 @@ class IcebergMetaSpec extends graft.SparkSpec {
       range = Some(("k", "100", "200")))
     assert(pruned.select("k").collect().map(_.getLong(0)).sorted.toSeq ===
       Seq(100L, 190L))
-    // a range with no matching file bounds fails loudly (no data files)
-    val e = intercept[IllegalArgumentException] {
-      IcebergMeta.read(spark, root, range = Some(("k", "500", "600")))
-        .count()
-    }
-    assert(e.getMessage.contains("no data files"))
+    // a range matching no file bounds is an ANSWER: empty frame
+    // under the table schema, never a crash (a no-data-for-that-key
+    // query is routine); broken REFERENCES still throw
+    val none = IcebergMeta.read(spark, root,
+      range = Some(("k", "500", "600")))
+    assert(none.columns.toSeq === Seq("part", "k", "v"))
+    assert(none.count() === 0L)
   }
 
   test("expireSnapshots trims the log and keeps shared manifests") {
