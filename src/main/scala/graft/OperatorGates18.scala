@@ -30,7 +30,10 @@ object OperatorGates18 {
     //     leakage), probe 3 = int→long + float→double promotion (old
     //     int32/float file read widened under the current schema),
     //     probe 4 = an equality-delete file KEYED UNDER THE PRE-RENAME
-    //     name applying to the old file's rows ---------------------
+    //     name applying to the old file's rows, probe 5 = a
+    //     PARTITIONED table whose metadata names differ from the
+    //     file columns (name-mapping) — pruning and rename
+    //     resolution composing in one read -------------------------
     "q_iceberg_foreign_evolve" -> ((s, dir) => {
       import graft.sink.{ForeignIceberg, IcebergMeta}
       import ForeignIceberg.HistSnap
@@ -78,6 +81,15 @@ object OperatorGates18 {
           .select(lit(probe).as("probe"), col("n"), col("n_score"),
             col("sum_score"))
       }
+      // partitioned × renamed cross-product: metadata (and the
+      // name-mapping property) says score, the id-less files say
+      // renv, partition pruning and per-file rename resolution must
+      // compose in one read
+      val tPart = ForeignIceberg.write(s, s"$tmp/t_part",
+        base.withColumn("grp", pmod(col("doc_id"), lit(4)))
+          .select(col("doc_id"), col("grp"), col("score").as("renv")),
+        Some("grp"), ForeignIceberg.Shape(
+          metaNames = Map("renv" -> "score")))
       val curIds = IcebergMeta.read(s, tIds)
       require(curIds.columns.toSeq == Seq("doc_id", "score"),
         "rename table current read is not under the renamed schema")
@@ -90,11 +102,21 @@ object OperatorGates18 {
         promo.schema("score").dataType ==
           org.apache.spark.sql.types.DoubleType,
         "promotion table must read under the widened current types")
+      val pickedPart = IcebergMeta.read(s, tPart,
+        partitions = Some(Seq("1")))
+      require(pickedPart.columns.toSeq == Seq("doc_id", "grp", "score"),
+        "partitioned rename read is not under the metadata names")
+      val p5 = pickedPart
+        .agg(count(lit(1)).as("n"), count(col("score")).as("n_score"),
+          sum(col("score")).cast("long").as("sum_score"))
+        .select(lit(5L).as("probe"), col("n"), col("n_score"),
+          col("sum_score"))
       agg(curIds, 0L)
         .unionByName(agg(IcebergMeta.read(s, tNo), 1L))
         .unionByName(agg(snap1, 2L))
         .unionByName(agg(promo, 3L))
         .unionByName(agg(IcebergMeta.read(s, tDel), 4L))
+        .unionByName(p5)
         .orderBy(col("probe"))
     }))
 
@@ -120,12 +142,17 @@ object OperatorGates18 {
         |  SELECT count(*) AS n, count(score) AS n_score,
         |    sum(score) AS sum_score FROM d
         |  WHERE doc_id NOT IN (5, 10)),
+        |part_t AS (
+        |  SELECT count(*) AS n, count(score) AS n_score,
+        |    sum(score) AS sum_score FROM d
+        |  WHERE doc_id % 4 = 1),
         |u AS (
         |  SELECT 0 AS probe, n, n_score, sum_score FROM full_t
         |  UNION ALL SELECT 1, n, n_score, sum_score FROM full_t
         |  UNION ALL SELECT 2, n, n_score, sum_score FROM old_t
         |  UNION ALL SELECT 3, n, n_score, sum_score FROM full_t
-        |  UNION ALL SELECT 4, n, n_score, sum_score FROM del_t)
+        |  UNION ALL SELECT 4, n, n_score, sum_score FROM del_t
+        |  UNION ALL SELECT 5, n, n_score, sum_score FROM part_t)
         |SELECT CAST(probe AS BIGINT) AS probe, CAST(n AS BIGINT) AS n,
         |  CAST(n_score AS BIGINT) AS n_score,
         |  CAST(sum_score AS BIGINT) AS sum_score

@@ -61,7 +61,12 @@ object ForeignIceberg {
       pathForm: String = "plain",
       historicalSchema: Boolean = false,
       snapshotSchemaId: Boolean = true,
-      rangeSummary: Boolean = false)
+      rangeSummary: Boolean = false,
+      // metadata schema names that DIFFER from the data files'
+      // parquet columns (the imported-table-renamed shape); a
+      // name-mapping property declares both names per field id, so a
+      // reader must rename-resolve AND partition-prune together
+      metaNames: Map[String, String] = Map.empty)
 
   private def iceType(dt: DataType): String = dt match {
     case BooleanType => "boolean"
@@ -454,8 +459,23 @@ object ForeignIceberg {
     val cf = cur.putArray("fields")
     df.schema.fields.zipWithIndex.foreach { case (f, i) =>
       val n = cf.addObject()
-      n.put("id", i + 1); n.put("name", f.name)
+      n.put("id", i + 1)
+      n.put("name", shape.metaNames.getOrElse(f.name, f.name))
       n.put("required", false); n.put("type", iceType(f.dataType))
+    }
+    if (shape.metaNames.nonEmpty) {
+      // declare BOTH names per renamed field — the spec's standard
+      // mechanism for id-less data files under a renamed schema
+      val arr = M.createArrayNode()
+      df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+        val o = arr.addObject()
+        o.put("field-id", i + 1)
+        val na = o.putArray("names")
+        na.add(shape.metaNames.getOrElse(f.name, f.name))
+        if (shape.metaNames.contains(f.name)) na.add(f.name)
+      }
+      rootNode.putObject("properties")
+        .put("schema.name-mapping.default", M.writeValueAsString(arr))
     }
     rootNode.put("default-spec-id", shape.specId)
     val specs = rootNode.putArray("partition-specs")

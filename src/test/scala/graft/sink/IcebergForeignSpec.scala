@@ -151,6 +151,28 @@ class IcebergForeignSpec extends graft.SparkSpec {
       "a range-summary manifest must never be pruned")
   }
 
+  test("partitioned table with RENAMED metadata names prunes AND resolves values") {
+    // the imported-table shape: metadata schema (and name-mapping)
+    // says docid/score, the id-less parquet files say id/v — the
+    // reader must rename-resolve per file AND partition-prune off
+    // the manifest summaries in the same read
+    val root = ForeignIceberg.write(spark, tmpDir("fi_renpart"), data(),
+      Some("day"), ForeignIceberg.Shape(
+        metaNames = Map("id" -> "docid", "v" -> "score")))
+    val cur = IcebergMeta.read(spark, root)
+    assert(cur.columns.toSeq ===
+      Seq("docid", "grp", "day", "ts", "cat", "score"))
+    assert(cur.filter(col("score").isNull || col("docid").isNull)
+      .count() === 0L)
+    val r = cur.agg(count(lit(1)), sum(col("score"))).collect().head
+    assert((r.getLong(0), r.getLong(1)) === sums(data()))
+    val picked = IcebergMeta.read(spark, root,
+      partitions = Some(Seq("2024-01-02")))
+    val rp = picked.agg(count(lit(1)), sum(col("score"))).collect().head
+    assert((rp.getLong(0), rp.getLong(1)) ===
+      sums(data().filter(col("grp") === 1)))
+  }
+
   test("a partition filter matching NOTHING returns empty under the table schema") {
     val root = ForeignIceberg.write(spark, tmpDir("fi_none"), data(),
       Some("day"))
