@@ -174,6 +174,7 @@ object ForeignIceberg {
       s"""{"type":"record","name":"manifest_entry","fields":[
          |{"name":"status","type":"int","field-id":0},
          |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+         |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
          |{"name":"data_file","field-id":2,"type":{"type":"record","name":"r2","fields":[
          |{"name":"content","type":"int","field-id":134},
          |{"name":"file_path","type":"string","field-id":100},
@@ -583,7 +584,8 @@ object ForeignIceberg {
       snaps: Seq[HistSnap],
       eqDelete: Seq[HistSnap] = Nil,
       snapshotSchemaIds: Boolean = true,
-      nameMapping: Option[Seq[(Int, Seq[String])]] = None): String = {
+      nameMapping: Option[Seq[(Int, Seq[String])]] = None,
+      compactManifests: Boolean = false): String = {
     require(snaps.nonEmpty, "writeHistory needs at least one snapshot")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(root).getFileSystem(conf)
@@ -596,32 +598,57 @@ object ForeignIceberg {
       case (sn, i) =>
         writeSnapParquet(spark, fs, sn, s"$root/data/s$i", sorted = true)
     }
+    def writeDataManifest(mPath: Path,
+        entries: Seq[(String, Long, Long, Long, Option[Long], Int)])
+        : Long = {
+      // entries: (path, bytes, rows, snapshotId, explicitSeq, status)
+      val w = new DataFileWriter(
+        new GenericDatumWriter[GenericRecord](eSchema))
+      w.setMeta("format-version", "2")
+      w.setMeta("content", "data")
+      w.create(eSchema, fs.create(mPath, true))
+      try entries.foreach { case (path, len, rows, snapId, seq, status) =>
+        val r = new GenericData.Record(eSchema)
+        r.put("status", status)
+        r.put("snapshot_id", snapId)
+        seq.foreach(s => r.put("sequence_number", s))
+        val d = new GenericData.Record(
+          eSchema.getField("data_file").schema())
+        d.put("content", 0)
+        d.put("file_path", path)
+        d.put("file_format", "PARQUET")
+        d.put("partition", new GenericData.Record(
+          d.getSchema.getField("partition").schema()))
+        d.put("record_count", rows)
+        d.put("file_size_in_bytes", len)
+        r.put("data_file", d)
+        w.append(r)
+      } finally w.close()
+      fs.getFileStatus(mPath).getLen
+    }
     val manifests: Seq[(Path, Long, Long)] = files.zipWithIndex.map {
       case ((path, len, rows), i) =>
         val mPath = new Path(metaDir, f"hist-m$i%03d.avro")
-        val w = new DataFileWriter(
-          new GenericDatumWriter[GenericRecord](eSchema))
-        w.setMeta("format-version", "2")
-        w.setMeta("content", "data")
-        w.create(eSchema, fs.create(mPath, true))
-        try {
-          val r = new GenericData.Record(eSchema)
-          r.put("status", 1)
-          r.put("snapshot_id", (i + 1).toLong)
-          val d = new GenericData.Record(
-            eSchema.getField("data_file").schema())
-          d.put("content", 0)
-          d.put("file_path", path)
-          d.put("file_format", "PARQUET")
-          d.put("partition", new GenericData.Record(
-            d.getSchema.getField("partition").schema()))
-          d.put("record_count", rows)
-          d.put("file_size_in_bytes", len)
-          r.put("data_file", d)
-          w.append(r)
-        } finally w.close()
-        (mPath, fs.getFileStatus(mPath).getLen, rows)
+        val mLen = writeDataManifest(mPath, Seq(
+          (path, len, rows, (i + 1).toLong, None, 1))) // fresh ADDED
+        (mPath, mLen, rows)
     }
+    // manifest REWRITE shape (e.g. Iceberg's RewriteManifests): ONE
+    // manifest holding every data file as an EXISTING entry with its
+    // ORIGINAL commit's explicit sequence_number, referenced by the
+    // LAST list at the rewrite's own (newer) seq — a reader keying
+    // files off the list seq would shield old files from
+    // strictly-newer equality deletes
+    val rewriteManifest: Option[(Path, Long, Long)] =
+      if (!compactManifests) None
+      else {
+        val mPath = new Path(metaDir, "hist-rewrite.avro")
+        val mLen = writeDataManifest(mPath,
+          files.zipWithIndex.map { case ((path, len, rows), i) =>
+            (path, len, rows, (i + 1).toLong, Some((i + 1).toLong), 0)
+          })
+        Some((mPath, mLen, files.map(_._3).sum))
+      }
 
     // ---- optional EQUALITY-delete files + ONE manifest: key rows
     //      under the names/ids of the schema the deleting engine saw
@@ -701,7 +728,13 @@ object ForeignIceberg {
         lw.append(r)
       }
       try {
-        (0 to i).foreach { j =>
+        if (i == snaps.length - 1 && rewriteManifest.isDefined)
+          rewriteManifest.foreach { case (mPath, mLen, rows) =>
+            entry(mPath, mLen, content = 0,
+              seqNum = snaps.length.toLong,
+              snapId = snaps.length.toLong, rows)
+          }
+        else (0 to i).foreach { j =>
           val (mPath, mLen, rows) = manifests(j)
           entry(mPath, mLen, content = 0, seqNum = (j + 1).toLong,
             snapId = (j + 1).toLong, rows)

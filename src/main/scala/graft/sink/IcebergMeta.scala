@@ -1348,7 +1348,11 @@ object IcebergMeta {
   private final case class FileRef(path: String, content: Int,
       eqIds: Option[Seq[Int]],
       lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]],
-      sizeBytes: Long)
+      sizeBytes: Long,
+      // the ENTRY's own sequence number: EXISTING entries carried
+      // through a manifest rewrite keep their ORIGINAL commit's seq
+      // (spec v2: only null inherits the manifest-list entry's seq)
+      seqNum: Option[Long] = None)
 
   /** The snapshot log of an Iceberg table (current metadata.json). */
   def snapshots(spark: SparkSession, tableRoot: String): Seq[SnapshotInfo] = {
@@ -1539,10 +1543,17 @@ object IcebergMeta {
                   bb.duplicate().get(bytes)
                   r.get("key").asInstanceOf[Int] -> bytes
                 }.toMap).getOrElse(Map.empty)
+            // ENTRY-level sequence number (field-id 3): explicit on
+            // EXISTING entries a manifest rewrite carried forward;
+            // null on freshly ADDED entries (inherits the list seq)
+            val entrySeq = Option(e.getSchema.getField("sequence_number"))
+              .flatMap(_ => Option(e.get("sequence_number")))
+              .map(_.asInstanceOf[Long])
             out += FileRef(dfr.get("file_path").toString,
               dfr.get("content").asInstanceOf[Int], eqIds,
               boundsMap("lower_bounds"), boundsMap("upper_bounds"),
-              dfr.get("file_size_in_bytes").asInstanceOf[Long])
+              dfr.get("file_size_in_bytes").asInstanceOf[Long],
+              entrySeq)
           }
         }
         out.result()
@@ -1579,10 +1590,17 @@ object IcebergMeta {
           keepLo && keepHi
         }
     }
+    // each file keyed by ITS OWN sequence number (explicit entry seq
+    // from a manifest rewrite wins; null inherits the list entry's) —
+    // keying carried-forward EXISTING files by the REWRITE's newer
+    // seq would stop strictly-newer equality deletes from applying
+    // to them: silent under-deletion
     val dataBySeq: Map[Long, Seq[String]] = prunedData
-      .groupBy(_.sequenceNumber)
-      .view.mapValues(_.flatMap(e => filesOf(e.manifestPath)
-        .filter(rangePredicate).map(_.path)))
+      .flatMap(e => filesOf(e.manifestPath)
+        .filter(rangePredicate)
+        .map(f => (f.seqNum.getOrElse(e.sequenceNumber), f.path)))
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2))
       .filter(_._2.nonEmpty)
       .toMap
     // split each delete manifest's files by data_file content:
@@ -1595,23 +1613,28 @@ object IcebergMeta {
     deleteEntries.foreach { e =>
       val fl = filesOf(e.manifestPath)
       val (pos, eq) = fl.partition(_.content == 1)
-      if (pos.nonEmpty) posDeletes += ((e.sequenceNumber, pos.map(_.path),
-        pos.map(_.sizeBytes).sum))
+      // delete files keyed by their own entry seq too (a rewrite may
+      // carry delete files forward the same way)
+      pos.groupBy(_.seqNum.getOrElse(e.sequenceNumber)).foreach {
+        case (s, fl2) =>
+          posDeletes += ((s, fl2.map(_.path), fl2.map(_.sizeBytes).sum))
+      }
       // equality_ids is a data_file field — one MANIFEST may legally
       // mix delete files keyed on different column sets; group by the
-      // per-FILE ids so each file anti-joins on ITS OWN key columns
-      // (applying the head's ids to all would null-key the others and
-      // silently skip their deletes)
-      eq.groupBy(_.eqIds).foreach { case (idsOpt, fl2) =>
-        val eqIds = idsOpt.getOrElse(
-          throw new IllegalStateException(
-            s"equality-delete manifest ${e.manifestPath} without equality_ids"))
-        eqIds.foreach(id => require(fieldById.contains(id),
-          s"unknown field id $id in equality-delete manifest " +
-            e.manifestPath))
-        eqDeletes += ((e.sequenceNumber, fl2.map(_.path),
-          fl2.map(_.sizeBytes).sum, eqIds))
-      }
+      // per-FILE (seq, ids) so each file anti-joins on ITS OWN key
+      // columns at ITS OWN sequence (applying the head's ids to all
+      // would null-key the others and silently skip their deletes)
+      eq.groupBy(f => (f.seqNum.getOrElse(e.sequenceNumber), f.eqIds))
+        .foreach { case ((s, idsOpt), fl2) =>
+          val eqIds = idsOpt.getOrElse(
+            throw new IllegalStateException(
+              s"equality-delete manifest ${e.manifestPath} without equality_ids"))
+          eqIds.foreach(id => require(fieldById.contains(id),
+            s"unknown field id $id in equality-delete manifest " +
+              e.manifestPath))
+          eqDeletes += ((s, fl2.map(_.path),
+            fl2.map(_.sizeBytes).sum, eqIds))
+        }
     }
     val eqDels = eqDeletes.result()
     val posDels = posDeletes.result()

@@ -281,6 +281,30 @@ class IcebergEvolveSpec extends graft.SparkSpec {
     assert(cur.filter(col("b").isNull).count() === 0L)
   }
 
+  test("manifest REWRITE keeps per-entry sequences: older files still receive deletes") {
+    import spark.implicits._
+    // RewriteManifests shape: ONE manifest (list seq = 2) carries both
+    // data files as EXISTING entries with their ORIGINAL seqs (1, 2);
+    // an equality delete at seq 2 must still remove id 0 from the
+    // seq-1 file while the seq-2 file's id 0 row SURVIVES (deletes
+    // apply strictly older). A reader keying files off the LIST seq
+    // shields the old file and silently under-deletes.
+    val s1 = Seq((0L, 10L), (1L, 11L)).toDF("id", "v")
+    val s2 = Seq((0L, 99L), (2L, 12L)).toDF("id", "v")
+    val root = ForeignIceberg.writeHistory(spark, tmpDir("fi_rw"), Seq(
+      ForeignIceberg.HistSnap(s1, Map("id" -> 1, "v" -> 2),
+        parquetFieldIds = false),
+      ForeignIceberg.HistSnap(s2, Map("id" -> 1, "v" -> 2),
+        parquetFieldIds = false)),
+      eqDelete = Seq(ForeignIceberg.HistSnap(Seq(0L).toDF("id"),
+        Map("id" -> 1), parquetFieldIds = false)),
+      compactManifests = true)
+    val rows = IcebergMeta.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(t => (t._1, t._2))
+      .toSeq
+    assert(rows === Seq((0L, 99L), (1L, 11L), (2L, 12L)))
+  }
+
   test("foreign DROP history: current read lacks the column, time travel keeps it") {
     import spark.implicits._
     val s1 = Seq((0L, 1L, 9L), (1L, 2L, 8L)).toDF("id", "a", "b")
