@@ -1396,6 +1396,12 @@ object IcebergMeta {
     val v = currentMetaVersion(fs, metaDir)
     require(v > 0, s"no Iceberg metadata under $tableRoot")
     val md = M.readTree(readBytes(fs, metadataJsonAt(fs, metaDir, v)))
+    // v1 tables have no sequence numbers and different delete
+    // semantics — refuse with a clear message instead of mis-reading
+    val fv = md.path("format-version").asInt(0)
+    require(fv == 2,
+      s"unsupported Iceberg format-version $fv under $tableRoot — " +
+        "this reader implements table-spec v2")
     val wantSnap = snapshotId.getOrElse(md.get("current-snapshot-id").asLong())
     val snapNode = md.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == wantSnap)

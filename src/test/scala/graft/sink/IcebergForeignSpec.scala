@@ -190,4 +190,25 @@ class IcebergForeignSpec extends graft.SparkSpec {
     }
     assert(e.getMessage.contains("snapshot 99"))
   }
+
+  test("a v1 table refuses with a clear message, never mis-reads") {
+    val root = ForeignIceberg.write(spark, tmpDir("fi_v1"), data(),
+      Some("day"))
+    // rewrite the metadata claiming format-version 1 (through the
+    // Hadoop FS so the local-FS .crc sidecar stays consistent)
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mp = new org.apache.hadoop.fs.Path(
+      s"$root/metadata/v00001.metadata.json")
+    val in = hfs.open(mp)
+    val txt = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val out = hfs.create(mp, true)
+    out.write(txt.replaceFirst("\"format-version\"\\s*:\\s*2",
+      "\"format-version\" : 1").getBytes("UTF-8"))
+    out.close()
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.read(spark, root).count()
+    }
+    assert(e.getMessage.contains("format-version 1"))
+  }
 }
