@@ -585,7 +585,8 @@ object ForeignIceberg {
       eqDelete: Seq[HistSnap] = Nil,
       snapshotSchemaIds: Boolean = true,
       nameMapping: Option[Seq[(Int, Seq[String])]] = None,
-      compactManifests: Boolean = false): String = {
+      compactManifests: Boolean = false,
+      refs: Map[String, Long] = Map.empty): String = {
     require(snaps.nonEmpty, "writeHistory needs at least one snapshot")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(root).getFileSystem(conf)
@@ -804,6 +805,19 @@ object ForeignIceberg {
       if (snapshotSchemaIds) sNode.put("schema-id", i)
       sNode.put("manifest-list", listPaths(i).toString)
       sNode.putObject("summary").put("operation", "append")
+    }
+    if (refs.nonEmpty) {
+      // branch/tag refs: "main" as a branch on the current snapshot
+      // plus the caller's named tags — the spec's refs map shape
+      val rNode = rootNode.putObject("refs")
+      val main = rNode.putObject("main")
+      main.put("snapshot-id", snaps.length.toLong)
+      main.put("type", "branch")
+      refs.foreach { case (name, snapId) =>
+        val t = rNode.putObject(name)
+        t.put("snapshot-id", snapId)
+        t.put("type", "tag")
+      }
     }
     val out = fs.create(new Path(metaDir, "v00001.metadata.json"), true)
     out.write(M.writerWithDefaultPrettyPrinter().writeValueAsBytes(rootNode))

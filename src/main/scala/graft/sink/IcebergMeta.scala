@@ -1389,7 +1389,8 @@ object IcebergMeta {
   def read(spark: SparkSession, tableRoot: String,
       snapshotId: Option[Long] = None,
       partitions: Option[Seq[String]] = None,
-      range: Option[(String, String, String)] = None): DataFrame = {
+      range: Option[(String, String, String)] = None,
+      ref: Option[String] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metaDir = new Path(s"$tableRoot/metadata")
     val fs = metaDir.getFileSystem(conf)
@@ -1402,7 +1403,17 @@ object IcebergMeta {
     require(fv == 2,
       s"unsupported Iceberg format-version $fv under $tableRoot — " +
         "this reader implements table-spec v2")
-    val wantSnap = snapshotId.getOrElse(md.get("current-snapshot-id").asLong())
+    // branch/tag refs (the metadata's `refs` map) are an alternative
+    // snapshot selector: explicit snapshotId wins, then the named
+    // ref, then the current snapshot. An unknown ref fails loudly.
+    val refSnap: Option[Long] = ref.map { name =>
+      val node = md.path("refs").path(name)
+      require(node.hasNonNull("snapshot-id"),
+        s"ref '$name' not found under $tableRoot")
+      node.get("snapshot-id").asLong()
+    }
+    val wantSnap = snapshotId.orElse(refSnap)
+      .getOrElse(md.get("current-snapshot-id").asLong())
     val snapNode = md.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == wantSnap)
       .getOrElse(throw new IllegalArgumentException(

@@ -305,6 +305,24 @@ class IcebergEvolveSpec extends graft.SparkSpec {
     assert(rows === Seq((0L, 99L), (1L, 11L), (2L, 12L)))
   }
 
+  test("branch/tag refs select snapshots; unknown refs fail loudly") {
+    import spark.implicits._
+    val s1 = Seq((0L, 10L)).toDF("id", "v")
+    val s2 = Seq((1L, 20L)).toDF("id", "v")
+    val root = ForeignIceberg.writeHistory(spark, tmpDir("fi_refs"), Seq(
+      ForeignIceberg.HistSnap(s1, Map("id" -> 1, "v" -> 2)),
+      ForeignIceberg.HistSnap(s2, Map("id" -> 1, "v" -> 2))),
+      refs = Map("v1-audit" -> 1L))
+    assert(IcebergMeta.read(spark, root, ref = Some("v1-audit"))
+      .count() === 1L)
+    assert(IcebergMeta.read(spark, root, ref = Some("main"))
+      .count() === 2L)
+    val e = intercept[IllegalArgumentException] {
+      IcebergMeta.read(spark, root, ref = Some("nope")).count()
+    }
+    assert(e.getMessage.contains("ref 'nope'"))
+  }
+
   test("foreign DROP history: current read lacks the column, time travel keeps it") {
     import spark.implicits._
     val s1 = Seq((0L, 1L, 9L), (1L, 2L, 8L)).toDF("id", "a", "b")
