@@ -1312,9 +1312,7 @@ object IcebergMeta {
     val metaDir = new Path(s"$tableRoot/metadata")
     val fs = metaDir.getFileSystem(conf)
     val v = currentMetaVersion(fs, metaDir)
-    require(v > 0, s"no Iceberg metadata under $tableRoot")
-    val md = M.readTree(readBytes(fs, metadataJsonAt(fs, metaDir, v)))
-      .asInstanceOf[ObjectNode]
+    val md = loadMetadata(fs, metaDir, tableRoot).asInstanceOf[ObjectNode]
     val snaps = md.get("snapshots").elements().asScala.toSeq
     if (snaps.length <= keepLast) return 0
     val (dropped, kept) = snaps.splitAt(snaps.length - keepLast)
@@ -1354,14 +1352,31 @@ object IcebergMeta {
       // (spec v2: only null inherits the manifest-list entry's seq)
       seqNum: Option[Long] = None)
 
+  /** Load + validate the table's CURRENT metadata.json: version hint
+    * resolution and the format-version guard (v1 tables have no
+    * sequence numbers and different delete semantics — every public
+    * reading entry point must refuse them with this clear message,
+    * not an opaque NPE deeper in).
+    */
+  private def loadMetadata(fs: org.apache.hadoop.fs.FileSystem,
+      metaDir: Path, tableRoot: String)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val v = currentMetaVersion(fs, metaDir)
+    require(v > 0, s"no Iceberg metadata under $tableRoot")
+    val md = M.readTree(readBytes(fs, metadataJsonAt(fs, metaDir, v)))
+    val fv = md.path("format-version").asInt(0)
+    require(fv == 2,
+      s"unsupported Iceberg format-version $fv under $tableRoot — " +
+        "this reader implements table-spec v2")
+    md
+  }
+
   /** The snapshot log of an Iceberg table (current metadata.json). */
   def snapshots(spark: SparkSession, tableRoot: String): Seq[SnapshotInfo] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val metaDir = new Path(s"$tableRoot/metadata")
     val fs = metaDir.getFileSystem(conf)
-    val v = currentMetaVersion(fs, metaDir)
-    require(v > 0, s"no Iceberg metadata under $tableRoot")
-    val md = M.readTree(readBytes(fs, metadataJsonAt(fs, metaDir, v)))
+    val md = loadMetadata(fs, metaDir, tableRoot)
     md.get("snapshots").elements().asScala.map(s =>
       SnapshotInfo(s.get("snapshot-id").asLong(),
         s.get("sequence-number").asLong(),
@@ -1394,26 +1409,19 @@ object IcebergMeta {
     val conf = spark.sparkContext.hadoopConfiguration
     val metaDir = new Path(s"$tableRoot/metadata")
     val fs = metaDir.getFileSystem(conf)
-    val v = currentMetaVersion(fs, metaDir)
-    require(v > 0, s"no Iceberg metadata under $tableRoot")
-    val md = M.readTree(readBytes(fs, metadataJsonAt(fs, metaDir, v)))
-    // v1 tables have no sequence numbers and different delete
-    // semantics — refuse with a clear message instead of mis-reading
-    val fv = md.path("format-version").asInt(0)
-    require(fv == 2,
-      s"unsupported Iceberg format-version $fv under $tableRoot — " +
-        "this reader implements table-spec v2")
+    val md = loadMetadata(fs, metaDir, tableRoot)
     // branch/tag refs (the metadata's `refs` map) are an alternative
-    // snapshot selector: explicit snapshotId wins, then the named
-    // ref, then the current snapshot. An unknown ref fails loudly.
-    val refSnap: Option[Long] = ref.map { name =>
-      val node = md.path("refs").path(name)
-      require(node.hasNonNull("snapshot-id"),
-        s"ref '$name' not found under $tableRoot")
-      node.get("snapshot-id").asLong()
-    }
-    val wantSnap = snapshotId.orElse(refSnap)
-      .getOrElse(md.get("current-snapshot-id").asLong())
+    // snapshot selector: explicit snapshotId wins (the ref is not
+    // even resolved then), then the named ref — unknown fails loudly
+    // — then the current snapshot
+    val wantSnap = snapshotId.getOrElse(ref match {
+      case Some(name) =>
+        val node = md.path("refs").path(name)
+        require(node.hasNonNull("snapshot-id"),
+          s"ref '$name' not found under $tableRoot")
+        node.get("snapshot-id").asLong()
+      case None => md.get("current-snapshot-id").asLong()
+    })
     val snapNode = md.get("snapshots").elements().asScala
       .find(_.get("snapshot-id").asLong() == wantSnap)
       .getOrElse(throw new IllegalArgumentException(
@@ -1618,7 +1626,6 @@ object IcebergMeta {
         .map(f => (f.seqNum.getOrElse(e.sequenceNumber), f.path)))
       .groupBy(_._1)
       .view.mapValues(_.map(_._2))
-      .filter(_._2.nonEmpty)
       .toMap
     // split each delete manifest's files by data_file content:
     // equality deletes (content 2, carry equality_ids) vs position
@@ -1847,8 +1854,20 @@ object IcebergMeta {
     // to AQE, which picks shuffled-hash/sort-merge at runtime size
     def sizeHint(df: DataFrame, bytes: Long): DataFrame =
       if (bytes <= (64L << 20)) broadcast(df) else df
-    dataBySeq.toSeq.sortBy(_._1).map { case (s, files) =>
-      val posApplicable = posDels.filter(_._1 >= s)
+    // data sequences grouped by the SET of deletes applicable to
+    // them: the scan fans out per delete-APPLICABILITY class, not per
+    // distinct historical seq — a table whose 50 append commits were
+    // carried through one manifest rewrite has 50 seqs but (with no
+    // deletes) ONE class and therefore one scan
+    val bySig: Seq[(Seq[String], Seq[(Long, Seq[String], Long)],
+        Seq[(Long, Seq[String], Long, Seq[Int])])] =
+      dataBySeq.toSeq.sortBy(_._1).groupBy { case (s, _) =>
+        (posDels.indices.filter(i => posDels(i)._1 >= s),
+          eqDels.indices.filter(i => eqDels(i)._1 > s))
+      }.toSeq.sortBy(_._2.head._1).map { case ((pIdx, eIdx), grp) =>
+        (grp.flatMap(_._2), pIdx.map(posDels), eIdx.map(eqDels))
+      }
+    bySig.map { case (files, posApplicable, eqApplicable) =>
       var df =
         if (posApplicable.isEmpty) readData(files, withMeta = false)
         else {
@@ -1861,7 +1880,7 @@ object IcebergMeta {
               "left_anti")
             .drop("__gpath", "__gpos")
         }
-      eqDels.filter(_._1 > s).foreach { case (_, delFiles, delBytes, eqIds) =>
+      eqApplicable.foreach { case (_, delFiles, delBytes, eqIds) =>
         val eqCols = eqIds.map(fieldById)
         val delDf = readDeleteKeys(delFiles, eqIds).distinct()
         df = df.join(sizeHint(delDf, delBytes), eqCols, "left_anti")

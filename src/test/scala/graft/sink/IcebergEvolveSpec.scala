@@ -323,6 +323,23 @@ class IcebergEvolveSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("ref 'nope'"))
   }
 
+  test("a rewrite with NO deletes plans ONE scan, not one per original seq") {
+    import spark.implicits._
+    val root = ForeignIceberg.writeHistory(spark, tmpDir("fi_rwplan"), Seq(
+      ForeignIceberg.HistSnap(Seq((0L, 1L)).toDF("id", "v"),
+        Map("id" -> 1, "v" -> 2)),
+      ForeignIceberg.HistSnap(Seq((1L, 2L)).toDF("id", "v"),
+        Map("id" -> 1, "v" -> 2)),
+      ForeignIceberg.HistSnap(Seq((2L, 3L)).toDF("id", "v"),
+        Map("id" -> 1, "v" -> 2))),
+      compactManifests = true)
+    val df = IcebergMeta.read(spark, root)
+    assert(df.count() === 3L)
+    // three distinct original seqs but one delete-applicability class
+    // (no deletes) — the scan must not shatter per seq
+    assert(df.queryExecution.optimizedPlan.collectLeaves().length === 1)
+  }
+
   test("foreign DROP history: current read lacks the column, time travel keeps it") {
     import spark.implicits._
     val s1 = Seq((0L, 1L, 9L), (1L, 2L, 8L)).toDF("id", "a", "b")
