@@ -224,9 +224,13 @@ object OperatorGates16 {
         }).toDF("media_id", "content")
       val fp = Multimodal
         .fingerprintAudio(media, windows = 65, minSamples = 4160).toDF()
-      fp.join(fp.groupBy(col("ahash")).agg(min(col("media_id")).as("rep")),
-          "ahash")
-        .select(col("media_id"), col("rep"))
+      // representative per ahash group via a window min — the previous
+      // self-join (fp ⋈ fp.groupBy(ahash)) evaluated the whole
+      // encode+fingerprint pipeline twice; same rows, one pass
+      fp.select(col("media_id"),
+          min(col("media_id")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("ahash")))
+            .as("rep"))
         .orderBy(col("media_id"))
     }))
 

@@ -28,7 +28,14 @@ object Tables {
   val sessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
-    "spark.sql.session.timeZone" -> "UTC")
+    "spark.sql.session.timeZone" -> "UTC",
+    // let AQE coalesce the output partitioning of persisted plans the
+    // same way it does un-persisted ones: the incremental-publish /
+    // ledger-merge paths persist their (small) deltas, and without
+    // this every cached read fans back out to the full
+    // spark.sql.shuffle.partitions task count regardless of size —
+    // scale-adaptive in both directions, not a local-core-count tune
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning" -> "true")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")

@@ -223,6 +223,16 @@ object ForeignIceberg {
     * MERGE/DELETE lands next to older data manifests in one manifest
     * list. Returns the table root (= `root`).
     */
+  /** Exact row count from a just-written parquet footer — driver
+    * metadata IO instead of a whole count() Spark job per file.
+    */
+  private def footerRowCount(conf: org.apache.hadoop.conf.Configuration,
+      p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   def write(spark: SparkSession, root: String, df: DataFrame,
       partCol: Option[String], shape: Shape = Shape(),
       posDeletes: Seq[(Int, Long)] = Nil,
@@ -233,7 +243,10 @@ object ForeignIceberg {
     fs.mkdirs(metaDir)
     val hasDeletes = posDeletes.nonEmpty || eqDeletes.nonEmpty
 
-    // ---- data files: one parquet per partition value (gate-bounded)
+    // ---- data files: one parquet per partition value (gate-bounded).
+    //      Row counts come from the just-written footer (driver
+    //      metadata IO) — a per-file count() job doubled the fixture's
+    //      Spark-job count for a number the footer already holds.
     def onePartFile(d: DataFrame, dir: String): (String, Long, Long) = {
       d.coalesce(1)
         .sortWithinPartitions(d.columns.map(col).toSeq: _*)
@@ -242,7 +255,8 @@ object ForeignIceberg {
         .filter(st => st.getPath.getName.startsWith("part-") &&
           st.getPath.getName.endsWith(".parquet"))
       require(part.length == 1, s"expected one part file under $dir")
-      (part.head.getPath.toUri.getPath, part.head.getLen, d.count())
+      (part.head.getPath.toUri.getPath, part.head.getLen,
+        footerRowCount(conf, part.head.getPath))
     }
     // (bound bytes, avro partition value, path, length, rows) per file
     val files: Seq[(Option[(Array[Byte], Any)], String, Long, Long)] =
@@ -254,10 +268,32 @@ object ForeignIceberg {
           val dt = df.schema(pc).dataType
           val vals = df.select(col(pc)).distinct().collect().map(_.get(0))
             .sortBy(_.toString)
+          // ONE write job for every partition value: route each value
+          // to its ordinal via an exact when-chain (no dir-name value
+          // escaping to decode back), one task per value so each dir
+          // holds exactly one sorted file — previously a write + count
+          // job pair PER VALUE re-ran over the base for each of them
+          val ord = vals.zipWithIndex.foldLeft(lit(-1)) { case (acc, (v, i)) =>
+            when(col(pc) === lit(v), lit(i)).otherwise(acc) }
+          // sort leads with _p so the dynamic-partition writer's
+          // required ordering is already satisfied (no extra sort
+          // inserted that could disturb the within-value row order);
+          // _p is constant within a value, so per-file order stays
+          // exactly "sorted by all original columns"
+          df.withColumn("_p", ord)
+            .repartition(vals.length, col("_p"))
+            .sortWithinPartitions((col("_p") +: df.columns.map(col)).toSeq: _*)
+            .write.mode("overwrite").partitionBy("_p")
+            .parquet(s"$root/data/byval")
           vals.zipWithIndex.toSeq.map { case (v, i) =>
-            val (p, len, n) =
-              onePartFile(df.filter(col(pc) === lit(v)), s"$root/data/p$i")
-            (Some(transformed(shape.transform, dt, v)), p, len, n)
+            val dir = s"$root/data/byval/_p=$i"
+            val part = fs.listStatus(new Path(dir))
+              .filter(st => st.getPath.getName.startsWith("part-") &&
+                st.getPath.getName.endsWith(".parquet"))
+            require(part.length == 1, s"expected one part file under $dir")
+            (Some(transformed(shape.transform, dt, v)),
+              part.head.getPath.toUri.getPath, part.head.getLen,
+              footerRowCount(conf, part.head.getPath))
           }
       }
 
@@ -338,7 +374,8 @@ object ForeignIceberg {
         .filter(st => st.getPath.getName.startsWith("part-") &&
           st.getPath.getName.endsWith(".parquet"))
       require(part.length == 1, s"expected one part file under $dir")
-      (part.head.getPath.toUri.getPath, part.head.getLen, d.count())
+      (part.head.getPath.toUri.getPath, part.head.getLen,
+        footerRowCount(conf, part.head.getPath))
     }
     val posManifest = if (posDeletes.isEmpty) None else {
       import spark.implicits._
@@ -573,7 +610,9 @@ object ForeignIceberg {
         .filter(st => st.getPath.getName.startsWith("part-") &&
           st.getPath.getName.endsWith(".parquet"))
       require(part.length == 1, s"expected one part file under $dir")
-      (part.head.getPath.toUri.getPath, part.head.getLen, sn.df.count())
+      (part.head.getPath.toUri.getPath, part.head.getLen,
+        footerRowCount(spark.sparkContext.hadoopConfiguration,
+          part.head.getPath))
     } finally prev match {
       case Some(v) => spark.conf.set(writeIdsKey, v)
       case None => spark.conf.unset(writeIdsKey)
