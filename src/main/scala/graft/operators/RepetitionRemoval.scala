@@ -89,17 +89,24 @@ object RepetitionRemoval {
           .when(col("dup_ratio") > trimAbove, "trim")
           .otherwise("keep"))
     val rawTokens = size(split(coalesce(col(textCol), lit("")), " ")).cast("long")
-    val kept = flagged.filter(col("action") === "keep")
+    // keeps and drops are row-wise transforms of the same scan — one
+    // branch with when() instead of two union arms, so the (expensive,
+    // whole-corpus) dup-ratio projection above runs once for both
+    val keptOrDropped = flagged.filter(col("action") =!= "trim")
       .withColumn("n_tokens", rawTokens)
-      .withColumn("n_dup_tokens", lit(0L))
-      .withColumn("clean_text", col(textCol))
-    val dropped = flagged.filter(col("action") === "drop")
-      .withColumn("n_tokens", rawTokens)
-      .withColumn("n_dup_tokens", rawTokens)
-      .withColumn("clean_text", lit(null).cast("string"))
+      .withColumn("n_dup_tokens",
+        when(col("action") === "drop", rawTokens).otherwise(lit(0L)))
+      .withColumn("clean_text",
+        when(col("action") === "drop", lit(null).cast("string"))
+          .otherwise(col(textCol)))
+    // the trim slice feeds the gram aggregate, the dup-key semi-join,
+    // and the span removal — persist it (bounded by the trim slice,
+    // typically a small fraction of the corpus) so those passes don't
+    // each re-run the dup-ratio classify over everything
     val toTrim = flagged.filter(col("action") === "trim")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val trimmed = SubstringDedup.applySpanRemoval(toTrim, idCol, textCol,
       repeatedSpansWithinDoc(toTrim, idCol, textCol, trimK))
-    kept.unionByName(trimmed).unionByName(dropped)
+    keptOrDropped.unionByName(trimmed)
   }
 }

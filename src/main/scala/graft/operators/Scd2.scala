@@ -88,14 +88,21 @@ object Scd2 {
     val touched = delta.select(col(key)).distinct()
     val untouched = dim.join(touched, Seq(key), "left_anti")
     val touchedDim = dim.join(touched, Seq(key), "left_semi")
+    // replayed events are byte-identical re-deliveries of the same
+    // (key, seq); reconstructed D rows carry null attrs but D attrs
+    // never reach the output, so an arbitrary survivor is safe.
+    // Dedup via a lag under the SAME (key, _seq)-ordered window
+    // fromChangelog sorts by — dropDuplicates(key, _seq) forced an
+    // extra hash exchange on (key, _seq) between two key-partitioned
+    // windows; this shape does one exchange for dedup + rebuild.
+    val w = Window.partitionBy(col(key)).orderBy(col("_seq"))
     val replay = toChangelog(touchedDim, key, attrs)
       .unionByName(delta.select(
         Seq(col(key), col(seq).as("_seq"), col(op).as("_op")) ++
           attrs.map(col): _*))
-      // replayed events are byte-identical re-deliveries of the same
-      // (key, seq); reconstructed D rows carry null attrs but D attrs
-      // never reach the output, so an arbitrary survivor is safe
-      .dropDuplicates(key, "_seq")
+      .withColumn("_prev_seq", lag(col("_seq"), 1).over(w))
+      .filter(col("_prev_seq").isNull || col("_prev_seq") =!= col("_seq"))
+      .drop("_prev_seq")
     val rebuilt = fromChangelog(replay, key, "_seq", "_op", attrs)
     untouched.unionByName(rebuilt)
   }

@@ -233,7 +233,16 @@ final class ShardedTable(val root: String, val partCol: String,
       val aggs = statsCols.flatMap(c => Seq(
         render(min(col(c)), kinds(c)).as(s"zmin:$c"),
         render(max(col(c)), kinds(c)).as(s"zmax:$c")))
-      val rows = df.withColumn("_part", col(partCol).cast("string"))
+      // aggregate the files this commit just wrote, not the delta
+      // plan again — same rows, but the write above already paid for
+      // computing them once. The explicit schema pins _part to STRING
+      // so partition-type inference can't reshape a value ("007" must
+      // stay "007"), matching the written cast-to-string render.
+      val readSchema = org.apache.spark.sql.types.StructType(
+        df.schema.fields :+
+          org.apache.spark.sql.types.StructField("_part", StringType))
+      val rows = df.sparkSession.read.schema(readSchema)
+        .option("basePath", dataDir).parquet(staged.values.toSeq.sorted: _*)
         .groupBy(col("_part")).agg(aggs.head, aggs.tail: _*)
         .collect() // one row per TOUCHED partition — delta-bounded
       rows.flatMap { r =>
