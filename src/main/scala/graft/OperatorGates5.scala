@@ -432,7 +432,11 @@ object OperatorGates5 {
       import graft.functions.Ann
       val emb = t(s, dir, "embeddings")
       val sem = Ann.semanticDedup(emb, Ann.sampledIvf(emb, k = 16), threshold = 0.9)
+      // consumed by the IVF fit, the PQ fit, the probe slice and the
+      // search corpus — persist so the semantic-dedup banded join isn't
+      // re-run four times (the IVF fit's collect materializes it)
       val survivors = sem.filter(col("kept")).select(col("vec_id")).join(emb, Seq("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ivf = Ann.sampledIvf(survivors, k = 8)
       val pq = Ann.sampledPq(survivors, nSub = 8, nCents = 16)
       val probes = survivors.filter(pmod(col("vec_id"), lit(50)) === 0)

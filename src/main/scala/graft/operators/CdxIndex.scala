@@ -131,9 +131,15 @@ object CdxIndex {
         col("offset") > col("prev_end") + maxGap, 1).otherwise(0))
     val islands = flagged.withColumn("island",
       sum(col("new_island")).over(w))
+    // island start = running max of the island-opening offsets, under
+    // the SAME (filename)-partitioned window as everything above —
+    // offsets ascend within a file, so the latest opener seen IS the
+    // current island's min(offset). The previous min-over-(filename,
+    // island) window forced an extra hash exchange + sort on a
+    // partitioning nothing else uses.
     val capped = islands.withColumn("sub",
-      floor((col("offset") - min(col("offset")).over(
-        Window.partitionBy(col("filename"), col("island")))) /
+      floor((col("offset") - max(when(col("new_island") === 1,
+        col("offset"))).over(w.rowsBetween(Window.unboundedPreceding, 0))) /
         lit(maxRangeBytes)))
     capped.groupBy(col("filename"), col("island"), col("sub"))
       .agg(min(col("offset")).as("range_start"),
