@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout/stderr through UNPREFIXED: sbt's default
+// LoggedOutput prepends "[info] " to every stdout line, which made the
+// bench's one-line JSON contract unparseable as captured by the driver
+// (PERF per_query was empty two rounds running). StdoutOutput inherits
+// the parent's streams verbatim, so the JSON line survives intact.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -159,12 +159,19 @@ object Bench {
     val top = byName.filter(_._3).sortBy(-_._4).take(TopInline)
       .map { case (n, _, _, mn) => s"${jq(n)}:${jd(mn)}" }
       .mkString("{", ",", "}")
-    println(
+    val line =
       s"""{"metric":"total","value":${jd(total)},"unit":"sec","sf":${jq(sfDir)},""" +
         s""""n_queries":${byName.size},"best_of":$BestOf,"errors":$errs,""" +
         s""""flaky":$flaky,""" +
         s""""flagged":$flagged,"queries":$top,"queries_truncated":true,""" +
-        s""""full":${jq(fullPath)}}""")
+        s""""full":${jq(fullPath)}}"""
+    // file-based fallback for the stdout contract: the identical
+    // compact line, so a log-capture mangling (prefixes, truncation)
+    // never costs the round its per-query PERF data again
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(new java.io.File("BENCH_LINE.json").getAbsolutePath),
+      line + "\n")
+    println(line)
     spark.stop()
   }
 }
