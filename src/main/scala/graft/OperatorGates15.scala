@@ -764,9 +764,12 @@ object OperatorGates15 {
       val q = stream.writeStream
         .foreachBatch { (delta: DataFrame, _: Long) =>
           val hasCurrent = table.currentVersion.isDefined
-          val (merged, touched) = CdxIndex.ledgerMerge(s, table,
+          val (merged, touched, cleanup) = CdxIndex.ledgerMerge(s, table,
             hasCurrent, delta, warcDir, "seq", maxGap = 512L, nShards = 8)
-          table.commit(merged, touched)
+          // release the epoch's delta caches once the commit has
+          // materialized them — a stream leaks one cache entry per
+          // micro-batch otherwise
+          try table.commit(merged, touched) finally cleanup()
           ()
         }
         .option("checkpointLocation", s"$tmp/ck")

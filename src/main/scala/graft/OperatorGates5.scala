@@ -433,10 +433,15 @@ object OperatorGates5 {
       val emb = t(s, dir, "embeddings")
       val sem = Ann.semanticDedup(emb, Ann.sampledIvf(emb, k = 16), threshold = 0.9)
       // consumed by the IVF fit, the PQ fit, the probe slice and the
-      // search corpus — persist so the semantic-dedup banded join isn't
-      // re-run four times (the IVF fit's collect materializes it)
+      // search corpus — materialize once so the semantic-dedup banded
+      // join isn't re-run four times (the IVF fit's collect triggers
+      // it). A lazy localCheckpoint, NOT persist: persist pins the
+      // plan in the SQL CacheManager (never released — this gate has
+      // no post-action hook) AND serves the warmup pass's blocks to
+      // later timed passes of the identical plan, which under-reports
+      // the query. Checkpoint blocks are GC-reclaimed and per-call.
       val survivors = sem.filter(col("kept")).select(col("vec_id")).join(emb, Seq("vec_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(false)
       val ivf = Ann.sampledIvf(survivors, k = 8)
       val pq = Ann.sampledPq(survivors, nSub = 8, nCents = 16)
       val probes = survivors.filter(pmod(col("vec_id"), lit(50)) === 0)

@@ -106,22 +106,31 @@ object Bm25 {
     * never rewritten (they carry over by manifest reference). Same
     * delta-wins algebra as [[mergeIndex]]; `hasCurrent = false` means
     * full build (first epoch, or data deleted under the metadata).
-    * The touched list is a driver-side collect bounded by nShards.
+    * The touched list is a driver-side collect bounded by nShards —
+    * or pass `precomputedTouched` when the caller already aggregated
+    * it (e.g. folded into a delta-stats job), skipping that job here.
+    * `deltaIds` optionally supplies the distinct changed doc ids from
+    * a CHEAPER plan than latestDocs (e.g. the raw pre-dedup delta,
+    * whose id set is identical but carries no window): the retraction
+    * anti-join only needs the id set.
     */
   def shardedMerge(table: graft.sink.ShardedTable, hasCurrent: Boolean,
       latestDocs: DataFrame, idCol: String, textCol: String,
-      nShards: Int): (DataFrame, Seq[String]) = {
+      nShards: Int, precomputedTouched: Option[Seq[String]] = None,
+      deltaIds: Option[DataFrame] = None): (DataFrame, Seq[String]) = {
     val spark = latestDocs.sparkSession
     val delta = shardedIndex(latestDocs, idCol, textCol, nShards)
     // from the DOC ids, not the delta postings: a doc updated to empty
     // text has no new postings but its old rows must still retract
-    val touched = latestDocs.select(shardOf(col(idCol), nShards).as("shard"))
-      .distinct().collect().map(_.getInt(0).toString).toSeq.sorted
+    val touched = precomputedTouched.getOrElse(
+      latestDocs.select(shardOf(col(idCol), nShards).as("shard"))
+        .distinct().collect().map(_.getInt(0).toString).toSeq.sorted)
     if (!hasCurrent) (delta, touched)
     else {
-      val deltaIds = latestDocs.select(col(idCol).as("doc_id")).distinct()
+      val ids = deltaIds.getOrElse(
+        latestDocs.select(col(idCol).as("doc_id")).distinct())
       val kept = table.readPartitions(spark, touched)
-        .join(deltaIds, Seq("doc_id"), "left_anti")
+        .join(ids, Seq("doc_id"), "left_anti")
       (kept.unionByName(delta), touched)
     }
   }

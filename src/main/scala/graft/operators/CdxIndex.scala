@@ -156,14 +156,19 @@ object CdxIndex {
     * (never the whole table), coalesce byte ranges and [[fetchRanges]]
     * just the genuinely new content, then merge the fetched documents
     * with the touched shards' existing rows. Returns (merged rows,
-    * touched shard ids) in the incremental-publish contract's shape.
+    * touched shard ids, cleanup) in the incremental-publish contract's
+    * shape — the caller MUST invoke cleanup() once the merged rows are
+    * materialized (i.e. after `table.commit`): it unpersists this
+    * epoch's cached deltas, which the SQL CacheManager would otherwise
+    * pin forever (one leaked MEMORY_AND_DISK entry per micro-batch on
+    * the streaming face).
     */
   def ledgerMerge(spark: org.apache.spark.sql.SparkSession,
       table: graft.sink.ShardedTable, hasCurrent: Boolean,
       delta: DataFrame, warcDir: String, seqCol: String,
       maxGap: Long, nShards: Int,
       maxRangeBytes: Long = 256L << 20,
-      robots: Option[(DataFrame, String)] = None): (DataFrame, Seq[String]) = {
+      robots: Option[(DataFrame, String)] = None): (DataFrame, Seq[String], () => Unit) = {
     // optional fetch-time politeness: drop index rows whose URL the
     // robots rules table disallows for `crawler`, BEFORE digest dedup
     // — a disallowed capture must never be fetched, not even as the
@@ -192,8 +197,10 @@ object CdxIndex {
     // plan and the fetch join-back — without the cache each of those
     // re-ran the digest-dedup window chain over the delta (measured:
     // ~4x the stages for identical bytes). O(delta) rows, same bound
-    // and discipline as incrementalShardedPublish's delta persist;
-    // ContextCleaner reclaims the blocks when the epoch's plans die.
+    // and discipline as incrementalShardedPublish's delta persist.
+    // NOTE: persist registers in the SQL CacheManager, which holds the
+    // plan strongly until an explicit unpersist — the returned
+    // cleanup() releases both caches after the epoch's commit.
     val deduped = dedupByDigest(fetchable)
       .withColumn("shard", pmod(xxhash64(col("digest")), lit(nShards)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -247,7 +254,12 @@ object CdxIndex {
       else table.readPartitions(spark, touched)
         .select("url", "digest", "seq", "n_chars", "text", "shard")
         .unionByName(docs)
-    (merged, touched)
+    val cleanup = () => {
+      deduped.unpersist(blocking = false)
+      fresh.unpersist(blocking = false)
+      ()
+    }
+    (merged, touched, cleanup)
   }
 
   /** Execute a fetch plan against a store of member-per-record

@@ -50,12 +50,16 @@ object RepetitionRemoval {
     val minSpan = math.max(minSpanTokens, k)
     val grams = SubstringDedup.gramsOf(df, idCol, textCol, k)
     // (doc, fp) keyed — bounded by one document's gram count, so no
-    // corpus-wide hot key; a semi join tolerates the duplicate keys
-    val dupKeys = grams.groupBy(col(idCol), col("fp"))
-      .agg(count(lit(1)).as("cnt"))
+    // corpus-wide hot key (the reason the CROSS-doc variant must stay
+    // an aggregate + join-back does not apply here), which makes a
+    // count window safe: ONE pass over one gram projection instead of
+    // aggregate + semi-join over two of them — gramsOf re-tokenizes
+    // its input, so the saved scan is the expensive half
+    val dupPos = grams
+      .withColumn("cnt", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col(idCol), col("fp"))))
       .where(col("cnt") > 1)
-      .select(col(idCol), col("fp"))
-    val dupPos = grams.join(dupKeys, Seq(idCol, "fp"), "left_semi")
       .select(col(idCol), col("i"))
     SubstringDedup.islandsToSpans(dupPos, idCol, k, minSpan)
   }
@@ -100,11 +104,17 @@ object RepetitionRemoval {
         when(col("action") === "drop", lit(null).cast("string"))
           .otherwise(col(textCol)))
     // the trim slice feeds the gram aggregate, the dup-key semi-join,
-    // and the span removal — persist it (bounded by the trim slice,
-    // typically a small fraction of the corpus) so those passes don't
-    // each re-run the dup-ratio classify over everything
+    // and the span removal — materialize it once (bounded by the trim
+    // slice, typically a small fraction of the corpus) so those passes
+    // don't each re-run the dup-ratio classify over everything. A lazy
+    // localCheckpoint, NOT persist: this is a library operator whose
+    // result the caller materializes later, so there is no in-operator
+    // release point, and persist would pin the plan in the SQL
+    // CacheManager forever (one leaked cache entry per call). The
+    // checkpoint blocks are GC-reclaimed with the plan, and each call
+    // materializes its own blocks (no cross-run cache reuse).
     val toTrim = flagged.filter(col("action") === "trim")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     val trimmed = SubstringDedup.applySpanRemoval(toTrim, idCol, textCol,
       repeatedSpansWithinDoc(toTrim, idCol, textCol, trimK))
     keptOrDropped.unionByName(trimmed)

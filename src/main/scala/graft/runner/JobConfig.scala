@@ -3,7 +3,7 @@ package graft.runner
 import java.io.StringReader
 import java.util.Properties
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{NormalizeNfc, StripAccents, Text}
@@ -564,16 +564,16 @@ object JobConfig {
         val opCol = req(p, "scd2.op")
         val attrs = req(p, "scd2.attrs").split(",").map(_.trim).toSeq
         val nShards = opt(p, "scd2.shards").map(_.toInt).getOrElse(32)
+        val scd2Shard = pmod(hash(col(key)), lit(nShards)).cast("int")
         incrementalShardedPublish(spark, p, kind = "scd2", seqCol,
-          partCol = "shard") { (table, hasCurrent, delta) =>
-          val shardOf = pmod(hash(col(key)), lit(nShards)).cast("int")
-          val touched = delta.select(shardOf.as("shard")).distinct()
-            .collect().map(_.getInt(0).toString).toSeq.sorted
+          partCol = "shard",
+          touchedCol = Some(scd2Shard)) { (table, hasCurrent, delta, pre) =>
+          val touched = pre.get
           val merged =
             if (!hasCurrent) Scd2.fromChangelog(delta, key, seqCol, opCol, attrs)
             else Scd2.merge(table.readPartitions(spark, touched).drop("shard"),
               delta, key, seqCol, opCol, attrs)
-          (merged.withColumn("shard", shardOf), touched)
+          (merged.withColumn("shard", scd2Shard), touched, () => ())
         }
 
       case "rollup" =>
@@ -590,18 +590,20 @@ object JobConfig {
         val dims = req(p, "rollup.dims").split(",").map(_.trim).toSeq
         val measure = req(p, "rollup.measure")
         val rShards = opt(p, "rollup.shards").map(_.toInt).getOrElse(32)
+        // the shard is a pure function of the dims, so the touched set
+        // over the raw delta equals the one over the aggregated state
+        val rollupShard = pmod(hash(dims.map(col): _*), lit(rShards)).cast("int")
         incrementalShardedPublish(spark, p, kind = "rollup",
-          req(p, "rollup.seq"), partCol = "shard") { (table, hasCurrent, delta) =>
-          val shardOf = pmod(hash(dims.map(col): _*), lit(rShards)).cast("int")
+          req(p, "rollup.seq"), partCol = "shard",
+          touchedCol = Some(rollupShard)) { (table, hasCurrent, delta, pre) =>
           val deltaState = IncrementalRollup.init(delta, dims, measure)
-          val touched = deltaState.select(shardOf.as("shard")).distinct()
-            .collect().map(_.getInt(0).toString).toSeq.sorted
+          val touched = pre.get
           val merged =
             if (!hasCurrent) deltaState
             else IncrementalRollup.merge(
               table.readPartitions(spark, touched).drop("shard"),
               deltaState, dims)
-          (merged.withColumn("shard", shardOf), touched)
+          (merged.withColumn("shard", rollupShard), touched, () => ())
         }
 
       case "index" =>
@@ -618,8 +620,12 @@ object JobConfig {
         val textCol = req(p, "index.text")
         val seqCol = req(p, "index.seq")
         val nShards = opt(p, "index.shards").map(_.toInt).getOrElse(32)
+        // the shard is a pure function of the doc id, so the touched
+        // set over the raw delta equals the one over the deduped latest
         incrementalShardedPublish(spark, p, kind = "index", seqCol,
-          partCol = "shard") { (table, hasCurrent, delta) =>
+          partCol = "shard",
+          touchedCol = Some(graft.operators.Bm25.shardOf(col(idCol), nShards))) {
+          (table, hasCurrent, delta, pre) =>
             // a doc can be updated MORE THAN ONCE inside one delta;
             // the merge treats every delta row as current, so reduce
             // to the latest version per doc by seq first (ties: any —
@@ -631,8 +637,11 @@ object JobConfig {
                   .partitionBy(col(idCol))
                   .orderBy(col(seqCol).cast("long").desc)))
               .filter(col("_rn") === 1).drop("_rn")
-            graft.operators.Bm25.shardedMerge(table, hasCurrent, latest,
-              idCol, textCol, nShards)
+            val (merged, touched) = graft.operators.Bm25.shardedMerge(table,
+              hasCurrent, latest, idCol, textCol, nShards,
+              precomputedTouched = pre,
+              deltaIds = Some(delta.select(col(idCol).as("doc_id")).distinct()))
+            (merged, touched, () => ())
         }
 
       case "funnel" =>
@@ -647,13 +656,14 @@ object JobConfig {
         val fSteps = req(p, "funnel.steps").split(",").map(_.trim).toSeq
         val fGap = req(p, "funnel.maxGapMs").toLong
         val fShards = opt(p, "funnel.shards").map(_.toInt).getOrElse(32)
+        val funnelShard = pmod(hash(col(fKey)), lit(fShards)).cast("int")
         incrementalShardedPublish(spark, p, kind = "funnel",
-          req(p, "funnel.seq"), partCol = "shard") { (table, hasCurrent, delta) =>
+          req(p, "funnel.seq"), partCol = "shard",
+          touchedCol = Some(funnelShard)) { (table, hasCurrent, delta, pre) =>
           val one = (d: DataFrame) => graft.operators.Funnel.funnel(d,
             fKey, req(p, "funnel.type"), req(p, "funnel.ms"), fSteps, fGap)
-          val shardOf = pmod(hash(col(fKey)), lit(fShards)).cast("int")
-          val touchedShards = delta.select(shardOf.as("shard")).distinct()
-            .collect().map(_.getInt(0).toString).toSeq.sorted
+          val shardOf = funnelShard
+          val touchedShards = pre.get
           val merged =
             if (!hasCurrent) one(delta)
             else {
@@ -666,7 +676,7 @@ object JobConfig {
                 .join(touchedKeys, Seq(fKey), "left_anti")
                 .unionByName(one(src.join(touchedKeys, Seq(fKey), "left_semi")))
             }
-          (merged.withColumn("shard", shardOf), touchedShards)
+          (merged.withColumn("shard", shardOf), touchedShards, () => ())
         }
 
       case "classify" =>
@@ -687,9 +697,12 @@ object JobConfig {
         val cSeq = req(p, "classify.seq")
         val cShards = opt(p, "classify.shards").map(_.toInt).getOrElse(32)
         incrementalShardedPublish(spark, p, kind = "classify", cSeq,
-          partCol = "shard") { (table, hasCurrent, delta) =>
-          TextClassifier.shardedMerge(table, hasCurrent, delta,
-            textCol, labelCol, cShards)
+          partCol = "shard") { (table, hasCurrent, delta, _) =>
+          // touched = distinct TOKEN shards — needs the tokenization,
+          // not a row-wise delta expression, so no touchedCol here
+          val (merged, touched) = TextClassifier.shardedMerge(table,
+            hasCurrent, delta, textCol, labelCol, cShards)
+          (merged, touched, () => ())
         }
 
       case "annindex" =>
@@ -719,7 +732,9 @@ object JobConfig {
             new FsStateStore(req(p, "sink.output"), aConf)
               .put("_centroids", "annindex",
                 Map("table" -> graft.operators.AnnIndex.encodeCentroids(idx)))
-          }) { (table, hasCurrent, delta) =>
+          }) { (table, hasCurrent, delta, _) =>
+          // touched = IVF list ids, known only after assignment
+          // against the codebook — no row-wise touchedCol exists
           val latest = delta
             .withColumn("_rn", row_number().over(
               org.apache.spark.sql.expressions.Window
@@ -731,8 +746,9 @@ object JobConfig {
               graft.operators.AnnIndex.loadCodebook(req(p, "sink.output"), aConf)
             else graft.functions.Ann.sampledIvf(latest, aCents, aId, aVec)
           codebook = Some(idx)
-          graft.operators.AnnIndex.shardedMerge(idx, table, hasCurrent,
-            latest, aId, aVec)
+          val (merged, touched) = graft.operators.AnnIndex.shardedMerge(idx,
+            table, hasCurrent, latest, aId, aVec)
+          (merged, touched, () => ())
         }
 
       case "curate" =>
@@ -888,8 +904,13 @@ object JobConfig {
         val scoreCol = req(p, "frontier.score")
         val seqCol = req(p, "frontier.seq")
         val nShards = opt(p, "frontier.shards").map(_.toInt).getOrElse(32)
+        // the shard is a pure row-wise function of the URL, so the
+        // touched set folds into the delta-stats aggregation
         incrementalShardedPublish(spark, p, kind = "frontier", seqCol,
-          partCol = "shard") { (table, hasCurrent, delta) =>
+          partCol = "shard",
+          touchedCol = Some(pmod(
+            xxhash64(graft.functions.Text.canonicalizeUrl(col(urlCol))),
+            lit(nShards)))) { (table, hasCurrent, delta, pre) =>
             val dstate = delta
               .select(
                 graft.functions.Text.canonicalizeUrl(col(urlCol)).as("url"),
@@ -900,8 +921,7 @@ object JobConfig {
                 max(col("score")).as("score"),
                 count(lit(1)).as("n_seen"))
               .withColumn("shard", pmod(xxhash64(col("url")), lit(nShards)))
-            val touched = dstate.select("shard").distinct()
-              .collect().map(_.getLong(0).toString).toSeq // <= nShards values
+            val touched = pre.get // <= nShards values
             val merged =
               if (!hasCurrent) dstate
               else table.readPartitions(spark, touched)
@@ -912,7 +932,7 @@ object JobConfig {
                   max(col("score")).as("score"),
                   sum(col("n_seen")).as("n_seen"))
             (merged.select("url", "first_seq", "score", "n_seen", "shard"),
-              touched)
+              touched, () => ())
         }
 
       case "cdxindex" =>
@@ -1012,7 +1032,10 @@ object JobConfig {
           }
         incrementalShardedPublish(spark, p, kind = "cdxfetch", cdxSeqCol,
           partCol = "shard",
-          sourceOverride = zipnumSrc) { (table, hasCurrent, delta) =>
+          sourceOverride = zipnumSrc) { (table, hasCurrent, delta, _) =>
+            // ledgerMerge's candidate/touched sets are post-filter
+            // (robots, revisit, digest dedup) — no row-wise touchedCol;
+            // its cleanup releases the two per-epoch delta caches
             CdxIndex.ledgerMerge(spark, table, hasCurrent, delta,
               warcDir, cdxSeqCol, maxGap, nShards, maxRange, robots)
         }
@@ -1110,18 +1133,31 @@ object JobConfig {
     * (expireVersions reclaims them) and the table on its previous
     * version.
     *
-    * `applyDelta(table, hasCurrent, delta)` returns the replacement
-    * rows for the touched partitions plus the touched-partition
-    * values; `commitSidecar` runs after applyDelta and BEFORE the
-    * commit (for frozen root sidecars like the annindex codebook — a
-    * crash between the two leaves a sidecar without a version, which
+    * `applyDelta(table, hasCurrent, delta, precomputedTouched)`
+    * returns the replacement rows for the touched partitions, the
+    * touched-partition values, and a cleanup hook invoked (in a
+    * finally) after the commit materializes the merged rows — the
+    * release point for any caches applyDelta registered (persist pins
+    * plans in the SQL CacheManager until an explicit unpersist, so a
+    * per-epoch cache without this hook leaks one entry per epoch /
+    * micro-batch). `commitSidecar` runs after applyDelta and BEFORE
+    * the commit (for frozen root sidecars like the annindex codebook —
+    * a crash between the two leaves a sidecar without a version, which
     * the deterministic refit overwrites identically on retry).
+    *
+    * `touchedCol`: the partition-value expression over a delta row,
+    * when the touched set is a pure row-wise function of the delta
+    * (hash shards). Supplying it folds the touched-partition collect
+    * into the SAME aggregation job as the watermark/row-count stats —
+    * one pass over the persisted delta instead of two — and applyDelta
+    * receives the values via `precomputedTouched`.
     */
   private def incrementalShardedPublish(spark: SparkSession, p: Properties,
       kind: String, seqCol: String, partCol: String,
       commitSidecar: () => Unit = () => (),
-      sourceOverride: Option[() => Option[DataFrame]] = None)(
-      applyDelta: (graft.sink.ShardedTable, Boolean, DataFrame) => (DataFrame, Seq[String])): Map[String, String] = {
+      sourceOverride: Option[() => Option[DataFrame]] = None,
+      touchedCol: Option[Column] = None)(
+      applyDelta: (graft.sink.ShardedTable, Boolean, DataFrame, Option[Seq[String]]) => (DataFrame, Seq[String], () => Unit)): Map[String, String] = {
     val conf = spark.sparkContext.hadoopConfiguration
     val store = new FsStateStore(req(p, "state.dir"), conf)
     val jobName = req(p, "job.name")
@@ -1157,22 +1193,32 @@ object JobConfig {
         val delta = prior.fold(src)(w => src.filter(col(seqCol).cast("long") > w))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val stats = delta.agg(max(col(seqCol).cast("long")), count(lit(1))).head
+          // one aggregation job over the persisted delta: watermark,
+          // row count, and (when touchedCol is given) the touched
+          // partition values — previously the touched set cost each
+          // kind a second distinct+collect pass
+          val statAggs = Seq(max(col(seqCol).cast("long")), count(lit(1))) ++
+            touchedCol.map(c => sort_array(collect_set(c.cast("string"))))
+          val stats = delta.agg(statAggs.head, statAggs.tail: _*).head
           if (stats.isNullAt(0)) noop(prior)
           else {
             val hw = stats.getLong(0)
             val deltaRows = stats.getLong(1)
-            val (merged, touched) = applyDelta(table, hasCurrent, delta)
-            commitSidecar()
-            val version = table.commit(merged, touched,
-              Map("highWatermark" -> hw.toString), full = !hasCurrent)
-            // observability-only secondary record (the manifest is the
-            // source of truth for replay decisions)
-            store.put(kind, jobName, Map("highWatermark" -> hw.toString,
-              "version" -> version.toString))
-            Map("published" -> "true", "deltaRows" -> deltaRows.toString,
-              "highWatermark" -> hw.toString, "version" -> version.toString,
-              "touchedPartitions" -> touched.size.toString)
+            val pre = touchedCol.map(_ => stats.getSeq[String](2).toSeq)
+            val (merged, touched, cleanup) =
+              applyDelta(table, hasCurrent, delta, pre)
+            try {
+              commitSidecar()
+              val version = table.commit(merged, touched,
+                Map("highWatermark" -> hw.toString), full = !hasCurrent)
+              // observability-only secondary record (the manifest is the
+              // source of truth for replay decisions)
+              store.put(kind, jobName, Map("highWatermark" -> hw.toString,
+                "version" -> version.toString))
+              Map("published" -> "true", "deltaRows" -> deltaRows.toString,
+                "highWatermark" -> hw.toString, "version" -> version.toString,
+                "touchedPartitions" -> touched.size.toString)
+            } finally cleanup()
           }
         } finally delta.unpersist()
       }

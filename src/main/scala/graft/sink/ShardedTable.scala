@@ -77,10 +77,25 @@ final class ShardedTable(val root: String, val partCol: String,
       Some(key.drop(5).takeWhile(_ != ':'))
     else None
 
+  // Per-instance memo of manifest records and their resolved content.
+  // Safe: a committed vNNNNN record is immutable except for
+  // expireVersions' resolution-EQUIVALENT rewrite (which this instance
+  // reflects below), commits are serialized by the callers' JobLock,
+  // and each incremental epoch constructs a fresh instance anyway. The
+  // win is per-commit metadata IO: resolving a delta chain re-read up
+  // to ChainLimit JSON files per lookup — several lookups per epoch
+  // (watermark read, touched-partition read, commit carry-over) — and
+  // on an object store each read is a round trip.
+  private val rawCache =
+    scala.collection.mutable.HashMap.empty[Long, Map[String, String]]
+  private val resolvedCache =
+    scala.collection.mutable.HashMap.empty[Long, Map[String, String]]
+
   private def rawRecord(v: Long): Map[String, String] =
-    meta.get("manifests", vKey(v))
-      .getOrElse(throw new IllegalArgumentException(
-        s"unknown version $v of $root"))
+    rawCache.getOrElseUpdate(v,
+      meta.get("manifests", vKey(v))
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown version $v of $root")))
 
   /** Resolve a manifest record to its FULL logical content. A record
     * is either full (self-contained) or a DELTA over `base:` — only
@@ -92,7 +107,10 @@ final class ShardedTable(val root: String, val partCol: String,
     * to be walked for types. Internal keys (`base:`/`chain:`/`del:`)
     * are stripped from the result.
     */
-  private def resolved(v: Long, depth: Int = 0): Map[String, String] = {
+  private def resolved(v: Long, depth: Int = 0): Map[String, String] =
+    resolvedCache.getOrElseUpdate(v, resolveUncached(v, depth))
+
+  private def resolveUncached(v: Long, depth: Int): Map[String, String] = {
     // ChainLimit is enforced at write time, so a longer chain (or a
     // base cycle) only arises from a corrupted/hand-edited manifest —
     // fail loudly instead of recursing unboundedly
@@ -293,6 +311,7 @@ final class ShardedTable(val root: String, val partCol: String,
     }
     val version = history.lastOption.getOrElse(0L) + 1L
     meta.put("manifests", vKey(version), next)
+    rawCache(version) = next
     // the commit point: readers see the new version only after this
     meta.put("pointer", "current", Map("version" -> version.toString))
     version
@@ -386,11 +405,18 @@ final class ShardedTable(val root: String, val partCol: String,
     // materialize every kept delta to its resolved full content first
     // (resolution-equivalent rewrite), then the ancestors can go
     keep.foreach { v =>
-      if (rawRecord(v).contains("base:"))
-        meta.put("manifests", vKey(v), resolved(v))
+      if (rawRecord(v).contains("base:")) {
+        val full = resolved(v)
+        meta.put("manifests", vKey(v), full)
+        rawCache(v) = full
+      }
     }
     val referenced = keep.flatMap(v => manifest(v).values).toSet
-    dropped.foreach(v => meta.delete("manifests", vKey(v)))
+    dropped.foreach { v =>
+      meta.delete("manifests", vKey(v))
+      rawCache -= v
+      resolvedCache -= v
+    }
     val fs = new Path(root).getFileSystem(conf)
     val dataRoot = new Path(s"$root/data")
     var deleted = 0
