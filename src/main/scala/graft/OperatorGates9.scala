@@ -179,24 +179,31 @@ object OperatorGates9 {
       // the 20 encrypts are independent subprocesses; run them
       // concurrently (the sequential loop serialized ~20 process
       // spawns and dominated this gate's wall clock)
+      def encryptOne(r: org.apache.spark.sql.Row): Unit = {
+        val id = r.getLong(0)
+        val pt = tmp.resolve(s"$id.txt")
+        java.nio.file.Files.write(pt, r.getString(1).getBytes("UTF-8"))
+        // --force-mdc pins SEIPD v1 (MDC) output: gpg 2.3+/2.4 would
+        // otherwise emit AEAD/OCB symmetric packets the pure-JCE
+        // decoder deliberately does not speak (no-op on gpg 2.2)
+        val rc = new ProcessBuilder("gpg", "--batch", "--yes", "--force-mdc",
+            "--symmetric",
+            "--cipher-algo", "AES256", "--passphrase", s"graft|$id",
+            "-o", enc.resolve(s"$id.gpg").toString, pt.toString)
+          .redirectErrorStream(true).start().waitFor()
+        require(rc == 0, s"gpg encrypt failed for doc $id (rc=$rc)")
+      }
+      // first encrypt runs ALONE: on a box where ~/.gnupg / gpg-agent
+      // has never been initialized, concurrent first-use spawns race
+      // on keyring/agent-socket creation and flake — warm it once,
+      // then fan out the independent rest
+      docs.headOption.foreach(encryptOne)
+      val rest = docs.drop(1)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(docs.length, 10).max(1))
+        math.min(rest.length, 10).max(1))
       try {
-        docs.map { r => pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = {
-            val id = r.getLong(0)
-            val pt = tmp.resolve(s"$id.txt")
-            java.nio.file.Files.write(pt, r.getString(1).getBytes("UTF-8"))
-            // --force-mdc pins SEIPD v1 (MDC) output: gpg 2.3+/2.4 would
-            // otherwise emit AEAD/OCB symmetric packets the pure-JCE
-            // decoder deliberately does not speak (no-op on gpg 2.2)
-            val rc = new ProcessBuilder("gpg", "--batch", "--yes", "--force-mdc",
-                "--symmetric",
-                "--cipher-algo", "AES256", "--passphrase", s"graft|$id",
-                "-o", enc.resolve(s"$id.gpg").toString, pt.toString)
-              .redirectErrorStream(true).start().waitFor()
-            require(rc == 0, s"gpg encrypt failed for doc $id (rc=$rc)")
-          }
+        rest.map { r => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = encryptOne(r)
         })}.foreach(_.get())
       } finally pool.shutdown()
       s.read.format("binaryFile").load(s"$enc/*.gpg")

@@ -268,6 +268,8 @@ object ForeignIceberg {
           val dt = df.schema(pc).dataType
           val vals = df.select(col(pc)).distinct().collect().map(_.get(0))
             .sortBy(_.toString)
+          if (vals.isEmpty) Seq.empty // repartition(0) below would throw
+          else {
           // ONE write job for every partition value: route each value
           // to its ordinal via an exact when-chain (no dir-name value
           // escaping to decode back), one task per value so each dir
@@ -294,6 +296,7 @@ object ForeignIceberg {
             (Some(transformed(shape.transform, dt, v)),
               part.head.getPath.toUri.getPath, part.head.getLen,
               footerRowCount(conf, part.head.getPath))
+          }
           }
       }
 
