@@ -19,6 +19,23 @@ object OperatorGates7 {
   private def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
+  /** Run an independent per-key unit of driver work (each submitting
+    * its own Spark jobs into separate directories) on a small thread
+    * pool, so one unit's task tail back-fills the cores instead of
+    * serializing the whole sequence of tiny jobs. Results keep the
+    * input key order; failures propagate.
+    */
+  private def parallelByKey[K, R](keys: Seq[K], maxThreads: Int = 5)(
+      unit: K => R): Seq[R] = {
+    if (keys.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(keys.size, maxThreads).max(1))
+    try keys.map { k =>
+      pool.submit(new java.util.concurrent.Callable[R] { def call(): R = unit(k) })
+    }.map(_.get())
+    finally pool.shutdown()
+  }
+
   /** Shared boilerplate planted on every 7th document's tail — the
     * "terms of service" block that exact-substring dedup exists to
     * strip (26 tokens, >= 2 full k=10 grams).
@@ -678,7 +695,12 @@ object OperatorGates7 {
       val types = events.select(col("event_type")).distinct()
         .collect().map(_.getString(0)).sorted
       val expected = events.schema
-      val rows = types.map { tp =>
+      // per-type units are independent (separate dirs) — overlap the
+      // write jobs from a thread pool so each job's task tail
+      // back-fills the cores instead of serializing 2x|types| jobs;
+      // within a type the two appends to one dir stay sequential
+      // (concurrent appends to one path race on _temporary)
+      val rows = parallelByKey(types.toSeq) { tp =>
         val d = s"$tmp/$tp"
         val part = events.filter(col("event_type") === tp)
         part.coalesce(1).write.mode("append").parquet(d)
@@ -693,7 +715,7 @@ object OperatorGates7 {
         (tp, checks.size.toLong, checks.count(_.ok).toLong)
       }
       import s.implicits._
-      rows.toSeq.toDF("event_type", "n_files", "n_ok")
+      rows.toDF("event_type", "n_files", "n_ok")
         .orderBy(col("event_type"))
     }),
 
@@ -713,7 +735,9 @@ object OperatorGates7 {
       val types = events.select(col("event_type")).distinct()
         .collect().map(_.getString(0)).sorted
       val defaults = empty.withDatasetList(TransferEncodingKey, Seq("gzip"))
-      val rows = types.map { tp =>
+      // same per-type independence as q_schema_parity: overlap the
+      // 2x|types| tiny write jobs (jobs stay identical, just concurrent)
+      val rows = parallelByKey(types.toSeq) { tp =>
         val d = s"$tmp/$tp"
         val part = events.filter(col("event_type") === tp)
         // two deterministic halves -> two files in one dataset dir
@@ -744,7 +768,7 @@ object OperatorGates7 {
           admissions.size.toLong)
       }
       import s.implicits._
-      rows.toSeq.toDF("event_type", "num_files", "num_records",
+      rows.toDF("event_type", "num_files", "num_records",
         "file_counts", "transfer_encoding", "n_admitted")
         .orderBy(col("event_type"))
     }))

@@ -159,8 +159,17 @@ object Bm25 {
       qIdCol: String, qTextCol: String, k: Int, qTerms: Int = 8,
       k1: Double = 1.2, b: Double = 0.75, maxDf: Long = Long.MaxValue,
       excludeSelf: Boolean = true): DataFrame =
-    topKFromIndex(index(corpus, idCol, textCol), queries, qIdCol, qTextCol,
-      k, qTerms, k1, b, maxDf, excludeSelf)
+    // materialize the freshly built postings once: topKFromIndex scans
+    // its index three times (corpus stats, df, scoring join), and each
+    // scan of a FRESH index re-runs the tokenize+explode+groupBy chain
+    // — the dominant cost, re-shuffling every exploded token per pass.
+    // A lazy localCheckpoint pays one aggregated-postings
+    // materialization instead (blocks GC-reclaimed with the plan, no
+    // CacheManager pinning, rebuilt per call). The persisted-index
+    // face (topKFromIndex over a ShardedTable read) is unchanged:
+    // checkpointing a parquet scan would only copy it.
+    topKFromIndex(index(corpus, idCol, textCol).localCheckpoint(false),
+      queries, qIdCol, qTextCol, k, qTerms, k1, b, maxDf, excludeSelf)
 
   /** [[topK]] over a prebuilt/incrementally-maintained [[index]].
     *

@@ -204,13 +204,18 @@ object CdxIndex {
     val deduped = dedupByDigest(fetchable)
       .withColumn("shard", pmod(xxhash64(col("digest")), lit(nShards)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = deduped.select("shard").distinct()
-      .collect().map(_.getLong(0).toString).toSeq // <= nShards values
+    // candidate shards gate the ledger anti-join, which only exists
+    // when there IS a ledger: on the first epoch skip the collect job
+    // (deduped then materializes at the touched-shard collect below)
     val fresh0 =
       if (!hasCurrent) deduped
-      else deduped.join(
-        table.readPartitions(spark, candidates).select("digest").distinct(),
-        Seq("digest"), "left_anti")
+      else {
+        val candidates = deduped.select("shard").distinct()
+          .collect().map(_.getLong(0).toString).toSeq // <= nShards values
+        deduped.join(
+          table.readPartitions(spark, candidates).select("digest").distinct(),
+          Seq("digest"), "left_anti")
+      }
     // deterministic one-capture-per-url winner (a URL may carry
     // several digests across recrawls in one delta)
     val urlWin = Window.partitionBy(col("url"))
