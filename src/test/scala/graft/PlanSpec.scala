@@ -242,14 +242,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BatchEvalPython") && !p.contains("MapPartitions"))
   }
 
-  test("funnel: each step's type filter reaches the scan; equi-joins only") {
+  test("funnel: one exchange, step-type filter at the scan, no joins") {
     val p = plan("q_funnel")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
-    // the per-step slices prune at the parquet scan, not post-shuffle
-    assert(p.contains("EqualTo(event_type,view)") ||
-      p.contains("event_type = view"), s"step filter not pushed:\n$p")
-    assert(p.contains("partial_min") || p.contains("partial_"),
-      "step anchors lost their map-side partial min")
+    // single-pass shape: the step-type slice prunes at the parquet
+    // scan (In filter), everything rides ONE hash exchange by key —
+    // the old compositional shape paid one scan + exchange PER STEP
+    assert(p.contains("In(event_type") || p.contains("event_type IN"),
+      s"step-type filter not pushed:\n$p")
+    // exactly one hash exchange (the funnel's, by key); the gate's
+    // final orderBy adds its own range exchange on top
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"funnel must shuffle exactly once:\n$p")
+    assert(!p.contains("Join"), "single-pass funnel must not join")
   }
 
   test("kanon: suppression regroups aggregated cells, not raw data") {
